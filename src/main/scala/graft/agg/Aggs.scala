@@ -1,0 +1,186 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Aggregate operators mirroring the reference's grand / hash / group /
+  * grid / cumulative aggregate families (SURVEY.md §2.4).
+  *
+  * Grand and hash aggregates map to Spark's partial→final HashAggregate,
+  * which is exactly the reference's prepare/merge parallel scheme
+  * (imcs.c:1886-2035) generalized to a cluster: map-side partial aggregation,
+  * one shuffle on the group keys, final merge. Nothing custom is needed for
+  * count/min/max/sum/avg/var/corr — they are codegen'd built-ins.
+  */
+object Aggs {
+
+  /** Product aggregate — cs_prd (func.c:1423-1473). No Spark built-in.
+    * Implemented as a typed Aggregator (associative, partial-merge friendly,
+    * so it parallelizes exactly like sum). Zero handling: any zero factor
+    * short-circuits the product to 0; signs multiply through.
+    */
+  val product: Aggregator[Double, Double, Double] =
+    new Aggregator[Double, Double, Double] {
+      def zero: Double = 1.0
+      def reduce(b: Double, a: Double): Double = b * a
+      def merge(b1: Double, b2: Double): Double = b1 * b2
+      def finish(r: Double): Double = r
+      def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+
+  /** Product as a Column over a DoubleType column. */
+  def prd(c: String): Column = udaf(product).apply(col(c).cast("double"))
+
+  /** Weighted sum Σxy — cs_wsum (func.c:1502-1575). */
+  def wsum(x: Column, y: Column): Column = sum(x * y)
+
+  /** Weighted average Σxy/Σx — cs_wavg (func.c:1502-1575); this is VWAP
+    * when x=volume, y=price (user_guide.html "Performance comparison").
+    */
+  def wavg(x: Column, y: Column): Column = sum(x * y) / sum(x)
+
+  /** Population variance with the reference's naive Σx² formula
+    * (func.c:1475-1491): (Σx² − (Σx)²/n)/n. Spark's var_pop uses Welford;
+    * values agree to float tolerance on sane data — tests pin var_pop.
+    */
+  def varNaive(x: Column): Column =
+    (sum(x * x) - sum(x) * sum(x) / count(x)) / count(x)
+
+  /** Bitwise AND / OR reductions — cs_all / cs_any (func.c:1446-1456). */
+  def all(c: Column): Column = bit_and(c)
+  def any(c: Column): Column = bit_or(c)
+
+  /** HyperLogLog approximate distinct — cs_approxdc (func.c:4802-4973).
+    * Spark's approx_count_distinct is the same HLL++ family, mergeable
+    * map-side. rsd 0.05 ~ the reference's 2^7-register accuracy.
+    */
+  def approxdc(c: Column): Column = approx_count_distinct(c)
+
+  /** Per-group distinct-with-threshold count — cs_hash_dup_count
+    * (func.c:5750-6215): for each group, how many distinct values occur at
+    * least minOcc times. Two-level aggregation = two shuffles, but the first
+    * groupBy(key, value) does map-side partial counting so the shuffle
+    * carries only distinct (key, value) pairs.
+    */
+  def hashDupCount(df: DataFrame, value: String, groupBy: Seq[String], minOcc: Long): DataFrame =
+    df.groupBy((groupBy :+ value).map(col): _*)
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= minOcc)
+      .groupBy(groupBy.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"))
+
+  // --------------------------------------------------------------------
+  // Run-based ("ordered group") aggregates — cs_group_* (func.c:1898-2092).
+  // The reference groups by *runs* of equal adjacent group values, not by
+  // hash. We materialize a run id: increment whenever the key changes
+  // between consecutive positions, then groupBy(run_id).
+  // --------------------------------------------------------------------
+
+  /** Attach `run_id` — consecutive-equal runs of `groupVal` within each key
+    * partition ordered by pos. One window pass (single shuffle by key).
+    */
+  def attachRunId(df: DataFrame, keys: Seq[String], groupVal: String): DataFrame = {
+    val w =
+      (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))
+        .orderBy(col("pos"))
+    df.withColumn(
+      "__chg",
+      when(lag(col(groupVal), 1).over(w).isNull ||
+        lag(col(groupVal), 1).over(w) =!= col(groupVal), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__chg")
+  }
+
+  /** Run-group aggregate — cs_group_count/max/min/sum/avg/first/last
+    * (func.c:1985-2092). Emits one row per run with the group value and the
+    * requested aggregates of `value`.
+    */
+  def groupAgg(df: DataFrame, keys: Seq[String], groupVal: String, value: String): DataFrame = {
+    val withRun = attachRunId(df, keys, groupVal)
+    val grp = (keys :+ "run_id").map(col)
+    withRun
+      .groupBy(grp: _*)
+      .agg(
+        first(col(groupVal)).as("group_val"),
+        count(lit(1)).as("grp_count"),
+        sum(col(value)).as("grp_sum"),
+        min(col(value)).as("grp_min"),
+        max(col(value)).as("grp_max"),
+        avg(col(value)).as("grp_avg"),
+        min_by(col(value), col("pos")).as("grp_first"),
+        max_by(col(value), col("pos")).as("grp_last"))
+  }
+
+  /** Windowed run-group aggregate — cs_win_group_* (func.c:6594-6790):
+    * same run semantics but length-preserving — every member of the run
+    * carries the run's aggregate. Window.partitionBy(run) is exactly this.
+    */
+  def winGroupAgg(df: DataFrame, keys: Seq[String], groupVal: String, value: String): DataFrame = {
+    val withRun = attachRunId(df, keys, groupVal)
+    val w = Window.partitionBy((keys :+ "run_id").map(col): _*)
+    withRun
+      .withColumn("wg_sum", sum(col(value)).over(w))
+      .withColumn("wg_min", min(col(value)).over(w))
+      .withColumn("wg_max", max(col(value)).over(w))
+      .withColumn("wg_avg", avg(col(value)).over(w))
+      .withColumn("wg_count", count(lit(1)).over(w))
+  }
+
+  /** Grid (tumbling count-based bucket) aggregate — cs_grid_max/min/avg/sum
+    * (func.c:2170-2266): buckets of `step` consecutive elements.
+    */
+  def gridAgg(df: DataFrame, keys: Seq[String], value: String, step: Long): DataFrame = {
+    val grp = (keys.map(col) :+ floor(col("pos") / step).as("grid"))
+    df.groupBy(grp: _*)
+      .agg(
+        count(lit(1)).as("grid_count"),
+        sum(col(value)).as("grid_sum"),
+        avg(col(value)).as("grid_avg"),
+        min(col(value)).as("grid_min"),
+        max(col(value)).as("grid_max"))
+  }
+
+  /** Cumulative aggregates — cs_cum_sum/avg/min/max/prd (func.c:1791-1887).
+    * Running frame per key. cum_prd via exp∘sum∘log is only valid for
+    * positive values; the general path is the window-product below.
+    */
+  def cumAgg(df: DataFrame, keys: Seq[String], value: String): DataFrame = {
+    val w =
+      (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))
+        .orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_sum", sum(col(value)).over(w))
+      .withColumn("cum_avg", avg(col(value)).over(w))
+      .withColumn("cum_min", min(col(value)).over(w))
+      .withColumn("cum_max", max(col(value)).over(w))
+      .withColumn("cum_count", count(lit(1)).over(w))
+  }
+
+  /** Fixed-bin histogram — cs_histogram (func.c:4062-4133): counts of
+    * values in n equal bins over [min, max); out-of-range values ignored.
+    * groupBy(bin) with map-side partial counts = the reference's parallel
+    * bin-merge.
+    */
+  def histogram(df: DataFrame, value: String, lo: Double, hi: Double, bins: Int): DataFrame = {
+    val width = (hi - lo) / bins
+    df.filter(col(value) >= lo && col(value) < hi)
+      .groupBy(floor((col(value) - lo) / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("bin_count"))
+  }
+
+  /** Top-k by value — cs_top_max/min (func.c:2981-3086). orderBy.limit
+    * compiles to TakeOrderedAndProject: per-partition bounded heap + driver
+    * merge, the same bounded-buffer + merge the reference uses. Ties broken
+    * by `tiebreak` for determinism.
+    */
+  def topK(df: DataFrame, value: String, k: Int, desc: Boolean, tiebreak: String): DataFrame = {
+    val ord =
+      if (desc) Seq(col(value).desc, col(tiebreak).asc)
+      else Seq(col(value).asc, col(tiebreak).asc)
+    df.orderBy(ord: _*).limit(k)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Special analytics — SURVEY.md §2.8 (cs_diff, cs_trend, cs_cross,
+  * cs_extrema, cs_norm, cs_quantile). All are single-window-pass
+  * operators: one shuffle on the key, then streaming lag/lead scans.
+  */
+object Analytics {
+
+  private def keyWindow(keys: Seq[String]) =
+    (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))
+      .orderBy(col("pos"))
+
+  /** out[0]=0; out[i]=x[i]-x[i-1] — cs_diff (func.c:2268-2303). */
+  def diff(df: DataFrame, keys: Seq[String], value: String, out: String = "diff"): DataFrame =
+    df.withColumn(out, col(value) - lag(col(value), 1, null).over(keyWindow(keys)))
+      .withColumn(out, coalesce(col(out), lit(0.0)))
+
+  /** Sign of the last non-zero delta, carried through plateaus — cs_trend
+    * (func.c:2305-2343). First element's trend is 0.
+    */
+  def trend(df: DataFrame, keys: Seq[String], value: String, out: String = "trend"): DataFrame = {
+    val w = keyWindow(keys)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__d", signum(col(value) - lag(col(value), 1).over(w)))
+      .withColumn(out, coalesce(
+        last(when(col("__d") =!= 0.0, col("__d")), ignoreNulls = true).over(wRun),
+        lit(0.0)))
+      .drop("__d")
+  }
+
+  /** Positions where the series crosses zero — cs_cross (func.c:4134-4219).
+    * dir > 0: only upward (neg→pos), dir < 0: only downward, 0: both.
+    * A crossing is reported at the first element whose non-zero sign
+    * differs from the previous non-zero sign.
+    */
+  def crossings(df: DataFrame, keys: Seq[String], value: String, dir: Int): DataFrame = {
+    val w = keyWindow(keys)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val s = signum(col(value))
+    val prevSign = last(when(s =!= 0.0, s), ignoreNulls = true).over(wPrev)
+    val flipped = prevSign.isNotNull && s =!= 0.0 && s =!= prevSign
+    val dirOk =
+      if (dir > 0) s > 0 else if (dir < 0) s < 0 else lit(true)
+    df.withColumn("__flip", flipped && dirOk)
+      .filter(col("__flip"))
+      .drop("__flip")
+  }
+
+  /** Positions of local extrema (alternating min/max) — cs_extrema
+    * (func.c:4221-4305). An element is an extremum when the trend of the
+    * series reverses at it: detect via sign of delta before and the next
+    * non-zero delta after.
+    */
+  def extrema(df: DataFrame, keys: Seq[String], value: String): DataFrame = {
+    val w = keyWindow(keys)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+    val d = signum(col(value) - lag(col(value), 1).over(w))
+    // last non-zero delta up to and including this element
+    val before = last(when(d =!= 0.0, d), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("__before", before)
+      .withColumn("__after", first(when(col("__before").isNotNull, col("__before")),
+        ignoreNulls = true).over(wNext))
+      .filter(col("__before").isNotNull && col("__after").isNotNull &&
+        col("__before") =!= col("__after"))
+      .drop("__before", "__after")
+  }
+
+  /** x / sqrt(Σx²) — cs_norm (func.c:594-658). Two-pass in the reference;
+    * here a whole-partition window aggregate (per key), one shuffle.
+    */
+  def norm(df: DataFrame, keys: Seq[String], value: String, out: String = "norm"): DataFrame = {
+    val w =
+      if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    df.withColumn(out, col(value) / sqrt(sum(col(value) * col(value)).over(w)))
+  }
+
+  /** q+1 boundary values of the sorted series — cs_quantile
+    * (func.c:3562-3603). Exact percentile; bounded output (q+1 rows).
+    */
+  def quantile(df: DataFrame, value: String, q: Int): DataFrame = {
+    val ps = (0 to q).map(i => i.toDouble / q)
+    df.agg(percentile(col(value), lit(ps.toArray)).as("qs"))
+      .select(posexplode(col("qs")).as(Seq("q_idx", "q_value")))
+  }
+}

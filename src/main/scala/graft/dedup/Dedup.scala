@@ -1,0 +1,155 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines at 100 TB scale.
+  *
+  * Exact dedup is a hash group-by (one shuffle on the content hash; the
+  * hash, not the text, is the shuffle key, so shuffle volume is bytes per
+  * doc, not the doc itself when only ids are needed).
+  *
+  * Near-dup families avoid the O(n²) pairwise comparison by bucketing:
+  * MinHash-LSH bands, SimHash prefixes, and shared-shingle inverted
+  * index. Candidate pairs come from a self-join *within buckets* — the
+  * join key is the bucket, so work is proportional to Σ bucket² rather
+  * than n², the standard scale-out shape.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-content hash: keeps the lowest id
+    * as canonical and lists duplicate count per group.
+    */
+  def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.withColumn("fp", TextOps.fingerprint(col(text)))
+      .groupBy("fp")
+      .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup: keep one row (lowest id) per normalized content. */
+  def exactDedup(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col(id))
+    df.withColumn("fp", TextOps.fingerprint(col(text)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "fp")
+  }
+
+  /** Deterministic MinHash signature of a shingle set.
+    * k hash functions h_i(x) = (a_i * x + b_i) mod p over 64-bit shingle
+    * hashes (xxhash64) — the classic universal-hash MinHash. Returns an
+    * array<long> of length k.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(p)))
+    val sig = (0 until k).map { i =>
+      val a = 2L * i + 1
+      val b = 104729L * (i + 1)
+      array_min(transform(hashed, h => pmod(h * a + b, lit(p))))
+    }
+    array(sig: _*)
+  }
+
+  /** MinHash + LSH candidate pairs: signature split into `bands` bands of
+    * `rowsPerBand` values; docs sharing any band land in the same bucket;
+    * pairs emitted once (id1 < id2). Verification (exact Jaccard) is the
+    * caller's choice — see `ngramJaccardPairs` for the verify step.
+    */
+  def minhashLshPairs(df: DataFrame, id: String, text: String,
+                      shingleLen: Int = 5, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = df
+      .select(col(id), TextOps.charShingles(col(text), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = withSig.select(
+      col(id),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("bh")))))
+      .select(col(id), col("col.band").as("band"), hash(col("col.bh").cast("string")).as("bucket"))
+      .distinct()
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col(s"a.band") === col(s"b.band") && col(s"a.bucket") === col(s"b.bucket") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard over candidate (or all) pairs. For bounded
+    * corpora or as the verify stage after LSH: join docs to pairs, compute
+    * |A∩B| / |A∪B| over shingle sets.
+    */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String,
+                        shingleLen: Int, minJaccard: Double): DataFrame = {
+    val sh = df.select(col(id), TextOps.charShingles(col(text), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // Inverted index: shingle -> ids; candidate pairs share >=1 shingle.
+    val inv = sh.select(col(id), explode(col("sh")).as("g"))
+    val cand = inv.as("x").join(inv.as("y"),
+        col("x.g") === col("y.g") && col(s"x.$id") < col(s"y.$id"))
+      .groupBy(col(s"x.$id").as("id1"), col(s"y.$id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col(id).as("__sid"), size(col("sh")).cast("long").as("__ssz"))
+    cand
+      .join(sizes.withColumnRenamed("__sid", "id1").withColumnRenamed("__ssz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("__sid", "id2").withColumnRenamed("__ssz", "sz2"), "id2")
+      .withColumn("jaccard",
+        col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over word tokens: per-bit majority vote of token
+    * xxhash64 values. Near-dups share most bits; bucket on the top
+    * `prefixBits` bits for candidate generation.
+    */
+  def simhash(text: Column): Column = {
+    val toks = split(TextOps.normalizedText(text), " ")
+    val hashes = transform(toks, t => xxhash64(t))
+    val bitSum = (b: Int) =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+    (0 until 64).map(b => when(bitSum(b) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by the top `prefixBits` bits, verify
+    * with full Hamming distance <= maxDist within buckets.
+    */
+  def simhashPairs(df: DataFrame, id: String, text: String,
+                   prefixBits: Int = 16, maxDist: Int = 8): DataFrame = {
+    val withSh = df.select(col(id), simhash(col(text)).as("sh64"))
+      .withColumn("bucket", shiftright(col("sh64"), 64 - prefixBits))
+    withSh.as("a").join(withSh.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$id") < col(s"b.$id") &&
+          hamming64(col("a.sh64"), col("b.sh64")) <= maxDist)
+      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"),
+        hamming64(col("a.sh64"), col("b.sh64")).cast("long").as("hamming"))
+  }
+
+  /** Embedding cosine near-dup pairs above a similarity threshold.
+    * Brute-force within LSH-ish buckets is the scale path (see
+    * graft.sim.Similarity); this exact variant is the oracle-checkable
+    * baseline over all pairs (bounded inputs / verify stage).
+    */
+  def cosinePairs(df: DataFrame, id: String, vec: String, minCos: Double): DataFrame = {
+    val withNorm = df.select(col(id), col(vec).as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (s, x) => s + x * x)))
+      .filter(col("nrm") > 0)
+    withNorm.as("a").join(withNorm.as("b"), col(s"a.$id") < col(s"b.$id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0d), (s, x) => s + x))
+      .withColumn("cosine", col("dot") / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cosine") >= minCos)
+      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+}

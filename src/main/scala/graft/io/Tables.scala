@@ -1,0 +1,67 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table lifecycle over Parquet — the Spark equivalents of the reference's
+  * load / append / delete / truncate generated functions
+  * (imcs--1.1.sql:33-430, imcs.c:4177-4412; SURVEY.md §2.1).
+  *
+  * The reference bulk-loads a PG table into per-column B-trees ordered by
+  * the timestamp column. Here a "registered" table is a Parquet directory
+  * written sorted within files by (key, ts) so that min/max page stats make
+  * timestamp-range scans prunable — the columnar layout itself is Parquet's.
+  * At cluster scale the same layout partitioned by a date bucket gives
+  * partition pruning on top of row-group pruning.
+  */
+object Tables {
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader rejects;
+    * read it as raw int64 nanoseconds instead. Ordering and equality over
+    * the long are isomorphic to the timestamp, and the DuckDB oracle maps
+    * via epoch_ns(ts) when the column must be compared.
+    */
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** TABLE_load: ingest sorted by (keys, ts) — the reference's
+    * `order by <timestamp>` load (imcs.c:4265).
+    */
+  def load(df: DataFrame, path: String, keys: Seq[String], ts: String): Unit =
+    df.sortWithinPartitions((keys :+ ts).map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** TABLE_append: rows with ts >= from appended (imcs--1.1.sql:211-217). */
+  def append(df: DataFrame, path: String, ts: String, from: java.sql.Timestamp): Unit =
+    df.filter(col(ts) >= lit(from)).write.mode(SaveMode.Append).parquet(path)
+
+  /** TABLE_delete(from, till): range delete by timestamp
+    * (btree.c:747-899) — rewrite excluding the range. On a real deployment
+    * this is a Delta/Iceberg DELETE; over plain Parquet it is
+    * read-filter-overwrite.
+    */
+  def deleteRange(spark: SparkSession, path: String, ts: String,
+                  from: java.sql.Timestamp, till: java.sql.Timestamp): Unit = {
+    val remaining = spark.read.parquet(path)
+      .filter(!(col(ts) >= lit(from) && col(ts) <= lit(till)))
+      .cache()
+    remaining.count() // materialize before overwriting the source
+    remaining.write.mode(SaveMode.Overwrite).parquet(path + "__tmp")
+    remaining.unpersist()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(path + "__tmp"), p)
+  }
+
+  /** TABLE_truncate (imcs--1.1.sql:105-115). */
+  def truncate(spark: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.join
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Timestamp-alignment joins — the reference's only join family
+  * (SURVEY.md §2.7; about.txt:86 "Not able to perform joins").
+  *
+  * The workhorse is the as-of join. A naive range join (`r.ts <= l.ts` +
+  * max_by) degenerates to O(n·m) per key at scale, so the implementation
+  * uses the union trick: tag both sides, union on (key, ts), and carry the
+  * last right-side value forward with `last(..., ignoreNulls)` over a
+  * key-partitioned window. That is ONE shuffle on the key and a streaming
+  * window scan — the distributed equivalent of the reference's single
+  * merge pass over two sorted series (func.c:4591-4662), and it survives a
+  * 100× scale-up because each key's merge is independent.
+  */
+object Align {
+
+  /** As-of join — cs_asof_join (func.c:4499-4662): for each left row, the
+    * latest right `valueCol` with right.ts <= left.ts (per key). Left rows
+    * before any right row get NULL. Output: left columns + `asofValue`.
+    *
+    * @param keys  equality keys (empty for single global series)
+    * @param ts    ordering/timestamp column name present on both sides
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+               valueCol: String, outCol: String = "asof_value"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
+    val rTagged = right
+      .select((keys :+ ts).map(col) :+ col(valueCol).as("__rv"): _*)
+      .withColumn("__side", lit(0))
+    val common = (keys :+ ts) ++ Seq("__side", "__rv")
+    val unioned = lTagged.select((common ++ leftCols.diff(common)).map(col): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    // Right rows (__side=0) sort before left rows at equal ts, so an exact
+    // timestamp match is visible to the left row — matches the reference's
+    // "last ts2 <= t" inclusive semantics.
+    val w =
+      (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))
+        .orderBy(col(ts).asc, col("__side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(outCol, last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols :+ outCol).map(col): _*)
+  }
+
+  /** Positions in `right` matching each left ts — cs_asof_join_pos
+    * (func.c:4591-4662). Same machinery carrying right.pos.
+    */
+  def asofJoinPos(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String): DataFrame =
+    asofJoin(left, right.withColumnRenamed("pos", "__rpos"), keys, ts, "__rpos", "right_pos")
+
+  /** Sorted-merge equi-join on ts — cs_join / cs_join_pos
+    * (func.c:4677-4801): inner join on (keys, ts) returning left columns +
+    * the right value. Spark plans a sort-merge join (or broadcast if one
+    * side is small) — the distributed form of the reference's merge.
+    */
+  def equiJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+               valueCol: String, outCol: String = "join_value"): DataFrame =
+    left.join(
+      right.select((keys :+ ts).map(col) :+ col(valueCol).as(outCol): _*),
+      keys :+ ts, "inner")
+
+  /** Left temporal align with fill — cs_stretch (func.c:4308-4392):
+    * as-of join, with `filler` where no right row precedes.
+    */
+  def stretch(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+              valueCol: String, filler: Column, outCol: String = "stretch_value"): DataFrame =
+    asofJoin(left, right, keys, ts, valueCol, outCol)
+      .withColumn(outCol, coalesce(col(outCol), filler))
+
+  /** Exact-match gap fill — cs_stretch0 (func.c:4393-4497): left join on
+    * exact ts; `filler` where right has no row at that ts.
+    */
+  def stretch0(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+               valueCol: String, filler: Column, outCol: String = "stretch_value"): DataFrame =
+    left.join(
+      right.select((keys :+ ts).map(col) :+ col(valueCol).as(outCol): _*),
+      keys :+ ts, "left")
+      .withColumn(outCol, coalesce(col(outCol), filler))
+
+  /** Merge two sorted series preserving order, duplicates kept — cs_union
+    * (func.c:3846-3936). In the set-oriented world this is UNION ALL; order
+    * is re-derivable from (keys, ts), so no global sort is forced here.
+    */
+  def unionMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = a.columns.toSeq
+    a.unionByName(b.select(cols.map(col): _*))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.series
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core series abstraction.
+  *
+  * The reference (knizhnik/imcs) models a table as a set of aligned
+  * "timeseries" — ordered columns where element i of every column belongs to
+  * logical row i (imcs.h:98-105, SURVEY.md §1.1). Spark has no implicit row
+  * order, so order is materialized as an explicit `pos` column: a 0-based
+  * dense rank per key partition, ordered by the series' timestamp plus a
+  * deterministic tiebreak. All order-sensitive operators (span, thin,
+  * reverse, diff, window aggs...) demand a `pos` column produced here.
+  *
+  * Scale note: `row_number` over a key-partitioned window is a single
+  * shuffle by key; each key's rows are numbered independently, so the plan
+  * parallelizes across keys on a large cluster (no global sort, no driver
+  * bottleneck). For a *global* series (no key) Spark must sort globally —
+  * `attachPosGlobal` uses zipWithIndex-free SQL but requires one total
+  * ordering; keep global series for genuinely single-series data.
+  */
+object Series {
+
+  /** Attach `pos` (0-based) per key partition ordered by `order` columns.
+    * Mirrors the implicit element order of a per-key timeseries like
+    * "quote-close-IBM" (imcs--1.1.sql:361-369).
+    */
+  def attachPos(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w =
+      if (keys.isEmpty) Window.orderBy(order: _*)
+      else Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("pos", row_number().over(w).cast("long") - 1L)
+  }
+
+  /** Positional slice [from, till] inclusive; negative index counts from the
+    * end as in the reference's cs_limit/TABLE_span (func.c:3938-4026,
+    * imcs--1.1.sql:285-292). Needs a `cnt` per key when negatives are used.
+    */
+  def span(df: DataFrame, keys: Seq[String], from: Long, till: Long): DataFrame = {
+    if (from >= 0 && till >= 0) {
+      // Pure positional range — pushes down as a simple filter on pos.
+      df.filter(col("pos") >= from && col("pos") <= till)
+    } else {
+      val w =
+        if (keys.isEmpty) Window.partitionBy()
+        else Window.partitionBy(keys.map(col): _*)
+      val withCnt = df.withColumn("__cnt", count(lit(1)).over(w))
+      val lo = if (from >= 0) lit(from) else col("__cnt") + from
+      val hi = if (till >= 0) lit(till) else col("__cnt") + till
+      withCnt.filter(col("pos") >= lo && col("pos") <= hi).drop("__cnt")
+    }
+  }
+
+  /** Every step-th element starting at origin — cs_thin (func.c:664-767). */
+  def thin(df: DataFrame, origin: Long, step: Long): DataFrame =
+    df.filter(col("pos") >= origin && (col("pos") - origin) % step === 0)
+
+  /** First n per key — cs_head / cs_limit(0, n-1) (func.c:3938-4026). */
+  def head(df: DataFrame, n: Long): DataFrame = df.filter(col("pos") < n)
+
+  /** Last n per key — cs_tail (negative-index cs_limit). */
+  def tail(df: DataFrame, keys: Seq[String], n: Long): DataFrame =
+    span(df, keys, -n, -1)
+
+  /** Reverse a series: new pos = count-1-pos — cs_reverse (func.c:1203-1306).
+    * Pure relabeling; no data movement beyond the count-per-key window.
+    */
+  def reverse(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w =
+      if (keys.isEmpty) Window.partitionBy()
+      else Window.partitionBy(keys.map(col): _*)
+    df.withColumn("pos", count(lit(1)).over(w) - 1L - col("pos"))
+  }
+
+  /** Repeat each element n times — cs_repeat (func.c:769-862). New pos is
+    * pos*n + repeat index, preserving order.
+    */
+  def repeat(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("__r", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("pos", col("pos") * n + col("__r"))
+      .drop("__r")
+
+  /** Concatenate series b after series a — cs_concat `|||`
+    * (func.c:2353-2456). Offsets b's pos by a's per-key count. `keys` are
+    * the columns on which the two frames align (empty = single series).
+    */
+  def concat(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = a.columns.toSeq
+    if (keys.isEmpty) {
+      val n = a.count() // single-series: one scalar count
+      a.select(cols.map(col): _*).unionByName(
+        b.withColumn("pos", col("pos") + n).select(cols.map(col): _*))
+    } else {
+      val cnts = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__acnt"))
+      val bShift = b
+        .join(broadcast(cnts), keys, "left")
+        .withColumn("pos", col("pos") + coalesce(col("__acnt"), lit(0L)))
+        .select(cols.map(col): _*)
+      a.select(cols.map(col): _*).unionByName(bShift)
+    }
+  }
+
+  /** Collapse adjacent duplicates — cs_unique (func.c:3737-3844). Keeps the
+    * first element of each run of equal `value`s; output keeps original pos.
+    */
+  def uniqueAdjacent(df: DataFrame, keys: Seq[String], value: String): DataFrame = {
+    val w =
+      (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))
+        .orderBy(col("pos"))
+    df.withColumn("__prev", lag(col(value), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(value))
+      .drop("__prev")
+  }
+
+  /** Positions where cond holds — cs_filter_pos (func.c:2834-2930). */
+  def filterPos(df: DataFrame, cond: Column): DataFrame =
+    df.filter(cond).select(col("pos"))
+
+  /** First n matching positions — cs_filter_first_pos (func.c:2931-2980). */
+  def filterFirstPos(df: DataFrame, cond: Column, n: Int): DataFrame =
+    df.filter(cond).orderBy(col("pos")).limit(n).select(col("pos"))
+
+  /** Gather elements of `df` at `positions` — cs_map (btree.c:255-347).
+    * A join on pos; Catalyst broadcasts the position side when small,
+    * which reproduces the reference's random-access B-tree probe without a
+    * full shuffle.
+    */
+  def gather(df: DataFrame, positions: DataFrame, keys: Seq[String]): DataFrame = {
+    val onCols = keys :+ "pos"
+    df.join(positions.select(onCols.map(col): _*).distinct(), onCols, "inner")
+  }
+}

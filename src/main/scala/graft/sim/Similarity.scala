@@ -1,0 +1,97 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  * Baseline: brute-force cosine top-k — a map-only scan (dot products in
+  * codegen'd higher-order functions, no UDF) + TakeOrderedAndProject, so
+  * even the "brute force" path is one pass over the data and a bounded
+  * driver merge: at 100 TB it is bandwidth-bound, not shuffle-bound.
+  *
+  * Scale path: IVF-style bucketing — assign every vector to its nearest
+  * centroid (a small broadcast list) and probe only the closest `nProbe`
+  * centroids at query time, cutting the scanned fraction to
+  * nProbe/nCentroids.
+  */
+object Similarity {
+
+  /** Σ a[i]*b[i] as a codegen'd expression. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k neighbors of one query vector. */
+  def topKCosine(df: DataFrame, id: String, vec: String,
+                 query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    df.select(col(id),
+        round(cosine(col(vec).cast("array<double>"), q), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** All-pairs top-k neighbors per query id against the corpus, brute
+    * force; queries are broadcast. For each query row, the k most cosine-
+    * similar corpus rows.
+    */
+  def topKCosineJoin(corpus: DataFrame, queries: DataFrame, id: String,
+                     vec: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
+    val scored = corpus.select(col(id), col(vec).as("cv"))
+      .join(q, col("query_id") =!= col(id))
+      .withColumn("cosine", cosine(col("cv").cast("array<double>"), col("qv").cast("array<double>")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(id).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col(id).as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** IVF index: assign each vector to the nearest of `centroids`
+    * (broadcast). Returns df + `centroid_id`. Writing the result
+    * partitioned by centroid_id gives the probe-time pruning.
+    */
+  def ivfAssign(df: DataFrame, vec: String, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val scored = centroids.map { case (cid, c) =>
+      val cc = array(c.map(lit): _*)
+      struct(dot(col(vec).cast("array<double>"), cc)
+        .as("score"), lit(cid).as("cid"))
+    }
+    df.withColumn("centroid_id", greatest(scored: _*).getField("cid"))
+  }
+
+  /** ANN query via IVF: scan only the `nProbe` centroids closest to the
+    * query vector, then brute-force within them.
+    */
+  def ivfQuery(indexed: DataFrame, id: String, vec: String,
+               centroids: Seq[(Int, Seq[Double])], query: Seq[Float],
+               k: Int, nProbe: Int): DataFrame = {
+    val qd = query.map(_.toDouble)
+    def sdot(c: Seq[Double]) = c.zip(qd).map { case (x, y) => x * y }.sum
+    val probe = centroids.sortBy { case (_, c) => -sdot(c) }.take(nProbe).map(_._1)
+    topKCosine(indexed.filter(col("centroid_id").isin(probe: _*)), id, vec, query, k)
+  }
+
+  /** Random-hyperplane LSH bucket (signed projection bits) — deterministic
+    * pseudo-random planes derived from xxhash64 of (dim, plane) so both
+    * sides of a comparison compute identical planes with no RNG.
+    */
+  def rhpBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { pIdx =>
+      val proj = (0 until dim).map { d =>
+        // deterministic pseudo-random weight in [-1, 1)
+        val h = ((1469598103934665603L * (pIdx * 1024 + d + 1)) ^ 0x9e3779b97f4a7c15L)
+        val w = (h % 1000003L).toDouble / 1000003.0
+        element_at(vec, d + 1) * w
+      }.reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), pIdx)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}
