@@ -300,6 +300,178 @@ object SparkEntry {
           ev.filter(col("event_type") === "click"),
           ev.filter(col("event_type") === "view"))
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))
+    }),
+
+    // ---- scans / arrays / misc (§2.1-2.3) ----
+    "q_get" -> ((s, dir) =>
+      // TABLE_get: timestamp-range scan (B-tree search analog → parquet
+      // row-group pruning on the pushed-down ts filter)
+      Tables.read(s, dir, "events")
+        .filter(col("event_type") === "purchase" &&
+          col("ts") >= 1704672000000000000L && col("ts") < 1704931200000000000L)
+        .select(col("event_id"), col("user_id"), fl(col("value")).as("value"))),
+    "q_concat_series" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+      val a = Series.attachPos(ev.filter(col("event_type") === "view"), Seq(), Seq(col("ts"), col("event_id")))
+      val b = Series.attachPos(ev.filter(col("event_type") === "click"), Seq(), Seq(col("ts"), col("event_id")))
+      Series.concat(a, b, Seq()).select(col("pos"), col("event_id"))
+    }),
+    "q_repeat" -> ((s, dir) =>
+      Series.repeat(evSeries(s, dir).filter(col("event_type") === "signup" && col("pos") < 30), 3)
+        .select(col("pos"), col("event_id"))),
+    "q_array_roundtrip" -> ((s, dir) =>
+      // cs_to_array / cs_from_array round trip (imcs.c:5532-5714)
+      evSeries(s, dir).filter(col("event_type") === "click")
+        .groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("value")))).as("arr"))
+        .select(col("event_type"), posexplode(col("arr")))
+        .select(col("event_type"), col("pos").as("idx"), fl(col("col.value")).as("value"))),
+    "q_sort_pos" -> ((s, dir) =>
+      // cs_sort_pos: the sort permutation (func.c:3415-3494)
+      evSeries(s, dir).filter(col("event_type") === "error")
+        .withColumn("sort_pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("value"), col("pos"))).cast("long") - 1)
+        .select(col("pos"), col("sort_pos"))),
+    "q_bitwise" -> ((s, dir) =>
+      Tables.read(s, dir, "events").filter(col("event_id") < 500)
+        .select(col("event_id"),
+          col("event_id").bitwiseAND(lit(255L)).as("band"),
+          col("event_id").bitwiseOR(lit(1024L)).as("bor"),
+          col("event_id").bitwiseXOR(col("user_id")).as("bxor"),
+          bitwise_not(col("event_id")).as("bnot"),
+          shiftleft(col("event_id"), 2).as("shl"),
+          shiftright(col("event_id"), 3).as("shr"))),
+    "q_ilike" -> ((s, dir) =>
+      Tables.read(s, dir, "part")
+        .filter(col("p_type").ilike("stan%") || col("p_brand").ilike("brand#1%"))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))),
+    "q_call" -> ((s, dir) => {
+      // cs_call UDF escape hatch (func.c:6217-6267)
+      val f = udf((x: Double) => x * 2.0 + 1.0)
+      evSeries(s, dir).filter(col("pos") < 50)
+        .select(col("event_type"), col("pos"), fl(f(col("value"))).as("called"))
+    }),
+    "q_cat" -> ((s, dir) =>
+      // cs_cat compound group-by key (func.c:366-412)
+      li(s, dir).groupBy(concat_ws("|", col("l_returnflag"), col("l_linestatus")).as("ckey"))
+        .agg(count(lit(1)).as("n"))),
+
+    // ---- more aggregate families (§2.4-2.5) ----
+    "q_win_group" -> ((s, dir) =>
+      Aggs.winGroupAgg(
+          evSeries(s, dir).withColumn("dir", (col("value") > 250).cast("int")),
+          Seq("event_type"), "dir", "value")
+        .filter(col("pos") < 100)
+        .select(col("event_type"), col("pos"), col("run_id"),
+          fl(col("wg_sum")).as("wg_sum"), fl(col("wg_min")).as("wg_min"),
+          fl(col("wg_max")).as("wg_max"), fl(col("wg_avg")).as("wg_avg"),
+          col("wg_count"))),
+    "q_ema" -> ((s, dir) =>
+      Moving.ema(evSeries(s, dir).filter(col("pos") < 200), Seq("event_type"), "value", 10)
+        .select(col("event_type"), col("pos"), fl(col("ema")).as("ema"))),
+    "q_atr" -> ((s, dir) =>
+      Moving.atr(evSeries(s, dir).filter(col("pos") < 200), Seq("event_type"), "value", 10)
+        .select(col("event_type"), col("pos"), fl(col("atr")).as("atr"))),
+    "q_cum_prd" -> ((s, dir) =>
+      Moving.cumProd(evSeries(s, dir).filter(col("event_type") === "purchase" && col("pos") < 15),
+          Seq("event_type"), "value")
+        .select(col("pos"), fl(col("cum_prd")).as("cum_prd"))),
+    "q_approxdc" -> ((s, dir) =>
+      li(s, dir).agg(approx_count_distinct(col("l_partkey")).as("adc"))),
+    "q_hash_approxdc" -> ((s, dir) =>
+      li(s, dir).groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("adc"))),
+    "q_rollup" -> ((s, dir) =>
+      li(s, dir).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), fl(sum(col("l_quantity"))).as("sq"))),
+    "q_setops" -> ((s, dir) => {
+      val o = ord(s, dir)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val low = o.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey"))
+      urgent.intersect(low).withColumn("which", lit("both"))
+        .unionByName(urgent.distinct().except(low).withColumn("which", lit("only_urgent")))
+    }),
+    "q_tumbling" -> ((s, dir) =>
+      // tumbling event-time window (grid agg over time; §2.9) — integer
+      // div on int64 ns keeps exactness (ts ~1.7e18 exceeds double mantissa)
+      Tables.read(s, dir, "events")
+        .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour_bucket"))
+        .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))),
+
+    // ---- order analytics (§2.8) ----
+    "q_trend" -> ((s, dir) =>
+      Analytics.trend(evSeries(s, dir).filter(col("pos") < 100), Seq("event_type"), "value")
+        .select(col("event_type"), col("pos"), fl(col("trend")).as("trend"))),
+    "q_cross" -> ((s, dir) =>
+      Analytics.crossings(
+          evSeries(s, dir).filter(col("pos") < 300).withColumn("centered", col("value") - 250),
+          Seq("event_type"), "centered", 0)
+        .select(col("event_type"), col("pos"))),
+    "q_extrema" -> ((s, dir) =>
+      Analytics.extrema(evSeries(s, dir).filter(col("pos") < 300), Seq("event_type"), "value")
+        .select(col("event_type"), col("pos"))),
+
+    // ---- training-data pipeline: text ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+        .select(col("canonical_id"), col("n_dups"))),
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCountWs(col("text")).as("n_ws"),
+        TextOps.tokenCountRegex(col("text")).as("n_tok"))),
+    "q_quality" -> ((s, dir) =>
+      TextOps.qualityScore(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_words"),
+          fl(col("mean_word_len")).as("mean_word_len"),
+          fl(col("punct_ratio")).as("punct_ratio"),
+          fl(col("upper_ratio")).as("upper_ratio"),
+          fl(col("stopword_ratio")).as("stopword_ratio"),
+          col("quality_score"))),
+    "q_lang_id" -> ((s, dir) =>
+      TextOps.langId(docs(s, dir), "text").select(col("doc_id"), col("lang_pred"))),
+    "q_fingerprint" -> ((s, dir) =>
+      // xxhash64 not oracle-expressible → rows-only check
+      docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    "q_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text", 8, 0.2)),
+    "q_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text")),
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text")),
+
+    // ---- training-data pipeline: embeddings ----
+    "q_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      Similarity.topKCosine(e, "vec_id", "embedding", qv, 10)
+    }),
+    "q_cos_pairs" -> ((s, dir) =>
+      Dedup.cosinePairs(
+        emb(s, dir).filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        "vec_id", "embedding", 0.3)),
+    "q_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id").isin(1, 2, 3, 4))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      Similarity.ivfAssign(e, "embedding", cents)
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- training-data pipeline: multimodal plumbing ----
+    "q_media_meta" -> ((s, dir) => {
+      val bin = docs(s, dir).select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("bytes"), lit("text/plain").as("mime"))
+      graft.multimodal.Multimodal.extractMeta(bin, "media_id", "bytes")
+        .select(col("media_id"), col("n_bytes"))
+    }),
+    "q_media_frames" -> ((s, dir) => {
+      val bin = docs(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("bytes"), lit("application/octet-stream").as("mime"))
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.extractMeta(bin, "media_id", "bytes"), 2)
     })
   )
 
@@ -498,6 +670,231 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, CAST(sum("value") AS REAL) AS sv
          FROM (SELECT * FROM events WHERE event_type = 'click'
                UNION ALL SELECT * FROM events WHERE event_type = 'view')
-         GROUP BY event_type"""
+         GROUP BY event_type""",
+    "q_get" ->
+      """SELECT event_id, user_id, CAST("value" AS REAL) AS value FROM events
+         WHERE event_type = 'purchase' AND epoch_ns(ts) >= 1704672000000000000
+           AND epoch_ns(ts) < 1704931200000000000""",
+    "q_concat_series" ->
+      """WITH a AS (SELECT event_id, row_number() OVER (ORDER BY ts, event_id) - 1 AS pos
+                    FROM events WHERE event_type = 'view'),
+         b AS (SELECT event_id, row_number() OVER (ORDER BY ts, event_id) - 1
+                 + (SELECT count(*) FROM events WHERE event_type = 'view') AS pos
+               FROM events WHERE event_type = 'click')
+         SELECT pos, event_id FROM a UNION ALL SELECT pos, event_id FROM b""",
+    "q_repeat" ->
+      s"""SELECT s.pos * 3 + r.range AS pos, s.event_id
+         FROM (SELECT * FROM ($evPosSql) WHERE event_type = 'signup' AND pos < 30) s, range(3) r""",
+    "q_array_roundtrip" ->
+      s"""SELECT event_type, pos AS idx, CAST("value" AS REAL) AS value
+         FROM ($evPosSql) WHERE event_type = 'click'""",
+    "q_sort_pos" ->
+      s"""SELECT pos, row_number() OVER (ORDER BY "value", pos) - 1 AS sort_pos
+         FROM ($evPosSql) WHERE event_type = 'error'""",
+    "q_bitwise" ->
+      """SELECT event_id, event_id & 255 AS band, event_id | 1024 AS bor,
+         xor(event_id, user_id) AS bxor, ~event_id AS bnot,
+         event_id << 2 AS shl, event_id >> 3 AS shr
+         FROM events WHERE event_id < 500""",
+    "q_ilike" ->
+      """SELECT p_partkey, p_brand, p_type FROM part
+         WHERE p_type ILIKE 'stan%' OR p_brand ILIKE 'brand#1%'""",
+    "q_call" ->
+      s"""SELECT event_type, pos, CAST("value" * 2.0 + 1.0 AS REAL) AS called
+         FROM ($evPosSql) WHERE pos < 50""",
+    "q_cat" ->
+      """SELECT l_returnflag || '|' || l_linestatus AS ckey, count(*) AS n
+         FROM lineitem GROUP BY 1""",
+    "q_win_group" ->
+      s"""WITH d AS (SELECT event_type, pos, "value",
+             CAST(("value" > 250) AS INT) AS dir FROM ($evPosSql)),
+         runs AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR prev <> dir THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY pos) AS BIGINT) AS run_id
+           FROM (SELECT *, lag(dir) OVER (PARTITION BY event_type ORDER BY pos) AS prev FROM d))
+         SELECT event_type, pos, run_id,
+           CAST(sum("value") OVER wg AS REAL) AS wg_sum,
+           CAST(min("value") OVER wg AS REAL) AS wg_min,
+           CAST(max("value") OVER wg AS REAL) AS wg_max,
+           CAST(avg("value") OVER wg AS REAL) AS wg_avg,
+           count(*) OVER wg AS wg_count
+         FROM runs WINDOW wg AS (PARTITION BY event_type, run_id)
+         QUALIFY pos < 100""",
+    "q_ema" ->
+      s"""WITH RECURSIVE d AS (SELECT event_type, pos, "value" FROM ($evPosSql) WHERE pos < 200),
+         r AS (
+           SELECT event_type, pos, "value", "value" AS ema FROM d WHERE pos = 0
+           UNION ALL
+           SELECT d.event_type, d.pos, d."value",
+                  d."value" * (2.0 / 11.0) + r.ema * (1 - 2.0 / 11.0) AS ema
+           FROM r JOIN d ON d.event_type = r.event_type AND d.pos = r.pos + 1)
+         SELECT event_type, pos, CAST(ema AS REAL) AS ema FROM r""",
+    "q_atr" ->
+      s"""WITH RECURSIVE d AS (SELECT event_type, pos, "value" FROM ($evPosSql) WHERE pos < 200),
+         r AS (
+           SELECT event_type, pos, "value", "value" AS atr FROM d WHERE pos = 0
+           UNION ALL
+           SELECT d.event_type, d.pos, d."value",
+                  (r.atr * (least(d.pos + 1, 10) - 1) + d."value") / least(d.pos + 1, 10) AS atr
+           FROM r JOIN d ON d.event_type = r.event_type AND d.pos = r.pos + 1)
+         SELECT event_type, pos, CAST(atr AS REAL) AS atr FROM r""",
+    "q_cum_prd" ->
+      s"""SELECT pos, CAST(product("value") OVER (ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS REAL) AS cum_prd
+         FROM ($evPosSql) WHERE event_type = 'purchase' AND pos < 15""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(l_quantity) AS REAL) AS sq
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_setops" ->
+      """SELECT o_custkey, 'both' AS which FROM (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+         UNION ALL
+         SELECT o_custkey, 'only_urgent' AS which FROM (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')""",
+    "q_tumbling" ->
+      """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+         count(*) AS n, CAST(sum("value") AS REAL) AS sv
+         FROM events GROUP BY 1, 2""",
+    "q_trend" ->
+      s"""WITH se AS (SELECT * FROM ($evPosSql) WHERE pos < 100),
+         d AS (SELECT event_type, pos,
+             sign("value" - lag("value") OVER (PARTITION BY event_type ORDER BY pos)) AS dd
+           FROM se)
+         SELECT event_type, pos, CAST(coalesce(
+           last_value(CASE WHEN dd <> 0 THEN dd END IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS REAL) AS trend
+         FROM d""",
+    "q_cross" ->
+      s"""WITH se AS (SELECT event_type, pos, "value" - 250 AS centered
+             FROM ($evPosSql) WHERE pos < 300),
+         d AS (SELECT event_type, pos, sign(centered) AS s,
+             last_value(CASE WHEN sign(centered) <> 0 THEN sign(centered) END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevs
+           FROM se)
+         SELECT event_type, pos FROM d
+         WHERE prevs IS NOT NULL AND s <> 0 AND s <> prevs""",
+    "q_extrema" ->
+      s"""WITH se AS (SELECT * FROM ($evPosSql) WHERE pos < 300),
+         d AS (SELECT event_type, pos,
+             sign("value" - lag("value") OVER (PARTITION BY event_type ORDER BY pos)) AS dd
+           FROM se),
+         b AS (SELECT event_type, pos,
+             last_value(CASE WHEN dd <> 0 THEN dd END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS before
+           FROM d),
+         a AS (SELECT event_type, pos, before,
+             first_value(before IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY pos
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS after
+           FROM b)
+         SELECT event_type, pos FROM a
+         WHERE before IS NOT NULL AND after IS NOT NULL AND before <> after""",
+    "q_dedup_exact" ->
+      s"""SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
+         FROM (SELECT doc_id, $normSql AS norm FROM documents)
+         GROUP BY norm""",
+    "q_token_count" ->
+      """SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
+         FROM documents""",
+    "q_quality" ->
+      """WITH s AS (SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS nc,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS nw,
+           CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS np,
+           CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nu,
+           CAST(len(list_filter(
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+               w -> lower(regexp_replace(w, '[^A-Za-z]', '', 'g'))),
+             x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x)))
+             AS DOUBLE) AS ns
+           FROM documents)
+         SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+           CAST((nc - (nw - 1)) / nw AS REAL) AS mean_word_len,
+           CAST(np / nc AS REAL) AS punct_ratio,
+           CAST(nu / nc AS REAL) AS upper_ratio,
+           CAST(ns / nw AS REAL) AS stopword_ratio,
+           CAST(CASE WHEN nw >= 5 THEN 4 ELSE 0 END
+              + CASE WHEN ns / nw >= 0.1 THEN 3 ELSE 0 END
+              + CASE WHEN np / nc <= 0.2 THEN 3 ELSE 0 END AS INT) AS quality_score
+         FROM s""",
+    "q_lang_id" -> langIdOracle,
+    "q_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id < 200),
+         sh AS (SELECT doc_id, list_distinct(list_filter(
+             [substr(norm, i, 8) FOR i IN range(1, greatest(len(norm) - 6, 2))],
+             x -> len(x) = 8)) AS s
+           FROM d),
+         sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         inv AS (SELECT doc_id, unnest(s) AS g FROM sh2),
+         cand AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS inter
+           FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS ssz FROM sh2)
+         SELECT id1, id2,
+           CAST(CAST(inter AS DOUBLE) / (s1.ssz + s2.ssz - inter) AS REAL) AS jaccard
+         FROM cand JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+         WHERE CAST(inter AS DOUBLE) / (s1.ssz + s2.ssz - inter) >= 0.2""",
+    "q_knn" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         p AS (SELECT e.vec_id,
+             unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(q.qe) AS y
+           FROM embeddings e, q),
+         c AS (SELECT vec_id,
+             CAST(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS REAL) AS cosine
+           FROM p GROUP BY vec_id)
+         SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "q_cos_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id < 300),
+         p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+             unnest(a.v) AS x, unnest(b.v) AS y
+           FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         c AS (SELECT id1, id2,
+             sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosd
+           FROM p GROUP BY id1, id2)
+         SELECT id1, id2, CAST(cosd AS REAL) AS cosine FROM c WHERE cosd >= 0.3""",
+    "q_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+             FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
+         d AS (SELECT e.vec_id, c.cid, list_dot_product(ee, ce) AS score FROM e, c),
+         a AS (SELECT vec_id, cid FROM d
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) = 1)
+         SELECT CAST(cid AS INT) AS centroid_id, count(*) AS n FROM a GROUP BY 1""",
+    "q_media_meta" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents"""
   )
+
+  /** Oracle for q_lang_id, generated from the same marker table the Spark
+    * side uses (TextOps.langMarkers) so the two can't drift.
+    */
+  private lazy val langIdOracle: String = {
+    val langs = TextOps.langMarkers.keys.toSeq.sorted
+    def hits(lang: String): String =
+      TextOps.langMarkers(lang).map { m =>
+        s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS BIGINT)"
+      }.mkString(" + ")
+    val hcols = langs.map(l => s"(${hits(l)}) AS h_$l").mkString(", ")
+    val gm = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+    val caseArms = langs.map(l => s"WHEN h_$l = gm THEN '$l'").mkString(" ")
+    s"""WITH h AS (SELECT doc_id, $hcols
+          FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)),
+        g AS (SELECT *, $gm AS gm FROM h)
+        SELECT doc_id, CASE WHEN gm = 0 THEN 'und' $caseArms ELSE 'und' END AS lang_pred
+        FROM g"""
+  }
+
+  /** DuckDB expression mirroring TextOps.normalizedText. */
+  private val normSql =
+    """trim(regexp_replace(lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')), '\s+', ' ', 'g'))"""
 }

@@ -42,7 +42,9 @@ object Dedup {
     * array<long> of length k.
     */
   def minhashSignature(shingles: Column, k: Int): Column = {
-    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+    // p = 2^31-1 (Mersenne prime): keeps a*h+b within int64 under ANSI mode
+    // (h < 2^31, a,b small), while 2^31 hash space is ample for MinHash.
+    val p = 2147483647L
     val hashed = transform(shingles, s => pmod(xxhash64(s), lit(p)))
     val sig = (0 until k).map { i =>
       val a = 2L * i + 1
@@ -101,7 +103,7 @@ object Dedup {
       .withColumn("jaccard",
         col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id1"), col("id2"), col("jaccard").cast("float").as("jaccard"))
   }
 
   /** 64-bit SimHash over word tokens: per-bit majority vote of token
@@ -150,6 +152,6 @@ object Dedup {
       .withColumn("cosine", col("dot") / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= minCos)
       .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"),
-        round(col("cosine"), 4).as("cosine"))
+        col("cosine").cast("float").as("cosine"))
   }
 }

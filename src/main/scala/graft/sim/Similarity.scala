@@ -32,7 +32,7 @@ object Similarity {
                  query: Seq[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
     df.select(col(id),
-        round(cosine(col(vec).cast("array<double>"), q), 4).as("cosine"))
+        cosine(col(vec).cast("array<double>"), q).cast("float").as("cosine"))
       .orderBy(col("cosine").desc, col(id).asc)
       .limit(k)
   }
@@ -50,7 +50,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(id).asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .select(col("query_id"), col(id).as("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+      .select(col("query_id"), col(id).as("neighbor_id"), col("cosine").cast("float").as("cosine"))
   }
 
   /** IVF index: assign each vector to the nearest of `centroids`

@@ -38,19 +38,20 @@ object TextOps {
       .withColumn("mean_word_len",
         (nChars - (nWords - 1)) / nWords)
       .withColumn("punct_ratio",
-        (nChars - length(regexp_replace(t, "[!-/:-@\\[-`{-~]", ""))) / nChars)
+        (nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))) / nChars)
       .withColumn("upper_ratio",
         (nChars - length(regexp_replace(t, "[A-Z]", ""))) / nChars)
       .withColumn("stopword_ratio", nStop / nWords)
   }
 
-  /** Composite quality score in [0,1] — monotone blend of the signals. */
+  /** Composite quality score in 0..10 points — monotone blend of the
+    * signals (integer so it is exactly comparable across engines).
+    */
   def qualityScore(df: DataFrame, text: String): DataFrame =
     qualitySignals(df, text).withColumn("quality_score",
-      round(
-        when(col("n_words") >= 5, lit(0.4)).otherwise(lit(0.0)) +
-        when(col("stopword_ratio") >= 0.1, lit(0.3)).otherwise(lit(0.0)) +
-        when(col("punct_ratio") <= 0.2, lit(0.3)).otherwise(lit(0.0)), 4))
+      (when(col("n_words") >= 5, lit(4)).otherwise(lit(0)) +
+        when(col("stopword_ratio") >= 0.1, lit(3)).otherwise(lit(0)) +
+        when(col("punct_ratio") <= 0.2, lit(3)).otherwise(lit(0))).cast("int"))
 
   /** Language ID by stopword-hit counting (n-gram heuristic). Counts hits
     * of a tiny per-language marker-word list over the lowercased text and
