@@ -1,24 +1,68 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Runs the headline workloads (the BASELINE.md shapes:
+  * VWAP per key, filtered count, multi-key hash agg, grid/window aggs,
+  * top-k, as-of join, TPC-H Q1, plus the training-pipeline ops) on
+  * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  *
+  * Each query is materialized with a noop write — `count()` would let
+  * Catalyst prune every computed column and undercount the real work.
+  */
 object Bench {
+
+  /** BASELINE.md row → query name. Everything else in SparkEntry.queries
+    * still runs in Verify; these are the timed headline set.
+    */
+  val headline: Seq[String] = Seq(
+    "q1_agg",        // TPC-H Q1 (tpch.sql:38-58)
+    "q_vwap",        // BASELINE rows 4/5/8: per-key cs_wavg
+    "q_filter_count",// BASELINE row 9: filtered count
+    "q_hash_multi",  // BASELINE row 10: multi-key hash agg
+    "q_grid_agg",    // BASELINE row 12: cs_grid_avg
+    "q_cum_agg",     // BASELINE row 13: cs_cum_sum
+    "q_window_agg",  // moving aggregates
+    "q_topk",        // top-N
+    "q_asof",        // as-of alignment join
+    "q_join",        // relational join path
+    "q_ema",         // recursive indicator scan
+    "q_dedup_exact", // content-hash dedup
+    "q_minhash_lsh", // near-dup candidates
+    "q_knn",         // embedding similarity
+    "q_lang_id",     // text classification scan
+    "q_tumbling")    // event-time bucket agg
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Warm the JVM + parquet footers so q1 doesn't absorb startup cost.
+    SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop")
+      .mode("overwrite").save()
+
+    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,15 +41,25 @@ object Dedup {
     * hashes (xxhash64) — the classic universal-hash MinHash. Returns an
     * array<long> of length k.
     */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    // p = 2^31-1 (Mersenne prime): keeps a*h+b within int64 under ANSI mode
-    // (h < 2^31, a,b small), while 2^31 hash space is ample for MinHash.
-    val p = 2147483647L
-    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(p)))
+  // p = 2^31-1 (Mersenne prime): keeps a*h+b within int64 under ANSI mode
+  // (h < 2^31, a,b small), while 2^31 hash space is ample for MinHash.
+  private val MinhashP = 2147483647L
+
+  /** Base shingle hashes for MinHash: xxhash64 folded into [0, 2^31). */
+  def minhashBase(shingles: Column): Column =
+    transform(shingles, s => pmod(xxhash64(s), lit(MinhashP)))
+
+  /** MinHash signature from pre-hashed shingles (`minhashBase`). Keep the
+    * base array in its own projection: the k=16 signature lanes each scan
+    * it, and materializing it once avoids k-fold recomputation of the
+    * string hashing (CollapseProject won't inline a multiply-referenced
+    * non-trivial alias).
+    */
+  def minhashSignature(hashed: Column, k: Int): Column = {
     val sig = (0 until k).map { i =>
       val a = 2L * i + 1
       val b = 104729L * (i + 1)
-      array_min(transform(hashed, h => pmod(h * a + b, lit(p))))
+      array_min(transform(hashed, h => pmod(h * a + b, lit(MinhashP))))
     }
     array(sig: _*)
   }
@@ -63,9 +73,13 @@ object Dedup {
                       shingleLen: Int = 5, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
     val withSig = df
-      .select(col(id), TextOps.charShingles(col(text), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("__norm", TextOps.normalizedText(col(text)))
+      .filter(length(col("__norm")) >= shingleLen) // = size(sh) > 0, but
+      // checkable per row; a filter on sh would be pushed down with the
+      // whole shingle expression inlined (per-element regex re-eval)
+      .select(col(id), TextOps.charShingles(col("__norm"), shingleLen).as("sh"))
+      .withColumn("hs", minhashBase(col("sh")))
+      .withColumn("sig", minhashSignature(col("hs"), k))
     val banded = withSig.select(
       col(id),
       posexplode(
@@ -88,8 +102,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         shingleLen: Int, minJaccard: Double): DataFrame = {
-    val sh = df.select(col(id), TextOps.charShingles(col(text), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = df.withColumn("__norm", TextOps.normalizedText(col(text)))
+      .filter(length(col("__norm")) >= shingleLen) // see minhashLshPairs note
+      .select(col(id), TextOps.charShingles(col("__norm"), shingleLen).as("sh"))
     // Inverted index: shingle -> ids; candidate pairs share >=1 shingle.
     val inv = sh.select(col(id), explode(col("sh")).as("g"))
     val cand = inv.as("x").join(inv.as("y"),
@@ -110,9 +125,13 @@ object Dedup {
     * xxhash64 values. Near-dups share most bits; bucket on the top
     * `prefixBits` bits for candidate generation.
     */
-  def simhash(text: Column): Column = {
-    val toks = split(TextOps.normalizedText(text), " ")
-    val hashes = transform(toks, t => xxhash64(t))
+  def tokenHashes(text: Column): Column =
+    transform(split(TextOps.normalizedText(text), " "), t => xxhash64(t))
+
+  /** SimHash from a *materialized* token-hash array column (see
+    * charShingles' performance contract — 64 bit lanes each scan it).
+    */
+  def simhash(hashes: Column): Column = {
     val bitSum = (b: Int) =>
       aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
@@ -128,7 +147,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    prefixBits: Int = 16, maxDist: Int = 8): DataFrame = {
-    val withSh = df.select(col(id), simhash(col(text)).as("sh64"))
+    val withSh = df.withColumn("__th", tokenHashes(col(text)))
+      .select(col(id), simhash(col("__th")).as("sh64"))
       .withColumn("bucket", shiftright(col("sh64"), 64 - prefixBits))
     withSh.as("a").join(withSh.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$id") < col(s"b.$id") &&

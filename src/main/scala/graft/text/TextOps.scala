@@ -93,25 +93,29 @@ object TextOps {
 
   def fingerprint(text: Column): Column = xxhash64(normalizedText(text))
 
-  /** Character shingles (n-grams) of the normalized text, as the shingle
-    * set (distinct). Building block for MinHash / Jaccard dedup.
+  /** Character shingles (n-grams) as a distinct set. Building block for
+    * MinHash / Jaccard dedup.
+    *
+    * PERFORMANCE CONTRACT: `norm` must be a *materialized column* (e.g.
+    * `withColumn("norm", normalizedText(col("text")))` first), not a raw
+    * expression. The lambda references it per element; an inline
+    * normalizedText expression would re-run its regexes once per shingle —
+    * O(len²) per document.
     */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = normalizedText(text)
+  def charShingles(norm: Column, n: Int): Column =
     array_distinct(
       filter(
         transform(sequence(lit(0), greatest(length(norm) - n, lit(0))),
           i => norm.substr(i + 1, lit(n))),
         s => length(s) === n))
-  }
 
-  /** Word shingles (n-gram of tokens) joined by a space. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(normalizedText(text), " ")
+  /** Word shingles (n-gram of tokens) joined by a space. Same contract:
+    * `toks` must be a materialized array column (`split(norm, " ")`).
+    */
+  def wordShingles(toks: Column, n: Int): Column =
     array_distinct(
       filter(
         transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
         s => size(split(s, " ")) === n))
-  }
 }
