@@ -1,0 +1,91 @@
+package graft
+
+import graft.agg.Aggs
+import graft.series.Series
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Aggregate families vs reference expected outputs
+  * (expected/grandagg.out, groupbyagg, gridagg, hashagg, cumagg).
+  */
+class AggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ibm = Series.attachPos(
+    Seq((1, 10.5, 100L), (2, 20.2, 200L), (4, 30.2, 300L), (5, 40.2, 400L), (6, 50.5, 500L))
+      .toDF("day", "close", "vol"), Seq(), Seq(col("day")))
+
+  test("grand aggregates match reference fixture (sum Volume = 1500)") {
+    val r = ibm.agg(
+      sum("vol").as("s"), count(lit(1)).as("c"), min("vol").as("mn"),
+      max("vol").as("mx"), avg("vol").as("av")).head()
+    assert(r.getLong(0) == 1500L && r.getLong(1) == 5L &&
+      r.getLong(2) == 100L && r.getLong(3) == 500L && r.getDouble(4) == 300.0)
+  }
+
+  test("naive variance formula agrees with var_pop on the fixture") {
+    val r = ibm.agg(var_pop(col("vol")).as("w"), Aggs.varNaive(col("vol")).as("n")).head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6)
+    assert(math.abs(r.getDouble(0) - 20000.0) < 1e-9) // var of 100..500
+  }
+
+  test("product aggregator") {
+    val r = Seq(2.0, 3.0, 4.0).toDF("x").agg(Aggs.prd("x")).head().getDouble(0)
+    assert(r == 24.0)
+    val withZero = Seq(2.0, 0.0, 4.0).toDF("x").agg(Aggs.prd("x")).head().getDouble(0)
+    assert(withZero == 0.0)
+  }
+
+  test("wavg = VWAP on the fixture") {
+    // sum(vol*close)/sum(vol) for IBM fixture
+    val r = ibm.agg(Aggs.wavg(col("vol"), col("close"))).head().getDouble(0)
+    val expected = (100 * 10.5 + 200 * 20.2 + 300 * 30.2 + 400 * 40.2 + 500 * 50.5) / 1500.0
+    assert(math.abs(r - expected) < 1e-12)
+  }
+
+  test("run-group aggregates group adjacent equal values (cs_group_*)") {
+    val df = Series.attachPos(
+      Seq((1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "a", 4.0), (5, "a", 5.0))
+        .toDF("t", "g", "v"), Seq(), Seq(col("t")))
+    val r = Aggs.groupAgg(df, Seq(), "g", "v").orderBy("run_id")
+      .select("group_val", "grp_count", "grp_sum", "grp_first", "grp_last")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(r.toSeq == Seq(("a", 2L, 3.0, 1.0, 2.0), ("b", 1L, 3.0, 3.0, 3.0), ("a", 2L, 9.0, 4.0, 5.0)))
+  }
+
+  test("grid aggregates bucket by position (cs_grid_*)") {
+    val df = Series.attachPos((1 to 10).map(i => (i, i.toDouble)).toDF("t", "v"), Seq(), Seq(col("t")))
+    val r = Aggs.gridAgg(df, Seq(), "v", 4).orderBy("grid")
+      .select("grid", "grid_count", "grid_sum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(r.toSeq == Seq((0L, 4L, 10.0), (1L, 4L, 26.0), (2L, 2L, 19.0)))
+  }
+
+  test("cumulative aggregates (cs_cum_*)") {
+    val df = Series.attachPos(Seq((1, 1.0), (2, 2.0), (3, 3.0)).toDF("t", "v"), Seq(), Seq(col("t")))
+    val r = Aggs.cumAgg(df, Seq(), "v").orderBy("pos").select("cum_sum", "cum_max").collect()
+    assert(r.map(_.getDouble(0)).toSeq == Seq(1.0, 3.0, 6.0))
+    assert(r.map(_.getDouble(1)).toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("histogram bins with out-of-range ignored (cs_histogram)") {
+    val df = Seq(-1.0, 0.0, 0.5, 1.0, 1.5, 2.0, 5.0).toDF("v")
+    val r = Aggs.histogram(df, "v", 0.0, 2.0, 2).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(r.toSeq == Seq((0L, 2L), (1L, 2L))) // [0,1): {0,0.5}; [1,2): {1,1.5}
+  }
+
+  test("hashDupCount counts values occurring >= minOcc per group") {
+    val df = Seq(("g1", 1), ("g1", 1), ("g1", 2), ("g2", 3), ("g2", 3), ("g2", 3)).toDF("g", "v")
+    val r = Aggs.hashDupCount(df, "v", Seq("g"), 2L).orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(r.toSeq == Seq(("g1", 1L), ("g2", 1L)))
+  }
+
+  test("topK with deterministic tiebreak") {
+    val df = Seq((1L, 5.0), (2L, 5.0), (3L, 1.0)).toDF("id", "v")
+    val r = Aggs.topK(df, "v", 2, desc = true, "id").select("id").as[Long].collect().toSeq
+    assert(r == Seq(1L, 2L))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.join.Align
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Alignment joins (reference sql/spec.sql; func.c:4308-4801). */
+class AlignSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val left = Seq(("k", 5L), ("k", 10L), ("k", 15L), ("k", 3L)).toDF("key", "ts")
+  val right = Seq(("k", 4L, "a"), ("k", 10L, "b"), ("k", 20L, "c")).toDF("key", "ts", "v")
+
+  test("asofJoin: latest right value with ts <= left ts, inclusive") {
+    val r = Align.asofJoin(left, right, Seq("key"), "ts", "v").orderBy("ts")
+      .select("ts", "asof_value").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-")))
+    assert(r.toSeq == Seq((3L, "-"), (5L, "a"), (10L, "b"), (15L, "b")))
+  }
+
+  test("asofJoin with no key partitions (global series)") {
+    val l = Seq(Tuple1(7L)).toDF("ts")
+    val r = Seq((5L, 1.5), (6L, 2.5)).toDF("ts", "v")
+    val out = Align.asofJoin(l, r, Seq(), "ts", "v").head()
+    assert(out.getDouble(out.fieldIndex("asof_value")) == 2.5)
+  }
+
+  test("stretch fills the before-any-right gap (cs_stretch)") {
+    val r = Align.stretch(left, right, Seq("key"), "ts", "v", lit("FILL")).orderBy("ts")
+      .select("stretch_value").as[String].collect().toSeq
+    assert(r == Seq("FILL", "a", "b", "b"))
+  }
+
+  test("stretch0 fills only exact-ts misses (cs_stretch0)") {
+    val r = Align.stretch0(left, right, Seq("key"), "ts", "v", lit("Z")).orderBy("ts")
+      .select("stretch_value").as[String].collect().toSeq
+    assert(r == Seq("Z", "Z", "b", "Z"))
+  }
+
+  test("equiJoin keeps exact ts matches only (cs_join)") {
+    val r = Align.equiJoin(left, right, Seq("key"), "ts", "v").select("ts", "join_value")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(r.toSeq == Seq((10L, "b")))
+  }
+
+  test("unionMerge keeps duplicates (cs_union)") {
+    val a = Seq(("k", 1L)).toDF("key", "ts")
+    val b = Seq(("k", 1L), ("k", 2L)).toDF("key", "ts")
+    assert(Align.unionMerge(a, b).count() == 3)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextOps
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline operators: dedup, text analysis, similarity,
+  * multimodal plumbing.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog again and again"),
+    (2L, "The quick brown fox jumps over the lazy dog again and again!"), // near-dup of 1 (punct)
+    (3L, "Completely different content about databases and columnar engines here"),
+    (4L, "the QUICK brown fox JUMPS over the lazy dog again and again")  // case variant of 1
+  ).toDF("doc_id", "text")
+
+  test("fingerprint is invariant to case/punctuation normalization") {
+    val fps = docs.select(TextOps.fingerprint(col("text"))).as[Long].collect()
+    assert(fps(0) == fps(1) && fps(0) == fps(3) && fps(0) != fps(2))
+  }
+
+  test("exactDedup keeps lowest id per normalized content") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("minhash LSH pairs find the near-duplicates") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram Jaccard is 1.0 for normalized-identical docs") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getFloat(2))).toMap
+    assert(j((1L, 2L)) == 1.0f && j((1L, 4L)) == 1.0f)
+  }
+
+  test("simhash: identical docs have hamming 0, different docs don't collide") {
+    val sh = docs.withColumn("th", Dedup.tokenHashes(col("text")))
+      .select(Dedup.simhash(col("th"))).as[Long].collect()
+    assert(sh(0) == sh(1) && sh(0) == sh(3))
+    assert(java.lang.Long.bitCount(sh(0) ^ sh(2)) > 8)
+  }
+
+  test("language ID picks the marker-heavy language") {
+    val df = Seq(
+      (1L, "the cat is on the roof and the dog is here"),
+      (2L, "der Hund ist gross und die Katze ist klein"),
+      (3L, "le chat est sur le toit et les oiseaux")
+    ).toDF("doc_id", "text")
+    val r = TextOps.langId(df, "text").orderBy("doc_id")
+      .select("lang_pred").as[String].collect().toSeq
+    assert(r == Seq("en", "de", "fr"))
+  }
+
+  test("token counts") {
+    val r = Seq(Tuple1("Hello, world! 42 times")).toDF("t")
+      .select(TextOps.tokenCountWs(col("t")), TextOps.tokenCountRegex(col("t")))
+      .head()
+    assert(r.getLong(0) == 4L)  // whitespace tokens
+    assert(r.getLong(1) == 6L)  // Hello , world ! 42 times
+  }
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0") {
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.topKCosine(df, "vec_id", "embedding", Seq(1.0f, 0.0f), 3)
+      .collect().map(r => (r.getLong(0), r.getFloat(1)))
+    assert(r(0)._2 == 1.0f && r(1)._2 == 1.0f) // ids 1 and 3
+    assert(r(2) == ((2L, 0.0f)))
+  }
+
+  test("ivfAssign picks the max-dot centroid") {
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((10, Seq(1.0, 0.0)), (20, Seq(0.0, 1.0)))
+    val r = Similarity.ivfAssign(df, "embedding", cents).orderBy("vec_id")
+      .select("centroid_id").as[Int].collect().toSeq
+    assert(r == Seq(10, 20))
+  }
+
+  test("ivfQuery probes only the nearest centroids and still finds the hit") {
+    val df = Seq((1L, Seq(1.0f, 0.1f)), (2L, Seq(0.1f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+    val indexed = Similarity.ivfAssign(df, "embedding", cents)
+    val hit = Similarity.ivfQuery(indexed, "vec_id", "embedding", cents, Seq(1.0f, 0.0f), 1, 1)
+    assert(hit.head().getLong(0) == 1L)
+  }
+
+  test("multimodal: metadata extraction and frame sampling over binary") {
+    val bin = docs.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("bytes"), lit("x").as("mime"))
+    val meta = Multimodal.extractMeta(bin, "media_id", "bytes")
+    val m = meta.filter(col("media_id") === 1).head()
+    val expectedLen = "The quick brown fox jumps over the lazy dog again and again".length.toLong
+    assert(m.getAs[Long]("n_bytes") == expectedLen)
+    assert(m.getAs[Int]("width") >= 64 && m.getAs[Int]("n_frames") >= 1)
+    val frames = Multimodal.sampleFrames(meta, 2)
+    assert(frames.count() > 0)
+  }
+}
