@@ -539,7 +539,8 @@ object SparkEntry {
          CAST(abs(-l_quantity) AS REAL) AS abs_v, CAST(sqrt(l_extendedprice) AS REAL) AS sqrt_v,
          CAST(ln(l_extendedprice) AS REAL) AS ln_v, CAST(exp(l_discount) AS REAL) AS exp_v,
          CAST(sin(l_quantity) AS REAL) AS sin_v,
-         floor(l_extendedprice) AS floor_v, ceil(l_extendedprice) AS ceil_v,
+         CAST(floor(l_extendedprice) AS BIGINT) AS floor_v,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_v,
          CAST(greatest(l_quantity, l_discount * 100) AS REAL) AS maxof,
          CAST(least(l_quantity, l_discount * 100) AS REAL) AS minof
          FROM lineitem WHERE l_orderkey < 100""",
@@ -592,8 +593,8 @@ object SparkEntry {
     "q_group_agg" ->
       s"""WITH d AS (SELECT event_type, pos, "value",
              CAST(("value" > 250) AS INT) AS dir FROM ($evPosSql)),
-         runs AS (SELECT *, sum(CASE WHEN prev IS NULL OR prev <> dir THEN 1 ELSE 0 END)
-             OVER (PARTITION BY event_type ORDER BY pos) AS run_id
+         runs AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR prev <> dir THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY pos) AS BIGINT) AS run_id
            FROM (SELECT *, lag(dir) OVER (PARTITION BY event_type ORDER BY pos) AS prev FROM d))
          SELECT event_type, run_id, CAST(first(dir ORDER BY pos) AS INT) AS group_val,
            count(*) AS grp_count, CAST(sum("value") AS REAL) AS grp_sum,

@@ -56,6 +56,15 @@ def main(sfdir, outdir, only=None):
         ec, er = canon(erows, ecols)
         if gc != ec:
             print(f"FAIL {name}: schema {gc} != {ec}"); n_fail += 1; continue
+        # Column dtypes must match exactly: the driver hashes values through
+        # their parquet/duckdb dtypes, so int64-vs-float64 (e.g. Spark BIGINT
+        # floor() vs DuckDB DOUBLE floor()) flips its hash even when values
+        # are numerically equal. Python's 5 == 5.0 would mask that here.
+        gtypes = [str(t) for _, t in sorted(zip(gcols, [d[1] for d in got.description]))]
+        etypes = [str(t) for _, t in sorted(zip(ecols, [d[1] for d in exp.description]))]
+        if gtypes != etypes:
+            print(f"FAIL {name}: dtypes {list(zip(gc, gtypes))} != {list(zip(ec, etypes))}")
+            n_fail += 1; continue
         if len(gr) != len(er):
             print(f"FAIL {name}: rows {len(gr)} != {len(er)}")
             print("  spark:", gr[:3], "\n  duck: ", er[:3])
