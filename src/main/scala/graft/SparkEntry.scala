@@ -377,10 +377,21 @@ object SparkEntry {
           Seq("event_type"), "value")
         .select(col("pos"), fl(col("cum_prd")).as("cum_prd"))),
     "q_approxdc" -> ((s, dir) =>
-      li(s, dir).agg(approx_count_distinct(col("l_partkey")).as("adc"))),
+      // HLL bounded-error contract: the oracle computes the exact distinct
+      // count; Spark asserts its HLL estimate lands within tolerance
+      // (default rsd 0.05; 0.15 = 3σ) and exposes the exact count to hash.
+      li(s, dir).agg(
+          count_distinct(col("l_partkey")).as("exact_dc"),
+          approx_count_distinct(col("l_partkey")).as("__adc"))
+        .select(col("exact_dc"),
+          (abs(col("__adc") - col("exact_dc")) / col("exact_dc") < 0.15).as("within_tol"))),
     "q_hash_approxdc" -> ((s, dir) =>
       li(s, dir).groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("adc"))),
+        .agg(
+          count_distinct(col("l_partkey")).as("exact_dc"),
+          approx_count_distinct(col("l_partkey")).as("__adc"))
+        .select(col("l_returnflag"), col("exact_dc"),
+          (abs(col("__adc") - col("exact_dc")) / col("exact_dc") < 0.15).as("within_tol"))),
     "q_rollup" -> ((s, dir) =>
       li(s, dir).rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), fl(sum(col("l_quantity"))).as("sq"))),
@@ -430,14 +441,17 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       TextOps.langId(docs(s, dir), "text").select(col("doc_id"), col("lang_pred"))),
     "q_fingerprint" -> ((s, dir) =>
-      // xxhash64 not oracle-expressible → rows-only check
-      docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+      // portable md5 fingerprint — DuckDB reproduces it bit-for-bit,
+      // verifying the whole normalization pipeline
+      docs(s, dir).select(col("doc_id"), TextOps.fingerprintPortable(col("text")).as("fp"))),
     "q_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text", 8, 0.2)),
     "q_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text")),
+      // banded LSH candidates + exact-Jaccard verify; equals the oracle's
+      // all-pairs answer because 8×2-band recall at j≥0.5 is ~1 (see Dedup)
+      Dedup.minhashLshPairsVerified(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text")),
     "q_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text")),
+      Dedup.simhashPairsVerified(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text")),
 
     // ---- training-data pipeline: embeddings ----
     "q_knn" -> ((s, dir) => {
@@ -828,22 +842,21 @@ object SparkEntry {
               + CASE WHEN np / nc <= 0.2 THEN 3 ELSE 0 END AS INT) AS quality_score
          FROM s""",
     "q_lang_id" -> langIdOracle,
-    "q_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id < 200),
-         sh AS (SELECT doc_id, list_distinct(list_filter(
-             [substr(norm, i, 8) FOR i IN range(1, greatest(len(norm) - 6, 2))],
-             x -> len(x) = 8)) AS s
-           FROM d),
-         sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
-         inv AS (SELECT doc_id, unnest(s) AS g FROM sh2),
-         cand AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS inter
-           FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
-           GROUP BY 1, 2),
-         sz AS (SELECT doc_id, len(s) AS ssz FROM sh2)
-         SELECT id1, id2,
-           CAST(CAST(inter AS DOUBLE) / (s1.ssz + s2.ssz - inter) AS REAL) AS jaccard
-         FROM cand JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-         WHERE CAST(inter AS DOUBLE) / (s1.ssz + s2.ssz - inter) >= 0.2""",
+    "q_jaccard" -> jaccardPairsOracle(8, 0.2, "doc_id < 200"),
+    "q_minhash_lsh" -> jaccardPairsOracle(5, 0.5, "doc_id < 200"),
+    "q_simhash" -> jaccardPairsOracle(7, 0.6, "doc_id < 200"),
+    "q_fingerprint" ->
+      s"SELECT doc_id, md5($normSql) AS fp FROM documents",
+    "q_approxdc" ->
+      "SELECT count(DISTINCT l_partkey) AS exact_dc, true AS within_tol FROM lineitem",
+    "q_hash_approxdc" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_dc, true AS within_tol
+         FROM lineitem GROUP BY 1""",
+    "q_media_frames" ->
+      """SELECT media_id, CAST(f AS INT) AS frame_idx FROM (
+           SELECT doc_id AS media_id,
+             unnest(range(0, 1 + octet_length(encode(text)) % 32, 2)) AS f
+           FROM documents WHERE doc_id < 50)""",
     "q_knn" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
          p AS (SELECT e.vec_id,
@@ -898,4 +911,26 @@ object SparkEntry {
   /** DuckDB expression mirroring TextOps.normalizedText. */
   private val normSql =
     """trim(regexp_replace(lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')), '\s+', ' ', 'g'))"""
+
+  /** Exact all-pairs n-gram Jaccard ≥ minJ over `documents` rows matching
+    * `filter` — the oracle for the near-dup pipelines (q_jaccard,
+    * q_minhash_lsh, q_simhash): LSH/SimHash candidates + exact verify must
+    * equal the exact answer when candidate recall at minJ is 1.
+    */
+  private def jaccardPairsOracle(len: Int, minJ: Double, filter: String): String =
+    s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents WHERE $filter),
+       sh AS (SELECT doc_id, list_distinct(list_filter(
+           [substr(norm, i, $len) FOR i IN range(1, greatest(len(norm) - ${len - 2}, 2))],
+           x -> len(x) = $len)) AS s
+         FROM d),
+       sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       inv AS (SELECT doc_id, unnest(s) AS g FROM sh2),
+       cand AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS inter
+         FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+         GROUP BY 1, 2),
+       sz AS (SELECT doc_id, len(s) AS ssz FROM sh2)
+       SELECT id1, id2,
+         CAST(CAST(inter AS DOUBLE) / (s1.ssz + s2.ssz - inter) AS REAL) AS jaccard
+       FROM cand JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+       WHERE CAST(inter AS DOUBLE) / (s1.ssz + s2.ssz - inter) >= $minJ"""
 }

@@ -64,20 +64,42 @@ object Dedup {
     array(sig: _*)
   }
 
-  /** MinHash + LSH candidate pairs: signature split into `bands` bands of
-    * `rowsPerBand` values; docs sharing any band land in the same bucket;
-    * pairs emitted once (id1 < id2). Verification (exact Jaccard) is the
-    * caller's choice — see `ngramJaccardPairs` for the verify step.
+  /** (id, sh) shingle-set frame shared by the near-dup paths. The norm
+    * column is materialized first per charShingles' performance contract.
     */
-  def minhashLshPairs(df: DataFrame, id: String, text: String,
-                      shingleLen: Int = 5, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val k = bands * rowsPerBand
-    val withSig = df
-      .withColumn("__norm", TextOps.normalizedText(col(text)))
+  def shingleSets(df: DataFrame, id: String, text: String, shingleLen: Int): DataFrame =
+    df.withColumn("__norm", TextOps.normalizedText(col(text)))
       .filter(length(col("__norm")) >= shingleLen) // = size(sh) > 0, but
       // checkable per row; a filter on sh would be pushed down with the
       // whole shingle expression inlined (per-element regex re-eval)
       .select(col(id), TextOps.charShingles(col("__norm"), shingleLen).as("sh"))
+
+  /** Exact Jaccard verification of candidate pairs: join the two shingle
+    * sets back and intersect. This is the scale-correct verify stage —
+    * work is |candidates|, not n², and the intersection is a codegen'd
+    * array op, not an exploded join.
+    */
+  def verifyJaccard(cand: DataFrame, sh: DataFrame, id: String,
+                    minJaccard: Double): DataFrame = {
+    val s1 = sh.select(col(id).as("id1"), col("sh").as("__sh1"))
+    val s2 = sh.select(col(id).as("id2"), col("sh").as("__sh2"))
+    cand.join(s1, "id1").join(s2, "id2")
+      .withColumn("__inter", size(array_intersect(col("__sh1"), col("__sh2"))).cast("long"))
+      .withColumn("jaccard", col("__inter") /
+        (size(col("__sh1")) + size(col("__sh2")) - col("__inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), col("jaccard").cast("float").as("jaccard"))
+  }
+
+  /** MinHash + LSH candidate pairs: signature split into `bands` bands of
+    * `rowsPerBand` values; docs sharing any band land in the same bucket;
+    * pairs emitted once (id1 < id2). Verification (exact Jaccard) is the
+    * caller's choice — see `minhashLshPairsVerified` for the full pipeline.
+    */
+  def minhashCandidates(sh: DataFrame, id: String,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = sh
       .withColumn("hs", minhashBase(col("sh")))
       .withColumn("sig", minhashSignature(col("hs"), k))
     val banded = withSig.select(
@@ -94,6 +116,26 @@ object Dedup {
           col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
       .distinct()
+  }
+
+  /** Candidate pairs only (unverified) — kept for pipelines that do their
+    * own verification pass.
+    */
+  def minhashLshPairs(df: DataFrame, id: String, text: String,
+                      shingleLen: Int = 5, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    minhashCandidates(shingleSets(df, id, text, shingleLen), id, bands, rowsPerBand)
+
+  /** The full MinHash-LSH near-dup pipeline: banded candidate generation
+    * followed by exact-Jaccard verification. With 8 bands × 2 rows the miss
+    * probability for a pair at Jaccard 0.9 is (1 − 0.9²)⁸ ≈ 2e-6, so at the
+    * verification threshold the output equals the exact all-pairs answer —
+    * which is what the DuckDB oracle computes (q_minhash_lsh).
+    */
+  def minhashLshPairsVerified(df: DataFrame, id: String, text: String,
+                              shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 2,
+                              minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingleSets(df, id, text, shingleLen)
+    verifyJaccard(minhashCandidates(sh, id, bands, rowsPerBand), sh, id, minJaccard)
   }
 
   /** Exact n-gram Jaccard over candidate (or all) pairs. For bounded
@@ -142,19 +184,43 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by the top `prefixBits` bits, verify
-    * with full Hamming distance <= maxDist within buckets.
+  /** SimHash near-dup pairs via multi-band bucketing: the 64-bit simhash is
+    * split into `bands` contiguous bands and a doc is bucketed once per
+    * band; candidates share any band. By pigeonhole, a pair with Hamming
+    * distance < bands is guaranteed to agree on at least one full band —
+    * with 8 bands of 8 bits, recall is exact for maxDist ≤ 7 (the
+    * single-prefix variant's recall hole is gone). Candidates are verified
+    * with the full Hamming distance.
     */
   def simhashPairs(df: DataFrame, id: String, text: String,
-                   prefixBits: Int = 16, maxDist: Int = 8): DataFrame = {
+                   bands: Int = 8, maxDist: Int = 7): DataFrame = {
+    val bandBits = 64 / bands
     val withSh = df.withColumn("__th", tokenHashes(col(text)))
       .select(col(id), simhash(col("__th")).as("sh64"))
-      .withColumn("bucket", shiftright(col("sh64"), 64 - prefixBits))
-    withSh.as("a").join(withSh.as("b"),
-        col("a.bucket") === col("b.bucket") && col(s"a.$id") < col(s"b.$id") &&
+    val banded = withSh.select(col(id), col("sh64"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sh64"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .select(col(id), col("sh64"), col("pos").as("band"), col("col").as("bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$id") < col(s"b.$id") &&
           hamming64(col("a.sh64"), col("b.sh64")) <= maxDist)
       .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"),
         hamming64(col("a.sh64"), col("b.sh64")).cast("long").as("hamming"))
+      .distinct()
+  }
+
+  /** SimHash near-dup pipeline with exact-Jaccard verification, analogous
+    * to minhashLshPairsVerified: simhash multi-band candidates (complete
+    * for Hamming ≤ bands−1), then char-shingle Jaccard ≥ minJaccard. The
+    * DuckDB oracle computes the same answer as an exact all-pairs Jaccard.
+    */
+  def simhashPairsVerified(df: DataFrame, id: String, text: String,
+                           shingleLen: Int = 7, bands: Int = 8, maxDist: Int = 7,
+                           minJaccard: Double = 0.6): DataFrame = {
+    val cand = simhashPairs(df, id, text, bands, maxDist).select(col("id1"), col("id2"))
+    verifyJaccard(cand, shingleSets(df, id, text, shingleLen), id, minJaccard)
   }
 
   /** Embedding cosine near-dup pairs above a similarity threshold.

@@ -25,16 +25,19 @@ object Multimodal {
   case class MediaMeta(media_id: Long, n_bytes: Long, width: Int, height: Int,
                        n_frames: Int, fingerprint: Long)
 
-  /** Deterministic fake decode: dimensions derived from a rolling hash of
-    * the payload. Replace with a real codec call in production (???).
+  /** Deterministic fake decode: dimensions/frame count derived from the
+    * payload length (so an external oracle can replay them from
+    * octet_length), fingerprint from an FNV-1a rolling hash of the bytes.
+    * Replace with a real codec call in production (???).
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Long) = {
     var h = 1469598103934665603L
     var i = 0
     while (i < bytes.length) { h = (h ^ bytes(i)) * 1099511628211L; i += 1 }
-    val w = 64 + math.floorMod(h, 1024).toInt
-    val ht = 64 + math.floorMod(h >>> 11, 1024).toInt
-    val fr = 1 + math.floorMod(h >>> 22, 32).toInt
+    val n = bytes.length.toLong
+    val w = 64 + (n % 1024).toInt
+    val ht = 64 + ((n * 31) % 1024).toInt
+    val fr = 1 + (n % 32).toInt
     (w, ht, fr, h)
   }
 

@@ -93,6 +93,13 @@ object TextOps {
 
   def fingerprint(text: Column): Column = xxhash64(normalizedText(text))
 
+  /** Cross-engine-checkable fingerprint: md5 hex of the normalized text.
+    * Same normalization pipeline as `fingerprint`; used where an external
+    * oracle (DuckDB md5) must reproduce the value bit-for-bit. The xxhash64
+    * variant stays the fast path (8-byte shuffle key vs 32-char string).
+    */
+  def fingerprintPortable(text: Column): Column = md5(normalizedText(text))
+
   /** Character shingles (n-grams) as a distinct set. Building block for
     * MinHash / Jaccard dedup.
     *
