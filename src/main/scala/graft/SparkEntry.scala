@@ -28,10 +28,23 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.read(s, dir, "embeddings")
 
-  /** events as a per-type series: pos = rank within event_type by (ts, event_id). */
+  /** events as a per-type series: pos = rank within event_type by
+    * (ts, event_id). event_type has ~5 distinct values, so the naive
+    * key-partitioned window would run 5 tasks; attachPosRanged keeps
+    * parallelism at the shuffle-partition count instead. The result is
+    * persisted once per (session, dir) — the Spark analog of the
+    * reference materializing positions at `TABLE_load` time
+    * (imcs.c:4177-4412) rather than per query.
+    */
+  private val seriesCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private def evSeries(s: SparkSession, dir: String): DataFrame =
-    Series.attachPos(Tables.read(s, dir, "events"),
-      Seq("event_type"), Seq(col("ts"), col("event_id")))
+    seriesCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val df = Series.attachPosRanged(Tables.read(s, dir, "events"),
+        Seq("event_type"), Seq(col("ts"), col("event_id")))
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    })
 
   /** SQL fragment mirroring evSeries's pos. */
   private val evPosSql =
@@ -214,31 +227,43 @@ object SparkEntry {
     "q_group_agg" -> ((s, dir) =>
       Aggs.groupAgg(
         evSeries(s, dir).withColumn("dir", (col("value") > 250).cast("int")),
-        Seq("event_type"), "dir", "value")
+        Seq("event_type"), "dir", "value", intVal = Some("user_id"))
         .select(col("event_type"), col("run_id"), col("group_val"),
           col("grp_count"), fl(col("grp_sum")).as("grp_sum"),
           fl(col("grp_min")).as("grp_min"), fl(col("grp_max")).as("grp_max"),
           fl(col("grp_avg")).as("grp_avg"),
-          fl(col("grp_first")).as("grp_first"), fl(col("grp_last")).as("grp_last"))),
+          fl(col("grp_var")).as("grp_var"), fl(col("grp_dev")).as("grp_dev"),
+          fl(col("grp_first")).as("grp_first"), fl(col("grp_last")).as("grp_last"),
+          col("grp_all"), col("grp_any"), col("grp_exact_dc"),
+          // per-run HLL bounded-error contract (cs_group_approxdc,
+          // func.c:4975-5074): oracle computes the exact count; the boolean
+          // asserts the estimate is within tolerance
+          (abs(col("grp_adc") - col("grp_exact_dc")) / col("grp_exact_dc") < 0.15)
+            .as("grp_adc_ok"))),
     "q_grid_agg" -> ((s, dir) =>
       Aggs.gridAgg(evSeries(s, dir), Seq("event_type"), "value", 100)
         .select(col("event_type"), col("grid"), col("grid_count"),
           fl(col("grid_sum")).as("grid_sum"), fl(col("grid_avg")).as("grid_avg"),
-          fl(col("grid_min")).as("grid_min"), fl(col("grid_max")).as("grid_max"))),
+          fl(col("grid_min")).as("grid_min"), fl(col("grid_max")).as("grid_max"),
+          fl(col("grid_var")).as("grid_var"), fl(col("grid_dev")).as("grid_dev"))),
     "q_cum_agg" -> ((s, dir) =>
       Aggs.cumAgg(evSeries(s, dir), Seq("event_type"), "value")
         .filter(col("pos") < 50)
         .select(col("event_type"), col("pos"),
           fl(col("cum_sum")).as("cum_sum"), fl(col("cum_avg")).as("cum_avg"),
           fl(col("cum_min")).as("cum_min"), fl(col("cum_max")).as("cum_max"),
-          col("cum_count"))),
+          col("cum_count"),
+          fl(col("cum_var")).as("cum_var"), fl(col("cum_dev")).as("cum_dev"))),
     "q_window_agg" -> ((s, dir) =>
       Moving.windowAgg(evSeries(s, dir), Seq("event_type"), "value", 10)
         .filter(col("pos") < 100)
         .select(col("event_type"), col("pos"),
           fl(col("w_sum")).as("w_sum"), fl(col("w_avg")).as("w_avg"),
           fl(col("w_min")).as("w_min"), fl(col("w_max")).as("w_max"),
-          fl(col("w_var")).as("w_var"))),
+          fl(col("w_var")).as("w_var"),
+          fl(col("w_avg_ref")).as("w_avg_ref"),
+          fl(col("w_var_ref")).as("w_var_ref"),
+          fl(col("w_dev_ref")).as("w_dev_ref"))),
 
     // ---- order analytics (§2.6, §2.8) ----
     "q_topk" -> ((s, dir) =>
@@ -327,10 +352,11 @@ object SparkEntry {
         .select(col("event_type"), posexplode(col("arr")))
         .select(col("event_type"), col("pos").as("idx"), fl(col("col.value")).as("value"))),
     "q_sort_pos" -> ((s, dir) =>
-      // cs_sort_pos: the sort permutation (func.c:3415-3494)
-      evSeries(s, dir).filter(col("event_type") === "error")
-        .withColumn("sort_pos", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("value"), col("pos"))).cast("long") - 1)
+      // cs_sort_pos: the sort permutation (func.c:3415-3494) — ranged
+      // numbering, no single-partition global Window.orderBy
+      Series.attachPosRanged(
+          evSeries(s, dir).filter(col("event_type") === "error"),
+          Seq(), Seq(col("value"), col("pos")), out = "sort_pos")
         .select(col("pos"), col("sort_pos"))),
     "q_bitwise" -> ((s, dir) =>
       Tables.read(s, dir, "events").filter(col("event_id") < 500)
@@ -365,7 +391,9 @@ object SparkEntry {
         .select(col("event_type"), col("pos"), col("run_id"),
           fl(col("wg_sum")).as("wg_sum"), fl(col("wg_min")).as("wg_min"),
           fl(col("wg_max")).as("wg_max"), fl(col("wg_avg")).as("wg_avg"),
-          col("wg_count"))),
+          col("wg_count"),
+          fl(col("wg_var")).as("wg_var"), fl(col("wg_dev")).as("wg_dev"),
+          fl(col("wg_first")).as("wg_first"), fl(col("wg_last")).as("wg_last"))),
     "q_ema" -> ((s, dir) =>
       Moving.ema(evSeries(s, dir).filter(col("pos") < 200), Seq("event_type"), "value", 10)
         .select(col("event_type"), col("pos"), fl(col("ema")).as("ema"))),
@@ -605,7 +633,7 @@ object SparkEntry {
       s"""SELECT event_type, pos, event_id, CAST("value" AS REAL) AS value
          FROM ($evPosSql) WHERE "value" > 480""",
     "q_group_agg" ->
-      s"""WITH d AS (SELECT event_type, pos, "value",
+      s"""WITH d AS (SELECT event_type, pos, "value", user_id,
              CAST(("value" > 250) AS INT) AS dir FROM ($evPosSql)),
          runs AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR prev <> dir THEN 1 ELSE 0 END)
              OVER (PARTITION BY event_type ORDER BY pos) AS BIGINT) AS run_id
@@ -614,20 +642,30 @@ object SparkEntry {
            count(*) AS grp_count, CAST(sum("value") AS REAL) AS grp_sum,
            CAST(min("value") AS REAL) AS grp_min, CAST(max("value") AS REAL) AS grp_max,
            CAST(avg("value") AS REAL) AS grp_avg,
+           CAST(var_pop("value") AS REAL) AS grp_var,
+           CAST(stddev_pop("value") AS REAL) AS grp_dev,
            CAST(first("value" ORDER BY pos) AS REAL) AS grp_first,
-           CAST(last("value" ORDER BY pos) AS REAL) AS grp_last
+           CAST(last("value" ORDER BY pos) AS REAL) AS grp_last,
+           CAST(bit_and(user_id) AS BIGINT) AS grp_all,
+           CAST(bit_or(user_id) AS BIGINT) AS grp_any,
+           count(DISTINCT user_id) AS grp_exact_dc,
+           true AS grp_adc_ok
          FROM runs GROUP BY event_type, run_id""",
     "q_grid_agg" ->
       s"""SELECT event_type, CAST(floor(pos / 100) AS BIGINT) AS grid,
          count(*) AS grid_count, CAST(sum("value") AS REAL) AS grid_sum,
          CAST(avg("value") AS REAL) AS grid_avg,
-         CAST(min("value") AS REAL) AS grid_min, CAST(max("value") AS REAL) AS grid_max
+         CAST(min("value") AS REAL) AS grid_min, CAST(max("value") AS REAL) AS grid_max,
+         CAST(var_pop("value") AS REAL) AS grid_var,
+         CAST(stddev_pop("value") AS REAL) AS grid_dev
          FROM ($evPosSql) GROUP BY 1, 2""",
     "q_cum_agg" ->
       s"""SELECT event_type, pos,
          CAST(sum("value") OVER w AS REAL) AS cum_sum, CAST(avg("value") OVER w AS REAL) AS cum_avg,
          CAST(min("value") OVER w AS REAL) AS cum_min, CAST(max("value") OVER w AS REAL) AS cum_max,
-         count(*) OVER w AS cum_count
+         count(*) OVER w AS cum_count,
+         CAST(var_pop("value") OVER w AS REAL) AS cum_var,
+         CAST(stddev_pop("value") OVER w AS REAL) AS cum_dev
          FROM ($evPosSql) WINDOW w AS (PARTITION BY event_type ORDER BY pos
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          QUALIFY pos < 50""",
@@ -635,7 +673,12 @@ object SparkEntry {
       s"""SELECT event_type, pos,
          CAST(sum("value") OVER w AS REAL) AS w_sum, CAST(avg("value") OVER w AS REAL) AS w_avg,
          CAST(min("value") OVER w AS REAL) AS w_min, CAST(max("value") OVER w AS REAL) AS w_max,
-         CAST(var_pop("value") OVER w AS REAL) AS w_var
+         CAST(var_pop("value") OVER w AS REAL) AS w_var,
+         CAST(sum("value") OVER w / 10.0 AS REAL) AS w_avg_ref,
+         CAST((sum("value" * "value") OVER w
+               - sum("value") OVER w * sum("value") OVER w / 10.0) / 10.0 AS REAL) AS w_var_ref,
+         CAST(sqrt(greatest((sum("value" * "value") OVER w
+               - sum("value") OVER w * sum("value") OVER w / 10.0) / 10.0, 0.0)) AS REAL) AS w_dev_ref
          FROM ($evPosSql) WINDOW w AS (PARTITION BY event_type ORDER BY pos
            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
          QUALIFY pos < 100""",
@@ -731,8 +774,14 @@ object SparkEntry {
            CAST(min("value") OVER wg AS REAL) AS wg_min,
            CAST(max("value") OVER wg AS REAL) AS wg_max,
            CAST(avg("value") OVER wg AS REAL) AS wg_avg,
-           count(*) OVER wg AS wg_count
-         FROM runs WINDOW wg AS (PARTITION BY event_type, run_id)
+           count(*) OVER wg AS wg_count,
+           CAST(var_pop("value") OVER wg AS REAL) AS wg_var,
+           CAST(stddev_pop("value") OVER wg AS REAL) AS wg_dev,
+           CAST(first_value("value") OVER wgo AS REAL) AS wg_first,
+           CAST(last_value("value") OVER wgo AS REAL) AS wg_last
+         FROM runs WINDOW wg AS (PARTITION BY event_type, run_id),
+           wgo AS (PARTITION BY event_type, run_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          QUALIFY pos < 100""",
     "q_ema" ->
       s"""WITH RECURSIVE d AS (SELECT event_type, pos, "value" FROM ($evPosSql) WHERE pos < 200),
@@ -880,7 +929,8 @@ object SparkEntry {
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
              FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings),
-         d AS (SELECT e.vec_id, c.cid, list_dot_product(ee, ce) AS score FROM e, c),
+         d AS (SELECT e.vec_id, c.cid,
+             2 * list_dot_product(ee, ce) - list_dot_product(ce, ce) AS score FROM e, c),
          a AS (SELECT vec_id, cid FROM d
            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) = 1)
          SELECT CAST(cid AS INT) AS centroid_id, count(*) AS n FROM a GROUP BY 1""",

@@ -95,24 +95,35 @@ object Aggs {
       .drop("__chg")
   }
 
-  /** Run-group aggregate — cs_group_count/max/min/sum/avg/first/last
-    * (func.c:1985-2092). Emits one row per run with the group value and the
-    * requested aggregates of `value`.
+  /** Run-group aggregate — cs_group_count/max/min/sum/avg/var/dev/first/
+    * last/any/all/approxdc (func.c:1985-2092, group_approxdc
+    * func.c:4975-5074). Emits one row per run with the group value and the
+    * aggregates of `value`; `intVal` feeds the bitwise any/all reductions
+    * and the per-run distinct estimate (both int-typed in the reference).
     */
-  def groupAgg(df: DataFrame, keys: Seq[String], groupVal: String, value: String): DataFrame = {
+  def groupAgg(df: DataFrame, keys: Seq[String], groupVal: String, value: String,
+               intVal: Option[String] = None): DataFrame = {
     val withRun = attachRunId(df, keys, groupVal)
     val grp = (keys :+ "run_id").map(col)
-    withRun
-      .groupBy(grp: _*)
-      .agg(
-        first(col(groupVal)).as("group_val"),
-        count(lit(1)).as("grp_count"),
-        sum(col(value)).as("grp_sum"),
-        min(col(value)).as("grp_min"),
-        max(col(value)).as("grp_max"),
-        avg(col(value)).as("grp_avg"),
-        min_by(col(value), col("pos")).as("grp_first"),
-        max_by(col(value), col("pos")).as("grp_last"))
+    val base = Seq(
+      first(col(groupVal)).as("group_val"),
+      count(lit(1)).as("grp_count"),
+      sum(col(value)).as("grp_sum"),
+      min(col(value)).as("grp_min"),
+      max(col(value)).as("grp_max"),
+      avg(col(value)).as("grp_avg"),
+      var_pop(col(value)).as("grp_var"),
+      stddev_pop(col(value)).as("grp_dev"),
+      min_by(col(value), col("pos")).as("grp_first"),
+      max_by(col(value), col("pos")).as("grp_last"))
+    val bitAggs = intVal.toSeq.flatMap { iv =>
+      Seq(
+        bit_and(col(iv)).as("grp_all"),
+        bit_or(col(iv)).as("grp_any"),
+        count_distinct(col(iv)).as("grp_exact_dc"),
+        approx_count_distinct(col(iv)).as("grp_adc"))
+    }
+    withRun.groupBy(grp: _*).agg(base.head, (base.tail ++ bitAggs): _*)
   }
 
   /** Windowed run-group aggregate — cs_win_group_* (func.c:6594-6790):
@@ -128,6 +139,10 @@ object Aggs {
       .withColumn("wg_max", max(col(value)).over(w))
       .withColumn("wg_avg", avg(col(value)).over(w))
       .withColumn("wg_count", count(lit(1)).over(w))
+      .withColumn("wg_var", var_pop(col(value)).over(w))
+      .withColumn("wg_dev", stddev_pop(col(value)).over(w))
+      .withColumn("wg_first", min_by(col(value), col("pos")).over(w))
+      .withColumn("wg_last", max_by(col(value), col("pos")).over(w))
   }
 
   /** Grid (tumbling count-based bucket) aggregate — cs_grid_max/min/avg/sum
@@ -141,7 +156,9 @@ object Aggs {
         sum(col(value)).as("grid_sum"),
         avg(col(value)).as("grid_avg"),
         min(col(value)).as("grid_min"),
-        max(col(value)).as("grid_max"))
+        max(col(value)).as("grid_max"),
+        var_pop(col(value)).as("grid_var"),
+        stddev_pop(col(value)).as("grid_dev"))
   }
 
   /** Cumulative aggregates — cs_cum_sum/avg/min/max/prd (func.c:1791-1887).
@@ -158,6 +175,8 @@ object Aggs {
       .withColumn("cum_min", min(col(value)).over(w))
       .withColumn("cum_max", max(col(value)).over(w))
       .withColumn("cum_count", count(lit(1)).over(w))
+      .withColumn("cum_var", var_pop(col(value)).over(w))
+      .withColumn("cum_dev", stddev_pop(col(value)).over(w))
   }
 
   /** Fixed-bin histogram — cs_histogram (func.c:4062-4133): counts of

@@ -1,0 +1,47 @@
+package graft.series
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** cs_if — the stateful branch-consume conditional (func.c:2559-2681).
+  *
+  * Unlike cs_iif (element-wise `when`), cs_if advances ONLY the chosen
+  * branch: for the i-th row where cond holds, the output is a[i] (the i-th
+  * element of series a, not the element at the row's own position); for the
+  * j-th row where it doesn't, b[j]. The reference implements this as an
+  * iterator state machine; set-oriented equivalent: the branch index is the
+  * 0-based rank of the row among rows with the same truth value, and the
+  * branch value is a positional gather (join on pos) with that index.
+  *
+  * Cost shape: one window (rank within (keys, cond) — a key-partitioned
+  * shuffle) plus two equi-joins on (keys, idx), each broadcastable when the
+  * branch series are small. No driver-side state, scales per key.
+  */
+object Conditional {
+
+  /** @param cond  frame with keys, `pos`, and boolean/int column `condCol`
+    * @param a     true-branch series: keys, `pos`, `valueCol`
+    * @param b     false-branch series: same shape
+    * @return cond frame + `out` column with the branch-consumed value
+    *         (null when the chosen branch is exhausted, matching the
+    *         reference's end-of-sequence).
+    */
+  def csIf(cond: DataFrame, keys: Seq[String], condCol: String,
+           a: DataFrame, b: DataFrame, valueCol: String,
+           out: String = "if_value"): DataFrame = {
+    val truth = col(condCol).cast("boolean")
+    val w = (if (keys.isEmpty) Window.partitionBy(truth)
+             else Window.partitionBy(keys.map(col) :+ truth: _*))
+      .orderBy(col("pos"))
+    val withIdx = cond.withColumn("__bi", row_number().over(w).cast("long") - 1L)
+    val cols = cond.columns.toSeq
+    def branch(src: DataFrame, rows: DataFrame): DataFrame =
+      rows.join(
+        src.select((keys.map(col) :+ col("pos").as("__bi")) :+ col(valueCol).as(out): _*),
+        keys :+ "__bi", "left")
+    branch(a, withIdx.filter(truth))
+      .unionByName(branch(b, withIdx.filter(!truth)))
+      .select((cols :+ out).map(col): _*)
+  }
+}

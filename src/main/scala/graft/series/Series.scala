@@ -1,8 +1,9 @@
 package graft.series
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Core series abstraction.
   *
@@ -17,21 +18,100 @@ import org.apache.spark.sql.functions._
   * Scale note: `row_number` over a key-partitioned window is a single
   * shuffle by key; each key's rows are numbered independently, so the plan
   * parallelizes across keys on a large cluster (no global sort, no driver
-  * bottleneck). For a *global* series (no key) Spark must sort globally —
-  * `attachPosGlobal` uses zipWithIndex-free SQL but requires one total
-  * ordering; keep global series for genuinely single-series data.
+  * bottleneck). For a *global* series (no key) or a keyed series with few
+  * distinct keys, `attachPosRanged` numbers within range partitions and
+  * adds per-partition offsets — parallelism stays at the partition count
+  * with no single-partition sort anywhere.
   */
 object Series {
 
   /** Attach `pos` (0-based) per key partition ordered by `order` columns.
     * Mirrors the implicit element order of a per-key timeseries like
     * "quote-close-IBM" (imcs--1.1.sql:361-369).
+    *
+    * Strategy by key cardinality: with keys present, a key-partitioned
+    * `row_number` window is one shuffle and parallelizes across keys —
+    * right when keys are many. With NO keys (a single global series) that
+    * window is a single-partition sort, so the keyless path delegates to
+    * `attachPosRanged`. For keyed series with FEW keys (where
+    * parallelism=#keys starves a cluster), call `attachPosRanged`
+    * directly.
     */
-  def attachPos(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val w =
-      if (keys.isEmpty) Window.orderBy(order: _*)
-      else Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("pos", row_number().over(w).cast("long") - 1L)
+  def attachPos(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    if (keys.isEmpty) attachPosRanged(df, Seq(), order)
+    else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      df.withColumn("pos", row_number().over(w).cast("long") - 1L)
+    }
+
+  /** Scalable per-key position numbering with NO single-partition stage:
+    * range-partition by (keys, order), sort within partitions, number rows
+    * locally per key, then add per-(partition, key) offsets from a small
+    * count aggregate (the classic zipWithIndex pattern, generalized to
+    * keys). Parallelism is the number of range partitions regardless of key
+    * cardinality — this is the ingest-time `pos` materialization SURVEY §7
+    * calls for (the reference numbers elements at load, imcs.c:4177-4412).
+    *
+    * The offset table has ≤ nPartitions + #boundary-spanning-keys entries
+    * (each key occupies contiguous range partitions), so the collect is
+    * bounded by partition count, not key count. `order` must be a total
+    * order (include a tiebreak) for pos to be deterministic.
+    */
+  def attachPosRanged(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                      out: String = "pos"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val all = keys.map(col) ++ order
+    val ranged = df.repartitionByRange(parts, all: _*).sortWithinPartitions(all: _*)
+    val keyIdx = keys.map(ranged.schema.fieldIndex)
+    // Capture the shuffled RDD ONCE: the counts job and the numbering job
+    // below share its shuffle output (the second job skips the map stage).
+    // Re-deriving the DataFrame per job would re-sample the range bounds
+    // (the RangePartitioner seed involves the fresh RDD id), assigning rows
+    // to DIFFERENT partitions in each job and corrupting the offsets.
+    val rdd = ranged.rdd
+    // Per-(partition, key) run lengths — keys are contiguous within each
+    // sorted partition, so this is a streaming scan with O(runs) memory and
+    // ≤ parts + #boundary-spanning-keys output rows (bounded by partition
+    // count, not key count).
+    val counts: Array[(Int, Seq[Any], Long)] = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Any], Long)]
+      var cur: Seq[Any] = null
+      var n = 0L
+      var any = false
+      it.foreach { r =>
+        val k = keyIdx.map(r.get)
+        if (!any || k != cur) {
+          if (any) buf += ((pid, cur, n))
+          cur = k; n = 1L; any = true
+        } else n += 1L
+      }
+      if (any) buf += ((pid, cur, n))
+      buf.iterator
+    }.collect()
+    val offsets: Map[(Int, Seq[Any]), Long] = counts.groupBy(_._2).iterator.flatMap {
+      case (k, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, n) =>
+          val e = (pid, k) -> acc
+          acc += n
+          e
+        }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Seq[Any] = null
+      var i = 0L
+      var off = 0L
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        if (cur == null || k != cur) { cur = k; i = 0L; off = bc.value((pid, k)) }
+        else i += 1L
+        Row.fromSeq(r.toSeq :+ (off + i))
+      }
+    }
+    spark.createDataFrame(outRdd,
+      StructType(ranged.schema.fields :+ StructField(out, LongType, nullable = false)))
   }
 
   /** Positional slice [from, till] inclusive; negative index counts from the

@@ -53,17 +53,27 @@ object Similarity {
       .select(col("query_id"), col(id).as("neighbor_id"), col("cosine").cast("float").as("cosine"))
   }
 
-  /** IVF index: assign each vector to the nearest of `centroids`
+  /** IVF index: assign each vector to the nearest (min L2) of `centroids`
     * (broadcast). Returns df + `centroid_id`. Writing the result
     * partitioned by centroid_id gives the probe-time pruning.
+    *
+    * Score is 2·v·c − |c|² = argmax-equivalent of −‖v−c‖² (the row's |v|²
+    * is constant across centroids), correct for unnormalized embeddings
+    * where max-dot-product is not.
     */
   def ivfAssign(df: DataFrame, vec: String, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
-    val scored = centroids.map { case (cid, c) =>
-      val cc = array(c.map(lit): _*)
-      struct(dot(col(vec).cast("array<double>"), cc)
-        .as("score"), lit(cid).as("cid"))
+    require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
+    if (centroids.size == 1)
+      df.withColumn("centroid_id", lit(centroids.head._1))
+    else {
+      val scored = centroids.map { case (cid, c) =>
+        val cc = array(c.map(lit): _*)
+        val cNormSq = c.map(x => x * x).sum
+        struct((dot(col(vec).cast("array<double>"), cc) * 2.0 - cNormSq)
+          .as("score"), lit(cid).as("cid"))
+      }
+      df.withColumn("centroid_id", greatest(scored: _*).getField("cid"))
     }
-    df.withColumn("centroid_id", greatest(scored: _*).getField("cid"))
   }
 
   /** ANN query via IVF: scan only the `nProbe` centroids closest to the

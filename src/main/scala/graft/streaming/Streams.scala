@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming variants of the batch operators (SURVEY.md §2.9).
+  *
+  * The reference has no streaming engine; its streaming story is append-only
+  * ingestion in timestamp order via insert triggers (imcs.c:4617-4740) plus
+  * length-preserving incremental operators. The Spark-native equivalent is
+  * Structured Streaming: the SAME aggregation expressions as the batch path
+  * run under `readStream`, with a watermark bounding state. Batch operators
+  * stay the single source of semantics — the specs assert stream == batch
+  * on the same input (Trigger.AvailableNow = "process everything now").
+  *
+  * At 100 TB/day this topology is the ingest pipeline: file-source streaming
+  * reads land batches incrementally, the tumbling aggregation maintains one
+  * row of state per (key, window) bounded by the watermark, and the sink is
+  * an append of finalized windows.
+  */
+object Streams {
+
+  /** Tumbling event-time aggregation over a parquet directory as a stream —
+    * the streaming twin of SparkEntry's q_tumbling (grid agg over time).
+    * `ts` is int64 epoch nanoseconds (TESTDATA events encoding).
+    *
+    * Returns the streaming DataFrame; run with [[runAvailableNow]].
+    */
+  def tumblingAgg(spark: SparkSession, path: String, schema: StructType,
+                  bucketSeconds: Long = 3600): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(schema).parquet(path)
+      // int64 ns → timestamp (µs precision is exact for our generator)
+      .withColumn("ets", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(col("event_type"), window(col("ets"), s"$bucketSeconds seconds"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("event_type"),
+        col("window.start").as("bucket_start"),
+        col("n"), col("sv"))
+  }
+
+  /** Drain a streaming aggregation with Trigger.AvailableNow into an
+    * in-memory table and return it as a batch DataFrame. Complete mode so
+    * the final (still-open) windows are emitted too — the batch comparison
+    * covers the whole input, not only watermark-closed windows.
+    */
+  def runAvailableNow(df: DataFrame, queryName: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(queryName)
+  }
+
+  /** Stateful streaming EMA via flatMapGroupsWithState — the streaming form
+    * of Moving.ema (cs_window_ema, func.c:1764-1777). State per key is a
+    * single double (the last EMA), so state size is O(#keys) regardless of
+    * stream length — the mapGroupsWithState analog of the reference's
+    * insert-trigger incremental update.
+    *
+    * Within one micro-batch the group's rows are sorted by (ts, tiebreak)
+    * before folding; across batches the watermark-ordered file source
+    * delivers batches in append order, matching the reference's requirement
+    * that appends arrive in timestamp order (user_guide.html "When data is
+    * loaded...").
+    */
+  def emaStream(events: Dataset[Row], key: String, ts: String, tiebreak: String,
+                value: String, n: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    val p = 2.0 / (n + 1)
+    val kIdx = events.schema.fieldIndex(key)
+    val tIdx = events.schema.fieldIndex(ts)
+    val bIdx = events.schema.fieldIndex(tiebreak)
+    val vIdx = events.schema.fieldIndex(value)
+    events
+      .groupByKey(r => r.getAs[String](kIdx))
+      .flatMapGroupsWithState[Double, (String, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[Row], state: GroupState[Double]) =>
+          val sorted = rows.toSeq.sortBy(r =>
+            (r.getAs[Number](tIdx).longValue(), r.getAs[Number](bIdx).longValue()))
+          var prev = state.getOption.getOrElse(Double.NaN)
+          val out = sorted.map { r =>
+            val x = r.getAs[Number](vIdx).doubleValue()
+            prev = if (prev.isNaN) x else x * p + prev * (1 - p)
+            (k, r.getAs[Number](tIdx).longValue(),
+              r.getAs[Number](bIdx).longValue(), prev)
+          }
+          if (!prev.isNaN) state.update(prev)
+          out.iterator
+      }
+      .toDF(key, ts, tiebreak, "ema")
+  }
+}

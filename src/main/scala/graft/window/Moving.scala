@@ -32,15 +32,30 @@ object Moving {
       .orderBy(col("pos"))
       .rowsBetween(-(n - 1), Window.currentRow)
 
-  /** cs_window_sum/avg/min/max/var/dev (func.c:1632-1761). */
+  /** cs_window_sum/avg/min/max/var/dev (func.c:1632-1761).
+    *
+    * Warm-up semantics: sum/min/max over the partial first N-1 frames match
+    * the reference exactly. For avg/var/dev the reference divides by the
+    * FIXED interval N even during warm-up (func.c:1674-1690 uses
+    * ctx->interval, not the element count), so `w_avg`/`w_var`/`w_dev` here
+    * (SQL semantics — divide by actual count) deliberately diverge on the
+    * first N-1 rows; `w_avg_ref`/`w_var_ref`/`w_dev_ref` reproduce the
+    * reference's fixed-N divisor: avg = Σx/N, var = (Σx² − (Σx)²/N)/N
+    * (the naive one-pass formula, func.c:1745-1761).
+    */
   def windowAgg(df: DataFrame, keys: Seq[String], value: String, n: Int): DataFrame = {
     val w = frame(keys, n)
-    df.withColumn("w_sum", sum(col(value)).over(w))
-      .withColumn("w_avg", avg(col(value)).over(w))
-      .withColumn("w_min", min(col(value)).over(w))
-      .withColumn("w_max", max(col(value)).over(w))
-      .withColumn("w_var", var_pop(col(value)).over(w))
-      .withColumn("w_dev", stddev_pop(col(value)).over(w))
+    val v = col(value)
+    val refVar = (sum(v * v).over(w) - sum(v).over(w) * sum(v).over(w) / n) / n
+    df.withColumn("w_sum", sum(v).over(w))
+      .withColumn("w_avg", avg(v).over(w))
+      .withColumn("w_min", min(v).over(w))
+      .withColumn("w_max", max(v).over(w))
+      .withColumn("w_var", var_pop(v).over(w))
+      .withColumn("w_dev", stddev_pop(v).over(w))
+      .withColumn("w_avg_ref", sum(v).over(w) / n)
+      .withColumn("w_var_ref", refVar)
+      .withColumn("w_dev_ref", sqrt(greatest(refVar, lit(0.0))))
   }
 
   /** Run `f` over each key's rows in pos order, producing one double per

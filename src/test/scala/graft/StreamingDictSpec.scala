@@ -1,0 +1,85 @@
+package graft
+
+import graft.series.{Conditional, Series}
+import graft.streaming.Streams
+import graft.text.Dict
+import graft.window.Moving
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming/batch agreement, dictionary codes, cs_if, ranged pos. */
+class StreamingDictSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling agg equals the batch answer (Trigger.AvailableNow)") {
+    // The file streaming source needs a DIRECTORY; testdata ships one file.
+    val dir = java.nio.file.Files.createTempDirectory("stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = graft.io.Tables.read(spark, sfDir, "events").schema
+    val stream = Streams.tumblingAgg(spark, dir.toString, schema)
+    val got = Streams.runAvailableNow(stream, "t_tumbling")
+      .select(col("event_type"), col("bucket_start"), col("n"), col("sv"))
+    val batch = graft.io.Tables.read(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        timestamp_micros((col("ts") / 1000L).cast("long") -
+          pmod(col("ts") / 1000L, lit(3600000000L)).cast("long")).as("bucket_start"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
+  test("streaming EMA (flatMapGroupsWithState) equals batch Moving.ema") {
+    val ev = graft.io.Tables.read(spark, sfDir, "events")
+      .filter(col("event_id") < 200)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+    val got = Streams.emaStream(ev, "event_type", "ts", "event_id", "value", 10)
+      .select(col("event_type"), col("ts"), col("ema"))
+    val batch = Moving.ema(
+      Series.attachPos(ev, Seq("event_type"), Seq(col("ts"), col("event_id"))),
+      Seq("event_type"), "value", 10)
+      .select(col("event_type"), col("ts"), col("ema"))
+    val diff = got.as("a").join(batch.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.ts") === col("b.ts"))
+      .filter(abs(col("a.ema") - col("b.ema")) > 1e-9)
+    assert(got.count() == batch.count())
+    assert(diff.isEmpty)
+  }
+
+  test("dict codes are dense sorted ranks; str2code/code2str round-trip") {
+    val df = Seq("cherry", "apple", "banana", "apple", "cherry").toDF("s")
+    val dict = Dict.build(df, "s")
+    val codes = dict.orderBy("code").as[(Long, String)].collect().toSeq
+    assert(codes == Seq((0L, "apple"), (1L, "banana"), (2L, "cherry")))
+    val coded = Dict.str2code(df, dict, "s")
+    assert(coded.filter(col("s") === "banana").select("code").as[Long].head() == 1L)
+    val back = Dict.code2str(coded.select(col("code")), dict, "code", "s2")
+    assert(back.filter(col("code") === 2L).select("s2").as[String].head() == "cherry")
+  }
+
+  test("csIf consumes only the chosen branch (func.c:2559-2681)") {
+    // cond: T F T T F  → a-index 0,_,1,2,_ ; b-index _,0,_,_,1
+    val cond = Seq((0L, 1), (1L, 0), (2L, 1), (3L, 1), (4L, 0))
+      .toDF("pos", "c")
+    val a = Seq((0L, 10.0), (1L, 11.0), (2L, 12.0), (3L, 13.0)).toDF("pos", "v")
+    val b = Seq((0L, 90.0), (1L, 91.0)).toDF("pos", "v")
+    val out = Conditional.csIf(cond, Seq(), "c", a, b, "v")
+      .orderBy("pos").select("if_value").as[Double].collect().toSeq
+    assert(out == Seq(10.0, 90.0, 11.0, 12.0, 91.0))
+  }
+
+  test("attachPosRanged matches windowed numbering on keyed data") {
+    val ev = graft.io.Tables.read(spark, sfDir, "events")
+    val ranged = Series.attachPosRanged(ev, Seq("event_type"),
+      Seq(col("ts"), col("event_id")))
+    val windowed = Series.attachPos(ev, Seq("event_type"),
+      Seq(col("ts"), col("event_id")))
+    val a = ranged.select("event_type", "event_id", "pos")
+    val b = windowed.select("event_type", "event_id", "pos")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
