@@ -5,9 +5,9 @@ import graft.analytics.Analytics
 import graft.dedup.Dedup
 import graft.io.Tables
 import graft.join.Align
-import graft.series.Series
+import graft.series.{Conditional, Series}
 import graft.sim.Similarity
-import graft.text.TextOps
+import graft.text.{Dict, TextOps}
 import graft.window.Moving
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -437,6 +437,85 @@ object SparkEntry {
         .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour_bucket"))
         .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))),
 
+    // ---- lifecycle (§2.1: TABLE_load/append/delete/truncate) ----
+    "q_lifecycle" -> ((s, dir) => {
+      // load(evens) → append(odds with ts >= T) → deleteRange([D1,D2]) →
+      // truncate a scratch copy; the readback aggregate is what the oracle
+      // reproduces from the source table (imcs--1.1.sql:188-217 semantics).
+      val ev = Tables.read(s, dir, "events")
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lifecycle_$tag"
+      Tables.load(ev.filter(col("event_id") % 2 === 0), path, Seq("event_type"), "ts")
+      Tables.append(ev.filter(col("event_id") % 2 === 1), path, "ts",
+        lit(1704500000000000000L))
+      Tables.deleteRange(s, path, "ts",
+        lit(1704672000000000000L), lit(1704758400000000000L))
+      val scratch = path + "_scratch"
+      Tables.load(ev.limit(10), scratch, Seq(), "ts")
+      Tables.truncate(s, scratch)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val truncated = !fs.exists(new org.apache.hadoop.fs.Path(scratch))
+      s.read.parquet(path).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))
+        .withColumn("truncated", lit(truncated))
+    }),
+
+    // ---- top-k positions / directional join / stretch / first-pos ----
+    "q_top_pos" -> ((s, dir) => {
+      // cs_top_max_pos / cs_top_min_pos (func.c:3088-3208)
+      val se = evSeries(s, dir).filter(col("event_type") === "error")
+      Aggs.topKPos(se, "value", 10, desc = true).withColumn("which", lit("max"))
+        .unionByName(
+          Aggs.topKPos(se, "value", 10, desc = false).withColumn("which", lit("min")))
+    }),
+    "q_join_dir" -> ((s, dir) => {
+      // TABLE_join direction=+1: earliest right ts >= left ts
+      // (func.c:6494-6548)
+      val ev = Tables.read(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val r = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      Align.asofJoinDir(l, r, Seq("user_id"), "ts", "value", "next_value", direction = 1)
+        .select(col("user_id"), col("event_id"),
+          fl(col("value")).as("value"), fl(col("next_value")).as("next_value"))
+    }),
+    "q_stretch" -> ((s, dir) => {
+      // cs_stretch (func.c:4308-4392): as-of align with filler
+      val ev = Tables.read(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val r = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      Align.stretch(l, r, Seq("user_id"), "ts", "value", lit(-1.0), "stretched")
+        .select(col("user_id"), col("event_id"), fl(col("stretched")).as("stretched"))
+    }),
+    "q_filter_first_pos" -> ((s, dir) =>
+      // cs_filter_first_pos (func.c:2931-2980)
+      Series.filterFirstPos(
+        evSeries(s, dir).filter(col("event_type") === "error"),
+        col("value") > 250, 20)),
+
+    // ---- dictionary + stateful conditional ----
+    "q_dict" -> ((s, dir) => {
+      // cs_str2code/cs_code2str (imcs.c:5769-5812): sorted-rank codes
+      val o = ord(s, dir)
+      val dict = Dict.build(o, "o_orderpriority")
+      Dict.str2code(o, dict, "o_orderpriority")
+        .groupBy(col("code"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q_if" -> ((s, dir) => {
+      // cs_if branch-consume conditional (func.c:2559-2681)
+      val se = evSeries(s, dir)
+      val cond = se.filter(col("event_type") === "error")
+        .select(col("pos"), (col("value") > 250).as("c"))
+      val a = se.filter(col("event_type") === "purchase").select(col("pos"), col("value"))
+      val b = se.filter(col("event_type") === "signup").select(col("pos"), col("value"))
+      Conditional.csIf(cond, Seq(), "c", a, b, "value")
+        .select(col("pos"), col("c"), fl(col("if_value")).as("if_value"))
+    }),
+
     // ---- order analytics (§2.8) ----
     "q_trend" -> ((s, dir) =>
       Analytics.trend(evSeries(s, dir).filter(col("pos") < 100), Seq("event_type"), "value")
@@ -823,6 +902,50 @@ object SparkEntry {
       """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
          count(*) AS n, CAST(sum("value") AS REAL) AS sv
          FROM events GROUP BY 1, 2""",
+    "q_lifecycle" ->
+      """SELECT event_type, count(*) AS n, CAST(sum("value") AS REAL) AS sv,
+         true AS truncated
+         FROM events
+         WHERE (event_id % 2 = 0 OR epoch_ns(ts) >= 1704500000000000000)
+           AND NOT (epoch_ns(ts) >= 1704672000000000000
+                    AND epoch_ns(ts) <= 1704758400000000000)
+         GROUP BY event_type""",
+    "q_top_pos" ->
+      s"""WITH se AS (SELECT pos, "value" FROM ($evPosSql) WHERE event_type = 'error')
+         SELECT * FROM (SELECT pos, 'max' AS which FROM se ORDER BY "value" DESC, pos LIMIT 10)
+         UNION ALL
+         SELECT * FROM (SELECT pos, 'min' AS which FROM se ORDER BY "value" ASC, pos LIMIT 10)""",
+    "q_join_dir" ->
+      """SELECT l.user_id, l.event_id, CAST(l."value" AS REAL) AS value,
+         CAST(r."value" AS REAL) AS next_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+         ON l.user_id = r.user_id AND l.ts <= r.ts""",
+    "q_stretch" ->
+      """SELECT l.user_id, l.event_id,
+         CAST(coalesce(r."value", -1.0) AS REAL) AS stretched
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q_filter_first_pos" ->
+      s"""SELECT pos FROM ($evPosSql)
+         WHERE event_type = 'error' AND "value" > 250 ORDER BY pos LIMIT 20""",
+    "q_dict" ->
+      """WITH dict AS (SELECT v, dense_rank() OVER (ORDER BY v) - 1 AS code
+           FROM (SELECT DISTINCT o_orderpriority AS v FROM orders))
+         SELECT d.code, o.o_orderpriority, count(*) AS n
+         FROM orders o JOIN dict d ON o.o_orderpriority = d.v
+         GROUP BY 1, 2""",
+    "q_if" ->
+      s"""WITH ep AS ($evPosSql),
+         c AS (SELECT pos, ("value" > 250) AS c FROM ep WHERE event_type = 'error'),
+         ci AS (SELECT pos, c, row_number() OVER (PARTITION BY c ORDER BY pos) - 1 AS bi FROM c),
+         a AS (SELECT pos, "value" FROM ep WHERE event_type = 'purchase'),
+         b AS (SELECT pos, "value" FROM ep WHERE event_type = 'signup')
+         SELECT ci.pos, ci.c,
+           CAST(CASE WHEN ci.c THEN a."value" ELSE b."value" END AS REAL) AS if_value
+         FROM ci LEFT JOIN a ON ci.c AND a.pos = ci.bi
+                 LEFT JOIN b ON (NOT ci.c) AND b.pos = ci.bi""",
     "q_trend" ->
       s"""WITH se AS (SELECT * FROM ($evPosSql) WHERE pos < 100),
          d AS (SELECT event_type, pos,

@@ -202,4 +202,11 @@ object Aggs {
       else Seq(col(value).asc, col(tiebreak).asc)
     df.orderBy(ord: _*).limit(k)
   }
+
+  /** Top-k positions — cs_top_max_pos/min_pos (func.c:3088-3208): the
+    * `pos` values of the k largest/smallest elements. Same
+    * TakeOrderedAndProject plan as topK, projecting pos.
+    */
+  def topKPos(df: DataFrame, value: String, k: Int, desc: Boolean): DataFrame =
+    topK(df, value, k, desc, "pos").select(col("pos"))
 }

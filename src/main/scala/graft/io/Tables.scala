@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table lifecycle over Parquet — the Spark equivalents of the reference's
@@ -34,19 +34,22 @@ object Tables {
     df.sortWithinPartitions((keys :+ ts).map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
-  /** TABLE_append: rows with ts >= from appended (imcs--1.1.sql:211-217). */
-  def append(df: DataFrame, path: String, ts: String, from: java.sql.Timestamp): Unit =
-    df.filter(col(ts) >= lit(from)).write.mode(SaveMode.Append).parquet(path)
+  /** TABLE_append: rows with ts >= from appended (imcs--1.1.sql:211-217).
+    * `from` is a Column bound so it works for both Timestamp and int64-ns
+    * encodings of the timestamp column.
+    */
+  def append(df: DataFrame, path: String, ts: String, from: Column): Unit =
+    df.filter(col(ts) >= from).write.mode(SaveMode.Append).parquet(path)
 
-  /** TABLE_delete(from, till): range delete by timestamp
+  /** TABLE_delete(from, till): inclusive range delete by timestamp
     * (btree.c:747-899) — rewrite excluding the range. On a real deployment
     * this is a Delta/Iceberg DELETE; over plain Parquet it is
     * read-filter-overwrite.
     */
   def deleteRange(spark: SparkSession, path: String, ts: String,
-                  from: java.sql.Timestamp, till: java.sql.Timestamp): Unit = {
+                  from: Column, till: Column): Unit = {
     val remaining = spark.read.parquet(path)
-      .filter(!(col(ts) >= lit(from) && col(ts) <= lit(till)))
+      .filter(!(col(ts) >= from && col(ts) <= till))
       .cache()
     remaining.count() // materialize before overwriting the source
     remaining.write.mode(SaveMode.Overwrite).parquet(path + "__tmp")

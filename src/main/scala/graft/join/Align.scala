@@ -26,7 +26,20 @@ object Align {
     * @param ts    ordering/timestamp column name present on both sides
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
-               valueCol: String, outCol: String = "asof_value"): DataFrame = {
+               valueCol: String, outCol: String = "asof_value"): DataFrame =
+    asofJoinDir(left, right, keys, ts, valueCol, outCol, direction = -1)
+
+  /** Directional as-of — the TABLE_join direction parameter
+    * (func.c:6494-6548, imcs--1.1.sql:334-347): direction −1 matches the
+    * latest right ts <= left ts ("preceding", the classic as-of); +1 matches
+    * the EARLIEST right ts >= left ts ("succeeding"), implemented as the
+    * mirror image: same union trick scanned in descending ts order. Both
+    * are one shuffle on the key + a streaming window pass.
+    */
+  def asofJoinDir(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+                  valueCol: String, outCol: String = "asof_value",
+                  direction: Int = -1): DataFrame = {
+    require(direction == -1 || direction == 1, "direction must be -1 or +1")
     val leftCols = left.columns.toSeq
     val lTagged = left
       .withColumn("__side", lit(1))
@@ -37,12 +50,13 @@ object Align {
     val common = (keys :+ ts) ++ Seq("__side", "__rv")
     val unioned = lTagged.select((common ++ leftCols.diff(common)).map(col): _*)
       .unionByName(rTagged, allowMissingColumns = true)
-    // Right rows (__side=0) sort before left rows at equal ts, so an exact
-    // timestamp match is visible to the left row — matches the reference's
-    // "last ts2 <= t" inclusive semantics.
+    // Right rows (__side=0) sort before left rows at equal ts in scan
+    // order, so an exact timestamp match is visible to the left row —
+    // matches the reference's inclusive boundary in both directions.
+    val tsOrd = if (direction == -1) col(ts).asc else col(ts).desc
     val w =
       (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))
-        .orderBy(col(ts).asc, col("__side").asc)
+        .orderBy(tsOrd, col("__side").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn(outCol, last(col("__rv"), ignoreNulls = true).over(w))
