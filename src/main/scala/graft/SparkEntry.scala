@@ -571,6 +571,36 @@ object SparkEntry {
         emb(s, dir).filter(col("vec_id") < 300)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
         "vec_id", "embedding", 0.3)),
+    "q_cos_lsh" -> ((s, dir) => {
+      // scale path: multi-table RHP-LSH candidates + exact verify, asserted
+      // against the exact all-pairs answer as a measured recall floor
+      // (precision is 1 by construction; T=32 tables × 4 bits gives ~0.90
+      // recall at cos ≥ 0.3 on this data — floor set at 0.85)
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val exact = Dedup.cosinePairs(e, "vec_id", "embedding", 0.3)
+      val lsh = Dedup.cosinePairsBucketed(e, "vec_id", "embedding", 64, 0.3)
+      exact.join(lsh.select(col("id1"), col("id2"), lit(1).as("__f")),
+          Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("__f"), lit(0))) / count(lit(1)) >= 0.85).as("recall_ok"))
+    }),
+    "q_ivf_query" -> ((s, dir) => {
+      // trained IVF (deterministic k-means) probing 5 of 8 partitions;
+      // brute-force top-10 is the oracle-checked base, ivf_found asserts
+      // the probe set covered every true neighbor (measured recall 1.0 at
+      // nProbe=4 on this data; 5 adds margin)
+      val e = emb(s, dir)
+      val cents = Similarity.kmeansTrain(e, "vec_id", "embedding", 8, 3)
+      val indexed = Similarity.ivfAssign(
+        e.select(col("vec_id"), col("embedding")), "embedding", cents)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      val ivf = Similarity.ivfQuery(indexed, "vec_id", "embedding", cents, qv, 10, 5)
+        .select(col("vec_id").as("__ivf_id"))
+      Similarity.topKCosine(e, "vec_id", "embedding", qv, 10)
+        .join(ivf, col("vec_id") === col("__ivf_id"), "left")
+        .select(col("vec_id"), col("cosine"), col("__ivf_id").isNotNull.as("ivf_found"))
+    }),
     "q_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val cents = e.filter(col("vec_id").isin(1, 2, 3, 4))
@@ -1048,6 +1078,23 @@ object SparkEntry {
              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosd
            FROM p GROUP BY id1, id2)
          SELECT id1, id2, CAST(cosd AS REAL) AS cosine FROM c WHERE cosd >= 0.3""",
+    "q_cos_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT count(*) AS n_exact, true AS recall_ok FROM p WHERE c >= 0.3""",
+    "q_ivf_query" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         p AS (SELECT e.vec_id,
+             unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(q.qe) AS y
+           FROM embeddings e, q),
+         c AS (SELECT vec_id,
+             CAST(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS REAL) AS cosine
+           FROM p GROUP BY vec_id)
+         SELECT vec_id, cosine, true AS ivf_found FROM c
+         ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
     "q_ivf" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
              FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),

@@ -138,29 +138,30 @@ object Dedup {
     verifyJaccard(minhashCandidates(sh, id, bands, rowsPerBand), sh, id, minJaccard)
   }
 
-  /** Exact n-gram Jaccard over candidate (or all) pairs. For bounded
-    * corpora or as the verify stage after LSH: join docs to pairs, compute
-    * |A∩B| / |A∪B| over shingle sets.
+  /** N-gram Jaccard pairs via a document-frequency-capped inverted index.
+    * Shingle → ids buckets generate candidates; a shingle whose document
+    * frequency exceeds `maxDf` (boilerplate text) is dropped from the index
+    * — one hot shingle would otherwise create a near-all-pairs bucket (the
+    * 100 TB job-killer). A pair at jaccard ≥ minJaccard shares many
+    * shingles, so losing the few hottest keeps recall ≈ 1. Candidates are
+    * then verified EXACTLY (array_intersect over the full shingle sets), so
+    * capping never corrupts a reported jaccard value — it can only skip a
+    * pair whose every shared shingle is hot.
     */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
-                        shingleLen: Int, minJaccard: Double): DataFrame = {
-    val sh = df.withColumn("__norm", TextOps.normalizedText(col(text)))
-      .filter(length(col("__norm")) >= shingleLen) // see minhashLshPairs note
-      .select(col(id), TextOps.charShingles(col("__norm"), shingleLen).as("sh"))
-    // Inverted index: shingle -> ids; candidate pairs share >=1 shingle.
+                        shingleLen: Int, minJaccard: Double,
+                        maxDf: Int = 10000): DataFrame = {
+    val sh = shingleSets(df, id, text, shingleLen)
     val inv = sh.select(col(id), explode(col("sh")).as("g"))
-    val cand = inv.as("x").join(inv.as("y"),
+    val capped = inv
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.g") === col("y.g") && col(s"x.$id") < col(s"y.$id"))
-      .groupBy(col(s"x.$id").as("id1"), col(s"y.$id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sh.select(col(id).as("__sid"), size(col("sh")).cast("long").as("__ssz"))
-    cand
-      .join(sizes.withColumnRenamed("__sid", "id1").withColumnRenamed("__ssz", "sz1"), "id1")
-      .join(sizes.withColumnRenamed("__sid", "id2").withColumnRenamed("__ssz", "sz2"), "id2")
-      .withColumn("jaccard",
-        col("inter") / (col("sz1") + col("sz2") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id1"), col("id2"), col("jaccard").cast("float").as("jaccard"))
+      .select(col(s"x.$id").as("id1"), col(s"y.$id").as("id2"))
+      .distinct()
+    verifyJaccard(cand, sh, id, minJaccard)
   }
 
   /** 64-bit SimHash over word tokens: per-bit majority vote of token
@@ -239,5 +240,41 @@ object Dedup {
       .filter(col("cosine") >= minCos)
       .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"),
         col("cosine").cast("float").as("cosine"))
+  }
+
+  /** Embedding cosine near-dup pairs at scale: multi-table random-
+    * hyperplane LSH candidates + exact cosine verify. Each of `tables`
+    * hash tables buckets every vector by `bits` signed projections
+    * (disjoint plane sets); candidates share a bucket in ANY table, so work
+    * is Σ bucket² per table instead of n², and the exact verify keeps
+    * precision at 1. Recall for a pair at angle θ is
+    * 1 − (1 − (1 − θ/π)^bits)^tables — tuned by (tables, bits); misses are
+    * possible (LSH is approximate), which is why the oracle-checked query
+    * asserts a measured recall floor rather than pair equality.
+    */
+  def cosinePairsBucketed(df: DataFrame, id: String, vec: String, dim: Int,
+                          minCos: Double, tables: Int = 32, bits: Int = 4): DataFrame = {
+    val withNorm = df.select(col(id), col(vec).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.sim.Similarity.dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    // candidates carry only (id, table, bucket) — the vectors rejoin at the
+    // verify stage, keeping the self-join build side to a few bytes per row
+    val banded = withNorm.select(col(id),
+      posexplode(array((0 until tables).map(t =>
+        graft.sim.Similarity.rhpBucket(col("v"), dim, bits, planeOffset = t * bits)): _*)))
+      .select(col(id), col("pos").as("table"), col("col").as("bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
+      .distinct()
+    val side = withNorm.select(col(id), col("v"), col("nrm"))
+    cand
+      .join(side.select(col(id).as("id1"), col("v").as("__v1"), col("nrm").as("__n1")), "id1")
+      .join(side.select(col(id).as("id2"), col("v").as("__v2"), col("nrm").as("__n2")), "id2")
+      .withColumn("cosine",
+        graft.sim.Similarity.dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2")))
+      .filter(col("cosine") >= minCos)
+      .select(col("id1"), col("id2"), col("cosine").cast("float").as("cosine"))
   }
 }

@@ -89,19 +89,55 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket (signed projection bits) — deterministic
-    * pseudo-random planes derived from xxhash64 of (dim, plane) so both
-    * sides of a comparison compute identical planes with no RNG.
+    * pseudo-random planes derived from a multiplicative hash of the plane
+    * index so both sides of a comparison compute identical planes with no
+    * RNG. `planeOffset` selects a disjoint plane set per hash table
+    * (multi-table LSH: table t passes offset t*planes).
     */
-  def rhpBucket(vec: Column, dim: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { pIdx =>
-      val proj = (0 until dim).map { d =>
-        // deterministic pseudo-random weight in [-1, 1)
-        val h = ((1469598103934665603L * (pIdx * 1024 + d + 1)) ^ 0x9e3779b97f4a7c15L)
-        val w = (h % 1000003L).toDouble / 1000003.0
-        element_at(vec, d + 1) * w
-      }.reduce(_ + _)
-      when(proj > 0, shiftleft(lit(1L), pIdx)).otherwise(lit(0L))
+  def rhpBucket(vec: Column, dim: Int, planes: Int, planeOffset: Int = 0): Column = {
+    val bits = (0 until planes).map { j =>
+      // one literal weight array + one HOF dot per plane: a handful of
+      // expression nodes instead of O(dim) — multi-table variants (128+
+      // planes) would otherwise explode the codegen'd expression tree
+      val w = typedLit(rhpWeights(planeOffset + j, dim))
+      when(dot(vec, w) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Deterministic pseudo-random plane weights in [-1, 1). */
+  def rhpWeights(pIdx: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      val h = ((1469598103934665603L * (pIdx * 1024 + d + 1)) ^ 0x9e3779b97f4a7c15L)
+      (h % 1000003L).toDouble / 1000003.0
+    }
+
+  /** Deterministic Lloyd k-means over an embedding column. Init = the k
+    * lowest-id vectors; each iteration assigns via broadcast centroids
+    * (map-only) and recomputes means with one groupBy over (centroid, dim)
+    * — k·dim rows collected per iteration, so driver traffic is bounded by
+    * the model size, not the data. The scalable shape of IVF training:
+    * no per-row driver work, shuffle volume = k·dim partial sums per task.
+    */
+  def kmeansTrain(df: DataFrame, id: String, vec: String,
+                  k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    val v = df.select(col(id).as("__kid"), col(vec).cast("array<double>").as("__v"))
+    var cents: Seq[(Int, Seq[Double])] = v.orderBy(col("__kid")).limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toSeq) }.toSeq
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(v, "__v", cents)
+        .select(col("centroid_id"), posexplode(col("__v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.map { case (cid, old) =>
+        means.get(cid) match {
+          case Some(rows) => (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          case None => (cid, old) // empty cluster keeps its centroid
+        }
+      }
+    }
+    cents
   }
 }
