@@ -40,11 +40,25 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private def evSeries(s: SparkSession, dir: String): DataFrame =
     seriesCache.getOrElseUpdate((System.identityHashCode(s), dir), {
-      val df = Series.attachPosRanged(Tables.read(s, dir, "events"),
+      // Write the numbered series back to parquet (pos persisted at ingest,
+      // the reference's TABLE_load layout) rather than .persist(): queries
+      // then get columnar scans with column pruning and min/max row-group
+      // pruning on pos/event_type — an RDD-backed memory cache gives
+      // row-at-a-time scans with neither.
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_series_events_$tag"
+      Series.attachPosRanged(Tables.read(s, dir, "events"),
         Seq("event_type"), Seq(col("ts"), col("event_id")))
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
     })
+
+  /** Materialize the events series (ranged pos numbering + persist) — the
+    * Spark analog of the reference numbering elements at `TABLE_load` time.
+    * Bench calls this in its load phase so the timed queries measure query
+    * work, not ingest.
+    */
+  def warmSeries(s: SparkSession, dir: String): Unit = { evSeries(s, dir).count(); () }
 
   /** SQL fragment mirroring evSeries's pos. */
   private val evPosSql =
@@ -1128,9 +1142,11 @@ object SparkEntry {
         FROM g"""
   }
 
-  /** DuckDB expression mirroring TextOps.normalizedText. */
+  /** DuckDB expression mirroring TextOps.normalizedText (same single-pass
+    * shape: non-alnum runs → one space, trim, lower).
+    */
   private val normSql =
-    """trim(regexp_replace(lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')), '\s+', ' ', 'g'))"""
+    """lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))"""
 
   /** Exact all-pairs n-gram Jaccard ≥ minJ over `documents` rows matching
     * `filter` — the oracle for the near-dup pipelines (q_jaccard,
