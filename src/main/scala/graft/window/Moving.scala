@@ -58,73 +58,116 @@ object Moving {
       .withColumn("w_dev_ref", sqrt(greatest(refVar, lit(0.0))))
   }
 
-  /** Run `f` over each key's rows in pos order, producing one double per
-    * row, appended as column `out`. One shuffle (repartition by key) +
-    * in-partition sort; state is per-key and O(1). Rows for one key are
-    * guaranteed contiguous and ordered inside each partition.
+  /** Parallel linear-recurrence scan: evaluates E_i = a_i·E_{i-1} + b_i per
+    * key in pos order, where `coef` maps each row to (a_i, b_i). Initial
+    * conditions are encoded in the pos==0 coefficient (a=0 collapses any
+    * seed), so no per-key seeding is needed.
+    *
+    * Affine maps COMPOSE — (a2,b2)∘(a1,b1) = (a2·a1, a2·b1 + b2) — so the
+    * recurrence parallelizes as a two-pass chunked scan (the classic
+    * parallel-prefix shape): range-partition by (keys, pos), pass 1
+    * composes each chunk's map (one small row per (partition, key)
+    * collected to the driver, which prefix-composes per key), pass 2
+    * re-runs the recurrence per chunk from the incoming state. Parallelism
+    * is the partition count — NOT the key count — which is what makes
+    * recursive indicators (EMA/ATR/cumprod) survive a series with few or
+    * no keys at 100 TB, where a key-partitioned scan would serialize.
+    * Both passes share one captured shuffle (see Series.attachPosRanged
+    * for why re-deriving the DataFrame would corrupt the chunking).
     */
-  def perKeyScan(df: DataFrame, keys: Seq[String], out: String)(
-      mkState: () => (Row => Double)): DataFrame = {
-    val sortCols = keys.map(col) :+ col("pos")
-    val prepared =
-      if (keys.isEmpty) df.repartition(1).sortWithinPartitions(col("pos"))
-      else df.repartition(keys.map(col): _*).sortWithinPartitions(sortCols: _*)
-    val outSchema = StructType(prepared.schema.fields :+ StructField(out, DoubleType))
-    val enc = Encoders.row(outSchema)
-    val keyIdx = keys.map(prepared.schema.fieldIndex)
-    prepared.mapPartitions { it =>
-      var curKey: Seq[Any] = null
-      var step: Row => Double = null
+  def affineScanRanged(df: DataFrame, keys: Seq[String], out: String)(
+      seed: Row => Double)(coef: Row => (Double, Double)): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val all = keys.map(col) :+ col("pos")
+    val ranged = df.repartitionByRange(parts, all: _*).sortWithinPartitions(all: _*)
+    val keyIdx = keys.map(ranged.schema.fieldIndex)
+    val rdd = ranged.rdd
+    // Pass 1: per (partition, key) composed map (A, B) + the chunk's seed
+    // (the key's overall seed is its first chunk's).
+    val comps: Array[(Int, Seq[Any], Double, Double, Double)] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val buf =
+          scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Any], Double, Double, Double)]
+        var cur: Seq[Any] = null
+        var a = 1.0; var b = 0.0; var s = 0.0; var any = false
+        it.foreach { r =>
+          val k = keyIdx.map(r.get)
+          if (!any || k != cur) {
+            if (any) buf += ((pid, cur, a, b, s))
+            cur = k; a = 1.0; b = 0.0; s = seed(r); any = true
+          }
+          val (ca, cb) = coef(r)
+          a = ca * a; b = ca * b + cb
+        }
+        if (any) buf += ((pid, cur, a, b, s))
+        buf.iterator
+      }.collect()
+    // Driver: prefix-compose per key in partition order → incoming state.
+    val incoming: Map[(Int, Seq[Any]), Double] =
+      comps.groupBy(_._2).iterator.flatMap { case (k, rows) =>
+        val ordered = rows.sortBy(_._1)
+        var e = ordered.head._5 // the key's seed
+        ordered.map { case (pid, _, a, b, _) =>
+          val entry = (pid, k) -> e
+          e = a * e + b
+          entry
+        }
+      }.toMap
+    val bc = spark.sparkContext.broadcast(incoming)
+    // Pass 2: replay the recurrence per chunk from the incoming state.
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Seq[Any] = null
+      var e = 0.0
       it.map { r =>
         val k = keyIdx.map(r.get)
-        if (curKey == null || k != curKey) { curKey = k; step = mkState() }
-        Row.fromSeq(r.toSeq :+ step(r))
+        if (cur == null || k != cur) { cur = k; e = bc.value((pid, k)) }
+        val (ca, cb) = coef(r)
+        e = ca * e + cb
+        Row.fromSeq(r.toSeq :+ e)
       }
-    }(enc)
+    }
+    spark.createDataFrame(outRdd,
+      StructType(ranged.schema.fields :+ StructField(out, DoubleType, nullable = false)))
   }
 
   /** Exponential moving average — cs_window_ema (func.c:1764-1777):
     * p = 2/(N+1); EMA[0]=x[0]; EMA[i] = x[i]*p + EMA[i-1]*(1-p).
+    * Seeding the scan with the key's first value makes the uniform
+    * recurrence exact at row 0: p·x0 + (1−p)·x0 = x0.
     */
   def ema(df: DataFrame, keys: Seq[String], value: String, n: Int, out: String = "ema"): DataFrame = {
     val p = 2.0 / (n + 1)
     val vIdx = df.schema.fieldIndex(value)
-    perKeyScan(df, keys, out) { () =>
-      var prev = Double.NaN
-      (r: Row) => {
-        val x = r.getAs[Number](vIdx).doubleValue()
-        prev = if (prev.isNaN) x else x * p + prev * (1 - p)
-        prev
-      }
+    affineScanRanged(df, keys, out)(
+      seed = r => r.getAs[Number](vIdx).doubleValue()) { r =>
+      (1 - p, p * r.getAs[Number](vIdx).doubleValue())
     }
   }
 
   /** Wilder-smoothed average true range — cs_window_atr (func.c:1779-1788):
-    * ATR[i] = (ATR[i-1]*(n-1) + TR[i]) / n with n = min(i+1, N).
+    * ATR[i] = (ATR[i-1]*(m-1) + TR[i]) / m with m = min(i+1, N). The
+    * warm-up divisor counts from the series origin (pos), so pos 0 has
+    * a = 0 and the seed is irrelevant for full series.
     */
   def atr(df: DataFrame, keys: Seq[String], value: String, n: Int, out: String = "atr"): DataFrame = {
     val vIdx = df.schema.fieldIndex(value)
-    perKeyScan(df, keys, out) { () =>
-      var prev = 0.0
-      var i = -1L
-      (r: Row) => {
-        val x = r.getAs[Number](vIdx).doubleValue()
-        i += 1
-        val m = math.min(i + 1, n.toLong).toDouble
-        prev = (prev * (m - 1) + x) / m
-        prev
-      }
+    val pIdx = df.schema.fieldIndex("pos")
+    affineScanRanged(df, keys, out)(
+      seed = r => r.getAs[Number](vIdx).doubleValue()) { r =>
+      val m = math.min(r.getAs[Number](pIdx).longValue() + 1, n.toLong).toDouble
+      ((m - 1) / m, r.getAs[Number](vIdx).doubleValue() / m)
     }
   }
 
   /** Cumulative product — cs_cum_prd (func.c:1824-1887). Recursive like
-    * EMA (sign/zero handling rules out exp∘sum∘log in general).
+    * EMA (sign/zero handling rules out exp∘sum∘log in general); the affine
+    * form is E = x·E_prev with seed 1.
     */
   def cumProd(df: DataFrame, keys: Seq[String], value: String, out: String = "cum_prd"): DataFrame = {
     val vIdx = df.schema.fieldIndex(value)
-    perKeyScan(df, keys, out) { () =>
-      var acc = 1.0
-      (r: Row) => { acc *= r.getAs[Number](vIdx).doubleValue(); acc }
+    affineScanRanged(df, keys, out)(seed = _ => 1.0) { r =>
+      (r.getAs[Number](vIdx).doubleValue(), 0.0)
     }
   }
 
