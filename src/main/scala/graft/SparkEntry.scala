@@ -530,6 +530,21 @@ object SparkEntry {
         .select(col("pos"), col("c"), fl(col("if_value")).as("if_value"))
     }),
 
+    // ---- cs_* SQL surface (§2.10 / SURVEY §7 M6) ----
+    "q_sqlext" -> ((s, dir) => {
+      // registered Catalyst builders: SQL cs_* plans identically to the
+      // DataFrame form (native expressions, whole-stage codegen)
+      graft.sqlext.GraftFunctions.register(s)
+      li(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_returnflag,
+          CAST(cs_wavg(l_quantity, l_extendedprice) AS FLOAT) AS vwap,
+          CAST(cs_wsum(l_quantity, l_extendedprice) AS FLOAT) AS wsum,
+          CAST(cs_maxof(max(l_quantity), max(l_discount) * 100) AS FLOAT) AS mx,
+          count(*) AS n
+        FROM lineitem_v GROUP BY l_returnflag""")
+    }),
+
     // ---- order analytics (§2.8) ----
     "q_trend" -> ((s, dir) =>
       Analytics.trend(evSeries(s, dir).filter(col("pos") < 100), Seq("event_type"), "value")
@@ -990,6 +1005,13 @@ object SparkEntry {
            CAST(CASE WHEN ci.c THEN a."value" ELSE b."value" END AS REAL) AS if_value
          FROM ci LEFT JOIN a ON ci.c AND a.pos = ci.bi
                  LEFT JOIN b ON (NOT ci.c) AND b.pos = ci.bi""",
+    "q_sqlext" ->
+      """SELECT l_returnflag,
+         CAST(sum(l_quantity * l_extendedprice) / sum(l_quantity) AS REAL) AS vwap,
+         CAST(sum(l_quantity * l_extendedprice) AS REAL) AS wsum,
+         CAST(greatest(max(l_quantity), max(l_discount) * 100) AS REAL) AS mx,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
     "q_trend" ->
       s"""WITH se AS (SELECT * FROM ($evPosSql) WHERE pos < 100),
          d AS (SELECT event_type, pos,

@@ -1,0 +1,68 @@
+package graft
+
+import graft.sqlext.GraftFunctions
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** cs_* SQL surface: registered builders must plan to the same native
+  * expressions as the DataFrame forms.
+  */
+class SqlExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cs_wavg/cs_wsum SQL equals the DataFrame aggregates") {
+    GraftFunctions.register(spark)
+    Seq((10.0, 2.0), (20.0, 3.0), (30.0, 5.0)).toDF("x", "y")
+      .createOrReplaceTempView("t_wavg")
+    val r = spark.sql(
+      "SELECT cs_wavg(x, y) AS wavg, cs_wsum(x, y) AS wsum FROM t_wavg")
+      .as[(Double, Double)].head()
+    assert(math.abs(r._1 - (10 * 2 + 20 * 3 + 30 * 5) / 60.0) < 1e-12)
+    assert(r._2 == 10 * 2 + 20 * 3 + 30 * 5)
+  }
+
+  test("cs_iif / cs_maxof / cs_minof / cs_hamming are native and correct") {
+    GraftFunctions.register(spark)
+    Seq((1L, 9L, 12L)).toDF("a", "b", "c").createOrReplaceTempView("t_sc")
+    val r = spark.sql(
+      """SELECT cs_iif(a < b, b, a) AS i, cs_maxof(b, c) AS mx,
+         cs_minof(b, c) AS mn, cs_hamming(b, c) AS h FROM t_sc""")
+      .as[(Long, Long, Long, Int)].head()
+    assert(r == ((9L, 12L, 9L, 2))) // 9^12 = 5 (0101) → 2 differing bits
+  }
+
+  test("cs_fingerprint matches TextOps.fingerprint") {
+    GraftFunctions.register(spark)
+    val df = Seq("Hello, World!  Twice  spaced.").toDF("text")
+    df.createOrReplaceTempView("t_fp")
+    val sql = spark.sql("SELECT cs_fingerprint(text) AS fp FROM t_fp").as[Long].head()
+    val dfv = df.select(TextOps.fingerprint(col("text")).as("fp")).as[Long].head()
+    assert(sql == dfv)
+  }
+
+  test("GraftExtensions injects the functions at session build time") {
+    // Force a NEW session over the shared context: getOrCreate would
+    // otherwise return the active test session (without the extensions).
+    val prev = spark // materialize the shared session first
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      // withExtensions (not the spark.sql.extensions config): the static
+      // config is read from the SparkContext conf, which this reused
+      // test context predates
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.sqlext.GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val n = s2.sql("SELECT cs_maxof(1, 2) AS m").collect()(0).getInt(0)
+      assert(n == 2)
+      // do NOT stop s2 — it shares the JVM-wide SparkContext
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+    }
+  }
+}
