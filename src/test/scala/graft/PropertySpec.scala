@@ -1,0 +1,93 @@
+package graft
+
+import graft.agg.Aggs
+import graft.analytics.Analytics
+import graft.series.Series
+import graft.window.Moving
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic properties of order-sensitive operators (SURVEY §5) over
+  * ScalaCheck-generated series with fixed seeds — catches off-by-one and
+  * ordering bugs hand-picked fixtures miss.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** n doubles from a fixed seed (deterministic across runs). */
+  private def series(n: Int, seed: Long): Seq[Double] =
+    Gen.listOfN(n, Gen.chooseNum(-1000.0, 1000.0))
+      .apply(Gen.Parameters.default, Seed(seed)).get
+
+  private def seriesDf(xs: Seq[Double]) =
+    xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("pos", "value")
+
+  private val cases = Seq((1, 11L), (17, 23L), (64, 37L), (200, 41L))
+
+  test("cum_sum ∘ diff + x0 reconstructs the series") {
+    for ((n, seed) <- cases) {
+      val xs = series(n, seed)
+      val df = seriesDf(xs)
+      val rebuilt = Aggs.cumAgg(
+        Analytics.diff(df, Seq(), "value").withColumnRenamed("diff", "d")
+          .drop("value").withColumnRenamed("d", "value"),
+        Seq(), "value")
+        .withColumn("rebuilt", col("cum_sum") + xs.head)
+        .orderBy("pos").select("rebuilt").as[Double].collect()
+      xs.zip(rebuilt).foreach { case (x, r) => assert(math.abs(x - r) < 1e-6) }
+    }
+  }
+
+  test("reverse ∘ reverse is the identity") {
+    for ((n, seed) <- cases) {
+      val df = seriesDf(series(n, seed))
+      val twice = Series.reverse(Series.reverse(df, Seq()), Seq())
+        .orderBy("pos").select("value").as[Double].collect().toSeq
+      assert(twice == df.orderBy("pos").select("value").as[Double].collect().toSeq)
+    }
+  }
+
+  test("sort_pos is the sort permutation") {
+    for ((n, seed) <- cases) {
+      val xs = series(n, seed)
+      val sorted = Series.attachPosRanged(
+        seriesDf(xs), Seq(), Seq(col("value"), col("pos")), out = "sort_pos")
+        .orderBy("sort_pos").select("value").as[Double].collect().toSeq
+      assert(sorted == xs.sorted)
+    }
+  }
+
+  test("window n=1 and ema n=1 are the identity; grid step=1 counts 1") {
+    for ((n, seed) <- Seq((32, 7L))) {
+      val df = seriesDf(series(n, seed))
+      val w = Moving.windowAgg(df, Seq(), "value", 1)
+        .filter(col("w_sum") =!= col("value") || col("w_avg_ref") =!= col("value"))
+      assert(w.isEmpty)
+      val e = Moving.ema(df, Seq(), "value", 1) // p = 2/(1+1) = 1
+        .filter(abs(col("ema") - col("value")) > 1e-9)
+      assert(e.isEmpty)
+      val g = Aggs.gridAgg(df, Seq(), "value", 1).filter(col("grid_count") =!= 1)
+      assert(g.isEmpty)
+    }
+  }
+
+  test("concat preserves counts and keeps pos dense") {
+    val a = seriesDf(series(13, 5L))
+    val b = seriesDf(series(9, 6L))
+    val c = Series.concat(a, b, Seq())
+    assert(c.count() == 22)
+    assert(c.select("pos").as[Long].collect().sorted.toSeq == (0L until 22L))
+  }
+
+  test("topK equals sort-take-k") {
+    for ((n, seed) <- cases; k <- Seq(1, 5)) {
+      val xs = series(n, seed)
+      val got = Aggs.topK(seriesDf(xs), "value", k, desc = true, "pos")
+        .select("value").as[Double].collect().toSeq
+      assert(got == xs.sorted(Ordering[Double].reverse).take(math.min(k, n)))
+    }
+  }
+}
