@@ -646,6 +646,29 @@ object SparkEntry {
       graft.multimodal.Multimodal.extractMeta(bin, "media_id", "bytes")
         .select(col("media_id"), col("n_bytes"))
     }),
+    "q_media_pcm" -> ((s, dir) => {
+      // REAL decode path: synthesize RIFF/PCM16 WAV bytes from a
+      // deterministic per-doc formula, then samplePcm parses the container
+      // and extracts amplitudes — the oracle replays the formula, so a
+      // header-offset or endianness bug fails the hash
+      val mkWav = udf { (d: Long) =>
+        val samples = (0 until 50).map(i => (((d * 31 + i * 7) % 65536) - 32768).toShort)
+        val bb = java.nio.ByteBuffer.allocate(44 + 100)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes); bb.putInt(36 + 100); bb.put("WAVE".getBytes)
+        bb.put("fmt ".getBytes); bb.putInt(16)
+        bb.putShort(1); bb.putShort(1)
+        bb.putInt(8000); bb.putInt(16000)
+        bb.putShort(2); bb.putShort(16)
+        bb.put("data".getBytes); bb.putInt(100)
+        samples.foreach(bb.putShort)
+        bb.array()
+      }
+      val bin = docs(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id").as("media_id"), mkWav(col("doc_id")).as("bytes"))
+      graft.multimodal.Multimodal.samplePcm(bin, "media_id", "bytes", 5)
+        .select(col("media_id"), col("sample_idx"), fl(col("amplitude")).as("amplitude"))
+    }),
     "q_media_frames" -> ((s, dir) => {
       val bin = docs(s, dir).filter(col("doc_id") < 50)
         .select(col("doc_id").as("media_id"),
@@ -1090,6 +1113,11 @@ object SparkEntry {
     "q_hash_approxdc" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_dc, true AS within_tol
          FROM lineitem GROUP BY 1""",
+    "q_media_pcm" ->
+      """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS sample_idx,
+         CAST((((doc_id * 31 + i * 7) % 65536) - 32768) / 32768.0 AS REAL) AS amplitude
+         FROM documents, (SELECT unnest(range(0, 50, 5)) AS i)
+         WHERE doc_id < 20""",
     "q_media_frames" ->
       """SELECT media_id, CAST(f AS INT) AS frame_idx FROM (
            SELECT doc_id AS media_id,

@@ -1,18 +1,20 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The actual media decode (JPEG/audio codecs) is STUBBED — the container
-  * has no media libraries — behind `decodeStub`, a deterministic fake that
-  * derives "metadata" from the bytes. Everything around it is real Spark:
-  * the binary schema, the batched mapPartitions shape (the Scala analog of
-  * mapInPandas: one iterator per partition, amortized per-batch setup),
-  * and partition sizing so a 100 TB media corpus streams through executors
+  * Self-describing formats decode for REAL in pure JVM — BMP headers and
+  * RIFF/WAV PCM (header walk + sample extraction) need no codec library.
+  * Compressed codecs (JPEG/MP3/H.264) are STUBBED behind `decodeStub`, a
+  * deterministic fake, because the container ships no media libraries.
+  * Everything around the decode is production Spark: the binary schema,
+  * the batched mapPartitions shape (the Scala analog of mapInPandas: one
+  * iterator per partition, amortized per-batch setup), and streaming
+  * per-row processing so a 100 TB media corpus flows through executors
   * without materializing a partition in memory.
   */
 object Multimodal {
@@ -22,27 +24,71 @@ object Multimodal {
     StructField("bytes", BinaryType),
     StructField("mime", StringType)))
 
-  case class MediaMeta(media_id: Long, n_bytes: Long, width: Int, height: Int,
-                       n_frames: Int, fingerprint: Long)
+  case class MediaMeta(media_id: Long, n_bytes: Long, format: String,
+                       width: Int, height: Int, n_frames: Int,
+                       sample_rate: Int, channels: Int, fingerprint: Long)
 
-  /** Deterministic fake decode: dimensions/frame count derived from the
-    * payload length (so an external oracle can replay them from
-    * octet_length), fingerprint from an FNV-1a rolling hash of the bytes.
-    * Replace with a real codec call in production (???).
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** BMP header: magic "BM", int32 width at 18, int32 height at 22. */
+  def parseBmp(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      Some((leInt(b, 18), math.abs(leInt(b, 22)))) // height may be negative (top-down)
+    else None
+
+  /** RIFF/WAV: walk chunks for "fmt " (channels, sample rate, bits) and
+    * "data" (payload length) → (sampleRate, channels, bitsPerSample,
+    * nSampleFrames, dataOffset).
     */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+  def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Long, Int)] = {
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var off = 12
+    var rate = 0; var ch = 0; var bits = 0
+    var dataLen = 0L; var dataOff = -1
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val sz = leInt(b, off + 4)
+      if (id == "fmt " && off + 8 + 16 <= b.length) {
+        ch = leShort(b, off + 10)
+        rate = leInt(b, off + 12)
+        bits = leShort(b, off + 22)
+      } else if (id == "data") {
+        dataLen = sz.toLong & 0xffffffffL
+        dataOff = off + 8
+      }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (rate > 0 && ch > 0 && bits > 0 && dataOff >= 0)
+      Some((rate, ch, bits, dataLen / (ch.toLong * (bits / 8)), dataOff))
+    else None
+  }
+
+  /** Deterministic fake decode for codec-requiring formats: dimensions and
+    * frame count derived from the payload length (replayable by an external
+    * oracle from octet_length). Replace with a real codec in a deployment
+    * that ships one.
+    */
+  def decodeStub(n: Long): (Int, Int, Int) =
+    (64 + (n % 1024).toInt, 64 + ((n * 31) % 1024).toInt, 1 + (n % 32).toInt)
+
+  private def fnv(bytes: Array[Byte]): Long = {
     var h = 1469598103934665603L
     var i = 0
     while (i < bytes.length) { h = (h ^ bytes(i)) * 1099511628211L; i += 1 }
-    val n = bytes.length.toLong
-    val w = 64 + (n % 1024).toInt
-    val ht = 64 + ((n * 31) % 1024).toInt
-    val fr = 1 + (n % 32).toInt
-    (w, ht, fr, h)
+    h
   }
 
   /** Feature extraction over a binary media column: one sequential pass
-    * per partition (mapPartitions), per-row decode, typed metadata out.
+    * per partition (mapPartitions), per-row decode by sniffed format,
+    * typed metadata out.
     */
   def extractMeta(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)
@@ -50,18 +96,60 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](bIdx)
-        val (w, h, fr, fp) = decodeStub(bytes)
-        MediaMeta(r.getLong(idIdx), bytes.length.toLong, w, h, fr, fp)
+        val id = r.getLong(idIdx)
+        val n = bytes.length.toLong
+        val fp = fnv(bytes)
+        parseBmp(bytes) match {
+          case Some((w, h)) => MediaMeta(id, n, "bmp", w, h, 1, 0, 0, fp)
+          case None => parseWav(bytes) match {
+            case Some((rate, ch, _, frames, _)) =>
+              MediaMeta(id, n, "wav", 0, 0,
+                math.min(frames, Int.MaxValue).toInt, rate, ch, fp)
+            case None =>
+              val (w, h, fr) = decodeStub(n)
+              MediaMeta(id, n, "unknown", w, h, fr, 0, 0, fp)
+          }
+        }
       }
     }(Encoders.product[MediaMeta]).toDF()
   }
 
-  /** Frame sampling stub: emit every `step`-th "frame index" per media row
-    * — demonstrates the explode-side shape (1 input row → n output rows)
-    * without a codec.
+  /** Frame index sampling: every `step`-th frame per media row — the
+    * explode-side shape (1 input row → n output rows).
     */
   def sampleFrames(meta: DataFrame, step: Int): DataFrame =
     meta.withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(step))))
       .select(col("media_id"), col("frame_idx"))
+
+  case class PcmSample(media_id: Long, sample_idx: Long, amplitude: Double)
+
+  /** REAL audio feature extraction: every `step`-th 16-bit PCM sample
+    * frame (channel 0) from WAV payloads, amplitude normalized to [-1, 1).
+    * Non-WAV rows produce no output. Streaming per partition — samples are
+    * emitted lazily, never buffering a row's full audio.
+    */
+  def samplePcm(df: DataFrame, idCol: String, bytesCol: String, step: Int): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val id = r.getLong(idIdx)
+        parseWav(bytes) match {
+          case Some((_, ch, bits, frames, dataOff)) if bits == 16 =>
+            val frameBytes = ch * 2
+            (0L until frames by step.toLong).iterator.flatMap { i =>
+              val off = dataOff + i * frameBytes
+              if (off + 1 < bytes.length) {
+                val s = ((bytes(off.toInt) & 0xff) |
+                  (bytes(off.toInt + 1) << 8)).toShort
+                Some(PcmSample(id, i, s / 32768.0))
+              } else None
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }(Encoders.product[PcmSample]).toDF()
+  }
 }

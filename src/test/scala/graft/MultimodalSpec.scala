@@ -1,0 +1,67 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-format decode paths: synthesized WAV (RIFF/PCM16) and BMP bytes. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Minimal valid 16-bit PCM WAV with the given mono samples. */
+  def wavBytes(rate: Int, samples: Seq[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)            // PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2)      // byte rate
+    bb.putShort(2); bb.putShort(16)           // block align, bits
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Minimal BMP header (no pixel data needed for metadata). */
+  def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(54)
+    bb.putInt(0); bb.putInt(54); bb.putInt(40)
+    bb.putInt(w); bb.putInt(h)
+    bb.array()
+  }
+
+  test("WAV metadata and PCM sampling decode for real") {
+    val samples = (0 until 100).map(i => (i * 300 - 15000).toShort)
+    val df = Seq((1L, wavBytes(8000, samples), "audio/wav")).toDF("media_id", "bytes", "mime")
+    val meta = Multimodal.extractMeta(df, "media_id", "bytes")
+    val m = meta.select("format", "sample_rate", "channels", "n_frames")
+      .as[(String, Int, Int, Int)].head()
+    assert(m == (("wav", 8000, 1, 100)))
+    val pcm = Multimodal.samplePcm(df, "media_id", "bytes", 10)
+      .orderBy("sample_idx").as[(Long, Long, Double)].collect()
+    assert(pcm.length == 10)
+    assert(pcm.map(_._2).toSeq == (0L until 100L by 10L))
+    pcm.foreach { case (_, i, a) =>
+      assert(math.abs(a - samples(i.toInt) / 32768.0) < 1e-12)
+    }
+  }
+
+  test("BMP metadata decodes width and height") {
+    val df = Seq((2L, bmpBytes(7, 5), "image/bmp")).toDF("media_id", "bytes", "mime")
+    val m = Multimodal.extractMeta(df, "media_id", "bytes")
+      .select("format", "width", "height", "n_frames").as[(String, Int, Int, Int)].head()
+    assert(m == (("bmp", 7, 5, 1)))
+  }
+
+  test("unknown formats fall back to the deterministic stub") {
+    val df = Seq((3L, Array[Byte](1, 2, 3, 4, 5), "application/octet-stream"))
+      .toDF("media_id", "bytes", "mime")
+    val m = Multimodal.extractMeta(df, "media_id", "bytes")
+      .select("format", "n_bytes").as[(String, Long)].head()
+    assert(m == (("unknown", 5L)))
+  }
+}
