@@ -10,14 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Keyed ordered window. NOTE: with keys empty this is a whole-frame
+    * window (one task); the carry-forward scans below (trend, crossings,
+    * extrema) only hit it when callers pass no keys — a keyless variant at
+    * scale should route through Moving.affineScanRanged (carry-forward is
+    * the affine map a∈{0,1}) the way diff routes through a pos-join.
+    */
   private def keyWindow(keys: Seq[String]) =
     (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))
       .orderBy(col("pos"))
 
-  /** out[0]=0; out[i]=x[i]-x[i-1] — cs_diff (func.c:2268-2303). */
+  /** out[0]=0; out[i]=x[i]-x[i-1] — cs_diff (func.c:2268-2303). Keyless
+    * series use a pos-equi self-join for the predecessor (parallel) rather
+    * than a single-partition ordered window.
+    */
   def diff(df: DataFrame, keys: Seq[String], value: String, out: String = "diff"): DataFrame =
-    df.withColumn(out, col(value) - lag(col(value), 1, null).over(keyWindow(keys)))
-      .withColumn(out, coalesce(col(out), lit(0.0)))
+    if (keys.isEmpty) {
+      val prev = df.select((col("pos") + 1L).as("pos"), col(value).as("__prev"))
+      df.join(prev, Seq("pos"), "left")
+        .withColumn(out, coalesce(col(value) - col("__prev"), lit(0.0)))
+        .drop("__prev")
+    } else
+      df.withColumn(out, col(value) - lag(col(value), 1, null).over(keyWindow(keys)))
+        .withColumn(out, coalesce(col(out), lit(0.0)))
 
   /** Sign of the last non-zero delta, carried through plateaus — cs_trend
     * (func.c:2305-2343). First element's trend is 0.
@@ -74,11 +89,17 @@ object Analytics {
   /** x / sqrt(Σx²) — cs_norm (func.c:594-658). Two-pass in the reference;
     * here a whole-partition window aggregate (per key), one shuffle.
     */
-  def norm(df: DataFrame, keys: Seq[String], value: String, out: String = "norm"): DataFrame = {
-    val w =
-      if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
-    df.withColumn(out, col(value) / sqrt(sum(col(value) * col(value)).over(w)))
-  }
+  def norm(df: DataFrame, keys: Seq[String], value: String, out: String = "norm"): DataFrame =
+    if (keys.isEmpty) {
+      // broadcast the 1-row Σx² instead of a whole-frame window
+      val ss = df.agg(sum(col(value) * col(value)).as("__ss"))
+      df.crossJoin(broadcast(ss))
+        .withColumn(out, col(value) / sqrt(col("__ss")))
+        .drop("__ss")
+    } else {
+      val w = Window.partitionBy(keys.map(col): _*)
+      df.withColumn(out, col(value) / sqrt(sum(col(value) * col(value)).over(w)))
+    }
 
   /** q+1 boundary values of the sorted series — cs_quantile
     * (func.c:3562-3603). Exact percentile; bounded output (q+1 rows).

@@ -123,15 +123,23 @@ object Series {
       // Pure positional range — pushes down as a simple filter on pos.
       df.filter(col("pos") >= from && col("pos") <= till)
     } else {
-      val w =
-        if (keys.isEmpty) Window.partitionBy()
-        else Window.partitionBy(keys.map(col): _*)
-      val withCnt = df.withColumn("__cnt", count(lit(1)).over(w))
+      val withCnt = withKeyCount(df, keys)
       val lo = if (from >= 0) lit(from) else col("__cnt") + from
       val hi = if (till >= 0) lit(till) else col("__cnt") + till
       withCnt.filter(col("pos") >= lo && col("pos") <= hi).drop("__cnt")
     }
   }
+
+  /** Per-key element count as `__cnt`, with no single-partition stage:
+    * keyless series get a broadcast scalar (crossJoin with the 1-row agg),
+    * keyed series a broadcast count join — both instead of a
+    * `Window.partitionBy()` over the whole frame.
+    */
+  private def withKeyCount(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (keys.isEmpty)
+      df.crossJoin(broadcast(df.agg(count(lit(1)).as("__cnt"))))
+    else
+      df.join(broadcast(df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))), keys)
 
   /** Every step-th element starting at origin — cs_thin (func.c:664-767). */
   def thin(df: DataFrame, origin: Long, step: Long): DataFrame =
@@ -145,14 +153,12 @@ object Series {
     span(df, keys, -n, -1)
 
   /** Reverse a series: new pos = count-1-pos — cs_reverse (func.c:1203-1306).
-    * Pure relabeling; no data movement beyond the count-per-key window.
+    * Pure relabeling; the per-key count broadcasts (no whole-frame window).
     */
-  def reverse(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val w =
-      if (keys.isEmpty) Window.partitionBy()
-      else Window.partitionBy(keys.map(col): _*)
-    df.withColumn("pos", count(lit(1)).over(w) - 1L - col("pos"))
-  }
+  def reverse(df: DataFrame, keys: Seq[String]): DataFrame =
+    withKeyCount(df, keys)
+      .withColumn("pos", col("__cnt") - 1L - col("pos"))
+      .drop("__cnt")
 
   /** Repeat each element n times — cs_repeat (func.c:769-862). New pos is
     * pos*n + repeat index, preserving order.
@@ -184,14 +190,21 @@ object Series {
 
   /** Collapse adjacent duplicates — cs_unique (func.c:3737-3844). Keeps the
     * first element of each run of equal `value`s; output keeps original pos.
+    * Keyless series fetch the predecessor with a pos-equi self-join (two
+    * parallel shuffles) instead of a single-partition ordered window.
     */
   def uniqueAdjacent(df: DataFrame, keys: Seq[String], value: String): DataFrame = {
-    val w =
-      (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))
-        .orderBy(col("pos"))
-    df.withColumn("__prev", lag(col(value), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(value))
-      .drop("__prev")
+    if (keys.isEmpty) {
+      val prev = df.select((col("pos") + 1L).as("pos"), col(value).as("__prev"))
+      df.join(prev, Seq("pos"), "left")
+        .filter(col("__prev").isNull || col("__prev") =!= col(value))
+        .drop("__prev")
+    } else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("pos"))
+      df.withColumn("__prev", lag(col(value), 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col(value))
+        .drop("__prev")
+    }
   }
 
   /** Positions where cond holds — cs_filter_pos (func.c:2834-2930). */
