@@ -19,20 +19,38 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ a[i]*b[i] as a codegen'd expression. */
+  /** Σ a[i]*b[i] via higher-order functions (works on any session, no
+    * registration needed). For the scan-bound hot path prefer
+    * [[dotFused]] — the custom codegen expression.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
+
+  /** Σ a[i]*b[i] as the fused ArrayDot codegen expression (reads float
+    * elements directly, no cast/intermediate array). Bit-equal to the HOF
+    * form on cast("array<double>") inputs. Registers the cs_* functions
+    * idempotently on the frame's session.
+    */
+  def dotFused(df: DataFrame, a: Column, b: Column): Column = {
+    graft.sqlext.GraftFunctions.register(df.sparkSession)
+    call_function("cs_dot", a, b)
+  }
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** Brute-force cosine top-k neighbors of one query vector. */
+  /** Brute-force cosine top-k neighbors of one query vector: a map-only
+    * fused-dot scan + TakeOrderedAndProject (per-partition bounded heap,
+    * driver merge).
+    */
   def topKCosine(df: DataFrame, id: String, vec: String,
                  query: Seq[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    df.select(col(id),
-        cosine(col(vec).cast("array<double>"), q).cast("float").as("cosine"))
+    val v = col(vec)
+    val cos = dotFused(df, v, q) /
+      (sqrt(dotFused(df, v, v)) * sqrt(dotFused(df, q, q)))
+    df.select(col(id), cos.cast("float").as("cosine"))
       .orderBy(col("cosine").desc, col(id).asc)
       .limit(k)
   }

@@ -42,7 +42,9 @@ object GraftFunctions {
     ("cs_fingerprint", (c: Seq[Expression]) => new XxHash64(Seq(norm(c(0)))),
       "cs_fingerprint(text) - xxhash64 of normalized text"),
     ("cs_norm_text", (c: Seq[Expression]) => norm(c(0)),
-      "cs_norm_text(text) - lowercase, non-alnum runs collapsed"))
+      "cs_norm_text(text) - lowercase, non-alnum runs collapsed"),
+    ("cs_dot", (c: Seq[Expression]) => ArrayDot(c(0), c(1)),
+      "cs_dot(a, b) - fused codegen dot product over float/double arrays"))
 
   /** Register as temp functions on a live session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b, _) =>

@@ -33,6 +33,22 @@ class SqlExtSpec extends AnyFunSuite {
     assert(r == ((9L, 12L, 9L, 2))) // 9^12 = 5 (0101) → 2 differing bits
   }
 
+  test("cs_dot (codegen ArrayDot) is bit-equal to the HOF dot") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(99)
+    val rows = (1 to 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "vf", "vd")
+    val cmp = df.select(
+      expr("cs_dot(vf, vd)").as("fused"),
+      graft.sim.Similarity.dot(col("vf").cast("array<double>"), col("vd")).as("hof"),
+      expr("cs_dot(vf, vf)").as("fused_ff"),
+      graft.sim.Similarity.dot(col("vf").cast("array<double>"),
+        col("vf").cast("array<double>")).as("hof_ff"))
+    assert(cmp.filter(col("fused") =!= col("hof") || col("fused_ff") =!= col("hof_ff")).isEmpty)
+  }
+
   test("cs_fingerprint matches TextOps.fingerprint") {
     GraftFunctions.register(spark)
     val df = Seq("Hello, World!  Twice  spaced.").toDF("text")
