@@ -101,7 +101,10 @@ object SparkEntry {
           fl(sum(col("l_extendedprice"))).as("sum_price"),
           fl(avg(col("l_discount"))).as("avg_disc"),
           fl(min(col("l_quantity"))).as("min_qty"),
-          fl(max(col("l_quantity"))).as("max_qty"))
+          fl(max(col("l_quantity"))).as("max_qty"),
+          // cs_hash_all / cs_hash_any bit reductions (func.c:5385-5447)
+          bit_and(col("l_partkey")).as("ha_all"),
+          bit_or(col("l_partkey")).as("ha_any"))
     }),
     "q_hash_dup_count" -> ((s, dir) =>
       Aggs.hashDupCount(ord(s, dir), "o_custkey", Seq("o_orderpriority"), 3L)),
@@ -400,14 +403,15 @@ object SparkEntry {
     "q_win_group" -> ((s, dir) =>
       Aggs.winGroupAgg(
           evSeries(s, dir).withColumn("dir", (col("value") > 250).cast("int")),
-          Seq("event_type"), "dir", "value")
+          Seq("event_type"), "dir", "value", intVal = Some("user_id"))
         .filter(col("pos") < 100)
         .select(col("event_type"), col("pos"), col("run_id"),
           fl(col("wg_sum")).as("wg_sum"), fl(col("wg_min")).as("wg_min"),
           fl(col("wg_max")).as("wg_max"), fl(col("wg_avg")).as("wg_avg"),
           col("wg_count"),
           fl(col("wg_var")).as("wg_var"), fl(col("wg_dev")).as("wg_dev"),
-          fl(col("wg_first")).as("wg_first"), fl(col("wg_last")).as("wg_last"))),
+          fl(col("wg_first")).as("wg_first"), fl(col("wg_last")).as("wg_last"),
+          col("wg_all"), col("wg_any"))),
     "q_ema" -> ((s, dir) =>
       Moving.ema(evSeries(s, dir).filter(col("pos") < 200), Seq("event_type"), "value", 10)
         .select(col("event_type"), col("pos"), fl(col("ema")).as("ema"))),
@@ -695,7 +699,9 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
          count(*) AS n, CAST(sum(l_extendedprice) AS REAL) AS sum_price,
          CAST(avg(l_discount) AS REAL) AS avg_disc,
-         CAST(min(l_quantity) AS REAL) AS min_qty, CAST(max(l_quantity) AS REAL) AS max_qty
+         CAST(min(l_quantity) AS REAL) AS min_qty, CAST(max(l_quantity) AS REAL) AS max_qty,
+         CAST(bit_and(l_partkey) AS BIGINT) AS ha_all,
+         CAST(bit_or(l_partkey) AS BIGINT) AS ha_any
          FROM lineitem GROUP BY 1, 2, 3""",
     "q_hash_dup_count" ->
       """SELECT o_orderpriority, count(*) AS dup_count FROM (
@@ -925,7 +931,7 @@ object SparkEntry {
       """SELECT l_returnflag || '|' || l_linestatus AS ckey, count(*) AS n
          FROM lineitem GROUP BY 1""",
     "q_win_group" ->
-      s"""WITH d AS (SELECT event_type, pos, "value",
+      s"""WITH d AS (SELECT event_type, pos, "value", user_id,
              CAST(("value" > 250) AS INT) AS dir FROM ($evPosSql)),
          runs AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR prev <> dir THEN 1 ELSE 0 END)
              OVER (PARTITION BY event_type ORDER BY pos) AS BIGINT) AS run_id
@@ -939,7 +945,9 @@ object SparkEntry {
            CAST(var_pop("value") OVER wg AS REAL) AS wg_var,
            CAST(stddev_pop("value") OVER wg AS REAL) AS wg_dev,
            CAST(first_value("value") OVER wgo AS REAL) AS wg_first,
-           CAST(last_value("value") OVER wgo AS REAL) AS wg_last
+           CAST(last_value("value") OVER wgo AS REAL) AS wg_last,
+           CAST(bit_and(user_id) OVER wg AS BIGINT) AS wg_all,
+           CAST(bit_or(user_id) OVER wg AS BIGINT) AS wg_any
          FROM runs WINDOW wg AS (PARTITION BY event_type, run_id),
            wgo AS (PARTITION BY event_type, run_id ORDER BY pos
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)

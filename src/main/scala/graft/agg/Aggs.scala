@@ -130,10 +130,11 @@ object Aggs {
     * same run semantics but length-preserving — every member of the run
     * carries the run's aggregate. Window.partitionBy(run) is exactly this.
     */
-  def winGroupAgg(df: DataFrame, keys: Seq[String], groupVal: String, value: String): DataFrame = {
+  def winGroupAgg(df: DataFrame, keys: Seq[String], groupVal: String, value: String,
+                  intVal: Option[String] = None): DataFrame = {
     val withRun = attachRunId(df, keys, groupVal)
     val w = Window.partitionBy((keys :+ "run_id").map(col): _*)
-    withRun
+    val base = withRun
       .withColumn("wg_sum", sum(col(value)).over(w))
       .withColumn("wg_min", min(col(value)).over(w))
       .withColumn("wg_max", max(col(value)).over(w))
@@ -143,6 +144,10 @@ object Aggs {
       .withColumn("wg_dev", stddev_pop(col(value)).over(w))
       .withColumn("wg_first", min_by(col(value), col("pos")).over(w))
       .withColumn("wg_last", max_by(col(value), col("pos")).over(w))
+    intVal.fold(base) { iv =>
+      base.withColumn("wg_all", bit_and(col(iv)).over(w))
+        .withColumn("wg_any", bit_or(col(iv)).over(w))
+    }
   }
 
   /** Grid (tumbling count-based bucket) aggregate — cs_grid_max/min/avg/sum
