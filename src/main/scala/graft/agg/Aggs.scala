@@ -80,20 +80,35 @@ object Aggs {
   // --------------------------------------------------------------------
 
   /** Attach `run_id` — consecutive-equal runs of `groupVal` within each key
-    * partition ordered by pos. One window pass (single shuffle by key).
+    * partition ordered by pos. Keyed: one window pass (single shuffle by
+    * key, parallel across keys). Keyless: the whole-frame ordered window
+    * would be one task, so the run id decomposes into its two scalable
+    * halves — the change flag via a pos-equi self-join (parallel lag) and
+    * the cumulative count via the affine parallel-prefix scan
+    * (run_id = Σ flags is E = E_prev + flag, i.e. a=1).
     */
-  def attachRunId(df: DataFrame, keys: Seq[String], groupVal: String): DataFrame = {
-    val w =
-      (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))
-        .orderBy(col("pos"))
-    df.withColumn(
-      "__chg",
-      when(lag(col(groupVal), 1).over(w).isNull ||
-        lag(col(groupVal), 1).over(w) =!= col(groupVal), 1L).otherwise(0L))
-      .withColumn("run_id", sum(col("__chg")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .drop("__chg")
-  }
+  def attachRunId(df: DataFrame, keys: Seq[String], groupVal: String): DataFrame =
+    if (keys.isEmpty) {
+      val prev = df.select((col("pos") + 1L).as("pos"), col(groupVal).as("__prev"))
+      val flagged = df.join(prev, Seq("pos"), "left")
+        .withColumn("__chg",
+          when(col("__prev").isNull || col("__prev") =!= col(groupVal), 1.0)
+            .otherwise(0.0))
+      val cIdx = flagged.schema.fieldIndex("__chg")
+      graft.window.Moving.affineScanRanged(flagged, Seq(), "__run_d")(
+        seed = _ => 0.0) { r => (1.0, r.getDouble(cIdx)) }
+        .withColumn("run_id", col("__run_d").cast("long"))
+        .drop("__chg", "__prev", "__run_d")
+    } else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("pos"))
+      df.withColumn(
+        "__chg",
+        when(lag(col(groupVal), 1).over(w).isNull ||
+          lag(col(groupVal), 1).over(w) =!= col(groupVal), 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("__chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .drop("__chg")
+    }
 
   /** Run-group aggregate — cs_group_count/max/min/sum/avg/var/dev/first/
     * last/any/all/approxdc (func.c:1985-2092, group_approxdc

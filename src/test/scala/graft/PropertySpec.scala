@@ -82,6 +82,18 @@ class PropertySpec extends AnyFunSuite {
     assert(c.select("pos").as[Long].collect().sorted.toSeq == (0L until 22L))
   }
 
+  test("keyless attachRunId (scan-based) equals the keyed window form") {
+    for ((n, seed) <- cases if n > 1) {
+      val df = seriesDf(series(n, seed))
+        .withColumn("bucket", (col("value") > 0).cast("int"))
+      val keyless = Aggs.attachRunId(df, Seq(), "bucket")
+        .orderBy("pos").select("run_id").as[Long].collect().toSeq
+      val keyed = Aggs.attachRunId(df.withColumn("k", lit("x")), Seq("k"), "bucket")
+        .orderBy("pos").select("run_id").as[Long].collect().toSeq
+      assert(keyless == keyed)
+    }
+  }
+
   test("topK equals sort-take-k") {
     for ((n, seed) <- cases; k <- Seq(1, 5)) {
       val xs = series(n, seed)
