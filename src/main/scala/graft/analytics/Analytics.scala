@@ -35,17 +35,28 @@ object Analytics {
         .withColumn(out, coalesce(col(out), lit(0.0)))
 
   /** Sign of the last non-zero delta, carried through plateaus — cs_trend
-    * (func.c:2305-2343). First element's trend is 0.
+    * (func.c:2305-2343). First element's trend is 0. Keyless series
+    * decompose scalably: delta via pos-join, carry-forward via the affine
+    * scan (keep = (a=1,b=0), reset = (a=0,b=d)).
     */
-  def trend(df: DataFrame, keys: Seq[String], value: String, out: String = "trend"): DataFrame = {
-    val w = keyWindow(keys)
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__d", signum(col(value) - lag(col(value), 1).over(w)))
-      .withColumn(out, coalesce(
-        last(when(col("__d") =!= 0.0, col("__d")), ignoreNulls = true).over(wRun),
-        lit(0.0)))
-      .drop("__d")
-  }
+  def trend(df: DataFrame, keys: Seq[String], value: String, out: String = "trend"): DataFrame =
+    if (keys.isEmpty) {
+      val withD = diff(df, Seq(), value, "__d")
+        .withColumn("__d", signum(col("__d")))
+      val dIdx = withD.schema.fieldIndex("__d")
+      graft.window.Moving.affineScanRanged(withD, Seq(), out)(seed = _ => 0.0) { r =>
+        val d = r.getDouble(dIdx)
+        if (d != 0.0) (0.0, d) else (1.0, 0.0)
+      }.drop("__d")
+    } else {
+      val w = keyWindow(keys)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("__d", signum(col(value) - lag(col(value), 1).over(w)))
+        .withColumn(out, coalesce(
+          last(when(col("__d") =!= 0.0, col("__d")), ignoreNulls = true).over(wRun),
+          lit(0.0)))
+        .drop("__d")
+    }
 
   /** Positions where the series crosses zero — cs_cross (func.c:4134-4219).
     * dir > 0: only upward (neg→pos), dir < 0: only downward, 0: both.

@@ -107,4 +107,22 @@ object Align {
     val cols = a.columns.toSeq
     a.unionByName(b.select(cols.map(col): _*))
   }
+
+  /** Skew-salted inner equi-join: for hot keys whose rows overwhelm one
+    * reducer and whose other side cannot broadcast. The large skewed side
+    * gets a deterministic content-hash salt in [0, salt); the smaller side
+    * is replicated `salt` times; the join key becomes (keys, salt), so a
+    * hot key's rows spread over `salt` tasks. AQE's skew-join already
+    * splits sort-merge skew at runtime — reach for explicit salting when
+    * composing with operators AQE cannot split (windows over the join
+    * output) or when replication cost is acceptable up front.
+    */
+  def saltedEquiJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
+                     salt: Int): DataFrame = {
+    val ls = skewed.withColumn("__salt",
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(salt.toLong)))
+    val rs = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    ls.join(rs, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -42,6 +42,25 @@ object Streams {
         col("n"), col("sv"))
   }
 
+  /** Sliding event-time aggregation — the streaming twin of the reference's
+    * length-preserving moving aggregates (§2.5 re-expressed on event time):
+    * each event contributes to window/slide overlapping windows, state
+    * bounded by the watermark.
+    */
+  def slidingAgg(spark: SparkSession, path: String, schema: StructType,
+                 windowSeconds: Long, slideSeconds: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(schema).parquet(path)
+      .withColumn("ets", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(col("event_type"),
+        window(col("ets"), s"$windowSeconds seconds", s"$slideSeconds seconds"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("event_type"),
+        col("window.start").as("bucket_start"),
+        col("n"), col("sv"))
+  }
+
   /** Drain a streaming aggregation with Trigger.AvailableNow into an
     * in-memory table and return it as a batch DataFrame. Complete mode so
     * the final (still-open) windows are emitted too — the batch comparison

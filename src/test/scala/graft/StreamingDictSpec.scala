@@ -72,6 +72,51 @@ class StreamingDictSpec extends AnyFunSuite {
     assert(out == Seq(10.0, 90.0, 11.0, 12.0, 91.0))
   }
 
+  test("sliding streaming agg equals batch window() aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_events_slide")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = graft.io.Tables.read(spark, sfDir, "events").schema
+    val got = Streams.runAvailableNow(
+      Streams.slidingAgg(spark, dir.toString, schema, 7200, 3600), "t_sliding")
+    val batch = graft.io.Tables.read(spark, sfDir, "events")
+      .withColumn("ets", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .groupBy(col("event_type"), window(col("ets"), "7200 seconds", "3600 seconds"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("event_type"), col("window.start").as("bucket_start"), col("n"), col("sv"))
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
+  test("saltedEquiJoin equals the plain inner join") {
+    val big = (1 to 500).map(i => (i % 3L, i.toLong)).toDF("k", "v")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (2L, "c2")).toDF("k", "tag")
+    val salted = graft.join.Align.saltedEquiJoin(big, small, Seq("k"), 8)
+      .groupBy("k", "tag").count()
+    val plain = big.join(small, Seq("k")).groupBy("k", "tag").count()
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("empty inputs: ranged numbering, affine scan, runId produce no rows") {
+    val empty = Seq.empty[(Long, Double)].toDF("pos", "value")
+    assert(Series.attachPosRanged(empty.drop("pos"), Seq(), Seq(col("value"))).count() == 0)
+    assert(Moving.ema(empty, Seq(), "value", 5).count() == 0)
+    assert(graft.agg.Aggs.attachRunId(
+      empty.withColumn("b", lit(1)), Seq(), "b").count() == 0)
+  }
+
+  test("keyless trend (scan-based) equals the keyed window form") {
+    val df = (0 until 40).map(i => (i.toLong, math.sin(i / 3.0) * 10))
+      .toDF("pos", "value")
+    val keyless = graft.analytics.Analytics.trend(df, Seq(), "value")
+      .orderBy("pos").select("trend").as[Double].collect().toSeq
+    val keyed = graft.analytics.Analytics.trend(
+      df.withColumn("k", lit("x")), Seq("k"), "value")
+      .orderBy("pos").select("trend").as[Double].collect().toSeq
+    assert(keyless == keyed)
+  }
+
   test("attachPosRanged matches windowed numbering on keyed data") {
     val ev = graft.io.Tables.read(spark, sfDir, "events")
     val ranged = Series.attachPosRanged(ev, Seq("event_type"),
