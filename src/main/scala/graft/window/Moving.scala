@@ -172,13 +172,28 @@ object Moving {
   }
 
   /** Rank with gaps / dense rank over the whole series — cs_rank /
-    * cs_dense_rank (func.c:3495-3561).
+    * cs_dense_rank (func.c:3495-3561). Keyed: one window per key. Keyless:
+    * a global ordered window would be one task, so ranks derive from the
+    * ranged sort permutation — sort_pos via attachPosRanged, dense rank =
+    * the run index of the value in sort order (scan-based run id), rank =
+    * 1 + the run's first sort_pos (a groupBy(run) + join, parallel).
     */
-  def rank(df: DataFrame, keys: Seq[String], value: String): DataFrame = {
-    val w =
-      (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))
-        .orderBy(col(value))
-    df.withColumn("rnk", org.apache.spark.sql.functions.rank().over(w).cast("long"))
-      .withColumn("dense_rnk", dense_rank().over(w).cast("long"))
-  }
+  def rank(df: DataFrame, keys: Seq[String], value: String): DataFrame =
+    if (keys.isEmpty) {
+      val sorted = graft.series.Series.attachPosRanged(
+        df.withColumnRenamed("pos", "__origpos"), Seq(),
+        Seq(col(value), col("__origpos")), out = "pos")
+      val withRun = graft.agg.Aggs.attachRunId(sorted, Seq(), value)
+      val firsts = withRun.groupBy(col("run_id"))
+        .agg(min(col("pos")).as("__rfirst"))
+      withRun.join(firsts, "run_id")
+        .withColumn("rnk", col("__rfirst") + 1L)
+        .withColumn("dense_rnk", col("run_id")) // runs are value-ordered, 1-based
+        .drop("__rfirst", "pos", "run_id")
+        .withColumnRenamed("__origpos", "pos")
+    } else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(value))
+      df.withColumn("rnk", org.apache.spark.sql.functions.rank().over(w).cast("long"))
+        .withColumn("dense_rnk", dense_rank().over(w).cast("long"))
+    }
 }

@@ -94,6 +94,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("keyless rank/dense_rank (ranged) equals the keyed window form") {
+    for ((n, seed) <- cases if n > 1) {
+      // round to force ties so rank gaps and dense-rank compression differ
+      val df = seriesDf(series(n, seed))
+        .withColumn("value", round(col("value"), -2))
+      val keyless = Moving.rank(df, Seq(), "value")
+        .orderBy("pos").select("rnk", "dense_rnk").as[(Long, Long)].collect().toSeq
+      val keyed = Moving.rank(df.withColumn("k", lit("x")), Seq("k"), "value")
+        .orderBy("pos").select("rnk", "dense_rnk").as[(Long, Long)].collect().toSeq
+      assert(keyless == keyed)
+    }
+  }
+
   test("topK equals sort-take-k") {
     for ((n, seed) <- cases; k <- Seq(1, 5)) {
       val xs = series(n, seed)
