@@ -64,16 +64,33 @@ object Analytics {
     * differs from the previous non-zero sign.
     */
   def crossings(df: DataFrame, keys: Seq[String], value: String, dir: Int): DataFrame = {
-    val w = keyWindow(keys)
-    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
-    val s = signum(col(value))
-    val prevSign = last(when(s =!= 0.0, s), ignoreNulls = true).over(wPrev)
-    val flipped = prevSign.isNotNull && s =!= 0.0 && s =!= prevSign
-    val dirOk =
+    val dirOk: Column => Column = s =>
       if (dir > 0) s > 0 else if (dir < 0) s < 0 else lit(true)
-    df.withColumn("__flip", flipped && dirOk)
-      .filter(col("__flip"))
-      .drop("__flip")
+    if (keys.isEmpty) {
+      // carry the last non-zero sign via the affine scan (0.0 = none yet),
+      // then fetch the carry at pos-1 with a pos-join — no global window
+      val sIdx = df.schema.fieldIndex(value)
+      val carried = graft.window.Moving.affineScanRanged(df, Seq(), "__carry")(
+        seed = _ => 0.0) { r =>
+        val s = math.signum(r.getAs[Number](sIdx).doubleValue())
+        if (s != 0.0) (0.0, s) else (1.0, 0.0)
+      }
+      val prev = carried.select((col("pos") + 1L).as("pos"), col("__carry").as("__prevc"))
+      val s = signum(col(value))
+      carried.drop("__carry").join(prev, Seq("pos"), "left")
+        .filter(col("__prevc").isNotNull && col("__prevc") =!= 0.0 &&
+          s =!= 0.0 && s =!= col("__prevc") && dirOk(s))
+        .drop("__prevc")
+    } else {
+      val w = keyWindow(keys)
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val s = signum(col(value))
+      val prevSign = last(when(s =!= 0.0, s), ignoreNulls = true).over(wPrev)
+      val flipped = prevSign.isNotNull && s =!= 0.0 && s =!= prevSign
+      df.withColumn("__flip", flipped && dirOk(s))
+        .filter(col("__flip"))
+        .drop("__flip")
+    }
   }
 
   /** Positions of local extrema (alternating min/max) — cs_extrema
@@ -82,19 +99,45 @@ object Analytics {
     * non-zero delta after.
     */
   def extrema(df: DataFrame, keys: Seq[String], value: String): DataFrame = {
-    val w = keyWindow(keys)
-    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
-    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
-    val d = signum(col(value) - lag(col(value), 1).over(w))
-    // last non-zero delta up to and including this element
-    val before = last(when(d =!= 0.0, d), ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    df.withColumn("__before", before)
-      .withColumn("__after", first(when(col("__before").isNotNull, col("__before")),
-        ignoreNulls = true).over(wNext))
-      .filter(col("__before").isNotNull && col("__after").isNotNull &&
-        col("__before") =!= col("__after"))
-      .drop("__before", "__after")
+    if (keys.isEmpty) {
+      // before_i = forward carry of non-zero delta signs; after_i = the next
+      // row's backward carry (carry over reversed pos) — two affine scans
+      // and a pos-join instead of whole-frame windows
+      val withD = diff(df, Seq(), value, "__d").withColumn("__d", signum(col("__d")))
+      val dIdx = withD.schema.fieldIndex("__d")
+      val fwd = graft.window.Moving.affineScanRanged(withD, Seq(), "__before")(
+        seed = _ => 0.0) { r =>
+        val d = r.getDouble(dIdx)
+        if (d != 0.0) (0.0, d) else (1.0, 0.0)
+      }
+      // backward carry of __before's non-zero values: scan over negated pos
+      val bIdx = fwd.schema.fieldIndex("__before")
+      val rev = graft.window.Moving.affineScanRanged(
+        fwd.withColumnRenamed("pos", "__fp").withColumn("pos", -col("__fp")),
+        Seq(), "__bcarry")(seed = _ => 0.0) { r =>
+        val b = r.getDouble(bIdx)
+        if (b != 0.0) (0.0, b) else (1.0, 0.0)
+      }.withColumn("pos", col("__fp")).drop("__fp")
+      // after_i = backward carry at pos+1
+      val after = rev.select((col("pos") - 1L).as("pos"), col("__bcarry").as("__after"))
+      rev.drop("__bcarry").join(after, Seq("pos"), "left")
+        .filter(col("__before") =!= 0.0 && col("__after").isNotNull &&
+          col("__after") =!= 0.0 && col("__before") =!= col("__after"))
+        .drop("__before", "__after")
+    } else {
+      val w = keyWindow(keys)
+      val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+      val d = signum(col(value) - lag(col(value), 1).over(w))
+      // last non-zero delta up to and including this element
+      val before = last(when(d =!= 0.0, d), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      df.withColumn("__before", before)
+        .withColumn("__after", first(when(col("__before").isNotNull, col("__before")),
+          ignoreNulls = true).over(wNext))
+        .filter(col("__before").isNotNull && col("__after").isNotNull &&
+          col("__before") =!= col("__after"))
+        .drop("__before", "__after")
+    }
   }
 
   /** x / sqrt(Σx²) — cs_norm (func.c:594-658). Two-pass in the reference;

@@ -117,6 +117,24 @@ class StreamingDictSpec extends AnyFunSuite {
     assert(keyless == keyed)
   }
 
+  test("keyless crossings/extrema (scan-based) equal the keyed window forms") {
+    val df = (0 until 60).map(i => (i.toLong, math.sin(i / 2.5) * 5 - 0.5))
+      .toDF("pos", "value")
+    val dfK = df.withColumn("k", lit("x"))
+    for (dir <- Seq(-1, 0, 1)) {
+      val a = graft.analytics.Analytics.crossings(df, Seq(), "value", dir)
+        .select("pos").as[Long].collect().sorted.toSeq
+      val b = graft.analytics.Analytics.crossings(dfK, Seq("k"), "value", dir)
+        .select("pos").as[Long].collect().sorted.toSeq
+      assert(a == b, s"dir=$dir")
+    }
+    val ea = graft.analytics.Analytics.extrema(df, Seq(), "value")
+      .select("pos").as[Long].collect().sorted.toSeq
+    val eb = graft.analytics.Analytics.extrema(dfK, Seq("k"), "value")
+      .select("pos").as[Long].collect().sorted.toSeq
+    assert(ea == eb)
+  }
+
   test("attachPosRanged matches windowed numbering on keyed data") {
     val ev = graft.io.Tables.read(spark, sfDir, "events")
     val ranged = Series.attachPosRanged(ev, Seq("event_type"),
