@@ -102,13 +102,14 @@ object Dedup {
     val withSig = sh
       .withColumn("hs", minhashBase(col("sh")))
       .withColumn("sig", minhashSignature(col("hs"), k))
+    // (id, band) is unique by construction — one row per band per doc —
+    // so no distinct is needed before the bucket self-join
     val banded = withSig.select(
       col(id),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("bh")))))
       .select(col(id), col("col.band").as("band"), hash(col("col.bh").cast("string")).as("bucket"))
-      .distinct()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
