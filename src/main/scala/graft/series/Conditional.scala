@@ -31,10 +31,24 @@ object Conditional {
            a: DataFrame, b: DataFrame, valueCol: String,
            out: String = "if_value"): DataFrame = {
     val truth = col(condCol).cast("boolean")
-    val w = (if (keys.isEmpty) Window.partitionBy(truth)
-             else Window.partitionBy(keys.map(col) :+ truth: _*))
-      .orderBy(col("pos"))
-    val withIdx = cond.withColumn("__bi", row_number().over(w).cast("long") - 1L)
+    val withIdx =
+      if (keys.isEmpty) {
+        // rank-within-truth = running count of same-truth rows − 1. A
+        // window partitioned by the boolean would be TWO tasks total;
+        // instead one affine prefix scan computes the running true-count,
+        // and the false index falls out as pos − trueCount.
+        val flagged = cond.withColumn("__t", truth)
+        val tIdx = flagged.schema.fieldIndex("__t")
+        graft.window.Moving.affineScanRanged(flagged, Seq(), "__tc")(
+          seed = _ => 0.0) { r => (1.0, if (r.getBoolean(tIdx)) 1.0 else 0.0) }
+          .withColumn("__bi",
+            when(col("__t"), col("__tc").cast("long") - 1L)
+              .otherwise(col("pos") - col("__tc").cast("long")))
+          .drop("__t", "__tc")
+      } else {
+        val w = Window.partitionBy(keys.map(col) :+ truth: _*).orderBy(col("pos"))
+        cond.withColumn("__bi", row_number().over(w).cast("long") - 1L)
+      }
     val cols = cond.columns.toSeq
     def branch(src: DataFrame, rows: DataFrame): DataFrame =
       rows.join(

@@ -184,12 +184,25 @@ object Moving {
         df.withColumnRenamed("pos", "__origpos"), Seq(),
         Seq(col(value), col("__origpos")), out = "pos")
       val withRun = graft.agg.Aggs.attachRunId(sorted, Seq(), value)
-      val firsts = withRun.groupBy(col("run_id"))
-        .agg(min(col("pos")).as("__rfirst"))
-      withRun.join(firsts, "run_id")
-        .withColumn("rnk", col("__rfirst") + 1L)
+      // rank = 1 + the run's first sort_pos, carried forward by a second
+      // scan that resets at run starts (predecessor run_id via pos-join).
+      // A groupBy(run_id)+join would shuffle every row onto as many
+      // reducers as there are runs — badly skewed when the series has few
+      // distinct values.
+      val prev = withRun.select((col("pos") + 1L).as("pos"), col("run_id").as("__prun"))
+      val flagged = withRun.join(prev, Seq("pos"), "left")
+        .withColumn("__start",
+          col("__prun").isNull || col("__prun") =!= col("run_id"))
+      val sIdx = flagged.schema.fieldIndex("__start")
+      val pIdx2 = flagged.schema.fieldIndex("pos")
+      affineScanRanged(flagged, Seq(), "__rfirst")(
+        seed = r => r.getAs[Number](pIdx2).doubleValue()) { r =>
+        if (r.getBoolean(sIdx)) (0.0, r.getAs[Number](pIdx2).doubleValue())
+        else (1.0, 0.0)
+      }
+        .withColumn("rnk", col("__rfirst").cast("long") + 1L)
         .withColumn("dense_rnk", col("run_id")) // runs are value-ordered, 1-based
-        .drop("__rfirst", "pos", "run_id")
+        .drop("__rfirst", "__prun", "__start", "pos", "run_id")
         .withColumnRenamed("__origpos", "pos")
     } else {
       val w = Window.partitionBy(keys.map(col): _*).orderBy(col(value))
