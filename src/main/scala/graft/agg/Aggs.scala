@@ -185,19 +185,43 @@ object Aggs {
     * Running frame per key. cum_prd via exp∘sum∘log is only valid for
     * positive values; the general path is the window-product below.
     */
-  def cumAgg(df: DataFrame, keys: Seq[String], value: String): DataFrame = {
-    val w =
-      (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))
+  def cumAgg(df: DataFrame, keys: Seq[String], value: String): DataFrame =
+    if (keys.isEmpty) {
+      // one monoid scan carries (Σx, Σx², min, max); count is pos+1 for
+      // free; var/dev use the reference's naive formula (func.c:1475-1491)
+      // — no whole-frame ordered window
+      val vIdx = df.schema.fieldIndex(value)
+      val scanned = graft.window.Moving.monoidScanRanged(
+        df, Seq(), Seq("__s", "__ss", "__mn", "__mx"))(
+        Array(0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)) { r =>
+        val x = r.getAs[Number](vIdx).doubleValue()
+        Array(x, x * x, x, x)
+      } { (a, b) =>
+        Array(a(0) + b(0), a(1) + b(1), math.min(a(2), b(2)), math.max(a(3), b(3)))
+      }
+      val n = (col("pos") + 1L).cast("double")
+      scanned
+        .withColumn("cum_sum", col("__s"))
+        .withColumn("cum_avg", col("__s") / n)
+        .withColumn("cum_min", col("__mn"))
+        .withColumn("cum_max", col("__mx"))
+        .withColumn("cum_count", col("pos") + 1L)
+        .withColumn("cum_var",
+          greatest((col("__ss") - col("__s") * col("__s") / n) / n, lit(0.0)))
+        .withColumn("cum_dev", sqrt(col("cum_var")))
+        .drop("__s", "__ss", "__mn", "__mx")
+    } else {
+      val w = Window.partitionBy(keys.map(col): _*)
         .orderBy(col("pos"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_sum", sum(col(value)).over(w))
-      .withColumn("cum_avg", avg(col(value)).over(w))
-      .withColumn("cum_min", min(col(value)).over(w))
-      .withColumn("cum_max", max(col(value)).over(w))
-      .withColumn("cum_count", count(lit(1)).over(w))
-      .withColumn("cum_var", var_pop(col(value)).over(w))
-      .withColumn("cum_dev", stddev_pop(col(value)).over(w))
-  }
+      df.withColumn("cum_sum", sum(col(value)).over(w))
+        .withColumn("cum_avg", avg(col(value)).over(w))
+        .withColumn("cum_min", min(col(value)).over(w))
+        .withColumn("cum_max", max(col(value)).over(w))
+        .withColumn("cum_count", count(lit(1)).over(w))
+        .withColumn("cum_var", var_pop(col(value)).over(w))
+        .withColumn("cum_dev", stddev_pop(col(value)).over(w))
+    }
 
   /** Fixed-bin histogram — cs_histogram (func.c:4062-4133): counts of
     * values in n equal bins over [min, max); out-of-range values ignored.

@@ -53,6 +53,10 @@ object Align {
     // Right rows (__side=0) sort before left rows at equal ts in scan
     // order, so an exact timestamp match is visible to the left row —
     // matches the reference's inclusive boundary in both directions.
+    // NOTE: keyless, the window below is whole-frame (one task); the
+    // scalable keyless route is pos attachment over the union ordered by
+    // (ts, side) + a carry-forward scan (Moving.affineScanRanged) of the
+    // right value. Callers today always align per key.
     val tsOrd = if (direction == -1) col(ts).asc else col(ts).desc
     val w =
       (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))

@@ -26,11 +26,74 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   */
 object Moving {
 
-  /** Trailing-window frame of n rows ending at the current row. */
+  /** Trailing-window frame of n rows ending at the current row.
+    * NOTE: keyless, this is a whole-frame ordered window (one task); the
+    * scalable keyless route is cum-scan differences for sum/avg/var
+    * (w_sum_i = cum_i − cum_{i−N} via monoidScanRanged + a pos-join) and
+    * boundary-replicated chunks for min/max. Current callers are keyed.
+    */
   def frame(keys: Seq[String], n: Int) =
     (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))
       .orderBy(col("pos"))
       .rowsBetween(-(n - 1), Window.currentRow)
+
+  /** Generalization of [[affineScanRanged]] to an arbitrary associative
+    * monoid over a fixed-width Double state vector: pass 1 folds each
+    * chunk, the driver prefix-folds per key, pass 2 replays from the
+    * incoming state and emits the running state's components as `outs`
+    * columns. Handles every componentwise-associative running aggregate
+    * (sum/sumsq/min/max in ONE pass) where the affine form cannot.
+    */
+  def monoidScanRanged(df: DataFrame, keys: Seq[String], outs: Seq[String])(
+      identity: Array[Double])(inject: Row => Array[Double])(
+      op: (Array[Double], Array[Double]) => Array[Double]): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val all = keys.map(col) :+ col("pos")
+    val ranged = df.repartitionByRange(parts, all: _*).sortWithinPartitions(all: _*)
+    val keyIdx = keys.map(ranged.schema.fieldIndex)
+    val rdd = ranged.rdd
+    val comps: Array[(Int, Seq[Any], Array[Double])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Any], Array[Double])]
+        var cur: Seq[Any] = null
+        var acc = identity
+        var any = false
+        it.foreach { r =>
+          val k = keyIdx.map(r.get)
+          if (!any || k != cur) {
+            if (any) buf += ((pid, cur, acc))
+            cur = k; acc = identity; any = true
+          }
+          acc = op(acc, inject(r))
+        }
+        if (any) buf += ((pid, cur, acc))
+        buf.iterator
+      }.collect()
+    val incoming: Map[(Int, Seq[Any]), Array[Double]] =
+      comps.groupBy(_._2).iterator.flatMap { case (k, rows) =>
+        var e = identity
+        rows.sortBy(_._1).map { case (pid, _, a) =>
+          val entry = (pid, k) -> e
+          e = op(e, a)
+          entry
+        }
+      }.toMap
+    val bc = spark.sparkContext.broadcast(incoming)
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Seq[Any] = null
+      var e = identity
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        if (cur == null || k != cur) { cur = k; e = bc.value((pid, k)) }
+        e = op(e, inject(r))
+        Row.fromSeq(r.toSeq ++ e.toSeq)
+      }
+    }
+    spark.createDataFrame(outRdd,
+      StructType(ranged.schema.fields ++
+        outs.map(o => StructField(o, DoubleType, nullable = false))))
+  }
 
   /** cs_window_sum/avg/min/max/var/dev (func.c:1632-1761).
     *
