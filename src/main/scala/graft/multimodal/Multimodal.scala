@@ -7,10 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * Self-describing formats decode for REAL in pure JVM — BMP headers and
-  * RIFF/WAV PCM (header walk + sample extraction) need no codec library.
-  * Compressed codecs (JPEG/MP3/H.264) are STUBBED behind `decodeStub`, a
-  * deterministic fake, because the container ships no media libraries.
+  * Header-described metadata decodes for REAL in pure JVM — BMP/PNG/GIF
+  * dimensions, JPEG dimensions via the marker walk, RIFF/WAV PCM (header
+  * walk + sample extraction) need no codec library. Pixel/audio decode for
+  * compressed codecs (JPEG entropy data, MP3, H.264) is STUBBED behind
+  * `decodeStub`, a deterministic fake, because the container ships no
+  * media libraries.
   * Everything around the decode is production Spark: the binary schema,
   * the batched mapPartitions shape (the Scala analog of mapInPandas: one
   * iterator per partition, amortized per-batch setup), and streaming
@@ -43,6 +45,56 @@ object Multimodal {
     if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
       Some((leInt(b, 18), math.abs(leInt(b, 22)))) // height may be negative (top-down)
     else None
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def beShort(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** PNG: 8-byte signature, IHDR width/height big-endian at 16/20. */
+  def parsePng(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 &&
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some((beInt(b, 16), beInt(b, 20)))
+    else None
+
+  /** GIF87a/89a: little-endian logical-screen width/height at 6/8. */
+  def parseGif(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      Some((leShort(b, 6), leShort(b, 8)))
+    else None
+
+  /** JPEG: walk marker segments for a start-of-frame (0xC0-0xCF minus
+    * C4/C8/CC); height/width are big-endian at segment offsets 5/7. The
+    * dimensions live in the headers — no entropy decode needed.
+    */
+  def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var off = 2
+    while (off + 9 < b.length) {
+      if ((b(off) & 0xff) != 0xff) return None
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) {
+        off += 2 // standalone marker, no length
+      } else {
+        val len = beShort(b, off + 2)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return Some((beShort(b, off + 7), beShort(b, off + 5))) // (width, height)
+        off += 2 + len
+      }
+    }
+    None
+  }
+
+  /** First image parser that recognizes the payload. */
+  def parseImage(b: Array[Byte]): Option[(String, Int, Int)] =
+    parseBmp(b).map { case (w, h) => ("bmp", w, h) }
+      .orElse(parsePng(b).map { case (w, h) => ("png", w, h) })
+      .orElse(parseGif(b).map { case (w, h) => ("gif", w, h) })
+      .orElse(parseJpeg(b).map { case (w, h) => ("jpeg", w, h) })
 
   /** RIFF/WAV: walk chunks for "fmt " (channels, sample rate, bits) and
     * "data" (payload length) → (sampleRate, channels, bitsPerSample,
@@ -99,8 +151,8 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val n = bytes.length.toLong
         val fp = fnv(bytes)
-        parseBmp(bytes) match {
-          case Some((w, h)) => MediaMeta(id, n, "bmp", w, h, 1, 0, 0, fp)
+        parseImage(bytes) match {
+          case Some((fmt, w, h)) => MediaMeta(id, n, fmt, w, h, 1, 0, 0, fp)
           case None => parseWav(bytes) match {
             case Some((rate, ch, _, frames, _)) =>
               MediaMeta(id, n, "wav", 0, 0,

@@ -57,6 +57,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m == (("bmp", 7, 5, 1)))
   }
 
+  test("PNG, GIF, and JPEG dimensions parse from headers") {
+    val png = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.put(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+        0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13); bb.put("IHDR".getBytes)
+      bb.putInt(640); bb.putInt(480)
+      bb.array()
+    }
+    val gif = {
+      val bb = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GIF89a".getBytes); bb.putShort(320); bb.putShort(200)
+      bb.array()
+    }
+    val jpeg = {
+      // SOI, APP0 (len 4), SOF0 (len 17: precision + h + w + ...)
+      val bb = java.nio.ByteBuffer.allocate(2 + 2 + 4 + 2 + 2 + 15)
+      bb.putShort(0xffd8.toShort)
+      bb.putShort(0xffe0.toShort); bb.putShort(4); bb.putShort(0)
+      bb.putShort(0xffc0.toShort); bb.putShort(17); bb.put(8.toByte)
+      bb.putShort(1080.toShort); bb.putShort(1920.toShort)
+      bb.array()
+    }
+    assert(Multimodal.parsePng(png).contains((640, 480)))
+    assert(Multimodal.parseGif(gif).contains((320, 200)))
+    assert(Multimodal.parseJpeg(jpeg).contains((1920, 1080)))
+    val df = Seq((10L, png, "image/png"), (11L, gif, "image/gif"), (12L, jpeg, "image/jpeg"))
+      .toDF("media_id", "bytes", "mime")
+    val m = Multimodal.extractMeta(df, "media_id", "bytes")
+      .orderBy("media_id").select("format", "width", "height")
+      .as[(String, Int, Int)].collect().toSeq
+    assert(m == Seq(("png", 640, 480), ("gif", 320, 200), ("jpeg", 1920, 1080)))
+  }
+
   test("unknown formats fall back to the deterministic stub") {
     val df = Seq((3L, Array[Byte](1, 2, 3, 4, 5), "application/octet-stream"))
       .toDF("media_id", "bytes", "mime")
