@@ -566,6 +566,16 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")
         .select(col("canonical_id"), col("n_dups"))),
+    "q_json" -> ((s, dir) =>
+      // structured metadata extraction from a JSON props column — the
+      // training-pipeline sidecar-parsing op; get_json_object is the
+      // codegen'd path (no UDF), and the extracted key feeds a normal agg
+      Tables.read(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k_val")).as("sum_k"),
+          min(col("k_val")).as("min_k"), max(col("k_val")).as("max_k"))),
     "q_token_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextOps.tokenCountWs(col("text")).as("n_ws"),
@@ -1084,6 +1094,12 @@ object SparkEntry {
       s"""SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
          FROM (SELECT doc_id, $normSql AS norm FROM documents)
          GROUP BY norm""",
+    "q_json" ->
+      """SELECT event_type, count(*) AS n,
+         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type""",
     "q_token_count" ->
       """SELECT doc_id,
          len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
