@@ -89,8 +89,12 @@ object Aggs {
     */
   def attachRunId(df: DataFrame, keys: Seq[String], groupVal: String): DataFrame =
     if (keys.isEmpty) {
-      val prev = df.select((col("pos") + 1L).as("pos"), col(groupVal).as("__prev"))
-      val flagged = df.join(prev, Seq("pos"), "left")
+      // ordinal renumbering (gap-safe for non-dense pos) feeds the
+      // predecessor join; the cumulative change-count is the affine scan
+      val ord = graft.series.Series.attachPosRanged(
+        df, Seq(), Seq(col("pos")), out = "__ord")
+      val prev = ord.select((col("__ord") + 1L).as("__ord"), col(groupVal).as("__prev"))
+      val flagged = ord.join(prev, Seq("__ord"), "left")
         .withColumn("__chg",
           when(col("__prev").isNull || col("__prev") =!= col(groupVal), 1.0)
             .otherwise(0.0))
@@ -98,7 +102,7 @@ object Aggs {
       graft.window.Moving.affineScanRanged(flagged, Seq(), "__run_d")(
         seed = _ => 0.0) { r => (1.0, r.getDouble(cIdx)) }
         .withColumn("run_id", col("__run_d").cast("long"))
-        .drop("__chg", "__prev", "__run_d")
+        .drop("__chg", "__prev", "__run_d", "__ord")
     } else {
       val w = Window.partitionBy(keys.map(col): _*).orderBy(col("pos"))
       df.withColumn(
@@ -187,29 +191,31 @@ object Aggs {
     */
   def cumAgg(df: DataFrame, keys: Seq[String], value: String): DataFrame =
     if (keys.isEmpty) {
-      // one monoid scan carries (Σx, Σx², min, max); count is pos+1 for
-      // free; var/dev use the reference's naive formula (func.c:1475-1491)
-      // — no whole-frame ordered window
+      // one monoid scan carries (Σx, Σx², min, max, count) — the count is a
+      // scan component, NOT pos+1, so sliced series with non-dense pos
+      // divide by the true running row count; var/dev use the reference's
+      // naive formula (func.c:1475-1491) — no whole-frame ordered window
       val vIdx = df.schema.fieldIndex(value)
       val scanned = graft.window.Moving.monoidScanRanged(
-        df, Seq(), Seq("__s", "__ss", "__mn", "__mx"))(
-        Array(0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)) { r =>
+        df, Seq(), Seq("__s", "__ss", "__mn", "__mx", "__n"))(
+        Array(0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity, 0.0)) { r =>
         val x = r.getAs[Number](vIdx).doubleValue()
-        Array(x, x * x, x, x)
+        Array(x, x * x, x, x, 1.0)
       } { (a, b) =>
-        Array(a(0) + b(0), a(1) + b(1), math.min(a(2), b(2)), math.max(a(3), b(3)))
+        Array(a(0) + b(0), a(1) + b(1), math.min(a(2), b(2)),
+          math.max(a(3), b(3)), a(4) + b(4))
       }
-      val n = (col("pos") + 1L).cast("double")
+      val n = col("__n")
       scanned
         .withColumn("cum_sum", col("__s"))
         .withColumn("cum_avg", col("__s") / n)
         .withColumn("cum_min", col("__mn"))
         .withColumn("cum_max", col("__mx"))
-        .withColumn("cum_count", col("pos") + 1L)
+        .withColumn("cum_count", col("__n").cast("long"))
         .withColumn("cum_var",
           greatest((col("__ss") - col("__s") * col("__s") / n) / n, lit(0.0)))
         .withColumn("cum_dev", sqrt(col("cum_var")))
-        .drop("__s", "__ss", "__mn", "__mx")
+        .drop("__s", "__ss", "__mn", "__mx", "__n")
     } else {
       val w = Window.partitionBy(keys.map(col): _*)
         .orderBy(col("pos"))

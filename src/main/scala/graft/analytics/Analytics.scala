@@ -21,14 +21,19 @@ object Analytics {
       .orderBy(col("pos"))
 
   /** out[0]=0; out[i]=x[i]-x[i-1] — cs_diff (func.c:2268-2303). Keyless
-    * series use a pos-equi self-join for the predecessor (parallel) rather
-    * than a single-partition ordered window.
+    * series get the predecessor from the pre-state of a reset-carry scan
+    * (order-based, so non-dense pos from slicing/filtering is handled the
+    * same way the keyed lag window handles it); seeding with the first
+    * value makes row 0's diff exactly 0.
     */
   def diff(df: DataFrame, keys: Seq[String], value: String, out: String = "diff"): DataFrame =
     if (keys.isEmpty) {
-      val prev = df.select((col("pos") + 1L).as("pos"), col(value).as("__prev"))
-      df.join(prev, Seq("pos"), "left")
-        .withColumn(out, coalesce(col(value) - col("__prev"), lit(0.0)))
+      val vIdx = df.schema.fieldIndex(value)
+      graft.window.Moving.affineScanRanged(df, Seq(), "__prev", pre = true)(
+        seed = r => r.getAs[Number](vIdx).doubleValue()) { r =>
+        (0.0, r.getAs[Number](vIdx).doubleValue())
+      }
+        .withColumn(out, col(value) - col("__prev"))
         .drop("__prev")
     } else
       df.withColumn(out, col(value) - lag(col(value), 1, null).over(keyWindow(keys)))
@@ -67,19 +72,17 @@ object Analytics {
     val dirOk: Column => Column = s =>
       if (dir > 0) s > 0 else if (dir < 0) s < 0 else lit(true)
     if (keys.isEmpty) {
-      // carry the last non-zero sign via the affine scan (0.0 = none yet),
-      // then fetch the carry at pos-1 with a pos-join — no global window
+      // the sign carried up to the PREVIOUS row is the pre-state of the
+      // reset-carry scan (0.0 = none yet) — gap-safe, no join, no global
+      // window
       val sIdx = df.schema.fieldIndex(value)
-      val carried = graft.window.Moving.affineScanRanged(df, Seq(), "__carry")(
-        seed = _ => 0.0) { r =>
-        val s = math.signum(r.getAs[Number](sIdx).doubleValue())
-        if (s != 0.0) (0.0, s) else (1.0, 0.0)
-      }
-      val prev = carried.select((col("pos") + 1L).as("pos"), col("__carry").as("__prevc"))
       val s = signum(col(value))
-      carried.drop("__carry").join(prev, Seq("pos"), "left")
-        .filter(col("__prevc").isNotNull && col("__prevc") =!= 0.0 &&
-          s =!= 0.0 && s =!= col("__prevc") && dirOk(s))
+      graft.window.Moving.affineScanRanged(df, Seq(), "__prevc", pre = true)(
+        seed = _ => 0.0) { r =>
+        val sv = math.signum(r.getAs[Number](sIdx).doubleValue())
+        if (sv != 0.0) (0.0, sv) else (1.0, 0.0)
+      }
+        .filter(col("__prevc") =!= 0.0 && s =!= 0.0 && s =!= col("__prevc") && dirOk(s))
         .drop("__prevc")
     } else {
       val w = keyWindow(keys)
@@ -110,18 +113,17 @@ object Analytics {
         val d = r.getDouble(dIdx)
         if (d != 0.0) (0.0, d) else (1.0, 0.0)
       }
-      // backward carry of __before's non-zero values: scan over negated pos
+      // after_i = the nearest non-zero __before strictly AFTER i = the
+      // pre-state of the reset-carry scan over reversed order (negated
+      // pos) — gap-safe, no join
       val bIdx = fwd.schema.fieldIndex("__before")
-      val rev = graft.window.Moving.affineScanRanged(
+      graft.window.Moving.affineScanRanged(
         fwd.withColumnRenamed("pos", "__fp").withColumn("pos", -col("__fp")),
-        Seq(), "__bcarry")(seed = _ => 0.0) { r =>
+        Seq(), "__after", pre = true)(seed = _ => 0.0) { r =>
         val b = r.getDouble(bIdx)
         if (b != 0.0) (0.0, b) else (1.0, 0.0)
       }.withColumn("pos", col("__fp")).drop("__fp")
-      // after_i = backward carry at pos+1
-      val after = rev.select((col("pos") - 1L).as("pos"), col("__bcarry").as("__after"))
-      rev.drop("__bcarry").join(after, Seq("pos"), "left")
-        .filter(col("__before") =!= 0.0 && col("__after").isNotNull &&
+        .filter(col("__before") =!= 0.0 &&
           col("__after") =!= 0.0 && col("__before") =!= col("__after"))
         .drop("__before", "__after")
     } else {

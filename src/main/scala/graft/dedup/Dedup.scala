@@ -127,10 +127,13 @@ object Dedup {
     minhashCandidates(shingleSets(df, id, text, shingleLen), id, bands, rowsPerBand)
 
   /** The full MinHash-LSH near-dup pipeline: banded candidate generation
-    * followed by exact-Jaccard verification. With 8 bands × 2 rows the miss
-    * probability for a pair at Jaccard 0.9 is (1 − 0.9²)⁸ ≈ 2e-6, so at the
-    * verification threshold the output equals the exact all-pairs answer —
-    * which is what the DuckDB oracle computes (q_minhash_lsh).
+    * followed by exact-Jaccard verification. Miss probability for a pair at
+    * Jaccard j is (1 − j²)⁸ with 8 bands × 2 rows: ≈1.4e-9 at j=0.96 (the
+    * testdata's planted near-dups all measure ≥ 0.96) but ≈10% at j=0.5 —
+    * so oracle EQUALITY with the exact all-pairs answer (q_minhash_lsh)
+    * relies on the corpus having no borderline pairs near the verification
+    * threshold; for corpora with borderline pairs, assert a recall floor
+    * instead (see q_cos_lsh's contract).
     */
   def minhashLshPairsVerified(df: DataFrame, id: String, text: String,
                               shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 2,
@@ -154,10 +157,14 @@ object Dedup {
                         maxDf: Int = 10000): DataFrame = {
     val sh = shingleSets(df, id, text, shingleLen)
     val inv = sh.select(col(id), explode(col("sh")).as("g"))
-    val capped = inv
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("__df") <= maxDf)
-      .drop("__df")
+    // hot-shingle list via groupBy (map-side partial counts — skew-safe,
+    // unlike a window over g which would pile every occurrence of a hot
+    // shingle onto one task), then a broadcast anti-join drops them from
+    // the index without shuffling the big side at all
+    val hot = inv.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("g"))
+    val capped = inv.join(broadcast(hot), Seq("g"), "left_anti")
     val cand = capped.as("x").join(capped.as("y"),
         col("x.g") === col("y.g") && col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("id1"), col(s"y.$id").as("id2"))

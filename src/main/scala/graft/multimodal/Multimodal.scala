@@ -40,10 +40,18 @@ object Multimodal {
   private def tag(b: Array[Byte], off: Int): String =
     new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** BMP header: magic "BM", int32 width at 18, int32 height at 22. */
+  /** Known BITMAPINFOHEADER sizes — validates the sniff beyond the 2-byte
+    * "BM" magic, which ordinary text can start with.
+    */
+  private val BmpDibSizes = Set(12, 40, 52, 56, 64, 108, 124)
+
+  /** BMP header: magic "BM", a known DIB header size at 14, int32 width at
+    * 18, int32 height at 22 (may be negative = top-down).
+    */
   def parseBmp(b: Array[Byte]): Option[(Int, Int)] =
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-      Some((leInt(b, 18), math.abs(leInt(b, 22)))) // height may be negative (top-down)
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' &&
+      BmpDibSizes.contains(leInt(b, 14)) && leInt(b, 18) > 0 && leInt(b, 22) != 0)
+      Some((leInt(b, 18), math.abs(leInt(b, 22))))
     else None
 
   private def beInt(b: Array[Byte], off: Int): Int =
@@ -60,11 +68,17 @@ object Multimodal {
       Some((beInt(b, 16), beInt(b, 20)))
     else None
 
-  /** GIF87a/89a: little-endian logical-screen width/height at 6/8. */
-  def parseGif(b: Array[Byte]): Option[(Int, Int)] =
-    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+  /** GIF: full 6-byte "GIF87a"/"GIF89a" magic (a 3-byte prefix would match
+    * prose), little-endian logical-screen width/height at 6/8.
+    */
+  def parseGif(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 10) return None
+    val magic = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if ((magic == "GIF87a" || magic == "GIF89a") &&
+      leShort(b, 6) > 0 && leShort(b, 8) > 0)
       Some((leShort(b, 6), leShort(b, 8)))
     else None
+  }
 
   /** JPEG: walk marker segments for a start-of-frame (0xC0-0xCF minus
     * C4/C8/CC); height/width are big-endian at segment offsets 5/7. The
@@ -108,6 +122,9 @@ object Multimodal {
     while (off + 8 <= b.length) {
       val id = tag(b, off)
       val sz = leInt(b, off + 4)
+      // a corrupt/negative chunk size would stall or reverse the walk —
+      // treat the rest of the payload as garbage instead of looping
+      if (sz < 0) return None
       if (id == "fmt " && off + 8 + 16 <= b.length) {
         ch = leShort(b, off + 10)
         rate = leInt(b, off + 12)
@@ -118,7 +135,8 @@ object Multimodal {
       }
       off += 8 + sz + (sz & 1) // chunks are word-aligned
     }
-    if (rate > 0 && ch > 0 && bits > 0 && dataOff >= 0)
+    // whole sample frames only: bits must be a positive multiple of 8
+    if (rate > 0 && ch > 0 && bits >= 8 && bits % 8 == 0 && dataOff >= 0)
       Some((rate, ch, bits, dataLen / (ch.toLong * (bits / 8)), dataOff))
     else None
   }

@@ -35,16 +35,18 @@ object Conditional {
       if (keys.isEmpty) {
         // rank-within-truth = running count of same-truth rows − 1. A
         // window partitioned by the boolean would be TWO tasks total;
-        // instead one affine prefix scan computes the running true-count,
-        // and the false index falls out as pos − trueCount.
+        // one vector monoid scan carries BOTH running counts (true, false)
+        // — counting actual rows, so non-dense pos cannot skew the index.
         val flagged = cond.withColumn("__t", truth)
         val tIdx = flagged.schema.fieldIndex("__t")
-        graft.window.Moving.affineScanRanged(flagged, Seq(), "__tc")(
-          seed = _ => 0.0) { r => (1.0, if (r.getBoolean(tIdx)) 1.0 else 0.0) }
+        graft.window.Moving.monoidScanRanged(flagged, Seq(), Seq("__tc", "__fc"))(
+          Array(0.0, 0.0)) { r =>
+          if (r.getBoolean(tIdx)) Array(1.0, 0.0) else Array(0.0, 1.0)
+        } { (a, b) => Array(a(0) + b(0), a(1) + b(1)) }
           .withColumn("__bi",
             when(col("__t"), col("__tc").cast("long") - 1L)
-              .otherwise(col("pos") - col("__tc").cast("long")))
-          .drop("__t", "__tc")
+              .otherwise(col("__fc").cast("long") - 1L))
+          .drop("__t", "__tc", "__fc")
       } else {
         val w = Window.partitionBy(keys.map(col) :+ truth: _*).orderBy(col("pos"))
         cond.withColumn("__bi", row_number().over(w).cast("long") - 1L)

@@ -190,15 +190,18 @@ object Series {
 
   /** Collapse adjacent duplicates — cs_unique (func.c:3737-3844). Keeps the
     * first element of each run of equal `value`s; output keeps original pos.
-    * Keyless series fetch the predecessor with a pos-equi self-join (two
-    * parallel shuffles) instead of a single-partition ordered window.
+    * Keyless series renumber ordinally (ranged, gap-safe for non-dense pos
+    * after slicing/filtering) and fetch the predecessor with an
+    * ordinal-equi self-join — parallel shuffles, no whole-frame window,
+    * and `value` may be any comparable type.
     */
   def uniqueAdjacent(df: DataFrame, keys: Seq[String], value: String): DataFrame = {
     if (keys.isEmpty) {
-      val prev = df.select((col("pos") + 1L).as("pos"), col(value).as("__prev"))
-      df.join(prev, Seq("pos"), "left")
+      val ord = attachPosRanged(df, Seq(), Seq(col("pos")), out = "__ord")
+      val prev = ord.select((col("__ord") + 1L).as("__ord"), col(value).as("__prev"))
+      ord.join(prev, Seq("__ord"), "left")
         .filter(col("__prev").isNull || col("__prev") =!= col(value))
-        .drop("__prev")
+        .drop("__prev", "__ord")
     } else {
       val w = Window.partitionBy(keys.map(col): _*).orderBy(col("pos"))
       df.withColumn("__prev", lag(col(value), 1).over(w))

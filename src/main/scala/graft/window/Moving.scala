@@ -138,7 +138,13 @@ object Moving {
     * Both passes share one captured shuffle (see Series.attachPosRanged
     * for why re-deriving the DataFrame would corrupt the chunking).
     */
-  def affineScanRanged(df: DataFrame, keys: Seq[String], out: String)(
+  /** With `pre = true` the emitted column is the state BEFORE applying the
+    * current row — the gap-safe form of `lag`/"carry up to the previous
+    * row" (no pos-arithmetic join, so non-dense pos from slicing/filtering
+    * cannot skew it). The first row of a key emits the seed.
+    */
+  def affineScanRanged(df: DataFrame, keys: Seq[String], out: String,
+                       pre: Boolean = false)(
       seed: Row => Double)(coef: Row => (Double, Double)): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -185,9 +191,10 @@ object Moving {
       it.map { r =>
         val k = keyIdx.map(r.get)
         if (cur == null || k != cur) { cur = k; e = bc.value((pid, k)) }
+        val before = e
         val (ca, cb) = coef(r)
         e = ca * e + cb
-        Row.fromSeq(r.toSeq :+ e)
+        Row.fromSeq(r.toSeq :+ (if (pre) before else e))
       }
     }
     spark.createDataFrame(outRdd,

@@ -107,6 +107,56 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("keyless ops match keyed forms on GAPPED pos (sliced series)") {
+    // thin keeps original pos (0, 3, 6, ...) — the keyless scan/ordinal
+    // paths must not assume density
+    val base = seriesDf(series(90, 77L))
+      .withColumn("value", round(col("value"), -2))
+    val gapped = Series.thin(base, 0, 3)
+    val gk = gapped.withColumn("k", lit("x"))
+    def seqOf(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.orderBy("pos").select(c).as[Double].collect().toSeq
+    // diff
+    assert(seqOf(Analytics.diff(gapped, Seq(), "value"), "diff") ==
+      seqOf(Analytics.diff(gk, Seq("k"), "value"), "diff"))
+    // uniqueAdjacent
+    assert(
+      Series.uniqueAdjacent(gapped, Seq(), "value").select("pos").as[Long].collect().sorted.toSeq ==
+      Series.uniqueAdjacent(gk, Seq("k"), "value").select("pos").as[Long].collect().sorted.toSeq)
+    // attachRunId
+    assert(
+      Aggs.attachRunId(gapped, Seq(), "value").orderBy("pos").select("run_id").as[Long].collect().toSeq ==
+      Aggs.attachRunId(gk, Seq("k"), "value").orderBy("pos").select("run_id").as[Long].collect().toSeq)
+    // cumAgg (count/avg depend on true row count, not pos)
+    val ckl = Aggs.cumAgg(gapped, Seq(), "value").orderBy("pos")
+      .select("cum_count", "cum_avg").as[(Long, Double)].collect().toSeq
+    val ckd = Aggs.cumAgg(gk, Seq("k"), "value").orderBy("pos")
+      .select("cum_count", "cum_avg").as[(Long, Double)].collect().toSeq
+    assert(ckl.map(_._1) == ckd.map(_._1))
+    ckl.zip(ckd).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-6) }
+    // crossings + extrema
+    val centered = gapped.withColumn("value", col("value") - 100)
+    val centeredK = centered.withColumn("k", lit("x"))
+    assert(
+      Analytics.crossings(centered, Seq(), "value", 0).select("pos").as[Long].collect().sorted.toSeq ==
+      Analytics.crossings(centeredK, Seq("k"), "value", 0).select("pos").as[Long].collect().sorted.toSeq)
+    assert(
+      Analytics.extrema(gapped, Seq(), "value").select("pos").as[Long].collect().sorted.toSeq ==
+      Analytics.extrema(gk, Seq("k"), "value").select("pos").as[Long].collect().sorted.toSeq)
+    // csIf: gapped cond frame
+    val cond = gapped.select(col("pos"), (col("value") > 0).as("c"))
+    val aS = seriesDf(series(40, 78L))
+    val bS = seriesDf(series(40, 79L))
+    val kl = graft.series.Conditional.csIf(cond, Seq(), "c", aS, bS, "value")
+      .orderBy("pos").select("if_value").as[Double].collect().toSeq
+    // keyed reference: same cond with a constant key; branch series gain the key
+    val kd = graft.series.Conditional.csIf(
+      cond.withColumn("k", lit("x")), Seq("k"), "c",
+      aS.withColumn("k", lit("x")), bS.withColumn("k", lit("x")), "value")
+      .orderBy("pos").select("if_value").as[Double].collect().toSeq
+    assert(kl == kd)
+  }
+
   test("topK equals sort-take-k") {
     for ((n, seed) <- cases; k <- Seq(1, 5)) {
       val xs = series(n, seed)

@@ -59,9 +59,20 @@ def main(sfdir, outdir, only=None):
         # Column dtypes must match exactly: the driver hashes values through
         # their parquet/duckdb dtypes, so int64-vs-float64 (e.g. Spark BIGINT
         # floor() vs DuckDB DOUBLE floor()) flips its hash even when values
-        # are numerically equal. Python's 5 == 5.0 would mask that here.
-        gtypes = [str(t) for _, t in sorted(zip(gcols, [d[1] for d in got.description]))]
-        etypes = [str(t) for _, t in sorted(zip(ecols, [d[1] for d in exp.description]))]
+        # are numerically equal. DESCRIBE gives the real type names —
+        # DBAPI description type codes are useless here (every numeric
+        # reports 'NUMBER').
+        # Int widths collapse to one class (the driver's hash tolerates
+        # int32-vs-int64: q_datetime passed round 1 with Spark INT vs DuckDB
+        # BIGINT); int-vs-float and REAL-vs-DOUBLE stay distinct.
+        INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+        tclass = lambda t: "INT" if t.upper() in INTS else t.upper()
+        gdesc = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchall()
+        edesc = con.execute(f"DESCRIBE {sql}").fetchall()
+        gtypes = [tclass(t) for _, t in sorted((r[0], r[1]) for r in gdesc)]
+        etypes = [tclass(t) for _, t in sorted((r[0], r[1]) for r in edesc)]
         if gtypes != etypes:
             print(f"FAIL {name}: dtypes {list(zip(gc, gtypes))} != {list(zip(ec, etypes))}")
             n_fail += 1; continue
