@@ -566,6 +566,35 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")
         .select(col("canonical_id"), col("n_dups"))),
+    "q_sessionize" -> ((s, dir) => {
+      // gap-based sessionization: a new session starts when a user's
+      // inter-event gap exceeds 1 hour — the event-analytics staple built
+      // from the same change-flag + running-count shape as run-ids
+      // (one window pass per user, parallel across users)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapNs = 3600L * 1000000000L
+      Tables.read(s, dir, "events")
+        .withColumn("__new", when(
+          lag(col("ts"), 1).over(w).isNull ||
+            col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("__new")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          ((max(col("ts")) - min(col("ts"))) / 1000000000L).cast("long").as("dur_sec"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_events"),
+          fl(avg(col("dur_sec"))).as("avg_dur_sec"))
+    }),
+    "q_group_quantile" -> ((s, dir) =>
+      // per-group exact percentiles (grouped cs_quantile analog)
+      Tables.read(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(fl(percentile(col("value"), lit(0.5))).as("p50"),
+          fl(percentile(col("value"), lit(0.9))).as("p90"),
+          fl(percentile(col("value"), lit(0.99))).as("p99"))),
     "q_json" -> ((s, dir) =>
       // structured metadata extraction from a JSON props column — the
       // training-pipeline sidecar-parsing op; get_json_object is the
@@ -1094,6 +1123,27 @@ object SparkEntry {
       s"""SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
          FROM (SELECT doc_id, $normSql AS norm FROM documents)
          GROUP BY norm""",
+    "q_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL OR epoch_ns(ts) - epoch_ns(prev) > 3600000000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM (SELECT user_id, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                 FROM events)),
+         s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+               FROM g),
+         per AS (SELECT user_id, session_id, count(*) AS n_events,
+                   (epoch_ns(max(ts)) - epoch_ns(min(ts))) // 1000000000 AS dur_sec
+                 FROM s GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
+           CAST(avg(dur_sec) AS REAL) AS avg_dur_sec
+         FROM per GROUP BY user_id""",
+    "q_group_quantile" ->
+      """SELECT event_type,
+         CAST(quantile_cont("value", 0.5) AS REAL) AS p50,
+         CAST(quantile_cont("value", 0.9) AS REAL) AS p90,
+         CAST(quantile_cont("value", 0.99) AS REAL) AS p99
+         FROM events GROUP BY event_type""",
     "q_json" ->
       """SELECT event_type, count(*) AS n,
          sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
