@@ -418,6 +418,11 @@ object SparkEntry {
     "q_atr" -> ((s, dir) =>
       Moving.atr(evSeries(s, dir).filter(col("pos") < 200), Seq("event_type"), "value", 10)
         .select(col("event_type"), col("pos"), fl(col("atr")).as("atr"))),
+    "q_rsi" -> ((s, dir) =>
+      // RSI — the reference's example workload (example.sql), composed
+      // from diff + two Wilder scans
+      Moving.rsi(evSeries(s, dir).filter(col("pos") < 200), Seq("event_type"), "value", 14)
+        .select(col("event_type"), col("pos"), fl(col("rsi")).as("rsi"))),
     "q_cum_prd" -> ((s, dir) =>
       Moving.cumProd(evSeries(s, dir).filter(col("event_type") === "purchase" && col("pos") < 15),
           Seq("event_type"), "value")
@@ -1009,6 +1014,22 @@ object SparkEntry {
                   (r.atr * (least(d.pos + 1, 10) - 1) + d."value") / least(d.pos + 1, 10) AS atr
            FROM r JOIN d ON d.event_type = r.event_type AND d.pos = r.pos + 1)
          SELECT event_type, pos, CAST(atr AS REAL) AS atr FROM r""",
+    "q_rsi" ->
+      s"""WITH RECURSIVE d AS (
+           SELECT event_type, pos,
+             coalesce("value" - lag("value") OVER (PARTITION BY event_type ORDER BY pos), 0) AS dd
+           FROM ($evPosSql) WHERE pos < 200),
+         r AS (
+           SELECT event_type, pos, greatest(dd, 0) AS su, greatest(-dd, 0) AS sd
+           FROM d WHERE pos = 0
+           UNION ALL
+           SELECT d.event_type, d.pos,
+             (r.su * (least(d.pos + 1, 14) - 1) + greatest(d.dd, 0)) / least(d.pos + 1, 14),
+             (r.sd * (least(d.pos + 1, 14) - 1) + greatest(-d.dd, 0)) / least(d.pos + 1, 14)
+           FROM r JOIN d ON d.event_type = r.event_type AND d.pos = r.pos + 1)
+         SELECT event_type, pos,
+           CAST(CASE WHEN sd = 0 THEN 100 ELSE 100 - 100 / (1 + su / sd) END AS REAL) AS rsi
+         FROM r""",
     "q_cum_prd" ->
       s"""SELECT pos, CAST(product("value") OVER (ORDER BY pos
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS REAL) AS cum_prd

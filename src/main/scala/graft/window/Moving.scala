@@ -241,6 +241,25 @@ object Moving {
     }
   }
 
+  /** Relative Strength Index — the reference's example workload builds RSI
+    * from cs_* primitives (example.sql RSI query): split the delta into
+    * gains/losses, Wilder-smooth both (the ATR recurrence), then
+    * RSI = 100 − 100/(1 + U/D). Pure composition of diff + two affine
+    * scans; an all-gain window (D = 0) reads 100.
+    */
+  def rsi(df: DataFrame, keys: Seq[String], value: String, n: Int,
+          out: String = "rsi"): DataFrame = {
+    val withUd = graft.analytics.Analytics.diff(df, keys, value, "__d")
+      .withColumn("__up", greatest(col("__d"), lit(0.0)))
+      .withColumn("__dn", greatest(-col("__d"), lit(0.0)))
+    val smoothed = atr(atr(withUd, keys, "__up", n, "__su"), keys, "__dn", n, "__sd")
+    smoothed
+      .withColumn(out,
+        when(col("__sd") === 0.0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("__su") / col("__sd"))))
+      .drop("__d", "__up", "__dn", "__su", "__sd")
+  }
+
   /** Rank with gaps / dense rank over the whole series — cs_rank /
     * cs_dense_rank (func.c:3495-3561). Keyed: one window per key. Keyless:
     * a global ordered window would be one task, so ranks derive from the

@@ -74,6 +74,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rsi matches a sequential reference computation") {
+    val xs = series(60, 55L)
+    val n = 14
+    // sequential expectation: diff → U/D split → Wilder smoothing
+    var su = 0.0; var sd = 0.0
+    val expected = xs.indices.map { i =>
+      val d = if (i == 0) 0.0 else xs(i) - xs(i - 1)
+      val m = math.min(i + 1, n).toDouble
+      su = (su * (m - 1) + math.max(d, 0.0)) / m
+      sd = (sd * (m - 1) + math.max(-d, 0.0)) / m
+      if (sd == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + su / sd)
+    }
+    val got = Moving.rsi(seriesDf(xs), Seq(), "value", n)
+      .orderBy("pos").select("rsi").as[Double].collect().toSeq
+    expected.zip(got).foreach { case (e, g) => assert(math.abs(e - g) < 1e-9) }
+  }
+
   test("concat preserves counts and keeps pos dense") {
     val a = seriesDf(series(13, 5L))
     val b = seriesDf(series(9, 6L))
