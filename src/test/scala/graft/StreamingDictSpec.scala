@@ -117,6 +117,39 @@ class StreamingDictSpec extends AnyFunSuite {
     assert(keyless == keyed)
   }
 
+  test("csIf yields null when the chosen branch is exhausted") {
+    val cond = Seq((0L, 1), (1L, 1), (2L, 1)).toDF("pos", "c")
+    val a = Seq((0L, 10.0)).toDF("pos", "v") // only one true-branch element
+    val b = Seq((0L, 90.0)).toDF("pos", "v")
+    val out = graft.series.Conditional.csIf(cond, Seq(), "c", a, b, "v")
+      .orderBy("pos").select("if_value").as[Option[Double]].collect().toSeq
+    assert(out == Seq(Some(10.0), None, None))
+  }
+
+  test("asofJoinDir directions are mirror images on a reversed axis") {
+    val l = Seq((1L, 100L, 0.0), (1L, 200L, 0.0)).toDF("k", "ts", "lv")
+    val r = Seq((1L, 150L, 5.0), (1L, 250L, 7.0)).toDF("k", "ts", "v")
+    val prec = graft.join.Align.asofJoinDir(l, r, Seq("k"), "ts", "v", "o", -1)
+      .orderBy("ts").select("o").as[Option[Double]].collect().toSeq
+    val succ = graft.join.Align.asofJoinDir(l, r, Seq("k"), "ts", "v", "o", 1)
+      .orderBy("ts").select("o").as[Option[Double]].collect().toSeq
+    assert(prec == Seq(None, Some(5.0)))      // last r.ts <= l.ts
+    assert(succ == Seq(Some(5.0), Some(7.0))) // first r.ts >= l.ts
+  }
+
+  test("saltedEquiJoin with an empty small side yields no rows") {
+    val big = Seq((1L, 2L)).toDF("k", "v")
+    val small = Seq.empty[(Long, String)].toDF("k", "tag")
+    assert(graft.join.Align.saltedEquiJoin(big, small, Seq("k"), 4).isEmpty)
+  }
+
+  test("corrupt RIFF payload (negative chunk size) is rejected, not looped") {
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(56); bb.put("WAVE".getBytes)
+    bb.put("junk".getBytes); bb.putInt(-8) // negative size: would stall the walk
+    assert(graft.multimodal.Multimodal.parseWav(bb.array()).isEmpty)
+  }
+
   test("keyless crossings/extrema (scan-based) equal the keyed window forms") {
     val df = (0 until 60).map(i => (i.toLong, math.sin(i / 2.5) * 5 - 0.5))
       .toDF("pos", "value")
