@@ -62,10 +62,13 @@ def main(sfdir, outdir, only=None):
         # are numerically equal. DESCRIBE gives the real type names —
         # DBAPI description type codes are useless here (every numeric
         # reports 'NUMBER').
-        # Int widths collapse to one class (the driver's hash tolerates
-        # int32-vs-int64: q_datetime passed round 1 with Spark INT vs DuckDB
-        # BIGINT); int-vs-float and REAL-vs-DOUBLE stay distinct.
-        INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+        # Int widths up to 64 bits collapse to one class (the driver's hash
+        # tolerates int32-vs-int64: q_datetime passed round 1 with Spark INT
+        # vs DuckDB BIGINT); int-vs-float and REAL-vs-DOUBLE stay distinct.
+        # HUGEINT is NOT in the class: the driver's pandas path renders
+        # int128 as float64, which flipped q_json's hash in round 2 —
+        # DuckDB sum(BIGINT) returns HUGEINT, so oracles must CAST sums.
+        INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
                 "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
         tclass = lambda t: "INT" if t.upper() in INTS else t.upper()
         gdesc = con.execute(
