@@ -52,9 +52,12 @@ object Series {
     * cardinality — this is the ingest-time `pos` materialization SURVEY §7
     * calls for (the reference numbers elements at load, imcs.c:4177-4412).
     *
-    * The offset table has ≤ nPartitions + #boundary-spanning-keys entries
-    * (each key occupies contiguous range partitions), so the collect is
-    * bounded by partition count, not key count. `order` must be a total
+    * The offset table has one entry per (partition, key) run — that is
+    * ≤ #keys + nPartitions entries (each key occupies contiguous range
+    * partitions, but one partition can hold many whole keys). The driver
+    * collect is therefore O(#keys): right for keyless or FEW-key series;
+    * for high-cardinality keys use `attachPos`'s key-partitioned window
+    * (no driver state, parallelism = #keys). `order` must be a total
     * order (include a tiebreak) for pos to be deterministic.
     */
   def attachPosRanged(df: DataFrame, keys: Seq[String], order: Seq[Column],
@@ -71,9 +74,9 @@ object Series {
     // to DIFFERENT partitions in each job and corrupting the offsets.
     val rdd = ranged.rdd
     // Per-(partition, key) run lengths — keys are contiguous within each
-    // sorted partition, so this is a streaming scan with O(runs) memory and
-    // ≤ parts + #boundary-spanning-keys output rows (bounded by partition
-    // count, not key count).
+    // sorted partition, so this is a streaming scan with O(1) working
+    // memory emitting one row per key run (≤ #keys + parts total; see the
+    // cardinality note in the doc comment above).
     val counts: Array[(Int, Seq[Any], Long)] = rdd.mapPartitionsWithIndex { (pid, it) =>
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Any], Long)]
       var cur: Seq[Any] = null

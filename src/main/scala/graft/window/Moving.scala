@@ -43,10 +43,17 @@ object Moving {
     * incoming state and emits the running state's components as `outs`
     * columns. Handles every componentwise-associative running aggregate
     * (sum/sumsq/min/max in ONE pass) where the affine form cannot.
+    *
+    * Keyed calls dispatch to [[monoidScanKeyed]] (hash-partitioned
+    * single pass, zero driver state); the ranged two-pass path below is
+    * the KEYLESS route only, where its driver collect is one small row
+    * per shuffle partition — bounded by the partition count.
     */
   def monoidScanRanged(df: DataFrame, keys: Seq[String], outs: Seq[String])(
       identity: Array[Double])(inject: Row => Array[Double])(
       op: (Array[Double], Array[Double]) => Array[Double]): DataFrame = {
+    if (keys.nonEmpty)
+      return monoidScanKeyed(df, keys, outs)(identity)(inject)(op)
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val all = keys.map(col) :+ col("pos")
@@ -95,6 +102,64 @@ object Moving {
         outs.map(o => StructField(o, DoubleType, nullable = false))))
   }
 
+  /** Keyed running monoid fold: hash-partition on the key columns so each
+    * key lives wholly in one partition, sort within partitions by
+    * (keys, pos), then one sequential pass with O(1) state per open key.
+    * One shuffle, NO driver collect — scales to arbitrarily many keys
+    * (per-user state at 100 TB); parallelism is min(#keys, #partitions).
+    */
+  def monoidScanKeyed(df: DataFrame, keys: Seq[String], outs: Seq[String])(
+      identity: Array[Double])(inject: Row => Array[Double])(
+      op: (Array[Double], Array[Double]) => Array[Double]): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val all = keys.map(col) :+ col("pos")
+    val hashed = df.repartition(parts, keys.map(col): _*).sortWithinPartitions(all: _*)
+    val keyIdx = keys.map(hashed.schema.fieldIndex)
+    val outRdd = hashed.rdd.mapPartitions { it =>
+      var cur: Seq[Any] = null
+      var acc = identity
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        if (cur == null || k != cur) { cur = k; acc = identity }
+        acc = op(acc, inject(r))
+        Row.fromSeq(r.toSeq ++ acc.toSeq)
+      }
+    }
+    spark.createDataFrame(outRdd,
+      StructType(hashed.schema.fields ++
+        outs.map(o => StructField(o, DoubleType, nullable = false))))
+  }
+
+  /** Keyed linear-recurrence scan — same partitioning strategy as
+    * [[monoidScanKeyed]]: each key's rows are contiguous in one sorted
+    * partition, so the recurrence runs in a single pass with no
+    * cross-chunk composition and no driver-side per-key map.
+    */
+  def affineScanKeyed(df: DataFrame, keys: Seq[String], out: String,
+                      pre: Boolean = false)(
+      seed: Row => Double)(coef: Row => (Double, Double)): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val all = keys.map(col) :+ col("pos")
+    val hashed = df.repartition(parts, keys.map(col): _*).sortWithinPartitions(all: _*)
+    val keyIdx = keys.map(hashed.schema.fieldIndex)
+    val outRdd = hashed.rdd.mapPartitions { it =>
+      var cur: Seq[Any] = null
+      var e = 0.0
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        if (cur == null || k != cur) { cur = k; e = seed(r) }
+        val before = e
+        val (ca, cb) = coef(r)
+        e = ca * e + cb
+        Row.fromSeq(r.toSeq :+ (if (pre) before else e))
+      }
+    }
+    spark.createDataFrame(outRdd,
+      StructType(hashed.schema.fields :+ StructField(out, DoubleType, nullable = false)))
+  }
+
   /** cs_window_sum/avg/min/max/var/dev (func.c:1632-1761).
     *
     * Warm-up semantics: sum/min/max over the partial first N-1 frames match
@@ -137,6 +202,11 @@ object Moving {
     * no keys at 100 TB, where a key-partitioned scan would serialize.
     * Both passes share one captured shuffle (see Series.attachPosRanged
     * for why re-deriving the DataFrame would corrupt the chunking).
+    *
+    * The two-pass shape collects one (chunk, key) row per key PRESENT IN
+    * EACH CHUNK to the driver — fine for keyless/few-key series, a
+    * driver OOM for per-user keys at scale. Keyed calls therefore
+    * dispatch to [[affineScanKeyed]], which needs no driver state.
     */
   /** With `pre = true` the emitted column is the state BEFORE applying the
     * current row — the gap-safe form of `lag`/"carry up to the previous
@@ -146,6 +216,7 @@ object Moving {
   def affineScanRanged(df: DataFrame, keys: Seq[String], out: String,
                        pre: Boolean = false)(
       seed: Row => Double)(coef: Row => (Double, Double)): DataFrame = {
+    if (keys.nonEmpty) return affineScanKeyed(df, keys, out, pre)(seed)(coef)
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val all = keys.map(col) :+ col("pos")
