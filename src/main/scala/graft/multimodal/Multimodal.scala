@@ -116,24 +116,27 @@ object Multimodal {
     */
   def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Long, Int)] = {
     if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-    var off = 12
+    // the walk cursor is a Long: a corrupt chunk size near Int.MaxValue
+    // would wrap an Int cursor negative and index out of bounds
+    var off = 12L
     var rate = 0; var ch = 0; var bits = 0
     var dataLen = 0L; var dataOff = -1
     while (off + 8 <= b.length) {
-      val id = tag(b, off)
-      val sz = leInt(b, off + 4)
+      val o = off.toInt // safe: off + 8 <= b.length <= Int.MaxValue
+      val id = tag(b, o)
+      val sz = leInt(b, o + 4)
       // a corrupt/negative chunk size would stall or reverse the walk —
       // treat the rest of the payload as garbage instead of looping
       if (sz < 0) return None
       if (id == "fmt " && off + 8 + 16 <= b.length) {
-        ch = leShort(b, off + 10)
-        rate = leInt(b, off + 12)
-        bits = leShort(b, off + 22)
+        ch = leShort(b, o + 10)
+        rate = leInt(b, o + 12)
+        bits = leShort(b, o + 22)
       } else if (id == "data") {
         dataLen = sz.toLong & 0xffffffffL
-        dataOff = off + 8
+        dataOff = o + 8
       }
-      off += 8 + sz + (sz & 1) // chunks are word-aligned
+      off += 8L + sz + (sz & 1) // chunks are word-aligned
     }
     // whole sample frames only: bits must be a positive multiple of 8
     if (rate > 0 && ch > 0 && bits >= 8 && bits % 8 == 0 && dataOff >= 0)
@@ -165,11 +168,15 @@ object Multimodal {
     val bIdx = df.schema.fieldIndex(bytesCol)
     df.mapPartitions { it =>
       it.map { r =>
-        val bytes = r.getAs[Array[Byte]](bIdx)
+        val raw = r.getAs[Array[Byte]](bIdx)
+        val bytes = if (raw == null) Array.emptyByteArray else raw
         val id = r.getLong(idIdx)
         val n = bytes.length.toLong
         val fp = fnv(bytes)
-        parseImage(bytes) match {
+        // one malformed payload must not fail a 100 TB job: any parser
+        // escape (corrupt header beyond the explicit guards) demotes the
+        // row to the unknown/stub path instead of throwing
+        try parseImage(bytes) match {
           case Some((fmt, w, h)) => MediaMeta(id, n, fmt, w, h, 1, 0, 0, fp)
           case None => parseWav(bytes) match {
             case Some((rate, ch, _, frames, _)) =>
@@ -179,6 +186,10 @@ object Multimodal {
               val (w, h, fr) = decodeStub(n)
               MediaMeta(id, n, "unknown", w, h, fr, 0, 0, fp)
           }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            val (w, h, fr) = decodeStub(n)
+            MediaMeta(id, n, "unknown", w, h, fr, 0, 0, fp)
         }
       }
     }(Encoders.product[MediaMeta]).toDF()
@@ -204,9 +215,11 @@ object Multimodal {
     val bIdx = df.schema.fieldIndex(bytesCol)
     df.mapPartitions { it =>
       it.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](bIdx)
+        val raw = r.getAs[Array[Byte]](bIdx)
+        val bytes = if (raw == null) Array.emptyByteArray else raw
         val id = r.getLong(idIdx)
-        parseWav(bytes) match {
+        // corrupt headers skip the row rather than failing the job
+        (try parseWav(bytes) catch { case scala.util.control.NonFatal(_) => None }) match {
           case Some((_, ch, bits, frames, dataOff)) if bits == 16 =>
             val frameBytes = ch * 2
             (0L until frames by step.toLong).iterator.flatMap { i =>

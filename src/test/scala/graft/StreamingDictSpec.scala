@@ -150,6 +150,15 @@ class StreamingDictSpec extends AnyFunSuite {
     assert(graft.multimodal.Multimodal.parseWav(bb.array()).isEmpty)
   }
 
+  test("corrupt RIFF payload (near-Int.MaxValue chunk size) does not overflow the walk") {
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(56); bb.put("WAVE".getBytes)
+    // 8 + sz wraps an Int cursor negative; the loop guard then passes and
+    // tag() indexes out of bounds unless the cursor is widened
+    bb.put("junk".getBytes); bb.putInt(Int.MaxValue - 4)
+    assert(graft.multimodal.Multimodal.parseWav(bb.array()).isEmpty)
+  }
+
   test("keyless crossings/extrema (scan-based) equal the keyed window forms") {
     val df = (0 until 60).map(i => (i.toLong, math.sin(i / 2.5) * 5 - 0.5))
       .toDF("pos", "value")
