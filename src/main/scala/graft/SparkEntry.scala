@@ -36,17 +36,26 @@ object SparkEntry {
     * reference materializing positions at `TABLE_load` time
     * (imcs.c:4177-4412) rather than per query.
     */
+  // keyed by the session OBJECT (default reference equality), not its
+  // identityHashCode: the strong reference pins the session so a GC'd
+  // session's hash can never be reused by a new one mid-process
   private val seriesCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Process-unique tmp component: two concurrent JVMs benchmarking the
+    * same dir must not overwrite each other's parquet mid-read, and a
+    * fresh process must not serve a stale dump from a prior run.
+    */
+  private val procTag = java.util.UUID.randomUUID().toString.replace("-", "")
   private def evSeries(s: SparkSession, dir: String): DataFrame =
-    seriesCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    seriesCache.getOrElseUpdate((s, dir), {
       // Write the numbered series back to parquet (pos persisted at ingest,
       // the reference's TABLE_load layout) rather than .persist(): queries
       // then get columnar scans with column pruning and min/max row-group
       // pruning on pos/event_type — an RDD-backed memory cache gives
       // row-at-a-time scans with neither.
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_series_events_$tag"
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_series_events_${procTag}_$tag"
       Series.attachPosRanged(Tables.read(s, dir, "events"),
         Seq("event_type"), Seq(col("ts"), col("event_id")))
         .write.mode("overwrite").parquet(path)
@@ -632,10 +641,27 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text", 8, 0.2)),
     "q_minhash_lsh" -> ((s, dir) =>
       // banded LSH candidates + exact-Jaccard verify; equals the oracle's
-      // all-pairs answer because 8×2-band recall at j≥0.5 is ~1 (see Dedup)
+      // all-pairs answer because 8×2-band recall at j≥0.5 is ~1 (see Dedup).
+      // CORPUS PROPERTY the equality relies on: every qualifying pair in
+      // this testdata shares at least one minhash band (probabilistically
+      // ~0.97 per pair at j=0.6; observed 1.0 here). If testdata changes
+      // and this flakes, switch to q_simhash's recall-floor contract.
       Dedup.minhashLshPairsVerified(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text")),
-    "q_simhash" -> ((s, dir) =>
-      Dedup.simhashPairsVerified(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text")),
+    "q_simhash" -> ((s, dir) => {
+      // recall-floor contract (mirrors q_cos_lsh): simhash band candidates
+      // guarantee recall 1 only for Hamming ≤ bands−1, and no bound links
+      // char-shingle Jaccard ≥ 0.6 to Hamming ≤ 7 — pair-set equality with
+      // the exact answer would be corpus-dependent. Precision is 1 by
+      // construction (same exact-Jaccard verify as the ground truth), so
+      // the contract is the exact pair count + a measured recall floor.
+      val d = docs(s, dir).filter(col("doc_id") < 200)
+      val exact = Dedup.jaccardPairsExact(d, "doc_id", "text", 7, 0.6)
+      val cand = Dedup.simhashPairsVerified(d, "doc_id", "text")
+      exact.join(cand.select(col("id1"), col("id2"), lit(1).as("__f")),
+          Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("__f"), lit(0))) / count(lit(1)) >= 0.9).as("recall_ok"))
+    }),
 
     // ---- training-data pipeline: embeddings ----
     "q_knn" -> ((s, dir) => {
@@ -1200,7 +1226,9 @@ object SparkEntry {
     "q_lang_id" -> langIdOracle,
     "q_jaccard" -> jaccardPairsOracle(8, 0.2, "doc_id < 200"),
     "q_minhash_lsh" -> jaccardPairsOracle(5, 0.5, "doc_id < 200"),
-    "q_simhash" -> jaccardPairsOracle(7, 0.6, "doc_id < 200"),
+    "q_simhash" ->
+      s"""WITH pairs AS (${jaccardPairsOracle(7, 0.6, "doc_id < 200")})
+         SELECT count(*) AS n_exact, true AS recall_ok FROM pairs""",
     "q_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents",
     "q_approxdc" ->

@@ -91,6 +91,19 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard").cast("float").as("jaccard"))
   }
 
+  /** Exact all-pairs n-gram Jaccard — O(n²) BY DESIGN, the ground-truth
+    * stage for measuring candidate recall of the approximate pipelines on
+    * a bounded slice. Never run this on an unbounded corpus; the scale
+    * paths are minhashLshPairsVerified / simhashPairsVerified.
+    */
+  def jaccardPairsExact(df: DataFrame, id: String, text: String,
+                        shingleLen: Int, minJaccard: Double): DataFrame = {
+    val sh = shingleSets(df, id, text, shingleLen)
+    val allPairs = sh.select(col(id).as("id1")).crossJoin(sh.select(col(id).as("id2")))
+      .filter(col("id1") < col("id2"))
+    verifyJaccard(allPairs, sh, id, minJaccard)
+  }
+
   /** MinHash + LSH candidate pairs: signature split into `bands` bands of
     * `rowsPerBand` values; docs sharing any band land in the same bucket;
     * pairs emitted once (id1 < id2). Verification (exact Jaccard) is the

@@ -31,13 +31,19 @@ object Conditional {
            a: DataFrame, b: DataFrame, valueCol: String,
            out: String = "if_value"): DataFrame = {
     val truth = col(condCol).cast("boolean")
+    // Null conditions choose no branch: drop them up front so BOTH paths
+    // agree (the keyed window used to silently drop them at the filter,
+    // while the keyless scan's getBoolean threw). The reference has no
+    // NULL elements at all (SURVEY §1.2), so any policy is an extension;
+    // dropping mirrors the filter semantics of the final branch split.
+    val cond0 = cond.filter(truth.isNotNull)
     val withIdx =
       if (keys.isEmpty) {
         // rank-within-truth = running count of same-truth rows − 1. A
         // window partitioned by the boolean would be TWO tasks total;
         // one vector monoid scan carries BOTH running counts (true, false)
         // — counting actual rows, so non-dense pos cannot skew the index.
-        val flagged = cond.withColumn("__t", truth)
+        val flagged = cond0.withColumn("__t", truth)
         val tIdx = flagged.schema.fieldIndex("__t")
         graft.window.Moving.monoidScanRanged(flagged, Seq(), Seq("__tc", "__fc"))(
           Array(0.0, 0.0)) { r =>
@@ -49,7 +55,7 @@ object Conditional {
           .drop("__t", "__tc", "__fc")
       } else {
         val w = Window.partitionBy(keys.map(col) :+ truth: _*).orderBy(col("pos"))
-        cond.withColumn("__bi", row_number().over(w).cast("long") - 1L)
+        cond0.withColumn("__bi", row_number().over(w).cast("long") - 1L)
       }
     val cols = cond.columns.toSeq
     def branch(src: DataFrame, rows: DataFrame): DataFrame =

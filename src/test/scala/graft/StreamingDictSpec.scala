@@ -72,6 +72,20 @@ class StreamingDictSpec extends AnyFunSuite {
     assert(out == Seq(10.0, 90.0, 11.0, 12.0, 91.0))
   }
 
+  test("csIf drops null conditions identically in keyless and keyed paths") {
+    val cond = Seq((0L, Some(1)), (1L, None), (2L, Some(0)), (3L, Some(1)))
+      .toDF("pos", "c")
+    val a = Seq((0L, 10.0), (1L, 11.0)).toDF("pos", "v")
+    val b = Seq((0L, 90.0)).toDF("pos", "v")
+    val kl = Conditional.csIf(cond, Seq(), "c", a, b, "v")
+      .orderBy("pos").select("pos", "if_value").as[(Long, Double)].collect().toSeq
+    val kd = Conditional.csIf(cond.withColumn("k", lit("x")), Seq("k"),
+      "c", a.withColumn("k", lit("x")), b.withColumn("k", lit("x")), "v")
+      .orderBy("pos").select("pos", "if_value").as[(Long, Double)].collect().toSeq
+    assert(kl == Seq((0L, 10.0), (2L, 90.0), (3L, 11.0)))
+    assert(kd == kl)
+  }
+
   test("sliding streaming agg equals batch window() aggregation") {
     val dir = java.nio.file.Files.createTempDirectory("stream_events_slide")
     java.nio.file.Files.copy(
