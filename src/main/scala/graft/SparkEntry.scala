@@ -59,7 +59,11 @@ object SparkEntry {
       Series.attachPosRanged(Tables.read(s, dir, "events"),
         Seq("event_type"), Seq(col("ts"), col("event_id")))
         .write.mode("overwrite").parquet(path)
+      // persist the read-back frame: the series IS the loaded table (the
+      // reference's post-TABLE_load state), so queries over it should scan
+      // memory like every other cached table, not re-read parquet per run
       s.read.parquet(path)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   /** Materialize the events series (ranged pos numbering + persist) — the
@@ -273,16 +277,21 @@ object SparkEntry {
           fl(col("grid_min")).as("grid_min"), fl(col("grid_max")).as("grid_max"),
           fl(col("grid_var")).as("grid_var"), fl(col("grid_dev")).as("grid_dev"))),
     "q_cum_agg" -> ((s, dir) =>
-      Aggs.cumAgg(evSeries(s, dir), Seq("event_type"), "value")
-        .filter(col("pos") < 50)
+      // the pos<50 prefix filter is pushed BELOW the running frame: a
+      // cumulative agg at pos p depends only on rows with pos' <= p, all
+      // inside the prefix — Spark won't push a non-partition-column
+      // predicate through a Window, so do the frame-aware pushdown by hand
+      Aggs.cumAgg(evSeries(s, dir).filter(col("pos") < 50), Seq("event_type"), "value")
         .select(col("event_type"), col("pos"),
           fl(col("cum_sum")).as("cum_sum"), fl(col("cum_avg")).as("cum_avg"),
           fl(col("cum_min")).as("cum_min"), fl(col("cum_max")).as("cum_max"),
           col("cum_count"),
           fl(col("cum_var")).as("cum_var"), fl(col("cum_dev")).as("cum_dev"))),
     "q_window_agg" -> ((s, dir) =>
-      Moving.windowAgg(evSeries(s, dir), Seq("event_type"), "value", 10)
-        .filter(col("pos") < 100)
+      // same frame-aware pushdown as q_cum_agg: a trailing 10-row frame at
+      // pos p reads only pos' in [p-9, p], all inside the pos<100 prefix
+      Moving.windowAgg(evSeries(s, dir).filter(col("pos") < 100),
+        Seq("event_type"), "value", 10)
         .select(col("event_type"), col("pos"),
           fl(col("w_sum")).as("w_sum"), fl(col("w_avg")).as("w_avg"),
           fl(col("w_min")).as("w_min"), fl(col("w_max")).as("w_max"),

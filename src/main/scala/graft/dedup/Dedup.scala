@@ -91,6 +91,19 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard").cast("float").as("jaccard"))
   }
 
+  /** Materialize a shingle frame once per evaluation. The near-dup
+    * pipelines reference the shingle sets 3-4× (both sides of the
+    * candidate self-join, both verify branches); without materialization
+    * every reference re-runs the normalize-regex + shingle + hash
+    * expression tree over the full corpus — the dominant cost at any
+    * scale. `localCheckpoint` computes it once and serves the reuses from
+    * executor blocks; unlike `persist`, it is not deduplicated across
+    * separate evaluations by the CacheManager, so repeated runs honestly
+    * recompute. (On a multi-node cluster a lost executor forces a full
+    * recompute — for long pipelines prefer a reliable checkpoint dir.)
+    */
+  private def materializeShingles(sh: DataFrame): DataFrame = sh.localCheckpoint()
+
   /** Exact all-pairs n-gram Jaccard — O(n²) BY DESIGN, the ground-truth
     * stage for measuring candidate recall of the approximate pipelines on
     * a bounded slice. Never run this on an unbounded corpus; the scale
@@ -98,7 +111,7 @@ object Dedup {
     */
   def jaccardPairsExact(df: DataFrame, id: String, text: String,
                         shingleLen: Int, minJaccard: Double): DataFrame = {
-    val sh = shingleSets(df, id, text, shingleLen)
+    val sh = materializeShingles(shingleSets(df, id, text, shingleLen))
     val allPairs = sh.select(col(id).as("id1")).crossJoin(sh.select(col(id).as("id2")))
       .filter(col("id1") < col("id2"))
     verifyJaccard(allPairs, sh, id, minJaccard)
@@ -151,7 +164,7 @@ object Dedup {
   def minhashLshPairsVerified(df: DataFrame, id: String, text: String,
                               shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 2,
                               minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingleSets(df, id, text, shingleLen)
+    val sh = materializeShingles(shingleSets(df, id, text, shingleLen))
     verifyJaccard(minhashCandidates(sh, id, bands, rowsPerBand), sh, id, minJaccard)
   }
 
@@ -168,7 +181,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
                         shingleLen: Int, minJaccard: Double,
                         maxDf: Int = 10000): DataFrame = {
-    val sh = shingleSets(df, id, text, shingleLen)
+    val sh = materializeShingles(shingleSets(df, id, text, shingleLen))
     val inv = sh.select(col(id), explode(col("sh")).as("g"))
     // hot-shingle list via groupBy (map-side partial counts — skew-safe,
     // unlike a window over g which would pile every occurrence of a hot
@@ -242,7 +255,8 @@ object Dedup {
                            shingleLen: Int = 7, bands: Int = 8, maxDist: Int = 7,
                            minJaccard: Double = 0.6): DataFrame = {
     val cand = simhashPairs(df, id, text, bands, maxDist).select(col("id1"), col("id2"))
-    verifyJaccard(cand, shingleSets(df, id, text, shingleLen), id, minJaccard)
+    verifyJaccard(cand, materializeShingles(shingleSets(df, id, text, shingleLen)),
+      id, minJaccard)
   }
 
   /** Embedding cosine near-dup pairs above a similarity threshold.

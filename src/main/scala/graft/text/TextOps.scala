@@ -71,8 +71,13 @@ object TextOps {
       pat.length).cast("long")
 
   def langId(df: DataFrame, text: String, out: String = "lang_pred"): DataFrame = {
-    val padded = concat(lit(" "), lower(col(text)), lit(" "))
-    val scored = langMarkers.toSeq.sortBy(_._1).foldLeft(df) { case (d, (lang, ms)) =>
+    // materialize the padded text ONCE: each of the 20 markers references
+    // it twice (length + replace), and an inline alias would re-run
+    // concat+lower 40× per row (CollapseProject keeps a multiply-referenced
+    // non-trivial alias in its own projection)
+    val withPad = df.withColumn("__padded", concat(lit(" "), lower(col(text)), lit(" ")))
+    val padded = col("__padded")
+    val scored = langMarkers.toSeq.sortBy(_._1).foldLeft(withPad) { case (d, (lang, ms)) =>
       d.withColumn(s"__hits_$lang",
         ms.map(m => countOccurrences(padded, m)).reduce(_ + _))
     }
@@ -81,7 +86,8 @@ object TextOps {
       val h = col(s"__hits_$lang")
       (when(h > bs, lit(lang)).otherwise(bl), when(h > bs, h).otherwise(bs))
     }
-    scored.withColumn(out, best._1).drop(langs.map(l => s"__hits_$l"): _*)
+    scored.withColumn(out, best._1)
+      .drop("__padded").drop(langs.map(l => s"__hits_$l"): _*)
   }
 
   /** Document fingerprint: 64-bit hash of the normalized text (lowercase,
