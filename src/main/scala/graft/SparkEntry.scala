@@ -646,6 +646,44 @@ object SparkEntry {
       // portable md5 fingerprint — DuckDB reproduces it bit-for-bit,
       // verifying the whole normalization pipeline
       docs(s, dir).select(col("doc_id"), TextOps.fingerprintPortable(col("text")).as("fp"))),
+    "q_repetition" -> ((s, dir) =>
+      // Gopher-style repetition filters: map-only array expressions (the
+      // per-doc mode count comes from the longest run of a sorted token
+      // array, not an explode+groupBy over every token of the corpus)
+      TextOps.repetitionSignals(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+          fl(col("distinct_ratio")).as("distinct_ratio"),
+          fl(col("top_word_frac")).as("top_word_frac"),
+          fl(col("top_bigram_frac")).as("top_bigram_frac"))),
+    "q_vocab" -> ((s, dir) =>
+      // global vocabulary head: two-phase hash agg (map-side partials
+      // absorb token skew) + TakeOrdered top-k; deterministic tiebreak
+      docs(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(20)),
+    "q_sample" -> ((s, dir) =>
+      // deterministic hash-based stratified sampling: downsample the
+      // high-resource language, keep all of the lowest-resource one —
+      // reproducible across engines/retries/partitionings (md5, not rand)
+      TextOps.stratifiedSample(docs(s, dir), "text", "lang",
+        Map("en" -> 4, "zh" -> 16), 8)
+        .select(col("doc_id"), col("lang"))),
+    "q_redact" -> ((s, dir) =>
+      // PII redaction scan: counts per kind + redacted text fingerprint
+      // (the corpus plants no PII, so counts are 0 and fp equals the
+      // original's — the oracle COMPUTES both, keeping the contract real;
+      // planted-PII behavior is spec-asserted in TextPipelineSpec)
+      TextOps.redactPii(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+          md5(col("redacted")).as("red_fp"))),
+    "q_dup_clusters" -> ((s, dir) =>
+      // pairwise near-dup evidence → dedup groups: connected components
+      // (min-label propagation, O(diameter) joins) over verified pairs
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 7, 0.6))
+        .withColumnRenamed("id", "doc_id")),
     "q_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text", 8, 0.2)),
     "q_minhash_lsh" -> ((s, dir) =>
@@ -1240,6 +1278,39 @@ object SparkEntry {
          SELECT count(*) AS n_exact, true AS recall_ok FROM pairs""",
     "q_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fp FROM documents",
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         wc AS (SELECT doc_id, unnest(w) AS tok FROM t),
+         c AS (SELECT doc_id, tok, count(*) AS cnt FROM wc GROUP BY 1, 2),
+         aw AS (SELECT doc_id, max(cnt) AS mxw FROM c GROUP BY 1),
+         bg AS (SELECT doc_id, [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))] AS b
+           FROM t),
+         bc AS (SELECT doc_id, unnest(b) AS tok FROM bg),
+         cb AS (SELECT doc_id, tok, count(*) AS cnt FROM bc GROUP BY 1, 2),
+         ab AS (SELECT doc_id, max(cnt) AS mxb, CAST(sum(cnt) AS BIGINT) AS nb FROM cb GROUP BY 1)
+         SELECT t.doc_id, len(t.w) AS n_words,
+           len(list_distinct(t.w)) AS n_distinct_words,
+           CAST(CAST(len(list_distinct(t.w)) AS DOUBLE) / len(t.w) AS REAL) AS distinct_ratio,
+           CAST(CAST(aw.mxw AS DOUBLE) / len(t.w) AS REAL) AS top_word_frac,
+           CAST(coalesce(CAST(ab.mxb AS DOUBLE) / ab.nb, 0.0) AS REAL) AS top_bigram_frac
+         FROM t JOIN aw USING (doc_id) LEFT JOIN ab USING (doc_id)""",
+    "q_vocab" ->
+      """SELECT tok, count(*) AS n FROM
+         (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+         GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""",
+    "q_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+           < CASE WHEN lang = 'en' THEN 4 WHEN lang = 'zh' THEN 16 ELSE 8 END""",
+    "q_redact" -> redactOracle,
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardPairsOracle(7, 0.6, "TRUE")}),
+         e AS (SELECT id1 AS a, id2 AS b FROM pairs
+               UNION SELECT id2, id1 FROM pairs),
+         r AS (SELECT a, a AS m FROM (SELECT DISTINCT a FROM e)
+               UNION SELECT e.a, r.m FROM e JOIN r ON r.a = e.b)
+         SELECT a AS doc_id, min(m) AS cluster_id FROM r GROUP BY a""",
     "q_approxdc" ->
       "SELECT count(DISTINCT l_partkey) AS exact_dc, true AS within_tol FROM lineitem",
     "q_hash_approxdc" ->
@@ -1335,6 +1406,24 @@ object SparkEntry {
     * q_minhash_lsh, q_simhash): LSH/SimHash candidates + exact verify must
     * equal the exact answer when candidate recall at minJ is 1.
     */
+  /** q_redact oracle generated from TextOps.piiPatterns so the DuckDB
+    * replay can never drift from the Spark patterns (both engines run
+    * RE2-compatible syntax; Spark's regexp_replace is global, DuckDB
+    * needs the 'g' flag). Counts are over the ORIGINAL text; the chain
+    * applies in declaration order like the Scala foldLeft.
+    */
+  private def redactOracle: String = {
+    // standard SQL string literals: backslash is literal, only quotes escape
+    def q(s: String) = s.replace("'", "''")
+    val chain = graft.text.TextOps.piiPatterns.foldLeft("text") {
+      case (acc, (_, pat, tok)) => s"regexp_replace($acc, '${q(pat)}', '$tok', 'g')"
+    }
+    val counts = graft.text.TextOps.piiPatterns.map { case (kind, pat, _) =>
+      s"len(regexp_extract_all(text, '${q(pat)}')) AS n_$kind"
+    }.mkString(", ")
+    s"SELECT doc_id, $counts, md5($chain) AS red_fp FROM documents"
+  }
+
   private def jaccardPairsOracle(len: Int, minJ: Double, filter: String): String =
     s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents WHERE $filter),
        sh AS (SELECT doc_id, list_distinct(list_filter(

@@ -312,4 +312,43 @@ object Dedup {
       .filter(col("cosine") >= minCos)
       .select(col("id1"), col("id2"), col("cosine").cast("float").as("cosine"))
   }
+
+  /** Connected components over a near-dup pair list → (id, cluster_id)
+    * with cluster_id = min member id. This is the step that turns pairwise
+    * near-dup evidence into dedup GROUPS (keep one doc per component).
+    *
+    * Min-label propagation: each iteration every node takes the min of its
+    * own label and its neighbors' (one shuffle join + partial-agg min per
+    * iteration, all distributed — no driver state beyond the convergence
+    * flag). Converges in O(component diameter) iterations; near-dup
+    * components are overwhelmingly tiny cliques/stars (diameter ≤ 2-3), so
+    * the loop exits after 2-3 rounds at any corpus size. `localCheckpoint`
+    * truncates the growing lineage each round (iterative-join plans
+    * otherwise deepen geometrically). For adversarially long chain graphs
+    * swap in large-star/small-star; dedup graphs do not need it.
+    */
+  def connectedComponents(pairs: DataFrame, id1: String = "id1",
+                          id2: String = "id2", maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col(id1).as("a"), col(id2).as("b"))
+    val edges = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("__nl")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("__nl")).as("__mn"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__mn"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "__old"), "id")
+        .filter(col("label") =!= col("__old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
 }

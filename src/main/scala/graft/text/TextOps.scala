@@ -137,4 +137,85 @@ object TextOps {
         transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
         s => size(split(s, " ")) === n))
+
+  /** Longest run length in a SORTED array — equals the max multiplicity of
+    * any element. O(n log n) per row (the sort), map-only, no shuffle: the
+    * scale-correct way to get per-document mode counts (an explode +
+    * groupBy(doc, token) would shuffle every token of the corpus).
+    */
+  private def maxRunInSorted(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition signals per document: distinct-word ratio,
+    * most-frequent-word fraction, most-frequent-bigram fraction. High
+    * top-fraction / low distinct ratio flags the degenerate repetitive
+    * text that poisons training data. Pure array expressions — one
+    * map-only pass, no explode, no shuffle.
+    */
+  def repetitionSignals(df: DataFrame, text: String): DataFrame = {
+    val withToks = df.withColumn("__toks", split(trim(col(text)), "\\s+"))
+    val toks = col("__toks")
+    // guard: sequence(1, 0) counts DOWN in Spark, so a 1-word doc would
+    // index past the array — emit an empty bigram list instead
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    withToks
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("n_distinct_words", size(array_distinct(toks)).cast("long"))
+      .withColumn("distinct_ratio", col("n_distinct_words") / col("n_words"))
+      .withColumn("top_word_frac",
+        maxRunInSorted(array_sort(toks)) / col("n_words"))
+      .withColumn("__bg", bigrams)
+      .withColumn("top_bigram_frac",
+        when(size(col("__bg")) > 0,
+          maxRunInSorted(array_sort(col("__bg"))) / size(col("__bg")))
+          .otherwise(lit(0.0)))
+      .drop("__toks", "__bg")
+  }
+
+  /** PII redaction: emails, phone-like digit runs, and IPv4 literals
+    * replaced by typed placeholder tokens, with per-kind match counts.
+    * Patterns restrict to syntax valid in both java.util.regex and RE2
+    * (no backreferences/lookaround) so an external engine can replay the
+    * redaction bit-for-bit. Map-only codegen'd scan.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"))
+
+  /** Deterministic stratified sampling: keep a row iff the first hex digit
+    * of md5(text) falls below the stratum's rate (in 16ths). Hash-based
+    * (not rand()) so the sample is reproducible across engines, retries,
+    * and partitionings — the property a training-data pipeline needs for
+    * resumable runs — and md5 is replayable by any external engine.
+    * Map-only scan; the rate map broadcasts inside the plan as a CASE.
+    */
+  def stratifiedSample(df: DataFrame, text: String, stratum: String,
+                       rates16: Map[String, Int], default16: Int): DataFrame = {
+    val digit = conv(substring(md5(col(text)), 1, 1), 16, 10).cast("int")
+    val rate = rates16.foldLeft(lit(default16)) { case (acc, (k, v)) =>
+      when(col(stratum) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(digit < rate)
+  }
+
+  def redactPii(df: DataFrame, text: String, out: String = "redacted"): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(text)) { case (c, (_, pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+    piiPatterns.foldLeft(df) { case (d, (kind, pat, _)) =>
+      d.withColumn(s"n_$kind", regexp_count(col(text), lit(pat)))
+    }.withColumn(out, redacted)
+  }
 }

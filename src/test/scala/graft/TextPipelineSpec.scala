@@ -1,0 +1,63 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-pipeline text ops on planted fixtures: the synthetic corpus
+  * carries no PII/URLs, so redaction and clustering behavior is asserted
+  * here on hand-built inputs (the oracle queries check the zero-match
+  * corpus path).
+  */
+class TextPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("redactPii replaces planted emails/IPs/phones and counts per kind") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 10.0.0.1 today"),
+      (2L, "call +1 (555) 123-4567 twice"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(df, "text")
+      .select("doc_id", "n_email", "n_ip", "n_phone", "redacted")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1, 1, 0, "contact <EMAIL> or <IP> today")))
+    assert(out(1)._4 == 1 && out(1)._5 == "call <PHONE> twice")
+    assert(out(2) == ((3L, 0, 0, 0, "nothing sensitive here")))
+  }
+
+  test("repetitionSignals: hand-computed fixture") {
+    // "a a a b" : 4 words, 2 distinct, top word 3/4; bigrams
+    // [a a, a a, a b] -> top bigram 2/3
+    val df = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
+    val r = TextOps.repetitionSignals(df, "text")
+      .select("doc_id", "n_words", "n_distinct_words", "distinct_ratio",
+        "top_word_frac", "top_bigram_frac")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 4L, 2L, 0.5, 0.75, 2.0 / 3.0)))
+    // single word: no bigrams -> 0.0
+    assert(r(1) == ((2L, 1L, 1L, 1.0, 1.0, 0.0)))
+  }
+
+  test("connectedComponents: chain + isolated pair collapse to min-id labels") {
+    // components {1,2,3,4} (chain) and {10,11}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    val df = (0 until 400).map(i => (i.toLong, s"doc body number $i", if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "text", "lang")
+    val kept = TextOps.stratifiedSample(df, "text", "lang", Map("en" -> 4, "zh" -> 16), 8)
+    val again = TextOps.stratifiedSample(df, "text", "lang", Map("en" -> 4, "zh" -> 16), 8)
+    val ids = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == again.select("doc_id").as[Long].collect().sorted.toSeq)
+    // zh rate 16/16 keeps every zh row; en rate 4/16 keeps a strict subset
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("zh") == 200L)
+    assert(byLang("en") > 0L && byLang("en") < 200L)
+  }
+}
