@@ -67,4 +67,38 @@ object Tables {
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
   }
+
+  /** Bucketed ingest for co-located joins: hash-bucket and sort by the
+    * join keys at write time so fact-fact joins read pre-partitioned,
+    * pre-sorted buckets — a sort-merge join with ZERO Exchange and ZERO
+    * per-query Sort on either side. This is the 100 TB answer to "the big
+    * join shuffles both sides every query": pay the shuffle once at
+    * ingest, amortize it over every downstream join/aggregate on the same
+    * keys (the reference gets the same effect from per-key series at load,
+    * imcs--1.1.sql:361-369). Bucket metadata lives in the session catalog
+    * (saveAsTable), the data in ordinary parquet files. Exchange removal
+    * is automatic; Sort removal additionally needs
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (sound
+    * because this writes exactly one sorted file per bucket — see
+    * BucketedJoinSpec).
+    */
+  def loadBucketed(df: DataFrame, table: String, keys: Seq[String],
+                   buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // an orphaned location (e.g. a killed earlier run) blocks re-creation
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    // one file per bucket: Spark trusts the per-bucket sort order (and
+    // elides the per-query Sort under a sort-merge join) only when each
+    // bucket is a single sorted file
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -61,16 +61,59 @@ object Streams {
         col("n"), col("sv"))
   }
 
+  /** Gap-based session windows on event time — the streaming form of
+    * sessionization (q_sessionize's shape): `session_window` merges events
+    * whose gap is under `gapSeconds`, state per open session bounded by
+    * the watermark. The same expression runs identically in batch mode,
+    * which is what the spec asserts (stream == batch on one input).
+    */
+  def sessionAgg(spark: SparkSession, path: String, schema: StructType,
+                 gapSeconds: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(schema).parquet(path)
+      .withColumn("ets", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ets"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n"), col("sv"))
+  }
+
+  /** Batch twin of [[sessionAgg]] for equivalence testing. */
+  def sessionAggBatch(df: DataFrame, gapSeconds: Long): DataFrame =
+    df.withColumn("ets", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .groupBy(col("user_id"), session_window(col("ets"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n"), col("sv"))
+
+  /** Streaming exact dedup at ingest: fingerprint the normalized text and
+    * drop duplicate fingerprints across the whole stream — the
+    * streaming form of Dedup.exactDedup, state one 8-byte key per
+    * distinct document. With an event-time column, production pipelines
+    * bound that state via `dropDuplicatesWithinWatermark`; the documents
+    * table has no timestamp, so this variant keeps global state (the
+    * reference's in-memory store makes the same tradeoff).
+    */
+  def dedupStream(spark: SparkSession, path: String, schema: StructType,
+                  textCol: String): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+      .withColumn("fp", graft.text.TextOps.fingerprint(col(textCol)))
+      .dropDuplicates("fp")
+
   /** Drain a streaming aggregation with Trigger.AvailableNow into an
     * in-memory table and return it as a batch DataFrame. Complete mode so
     * the final (still-open) windows are emitted too — the batch comparison
     * covers the whole input, not only watermark-closed windows.
     */
-  def runAvailableNow(df: DataFrame, queryName: String): DataFrame = {
+  def runAvailableNow(df: DataFrame, queryName: String,
+                      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = df.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -103,6 +103,36 @@ class StreamingDictSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("session_window streaming agg equals its batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_events_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = graft.io.Tables.read(spark, sfDir, "events").schema
+    val got = Streams.runAvailableNow(
+      Streams.sessionAgg(spark, dir.toString, schema, 3600), "t_session")
+    val batch = Streams.sessionAggBatch(
+      graft.io.Tables.read(spark, sfDir, "events"), 3600)
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
+  test("streaming fingerprint dedup equals batch distinct fingerprints") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_docs_dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = graft.io.Tables.read(spark, sfDir, "documents").schema
+    val got = Streams.runAvailableNow(
+      Streams.dedupStream(spark, dir.toString, schema, "text"), "t_dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batchFps = graft.io.Tables.read(spark, sfDir, "documents")
+      .select(graft.text.TextOps.fingerprint(col("text")).as("fp")).distinct()
+    // one surviving row per distinct fingerprint, same fingerprint set
+    assert(got.count() == batchFps.count())
+    assert(got.select("fp").exceptAll(batchFps).isEmpty)
+  }
+
   test("saltedEquiJoin equals the plain inner join") {
     val big = (1 to 500).map(i => (i % 3L, i.toLong)).toDF("k", "v")
     val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (2L, "c2")).toDF("k", "tag")
