@@ -618,6 +618,34 @@ object SparkEntry {
         .agg(fl(percentile(col("value"), lit(0.5))).as("p50"),
           fl(percentile(col("value"), lit(0.9))).as("p90"),
           fl(percentile(col("value"), lit(0.99))).as("p99"))),
+    "q_approx_quantile" -> ((s, dir) => {
+      // the 100 TB quantile path: percentile_approx (mergeable sketch,
+      // partial-agg friendly) with its rank-error guarantee asserted as a
+      // bounded-error contract — |rank(approx_p90) − 0.9| ≤ 0.01, far
+      // looser than the sketch's 1/accuracy bound, so the boolean is
+      // deterministic; the exact p90 rides along for value comparison
+      val l = li(s, dir).select(col("l_extendedprice").as("x"))
+      val a = l.agg(
+        percentile_approx(col("x"), lit(0.9), lit(10000)).as("ap"),
+        percentile(col("x"), lit(0.9)).as("ex"),
+        count(lit(1)).as("n"))
+      l.crossJoin(a)
+        .agg(fl(max(col("ex"))).as("p90_exact"),
+          (abs(sum(when(col("x") <= col("ap"), 1L).otherwise(0L)) / max(col("n"))
+            - 0.9) <= lit(0.01)).as("rank_ok"))
+    }),
+    "q_group_topk" -> ((s, dir) =>
+      // per-group top-k: one shuffle on the group key + a bounded window
+      // rank — no global sort; k rows survive per group regardless of
+      // group size, so the plan holds under key skew
+      ord(s, dir)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+          fl(col("o_totalprice")).as("price"))),
     "q_json" -> ((s, dir) =>
       // structured metadata extraction from a JSON props column — the
       // training-pipeline sidecar-parsing op; get_json_object is the
@@ -1238,6 +1266,16 @@ object SparkEntry {
          CAST(quantile_cont("value", 0.9) AS REAL) AS p90,
          CAST(quantile_cont("value", 0.99) AS REAL) AS p99
          FROM events GROUP BY event_type""",
+    "q_approx_quantile" ->
+      """SELECT CAST(quantile_cont(l_extendedprice, 0.9) AS REAL) AS p90_exact,
+         true AS rank_ok FROM lineitem""",
+    "q_group_topk" ->
+      """SELECT o_orderpriority,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk,
+         o_orderkey, CAST(o_totalprice AS REAL) AS price
+         FROM orders
+         QUALIFY rk <= 3""",
     "q_json" ->
       """SELECT event_type, count(*) AS n,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
