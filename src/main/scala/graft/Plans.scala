@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump physical plans for the headline + scale-critical queries — the
+  * source for PLANS.md's per-round audit.
+  * Usage: graft.Plans <sfDir> [query ...]
+  */
+object Plans {
+  val auditSet: Seq[String] = Seq(
+    "q1_agg", "q_join", "q_asof", "q_sort_pos", "q_grid_agg",
+    "q_window_agg", "q_cum_agg", "q_ema", "q_dedup_exact",
+    "q_minhash_lsh", "q_jaccard", "q_knn", "q_cos_lsh", "q_tumbling",
+    "q_repetition", "q_sample", "q_vocab", "q_group_topk", "q_dup_clusters")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = if (args.length > 1) args.drop(1).toSeq else auditSet
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"===== $n =====")
+      try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString)
+      catch { case e: Exception => println(s"<error: ${e.getMessage}>") }
+    }
+    spark.stop()
+  }
+}
