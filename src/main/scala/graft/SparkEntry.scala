@@ -477,6 +477,27 @@ object SparkEntry {
       Tables.read(s, dir, "events")
         .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour_bucket"))
         .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))),
+    "q_time_window" -> ((s, dir) => {
+      // trailing TIME-interval window (RANGE frame over int64-ns ts): each
+      // event aggregates the preceding hour of its user's events — the
+      // value-range twin of the row-count cs_window_* family; one shuffle
+      // on user_id, range frame streams within each sorted partition
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-3600000000000L, 0L)
+      Tables.read(s, dir, "events")
+        .filter(col("user_id") < 100)
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sv_1h", sum(col("value")).over(w))
+        .select(col("event_id"), col("user_id"), col("n_1h"),
+          fl(col("sv_1h")).as("sv_1h"))
+    }),
+    "q_cube" -> ((s, dir) =>
+      // CUBE over two dims — the multi-grouping rollup family done in ONE
+      // pass (Expand + single shuffle), not one job per grouping set
+      li(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), fl(sum(col("l_quantity"))).as("sq"))),
 
     // ---- lifecycle (§2.1: TABLE_load/append/delete/truncate) ----
     "q_lifecycle" -> ((s, dir) => {
@@ -1269,6 +1290,16 @@ object SparkEntry {
     "q_approx_quantile" ->
       """SELECT CAST(quantile_cont(l_extendedprice, 0.9) AS REAL) AS p90_exact,
          true AS rank_ok FROM lineitem""",
+    "q_time_window" ->
+      """SELECT event_id, user_id, count(*) OVER w AS n_1h,
+         CAST(sum("value") OVER w AS REAL) AS sv_1h
+         FROM events WHERE user_id < 100
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+           RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(l_quantity) AS REAL) AS sq
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "q_group_topk" ->
       """SELECT o_orderpriority,
          CAST(row_number() OVER (PARTITION BY o_orderpriority
