@@ -174,6 +174,41 @@ class PropertySpec extends AnyFunSuite {
     assert(kl == kd)
   }
 
+  test("keyed scans equal per-key keyless scans (ema/atr/cumProd)") {
+    // the keyed path (hash-partitioned single pass) and the keyless path
+    // (ranged two-pass prefix) are independent implementations of the same
+    // recurrence — run the keyed scan over a 3-key frame and compare with
+    // the keyless scan applied to each key's slice
+    val keys = Seq("ka", "kb", "kc")
+    val frames = keys.zipWithIndex.map { case (k, i) =>
+      seriesDf(series(50 + 10 * i, 100L + i)).withColumn("k", lit(k))
+    }
+    val all = frames.reduce(_ unionByName _)
+    def check(f: (org.apache.spark.sql.DataFrame, Seq[String]) => org.apache.spark.sql.DataFrame,
+              out: String): Unit = {
+      val keyed = f(all, Seq("k"))
+        .select(col("k"), col("pos"), col(out)).as[(String, Long, Double)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      val sliced = frames.flatMap { fr =>
+        val k = fr.select("k").head().getString(0)
+        f(fr.drop("k"), Seq())
+          .select(col("pos"), col(out)).as[(Long, Double)]
+          .collect().sortBy(_._1).map { case (p, v) => (k, p, v) }
+      }.sortBy(r => (r._1, r._2)).toSeq
+      keyed.zip(sliced).foreach { case ((k1, p1, v1), (k2, p2, v2)) =>
+        // relative tolerance: the ranged path composes chunk products in a
+        // different association order, so last-ulp drift scales with |v|
+        assert(k1 == k2 && p1 == p2 &&
+          math.abs(v1 - v2) <= 1e-9 * math.max(1.0, math.abs(v1)),
+          s"$out mismatch at ($k1,$p1): $v1 vs $v2")
+      }
+    }
+    check((d, ks) => Moving.ema(d, ks, "value", 10), "ema")
+    check((d, ks) => Moving.atr(d, ks, "value", 14), "atr")
+    check((d, ks) => Moving.cumProd(
+      d.withColumn("value", (col("value") / 1000.0) + 1.5), ks, "value"), "cum_prd")
+  }
+
   test("topK equals sort-take-k") {
     for ((n, seed) <- cases; k <- Seq(1, 5)) {
       val xs = series(n, seed)
