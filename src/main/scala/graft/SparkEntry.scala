@@ -727,6 +727,22 @@ object SparkEntry {
       TextOps.redactPii(docs(s, dir), "text")
         .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
           md5(col("redacted")).as("red_fp"))),
+    "q_chunk" -> ((s, dir) =>
+      // sliding token-window chunking (32-token windows, stride 24) — the
+      // long-document splitting step; one map-only explode
+      graft.text.Chunking.chunkWords(docs(s, dir), "doc_id", "text", 32, 24)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_fp"))),
+    "q_pack" -> ((s, dir) =>
+      // greedy sequence packing into 512-token bins per source shard — a
+      // keyed single-pass fold (one shuffle, zero driver state); bins are
+      // shard-local by design, the way training shards are built
+      graft.text.Chunking.packGreedy(
+        docs(s, dir)
+          .withColumn("pos", col("doc_id"))
+          .withColumn("n_tokens", TextOps.tokenCountWs(col("text"))),
+        Seq("source"), "n_tokens", 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))),
     "q_dup_clusters" -> ((s, dir) =>
       // pairwise near-dup evidence → dedup groups: connected components
       // (min-label propagation, O(diameter) joins) over verified pairs
@@ -1373,6 +1389,34 @@ object SparkEntry {
          WHERE strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
            < CASE WHEN lang = 'en' THEN 4 WHEN lang = 'zh' THEN 16 ELSE 8 END""",
     "q_redact" -> redactOracle,
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         s AS (SELECT doc_id, w,
+             CASE WHEN len(w) > 32
+               THEN CAST(ceil(CAST(len(w) - 32 AS DOUBLE) / 24) AS INT) + 1
+               ELSE 1 END AS nc
+           FROM t),
+         c AS (SELECT doc_id, w, unnest(range(0, nc)) AS ci FROM s)
+         SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           CAST(len(w[ci * 24 + 1 : least(ci * 24 + 32, len(w))]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(w[ci * 24 + 1 : least(ci * 24 + 32, len(w))], ' ')) AS chunk_fp
+         FROM c""",
+    "q_pack" ->
+      """WITH RECURSIVE d AS (SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents),
+         p AS (
+           SELECT source, doc_id, n_tokens, rn, n_tokens AS fill, CAST(0 AS BIGINT) AS bin
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN p.fill + d.n_tokens > 512 THEN d.n_tokens
+                  ELSE p.fill + d.n_tokens END,
+             CASE WHEN p.fill + d.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END
+           FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
+         SELECT doc_id, source, n_tokens, bin FROM p""",
     "q_dup_clusters" ->
       s"""WITH RECURSIVE pairs AS (${jaccardPairsOracle(7, 0.6, "TRUE")}),
          e AS (SELECT id1 AS a, id2 AS b FROM pairs

@@ -107,6 +107,11 @@ object Moving {
     * (keys, pos), then one sequential pass with O(1) state per open key.
     * One shuffle, NO driver collect — scales to arbitrarily many keys
     * (per-user state at 100 TB); parallelism is min(#keys, #partitions).
+    *
+    * Unlike the ranged keyless path, this is a plain left fold — `op`
+    * need NOT be associative here (state machines like capacity-reset
+    * packing are fine), but then the computation cannot fall back to the
+    * chunk-composing keyless route.
     */
   def monoidScanKeyed(df: DataFrame, keys: Seq[String], outs: Seq[String])(
       identity: Array[Double])(inject: Row => Array[Double])(

@@ -48,6 +48,32 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("chunkWords covers every token with correct window/stride boundaries") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "a b")).toDF("doc_id", "text")
+    val out = graft.text.Chunking.chunkWords(df, "doc_id", "text", 4, 3)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+      .as[(Long, Int, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 0, 4L, "w1 w2 w3 w4"),
+      (1L, 1, 4L, "w4 w5 w6 w7"),
+      (1L, 2, 4L, "w7 w8 w9 w10"),
+      (2L, 0, 2L, "a b")))
+  }
+
+  test("packGreedy: capacity resets, oversized items get their own bin") {
+    val df = Seq(
+      ("s", 0L, 300L), ("s", 1L, 300L), ("s", 2L, 600L), ("s", 3L, 100L),
+      ("t", 0L, 600L), ("t", 1L, 100L))
+      .toDF("source", "pos", "n_tokens")
+    val out = graft.text.Chunking.packGreedy(df, Seq("source"), "n_tokens", 512)
+      .select("source", "pos", "bin").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      ("s", 0L, 0L), ("s", 1L, 1L), ("s", 2L, 2L), ("s", 3L, 3L),
+      ("t", 0L, 0L), ("t", 1L, 1L)))
+  }
+
   test("stratifiedSample is deterministic and respects per-stratum rates") {
     val df = (0 until 400).map(i => (i.toLong, s"doc body number $i", if (i % 2 == 0) "en" else "zh"))
       .toDF("doc_id", "text", "lang")
