@@ -800,6 +800,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_exact"),
           (sum(coalesce(col("__f"), lit(0))) / count(lit(1)) >= 0.85).as("recall_ok"))
     }),
+    "q_knn_join" -> ((s, dir) => {
+      // batch KNN: top-5 neighbors for EACH query vector — broadcast
+      // queries, map-side scoring, per-query windowed rank (k survivors
+      // per query regardless of corpus size)
+      val e = emb(s, dir)
+      Similarity.topKCosineJoin(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+    }),
     "q_ivf_query" -> ((s, dir) => {
       // trained IVF (deterministic k-means) probing 5 of 8 partitions;
       // brute-force top-10 is the oracle-checked base, ivf_found asserts
@@ -1465,6 +1472,16 @@ object SparkEntry {
                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT count(*) AS n_exact, true AS recall_ok FROM p WHERE c >= 0.3""",
+    "q_knn_join" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+         s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+           FROM e JOIN q ON e.vec_id != q.query_id)
+         SELECT query_id, neighbor_id, CAST(c AS REAL) AS cosine FROM s
+         QUALIFY row_number() OVER (PARTITION BY query_id
+           ORDER BY c DESC, neighbor_id ASC) <= 5""",
     "q_ivf_query" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
          p AS (SELECT e.vec_id,
