@@ -26,16 +26,17 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   */
 object Moving {
 
-  /** Trailing-window frame of n rows ending at the current row.
-    * NOTE: keyless, this is a whole-frame ordered window (one task); the
-    * scalable keyless route is cum-scan differences for sum/avg/var
-    * (w_sum_i = cum_i − cum_{i−N} via monoidScanRanged + a pos-join) and
-    * boundary-replicated chunks for min/max. Current callers are keyed.
+  /** Trailing-window frame of n rows ending at the current row (keyed
+    * callers only — keyless trailing windows route through
+    * [[windowAggScanKeyless]], never a whole-frame ordered window).
     */
-  def frame(keys: Seq[String], n: Int) =
-    (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))
+  def frame(keys: Seq[String], n: Int) = {
+    require(keys.nonEmpty,
+      "keyless trailing windows use windowAggScanKeyless, not a global window")
+    Window.partitionBy(keys.map(col): _*)
       .orderBy(col("pos"))
       .rowsBetween(-(n - 1), Window.currentRow)
+  }
 
   /** Generalization of [[affineScanRanged]] to an arbitrary associative
     * monoid over a fixed-width Double state vector: pass 1 folds each
@@ -177,6 +178,7 @@ object Moving {
     * (the naive one-pass formula, func.c:1745-1761).
     */
   def windowAgg(df: DataFrame, keys: Seq[String], value: String, n: Int): DataFrame = {
+    if (keys.isEmpty) return windowAggScanKeyless(df, value, n)
     val w = frame(keys, n)
     val v = col(value)
     val refVar = (sum(v * v).over(w) - sum(v).over(w) * sum(v).over(w) / n) / n
@@ -189,6 +191,69 @@ object Moving {
       .withColumn("w_avg_ref", sum(v).over(w) / n)
       .withColumn("w_var_ref", refVar)
       .withColumn("w_dev_ref", sqrt(greatest(refVar, lit(0.0))))
+  }
+
+  /** Keyless trailing window WITHOUT a whole-frame ordered window (which
+    * would be one task): range-partition by pos, collect each partition's
+    * LAST n−1 (pos, value) rows to the driver (bounded: ≤ (n−1)·parts
+    * rows), then stream every partition with its carry-in — the previous
+    * partitions' tail rows seed the sliding window, so output row i sees
+    * exactly rows (i−n+1..i) even across partition boundaries. One
+    * shuffle, parallelism = partition count. Emits the same columns as
+    * the keyed [[windowAgg]] (SQL semantics for w_avg/w_var/w_dev: divide
+    * by the ACTUAL warm-up count; *_ref variants use the reference's
+    * fixed-N divisor, func.c:1674-1761).
+    */
+  def windowAggScanKeyless(df: DataFrame, value: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, col("pos"))
+      .sortWithinPartitions(col("pos"))
+    val vIdx = ranged.schema.fieldIndex(value)
+    val rdd = ranged.rdd // captured once; both jobs share the shuffle
+    val tails: Map[Int, Array[Double]] = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val ring = new scala.collection.mutable.ArrayDeque[Double]()
+      it.foreach { r =>
+        ring.append(r.getAs[Number](vIdx).doubleValue())
+        if (ring.size > n - 1) ring.removeHead()
+      }
+      Iterator.single(pid -> ring.toArray)
+    }.collect().toMap
+    // carry-in for pid = last n−1 values BEFORE it, chaining backwards
+    // across partitions that hold fewer than n−1 rows
+    val carry: Map[Int, Array[Double]] = (0 until parts).map { pid =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var p = pid - 1
+      while (buf.size < n - 1 && p >= 0) {
+        val t = tails.getOrElse(p, Array.empty)
+        buf.prependAll(t.takeRight(n - 1 - buf.size))
+        p -= 1
+      }
+      pid -> buf.toArray
+    }.toMap
+    val bc = spark.sparkContext.broadcast(carry)
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val win = scala.collection.mutable.ArrayDeque.empty[Double]
+      bc.value(pid).foreach(win.append)
+      it.map { r =>
+        val x = r.getAs[Number](vIdx).doubleValue()
+        win.append(x)
+        if (win.size > n) win.removeHead()
+        val c = win.size
+        var s = 0.0; var ss = 0.0
+        var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+        win.foreach { v => s += v; ss += v * v; mn = math.min(mn, v); mx = math.max(mx, v) }
+        val vr = math.max((ss - s * s / c) / c, 0.0)
+        val refVar = (ss - s * s / n) / n
+        Row.fromSeq(r.toSeq ++ Seq(s, s / c, mn, mx, vr, math.sqrt(vr),
+          s / n, refVar, math.sqrt(math.max(refVar, 0.0))))
+      }
+    }
+    spark.createDataFrame(outRdd,
+      StructType(ranged.schema.fields ++ Seq(
+        "w_sum", "w_avg", "w_min", "w_max", "w_var", "w_dev",
+        "w_avg_ref", "w_var_ref", "w_dev_ref")
+        .map(c => StructField(c, DoubleType, nullable = false))))
   }
 
   /** Parallel linear-recurrence scan: evaluates E_i = a_i·E_{i-1} + b_i per

@@ -209,6 +209,26 @@ class PropertySpec extends AnyFunSuite {
       d.withColumn("value", (col("value") / 1000.0) + 1.5), ks, "value"), "cum_prd")
   }
 
+  test("keyless scan-based trailing window equals the keyed window form") {
+    for ((n, seed) <- cases; win <- Seq(1, 3, 10)) {
+      val df = seriesDf(series(n, seed))
+      val keyless = Moving.windowAgg(df, Seq(), "value", win)
+      val keyed = Moving.windowAgg(df.withColumn("k", lit("x")), Seq("k"), "value", win)
+      val cols = Seq("w_sum", "w_avg", "w_min", "w_max", "w_var", "w_dev",
+        "w_avg_ref", "w_var_ref", "w_dev_ref")
+      val a = keyless.orderBy("pos")
+        .select(cols.map(col): _*).collect().map(_.toSeq.map(_.asInstanceOf[Double]))
+      val b = keyed.orderBy("pos")
+        .select(cols.map(col): _*).collect().map(_.toSeq.map(_.asInstanceOf[Double]))
+      a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
+        ra.zip(rb).zip(cols).foreach { case ((x, y), c) =>
+          assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+            s"win=$win row=$i col=$c: $x vs $y")
+        }
+      }
+    }
+  }
+
   test("topK equals sort-take-k") {
     for ((n, seed) <- cases; k <- Seq(1, 5)) {
       val xs = series(n, seed)
