@@ -1511,15 +1511,16 @@ object SparkEntry {
     */
   private lazy val langIdOracle: String = {
     val langs = TextOps.langMarkers.keys.toSeq.sorted
-    def hits(lang: String): String =
-      TextOps.langMarkers(lang).map { m =>
-        s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS BIGINT)"
-      }.mkString(" + ")
+    def hits(lang: String): String = {
+      val words = TextOps.langMarkers(lang).map(m => s"'${m.trim}'").mkString(", ")
+      s"len(list_filter(p, x -> list_contains([$words], x)))"
+    }
     val hcols = langs.map(l => s"(${hits(l)}) AS h_$l").mkString(", ")
     val gm = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
     val caseArms = langs.map(l => s"WHEN h_$l = gm THEN '$l'").mkString(" ")
     s"""WITH h AS (SELECT doc_id, $hcols
-          FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)),
+          FROM (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS p FROM documents)),
         g AS (SELECT *, $gm AS gm FROM h)
         SELECT doc_id, CASE WHEN gm = 0 THEN 'und' $caseArms ELSE 'und' END AS lang_pred
         FROM g"""

@@ -71,15 +71,16 @@ object TextOps {
       pat.length).cast("long")
 
   def langId(df: DataFrame, text: String, out: String = "lang_pred"): DataFrame = {
-    // materialize the padded text ONCE: each of the 20 markers references
-    // it twice (length + replace), and an inline alias would re-run
-    // concat+lower 40× per row (CollapseProject keeps a multiply-referenced
-    // non-trivial alias in its own projection)
-    val withPad = df.withColumn("__padded", concat(lit(" "), lower(col(text)), lit(" ")))
-    val padded = col("__padded")
-    val scored = langMarkers.toSeq.sortBy(_._1).foldLeft(withPad) { case (d, (lang, ms)) =>
+    // token-membership counting: ONE split pass + one small-set membership
+    // filter per language, instead of 2 regex scans per marker (20 markers
+    // = 40 full-text passes in the substring-count formulation). Same
+    // argmax; marker hits are whitespace-token equalities.
+    val withToks = df.withColumn("__ltoks", split(lower(trim(col(text))), "\\s+"))
+    val scored = langMarkers.toSeq.sortBy(_._1).foldLeft(withToks) { case (d, (lang, ms)) =>
+      val words = ms.map(_.trim)
       d.withColumn(s"__hits_$lang",
-        ms.map(m => countOccurrences(padded, m)).reduce(_ + _))
+        size(filter(col("__ltoks"),
+          t => words.map(w => t === lit(w)).reduce(_ || _))).cast("long"))
     }
     val langs = langMarkers.keys.toSeq.sorted
     val best = langs.foldLeft((lit("und"), lit(0L))) { case ((bl, bs), lang) =>
@@ -87,7 +88,7 @@ object TextOps {
       (when(h > bs, lit(lang)).otherwise(bl), when(h > bs, h).otherwise(bs))
     }
     scored.withColumn(out, best._1)
-      .drop("__padded").drop(langs.map(l => s"__hits_$l"): _*)
+      .drop("__ltoks").drop(langs.map(l => s"__hits_$l"): _*)
   }
 
   /** Document fingerprint: 64-bit hash of the normalized text (lowercase,
