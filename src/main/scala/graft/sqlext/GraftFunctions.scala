@@ -4,6 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types.BinaryType
 
 /** The `cs_*` SQL function surface (imcs--1.1.sql operator names), exposed
   * to `spark.sql(...)` as NATIVE Catalyst expressions — every builder
@@ -44,7 +45,17 @@ object GraftFunctions {
     ("cs_norm_text", (c: Seq[Expression]) => norm(c(0)),
       "cs_norm_text(text) - lowercase, non-alnum runs collapsed"),
     ("cs_dot", (c: Seq[Expression]) => ArrayDot(c(0), c(1)),
-      "cs_dot(a, b) - fused codegen dot product over float/double arrays"))
+      "cs_dot(a, b) - fused codegen dot product over float/double arrays"),
+    ("cs_cosine",
+      (c: Seq[Expression]) => Divide(ArrayDot(c(0), c(1)),
+        Multiply(Sqrt(ArrayDot(c(0), c(0))), Sqrt(ArrayDot(c(1), c(1))))),
+      "cs_cosine(a, b) - cosine similarity over embedding arrays"),
+    ("cs_token_count",
+      (c: Seq[Expression]) => Size(StringSplit(
+        StringTrim(c(0)), Literal("\\s+"), Literal(-1))),
+      "cs_token_count(text) - whitespace token count"),
+    ("cs_md5_fp", (c: Seq[Expression]) => Md5(Cast(norm(c(0)), BinaryType)),
+      "cs_md5_fp(text) - portable md5 fingerprint of normalized text"))
 
   /** Register as temp functions on a live session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b, _) =>

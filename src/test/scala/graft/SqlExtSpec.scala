@@ -33,6 +33,22 @@ class SqlExtSpec extends AnyFunSuite {
     assert(r == ((9L, 12L, 9L, 2))) // 9^12 = 5 (0101) → 2 differing bits
   }
 
+  test("cs_cosine / cs_token_count / cs_md5_fp SQL equal the library forms") {
+    GraftFunctions.register(spark)
+    Seq((1L, Array(1.0, 0.0, 2.0), Array(2.0, 1.0, 4.0), "  Hello,  World 42 "))
+      .toDF("id", "a", "b", "t").createOrReplaceTempView("t_cs3")
+    val r = spark.sql(
+      """SELECT cs_cosine(a, b) AS c, cs_token_count(t) AS n, cs_md5_fp(t) AS fp
+         FROM t_cs3""").head()
+    val expectCos = (1 * 2 + 0 * 1 + 2 * 4) /
+      (math.sqrt(1 + 4) * math.sqrt(4 + 1 + 16))
+    assert(math.abs(r.getDouble(0) - expectCos) < 1e-12)
+    assert(r.getInt(1) == 3)
+    val libFp = Seq(Tuple1("  Hello,  World 42 ")).toDF("t")
+      .select(TextOps.fingerprintPortable(col("t"))).as[String].head()
+    assert(r.getString(2) == libFp)
+  }
+
   test("cs_dot (codegen ArrayDot) is bit-equal to the HOF dot") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(99)
