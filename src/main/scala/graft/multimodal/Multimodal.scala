@@ -80,6 +80,41 @@ object Multimodal {
     else None
   }
 
+  /** GIF frame count: number of image-descriptor blocks (0x2C) in the
+    * stream — real animation frame metadata, no LZW decode needed (frame
+    * pixel data rides length-prefixed sub-blocks that skip in O(1) each).
+    * Returns None on a malformed block sequence.
+    */
+  def gifFrameCount(b: Array[Byte]): Option[Int] = {
+    if (parseGif(b).isEmpty || b.length < 14) return None
+    val gctFlags = b(10) & 0xff
+    var off = 13 + (if ((gctFlags & 0x80) != 0) 3 * (2 << (gctFlags & 7)) else 0)
+    var frames = 0
+    def skipSubBlocks(): Boolean = {
+      while (off < b.length && (b(off) & 0xff) != 0) {
+        off += 1 + (b(off) & 0xff)
+      }
+      if (off >= b.length) false else { off += 1; true } // consume terminator
+    }
+    while (off < b.length) {
+      (b(off) & 0xff) match {
+        case 0x2c => // image descriptor
+          if (off + 10 > b.length) return None
+          val lctFlags = b(off + 9) & 0xff
+          off += 10 + (if ((lctFlags & 0x80) != 0) 3 * (2 << (lctFlags & 7)) else 0)
+          off += 1 // LZW minimum code size
+          if (!skipSubBlocks()) return None
+          frames += 1
+        case 0x21 => // extension: label byte then sub-blocks
+          off += 2
+          if (!skipSubBlocks()) return None
+        case 0x3b => return Some(frames) // trailer
+        case _ => return None
+      }
+    }
+    Some(frames) // missing trailer: tolerate, report what was seen
+  }
+
   /** JPEG: walk marker segments for a start-of-frame (0xC0-0xCF minus
     * C4/C8/CC); height/width are big-endian at segment offsets 5/7. The
     * dimensions live in the headers — no entropy decode needed.
@@ -177,7 +212,9 @@ object Multimodal {
         // escape (corrupt header beyond the explicit guards) demotes the
         // row to the unknown/stub path instead of throwing
         try parseImage(bytes) match {
-          case Some((fmt, w, h)) => MediaMeta(id, n, fmt, w, h, 1, 0, 0, fp)
+          case Some((fmt, w, h)) =>
+            val frames = if (fmt == "gif") gifFrameCount(bytes).getOrElse(1).max(1) else 1
+            MediaMeta(id, n, fmt, w, h, frames, 0, 0, fp)
           case None => parseWav(bytes) match {
             case Some((rate, ch, _, frames, _)) =>
               MediaMeta(id, n, "wav", 0, 0,

@@ -91,6 +91,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m == Seq(("png", 640, 480), ("gif", 320, 200), ("jpeg", 1920, 1080)))
   }
 
+  test("animated GIF frame count: image descriptors walked without LZW decode") {
+    // GIF89a, 2x1 screen, no global color table, graphic-control extension
+    // + two 1x1 frames (1-byte LZW sub-block each), trailer
+    def frame(): Array[Byte] = Array[Byte](
+      0x2c, 0, 0, 0, 0, 1, 0, 1, 0, 0, // image descriptor, no LCT
+      2,                               // LZW min code size
+      1, 0x44,                         // one 1-byte data sub-block
+      0)                               // sub-block terminator
+    val header = "GIF89a".getBytes ++ Array[Byte](2, 0, 1, 0, 0, 0, 0)
+    val ext = Array[Byte](0x21.toByte, 0xf9.toByte, 4, 0, 10, 0, 0, 0)
+    val gif2 = header ++ ext ++ frame() ++ frame() ++ Array[Byte](0x3b)
+    assert(Multimodal.gifFrameCount(gif2).contains(2))
+    val df = Seq((20L, gif2, "image/gif")).toDF("media_id", "bytes", "mime")
+    val m = Multimodal.extractMeta(df, "media_id", "bytes")
+      .select("format", "n_frames").as[(String, Int)].head()
+    assert(m == (("gif", 2)))
+    // truncated mid-frame -> parse fails closed, meta falls back to 1 frame
+    assert(Multimodal.gifFrameCount(gif2.dropRight(4)).isEmpty)
+  }
+
   test("unknown formats fall back to the deterministic stub") {
     val df = Seq((3L, Array[Byte](1, 2, 3, 4, 5), "application/octet-stream"))
       .toDF("media_id", "bytes", "mime")
