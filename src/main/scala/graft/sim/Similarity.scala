@@ -130,6 +130,68 @@ object Similarity {
       (h % 1000003L).toDouble / 1000003.0
     }
 
+  /** Product quantization codebooks: the vector splits into `m` equal
+    * subspaces, each with its own `k`-centroid k-means codebook. Memory
+    * per vector drops from dim·4 bytes to m codes (m bytes at k ≤ 256) —
+    * the standard ANN compression for billion-vector corpora. Training is
+    * m independent [[kmeansTrain]] runs (driver traffic = model size).
+    */
+  def pqTrain(df: DataFrame, id: String, vec: String, dim: Int,
+              m: Int, k: Int, iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      kmeansTrain(
+        df.select(col(id),
+          slice(col(vec).cast("array<double>"), s * dsub + 1, dsub).as("__sub")),
+        id, "__sub", k, iters)
+    }
+  }
+
+  /** Encode each vector as its per-subspace nearest-centroid codes and a
+    * reconstructed (quantized) vector — the concat of chosen centroids.
+    * Map-only: codebooks ride the plan as literal maps; downstream
+    * approximate scoring reads `__recon` instead of the raw embedding.
+    */
+  def pqEncode(df: DataFrame, vec: String,
+               codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val m = codebooks.size
+    val dsub = codebooks.head.head._2.size
+    val withCodes = codebooks.zipWithIndex.foldLeft(df) { case (d, (cb, s)) =>
+      val sub = slice(col(vec).cast("array<double>"), s * dsub + 1, dsub)
+      val scored = cb.map { case (cid, c) =>
+        val cc = array(c.map(lit): _*)
+        val cNormSq = c.map(x => x * x).sum
+        struct((dot(sub, cc) * 2.0 - cNormSq).as("score"), lit(cid).as("cid"))
+      }
+      d.withColumn(s"__code_$s", greatest(scored: _*).getField("cid"))
+    }
+    val recon = concat(codebooks.zipWithIndex.map { case (cb, s) =>
+      // literal code → centroid lookup map, resolved per row
+      val entries = cb.flatMap { case (cid, c) => Seq(lit(cid), array(c.map(lit): _*)) }
+      element_at(map(entries: _*), col(s"__code_$s"))
+    }: _*)
+    withCodes.withColumn("__recon", recon)
+      .drop((0 until m).map(s => s"__code_$s"): _*)
+  }
+
+  /** PQ-accelerated top-k with exact rerank: score every vector against
+    * the query on its RECONSTRUCTED form (the cheap pass — at deployment
+    * scale this reads m-byte codes, not the raw embeddings), keep the top
+    * `rerank` candidates, then rerank those exactly. Approximation can
+    * only lose a true neighbor if it falls outside the rerank pool.
+    */
+  def pqTopK(encoded: DataFrame, id: String, vec: String, query: Seq[Float],
+             k: Int, rerank: Int): DataFrame = {
+    val qd = array(query.map(v => lit(v.toDouble)): _*)
+    val approx = encoded
+      .withColumn("__ascore",
+        dot(col("__recon"), qd) / (sqrt(dot(col("__recon"), col("__recon"))) + lit(1e-12)))
+      .orderBy(col("__ascore").desc, col(id).asc)
+      .limit(rerank)
+    topKCosine(approx.drop("__ascore", "__recon"), id, vec, query, k)
+  }
+
   /** Deterministic Lloyd k-means over an embedding column. Init = the k
     * lowest-id vectors; each iteration assigns via broadcast centroids
     * (map-only) and recomputes means with one groupBy over (centroid, dim)
