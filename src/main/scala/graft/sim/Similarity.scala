@@ -167,9 +167,10 @@ object Similarity {
       d.withColumn(s"__code_$s", greatest(scored: _*).getField("cid"))
     }
     val recon = concat(codebooks.zipWithIndex.map { case (cb, s) =>
-      // literal code → centroid lookup map, resolved per row
-      val entries = cb.flatMap { case (cid, c) => Seq(lit(cid), array(c.map(lit): _*)) }
-      element_at(map(entries: _*), col(s"__code_$s"))
+      // code → centroid as ONE literal map (typedLit folds it to a single
+      // Literal; a CreateMap of literals would rebuild the map per row)
+      element_at(typedLit(cb.toMap.map { case (cid, c) => cid -> c }),
+        col(s"__code_$s"))
     }: _*)
     withCodes.withColumn("__recon", recon)
       .drop((0 until m).map(s => s"__code_$s"): _*)
