@@ -10,7 +10,9 @@ object Prof {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val name = args(1)
-    val runs = if (args.length > 2) args(2).toInt else 3
+    // `runs` and `explain` are independent optionals: `Prof sf q explain`
+    // must not crash on toInt
+    val runs = args.drop(2).flatMap(_.toIntOption).headOption.getOrElse(3)
     val doExplain = args.contains("explain")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

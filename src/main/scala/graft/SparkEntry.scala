@@ -54,8 +54,20 @@ object SparkEntry {
       // pruning on pos/event_type — an RDD-backed memory cache gives
       // row-at-a-time scans with neither.
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_series_events_${procTag}_$tag"
+      // path components: process UUID (two JVMs must not clobber each
+      // other), session identity (two sessions in ONE JVM caching the same
+      // dir must not overwrite while the other reads — the cache pins the
+      // session object, so its hash is stable for the entry's lifetime),
+      // and the dir tag. The per-process dump is deleted on JVM exit so
+      // repeated runs don't accumulate copies in tmp.
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_series_events_${procTag}_${System.identityHashCode(s)}_$tag"
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }
       Series.attachPosRanged(Tables.read(s, dir, "events"),
         Seq("event_type"), Seq(col("ts"), col("event_id")))
         .write.mode("overwrite").parquet(path)
@@ -745,9 +757,14 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))),
     "q_dup_clusters" -> ((s, dir) =>
       // pairwise near-dup evidence → dedup groups: connected components
-      // (min-label propagation, O(diameter) joins) over verified pairs
+      // (min-label propagation, O(diameter) joins) over verified pairs.
+      // maxDf is disabled HERE because the oracle's recursive closure is
+      // exact all-pairs — the df-cap is the production scale guard, but a
+      // capped pair set would silently diverge from the exact oracle on a
+      // corpus large enough for the cap to bind
       Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 7, 0.6))
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 7, 0.6,
+          maxDf = Int.MaxValue))
         .withColumnRenamed("id", "doc_id")),
     "q_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text", 8, 0.2)),
@@ -767,12 +784,18 @@ object SparkEntry {
       // construction (same exact-Jaccard verify as the ground truth), so
       // the contract is the exact pair count + a measured recall floor.
       val d = docs(s, dir).filter(col("doc_id") < 200)
-      val exact = Dedup.jaccardPairsExact(d, "doc_id", "text", 7, 0.6)
-      val cand = Dedup.simhashPairsVerified(d, "doc_id", "text")
+      // ONE materialized shingle frame feeds both the exact ground truth
+      // and the candidate verify — the normalize+shingle pass runs once
+      val sh = Dedup.shingleSetsMaterialized(d, "doc_id", "text", 7)
+      val exact = Dedup.jaccardPairsExactSh(sh, "doc_id", 0.6)
+      val cand = Dedup.verifyJaccard(
+        Dedup.simhashPairs(d, "doc_id", "text").select(col("id1"), col("id2")),
+        sh, "doc_id", 0.6)
       exact.join(cand.select(col("id1"), col("id2"), lit(1).as("__f")),
           Seq("id1", "id2"), "left")
         .agg(count(lit(1)).as("n_exact"),
-          (sum(coalesce(col("__f"), lit(0))) / count(lit(1)) >= 0.9).as("recall_ok"))
+          coalesce(sum(coalesce(col("__f"), lit(0))) / count(lit(1)) >= 0.9,
+            lit(true)).as("recall_ok")) // zero exact pairs → vacuously true, matching the oracle
     }),
 
     // ---- training-data pipeline: embeddings ----
@@ -798,7 +821,8 @@ object SparkEntry {
       exact.join(lsh.select(col("id1"), col("id2"), lit(1).as("__f")),
           Seq("id1", "id2"), "left")
         .agg(count(lit(1)).as("n_exact"),
-          (sum(coalesce(col("__f"), lit(0))) / count(lit(1)) >= 0.85).as("recall_ok"))
+          coalesce(sum(coalesce(col("__f"), lit(0))) / count(lit(1)) >= 0.85,
+            lit(true)).as("recall_ok")) // zero exact pairs → vacuously true, matching the oracle
     }),
     "q_knn_join" -> ((s, dir) => {
       // batch KNN: top-5 neighbors for EACH query vector — broadcast
@@ -847,7 +871,8 @@ object SparkEntry {
         .join(pq.select(col("__pq_id"), col("__f")),
           col("vec_id") === col("__pq_id"), "left")
         .agg(count(lit(1)).as("n_exact"),
-          (sum(coalesce(col("__f"), lit(0))) / count(lit(1)) >= 0.7).as("recall_ok"))
+          coalesce(sum(coalesce(col("__f"), lit(0))) / count(lit(1)) >= 0.7,
+            lit(true)).as("recall_ok")) // zero exact pairs → vacuously true, matching the oracle
     }),
     "q_ivf" -> ((s, dir) => {
       val e = emb(s, dir)

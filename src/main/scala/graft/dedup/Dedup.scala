@@ -102,7 +102,21 @@ object Dedup {
     * recompute. (On a multi-node cluster a lost executor forces a full
     * recompute — for long pipelines prefer a reliable checkpoint dir.)
     */
-  private def materializeShingles(sh: DataFrame): DataFrame = sh.localCheckpoint()
+  private def materializeShingles(sh: DataFrame): DataFrame =
+    // eager = false: the checkpoint's persist still serves every reuse
+    // after the first computation (broadcast-build jobs run before the
+    // main join, materializing the blocks), but constructing the
+    // DataFrame — e.g. to print a plan — no longer executes corpus-scale
+    // jobs as a side effect
+    sh.localCheckpoint(eager = false)
+
+  /** Shingle frame materialized once — for callers composing several
+    * pipeline stages (exact + approximate verify) over the SAME corpus
+    * slice, so the normalize+shingle pass runs once, not per stage.
+    */
+  def shingleSetsMaterialized(df: DataFrame, id: String, text: String,
+                              shingleLen: Int): DataFrame =
+    materializeShingles(shingleSets(df, id, text, shingleLen))
 
   /** Exact all-pairs n-gram Jaccard — O(n²) BY DESIGN, the ground-truth
     * stage for measuring candidate recall of the approximate pipelines on
@@ -110,8 +124,12 @@ object Dedup {
     * paths are minhashLshPairsVerified / simhashPairsVerified.
     */
   def jaccardPairsExact(df: DataFrame, id: String, text: String,
-                        shingleLen: Int, minJaccard: Double): DataFrame = {
-    val sh = materializeShingles(shingleSets(df, id, text, shingleLen))
+                        shingleLen: Int, minJaccard: Double): DataFrame =
+    jaccardPairsExactSh(
+      materializeShingles(shingleSets(df, id, text, shingleLen)), id, minJaccard)
+
+  /** All-pairs exact Jaccard over a prebuilt (materialized) shingle frame. */
+  def jaccardPairsExactSh(sh: DataFrame, id: String, minJaccard: Double): DataFrame = {
     val allPairs = sh.select(col(id).as("id1")).crossJoin(sh.select(col(id).as("id2")))
       .filter(col("id1") < col("id2"))
     verifyJaccard(allPairs, sh, id, minJaccard)
@@ -248,8 +266,11 @@ object Dedup {
 
   /** SimHash near-dup pipeline with exact-Jaccard verification, analogous
     * to minhashLshPairsVerified: simhash multi-band candidates (complete
-    * for Hamming ≤ bands−1), then char-shingle Jaccard ≥ minJaccard. The
-    * DuckDB oracle computes the same answer as an exact all-pairs Jaccard.
+    * for Hamming ≤ bands−1), then char-shingle Jaccard ≥ minJaccard.
+    * NOTE: candidate recall vs the exact all-pairs answer is
+    * corpus-dependent (no bound links Jaccard ≥ minJaccard to Hamming ≤
+    * maxDist) — contracts over this output should assert a measured
+    * recall floor, not pair-set equality (see q_simhash).
     */
   def simhashPairsVerified(df: DataFrame, id: String, text: String,
                            shingleLen: Int = 7, bands: Int = 8, maxDist: Int = 7,
@@ -349,6 +370,13 @@ object Dedup {
       labels = next
       i += 1
     }
+    // a silent partial propagation would emit multiple cluster_ids for one
+    // true component — fail loud so a pathological long-chain graph (or a
+    // too-small maxIter) is diagnosable instead of producing wrong groups
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds: a component " +
+          "has diameter > maxIter. Raise maxIter or switch to large-star/small-star.")
     labels.withColumnRenamed("label", "cluster_id")
   }
 }

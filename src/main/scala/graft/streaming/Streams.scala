@@ -22,6 +22,13 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
+  /** int64-ns ts → µs event-time timestamp. INTEGER division: `/` on
+    * longs is true (double) division in Spark, and ts ~1.7e18 exceeds the
+    * double mantissa — a 1 µs rounding slip can move an event across a
+    * window/session boundary.
+    */
+  private def etsCol = timestamp_micros(expr("ts div 1000"))
+
   /** Tumbling event-time aggregation over a parquet directory as a stream —
     * the streaming twin of SparkEntry's q_tumbling (grid agg over time).
     * `ts` is int64 epoch nanoseconds (TESTDATA events encoding).
@@ -32,8 +39,7 @@ object Streams {
                   bucketSeconds: Long = 3600): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(schema).parquet(path)
-      // int64 ns → timestamp (µs precision is exact for our generator)
-      .withColumn("ets", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ets", etsCol)
       .withWatermark("ets", "1 hour")
       .groupBy(col("event_type"), window(col("ets"), s"$bucketSeconds seconds"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
@@ -51,7 +57,7 @@ object Streams {
                  windowSeconds: Long, slideSeconds: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(schema).parquet(path)
-      .withColumn("ets", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ets", etsCol)
       .withWatermark("ets", "1 hour")
       .groupBy(col("event_type"),
         window(col("ets"), s"$windowSeconds seconds", s"$slideSeconds seconds"))
@@ -70,19 +76,22 @@ object Streams {
   def sessionAgg(spark: SparkSession, path: String, schema: StructType,
                  gapSeconds: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(schema).parquet(path)
-      .withColumn("ets", timestamp_micros((col("ts") / 1000L).cast("long")))
-      .withWatermark("ets", "1 hour")
-      .groupBy(col("user_id"), session_window(col("ets"), s"$gapSeconds seconds"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-      .select(col("user_id"),
-        col("session_window.start").as("session_start"),
-        col("n"), col("sv"))
+    sessionExpr(
+      spark.readStream.schema(schema).parquet(path)
+        .withColumn("ets", etsCol)
+        .withWatermark("ets", "1 hour"),
+      gapSeconds)
   }
 
-  /** Batch twin of [[sessionAgg]] for equivalence testing. */
+  /** Batch twin of [[sessionAgg]] for equivalence testing — the SAME
+    * aggregation body via [[sessionExpr]], so the stream==batch spec
+    * asserts a structural identity, not two parallel copies.
+    */
   def sessionAggBatch(df: DataFrame, gapSeconds: Long): DataFrame =
-    df.withColumn("ets", timestamp_micros((col("ts") / 1000L).cast("long")))
+    sessionExpr(df.withColumn("ets", etsCol), gapSeconds)
+
+  private def sessionExpr(withEts: DataFrame, gapSeconds: Long): DataFrame =
+    withEts
       .groupBy(col("user_id"), session_window(col("ets"), s"$gapSeconds seconds"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
       .select(col("user_id"),

@@ -26,8 +26,8 @@ class StreamingDictSpec extends AnyFunSuite {
       .select(col("event_type"), col("bucket_start"), col("n"), col("sv"))
     val batch = graft.io.Tables.read(spark, sfDir, "events")
       .groupBy(col("event_type"),
-        timestamp_micros((col("ts") / 1000L).cast("long") -
-          pmod(col("ts") / 1000L, lit(3600000000L)).cast("long")).as("bucket_start"))
+        timestamp_micros(expr("ts div 1000") -
+          pmod(expr("ts div 1000"), lit(3600000000L))).as("bucket_start"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
     assert(got.count() == batch.count())
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
@@ -95,7 +95,7 @@ class StreamingDictSpec extends AnyFunSuite {
     val got = Streams.runAvailableNow(
       Streams.slidingAgg(spark, dir.toString, schema, 7200, 3600), "t_sliding")
     val batch = graft.io.Tables.read(spark, sfDir, "events")
-      .withColumn("ets", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .groupBy(col("event_type"), window(col("ets"), "7200 seconds", "3600 seconds"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
       .select(col("event_type"), col("window.start").as("bucket_start"), col("n"), col("sv"))
