@@ -356,6 +356,18 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           fl(col("value")).as("value"), fl(col("asof_value")).as("asof_value"))
     }),
+    "q_asof_tol" -> ((s, dir) => {
+      // tolerance-bounded as-of: signup values staler than 24h at the
+      // purchase time are no match (NULL) — kdb/pandas tolerance semantics
+      val ev = Tables.read(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val r = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      Align.asofJoinTol(l, r, Seq("user_id"), "ts", "value",
+        lit(24L * 3600L * 1000000000L))
+        .select(col("user_id"), col("event_id"), fl(col("asof_value")).as("asof_value"))
+    }),
     "q_stretch0" -> ((s, dir) => {
       // exact-ts gap fill: error values aligned to click timestamps, -1 filler
       val ev = Tables.read(s, dir, "events")
@@ -1122,6 +1134,13 @@ object SparkEntry {
     "q_asof" ->
       """SELECT l.user_id, l.event_id, CAST(l."value" AS REAL) AS value,
          CAST(r."value" AS REAL) AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q_asof_tol" ->
+      """SELECT l.user_id, l.event_id,
+         CAST(CASE WHEN epoch_ns(l.ts) - epoch_ns(r.ts) <= 86400000000000
+              THEN r."value" END AS REAL) AS asof_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
          ON l.user_id = r.user_id AND l.ts >= r.ts""",

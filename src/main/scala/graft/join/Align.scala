@@ -68,6 +68,25 @@ object Align {
       .select((leftCols :+ outCol).map(col): _*)
   }
 
+  /** Tolerance-bounded as-of join: the classic as-of match, but the
+    * carried value is dropped (NULL) when it is staler than `tolerance`
+    * (left.ts − matched.ts > tolerance). The kdb/pandas `tolerance=`
+    * semantics — a quote older than the staleness budget is no match at
+    * all. Pure composition: the union-scan machinery carries a
+    * (value, ts) struct instead of the bare value; same single shuffle.
+    */
+  def asofJoinTol(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+                  valueCol: String, tolerance: Column,
+                  outCol: String = "asof_value"): DataFrame = {
+    val packed = right.withColumn("__pk",
+      struct(col(valueCol).as("v"), col(ts).as("t")))
+    asofJoin(left, packed, keys, ts, "__pk", "__asof")
+      .withColumn(outCol,
+        when(col("__asof").isNotNull &&
+          (col(ts) - col("__asof.t")) <= tolerance, col("__asof.v")))
+      .drop("__asof")
+  }
+
   /** Positions in `right` matching each left ts — cs_asof_join_pos
     * (func.c:4591-4662). Same machinery carrying right.pos.
     */
