@@ -46,6 +46,10 @@ object SparkEntry {
     * fresh process must not serve a stale dump from a prior run.
     */
   private val procTag = java.util.UUID.randomUUID().toString.replace("-", "")
+  // collision-free per-cache-entry suffix: identityHashCode is stable but
+  // NOT unique, and a collision between two live sessions caching the same
+  // dir would alias their dump paths (overwrite-while-reading)
+  private val seriesSeq = new java.util.concurrent.atomic.AtomicLong()
   private def evSeries(s: SparkSession, dir: String): DataFrame =
     seriesCache.getOrElseUpdate((s, dir), {
       // Write the numbered series back to parquet (pos persisted at ingest,
@@ -55,13 +59,12 @@ object SparkEntry {
       // row-at-a-time scans with neither.
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       // path components: process UUID (two JVMs must not clobber each
-      // other), session identity (two sessions in ONE JVM caching the same
-      // dir must not overwrite while the other reads — the cache pins the
-      // session object, so its hash is stable for the entry's lifetime),
-      // and the dir tag. The per-process dump is deleted on JVM exit so
+      // other), a per-entry sequence number (unique per (session, dir)
+      // cache entry within this JVM — unlike identityHashCode, which can
+      // collide), and the dir tag. The dump is deleted on JVM exit so
       // repeated runs don't accumulate copies in tmp.
       val path = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_series_events_${procTag}_${System.identityHashCode(s)}_$tag"
+        s"graft_series_events_${procTag}_${seriesSeq.incrementAndGet()}_$tag"
       sys.addShutdownHook {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()

@@ -205,10 +205,14 @@ object Dedup {
     // unlike a window over g which would pile every occurrence of a hot
     // shingle onto one task), then a broadcast anti-join drops them from
     // the index without shuffling the big side at all
-    val hot = inv.groupBy(col("g")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf)
-      .select(col("g"))
-    val capped = inv.join(broadcast(hot), Seq("g"), "left_anti")
+    val capped = if (maxDf == Int.MaxValue) inv else {
+      // maxDf = Int.MaxValue disables the cap entirely — skip the df
+      // aggregation over the exploded frame and the can't-filter anti-join
+      val hot = inv.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf)
+        .select(col("g"))
+      inv.join(broadcast(hot), Seq("g"), "left_anti")
+    }
     val cand = capped.as("x").join(capped.as("y"),
         col("x.g") === col("y.g") && col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("id1"), col(s"y.$id").as("id2"))
@@ -372,11 +376,21 @@ object Dedup {
     }
     // a silent partial propagation would emit multiple cluster_ids for one
     // true component — fail loud so a pathological long-chain graph (or a
-    // too-small maxIter) is diagnosable instead of producing wrong groups
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds: a component " +
-          "has diameter > maxIter. Raise maxIter or switch to large-star/small-star.")
+    // too-small maxIter) is diagnosable instead of producing wrong groups.
+    // The loop's flag only says round maxIter still CHANGED labels, which
+    // is also true when that round was the completing one — probe once
+    // more and throw only if another round would still change something.
+    if (!converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("__nl")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("__nl")).as("__mn"))
+      val wouldChange = labels.join(nbrMin, Seq("id"), "left")
+        .filter(least(col("label"), coalesce(col("__mn"), col("label"))) =!= col("label"))
+      if (!wouldChange.isEmpty)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds: a component " +
+            "has diameter > maxIter. Raise maxIter or switch to large-star/small-star.")
+    }
     labels.withColumnRenamed("label", "cluster_id")
   }
 }

@@ -78,8 +78,11 @@ object Align {
   def asofJoinTol(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
                   valueCol: String, tolerance: Column,
                   outCol: String = "asof_value"): DataFrame = {
+    // pack only non-null values: a bare struct is never NULL, which would
+    // defeat the base join's last(..., ignoreNulls) and let a NULL-valued
+    // right row mask an earlier real match
     val packed = right.withColumn("__pk",
-      struct(col(valueCol).as("v"), col(ts).as("t")))
+      when(col(valueCol).isNotNull, struct(col(valueCol).as("v"), col(ts).as("t"))))
     asofJoin(left, packed, keys, ts, "__pk", "__asof")
       .withColumn(outCol,
         when(col("__asof").isNotNull &&

@@ -44,6 +44,17 @@ class AlignSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((10L, "b")))
   }
 
+  test("asofJoinTol: staleness bound + NULL right values don't mask real matches") {
+    val l = Seq(("k", 30L), ("k", 100L)).toDF("key", "ts")
+    val r = Seq(("k", 1L, Some(5.0)), ("k", 2L, None)).toDF("key", "ts", "v")
+    val out = Align.asofJoinTol(l, r, Seq("key"), "ts", "v", lit(50L))
+      .orderBy("ts").select("ts", "asof_value")
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toSeq
+    // ts=30: NULL-valued row at ts=2 must not mask the real match at ts=1
+    // (base as-of semantics); ts=100: match is 99 stale > 50 → no match
+    assert(out == Seq((30L, Some(5.0)), (100L, None)))
+  }
+
   test("unionMerge keeps duplicates (cs_union)") {
     val a = Seq(("k", 1L)).toDF("key", "ts")
     val b = Seq(("k", 1L), ("k", 2L)).toDF("key", "ts")
