@@ -151,4 +151,27 @@ object Align {
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     ls.join(rs, keys :+ "__salt").drop("__salt")
   }
+
+  /** Bloom-filter semi-join reduction: when the probe side of a big join
+    * retains only a small fraction of rows but the build side is too big
+    * to BROADCAST AS DATA, its KEY SET still fits a Bloom sketch. The
+    * filter prunes the big side BEFORE its shuffle — the dominant cost of
+    * a selective 100 TB join — at the price of a bounded false-positive
+    * rate, which the join itself then removes (never wrong, only ≤fpp
+    * wasted shuffle). Result is EXACTLY the plain inner join.
+    *
+    * `expectedItems` sizes the sketch (8-16 bits/key at fpp 1-3%); the
+    * build-side scan to construct it is one extra pass, worthwhile when
+    * selectivity < ~50%.
+    */
+  def bloomFilteredJoin(big: DataFrame, build: DataFrame, keys: Seq[String],
+                        expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(keys.size == 1, "bloom reduction keys one column; compound keys: cs_cat first")
+    val k = keys.head
+    val bf = build.stat.bloomFilter(k, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((v: java.lang.Long) => v != null && bc.value.mightContainLong(v))
+    big.filter(mightContain(col(k))).join(build, keys)
+  }
 }

@@ -55,6 +55,16 @@ class AlignSpec extends AnyFunSuite {
     assert(out == Seq((30L, Some(5.0)), (100L, None)))
   }
 
+  test("bloomFilteredJoin equals the plain inner join (false positives removed)") {
+    val big = (1L to 2000L).map(i => (i, s"r$i")).toDF("k", "payload")
+    val build = Seq((5L, "a"), (500L, "b"), (1500L, "c")).toDF("k", "tag")
+    val got = Align.bloomFilteredJoin(big, build, Seq("k"), expectedItems = 100)
+      .select("k", "payload", "tag")
+    val plain = big.join(build, Seq("k")).select("k", "payload", "tag")
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+    assert(got.count() == 3)
+  }
+
   test("unionMerge keeps duplicates (cs_union)") {
     val a = Seq(("k", 1L)).toDF("key", "ts")
     val b = Seq(("k", 1L), ("k", 2L)).toDF("key", "ts")
