@@ -42,6 +42,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -70,30 +71,44 @@ object Bench {
     SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop")
       .mode("overwrite").save()
 
-    // Two runs per query, min reported: run 1 pays one-time codegen
-    // compilation (~0.5-1 s per distinct plan), which the reference's
-    // published numbers exclude (they are post-load, repeat-measured —
-    // BASELINE.md row 9 quotes the "repeat" time). cold_sec keeps the
-    // first-run total visible.
+    // N runs per query (default 5), min of the warm runs reported: run 1
+    // pays one-time codegen compilation (~0.5-1 s per distinct plan), which
+    // the reference's published numbers exclude (they are post-load,
+    // repeat-measured — BASELINE.md row 9 quotes the "repeat" time).
+    // cold_sec keeps the first-run total visible; "spread" (max-min over
+    // warm runs) exposes the per-query noise floor, and a query that
+    // throws is recorded in "failed" — a dead query can never masquerade
+    // as a fast one.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).getOrElse(5).max(2)
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
-      def once(): Double = {
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val cold = once()
-      val warm = once()
-      (name, math.min(cold, warm), cold)
+      val (cold, coldOk) = once()
+      // a query broken on its cold run stays broken — don't burn reps on it
+      val warm = if (coldOk) Seq.fill(reps - 1)(once()) else Seq((cold, false))
+      val failed = !coldOk || warm.exists(!_._2)
+      val warmTimes = warm.map(_._1)
+      (name, warmTimes.min, warmTimes.max - warmTimes.min, cold, failed)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double, Double, Boolean)) => String) =
+      results.map(f).mkString("{", ",", "}")
+    val qs = jmap { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val spread = jmap { case (k, _, s, _, _) => "\"" + k + "\":" + f"$s%.3f" }
+    val failedList = results.filter(_._5).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val coldTotal = results.map(_._3).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load_sec":$loadSec%.3f,"cold_sec":$coldTotal%.3f,"sf":"$sfDir"}""")
+    val coldTotal = results.map(_._4).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failedList,"reps":$reps,"load_sec":$loadSec%.3f,"cold_sec":$coldTotal%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -533,7 +533,10 @@ object SparkEntry {
       // reproduces from the source table (imcs--1.1.sql:188-217 semantics).
       val ev = Tables.read(s, dir, "events")
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lifecycle_$tag"
+      // procTag: two concurrent JVMs verifying the same dir must not
+      // clobber each other's lifecycle table mid-read (same reasoning as
+      // the evSeries dump path above)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lifecycle_${procTag}_$tag"
       Tables.load(ev.filter(col("event_id") % 2 === 0), path, Seq("event_type"), "ts")
       Tables.append(ev.filter(col("event_id") % 2 === 1), path, "ts",
         lit(1704500000000000000L))
@@ -1140,12 +1143,18 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
          ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    // Right side filters NULL values BEFORE the ASOF JOIN so the oracle
+    // encodes the Spark-side semantics exactly: the match is the latest
+    // NON-NULL right value, with staleness bounded by THAT row's ts (a
+    // newer NULL-valued right row neither matches nor masks) — see
+    // Align.asofJoinTol's packed-struct construction.
     "q_asof_tol" ->
       """SELECT l.user_id, l.event_id,
          CAST(CASE WHEN epoch_ns(l.ts) - epoch_ns(r.ts) <= 86400000000000
               THEN r."value" END AS REAL) AS asof_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+         ASOF LEFT JOIN (SELECT * FROM events
+                         WHERE event_type = 'signup' AND "value" IS NOT NULL) r
          ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "q_stretch0" ->
       """SELECT l.user_id, l.event_id,

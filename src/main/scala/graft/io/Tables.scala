@@ -16,16 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader rejects;
-    * read it as raw int64 nanoseconds instead. Ordering and equality over
-    * the long are isomorphic to the timestamp, and the DuckDB oracle maps
-    * via epoch_ns(ts) when the column must be compared.
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader rejects
+    * unless `spark.sql.legacy.parquet.nanosAsLong=true` — set once at
+    * session build (Bench/Verify/Prof/Plans/TestSpark all do), NOT here: a
+    * read helper mutating session config is racy with concurrent sessions
+    * and surprising for unrelated reads that follow. Read as raw int64
+    * nanoseconds; ordering and equality over the long are isomorphic to
+    * the timestamp, and the DuckDB oracle maps via epoch_ns(ts) when the
+    * column must be compared.
     */
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
-  }
 
   /** TABLE_load: ingest sorted by (keys, ts) — the reference's
     * `order by <timestamp>` load (imcs.c:4265).

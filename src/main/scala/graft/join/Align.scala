@@ -166,12 +166,31 @@ object Align {
     */
   def bloomFilteredJoin(big: DataFrame, build: DataFrame, keys: Seq[String],
                         expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
     require(keys.size == 1, "bloom reduction keys one column; compound keys: cs_cat first")
     val k = keys.head
+    // The probe must hash EXACTLY like stat.bloomFilter's put: integral
+    // types go through putLong (so probe with mightContainLong on the
+    // widened long), strings through the UTF-8-bytes path (probe with
+    // mightContainString). Any other type would silently cast — under
+    // non-ANSI casting a mismatch yields NULL → mightContain false for
+    // every row, violating the exact-inner-join contract — so reject it.
+    val dt = big.schema(k).dataType
+    require(build.schema(k).dataType == dt,
+      s"bloom key '$k' type mismatch: probe ${dt.simpleString} vs build " +
+        build.schema(k).dataType.simpleString)
     val bf = build.stat.bloomFilter(k, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((v: java.lang.Long) => v != null && bc.value.mightContainLong(v))
-    big.filter(mightContain(col(k))).join(build, keys)
+    val probe = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((v: java.lang.Long) => v != null && bc.value.mightContainLong(v))
+          .apply(col(k).cast(LongType))
+      case StringType =>
+        udf((v: String) => v != null && bc.value.mightContainString(v))
+          .apply(col(k))
+      case other => throw new IllegalArgumentException(
+        s"bloomFilteredJoin supports integral or string keys, got ${other.simpleString}")
+    }
+    big.filter(probe).join(build, keys)
   }
 }

@@ -65,13 +65,16 @@ object Moving {
       rdd.mapPartitionsWithIndex { (pid, it) =>
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Any], Array[Double])]
         var cur: Seq[Any] = null
-        var acc = identity
+        // clone: `op` may mutate its accumulator argument in place (a
+        // natural fold optimization); aliasing the shared identity array
+        // here would corrupt it for every later key in the partition
+        var acc = identity.clone()
         var any = false
         it.foreach { r =>
           val k = keyIdx.map(r.get)
           if (!any || k != cur) {
             if (any) buf += ((pid, cur, acc))
-            cur = k; acc = identity; any = true
+            cur = k; acc = identity.clone(); any = true
           }
           acc = op(acc, inject(r))
         }
@@ -80,20 +83,24 @@ object Moving {
       }.collect()
     val incoming: Map[(Int, Seq[Any]), Array[Double]] =
       comps.groupBy(_._2).iterator.flatMap { case (k, rows) =>
-        var e = identity
+        var e = identity.clone()
         rows.sortBy(_._1).map { case (pid, _, a) =>
           val entry = (pid, k) -> e
-          e = op(e, a)
+          // clone: `entry` retains e — an in-place-mutating op would
+          // otherwise corrupt the already-stored incoming state
+          e = op(e.clone(), a)
           entry
         }
       }.toMap
     val bc = spark.sparkContext.broadcast(incoming)
     val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
       var cur: Seq[Any] = null
-      var e = identity
+      var e = identity.clone()
       it.map { r =>
         val k = keyIdx.map(r.get)
-        if (cur == null || k != cur) { cur = k; e = bc.value((pid, k)) }
+        // clone: broadcast values are SHARED across tasks in one executor
+        // JVM — mutating them in place would corrupt other partitions' reads
+        if (cur == null || k != cur) { cur = k; e = bc.value((pid, k)).clone() }
         e = op(e, inject(r))
         Row.fromSeq(r.toSeq ++ e.toSeq)
       }
@@ -124,10 +131,13 @@ object Moving {
     val keyIdx = keys.map(hashed.schema.fieldIndex)
     val outRdd = hashed.rdd.mapPartitions { it =>
       var cur: Seq[Any] = null
-      var acc = identity
+      // clone at every key reset: `op` may mutate its accumulator argument
+      // in place (allowed here — this path is a plain left fold); aliasing
+      // the shared identity array would corrupt it for every later key
+      var acc = identity.clone()
       it.map { r =>
         val k = keyIdx.map(r.get)
-        if (cur == null || k != cur) { cur = k; acc = identity }
+        if (cur == null || k != cur) { cur = k; acc = identity.clone() }
         acc = op(acc, inject(r))
         Row.fromSeq(r.toSeq ++ acc.toSeq)
       }
@@ -211,21 +221,29 @@ object Moving {
       .sortWithinPartitions(col("pos"))
     val vIdx = ranged.schema.fieldIndex(value)
     val rdd = ranged.rdd // captured once; both jobs share the shuffle
-    val tails: Map[Int, Array[Double]] = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val ring = new scala.collection.mutable.ArrayDeque[Double]()
-      it.foreach { r =>
-        ring.append(r.getAs[Number](vIdx).doubleValue())
-        if (ring.size > n - 1) ring.removeHead()
-      }
-      Iterator.single(pid -> ring.toArray)
-    }.collect().toMap
+    // NULL values ride along as nulls (boxed) so the frame still counts
+    // them as ROWS but every aggregate skips them — the same semantics as
+    // the keyed path's SQL aggregates over a rowsBetween frame. An
+    // all-null frame yields NULL aggregates, hence nullable output columns.
+    def boxed(r: Row): java.lang.Double =
+      if (r.isNullAt(vIdx)) null
+      else java.lang.Double.valueOf(r.getAs[Number](vIdx).doubleValue())
+    val tails: Map[Int, Array[java.lang.Double]] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val ring = new scala.collection.mutable.ArrayDeque[java.lang.Double]()
+        it.foreach { r =>
+          ring.append(boxed(r))
+          if (ring.size > n - 1) ring.removeHead()
+        }
+        Iterator.single(pid -> ring.toArray)
+      }.collect().toMap
     // carry-in for pid = last n−1 values BEFORE it, chaining backwards
     // across partitions that hold fewer than n−1 rows
-    val carry: Map[Int, Array[Double]] = (0 until parts).map { pid =>
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val carry: Map[Int, Array[java.lang.Double]] = (0 until parts).map { pid =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[java.lang.Double]
       var p = pid - 1
       while (buf.size < n - 1 && p >= 0) {
-        val t = tails.getOrElse(p, Array.empty)
+        val t = tails.getOrElse(p, Array.empty[java.lang.Double])
         buf.prependAll(t.takeRight(n - 1 - buf.size))
         p -= 1
       }
@@ -233,27 +251,37 @@ object Moving {
     }.toMap
     val bc = spark.sparkContext.broadcast(carry)
     val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val win = scala.collection.mutable.ArrayDeque.empty[Double]
+      val win = scala.collection.mutable.ArrayDeque.empty[java.lang.Double]
       bc.value(pid).foreach(win.append)
       it.map { r =>
-        val x = r.getAs[Number](vIdx).doubleValue()
-        win.append(x)
+        win.append(boxed(r))
         if (win.size > n) win.removeHead()
-        val c = win.size
+        var c = 0
         var s = 0.0; var ss = 0.0
         var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
-        win.foreach { v => s += v; ss += v * v; mn = math.min(mn, v); mx = math.max(mx, v) }
-        val vr = math.max((ss - s * s / c) / c, 0.0)
-        val refVar = (ss - s * s / n) / n
-        Row.fromSeq(r.toSeq ++ Seq(s, s / c, mn, mx, vr, math.sqrt(vr),
-          s / n, refVar, math.sqrt(math.max(refVar, 0.0))))
+        win.foreach { v =>
+          if (v != null) {
+            val x = v.doubleValue()
+            c += 1; s += x; ss += x * x
+            mn = math.min(mn, x); mx = math.max(mx, x)
+          }
+        }
+        val outs: Seq[Any] =
+          if (c == 0) Seq(null, null, null, null, null, null, null, null, null)
+          else {
+            val vr = math.max((ss - s * s / c) / c, 0.0)
+            val refVar = (ss - s * s / n) / n
+            Seq(s, s / c, mn, mx, vr, math.sqrt(vr),
+              s / n, refVar, math.sqrt(math.max(refVar, 0.0)))
+          }
+        Row.fromSeq(r.toSeq ++ outs)
       }
     }
     spark.createDataFrame(outRdd,
       StructType(ranged.schema.fields ++ Seq(
         "w_sum", "w_avg", "w_min", "w_max", "w_var", "w_dev",
         "w_avg_ref", "w_var_ref", "w_dev_ref")
-        .map(c => StructField(c, DoubleType, nullable = false))))
+        .map(c => StructField(c, DoubleType, nullable = true))))
   }
 
   /** Parallel linear-recurrence scan: evaluates E_i = a_i·E_{i-1} + b_i per
