@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev profiling harness: run one named query N times against a sf dir,
-  * print per-run wall time and optionally the formatted plan.
-  * Usage: graft.Prof <sfDir> <queryName> [runs] [explain]
+/** Dev profiling harness: run one named query N times against a sf dir
+  * under BENCH conditions (tables persisted, series warmed), print per-run
+  * wall time split into plan (analysis+optimization+physical planning) and
+  * exec (job run), and optionally the formatted plan.
+  * Usage: graft.Prof <sfDir> <queryName> [runs] [explain] [cold]
   */
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -14,6 +16,7 @@ object Prof {
     // must not crash on toInt
     val runs = args.drop(2).flatMap(_.toIntOption).headOption.getOrElse(3)
     val doExplain = args.contains("explain")
+    val cold = args.contains("cold") // skip the cache-load phase
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -23,12 +26,25 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (!cold) {
+      val tables = Seq("lineitem", "orders", "customer", "part",
+        "events", "documents", "embeddings")
+      tables.foreach { t =>
+        graft.io.Tables.read(spark, sfDir, t)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      }
+      SparkEntry.warmSeries(spark, sfDir)
+    }
     val fn = SparkEntry.queries(name)
     if (doExplain) fn(spark, sfDir).explain("formatted")
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val df = fn(spark, sfDir)
+      df.queryExecution.executedPlan // force analysis through physical planning
+      val t1 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      println(f"run $i: total ${(t2 - t0) / 1e9}%.3f s  (plan ${(t1 - t0) / 1e9}%.3f, exec ${(t2 - t1) / 1e9}%.3f)")
     }
     spark.stop()
   }
