@@ -368,6 +368,33 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           fl(col("value")).as("value"), fl(col("asof_value")).as("asof_value"))
     }),
+    "q_asof_keyless" -> ((s, dir) => {
+      // keyless as-of over the GLOBAL series (the reference's default
+      // single-series shape, func.c:4591-4662) — exercises the ranged
+      // carry-forward scan, not a whole-frame window. The right side is
+      // pre-deduped per ts (max value) so equal-ts ties can't make the
+      // match nondeterministic between engines.
+      val ev = Tables.read(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("value"))
+      val r = ev.filter(col("event_type") === "signup")
+        .groupBy(col("ts")).agg(max(col("value")).as("value"))
+      Align.asofJoin(l, r, Seq(), "ts", "value", "asof_value")
+        .select(col("event_id"),
+          fl(col("value")).as("value"), fl(col("asof_value")).as("asof_value"))
+    }),
+    "q_asof_pos" -> ((s, dir) => {
+      // cs_asof_join_pos (func.c:4591-4662): carry the matched right POS.
+      // Right side deduped to one row per (user_id, ts) — the max pos —
+      // so an equal-ts pair can't flip the matched position.
+      val se = evSeries(s, dir)
+      val l = se.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val r = se.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("pos")).as("pos"))
+      Align.asofJoinPos(l, r, Seq("user_id"), "ts")
+        .select(col("user_id"), col("event_id"), col("right_pos"))
+    }),
     "q_asof_tol" -> ((s, dir) => {
       // tolerance-bounded as-of: signup values staler than 24h at the
       // purchase time are no match (NULL) — kdb/pandas tolerance semantics
@@ -1151,6 +1178,20 @@ object SparkEntry {
          CAST(r."value" AS REAL) AS asof_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q_asof_keyless" ->
+      """SELECT l.event_id, CAST(l."value" AS REAL) AS value,
+         CAST(r."value" AS REAL) AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT ts, max("value") AS value FROM events
+                         WHERE event_type = 'signup' GROUP BY ts) r
+         ON l.ts >= r.ts""",
+    "q_asof_pos" ->
+      s"""SELECT l.user_id, l.event_id, r.pos AS right_pos
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, ts, max(pos) AS pos
+                         FROM ($evPosSql) WHERE event_type = 'signup'
+                         GROUP BY user_id, ts) r
          ON l.user_id = r.user_id AND l.ts >= r.ts""",
     // Right side filters NULL values BEFORE the ASOF JOIN so the oracle
     // encodes the Spark-side semantics exactly: the match is the latest

@@ -53,19 +53,70 @@ object Align {
     // Right rows (__side=0) sort before left rows at equal ts in scan
     // order, so an exact timestamp match is visible to the left row —
     // matches the reference's inclusive boundary in both directions.
-    // NOTE: keyless, the window below is whole-frame (one task); the
-    // scalable keyless route is pos attachment over the union ordered by
-    // (ts, side) + a carry-forward scan (Moving.affineScanRanged) of the
-    // right value. Callers today always align per key.
     val tsOrd = if (direction == -1) col(ts).asc else col(ts).desc
-    val w =
-      (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))
+    if (keys.isEmpty) {
+      // Keyless (a single global series — the reference's default shape,
+      // func.c:4591-4662): a whole-frame ordered window would be ONE task,
+      // so instead run a carry-forward monoid scan over the union ordered
+      // by (ts, side): state = (last right value(s), seen-any flag), op
+      // keeps the later defined state — associative, so the ranged
+      // two-pass parallel-prefix machinery applies. One range shuffle,
+      // parallelism = partition count. Values ride as Doubles (every
+      // reference element type is numeric) and are cast back to their
+      // original types on output, so integrals up to 2^53 round-trip
+      // exactly. A struct of numerics (the tolerance join's packed
+      // (v, ts)) is carried componentwise — its fields must be non-null
+      // whenever the struct is (true for asofJoinTol's packing).
+      import org.apache.spark.sql.types.{NumericType, StructType}
+      val vType = right.schema(valueCol).dataType
+      val fields: Seq[org.apache.spark.sql.types.StructField] = vType match {
+        case st: StructType =>
+          require(st.fields.forall(_.dataType.isInstanceOf[NumericType]),
+            s"keyless as-of struct carry needs all-numeric fields; got ${st.simpleString}")
+          st.fields.toSeq
+        case nt: NumericType =>
+          Seq(org.apache.spark.sql.types.StructField("v", nt))
+        case other => throw new IllegalArgumentException(
+          s"keyless as-of carries the right value through a numeric scan; got ${other.simpleString}")
+      }
+      val width = fields.size
+      val rvIdx = unioned.schema.fieldIndex("__rv")
+      val zero = Array.fill(width + 1)(0.0)
+      val outs = fields.indices.map(i => s"__cv$i") :+ "__has"
+      val scanned = graft.window.Moving.monoidScanRanged(
+        unioned, Seq(), outs,
+        order = Seq(tsOrd, col("__side").asc))(
+        identity = zero)(
+        inject = r =>
+          if (r.isNullAt(rvIdx)) zero
+          else vType match {
+            case _: StructType =>
+              val s = r.getStruct(rvIdx)
+              Array.tabulate(width + 1)(i =>
+                if (i == width) 1.0 else s.getAs[Number](i).doubleValue())
+            case _ =>
+              Array(r.getAs[Number](rvIdx).doubleValue(), 1.0)
+          })(
+        op = (a, b) => if (b(width) == 1.0) b else a)
+      val carried = vType match {
+        case _: StructType => struct(fields.zipWithIndex.map { case (f, i) =>
+          col(s"__cv$i").cast(f.dataType).as(f.name)
+        }: _*)
+        case _ => col("__cv0").cast(fields.head.dataType)
+      }
+      scanned
+        .withColumn(outCol, when(col("__has") === 1.0, carried))
+        .filter(col("__side") === 1)
+        .select((leftCols :+ outCol).map(col): _*)
+    } else {
+      val w = Window.partitionBy(keys.map(col): _*)
         .orderBy(tsOrd, col("__side").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
-      .withColumn(outCol, last(col("__rv"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select((leftCols :+ outCol).map(col): _*)
+      unioned
+        .withColumn(outCol, last(col("__rv"), ignoreNulls = true).over(w))
+        .filter(col("__side") === 1)
+        .select((leftCols :+ outCol).map(col): _*)
+    }
   }
 
   /** Tolerance-bounded as-of join: the classic as-of match, but the

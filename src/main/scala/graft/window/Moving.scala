@@ -50,14 +50,15 @@ object Moving {
     * the KEYLESS route only, where its driver collect is one small row
     * per shuffle partition — bounded by the partition count.
     */
-  def monoidScanRanged(df: DataFrame, keys: Seq[String], outs: Seq[String])(
+  def monoidScanRanged(df: DataFrame, keys: Seq[String], outs: Seq[String],
+                       order: Seq[org.apache.spark.sql.Column] = Seq(col("pos")))(
       identity: Array[Double])(inject: Row => Array[Double])(
       op: (Array[Double], Array[Double]) => Array[Double]): DataFrame = {
     if (keys.nonEmpty)
-      return monoidScanKeyed(df, keys, outs)(identity)(inject)(op)
+      return monoidScanKeyed(df, keys, outs, order)(identity)(inject)(op)
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val all = keys.map(col) :+ col("pos")
+    val all = keys.map(col) ++ order
     val ranged = df.repartitionByRange(parts, all: _*).sortWithinPartitions(all: _*)
     val keyIdx = keys.map(ranged.schema.fieldIndex)
     val rdd = ranged.rdd
@@ -121,12 +122,13 @@ object Moving {
     * packing are fine), but then the computation cannot fall back to the
     * chunk-composing keyless route.
     */
-  def monoidScanKeyed(df: DataFrame, keys: Seq[String], outs: Seq[String])(
+  def monoidScanKeyed(df: DataFrame, keys: Seq[String], outs: Seq[String],
+                      order: Seq[org.apache.spark.sql.Column] = Seq(col("pos")))(
       identity: Array[Double])(inject: Row => Array[Double])(
       op: (Array[Double], Array[Double]) => Array[Double]): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val all = keys.map(col) :+ col("pos")
+    val all = keys.map(col) ++ order
     val hashed = df.repartition(parts, keys.map(col): _*).sortWithinPartitions(all: _*)
     val keyIdx = keys.map(hashed.schema.fieldIndex)
     val outRdd = hashed.rdd.mapPartitions { it =>

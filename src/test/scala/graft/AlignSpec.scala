@@ -65,6 +65,50 @@ class AlignSpec extends AnyFunSuite {
     assert(got.count() == 3)
   }
 
+  test("keyless as-of scan equals the keyed path on a single-key frame") {
+    // the keyed path is window-based, the keyless path is the ranged
+    // carry-forward scan; on a constant-key frame they must agree exactly
+    val l = Seq.tabulate(200)(i => ("k", i.toLong * 3 + 1)).toDF("key", "ts")
+    val r = Seq.tabulate(80)(i => ("k", i.toLong * 7, i * 1.5)).toDF("key", "ts", "v")
+    for (dir <- Seq(-1, 1)) {
+      val keyed = Align.asofJoinDir(l, r, Seq("key"), "ts", "v", direction = dir)
+        .select("ts", "asof_value")
+      val keyless = Align.asofJoinDir(l.drop("key"), r.drop("key"), Seq(), "ts", "v", direction = dir)
+        .select("ts", "asof_value")
+      assert(keyed.exceptAll(keyless).isEmpty && keyless.exceptAll(keyed).isEmpty,
+        s"direction $dir diverged")
+    }
+  }
+
+  test("keyless as-of carries integral values exactly (pos carry)") {
+    val l = Seq(10L, 20L, 3L).toDF("ts")
+    val r = Seq((5L, 100L), (15L, 200L)).toDF("ts", "pos")
+    val out = Align.asofJoinPos(l, r, Seq(), "ts").orderBy("ts")
+      .select("right_pos").collect().map(x => Option(x.get(0))).toSeq
+    assert(out == Seq(None, Some(100L), Some(200L)))
+  }
+
+  test("keyless asofJoinTol: struct carry with staleness bound") {
+    val l = Seq(30L, 100L).toDF("ts")
+    val r = Seq((1L, Some(5.0)), (2L, None)).toDF("ts", "v")
+    val out = Align.asofJoinTol(l, r, Seq(), "ts", "v", lit(50L))
+      .orderBy("ts").select("ts", "asof_value")
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toSeq
+    // same contract as the keyed test: NULL right rows neither match nor
+    // mask; staleness beyond tolerance drops the match
+    assert(out == Seq((30L, Some(5.0)), (100L, None)))
+  }
+
+  test("bloomFilteredJoin handles string keys (UTF-8 hash path)") {
+    val big = (1 to 500).map(i => (s"key$i", i)).toDF("k", "payload")
+    val build = Seq(("key7", "a"), ("key300", "b")).toDF("k", "tag")
+    val got = Align.bloomFilteredJoin(big, build, Seq("k"), expectedItems = 50)
+      .select("k", "payload", "tag")
+    val plain = big.join(build, Seq("k")).select("k", "payload", "tag")
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+    assert(got.count() == 2)
+  }
+
   test("unionMerge keeps duplicates (cs_union)") {
     val a = Seq(("k", 1L)).toDF("key", "ts")
     val b = Seq(("k", 1L), ("k", 2L)).toDF("key", "ts")
