@@ -564,18 +564,21 @@ object SparkEntry {
 
     // ---- lifecycle (§2.1: TABLE_load/append/delete/truncate) ----
     "q_lifecycle" -> ((s, dir) => {
-      // load(evens) → append(odds with ts >= T) → deleteRange([D1,D2]) →
-      // truncate a scratch copy; the readback aggregate is what the oracle
-      // reproduces from the source table (imcs--1.1.sql:188-217 semantics).
+      // load(ts < T) → append(ts >= T) → deleteRange([D1,D2]) → truncate a
+      // scratch copy; the readback aggregate is what the oracle reproduces
+      // from the source table (imcs--1.1.sql:188-217 semantics).
       val ev = Tables.read(s, dir, "events")
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       // procTag: two concurrent JVMs verifying the same dir must not
       // clobber each other's lifecycle table mid-read (same reasoning as
       // the evSeries dump path above)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_lifecycle_${procTag}_$tag"
-      Tables.load(ev.filter(col("event_id") % 2 === 0), path, Seq("event_type"), "ts")
-      Tables.append(ev.filter(col("event_id") % 2 === 1), path, "ts",
-        lit(1704500000000000000L))
+      // load the history BELOW the cut, then append the tail AT/ABOVE it —
+      // an in-order append, which is the only kind Tables.append accepts
+      // (the reference's trigger rejects appends below the stored tail)
+      val cut = 1704500000000000000L
+      Tables.load(ev.filter(col("ts") < cut), path, Seq("event_type"), "ts")
+      Tables.append(ev, path, "ts", lit(cut))
       Tables.deleteRange(s, path, "ts",
         lit(1704672000000000000L), lit(1704758400000000000L))
       val scratch = path + "_scratch"
@@ -1333,8 +1336,7 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, CAST(sum("value") AS REAL) AS sv,
          true AS truncated
          FROM events
-         WHERE (event_id % 2 = 0 OR epoch_ns(ts) >= 1704500000000000000)
-           AND NOT (epoch_ns(ts) >= 1704672000000000000
+         WHERE NOT (epoch_ns(ts) >= 1704672000000000000
                     AND epoch_ns(ts) <= 1704758400000000000)
          GROUP BY event_type""",
     "q_top_pos" ->

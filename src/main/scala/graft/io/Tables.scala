@@ -95,9 +95,34 @@ object Tables {
   /** TABLE_append: rows with ts >= from appended (imcs--1.1.sql:211-217).
     * `from` is a Column bound so it works for both Timestamp and int64-ns
     * encodings of the timestamp column.
+    *
+    * Like the reference's insert trigger (imcs.c:4617-4740; user_guide
+    * "When data is loaded..."), an append BELOW the stored series tail is
+    * an error, not a silent corruption: per-key series positions and
+    * range-scan pruning both assume the timestamp column only grows. The
+    * check compares incoming min(ts) to stored max(ts) — two small
+    * aggregate jobs at load time (on a Delta/Iceberg deployment this is a
+    * metadata lookup; over plain Parquet the max() scan is one column).
     */
-  def append(df: DataFrame, path: String, ts: String, from: Column): Unit =
-    df.filter(col(ts) >= from).write.mode(SaveMode.Append).parquet(path)
+  def append(df: DataFrame, path: String, ts: String, from: Column): Unit = {
+    val spark = df.sparkSession
+    val incoming = df.filter(col(ts) >= from)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      // one row; null mn/mx (empty side) means no violation is possible
+      val viol = incoming.agg(min(col(ts)).as("mn"))
+        .crossJoin(spark.read.parquet(path).agg(max(col(ts)).as("mx")))
+        .filter(col("mn") < col("mx"))
+        .head(1)
+      if (viol.nonEmpty)
+        throw new IllegalStateException(
+          s"out-of-order append: incoming min($ts)=${viol.head.get(0)} is below " +
+            s"the stored series tail max($ts)=${viol.head.get(1)} — the reference " +
+            "rejects appends below the loaded tail (imcs.c:4617-4740)")
+    }
+    incoming.write.mode(SaveMode.Append).parquet(path)
+  }
 
   /** TABLE_delete(from, till): inclusive range delete by timestamp
     * (btree.c:747-899) — rewrite excluding the range. On a real deployment

@@ -135,14 +135,18 @@ object Series {
 
   /** Per-key element count as `__cnt`, with no single-partition stage:
     * keyless series get a broadcast scalar (crossJoin with the 1-row agg),
-    * keyed series a broadcast count join — both instead of a
-    * `Window.partitionBy()` over the whole frame.
+    * keyed series a count join — both instead of a `Window.partitionBy()`
+    * over the whole frame. The keyed join carries NO broadcast hint: the
+    * count frame is one row PER KEY, so at per-user cardinality a forced
+    * broadcast would blow the broadcast limit and kill the job; AQE
+    * chooses broadcast at runtime whenever the built side actually fits,
+    * and falls back to a shuffle join when it doesn't.
     */
   private def withKeyCount(df: DataFrame, keys: Seq[String]): DataFrame =
     if (keys.isEmpty)
       df.crossJoin(broadcast(df.agg(count(lit(1)).as("__cnt"))))
     else
-      df.join(broadcast(df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))), keys)
+      df.join(df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt")), keys)
 
   /** Every step-th element starting at origin — cs_thin (func.c:664-767). */
   def thin(df: DataFrame, origin: Long, step: Long): DataFrame =
@@ -182,9 +186,11 @@ object Series {
       a.select(cols.map(col): _*).unionByName(
         b.withColumn("pos", col("pos") + n).select(cols.map(col): _*))
     } else {
+      // no broadcast hint: one count row per key — AQE picks broadcast
+      // only when the built side fits (see withKeyCount)
       val cnts = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__acnt"))
       val bShift = b
-        .join(broadcast(cnts), keys, "left")
+        .join(cnts, keys, "left")
         .withColumn("pos", col("pos") + coalesce(col("__acnt"), lit(0L)))
         .select(cols.map(col): _*)
       a.select(cols.map(col): _*).unionByName(bShift)

@@ -56,6 +56,21 @@ class SeriesSpec extends AnyFunSuite {
     assert(firstDay == 6)
   }
 
+  test("reverse and tail survive high key cardinality (no forced broadcast)") {
+    // 20k distinct keys × 3 rows: the per-key count frame scales with the
+    // key count — a forced broadcast hint would be the wrong plan at real
+    // cardinality; correctness must hold under whatever join AQE picks
+    val wide = spark.range(60000)
+      .select((col("id") / 3).cast("long").as("k"), (col("id") % 3).as("pos"),
+        col("id").as("v"))
+    val rev = Series.reverse(wide, Seq("k"))
+    assert(rev.count() == 60000)
+    // every key has 3 rows, so reversed pos must be 2 - pos
+    assert(rev.filter(col("pos") =!= lit(2L) - (col("v") % 3)).count() == 0)
+    val t = Series.tail(wide, Seq("k"), 1)
+    assert(t.count() == 20000 && t.filter(col("pos") =!= 2L).count() == 0)
+  }
+
   test("repeat each element n times in order") {
     val r = Series.repeat(quote.filter(col("sym") === "ABB"), 2)
     assert(posOf(r, "ABB") == Seq(0L, 1L, 2L, 3L))
