@@ -357,6 +357,30 @@ object SparkEntry {
         .agg(fl(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
           count(lit(1)).as("n"))
     }),
+    "q_salted_join" -> ((s, dir) => {
+      // skew-salted equi-join: result is EXACTLY the plain inner join —
+      // the oracle IS the plain join, so the salting's no-op contract is
+      // what the gate checks
+      val small = ord(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Align.saltedEquiJoin(li(s, dir), small, Seq("l_orderkey"), salt = 4)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          fl(sum(col("l_extendedprice"))).as("sum_price"))
+    }),
+    "q_bloom_join" -> ((s, dir) => {
+      // Bloom-reduced selective join: the sketch prunes the big side
+      // pre-shuffle; the join removes the ≤fpp false positives, so the
+      // result equals the plain filtered join exactly
+      val build = ord(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      Align.bloomFilteredJoin(li(s, dir), build, Seq("l_orderkey"),
+        expectedItems = 20000)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          fl(sum(col("l_extendedprice"))).as("sum_price"))
+    }),
     "q_asof" -> ((s, dir) => {
       // as-of join: for each purchase, the last preceding signup value per user
       val ev = Tables.read(s, dir, "events")
@@ -634,6 +658,18 @@ object SparkEntry {
       val dict = Dict.build(o, "o_orderpriority")
       Dict.str2code(o, dict, "o_orderpriority")
         .groupBy(col("code"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q_code2str" -> ((s, dir) => {
+      // cs_code2str (imcs.c:5769-5812): resolve dictionary codes back to
+      // strings — encode, drop the string, resolve, and re-aggregate; the
+      // oracle reproduces the sorted-rank code assignment independently
+      val o = ord(s, dir)
+      val dict = Dict.build(o, "o_orderpriority")
+      val coded = Dict.str2code(o, dict, "o_orderpriority")
+        .select(col("code"), col("o_orderkey"))
+      Dict.code2str(coded, dict, "code", "resolved")
+        .groupBy(col("code"), col("resolved"))
         .agg(count(lit(1)).as("n"))
     }),
     "q_if" -> ((s, dir) => {
@@ -1176,6 +1212,17 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(l_extendedprice) AS REAL) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
+    "q_bloom_join" ->
+      """SELECT l_linestatus, count(*) AS n,
+         CAST(sum(l_extendedprice) AS REAL) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY l_linestatus""",
     "q_asof" ->
       """SELECT l.user_id, l.event_id, CAST(l."value" AS REAL) AS value,
          CAST(r."value" AS REAL) AS asof_value
@@ -1363,6 +1410,12 @@ object SparkEntry {
       """WITH dict AS (SELECT v, dense_rank() OVER (ORDER BY v) - 1 AS code
            FROM (SELECT DISTINCT o_orderpriority AS v FROM orders))
          SELECT d.code, o.o_orderpriority, count(*) AS n
+         FROM orders o JOIN dict d ON o.o_orderpriority = d.v
+         GROUP BY 1, 2""",
+    "q_code2str" ->
+      """WITH dict AS (SELECT v, dense_rank() OVER (ORDER BY v) - 1 AS code
+           FROM (SELECT DISTINCT o_orderpriority AS v FROM orders))
+         SELECT d.code, o.o_orderpriority AS resolved, count(*) AS n
          FROM orders o JOIN dict d ON o.o_orderpriority = d.v
          GROUP BY 1, 2""",
     "q_if" ->

@@ -227,15 +227,21 @@ object Dedup {
   def tokenHashes(text: Column): Column =
     transform(split(TextOps.normalizedText(text), " "), t => xxhash64(t))
 
-  /** SimHash from a *materialized* token-hash array column (see
-    * charShingles' performance contract — 64 bit lanes each scan it).
+  /** SimHash from a *materialized* token-hash array column: one pass per
+    * document through the [[graft.sqlext.SimHash64]] codegen expression —
+    * each hash read once, counters in a stack array, no per-token
+    * allocation. (The HOF alternatives measured worse both ways: 64
+    * `aggregate` lanes scan the array 64×; an indexed-`transform` single
+    * pass allocates a fresh 64-long array per token.)
     */
   def simhash(hashes: Column): Column = {
-    val bitSum = (b: Int) =>
-      aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-    (0 until 64).map(b => when(bitSum(b) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
+    // resolve through the registered function (the clean Column-API bridge
+    // to a custom Expression); registration is idempotent and sessionless
+    // callers must have registered — every in-repo path goes through a
+    // DataFrame whose session GraftFunctions.register has seen
+    graft.sqlext.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("cs_simhash", hashes)
   }
 
   /** Hamming distance between two 64-bit simhashes. */

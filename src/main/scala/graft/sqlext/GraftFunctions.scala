@@ -55,7 +55,9 @@ object GraftFunctions {
         StringTrim(c(0)), Literal("\\s+"), Literal(-1))),
       "cs_token_count(text) - whitespace token count"),
     ("cs_md5_fp", (c: Seq[Expression]) => Md5(Cast(norm(c(0)), BinaryType)),
-      "cs_md5_fp(text) - portable md5 fingerprint of normalized text"))
+      "cs_md5_fp(text) - portable md5 fingerprint of normalized text"),
+    ("cs_simhash", (c: Seq[Expression]) => SimHash64(c(0)),
+      "cs_simhash(hashes) - 64-bit SimHash of a token-hash array (one-pass codegen)"))
 
   /** Register as temp functions on a live session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b, _) =>
