@@ -698,6 +698,94 @@ object SparkEntry {
         FROM lineitem_v GROUP BY l_returnflag""")
     }),
 
+    "q_tpch_cs" -> ((s, dir) => {
+      // The reference's cs_* form of TPC-H Q1 (tpch.sql:60-89), run
+      // THROUGH the registered cs_* surface: cs_filter → NULL-masked
+      // values, cs_hash_* → map-valued aggregate, cs_project_agg →
+      // (group_by, agg_val) rows, cs_cut → compound-key unpack, with the
+      // six single-aggregate subqueries natural-joined exactly as the
+      // reference writes them. Deltas from the reference text, each
+      // forced by PG-vs-Spark SQL dialect, not semantics:
+      //  - lineitems_get()            → lineitem_v (table names)
+      //  - (cs_project_agg(...)).*    → cs_project_agg(...)  (Spark
+      //    generators self-expand; PG needs the record cast)
+      //  - cs_cut(...) gets an alias (PG names the output column after
+      //    the function; Spark would name it by the full expression, and
+      //    NATURAL JOIN matches on names)
+      //  - the outer select unpacks cs_cut.f1/f2 into flat columns (for
+      //    the parquet dump; the reference renders the record inline)
+      //  - date literal: l_shipdate here is a timestamp, so the cut is
+      //    timestamp'1998-09-02' (same predicate the q1_agg twin uses)
+      graft.sqlext.GraftFunctions.register(s)
+      li(s, dir).createOrReplaceTempView("lineitem_v")
+      val pred = "l_shipdate <= timestamp'1998-09-02'"
+      def sub(agg: String, alias: String) = {
+        val args =
+          if (agg == "cs_hash_count") s"cs_filter($pred, l_returnflag||l_linestatus)"
+          else s"cs_filter($pred, __VAL__),\n\t\t\t\t\t cs_filter($pred, l_returnflag||l_linestatus)"
+        s"""(select cs_cut(group_by,'i1i1') as cs_cut, agg_val as $alias from
+           | (select cs_project_agg($agg($args))
+           |  from lineitem_v) agg)""".stripMargin
+      }
+      val q1 = sub("cs_hash_sum", "sum_qty").replace("__VAL__", "l_quantity")
+      val q2 = sub("cs_hash_sum", "sum_base_price").replace("__VAL__", "l_extendedprice")
+      val q3 = sub("cs_hash_sum", "sum_disc_price").replace("__VAL__", "l_extendedprice*(-l_discount+1)")
+      val q4 = sub("cs_hash_sum", "sum_charge").replace("__VAL__", "l_extendedprice*(-l_discount+1)*(l_tax+1)")
+      val q5 = sub("cs_hash_avg", "avg_disc").replace("__VAL__", "l_discount")
+      val q6 = sub("cs_hash_count", "count_order")
+      s.sql(s"""
+        select cs_cut.f1 as l_returnflag, cs_cut.f2 as l_linestatus,
+               cast(sum_qty as float) as sum_qty,
+               cast(sum_base_price as float) as sum_base_price,
+               cast(sum_disc_price as float) as sum_disc_price,
+               cast(sum_charge as float) as sum_charge,
+               cast(sum_qty/count_order as float) as avg_qty,
+               cast(sum_base_price/count_order as float) as avg_price,
+               cast(avg_disc as float) as avg_disc,
+               cast(count_order as long) as count_order
+        from $q1 q1 natural join $q2 q2 natural join $q3 q3
+        natural join $q4 q4 natural join $q5 q5 natural join $q6 q6""")
+    }),
+    "q_cs_series" -> ((s, dir) => {
+      // the array-series cs_* functions (diff/ema/rank) end-to-end in SQL:
+      // pack the error series into an ordered array, apply, explode back
+      graft.sqlext.GraftFunctions.register(s)
+      evSeries(s, dir).createOrReplaceTempView("ev_series_v")
+      s.sql("""
+        WITH arr AS (
+          SELECT sort_array(collect_list(struct(pos, value))) AS pv
+          FROM ev_series_v WHERE event_type = 'error' AND pos < 64),
+        a AS (SELECT transform(pv, e -> e.value) AS xs FROM arr),
+        f AS (SELECT xs, cs_diff(xs) AS d, cs_ema(xs, 10) AS e, cs_rank(xs) AS r,
+                     cs_top_max(xs, 5) AS tmx, cs_top_min(xs, 5) AS tmn
+              FROM a)
+        SELECT posexplode(xs) AS (pos, value), d[pos] AS diff, e[pos] AS ema,
+               r[pos] AS rnk,
+               CAST(tmx[0] AS FLOAT) AS top1_max, CAST(tmn[0] AS FLOAT) AS top1_min
+        FROM f""")
+        .select(col("pos"), fl(col("value")).as("value"), fl(col("diff")).as("diff"),
+          fl(col("ema")).as("ema"), col("rnk"), col("top1_max"), col("top1_min"))
+    }),
+    "q_cs_asof" -> ((s, dir) => {
+      // cs_asof scalar sugar: per-user sorted signup arrays joined to
+      // purchases, binary-search lookup per row — same result contract as
+      // q_asof (right deduped per ts so ties can't flip the match)
+      graft.sqlext.GraftFunctions.register(s)
+      Tables.read(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql("""
+        WITH r AS (
+          SELECT user_id, ts, max(value) AS value FROM events_v
+          WHERE event_type = 'signup' GROUP BY user_id, ts),
+        ra AS (
+          SELECT user_id, sort_array(collect_list(struct(ts, value))) AS tv
+          FROM r GROUP BY user_id),
+        l AS (SELECT user_id, ts, event_id FROM events_v WHERE event_type = 'purchase')
+        SELECT l.user_id, l.event_id,
+               CAST(cs_asof(l.ts, transform(ra.tv, e -> e.ts),
+                            transform(ra.tv, e -> CAST(e.value AS DOUBLE))) AS FLOAT) AS asof_value
+        FROM l LEFT JOIN ra ON l.user_id = ra.user_id""")
+    }),
+
     // ---- order analytics (§2.8) ----
     "q_trend" -> ((s, dir) =>
       Analytics.trend(evSeries(s, dir).filter(col("pos") < 100), Seq("event_type"), "value")
@@ -1435,6 +1523,41 @@ object SparkEntry {
          CAST(greatest(max(l_quantity), max(l_discount) * 100) AS REAL) AS mx,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
+    "q_tpch_cs" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(l_quantity) AS REAL) AS sum_qty,
+         CAST(sum(l_extendedprice) AS REAL) AS sum_base_price,
+         CAST(sum(l_extendedprice * (-l_discount + 1)) AS REAL) AS sum_disc_price,
+         CAST(sum(l_extendedprice * (-l_discount + 1) * (l_tax + 1)) AS REAL) AS sum_charge,
+         CAST(sum(l_quantity) / count(*) AS REAL) AS avg_qty,
+         CAST(sum(l_extendedprice) / count(*) AS REAL) AS avg_price,
+         CAST(avg(l_discount) AS REAL) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_cs_series" ->
+      s"""WITH RECURSIVE d AS (SELECT pos, "value" FROM ($evPosSql)
+             WHERE event_type = 'error' AND pos < 64),
+         r AS (
+           SELECT pos, "value", "value" AS ema FROM d WHERE pos = 0
+           UNION ALL
+           SELECT d.pos, d."value",
+                  d."value" * (2.0 / 11.0) + r.ema * (1 - 2.0 / 11.0) AS ema
+           FROM r JOIN d ON d.pos = r.pos + 1)
+         SELECT r.pos, CAST(r."value" AS REAL) AS value,
+                CAST(CASE WHEN r.pos = 0 THEN 0
+                     ELSE r."value" - lag(r."value") OVER (ORDER BY r.pos) END AS REAL) AS diff,
+                CAST(r.ema AS REAL) AS ema,
+                rank() OVER (ORDER BY r."value") AS rnk,
+                CAST((SELECT max("value") FROM d) AS REAL) AS top1_max,
+                CAST((SELECT min("value") FROM d) AS REAL) AS top1_min
+         FROM r""",
+    "q_cs_asof" ->
+      """SELECT l.user_id, l.event_id, CAST(r."value" AS REAL) AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, ts, max("value") AS value FROM events
+                         WHERE event_type = 'signup' GROUP BY user_id, ts) r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "q_trend" ->
       s"""WITH se AS (SELECT * FROM ($evPosSql) WHERE pos < 100),
          d AS (SELECT event_type, pos,

@@ -1,0 +1,152 @@
+package graft.sqlext
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The reference's grouped-aggregate calculus as ONE SQL aggregate:
+  * `cs_hash_sum(x, grp)` returns map<grp, Σx> — the same shape the
+  * reference's cs_hash_* family returns as a paired (agg_val, group_by)
+  * series (func.c:5113-5447, imcs--1.1.sql:518-560). `cs_project_agg`
+  * then explodes the map back to rows, which is how the reference's
+  * tpch.sql cs_* form (tpch.sql:60-89) runs verbatim on Spark SQL.
+  *
+  * Distribution note: this is a TypedImperativeAggregate, so Spark runs it
+  * partial/final like any hash aggregate — each task folds its partition
+  * into a small map, and only the per-group maps shuffle. Group
+  * cardinality must be small enough for one map (the reference makes the
+  * SAME assumption: its hash-agg dictionary lives in one backend). The
+  * general high-cardinality path is the native groupBy, which every
+  * operator here also has.
+  *
+  * Group keys are strings (the cs_* form builds compound keys with `||`);
+  * NULL group or NULL value rows are skipped — matching both SQL
+  * aggregate semantics and the reference's cs_filter composition, where
+  * filtered-out elements simply don't reach the aggregate.
+  */
+case class CsHashAgg(
+    op: String,
+    value: Expression,
+    group: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[String, (Double, Double, Long)]] {
+
+  override def children: Seq[Expression] = Seq(value, group)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!group.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        s"cs_hash_$op group key must be a string (use || to pack compound keys), " +
+          s"got ${group.dataType.sql}")
+    else if (!value.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"cs_hash_$op value must be numeric, got ${value.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType =
+    MapType(StringType, if (op == "count") LongType else DoubleType,
+      valueContainsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = s"cs_hash_$op"
+
+  override def createAggregationBuffer(): mutable.HashMap[String, (Double, Double, Long)] =
+    mutable.HashMap.empty
+
+  override def update(
+      buf: mutable.HashMap[String, (Double, Double, Long)],
+      input: InternalRow): mutable.HashMap[String, (Double, Double, Long)] = {
+    val g = group.eval(input)
+    if (g != null) {
+      val v = value.eval(input)
+      if (v != null) {
+        val k = g.toString // UTF8String → immutable JVM string (buffer-safe copy)
+        val x = v.asInstanceOf[Number].doubleValue()
+        val (s, m, n) = buf.getOrElse(k,
+          (0.0, if (op == "min") Double.PositiveInfinity else Double.NegativeInfinity, 0L))
+        val m2 = op match {
+          case "min" => math.min(m, x)
+          case "max" => math.max(m, x)
+          case _ => m
+        }
+        buf.update(k, (s + x, m2, n + 1))
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      a: mutable.HashMap[String, (Double, Double, Long)],
+      b: mutable.HashMap[String, (Double, Double, Long)]): mutable.HashMap[String, (Double, Double, Long)] = {
+    b.foreach { case (k, (s2, m2, n2)) =>
+      a.get(k) match {
+        case Some((s1, m1, n1)) =>
+          val m = op match {
+            case "min" => math.min(m1, m2)
+            case "max" => math.max(m1, m2)
+            case _ => m1
+          }
+          a.update(k, (s1 + s2, m, n1 + n2))
+        case None => a.update(k, (s2, m2, n2))
+      }
+    }
+    a
+  }
+
+  override def eval(buf: mutable.HashMap[String, (Double, Double, Long)]): Any = {
+    // sorted keys: deterministic map order regardless of partition merge order
+    val ks = buf.keys.toArray.sorted
+    val keys = new GenericArrayData(ks.map(k => UTF8String.fromString(k): Any))
+    val vals = new GenericArrayData(ks.map { k =>
+      val (s, m, n) = buf(k)
+      (op match {
+        case "sum" => s
+        case "avg" => s / n
+        case "min" | "max" => m
+        case "count" => n
+      }): Any
+    })
+    new ArrayBasedMapData(keys, vals)
+  }
+
+  override def serialize(buf: mutable.HashMap[String, (Double, Double, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, (s, m, n)) =>
+      out.writeUTF(k); out.writeDouble(s); out.writeDouble(m); out.writeLong(n)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, (Double, Double, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, (Double, Double, Long)]
+    (0 until n).foreach { _ =>
+      val k = in.readUTF()
+      buf.update(k, (in.readDouble(), in.readDouble(), in.readLong()))
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CsHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): CsHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CsHashAgg =
+    copy(value = newChildren(0), group = newChildren(1))
+}

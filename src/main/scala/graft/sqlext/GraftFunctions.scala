@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BinaryType, NullType, StringType}
 
 /** The `cs_*` SQL function surface (imcs--1.1.sql operator names), exposed
   * to `spark.sql(...)` as NATIVE Catalyst expressions — every builder
@@ -57,7 +57,70 @@ object GraftFunctions {
     ("cs_md5_fp", (c: Seq[Expression]) => Md5(Cast(norm(c(0)), BinaryType)),
       "cs_md5_fp(text) - portable md5 fingerprint of normalized text"),
     ("cs_simhash", (c: Seq[Expression]) => SimHash64(c(0)),
-      "cs_simhash(hashes) - 64-bit SimHash of a token-hash array (one-pass codegen)"))
+      "cs_simhash(hashes) - 64-bit SimHash of a token-hash array (one-pass codegen)"),
+
+    // ---- the reference's series-calculus surface (imcs--1.1.sql:518-1058),
+    // ---- enough to run tpch.sql's cs_* form (tpch.sql:60-89) on Spark SQL
+    ("cs_filter",
+      (c: Seq[Expression]) => If(c(0), c(1), Literal.create(null, NullType)),
+      "cs_filter(cond, x) - x where cond else NULL; aggregates skip NULLs, " +
+        "reproducing the reference's filtered-series composition (func.c:569-662)"),
+    ("cs_hash_sum", (c: Seq[Expression]) =>
+      CsHashAgg("sum", c(0), c(1)).toAggregateExpression(),
+      "cs_hash_sum(x, grp) - map<grp, sum(x)> (func.c:5113-5447)"),
+    ("cs_hash_avg", (c: Seq[Expression]) =>
+      CsHashAgg("avg", c(0), c(1)).toAggregateExpression(),
+      "cs_hash_avg(x, grp) - map<grp, avg(x)>"),
+    ("cs_hash_min", (c: Seq[Expression]) =>
+      CsHashAgg("min", c(0), c(1)).toAggregateExpression(),
+      "cs_hash_min(x, grp) - map<grp, min(x)>"),
+    ("cs_hash_max", (c: Seq[Expression]) =>
+      CsHashAgg("max", c(0), c(1)).toAggregateExpression(),
+      "cs_hash_max(x, grp) - map<grp, max(x)>"),
+    ("cs_hash_count", (c: Seq[Expression]) =>
+      CsHashAgg("count", Literal(1L), c(0)).toAggregateExpression(),
+      "cs_hash_count(grp) - map<grp, count> of non-NULL grp"),
+    ("cs_project_agg", (c: Seq[Expression]) => {
+      // explode the cs_hash_* map to (group_by, agg_val) rows — the
+      // reference's cs_project_agg record-set (imcs--1.1.sql:1020-1028)
+      val e = UnresolvedNamedLambdaVariable(Seq("e"))
+      Inline(ArrayTransform(MapEntries(c(0)), LambdaFunction(
+        CreateNamedStruct(Seq(
+          Literal("group_by"),
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(e, Literal("key")),
+          Literal("agg_val"),
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(e, Literal("value")))),
+        Seq(e))))
+    },
+      "cs_project_agg(m) - explode a cs_hash_* map to (group_by, agg_val) rows"),
+    ("cs_cut", (c: Seq[Expression]) => {
+      // split a ||-packed compound key back into fields per the reference's
+      // layout descriptor, e.g. 'i1i1' = two 1-byte fields (imcs.c:5601-5767)
+      val layout = c(1) match {
+        case Literal(s, _: StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"cs_cut layout must be a string literal, got $other")
+      }
+      val widths = "([a-z])(\\d+)".r.findAllMatchIn(layout).map(_.group(2).toInt).toSeq
+      require(widths.nonEmpty, s"cs_cut: unparseable layout '$layout'")
+      val offsets = widths.scanLeft(1)(_ + _)
+      CreateNamedStruct(widths.indices.flatMap(i => Seq(
+        Literal(s"f${i + 1}"),
+        Substring(c(0), Literal(offsets(i)), Literal(widths(i))))))
+    },
+      "cs_cut(key, layout) - unpack a ||-packed compound group key into struct fields"),
+    ("cs_diff", (c: Seq[Expression]) => CsSeriesDiff(c(0)),
+      "cs_diff(arr) - first-order difference of a series array (func.c:1029-1077)"),
+    ("cs_ema", (c: Seq[Expression]) => CsSeriesEma(c(0), c(1)),
+      "cs_ema(arr, n) - exponential moving average over a series array (func.c:1764-1777)"),
+    ("cs_rank", (c: Seq[Expression]) => CsSeriesRank(c(0)),
+      "cs_rank(arr) - 1-based rank with gaps per element (func.c:3495-3561)"),
+    ("cs_top_max", (c: Seq[Expression]) => CsSeriesTop(c(0), c(1), desc = true),
+      "cs_top_max(arr, k) - k largest values, sorted desc (func.c:3088-3208)"),
+    ("cs_top_min", (c: Seq[Expression]) => CsSeriesTop(c(0), c(1), desc = false),
+      "cs_top_min(arr, k) - k smallest values, sorted asc"),
+    ("cs_asof", (c: Seq[Expression]) => CsAsofLookup(c(0), c(1), c(2)),
+      "cs_asof(ts, right_ts_sorted, right_vals) - latest right value at/before ts"))
 
   /** Register as temp functions on a live session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b, _) =>

@@ -74,6 +74,49 @@ class SqlExtSpec extends AnyFunSuite {
     assert(sql == dfv)
   }
 
+  test("cs_hash_* / cs_project_agg / cs_cut: the reference's series calculus") {
+    GraftFunctions.register(spark)
+    Seq(("A", "X", 1.0, true), ("A", "X", 2.0, true), ("B", "Y", 5.0, true),
+      ("B", "Y", 7.0, false), ("C", "Z", 9.0, true))
+      .toDF("g1", "g2", "x", "keep").createOrReplaceTempView("t_hash")
+    val rows = spark.sql(
+      """SELECT cs_cut(group_by, 'i1i1').f1 AS g1, cs_cut(group_by, 'i1i1').f2 AS g2,
+         agg_val AS s
+         FROM (SELECT cs_project_agg(cs_hash_sum(cs_filter(keep, x),
+                                                 cs_filter(keep, g1||g2)))
+               FROM t_hash)""")
+      .as[(String, String, Double)].collect().toSet
+    // the keep=false row is excluded entirely (its group key is NULL too)
+    assert(rows == Set(("A", "X", 3.0), ("B", "Y", 5.0), ("C", "Z", 9.0)))
+    val avgCntMinMax = spark.sql(
+      """SELECT cs_hash_avg(x, g1) AS a, cs_hash_count(g1) AS c,
+                cs_hash_min(x, g1) AS mn, cs_hash_max(x, g1) AS mx
+         FROM t_hash""").head()
+    assert(avgCntMinMax.getMap[String, Double](0)("A") == 1.5)
+    assert(avgCntMinMax.getMap[String, Long](1)("B") == 2L)
+    assert(avgCntMinMax.getMap[String, Double](2)("B") == 5.0)
+    assert(avgCntMinMax.getMap[String, Double](3)("B") == 7.0)
+  }
+
+  test("array-series cs_diff / cs_ema / cs_rank / cs_top / cs_asof") {
+    GraftFunctions.register(spark)
+    Seq(Tuple1(Array(3.0, 1.0, 4.0, 1.0, 5.0))).toDF("xs")
+      .createOrReplaceTempView("t_arr")
+    val r = spark.sql(
+      """SELECT cs_diff(xs) AS d, cs_ema(xs, 3) AS e, cs_rank(xs) AS rk,
+                cs_top_max(xs, 2) AS tx, cs_top_min(xs, 2) AS tn,
+                cs_asof(4L, array(1L, 3L, 7L), array(10.0D, 30.0D, 70.0D)) AS av,
+                cs_asof(0L, array(1L, 3L, 7L), array(10.0D, 30.0D, 70.0D)) AS av0
+         FROM t_arr""").head()
+    assert(r.getSeq[Double](0) == Seq(0.0, -2.0, 3.0, -3.0, 4.0))
+    val e = r.getSeq[Double](1)
+    assert(e.head == 3.0 && math.abs(e(1) - (0.5 * 1.0 + 0.5 * 3.0)) < 1e-12)
+    assert(r.getSeq[Long](2) == Seq(3L, 1L, 4L, 1L, 5L)) // ties share min rank
+    assert(r.getSeq[Double](3) == Seq(5.0, 4.0))
+    assert(r.getSeq[Double](4) == Seq(1.0, 1.0))
+    assert(r.getDouble(5) == 30.0 && r.isNullAt(6))
+  }
+
   test("GraftExtensions injects the functions at session build time") {
     // Force a NEW session over the shared context: getOrCreate would
     // otherwise return the active test session (without the extensions).
@@ -91,6 +134,13 @@ class SqlExtSpec extends AnyFunSuite {
         .getOrCreate()
       val n = s2.sql("SELECT cs_maxof(1, 2) AS m").collect()(0).getInt(0)
       assert(n == 2)
+      // the tpch.sql cs_* machinery end-to-end through the injected session
+      val r = s2.sql(
+        """SELECT cs_cut(group_by, 'i1i1').f1 AS a, agg_val AS n
+           FROM (SELECT cs_project_agg(cs_hash_count(g))
+                 FROM VALUES ('AX'), ('AX'), ('BY') AS t(g))""")
+        .collect().map(x => (x.getString(0), x.getLong(1))).toSet
+      assert(r == Set(("A", 2L), ("B", 1L)))
       // do NOT stop s2 — it shares the JVM-wide SparkContext
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(prev)
