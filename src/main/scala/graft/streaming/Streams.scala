@@ -102,7 +102,7 @@ object Streams {
     * drop duplicate fingerprints across the whole stream — the
     * streaming form of Dedup.exactDedup, state one 8-byte key per
     * distinct document. With an event-time column, production pipelines
-    * bound that state via `dropDuplicatesWithinWatermark`; the documents
+    * bound that state via [[dedupStreamWithinWatermark]]; the documents
     * table has no timestamp, so this variant keeps global state (the
     * reference's in-memory store makes the same tradeoff).
     */
@@ -111,6 +111,26 @@ object Streams {
     spark.readStream.schema(schema).parquet(path)
       .withColumn("fp", graft.text.TextOps.fingerprint(col(textCol)))
       .dropDuplicates("fp")
+
+  /** Watermark-bounded streaming dedup — the production form for an
+    * unbounded ingest: duplicates arriving within `delay` of the
+    * watermark are dropped, and fingerprint state older than the
+    * watermark is EVICTED, so state is O(docs per delay window) instead
+    * of O(all docs ever). The trade is explicit: a duplicate arriving
+    * later than `delay` after its original is treated as new — the
+    * standard watermark contract, and the reason the unbounded
+    * [[dedupStream]] variant still exists for bounded backfills.
+    *
+    * `tsCol` is an int64-ns event-time column (TESTDATA events encoding).
+    */
+  def dedupStreamWithinWatermark(spark: SparkSession, path: String,
+                                 schema: StructType, textCol: String,
+                                 tsCol: String, delay: String = "1 hour"): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+      .withColumn("fp", graft.text.TextOps.fingerprint(col(textCol)))
+      .withColumn("ets", timestamp_micros(expr(s"$tsCol div 1000")))
+      .withWatermark("ets", delay)
+      .dropDuplicatesWithinWatermark("fp")
 
   /** Drain a streaming aggregation with Trigger.AvailableNow into an
     * in-memory table and return it as a batch DataFrame. Complete mode so

@@ -133,6 +133,27 @@ class StreamingDictSpec extends AnyFunSuite {
     assert(got.select("fp").exceptAll(batchFps).isEmpty)
   }
 
+  test("watermark-bounded streaming dedup drops in-window duplicates") {
+    // event-time documents fixture: 3 distinct texts, each duplicated
+    // within the 1-hour watermark window; all duplicates are in-window,
+    // so the result must equal the unbounded dedup (= batch distinct)
+    val dir = java.nio.file.Files.createTempDirectory("stream_wm_dedup")
+    val h = 3600L * 1000 * 1000 * 1000 // 1h in ns
+    val base = 1704067200000000000L
+    val docs = Seq(
+      (base, "alpha doc"), (base + h / 2, "alpha doc"),
+      (base + h / 4, "beta doc"), (base + h / 3, "beta doc"),
+      (base + h, "gamma doc"), (base + h + h / 10, "gamma doc"))
+      .toDF("ts", "text")
+    docs.write.mode("overwrite").parquet(dir.toString + "/in")
+    val got = Streams.runAvailableNow(
+      Streams.dedupStreamWithinWatermark(spark, dir.toString + "/in",
+        docs.schema, "text", "ts"),
+      "t_wm_dedup", org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(got.count() == 3)
+    assert(got.select("fp").distinct().count() == 3)
+  }
+
   test("saltedEquiJoin equals the plain inner join") {
     val big = (1 to 500).map(i => (i % 3L, i.toLong)).toDF("k", "v")
     val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (2L, "c2")).toDF("k", "tag")
