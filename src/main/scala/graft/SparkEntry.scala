@@ -1100,8 +1100,54 @@ object SparkEntry {
           encode(col("text"), "UTF-8").as("bytes"), lit("application/octet-stream").as("mime"))
       graft.multimodal.Multimodal.sampleFrames(
         graft.multimodal.Multimodal.extractMeta(bin, "media_id", "bytes"), 2)
+    }),
+    "q_media_decode" -> ((s, dir) => {
+      // REAL pixel decode: per-doc formula pixels → PNG-ENCODE (zlib) →
+      // ImageIO decode → per-channel means. The oracle computes the means
+      // straight from the pixel formula, so the deflate round-trip must be
+      // bit-exact for the hash to match — this gates a real compressed-
+      // format decode, not a header peek.
+      val bin = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("media_id"), mkPng(col("doc_id")).as("bytes"))
+      graft.multimodal.Multimodal.imageFeatures(bin, "media_id", "bytes")
+        .select(col("media_id"), col("width"), col("height"),
+          fl(col("mean_r")).as("mean_r"), fl(col("mean_g")).as("mean_g"),
+          fl(col("mean_b")).as("mean_b"))
+    }),
+    "q_media_resize" -> ((s, dir) => {
+      // decode → deterministic nearest-neighbor thumbnail → featurize;
+      // the oracle replays dst(x,y) = src(x·w/dw, y·h/dh) in integer math
+      val bin = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("media_id"), mkPng(col("doc_id")).as("bytes"))
+      graft.multimodal.Multimodal.imageFeatures(bin, "media_id", "bytes", resizeTo = 5)
+        .select(col("media_id"), col("width"), col("height"),
+          fl(col("mean_r")).as("mean_r"))
     })
   )
+
+  /** Synthetic image for the media-decode gates: w=8+(id%9), h=8+(3id%9),
+    * pixel (x,y) channels r=(7x+13y+id)%256, g=(3x+5y+2id)%256,
+    * b=(11x+y+3id)%256 — integer formulas an external oracle replays
+    * exactly; PNG is lossless so the decode must return these exact values.
+    */
+  private val mkPng = udf { (id: Long) =>
+    val w = 8 + (id % 9).toInt
+    val h = 8 + ((id * 3) % 9).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (7 * x + 13 * y + id) % 256
+        val g = (3 * x + 5 * y + 2 * id) % 256
+        val b = (11 * x + y + 3 * id) % 256
+        img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    graft.multimodal.Multimodal.encodePng(img)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1822,7 +1868,32 @@ object SparkEntry {
          SELECT CAST(cid AS INT) AS centroid_id, count(*) AS n FROM a GROUP BY 1""",
     "q_media_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-         FROM documents"""
+         FROM documents""",
+    // replays SparkEntry.mkPng's pixel formulas — the Spark side must
+    // PNG-encode and ImageIO-decode back to exactly these values
+    "q_media_decode" ->
+      """WITH dims AS (SELECT doc_id AS media_id, 8 + (doc_id % 9) AS w,
+                8 + ((doc_id * 3) % 9) AS h
+              FROM documents WHERE doc_id < 100),
+         xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM dims),
+         xy AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+         SELECT media_id, w AS width, h AS height,
+                CAST(avg((7 * x + 13 * y + media_id) % 256) AS REAL) AS mean_r,
+                CAST(avg((3 * x + 5 * y + 2 * media_id) % 256) AS REAL) AS mean_g,
+                CAST(avg((11 * x + y + 3 * media_id) % 256) AS REAL) AS mean_b
+         FROM xy GROUP BY 1, 2, 3""",
+    "q_media_resize" ->
+      """WITH dims AS (SELECT doc_id AS media_id, 8 + (doc_id % 9) AS w,
+                8 + ((doc_id * 3) % 9) AS h
+              FROM documents WHERE doc_id < 100),
+         d2 AS (SELECT media_id, w, h,
+                greatest(1, (w * 5) // greatest(w, h)) AS dw,
+                greatest(1, (h * 5) // greatest(w, h)) AS dh FROM dims),
+         xs AS (SELECT media_id, w, h, dw, dh, unnest(range(0, dw)) AS x FROM d2),
+         xy AS (SELECT media_id, w, h, dw, dh, x, unnest(range(0, dh)) AS y FROM xs)
+         SELECT media_id, dw AS width, dh AS height,
+                CAST(avg((7 * ((x * w) // dw) + 13 * ((y * h) // dh) + media_id) % 256) AS REAL) AS mean_r
+         FROM xy GROUP BY 1, 2, 3"""
   )
 
   /** Oracle for q_lang_id, generated from the same marker table the Spark

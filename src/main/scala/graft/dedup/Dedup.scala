@@ -371,13 +371,16 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("__nl")), "b")
         .groupBy(col("a").as("id")).agg(min(col("__nl")).as("__mn"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+      // carry the OLD label through the propagation join so the
+      // convergence probe is a shuffle-free scan of the checkpointed
+      // frame, not a second join per round (old label and new label come
+      // out of the SAME pass)
+      val joined = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("__mn"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "__old"), "id")
-        .filter(col("label") =!= col("__old")).isEmpty
-      labels = next
+      converged = joined.filter(col("label") =!= col("__old")).isEmpty
+      labels = joined.select(col("id"), col("label"))
       i += 1
     }
     // a silent partial propagation would emit multiple cluster_ids for one

@@ -9,10 +9,11 @@ import org.apache.spark.sql.types._
   *
   * Header-described metadata decodes for REAL in pure JVM — BMP/PNG/GIF
   * dimensions, JPEG dimensions via the marker walk, RIFF/WAV PCM (header
-  * walk + sample extraction) need no codec library. Pixel/audio decode for
-  * compressed codecs (JPEG entropy data, MP3, H.264) is STUBBED behind
-  * `decodeStub`, a deterministic fake, because the container ships no
-  * media libraries.
+  * walk + sample extraction) need no codec library. PIXEL decode is also
+  * real for PNG/JPEG/GIF/BMP via the JDK's own ImageIO readers
+  * ([[Multimodal.decodeImage]]) — only formats the JVM ships no codec for
+  * (MP3, H.264, WebP) remain behind `decodeStub`, a labeled deterministic
+  * fake.
   * Everything around the decode is production Spark: the binary schema,
   * the batched mapPartitions shape (the Scala analog of mapInPandas: one
   * iterator per partition, amortized per-batch setup), and streaming
@@ -179,13 +180,95 @@ object Multimodal {
     else None
   }
 
-  /** Deterministic fake decode for codec-requiring formats: dimensions and
-    * frame count derived from the payload length (replayable by an external
-    * oracle from octet_length). Replace with a real codec in a deployment
-    * that ships one.
+  /** Deterministic fake decode for formats the JDK ships no codec for
+    * (MP3, H.264, WebP, ...): dimensions and frame count derived from the
+    * payload length (replayable by an external oracle from octet_length).
+    * PNG/JPEG/GIF/BMP pixel decode is REAL — see [[decodeImage]].
     */
   def decodeStub(n: Long): (Int, Int, Int) =
     (64 + (n % 1024).toInt, 64 + ((n * 31) % 1024).toInt, 1 + (n % 32).toInt)
+
+  /** REAL pixel decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP readers
+    * ship in the JVM — no external codec dependency). Returns None for
+    * unrecognized/corrupt payloads instead of throwing, so one bad row
+    * can't fail a 100 TB job. The disk-backed stream cache is disabled
+    * once per executor: media flows memory-to-memory.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode a BufferedImage back to PNG bytes (lossless, so a
+    * decode→encode→decode round-trip is pixel-exact). */
+  def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic nearest-neighbor resize to fit `maxDim` (aspect
+    * preserved, integer math: dst(x,y) = src(x·srcW/dstW, y·srcH/dstH)) —
+    * chosen over Graphics2D interpolation because the result is exactly
+    * reproducible by an external oracle, and thumbnail pipelines at scale
+    * care about determinism (dedup over thumbnails) more than quality.
+    */
+  def resizeNearest(img: java.awt.image.BufferedImage, maxDim: Int): java.awt.image.BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val m = math.max(w, h)
+    val (dw, dh) = (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+    val out = new java.awt.image.BufferedImage(dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < dh) {
+      var x = 0
+      while (x < dw) {
+        out.setRGB(x, y, img.getRGB(x * w / dw, y * h / dh))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                           mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL image feature extraction: ImageIO pixel decode → per-channel
+    * means. Streaming mapPartitions like [[extractMeta]]; rows that don't
+    * decode produce no output (corrupt-tolerant). `resizeTo > 0` routes
+    * pixels through [[resizeNearest]] first — the thumbnail-then-featurize
+    * pipeline shape.
+    */
+  def imageFeatures(df: DataFrame, idCol: String, bytesCol: String,
+                    resizeTo: Int = 0): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val raw = r.getAs[Array[Byte]](bIdx)
+        decodeImage(if (raw == null) Array.emptyByteArray else raw).map { img0 =>
+          val img = if (resizeTo > 0) resizeNearest(img0, resizeTo) else img0
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          ImageFeatures(r.getLong(idIdx), w, h,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
+      }
+    }(Encoders.product[ImageFeatures]).toDF()
+  }
 
   private def fnv(bytes: Array[Byte]): Long = {
     var h = 1469598103934665603L
