@@ -143,9 +143,13 @@ object Dedup {
   def minhashCandidates(sh: DataFrame, id: String,
                         bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
+    // one fused codegen pass per doc (hash each shingle once, fold into
+    // all k lane minima) — the HOF form (minhashBase + k array_min lanes)
+    // rescans the shingle array k+1 times; same construction, so the
+    // banding math and collision analysis are unchanged
+    graft.sqlext.GraftFunctions.register(sh.sparkSession)
     val withSig = sh
-      .withColumn("hs", minhashBase(col("sh")))
-      .withColumn("sig", minhashSignature(col("hs"), k))
+      .withColumn("sig", call_function("cs_minhash", col("sh"), lit(k)))
     // (id, band) is unique by construction — one row per band per doc —
     // so no distinct is needed before the bucket self-join
     val banded = withSig.select(

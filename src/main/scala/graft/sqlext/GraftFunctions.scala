@@ -109,6 +109,16 @@ object GraftFunctions {
         Substring(c(0), Literal(offsets(i)), Literal(widths(i))))))
     },
       "cs_cut(key, layout) - unpack a ||-packed compound group key into struct fields"),
+    ("cs_minhash", (c: Seq[Expression]) => {
+      val k = c(1) match {
+        case Literal(v: Int, _) => v
+        case Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"cs_minhash signature width must be an integer literal, got $other")
+      }
+      MinHashSig(c(0), k)
+    },
+      "cs_minhash(shingles, k) - k-lane MinHash signature in one fused pass"),
     ("cs_diff", (c: Seq[Expression]) => CsSeriesDiff(c(0)),
       "cs_diff(arr) - first-order difference of a series array (func.c:1029-1077)"),
     ("cs_ema", (c: Seq[Expression]) => CsSeriesEma(c(0), c(1)),

@@ -38,6 +38,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("fused cs_minhash equals the HOF minhashBase + signature lanes") {
+    graft.sqlext.GraftFunctions.register(spark)
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 5)
+    val cmp = sh.select(
+      call_function("cs_minhash", col("sh"), lit(16)).as("fused"),
+      Dedup.minhashSignature(Dedup.minhashBase(col("sh")), 16).as("hof"))
+    assert(cmp.filter(col("fused") =!= col("hof")).isEmpty)
+    // duplicates can't change a minimum: signing the non-distinct array
+    // must give the same signature
+    val dup = sh.select(
+      call_function("cs_minhash", concat(col("sh"), col("sh")), lit(16)).as("a"),
+      call_function("cs_minhash", col("sh"), lit(16)).as("b"))
+    assert(dup.filter(col("a") =!= col("b")).isEmpty)
+  }
+
   test("ngram Jaccard is 1.0 for normalized-identical docs") {
     val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.9)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getFloat(2))).toMap
