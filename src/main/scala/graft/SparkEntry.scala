@@ -766,6 +766,26 @@ object SparkEntry {
         .select(col("pos"), fl(col("value")).as("value"), fl(col("diff")).as("diff"),
           fl(col("ema")).as("ema"), col("rnk"), col("top1_max"), col("top1_min"))
     }),
+    "q_cs_analytics" -> ((s, dir) => {
+      // the §2.8 analytics names over array series: trend carry, L2
+      // normalize, zero-crossing count (on the centered series), exact
+      // quantile — all per one packed series, exploded back to rows
+      graft.sqlext.GraftFunctions.register(s)
+      evSeries(s, dir).createOrReplaceTempView("ev_series_v")
+      s.sql("""
+        WITH arr AS (
+          SELECT sort_array(collect_list(struct(pos, value))) AS pv
+          FROM ev_series_v WHERE event_type = 'error' AND pos < 64),
+        a AS (SELECT transform(pv, e -> e.value) AS xs,
+                     transform(pv, e -> e.value - 250.0D) AS cs FROM arr),
+        f AS (SELECT xs, cs_trend(xs) AS t, cs_norm(xs) AS nm,
+                     size(cs_cross(cs, 0)) AS n_cross,
+                     cs_quantile(xs, 4)[2] AS med FROM a)
+        SELECT posexplode(xs) AS (pos, value), t[pos] AS trend, nm[pos] AS nrm,
+               n_cross, med FROM f""")
+        .select(col("pos"), fl(col("trend")).as("trend"), fl(col("nrm")).as("nrm"),
+          col("n_cross").cast("long").as("n_cross"), fl(col("med")).as("med"))
+    }),
     "q_cs_asof" -> ((s, dir) => {
       // cs_asof scalar sugar: per-user sorted signup arrays joined to
       // purchases, binary-search lookup per row — same result contract as
@@ -1598,6 +1618,25 @@ object SparkEntry {
                 CAST((SELECT max("value") FROM d) AS REAL) AS top1_max,
                 CAST((SELECT min("value") FROM d) AS REAL) AS top1_min
          FROM r""",
+    "q_cs_analytics" ->
+      s"""WITH d AS (SELECT pos, "value" FROM ($evPosSql)
+             WHERE event_type = 'error' AND pos < 64),
+         dd AS (SELECT pos, "value",
+                CASE WHEN pos = 0 THEN 0
+                     ELSE sign("value" - lag("value") OVER (ORDER BY pos)) END AS ds
+                FROM d),
+         tr AS (SELECT pos, "value",
+                coalesce(last_value(nullif(ds, 0) IGNORE NULLS)
+                  OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS trend
+                FROM dd),
+         cr AS (SELECT pos, sign("value" - 250) AS s FROM d
+                WHERE sign("value" - 250) != 0),
+         cr2 AS (SELECT pos, s, lag(s) OVER (ORDER BY pos) AS ps FROM cr)
+         SELECT tr.pos, CAST(tr.trend AS REAL) AS trend,
+                CAST(tr."value" / sqrt((SELECT sum("value" * "value") FROM d)) AS REAL) AS nrm,
+                (SELECT count(*) FROM cr2 WHERE ps IS NOT NULL AND s != ps) AS n_cross,
+                CAST((SELECT quantile_cont("value", 0.5) FROM d) AS REAL) AS med
+         FROM tr""",
     "q_cs_asof" ->
       """SELECT l.user_id, l.event_id, CAST(r."value" AS REAL) AS asof_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l

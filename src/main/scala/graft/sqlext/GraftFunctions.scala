@@ -130,7 +130,15 @@ object GraftFunctions {
     ("cs_top_min", (c: Seq[Expression]) => CsSeriesTop(c(0), c(1), desc = false),
       "cs_top_min(arr, k) - k smallest values, sorted asc"),
     ("cs_asof", (c: Seq[Expression]) => CsAsofLookup(c(0), c(1), c(2)),
-      "cs_asof(ts, right_ts_sorted, right_vals) - latest right value at/before ts"))
+      "cs_asof(ts, right_ts_sorted, right_vals) - latest right value at/before ts"),
+    ("cs_trend", (c: Seq[Expression]) => CsSeriesTrend(c(0)),
+      "cs_trend(arr) - carried sign of the last non-zero delta (func.c:2305-2343)"),
+    ("cs_cross", (c: Seq[Expression]) => CsSeriesCross(c(0), c(1)),
+      "cs_cross(arr, dir) - zero-crossing indexes; dir>0 up, <0 down, 0 both (func.c:4170-4219)"),
+    ("cs_norm", (c: Seq[Expression]) => CsSeriesNorm(c(0)),
+      "cs_norm(arr) - x/sqrt(sum x^2) (func.c:594-658)"),
+    ("cs_quantile", (c: Seq[Expression]) => CsSeriesQuantile(c(0), c(1)),
+      "cs_quantile(arr, q) - q+1 percentile boundaries of the sorted series (func.c:3562-3603)"))
 
   /** Register as temp functions on a live session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b, _) =>

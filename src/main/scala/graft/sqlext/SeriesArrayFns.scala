@@ -190,3 +190,135 @@ case class CsAsofLookup(first: Expression, second: Expression, third: Expression
       f: Expression, s: Expression, t: Expression): CsAsofLookup =
     copy(first = f, second = s, third = t)
 }
+
+/** cs_trend(arr): sign of the last non-zero delta carried forward; first
+  * element 0 — cs_trend (func.c:2305-2343), array form of Analytics.trend.
+  */
+case class CsSeriesTrend(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesArrayFns.dblArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cs_trend requires array<double>, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "cs_trend"
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var t = 0.0
+    var prev = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      if (i > 0) {
+        val d = math.signum(x - prev)
+        if (d != 0.0) t = d
+      }
+      out(i) = t
+      prev = x
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): CsSeriesTrend = copy(child = c)
+}
+
+/** cs_cross(arr, dir): 0-based indexes where the sign of the series
+  * crosses zero — first element whose non-zero sign differs from the
+  * previous non-zero sign (func.c:4170-4219; Analytics.crossings
+  * semantics). dir > 0 keeps upward crossings, < 0 downward, 0 both.
+  */
+case class CsSeriesCross(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesArrayFns.dblArray(left.dataType) && SeriesArrayFns.integral(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cs_cross requires (array<double>, int dir), got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cs_cross"
+  override def nullSafeEval(arr: Any, dv: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val dir = dv.asInstanceOf[Number].intValue()
+    val n = a.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var prevSign = 0.0
+    var i = 0
+    while (i < n) {
+      val s = math.signum(a.getDouble(i))
+      if (s != 0.0) {
+        if (prevSign != 0.0 && s != prevSign &&
+          (dir == 0 || (dir > 0 && s > 0) || (dir < 0 && s < 0)))
+          out += i.toLong
+        prevSign = s
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CsSeriesCross =
+    copy(left = l, right = r)
+}
+
+/** cs_norm(arr): x_i / sqrt(Σx²) — cs_norm (func.c:594-658). A zero
+  * vector normalizes to NaNs, matching the SQL division semantics of the
+  * frame-level Analytics.norm.
+  */
+case class CsSeriesNorm(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesArrayFns.dblArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cs_norm requires array<double>, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "cs_norm"
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); ss += x * x; i += 1 }
+    val d = math.sqrt(ss)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = a.getDouble(i) / d; i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): CsSeriesNorm = copy(child = c)
+}
+
+/** cs_quantile(arr, q): the q+1 boundary values of the sorted series
+  * (func.c:3562-3603) using the same linear-interpolation definition as
+  * SQL percentile, so the array form agrees with Analytics.quantile.
+  */
+case class CsSeriesQuantile(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesArrayFns.dblArray(left.dataType) && SeriesArrayFns.integral(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cs_quantile requires (array<double>, int q), got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "cs_quantile"
+  override def nullSafeEval(arr: Any, qv: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val q = qv.asInstanceOf[Number].intValue()
+    val n = a.numElements()
+    if (n == 0 || q <= 0) return new GenericArrayData(Array.empty[Any])
+    val xs = Array.tabulate(n)(a.getDouble).sorted
+    val out = new Array[Any](q + 1)
+    var i = 0
+    while (i <= q) {
+      // SQL percentile: rank r = p*(n-1), linear interpolation
+      val r = i.toDouble / q * (n - 1)
+      val lo = r.toInt
+      val hi = math.min(lo + 1, n - 1)
+      out(i) = xs(lo) + (r - lo) * (xs(hi) - xs(lo))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CsSeriesQuantile =
+    copy(left = l, right = r)
+}
