@@ -237,4 +237,49 @@ class PropertySpec extends AnyFunSuite {
       assert(got == xs.sorted(Ordering[Double].reverse).take(math.min(k, n)))
     }
   }
+
+  test("CsHashAgg map aggregate equals groupBy across shuffle partials") {
+    // many partitions force the partial→shuffle→merge path of the
+    // TypedImperativeAggregate, the code the single-partition unit test
+    // cannot reach
+    graft.sqlext.GraftFunctions.register(spark)
+    val df = spark.range(1000)
+      .select((col("id") % 13).cast("string").as("g"), (col("id") * 3 % 97).cast("double").as("x"))
+      .repartition(11)
+    df.createOrReplaceTempView("t_hash_prop")
+    val m = spark.sql(
+      """SELECT cs_hash_sum(x, g) AS s, cs_hash_avg(x, g) AS a,
+                cs_hash_min(x, g) AS mn, cs_hash_max(x, g) AS mx,
+                cs_hash_count(g) AS c
+         FROM t_hash_prop""").head()
+    val expect = df.groupBy("g").agg(
+      sum("x").as("s"), avg("x").as("a"), min("x").as("mn"), max("x").as("mx"),
+      count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toMap
+    val (ms, ma, mn, mx, mc) = (m.getMap[String, Double](0), m.getMap[String, Double](1),
+      m.getMap[String, Double](2), m.getMap[String, Double](3), m.getMap[String, Long](4))
+    assert(ms.size == 13 && expect.size == 13)
+    expect.foreach { case (g, (s, a, lo, hi, c)) =>
+      assert(math.abs(ms(g) - s) < 1e-9 && math.abs(ma(g) - a) < 1e-9)
+      assert(mn(g) == lo && mx(g) == hi && mc(g) == c)
+    }
+  }
+
+  test("array-series fns: quantile endpoints, rank permutation, norm unit length") {
+    graft.sqlext.GraftFunctions.register(spark)
+    for ((n, seed) <- cases if n >= 2) {
+      val xs = series(n, seed)
+      val r = Seq(Tuple1(xs.toArray)).toDF("xs").select(
+        expr("cs_quantile(xs, 1)").as("q"),
+        expr("cs_rank(xs)").as("rk"),
+        expr("aggregate(cs_norm(xs), 0.0D, (s, x) -> s + x * x)").as("ss")).head()
+      assert(r.getSeq[Double](0) == Seq(xs.min, xs.max)) // q=1 → [min, max]
+      // ranks are a permutation-consistent labeling: sorted by rank
+      // recovers the sorted values
+      val ranked = r.getSeq[Long](1).zip(xs).sortBy(_._1).map(_._2)
+      assert(ranked.zip(xs.sorted).forall { case (a, b) => a == b })
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9) // ||norm(x)||² = 1
+    }
+  }
 }
