@@ -528,6 +528,26 @@ object SparkEntry {
       // from diff + two Wilder scans
       Moving.rsi(evSeries(s, dir).filter(col("pos") < 200), Seq("event_type"), "value", 14)
         .select(col("event_type"), col("pos"), fl(col("rsi")).as("rsi"))),
+    "q_atr_tr" -> ((s, dir) => {
+      // the example workload's REAL True-Range ATR (example.sql ATR query):
+      // TR = maxof(high−low, |prevClose−high|, |prevClose−low|) with the
+      // shifted close (`Close<<1` ||| 0-prepend in the reference), then the
+      // Wilder recurrence. OHLC synthesized deterministically from the
+      // event series (high = 1.01·v, low = 0.99·v, close = v).
+      val se = evSeries(s, dir).filter(col("pos") < 200)
+        .withColumn("__h", col("value") * 1.01)
+        .withColumn("__l", col("value") * 0.99)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("pos"))
+      val withTr = se
+        .withColumn("__pc", lag(col("value"), 1).over(w))
+        .withColumn("__tr", greatest(
+          col("__h") - col("__l"),
+          coalesce(abs(col("__pc") - col("__h")), lit(0.0)),
+          coalesce(abs(col("__pc") - col("__l")), lit(0.0))))
+      Moving.atr(withTr, Seq("event_type"), "__tr", 14)
+        .select(col("event_type"), col("pos"), fl(col("atr")).as("atr"))
+    }),
     "q_cum_prd" -> ((s, dir) =>
       Moving.cumProd(evSeries(s, dir).filter(col("event_type") === "purchase" && col("pos") < 15),
           Seq("event_type"), "value")
@@ -1493,6 +1513,21 @@ object SparkEntry {
            UNION ALL
            SELECT d.event_type, d.pos, d."value",
                   (r.atr * (least(d.pos + 1, 10) - 1) + d."value") / least(d.pos + 1, 10) AS atr
+           FROM r JOIN d ON d.event_type = r.event_type AND d.pos = r.pos + 1)
+         SELECT event_type, pos, CAST(atr AS REAL) AS atr FROM r""",
+    "q_atr_tr" ->
+      s"""WITH RECURSIVE base AS (SELECT event_type, pos, "value" FROM ($evPosSql)
+             WHERE pos < 200),
+         d AS (SELECT event_type, pos,
+               greatest("value" * 1.01 - "value" * 0.99,
+                 coalesce(abs(lag("value") OVER (PARTITION BY event_type ORDER BY pos) - "value" * 1.01), 0),
+                 coalesce(abs(lag("value") OVER (PARTITION BY event_type ORDER BY pos) - "value" * 0.99), 0)) AS tr
+               FROM base),
+         r AS (
+           SELECT event_type, pos, tr, tr AS atr FROM d WHERE pos = 0
+           UNION ALL
+           SELECT d.event_type, d.pos, d.tr,
+                  (r.atr * (least(d.pos + 1, 14) - 1) + d.tr) / least(d.pos + 1, 14) AS atr
            FROM r JOIN d ON d.event_type = r.event_type AND d.pos = r.pos + 1)
          SELECT event_type, pos, CAST(atr AS REAL) AS atr FROM r""",
     "q_rsi" ->

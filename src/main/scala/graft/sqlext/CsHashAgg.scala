@@ -63,6 +63,21 @@ case class CsHashAgg(
   override def createAggregationBuffer(): mutable.HashMap[String, (Double, Double, Long)] =
     mutable.HashMap.empty
 
+  /** Fail-loud bound on distinct groups per aggregate: the map-valued
+    * form assumes a bounded group dictionary (exactly like the reference's
+    * hash-agg dictionary, imcs.h:35); past this, a silent buffer is an
+    * executor OOM in disguise — the error names the native groupBy as the
+    * high-cardinality route.
+    */
+  private val maxGroups = 1 << 20
+
+  private def checkSize(n: Int): Unit =
+    if (n > maxGroups)
+      throw new IllegalStateException(
+        s"cs_hash_$op exceeded $maxGroups distinct groups: the map-valued " +
+          "aggregate assumes a bounded group dictionary; use a native " +
+          "groupBy for high-cardinality keys")
+
   override def update(
       buf: mutable.HashMap[String, (Double, Double, Long)],
       input: InternalRow): mutable.HashMap[String, (Double, Double, Long)] = {
@@ -70,6 +85,7 @@ case class CsHashAgg(
     if (g != null) {
       val v = value.eval(input)
       if (v != null) {
+        checkSize(buf.size)
         val k = g.toString // UTF8String → immutable JVM string (buffer-safe copy)
         val x = v.asInstanceOf[Number].doubleValue()
         val (s, m, n) = buf.getOrElse(k,
@@ -89,6 +105,7 @@ case class CsHashAgg(
       a: mutable.HashMap[String, (Double, Double, Long)],
       b: mutable.HashMap[String, (Double, Double, Long)]): mutable.HashMap[String, (Double, Double, Long)] = {
     b.foreach { case (k, (s2, m2, n2)) =>
+      checkSize(a.size)
       a.get(k) match {
         case Some((s1, m1, n1)) =>
           val m = op match {
