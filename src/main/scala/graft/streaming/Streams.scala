@@ -149,6 +149,52 @@ object Streams {
     df.sparkSession.table(queryName)
   }
 
+  /** Streaming as-of join — the streaming form of the reference's
+    * workhorse operator (Align.asofJoin; func.c:4591-4662): one tagged
+    * stream per key carries rows with `side` 0 (right, value provider) and
+    * 1 (left, probe); each left row emits the latest preceding right
+    * value, NULL before any right row. State per key is one (value, seen)
+    * pair — O(#keys) regardless of stream length.
+    *
+    * Same ordering contract as [[emaStream]]: rows are sorted by
+    * (ts, side, tiebreak) within each micro-batch (right before left at
+    * equal ts — the inclusive boundary), and batches must arrive in
+    * append order (the reference's own ingest requirement).
+    */
+  def asofStream(events: Dataset[Row], key: String, ts: String, tiebreak: String,
+                 side: String, value: String): DataFrame = {
+    import events.sparkSession.implicits._
+    val kIdx = events.schema.fieldIndex(key)
+    val tIdx = events.schema.fieldIndex(ts)
+    val bIdx = events.schema.fieldIndex(tiebreak)
+    val sIdx = events.schema.fieldIndex(side)
+    val vIdx = events.schema.fieldIndex(value)
+    events
+      .groupByKey(r => r.getAs[Number](kIdx).longValue())
+      .flatMapGroupsWithState[(Double, Boolean), (Long, Long, Long, Option[Double])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: Long, rows: Iterator[Row], state: GroupState[(Double, Boolean)]) =>
+          val sorted = rows.toSeq.sortBy(r =>
+            (r.getAs[Number](tIdx).longValue(), r.getAs[Number](sIdx).intValue(),
+              r.getAs[Number](bIdx).longValue()))
+          var (last, has) = state.getOption.getOrElse((0.0, false))
+          val out = sorted.flatMap { r =>
+            if (r.getAs[Number](sIdx).intValue() == 0) {
+              // NULL right values neither match nor mask (ignoreNulls)
+              if (!r.isNullAt(vIdx)) {
+                last = r.getAs[Number](vIdx).doubleValue(); has = true
+              }
+              None
+            } else Some((k, r.getAs[Number](tIdx).longValue(),
+              r.getAs[Number](bIdx).longValue(),
+              if (has) Some(last) else None))
+          }
+          state.update((last, has))
+          out.iterator
+      }
+      .toDF(key, ts, tiebreak, "asof_value")
+  }
+
   /** Stateful streaming EMA via flatMapGroupsWithState — the streaming form
     * of Moving.ema (cs_window_ema, func.c:1764-1777). State per key is a
     * single double (the last EMA), so state size is O(#keys) regardless of

@@ -50,6 +50,29 @@ class StreamingDictSpec extends AnyFunSuite {
     assert(diff.isEmpty)
   }
 
+  test("streaming as-of (flatMapGroupsWithState) equals batch Align.asofJoin") {
+    val ev = graft.io.Tables.read(spark, sfDir, "events")
+      .filter(col("event_id") < 500)
+    // right side deduped per (key, ts) so equal-ts ties can't make the
+    // carried value order-dependent between the two formulations
+    val r = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("value"), min(col("event_id")).as("event_id"))
+    val l = ev.filter(col("event_type") =!= "signup")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val tagged = l.withColumn("side", lit(1))
+      .unionByName(r.withColumn("side", lit(0))
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"), col("side")))
+    val got = graft.streaming.Streams
+      .asofStream(tagged, "user_id", "ts", "event_id", "side", "value")
+      .select(col("user_id"), col("ts"), col("event_id"), col("asof_value"))
+    val batch = graft.join.Align.asofJoin(
+      l, r.select(col("user_id"), col("ts"), col("value")), Seq("user_id"), "ts", "value")
+      .select(col("user_id"), col("ts"), col("event_id"), col("asof_value"))
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("dict codes are dense sorted ranks; str2code/code2str round-trip") {
     val df = Seq("cherry", "apple", "banana", "apple", "cherry").toDF("s")
     val dict = Dict.build(df, "s")
