@@ -131,6 +131,70 @@ object GraftFunctions {
       "cs_top_min(arr, k) - k smallest values, sorted asc"),
     ("cs_asof", (c: Seq[Expression]) => CsAsofLookup(c(0), c(1), c(2)),
       "cs_asof(ts, right_ts_sorted, right_vals) - latest right value at/before ts"),
+    // ---- 1:1 native aliases (imcs--1.1.sql scalar/aggregate surface):
+    // a user porting reference SQL keeps the cs_* names; semantics are the
+    // Spark natives' (element-wise over columns instead of series handles).
+    ("cs_abs", (c: Seq[Expression]) => Abs(c(0)), "cs_abs(x) - |x|"),
+    ("cs_neg", (c: Seq[Expression]) => UnaryMinus(c(0)), "cs_neg(x) - -x"),
+    ("cs_add", (c: Seq[Expression]) => Add(c(0), c(1)), "cs_add(x, y)"),
+    ("cs_sub", (c: Seq[Expression]) => Subtract(c(0), c(1)), "cs_sub(x, y)"),
+    ("cs_mul", (c: Seq[Expression]) => Multiply(c(0), c(1)), "cs_mul(x, y)"),
+    ("cs_div", (c: Seq[Expression]) => Divide(c(0), c(1)), "cs_div(x, y)"),
+    ("cs_mod", (c: Seq[Expression]) => Remainder(c(0), c(1)), "cs_mod(x, y)"),
+    ("cs_pow", (c: Seq[Expression]) => Pow(c(0), c(1)), "cs_pow(x, y)"),
+    ("cs_sin", (c: Seq[Expression]) => Sin(c(0)), "cs_sin(x)"),
+    ("cs_cos", (c: Seq[Expression]) => Cos(c(0)), "cs_cos(x)"),
+    ("cs_tan", (c: Seq[Expression]) => Tan(c(0)), "cs_tan(x)"),
+    ("cs_asin", (c: Seq[Expression]) => Asin(c(0)), "cs_asin(x)"),
+    ("cs_acos", (c: Seq[Expression]) => Acos(c(0)), "cs_acos(x)"),
+    ("cs_atan", (c: Seq[Expression]) => Atan(c(0)), "cs_atan(x)"),
+    ("cs_exp", (c: Seq[Expression]) => Exp(c(0)), "cs_exp(x)"),
+    ("cs_log", (c: Seq[Expression]) => Log(c(0)), "cs_log(x) - natural log"),
+    ("cs_sqrt", (c: Seq[Expression]) => Sqrt(c(0)), "cs_sqrt(x)"),
+    ("cs_ceil", (c: Seq[Expression]) => Ceil(c(0)), "cs_ceil(x)"),
+    ("cs_floor", (c: Seq[Expression]) => Floor(c(0)), "cs_floor(x)"),
+    ("cs_isnan", (c: Seq[Expression]) => IsNaN(c(0)), "cs_isnan(x)"),
+    ("cs_eq", (c: Seq[Expression]) => EqualTo(c(0), c(1)), "cs_eq(x, y)"),
+    ("cs_ne", (c: Seq[Expression]) => Not(EqualTo(c(0), c(1))), "cs_ne(x, y)"),
+    ("cs_gt", (c: Seq[Expression]) => GreaterThan(c(0), c(1)), "cs_gt(x, y)"),
+    ("cs_ge", (c: Seq[Expression]) => GreaterThanOrEqual(c(0), c(1)), "cs_ge(x, y)"),
+    ("cs_lt", (c: Seq[Expression]) => LessThan(c(0), c(1)), "cs_lt(x, y)"),
+    ("cs_le", (c: Seq[Expression]) => LessThanOrEqual(c(0), c(1)), "cs_le(x, y)"),
+    ("cs_not", (c: Seq[Expression]) => Not(c(0)), "cs_not(x)"),
+    ("cs_like", (c: Seq[Expression]) => Like(c(0), c(1), '\\'), "cs_like(s, pattern)"),
+    ("cs_ilike", (c: Seq[Expression]) => new ILike(c(0), c(1)), "cs_ilike(s, pattern)"),
+    ("cs_year", (c: Seq[Expression]) => Year(c(0)), "cs_year(ts)"),
+    ("cs_quarter", (c: Seq[Expression]) => Quarter(c(0)), "cs_quarter(ts)"),
+    ("cs_month", (c: Seq[Expression]) => Month(c(0)), "cs_month(ts)"),
+    ("cs_week", (c: Seq[Expression]) => WeekOfYear(c(0)), "cs_week(ts) - ISO week"),
+    ("cs_mday", (c: Seq[Expression]) => DayOfMonth(c(0)), "cs_mday(ts) - day of month"),
+    ("cs_wday", (c: Seq[Expression]) => DayOfWeek(c(0)),
+      "cs_wday(ts) - day of week (Spark semantics: 1 = Sunday)"),
+    ("cs_hour", (c: Seq[Expression]) => Hour(c(0)), "cs_hour(ts)"),
+    ("cs_minute", (c: Seq[Expression]) => Minute(c(0)), "cs_minute(ts)"),
+    ("cs_second", (c: Seq[Expression]) => Second(c(0)), "cs_second(ts)"),
+    ("cs_count", (c: Seq[Expression]) => Count(Seq(c(0))).toAggregateExpression(),
+      "cs_count(x) - count of non-null x"),
+    ("cs_sum", (c: Seq[Expression]) => Sum(c(0)).toAggregateExpression(), "cs_sum(x)"),
+    ("cs_avg", (c: Seq[Expression]) => Average(c(0)).toAggregateExpression(), "cs_avg(x)"),
+    ("cs_min", (c: Seq[Expression]) => Min(c(0)).toAggregateExpression(), "cs_min(x)"),
+    ("cs_max", (c: Seq[Expression]) => Max(c(0)).toAggregateExpression(), "cs_max(x)"),
+    ("cs_var", (c: Seq[Expression]) => VariancePop(c(0)).toAggregateExpression(),
+      "cs_var(x) - population variance (func.c:1475-1491)"),
+    ("cs_dev", (c: Seq[Expression]) => StddevPop(c(0)).toAggregateExpression(),
+      "cs_dev(x) - population stddev"),
+    ("cs_cov", (c: Seq[Expression]) => CovPopulation(c(0), c(1)).toAggregateExpression(),
+      "cs_cov(x, y) - population covariance"),
+    ("cs_corr", (c: Seq[Expression]) => Corr(c(0), c(1)).toAggregateExpression(),
+      "cs_corr(x, y)"),
+    ("cs_median", (c: Seq[Expression]) => new Median(c(0)).toAggregateExpression(),
+      "cs_median(x) - exact median"),
+    ("cs_approxdc", (c: Seq[Expression]) => HyperLogLogPlusPlus(c(0)).toAggregateExpression(),
+      "cs_approxdc(x) - approximate distinct count (HLL++)"),
+    ("cs_all", (c: Seq[Expression]) => BitAndAgg(c(0)).toAggregateExpression(),
+      "cs_all(x) - bitwise AND reduction (func.c:1446-1456)"),
+    ("cs_any", (c: Seq[Expression]) => BitOrAgg(c(0)).toAggregateExpression(),
+      "cs_any(x) - bitwise OR reduction"),
     ("cs_trend", (c: Seq[Expression]) => CsSeriesTrend(c(0)),
       "cs_trend(arr) - carried sign of the last non-zero delta (func.c:2305-2343)"),
     ("cs_cross", (c: Seq[Expression]) => CsSeriesCross(c(0), c(1)),

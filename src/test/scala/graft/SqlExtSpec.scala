@@ -117,6 +117,30 @@ class SqlExtSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 30.0 && r.isNullAt(6))
   }
 
+  test("native-alias cs_* names match their Spark-native twins") {
+    GraftFunctions.register(spark)
+    Seq((4.0, 2.0, 9L), (16.0, 3.0, 12L)).toDF("x", "y", "b")
+      .createOrReplaceTempView("t_alias")
+    val r = spark.sql(
+      """SELECT cs_sqrt(x) AS sq, cs_pow(y, 2) AS p, cs_abs(cs_neg(x)) AS ab,
+                cs_mod(b, 5) AS md, cs_gt(x, y) AS g
+         FROM t_alias ORDER BY x""").collect()
+    assert(r(0).getDouble(0) == 2.0 && r(0).getDouble(1) == 4.0 &&
+      r(0).getDouble(2) == 4.0 && r(0).getLong(3) == 4L && r(0).getBoolean(4))
+    val a = spark.sql(
+      """SELECT cs_count(x) AS c, cs_sum(x) AS s, cs_avg(x) AS a,
+                cs_var(x) AS v, cs_median(x) AS m, cs_all(b) AS ba, cs_any(b) AS bo
+         FROM t_alias""").head()
+    assert(a.getLong(0) == 2 && a.getDouble(1) == 20.0 && a.getDouble(2) == 10.0)
+    assert(a.getDouble(3) == 36.0 && a.getDouble(4) == 10.0)
+    assert(a.getLong(5) == (9L & 12L) && a.getLong(6) == (9L | 12L))
+    val d = spark.sql(
+      "SELECT cs_year(TIMESTAMP '2024-03-15 10:30:45') AS y, " +
+        "cs_month(TIMESTAMP '2024-03-15 10:30:45') AS m, " +
+        "cs_hour(TIMESTAMP '2024-03-15 10:30:45') AS h").head()
+    assert(d.getInt(0) == 2024 && d.getInt(1) == 3 && d.getInt(2) == 10)
+  }
+
   test("GraftExtensions injects the functions at session build time") {
     // Force a NEW session over the shared context: getOrCreate would
     // otherwise return the active test session (without the extensions).
