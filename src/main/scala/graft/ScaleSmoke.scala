@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-up smoke: multiply sf0.1 by `factor` (default 20 → ~12M lineitem
+  * rows / ~200 MB parquet across many files) and re-run headline operator
+  * shapes, printing partition counts and wall times. The point is
+  * EVIDENCE for the scale claims, not a benchmark: the byte-proportional
+  * cache sizing must move from the few-partition small-SF regime to
+  * core-count parallelism on its own, plans must stay shape-identical,
+  * and runtimes must grow far slower than data (parallel headroom).
+  *
+  * Usage: graft.ScaleSmoke [factor] [workDir]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.flatMap(_.toIntOption).getOrElse(20)
+    val work = args.drop(1).headOption.getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_scale_smoke")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+
+    // ×factor lineitem: replicate with perturbed keys so group/join
+    // cardinalities scale with the data (not constant groups)
+    val base = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val big = base
+      .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("l_orderkey", col("l_orderkey") * factor + col("__rep"))
+      .drop("__rep")
+    time(s"write x$factor lineitem") {
+      big.write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    }
+    val li = graft.io.Tables.read(spark, work, "lineitem")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = time("load+cache")(li.count())
+    println(s"rows = $rows, cached partitions = ${li.rdd.getNumPartitions} " +
+      s"(sized by bytes/2.5MB clamped to cores — was 4-5 at sf0.1)")
+
+    time("q1-shape agg (warm 1)") {
+      li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("q1-shape agg (warm 2)") {
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("filtered count") {
+      li.filter(col("l_extendedprice") > col("l_quantity") * lit(1000.0))
+        .agg(count(lit(1))).write.format("noop").mode("overwrite").save()
+    }
+    time("3-key hash agg") {
+      li.groupBy(col("l_returnflag"), col("l_linestatus"), year(col("l_shipdate")))
+        .agg(count(lit(1)), sum("l_extendedprice"), min("l_quantity"), max("l_quantity"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // keyless series ops at scale: pos numbering + trailing window + as-of
+    // via the ranged scans (partition-count parallelism, no global window)
+    val series = graft.series.Series.attachPosRanged(
+      li.select(col("l_orderkey").as("k"), col("l_extendedprice").as("value")),
+      Seq(), Seq(col("k")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("keyless pos numbering (ranged)")(series.count())
+    time("keyless trailing window (scan)") {
+      graft.window.Moving.windowAgg(series, Seq(), "value", 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("keyless EMA (parallel prefix)") {
+      graft.window.Moving.ema(series, Seq(), "value", 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val l = series.filter(col("k") % 2 === 0).select(col("k").as("ts"), col("value"))
+    val r = series.filter(col("k") % 2 === 1)
+      .groupBy((col("k") - 1).as("ts")).agg(max("value").as("value"))
+    time("keyless as-of (carry scan)") {
+      graft.join.Align.asofJoin(l, r, Seq(), "ts", "value")
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
