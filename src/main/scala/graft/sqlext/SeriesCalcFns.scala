@@ -1,0 +1,782 @@
+package graft.sqlext
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** The reference's full series calculus over SQL ARRAYS — the cumulative,
+  * moving-window, grid, run-group, sort/rank, alignment and slicing
+  * operator families of imcs--1.1.sql:518-1058, each as an eval-only
+  * Catalyst expression over `array<double>` / `array<bigint>` series
+  * (the cs_to_array / cs_from_array representation, func.c:4028-4166).
+  *
+  * Same scale contract as [[SeriesArrayFns]]: per-ROW over one bounded
+  * array — the many-small-series shape. The frame-level operators in
+  * graft.window / graft.agg / graft.join remain the route for one huge
+  * series; every class here cites the frame twin it must agree with
+  * (spec-asserted in SqlCalcSpec).
+  */
+object SeriesCalc {
+  private[sqlext] def dblArr(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private[sqlext] def lngArr(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  private[sqlext] def boolArr(dt: DataType): Boolean = dt match {
+    case ArrayType(BooleanType, _) => true
+    case _ => false
+  }
+  private[sqlext] def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private[sqlext] def fail(msg: String): TypeCheckResult =
+    TypeCheckResult.TypeCheckFailure(msg)
+  private[sqlext] val ok: TypeCheckResult = TypeCheckResult.TypeCheckSuccess
+}
+
+/** Cumulative aggregates over one series array — cs_cum_sum/avg/min/max/
+  * prd/var/dev (func.c:1791-1887). Same semantics as the frame-level
+  * Aggs.cumAgg running frame: avg divides by the running count, var/dev
+  * use the reference's naive (Σx² − (Σx)²/n)/n prefix formula
+  * (func.c:1475-1491), prd is the running product (cum_prd,
+  * func.c:1831-1840).
+  */
+case class CsSeriesCum(op: String, child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  require(CsSeriesCum.ops(op), s"unknown cum op $op")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesCalc.dblArr(child.dataType)) SeriesCalc.ok
+    else SeriesCalc.fail(s"cs_cum_$op requires array<double>, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = s"cs_cum_$op"
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var s = 0.0; var ss = 0.0; var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity; var p = 1.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      s += x; ss += x * x; p *= x
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      val k = i + 1
+      out(i) = op match {
+        case "sum" => s
+        case "avg" => s / k
+        case "min" => mn
+        case "max" => mx
+        case "prd" => p
+        case "var" => math.max((ss - s * s / k) / k, 0.0)
+        case "dev" => math.sqrt(math.max((ss - s * s / k) / k, 0.0))
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): CsSeriesCum = copy(child = c)
+}
+object CsSeriesCum {
+  val ops = Set("sum", "avg", "min", "max", "prd", "var", "dev")
+}
+
+/** Moving-window aggregates over one series array — cs_window_sum/avg/
+  * min/max/var/dev/atr (func.c:1632-1790). Warm-up matches the
+  * reference's zero-initialized ring buffer for sum/avg/var/dev (sums
+  * cover the actual prefix; avg and var divide by the FIXED interval n,
+  * func.c:1683,1718-1745) and the growing divisor for atr
+  * (func.c:1779-1781: n' = min(i+1, n)). min/max use the true trailing
+  * window over the actual prefix — the reference's zero-filled history
+  * would report 0 as the warm-up min on positive data, a ring-buffer
+  * artifact we deliberately do not reproduce (Moving.windowAgg makes
+  * the same call).
+  */
+case class CsSeriesWindowAgg(op: String, left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  require(CsSeriesWindowAgg.ops(op), s"unknown window op $op")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesCalc.dblArr(left.dataType) && SeriesCalc.integral(right.dataType))
+      SeriesCalc.ok
+    else SeriesCalc.fail(
+      s"cs_window_$op requires (array<double>, int), got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = s"cs_window_$op"
+  override def nullSafeEval(arr: Any, nv: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val w = nv.asInstanceOf[Number].intValue()
+    require(w > 0, s"cs_window_$op interval must be positive, got $w")
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    op match {
+      case "atr" =>
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val k = math.min(i + 1, w)
+          acc = (acc * (k - 1) + a.getDouble(i)) / k
+          out(i) = acc
+          i += 1
+        }
+      case "min" | "max" =>
+        val isMin = op == "min"
+        var i = 0
+        while (i < n) {
+          val from = math.max(0, i - w + 1)
+          var m = a.getDouble(from)
+          var j = from + 1
+          while (j <= i) {
+            val x = a.getDouble(j)
+            if (if (isMin) x < m else x > m) m = x
+            j += 1
+          }
+          out(i) = m
+          i += 1
+        }
+      case _ =>
+        // ring-buffer running Σx, Σx² — one pass like the reference
+        var s = 0.0; var ss = 0.0
+        var i = 0
+        while (i < n) {
+          val x = a.getDouble(i)
+          s += x; ss += x * x
+          if (i >= w) {
+            val old = a.getDouble(i - w)
+            s -= old; ss -= old * old
+          }
+          out(i) = op match {
+            case "sum" => s
+            case "avg" => s / w
+            case "var" => math.max((ss - s * s / w) / w, 0.0)
+            case "dev" => math.sqrt(math.max((ss - s * s / w) / w, 0.0))
+          }
+          i += 1
+        }
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CsSeriesWindowAgg =
+    copy(left = l, right = r)
+}
+object CsSeriesWindowAgg {
+  val ops = Set("sum", "avg", "min", "max", "var", "dev", "atr")
+}
+
+/** Grid (tumbling count-bucket) aggregates — cs_grid_sum/avg/min/max/var/
+  * dev (func.c:2170-2266): one output per bucket of `step` consecutive
+  * elements, partial tail bucket included with its actual count (same as
+  * the frame-level Aggs.gridAgg groupBy(floor(pos/step))).
+  */
+case class CsSeriesGrid(op: String, left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  require((CsSeriesWindowAgg.ops - "atr").contains(op), s"unknown grid op $op")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesCalc.dblArr(left.dataType) && SeriesCalc.integral(right.dataType))
+      SeriesCalc.ok
+    else SeriesCalc.fail(
+      s"cs_grid_$op requires (array<double>, int), got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = s"cs_grid_$op"
+  override def nullSafeEval(arr: Any, sv: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val step = sv.asInstanceOf[Number].intValue()
+    require(step > 0, s"cs_grid_$op step must be positive, got $step")
+    val n = a.numElements()
+    val buckets = (n + step - 1) / step
+    val out = new Array[Any](buckets)
+    var b = 0
+    while (b < buckets) {
+      val from = b * step
+      val till = math.min(from + step, n)
+      var s = 0.0; var ss = 0.0
+      var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+      var j = from
+      while (j < till) {
+        val x = a.getDouble(j)
+        s += x; ss += x * x
+        if (x < mn) mn = x
+        if (x > mx) mx = x
+        j += 1
+      }
+      val k = till - from
+      out(b) = op match {
+        case "sum" => s
+        case "avg" => s / k
+        case "min" => mn
+        case "max" => mx
+        case "var" => math.max((ss - s * s / k) / k, 0.0)
+        case "dev" => math.sqrt(math.max((ss - s * s / k) / k, 0.0))
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CsSeriesGrid =
+    copy(left = l, right = r)
+}
+
+/** Run-group aggregates — cs_group_* / cs_win_group_* (func.c:1898-2092,
+  * 6594-6790): groups are RUNS of equal adjacent values in `groups`
+  * (array<bigint>), exactly like Aggs.attachRunId. `windowed = false`
+  * emits one element per run (cs_group_*); `windowed = true` is
+  * length-preserving — every member carries its run's aggregate
+  * (cs_win_group_*). Ops sum/avg/min/max/var/dev/first/last read `vals`
+  * as array<double>; count ignores vals; any/all (bitwise OR/AND,
+  * func.c:1446-1456) and approxdc (per-run distinct count — exact here,
+  * a zero-error "estimate"; the reference uses HLL, func.c:4975-5074)
+  * read vals as array<bigint>.
+  */
+case class CsSeriesGroupAgg(op: String, windowed: Boolean,
+                            left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  require(CsSeriesGroupAgg.ops(op), s"unknown group op $op")
+  private def longOp = CsSeriesGroupAgg.longOps(op)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val valsOk =
+      if (op == "count") true
+      else if (longOp) SeriesCalc.lngArr(left.dataType)
+      else SeriesCalc.dblArr(left.dataType)
+    if (valsOk && SeriesCalc.lngArr(right.dataType)) SeriesCalc.ok
+    else SeriesCalc.fail(
+      s"$prettyName requires (array<${if (longOp) "bigint" else "double"}> vals, " +
+        s"array<bigint> groups), got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(if (longOp || op == "count") LongType else DoubleType, containsNull = false)
+  override def prettyName: String =
+    if (windowed) s"cs_win_group_$op" else s"cs_group_$op"
+  override def nullSafeEval(vals: Any, grps: Any): Any = {
+    val v = vals.asInstanceOf[ArrayData]
+    val g = grps.asInstanceOf[ArrayData]
+    val n = g.numElements()
+    require(op == "count" || v.numElements() >= n,
+      s"$prettyName: vals shorter than groups (${v.numElements()} < $n)")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      // run [i, j)
+      var j = i + 1
+      while (j < n && g.getLong(j) == g.getLong(i)) j += 1
+      val res: Any = op match {
+        case "count" => (j - i).toLong
+        case "any" | "all" =>
+          var acc = if (op == "all") -1L else 0L
+          var k = i
+          while (k < j) {
+            val x = v.getLong(k)
+            acc = if (op == "all") acc & x else acc | x
+            k += 1
+          }
+          acc
+        case "approxdc" =>
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          var k = i
+          while (k < j) { seen += v.getLong(k); k += 1 }
+          seen.size.toLong
+        case "first" => v.getDouble(i)
+        case "last" => v.getDouble(j - 1)
+        case _ =>
+          var s = 0.0; var ss = 0.0
+          var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+          var k = i
+          while (k < j) {
+            val x = v.getDouble(k)
+            s += x; ss += x * x
+            if (x < mn) mn = x
+            if (x > mx) mx = x
+            k += 1
+          }
+          val c = j - i
+          op match {
+            case "sum" => s
+            case "avg" => s / c
+            case "min" => mn
+            case "max" => mx
+            case "var" => math.max((ss - s * s / c) / c, 0.0)
+            case "dev" => math.sqrt(math.max((ss - s * s / c) / c, 0.0))
+          }
+      }
+      if (windowed) { var k = i; while (k < j) { out += res; k += 1 } }
+      else out += res
+      i = j
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CsSeriesGroupAgg =
+    copy(left = l, right = r)
+}
+object CsSeriesGroupAgg {
+  val ops = Set("count", "sum", "avg", "min", "max", "var", "dev",
+    "first", "last", "any", "all", "approxdc")
+  val longOps = Set("any", "all", "approxdc")
+}
+
+/** cs_sort(arr, asc) companion: the STABLE sort permutation —
+  * cs_sort_pos / cs_sort_pos_asc (func.c:3210-3322). Returns the 0-based
+  * source positions in sorted-value order; ties keep source order.
+  */
+case class CsSeriesSortPos(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesCalc.dblArr(left.dataType) && right.dataType == BooleanType)
+      SeriesCalc.ok
+    else SeriesCalc.fail(
+      s"cs_sort_pos requires (array<double>, bool asc), got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cs_sort_pos"
+  override def nullSafeEval(arr: Any, ascv: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val asc = ascv.asInstanceOf[Boolean]
+    val n = a.numElements()
+    val idx = Array.range(0, n)
+    val sorted = idx.sortBy(a.getDouble) // stable
+    val out: Array[Int] = if (asc) sorted else sorted.reverse
+    // a reversed stable ascending sort breaks tie order; restore by
+    // re-sorting equal-value runs ascending by position
+    if (!asc) {
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n && a.getDouble(out(j)) == a.getDouble(out(i))) j += 1
+        java.util.Arrays.sort(out, i, j)
+        i = j
+      }
+    }
+    new GenericArrayData(out.map(_.toLong: Any))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CsSeriesSortPos =
+    copy(left = l, right = r)
+}
+
+/** cs_dense_rank / cs_dense_rank_asc (func.c:3495-3561 family): 1-based
+  * rank without gaps — ties share a rank, the next distinct value gets
+  * the next integer.
+  */
+case class CsSeriesDenseRank(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesCalc.dblArr(left.dataType) && right.dataType == BooleanType)
+      SeriesCalc.ok
+    else SeriesCalc.fail(
+      s"cs_dense_rank requires (array<double>, bool asc), got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cs_dense_rank"
+  override def nullSafeEval(arr: Any, ascv: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val asc = ascv.asInstanceOf[Boolean]
+    val n = a.numElements()
+    val xs = Array.tabulate(n)(a.getDouble)
+    val distinct = xs.distinct.sorted
+    val ordered = if (asc) distinct else distinct.reverse
+    val rank = ordered.zipWithIndex.map { case (x, i) => x -> (i + 1).toLong }.toMap
+    new GenericArrayData(xs.map(x => rank(x): Any))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CsSeriesDenseRank =
+    copy(left = l, right = r)
+}
+
+/** cs_top_max_pos / cs_top_min_pos (func.c:3088-3208): 0-based positions
+  * of the k largest (smallest) elements, in value order, ties broken by
+  * position — array twin of Aggs.topKPos.
+  */
+case class CsSeriesTopPos(left: Expression, right: Expression, desc: Boolean)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesCalc.dblArr(left.dataType) && SeriesCalc.integral(right.dataType))
+      SeriesCalc.ok
+    else SeriesCalc.fail(
+      s"$prettyName requires (array<double>, int k), got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = if (desc) "cs_top_max_pos" else "cs_top_min_pos"
+  override def nullSafeEval(arr: Any, kv: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val k = kv.asInstanceOf[Number].intValue()
+    val n = a.numElements()
+    val idx = Array.range(0, n)
+    val sorted =
+      if (desc) idx.sortBy(i => (-a.getDouble(i), i))
+      else idx.sortBy(i => (a.getDouble(i), i))
+    new GenericArrayData(sorted.take(k).map(_.toLong: Any))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CsSeriesTopPos =
+    copy(left = l, right = r)
+}
+
+/** cs_histogram(arr, min, max, n) (func.c:4062-4133): counts of values
+  * falling in n equal-width bins over [min, max); out-of-range values are
+  * ignored — same contract as the frame-level Aggs.histogram.
+  */
+case class CsSeriesHistogram(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.size == 4, "cs_histogram(arr, min, max, n_intervals)")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val num = (d: DataType) => d == DoubleType || SeriesCalc.integral(d)
+    if (SeriesCalc.dblArr(children(0).dataType) && num(children(1).dataType) &&
+      num(children(2).dataType) && SeriesCalc.integral(children(3).dataType))
+      SeriesCalc.ok
+    else SeriesCalc.fail("cs_histogram requires (array<double>, double, double, int)")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "cs_histogram"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val a = vs(0).asInstanceOf[ArrayData]
+    val lo = vs(1).asInstanceOf[Number].doubleValue()
+    val hi = vs(2).asInstanceOf[Number].doubleValue()
+    val bins = vs(3).asInstanceOf[Number].intValue()
+    require(bins > 0 && hi > lo, s"cs_histogram: need max > min and n > 0")
+    val width = (hi - lo) / bins
+    val out = new Array[Long](bins)
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = a.getDouble(i)
+      if (x >= lo && x < hi) out(((x - lo) / width).toInt) += 1
+      i += 1
+    }
+    new GenericArrayData(out.map(x => x: Any))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CsSeriesHistogram =
+    copy(children = c)
+}
+
+/** cs_extrema(arr) (func.c:4221-4305): 0-based positions where the trend
+  * reverses — the sign of the last non-zero delta at i differs from the
+  * next non-zero delta after i (alternating local minima/maxima). Agrees
+  * with the frame-level Analytics.extrema; the reference's
+  * `first_extremum` start-condition argument is unnecessary here because
+  * boundary elements (no delta on one side) are never emitted.
+  */
+case class CsSeriesExtrema(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesCalc.dblArr(child.dataType)) SeriesCalc.ok
+    else SeriesCalc.fail(s"cs_extrema requires array<double>, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cs_extrema"
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    // before(i) = sign of last non-zero delta in (0, i]; after(i) = next
+    // non-zero delta sign strictly after i
+    val before = new Array[Double](n)
+    var carry = 0.0
+    var i = 1
+    while (i < n) {
+      val d = math.signum(a.getDouble(i) - a.getDouble(i - 1))
+      if (d != 0.0) carry = d
+      before(i) = carry
+      i += 1
+    }
+    var after = 0.0
+    i = n - 1
+    val rev = scala.collection.mutable.ArrayBuffer.empty[Any]
+    while (i >= 0) {
+      if (before(i) != 0.0 && after != 0.0 && before(i) != after) rev += i.toLong
+      if (before(i) != 0.0) after = before(i)
+      i -= 1
+    }
+    new GenericArrayData(rev.reverse.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): CsSeriesExtrema = copy(child = c)
+}
+
+/** cs_if(cond, then, else) (func.c:2559-2681) — the stateful
+  * branch-consume conditional: the i-th TRUE row reads then[i_true] (the
+  * i-th element of the then-series, not the row's own position); false
+  * rows read else[i_false]. Null when the chosen branch is exhausted —
+  * the array twin of Conditional.csIf.
+  */
+case class CsSeriesIf(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesCalc.boolArr(first.dataType) && SeriesCalc.dblArr(second.dataType) &&
+      SeriesCalc.dblArr(third.dataType)) SeriesCalc.ok
+    else SeriesCalc.fail(
+      s"cs_if requires (array<boolean>, array<double>, array<double>), got " +
+        s"${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "cs_if"
+  override def nullSafeEval(cond: Any, a: Any, b: Any): Any = {
+    val c = cond.asInstanceOf[ArrayData]
+    val ta = a.asInstanceOf[ArrayData]
+    val tb = b.asInstanceOf[ArrayData]
+    val n = c.numElements()
+    val out = new Array[Any](n)
+    var ai = 0; var bi = 0
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (c.isNullAt(i)) null
+        else if (c.getBoolean(i)) {
+          if (ai < ta.numElements()) { val v = ta.getDouble(ai); ai += 1; v } else null
+        } else {
+          if (bi < tb.numElements()) { val v = tb.getDouble(bi); bi += 1; v } else null
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CsSeriesIf =
+    copy(first = f, second = s, third = t)
+}
+
+/** The alignment family over sorted ts arrays — one merge-scan per op
+  * (all inputs ascending by ts, the series order):
+  *
+  *  - `asof` (cs_asof_join, func.c:4591-4662): for each left ts, the
+  *    value at the LATEST right ts ≤ it; null when none precedes.
+  *  - `asof_pos` (cs_asof_join_pos): its 0-based right position.
+  *  - `join` (cs_join, func.c:4677-4801): values at EXACT ts matches
+  *    only (first match per left element); output length = #matches.
+  *  - `join_pos` (cs_join_pos): matched right positions.
+  *  - `stretch` (cs_stretch, func.c:4308-4392): asof with `filler`
+  *    where no right row precedes — length-preserving.
+  *  - `stretch0` (cs_stretch0, func.c:4393-4497): exact-match fill —
+  *    value at equal ts, else `filler`.
+  *
+  * Children: (ts1, ts2[, vals][, filler]) — vals for value-producing
+  * ops, filler for the stretch pair. O(n+m) per row.
+  */
+case class CsSeriesAlign(op: String, children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  import CsSeriesAlign._
+  require(arity.contains(op), s"unknown align op $op")
+  require(arity(op) == children.size,
+    s"cs_$op expects ${arity(op)} arguments, got ${children.size}")
+  private def posOp = op.endsWith("_pos")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val tsOk = SeriesCalc.lngArr(children(0).dataType) &&
+      SeriesCalc.lngArr(children(1).dataType)
+    val valsOk = posOp || SeriesCalc.dblArr(children(2).dataType)
+    val fillOk = !op.startsWith("stretch") ||
+      children(3).dataType == DoubleType || SeriesCalc.integral(children(3).dataType)
+    if (tsOk && valsOk && fillOk) SeriesCalc.ok
+    else SeriesCalc.fail(s"cs_$op: expected (array<bigint> ts1, array<bigint> ts2" +
+      (if (!posOp) ", array<double> vals" else "") +
+      (if (op.startsWith("stretch")) ", double filler" else "") + ")")
+  }
+  override def dataType: DataType =
+    ArrayType(if (posOp) LongType else DoubleType,
+      containsNull = op.startsWith("asof_join"))
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = s"cs_$op"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    val t1 = vs(0).asInstanceOf[ArrayData]
+    val t2 = vs(1).asInstanceOf[ArrayData]
+    val vals = if (posOp) null else vs(2).asInstanceOf[ArrayData]
+    val filler = if (op.startsWith("stretch"))
+      vs(3).asInstanceOf[Number].doubleValue() else 0.0
+    val n = t1.numElements()
+    val m = t2.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var j = 0
+    var i = 0
+    while (i < n) {
+      val t = t1.getLong(i)
+      op match {
+        case "asof_join" | "asof_join_pos" | "stretch" =>
+          while (j < m && t2.getLong(j) <= t) j += 1
+          // j-1 = latest right ≤ t
+          out += (if (j == 0) { if (op == "stretch") filler else null }
+                  else if (op == "asof_join_pos") (j - 1).toLong
+                  else vals.getDouble(j - 1))
+        case "join" | "join_pos" =>
+          while (j < m && t2.getLong(j) < t) j += 1
+          if (j < m && t2.getLong(j) == t)
+            out += (if (posOp) j.toLong else vals.getDouble(j))
+        case "stretch0" =>
+          while (j < m && t2.getLong(j) < t) j += 1
+          out += (if (j < m && t2.getLong(j) == t) vals.getDouble(j) else filler)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CsSeriesAlign =
+    copy(children = c)
+}
+object CsSeriesAlign {
+  val arity: Map[String, Int] = Map(
+    "asof_join" -> 3, "asof_join_pos" -> 2, "join" -> 3, "join_pos" -> 2,
+    "stretch" -> 4, "stretch0" -> 4)
+}
+
+/** Positional slice — cs_limit(arr, from, till) (func.c:3938-4026):
+  * inclusive [from, till], negative indexes count from the end.
+  * cs_head/cs_tail/cs_cut_head/cs_cut_tail are registered as sugar over
+  * this one class (imcs--1.1.sql:855-859 defines them the same way).
+  */
+case class CsSeriesSlice(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if ((SeriesCalc.dblArr(first.dataType) || SeriesCalc.lngArr(first.dataType)) &&
+      SeriesCalc.integral(second.dataType) && SeriesCalc.integral(third.dataType))
+      SeriesCalc.ok
+    else SeriesCalc.fail(
+      s"cs_limit requires (array, int from, int till), got ${first.dataType.sql}")
+  override def dataType: DataType = first.dataType
+  override def prettyName: String = "cs_limit"
+  override def nullSafeEval(arr: Any, fromV: Any, tillV: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val rawFrom = fromV.asInstanceOf[Number].longValue()
+    val rawTill = tillV.asInstanceOf[Number].longValue()
+    val from = math.max(if (rawFrom < 0) n + rawFrom else rawFrom, 0L).toInt
+    val till = math.min(if (rawTill < 0) n + rawTill else rawTill, n - 1L).toInt
+    if (till < from) return new GenericArrayData(Array.empty[Any])
+    val isLong = SeriesCalc.lngArr(first.dataType)
+    new GenericArrayData(Array.tabulate[Any](till - from + 1)(i =>
+      if (isLong) a.getLong(from + i) else a.getDouble(from + i)))
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CsSeriesSlice =
+    copy(first = f, second = s, third = t)
+}
+
+/** cs_thin(arr, origin, step) (func.c:664-767): every step-th element
+  * starting at origin — array twin of Series.thin.
+  */
+case class CsSeriesThin(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesCalc.dblArr(first.dataType) &&
+      SeriesCalc.integral(second.dataType) && SeriesCalc.integral(third.dataType))
+      SeriesCalc.ok
+    else SeriesCalc.fail(s"cs_thin requires (array<double>, int origin, int step)")
+  override def dataType: DataType = first.dataType
+  override def prettyName: String = "cs_thin"
+  override def nullSafeEval(arr: Any, originV: Any, stepV: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val origin = originV.asInstanceOf[Number].intValue()
+    val step = stepV.asInstanceOf[Number].intValue()
+    require(step > 0, s"cs_thin step must be positive, got $step")
+    val n = a.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = origin
+    while (i < n) { out += a.getDouble(i); i += step }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CsSeriesThin =
+    copy(first = f, second = s, third = t)
+}
+
+/** cs_unique(arr) (func.c:3737-3844): collapse runs of equal adjacent
+  * values to their first element — array twin of Series.uniqueAdjacent.
+  */
+case class CsSeriesUnique(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesCalc.dblArr(child.dataType)) SeriesCalc.ok
+    else SeriesCalc.fail(s"cs_unique requires array<double>, got ${child.dataType.sql}")
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "cs_unique"
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      if (i == 0 || x != a.getDouble(i - 1)) out += x
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): CsSeriesUnique = copy(child = c)
+}
+
+/** cs_map(arr, positions) (btree.c:255-347): positional gather — element
+  * of `arr` at each 0-based position; array twin of Series.gather.
+  * Out-of-range positions yield null (the reference errors; arrays are
+  * slices here, so a soft null composes better with cs_filter_pos).
+  */
+case class CsSeriesGather(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesCalc.dblArr(left.dataType) && SeriesCalc.lngArr(right.dataType))
+      SeriesCalc.ok
+    else SeriesCalc.fail(
+      s"cs_map requires (array<double>, array<bigint> positions), got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "cs_map"
+  override def nullSafeEval(arr: Any, posv: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val p = posv.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    new GenericArrayData(Array.tabulate[Any](p.numElements()) { i =>
+      val idx = p.getLong(i)
+      if (idx >= 0 && idx < n) a.getDouble(idx.toInt) else null
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CsSeriesGather =
+    copy(left = l, right = r)
+}
+
+/** cs_filter_pos(cond) (func.c:2834-2930): 0-based positions where the
+  * boolean series holds — array twin of Series.filterPos.
+  * cs_filter_first_pos(cond, n) slices this with CsSeriesSlice.
+  */
+case class CsSeriesFilterPos(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesCalc.boolArr(child.dataType)) SeriesCalc.ok
+    else SeriesCalc.fail(s"cs_filter_pos requires array<boolean>, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cs_filter_pos"
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && a.getBoolean(i)) out += i.toLong
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): CsSeriesFilterPos = copy(child = c)
+}
+
+/** cs_repeat(arr, n) (func.c:769-862): each element repeated n times in
+  * place — array twin of Series.repeat.
+  */
+case class CsSeriesRepeat(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesCalc.dblArr(left.dataType) && SeriesCalc.integral(right.dataType))
+      SeriesCalc.ok
+    else SeriesCalc.fail(s"cs_repeat requires (array<double>, int n)")
+  override def dataType: DataType = left.dataType
+  override def prettyName: String = "cs_repeat"
+  override def nullSafeEval(arr: Any, nv: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val rep = nv.asInstanceOf[Number].intValue()
+    require(rep >= 0, s"cs_repeat count must be >= 0, got $rep")
+    val n = a.numElements()
+    val out = new Array[Any](n * rep)
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      var r = 0
+      while (r < rep) { out(i * rep + r) = x; r += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CsSeriesRepeat =
+    copy(left = l, right = r)
+}
