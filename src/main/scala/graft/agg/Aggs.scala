@@ -236,8 +236,11 @@ object Aggs {
     */
   def histogram(df: DataFrame, value: String, lo: Double, hi: Double, bins: Int): DataFrame = {
     val width = (hi - lo) / bins
+    // clamp: width is rounded, so x just below hi can land in phantom bin
+    // `bins` (the reference's (x-lo)*n/(hi-lo) multiply-before-divide
+    // order, func.c:4062-4133, cannot — the clamp reproduces it)
     df.filter(col(value) >= lo && col(value) < hi)
-      .groupBy(floor((col(value) - lo) / width).cast("long").as("bin"))
+      .groupBy(least(lit(bins - 1L), floor((col(value) - lo) / width).cast("long")).as("bin"))
       .agg(count(lit(1)).as("bin_count"))
   }
 

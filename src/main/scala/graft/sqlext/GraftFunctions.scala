@@ -202,7 +202,83 @@ object GraftFunctions {
     ("cs_norm", (c: Seq[Expression]) => CsSeriesNorm(c(0)),
       "cs_norm(arr) - x/sqrt(sum x^2) (func.c:594-658)"),
     ("cs_quantile", (c: Seq[Expression]) => CsSeriesQuantile(c(0), c(1)),
-      "cs_quantile(arr, q) - q+1 percentile boundaries of the sorted series (func.c:3562-3603)"))
+      "cs_quantile(arr, q) - q+1 percentile boundaries of the sorted series (func.c:3562-3603)")) ++
+    // ---- the series calculus over array series (SeriesCalcFns): the
+    // ---- cumulative/window/grid/run-group/sort/align/slice families of
+    // ---- imcs--1.1.sql:518-1058, one registered name per reference name
+    CsSeriesCum.ops.toSeq.sorted.map(op =>
+      (s"cs_cum_$op", (c: Seq[Expression]) => CsSeriesCum(op, c(0)): Expression,
+        s"cs_cum_$op(arr) - cumulative $op over a series array (func.c:1791-1887)")) ++
+    CsSeriesWindowAgg.ops.toSeq.sorted.map(op =>
+      (s"cs_window_$op", (c: Seq[Expression]) => CsSeriesWindowAgg(op, c(0), c(1)): Expression,
+        s"cs_window_$op(arr, n) - moving-window $op over a series array (func.c:1632-1790)")) ++
+    (CsSeriesWindowAgg.ops - "atr").toSeq.sorted.map(op =>
+      (s"cs_grid_$op", (c: Seq[Expression]) => CsSeriesGrid(op, c(0), c(1)): Expression,
+        s"cs_grid_$op(arr, step) - tumbling step-bucket $op (func.c:2170-2266)")) ++
+    CsSeriesGroupAgg.ops.toSeq.sorted.flatMap { op =>
+      // cs_group_count takes only the group series; every other op takes
+      // (vals, groups) — same signatures as imcs--1.1.sql:700-760
+      def mk(windowed: Boolean)(c: Seq[Expression]): Expression =
+        if (op == "count") CsSeriesGroupAgg(op, windowed, c(0), c(0))
+        else CsSeriesGroupAgg(op, windowed, c(0), c(1))
+      val args = if (op == "count") "(groups)" else "(vals, groups)"
+      Seq(
+        (s"cs_group_$op", mk(windowed = false) _,
+          s"cs_group_$op$args - per-run $op, one element per run of equal adjacent groups (func.c:1898-2092)"),
+        (s"cs_win_group_$op", mk(windowed = true) _,
+          s"cs_win_group_$op$args - length-preserving per-run $op (func.c:6594-6790)"))
+    } ++ Seq(
+    ("cs_sort", (c: Seq[Expression]) => SortArray(c(0), c(1)),
+      "cs_sort(arr, asc) - sorted values (func.c:3210-3322; Spark-native sort_array)"),
+    ("cs_sort_pos", (c: Seq[Expression]) => CsSeriesSortPos(c(0), c(1)),
+      "cs_sort_pos(arr, asc) - stable sort permutation, 0-based source positions (func.c:3210-3322)"),
+    ("cs_dense_rank", (c: Seq[Expression]) => CsSeriesDenseRank(c(0), c(1)),
+      "cs_dense_rank(arr, asc) - 1-based rank without gaps (func.c:3495-3561)"),
+    ("cs_top_max_pos", (c: Seq[Expression]) => CsSeriesTopPos(c(0), c(1), desc = true),
+      "cs_top_max_pos(arr, k) - positions of the k largest values (func.c:3088-3208)"),
+    ("cs_top_min_pos", (c: Seq[Expression]) => CsSeriesTopPos(c(0), c(1), desc = false),
+      "cs_top_min_pos(arr, k) - positions of the k smallest values"),
+    ("cs_histogram", (c: Seq[Expression]) => CsSeriesHistogram(c),
+      "cs_histogram(arr, min, max, n) - counts per equal-width bin over [min, max) (func.c:4062-4133)"),
+    ("cs_extrema", (c: Seq[Expression]) => CsSeriesExtrema(c(0)),
+      "cs_extrema(arr) - positions where the trend reverses (func.c:4221-4305)"),
+    ("cs_if", (c: Seq[Expression]) => CsSeriesIf(c(0), c(1), c(2)),
+      "cs_if(cond, then, else) - stateful branch-consume conditional (func.c:2559-2681)"),
+    ("cs_asof_join", (c: Seq[Expression]) => CsSeriesAlign("asof_join", c),
+      "cs_asof_join(ts1, ts2, vals) - value at the NEAREST right ts (user_guide.html example; func.c:4499-4577)"),
+    ("cs_asof_join_pos", (c: Seq[Expression]) => CsSeriesAlign("asof_join_pos", c),
+      "cs_asof_join_pos(ts1, ts2) - position of the nearest right ts"),
+    ("cs_join", (c: Seq[Expression]) => CsSeriesAlign("join", c),
+      "cs_join(ts1, ts2, vals) - values at exact ts matches, one-to-one (func.c:4677-4801)"),
+    ("cs_join_pos", (c: Seq[Expression]) => CsSeriesAlign("join_pos", c),
+      "cs_join_pos(ts1, ts2) - positions of exact ts matches"),
+    ("cs_stretch", (c: Seq[Expression]) => CsSeriesAlign("stretch", c),
+      "cs_stretch(ts1, ts2, vals, filler) - value at first right ts > left ts, filler when exhausted (func.c:4308-4360)"),
+    ("cs_stretch0", (c: Seq[Expression]) => CsSeriesAlign("stretch0", c),
+      "cs_stretch0(ts1, ts2, vals, filler) - merged ts union: vals where ts2 matches, filler where only ts1 (func.c:4395-4465)"),
+    ("cs_limit", (c: Seq[Expression]) => CsSeriesSlice(c(0), c(1), c(2)),
+      "cs_limit(arr, from, till) - inclusive positional slice, negatives from the end (func.c:3938-4026)"),
+    ("cs_head", (c: Seq[Expression]) => CsSeriesSlice(c(0), Literal(0), Subtract(c(1), Literal(1))),
+      "cs_head(arr, n) = cs_limit(arr, 0, n-1) (imcs--1.1.sql:856)"),
+    ("cs_tail", (c: Seq[Expression]) => CsSeriesSlice(c(0), UnaryMinus(c(1)), Literal(-1)),
+      "cs_tail(arr, n) = cs_limit(arr, -n, -1) (imcs--1.1.sql:857)"),
+    ("cs_cut_head", (c: Seq[Expression]) => CsSeriesSlice(c(0), c(1), Literal(Long.MaxValue)),
+      "cs_cut_head(arr, n) = cs_limit(arr, n, MAX) - skip first n (imcs--1.1.sql:858)"),
+    ("cs_cut_tail", (c: Seq[Expression]) => CsSeriesSlice(c(0), Literal(0), Subtract(UnaryMinus(c(1)), Literal(1))),
+      "cs_cut_tail(arr, n) = cs_limit(arr, 0, -n-1) - skip last n (imcs--1.1.sql:859)"),
+    ("cs_thin", (c: Seq[Expression]) => CsSeriesThin(c(0), c(1), c(2)),
+      "cs_thin(arr, origin, step) - every step-th element from origin (func.c:664-767)"),
+    ("cs_unique", (c: Seq[Expression]) => CsSeriesUnique(c(0)),
+      "cs_unique(arr) - collapse runs of equal adjacent values (func.c:3737-3844)"),
+    ("cs_map", (c: Seq[Expression]) => CsSeriesGather(c(0), c(1)),
+      "cs_map(arr, positions) - positional gather (btree.c:255-347)"),
+    ("cs_filter_pos", (c: Seq[Expression]) => CsSeriesFilterPos(c(0)),
+      "cs_filter_pos(cond) - 0-based positions where cond holds (func.c:2834-2930)"),
+    ("cs_filter_first_pos",
+      (c: Seq[Expression]) => CsSeriesSlice(CsSeriesFilterPos(c(0)), Literal(0), Subtract(c(1), Literal(1))),
+      "cs_filter_first_pos(cond, n) - first n positions where cond holds (func.c:2931-2980)"),
+    ("cs_repeat", (c: Seq[Expression]) => CsSeriesRepeat(c(0), c(1)),
+      "cs_repeat(arr, n) - each element repeated n times (func.c:769-862)"))
 
   /** Register as temp functions on a live session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b, _) =>

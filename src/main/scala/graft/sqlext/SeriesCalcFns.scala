@@ -439,7 +439,11 @@ case class CsSeriesHistogram(children: Seq[Expression])
     val n = a.numElements()
     while (i < n) {
       val x = a.getDouble(i)
-      if (x >= lo && x < hi) out(((x - lo) / width).toInt) += 1
+      // clamp: width is rounded, so x just below hi can compute to bin
+      // `bins` (the reference's multiply-before-divide (x-lo)*n/(hi-lo)
+      // formula, func.c:4062-4133, cannot — clamping reproduces it)
+      if (x >= lo && x < hi)
+        out(math.min(bins - 1, ((x - lo) / width).toInt)) += 1
       i += 1
     }
     new GenericArrayData(out.map(x => x: Any))
@@ -531,18 +535,35 @@ case class CsSeriesIf(first: Expression, second: Expression, third: Expression)
 }
 
 /** The alignment family over sorted ts arrays — one merge-scan per op
-  * (all inputs ascending by ts, the series order):
+  * (all inputs ascending by ts, the series order), matching the
+  * reference's DOCUMENTED semantics (user_guide.html:1229-1253, whose
+  * worked examples are the contract):
   *
-  *  - `asof` (cs_asof_join, func.c:4591-4662): for each left ts, the
-  *    value at the LATEST right ts ≤ it; null when none precedes.
-  *  - `asof_pos` (cs_asof_join_pos): its 0-based right position.
+  *  - `asof` (cs_asof_join, func.c:4499-4577): for each left ts, the
+  *    value at the NEAREST right ts — `cs_asof_join('{4,9}',
+  *    '{1,3,6,10}', '{0.1,0.3,0.6,1.0}') = '{0.3,1.0}'` (left 9 matches
+  *    the FUTURE ts 10). Equidistant ties take the earlier right
+  *    element. Null only when the right series is empty. (The C
+  *    iterator's nearest-pick condition at func.c:4633 is inverted
+  *    relative to this documented example; the documentation wins.)
+  *  - `asof_pos` (cs_asof_join_pos): its 0-based right position —
+  *    `'{4,9}' -> '{1,3,6,10}' = '{1,3}'`.
   *  - `join` (cs_join, func.c:4677-4801): values at EXACT ts matches
-  *    only (first match per left element); output length = #matches.
+  *    only; each right element pairs AT MOST ONCE (the merge advances
+  *    both cursors on a match, so duplicate equal timestamps pair
+  *    one-to-one). Output length = #matches.
   *  - `join_pos` (cs_join_pos): matched right positions.
-  *  - `stretch` (cs_stretch, func.c:4308-4392): asof with `filler`
-  *    where no right row precedes — length-preserving.
-  *  - `stretch0` (cs_stretch0, func.c:4393-4497): exact-match fill —
-  *    value at equal ts, else `filler`.
+  *  - `stretch` (cs_stretch, func.c:4308-4360): for each left ts, the
+  *    value at the FIRST right ts STRICTLY GREATER than it, `filler`
+  *    once the right series is exhausted — `cs_stretch('{1,2,3,4,5}',
+  *    '{2,4}', '{1.1,2.2}', 1.0) = '{1.1,2.2,2.2,1.0,1.0}'` (the
+  *    split-adjustment shape: each date carries the product of FUTURE
+  *    splits). Length-preserving.
+  *  - `stretch0` (cs_stretch0, func.c:4395-4465): the merged UNION of
+  *    both timestamp sets — vals where ts2 has the timestamp, `filler`
+  *    where only ts1 does; equal timestamps advance both cursors —
+  *    `cs_stretch0('{1,2,3,5}', '{2,3,4}', '{1.1,1.2,1.3}', 0.0) =
+  *    '{0.0,1.1,1.2,1.3,0.0}'`. Output length = |union|.
   *
   * Children: (ts1, ts2[, vals][, filler]) — vals for value-producing
   * ops, filler for the stretch pair. O(n+m) per row.
@@ -580,25 +601,45 @@ case class CsSeriesAlign(op: String, children: Seq[Expression])
       vs(3).asInstanceOf[Number].doubleValue() else 0.0
     val n = t1.numElements()
     val m = t2.numElements()
+    require(posOp || vals.numElements() >= m,
+      s"cs_$op: values timeseries is too short (${vals.numElements()} < $m)")
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var j = 0
     var i = 0
-    while (i < n) {
+    if (op == "stretch0") {
+      // merged union of both timestamp sets (equal ts advances both)
+      while (i < n && j < m) {
+        val lt = t1.getLong(i); val rt = t2.getLong(j)
+        if (lt < rt) { out += filler; i += 1 }
+        else { if (lt == rt) i += 1; out += vals.getDouble(j); j += 1 }
+      }
+      while (i < n) { out += filler; i += 1 }
+      while (j < m) { out += vals.getDouble(j); j += 1 }
+    } else while (i < n) {
       val t = t1.getLong(i)
       op match {
-        case "asof_join" | "asof_join_pos" | "stretch" =>
+        case "asof_join" | "asof_join_pos" =>
           while (j < m && t2.getLong(j) <= t) j += 1
-          // j-1 = latest right ≤ t
-          out += (if (j == 0) { if (op == "stretch") filler else null }
-                  else if (op == "asof_join_pos") (j - 1).toLong
-                  else vals.getDouble(j - 1))
+          // j-1 = latest right ≤ t, j = earliest right > t; pick the
+          // nearer, equidistant ties to the earlier (doc example {1,3})
+          val pick =
+            if (m == 0) -1
+            else if (j == 0) 0
+            else if (j == m) j - 1
+            else if (t - t2.getLong(j - 1) <= t2.getLong(j) - t) j - 1
+            else j
+          out += (if (pick < 0) null
+                  else if (op == "asof_join_pos") pick.toLong
+                  else vals.getDouble(pick))
         case "join" | "join_pos" =>
           while (j < m && t2.getLong(j) < t) j += 1
-          if (j < m && t2.getLong(j) == t)
+          if (j < m && t2.getLong(j) == t) {
             out += (if (posOp) j.toLong else vals.getDouble(j))
-        case "stretch0" =>
-          while (j < m && t2.getLong(j) < t) j += 1
-          out += (if (j < m && t2.getLong(j) == t) vals.getDouble(j) else filler)
+            j += 1 // one-to-one: a right element pairs at most once
+          }
+        case "stretch" =>
+          while (j < m && t2.getLong(j) <= t) j += 1
+          out += (if (j < m) vals.getDouble(j) else filler)
       }
       i += 1
     }
@@ -661,6 +702,7 @@ case class CsSeriesThin(first: Expression, second: Expression, third: Expression
     val a = arr.asInstanceOf[ArrayData]
     val origin = originV.asInstanceOf[Number].intValue()
     val step = stepV.asInstanceOf[Number].intValue()
+    require(origin >= 0, s"cs_thin origin must be >= 0, got $origin")
     require(step > 0, s"cs_thin step must be positive, got $step")
     val n = a.numElements()
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]

@@ -1,0 +1,278 @@
+package graft
+
+import graft.sqlext.GraftFunctions
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The series-calculus cs_* SQL surface (SeriesCalcFns): the reference's
+  * own worked examples (user_guide.html) are the contract for the
+  * alignment family; the cumulative/window/grid/group families are
+  * asserted against hand-computed fixtures and their frame-level twins
+  * (Aggs / Moving) on the same data.
+  */
+class SqlCalcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sql1[T](q: String): T = {
+    GraftFunctions.register(spark)
+    spark.sql(s"SELECT $q AS r").head().getAs[T]("r")
+  }
+  private def arr(q: String): Seq[Any] =
+    sql1[scala.collection.Seq[Any]](q).toSeq
+
+  // ---- alignment family: the reference user guide's worked examples ----
+
+  test("cs_asof_join_pos matches the reference doc example (NEAREST ts)") {
+    // user_guide.html: cs_asof_join_pos('{4,9}','{1,3,6,10}') = {1,3} —
+    // left 9 matches the FUTURE ts 10 (nearest, not backward-only)
+    assert(arr("cs_asof_join_pos(array(4L,9L), array(1L,3L,6L,10L))") == Seq(1L, 3L))
+  }
+
+  test("cs_asof_join matches the reference doc example") {
+    // cs_asof_join('{4,9}','{1,3,6,10}','{0.1,0.3,0.6,1.0}') = {0.3,1.0}
+    assert(arr(
+      "cs_asof_join(array(4L,9L), array(1L,3L,6L,10L), array(0.1D,0.3D,0.6D,1.0D))")
+      == Seq(0.3, 1.0))
+  }
+
+  test("cs_asof_join nearest tie goes to the earlier right element") {
+    // t=5 is equidistant from 4 and 6 → earlier (pos 0) wins
+    assert(arr("cs_asof_join_pos(array(5L), array(4L,6L))") == Seq(0L))
+    // empty right → null (no position exists)
+    assert(arr("cs_asof_join_pos(array(5L), CAST(array() AS ARRAY<BIGINT>))") == Seq(null))
+  }
+
+  test("cs_join / cs_join_pos match the reference doc example") {
+    // cs_join_pos('{0,2,3,8,10}','{1,3,6,10}') = {1,3}
+    assert(arr("cs_join_pos(array(0L,2L,3L,8L,10L), array(1L,3L,6L,10L))") == Seq(1L, 3L))
+    assert(arr(
+      "cs_join(array(0L,2L,3L,8L,10L), array(1L,3L,6L,10L), array(0.1D,0.3D,0.6D,1.0D))")
+      == Seq(0.3, 1.0))
+  }
+
+  test("cs_join duplicate equal timestamps pair one-to-one") {
+    // the merge advances BOTH cursors on a match: [5,5] x [5,5] → [0,1]
+    assert(arr("cs_join_pos(array(5L,5L), array(5L,5L))") == Seq(0L, 1L))
+    // left has more duplicates than right → extras unmatched
+    assert(arr("cs_join_pos(array(5L,5L,5L), array(5L,5L))") == Seq(0L, 1L))
+  }
+
+  test("cs_stretch matches the reference doc example (first right ts > left)") {
+    // cs_stretch('{1,2,3,4,5}','{2,4}','{1.1,2.2}',1.0) = {1.1,2.2,2.2,1.0,1.0}
+    assert(arr(
+      "cs_stretch(array(1L,2L,3L,4L,5L), array(2L,4L), array(1.1D,2.2D), 1.0D)")
+      == Seq(1.1, 2.2, 2.2, 1.0, 1.0))
+  }
+
+  test("cs_stretch0 matches the reference doc example (merged ts union)") {
+    // cs_stretch0('{1,2,3,5}','{2,3,4}','{1.1,1.2,1.3}',0.0) = {0,1.1,1.2,1.3,0}
+    assert(arr(
+      "cs_stretch0(array(1L,2L,3L,5L), array(2L,3L,4L), array(1.1D,1.2D,1.3D), 0.0D)")
+      == Seq(0.0, 1.1, 1.2, 1.3, 0.0))
+  }
+
+  test("align value ops reject a too-short values series, like the reference") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cs_join(array(1L), array(1L,2L), array(0.5D)) AS r").head()
+    }
+    assert(e.getMessage.contains("too short") ||
+      e.getCause != null && e.getCause.getMessage.contains("too short"))
+  }
+
+  // ---- cumulative family vs hand computation ----
+
+  test("cs_cum_* agree with hand-computed prefixes") {
+    val xs = "array(2.0D, 4.0D, 1.0D, 3.0D)"
+    assert(arr(s"cs_cum_sum($xs)") == Seq(2.0, 6.0, 7.0, 10.0))
+    assert(arr(s"cs_cum_avg($xs)") == Seq(2.0, 3.0, 7.0 / 3, 2.5))
+    assert(arr(s"cs_cum_min($xs)") == Seq(2.0, 2.0, 1.0, 1.0))
+    assert(arr(s"cs_cum_max($xs)") == Seq(2.0, 4.0, 4.0, 4.0))
+    assert(arr(s"cs_cum_prd($xs)") == Seq(2.0, 8.0, 8.0, 24.0))
+    // naive var: (Σx² − (Σx)²/n)/n — prefix [2,4]: (20 − 18)/2 = 1
+    val v = arr(s"cs_cum_var($xs)").map(_.asInstanceOf[Double])
+    assert(math.abs(v(1) - 1.0) < 1e-12)
+    val d = arr(s"cs_cum_dev($xs)").map(_.asInstanceOf[Double])
+    assert(math.abs(d(1) - 1.0) < 1e-12)
+  }
+
+  test("cs_cum_sum agrees with the frame-level Aggs.cumAgg") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(200)(rnd.nextDouble() * 100)
+    val frame = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("pos", "v")
+    val expect = graft.agg.Aggs.cumAgg(frame, Seq(), "v")
+      .orderBy("pos").select("cum_sum").as[Double].collect().toSeq
+    val got = Seq(Tuple1(xs.toArray)).toDF("xs")
+      .select(expr("cs_cum_sum(xs)").as("c")).as[Seq[Double]].head()
+    expect.zip(got).foreach { case (e, g) => assert(math.abs(e - g) < 1e-6) }
+  }
+
+  // ---- moving-window family ----
+
+  test("cs_window_* warm-up and steady state match the reference ring buffer") {
+    val xs = "array(1.0D, 2.0D, 3.0D, 4.0D)"
+    // sum covers the actual prefix; avg divides by the FIXED interval
+    assert(arr(s"cs_window_sum($xs, 2)") == Seq(1.0, 3.0, 5.0, 7.0))
+    assert(arr(s"cs_window_avg($xs, 2)") == Seq(0.5, 1.5, 2.5, 3.5))
+    // min/max use the true trailing window over the actual prefix
+    assert(arr(s"cs_window_min($xs, 2)") == Seq(1.0, 1.0, 2.0, 3.0))
+    assert(arr(s"cs_window_max($xs, 2)") == Seq(1.0, 2.0, 3.0, 4.0))
+    // atr: growing divisor n' = min(i+1, n): a₀=1; a₁=(1+2)/2=1.5; ...
+    val atr = arr(s"cs_window_atr($xs, 2)").map(_.asInstanceOf[Double])
+    assert(atr(0) == 1.0 && atr(1) == 1.5 && atr(2) == (1.5 + 3) / 2)
+  }
+
+  test("cs_window_sum/avg agree with the frame-level Moving.windowAgg") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val xs = Seq.fill(100)(rnd.nextDouble() * 50)
+    val frame = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("key", "pos", "v")
+    // w_sum covers the actual prefix; w_avg_ref is the fixed-N divisor —
+    // exactly the array form's ring-buffer warm-up semantics
+    val expect = graft.window.Moving.windowAgg(frame, Seq("key"), "v", 7)
+      .orderBy("pos").select("w_sum", "w_avg_ref")
+      .as[(Double, Double)].collect().toSeq
+    val got = Seq(Tuple1(xs.toArray)).toDF("xs")
+      .select(expr("cs_window_sum(xs, 7)").as("s"), expr("cs_window_avg(xs, 7)").as("a"))
+      .as[(Seq[Double], Seq[Double])].head()
+    expect.zipWithIndex.foreach { case ((es, ea), i) =>
+      assert(math.abs(es - got._1(i)) < 1e-6, s"sum at $i")
+      assert(math.abs(ea - got._2(i)) < 1e-6, s"avg at $i")
+    }
+  }
+
+  // ---- grid family ----
+
+  test("cs_grid_* bucket with a partial tail, like Aggs.gridAgg") {
+    val xs = "array(1.0D, 2.0D, 3.0D, 4.0D, 5.0D)"
+    assert(arr(s"cs_grid_sum($xs, 2)") == Seq(3.0, 7.0, 5.0))
+    assert(arr(s"cs_grid_avg($xs, 2)") == Seq(1.5, 3.5, 5.0)) // tail ÷ its count
+    assert(arr(s"cs_grid_min($xs, 2)") == Seq(1.0, 3.0, 5.0))
+    assert(arr(s"cs_grid_max($xs, 2)") == Seq(2.0, 4.0, 5.0))
+  }
+
+  // ---- run-group family ----
+
+  test("cs_group_* aggregate runs of equal adjacent group values") {
+    val vals = "array(1.0D, 2.0D, 3.0D, 4.0D, 5.0D)"
+    val grps = "array(7L, 7L, 8L, 7L, 7L)" // three runs: [0,1], [2], [3,4]
+    assert(arr(s"cs_group_count($grps)") == Seq(2L, 1L, 2L))
+    assert(arr(s"cs_group_sum($vals, $grps)") == Seq(3.0, 3.0, 9.0))
+    assert(arr(s"cs_group_first($vals, $grps)") == Seq(1.0, 3.0, 4.0))
+    assert(arr(s"cs_group_last($vals, $grps)") == Seq(2.0, 3.0, 5.0))
+    // bitwise any/all and exact per-run distinct over long values
+    val lv = "array(6L, 3L, 4L, 5L, 5L)"
+    assert(arr(s"cs_group_any($lv, $grps)") == Seq(7L, 4L, 5L))
+    assert(arr(s"cs_group_all($lv, $grps)") == Seq(2L, 4L, 5L))
+    assert(arr(s"cs_group_approxdc($lv, $grps)") == Seq(2L, 1L, 1L))
+  }
+
+  test("cs_win_group_* are length-preserving over the same runs") {
+    val vals = "array(1.0D, 2.0D, 3.0D, 4.0D, 5.0D)"
+    val grps = "array(7L, 7L, 8L, 7L, 7L)"
+    assert(arr(s"cs_win_group_sum($vals, $grps)") == Seq(3.0, 3.0, 3.0, 9.0, 9.0))
+    assert(arr(s"cs_win_group_count($grps)") == Seq(2L, 2L, 1L, 2L, 2L))
+  }
+
+  // ---- sort / rank / top ----
+
+  test("cs_sort_pos is the stable permutation; desc re-sorts ties by position") {
+    assert(arr("cs_sort_pos(array(3.0D, 1.0D, 3.0D, 2.0D), true)") == Seq(1L, 3L, 0L, 2L))
+    // desc: equal values keep ascending source order (0 before 2)
+    assert(arr("cs_sort_pos(array(3.0D, 1.0D, 3.0D, 2.0D), false)") == Seq(0L, 2L, 3L, 1L))
+  }
+
+  test("cs_dense_rank shares ranks without gaps; cs_sort is sorted values") {
+    assert(arr("cs_dense_rank(array(30.0D, 10.0D, 30.0D, 20.0D), true)")
+      == Seq(3L, 1L, 3L, 2L))
+    assert(arr("cs_sort(array(3.0D, 1.0D, 2.0D), true)") == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("cs_top_max_pos / cs_top_min_pos break ties by position") {
+    assert(arr("cs_top_max_pos(array(5.0D, 9.0D, 5.0D, 9.0D), 3)") == Seq(1L, 3L, 0L))
+    assert(arr("cs_top_min_pos(array(5.0D, 9.0D, 5.0D, 9.0D), 2)") == Seq(0L, 2L))
+  }
+
+  // ---- histogram / extrema / conditional ----
+
+  test("cs_histogram clamps the rounded upper-boundary bin") {
+    // width = 0.1/3 rounds so that nextDown(0.1)/width == 3.0 exactly —
+    // bin 3 of 3 without the clamp → must land in bin 2, not crash
+    val x = java.lang.Math.nextDown(0.1)
+    assert((x / ((0.1 - 0.0) / 3)).toInt == 3) // the trap is real
+    GraftFunctions.register(spark)
+    val r = spark.sql(s"SELECT cs_histogram(array(${x}D, 0.01D), 0.0D, 0.1D, 3) AS r")
+      .head().getAs[scala.collection.Seq[Long]]("r").toSeq
+    assert(r == Seq(1L, 0L, 1L))
+  }
+
+  test("cs_histogram agrees with the frame-level Aggs.histogram") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(31)
+    val xs = Seq.fill(500)(rnd.nextDouble() * 10 - 1) // some out of [0, 8)
+    val frame = xs.map(Tuple1(_)).toDF("v")
+    val expect = graft.agg.Aggs.histogram(frame, "v", 0.0, 8.0, 4)
+      .orderBy("bin").as[(Long, Long)].collect().toMap
+    val got = Seq(Tuple1(xs.toArray)).toDF("xs")
+      .select(expr("cs_histogram(xs, 0.0D, 8.0D, 4)").as("h")).as[Seq[Long]].head()
+    got.zipWithIndex.foreach { case (n, b) =>
+      assert(n == expect.getOrElse(b.toLong, 0L), s"bin $b")
+    }
+  }
+
+  test("cs_extrema finds alternating trend reversals") {
+    // 1 3 2 4 4 1: max at 1, min at 2, and the plateau's LAST element (4)
+    // is the max before the fall — the carried-sign convention
+    assert(arr("cs_extrema(array(1.0D, 3.0D, 2.0D, 4.0D, 4.0D, 1.0D))")
+      == Seq(1L, 2L, 4L))
+  }
+
+  test("cs_if consumes each branch in order (stateful conditional)") {
+    // TRUE rows read then[0], then[1], ...; FALSE rows read else[0], ...
+    assert(arr(
+      "cs_if(array(true, false, true, false), array(10.0D, 20.0D), array(1.0D, 2.0D))")
+      == Seq(10.0, 1.0, 20.0, 2.0))
+    // exhausted branch → null
+    assert(arr("cs_if(array(true, true), array(10.0D), array(1.0D))")
+      == Seq(10.0, null))
+  }
+
+  // ---- slicing family and its reference sugar ----
+
+  test("cs_limit and the head/tail/cut sugar match imcs--1.1.sql:855-859") {
+    val xs = "array(1.0D, 2.0D, 3.0D, 4.0D, 5.0D)"
+    assert(arr(s"cs_limit($xs, 1, 3)") == Seq(2.0, 3.0, 4.0))
+    assert(arr(s"cs_limit($xs, -2, -1)") == Seq(4.0, 5.0))
+    assert(arr(s"cs_head($xs, 2)") == Seq(1.0, 2.0))
+    assert(arr(s"cs_tail($xs, 2)") == Seq(4.0, 5.0))
+    assert(arr(s"cs_cut_head($xs, 2)") == Seq(3.0, 4.0, 5.0))
+    assert(arr(s"cs_cut_tail($xs, 2)") == Seq(1.0, 2.0, 3.0))
+    assert(arr(s"cs_limit($xs, 3, 1)") == Seq()) // till < from → empty
+  }
+
+  test("cs_thin validates origin and step; slices every step-th element") {
+    assert(arr("cs_thin(array(1.0D, 2.0D, 3.0D, 4.0D, 5.0D), 1, 2)") == Seq(2.0, 4.0))
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cs_thin(array(1.0D), -1, 2) AS r").head()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("origin"))
+  }
+
+  test("cs_map gathers positions (out-of-range → null); cs_filter_pos/first_pos") {
+    assert(arr("cs_map(array(10.0D, 20.0D, 30.0D), array(2L, 0L, 9L))")
+      == Seq(30.0, 10.0, null))
+    assert(arr("cs_filter_pos(array(false, true, null, true))") == Seq(1L, 3L))
+    assert(arr("cs_filter_first_pos(array(true, true, true, true), 2)") == Seq(0L, 1L))
+  }
+
+  test("cs_unique collapses runs; cs_repeat repeats in place") {
+    assert(arr("cs_unique(array(1.0D, 1.0D, 2.0D, 1.0D))") == Seq(1.0, 2.0, 1.0))
+    assert(arr("cs_repeat(array(1.0D, 2.0D), 2)") == Seq(1.0, 1.0, 2.0, 2.0))
+  }
+}
