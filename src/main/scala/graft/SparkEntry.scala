@@ -825,6 +825,134 @@ object SparkEntry {
                             transform(ra.tv, e -> CAST(e.value AS DOUBLE))) AS FLOAT) AS asof_value
         FROM l LEFT JOIN ra ON l.user_id = ra.user_id""")
     }),
+    "q_cs_calc" -> ((s, dir) => {
+      // the length-preserving series-calculus names (SeriesCalcFns) over
+      // one packed series: cumulative, moving-window (fixed-N divisor),
+      // dense rank, and run-group windowed sum — exploded back to rows
+      graft.sqlext.GraftFunctions.register(s)
+      evSeries(s, dir).createOrReplaceTempView("ev_series_v")
+      s.sql("""
+        WITH arr AS (
+          SELECT sort_array(collect_list(struct(pos, value))) AS pv
+          FROM ev_series_v WHERE event_type = 'error' AND pos < 64),
+        a AS (SELECT transform(pv, e -> e.value) AS xs,
+                     transform(pv, e -> CAST(FLOOR(e.value / 100) AS BIGINT)) AS gs FROM arr),
+        f AS (SELECT xs,
+                cs_cum_sum(xs) AS csum, cs_cum_max(xs) AS cmax,
+                cs_window_sum(xs, 10) AS wsum, cs_window_avg(xs, 10) AS wavg,
+                cs_dense_rank(xs, true) AS drnk,
+                cs_win_group_sum(xs, gs) AS wgsum
+              FROM a)
+        SELECT posexplode(xs) AS (pos, value),
+               csum[pos] AS cum_sum, cmax[pos] AS cum_max,
+               wsum[pos] AS win_sum, wavg[pos] AS win_avg,
+               drnk[pos] AS dense_rnk, wgsum[pos] AS wg_sum
+        FROM f""")
+        .select(col("pos"), fl(col("value")).as("value"),
+          fl(col("cum_sum")).as("cum_sum"), fl(col("cum_max")).as("cum_max"),
+          fl(col("win_sum")).as("win_sum"), fl(col("win_avg")).as("win_avg"),
+          col("dense_rnk"), fl(col("wg_sum")).as("wg_sum"))
+    }),
+    "q_cs_grid" -> ((s, dir) => {
+      // cs_grid_* (bucket-shaped output, one element per step-bucket)
+      graft.sqlext.GraftFunctions.register(s)
+      evSeries(s, dir).createOrReplaceTempView("ev_series_v")
+      s.sql("""
+        WITH arr AS (
+          SELECT sort_array(collect_list(struct(pos, value))) AS pv
+          FROM ev_series_v WHERE event_type = 'error' AND pos < 64),
+        a AS (SELECT transform(pv, e -> e.value) AS xs FROM arr),
+        f AS (SELECT cs_grid_sum(xs, 10) AS gsm, cs_grid_avg(xs, 10) AS gav,
+                     cs_grid_min(xs, 10) AS gmn, cs_grid_max(xs, 10) AS gmx
+              FROM a)
+        SELECT posexplode(gsm) AS (bucket, grid_sum),
+               gav[bucket] AS grid_avg, gmn[bucket] AS grid_min,
+               gmx[bucket] AS grid_max
+        FROM f""")
+        .select(col("bucket"), fl(col("grid_sum")).as("grid_sum"),
+          fl(col("grid_avg")).as("grid_avg"), fl(col("grid_min")).as("grid_min"),
+          fl(col("grid_max")).as("grid_max"))
+    }),
+    "q_cs_group" -> ((s, dir) => {
+      // cs_group_* (run-shaped output, one element per run of equal
+      // adjacent group values)
+      graft.sqlext.GraftFunctions.register(s)
+      evSeries(s, dir).createOrReplaceTempView("ev_series_v")
+      s.sql("""
+        WITH arr AS (
+          SELECT sort_array(collect_list(struct(pos, value))) AS pv
+          FROM ev_series_v WHERE event_type = 'error' AND pos < 64),
+        a AS (SELECT transform(pv, e -> e.value) AS xs,
+                     transform(pv, e -> CAST(FLOOR(e.value / 100) AS BIGINT)) AS gs FROM arr),
+        f AS (SELECT cs_group_sum(xs, gs) AS rs, cs_group_count(gs) AS rc,
+                     cs_group_first(xs, gs) AS rf, cs_group_last(xs, gs) AS rl
+              FROM a)
+        SELECT posexplode(rs) AS (run, run_sum),
+               rc[run] AS run_count, rf[run] AS run_first, rl[run] AS run_last
+        FROM f""")
+        .select(col("run"), fl(col("run_sum")).as("run_sum"), col("run_count"),
+          fl(col("run_first")).as("run_first"), fl(col("run_last")).as("run_last"))
+    }),
+    "q_cs_asof_nearest" -> ((s, dir) => {
+      // cs_asof_join(_pos) with the reference's documented NEAREST-ts
+      // semantics (user_guide.html example {4,9}->{1,3,6,10} = {1,3}),
+      // plus cs_stretch (first right ts STRICTLY greater). Right side
+      // deduped per (user, ts) so ties cannot flip the pick.
+      graft.sqlext.GraftFunctions.register(s)
+      Tables.read(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql("""
+        WITH r AS (
+          SELECT user_id, ts, max(value) AS v FROM events_v
+          WHERE event_type = 'signup' AND value IS NOT NULL
+          GROUP BY user_id, ts),
+        ra AS (
+          SELECT user_id, sort_array(collect_list(struct(ts, v))) AS tv
+          FROM r GROUP BY user_id),
+        la AS (
+          SELECT user_id, sort_array(collect_list(struct(ts, event_id))) AS lv
+          FROM events_v WHERE event_type = 'purchase' GROUP BY user_id),
+        j AS (SELECT la.user_id, transform(la.lv, e -> e.event_id) AS eids,
+                     cs_asof_join_pos(transform(la.lv, e -> e.ts),
+                                      transform(ra.tv, e -> e.ts)) AS nps,
+                     cs_asof_join(transform(la.lv, e -> e.ts),
+                                  transform(ra.tv, e -> e.ts),
+                                  transform(ra.tv, e -> CAST(e.v AS DOUBLE))) AS nvs,
+                     cs_stretch(transform(la.lv, e -> e.ts),
+                                transform(ra.tv, e -> e.ts),
+                                transform(ra.tv, e -> CAST(e.v AS DOUBLE)), -1.0D) AS sts
+              FROM la JOIN ra ON la.user_id = ra.user_id)
+        SELECT user_id, posexplode(eids) AS (i, event_id),
+               nps[i] AS near_pos, nvs[i] AS near_val, sts[i] AS stretched
+        FROM j""")
+        .select(col("user_id"), col("event_id"), col("near_pos"),
+          fl(col("near_val")).as("near_val"), fl(col("stretched")).as("stretched"))
+    }),
+    "q_cs_stretch0" -> ((s, dir) => {
+      // cs_stretch0: the merged UNION of click and error timestamps per
+      // user — error values where the error series has the ts, -1 filler
+      // where only the click series does (both sides ts-deduped)
+      graft.sqlext.GraftFunctions.register(s)
+      Tables.read(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql("""
+        WITH l AS (
+          SELECT user_id, ts FROM events_v
+          WHERE event_type = 'click' GROUP BY user_id, ts),
+        la AS (SELECT user_id, sort_array(collect_list(ts)) AS lts
+               FROM l GROUP BY user_id),
+        r AS (
+          SELECT user_id, ts, max(value) AS v FROM events_v
+          WHERE event_type = 'error' AND value IS NOT NULL
+          GROUP BY user_id, ts),
+        ra AS (SELECT user_id, sort_array(collect_list(struct(ts, v))) AS tv
+               FROM r GROUP BY user_id),
+        j AS (SELECT la.user_id,
+                     cs_stretch0(la.lts, transform(ra.tv, e -> e.ts),
+                                 transform(ra.tv, e -> CAST(e.v AS DOUBLE)),
+                                 -1.0D) AS st
+              FROM la JOIN ra ON la.user_id = ra.user_id)
+        SELECT user_id, posexplode(st) AS (i, filled) FROM j""")
+        .select(col("user_id"), col("i"), fl(col("filled")).as("filled"))
+    }),
 
     // ---- order analytics (§2.8) ----
     "q_trend" -> ((s, dir) =>
@@ -1678,6 +1806,92 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, ts, max("value") AS value FROM events
                          WHERE event_type = 'signup' GROUP BY user_id, ts) r
          ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    // Row-level window-SQL formulation (no arrays): cumulative frames,
+    // a fixed-divisor moving window, dense_rank, and the gaps-and-islands
+    // run id for the windowed group sum.
+    "q_cs_calc" ->
+      s"""WITH s AS (SELECT pos, "value" FROM ($evPosSql)
+             WHERE event_type = 'error' AND pos < 64),
+         g AS (SELECT pos, "value",
+                 CAST(FLOOR("value" / 100) AS BIGINT) AS grp FROM s),
+         c AS (SELECT *, CASE WHEN lag(grp) OVER (ORDER BY pos)
+                   IS DISTINCT FROM grp THEN 1 ELSE 0 END AS chg FROM g),
+         r AS (SELECT *, sum(chg) OVER
+                 (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS rid FROM c)
+         SELECT pos, CAST("value" AS REAL) AS value,
+           CAST(sum("value") OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS REAL) AS cum_sum,
+           CAST(max("value") OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS REAL) AS cum_max,
+           CAST(sum("value") OVER (ORDER BY pos
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS REAL) AS win_sum,
+           CAST(sum("value") OVER (ORDER BY pos
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) / 10 AS REAL) AS win_avg,
+           dense_rank() OVER (ORDER BY "value") AS dense_rnk,
+           CAST(sum("value") OVER (PARTITION BY rid) AS REAL) AS wg_sum
+         FROM r""",
+    "q_cs_grid" ->
+      s"""WITH s AS (SELECT pos, "value" FROM ($evPosSql)
+             WHERE event_type = 'error' AND pos < 64)
+         SELECT CAST(pos // 10 AS BIGINT) AS bucket,
+           CAST(sum("value") AS REAL) AS grid_sum,
+           CAST(avg("value") AS REAL) AS grid_avg,
+           CAST(min("value") AS REAL) AS grid_min,
+           CAST(max("value") AS REAL) AS grid_max
+         FROM s GROUP BY 1""",
+    "q_cs_group" ->
+      s"""WITH s AS (SELECT pos, "value" FROM ($evPosSql)
+             WHERE event_type = 'error' AND pos < 64),
+         g AS (SELECT pos, "value",
+                 CAST(FLOOR("value" / 100) AS BIGINT) AS grp FROM s),
+         c AS (SELECT *, CASE WHEN lag(grp) OVER (ORDER BY pos)
+                   IS DISTINCT FROM grp THEN 1 ELSE 0 END AS chg FROM g),
+         r AS (SELECT *, sum(chg) OVER
+                 (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS rid FROM c)
+         SELECT CAST(rid - 1 AS BIGINT) AS run, CAST(sum("value") AS REAL) AS run_sum,
+           count(*) AS run_count,
+           CAST(arg_min("value", pos) AS REAL) AS run_first,
+           CAST(arg_max("value", pos) AS REAL) AS run_last
+         FROM r GROUP BY 1""",
+    // Nearest-ts as-of via list functions: the 1-based first position of
+    // the minimum |Δts| (equidistant ties take the earlier element, the
+    // reference's documented pick); stretch = first right ts strictly
+    // greater, -1 once exhausted.
+    "q_cs_asof_nearest" ->
+      """WITH rr AS (SELECT user_id, ts, max("value") AS v FROM events
+             WHERE event_type = 'signup' AND "value" IS NOT NULL
+             GROUP BY user_id, ts),
+         ra AS (SELECT user_id,
+                  list(epoch_ns(ts) ORDER BY ts) AS rts,
+                  list(v ORDER BY ts) AS rvs
+                FROM rr GROUP BY user_id),
+         l AS (SELECT user_id, epoch_ns(ts) AS t, event_id FROM events
+               WHERE event_type = 'purchase')
+         SELECT l.user_id, l.event_id,
+           list_position(list_transform(ra.rts, x -> abs(x - l.t)),
+             list_min(list_transform(ra.rts, x -> abs(x - l.t)))) - 1 AS near_pos,
+           CAST(ra.rvs[list_position(list_transform(ra.rts, x -> abs(x - l.t)),
+             list_min(list_transform(ra.rts, x -> abs(x - l.t))))] AS REAL) AS near_val,
+           CAST(CASE WHEN len(list_filter(ra.rts, x -> x > l.t)) = 0 THEN -1.0
+                ELSE ra.rvs[len(ra.rts) - len(list_filter(ra.rts, x -> x > l.t)) + 1]
+                END AS REAL) AS stretched
+         FROM l JOIN ra ON l.user_id = ra.user_id""",
+    // Union-merge: a full outer join on (user, ts) IS the merged
+    // timestamp union; the merge index is the per-user ts rank.
+    "q_cs_stretch0" ->
+      """WITH l AS (SELECT user_id, ts FROM events
+             WHERE event_type = 'click' GROUP BY user_id, ts),
+         r AS (SELECT user_id, ts, max("value") AS v FROM events
+             WHERE event_type = 'error' AND "value" IS NOT NULL
+             GROUP BY user_id, ts),
+         u AS (SELECT coalesce(l.user_id, r.user_id) AS user_id,
+                      coalesce(l.ts, r.ts) AS ts, r.v,
+                      (r.ts IS NOT NULL) AS has_r
+               FROM l FULL JOIN r ON l.user_id = r.user_id AND l.ts = r.ts)
+         SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS i,
+           CAST(CASE WHEN has_r THEN v ELSE -1.0 END AS REAL) AS filled
+         FROM u
+         WHERE user_id IN (SELECT user_id FROM l)
+           AND user_id IN (SELECT user_id FROM r)""",
     "q_trend" ->
       s"""WITH se AS (SELECT * FROM ($evPosSql) WHERE pos < 100),
          d AS (SELECT event_type, pos,
