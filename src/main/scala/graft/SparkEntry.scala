@@ -432,14 +432,23 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), fl(col("asof_value")).as("asof_value"))
     }),
     "q_stretch0" -> ((s, dir) => {
-      // exact-ts gap fill: error values aligned to click timestamps, -1 filler
+      // cs_stretch0 (func.c:4395-4465): the merged UNION of click and
+      // error timestamps per user — error values where that side has the
+      // ts, -1 filler where only the click side does. Both sides
+      // ts-deduped per user (the series contract).
       val ev = Tables.read(s, dir, "events")
       val l = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id"))
-      val r = ev.filter(col("event_type") === "error")
-        .select(col("user_id"), col("ts"), col("value"))
+        .groupBy(col("user_id"), col("ts")).agg(count(lit(1)).as("__n")).drop("__n")
+      val r = ev.filter(col("event_type") === "error" && col("value").isNotNull)
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+      // emit the merge INDEX, not the raw ns timestamp: DuckDB truncates
+      // TIMESTAMP(NANOS) to µs on read, so ns values can't round-trip the
+      // oracle compare; the per-user ts rank is precision-free
       Align.stretch0(l, r, Seq("user_id"), "ts", "value", lit(-1.0), "filled")
-        .select(col("user_id"), col("event_id"), fl(col("filled")).as("filled"))
+        .withColumn("i", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"))) - 1)
+        .select(col("user_id"), col("i"), fl(col("filled")).as("filled"))
     }),
     "q_union_merge" -> ((s, dir) => {
       val ev = Tables.read(s, dir, "events")
@@ -656,14 +665,29 @@ object SparkEntry {
           fl(col("value")).as("value"), fl(col("next_value")).as("next_value"))
     }),
     "q_stretch" -> ((s, dir) => {
-      // cs_stretch (func.c:4308-4392): as-of align with filler
+      // cs_stretch (func.c:4308-4360): value at the first right ts
+      // STRICTLY greater than the left ts, filler once exhausted (the
+      // reference's forward split-adjustment shape). Non-null right
+      // values only, so both engines see the same candidate rows.
       val ev = Tables.read(s, dir, "events")
       val l = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id"))
-      val r = ev.filter(col("event_type") === "signup")
+      val r = ev.filter(col("event_type") === "signup" && col("value").isNotNull)
         .select(col("user_id"), col("ts"), col("value"))
       Align.stretch(l, r, Seq("user_id"), "ts", "value", lit(-1.0), "stretched")
         .select(col("user_id"), col("event_id"), fl(col("stretched")).as("stretched"))
+    }),
+    "q_asof_nearest" -> ((s, dir) => {
+      // cs_asof_join's documented NEAREST-ts pick at frame level
+      // (user_guide.html example; Align.asofJoin keeps the backward
+      // industry default). Right side deduped per (user, ts).
+      val ev = Tables.read(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val r = ev.filter(col("event_type") === "signup" && col("value").isNotNull)
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+      Align.asofJoinNearest(l, r, Seq("user_id"), "ts", "value", "near_value")
+        .select(col("user_id"), col("event_id"), fl(col("near_value")).as("near_value"))
     }),
     "q_filter_first_pos" -> ((s, dir) =>
       // cs_filter_first_pos (func.c:2931-2980)
@@ -1558,12 +1582,20 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events
                          WHERE event_type = 'signup' AND "value" IS NOT NULL) r
          ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    // Union-merge: full outer join on (user, ts) = the merged ts set;
+    // has_r (not coalesce) distinguishes a right row from the filler so a
+    // NULL-valued right row could never silently become the filler.
     "q_stretch0" ->
-      """SELECT l.user_id, l.event_id,
-         CAST(coalesce(r."value", -1.0) AS REAL) AS filled
-         FROM (SELECT * FROM events WHERE event_type = 'click') l
-         LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
-         ON l.user_id = r.user_id AND l.ts = r.ts""",
+      """WITH l AS (SELECT user_id, ts FROM events
+             WHERE event_type = 'click' GROUP BY user_id, ts),
+         r AS (SELECT user_id, ts, max("value") AS v FROM events
+             WHERE event_type = 'error' AND "value" IS NOT NULL
+             GROUP BY user_id, ts)
+         SELECT coalesce(l.user_id, r.user_id) AS user_id,
+           row_number() OVER (PARTITION BY coalesce(l.user_id, r.user_id)
+                              ORDER BY coalesce(l.ts, r.ts)) - 1 AS i,
+           CAST(CASE WHEN r.ts IS NOT NULL THEN r.v ELSE -1.0 END AS REAL) AS filled
+         FROM l FULL JOIN r ON l.user_id = r.user_id AND l.ts = r.ts""",
     "q_union_merge" ->
       """SELECT event_type, count(*) AS n, CAST(sum("value") AS REAL) AS sv
          FROM (SELECT * FROM events WHERE event_type = 'click'
@@ -1714,12 +1746,31 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
          ON l.user_id = r.user_id AND l.ts <= r.ts""",
+    // Strictly-future ASOF: DuckDB's `<` comparator picks the minimum
+    // right ts greater than the left ts — the reference's stretch cursor.
     "q_stretch" ->
       """SELECT l.user_id, l.event_id,
          CAST(coalesce(r."value", -1.0) AS REAL) AS stretched
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
-         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+         ASOF LEFT JOIN (SELECT * FROM events
+                         WHERE event_type = 'signup' AND "value" IS NOT NULL) r
+         ON l.user_id = r.user_id AND l.ts < r.ts""",
+    "q_asof_nearest" ->
+      """WITH rr AS (SELECT user_id, ts, max("value") AS v FROM events
+             WHERE event_type = 'signup' AND "value" IS NOT NULL
+             GROUP BY user_id, ts),
+         ra AS (SELECT user_id,
+                  list(epoch_ns(ts) ORDER BY ts) AS rts,
+                  list(v ORDER BY ts) AS rvs
+                FROM rr GROUP BY user_id),
+         l AS (SELECT user_id, epoch_ns(ts) AS t, event_id FROM events
+               WHERE event_type = 'purchase')
+         SELECT l.user_id, l.event_id,
+           CAST(CASE WHEN ra.user_id IS NULL THEN NULL
+                ELSE ra.rvs[list_position(list_transform(ra.rts, x -> abs(x - l.t)),
+                       list_min(list_transform(ra.rts, x -> abs(x - l.t))))]
+                END AS REAL) AS near_value
+         FROM l LEFT JOIN ra ON l.user_id = ra.user_id""",
     "q_filter_first_pos" ->
       s"""SELECT pos FROM ($evPosSql)
          WHERE event_type = 'error' AND "value" > 250 ORDER BY pos LIMIT 20""",

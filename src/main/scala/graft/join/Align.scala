@@ -35,10 +35,17 @@ object Align {
     * the EARLIEST right ts >= left ts ("succeeding"), implemented as the
     * mirror image: same union trick scanned in descending ts order. Both
     * are one shuffle on the key + a streaming window pass.
+    *
+    * `inclusive = false` excludes an equal-ts right row from the match
+    * (strictly-preceding / strictly-succeeding) — cs_stretch's boundary
+    * (func.c:4333: the cursor advances while left ts >= right ts, so an
+    * equal right row is consumed, not carried). Implemented purely in the
+    * scan order: at equal ts the left row sorts BEFORE the right row, so
+    * the carry it sees cannot include it.
     */
   def asofJoinDir(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
                   valueCol: String, outCol: String = "asof_value",
-                  direction: Int = -1): DataFrame = {
+                  direction: Int = -1, inclusive: Boolean = true): DataFrame = {
     require(direction == -1 || direction == 1, "direction must be -1 or +1")
     val leftCols = left.columns.toSeq
     val lTagged = left
@@ -50,10 +57,11 @@ object Align {
     val common = (keys :+ ts) ++ Seq("__side", "__rv")
     val unioned = lTagged.select((common ++ leftCols.diff(common)).map(col): _*)
       .unionByName(rTagged, allowMissingColumns = true)
-    // Right rows (__side=0) sort before left rows at equal ts in scan
-    // order, so an exact timestamp match is visible to the left row —
-    // matches the reference's inclusive boundary in both directions.
+    // Inclusive: right rows (__side=0) sort before left rows at equal ts
+    // in scan order, so an exact timestamp match is visible to the left
+    // row. Exclusive: the flip hides it.
     val tsOrd = if (direction == -1) col(ts).asc else col(ts).desc
+    val sideOrd = if (inclusive) col("__side").asc else col("__side").desc
     if (keys.isEmpty) {
       // Keyless (a single global series — the reference's default shape,
       // func.c:4591-4662): a whole-frame ordered window would be ONE task,
@@ -85,7 +93,7 @@ object Align {
       val outs = fields.indices.map(i => s"__cv$i") :+ "__has"
       val scanned = graft.window.Moving.monoidScanRanged(
         unioned, Seq(), outs,
-        order = Seq(tsOrd, col("__side").asc))(
+        order = Seq(tsOrd, sideOrd))(
         identity = zero)(
         inject = r =>
           if (r.isNullAt(rvIdx)) zero
@@ -110,13 +118,49 @@ object Align {
         .select((leftCols :+ outCol).map(col): _*)
     } else {
       val w = Window.partitionBy(keys.map(col): _*)
-        .orderBy(tsOrd, col("__side").asc)
+        .orderBy(tsOrd, sideOrd)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       unioned
         .withColumn(outCol, last(col("__rv"), ignoreNulls = true).over(w))
         .filter(col("__side") === 1)
         .select((leftCols :+ outCol).map(col): _*)
     }
+  }
+
+  /** Nearest-timestamp as-of — the reference's DOCUMENTED cs_asof_join
+    * semantics (user_guide.html: `cs_asof_join_pos('{4,9}','{1,3,6,10}')
+    * = '{1,3}'` — left ts 9 matches the FUTURE ts 10): for each left
+    * row, the right value whose ts is closest in either direction;
+    * equidistant ties take the PRECEDING element. NULL only when the
+    * right side has no rows for the key (or only NULL values).
+    *
+    * [[asofJoin]] keeps the backward-only default deliberately — it is
+    * the kdb/pandas/DuckDB industry semantics and the causally safe one
+    * (no future leakage); this variant is the reference-parity form.
+    * Composition: a backward pass then a strictly-forward pass, each the
+    * one-shuffle union scan, carrying (value, ts) structs so the pick
+    * can compare distances; NULL-valued right rows neither match nor
+    * mask (same contract as [[asofJoinTol]]).
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+                      valueCol: String, outCol: String = "asof_value"): DataFrame = {
+    val packed = right
+      .withColumn("__pkn",
+        when(col(valueCol).isNotNull, struct(col(valueCol).as("v"), col(ts).as("t"))))
+      .select((keys :+ ts :+ "__pkn").map(col): _*)
+    val withPrev = asofJoinDir(left, packed, keys, ts, "__pkn", "__prevn", direction = -1)
+    // strictly-forward: an equal-ts right row is already the backward
+    // match at distance 0; excluding it here keeps the passes disjoint
+    val withBoth = asofJoinDir(withPrev, packed, keys, ts, "__pkn", "__nextn",
+      direction = 1, inclusive = false)
+    withBoth
+      .withColumn(outCol,
+        when(col("__nextn").isNull ||
+          (col("__prevn").isNotNull &&
+            (col(ts) - col("__prevn.t")) <= (col("__nextn.t") - col(ts))),
+          col("__prevn.v"))
+          .otherwise(col("__nextn.v")))
+      .drop("__prevn", "__nextn")
   }
 
   /** Tolerance-bounded as-of join: the classic as-of match, but the
@@ -158,23 +202,38 @@ object Align {
       right.select((keys :+ ts).map(col) :+ col(valueCol).as(outCol): _*),
       keys :+ ts, "inner")
 
-  /** Left temporal align with fill — cs_stretch (func.c:4308-4392):
-    * as-of join, with `filler` where no right row precedes.
+  /** Forward temporal align with fill — cs_stretch (func.c:4308-4360):
+    * for each left row, the right value at the FIRST right ts STRICTLY
+    * GREATER than the left ts; `filler` once the right series is
+    * exhausted — the guide's worked example `cs_stretch('{1,2,3,4,5}',
+    * '{2,4}', '{1.1,2.2}', 1.0) = '{1.1,2.2,2.2,1.0,1.0}'`, and its
+    * split-adjustment use (each date carries the product of FUTURE
+    * splits; a split on the date itself no longer applies). One
+    * strictly-succeeding as-of pass.
     */
   def stretch(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
               valueCol: String, filler: Column, outCol: String = "stretch_value"): DataFrame =
-    asofJoin(left, right, keys, ts, valueCol, outCol)
+    asofJoinDir(left, right, keys, ts, valueCol, outCol, direction = 1, inclusive = false)
       .withColumn(outCol, coalesce(col(outCol), filler))
 
-  /** Exact-match gap fill — cs_stretch0 (func.c:4393-4497): left join on
-    * exact ts; `filler` where right has no row at that ts.
+  /** Union gap fill — cs_stretch0 (func.c:4395-4465): the merged UNION
+    * of both sides' timestamps per key — the right value where the right
+    * side has the timestamp, `filler` where only the left does (the
+    * guide's `cs_stretch0('{1,2,3,5}','{2,3,4}','{1.1,1.2,1.3}',0.0) =
+    * '{0.0,1.1,1.2,1.3,0.0}'`). A full outer join on (keys, ts) IS that
+    * merge in the set-oriented world — one shuffle, no window. Output:
+    * keys, ts, `outCol`; each side should be ts-unique per key (the
+    * series contract the append guard enforces), or the join fans out.
     */
   def stretch0(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
-               valueCol: String, filler: Column, outCol: String = "stretch_value"): DataFrame =
-    left.join(
-      right.select((keys :+ ts).map(col) :+ col(valueCol).as(outCol): _*),
-      keys :+ ts, "left")
-      .withColumn(outCol, coalesce(col(outCol), filler))
+               valueCol: String, filler: Column, outCol: String = "stretch_value"): DataFrame = {
+    val lt = left.select((keys :+ ts).map(col): _*)
+    val rt = right.select((keys :+ ts).map(col) :+ col(valueCol).as("__rv0"): _*)
+      .withColumn("__has_r", lit(1))
+    lt.join(rt, keys :+ ts, "full")
+      .withColumn(outCol, when(col("__has_r") === 1, col("__rv0")).otherwise(filler))
+      .drop("__rv0", "__has_r")
+  }
 
   /** Merge two sorted series preserving order, duplicates kept — cs_union
     * (func.c:3846-3936). In the set-oriented world this is UNION ALL; order

@@ -26,16 +26,55 @@ class AlignSpec extends AnyFunSuite {
     assert(out.getDouble(out.fieldIndex("asof_value")) == 2.5)
   }
 
-  test("stretch fills the before-any-right gap (cs_stretch)") {
+  test("stretch carries the first STRICTLY future right value (cs_stretch)") {
+    // left ts [3,5,10,15] vs right [(4,a),(10,b),(20,c)]: ts=10 must skip
+    // its own equal-ts row and take c (the reference's strict boundary)
     val r = Align.stretch(left, right, Seq("key"), "ts", "v", lit("FILL")).orderBy("ts")
       .select("stretch_value").as[String].collect().toSeq
-    assert(r == Seq("FILL", "a", "b", "b"))
+    assert(r == Seq("a", "b", "c", "c"))
   }
 
-  test("stretch0 fills only exact-ts misses (cs_stretch0)") {
+  test("stretch reproduces the reference user-guide example") {
+    // cs_stretch('{1..5}','{2,4}','{1.1,2.2}',1.0) = {1.1,2.2,2.2,1.0,1.0}
+    val l = Seq.tabulate(5)(i => ("k", i + 1L)).toDF("key", "ts")
+    val r = Seq(("k", 2L, 1.1), ("k", 4L, 2.2)).toDF("key", "ts", "v")
+    val out = Align.stretch(l, r, Seq("key"), "ts", "v", lit(1.0)).orderBy("ts")
+      .select("stretch_value").as[Double].collect().toSeq
+    assert(out == Seq(1.1, 2.2, 2.2, 1.0, 1.0))
+  }
+
+  test("stretch0 emits the merged ts union with filler (cs_stretch0)") {
+    // union {3,5,10,15} ∪ {4,10,20}: right values where right has the ts
     val r = Align.stretch0(left, right, Seq("key"), "ts", "v", lit("Z")).orderBy("ts")
-      .select("stretch_value").as[String].collect().toSeq
-    assert(r == Seq("Z", "Z", "b", "Z"))
+      .select("ts", "stretch_value").as[(Long, String)].collect().toSeq
+    assert(r == Seq((3L, "Z"), (4L, "a"), (5L, "Z"), (10L, "b"), (15L, "Z"), (20L, "c")))
+  }
+
+  test("asofJoinNearest matches the reference user-guide example") {
+    // cs_asof_join('{4,9}','{1,3,6,10}','{0.1,0.3,0.6,1.0}') = {0.3,1.0}:
+    // left 9 matches the FUTURE ts 10; ties take the preceding element
+    val l = Seq(("k", 4L), ("k", 9L)).toDF("key", "ts")
+    val r = Seq(("k", 1L, 0.1), ("k", 3L, 0.3), ("k", 6L, 0.6), ("k", 10L, 1.0))
+      .toDF("key", "ts", "v")
+    val out = Align.asofJoinNearest(l, r, Seq("key"), "ts", "v").orderBy("ts")
+      .select("asof_value").as[Double].collect().toSeq
+    assert(out == Seq(0.3, 1.0))
+    // equidistant: ts=5 between 4 and 6 → earlier (0.3-at-3? no: 4 and 6
+    // are the neighbours) → the PRECEDING value wins
+    val tie = Seq(("k", 5L)).toDF("key", "ts")
+    val tr = Seq(("k", 4L, 40.0), ("k", 6L, 60.0)).toDF("key", "ts", "v")
+    assert(Align.asofJoinNearest(tie, tr, Seq("key"), "ts", "v")
+      .select("asof_value").as[Double].head() == 40.0)
+  }
+
+  test("asofJoinNearest keyless equals the keyed path on a single-key frame") {
+    val l = Seq.tabulate(100)(i => ("k", i.toLong * 5 + 2)).toDF("key", "ts")
+    val r = Seq.tabulate(40)(i => ("k", i.toLong * 11, i * 2.5)).toDF("key", "ts", "v")
+    val keyed = Align.asofJoinNearest(l, r, Seq("key"), "ts", "v")
+      .select("ts", "asof_value")
+    val keyless = Align.asofJoinNearest(l.drop("key"), r.drop("key"), Seq(), "ts", "v")
+      .select("ts", "asof_value")
+    assert(keyed.exceptAll(keyless).isEmpty && keyless.exceptAll(keyed).isEmpty)
   }
 
   test("equiJoin keeps exact ts matches only (cs_join)") {
