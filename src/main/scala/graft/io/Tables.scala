@@ -59,6 +59,18 @@ object Tables {
     * branch is a no-op.
     */
   private val bytesPerPart = 5L << 19 // 2.5 MB
+  /** Below 8 partitions a finer 256 KB rule applies: a mid-size table
+    * (events at sf0.1 is 2.2 MB ≈ 500k rows) would otherwise cache as ONE
+    * partition and serialize every scan over it. A/B bench totals at
+    * sf0.1 are parity within noise (3.15 vs 3.22 s), so this is a
+    * structural call, not a measured local win: a serial scan is the
+    * wrong default shape, and any larger slice makes the extra partitions
+    * pay. Above 8 partitions the 2.5 MB rule resumes (per-task overhead,
+    * not parallelism, is the binding constraint there — round-4
+    * measurement).
+    */
+  private val fineBytesPerPart = 1L << 18 // 256 KB
+  private val fineCap = 8L
 
   /** Partition count proportional to on-disk bytes, clamped to [1, cores]. */
   def sizedParts(spark: SparkSession, path: String): Int = {
@@ -66,7 +78,9 @@ object Tables {
     val hp = new org.apache.hadoop.fs.Path(path)
     val bytes = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getContentSummary(hp).getLength
-    math.max(1L, math.min(dp.toLong, (bytes + bytesPerPart - 1) / bytesPerPart)).toInt
+    val coarse = (bytes + bytesPerPart - 1) / bytesPerPart
+    val fine = math.min(fineCap, (bytes + fineBytesPerPart - 1) / fineBytesPerPart)
+    math.max(1L, math.min(dp.toLong, math.max(coarse, fine))).toInt
   }
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
