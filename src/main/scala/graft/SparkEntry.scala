@@ -849,6 +849,36 @@ object SparkEntry {
                             transform(ra.tv, e -> CAST(e.value AS DOUBLE))) AS FLOAT) AS asof_value
         FROM l LEFT JOIN ra ON l.user_id = ra.user_id""")
     }),
+    "q_cs_bitops" -> ((s, dir) => {
+      // the round-5 scalar names: bitwise and/or/xor/not, cast-by-name,
+      // and the cs_prd product aggregate (one row: products stay bounded
+      // on the sub-cent discount factors of a small key range)
+      graft.sqlext.GraftFunctions.register(s)
+      li(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT cs_and(l_partkey, l_suppkey) AS band,
+               cs_or(l_partkey, l_suppkey) AS bor,
+               cs_xor(l_partkey, l_suppkey) AS bxor,
+               cs_bit_not(l_partkey) AS bnot,
+               cs_cast(l_quantity, 'bigint') AS qty_int
+        FROM lineitem_v WHERE l_orderkey < 200""")
+    }),
+    "q_cs_prd" -> ((s, dir) => {
+      // cs_prd + the grouped bitwise reductions (cs_hash_any/cs_hash_all)
+      // exploded through cs_project_agg, like the reference's cs_* form
+      graft.sqlext.GraftFunctions.register(s)
+      li(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        WITH p AS (SELECT CAST(cs_prd(1.0D + l_discount) AS FLOAT) AS prd
+                   FROM lineitem_v WHERE l_orderkey < 100),
+        ha AS (SELECT cs_project_agg(cs_hash_any(l_partkey, l_returnflag))
+               FROM lineitem_v),
+        hl AS (SELECT cs_project_agg(cs_hash_all(l_partkey, l_returnflag))
+               FROM lineitem_v)
+        SELECT ha.group_by AS l_returnflag, ha.agg_val AS pk_any,
+               hl.agg_val AS pk_all, p.prd
+        FROM ha JOIN hl ON ha.group_by = hl.group_by CROSS JOIN p""")
+    }),
     "q_cs_calc" -> ((s, dir) => {
       // the length-preserving series-calculus names (SeriesCalcFns) over
       // one packed series: cumulative, moving-window (fixed-N divisor),
@@ -1857,6 +1887,22 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, ts, max("value") AS value FROM events
                          WHERE event_type = 'signup' GROUP BY user_id, ts) r
          ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    // DuckDB bitwise operators; floor-then-cast mirrors Spark's
+    // truncating double->bigint cast for the positive quantities
+    "q_cs_bitops" ->
+      """SELECT l_partkey & l_suppkey AS band,
+         l_partkey | l_suppkey AS bor,
+         xor(l_partkey, l_suppkey) AS bxor,
+         ~l_partkey AS bnot,
+         CAST(floor(l_quantity) AS BIGINT) AS qty_int
+         FROM lineitem WHERE l_orderkey < 200""",
+    "q_cs_prd" ->
+      """WITH p AS (SELECT CAST(product(1.0 + l_discount) AS REAL) AS prd
+                    FROM lineitem WHERE l_orderkey < 100),
+         h AS (SELECT l_returnflag, bit_or(l_partkey) AS pk_any,
+                      bit_and(l_partkey) AS pk_all
+               FROM lineitem GROUP BY 1)
+         SELECT h.l_returnflag, h.pk_any, h.pk_all, p.prd FROM h CROSS JOIN p""",
     // Row-level window-SQL formulation (no arrays): cumulative frames,
     // a fixed-divisor moving window, dense_rank, and the gaps-and-islands
     // run id for the windowed group sum.

@@ -50,10 +50,14 @@ case class CsHashAgg(
     else if (!value.dataType.isInstanceOf[NumericType])
       TypeCheckResult.TypeCheckFailure(
         s"cs_hash_$op value must be numeric, got ${value.dataType.sql}")
+    else if (CsHashAgg.bitOps(op) && !CsHashAgg.integral(value.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"cs_hash_$op is a bitwise reduction over integral values, got ${value.dataType.sql}")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType =
-    MapType(StringType, if (op == "count") LongType else DoubleType,
+    MapType(StringType,
+      if (op == "count" || CsHashAgg.bitOps(op)) LongType else DoubleType,
       valueContainsNull = false)
 
   override def nullable: Boolean = true
@@ -88,14 +92,22 @@ case class CsHashAgg(
         checkSize(buf.size)
         val k = g.toString // UTF8String → immutable JVM string (buffer-safe copy)
         val x = v.asInstanceOf[Number].doubleValue()
+        // bitwise any/all ride the Long slot at full 64-bit width
+        // (func.c:5385-5447); count is unused for them
         val (s, m, n) = buf.getOrElse(k,
-          (0.0, if (op == "min") Double.PositiveInfinity else Double.NegativeInfinity, 0L))
+          (0.0, if (op == "min") Double.PositiveInfinity else Double.NegativeInfinity,
+            if (op == "all") -1L else 0L))
         val m2 = op match {
           case "min" => math.min(m, x)
           case "max" => math.max(m, x)
           case _ => m
         }
-        buf.update(k, (s + x, m2, n + 1))
+        val n2 = op match {
+          case "any" => n | v.asInstanceOf[Number].longValue()
+          case "all" => n & v.asInstanceOf[Number].longValue()
+          case _ => n + 1
+        }
+        buf.update(k, (s + x, m2, n2))
       }
     }
     buf
@@ -113,7 +125,12 @@ case class CsHashAgg(
             case "max" => math.max(m1, m2)
             case _ => m1
           }
-          a.update(k, (s1 + s2, m, n1 + n2))
+          val n = op match {
+            case "any" => n1 | n2
+            case "all" => n1 & n2
+            case _ => n1 + n2
+          }
+          a.update(k, (s1 + s2, m, n))
         case None => a.update(k, (s2, m2, n2))
       }
     }
@@ -130,7 +147,7 @@ case class CsHashAgg(
         case "sum" => s
         case "avg" => s / n
         case "min" | "max" => m
-        case "count" => n
+        case "count" | "any" | "all" => n
       }): Any
     })
     new ArrayBasedMapData(keys, vals)
@@ -166,4 +183,15 @@ case class CsHashAgg(
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CsHashAgg =
     copy(value = newChildren(0), group = newChildren(1))
+}
+
+object CsHashAgg {
+  /** cs_hash_any / cs_hash_all: per-group bitwise OR / AND reductions
+    * (func.c:5385-5447) — the grouped twins of cs_any / cs_all.
+    */
+  val bitOps: Set[String] = Set("any", "all")
+  private[sqlext] def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
 }

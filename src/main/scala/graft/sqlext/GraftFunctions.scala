@@ -80,6 +80,12 @@ object GraftFunctions {
     ("cs_hash_count", (c: Seq[Expression]) =>
       CsHashAgg("count", Literal(1L), c(0)).toAggregateExpression(),
       "cs_hash_count(grp) - map<grp, count> of non-NULL grp"),
+    ("cs_hash_any", (c: Seq[Expression]) =>
+      CsHashAgg("any", c(0), c(1)).toAggregateExpression(),
+      "cs_hash_any(x, grp) - map<grp, bitwise OR of x> (func.c:5385-5447)"),
+    ("cs_hash_all", (c: Seq[Expression]) =>
+      CsHashAgg("all", c(0), c(1)).toAggregateExpression(),
+      "cs_hash_all(x, grp) - map<grp, bitwise AND of x>"),
     ("cs_project_agg", (c: Seq[Expression]) => {
       // explode the cs_hash_* map to (group_by, agg_val) rows — the
       // reference's cs_project_agg record-set (imcs--1.1.sql:1020-1028)
@@ -161,6 +167,23 @@ object GraftFunctions {
     ("cs_lt", (c: Seq[Expression]) => LessThan(c(0), c(1)), "cs_lt(x, y)"),
     ("cs_le", (c: Seq[Expression]) => LessThanOrEqual(c(0), c(1)), "cs_le(x, y)"),
     ("cs_not", (c: Seq[Expression]) => Not(c(0)), "cs_not(x)"),
+    ("cs_and", (c: Seq[Expression]) => BitwiseAnd(c(0), c(1)),
+      "cs_and(x, y) - bitwise AND (the reference's & over int series)"),
+    ("cs_or", (c: Seq[Expression]) => BitwiseOr(c(0), c(1)),
+      "cs_or(x, y) - bitwise OR"),
+    ("cs_xor", (c: Seq[Expression]) => BitwiseXor(c(0), c(1)),
+      "cs_xor(x, y) - bitwise XOR"),
+    ("cs_bit_not", (c: Seq[Expression]) => BitwiseNot(c(0)),
+      "cs_bit_not(x) - bitwise NOT (the ~ operator)"),
+    ("cs_cast", (c: Seq[Expression]) => {
+      val tpe = c(1) match {
+        case Literal(s, _: StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"cs_cast target type must be a string literal, got $other")
+      }
+      Cast(c(0), org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(tpe))
+    },
+      "cs_cast(x, 'type') - the reference's cs_cast (func.c:2684-2832) via a SQL type name"),
     ("cs_like", (c: Seq[Expression]) => Like(c(0), c(1), '\\'), "cs_like(s, pattern)"),
     ("cs_ilike", (c: Seq[Expression]) => new ILike(c(0), c(1)), "cs_ilike(s, pattern)"),
     ("cs_year", (c: Seq[Expression]) => Year(c(0)), "cs_year(ts)"),
@@ -230,10 +253,18 @@ object GraftFunctions {
     } ++ Seq(
     ("cs_sort", (c: Seq[Expression]) => SortArray(c(0), c(1)),
       "cs_sort(arr, asc) - sorted values (func.c:3210-3322; Spark-native sort_array)"),
+    ("cs_sort_asc", (c: Seq[Expression]) => SortArray(c(0), Literal(true)),
+      "cs_sort_asc(arr) - the reference's 'asc' enum sugar (imcs--1.1.sql:10)"),
     ("cs_sort_pos", (c: Seq[Expression]) => CsSeriesSortPos(c(0), c(1)),
       "cs_sort_pos(arr, asc) - stable sort permutation, 0-based source positions (func.c:3210-3322)"),
+    ("cs_sort_pos_asc", (c: Seq[Expression]) => CsSeriesSortPos(c(0), Literal(true)),
+      "cs_sort_pos_asc(arr) - ascending stable sort permutation"),
+    ("cs_rank_asc", (c: Seq[Expression]) => CsSeriesRank(c(0)),
+      "cs_rank_asc(arr) - ascending 1-based rank with gaps (the reference's default order)"),
     ("cs_dense_rank", (c: Seq[Expression]) => CsSeriesDenseRank(c(0), c(1)),
       "cs_dense_rank(arr, asc) - 1-based rank without gaps (func.c:3495-3561)"),
+    ("cs_dense_rank_asc", (c: Seq[Expression]) => CsSeriesDenseRank(c(0), Literal(true)),
+      "cs_dense_rank_asc(arr) - ascending dense rank"),
     ("cs_top_max_pos", (c: Seq[Expression]) => CsSeriesTopPos(c(0), c(1), desc = true),
       "cs_top_max_pos(arr, k) - positions of the k largest values (func.c:3088-3208)"),
     ("cs_top_min_pos", (c: Seq[Expression]) => CsSeriesTopPos(c(0), c(1), desc = false),
@@ -278,7 +309,20 @@ object GraftFunctions {
       (c: Seq[Expression]) => CsSeriesSlice(CsSeriesFilterPos(c(0)), Literal(0), Subtract(c(1), Literal(1))),
       "cs_filter_first_pos(cond, n) - first n positions where cond holds (func.c:2931-2980)"),
     ("cs_repeat", (c: Seq[Expression]) => CsSeriesRepeat(c(0), c(1)),
-      "cs_repeat(arr, n) - each element repeated n times (func.c:769-862)"))
+      "cs_repeat(arr, n) - each element repeated n times (func.c:769-862)"),
+    ("cs_reverse", (c: Seq[Expression]) => Reverse(c(0)),
+      "cs_reverse(arr) - reversed series (func.c:864-958; Spark-native reverse)"),
+    ("cs_concat", (c: Seq[Expression]) => Concat(c),
+      "cs_concat(a, b, ...) - series concatenation (func.c:960-1027; Spark-native concat)"),
+    ("cs_cat", (c: Seq[Expression]) => Concat(c),
+      "cs_cat(a, b) - element-wise || concatenation for compound keys (imcs.c:5601-5767)"),
+    ("cs_union", (c: Seq[Expression]) => SortArray(Concat(Seq(c(0), c(1))), Literal(true)),
+      "cs_union(a, b) - merge two SORTED series, duplicates kept (func.c:3846-3936; " +
+        "sort-of-concat = the merge for sorted inputs)"),
+    ("cs_window_ema", (c: Seq[Expression]) => CsSeriesEma(c(0), c(1)),
+      "cs_window_ema(arr, n) - the reference's registered EMA name (imcs--1.1.sql; func.c:1764-1777)"),
+    ("cs_prd", (c: Seq[Expression]) => CsProdAgg(c(0)).toAggregateExpression(),
+      "cs_prd(x) - product aggregate, NULL on empty input (func.c:1407-1444)"))
 
   /** Register as temp functions on a live session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b, _) =>

@@ -275,4 +275,63 @@ class SqlCalcSpec extends AnyFunSuite {
     assert(arr("cs_unique(array(1.0D, 1.0D, 2.0D, 1.0D))") == Seq(1.0, 2.0, 1.0))
     assert(arr("cs_repeat(array(1.0D, 2.0D), 2)") == Seq(1.0, 1.0, 2.0, 2.0))
   }
+
+  // ---- round-5 surface: bitwise, cast, reverse/concat/union, prd ----
+
+  test("cs_and/or/xor/bit_not are the bitwise natives") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cs_and(12L, 10L) AS a, cs_or(12L, 10L) AS o,
+         cs_xor(12L, 10L) AS x, cs_bit_not(0L) AS n""").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((8L, 14L, 6L, -1L)))
+  }
+
+  test("cs_cast parses a SQL type-name literal") {
+    assert(sql1[Long]("cs_cast(3.7D, 'bigint')") == 3L)
+    assert(sql1[String]("cs_cast(42, 'string')") == "42")
+  }
+
+  test("cs_reverse / cs_concat / cs_union (sorted merge, duplicates kept)") {
+    assert(arr("cs_reverse(array(1.0D, 2.0D, 3.0D))") == Seq(3.0, 2.0, 1.0))
+    assert(arr("cs_concat(array(1.0D), array(2.0D, 3.0D))") == Seq(1.0, 2.0, 3.0))
+    assert(arr("cs_union(array(1.0D, 3.0D, 3.0D), array(2.0D, 3.0D))")
+      == Seq(1.0, 2.0, 3.0, 3.0, 3.0))
+  }
+
+  test("cs_rank_asc / cs_dense_rank_asc / cs_sort_pos_asc match the guide examples") {
+    // cs_rank('{1.1,0.1,2.2,0.2,0.1}') = {4,1,5,3,1} (user_guide.html:1193)
+    assert(arr("cs_rank_asc(array(1.1D, 0.1D, 2.2D, 0.2D, 0.1D))")
+      == Seq(4L, 1L, 5L, 3L, 1L))
+    // dense: {3,1,4,2,1} (user_guide.html:1198)
+    assert(arr("cs_dense_rank_asc(array(1.1D, 0.1D, 2.2D, 0.2D, 0.1D))")
+      == Seq(3L, 1L, 4L, 2L, 1L))
+    assert(arr("cs_sort_asc(array(1.1D, 0.1D, 2.2D, 0.2D))")
+      == Seq(0.1, 0.2, 1.1, 2.2))
+    assert(arr("cs_sort_pos_asc(array(1.1D, 0.1D, 2.2D, 0.2D))")
+      == Seq(1L, 3L, 0L, 2L))
+  }
+
+  test("cs_prd multiplies non-nulls; NULL on empty input") {
+    GraftFunctions.register(spark)
+    Seq(Some(2.0), None, Some(3.0), Some(4.0)).toDF("x")
+      .createOrReplaceTempView("t_prd")
+    assert(spark.sql("SELECT cs_prd(x) AS p FROM t_prd").as[Double].head() == 24.0)
+    assert(spark.sql("SELECT cs_prd(x) AS p FROM t_prd WHERE x IS NULL")
+      .head().isNullAt(0))
+  }
+
+  test("cs_hash_any/cs_hash_all equal the native grouped bit reductions") {
+    GraftFunctions.register(spark)
+    Seq(("a", 6L), ("a", 3L), ("b", 5L), ("b", 5L), ("a", 8L))
+      .toDF("g", "x").createOrReplaceTempView("t_hb")
+    val m = spark.sql(
+      "SELECT cs_hash_any(x, g) AS ha, cs_hash_all(x, g) AS hl FROM t_hb").head()
+    assert(m.getMap[String, Long](0) == Map("a" -> 15L, "b" -> 5L))
+    assert(m.getMap[String, Long](1) == Map("a" -> 0L, "b" -> 5L))
+    // partial/final shuffle-merge path: same result over many partitions
+    val big = spark.sql(
+      "SELECT cs_hash_any(x, g) AS ha FROM (SELECT /*+ REPARTITION(5) */ * FROM t_hb)")
+    assert(big.head().getMap[String, Long](0) == Map("a" -> 15L, "b" -> 5L))
+  }
 }
