@@ -674,8 +674,11 @@ case class CsSeriesSlice(first: Expression, second: Expression, third: Expressio
     val n = a.numElements()
     val rawFrom = fromV.asInstanceOf[Number].longValue()
     val rawTill = tillV.asInstanceOf[Number].longValue()
-    val from = math.max(if (rawFrom < 0) n + rawFrom else rawFrom, 0L).toInt
-    val till = math.min(if (rawTill < 0) n + rawTill else rawTill, n - 1L).toInt
+    // clamp BOTH ends into [0, n] before narrowing: a from past the end
+    // (cs_cut_head(arr, huge) sugar expands to one) must give the empty
+    // slice, not wrap negative through toInt
+    val from = math.min(math.max(if (rawFrom < 0) n + rawFrom else rawFrom, 0L), n.toLong).toInt
+    val till = math.max(math.min(if (rawTill < 0) n + rawTill else rawTill, n - 1L), -1L).toInt
     if (till < from) return new GenericArrayData(Array.empty[Any])
     val isLong = SeriesCalc.lngArr(first.dataType)
     new GenericArrayData(Array.tabulate[Any](till - from + 1)(i =>

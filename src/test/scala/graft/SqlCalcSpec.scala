@@ -252,6 +252,10 @@ class SqlCalcSpec extends AnyFunSuite {
     assert(arr(s"cs_cut_head($xs, 2)") == Seq(3.0, 4.0, 5.0))
     assert(arr(s"cs_cut_tail($xs, 2)") == Seq(1.0, 2.0, 3.0))
     assert(arr(s"cs_limit($xs, 3, 1)") == Seq()) // till < from → empty
+    // out-of-range ends must clamp to the empty slice, not wrap toInt
+    assert(arr(s"cs_limit($xs, 5000000000, 10)") == Seq())
+    assert(arr(s"cs_limit($xs, 0, -5000000000)") == Seq())
+    assert(arr(s"cs_cut_head($xs, 99)") == Seq())
   }
 
   test("cs_thin validates origin and step; slices every step-th element") {
