@@ -91,6 +91,16 @@ object ScaleSmoke {
       graft.join.Align.asofJoin(l, r, Seq(), "ts", "value")
         .write.format("noop").mode("overwrite").save()
     }
+    // round-5 alignment parity shapes at scale: nearest = two carry
+    // scans; stretch0 = one full outer join — both partition-parallel
+    time("keyless nearest as-of (two carry scans)") {
+      graft.join.Align.asofJoinNearest(l, r, Seq(), "ts", "value")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("stretch0 union merge (full outer)") {
+      graft.join.Align.stretch0(l, r, Seq(), "ts", "value", lit(-1.0))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
