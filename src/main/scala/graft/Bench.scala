@@ -79,8 +79,11 @@ object Bench {
     // warm runs) exposes the per-query noise floor, and a query that
     // throws is recorded in "failed" — a dead query can never masquerade
     // as a fast one.
+    // 7 reps (6 warm): round-4's min-of-4 still showed ±0.3 s phantom
+    // swings on this box (spread field); two more warm runs tighten the
+    // min at ~25 s extra wall per bench run
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
-      .flatMap(_.toIntOption).getOrElse(5).max(2)
+      .flatMap(_.toIntOption).getOrElse(7).max(2)
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       def once(): (Double, Boolean) = {

@@ -280,6 +280,44 @@ class SqlCalcSpec extends AnyFunSuite {
     assert(arr("cs_repeat(array(1.0D, 2.0D), 2)") == Seq(1.0, 1.0, 2.0, 2.0))
   }
 
+  // ---- array vs frame cross-validation on random series ----
+
+  test("array align ops agree with the frame-level Align on random series") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(101)
+    // sorted distinct ts on both sides; values keyed to right ts
+    val lts = rnd.shuffle((0L to 400L).toList).take(120).sorted
+    val rts = rnd.shuffle((0L to 400L).toList).take(80).sorted
+    val rvs = rts.map(t => t * 1.5 + 1)
+    val lFrame = lts.map(("k", _)).toDF("key", "ts")
+    val rFrame = rts.zip(rvs).map { case (t, v) => ("k", t, v) }.toDF("key", "ts", "v")
+
+    def arrayOp(fn: String, extra: String = ""): Seq[Any] = {
+      val ltsSql = lts.mkString("array(", "L,", "L)")
+      val rtsSql = rts.mkString("array(", "L,", "L)")
+      val rvsSql = rvs.mkString("array(", "D,", "D)")
+      arr(s"$fn($ltsSql, $rtsSql, $rvsSql$extra)")
+    }
+
+    // nearest as-of: frame pick == array pick per left ts
+    val frameNearest = graft.join.Align
+      .asofJoinNearest(lFrame, rFrame, Seq("key"), "ts", "v")
+      .orderBy("ts").select("asof_value").as[Double].collect().toSeq
+    assert(arrayOp("cs_asof_join") == frameNearest)
+
+    // forward-strict stretch with filler
+    val frameStretch = graft.join.Align
+      .stretch(lFrame, rFrame, Seq("key"), "ts", "v", lit(-7.0))
+      .orderBy("ts").select("stretch_value").as[Double].collect().toSeq
+    assert(arrayOp("cs_stretch", ", -7.0D") == frameStretch)
+
+    // union-merge stretch0, compared in merged-ts order
+    val frameStretch0 = graft.join.Align
+      .stretch0(lFrame, rFrame, Seq("key"), "ts", "v", lit(-7.0))
+      .orderBy("ts").select("stretch_value").as[Double].collect().toSeq
+    assert(arrayOp("cs_stretch0", ", -7.0D") == frameStretch0)
+  }
+
   // ---- round-5 surface: bitwise, cast, reverse/concat/union, prd ----
 
   test("cs_and/or/xor/bit_not are the bitwise natives") {
