@@ -318,6 +318,32 @@ class SqlCalcSpec extends AnyFunSuite {
     assert(arrayOp("cs_stretch0", ", -7.0D") == frameStretch0)
   }
 
+  // ---- algebraic identities over random series ----
+
+  test("series-calculus identities hold on random arrays") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(77)
+    val xs = Seq.fill(64)((rnd.nextDouble() * 100).floor) // exact doubles
+    val xsSql = xs.mkString("array(", "D,", "D)")
+    val row = spark.sql(s"""
+      SELECT cs_map($xsSql, cs_sort_pos($xsSql, true)) AS gathered,
+             cs_sort($xsSql, true) AS sorted,
+             cs_cum_sum(cs_diff($xsSql)) AS cumdiff,
+             cs_win_group_sum($xsSql, cs_cast($xsSql, 'array<bigint>')) AS wg,
+             cs_group_sum($xsSql, cs_cast($xsSql, 'array<bigint>')) AS g,
+             cs_group_count(cs_cast($xsSql, 'array<bigint>')) AS gc""").head()
+    // gather over the sort permutation IS the sort
+    assert(row.getSeq[Double](0) == row.getSeq[Double](1))
+    // cum_sum ∘ diff recovers x - x(0)  (diff[0] = 0 by the head contract)
+    row.getSeq[Double](2).zip(xs).foreach { case (cd, x) =>
+      assert(math.abs(cd - (x - xs.head)) < 1e-9)
+    }
+    // win_group = group expanded per run count
+    val expanded = row.getSeq[Double](4).zip(row.getSeq[Long](5))
+      .flatMap { case (v, c) => Seq.fill(c.toInt)(v) }
+    assert(row.getSeq[Double](3) == expanded)
+  }
+
   // ---- round-5 surface: bitwise, cast, reverse/concat/union, prd ----
 
   test("cs_and/or/xor/bit_not are the bitwise natives") {
