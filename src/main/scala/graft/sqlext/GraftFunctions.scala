@@ -22,6 +22,22 @@ object GraftFunctions {
   private def norm(text: Expression): Expression =
     Lower(StringTrim(RegExpReplace(text, Literal("[^A-Za-z0-9]+"), Literal(" "))))
 
+  /** The reference's cs_sort_order enum ('asc'|'desc', imcs--1.1.sql:10)
+    * as a boolean: a string LITERAL translates at build time so the
+    * reference's own regression text (sql/sort.sql) runs verbatim; any
+    * other expression passes through (the boolean form).
+    */
+  private def ascArg(e: Expression): Expression = e match {
+    case Literal(s, _: StringType) if s != null =>
+      s.toString match {
+        case "asc" => Literal(true)
+        case "desc" => Literal(false)
+        case other => throw new IllegalArgumentException(
+          s"sort order must be 'asc' or 'desc', got '$other'")
+      }
+    case other => other
+  }
+
   /** (name, builder, usage) for every registered function. */
   val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("cs_wsum",
@@ -129,8 +145,9 @@ object GraftFunctions {
       "cs_diff(arr) - first-order difference of a series array (func.c:1029-1077)"),
     ("cs_ema", (c: Seq[Expression]) => CsSeriesEma(c(0), c(1)),
       "cs_ema(arr, n) - exponential moving average over a series array (func.c:1764-1777)"),
-    ("cs_rank", (c: Seq[Expression]) => CsSeriesRank(c(0)),
-      "cs_rank(arr) - 1-based rank with gaps per element (func.c:3495-3561)"),
+    ("cs_rank", (c: Seq[Expression]) =>
+      if (c.size == 1) CsSeriesRank(c(0)) else CsSeriesRankOrd(c(0), ascArg(c(1))),
+      "cs_rank(arr[, 'asc'|'desc']) - 1-based rank with gaps per element (func.c:3495-3561)"),
     ("cs_top_max", (c: Seq[Expression]) => CsSeriesTop(c(0), c(1), desc = true),
       "cs_top_max(arr, k) - k largest values, sorted desc (func.c:3088-3208)"),
     ("cs_top_min", (c: Seq[Expression]) => CsSeriesTop(c(0), c(1), desc = false),
@@ -251,18 +268,21 @@ object GraftFunctions {
         (s"cs_win_group_$op", mk(windowed = true) _,
           s"cs_win_group_$op$args - length-preserving per-run $op (func.c:6594-6790)"))
     } ++ Seq(
-    ("cs_sort", (c: Seq[Expression]) => SortArray(c(0), c(1)),
-      "cs_sort(arr, asc) - sorted values (func.c:3210-3322; Spark-native sort_array)"),
+    ("cs_sort", (c: Seq[Expression]) =>
+      SortArray(c(0), if (c.size == 1) Literal(true) else ascArg(c(1))),
+      "cs_sort(arr[, asc|'asc'|'desc']) - sorted values (func.c:3210-3322; Spark-native sort_array)"),
     ("cs_sort_asc", (c: Seq[Expression]) => SortArray(c(0), Literal(true)),
       "cs_sort_asc(arr) - the reference's 'asc' enum sugar (imcs--1.1.sql:10)"),
-    ("cs_sort_pos", (c: Seq[Expression]) => CsSeriesSortPos(c(0), c(1)),
-      "cs_sort_pos(arr, asc) - stable sort permutation, 0-based source positions (func.c:3210-3322)"),
+    ("cs_sort_pos", (c: Seq[Expression]) =>
+      CsSeriesSortPos(c(0), if (c.size == 1) Literal(true) else ascArg(c(1))),
+      "cs_sort_pos(arr[, asc]) - stable sort permutation, 0-based source positions (func.c:3210-3322)"),
     ("cs_sort_pos_asc", (c: Seq[Expression]) => CsSeriesSortPos(c(0), Literal(true)),
       "cs_sort_pos_asc(arr) - ascending stable sort permutation"),
     ("cs_rank_asc", (c: Seq[Expression]) => CsSeriesRank(c(0)),
       "cs_rank_asc(arr) - ascending 1-based rank with gaps (the reference's default order)"),
-    ("cs_dense_rank", (c: Seq[Expression]) => CsSeriesDenseRank(c(0), c(1)),
-      "cs_dense_rank(arr, asc) - 1-based rank without gaps (func.c:3495-3561)"),
+    ("cs_dense_rank", (c: Seq[Expression]) =>
+      CsSeriesDenseRank(c(0), if (c.size == 1) Literal(true) else ascArg(c(1))),
+      "cs_dense_rank(arr[, asc|'asc'|'desc']) - 1-based rank without gaps (func.c:3495-3561)"),
     ("cs_dense_rank_asc", (c: Seq[Expression]) => CsSeriesDenseRank(c(0), Literal(true)),
       "cs_dense_rank_asc(arr) - ascending dense rank"),
     ("cs_top_max_pos", (c: Seq[Expression]) => CsSeriesTopPos(c(0), c(1), desc = true),

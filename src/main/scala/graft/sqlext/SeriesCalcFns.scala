@@ -354,6 +354,43 @@ case class CsSeriesSortPos(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** cs_rank with an order flag — the reference's 2-arg
+  * cs_rank(ts, 'asc'|'desc') enum form (imcs--1.1.sql:10; sql/sort.sql):
+  * 1-based rank with gaps, ties share the smallest rank. The 1-arg
+  * ascending form lives in SeriesArrayFns (CsSeriesRank); this is its
+  * ordered twin, validated against expected/sort.out's desc example
+  * `{1.1,0.2,2.2,0.2,0.1} -> {2,3,1,3,5}`.
+  */
+case class CsSeriesRankOrd(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SeriesCalc.dblArr(left.dataType) && right.dataType == BooleanType)
+      SeriesCalc.ok
+    else SeriesCalc.fail(
+      s"cs_rank requires (array<double>, bool asc), got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cs_rank"
+  override def nullSafeEval(arr: Any, ascv: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val asc = ascv.asInstanceOf[Boolean]
+    val n = a.numElements()
+    val xs = Array.tabulate(n)(a.getDouble)
+    val order = xs.zipWithIndex.sortBy(p => if (asc) p._1 else -p._1)
+    val ranks = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i > 0 && order(i)._1 == order(i - 1)._1)
+        ranks(order(i)._2) = ranks(order(i - 1)._2)
+      else
+        ranks(order(i)._2) = (i + 1).toLong
+      i += 1
+    }
+    new GenericArrayData(ranks)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CsSeriesRankOrd =
+    copy(left = l, right = r)
+}
+
 /** cs_dense_rank / cs_dense_rank_asc (func.c:3495-3561 family): 1-based
   * rank without gaps — ties share a rank, the next distinct value gets
   * the next integer.
