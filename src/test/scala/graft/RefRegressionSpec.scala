@@ -104,6 +104,92 @@ class RefRegressionSpec extends AnyFunSuite {
       == Seq(0.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0))
   }
 
+  // ---- the Quote fixture (create.sql): IBM series as float4 upcast to
+  // ---- double, so the expected float8 outputs reproduce to 15 digits
+
+  /** IBM Close = float4:{10.5,20.2,30.2,40.2,50.5} (create.sql:2-6). */
+  private val close =
+    "transform(array(CAST(10.5 AS FLOAT),CAST(20.2 AS FLOAT),CAST(30.2 AS FLOAT)," +
+      "CAST(40.2 AS FLOAT),CAST(50.5 AS FLOAT)), x -> CAST(x AS DOUBLE))"
+
+  /** relTol 1e-9 for float8-printed expecteds (15 sig digits); 2e-6 for
+    * float4-printed ones (6 sig digits of display precision).
+    */
+  private def assertSeries(expr: String, expected: Seq[Double], relTol: Double = 1e-9): Unit = {
+    val got = arr(expr).map(_.asInstanceOf[Number].doubleValue())
+    assert(got.size == expected.size, s"$expr: size ${got.size} != ${expected.size}")
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) <= math.max(math.abs(e) * relTol, relTol),
+        s"$expr [$i]: got $g expected $e")
+    }
+  }
+
+  test("cumagg.sql over the IBM Close series (expected/cumagg.out)") {
+    assertSeries(s"cs_cum_max($close)", Seq(10.5, 20.2, 30.2, 40.2, 50.5), 2e-6)
+    assertSeries(s"cs_cum_min($close)", Seq(10.5, 10.5, 10.5, 10.5, 10.5), 2e-6)
+    assertSeries(s"cs_cum_sum($close)",
+      Seq(10.5, 30.7000007629395, 60.9000015258789, 101.100002288818, 151.600002288818))
+    assertSeries(s"cs_cum_avg($close)",
+      Seq(10.5, 15.3500003814697, 20.3000005086263, 25.2750005722046, 30.3200004577637))
+    assertSeries(s"cs_cum_prd($close)",
+      Seq(10.5, 212.100008010864, 6405.42040374756, 257497.9051176, 13003644.2084388))
+    // var/dev at 1e-6: the reference's cumulative accumulator squares
+    // val*val in the series' FLOAT type before widening (func.c:1843-1844
+    // — e.g. 20.2f² → 408.040039 vs 408.040031 in double), an
+    // element-type artifact; its own grid_var over the same pair prints
+    // the clean double value our all-double calculus produces
+    // (expected/gridagg.out: 23.5225037002565 vs cum's 23.5225078201292)
+    assertSeries(s"cs_cum_var($close)",
+      Seq(0, 23.5225078201292, 64.6866720581052, 122.766875371933, 200.021595678711), 1e-6)
+    assertSeries(s"cs_cum_dev($close)",
+      Seq(0, 4.85000080619882, 8.04280250025482, 11.0800214517812, 14.1428991256641), 1e-6)
+  }
+
+  test("windowagg.sql over the IBM Close series (expected/windowagg.out)") {
+    // sum/avg/var/dev: the reference's zero-initialized ring buffer is
+    // arithmetically identical to our actual-prefix sums (zeros add
+    // nothing), so the full series compares — warm-up included
+    assertSeries(s"cs_window_sum($close, 3)",
+      Seq(10.5, 30.7000007629395, 60.9000015258789, 90.6000022888184, 120.900001525879))
+    assertSeries(s"cs_window_avg($close, 3)",
+      Seq(3.5, 10.2333335876465, 20.3000005086263, 30.2000007629395, 40.3000005086263))
+    assertSeries(s"cs_window_var($close, 3)",
+      Seq(24.5, 68.0422272915312, 64.6866716512046, 66.6666666666667, 68.6866614786786))
+    assertSeries(s"cs_window_dev($close, 3)",
+      Seq(4.94974746830583, 8.24877125949866, 8.04280247495887, 8.16496580927726, 8.28774163923313))
+    // max: zeros never win on this positive series — full compare
+    assertSeries(s"cs_window_max($close, 3)", Seq(10.5, 20.2, 30.2, 40.2, 50.5), 2e-6)
+    // min: the reference's warm-up reports the ring buffer's ZEROS
+    // ({0,0,10.5,20.2,30.2}) — a documented artifact we deliberately do
+    // not reproduce; its own `<< 2` steady-state fixture compares exactly
+    assertSeries(s"cs_cut_head(cs_window_min($close, 3), 2)",
+      Seq(10.5, 20.2, 30.2), 2e-6)
+  }
+
+  test("gridagg.sql over the IBM Close series (expected/gridagg.out)") {
+    assertSeries(s"cs_grid_max($close, 2)", Seq(20.2, 40.2, 50.5), 2e-6)
+    assertSeries(s"cs_grid_min($close, 2)", Seq(10.5, 30.2, 50.5), 2e-6)
+    assertSeries(s"cs_grid_sum($close, 2)",
+      Seq(30.7000007629395, 70.4000015258789, 50.5))
+    assertSeries(s"cs_grid_avg($close, 2)",
+      Seq(15.3500003814697, 35.2000007629395, 50.5))
+    assertSeries(s"cs_grid_var($close, 2)", Seq(23.5225037002565, 25, 0))
+    assertSeries(s"cs_grid_dev($close, 2)", Seq(4.85000038146973, 5, 0))
+  }
+
+  test("transform.sql over the IBM series (expected/transform.out)") {
+    assertSeries(s"cs_thin($close, 1, 2)", Seq(20.2, 40.2), 2e-6)
+    assertSeries(s"cs_limit($close, 1, 3)", Seq(20.2, 30.2, 40.2), 2e-6)
+    assertSeries(s"cs_head($close, 2)", Seq(10.5, 20.2), 2e-6)
+    assertSeries(s"cs_tail($close, 2)", Seq(40.2, 50.5), 2e-6)
+    assertSeries(s"cs_diff($close)", Seq(0, 9.7, 10, 10, 10.3), 2e-6)
+    assertSeries(s"cs_trend($close)", Seq(0, 1, 1, 1, 1))
+    // cs_unique(Volume/200): int4 division {0,1,1,2,2} -> {0,1,2}
+    assertSeries(
+      "cs_unique(transform(array(100L,200L,300L,400L,500L), v -> CAST(v DIV 200 AS DOUBLE)))",
+      Seq(0, 1, 2))
+  }
+
   test("transform.sql: cs_limit family literals") {
     // sql/transform.sql: cs_thin(x,1,2), cs_limit(x,1,3), cs_head(x,2),
     // cs_tail(x,2) over the IBM Close series shape — replayed on a
