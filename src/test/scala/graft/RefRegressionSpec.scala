@@ -62,6 +62,30 @@ class RefRegressionSpec extends AnyFunSuite {
       Map("1" -> 7L, "2" -> 7L, "3" -> 7L, "4" -> 5L, "5" -> 7L))
   }
 
+  test("hashagg.sql: cs_hash_max/min/sum/avg over the IBM Quote fixture") {
+    GraftFunctions.register(spark)
+    // Close grouped by Day % 2 (day-of-month parity: Nov 1,2,4,5,6 2013);
+    // expected/hashagg.out: sum ("float8:{100.900001525879,
+    // 50.7000007629395}","int4:{0,1}"), avg {33.6333338419596,
+    // 25.3500003814697}, max {50.5,40.2}, min {20.2,10.5}
+    Seq((10.5f, "1"), (20.2f, "0"), (30.2f, "0"), (40.2f, "1"), (50.5f, "0"))
+      .toDF("close", "g").createOrReplaceTempView("t_quote_h")
+    val r = spark.sql(
+      """SELECT cs_hash_sum(close, g) AS s, cs_hash_avg(close, g) AS a,
+         cs_hash_max(close, g) AS mx, cs_hash_min(close, g) AS mn
+         FROM t_quote_h""").head()
+    def check(m: Map[String, Double], exp: Map[String, Double], tol: Double): Unit =
+      exp.foreach { case (k, e) =>
+        assert(math.abs(m(k) - e) <= math.abs(e) * tol, s"$k: ${m(k)} vs $e")
+      }
+    check(r.getMap[String, Double](0).toMap,
+      Map("0" -> 100.900001525879, "1" -> 50.7000007629395), 1e-9)
+    check(r.getMap[String, Double](1).toMap,
+      Map("0" -> 33.6333338419596, "1" -> 25.3500003814697), 1e-9)
+    check(r.getMap[String, Double](2).toMap, Map("0" -> 50.5, "1" -> 40.2), 2e-6)
+    check(r.getMap[String, Double](3).toMap, Map("0" -> 20.2, "1" -> 10.5), 2e-6)
+  }
+
   test("operators.sql: cs_concat literal") {
     // expected/operators.out: int4:{1,2,3,4,5,6}
     assert(arr("cs_concat(array(1.0D,2.0D,3.0D), array(4.0D,5.0D,6.0D))")
