@@ -342,7 +342,42 @@ object GraftFunctions {
     ("cs_window_ema", (c: Seq[Expression]) => CsSeriesEma(c(0), c(1)),
       "cs_window_ema(arr, n) - the reference's registered EMA name (imcs--1.1.sql; func.c:1764-1777)"),
     ("cs_prd", (c: Seq[Expression]) => CsProdAgg(c(0)).toAggregateExpression(),
-      "cs_prd(x) - product aggregate, NULL on empty input (func.c:1407-1444)"))
+      "cs_prd(x) - product aggregate, NULL on empty input (func.c:1407-1444)"),
+    ("cs_parse", (c: Seq[Expression]) => {
+      // the reference's series-literal syntax (imcs.c input function,
+      // user_guide 'int4:{1,2,3}'): both the 2-arg cs_parse('{..}', 'type')
+      // form and the self-describing 'type:{..}' 1-arg form, resolved at
+      // build time to an array literal. Int family -> array<bigint>,
+      // float family -> array<double> (the calculus' two carrier types).
+      def strLit(e: Expression, what: String): String = e match {
+        case Literal(s, _: StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"cs_parse $what must be a string literal, got $other")
+      }
+      val (body, tpe) =
+        if (c.size >= 2) (strLit(c(0), "series"), strLit(c(1), "type"))
+        else strLit(c(0), "series").split(":", 2) match {
+          case Array(t, b) => (b, t)
+          case _ => throw new IllegalArgumentException(
+            "cs_parse: 1-arg form needs a 'type:{...}' literal")
+        }
+      val inner = body.trim.stripPrefix("{").stripSuffix("}").trim
+      val parts = if (inner.isEmpty) Array.empty[String]
+                  else inner.split(",").map(_.trim)
+      tpe match {
+        case "char" | "int2" | "int4" | "int8" | "date" | "time" | "timestamp" =>
+          Literal.create(parts.map(_.toLong).toSeq,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, containsNull = false))
+        case "float4" | "float8" | "money" =>
+          Literal.create(parts.map(_.toDouble).toSeq,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = false))
+        case other => throw new IllegalArgumentException(
+          s"cs_parse: unsupported element type '$other'")
+      }
+    },
+      "cs_parse('{1,2,3}', 'int4') or cs_parse('int4:{1,2,3}') - the reference's series literal as an array"))
 
   /** Register as temp functions on a live session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b, _) =>

@@ -237,10 +237,16 @@ case class CsSeriesGroupAgg(op: String, windowed: Boolean,
     extends BinaryExpression with CodegenFallback {
   require(CsSeriesGroupAgg.ops(op), s"unknown group op $op")
   private def longOp = CsSeriesGroupAgg.longOps(op)
+  // first/last are type-preserving in the reference (func.c FIRST/LAST
+  // are generic over element type): accept either array type and carry it
+  private def typePreserving = op == "first" || op == "last"
+  private def valsAreLong = SeriesCalc.lngArr(left.dataType)
   override def checkInputDataTypes(): TypeCheckResult = {
     val valsOk =
       if (op == "count") true
       else if (longOp) SeriesCalc.lngArr(left.dataType)
+      else if (typePreserving)
+        SeriesCalc.dblArr(left.dataType) || SeriesCalc.lngArr(left.dataType)
       else SeriesCalc.dblArr(left.dataType)
     if (valsOk && SeriesCalc.lngArr(right.dataType)) SeriesCalc.ok
     else SeriesCalc.fail(
@@ -248,7 +254,10 @@ case class CsSeriesGroupAgg(op: String, windowed: Boolean,
         s"array<bigint> groups), got ${left.dataType.sql}, ${right.dataType.sql}")
   }
   override def dataType: DataType =
-    ArrayType(if (longOp || op == "count") LongType else DoubleType, containsNull = false)
+    ArrayType(
+      if (longOp || op == "count" || (typePreserving && valsAreLong)) LongType
+      else DoubleType,
+      containsNull = false)
   override def prettyName: String =
     if (windowed) s"cs_win_group_$op" else s"cs_group_$op"
   override def nullSafeEval(vals: Any, grps: Any): Any = {
@@ -279,8 +288,8 @@ case class CsSeriesGroupAgg(op: String, windowed: Boolean,
           var k = i
           while (k < j) { seen += v.getLong(k); k += 1 }
           seen.size.toLong
-        case "first" => v.getDouble(i)
-        case "last" => v.getDouble(j - 1)
+        case "first" => if (valsAreLong) v.getLong(i) else v.getDouble(i)
+        case "last" => if (valsAreLong) v.getLong(j - 1) else v.getDouble(j - 1)
         case _ =>
           var s = 0.0; var ss = 0.0
           var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity

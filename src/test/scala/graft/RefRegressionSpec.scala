@@ -128,6 +128,25 @@ class RefRegressionSpec extends AnyFunSuite {
       == Seq(0.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0))
   }
 
+  test("cs_parse runs the reference's literal queries near-verbatim") {
+    // the reference's own regression text, with series literals wrapped
+    // in cs_parse (its text->series cast isn't hookable in Spark SQL)
+    assert(arr("cs_group_all(cs_parse('int8:{3,1,6,7,0,3,6,5,2,3,7}'), " +
+      "cs_parse('int4:{1,1,1,2,2,3,3,4,5,5,5}'))") == Seq(0L, 0L, 2L, 5L, 2L))
+    assert(arr("cs_rank(cs_parse('{1.1,0.1,2.2,0.2,0.1}', 'float4'))")
+      == Seq(4L, 1L, 5L, 3L, 1L))
+    assert(arr("cs_asof_join_pos(cs_parse('int8:{4,9}'), cs_parse('int8:{1,3,6,10}'))")
+      == Seq(1L, 3L))
+    assert(arr("cs_quantile(cs_parse('float4:{10,3,0,3,4,5,9,11,7,3,3}'), 2)")
+      == Seq(0.0, 4.0, 11.0))
+    // int series reach the double calculus through cs_cast
+    assert(arr("cs_trend(cs_cast(cs_parse('int4:{1,2,3,3,2,2,4,5,6,5,5}'), 'array<double>'))")
+      == Seq(0.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0))
+    // group first/last are type-preserving over int series
+    assert(arr("cs_group_last(cs_parse('int8:{3,1,6,7,0}'), cs_parse('int8:{1,1,1,2,2}'))")
+      == Seq(6L, 0L))
+  }
+
   // ---- the Quote fixture (create.sql): IBM series as float4 upcast to
   // ---- double, so the expected float8 outputs reproduce to 15 digits
 
