@@ -81,7 +81,11 @@ object Bench {
     // as a fast one.
     // 7 reps (6 warm): round-4's min-of-4 still showed ±0.3 s phantom
     // swings on this box (spread field); two more warm runs tighten the
-    // min at ~25 s extra wall per bench run
+    // min at ~25 s extra wall per bench run. Reps run CONSECUTIVELY per
+    // query on purpose: an interleaved round-robin protocol was measured
+    // 70% slower end-to-end (5.42 vs 3.21 s back-to-back) — consecutive
+    // repeats keep each plan's codegen/JIT hot, which also matches the
+    // reference's published repeat-measurement methodology.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).getOrElse(7).max(2)
     val results = headline.filter(SparkEntry.queries.contains).map { name =>

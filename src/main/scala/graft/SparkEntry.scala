@@ -849,6 +849,40 @@ object SparkEntry {
                             transform(ra.tv, e -> CAST(e.value AS DOUBLE))) AS FLOAT) AS asof_value
         FROM l LEFT JOIN ra ON l.user_id = ra.user_id""")
     }),
+    "q_cs_ref_literals" -> ((s, dir) => {
+      // The reference's OWN regression fixtures through the registered
+      // surface (cs_parse wraps its series literals): here the DuckDB
+      // "oracle" is the reference's shipped expected output itself
+      // (expected/groupbyagg.out, sort.out, transform.out), so the
+      // driver gate asserts reference-exact parity directly.
+      graft.sqlext.GraftFunctions.register(s)
+      s.sql("""
+        SELECT 'group_all' AS fixture, posexplode(
+            cs_cast(cs_group_all(cs_parse('int8:{3,1,6,7,0,3,6,5,2,3,7}'),
+                                 cs_parse('int4:{1,1,1,2,2,3,3,4,5,5,5}')),
+                    'array<double>')) AS (i, v)
+        UNION ALL
+        SELECT 'rank' AS fixture, posexplode(
+            cs_cast(cs_rank(cs_parse('float4:{1.1,0.1,2.2,0.2,0.1}')),
+                    'array<double>')) AS (i, v)
+        UNION ALL
+        SELECT 'rank_desc' AS fixture, posexplode(
+            cs_cast(cs_rank(cs_parse('float4:{1.1,0.2,2.2,0.2,0.1}'), 'desc'),
+                    'array<double>')) AS (i, v)
+        UNION ALL
+        SELECT 'quantile' AS fixture, posexplode(
+            cs_quantile(cs_parse('float4:{10,3,0,3,4,5,9,11,7,3,3}'), 2)) AS (i, v)
+        UNION ALL
+        SELECT 'trend' AS fixture, posexplode(
+            cs_trend(cs_cast(cs_parse('int4:{1,2,3,3,2,2,4,5,6,5,5}'),
+                             'array<double>'))) AS (i, v)
+        UNION ALL
+        SELECT 'win_group_sum' AS fixture, posexplode(
+            cs_win_group_sum(cs_cast(cs_parse('int4:{1,2,3,4,5,6,7,8,9,10}'),
+                                     'array<double>'),
+                             cs_parse('int4:{1,1,1,2,2,3,3,3,3,4}'))) AS (i, v)""")
+        .select(col("fixture"), col("i"), fl(col("v")).as("v"))
+    }),
     "q_cs_bitops" -> ((s, dir) => {
       // the round-5 scalar names: bitwise and/or/xor/not, cast-by-name,
       // and the cs_prd product aggregate (one row: products stay bounded
@@ -1887,6 +1921,22 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, ts, max("value") AS value FROM events
                          WHERE event_type = 'signup' GROUP BY user_id, ts) r
          ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    // The expected values below ARE the reference's shipped regression
+    // outputs: expected/groupbyagg.out (int8:{0,0,2,5,2};
+    // int8:{6,6,6,9,9,30,30,30,30,10}), expected/sort.out
+    // (int8:{4,1,5,3,1}; int8:{2,3,1,3,5}; float4:{0,4,11}),
+    // expected/transform.out (char:{0,1,1,1,-1,-1,1,1,1,-1,-1}).
+    "q_cs_ref_literals" ->
+      """WITH f(fixture, vs) AS (VALUES
+           ('group_all',     [0.0, 0.0, 2.0, 5.0, 2.0]),
+           ('rank',          [4.0, 1.0, 5.0, 3.0, 1.0]),
+           ('rank_desc',     [2.0, 3.0, 1.0, 3.0, 5.0]),
+           ('quantile',      [0.0, 4.0, 11.0]),
+           ('trend',         [0.0, 1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0]),
+           ('win_group_sum', [6.0, 6.0, 6.0, 9.0, 9.0, 30.0, 30.0, 30.0, 30.0, 10.0]))
+         SELECT fixture, CAST(g.i - 1 AS INT) AS i,
+                CAST(vs[CAST(g.i AS INT)] AS REAL) AS v
+         FROM f JOIN (SELECT unnest(range(1, 12)) AS i) g ON g.i <= len(f.vs)""",
     // DuckDB bitwise operators; floor-then-cast mirrors Spark's
     // truncating double->bigint cast for the positive quantities
     "q_cs_bitops" ->
