@@ -49,7 +49,7 @@ case class CsSeriesDiff(child: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "cs_diff"
   override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(input.asInstanceOf[ArrayData], prettyName)
     val n = a.numElements()
     val out = new Array[Any](n)
     var prev = 0.0
@@ -78,7 +78,7 @@ case class CsSeriesEma(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "cs_ema"
   override def nullSafeEval(arr: Any, nv: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
     val p = 2.0 / (nv.asInstanceOf[Number].intValue() + 1)
     val n = a.numElements()
     val out = new Array[Any](n)
@@ -108,7 +108,7 @@ case class CsSeriesRank(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "cs_rank"
   override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(input.asInstanceOf[ArrayData], prettyName)
     val n = a.numElements()
     val xs = Array.tabulate(n)(a.getDouble)
     val order = xs.zipWithIndex.sortBy(_._1)
@@ -140,7 +140,7 @@ case class CsSeriesTop(left: Expression, right: Expression, desc: Boolean)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = if (desc) "cs_top_max" else "cs_top_min"
   override def nullSafeEval(arr: Any, kv: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
     val k = kv.asInstanceOf[Number].intValue()
     val xs = Array.tabulate(a.numElements())(a.getDouble)
     val sorted = if (desc) xs.sorted(Ordering[Double].reverse) else xs.sorted
@@ -173,8 +173,8 @@ case class CsAsofLookup(first: Expression, second: Expression, third: Expression
   override def prettyName: String = "cs_asof"
   override def nullSafeEval(ts: Any, rts: Any, rvs: Any): Any = {
     val t = ts.asInstanceOf[Number].longValue()
-    val a = rts.asInstanceOf[ArrayData]
-    val v = rvs.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(rts.asInstanceOf[ArrayData], prettyName)
+    val v = SeriesCalc.dense(rvs.asInstanceOf[ArrayData], prettyName)
     val n = math.min(a.numElements(), v.numElements())
     // rightmost i with a[i] <= t
     var lo = 0
@@ -203,7 +203,7 @@ case class CsSeriesTrend(child: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "cs_trend"
   override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(input.asInstanceOf[ArrayData], prettyName)
     val n = a.numElements()
     val out = new Array[Any](n)
     var t = 0.0
@@ -239,7 +239,7 @@ case class CsSeriesCross(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "cs_cross"
   override def nullSafeEval(arr: Any, dv: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
     val dir = dv.asInstanceOf[Number].intValue()
     val n = a.numElements()
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -274,7 +274,7 @@ case class CsSeriesNorm(child: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "cs_norm"
   override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(input.asInstanceOf[ArrayData], prettyName)
     val n = a.numElements()
     var ss = 0.0
     var i = 0
@@ -302,7 +302,7 @@ case class CsSeriesQuantile(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "cs_quantile"
   override def nullSafeEval(arr: Any, qv: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
     val q = qv.asInstanceOf[Number].intValue()
     val n = a.numElements()
     if (n == 0 || q <= 0) return new GenericArrayData(Array.empty[Any])

@@ -38,6 +38,25 @@ object SeriesCalc {
   private[sqlext] def fail(msg: String): TypeCheckResult =
     TypeCheckResult.TypeCheckFailure(msg)
   private[sqlext] val ok: TypeCheckResult = TypeCheckResult.TypeCheckSuccess
+
+  /** Series arrays are DENSE (the reference's series carry no nulls; a
+    * null reaches these ops only through SQL composition, e.g. a
+    * transform over a nullable column). Reading a null slot through
+    * ArrayData.getDouble/getLong is an unchecked access returning
+    * garbage, so every element-consuming eval rejects it loudly instead.
+    * One O(n) isNullAt pass; these are eval-only expressions already.
+    */
+  private[sqlext] def dense(a: ArrayData, fn: String): ArrayData = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"$fn: series arrays are dense, found NULL element at position $i " +
+          "(filter or coalesce nulls before packing the series)")
+      i += 1
+    }
+    a
+  }
 }
 
 /** Cumulative aggregates over one series array — cs_cum_sum/avg/min/max/
@@ -56,7 +75,7 @@ case class CsSeriesCum(op: String, child: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = s"cs_cum_$op"
   override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(input.asInstanceOf[ArrayData], prettyName)
     val n = a.numElements()
     val out = new Array[Any](n)
     var s = 0.0; var ss = 0.0; var mn = Double.PositiveInfinity
@@ -109,7 +128,7 @@ case class CsSeriesWindowAgg(op: String, left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = s"cs_window_$op"
   override def nullSafeEval(arr: Any, nv: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
     val w = nv.asInstanceOf[Number].intValue()
     require(w > 0, s"cs_window_$op interval must be positive, got $w")
     val n = a.numElements()
@@ -184,7 +203,7 @@ case class CsSeriesGrid(op: String, left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = s"cs_grid_$op"
   override def nullSafeEval(arr: Any, sv: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
     val step = sv.asInstanceOf[Number].intValue()
     require(step > 0, s"cs_grid_$op step must be positive, got $step")
     val n = a.numElements()
@@ -261,8 +280,9 @@ case class CsSeriesGroupAgg(op: String, windowed: Boolean,
   override def prettyName: String =
     if (windowed) s"cs_win_group_$op" else s"cs_group_$op"
   override def nullSafeEval(vals: Any, grps: Any): Any = {
-    val v = vals.asInstanceOf[ArrayData]
-    val g = grps.asInstanceOf[ArrayData]
+    val v = if (op == "count") vals.asInstanceOf[ArrayData]
+            else SeriesCalc.dense(vals.asInstanceOf[ArrayData], prettyName)
+    val g = SeriesCalc.dense(grps.asInstanceOf[ArrayData], prettyName)
     val n = g.numElements()
     require(op == "count" || v.numElements() >= n,
       s"$prettyName: vals shorter than groups (${v.numElements()} < $n)")
@@ -340,7 +360,7 @@ case class CsSeriesSortPos(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "cs_sort_pos"
   override def nullSafeEval(arr: Any, ascv: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
     val asc = ascv.asInstanceOf[Boolean]
     val n = a.numElements()
     val idx = Array.range(0, n)
@@ -380,7 +400,7 @@ case class CsSeriesRankOrd(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "cs_rank"
   override def nullSafeEval(arr: Any, ascv: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
     val asc = ascv.asInstanceOf[Boolean]
     val n = a.numElements()
     val xs = Array.tabulate(n)(a.getDouble)
@@ -414,7 +434,7 @@ case class CsSeriesDenseRank(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "cs_dense_rank"
   override def nullSafeEval(arr: Any, ascv: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
     val asc = ascv.asInstanceOf[Boolean]
     val n = a.numElements()
     val xs = Array.tabulate(n)(a.getDouble)
@@ -441,7 +461,7 @@ case class CsSeriesTopPos(left: Expression, right: Expression, desc: Boolean)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = if (desc) "cs_top_max_pos" else "cs_top_min_pos"
   override def nullSafeEval(arr: Any, kv: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
     val k = kv.asInstanceOf[Number].intValue()
     val n = a.numElements()
     val idx = Array.range(0, n)
@@ -474,7 +494,7 @@ case class CsSeriesHistogram(children: Seq[Expression])
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) return null
-    val a = vs(0).asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(vs(0).asInstanceOf[ArrayData], prettyName)
     val lo = vs(1).asInstanceOf[Number].doubleValue()
     val hi = vs(2).asInstanceOf[Number].doubleValue()
     val bins = vs(3).asInstanceOf[Number].intValue()
@@ -513,7 +533,7 @@ case class CsSeriesExtrema(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "cs_extrema"
   override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(input.asInstanceOf[ArrayData], prettyName)
     val n = a.numElements()
     // before(i) = sign of last non-zero delta in (0, i]; after(i) = next
     // non-zero delta sign strictly after i
@@ -557,8 +577,8 @@ case class CsSeriesIf(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "cs_if"
   override def nullSafeEval(cond: Any, a: Any, b: Any): Any = {
     val c = cond.asInstanceOf[ArrayData]
-    val ta = a.asInstanceOf[ArrayData]
-    val tb = b.asInstanceOf[ArrayData]
+    val ta = SeriesCalc.dense(a.asInstanceOf[ArrayData], prettyName)
+    val tb = SeriesCalc.dense(b.asInstanceOf[ArrayData], prettyName)
     val n = c.numElements()
     val out = new Array[Any](n)
     var ai = 0; var bi = 0
@@ -640,9 +660,11 @@ case class CsSeriesAlign(op: String, children: Seq[Expression])
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) return null
-    val t1 = vs(0).asInstanceOf[ArrayData]
-    val t2 = vs(1).asInstanceOf[ArrayData]
-    val vals = if (posOp) null else vs(2).asInstanceOf[ArrayData]
+    val t1 = SeriesCalc.dense(vs(0).asInstanceOf[ArrayData], prettyName)
+    val t2 = SeriesCalc.dense(vs(1).asInstanceOf[ArrayData], prettyName)
+    val vals =
+      if (posOp) null
+      else SeriesCalc.dense(vs(2).asInstanceOf[ArrayData], prettyName)
     val filler = if (op.startsWith("stretch"))
       vs(3).asInstanceOf[Number].doubleValue() else 0.0
     val n = t1.numElements()
@@ -716,7 +738,7 @@ case class CsSeriesSlice(first: Expression, second: Expression, third: Expressio
   override def dataType: DataType = first.dataType
   override def prettyName: String = "cs_limit"
   override def nullSafeEval(arr: Any, fromV: Any, tillV: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
     val n = a.numElements()
     val rawFrom = fromV.asInstanceOf[Number].longValue()
     val rawTill = tillV.asInstanceOf[Number].longValue()
@@ -748,7 +770,7 @@ case class CsSeriesThin(first: Expression, second: Expression, third: Expression
   override def dataType: DataType = first.dataType
   override def prettyName: String = "cs_thin"
   override def nullSafeEval(arr: Any, originV: Any, stepV: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
     val origin = originV.asInstanceOf[Number].intValue()
     val step = stepV.asInstanceOf[Number].intValue()
     require(origin >= 0, s"cs_thin origin must be >= 0, got $origin")
@@ -775,7 +797,7 @@ case class CsSeriesUnique(child: Expression)
   override def dataType: DataType = child.dataType
   override def prettyName: String = "cs_unique"
   override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(input.asInstanceOf[ArrayData], prettyName)
     val n = a.numElements()
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var i = 0
@@ -805,8 +827,8 @@ case class CsSeriesGather(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def prettyName: String = "cs_map"
   override def nullSafeEval(arr: Any, posv: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
-    val p = posv.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
+    val p = SeriesCalc.dense(posv.asInstanceOf[ArrayData], prettyName)
     val n = a.numElements()
     new GenericArrayData(Array.tabulate[Any](p.numElements()) { i =>
       val idx = p.getLong(i)
@@ -854,7 +876,7 @@ case class CsSeriesRepeat(left: Expression, right: Expression)
   override def dataType: DataType = left.dataType
   override def prettyName: String = "cs_repeat"
   override def nullSafeEval(arr: Any, nv: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
+    val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
     val rep = nv.asInstanceOf[Number].intValue()
     require(rep >= 0, s"cs_repeat count must be >= 0, got $rep")
     val n = a.numElements()

@@ -280,6 +280,23 @@ class SqlCalcSpec extends AnyFunSuite {
     assert(arr("cs_repeat(array(1.0D, 2.0D), 2)") == Seq(1.0, 1.0, 2.0, 2.0))
   }
 
+  test("series ops reject NULL elements loudly (dense-series contract)") {
+    GraftFunctions.register(spark)
+    // a null slot read through getDouble would be silent garbage; the
+    // guard names the op and the position instead
+    for (q <- Seq(
+      "cs_cum_sum(array(1.0D, CAST(NULL AS DOUBLE), 3.0D))",
+      "cs_rank(array(1.0D, CAST(NULL AS DOUBLE)))",
+      "cs_asof_join_pos(array(1L, CAST(NULL AS BIGINT)), array(1L))")) {
+      val e = intercept[Exception] { spark.sql(s"SELECT $q AS r").head() }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("dense"), s"$q: $msg")
+    }
+    // cs_if's CONDITION keeps per-element null handling (documented)
+    assert(arr("cs_if(array(true, CAST(NULL AS BOOLEAN)), array(9.0D), array(1.0D))")
+      == Seq(9.0, null))
+  }
+
   // ---- array vs frame cross-validation on random series ----
 
   test("array align ops agree with the frame-level Align on random series") {
