@@ -981,6 +981,34 @@ object SparkEntry {
         .select(col("run"), fl(col("run_sum")).as("run_sum"), col("run_count"),
           fl(col("run_first")).as("run_first"), fl(col("run_last")).as("run_last"))
     }),
+    "q_cs_lifted" -> ((s, dir) => {
+      // the POLYMORPHIC scalar calculus (SeriesPolyFns): arithmetic, math,
+      // comparisons and filter_pos lifted over one packed array series —
+      // arr-scalar broadcasts, arr-arr zips (cs_add with its own reverse)
+      graft.sqlext.GraftFunctions.register(s)
+      evSeries(s, dir).createOrReplaceTempView("ev_series_v")
+      s.sql("""
+        WITH arr AS (
+          SELECT sort_array(collect_list(struct(pos, value))) AS pv
+          FROM ev_series_v WHERE event_type = 'error' AND pos < 64),
+        a AS (SELECT transform(pv, e -> e.value) AS xs FROM arr),
+        f AS (SELECT xs,
+                cs_add(cs_mul(xs, 2.0D), 1.0D) AS affine,
+                cs_div(xs, cs_add(xs, 1.0D)) AS ratio,
+                cs_sqrt(cs_abs(cs_sub(xs, 400.0D))) AS dist,
+                cs_to_int8_array(cs_gt(xs, 400.0D)) AS gt400,
+                CAST(size(cs_filter_pos(cs_gt(xs, 400.0D))) AS BIGINT) AS n_gt,
+                cs_add(xs, cs_reverse(xs)) AS palin
+              FROM a)
+        SELECT posexplode(xs) AS (pos, value), affine[pos] AS affine,
+               ratio[pos] AS ratio, dist[pos] AS dist, gt400[pos] AS gt400,
+               n_gt, palin[pos] AS palin
+        FROM f""")
+        .select(col("pos"), fl(col("value")).as("value"),
+          fl(col("affine")).as("affine"), fl(col("ratio")).as("ratio"),
+          fl(col("dist")).as("dist"), col("gt400"), col("n_gt"),
+          fl(col("palin")).as("palin"))
+    }),
     "q_cs_asof_nearest" -> ((s, dir) => {
       // cs_asof_join(_pos) with the reference's documented NEAREST-ts
       // semantics (user_guide.html example {4,9}->{1,3,6,10} = {1,3}),
@@ -1998,6 +2026,20 @@ object SparkEntry {
            CAST(arg_min("value", pos) AS REAL) AS run_first,
            CAST(arg_max("value", pos) AS REAL) AS run_last
          FROM r GROUP BY 1""",
+    "q_cs_lifted" ->
+      s"""WITH s AS (SELECT pos, "value" FROM ($evPosSql)
+             WHERE event_type = 'error' AND pos < 64),
+         n AS (SELECT count(*) AS cnt,
+                 CAST(sum(CASE WHEN "value" > 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt
+               FROM s)
+         SELECT s.pos, CAST(s."value" AS REAL) AS value,
+           CAST(s."value" * 2.0 + 1.0 AS REAL) AS affine,
+           CAST(s."value" / (s."value" + 1.0) AS REAL) AS ratio,
+           CAST(sqrt(abs(s."value" - 400.0)) AS REAL) AS dist,
+           CAST(CASE WHEN s."value" > 400 THEN 1 ELSE 0 END AS BIGINT) AS gt400,
+           n.n_gt AS n_gt,
+           CAST(s."value" + r."value" AS REAL) AS palin
+         FROM s CROSS JOIN n JOIN s r ON r.pos = n.cnt - 1 - s.pos""",
     // Nearest-ts as-of via list functions: the 1-based first position of
     // the minimum |Δts| (equidistant ties take the earlier element, the
     // reference's documented pick); stretch = first right ts strictly

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.types.{BinaryType, NullType, StringType}
+import org.apache.spark.sql.types._
 
 /** The `cs_*` SQL function surface (imcs--1.1.sql operator names), exposed
   * to `spark.sql(...)` as NATIVE Catalyst expressions — every builder
@@ -38,6 +38,23 @@ object GraftFunctions {
     case other => other
   }
 
+  /** The reference's cs_elem_type names (imcs--1.1.sql:8, cs_get_tid
+    * imcs--1.1.sql:12-31) as Spark types — used by cs_const.
+    */
+  private[sqlext] def elemType(name: String): DataType = name match {
+    case "char" | "bool" => ByteType
+    case "int2" => ShortType
+    case "int4" => IntegerType
+    case "int8" | "time" => LongType
+    case "float4" => FloatType
+    case "float8" => DoubleType
+    case "money" => DecimalType(19, 2)
+    case "date" => DateType
+    case "timestamp" => TimestampType
+    case other => throw new IllegalArgumentException(
+      s"unknown cs element type '$other'")
+  }
+
   /** (name, builder, usage) for every registered function. */
   val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("cs_wsum",
@@ -48,10 +65,12 @@ object GraftFunctions {
         Sum(Multiply(c(0), c(1))).toAggregateExpression(),
         Sum(c(0)).toAggregateExpression()),
       "cs_wavg(x, y) - weighted average Σxy/Σx, VWAP when x=volume"),
-    ("cs_maxof", (c: Seq[Expression]) => Greatest(c),
-      "cs_maxof(a, b, ...) - element-wise max (func.c:241-255)"),
-    ("cs_minof", (c: Seq[Expression]) => Least(c),
-      "cs_minof(a, b, ...) - element-wise min"),
+    ("cs_maxof", (c: Seq[Expression]) =>
+      if (c.size == 2) CsPolyBinary("maxof", c(0), c(1)) else Greatest(c),
+      "cs_maxof(a, b, ...) - element-wise max over scalars or array series (func.c:241-255)"),
+    ("cs_minof", (c: Seq[Expression]) =>
+      if (c.size == 2) CsPolyBinary("minof", c(0), c(1)) else Least(c),
+      "cs_minof(a, b, ...) - element-wise min over scalars or array series"),
     ("cs_iif", (c: Seq[Expression]) => If(c(0), c(1), c(2)),
       "cs_iif(cond, a, b) - element-wise conditional (func.c:2457-2558)"),
     ("cs_hamming", (c: Seq[Expression]) => BitwiseCount(BitwiseXor(c(0), c(1))),
@@ -154,43 +173,47 @@ object GraftFunctions {
       "cs_top_min(arr, k) - k smallest values, sorted asc"),
     ("cs_asof", (c: Seq[Expression]) => CsAsofLookup(c(0), c(1), c(2)),
       "cs_asof(ts, right_ts_sorted, right_vals) - latest right value at/before ts"),
-    // ---- 1:1 native aliases (imcs--1.1.sql scalar/aggregate surface):
-    // a user porting reference SQL keeps the cs_* names; semantics are the
-    // Spark natives' (element-wise over columns instead of series handles).
-    ("cs_abs", (c: Seq[Expression]) => Abs(c(0)), "cs_abs(x) - |x|"),
-    ("cs_neg", (c: Seq[Expression]) => UnaryMinus(c(0)), "cs_neg(x) - -x"),
-    ("cs_add", (c: Seq[Expression]) => Add(c(0), c(1)), "cs_add(x, y)"),
-    ("cs_sub", (c: Seq[Expression]) => Subtract(c(0), c(1)), "cs_sub(x, y)"),
-    ("cs_mul", (c: Seq[Expression]) => Multiply(c(0), c(1)), "cs_mul(x, y)"),
-    ("cs_div", (c: Seq[Expression]) => Divide(c(0), c(1)), "cs_div(x, y)"),
-    ("cs_mod", (c: Seq[Expression]) => Remainder(c(0), c(1)), "cs_mod(x, y)"),
-    ("cs_pow", (c: Seq[Expression]) => Pow(c(0), c(1)), "cs_pow(x, y)"),
-    ("cs_sin", (c: Seq[Expression]) => Sin(c(0)), "cs_sin(x)"),
-    ("cs_cos", (c: Seq[Expression]) => Cos(c(0)), "cs_cos(x)"),
-    ("cs_tan", (c: Seq[Expression]) => Tan(c(0)), "cs_tan(x)"),
-    ("cs_asin", (c: Seq[Expression]) => Asin(c(0)), "cs_asin(x)"),
-    ("cs_acos", (c: Seq[Expression]) => Acos(c(0)), "cs_acos(x)"),
-    ("cs_atan", (c: Seq[Expression]) => Atan(c(0)), "cs_atan(x)"),
-    ("cs_exp", (c: Seq[Expression]) => Exp(c(0)), "cs_exp(x)"),
-    ("cs_log", (c: Seq[Expression]) => Log(c(0)), "cs_log(x) - natural log"),
-    ("cs_sqrt", (c: Seq[Expression]) => Sqrt(c(0)), "cs_sqrt(x)"),
-    ("cs_ceil", (c: Seq[Expression]) => Ceil(c(0)), "cs_ceil(x)"),
-    ("cs_floor", (c: Seq[Expression]) => Floor(c(0)), "cs_floor(x)"),
-    ("cs_isnan", (c: Seq[Expression]) => IsNaN(c(0)), "cs_isnan(x)"),
-    ("cs_eq", (c: Seq[Expression]) => EqualTo(c(0), c(1)), "cs_eq(x, y)"),
-    ("cs_ne", (c: Seq[Expression]) => Not(EqualTo(c(0), c(1))), "cs_ne(x, y)"),
-    ("cs_gt", (c: Seq[Expression]) => GreaterThan(c(0), c(1)), "cs_gt(x, y)"),
-    ("cs_ge", (c: Seq[Expression]) => GreaterThanOrEqual(c(0), c(1)), "cs_ge(x, y)"),
-    ("cs_lt", (c: Seq[Expression]) => LessThan(c(0), c(1)), "cs_lt(x, y)"),
-    ("cs_le", (c: Seq[Expression]) => LessThanOrEqual(c(0), c(1)), "cs_le(x, y)"),
-    ("cs_not", (c: Seq[Expression]) => Not(c(0)), "cs_not(x)"),
-    ("cs_and", (c: Seq[Expression]) => BitwiseAnd(c(0), c(1)),
+    // ---- the scalar operator surface (imcs--1.1.sql:550-660), POLYMORPHIC
+    // over scalars and array series: scalar operands plan as the Spark
+    // natives (unchanged codegen); an array operand lifts the op
+    // element-wise — arr-arr zips to the shorter input, arr-scalar
+    // broadcasts the scalar, exactly the reference's
+    // cs_add(ts, cs_const(...)) overload model (SeriesPolyFns.scala).
+    ("cs_abs", (c: Seq[Expression]) => CsPolyUnary("abs", c(0)), "cs_abs(x) - |x|"),
+    ("cs_neg", (c: Seq[Expression]) => CsPolyUnary("neg", c(0)), "cs_neg(x) - -x"),
+    ("cs_add", (c: Seq[Expression]) => CsPolyBinary("add", c(0), c(1)), "cs_add(x, y)"),
+    ("cs_sub", (c: Seq[Expression]) => CsPolyBinary("sub", c(0), c(1)), "cs_sub(x, y)"),
+    ("cs_mul", (c: Seq[Expression]) => CsPolyBinary("mul", c(0), c(1)), "cs_mul(x, y)"),
+    ("cs_div", (c: Seq[Expression]) => CsPolyBinary("div", c(0), c(1)), "cs_div(x, y)"),
+    ("cs_mod", (c: Seq[Expression]) => CsPolyBinary("mod", c(0), c(1)), "cs_mod(x, y)"),
+    ("cs_pow", (c: Seq[Expression]) => CsPolyBinary("pow", c(0), c(1)), "cs_pow(x, y)"),
+    ("cs_sin", (c: Seq[Expression]) => CsPolyUnary("sin", c(0)), "cs_sin(x)"),
+    ("cs_cos", (c: Seq[Expression]) => CsPolyUnary("cos", c(0)), "cs_cos(x)"),
+    ("cs_tan", (c: Seq[Expression]) => CsPolyUnary("tan", c(0)), "cs_tan(x)"),
+    ("cs_asin", (c: Seq[Expression]) => CsPolyUnary("asin", c(0)), "cs_asin(x)"),
+    ("cs_acos", (c: Seq[Expression]) => CsPolyUnary("acos", c(0)), "cs_acos(x)"),
+    ("cs_atan", (c: Seq[Expression]) => CsPolyUnary("atan", c(0)), "cs_atan(x)"),
+    ("cs_exp", (c: Seq[Expression]) => CsPolyUnary("exp", c(0)), "cs_exp(x)"),
+    ("cs_log", (c: Seq[Expression]) => CsPolyUnary("log", c(0)), "cs_log(x) - natural log"),
+    ("cs_sqrt", (c: Seq[Expression]) => CsPolyUnary("sqrt", c(0)), "cs_sqrt(x)"),
+    ("cs_ceil", (c: Seq[Expression]) => CsPolyUnary("ceil", c(0)), "cs_ceil(x)"),
+    ("cs_floor", (c: Seq[Expression]) => CsPolyUnary("floor", c(0)), "cs_floor(x)"),
+    ("cs_isnan", (c: Seq[Expression]) => CsPolyUnary("isnan", c(0)), "cs_isnan(x)"),
+    ("cs_eq", (c: Seq[Expression]) => CsPolyBinary("eq", c(0), c(1)), "cs_eq(x, y)"),
+    ("cs_ne", (c: Seq[Expression]) => CsPolyBinary("ne", c(0), c(1)), "cs_ne(x, y)"),
+    ("cs_gt", (c: Seq[Expression]) => CsPolyBinary("gt", c(0), c(1)), "cs_gt(x, y)"),
+    ("cs_ge", (c: Seq[Expression]) => CsPolyBinary("ge", c(0), c(1)), "cs_ge(x, y)"),
+    ("cs_lt", (c: Seq[Expression]) => CsPolyBinary("lt", c(0), c(1)), "cs_lt(x, y)"),
+    ("cs_le", (c: Seq[Expression]) => CsPolyBinary("le", c(0), c(1)), "cs_le(x, y)"),
+    ("cs_not", (c: Seq[Expression]) => CsPolyUnary("not", c(0)),
+      "cs_not(x) - logical not: boolean negation, or x==0 over int conditions"),
+    ("cs_and", (c: Seq[Expression]) => CsPolyBinary("and", c(0), c(1)),
       "cs_and(x, y) - bitwise AND (the reference's & over int series)"),
-    ("cs_or", (c: Seq[Expression]) => BitwiseOr(c(0), c(1)),
+    ("cs_or", (c: Seq[Expression]) => CsPolyBinary("or", c(0), c(1)),
       "cs_or(x, y) - bitwise OR"),
-    ("cs_xor", (c: Seq[Expression]) => BitwiseXor(c(0), c(1)),
+    ("cs_xor", (c: Seq[Expression]) => CsPolyBinary("xor", c(0), c(1)),
       "cs_xor(x, y) - bitwise XOR"),
-    ("cs_bit_not", (c: Seq[Expression]) => BitwiseNot(c(0)),
+    ("cs_bit_not", (c: Seq[Expression]) => CsPolyUnary("bit_not", c(0)),
       "cs_bit_not(x) - bitwise NOT (the ~ operator)"),
     ("cs_cast", (c: Seq[Expression]) => {
       val tpe = c(1) match {
@@ -377,7 +400,61 @@ object GraftFunctions {
           s"cs_parse: unsupported element type '$other'")
       }
     },
-      "cs_parse('{1,2,3}', 'int4') or cs_parse('int4:{1,2,3}') - the reference's series literal as an array"))
+      "cs_parse('{1,2,3}', 'int4') or cs_parse('int4:{1,2,3}') - the reference's series literal as an array"),
+    ("cs_const", (c: Seq[Expression]) => {
+      // the reference's infinite constant series (func.c:1308-1351,
+      // imcs--1.1.sql:538-556): under the lifted calculus a SCALAR plays
+      // that role — every binary op broadcasts it across the series
+      // operand — so cs_const is the identity (optionally cast to the
+      // named element type, reproducing e.g. the float4 arithmetic of
+      // operators.sql's cs_parse(...)+cs_const(3.14,'float4')).
+      if (c.size == 1) c(0)
+      else c(1) match {
+        case Literal(s, _: StringType) if s != null =>
+          Cast(c(0), GraftFunctions.elemType(s.toString))
+        case other => throw new IllegalArgumentException(
+          s"cs_const element type must be a string literal, got $other")
+      }
+    },
+      "cs_const(v[, 'type']) - constant series: a scalar broadcasts across any series operand"),
+    ("cs_from_array", (c: Seq[Expression]) => c(0),
+      "cs_from_array(arr) - identity: an ARRAY already is the series representation (func.c:1153-1201)"),
+    ("cs_empty", (c: Seq[Expression]) => EqualTo(Size(c(0)), Literal(0)),
+      "cs_empty(arr) - true when the series has no elements (imcs.c:3613-3667)"),
+    ("cs_as", (c: Seq[Expression]) => {
+      // reinterpret a ||-packed key as one value of the named SQL type
+      // (the reference's bytea cast, imcs.c:4965-5060); single-field
+      // sibling of cs_cut
+      val tpe = c(1) match {
+        case Literal(s, _: StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"cs_as type must be a string literal, got $other")
+      }
+      Cast(c(0), org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(tpe))
+    },
+      "cs_as(key, 'type') - reinterpret a packed compound key as one value of the SQL type")) ++
+    // ---- series -> typed SQL array (imcs--1.1.sql:1045-1058, imcs.c:5532):
+    // the carrier arrays (bigint/double) cast element-wise to the named
+    // PG-side type; date/timestamp convert from epoch days / microseconds.
+    Seq("int2" -> ShortType, "int4" -> IntegerType, "int8" -> LongType,
+      "float4" -> FloatType, "float8" -> DoubleType, "char" -> ByteType,
+      "bpchar" -> StringType, "varchar" -> StringType,
+      "money" -> DecimalType(19, 2), "time" -> LongType).map { case (n, dt) =>
+      (s"cs_to_${n}_array",
+        (c: Seq[Expression]) => Cast(c(0), ArrayType(dt)): Expression,
+        s"cs_to_${n}_array(arr) - series as a typed SQL array (imcs--1.1.sql:1045-1058)")
+    } ++ Seq(
+    ("cs_to_date_array", (c: Seq[Expression]) => {
+      val d = UnresolvedNamedLambdaVariable(Seq("d"))
+      ArrayTransform(c(0), LambdaFunction(
+        DateAdd(Literal.create(0, DateType), Cast(d, IntegerType)), Seq(d)))
+    },
+      "cs_to_date_array(arr) - epoch-day series as array<date>"),
+    ("cs_to_timestamp_array", (c: Seq[Expression]) => {
+      val t = UnresolvedNamedLambdaVariable(Seq("t"))
+      ArrayTransform(c(0), LambdaFunction(MicrosToTimestamp(t), Seq(t)))
+    },
+      "cs_to_timestamp_array(arr) - epoch-microsecond series as array<timestamp> (PG timestamp precision)"))
 
   /** Register as temp functions on a live session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b, _) =>

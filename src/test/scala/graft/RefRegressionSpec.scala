@@ -92,6 +92,114 @@ class RefRegressionSpec extends AnyFunSuite {
       == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
   }
 
+  // ---- the full operators.sql / math.sql replay over the lifted scalar
+  // calculus (SeriesPolyFns): the IBM Quote columns as float4 series (the
+  // cs_to_float4_array cast reproduces the reference's float4 storage
+  // rounding), expected values from expected/operators.out and
+  // expected/math.out.
+  private val openF = "cs_to_float4_array(cs_parse('float8:{10.2,20.2,30.5,40.5,50.2}'))"
+  private val highF = "cs_to_float4_array(cs_parse('float8:{11.0,20.2,31.0,41.0,51.0}'))"
+  private val lowF = "cs_to_float4_array(cs_parse('float8:{10.0,20.2,30.0,40.0,50.0}'))"
+  private val closeF = "cs_to_float4_array(cs_parse('float8:{10.5,20.2,30.2,40.2,50.5}'))"
+  private val volQ = "cs_parse('int8:{100,200,300,400,500}')"
+  private val dayQ = "cs_parse('int8:{16010,16011,16013,16014,16015}')" // epoch days 2013-11-01..06
+
+  private def approx(q: String, exp: Seq[Double], tol: Double = 1e-5): Unit = {
+    val got = arr(q).map(_.asInstanceOf[Number].doubleValue())
+    assert(got.size == exp.size, s"$q -> $got (expected size ${exp.size})")
+    got.zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g - e) <= tol * math.max(1.0, math.abs(e)), s"$q -> $got vs $exp")
+    }
+  }
+
+  test("operators.sql: lifted binary arithmetic over the IBM Quote series") {
+    approx(s"cs_add($openF, $closeF)", Seq(20.7, 40.4, 60.7, 80.7, 100.7))
+    approx(s"cs_sub($openF, $closeF)", Seq(-0.3, 0, 0.299999, 0.299999, -0.299999))
+    approx(s"cs_mul($openF, $closeF)", Seq(107.1, 408.04, 921.1, 1628.1, 2535.1))
+    approx(s"cs_div($openF, $closeF)", Seq(0.971429, 1, 1.00993, 1.00746, 0.994059))
+    approx(s"cs_mod($openF, $closeF)", Seq(10.2, 0, 0.299999, 0.299999, 50.2))
+    // Open^Close computes in double (expected/operators.out float8 output)
+    approx(s"cs_pow($openF, $closeF)",
+      Seq(38931552097.3912, 2.33398999511658e+26, 6.6966296391943e+44,
+        4.16574958399165e+64, 7.68312765681365e+85))
+    approx(s"cs_neg($openF)", Seq(-10.2, -20.2, -30.5, -40.5, -50.2))
+    approx(s"cs_abs(cs_sub($openF, $closeF))", Seq(0.3, 0, 0.299999, 0.299999, 0.299999))
+    approx(s"cs_maxof($openF, $closeF)", Seq(10.5, 20.2, 30.5, 40.5, 50.5))
+    approx(s"cs_minof($openF, $closeF)", Seq(10.2, 20.2, 30.2, 40.2, 50.2))
+  }
+
+  test("operators.sql: lifted comparisons and bit ops over the IBM Quote series") {
+    // reference comparisons print int8 0/1 series; ours are boolean — the
+    // cs_to_int8_array cast is the value-parity boundary
+    assert(arr(s"cs_to_int8_array(cs_gt($openF, $closeF))") == Seq(0L, 0L, 1L, 1L, 0L))
+    assert(arr(s"cs_to_int8_array(cs_ge($openF, $closeF))") == Seq(0L, 1L, 1L, 1L, 0L))
+    assert(arr(s"cs_and(cs_ge($openF, $closeF), cs_ne($highF, $lowF))")
+      == Seq(0L, 0L, 1L, 1L, 0L))
+    assert(arr(s"cs_or(cs_gt($openF, $closeF), cs_eq($highF, $lowF))")
+      == Seq(0L, 1L, 1L, 1L, 0L))
+    assert(arr(s"cs_xor(cs_eq($openF, $closeF), cs_eq($highF, $lowF))")
+      == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(arr(s"cs_to_int8_array(cs_not(cs_eq($openF, $closeF)))")
+      == Seq(1L, 0L, 1L, 1L, 1L))
+    // select Volume & 1 -> {0,0,0,0,0}; ~Volume -> {-101,...}
+    assert(arr(s"cs_and($volQ, 1)") == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(arr(s"cs_bit_not($volQ)") == Seq(-101L, -201L, -301L, -401L, -501L))
+    // select ?(Open>Close) -> int8:{2,3}; (Open>Close)?Day -> the 11-04
+    // and 11-05 rows (filter_pos + gather = the ? projection)
+    assert(arr(s"cs_filter_pos(cs_gt($openF, $closeF))") == Seq(2L, 3L))
+    assert(arr(s"cs_map(cast($dayQ AS ARRAY<DOUBLE>), cs_filter_pos(cs_gt($openF, $closeF)))")
+      == Seq(16013.0, 16014.0))
+    // select Day=date('1-Nov-2013') -> char:{1,0,0,0,0}
+    assert(arr(s"cs_to_int8_array(cs_eq(cs_to_date_array($dayQ), DATE'2013-11-01'))")
+      == Seq(1L, 0L, 0L, 0L, 0L))
+  }
+
+  test("operators.sql: scalar-vs-series overloads (cs_const composition)") {
+    // cs_parse('{1,2,3,4}','int4')+cs_const(3.14,'float4') = float4:{4.14,...}
+    approx("cs_add(cs_parse('{1,2,3,4}','int4'), cs_const(3.14, 'float4'))",
+      Seq(4.14, 5.14, 6.14, 7.14))
+    assert(arr("cs_add(cs_parse('{1,2,3,4}','int4'), 10)") == Seq(11L, 12L, 13L, 14L))
+    assert(arr("cs_add(cs_parse('{1,2,3,4}','int4'), cs_parse('{10,20,30,40}','int4'))")
+      == Seq(11L, 22L, 33L, 44L))
+    // Close*'{2.0,2.1,2.2}' -> float4:{21,42.42,66.44}: the zip TRUNCATES
+    // to the shorter operand (binary iterator termination, func.c:106-184)
+    approx(s"cs_mul($closeF, cs_parse('float4:{2.0,2.1,2.2}'))", Seq(21, 42.42, 66.44))
+  }
+
+  test("operators.sql: << and >> positional shifts") {
+    val s = "cs_parse('{1,2,3,4,5}', 'int4')"
+    assert(arr(s"cs_cut_head($s, 1)") == Seq(2L, 3L, 4L, 5L)) // << 1
+    assert(arr(s"cs_cut_tail($s, 2)") == Seq(1L, 2L, 3L)) // >> 2
+    assert(arr(s"cs_cut_head($s, 10)") == Seq()) // << 10 -> int4:{}
+    assert(arr(s"cs_cut_tail($s, 10)") == Seq()) // >> 10 -> int4:{}
+  }
+
+  test("math.sql: lifted math functions reproduce expected/math.out") {
+    approx(s"cs_sqrt(cs_pow(cs_sub($openF, $closeF), 2.0))",
+      Seq(0.300000190734863, 0, 0.299999237060547, 0.299999237060547,
+        0.299999237060547), 1e-9)
+    approx(
+      s"cs_add(cs_mul(cs_sin($openF), cs_sin($openF)), cs_mul(cs_cos($openF), cs_cos($openF)))",
+      Seq(1, 1, 1, 1, 1), 1e-12)
+    approx(s"cs_atan(cs_tan($closeF))",
+      Seq(1.07522203923062, 1.35044484140069, -1.21592577295848,
+        -0.640703733727859, 0.234517542563308), 1e-9)
+    approx(s"cs_asin(cs_sin($closeF))",
+      Seq(-1.07522203923062, 1.35044484140069, -1.21592577295848,
+        0.640703733727859, 0.234517542563308), 1e-9)
+    approx(s"cs_acos(cs_cos($closeF))",
+      Seq(2.06637061435917, 1.35044484140069, 1.21592577295848,
+        2.50088891986193, 0.234517542563308), 1e-9)
+    // cs_log(cs_exp(Close/Open)) - Open/Close: the reference divides in
+    // float4 then promotes; we divide in double — 1e-5 covers the gap
+    approx(s"cs_sub(cs_log(cs_exp(cs_div($closeF, $openF))), cs_div($openF, $closeF))",
+      Seq(0.0579832196235657, 0, -0.0197697281837463, -0.0148699879646301,
+        0.0119166374206543), 1e-5)
+    // cs_isnan('{-1,0,1}'/0.0) = char:{0,1,0}: C float division semantics
+    assert(arr("cs_to_int8_array(cs_isnan(cs_div(cs_parse('{-1,0,1}','float8'), 0.0)))")
+      == Seq(0L, 1L, 0L))
+  }
+
   test("sort.sql: cs_rank / cs_dense_rank (asc and 'desc' enum) / cs_quantile") {
     val xs = "array(CAST(1.1 AS FLOAT), CAST(0.1 AS FLOAT), CAST(2.2 AS FLOAT), CAST(0.2 AS FLOAT), CAST(0.1 AS FLOAT))"
     // float4 literals: cast through FLOAT so tie equality matches the

@@ -419,4 +419,60 @@ class SqlCalcSpec extends AnyFunSuite {
       "SELECT cs_hash_any(x, g) AS ha FROM (SELECT /*+ REPARTITION(5) */ * FROM t_hb)")
     assert(big.head().getMap[String, Long](0) == Map("a" -> 15L, "b" -> 5L))
   }
+
+  // ---- the polymorphic lifted calculus (SeriesPolyFns) ----
+
+  test("lifted binary ops: zip truncates to the shorter series") {
+    assert(arr("cs_add(array(1L,2L,3L), array(10L,20L))") == Seq(11L, 22L))
+    assert(arr("cs_sub(array(5.0D), array(1L,2L,3L))") == Seq(4.0))
+  }
+
+  test("lifted binary ops: scalar broadcasts on either side") {
+    assert(arr("cs_mul(array(1L,2L,3L), 3)") == Seq(3L, 6L, 9L))
+    assert(arr("cs_sub(100, array(1L,2L))") == Seq(99L, 98L))
+    // int series + double scalar widens like the analyzer would
+    assert(arr("cs_add(array(1L,2L), 0.5D)") == Seq(1.5, 2.5))
+  }
+
+  test("lifted comparisons yield boolean series that feed cs_filter_pos") {
+    assert(arr("cs_ge(array(1L,5L,3L), 3)") == Seq(false, true, true))
+    assert(arr("cs_filter_pos(cs_lt(array(1.0D,5.0D,3.0D), 4.0D))") == Seq(0L, 2L))
+  }
+
+  test("lifted division follows C float semantics on zero divisors") {
+    assert(arr("cs_div(array(1.0D,-1.0D), 0.0D)")
+      == Seq(Double.PositiveInfinity, Double.NegativeInfinity))
+    assert(arr("cs_isnan(cs_div(array(0.0D), 0.0D))") == Seq(true))
+  }
+
+  test("lifted unary ops over series and scalars plan the same math") {
+    assert(arr("cs_abs(array(-1L,2L))") == Seq(1L, 2L))
+    assert(arr("cs_ceil(array(1.2D,2.8D))") == Seq(2L, 3L))
+    assert(sql1[Long]("cs_floor(2.9D)") == 2L)
+    assert(arr("cs_bit_not(array(0L,5L))") == Seq(-1L, -6L))
+    // cs_not: boolean negation, and x==0 over the reference's int conditions
+    assert(arr("cs_not(array(true, false))") == Seq(false, true))
+    assert(arr("cs_not(array(0L, 7L))") == Seq(true, false))
+  }
+
+  test("cs_const / cs_from_array / cs_empty / cs_as") {
+    // a scalar IS the constant series under the lifted calculus
+    assert(arr("cs_add(array(1L,2L), cs_const(10))") == Seq(11L, 12L))
+    assert(sql1[Float]("cs_const(3.14, 'float4')") == 3.14f)
+    assert(arr("cs_from_array(array(1.0D,2.0D))") == Seq(1.0, 2.0))
+    assert(sql1[Boolean]("cs_empty(CAST(array() AS ARRAY<BIGINT>))"))
+    assert(!sql1[Boolean]("cs_empty(array(1L))"))
+    assert(sql1[Int]("cs_as('42', 'int')") == 42)
+  }
+
+  test("cs_to_TYPE_array casts the carrier series to typed SQL arrays") {
+    assert(arr("cs_to_int4_array(array(1L,2L))") == Seq(1, 2))
+    assert(arr("cs_to_int2_array(array(3L))") == Seq(3.toShort))
+    assert(arr("cs_to_float4_array(array(1.5D))") == Seq(1.5f))
+    assert(arr("cs_to_varchar_array(array(1L,2L))").map(_.toString) == Seq("1", "2"))
+    assert(arr("cs_to_date_array(array(0L, 19000L))").map(_.toString)
+      == Seq("1970-01-01", "2022-01-08"))
+    assert(arr("cs_to_timestamp_array(array(0L))").map(_.toString)
+      == Seq("1970-01-01 00:00:00.0"))
+  }
 }
