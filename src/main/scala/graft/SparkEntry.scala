@@ -981,6 +981,18 @@ object SparkEntry {
         .select(col("run"), fl(col("run_sum")).as("run_sum"), col("run_count"),
           fl(col("run_first")).as("run_first"), fl(col("run_last")).as("run_last"))
     }),
+    "q_cs_dup" -> ((s, dir) => {
+      // the SQL-aggregate form of cs_hash_dup_count: the whole query is
+      // the reference's map-then-project shape (cs_project_agg over the
+      // grouped map), against the same oracle as the frame-level
+      // q_hash_dup_count
+      graft.sqlext.GraftFunctions.register(s)
+      Tables.read(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT group_by AS o_orderpriority, agg_val AS dup_count
+        FROM (SELECT cs_project_agg(cs_hash_dup_count(o_custkey, o_orderpriority, 3))
+              FROM orders_v)""")
+    }),
     "q_cs_lifted" -> ((s, dir) => {
       // the POLYMORPHIC scalar calculus (SeriesPolyFns): arithmetic, math,
       // comparisons and filter_pos lifted over one packed array series —
@@ -2026,6 +2038,12 @@ object SparkEntry {
            CAST(arg_min("value", pos) AS REAL) AS run_first,
            CAST(arg_max("value", pos) AS REAL) AS run_last
          FROM r GROUP BY 1""",
+    "q_cs_dup" ->
+      """SELECT o_orderpriority,
+           count(*) FILTER (WHERE occ >= 3) AS dup_count FROM (
+           SELECT o_orderpriority, o_custkey, count(*) AS occ
+           FROM orders GROUP BY 1, 2)
+         GROUP BY o_orderpriority""",
     "q_cs_lifted" ->
       s"""WITH s AS (SELECT pos, "value" FROM ($evPosSql)
              WHERE event_type = 'error' AND pos < 64),

@@ -195,3 +195,131 @@ object CsHashAgg {
     case _ => false
   }
 }
+
+/** cs_hash_dup_count(value, grp, min_occ) — per group, the number of
+  * DISTINCT values occurring at least min_occ times (the reference's
+  * nested per-group hash, func.c:5750-6215), as map<grp, count>. SQL twin
+  * of the frame-level Aggs.hashDupCount (whose two-phase groupBy remains
+  * the high-cardinality route); the buffer carries one occurrence counter
+  * per distinct (group, value) pair, partial/final merged like any
+  * TypedImperativeAggregate.
+  */
+case class CsHashDupCount(
+    value: Expression,
+    group: Expression,
+    minOccExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[String, mutable.HashMap[Double, Long]]] {
+
+  override def children: Seq[Expression] = Seq(value, group, minOccExpr)
+
+  private lazy val minOcc: Long = minOccExpr.eval(InternalRow.empty) match {
+    case n: Number => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"cs_hash_dup_count min_occ must be an integer literal, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!group.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        s"cs_hash_dup_count group key must be a string, got ${group.dataType.sql}")
+    else if (!value.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"cs_hash_dup_count value must be numeric, got ${value.dataType.sql}")
+    else if (!minOccExpr.foldable || !CsHashAgg.integral(minOccExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"cs_hash_dup_count min_occ must be an integer literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cs_hash_dup_count"
+
+  override def createAggregationBuffer(): mutable.HashMap[String, mutable.HashMap[Double, Long]] =
+    mutable.HashMap.empty
+
+  /** Same fail-loud dictionary bound as CsHashAgg, over distinct
+    * (group, value) PAIRS — the quantity the buffer actually stores.
+    */
+  private val maxPairs = 1 << 20
+  private def checkSize(n: Int): Unit =
+    if (n > maxPairs)
+      throw new IllegalStateException(
+        s"cs_hash_dup_count exceeded $maxPairs distinct (group, value) pairs; " +
+          "use the frame-level two-phase groupBy (Aggs.hashDupCount) for " +
+          "high-cardinality inputs")
+
+  override def update(
+      buf: mutable.HashMap[String, mutable.HashMap[Double, Long]],
+      input: InternalRow): mutable.HashMap[String, mutable.HashMap[Double, Long]] = {
+    val g = group.eval(input)
+    if (g != null) {
+      val v = value.eval(input)
+      if (v != null) {
+        val inner = buf.getOrElseUpdate(g.toString, mutable.HashMap.empty)
+        checkSize(inner.size)
+        val x = v.asInstanceOf[Number].doubleValue()
+        inner.update(x, inner.getOrElse(x, 0L) + 1L)
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      a: mutable.HashMap[String, mutable.HashMap[Double, Long]],
+      b: mutable.HashMap[String, mutable.HashMap[Double, Long]]): mutable.HashMap[String, mutable.HashMap[Double, Long]] = {
+    b.foreach { case (k, inner2) =>
+      val inner1 = a.getOrElseUpdate(k, mutable.HashMap.empty)
+      inner2.foreach { case (x, n2) =>
+        checkSize(inner1.size)
+        inner1.update(x, inner1.getOrElse(x, 0L) + n2)
+      }
+    }
+    a
+  }
+
+  override def eval(buf: mutable.HashMap[String, mutable.HashMap[Double, Long]]): Any = {
+    val ks = buf.keys.toArray.sorted
+    val keys = new GenericArrayData(ks.map(k => UTF8String.fromString(k): Any))
+    val vals = new GenericArrayData(ks.map { k =>
+      buf(k).valuesIterator.count(_ >= minOcc).toLong: Any
+    })
+    new ArrayBasedMapData(keys, vals)
+  }
+
+  override def serialize(buf: mutable.HashMap[String, mutable.HashMap[Double, Long]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, inner) =>
+      out.writeUTF(k)
+      out.writeInt(inner.size)
+      inner.foreach { case (x, n) => out.writeDouble(x); out.writeLong(n) }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, mutable.HashMap[Double, Long]] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val ng = in.readInt()
+    val buf = mutable.HashMap.empty[String, mutable.HashMap[Double, Long]]
+    (0 until ng).foreach { _ =>
+      val k = in.readUTF()
+      val nv = in.readInt()
+      val inner = mutable.HashMap.empty[Double, Long]
+      (0 until nv).foreach(_ => inner.update(in.readDouble(), in.readLong()))
+      buf.update(k, inner)
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CsHashDupCount =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CsHashDupCount =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CsHashDupCount =
+    copy(value = newChildren(0), group = newChildren(1), minOccExpr = newChildren(2))
+}

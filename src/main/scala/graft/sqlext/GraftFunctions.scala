@@ -121,6 +121,9 @@ object GraftFunctions {
     ("cs_hash_all", (c: Seq[Expression]) =>
       CsHashAgg("all", c(0), c(1)).toAggregateExpression(),
       "cs_hash_all(x, grp) - map<grp, bitwise AND of x>"),
+    ("cs_hash_dup_count", (c: Seq[Expression]) =>
+      CsHashDupCount(c(0), c(1), c(2)).toAggregateExpression(),
+      "cs_hash_dup_count(x, grp, min_occ) - map<grp, distinct x occurring >= min_occ times> (func.c:5750-6215)"),
     ("cs_project_agg", (c: Seq[Expression]) => {
       // explode the cs_hash_* map to (group_by, agg_val) rows — the
       // reference's cs_project_agg record-set (imcs--1.1.sql:1020-1028)

@@ -420,6 +420,22 @@ class SqlCalcSpec extends AnyFunSuite {
     assert(big.head().getMap[String, Long](0) == Map("a" -> 15L, "b" -> 5L))
   }
 
+  test("cs_hash_dup_count counts distinct values above the threshold per group") {
+    GraftFunctions.register(spark)
+    // group a: value 1 x3, value 2 x2, value 3 x1 -> threshold 2 keeps {1,2}
+    // group b: value 9 x2 -> keeps {9}
+    Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 3.0),
+      ("b", 9.0), ("b", 9.0))
+      .toDF("g", "x").createOrReplaceTempView("t_dup")
+    val m = spark.sql("SELECT cs_hash_dup_count(x, g, 2) AS d FROM t_dup").head()
+    assert(m.getMap[String, Long](0) == Map("a" -> 2L, "b" -> 1L))
+    // shuffle-merge path: occurrence counts must merge BEFORE thresholding
+    // (value 1 split 2+1 across partitions still counts once at >= 3)
+    val big = spark.sql(
+      "SELECT cs_hash_dup_count(x, g, 3) AS d FROM (SELECT /*+ REPARTITION(5) */ * FROM t_dup)")
+    assert(big.head().getMap[String, Long](0) == Map("a" -> 1L, "b" -> 0L))
+  }
+
   // ---- the polymorphic lifted calculus (SeriesPolyFns) ----
 
   test("lifted binary ops: zip truncates to the shorter series") {
