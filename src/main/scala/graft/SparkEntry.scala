@@ -392,6 +392,19 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           fl(col("value")).as("value"), fl(col("asof_value")).as("asof_value"))
     }),
+    "q_asof_exec" -> ((s, dir) => {
+      // the SAME as-of shape through the custom Catalyst operator
+      // (graft.plans.AsofMergeJoin): logical node + planner strategy +
+      // streaming per-partition merge exec; shares q_asof's oracle
+      val ev = Tables.read(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val r = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.plans.AsofMerge.asofJoin(l, r, Seq("user_id"), "ts", "value", "asof_value")
+        .select(col("user_id"), col("event_id"),
+          fl(col("value")).as("value"), fl(col("asof_value")).as("asof_value"))
+    }),
     "q_asof_keyless" -> ((s, dir) => {
       // keyless as-of over the GLOBAL series (the reference's default
       // single-series shape, func.c:4591-4662) — exercises the ranged
@@ -1654,6 +1667,12 @@ object SparkEntry {
          WHERE o_orderpriority = '1-URGENT'
          GROUP BY l_linestatus""",
     "q_asof" ->
+      """SELECT l.user_id, l.event_id, CAST(l."value" AS REAL) AS value,
+         CAST(r."value" AS REAL) AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q_asof_exec" ->
       """SELECT l.user_id, l.event_id, CAST(l."value" AS REAL) AS value,
          CAST(r."value" AS REAL) AS asof_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l

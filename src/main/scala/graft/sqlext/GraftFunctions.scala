@@ -470,10 +470,13 @@ object GraftFunctions {
   * surface for adding resolved functions cluster-wide).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder, usage) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.sqlext.GraftFunctions", name, usage),
         builder))
     }
+    // the custom as-of plan node (graft.plans.AsofMergeJoin)
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }

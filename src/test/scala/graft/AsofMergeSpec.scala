@@ -1,0 +1,119 @@
+package graft
+
+import graft.join.Align
+import graft.plans.{AsofMerge, AsofMergeJoinExec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom as-of plan node (graft.plans.AsofMergeJoin): semantics must
+  * be bit-identical to Align.asofJoin's union+window form on every shape,
+  * and the physical plan must actually be the custom exec (not a fallback).
+  */
+class AsofMergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val left = Seq(("k", 5L), ("k", 10L), ("k", 15L), ("k", 3L)).toDF("key", "ts")
+  val right = Seq(("k", 4L, "a"), ("k", 10L, "b"), ("k", 20L, "c")).toDF("key", "ts", "v")
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map(v => if (v == null) "∅" else v)).toSeq
+      .sortBy(_.mkString("|"))
+
+  private def assertSameAsUnionForm(l: DataFrame, r: DataFrame, keys: Seq[String],
+                                    inclusive: Boolean = true): Unit = {
+    val merge = AsofMerge.asofJoin(l, r, keys, "ts", "v", inclusive = inclusive)
+    val window = Align.asofJoinDir(l, r, keys, "ts", "v", "asof_value",
+      direction = -1, inclusive = inclusive)
+    assert(rows(merge) == rows(window))
+  }
+
+  test("merge exec matches the union+window form (keyed, inclusive)") {
+    assertSameAsUnionForm(left, right, Seq("key"))
+  }
+
+  test("merge exec matches the union+window form (strict boundary)") {
+    assertSameAsUnionForm(left, right, Seq("key"), inclusive = false)
+  }
+
+  test("multi-key groups, keys missing on one side, empty right") {
+    val l = Seq(("a", 1, 10L), ("a", 1, 20L), ("a", 2, 15L), ("b", 1, 5L))
+      .toDF("k1", "k2", "ts")
+    val r = Seq(("a", 1, 9L, "x"), ("a", 1, 15L, "y"), ("c", 9, 1L, "z"))
+      .toDF("k1", "k2", "ts", "v")
+    assertSameAsUnionForm(l, r, Seq("k1", "k2"))
+    assertSameAsUnionForm(l, r.filter(lit(false)), Seq("k1", "k2"))
+  }
+
+  test("NULL keys group together and NULL right values carry, as in the window form") {
+    val l = Seq((Some("k"), 10L), (None, 10L), (None, 20L)).toDF("key", "ts")
+    val r = Seq((Some("k"), 5L, Some("a")), (None, 4L, Some("n")),
+      (None, 15L, None: Option[String])).toDF("key", "ts", "v")
+    // NOTE the window form's last(ignoreNulls) SKIPS null-valued right rows
+    // while the merge carries them; align on non-null values only here and
+    // assert the null-valued-row case directly below
+    val merge = AsofMerge.asofJoin(l, r.filter(col("v").isNotNull), Seq("key"), "ts", "v")
+    val window = Align.asofJoin(l, r.filter(col("v").isNotNull), Seq("key"), "ts", "v")
+    assert(rows(merge) == rows(window))
+    // merge semantics: the latest right ROW wins even if its value is NULL —
+    // (null,10) carries "n" (ts 4), (null,20) carries the NULL at ts 15
+    val m2 = AsofMerge.asofJoin(l, r, Seq("key"), "ts", "v")
+      .orderBy(col("key").asc_nulls_first, col("ts"))
+      .select("asof_value").collect().map(_.get(0)).toSeq
+    assert(m2 == Seq("n", null, "a"))
+  }
+
+  test("self-join from one scan (duplicate exprIds) resolves") {
+    val ev = Seq(("u1", 1L, "signup", 7.0), ("u1", 5L, "purchase", 1.0),
+      ("u2", 2L, "purchase", 2.0)).toDF("user_id", "ts", "event_type", "value")
+    val l = ev.filter(col("event_type") === "purchase").select("user_id", "ts", "value")
+    val r = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("v"))
+    val out = AsofMerge.asofJoin(l, r, Seq("user_id"), "ts", "v").orderBy("user_id")
+      .select("asof_value").collect().map(_.get(0)).toSeq
+    assert(out == Seq(7.0, null))
+  }
+
+  test("keyless as-of runs (AllTuples single merge)") {
+    val l = Seq(Tuple1(7L)).toDF("ts")
+    val r = Seq((5L, 1.5), (6L, 2.5)).toDF("ts", "v")
+    val out = AsofMerge.asofJoin(l, r, Seq(), "ts", "v").head()
+    assert(out.getDouble(out.fieldIndex("asof_value")) == 2.5)
+  }
+
+  test("physical plan is AsofMergeJoinExec with one Exchange+Sort per side") {
+    val df = AsofMerge.asofJoin(left, right, Seq("key"), "ts", "v")
+    df.collect() // finalize any adaptive plan
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // QueryStageExec nodes are leaves; descend into their materialized plans
+    def deepCollect(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n } ++ p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+      }.flatMap(deepCollect)
+    val all = deepCollect(plan)
+    assert(all.count(_.isInstanceOf[AsofMergeJoinExec]) == 1,
+      s"expected the custom exec in:\n$plan")
+    assert(all.count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]) == 2,
+      s"expected a planted sort per side in:\n$plan")
+  }
+
+  test("random cross-validation against the window form") {
+    val rnd = new scala.util.Random(42)
+    val l = Seq.fill(300)((s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong))
+      .toDF("key", "ts")
+    val r = Seq.fill(200)((s"k${rnd.nextInt(6)}", rnd.nextInt(100).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toDouble) }
+      .toDF("key", "ts", "v")
+      // the window and merge forms only agree up to which equal-(key,ts)
+      // right row wins; keep right (key,ts)-unique as the series contract does
+      .groupBy("key", "ts").agg(max("v").as("v"))
+    assertSameAsUnionForm(l, r, Seq("key"))
+    assertSameAsUnionForm(l, r, Seq("key"), inclusive = false)
+  }
+}
