@@ -40,8 +40,10 @@ case class AsofJoinPlan(
     leftTs: Expression,
     rightTs: Expression,
     rightValues: Seq[Attribute],
-    inclusive: Boolean) extends BinaryNode {
+    inclusive: Boolean,
+    direction: Int = -1) extends BinaryNode {
   require(leftKeys.size == rightKeys.size, "as-of key arity mismatch")
+  require(direction == -1 || direction == 1, "direction must be -1 or +1")
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -55,8 +57,8 @@ case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lts, rts, vals, incl) =>
-      AsofMergeJoinExec(lk, rk, lts, rts, vals, incl,
+    case AsofJoinPlan(l, r, lk, rk, lts, rts, vals, incl, dir) =>
+      AsofMergeJoinExec(lk, rk, lts, rts, vals, incl, dir,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -81,6 +83,7 @@ case class AsofMergeJoinExec(
     rightTs: Expression,
     rightValues: Seq[Attribute],
     inclusive: Boolean,
+    direction: Int,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -94,9 +97,14 @@ case class AsofMergeJoinExec(
     if (leftKeys.isEmpty) AllTuples :: AllTuples :: Nil
     else ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  // direction +1 ("succeeding": earliest right ts >= left ts) is the exact
+  // mirror: scan ts DESCENDING, so "latest row not past the cursor" becomes
+  // the smallest qualifying ts — the same trick Align.asofJoinDir uses
+  private def tsDir = if (direction == -1) Ascending else Descending
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, tsDir),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, tsDir))
 
   // rows stream out in the left child's (keys, ts) sort order and keep its
   // partitioning — downstream sorts/aggs on the keys reuse both
@@ -106,6 +114,7 @@ case class AsofMergeJoinExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val incl = inclusive
+    val dir = direction
     val lOut = left.output
     val rOut = right.output
     val lk = leftKeys
@@ -142,8 +151,11 @@ case class AsofMergeJoinExec(
               // right rows for keys the left side has moved past: skip
               rCur = if (rIter.hasNext) rIter.next() else null
             } else if (c == 0 && {
-              val tc = tsOrd.compare(rTsGen(rCur), lTsRow)
-              if (incl) tc <= 0 else tc < 0
+              // signed compare in scan direction: dir=-1 advances while
+              // rTs <= lTs (ascending scan), dir=+1 while rTs >= lTs
+              // (descending scan) — both are tc*dir >= 0
+              val tc = tsOrd.compare(rTsGen(rCur), lTsRow) * dir
+              if (incl) tc >= 0 else tc > 0
             }) {
               carryVal = valGen(rCur).copy()
               carryKey = rKey.copy()
@@ -183,7 +195,22 @@ object AsofMerge {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
                valueCol: String, outCol: String = "asof_value",
-               inclusive: Boolean = true): DataFrame = {
+               inclusive: Boolean = true): DataFrame =
+    asofJoinDir(left, right, keys, ts, Seq(valueCol), Seq(outCol),
+      direction = -1, inclusive = inclusive)
+
+  /** Directional, multi-column form — the full
+    * [[graft.join.Align.asofJoinDir]] surface on the custom operator:
+    * every `valueCols(i)` from the matched right row lands in
+    * `outCols(i)`; direction −1 matches the latest right ts <= left ts,
+    * +1 the earliest right ts >= left ts (TABLE_join's direction enum,
+    * func.c:6494-6548). Carrying several columns costs one merge either
+    * way — the window form would pay one `last()` per column.
+    */
+  def asofJoinDir(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+                  valueCols: Seq[String], outCols: Seq[String],
+                  direction: Int = -1, inclusive: Boolean = true): DataFrame = {
+    require(valueCols.size == outCols.size, "valueCols/outCols arity mismatch")
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -204,8 +231,29 @@ object AsofMerge {
       keys.map(attr(rAttrs, _, "right")),
       attr(lPlan.output, ts, "left"),
       attr(rAttrs, ts, "right"),
-      Seq(attr(rAttrs, valueCol, "right")),
-      inclusive)
-    GraftPlanBridge.ofRows(spark, node).toDF(left.columns :+ outCol: _*)
+      valueCols.map(attr(rAttrs, _, "right")),
+      inclusive,
+      direction)
+    GraftPlanBridge.ofRows(spark, node).toDF(left.columns ++ outCols: _*)
+  }
+
+  /** Tolerance-bounded as-of on the custom operator — the kdb/pandas
+    * `tolerance=` semantics of [[graft.join.Align.asofJoinTol]]: the
+    * match is dropped when staler than `tolerance`. Composition: the
+    * merge carries (value, right ts) in one pass; the staleness gate is a
+    * plain Column on top. NULL-valued right rows neither match nor mask
+    * (filtered before the merge), matching the window form's
+    * last-ignoreNulls contract.
+    */
+  def asofJoinTol(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+                  valueCol: String, tolerance: org.apache.spark.sql.Column,
+                  outCol: String = "asof_value"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    asofJoinDir(left, right.filter(col(valueCol).isNotNull),
+      keys, ts, Seq(valueCol, ts), Seq(outCol, "__mts"))
+      .withColumn(outCol,
+        when(col("__mts").isNotNull && (col(ts) - col("__mts")) <= tolerance,
+          col(outCol)))
+      .drop("__mts")
   }
 }

@@ -103,6 +103,34 @@ class AsofMergeSpec extends AnyFunSuite {
       s"expected a planted sort per side in:\n$plan")
   }
 
+  test("direction +1 (succeeding) matches Align.asofJoinDir's mirror scan") {
+    for (incl <- Seq(true, false)) {
+      val merge = AsofMerge.asofJoinDir(left, right, Seq("key"), "ts",
+        Seq("v"), Seq("asof_value"), direction = 1, inclusive = incl)
+      val window = Align.asofJoinDir(left, right, Seq("key"), "ts", "v",
+        "asof_value", direction = 1, inclusive = incl)
+      assert(rows(merge) == rows(window), s"inclusive=$incl")
+    }
+  }
+
+  test("multi-column carry comes from ONE matched right row") {
+    val r2 = right.withColumn("w", concat(col("v"), lit("!")))
+    val out = AsofMerge.asofJoinDir(left, r2, Seq("key"), "ts",
+      Seq("v", "w"), Seq("av", "aw")).orderBy("ts")
+      .select("av", "aw").collect().map(r => (r.get(0), r.get(1))).toSeq
+    assert(out == Seq((null, null), ("a", "a!"), ("b", "b!"), ("b", "b!")))
+  }
+
+  test("tolerance gate matches Align.asofJoinTol") {
+    val l = Seq(("k", 5L), ("k", 30L), ("k", 21L)).toDF("key", "ts")
+    val r = Seq(("k", 4L, 1.0), ("k", 20L, 2.0)).toDF("key", "ts", "v")
+    for (tol <- Seq(1L, 5L, 100L)) {
+      val merge = AsofMerge.asofJoinTol(l, r, Seq("key"), "ts", "v", lit(tol))
+      val window = Align.asofJoinTol(l, r, Seq("key"), "ts", "v", lit(tol))
+      assert(rows(merge) == rows(window), s"tol=$tol")
+    }
+  }
+
   test("random cross-validation against the window form") {
     val rnd = new scala.util.Random(42)
     val l = Seq.fill(300)((s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong))
