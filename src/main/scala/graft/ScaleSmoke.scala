@@ -101,6 +101,22 @@ object ScaleSmoke {
       graft.join.Align.stretch0(l, r, Seq(), "ts", "value", lit(-1.0))
         .write.format("noop").mode("overwrite").save()
     }
+
+    // keyed as-of at scale: the union+window form vs the custom merge
+    // exec (graft.plans.AsofMergeJoin) on ~#orderkey keys — both one
+    // shuffle per side; the exec drops the union materialization, the
+    // window buffer, and the post-filter
+    val kl = li.select(col("l_orderkey").as("key"),
+      col("l_linenumber").cast("long").as("ts"), col("l_extendedprice").as("v"))
+    val kr = kl.select(col("key"), (col("ts") - 1).as("ts"), col("v"))
+    time("keyed as-of union+window") {
+      graft.join.Align.asofJoin(kl, kr, Seq("key"), "ts", "v")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("keyed as-of merge exec") {
+      graft.plans.AsofMerge.asofJoin(kl, kr, Seq("key"), "ts", "v")
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

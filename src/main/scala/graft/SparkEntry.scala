@@ -1299,6 +1299,14 @@ object SparkEntry {
         emb(s, dir).filter(col("vec_id") < 300)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
         "vec_id", "embedding", 0.3)),
+    "q_sem_dedup" -> ((s, dir) =>
+      // SemDeDup: keep one representative per embedding-near-dup component
+      // (exact pair generator here so the recursive-CTE oracle is exact;
+      // cosinePairsBucketed is the corpus-scale candidate path)
+      Dedup.semanticDedup(
+        emb(s, dir).filter(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        "vec_id", "embedding", 0.3)),
     "q_cos_lsh" -> ((s, dir) => {
       // scale path: multi-table RHP-LSH candidates + exact verify, asserted
       // against the exact all-pairs answer as a measured recall floor
@@ -2335,6 +2343,25 @@ object SparkEntry {
              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosd
            FROM p GROUP BY id1, id2)
          SELECT id1, id2, CAST(cosd AS REAL) AS cosine FROM c WHERE cosd >= 0.3""",
+    "q_sem_dedup" ->
+      """WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id < 300),
+         p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+             unnest(a.v) AS x, unnest(b.v) AS y
+           FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id),
+         c AS (SELECT id1, id2,
+             sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosd
+           FROM p GROUP BY id1, id2),
+         pairs AS (SELECT id1, id2 FROM c WHERE cosd >= 0.3),
+         e AS (SELECT id1 AS a, id2 AS b FROM pairs
+               UNION SELECT id2, id1 FROM pairs),
+         r AS (SELECT a, a AS m FROM (SELECT DISTINCT a FROM e)
+               UNION SELECT e.a, r.m FROM e JOIN r ON r.a = e.b),
+         comp AS (SELECT a AS vec_id, min(m) AS rep FROM r GROUP BY a)
+         SELECT v.vec_id, COALESCE(cp.rep, v.vec_id) AS representative,
+           (COALESCE(cp.rep, v.vec_id) = v.vec_id) AS keep
+         FROM (SELECT vec_id FROM embeddings WHERE vec_id < 300) v
+         LEFT JOIN comp cp USING (vec_id)""",
     "q_cos_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT a.vec_id AS i, b.vec_id AS j,

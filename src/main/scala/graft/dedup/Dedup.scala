@@ -406,4 +406,27 @@ object Dedup {
     }
     labels.withColumnRenamed("label", "cluster_id")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): keep ONE representative per group of
+    * embedding-near-duplicate documents. Composition of the pieces above:
+    * cosine near-dup pairs at `minCos` → connected components over the
+    * pair graph → the min-id member represents each component; documents
+    * in no pair represent themselves. Output: (id, representative, keep).
+    *
+    * `pairs` defaults to the EXACT all-pairs generator — the verify/oracle
+    * configuration, quadratic by nature. At corpus scale pass
+    * `cosinePairsBucketed(...)` (the RHP-LSH candidate path, Σbucket² not
+    * n²) — the keep/representative algebra downstream is identical.
+    */
+  def semanticDedup(df: DataFrame, id: String, vec: String, minCos: Double,
+                    pairs: Option[DataFrame] = None): DataFrame = {
+    val p = pairs.getOrElse(cosinePairs(df, id, vec, minCos))
+    val comps = connectedComponents(p).withColumnRenamed("id", id)
+    df.select(col(id))
+      .join(comps, Seq(id), "left")
+      .withColumn("representative", coalesce(col("cluster_id"), col(id)))
+      .withColumn("keep", col("representative") === col(id))
+      .select(col(id), col("representative"), col("keep"))
+  }
 }

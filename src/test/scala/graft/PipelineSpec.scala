@@ -94,6 +94,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(2) == ((2L, 0.0f)))
   }
 
+  test("semanticDedup keeps the min-id representative per cosine component") {
+    // 1 and 3 are colinear (cos 1.0 > τ), 5 joins 3 via a rotated-but-close
+    // vector, 2 is orthogonal: component {1,3,5} keeps 1; 2 keeps itself
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(2.0, 0.0)), (5L, Seq(1.0, 0.1))).toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedup(df, "vec_id", "embedding", 0.95)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(r == Seq((1L, 1L, true), (2L, 2L, true), (3L, 1L, false), (5L, 1L, false)))
+  }
+
   test("ivfAssign picks the max-dot centroid") {
     val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
     val cents = Seq((10, Seq(1.0, 0.0)), (20, Seq(0.0, 1.0)))
