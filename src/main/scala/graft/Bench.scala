@@ -24,7 +24,8 @@ object Bench {
     "q_cum_agg",     // BASELINE row 13: cs_cum_sum
     "q_window_agg",  // moving aggregates
     "q_topk",        // top-N
-    "q_asof",        // as-of alignment join
+    "q_asof",        // as-of alignment join (union+window form)
+    "q_asof_exec",   // same shape on the custom merge operator (graft.plans)
     "q_join",        // relational join path
     "q_ema",         // recursive indicator scan
     "q_dedup_exact", // content-hash dedup
