@@ -392,6 +392,21 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           fl(col("value")).as("value"), fl(col("asof_value")).as("asof_value"))
     }),
+    "q_range_join" -> ((s, dir) => {
+      // bucketized interval join: purchases landing in the 7 days after
+      // each signup, per user — the range becomes an equi-key (1-day
+      // slots), no nested-loop join anywhere in the plan
+      val ev = Tables.read(s, dir, "events")
+      val day = 86400L * 1000000000L
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("start"),
+          (col("ts") + lit(7 * day)).as("end"), col("event_id").as("signup_id"))
+      Align.rangeJoin(purchases, signups, Seq("user_id"), "ts",
+          "start", "end", bucket = day, rightCols = Seq("signup_id"))
+        .groupBy("signup_id").agg(count(lit(1)).as("n_in_window"))
+    }),
     "q_asof_exec" -> ((s, dir) => {
       // the SAME as-of shape through the custom Catalyst operator
       // (graft.plans.AsofMergeJoin): logical node + planner strategy +
@@ -1680,6 +1695,14 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
          ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q_range_join" ->
+      """SELECT s.event_id AS signup_id, count(*) AS n_in_window
+         FROM (SELECT * FROM events WHERE event_type = 'signup') s
+         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON p.user_id = s.user_id
+          AND epoch_ns(p.ts) >= epoch_ns(s.ts)
+          AND epoch_ns(p.ts) <= epoch_ns(s.ts) + 604800000000000
+         GROUP BY 1""",
     "q_asof_exec" ->
       """SELECT l.user_id, l.event_id, CAST(l."value" AS REAL) AS value,
          CAST(r."value" AS REAL) AS asof_value

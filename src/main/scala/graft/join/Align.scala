@@ -244,6 +244,43 @@ object Align {
     a.unionByName(b.select(cols.map(col): _*))
   }
 
+  /** Bucketized interval (range) join: left rows whose `ts` falls inside a
+    * right-side interval [start, end], with optional equality keys.
+    * Without this, Spark plans a pure inequality join as
+    * BroadcastNestedLoopJoin (O(n·m) and build-side-must-fit) and a
+    * keys+range join as an equi-join on the keys alone with the range as a
+    * post-filter — fine only when the keys are selective. Bucketizing the
+    * time axis turns the range itself into an equi-key: intervals
+    * replicate to every `bucket`-width slot they touch
+    * (`ceil(len/bucket)+1` rows), points map to one slot, and the join is
+    * an ordinary shuffled hash/sort-merge on (keys, slot) with the exact
+    * predicate re-checked after. A point matches an interval in EXACTLY
+    * one slot (the point's own), so no dedup pass is needed.
+    *
+    * Output: left columns + `start`/`end` + `rightCols`. `bucket` should
+    * be of the order of typical interval length: longer buckets mean fewer
+    * interval replicas but more false candidates per slot; at 100 TB the
+    * replication factor (interval_len/bucket) is the knob that keeps the
+    * shuffle linear. Integral division (`div`) keeps slot assignment exact
+    * at int64-nanosecond magnitudes, where a double-rounded `floor(ts/b)`
+    * can misbucket boundary timestamps (2^60 ns is past double's 53-bit
+    * integer range).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+                start: String, end: String, bucket: Long,
+                rightCols: Seq[String]): DataFrame = {
+    require(bucket > 0, s"bucket width must be positive, got $bucket")
+    val lb = left.withColumn("__slot", expr(s"`$ts` div ${bucket}L"))
+    val rb = right
+      .select((keys :+ start :+ end).map(col) ++ rightCols.map(col): _*)
+      .withColumn("__slot",
+        explode(sequence(expr(s"`$start` div ${bucket}L"),
+          expr(s"`$end` div ${bucket}L"))))
+    lb.join(rb, keys :+ "__slot")
+      .filter(col(ts) >= col(start) && col(ts) <= col(end))
+      .drop("__slot")
+  }
+
   /** Skew-salted inner equi-join: for hot keys whose rows overwhelm one
     * reducer and whose other side cannot broadcast. The large skewed side
     * gets a deterministic content-hash salt in [0, salt); the smaller side

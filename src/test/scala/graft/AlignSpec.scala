@@ -12,6 +12,35 @@ class AlignSpec extends AnyFunSuite {
   val left = Seq(("k", 5L), ("k", 10L), ("k", 15L), ("k", 3L)).toDF("key", "ts")
   val right = Seq(("k", 4L, "a"), ("k", 10L, "b"), ("k", 20L, "c")).toDF("key", "ts", "v")
 
+  test("rangeJoin equals the plain inequality join, boundaries inclusive") {
+    // intervals crossing slot boundaries, ts exactly at start/end, a
+    // no-key-match row, and an interval shorter than one slot
+    val pts = Seq(("u", 10L), ("u", 100L), ("u", 250L), ("u", 9L),
+      ("v", 100L), ("w", 100L)).toDF("key", "ts")
+    val ivs = Seq(("u", 10L, 250L, "A"), ("u", 240L, 260L, "B"),
+      ("v", 90L, 110L, "C"), ("x", 0L, 999L, "D")).toDF("key", "start", "end", "tag")
+    for (bucket <- Seq(3L, 100L, 1000L)) {
+      val got = Align.rangeJoin(pts, ivs, Seq("key"), "ts", "start", "end",
+        bucket, Seq("tag")).select("key", "ts", "tag").collect()
+        .map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      val want = pts.join(ivs, Seq("key"))
+        .filter(col("ts") >= col("start") && col("ts") <= col("end"))
+        .select("key", "ts", "tag").collect()
+        .map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      assert(got == want, s"bucket=$bucket")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("rangeJoin with no keys (pure range join)") {
+    val pts = Seq(Tuple1(5L), Tuple1(50L)).toDF("ts")
+    val ivs = Seq((0L, 10L, "lo"), (40L, 60L, "hi"), (100L, 200L, "none"))
+      .toDF("start", "end", "tag")
+    val got = Align.rangeJoin(pts, ivs, Seq(), "ts", "start", "end", 7L, Seq("tag"))
+      .select("ts", "tag").as[(Long, String)].collect().toSeq.sorted
+    assert(got == Seq((5L, "lo"), (50L, "hi")))
+  }
+
   test("asofJoin: latest right value with ts <= left ts, inclusive") {
     val r = Align.asofJoin(left, right, Seq("key"), "ts", "v").orderBy("ts")
       .select("ts", "asof_value").collect()
