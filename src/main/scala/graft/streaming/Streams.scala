@@ -132,6 +132,34 @@ object Streams {
       .withWatermark("ets", delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Watermarked stream-stream interval join — the streaming twin of
+    * [[graft.join.Align.rangeJoin]]'s q_range_join shape: purchases on one
+    * stream match signups on the other when they fall inside
+    * [signup ts, signup ts + windowSeconds] for the same user. A
+    * stream-stream inner join with a time-range condition is the canonical
+    * Structured Streaming topology for event correlation at ingest scale:
+    * BOTH sides' buffered state is bounded by watermark + range span, and
+    * matches emit in Append mode as soon as both rows have arrived.
+    */
+  def intervalJoinStream(spark: SparkSession, path: String, schema: StructType,
+                         windowSeconds: Long, delay: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream.schema(schema).parquet(path).withColumn("ets", etsCol)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ets").as("p_ets"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ets", delay)
+    val signups = src.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ets").as("s_ets"),
+        col("event_id").as("signup_id"))
+      .withWatermark("s_ets", delay)
+    purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("p_ets") >= col("s_ets") &&
+        col("p_ets") <= col("s_ets") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("signup_id"), col("purchase_id"))
+  }
+
   /** Drain a streaming aggregation with Trigger.AvailableNow into an
     * in-memory table and return it as a batch DataFrame. Complete mode so
     * the final (still-open) windows are emitted too — the batch comparison

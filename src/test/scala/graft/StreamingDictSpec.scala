@@ -177,6 +177,31 @@ class StreamingDictSpec extends AnyFunSuite {
     assert(got.select("fp").distinct().count() == 3)
   }
 
+  test("stream-stream interval join equals the batch inequality join") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_ivj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val ev = graft.io.Tables.read(spark, sfDir, "events")
+    val got = Streams.runAvailableNow(
+      Streams.intervalJoinStream(spark, dir.toString, ev.schema, 7 * 86400L),
+      "t_interval_join", org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("signup_id", "purchase_id")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("pus"),
+        col("event_id").as("purchase_id"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), expr("ts div 1000").as("sus"),
+        col("event_id").as("signup_id"))
+    // batch twin on the same µs-truncated event time
+    val batch = p.join(s, Seq("user_id"))
+      .filter(col("pus") >= col("sus") &&
+        col("pus") <= col("sus") + lit(7 * 86400L * 1000000L))
+      .select("signup_id", "purchase_id")
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("saltedEquiJoin equals the plain inner join") {
     val big = (1 to 500).map(i => (i % 3L, i.toLong)).toDF("k", "v")
     val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (2L, "c2")).toDF("k", "tag")
