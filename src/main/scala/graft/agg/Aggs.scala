@@ -124,15 +124,15 @@ object Aggs {
                intVal: Option[String] = None): DataFrame = {
     val withRun = attachRunId(df, keys, groupVal)
     val grp = (keys :+ "run_id").map(col)
+    // avg/dev derived in the projection — see gridAgg's note
     val base = Seq(
       first(col(groupVal)).as("group_val"),
       count(lit(1)).as("grp_count"),
+      count(col(value)).as("__nv"),
       sum(col(value)).as("grp_sum"),
       min(col(value)).as("grp_min"),
       max(col(value)).as("grp_max"),
-      avg(col(value)).as("grp_avg"),
       var_pop(col(value)).as("grp_var"),
-      stddev_pop(col(value)).as("grp_dev"),
       min_by(col(value), col("pos")).as("grp_first"),
       max_by(col(value), col("pos")).as("grp_last"))
     val bitAggs = intVal.toSeq.flatMap { iv =>
@@ -143,6 +143,9 @@ object Aggs {
         approx_count_distinct(col(iv)).as("grp_adc"))
     }
     withRun.groupBy(grp: _*).agg(base.head, (base.tail ++ bitAggs): _*)
+      .withColumn("grp_avg", col("grp_sum") / col("__nv"))
+      .withColumn("grp_dev", sqrt(col("grp_var")))
+      .drop("__nv")
   }
 
   /** Windowed run-group aggregate — cs_win_group_* (func.c:6594-6790):
@@ -160,7 +163,8 @@ object Aggs {
       .withColumn("wg_avg", avg(col(value)).over(w))
       .withColumn("wg_count", count(lit(1)).over(w))
       .withColumn("wg_var", var_pop(col(value)).over(w))
-      .withColumn("wg_dev", stddev_pop(col(value)).over(w))
+      // sqrt of the var column, not a second windowed Welford buffer
+      .withColumn("wg_dev", sqrt(col("wg_var")))
       .withColumn("wg_first", min_by(col(value), col("pos")).over(w))
       .withColumn("wg_last", max_by(col(value), col("pos")).over(w))
     intVal.fold(base) { iv =>
@@ -174,15 +178,22 @@ object Aggs {
     */
   def gridAgg(df: DataFrame, keys: Seq[String], value: String, step: Long): DataFrame = {
     val grp = (keys.map(col) :+ floor(col("pos") / step).as("grid"))
+    // avg and dev are DERIVED in the projection (sum/count(value) and
+    // sqrt(var) — the exact formulas the dedicated aggregates finalize
+    // with, so values are bit-identical): 5 accumulated states per group
+    // instead of 7, dropping a duplicate Welford buffer and a duplicate
+    // (sum, count) pair from every partial-agg row at scale
     df.groupBy(grp: _*)
       .agg(
         count(lit(1)).as("grid_count"),
+        count(col(value)).as("__nv"),
         sum(col(value)).as("grid_sum"),
-        avg(col(value)).as("grid_avg"),
         min(col(value)).as("grid_min"),
         max(col(value)).as("grid_max"),
-        var_pop(col(value)).as("grid_var"),
-        stddev_pop(col(value)).as("grid_dev"))
+        var_pop(col(value)).as("grid_var"))
+      .withColumn("grid_avg", col("grid_sum") / col("__nv"))
+      .withColumn("grid_dev", sqrt(col("grid_var")))
+      .drop("__nv")
   }
 
   /** Cumulative aggregates — cs_cum_sum/avg/min/max/prd (func.c:1791-1887).
