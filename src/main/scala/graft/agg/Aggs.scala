@@ -237,7 +237,8 @@ object Aggs {
         .withColumn("cum_max", max(col(value)).over(w))
         .withColumn("cum_count", count(lit(1)).over(w))
         .withColumn("cum_var", var_pop(col(value)).over(w))
-        .withColumn("cum_dev", stddev_pop(col(value)).over(w))
+        // sqrt of the var column, not a second windowed Welford buffer
+        .withColumn("cum_dev", sqrt(col("cum_var")))
     }
 
   /** Fixed-bin histogram — cs_histogram (func.c:4062-4133): counts of

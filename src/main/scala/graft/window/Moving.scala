@@ -199,7 +199,8 @@ object Moving {
       .withColumn("w_min", min(v).over(w))
       .withColumn("w_max", max(v).over(w))
       .withColumn("w_var", var_pop(v).over(w))
-      .withColumn("w_dev", stddev_pop(v).over(w))
+      // sqrt of the var column, not a second windowed Welford buffer
+      .withColumn("w_dev", sqrt(col("w_var")))
       .withColumn("w_avg_ref", sum(v).over(w) / n)
       .withColumn("w_var_ref", refVar)
       .withColumn("w_dev_ref", sqrt(greatest(refVar, lit(0.0))))
