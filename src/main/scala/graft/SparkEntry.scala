@@ -589,6 +589,22 @@ object SparkEntry {
       Moving.cumProd(evSeries(s, dir).filter(col("event_type") === "purchase" && col("pos") < 15),
           Seq("event_type"), "value")
         .select(col("pos"), fl(col("cum_prd")).as("cum_prd"))),
+    "q_sketch_rollup" -> ((s, dir) => {
+      // mergeable sketch rollup: per-(event_type, day) HLL sketches built
+      // once, UNIONED up to event_type at query time — the raw rows are
+      // only scanned during the rollup build. Same bounded-error contract
+      // as q_approxdc (Datasketches lgK=12 rsd ≈ 1.6%; bound 5%).
+      val ev = Tables.read(s, dir, "events")
+      val buckets = Aggs.sketchRollup(
+        ev.withColumn("day", expr("ts div 86400000000000")),
+        Seq("event_type", "day"), "user_id")
+      Aggs.sketchEstimate(buckets, Seq("event_type"))
+        .join(ev.groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("exact_dc")), Seq("event_type"))
+        .select(col("event_type"), col("exact_dc"),
+          (abs(col("approx_dc") - col("exact_dc")) / col("exact_dc") < 0.05)
+            .as("within_tol"))
+    }),
     "q_approxdc" -> ((s, dir) =>
       // HLL bounded-error contract: the oracle computes the exact distinct
       // count; Spark asserts its HLL estimate lands within tolerance
@@ -2334,6 +2350,9 @@ object SparkEntry {
          SELECT a AS doc_id, min(m) AS cluster_id FROM r GROUP BY a""",
     "q_approxdc" ->
       "SELECT count(DISTINCT l_partkey) AS exact_dc, true AS within_tol FROM lineitem",
+    "q_sketch_rollup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_dc,
+         true AS within_tol FROM events GROUP BY 1""",
     "q_hash_approxdc" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_dc, true AS within_tol
          FROM lineitem GROUP BY 1""",

@@ -59,6 +59,29 @@ object Aggs {
     */
   def approxdc(c: Column): Column = approx_count_distinct(c)
 
+  /** Mergeable distinct-count sketch rollup — the 100 TB pre-aggregation
+    * pattern the reference's single-node HLL (func.c:4975-5074) cannot
+    * express: build one Datasketches HLL per (bucketKeys) partition of the
+    * data ONCE (`hll_sketch_agg` → binary column, storable as a parquet
+    * rollup table), then answer any coarser distinct-count query by
+    * UNIONING sketches (`hll_union_agg`) instead of rescanning raw rows.
+    * Returns the bucket sketch frame; [[sketchEstimate]] finalizes a
+    * (re-grouped) union to counts.
+    */
+  def sketchRollup(df: DataFrame, bucketKeys: Seq[String], value: String,
+                   lgK: Int = 12): DataFrame =
+    df.groupBy(bucketKeys.map(col): _*)
+      .agg(hll_sketch_agg(col(value), lit(lgK)).as("dc_sketch"))
+
+  /** Union pre-built bucket sketches up to `groupKeys` and estimate. */
+  def sketchEstimate(sketches: DataFrame, groupKeys: Seq[String]): DataFrame = {
+    val merged =
+      if (groupKeys.isEmpty) sketches.agg(hll_union_agg(col("dc_sketch")).as("__u"))
+      else sketches.groupBy(groupKeys.map(col): _*)
+        .agg(hll_union_agg(col("dc_sketch")).as("__u"))
+    merged.withColumn("approx_dc", hll_sketch_estimate(col("__u"))).drop("__u")
+  }
+
   /** Per-group distinct-with-threshold count — cs_hash_dup_count
     * (func.c:5750-6215): for each group, how many distinct values occur at
     * least minOcc times. Two-level aggregation = two shuffles, but the first

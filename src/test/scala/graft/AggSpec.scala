@@ -44,6 +44,20 @@ class AggSpec extends AnyFunSuite {
     assert(math.abs(r - expected) < 1e-12)
   }
 
+  test("sketch rollup: unioned bucket sketches estimate the true distinct count") {
+    // 3 buckets with overlapping membership (uid = 7i mod 60: each bucket
+    // sees a 20-element subcycle, all 60 appear overall): union must dedup
+    // ACROSS buckets, not sum the per-bucket counts
+    val df = (0 until 120).map(i => (i % 3, (i * 7) % 60L)).toDF("bucket", "uid")
+    val sk = Aggs.sketchRollup(df, Seq("bucket"), "uid")
+    assert(sk.count() == 3)
+    val total = Aggs.sketchEstimate(sk, Seq()).head().getLong(0)
+    assert(total == 60L) // HLL is exact far below 2^lgK registers
+    val per = Aggs.sketchEstimate(sk, Seq("bucket")).orderBy("bucket")
+      .select("approx_dc").as[Long].collect().toSeq
+    assert(per == Seq(20L, 20L, 20L))
+  }
+
   test("run-group aggregates group adjacent equal values (cs_group_*)") {
     val df = Series.attachPos(
       Seq((1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "a", 4.0), (5, "a", 5.0))
