@@ -1330,6 +1330,14 @@ object SparkEntry {
         emb(s, dir).filter(col("vec_id") < 300)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
         "vec_id", "embedding", 0.3)),
+    "q_decontaminate" -> ((s, dir) => {
+      // n-gram decontamination: flag training docs (id < 480) sharing any
+      // 12-char normalized shingle with the held-out benchmark slice
+      val d = docs(s, dir)
+      Dedup.contaminationFlags(
+        d.filter(col("doc_id") < 480), d.filter(col("doc_id") >= 480),
+        "doc_id", "text", 12)
+    }),
     "q_sem_dedup" -> ((s, dir) =>
       // SemDeDup: keep one representative per embedding-near-dup component
       // (exact pair generator here so the recursive-CTE oracle is exact;
@@ -2385,6 +2393,21 @@ object SparkEntry {
              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosd
            FROM p GROUP BY id1, id2)
          SELECT id1, id2, CAST(cosd AS REAL) AS cosine FROM c WHERE cosd >= 0.3""",
+    "q_decontaminate" ->
+      s"""WITH cand AS (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id < 480),
+         bench AS (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id >= 480),
+         cs AS (SELECT doc_id, list_distinct(list_filter(
+             [substr(norm, i, 12) FOR i IN range(1, greatest(len(norm) - 10, 2))],
+             x -> len(x) = 12)) AS s
+           FROM cand),
+         bs AS (SELECT DISTINCT g FROM (
+           SELECT unnest(list_distinct(list_filter(
+             [substr(norm, i, 12) FOR i IN range(1, greatest(len(norm) - 10, 2))],
+             x -> len(x) = 12))) AS g FROM bench)),
+         hit AS (SELECT DISTINCT c.doc_id FROM
+           (SELECT doc_id, unnest(s) AS g FROM cs) c JOIN bs USING (g))
+         SELECT cand.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
+         FROM cand LEFT JOIN hit USING (doc_id)""",
     "q_sem_dedup" ->
       """WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings WHERE vec_id < 300),

@@ -407,6 +407,33 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** Benchmark decontamination flags: a training document sharing ANY
+    * length-`shingleLen` normalized character shingle with the benchmark
+    * corpus is contaminated — the n-gram-overlap test used to strip eval
+    * data from training sets (GPT-3 appendix C / PaLM-style n-gram
+    * decontamination, char shingles on the same normalize+shingle
+    * machinery as the near-dup family). The benchmark side collapses to a
+    * DISTINCT shingle set (small — benchmarks are thousands of docs, not
+    * billions); the training side left-semi-joins its exploded shingles
+    * against it, so the scan of the big corpus is one pass and the join
+    * broadcasts whenever the benchmark set fits. Output: (id,
+    * contaminated) for every input doc, shingle-less docs flagged false.
+    */
+  def contaminationFlags(docs: DataFrame, bench: DataFrame, id: String,
+                         text: String, shingleLen: Int): DataFrame = {
+    val benchShingles = shingleSets(bench, id, text, shingleLen)
+      .select(explode(col("sh")).as("g")).distinct()
+    val hits = shingleSets(docs, id, text, shingleLen)
+      .select(col(id), explode(col("sh")).as("g"))
+      .join(benchShingles, Seq("g"), "left_semi")
+      .select(col(id)).distinct()
+      .withColumn("__hit", lit(true))
+    docs.select(col(id))
+      .join(hits, Seq(id), "left")
+      .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
+      .drop("__hit")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): keep ONE representative per group of
     * embedding-near-duplicate documents. Composition of the pieces above:

@@ -94,6 +94,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(2) == ((2L, 0.0f)))
   }
 
+  test("contaminationFlags marks docs sharing a benchmark shingle") {
+    val train = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about databases and sparks"),
+      (3L, "zz")). // shorter than the shingle length -> never contaminated
+      toDF("doc_id", "text")
+    val bench = Seq((100L, "Benchmark asks: quick brown fox jumps?")).toDF("doc_id", "text")
+    val r = Dedup.contaminationFlags(train, bench, "doc_id", "text", 12)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(r == Seq((1L, true), (2L, false), (3L, false)))
+  }
+
   test("semanticDedup keeps the min-id representative per cosine component") {
     // 1 and 3 are colinear (cos 1.0 > τ), 5 joins 3 via a rotated-but-close
     // vector, 2 is orthogonal: component {1,3,5} keeps 1; 2 keeps itself
