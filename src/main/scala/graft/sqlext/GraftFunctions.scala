@@ -422,6 +422,18 @@ object GraftFunctions {
       "cs_const(v[, 'type']) - constant series: a scalar broadcasts across any series operand"),
     ("cs_from_array", (c: Seq[Expression]) => c(0),
       "cs_from_array(arr) - identity: an ARRAY already is the series representation (func.c:1153-1201)"),
+    // cs_to_array / cs_as_array (imcs--1.1.sql:1045-1058): the reverse
+    // direction is equally the identity here. The remaining unregistered
+    // imcs--1.1.sql names are deliberate: per-type/operand-order overload
+    // shims (cs_add_num_seq, cs_eq_str, ...) exist only because PG lacks
+    // polymorphic dispatch - the generic cs_* builders here dispatch on
+    // argument types at analysis; tid/storage/introspection plumbing
+    // (cs_get_tid, cs_create, cs_used_memory, ...) is N/A per SURVEY
+    // section 8; dictionary codes are frame-level (text/Dict.scala).
+    ("cs_to_array", (c: Seq[Expression]) => c(0),
+      "cs_to_array(series) - identity: the series carrier IS a SQL array (imcs--1.1.sql:1045)"),
+    ("cs_as_array", (c: Seq[Expression]) => c(0),
+      "cs_as_array(series) - identity alias of cs_to_array (imcs--1.1.sql:1045-1058)"),
     ("cs_empty", (c: Seq[Expression]) => EqualTo(Size(c(0)), Literal(0)),
       "cs_empty(arr) - true when the series has no elements (imcs.c:3613-3667)"),
     ("cs_as", (c: Seq[Expression]) => {
