@@ -74,6 +74,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoin equals the inequality join on random intervals and bucket widths") {
+    val rnd = new scala.util.Random(1234)
+    val pts = Seq.fill(400)((s"k${rnd.nextInt(4)}", rnd.nextInt(1000).toLong))
+      .toDF("key", "ts")
+    val ivs = Seq.fill(120) {
+      val s = rnd.nextInt(1000).toLong
+      (s"k${rnd.nextInt(5)}", s, s + rnd.nextInt(150).toLong, rnd.nextInt(1000000))
+    }.toDF("key", "start", "end", "tag")
+    val want = pts.join(ivs, Seq("key"))
+      .filter(col("ts") >= col("start") && col("ts") <= col("end"))
+      .select("key", "ts", "tag").collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    for (bucket <- Seq(1L, 37L, 128L, 5000L)) {
+      val got = graft.join.Align.rangeJoin(pts, ivs, Seq("key"), "ts",
+        "start", "end", bucket, Seq("tag"))
+        .select("key", "ts", "tag").collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      assert(got == want, s"bucket=$bucket")
+    }
+    assert(want.nonEmpty)
+  }
+
   test("rsi matches a sequential reference computation") {
     val xs = series(60, 55L)
     val n = 14
