@@ -1245,6 +1245,11 @@ object SparkEntry {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok").asc)
         .limit(20)),
+    "q_tfidf" -> ((s, dir) =>
+      // top-3 tf-idf terms per doc over the doc_id<50 slice (df computed
+      // over the same slice — self-consistent corpus)
+      TextOps.tfidfTopTerms(docs(s, dir).filter(col("doc_id") < 50),
+        "doc_id", "text", 3)),
     "q_sample" -> ((s, dir) =>
       // deterministic hash-based stratified sampling: downsample the
       // high-resource language, keep all of the lowest-resource one —
@@ -2393,6 +2398,19 @@ object SparkEntry {
              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosd
            FROM p GROUP BY id1, id2)
          SELECT id1, id2, CAST(cosd AS REAL) AS cosine FROM c WHERE cosd >= 0.3""",
+    "q_tfidf" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id < 50),
+         t AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM d),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+                WHERE len(term) > 0 GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM d),
+         s AS (SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df) AS score
+           FROM tf JOIN dfq USING (term), n),
+         r AS (SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
+         SELECT doc_id, term, CAST(score AS REAL) AS tfidf FROM r WHERE rn <= 3""",
     "q_decontaminate" ->
       s"""WITH cand AS (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id < 480),
          bench AS (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id >= 480),

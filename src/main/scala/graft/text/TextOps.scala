@@ -161,6 +161,34 @@ object TextOps {
     * text that poisons training data. Pure array expressions — one
     * map-only pass, no explode, no shuffle.
     */
+  /** TF-IDF top-k terms per document over the given corpus: tf from one
+    * explode + two-phase hash agg (map-side partials absorb token skew),
+    * df from a second agg over the (doc, term) frame (already
+    * deduplicated per doc, so hot terms contribute one row per doc, not
+    * per occurrence), idf = ln(N/df) with N carried as a broadcast 1-row
+    * frame (no driver collect), per-doc top-k via windowed rank
+    * partitioned by doc — k survivors per doc at any corpus size.
+    * Deterministic tiebreak on the term. The classic relevance/quality
+    * weighting for corpus curation; the same frame feeds keyword-based
+    * filtering or near-dup support.
+    */
+  def tfidfTopTerms(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df
+      .select(col(id), explode(split(normalizedText(col(text)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(id)).orderBy(col("__score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("__score", col("tf") * log(col("__n") / col("df")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(id), col("term"), col("__score").cast("float").as("tfidf"))
+  }
+
   def repetitionSignals(df: DataFrame, text: String): DataFrame = {
     val withToks = df.withColumn("__toks", split(trim(col(text)), "\\s+"))
     val toks = col("__toks")

@@ -27,6 +27,21 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(out(2) == ((3L, 0, 0, 0, "nothing sensitive here")))
   }
 
+  test("tfidfTopTerms: hand-computed fixture with per-doc top-k and tiebreak") {
+    // N=3; df: apple 1, banana 2, cherry 1, durian 1
+    // doc1: apple 2·ln3 ≈ 2.197 > banana ln1.5 ≈ 0.405
+    val docsDf = Seq((1L, "Apple banana apple!"), (2L, "banana cherry"),
+      (3L, "durian durian")).toDF("doc_id", "text")
+    val r = TextOps.tfidfTopTerms(docsDf, "doc_id", "text", 2)
+      .orderBy("doc_id", "term").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getFloat(2))).toSeq
+    def ln(x: Double) = math.log(x).toFloat
+    assert(r.map(t => (t._1, t._2)) ==
+      Seq((1L, "apple"), (1L, "banana"), (2L, "banana"), (2L, "cherry"), (3L, "durian")))
+    assert(math.abs(r.head._3 - 2 * ln(3.0)) < 1e-5)
+    assert(math.abs(r(1)._3 - ln(1.5)) < 1e-5)
+  }
+
   test("repetitionSignals: hand-computed fixture") {
     // "a a a b" : 4 words, 2 distinct, top word 3/4; bigrams
     // [a a, a a, a b] -> top bigram 2/3
