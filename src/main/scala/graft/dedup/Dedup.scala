@@ -27,13 +27,20 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  /** Exact dedup: keep one row (lowest id) per normalized content. */
+  /** Exact dedup: keep one row (lowest id) per normalized content.
+    * min_by over a struct of the row, NOT a window row_number: the hash
+    * aggregate gets a map-side partial pass, so duplicate rows collapse
+    * BEFORE the shuffle — shuffle volume is one row per distinct
+    * fingerprint, where the window form shuffles and sorts every input
+    * row. At a dedup-worthy corpus (high dup ratio) that is the dominant
+    * cost difference.
+    */
   def exactDedup(df: DataFrame, id: String, text: String): DataFrame = {
-    val w = Window.partitionBy(col("fp")).orderBy(col(id))
+    val cols = df.columns.toSeq
     df.withColumn("fp", TextOps.fingerprint(col(text)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "fp")
+      .groupBy(col("fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(id)).as("__keep"))
+      .select(cols.map(c => col(s"__keep.`$c`")): _*)
   }
 
   /** Deterministic MinHash signature of a shingle set.
