@@ -1245,6 +1245,23 @@ object SparkEntry {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok").asc)
         .limit(20)),
+    "q_curation" -> ((s, dir) => {
+      // END-TO-END curation pipeline in ONE plan: exact-dedup keep-one →
+      // benchmark decontamination → minimum-length gate → per-language
+      // corpus stats. The composition a 100 TB preprocessing job runs
+      // nightly; every stage is the gated operator above, chained.
+      val d = docs(s, dir)
+      val train = d.filter(col("doc_id") < 480)
+      val bench = d.filter(col("doc_id") >= 480)
+      val kept = Dedup.exactDedup(train, "doc_id", "text")
+      val clean = Dedup.contaminationFlags(train, bench, "doc_id", "text", 30)
+        .filter(!col("contaminated")).select("doc_id")
+      kept.join(clean, "doc_id")
+        .filter(TextOps.tokenCountWs(col("text")) >= 5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCountWs(col("text"))).as("n_tokens"))
+    }),
     "q_tfidf" -> ((s, dir) =>
       // top-3 tf-idf terms per doc over the doc_id<50 slice (df computed
       // over the same slice — self-consistent corpus)
@@ -1337,11 +1354,12 @@ object SparkEntry {
         "vec_id", "embedding", 0.3)),
     "q_decontaminate" -> ((s, dir) => {
       // n-gram decontamination: flag training docs (id < 480) sharing any
-      // 12-char normalized shingle with the held-out benchmark slice
+      // 30-char normalized shingle with the held-out benchmark slice (the
+      // usual ~13-token overlap test; short shingles flag generic phrases)
       val d = docs(s, dir)
       Dedup.contaminationFlags(
         d.filter(col("doc_id") < 480), d.filter(col("doc_id") >= 480),
-        "doc_id", "text", 12)
+        "doc_id", "text", 30)
     }),
     "q_sem_dedup" -> ((s, dir) =>
       // SemDeDup: keep one representative per embedding-near-dup component
@@ -2398,6 +2416,25 @@ object SparkEntry {
              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosd
            FROM p GROUP BY id1, id2)
          SELECT id1, id2, CAST(cosd AS REAL) AS cosine FROM c WHERE cosd >= 0.3""",
+    "q_curation" ->
+      s"""WITH train AS (SELECT *, $normSql AS norm FROM documents WHERE doc_id < 480),
+         bench AS (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id >= 480),
+         keep AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY norm),
+         bs AS (SELECT DISTINCT g FROM (
+           SELECT unnest(list_distinct(list_filter(
+             [substr(norm, i, 30) FOR i IN range(1, greatest(len(norm) - 28, 2))],
+             x -> len(x) = 30))) AS g FROM bench)),
+         hit AS (SELECT DISTINCT c.doc_id FROM (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             [substr(norm, i, 30) FOR i IN range(1, greatest(len(norm) - 28, 2))],
+             x -> len(x) = 30))) AS g FROM train) c JOIN bs USING (g)),
+         kept AS (SELECT t.* FROM train t
+           JOIN keep USING (doc_id)
+           WHERE t.doc_id NOT IN (SELECT doc_id FROM hit)
+             AND len(regexp_split_to_array(trim(t.text), '\\s+')) >= 5)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+         FROM kept GROUP BY 1""",
     "q_tfidf" ->
       s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id < 50),
          t AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM d),
@@ -2415,13 +2452,13 @@ object SparkEntry {
       s"""WITH cand AS (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id < 480),
          bench AS (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id >= 480),
          cs AS (SELECT doc_id, list_distinct(list_filter(
-             [substr(norm, i, 12) FOR i IN range(1, greatest(len(norm) - 10, 2))],
-             x -> len(x) = 12)) AS s
+             [substr(norm, i, 30) FOR i IN range(1, greatest(len(norm) - 28, 2))],
+             x -> len(x) = 30)) AS s
            FROM cand),
          bs AS (SELECT DISTINCT g FROM (
            SELECT unnest(list_distinct(list_filter(
-             [substr(norm, i, 12) FOR i IN range(1, greatest(len(norm) - 10, 2))],
-             x -> len(x) = 12))) AS g FROM bench)),
+             [substr(norm, i, 30) FOR i IN range(1, greatest(len(norm) - 28, 2))],
+             x -> len(x) = 30))) AS g FROM bench)),
          hit AS (SELECT DISTINCT c.doc_id FROM
            (SELECT doc_id, unnest(s) AS g FROM cs) c JOIN bs USING (g))
          SELECT cand.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
