@@ -8,10 +8,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Plans {
   val auditSet: Seq[String] = Seq(
-    "q1_agg", "q_join", "q_asof", "q_sort_pos", "q_grid_agg",
-    "q_window_agg", "q_cum_agg", "q_ema", "q_dedup_exact",
-    "q_minhash_lsh", "q_jaccard", "q_knn", "q_cos_lsh", "q_tumbling",
-    "q_repetition", "q_sample", "q_vocab", "q_group_topk", "q_dup_clusters")
+    "q1_agg", "q_join", "q_asof", "q_asof_exec", "q_range_join",
+    "q_sort_pos", "q_grid_agg", "q_window_agg", "q_cum_agg", "q_ema",
+    "q_dedup_exact", "q_minhash_lsh", "q_jaccard", "q_knn", "q_cos_lsh",
+    "q_tumbling", "q_repetition", "q_sample", "q_vocab", "q_group_topk",
+    "q_dup_clusters", "q_sem_dedup", "q_decontaminate", "q_tfidf",
+    "q_curation", "q_sketch_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
