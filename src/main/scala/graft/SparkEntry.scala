@@ -1267,6 +1267,9 @@ object SparkEntry {
       // over the same slice — self-consistent corpus)
       TextOps.tfidfTopTerms(docs(s, dir).filter(col("doc_id") < 50),
         "doc_id", "text", 3)),
+    "q_bm25" -> ((s, dir) =>
+      TextOps.bm25TopTerms(docs(s, dir).filter(col("doc_id") < 50),
+        "doc_id", "text", 3)),
     "q_sample" -> ((s, dir) =>
       // deterministic hash-based stratified sampling: downsample the
       // high-resource language, keep all of the lowest-resource one —
@@ -2416,6 +2419,24 @@ object SparkEntry {
              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosd
            FROM p GROUP BY id1, id2)
          SELECT id1, id2, CAST(cosd AS REAL) AS cosine FROM c WHERE cosd >= 0.3""",
+    "q_bm25" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id < 50),
+         t AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM d),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+                WHERE len(term) > 0 GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT (SELECT count(*) FROM d) AS n,
+                       (SELECT sum(tf) FROM tf) AS tt),
+         s AS (SELECT tf.doc_id, tf.term,
+             ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl
+                   / (CAST(st.tt AS DOUBLE) / st.n))) AS score
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), st),
+         r AS (SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
+         SELECT doc_id, term, CAST(score AS REAL) AS bm25 FROM r WHERE rn <= 3""",
     "q_curation" ->
       s"""WITH train AS (SELECT *, $normSql AS norm FROM documents WHERE doc_id < 480),
          bench AS (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id >= 480),

@@ -189,6 +189,39 @@ object TextOps {
       .select(col(id), col("term"), col("__score").cast("float").as("tfidf"))
   }
 
+  /** BM25 top-k terms per document — the standard retrieval scorer on the
+    * same plan shape as [[tfidfTopTerms]] plus document-length
+    * normalization: idf = ln(1 + (N − df + 0.5)/(df + 0.5)), score =
+    * idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)). Doc length dl is
+    * Σtf per doc (derived from the tf frame — no second corpus pass);
+    * N and avgdl ride a broadcast 1-row frame. avgdl divides by ALL docs,
+    * including term-less ones, a fixed convention mirrored in the oracle.
+    */
+  def bm25TopTerms(df: DataFrame, id: String, text: String, k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df
+      .select(col(id), explode(split(normalizedText(col(text)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("__dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = df.agg(count(lit(1)).as("__n"))
+      .crossJoin(tf.agg(sum(col("tf")).as("__tt")))
+    val w = Window.partitionBy(col(id)).orderBy(col("__score").desc, col("term").asc)
+    tf.join(dfreq, "term").join(dl, id)
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__score",
+        col("__idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") /
+            (col("__tt") / col("__n")))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(id), col("term"), col("__score").cast("float").as("bm25"))
+  }
+
   def repetitionSignals(df: DataFrame, text: String): DataFrame = {
     val withToks = df.withColumn("__toks", split(trim(col(text)), "\\s+"))
     val toks = col("__toks")

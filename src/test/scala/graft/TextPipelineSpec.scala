@@ -42,6 +42,22 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(math.abs(r(1)._3 - ln(1.5)) < 1e-5)
   }
 
+  test("bm25TopTerms: rarer term outranks common term; length normalization holds") {
+    val docsDf = Seq((1L, "apple banana"), (2L, "banana banana banana"),
+      (3L, "cherry")).toDF("doc_id", "text")
+    val r = TextOps.bm25TopTerms(docsDf, "doc_id", "text", 2)
+      .orderBy("doc_id", "term").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getFloat(2))).toSeq
+    // doc1 has both terms; apple (df=1) must outrank banana (df=2)
+    val d1 = r.filter(_._1 == 1L)
+    assert(d1.map(_._2) == Seq("apple", "banana"))
+    assert(d1.head._3 > d1(1)._3)
+    // hand-check doc1's apple: N=3, df=1 -> idf = ln(1 + 2.5/1.5);
+    // tf=1, dl=2, avgdl = 6/3 = 2 -> denom = 1 + 1.2*(0.25 + 0.75) = 2.2
+    val expected = math.log(1 + 2.5 / 1.5) * 2.2 / 2.2
+    assert(math.abs(d1.head._3 - expected) < 1e-6)
+  }
+
   test("repetitionSignals: hand-computed fixture") {
     // "a a a b" : 4 words, 2 distinct, top word 3/4; bigrams
     // [a a, a a, a b] -> top bigram 2/3
