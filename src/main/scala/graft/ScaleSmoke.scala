@@ -117,6 +117,17 @@ object ScaleSmoke {
       graft.plans.AsofMerge.asofJoin(kl, kr, Seq("key"), "ts", "v")
         .write.format("noop").mode("overwrite").save()
     }
+
+    // bucketized interval join at scale: 12M points vs ~3M per-key
+    // intervals — a shuffled hash join on (key, slot), never a nested loop
+    val ivs = li.filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey").as("key"), lit(1L).as("start"),
+        lit(5L).as("end"), col("l_extendedprice").as("tag"))
+    time("bucketized interval join") {
+      graft.join.Align.rangeJoin(kl.select(col("key"), col("ts")), ivs,
+          Seq("key"), "ts", "start", "end", bucket = 4L, rightCols = Seq("tag"))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
