@@ -143,5 +143,13 @@ class AsofMergeSpec extends AnyFunSuite {
       .groupBy("key", "ts").agg(max("v").as("v"))
     assertSameAsUnionForm(l, r, Seq("key"))
     assertSameAsUnionForm(l, r, Seq("key"), inclusive = false)
+    // succeeding direction on the same random data
+    for (incl <- Seq(true, false)) {
+      val merge = AsofMerge.asofJoinDir(l, r, Seq("key"), "ts",
+        Seq("v"), Seq("asof_value"), direction = 1, inclusive = incl)
+      val window = Align.asofJoinDir(l, r, Seq("key"), "ts", "v",
+        "asof_value", direction = 1, inclusive = incl)
+      assert(rows(merge) == rows(window), s"direction=+1 inclusive=$incl")
+    }
   }
 }
