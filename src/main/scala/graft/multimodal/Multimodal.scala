@@ -270,6 +270,86 @@ object Multimodal {
     }(Encoders.product[ImageFeatures]).toDF()
   }
 
+  /** Box-averaged grayscale downsample to a gw×gh grid: each cell is the
+    * mean gray ((r+g+b)/3) of its source-pixel rectangle. Averaging (not
+    * nearest-neighbor sampling) pools EVERY source pixel, so the grid —
+    * and the perceptual hashes built on it — is stable across
+    * resolutions of the same content.
+    */
+  private def grayGrid(img: java.awt.image.BufferedImage,
+                       gw: Int, gh: Int): Array[Double] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Double](gw * gh)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = cy * h / gh
+      val y1 = math.max(y0 + 1, (cy + 1) * h / gh)
+      var cx = 0
+      while (cx < gw) {
+        val x0 = cx * w / gw
+        val x1 = math.max(x0 + 1, (cx + 1) * w / gw)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        out(cy * gw + cx) = s.toDouble / (3.0 * (y1 - y0) * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  case class ImageHashes(media_id: Long, width: Int, height: Int,
+                         ahash: Long, dhash: Long)
+
+  /** Perceptual image hashes — the standard cheap image near-dup
+    * primitives over the REAL decode path: aHash (8×8 box-averaged gray
+    * grid, bit = cell ≥ grid mean) and dHash (9×8 grid, bit = cell
+    * brighter than its right neighbor), MSB-first row-major. Identical
+    * content at different resolutions hashes identically (box averaging);
+    * near-duplicate images land within a few Hamming bits, so pairing is
+    * an exact-match groupBy on the hash — or banded buckets for a
+    * tolerance, the same machinery as simhash — never an all-pairs scan.
+    * Rows that fail to decode produce no output (corrupt-tolerant).
+    */
+  def imageHashes(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val raw = r.getAs[Array[Byte]](bIdx)
+        decodeImage(if (raw == null) Array.emptyByteArray else raw).map { img =>
+          val a8 = grayGrid(img, 8, 8)
+          val mean = a8.sum / 64.0
+          var ah = 0L
+          var i = 0
+          while (i < 64) { if (a8(i) >= mean) ah |= 1L << (63 - i); i += 1 }
+          val d9 = grayGrid(img, 9, 8)
+          var dh = 0L
+          var b = 0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (d9(y * 9 + x + 1) > d9(y * 9 + x)) dh |= 1L << (63 - b)
+              b += 1; x += 1
+            }
+            y += 1
+          }
+          ImageHashes(r.getLong(idIdx), img.getWidth, img.getHeight, ah, dh)
+        }
+      }
+    }(Encoders.product[ImageHashes]).toDF()
+  }
+
   private def fnv(bytes: Array[Byte]): Long = {
     var h = 1469598103934665603L
     var i = 0

@@ -154,4 +154,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mean_g") == 255.0 / 4)
     assert(r.getAs[Double]("mean_b") == 255.0 / 4)
   }
+
+  test("perceptual hashes: gradient bit patterns, resolution invariance, discrimination") {
+    import spark.implicits._
+    def gradient(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = x * 255 / (w - 1)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      Multimodal.encodePng(img)
+    }
+    def checker(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (((x / 8) + (y / 8)) % 2 == 0) 0xFFFFFF else 0)
+      Multimodal.encodePng(img)
+    }
+    val df = Seq((1L, gradient(64, 64)), (2L, gradient(80, 80)),
+      (3L, checker(64, 64))).toDF("media_id", "bytes")
+    val r = Multimodal.imageHashes(df, "media_id", "bytes")
+      .orderBy("media_id").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("ahash"), x.getAs[Long]("dhash")))
+    // left-dark→right-light: aHash rows are 00001111, dHash all ones
+    assert(r(0)._2 == 0x0F0F0F0F0F0F0F0FL)
+    assert(r(0)._3 == -1L)
+    // same content at a different resolution: identical hashes
+    assert(r(1)._2 == r(0)._2 && r(1)._3 == r(0)._3)
+    // a different image is far away in Hamming distance
+    assert(java.lang.Long.bitCount(r(2)._2 ^ r(0)._2) > 16)
+  }
 }
