@@ -1504,6 +1504,26 @@ object SparkEntry {
       graft.multimodal.Multimodal.imageFeatures(bin, "media_id", "bytes", resizeTo = 5)
         .select(col("media_id"), col("width"), col("height"),
           fl(col("mean_r")).as("mean_r"))
+    }),
+    "q_media_dup" -> ((s, dir) => {
+      // image near-dup via perceptual hash: ids 50-99 carry the SAME image
+      // as ids 0-49 (mkPng(id % 50)); each planted duplicate must hash
+      // identically to its original across two independent decode+hash
+      // evaluations (hash VALUES stay out of the output — bit-exactness
+      // is spec territory, the oracle checks the pairing they induce).
+      // Plain (ahash, dhash) grouping is NOT the gate here: the synthetic
+      // high-frequency textures box-average to near-uniform grids and
+      // collide across ids — a true property of perceptual hashes (they
+      // group by LOOKS), and exactly why the pair-equality form is the
+      // right driver contract for this fixture
+      val bin = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("media_id"),
+          mkPng(col("doc_id") % 50).as("bytes"))
+      val h = graft.multimodal.Multimodal.imageHashes(bin, "media_id", "bytes")
+      h.as("a").join(h.as("b"), col("a.media_id") + 50 === col("b.media_id"))
+        .select(col("a.media_id").as("media_id"),
+          (col("a.ahash") === col("b.ahash") &&
+            col("a.dhash") === col("b.dhash")).as("dup_found"))
     })
   )
 
@@ -2564,6 +2584,9 @@ object SparkEntry {
                 CAST(avg((3 * x + 5 * y + 2 * media_id) % 256) AS REAL) AS mean_g,
                 CAST(avg((11 * x + y + 3 * media_id) % 256) AS REAL) AS mean_b
          FROM xy GROUP BY 1, 2, 3""",
+    "q_media_dup" ->
+      """SELECT doc_id AS media_id, true AS dup_found
+         FROM documents WHERE doc_id < 50""",
     "q_media_resize" ->
       """WITH dims AS (SELECT doc_id AS media_id, 8 + (doc_id % 9) AS w,
                 8 + ((doc_id * 3) % 9) AS h
