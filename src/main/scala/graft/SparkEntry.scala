@@ -1307,10 +1307,12 @@ object SparkEntry {
       // maxDf is disabled HERE because the oracle's recursive closure is
       // exact all-pairs — the df-cap is the production scale guard, but a
       // capped pair set would silently diverge from the exact oracle on a
-      // corpus large enough for the cap to bind
+      // corpus large enough for the cap to bind. The slice bounds the
+      // uncapped (oracle-exact) configuration at ANY sf, like q_jaccard —
+      // production runs the capped path over the full corpus
       Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 7, 0.6,
-          maxDf = Int.MaxValue))
+        Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 250),
+          "doc_id", "text", 7, 0.6, maxDf = Int.MaxValue))
         .withColumnRenamed("id", "doc_id")),
     "q_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text", 8, 0.2)),
@@ -2396,7 +2398,7 @@ object SparkEntry {
            FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
          SELECT doc_id, source, n_tokens, bin FROM p""",
     "q_dup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (${jaccardPairsOracle(7, 0.6, "TRUE")}),
+      s"""WITH RECURSIVE pairs AS (${jaccardPairsOracle(7, 0.6, "doc_id < 250")}),
          e AS (SELECT id1 AS a, id2 AS b FROM pairs
                UNION SELECT id2, id1 FROM pairs),
          r AS (SELECT a, a AS m FROM (SELECT DISTINCT a FROM e)

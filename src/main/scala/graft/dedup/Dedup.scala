@@ -211,7 +211,13 @@ object Dedup {
                         shingleLen: Int, minJaccard: Double,
                         maxDf: Int = 10000): DataFrame = {
     val sh = materializeShingles(shingleSets(df, id, text, shingleLen))
-    val inv = sh.select(col(id), explode(col("sh")).as("g"))
+    // the index carries xxhash64(shingle), not the n-char string: the
+    // candidate self-join's shuffle keys shrink to 8 bytes and hash-join
+    // probing is a long compare. A collision can only ADD a candidate —
+    // the exact string-set verify below removes it, so results are
+    // unchanged by construction
+    val inv = sh.select(col(id), explode(
+      transform(col("sh"), s => xxhash64(s))).as("g"))
     // hot-shingle list via groupBy (map-side partial counts — skew-safe,
     // unlike a window over g which would pile every occurrence of a hot
     // shingle onto one task), then a broadcast anti-join drops them from
