@@ -22,6 +22,7 @@ object Bench {
     "q_hash_multi",  // BASELINE row 10: multi-key hash agg
     "q_grid_agg",    // BASELINE row 12: cs_grid_avg
     "q_cum_agg",     // BASELINE row 13: cs_cum_sum
+    "q_concat_sum",  // BASELINE row 11: cs_sum over concat of all series
     "q_window_agg",  // moving aggregates
     "q_topk",        // top-N
     "q_asof",        // as-of alignment join (union+window form)

@@ -500,6 +500,18 @@ object SparkEntry {
       val b = Series.attachPos(ev.filter(col("event_type") === "click"), Seq(), Seq(col("ts"), col("event_id")))
       Series.concat(a, b, Seq()).select(col("pos"), col("event_id"))
     }),
+    "q_concat_sum" -> ((s, dir) => {
+      // BASELINE row 11: cs_sum over Quote_concat(array(...)) — the grand
+      // sum over a concatenation of every per-key series. Catalyst
+      // collapses the concat-then-sum to one scan + partial sums (the
+      // concat order is irrelevant to a sum), exactly the plan a user of
+      // the reference's example.sql:50 wants
+      val ev = Tables.read(s, dir, "events")
+      val perKey = Seq("view", "click", "purchase", "signup").map(t =>
+        ev.filter(col("event_type") === t).select(col("value")))
+      perKey.reduce(_ unionByName _)
+        .agg(fl(sum(col("value"))).as("total"))
+    }),
     "q_repeat" -> ((s, dir) =>
       Series.repeat(evSeries(s, dir).filter(col("event_type") === "signup" && col("pos") < 30), 3)
         .select(col("pos"), col("event_id"))),
@@ -1835,6 +1847,9 @@ object SparkEntry {
       """SELECT event_id, user_id, CAST("value" AS REAL) AS value FROM events
          WHERE event_type = 'purchase' AND epoch_ns(ts) >= 1704672000000000000
            AND epoch_ns(ts) < 1704931200000000000""",
+    "q_concat_sum" ->
+      """SELECT CAST(sum("value") AS REAL) AS total FROM events
+         WHERE event_type IN ('view', 'click', 'purchase', 'signup')""",
     "q_concat_series" ->
       """WITH a AS (SELECT event_id, row_number() OVER (ORDER BY ts, event_id) - 1 AS pos
                     FROM events WHERE event_type = 'view'),
