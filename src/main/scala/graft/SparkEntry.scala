@@ -435,6 +435,22 @@ object SparkEntry {
         .select(col("event_id"),
           fl(col("value")).as("value"), fl(col("asof_value")).as("asof_value"))
     }),
+    "q_asof_exec_keyless" -> ((s, dir) => {
+      // q_asof_keyless's shape through the custom-operator API: keys=()
+      // routes to the parallel ranged carry-forward scan (AsofMerge
+      // .asofJoinDir keyless branch) instead of a single AllTuples merge
+      // task — the plan has NO single-task merge (AsofExecSpec asserts
+      // the partitioning). Right side deduped per ts so equal-ts ties
+      // can't make the match nondeterministic between engines.
+      val ev = Tables.read(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("value"))
+      val r = ev.filter(col("event_type") === "signup")
+        .groupBy(col("ts")).agg(max(col("value")).as("value"))
+      graft.plans.AsofMerge.asofJoin(l, r, Seq(), "ts", "value", "asof_value")
+        .select(col("event_id"),
+          fl(col("value")).as("value"), fl(col("asof_value")).as("asof_value"))
+    }),
     "q_asof_pos" -> ((s, dir) => {
       // cs_asof_join_pos (func.c:4591-4662): carry the matched right POS.
       // Right side deduped to one row per (user_id, ts) — the max pos —
@@ -1798,6 +1814,13 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
          ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "q_asof_keyless" ->
+      """SELECT l.event_id, CAST(l."value" AS REAL) AS value,
+         CAST(r."value" AS REAL) AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT ts, max("value") AS value FROM events
+                         WHERE event_type = 'signup' GROUP BY ts) r
+         ON l.ts >= r.ts""",
+    "q_asof_exec_keyless" ->
       """SELECT l.event_id, CAST(l."value" AS REAL) AS value,
          CAST(r."value" AS REAL) AS asof_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l

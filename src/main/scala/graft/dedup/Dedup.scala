@@ -37,8 +37,10 @@ object Dedup {
     */
   def exactDedup(df: DataFrame, id: String, text: String): DataFrame = {
     val cols = df.columns.toSeq
-    df.withColumn("fp", TextOps.fingerprint(col(text)))
-      .groupBy(col("fp"))
+    // Internal fingerprint column is named "__fp" so a user frame that
+    // already carries an "fp" column passes through untouched.
+    df.withColumn("__fp", TextOps.fingerprint(col(text)))
+      .groupBy(col("__fp"))
       .agg(min_by(struct(cols.map(col): _*), col(id)).as("__keep"))
       .select(cols.map(c => col(s"__keep.`$c`")): _*)
   }
@@ -213,9 +215,12 @@ object Dedup {
     val sh = materializeShingles(shingleSets(df, id, text, shingleLen))
     // the index carries xxhash64(shingle), not the n-char string: the
     // candidate self-join's shuffle keys shrink to 8 bytes and hash-join
-    // probing is a long compare. A collision can only ADD a candidate —
-    // the exact string-set verify below removes it, so results are
-    // unchanged by construction
+    // probing is a long compare. With the cap disabled a collision can
+    // only ADD a candidate (removed by the exact string-set verify), so
+    // results are unchanged by construction. With a finite maxDf a
+    // collision also merges two shingles' document frequencies, which can
+    // (with negligible 2^-64-ish probability) push both over the cap and
+    // lose a candidate whose only shared shingles were the merged pair.
     val inv = sh.select(col(id), explode(
       transform(col("sh"), s => xxhash64(s))).as("g"))
     // hot-shingle list via groupBy (map-side partial counts — skew-safe,

@@ -31,6 +31,15 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * (strictly < when `inclusive=false`) in the same key group; NULLs when
   * no such row. NULL keys compare equal to each other — the same grouping
   * the window form's partitionBy gives — and NULL order keys sort first.
+  *
+  * One deliberate divergence on NULL-VALUED right rows: this merge
+  * carries the latest right ROW even when its value column is NULL (a
+  * NULL quote at ts=5 masks a real quote at ts=3), while Align.asofJoin's
+  * `last(..., ignoreNulls=true)` skips NULL values and surfaces the
+  * earlier non-null match. Row-carry is the reference's own contract
+  * (func.c:4591-4662 copies whatever element is current, NULL or not);
+  * callers who want the window form's value-skipping contract should
+  * pre-filter NULL-valued right rows, as [[AsofMerge.asofJoinTol]] does.
   */
 case class AsofJoinPlan(
     left: LogicalPlan,
@@ -73,8 +82,13 @@ object AsofJoinStrategy extends SparkStrategy {
   *
   * Keyless series (the reference's default single-series shape) declare
   * [[AllTuples]] — a single merge task, the honest requirement for a
-  * global merge; large keyless frames should use Align.asofJoin's ranged
-  * scan instead, which parallelizes the carry as a prefix monoid.
+  * global merge. The API layer never plans this shape for lane-able
+  * value types: [[AsofMerge.asofJoinDir]] routes keyless calls to the
+  * ranged carry-forward scan, which parallelizes the carry as a prefix
+  * monoid with the same row-carry semantics. AllTuples is reachable only
+  * by constructing [[AsofJoinPlan]] directly, or with a value type no
+  * Double lane can carry (strings/binary), where serial is the honest
+  * answer.
   */
 case class AsofMergeJoinExec(
     leftKeys: Seq[Expression],
@@ -188,10 +202,14 @@ object AsofMerge {
       e.extraStrategies = e.extraStrategies :+ AsofJoinStrategy
   }
 
-  /** As-of join via the custom plan node — same contract as
-    * [[graft.join.Align.asofJoin]]: left columns + `outCol`, the latest
-    * right `valueCol` with right.ts <= left.ts per key (strictly earlier
-    * when `inclusive=false`).
+  /** As-of join via the custom plan node — left columns + `outCol`, the
+    * latest right `valueCol` with right.ts <= left.ts per key (strictly
+    * earlier when `inclusive=false`). Same contract as
+    * [[graft.join.Align.asofJoin]] EXCEPT for NULL-valued right rows:
+    * this merge carries the latest right ROW (a NULL value at a later ts
+    * masks an earlier non-null one), where the window form's
+    * last-ignoreNulls skips NULL values. Pre-filter
+    * `right.filter(col(valueCol).isNotNull)` for the window contract.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
                valueCol: String, outCol: String = "asof_value",
@@ -211,6 +229,18 @@ object AsofMerge {
                   valueCols: Seq[String], outCols: Seq[String],
                   direction: Int = -1, inclusive: Boolean = true): DataFrame = {
     require(valueCols.size == outCols.size, "valueCols/outCols arity mismatch")
+    // Keyless series (the reference's default single-series shape):
+    // AsofMergeJoinExec would declare AllTuples — ONE merge task, the
+    // honest requirement for a global merge but a serial plan. Route to
+    // the ranged carry-forward scan instead (same parallel-prefix
+    // machinery as Align.asofJoin's keyless branch), which keeps the
+    // exec's row-carry NULL semantics via explicit null-flag lanes.
+    // Only value types that can ride a Double lane qualify (numerics up
+    // to 2^53 exact, timestamps via unix_micros); anything else falls
+    // through to the single-task exec, documented at
+    // AsofMergeJoinExec.requiredChildDistribution.
+    if (keys.isEmpty && valueCols.forall(c => lanable(right.schema(c).dataType)))
+      return keylessRangedAsof(left, right, ts, valueCols, outCols, direction, inclusive)
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -255,5 +285,93 @@ object AsofMerge {
         when(col("__mts").isNotNull && (col(ts) - col("__mts")) <= tolerance,
           col(outCol)))
       .drop("__mts")
+  }
+
+  import org.apache.spark.sql.types._
+
+  /** Can this type ride a Double state lane of the ranged scan losslessly
+    * enough? Numerics are exact to 2^53 (every reference element type);
+    * timestamps ride as unix_micros.
+    */
+  private def lanable(dt: DataType): Boolean = dt match {
+    case _: NumericType | TimestampType => true
+    case _ => false
+  }
+
+  /** Parallel keyless as-of with the MERGE EXEC's row-carry contract: the
+    * carried state is the latest right ROW in scan order — including rows
+    * whose value columns are NULL (each value rides with its own null-flag
+    * lane, so a NULL field in the carried row surfaces as NULL output
+    * rather than resurrecting an older value, exactly what the two-cursor
+    * merge does). One range shuffle + the two-pass parallel-prefix scan
+    * ([[graft.window.Moving.monoidScanRanged]]); driver state is one
+    * small composition row per shuffle partition.
+    */
+  private def keylessRangedAsof(lf: DataFrame, rf: DataFrame, ts: String,
+                                valueCols: Seq[String], outCols: Seq[String],
+                                direction: Int, inclusive: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(direction == -1 || direction == 1, "direction must be -1 or +1")
+    val leftCols = lf.columns.toSeq
+    val vTypes = valueCols.map(rf.schema(_).dataType)
+    val n = valueCols.size
+    // value columns ride as __v0..__v{n-1}; timestamps pre-converted to
+    // micros so the Row-level inject sees a plain Long
+    def toLane(c: org.apache.spark.sql.Column, dt: DataType) = dt match {
+      case TimestampType => unix_micros(c)
+      case _ => c
+    }
+    val rTagged = rf.select(
+      (col(ts) +: valueCols.zipWithIndex.map { case (c, i) =>
+        toLane(col(c), vTypes(i)).as(s"__v$i")
+      }) :+ lit(0).as("__side"): _*)
+    val lTagged = (0 until n).foldLeft(lf.withColumn("__side", lit(1))) {
+      (df, i) =>
+        df.withColumn(s"__v$i", lit(null).cast(vTypes(i) match {
+          case TimestampType => LongType; case other => other
+        }))
+    }
+    val common = Seq(ts) ++ (0 until n).map(i => s"__v$i") ++ Seq("__side")
+    val unioned = lTagged.select((common ++ leftCols.diff(common)).map(col): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    // scan order mirrors the exec's requiredChildOrdering: ts in scan
+    // direction; at equal ts the right row is visible to the left row iff
+    // inclusive (right __side=0 sorts first ascending)
+    val tsOrd = if (direction == -1) col(ts).asc else col(ts).desc
+    val sideOrd = if (inclusive) col("__side").asc else col("__side").desc
+    val sideIdx = unioned.schema.fieldIndex("__side")
+    val vIdx: Array[Int] =
+      (0 until n).map(i => unioned.schema.fieldIndex(s"__v$i")).toArray
+    // state = [v_0..v_{n-1}, null_0..null_{n-1}, seen]
+    val width = 2 * n + 1
+    val zero = Array.fill(width)(0.0)
+    val outs = (0 until n).map(i => s"__cv$i") ++
+      (0 until n).map(i => s"__cn$i") :+ "__seen"
+    val scanned = graft.window.Moving.monoidScanRanged(
+      unioned, Seq(), outs, order = Seq(tsOrd, sideOrd))(
+      identity = zero)(
+      inject = r =>
+        if (r.getInt(sideIdx) != 0) zero
+        else {
+          val a = new Array[Double](width)
+          var i = 0
+          while (i < n) {
+            if (r.isNullAt(vIdx(i))) a(n + i) = 1.0
+            else a(i) = r.getAs[Number](vIdx(i)).doubleValue()
+            i += 1
+          }
+          a(2 * n) = 1.0
+          a
+        })(
+      op = (a, b) => if (b(width - 1) == 1.0) b else a)
+    val withOut = outCols.zipWithIndex.foldLeft(scanned) { case (df, (o, i)) =>
+      val lane = vTypes(i) match {
+        case TimestampType => timestamp_micros(col(s"__cv$i").cast(LongType))
+        case dt => col(s"__cv$i").cast(dt)
+      }
+      df.withColumn(o, when(col("__seen") === 1.0 && col(s"__cn$i") === 0.0, lane))
+    }
+    withOut.filter(col("__side") === 1)
+      .select((leftCols ++ outCols).map(col): _*)
   }
 }

@@ -76,11 +76,60 @@ class AsofMergeSpec extends AnyFunSuite {
     assert(out == Seq(7.0, null))
   }
 
-  test("keyless as-of runs (AllTuples single merge)") {
-    val l = Seq(Tuple1(7L)).toDF("ts")
+  test("keyless as-of routes to the parallel ranged scan (no single-task merge)") {
+    val l = Seq(Tuple1(7L), Tuple1(3L), Tuple1(5L)).toDF("ts")
     val r = Seq((5L, 1.5), (6L, 2.5)).toDF("ts", "v")
-    val out = AsofMerge.asofJoin(l, r, Seq(), "ts", "v").head()
-    assert(out.getDouble(out.fieldIndex("asof_value")) == 2.5)
+    val df = AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
+    val out = df.orderBy("ts").select("asof_value").collect().map(_.get(0)).toSeq
+    assert(out == Seq(null, 1.5, 2.5))
+    // the whole point of the routing: the plan contains NO AsofMergeJoinExec
+    // (which keyless would pin to one AllTuples task)
+    assert(!df.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+      "keyless numeric as-of must not plan the single-task merge exec")
+    // larger keyless frame cross-validated against Align's independent scan
+    val rnd = new scala.util.Random(7)
+    val bl = Seq.fill(500)(Tuple1(rnd.nextInt(1000).toLong)).toDF("ts")
+    val br = Seq.fill(300)(rnd.nextInt(1000).toLong).distinct
+      .map(t => (t, t.toDouble * 2)).toDF("ts", "v")
+    assert(rows(AsofMerge.asofJoin(bl, br, Seq(), "ts", "v")) ==
+      rows(Align.asofJoin(bl, br, Seq(), "ts", "v")))
+    // succeeding direction + strict boundary through the routed path
+    for (dir <- Seq(-1, 1); incl <- Seq(true, false)) {
+      val merge = AsofMerge.asofJoinDir(bl, br, Seq(), "ts",
+        Seq("v"), Seq("asof_value"), direction = dir, inclusive = incl)
+      val window = Align.asofJoinDir(bl, br, Seq(), "ts", "v",
+        "asof_value", direction = dir, inclusive = incl)
+      assert(rows(merge) == rows(window), s"direction=$dir inclusive=$incl")
+    }
+  }
+
+  test("keyless as-of with a NULL-valued right row carries the ROW (null out)") {
+    // row-carry contract preserved by the ranged routing: the NULL value at
+    // ts=6 masks the 1.5 at ts=5 for left ts=7 — same as the merge exec
+    val l = Seq(Tuple1(7L), Tuple1(5L)).toDF("ts")
+    val r = Seq((5L, Some(1.5)), (6L, None: Option[Double])).toDF("ts", "v")
+    val out = AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
+      .orderBy("ts").select("asof_value").collect().map(_.get(0)).toSeq
+    assert(out == Seq(1.5, null))
+  }
+
+  test("keyless as-of with a non-lane-able value type falls back to the exec") {
+    val l = Seq(Tuple1(7L)).toDF("ts")
+    val r = Seq((5L, "a"), (6L, "b")).toDF("ts", "v")
+    val df = AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
+    assert(df.head().getString(1) == "b")
+    assert(df.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+      "string keyless as-of has no Double lane; the honest single merge plans")
+  }
+
+  test("keyless tolerance join (timestamp carry lane) matches the window form") {
+    val l = Seq(("k", 5L), ("k", 30L), ("k", 21L)).toDF("key", "ts")
+    val r = Seq(("k", 4L, 1.0), ("k", 20L, 2.0)).toDF("key", "ts", "v")
+    for (tol <- Seq(1L, 5L, 100L)) {
+      val merge = AsofMerge.asofJoinTol(l, r, Seq(), "ts", "v", lit(tol))
+      val window = Align.asofJoinTol(l, r, Seq(), "ts", "v", lit(tol))
+      assert(rows(merge) == rows(window), s"keyless tol=$tol")
+    }
   }
 
   test("physical plan is AsofMergeJoinExec with one Exchange+Sort per side") {
@@ -129,6 +178,61 @@ class AsofMergeSpec extends AnyFunSuite {
       val window = Align.asofJoinTol(l, r, Seq("key"), "ts", "v", lit(tol))
       assert(rows(merge) == rows(window), s"tol=$tol")
     }
+  }
+
+  test("adversarial: child pre-partitioned on a SUBSET of the keys") {
+    // hash(k1) satisfies ClusteredDistribution(k1,k2) for each child
+    // individually; EnsureRequirements must still produce COMPATIBLE
+    // partitionings across the two children (re-shuffle or accept both on
+    // the subset) — results must equal the window form either way
+    val l = Seq(("a", 1, 10L), ("a", 2, 10L), ("a", 1, 20L), ("b", 1, 5L),
+      ("b", 2, 9L)).toDF("k1", "k2", "ts")
+    val r = Seq(("a", 1, 9L, "x"), ("a", 2, 8L, "y"), ("b", 1, 4L, "z"),
+      ("a", 1, 15L, "w")).toDF("k1", "k2", "ts", "v")
+    val window = Align.asofJoinDir(l, r, Seq("k1", "k2"), "ts", "v", "asof_value")
+    // left only pre-partitioned on k1
+    assert(rows(AsofMerge.asofJoin(l.repartition(col("k1")), r,
+      Seq("k1", "k2"), "ts", "v")) == rows(window))
+    // right only pre-partitioned on k1
+    assert(rows(AsofMerge.asofJoin(l, r.repartition(col("k1")),
+      Seq("k1", "k2"), "ts", "v")) == rows(window))
+    // BOTH pre-partitioned on k1 (mutually compatible subset clustering):
+    // the merge must handle several (k1,k2) groups per partition
+    assert(rows(AsofMerge.asofJoin(l.repartition(4, col("k1")),
+      r.repartition(4, col("k1")), Seq("k1", "k2"), "ts", "v")) == rows(window))
+  }
+
+  test("adversarial: children pre-partitioned with DIFFERENT partition counts") {
+    val window = Align.asofJoinDir(left, right, Seq("key"), "ts", "v", "asof_value")
+    val merge = AsofMerge.asofJoin(
+      left.repartition(3, col("key")), right.repartition(7, col("key")),
+      Seq("key"), "ts", "v")
+    assert(rows(merge) == rows(window))
+    // and mismatched RANGE vs HASH pre-partitioning
+    val merge2 = AsofMerge.asofJoin(
+      left.repartitionByRange(5, col("ts")), right.repartition(2, col("key")),
+      Seq("key"), "ts", "v")
+    assert(rows(merge2) == rows(window))
+  }
+
+  test("adversarial: exec composed downstream of another keyed operator") {
+    // the as-of output keeps the left child's partitioning/ordering; a
+    // groupBy on the same key downstream must reuse it (or replant
+    // correctly) and aggregate the right values
+    val out = AsofMerge.asofJoin(left, right, Seq("key"), "ts", "v")
+      .groupBy("key").agg(count(col("asof_value")).as("n_matched"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("k", 3L))) // ts 3 has no match; 5,10,15 do
+    // and as-of stacked on as-of (second exec consumes the first's output
+    // partitioning — the compatibility check runs between custom execs)
+    val r2 = Seq(("k", 2L, 9.0), ("k", 12L, 11.0)).toDF("key", "ts", "w")
+    val stacked = AsofMerge.asofJoin(
+      AsofMerge.asofJoin(left, right, Seq("key"), "ts", "v"),
+      r2, Seq("key"), "ts", "w", outCol = "asof_w")
+    val windowStacked = Align.asofJoin(
+      Align.asofJoin(left, right, Seq("key"), "ts", "v"),
+      r2, Seq("key"), "ts", "w", outCol = "asof_w")
+    assert(rows(stacked) == rows(windowStacked))
   }
 
   test("random cross-validation against the window form") {
