@@ -35,7 +35,24 @@ object Bench {
     "q_lang_id",     // text classification scan
     "q_tumbling")    // event-time bucket agg
 
+  /** 1/5/15-minute load averages — the machine-contention witness. A bench
+    * number is only as good as the box it ran on: round 5's recorded run
+    * showed unchanged-code queries "regressing" 9× with ~1 s spreads on
+    * 0.2 s queries, which an idle-box re-run flatly contradicted. Snapshot
+    * the loadavg BEFORE the bench does any work (the start value is
+    * uncontaminated by our own 32-thread load) so a contended run
+    * self-identifies in the recorded JSON instead of masquerading as a
+    * regression.
+    */
+  private def loadavg(): Seq[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+      finally src.close()
+    } catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+
   def main(args: Array[String]): Unit = {
+    val startLoad = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -107,17 +124,32 @@ object Bench {
       val warm = if (coldOk) Seq.fill(reps - 1)(once()) else Seq((cold, false))
       val failed = !coldOk || warm.exists(!_._2)
       val warmTimes = warm.map(_._1)
-      (name, warmTimes.min, warmTimes.max - warmTimes.min, cold, failed)
+      (name, warmTimes.min, warmTimes.max - warmTimes.min, cold, failed, warmTimes)
     }
-    def jmap(f: ((String, Double, Double, Double, Boolean)) => String) =
+    def jmap(f: ((String, Double, Double, Double, Boolean, Seq[Double])) => String) =
       results.map(f).mkString("{", ",", "}")
-    val qs = jmap { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
-    val spread = jmap { case (k, _, s, _, _) => "\"" + k + "\":" + f"$s%.3f" }
+    val qs = jmap { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val spread = jmap { case (k, _, s, _, _, _) => "\"" + k + "\":" + f"$s%.3f" }
+    val repsJson = jmap { case (k, _, _, _, _, ws) =>
+      "\"" + k + "\":" + ws.map(w => f"$w%.3f").mkString("[", ",", "]") }
     val failedList = results.filter(_._5).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._4).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failedList,"reps":$reps,"load_sec":$loadSec%.3f,"cold_sec":$coldTotal%.3f,"sf":"$sfDir"}""")
+    val endLoad = loadavg()
+    // Contention self-diagnosis. Two independent witnesses:
+    //  (a) the box was already busy when the bench started (1-min loadavg
+    //      over a quarter of the worker threads before WE did anything);
+    //  (b) warm-rep spreads far beyond this workload's measured noise
+    //      floor (clean-box spreads stay under ~0.1 s; the round-5
+    //      contaminated run showed ~1 s) on more than one query — one
+    //      outlier can be a stray GC, a pattern is another tenant.
+    // A contended run still prints, but carries its own disqualification.
+    val noisy = results.filter(r => r._3 > 0.3).map("\"" + _._1 + "\"")
+    val contended = startLoad.head > cpus.toDouble / 4 || noisy.size >= 2
+    val loadJson = (startLoad ++ endLoad).map(v => f"$v%.2f")
+      .mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"rep_times":$repsJson,"failed":$failedList,"reps":$reps,"load_sec":$loadSec%.3f,"cold_sec":$coldTotal%.3f,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
