@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Job-floor crossover evidence for the two BENCH queries that sit under
+  * Spark's per-action launch floor at sf0.1 (BASELINE.md rows 9 and 12):
+  *
+  *  - q_filter_count — `cs_count((Close>Open*1.1)?)`, 6.274 ms over a 6M
+  *    in-memory series on the reference's 2013 quad-core;
+  *  - q_grid_agg — `cs_grid_avg(Close, 100)`, 38.4 ms over the same 6M.
+  *
+  * At sf0.1 (~600k rows) both queries cost Spark ~60-150 ms, of which
+  * ~50-70 ms is the fixed job-launch floor (scheduler round-trips, stage
+  * setup at local[32]) — 10× the reference's single-node number simply
+  * because the data is 10× SMALLER than the baseline's and the floor does
+  * not shrink with it. The honest comparison is ratio-vs-scale: replicate
+  * the exact gated shapes ×factor and divide the measured time by the
+  * LINEARLY EXTRAPOLATED baseline at the same row count
+  * (baseline_sec/6M × rows). The floor amortizes; the per-row cost is what
+  * survives a 100× scale-up — the regime the engine is built for.
+  *
+  * Prints one JSON line per (shape, factor):
+  *   {"shape":"filter_count","factor":10,"rows":6005720,"sec":0.081,
+  *    "baseline_sec":0.0063,"ratio":12.9,...}
+  * Usage: graft.FloorCross [factor ...]          (default: 1 10 100)
+  *        graft.FloorCross grid:2000 filter:600  (one shape at one factor)
+  */
+object FloorCross {
+
+  // BASELINE.md row 9 / row 12 per-row costs (seconds per input row)
+  private val FilterBasePerRow = 0.006274 / 6e6
+  private val GridBasePerRow = 0.0384 / 6e6
+
+  def main(args: Array[String]): Unit = {
+    val runs: Seq[(String, Int)] =
+      if (args.isEmpty) Seq(1, 10, 100).flatMap(f => Seq(("filter", f), ("grid", f)))
+      else args.toSeq.flatMap { a =>
+        a.split(":") match {
+          case Array(s, f) if f.toIntOption.isDefined => Seq((s, f.toInt))
+          case Array(f) if f.toIntOption.isDefined =>
+            Seq(("filter", f.toInt), ("grid", f.toInt))
+          case _ => Nil
+        }
+      }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def minOf(reps: Int)(f: => Unit): Double = {
+      f // warm: codegen compile + cache touch
+      Seq.fill(reps) {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // Replication multiplies ROWS, never per-row work: the filter shape
+    // keeps its untouched value columns (same selectivity), the grid shape
+    // scales the pos axis ×factor so bucket count grows with the data
+    // (6M rows → 60k grids, exactly the baseline's shape).
+    val liBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_extendedprice", "l_quantity")
+    val evBase = {
+      val ev = io.Tables.read(spark, sfDir, "events")
+      series.Series.attachPosRanged(ev,
+        Seq("event_type"), Seq(col("ts"), col("event_id")))
+        .select("event_type", "pos", "value")
+    }
+
+    val cores = spark.sparkContext.defaultParallelism
+    for ((shape, factor) <- runs) {
+      // repartition BEFORE the explode: the base frame arrives in the
+      // byte-proportional 4-5 partitions of small-SF parquet, and a ×100
+      // replica of that would run its scans on 4 cores of 32. Spreading
+      // the 600k base rows first costs a tiny shuffle; the replicated
+      // bulk is then born balanced (what a real 60M-row table's
+      // byte-proportional layout would give anyway).
+      def rep(df: DataFrame): DataFrame =
+        if (factor == 1) df
+        else df.repartition(cores)
+          .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+
+      if (shape == "filter") {
+        val li = rep(liBase).drop("__rep")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val liRows = li.count()
+        val filterSec = minOf(5)(noop(
+          li.filter(col("l_extendedprice") > col("l_quantity") * lit(1000.0))
+            .agg(count(lit(1)).as("n"))))
+        val filterBase = FilterBasePerRow * liRows
+        println(f"""{"shape":"filter_count","factor":$factor,"rows":$liRows,"sec":$filterSec%.3f,"baseline_sec":$filterBase%.4f,"ratio":${filterSec / filterBase}%.1f}""")
+        li.unpersist(blocking = true)
+      } else {
+        val evScaled =
+          (if (factor == 1) evBase
+           else rep(evBase)
+             .withColumn("pos", col("pos") * factor + col("__rep"))
+             .drop("__rep"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val evRows = evScaled.count()
+        val gridSec = minOf(5)(noop(
+          agg.Aggs.gridAgg(evScaled, Seq("event_type"), "value", 100)))
+        val gridBase = GridBasePerRow * evRows
+        println(f"""{"shape":"grid_agg","factor":$factor,"rows":$evRows,"sec":$gridSec%.3f,"baseline_sec":$gridBase%.4f,"ratio":${gridSec / gridBase}%.1f}""")
+        evScaled.unpersist(blocking = true)
+      }
+    }
+    spark.stop()
+  }
+}
