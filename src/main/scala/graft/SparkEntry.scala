@@ -1558,6 +1558,34 @@ object SparkEntry {
         .select(col("a.media_id").as("media_id"),
           (col("a.ahash") === col("b.ahash") &&
             col("a.dhash") === col("b.dhash")).as("dup_found"))
+    }),
+    "q_media_dup_banded" -> ((s, dir) => {
+      // image near-dup at SCALE: banded-hamming bucketing over the aHash
+      // (Dedup.hammingPairs64 — the simhash band machinery on a
+      // perceptual hash; Σ bucket² candidates, never all-pairs). Recall
+      // contract: with maxDist=7 < bands=8, pigeonhole makes the banded
+      // pair set PROVABLY equal to the all-pairs hamming ≤ 7 set —
+      // asserted here by set-difference against the bounded 100-image
+      // exact slice (set_equal), alongside the planted-pair contract
+      // (every id finds its id+50 twin at hamming 0).
+      val bin = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("media_id"),
+          mkPng(col("doc_id") % 50).as("bytes"))
+      val h = graft.multimodal.Multimodal.imageHashes(bin, "media_id", "bytes")
+        .select(col("media_id"), col("ahash")).localCheckpoint()
+      val banded = graft.dedup.Dedup.hammingPairs64(h, "media_id", "ahash",
+        bands = 8, maxDist = 7).select(col("id1"), col("id2"))
+      val exact = h.as("a").join(h.as("b"), col("a.media_id") < col("b.media_id"))
+        .filter(graft.dedup.Dedup.hamming64(col("a.ahash"), col("b.ahash")) <= 7)
+        .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"))
+      val eq = banded.exceptAll(exact).union(exact.exceptAll(banded))
+        .agg((count(lit(1)) === 0).as("set_equal"))
+      val planted = banded.filter(col("id2") === col("id1") + 50)
+        .select(col("id1").as("media_id"), lit(true).as("banded_found"))
+      h.filter(col("media_id") < 50).select(col("media_id"))
+        .join(planted, Seq("media_id"), "left")
+        .na.fill(false, Seq("banded_found"))
+        .crossJoin(broadcast(eq))
     })
   )
 
@@ -2631,6 +2659,9 @@ object SparkEntry {
          FROM xy GROUP BY 1, 2, 3""",
     "q_media_dup" ->
       """SELECT doc_id AS media_id, true AS dup_found
+         FROM documents WHERE doc_id < 50""",
+    "q_media_dup_banded" ->
+      """SELECT doc_id AS media_id, true AS banded_found, true AS set_equal
          FROM documents WHERE doc_id < 50""",
     "q_media_resize" ->
       """WITH dims AS (SELECT doc_id AS media_id, 8 + (doc_id % 9) AS w,

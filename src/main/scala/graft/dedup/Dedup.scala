@@ -279,20 +279,37 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    bands: Int = 8, maxDist: Int = 7): DataFrame = {
-    val bandBits = 64 / bands
     val withSh = df.withColumn("__th", tokenHashes(col(text)))
       .select(col(id), simhash(col("__th")).as("sh64"))
-    val banded = withSh.select(col(id), col("sh64"),
+    hammingPairs64(withSh, id, "sh64", bands, maxDist)
+  }
+
+  /** Banded-hamming near-dup pairs over ANY 64-bit hash column — the
+    * machinery behind [[simhashPairs]], reusable for perceptual image
+    * hashes ([[graft.multimodal.Multimodal.imageHashes]]'s aHash/dHash)
+    * or any other bit-sketch. The hash splits into `bands` contiguous
+    * bands; candidates share at least one full band (bucket self-join,
+    * Σ bucket² work, never all-pairs) and are verified with the true
+    * Hamming distance. By pigeonhole, a pair at distance ≤ bands−1 MUST
+    * agree on some band, so for maxDist < bands the result is EXACTLY
+    * all pairs at hamming ≤ maxDist — completeness is structural, not
+    * probabilistic. Output: (id1, id2, hamming), id1 < id2.
+    */
+  def hammingPairs64(withHash: DataFrame, id: String, hashCol: String,
+                     bands: Int = 8, maxDist: Int = 7): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val bandBits = 64 / bands
+    val banded = withHash.select(col(id), col(hashCol).as("__h64"),
       posexplode(array((0 until bands).map(b =>
-        shiftright(col("sh64"), b * bandBits)
+        shiftright(col(hashCol), b * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
-      .select(col(id), col("sh64"), col("pos").as("band"), col("col").as("bucket"))
+      .select(col(id), col("__h64"), col("pos").as("band"), col("col").as("bucket"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$id") < col(s"b.$id") &&
-          hamming64(col("a.sh64"), col("b.sh64")) <= maxDist)
+          hamming64(col("a.__h64"), col("b.__h64")) <= maxDist)
       .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"),
-        hamming64(col("a.sh64"), col("b.sh64")).cast("long").as("hamming"))
+        hamming64(col("a.__h64"), col("b.__h64")).cast("long").as("hamming"))
       .distinct()
   }
 

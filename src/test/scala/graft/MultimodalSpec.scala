@@ -186,4 +186,30 @@ class MultimodalSpec extends AnyFunSuite {
     // a different image is far away in Hamming distance
     assert(java.lang.Long.bitCount(r(2)._2 ^ r(0)._2) > 16)
   }
+
+  test("banded-hamming pairing over image hashes: pigeonhole-exact at the boundary") {
+    import spark.implicits._
+    // synthetic 64-bit hashes with engineered distances straddling the
+    // maxDist=7 threshold; distances spread ACROSS bands so a pair can
+    // only be found through the band that happens to stay equal
+    val base = 0x5A5A5A5A5A5A5A5AL
+    def flip(h: Long, bits: Seq[Int]): Long = bits.foldLeft(h)((a, b) => a ^ (1L << b))
+    val rows = Seq(
+      (0L, base),
+      (1L, base),                                      // d(0,1)=0
+      (2L, flip(base, Seq(0, 9, 18, 27, 36, 45, 54))), // d(0,2)=7, one bit in 7 bands
+      (3L, flip(base, Seq(1, 10, 19, 28, 37, 46, 55, 63))), // d(0,3)=8 — over
+      (4L, flip(base, Seq(2, 3, 4))))                  // d(0,4)=3, all in band 0
+    val df = rows.toDF("media_id", "ahash")
+    val pairs = graft.dedup.Dedup.hammingPairs64(df, "media_id", "ahash",
+      bands = 8, maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force all-pairs ≤ 7 for cross-check
+    val exact = (for {
+      (i, hi) <- rows; (j, hj) <- rows if i < j
+      d = java.lang.Long.bitCount(hi ^ hj) if d <= 7
+    } yield (i, j, d.toLong)).toSet
+    assert(pairs == exact)
+    assert(pairs.contains((0L, 2L, 7L)) && !pairs.exists(p => p._1 == 0L && p._2 == 3L))
+  }
 }
