@@ -776,6 +776,22 @@ object SparkEntry {
         .groupBy(col("code"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
     }),
+    "q_dict_global" -> ((s, dir) => {
+      // the reference's SINGLE store-wide dictionary (imcs.h:125-135):
+      // codes assigned to lineitem.l_linestatus and orders.o_orderstatus
+      // come from ONE shared dictionary over the union of both domains,
+      // so the cross-table join runs on the int codes and must produce
+      // exactly what the string-equality join produces (the oracle)
+      val l = li(s, dir)
+      val o = ord(s, dir)
+      val dict = Dict.buildShared(Seq((l, "l_linestatus"), (o, "o_orderstatus")))
+      val lc = Dict.str2code(l, dict, "l_linestatus")
+        .groupBy(col("code")).agg(count(lit(1)).as("n_li"))
+      val oc = Dict.str2code(o, dict, "o_orderstatus")
+        .groupBy(col("code")).agg(count(lit(1)).as("n_ord"))
+      Dict.code2str(lc.join(oc, Seq("code")), dict, "code", "status")
+        .select(col("code"), col("status"), col("n_li"), col("n_ord"))
+    }),
     "q_code2str" -> ((s, dir) => {
       // cs_code2str (imcs.c:5769-5812): resolve dictionary codes back to
       // strings — encode, drop the string, resolve, and re-aggregate; the
@@ -2076,6 +2092,17 @@ object SparkEntry {
          SELECT d.code, o.o_orderpriority, count(*) AS n
          FROM orders o JOIN dict d ON o.o_orderpriority = d.v
          GROUP BY 1, 2""",
+    "q_dict_global" ->
+      """WITH dict AS (SELECT v, dense_rank() OVER (ORDER BY v) - 1 AS code
+           FROM (SELECT DISTINCT l_linestatus AS v FROM lineitem
+                 UNION SELECT DISTINCT o_orderstatus FROM orders)),
+         lc AS (SELECT d.code, count(*) AS n_li
+                FROM lineitem l JOIN dict d ON l.l_linestatus = d.v GROUP BY 1),
+         oc AS (SELECT d.code, count(*) AS n_ord
+                FROM orders o JOIN dict d ON o.o_orderstatus = d.v GROUP BY 1)
+         SELECT lc.code, d.v AS status, lc.n_li, oc.n_ord
+         FROM lc JOIN oc ON lc.code = oc.code
+         JOIN dict d ON lc.code = d.code""",
     "q_code2str" ->
       """WITH dict AS (SELECT v, dense_rank() OVER (ORDER BY v) - 1 AS code
            FROM (SELECT DISTINCT o_orderpriority AS v FROM orders))

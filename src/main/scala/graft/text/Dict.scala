@@ -29,13 +29,37 @@ object Dict {
       df.select(col(value)).distinct(), Seq(), Seq(col(value)), out = "code")
       .select(col("code"), col(value))
 
+  /** ONE dictionary shared across frames and columns — the reference's
+    * actual model: a single store-wide dictionary serves every encoded
+    * column (imcs.h:125-135), so codes assigned in one table join codes
+    * assigned in another. Built over the UNION of the input domains
+    * (each a cheap distinct on its own column, then one dictionary-sized
+    * rank); values appearing in several inputs get ONE code. Frame-local
+    * [[build]] remains the right call when domains never meet — the
+    * shared dictionary is for schemas where the same logical domain
+    * (status codes, symbols, language tags) spans tables and downstream
+    * joins want to run on ints.
+    */
+  def buildShared(inputs: Seq[(DataFrame, String)]): DataFrame = {
+    require(inputs.nonEmpty, "buildShared needs at least one (frame, column)")
+    val union = inputs.map { case (df, c) => df.select(col(c).as("value")) }
+      .reduce(_.unionByName(_))
+    build(union, "value")
+  }
+
   /** cs_str2code: attach `outCol` with the dictionary code of `value`.
     * The dictionary side is broadcast — a map-side hash lookup, no shuffle
-    * of the data table.
+    * of the data table. The dictionary's value column joins by POSITION
+    * (its one non-code column), not by name, so a shared dictionary built
+    * over a union encodes any column name.
     */
   def str2code(df: DataFrame, dict: DataFrame, value: String,
-               outCol: String = "code"): DataFrame =
-    df.join(broadcast(dict.withColumnRenamed("code", outCol)), Seq(value), "left")
+               outCol: String = "code"): DataFrame = {
+    val dv = dict.columns.filter(_ != "code").head
+    df.join(
+      broadcast(dict.select(col("code").as(outCol), col(dv).as(value))),
+      Seq(value), "left")
+  }
 
   /** cs_code2str: resolve `codeCol` back to the string value. */
   def code2str(df: DataFrame, dict: DataFrame, codeCol: String,
