@@ -1410,6 +1410,20 @@ object SparkEntry {
         d.filter(col("doc_id") < 480), d.filter(col("doc_id") >= 480),
         "doc_id", "text", 30)
     }),
+    "q_passage_dedup" -> ((s, dir) => {
+      // CCNet/RefinedWeb repeated-passage removal: the fixture plants a
+      // corpus-wide boilerplate footer passage plus a mostly-unique
+      // per-doc prefix passage around each document's body (both engines
+      // build the same text deterministically). Passages occurring in >1
+      // distinct doc (the footer, any colliding prefixes/bodies) are
+      // dropped; documents reassemble from survivors in original order.
+      val d = docs(s, dir)
+        .withColumn("text2", concat(col("text"),
+          lit("\nthe big table boilerplate footer\n"),
+          substring(col("text"), 1, 40)))
+      Dedup.passageDedup(d, "doc_id", "text2", delim = "\n", maxDocs = 1)
+        .select(col("doc_id"), col("clean_text"), col("n_kept"))
+    }),
     "q_sem_dedup" -> ((s, dir) =>
       // SemDeDup: keep one representative per embedding-near-dup component
       // (exact pair generator here so the recursive-CTE oracle is exact;
@@ -2588,6 +2602,22 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (
              PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
          SELECT doc_id, term, CAST(score AS REAL) AS tfidf FROM r WHERE rn <= 3""",
+    "q_passage_dedup" ->
+      """WITH d AS (SELECT doc_id,
+             text || chr(10) || 'the big table boilerplate footer' || chr(10)
+                  || substr(text, 1, 40) AS t
+           FROM documents),
+         s AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d),
+         p AS (SELECT doc_id, unnest(
+             [{'ord': i, 'passage': parts[i]} FOR i IN range(1, len(parts) + 1)],
+             recursive := true) FROM s),
+         hot AS (SELECT passage FROM p
+           GROUP BY passage HAVING count(DISTINCT doc_id) > 1),
+         kept AS (SELECT p.* FROM p ANTI JOIN hot USING (passage))
+         SELECT doc_id,
+                string_agg(passage, chr(10) ORDER BY ord) AS clean_text,
+                count(*) AS n_kept
+         FROM kept GROUP BY doc_id""",
     "q_decontaminate" ->
       s"""WITH cand AS (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id < 480),
          bench AS (SELECT doc_id, $normSql AS norm FROM documents WHERE doc_id >= 480),

@@ -16,10 +16,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Optional per-query wall budget (seconds). The round-5 lesson: the
+    // sf0.01 correctness loop HID a 70 s shingle blowup and a 218 s
+    // uncapped index that only bit at sf0.1 — a deliberately-quadratic
+    // stage passes a correctness diff just fine. tools/run_budget.sh runs
+    // this main at sf0.1 with the budget set; any query over it fails the
+    // loop loudly, so a quadratic stage can't land even without a manual
+    // graft.Prof pass.
+    val budget = sys.env.get("SPARK_GRAFT_TIME_BUDGET").flatMap(_.toDoubleOption)
+    val over = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val sec = (System.nanoTime() - t0) / 1e9
+        budget.foreach { b =>
+          System.err.println(f"[verify-time] $name $sec%.1f s")
+          if (sec > b) over += ((name, sec))
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -39,5 +55,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (over.nonEmpty) {
+      System.err.println(
+        s"[verify-budget] OVER ${budget.get}s: " +
+          over.map { case (n, s) => f"$n ($s%.1f s)" }.mkString(", "))
+      sys.exit(2)
+    }
   }
 }

@@ -467,6 +467,49 @@ object Dedup {
       .drop("__hit")
   }
 
+  /** Passage-level exact dedup — the CCNet/RefinedWeb repeated-passage
+    * filter: drop every passage (delimiter-split span) that appears in
+    * more than `maxDocs` DISTINCT documents, then reassemble each
+    * document from its surviving passages in original order. This is the
+    * within-document counterpart of [[exactDedup]]: boilerplate (headers,
+    * footers, navigation, license blocks) repeats across documents while
+    * the prose does not, so corpus-frequency at passage granularity IS
+    * the boilerplate detector.
+    *
+    * Scale shape: explode is map-only; the frequency count is one hash
+    * aggregate on the 8-byte passage hash (map-side partial combine, so
+    * a passage repeated a million times arrives at the reducer as a few
+    * partial rows, not a million — boilerplate skew handled by
+    * construction); hot passages anti-join back on the hash; reassembly
+    * is a per-document hash aggregate (passages of one doc sort in
+    * memory — bounded by document size, the same bound any per-doc op
+    * has). A 64-bit collision can only CONFLATE two passages' document
+    * frequencies, which (with negligible probability) over-drops; it can
+    * never resurrect a dropped passage.
+    *
+    * Documents whose every passage is boilerplate drop out of the result
+    * entirely (n_kept would be 0) — the filter a curation pipeline wants.
+    * Output: (id, clean_text, n_kept).
+    */
+  def passageDedup(df: DataFrame, id: String, text: String,
+                   delim: String = "\n", maxDocs: Int = 1): DataFrame = {
+    val parts = df.select(col(id),
+      posexplode(split(col(text), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("__pi", "__p")))
+      .withColumn("__ph", xxhash64(col("__p")))
+    val hot = parts.groupBy(col("__ph"))
+      .agg(count_distinct(col(id)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select(col("__ph"))
+    parts.join(hot, Seq("__ph"), "left_anti")
+      .groupBy(col(id))
+      .agg(
+        concat_ws(delim, transform(
+          array_sort(collect_list(struct(col("__pi"), col("__p")))),
+          x => x.getField("__p"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** (id, shingle-hash) rows: each position's shingle is xxhash64'd IN
     * PLACE (one transform lambda), so no per-doc array of n-char strings
     * is ever materialized — at a 30-char overlap test the string form is

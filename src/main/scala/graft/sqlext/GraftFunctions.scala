@@ -100,30 +100,44 @@ object GraftFunctions {
       (c: Seq[Expression]) => If(c(0), c(1), Literal.create(null, NullType)),
       "cs_filter(cond, x) - x where cond else NULL; aggregates skip NULLs, " +
         "reproducing the reference's filtered-series composition (func.c:569-662)"),
+    // NOTE repeated in every cs_hash_* help string because SQL users see
+    // only these: the map-valued form holds ALL groups in one aggregation
+    // buffer (the reference's own single-backend dictionary assumption,
+    // imcs.h:35) and fails loud past 2^20 distinct groups — use a native
+    // GROUP BY for high-cardinality keys.
     ("cs_hash_sum", (c: Seq[Expression]) =>
       CsHashAgg("sum", c(0), c(1)).toAggregateExpression(),
-      "cs_hash_sum(x, grp) - map<grp, sum(x)> (func.c:5113-5447)"),
+      "cs_hash_sum(x, grp) - map<grp, sum(x)> (func.c:5113-5447); whole map " +
+        "in ONE buffer, errors past 2^20 groups - use GROUP BY for high cardinality"),
     ("cs_hash_avg", (c: Seq[Expression]) =>
       CsHashAgg("avg", c(0), c(1)).toAggregateExpression(),
-      "cs_hash_avg(x, grp) - map<grp, avg(x)>"),
+      "cs_hash_avg(x, grp) - map<grp, avg(x)>; whole map in ONE buffer, " +
+        "errors past 2^20 groups - use GROUP BY for high cardinality"),
     ("cs_hash_min", (c: Seq[Expression]) =>
       CsHashAgg("min", c(0), c(1)).toAggregateExpression(),
-      "cs_hash_min(x, grp) - map<grp, min(x)>"),
+      "cs_hash_min(x, grp) - map<grp, min(x)>; whole map in ONE buffer, " +
+        "errors past 2^20 groups - use GROUP BY for high cardinality"),
     ("cs_hash_max", (c: Seq[Expression]) =>
       CsHashAgg("max", c(0), c(1)).toAggregateExpression(),
-      "cs_hash_max(x, grp) - map<grp, max(x)>"),
+      "cs_hash_max(x, grp) - map<grp, max(x)>; whole map in ONE buffer, " +
+        "errors past 2^20 groups - use GROUP BY for high cardinality"),
     ("cs_hash_count", (c: Seq[Expression]) =>
       CsHashAgg("count", Literal(1L), c(0)).toAggregateExpression(),
-      "cs_hash_count(grp) - map<grp, count> of non-NULL grp"),
+      "cs_hash_count(grp) - map<grp, count> of non-NULL grp; whole map in " +
+        "ONE buffer, errors past 2^20 groups - use GROUP BY for high cardinality"),
     ("cs_hash_any", (c: Seq[Expression]) =>
       CsHashAgg("any", c(0), c(1)).toAggregateExpression(),
-      "cs_hash_any(x, grp) - map<grp, bitwise OR of x> (func.c:5385-5447)"),
+      "cs_hash_any(x, grp) - map<grp, bitwise OR of x> (func.c:5385-5447); " +
+        "whole map in ONE buffer, errors past 2^20 groups"),
     ("cs_hash_all", (c: Seq[Expression]) =>
       CsHashAgg("all", c(0), c(1)).toAggregateExpression(),
-      "cs_hash_all(x, grp) - map<grp, bitwise AND of x>"),
+      "cs_hash_all(x, grp) - map<grp, bitwise AND of x>; whole map in ONE " +
+        "buffer, errors past 2^20 groups"),
     ("cs_hash_dup_count", (c: Seq[Expression]) =>
       CsHashDupCount(c(0), c(1), c(2)).toAggregateExpression(),
-      "cs_hash_dup_count(x, grp, min_occ) - map<grp, distinct x occurring >= min_occ times> (func.c:5750-6215)"),
+      "cs_hash_dup_count(x, grp, min_occ) - map<grp, distinct x occurring >= " +
+        "min_occ times> (func.c:5750-6215); whole map in ONE buffer, errors " +
+        "past 2^20 groups"),
     ("cs_project_agg", (c: Seq[Expression]) => {
       // explode the cs_hash_* map to (group_by, agg_val) rows — the
       // reference's cs_project_agg record-set (imcs--1.1.sql:1020-1028)

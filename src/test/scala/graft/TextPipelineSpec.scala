@@ -71,6 +71,26 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(r(1) == ((2L, 1L, 1L, 1.0, 1.0, 0.0)))
   }
 
+  test("passageDedup: boilerplate drops, order keeps, all-boilerplate docs vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "intro one\nFOOTER\nbody one"),
+      (2L, "intro two\nFOOTER\nbody two\nbody two"), // within-doc repeat: 1 distinct doc, kept
+      (3L, "FOOTER")                                 // all boilerplate → no output row
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.passageDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "intro one\nbody one", 2L),
+      (2L, "intro two\nbody two\nbody two", 3L)))
+    // maxDocs=2 tolerates the footer appearing in 3 docs? no — 3 > 2 still
+    // drops; raise to 3 and everything survives
+    val keepAll = graft.dedup.Dedup.passageDedup(docs, "doc_id", "text", maxDocs = 3)
+      .agg(org.apache.spark.sql.functions.sum("n_kept")).head().getLong(0)
+    assert(keepAll == 8L)
+  }
+
   test("connectedComponents: chain + isolated pair collapse to min-id labels") {
     // components {1,2,3,4} (chain) and {10,11}
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
