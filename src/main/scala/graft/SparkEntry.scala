@@ -1321,6 +1321,13 @@ object SparkEntry {
       TextOps.stratifiedSample(docs(s, dir), "text", "lang",
         Map("en" -> 4, "zh" -> 16), 8)
         .select(col("doc_id"), col("lang"))),
+    "q_mixture" -> ((s, dir) =>
+      // data-mixture downsampling at target source proportions 5:3:2 —
+      // the binding source keeps all rows, others hash-gate to rate
+      // C*w/n; deterministic md5 gate so DuckDB replays the exact row set
+      TextOps.mixtureSample(docs(s, dir), "source", "text",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("doc_id"), col("source"))),
     "q_redact" -> ((s, dir) =>
       // PII redaction scan: counts per kind + redacted text fingerprint
       // (the corpus plants no PII, so counts are 0 and fp equals the
@@ -2479,6 +2486,19 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
          WHERE strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
            < CASE WHEN lang = 'en' THEN 4 WHEN lang = 'zh' THEN 16 ELSE 8 END""",
+    "q_mixture" ->
+      """WITH w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+             ('src2', 0.2)) AS t(source, w)),
+         i AS (SELECT d.doc_id, d.source, d.text, w.w
+               FROM documents d JOIN w USING (source)),
+         counts AS (SELECT source, count(*) AS n, min(w) AS sw
+                    FROM i GROUP BY source),
+         c AS (SELECT min(n / sw) AS c FROM counts),
+         rates AS (SELECT source, (c.c * sw / n) AS rate FROM counts, c)
+         SELECT i.doc_id, i.source
+         FROM i JOIN rates r USING (source)
+         WHERE CAST(('0x' || substring(md5(i.text), 1, 4)) AS INTEGER)
+             < floor(r.rate * 65536)""",
     "q_redact" -> redactOracle,
     "q_chunk" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -272,6 +272,43 @@ object TextOps {
     df.filter(digit < rate)
   }
 
+  /** Deterministic data-mixture downsampling — the "data mixing" stage of
+    * a training pipeline: compose corpus sources at target proportions
+    * (Pile/RefinedWeb-style mixture weights). Computes the largest
+    * mixture achievable WITHOUT upsampling: the binding source (smallest
+    * n_s/w_s) keeps every row and each other source downsamples to
+    * rate_s = C·w_s/n_s with C = min(n/w), so realized proportions match
+    * the weights in expectation. The gate is the same md5 uniform as
+    * [[stratifiedSample]] at 1/65536 granularity — reproducible across
+    * engines, retries, and partitionings (resumable runs). Sources
+    * absent from `weights` drop: the mixture DEFINES the corpus.
+    * Upsampling (rates > 1 via epoch replication) is deliberately not
+    * done here — repeating data multiplies the corpus, a training-loop
+    * decision, not a corpus operator.
+    *
+    * Scale shape: one per-source count (map-side combine on ~#sources
+    * groups), a broadcast rate table, then a map-only gate — the corpus
+    * itself never shuffles.
+    */
+  def mixtureSample(df: DataFrame, source: String, text: String,
+                    weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val w = weights.foldLeft(lit(null).cast("double")) { case (acc, (k, v)) =>
+      when(col(source) === k, lit(v)).otherwise(acc)
+    }
+    val in = df.withColumn("__w", w).filter(col("__w").isNotNull)
+    val counts = in.groupBy(col(source))
+      .agg(count(lit(1)).as("__n"), min(col("__w")).as("__sw"))
+    val c = counts.agg(min(col("__n") / col("__sw")).as("__c"))
+    val rates = counts.crossJoin(broadcast(c))
+      .select(col(source), (col("__c") * col("__sw") / col("__n")).as("__rate"))
+    val u = conv(substring(md5(col(text)), 1, 4), 16, 10).cast("long")
+    in.join(broadcast(rates), Seq(source))
+      .filter(u < floor(col("__rate") * 65536))
+      .drop("__w", "__rate")
+  }
+
   def redactPii(df: DataFrame, text: String, out: String = "redacted"): DataFrame = {
     val redacted = piiPatterns.foldLeft(col(text)) { case (c, (_, pat, tok)) =>
       regexp_replace(c, pat, tok)
