@@ -27,6 +27,54 @@ class PropertySpec extends AnyFunSuite {
 
   private val cases = Seq((1, 11L), (17, 23L), (64, 37L), (200, 41L))
 
+  test("passageDedup is idempotent") {
+    // surviving passages all have corpus frequency <= maxDocs, so a second
+    // pass over the reassembled docs must be a no-op
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(99)
+    val passages = Vector("alpha beta", "gamma", "delta five", "FOOTER",
+      "epsilon", "zeta eta")
+    val docs = (0L until 60L).map { i =>
+      val body = Seq.fill(2 + rnd.nextInt(3))(passages(rnd.nextInt(passages.size)))
+      (i, (body :+ "FOOTER").mkString("\n"))
+    }.toDF("doc_id", "text")
+    val once = graft.dedup.Dedup.passageDedup(docs, "doc_id", "text", maxDocs = 3)
+    val twice = graft.dedup.Dedup.passageDedup(
+      once.withColumnRenamed("clean_text", "text").select("doc_id", "text"),
+      "doc_id", "text", maxDocs = 3)
+    val a = once.select("doc_id", "clean_text", "n_kept").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = twice.select("doc_id", "clean_text", "n_kept").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b)
+    // and the ubiquitous FOOTER passage is gone from every surviving doc
+    assert(!a.exists(_._2.split("\n").contains("FOOTER")))
+  }
+
+  test("mixtureSample hits target proportions and is subset-stable") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    // uneven source sizes so the rates differ: 800/400/200
+    val docs = ((0 until 800).map(i => (i.toLong, "a", s"text a $i ${rnd.nextInt()}")) ++
+      (0 until 400).map(i => (800L + i, "b", s"text b $i ${rnd.nextInt()}")) ++
+      (0 until 200).map(i => (1200L + i, "c", s"text c $i ${rnd.nextInt()}")))
+      .toDF("doc_id", "source", "text")
+    val out = graft.text.TextOps.mixtureSample(docs, "source", "text",
+      Map("a" -> 0.2, "b" -> 0.3, "c" -> 0.5))
+    val n = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binding source: c (200/0.5 = 400 = C). Expected a: 400*0.2 = 80,
+    // b: 400*0.3 = 120, c: all 200. md5 gate is uniform-ish: ±25%.
+    assert(n("c") == 200L)
+    assert(math.abs(n("a") - 80L) <= 20, s"a=${n("a")}")
+    assert(math.abs(n("b") - 120L) <= 30, s"b=${n("b")}")
+    // determinism: the sampled ids are a function of content only
+    val again = graft.text.TextOps.mixtureSample(docs.repartition(7), "source",
+      "text", Map("a" -> 0.2, "b" -> 0.3, "c" -> 0.5))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("cum_sum ∘ diff + x0 reconstructs the series") {
     for ((n, seed) <- cases) {
       val xs = series(n, seed)
