@@ -13,7 +13,10 @@ object Plans {
     "q_dedup_exact", "q_minhash_lsh", "q_jaccard", "q_knn", "q_cos_lsh",
     "q_tumbling", "q_repetition", "q_sample", "q_vocab", "q_group_topk",
     "q_dup_clusters", "q_sem_dedup", "q_decontaminate", "q_tfidf",
-    "q_curation", "q_sketch_rollup")
+    "q_curation", "q_sketch_rollup",
+    // round 6
+    "q_asof_exec_keyless", "q_passage_dedup", "q_mixture", "q_dict_global",
+    "q_media_dup_banded")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
