@@ -48,6 +48,39 @@ object Streams {
         col("n"), col("sv"))
   }
 
+  /** Windowed approximate-distinct at stream time — unique users per
+    * event-time bucket via the same mergeable HLL sketch the batch rollup
+    * uses ([[graft.agg.Aggs.sketchRollup]]): per-window state is ONE
+    * sketch (KB), not the user set, so a window with a billion distinct
+    * keys costs the same state as one with ten — the property that makes
+    * stream-time cardinality viable at 100 TB/day ingest. Watermark
+    * bounds how long a window's sketch stays open.
+    */
+  def tumblingApproxDistinct(spark: SparkSession, path: String, schema: StructType,
+                             keyCol: String, bucketSeconds: Long = 3600,
+                             lgK: Int = 12): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(schema).parquet(path)
+      .withColumn("ets", etsCol)
+      .withWatermark("ets", "1 hour")
+      .groupBy(col("event_type"), window(col("ets"), s"$bucketSeconds seconds"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col(keyCol), lit(lgK))).as("approx_users"))
+      .select(col("event_type"),
+        col("window.start").as("bucket_start"), col("approx_users"))
+  }
+
+  /** Batch twin of [[tumblingApproxDistinct]] for stream==batch asserts. */
+  def tumblingApproxDistinctBatch(df: DataFrame, keyCol: String,
+                                  bucketSeconds: Long = 3600,
+                                  lgK: Int = 12): DataFrame =
+    df.withColumn("ets", etsCol)
+      .groupBy(col("event_type"), window(col("ets"), s"$bucketSeconds seconds"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col(keyCol), lit(lgK))).as("approx_users"))
+      .select(col("event_type"),
+        col("window.start").as("bucket_start"), col("approx_users"))
+
   /** Sliding event-time aggregation — the streaming twin of the reference's
     * length-preserving moving aggregates (§2.5 re-expressed on event time):
     * each event contributes to window/slide overlapping windows, state

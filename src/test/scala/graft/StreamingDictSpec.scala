@@ -33,6 +33,32 @@ class StreamingDictSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("streaming windowed HLL approx-distinct equals its batch twin") {
+    // stream-time cardinality: per-window state is one KB-scale sketch,
+    // never the key set; the deterministic sketch makes stream == batch
+    // EXACT equality (same HLL algorithm folds the same values)
+    val dir = java.nio.file.Files.createTempDirectory("stream_events_hll")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = graft.io.Tables.read(spark, sfDir, "events").schema
+    val stream = Streams.tumblingApproxDistinct(spark, dir.toString, schema, "user_id")
+    val got = Streams.runAvailableNow(stream, "t_hll")
+    val batch = Streams.tumblingApproxDistinctBatch(
+      graft.io.Tables.read(spark, sfDir, "events"), "user_id")
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    // sanity: estimates land within HLL error of the exact distinct count
+    val exact = graft.io.Tables.read(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        window(timestamp_micros(expr("ts div 1000")), "3600 seconds"))
+      .agg(countDistinct(col("user_id")).as("dc"))
+      .select(col("event_type"), col("window.start").as("bucket_start"), col("dc"))
+    val off = got.join(exact, Seq("event_type", "bucket_start"))
+      .filter(abs(col("approx_users") - col("dc")) / col("dc") > 0.15)
+    assert(off.isEmpty)
+  }
+
   test("streaming EMA (flatMapGroupsWithState) equals batch Moving.ema") {
     val ev = graft.io.Tables.read(spark, sfDir, "events")
       .filter(col("event_id") < 200)
