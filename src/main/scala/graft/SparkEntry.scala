@@ -2487,7 +2487,8 @@ object SparkEntry {
          WHERE strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
            < CASE WHEN lang = 'en' THEN 4 WHEN lang = 'zh' THEN 16 ELSE 8 END""",
     "q_mixture" ->
-      """WITH w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+      """WITH w AS (SELECT source, CAST(w AS DOUBLE) AS w
+             FROM (VALUES ('src0', 0.5), ('src1', 0.3),
              ('src2', 0.2)) AS t(source, w)),
          i AS (SELECT d.doc_id, d.source, d.text, w.w
                FROM documents d JOIN w USING (source)),
