@@ -291,10 +291,10 @@ object AsofMerge {
 
   /** Can this type ride a Double state lane of the ranged scan losslessly
     * enough? Numerics are exact to 2^53 (every reference element type);
-    * timestamps ride as unix_micros.
+    * timestamps ride as unix_micros, dates as epoch days.
     */
   private def lanable(dt: DataType): Boolean = dt match {
-    case _: NumericType | TimestampType => true
+    case _: NumericType | TimestampType | DateType | BooleanType => true
     case _ => false
   }
 
@@ -315,10 +315,12 @@ object AsofMerge {
     val leftCols = lf.columns.toSeq
     val vTypes = valueCols.map(rf.schema(_).dataType)
     val n = valueCols.size
-    // value columns ride as __v0..__v{n-1}; timestamps pre-converted to
-    // micros so the Row-level inject sees a plain Long
+    // value columns ride as __v0..__v{n-1}; temporals/booleans
+    // pre-converted so the Row-level inject sees a plain number
     def toLane(c: org.apache.spark.sql.Column, dt: DataType) = dt match {
       case TimestampType => unix_micros(c)
+      case DateType => datediff(c, lit("1970-01-01").cast(DateType))
+      case BooleanType => c.cast(IntegerType)
       case _ => c
     }
     val rTagged = rf.select(
@@ -328,7 +330,9 @@ object AsofMerge {
     val lTagged = (0 until n).foldLeft(lf.withColumn("__side", lit(1))) {
       (df, i) =>
         df.withColumn(s"__v$i", lit(null).cast(vTypes(i) match {
-          case TimestampType => LongType; case other => other
+          case TimestampType => LongType
+          case DateType | BooleanType => IntegerType
+          case other => other
         }))
     }
     val common = Seq(ts) ++ (0 until n).map(i => s"__v$i") ++ Seq("__side")
@@ -367,6 +371,8 @@ object AsofMerge {
     val withOut = outCols.zipWithIndex.foldLeft(scanned) { case (df, (o, i)) =>
       val lane = vTypes(i) match {
         case TimestampType => timestamp_micros(col(s"__cv$i").cast(LongType))
+        case DateType =>
+          date_add(lit("1970-01-01").cast(DateType), col(s"__cv$i").cast(IntegerType))
         case dt => col(s"__cv$i").cast(dt)
       }
       df.withColumn(o, when(col("__seen") === 1.0 && col(s"__cn$i") === 0.0, lane))

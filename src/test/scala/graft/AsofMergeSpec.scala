@@ -113,6 +113,20 @@ class AsofMergeSpec extends AnyFunSuite {
     assert(out == Seq(1.5, null))
   }
 
+  test("keyless as-of carries date and boolean values through the lanes") {
+    val l = Seq(Tuple1(7L), Tuple1(4L)).toDF("ts")
+    val r = Seq((5L, java.sql.Date.valueOf("2021-03-04"), true),
+      (3L, java.sql.Date.valueOf("1969-12-25"), false)).toDF("ts", "d", "b")
+    val out = AsofMerge.asofJoinDir(l, r, Seq(), "ts",
+      Seq("d", "b"), Seq("ad", "ab"))
+    assert(!out.queryExecution.executedPlan.toString.contains("AsofMergeJoin"))
+    val rows2 = out.orderBy("ts").collect()
+    assert(rows2(0).getDate(1) == java.sql.Date.valueOf("1969-12-25") &&
+      rows2(0).getBoolean(2) == false)
+    assert(rows2(1).getDate(1) == java.sql.Date.valueOf("2021-03-04") &&
+      rows2(1).getBoolean(2) == true)
+  }
+
   test("keyless as-of with a non-lane-able value type falls back to the exec") {
     val l = Seq(Tuple1(7L)).toDF("ts")
     val r = Seq((5L, "a"), (6L, "b")).toDF("ts", "v")
