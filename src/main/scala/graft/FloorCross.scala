@@ -37,10 +37,12 @@ object FloorCross {
       if (args.isEmpty) Seq(1, 10, 100).flatMap(f => Seq(("filter", f), ("grid", f)))
       else args.toSeq.flatMap { a =>
         a.split(":") match {
-          case Array(s, f) if f.toIntOption.isDefined => Seq((s, f.toInt))
+          case Array(s, f) if f.toIntOption.isDefined &&
+              (s == "filter" || s == "grid") => Seq((s, f.toInt))
           case Array(f) if f.toIntOption.isDefined =>
             Seq(("filter", f.toInt), ("grid", f.toInt))
-          case _ => Nil
+          case _ => throw new IllegalArgumentException(
+            s"unrecognized run spec '$a' (want <factor> or filter:<f>/grid:<f>)")
         }
       }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,9 +69,11 @@ object FloorCross {
     // keeps its untouched value columns (same selectivity), the grid shape
     // scales the pos axis ×factor so bucket count grows with the data
     // (6M rows → 60k grids, exactly the baseline's shape).
-    val liBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // lazy: attachPosRanged runs jobs at call time, and a filter-only run
+    // should not pay the events scan/shuffle before its measurement
+    lazy val liBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_extendedprice", "l_quantity")
-    val evBase = {
+    lazy val evBase = {
       val ev = io.Tables.read(spark, sfDir, "events")
       series.Series.attachPosRanged(ev,
         Seq("event_type"), Seq(col("ts"), col("event_id")))

@@ -2499,7 +2499,7 @@ object SparkEntry {
          SELECT i.doc_id, i.source
          FROM i JOIN rates r USING (source)
          WHERE CAST(('0x' || substring(md5(i.text), 1, 4)) AS INTEGER)
-             < floor(r.rate * 65536)""",
+             < floor(r.rate * 65536 + 1e-9)""",
     "q_redact" -> redactOracle,
     "q_chunk" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -25,6 +25,7 @@ object Verify {
     // graft.Prof pass.
     val budget = sys.env.get("SPARK_GRAFT_TIME_BUDGET").flatMap(_.toDoubleOption)
     val over = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val crashed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -36,7 +37,11 @@ object Verify {
           if (sec > b) over += ((name, sec))
         }
       } catch { case e: Throwable =>
+        // in budget mode a CRASH must fail the gate like a blown budget —
+        // the whole point is catching sf0.1-only failure modes, and a
+        // hard crash (OOM on 10x the data) is the worst of them
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        crashed += name
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -55,10 +60,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
-    if (over.nonEmpty) {
-      System.err.println(
+    if (budget.isDefined && (over.nonEmpty || crashed.nonEmpty)) {
+      if (over.nonEmpty) System.err.println(
         s"[verify-budget] OVER ${budget.get}s: " +
           over.map { case (n, s) => f"$n ($s%.1f s)" }.mkString(", "))
+      if (crashed.nonEmpty) System.err.println(
+        s"[verify-budget] CRASHED: ${crashed.mkString(", ")}")
       sys.exit(2)
     }
   }

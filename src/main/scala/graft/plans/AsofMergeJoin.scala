@@ -234,13 +234,22 @@ object AsofMerge {
     // honest requirement for a global merge but a serial plan. Route to
     // the ranged carry-forward scan instead (same parallel-prefix
     // machinery as Align.asofJoin's keyless branch), which keeps the
-    // exec's row-carry NULL semantics via explicit null-flag lanes.
-    // Only value types that can ride a Double lane qualify (numerics up
-    // to 2^53 exact, timestamps via unix_micros); anything else falls
-    // through to the single-task exec, documented at
-    // AsofMergeJoinExec.requiredChildDistribution.
-    if (keys.isEmpty && valueCols.forall(c => lanable(right.schema(c).dataType)))
-      return keylessRangedAsof(left, right, ts, valueCols, outCols, direction, inclusive)
+    // exec's row-carry NULL semantics via explicit null-flag lanes and
+    // exact int64 carry via hi/lo lane splitting. Only lane-able value
+    // types qualify (see lanable); anything else falls through to the
+    // single-task exec, documented at
+    // AsofMergeJoinExec.requiredChildDistribution. Name resolution here
+    // is case-insensitive, like the exec path's attr().
+    if (keys.isEmpty) {
+      def resolve(name: String): Option[String] =
+        right.schema.fieldNames.find(_.equalsIgnoreCase(name))
+      val rVals = valueCols.map(resolve)
+      val lTs = left.schema.fieldNames.find(_.equalsIgnoreCase(ts))
+      if (lTs.isDefined && resolve(ts).isDefined && rVals.forall(_.isDefined) &&
+          rVals.flatten.forall(c => lanable(right.schema(c).dataType)))
+        return keylessRangedAsof(left, right, lTs.get, rVals.flatten, outCols,
+          direction, inclusive)
+    }
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -289,12 +298,17 @@ object AsofMerge {
 
   import org.apache.spark.sql.types._
 
-  /** Can this type ride a Double state lane of the ranged scan losslessly
-    * enough? Numerics are exact to 2^53 (every reference element type);
-    * timestamps ride as unix_micros, dates as epoch days.
+  /** Can this type ride Double state lanes of the ranged scan LOSSLESSLY?
+    * 32-bit-and-under numerics, floats, and doubles pass through one lane
+    * exactly; int64-backed values (longs, timestamps as unix_micros) split
+    * into exact hi/lo 32-bit lanes — a single Double lane is only exact to
+    * 2^53 and int64 data (snowflake ids, int64-nanosecond timestamps)
+    * legitimately exceeds that. Decimals (arbitrary precision) and
+    * non-numeric types fall back to the serial exec, which is exact.
     */
   private def lanable(dt: DataType): Boolean = dt match {
-    case _: NumericType | TimestampType | DateType | BooleanType => true
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | TimestampType | DateType | BooleanType => true
     case _ => false
   }
 
@@ -346,10 +360,20 @@ object AsofMerge {
     val sideIdx = unioned.schema.fieldIndex("__side")
     val vIdx: Array[Int] =
       (0 until n).map(i => unioned.schema.fieldIndex(s"__v$i")).toArray
-    // state = [v_0..v_{n-1}, null_0..null_{n-1}, seen]
-    val width = 2 * n + 1
+    // lane plan: int64-backed values (LongType, timestamps as micros)
+    // take TWO lanes — exact signed-hi/unsigned-lo 32-bit halves, each an
+    // integer a Double represents exactly — everything else one lane.
+    // state = [value lanes..., null_0..null_{n-1}, seen]
+    val isLong: Array[Boolean] = vTypes.map {
+      case LongType | TimestampType => true; case _ => false
+    }.toArray
+    val laneOff: Array[Int] =
+      isLong.scanLeft(0)((acc, l) => acc + (if (l) 2 else 1)).toArray
+    val valueLanes = laneOff(n)
+    val nullOff = valueLanes
+    val width = valueLanes + n + 1
     val zero = Array.fill(width)(0.0)
-    val outs = (0 until n).map(i => s"__cv$i") ++
+    val outs = (0 until valueLanes).map(i => s"__cl$i") ++
       (0 until n).map(i => s"__cn$i") :+ "__seen"
     val scanned = graft.window.Moving.monoidScanRanged(
       unioned, Seq(), outs, order = Seq(tsOrd, sideOrd))(
@@ -360,21 +384,33 @@ object AsofMerge {
           val a = new Array[Double](width)
           var i = 0
           while (i < n) {
-            if (r.isNullAt(vIdx(i))) a(n + i) = 1.0
-            else a(i) = r.getAs[Number](vIdx(i)).doubleValue()
+            if (r.isNullAt(vIdx(i))) a(nullOff + i) = 1.0
+            else if (isLong(i)) {
+              val v = r.getLong(vIdx(i))
+              a(laneOff(i)) = (v >> 32).toDouble
+              a(laneOff(i) + 1) = (v & 0xFFFFFFFFL).toDouble
+            } else a(laneOff(i)) = r.getAs[Number](vIdx(i)).doubleValue()
             i += 1
           }
-          a(2 * n) = 1.0
+          a(width - 1) = 1.0
           a
         })(
       op = (a, b) => if (b(width - 1) == 1.0) b else a)
     val withOut = outCols.zipWithIndex.foldLeft(scanned) { case (df, (o, i)) =>
-      val lane = vTypes(i) match {
-        case TimestampType => timestamp_micros(col(s"__cv$i").cast(LongType))
-        case DateType =>
-          date_add(lit("1970-01-01").cast(DateType), col(s"__cv$i").cast(IntegerType))
-        case dt => col(s"__cv$i").cast(dt)
-      }
+      val lane =
+        if (isLong(i)) {
+          val full = shiftleft(col(s"__cl${laneOff(i)}").cast(LongType), 32)
+            .bitwiseOR(col(s"__cl${laneOff(i) + 1}").cast(LongType))
+          vTypes(i) match {
+            case TimestampType => timestamp_micros(full)
+            case dt => full.cast(dt)
+          }
+        } else vTypes(i) match {
+          case DateType =>
+            date_add(lit("1970-01-01").cast(DateType),
+              col(s"__cl${laneOff(i)}").cast(IntegerType))
+          case dt => col(s"__cl${laneOff(i)}").cast(dt)
+        }
       df.withColumn(o, when(col("__seen") === 1.0 && col(s"__cn$i") === 0.0, lane))
     }
     withOut.filter(col("__side") === 1)

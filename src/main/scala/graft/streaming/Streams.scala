@@ -60,21 +60,25 @@ object Streams {
                              keyCol: String, bucketSeconds: Long = 3600,
                              lgK: Int = 12): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(schema).parquet(path)
-      .withColumn("ets", etsCol)
-      .withWatermark("ets", "1 hour")
-      .groupBy(col("event_type"), window(col("ets"), s"$bucketSeconds seconds"))
-      .agg(hll_sketch_estimate(
-        hll_sketch_agg(col(keyCol), lit(lgK))).as("approx_users"))
-      .select(col("event_type"),
-        col("window.start").as("bucket_start"), col("approx_users"))
+    approxDistinctAgg(
+      spark.readStream.schema(schema).parquet(path)
+        .withColumn("ets", etsCol)
+        .withWatermark("ets", "1 hour"),
+      keyCol, bucketSeconds, lgK)
   }
 
-  /** Batch twin of [[tumblingApproxDistinct]] for stream==batch asserts. */
+  /** Batch twin of [[tumblingApproxDistinct]] for stream==batch asserts —
+    * the SAME aggregation applied to a batch frame, so the spec compares
+    * one definition against itself across execution modes.
+    */
   def tumblingApproxDistinctBatch(df: DataFrame, keyCol: String,
                                   bucketSeconds: Long = 3600,
                                   lgK: Int = 12): DataFrame =
-    df.withColumn("ets", etsCol)
+    approxDistinctAgg(df.withColumn("ets", etsCol), keyCol, bucketSeconds, lgK)
+
+  private def approxDistinctAgg(withEts: DataFrame, keyCol: String,
+                                bucketSeconds: Long, lgK: Int): DataFrame =
+    withEts
       .groupBy(col("event_type"), window(col("ets"), s"$bucketSeconds seconds"))
       .agg(hll_sketch_estimate(
         hll_sketch_agg(col(keyCol), lit(lgK))).as("approx_users"))

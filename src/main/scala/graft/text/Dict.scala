@@ -55,6 +55,8 @@ object Dict {
     */
   def str2code(df: DataFrame, dict: DataFrame, value: String,
                outCol: String = "code"): DataFrame = {
+    require(dict.columns.length == 2 && dict.columns.contains("code"),
+      s"dictionary must be exactly (code, value), got (${dict.columns.mkString(", ")})")
     val dv = dict.columns.filter(_ != "code").head
     df.join(
       broadcast(dict.select(col("code").as(outCol), col(dv).as(value))),

@@ -304,8 +304,15 @@ object TextOps {
     val rates = counts.crossJoin(broadcast(c))
       .select(col(source), (col("__c") * col("__sw") / col("__n")).as("__rate"))
     val u = conv(substring(md5(col(text)), 1, 4), 16, 10).cast("long")
+    // +1e-9 before the floor: the binding source's rate is (n/w)*w/n,
+    // which in IEEE doubles lands 1 ulp BELOW 1.0 for non-dyadic
+    // weights — a bare floor would then drop the ~1/65536 of its rows
+    // hashing to 0xffff, breaking the "binding source keeps every row"
+    // contract. The nudge (~1e-9) is far above the ulp error (~1e-11 at
+    // this scale) and far below the 1/65536 gate granularity, so no
+    // legitimate threshold moves. The oracle applies the same formula.
     in.join(broadcast(rates), Seq(source))
-      .filter(u < floor(col("__rate") * 65536))
+      .filter(u < floor(col("__rate") * 65536 + 1e-9))
       .drop("__w", "__rate")
   }
 

@@ -136,6 +136,32 @@ class AsofMergeSpec extends AnyFunSuite {
       "string keyless as-of has no Double lane; the honest single merge plans")
   }
 
+  test("keyless lanes carry int64 beyond 2^53 EXACTLY (hi/lo split)") {
+    // ns-scale epoch timestamps (~1.7e18) and snowflake-style ids exceed
+    // a Double lane's 2^53 integer range; the hi/lo 32-bit lane split
+    // must round-trip them bit-exactly — a single-lane carry would be
+    // off by up to 128 here and flip the tolerance gate
+    val base = 1723500000000000000L // ~2024 in epoch ns, > 2^53
+    val l = Seq(Tuple1(base + 1000L), Tuple1(base + 5000L)).toDF("ts")
+    val r = Seq((base + 999L, 900719925474099317L), (base + 4001L, 33L))
+      .toDF("ts", "v")
+    val out = AsofMerge.asofJoinDir(l, r, Seq(), "ts", Seq("v", "ts"),
+      Seq("av", "mts")).orderBy("ts")
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toSeq
+    assert(out == Seq((900719925474099317L, base + 999L), (33L, base + 4001L)))
+    // and the tolerance gate built on that carry stays exact at the ±1 ns
+    // boundary 1.7e18 deep into the long range: staleness is EXACTLY 1 ns
+    // — tol=0 drops the match, tol=1 keeps it (a double-lane carry would
+    // see staleness 0±128 and flip both ways)
+    val l1 = Seq(Tuple1(base + 1000L)).toDF("ts")
+    val drop = AsofMerge.asofJoinTol(l1, r, Seq(), "ts", "v", lit(0L))
+      .head().get(1)
+    assert(drop == null)
+    val keep = AsofMerge.asofJoinTol(l1, r, Seq(), "ts", "v", lit(1L))
+      .head().getLong(1)
+    assert(keep == 900719925474099317L)
+  }
+
   test("keyless tolerance join (timestamp carry lane) matches the window form") {
     val l = Seq(("k", 5L), ("k", 30L), ("k", 21L)).toDF("key", "ts")
     val r = Seq(("k", 4L, 1.0), ("k", 20L, 2.0)).toDF("key", "ts", "v")

@@ -73,6 +73,18 @@ class PropertySpec extends AnyFunSuite {
       "text", Map("a" -> 0.2, "b" -> 0.3, "c" -> 0.5))
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
       again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // NON-DYADIC binding weight: rate_binding = (n/w)*w/n lands 1 ulp
+    // below 1.0 in doubles for w=0.3 — the epsilon-nudged floor must
+    // still keep EVERY binding-source row
+    val docs2 = ((0 until 800).map(i => (i.toLong, "a", s"ta $i")) ++
+      (0 until 120).map(i => (800L + i, "b", s"tb $i")) ++
+      (0 until 500).map(i => (920L + i, "c", s"tc $i")))
+      .toDF("doc_id", "source", "text")
+    val out2 = graft.text.TextOps.mixtureSample(docs2, "source", "text",
+      Map("a" -> 0.2, "b" -> 0.3, "c" -> 0.5))
+    val n2 = out2.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n2("b") == 120L, s"binding source lost rows: ${n2("b")} of 120")
   }
 
   test("cum_sum ∘ diff + x0 reconstructs the series") {
