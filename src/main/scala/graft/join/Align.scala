@@ -72,9 +72,12 @@ object Align {
       // parallelism = partition count. Values ride as Doubles (every
       // reference element type is numeric) and are cast back to their
       // original types on output, so integrals up to 2^53 round-trip
-      // exactly. A struct of numerics (the tolerance join's packed
-      // (v, ts)) is carried componentwise — its fields must be non-null
-      // whenever the struct is (true for asofJoinTol's packing).
+      // exactly; int64 data BEYOND 2^53 (ns timestamps, snowflake ids)
+      // should use graft.plans.AsofMerge.asofJoinDir, whose keyless
+      // routing carries longs in exact hi/lo lanes. A struct of numerics
+      // (the tolerance join's packed (v, ts)) is carried componentwise —
+      // its fields must be non-null whenever the struct is (true for
+      // asofJoinTol's packing).
       import org.apache.spark.sql.types.{NumericType, StructType}
       val vType = right.schema(valueCol).dataType
       val fields: Seq[org.apache.spark.sql.types.StructField] = vType match {
