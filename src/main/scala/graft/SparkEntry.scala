@@ -407,6 +407,22 @@ object SparkEntry {
           "start", "end", bucket = day, rightCols = Seq("signup_id"))
         .groupBy("signup_id").agg(count(lit(1)).as("n_in_window"))
     }),
+    "q_window_join" -> ((s, dir) => {
+      // kdb-style window join (wj): per purchase, stats of signup values
+      // within ±3 days for the same user — left rows become intervals,
+      // the bucketized range join makes the window an equi-key, one hash
+      // aggregate per purchase; empty windows surface with count 0
+      val ev = Tables.read(s, dir, "events")
+      val day = 86400L * 1000000000L
+      val l = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max("event_id").as("purchase_id"))
+      val r = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      Align.windowJoin(l, r, Seq("user_id"), "ts", 3 * day, 3 * day, "value")
+        .select(col("user_id"), col("purchase_id"), col("win_count"),
+          fl(col("win_sum")).as("win_sum"), fl(col("win_avg")).as("win_avg"),
+          fl(col("win_min")).as("win_min"), fl(col("win_max")).as("win_max"))
+    }),
     "q_asof_exec" -> ((s, dir) => {
       // the SAME as-of shape through the custom Catalyst operator
       // (graft.plans.AsofMergeJoin): logical node + planner strategy +
@@ -1872,6 +1888,20 @@ object SparkEntry {
           AND epoch_ns(p.ts) >= epoch_ns(s.ts)
           AND epoch_ns(p.ts) <= epoch_ns(s.ts) + 604800000000000
          GROUP BY 1""",
+    "q_window_join" ->
+      """WITH l AS (SELECT user_id, ts, max(event_id) AS purchase_id
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         r AS (SELECT user_id, ts, "value" FROM events
+               WHERE event_type = 'signup')
+         SELECT l.user_id, l.purchase_id, count(r.ts) AS win_count,
+           CAST(sum(r."value") AS REAL) AS win_sum,
+           CAST(avg(r."value") AS REAL) AS win_avg,
+           CAST(min(r."value") AS REAL) AS win_min,
+           CAST(max(r."value") AS REAL) AS win_max
+         FROM l LEFT JOIN r ON l.user_id = r.user_id
+           AND epoch_ns(r.ts) >= epoch_ns(l.ts) - 259200000000000
+           AND epoch_ns(r.ts) <= epoch_ns(l.ts) + 259200000000000
+         GROUP BY 1, 2""",
     "q_asof_exec" ->
       """SELECT l.user_id, l.event_id, CAST(l."value" AS REAL) AS value,
          CAST(r."value" AS REAL) AS asof_value

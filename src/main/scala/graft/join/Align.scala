@@ -284,6 +284,43 @@ object Align {
       .drop("__slot")
   }
 
+  /** Window join — kdb's `wj` / Flint's summarizeWindows: for each left
+    * row, aggregate the right rows whose ts falls in
+    * [left.ts − before, left.ts + after] within the same key group.
+    * Returns every left row + (win_count, win_sum, win_avg, win_min,
+    * win_max) over the right `valueCol` (count 0 and NULL stats when the
+    * window is empty).
+    *
+    * Composition, not new machinery: the left rows BECOME intervals and
+    * [[rangeJoin]] buckets the time axis so the range is an equi-key —
+    * a shuffled hash join on (keys, slot), never BroadcastNestedLoop —
+    * then one hash aggregate per left row and a left join plants the
+    * empty windows. Left rows must be unique on (keys, ts) — the series
+    * contract the append guard enforces; `bucket` is the slot width
+    * (defaults to the window span), the same replication knob rangeJoin
+    * documents.
+    */
+  def windowJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+                 before: Long, after: Long, valueCol: String,
+                 bucket: Long = 0L): DataFrame = {
+    require(before >= 0 && after >= 0 && before + after > 0,
+      s"window [−$before, +$after] must be non-empty and non-negative")
+    val b = if (bucket > 0) bucket else before + after
+    val intervals = left.select(
+      (keys :+ ts).map(col) :+
+        (col(ts) - before).as("__wstart") :+ (col(ts) + after).as("__wend"): _*)
+    val points = right.select(
+      (keys.map(col) :+ col(ts).as("__rts")) :+ col(valueCol).as("__rv"): _*)
+    val matched = rangeJoin(points, intervals, keys, "__rts",
+      "__wstart", "__wend", b, rightCols = Seq(ts))
+    val stats = matched.groupBy((keys :+ ts).map(col): _*)
+      .agg(count(lit(1)).as("win_count"), sum(col("__rv")).as("win_sum"),
+        avg(col("__rv")).as("win_avg"), min(col("__rv")).as("win_min"),
+        max(col("__rv")).as("win_max"))
+    left.join(stats, keys :+ ts, "left")
+      .na.fill(0L, Seq("win_count"))
+  }
+
   /** Skew-salted inner equi-join: for hot keys whose rows overwhelm one
     * reducer and whose other side cannot broadcast. The large skewed side
     * gets a deterministic content-hash salt in [0, salt); the smaller side

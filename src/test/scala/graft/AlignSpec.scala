@@ -32,6 +32,25 @@ class AlignSpec extends AnyFunSuite {
     }
   }
 
+  test("windowJoin: per-row interval stats, empty windows, boundary ts") {
+    // left k/10 has right rows at 7 (in, boundary −3), 13 (in, +3),
+    // 14 (out); left k/50 has an EMPTY window → count 0, NULL stats;
+    // left j/10 checks key isolation
+    val l = Seq(("k", 10L), ("k", 50L), ("j", 10L)).toDF("key", "ts")
+    val r = Seq(("k", 7L, 1.0), ("k", 13L, 5.0), ("k", 14L, 9.0),
+      ("j", 12L, 2.0)).toDF("key", "ts", "v")
+    for (bucket <- Seq(1L, 6L, 100L)) {
+      val got = Align.windowJoin(l, r, Seq("key"), "ts", 3L, 3L, "v", bucket)
+        .orderBy("key", "ts")
+        .select("key", "ts", "win_count", "win_sum", "win_min", "win_max")
+        .collect().map(_.toSeq).toSeq
+      assert(got == Seq(
+        Seq("j", 10L, 1L, 2.0, 2.0, 2.0),
+        Seq("k", 10L, 2L, 6.0, 1.0, 5.0),
+        Seq("k", 50L, 0L, null, null, null)), s"bucket=$bucket")
+    }
+  }
+
   test("rangeJoin with no keys (pure range join)") {
     val pts = Seq(Tuple1(5L), Tuple1(50L)).toDF("ts")
     val ivs = Seq((0L, 10L, "lo"), (40L, 60L, "hi"), (100L, 200L, "none"))
