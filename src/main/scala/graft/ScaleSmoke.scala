@@ -128,6 +128,35 @@ object ScaleSmoke {
           Seq("key"), "ts", "start", "end", bucket = 4L, rightCols = Seq("tag"))
         .write.format("noop").mode("overwrite").save()
     }
+    // window join at scale (round 6): per-row ±2 interval stats over the
+    // same 12M×12M keyed frames — interval replication stays the
+    // (span/bucket) constant, one shuffled equi-join + one hash agg
+    time("window join (kdb wj)") {
+      graft.join.Align.windowJoin(
+          kl.groupBy(col("key"), col("ts")).agg(max(col("v")).as("v")), kl,
+          Seq("key"), "ts", before = 2L, after = 2L, "v", bucket = 4L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // passage dedup at scale (round 6): 12M rows → ~36M passages; the
+    // boilerplate passage appears 12M times and must reduce map-side
+    // (partial count on the passage hash), never pile on one task
+    time("passage dedup (hot boilerplate)") {
+      val docs = li.select(col("l_orderkey").as("doc_id"),
+        concat_ws("\n", col("l_extendedprice").cast("string"),
+          lit("COMMON FOOTER"), col("l_partkey").cast("string")).as("text"))
+      graft.dedup.Dedup.passageDedup(docs, "doc_id", "text", maxDocs = 2)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // mixture downsampling at scale (round 6): two corpus passes, the
+    // counting one reading ONE pruned column; gate is map-only
+    time("mixture downsample") {
+      val src = li.select(col("l_orderkey").as("doc_id"),
+        (col("l_orderkey") % 3).cast("string").as("source"),
+        col("l_extendedprice").cast("string").as("text"))
+      graft.text.TextOps.mixtureSample(src, "source", "text",
+        Map("0" -> 0.5, "1" -> 0.3, "2" -> 0.2))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
