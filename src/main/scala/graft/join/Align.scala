@@ -71,14 +71,14 @@ object Align {
       // two-pass parallel-prefix machinery applies. One range shuffle,
       // parallelism = partition count. Values ride as Doubles (every
       // reference element type is numeric) and are cast back to their
-      // original types on output, so integrals up to 2^53 round-trip
-      // exactly; int64 data BEYOND 2^53 (ns timestamps, snowflake ids)
-      // should use graft.plans.AsofMerge.asofJoinDir, whose keyless
-      // routing carries longs in exact hi/lo lanes. A struct of numerics
-      // (the tolerance join's packed (v, ts)) is carried componentwise —
-      // its fields must be non-null whenever the struct is (true for
-      // asofJoinTol's packing).
-      import org.apache.spark.sql.types.{NumericType, StructType}
+      // original types on output; int64 fields (ns timestamps, snowflake
+      // ids — legitimately beyond a Double's 2^53 integer range) split
+      // into exact signed-hi/unsigned-lo 32-bit lane pairs, so EVERY
+      // numeric round-trips exactly. A struct of numerics (the tolerance
+      // join's packed (v, ts)) is carried componentwise — its fields
+      // must be non-null whenever the struct is (true for asofJoinTol's
+      // packing).
+      import org.apache.spark.sql.types.{LongType, NumericType, StructType}
       val vType = right.schema(valueCol).dataType
       val fields: Seq[org.apache.spark.sql.types.StructField] = vType match {
         case st: StructType =>
@@ -90,30 +90,48 @@ object Align {
         case other => throw new IllegalArgumentException(
           s"keyless as-of carries the right value through a numeric scan; got ${other.simpleString}")
       }
-      val width = fields.size
+      val isLong: Array[Boolean] = fields.map(_.dataType == LongType).toArray
+      val laneOff: Array[Int] =
+        isLong.scanLeft(0)((acc, l) => acc + (if (l) 2 else 1)).toArray
+      val lanes = laneOff(fields.size)
       val rvIdx = unioned.schema.fieldIndex("__rv")
-      val zero = Array.fill(width + 1)(0.0)
-      val outs = fields.indices.map(i => s"__cv$i") :+ "__has"
+      val zero = Array.fill(lanes + 1)(0.0)
+      val outs = (0 until lanes).map(i => s"__cv$i") :+ "__has"
+      def injectInto(a: Array[Double], i: Int, get: => Number): Unit =
+        if (isLong(i)) {
+          val v = get.longValue()
+          a(laneOff(i)) = (v >> 32).toDouble
+          a(laneOff(i) + 1) = (v & 0xFFFFFFFFL).toDouble
+        } else a(laneOff(i)) = get.doubleValue()
       val scanned = graft.window.Moving.monoidScanRanged(
         unioned, Seq(), outs,
         order = Seq(tsOrd, sideOrd))(
         identity = zero)(
         inject = r =>
           if (r.isNullAt(rvIdx)) zero
-          else vType match {
-            case _: StructType =>
-              val s = r.getStruct(rvIdx)
-              Array.tabulate(width + 1)(i =>
-                if (i == width) 1.0 else s.getAs[Number](i).doubleValue())
-            case _ =>
-              Array(r.getAs[Number](rvIdx).doubleValue(), 1.0)
+          else {
+            val a = new Array[Double](lanes + 1)
+            vType match {
+              case _: StructType =>
+                val s = r.getStruct(rvIdx)
+                fields.indices.foreach(i => injectInto(a, i, s.getAs[Number](i)))
+              case _ =>
+                injectInto(a, 0, r.getAs[Number](rvIdx))
+            }
+            a(lanes) = 1.0
+            a
           })(
-        op = (a, b) => if (b(width) == 1.0) b else a)
+        op = (a, b) => if (b(lanes) == 1.0) b else a)
+      def outLane(i: Int): org.apache.spark.sql.Column =
+        if (isLong(i))
+          shiftleft(col(s"__cv${laneOff(i)}").cast(LongType), 32)
+            .bitwiseOR(col(s"__cv${laneOff(i) + 1}").cast(LongType))
+        else col(s"__cv${laneOff(i)}").cast(fields(i).dataType)
       val carried = vType match {
         case _: StructType => struct(fields.zipWithIndex.map { case (f, i) =>
-          col(s"__cv$i").cast(f.dataType).as(f.name)
+          outLane(i).as(f.name)
         }: _*)
-        case _ => col("__cv0").cast(fields.head.dataType)
+        case _ => outLane(0)
       }
       scanned
         .withColumn(outCol, when(col("__has") === 1.0, carried))

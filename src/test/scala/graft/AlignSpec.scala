@@ -67,6 +67,22 @@ class AlignSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((3L, "-"), (5L, "a"), (10L, "b"), (15L, "b")))
   }
 
+  test("keyless carry is exact for int64 beyond 2^53 (hi/lo lanes)") {
+    // snowflake-scale long values and ns timestamps exceed a Double
+    // lane's exact range; both the bare-value and the packed-struct
+    // (asofJoinTol) carries must round-trip them bit-exactly
+    val base = 1723500000000000000L
+    val l = Seq(Tuple1(base + 1000L)).toDF("ts")
+    val r = Seq((base + 999L, 900719925474099317L)).toDF("ts", "v")
+    val got = Align.asofJoin(l, r, Seq(), "ts", "v")
+      .head().getLong(1)
+    assert(got == 900719925474099317L)
+    // tolerance gate at the exact ±1 ns boundary deep in the long range
+    assert(Align.asofJoinTol(l, r, Seq(), "ts", "v", lit(0L)).head().get(1) == null)
+    assert(Align.asofJoinTol(l, r, Seq(), "ts", "v", lit(1L))
+      .head().getLong(1) == 900719925474099317L)
+  }
+
   test("asofJoin with no key partitions (global series)") {
     val l = Seq(Tuple1(7L)).toDF("ts")
     val r = Seq((5L, 1.5), (6L, 2.5)).toDF("ts", "v")
