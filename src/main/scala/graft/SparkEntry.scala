@@ -1232,6 +1232,22 @@ object SparkEntry {
         .agg(fl(percentile(col("value"), lit(0.5))).as("p50"),
           fl(percentile(col("value"), lit(0.9))).as("p90"),
           fl(percentile(col("value"), lit(0.99))).as("p99"))),
+    "q_quantile_rollup" -> ((s, dir) => {
+      // mergeable KLL quantile rollup: per-(returnflag, linestatus) bucket
+      // sketches over l_extendedprice, MERGED up to returnflag at query
+      // time; the p90 read from the merged sketch must sit within 5% rank
+      // error of 0.9 against the raw data — the same bounded-error
+      // contract style as q_approx_quantile/q_sketch_rollup
+      val l = li(s, dir)
+      val buckets = Aggs.quantileRollup(l,
+        Seq("l_returnflag", "l_linestatus"), "l_extendedprice")
+      val est = Aggs.quantileEstimate(buckets, Seq("l_returnflag"), 0.9)
+      l.select(col("l_returnflag"), col("l_extendedprice").as("x"))
+        .join(est, Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg((abs(sum(when(col("x") <= col("approx_q"), 1L).otherwise(0L))
+          / count(lit(1)) - 0.9) <= lit(0.05)).as("rank_ok"))
+    }),
     "q_approx_quantile" -> ((s, dir) => {
       // the 100 TB quantile path: percentile_approx (mergeable sketch,
       // partial-agg friendly) with its rank-error guarantee asserted as a
@@ -2431,6 +2447,9 @@ object SparkEntry {
          CAST(quantile_cont("value", 0.9) AS REAL) AS p90,
          CAST(quantile_cont("value", 0.99) AS REAL) AS p99
          FROM events GROUP BY event_type""",
+    "q_quantile_rollup" ->
+      """SELECT l_returnflag, true AS rank_ok
+         FROM lineitem GROUP BY 1""",
     "q_approx_quantile" ->
       """SELECT CAST(quantile_cont(l_extendedprice, 0.9) AS REAL) AS p90_exact,
          true AS rank_ok FROM lineitem""",

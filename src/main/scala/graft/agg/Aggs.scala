@@ -82,6 +82,35 @@ object Aggs {
     merged.withColumn("approx_dc", hll_sketch_estimate(col("__u"))).drop("__u")
   }
 
+  /** Mergeable QUANTILE sketch rollup — the percentile twin of
+    * [[sketchRollup]]: one Datasketches KLL sketch per (bucketKeys) group,
+    * built ONCE from the raw rows (`kll_sketch_agg_double` → binary
+    * column, storable as a parquet rollup table), then any coarser
+    * percentile query MERGES sketches (`kll_merge_agg_double`) instead of
+    * rescanning — a 100 TB latency dashboard served from a KB-scale
+    * sketch table. Default k=200 gives ~1.7% rank error (one-sided
+    * 99% confidence), far inside the gate's 5% contract.
+    */
+  def quantileRollup(df: DataFrame, bucketKeys: Seq[String],
+                     value: String): DataFrame =
+    df.groupBy(bucketKeys.map(col): _*)
+      .agg(expr(s"kll_sketch_agg_double(`$value`)").as("q_sketch"))
+
+  /** Merge pre-built bucket quantile sketches up to `groupKeys` and read
+    * the `q` quantile.
+    */
+  def quantileEstimate(sketches: DataFrame, groupKeys: Seq[String],
+                       q: Double): DataFrame = {
+    val merged =
+      if (groupKeys.isEmpty)
+        sketches.agg(expr("kll_merge_agg_double(q_sketch)").as("__m"))
+      else sketches.groupBy(groupKeys.map(col): _*)
+        .agg(expr("kll_merge_agg_double(q_sketch)").as("__m"))
+    merged
+      .withColumn("approx_q", expr(s"kll_sketch_get_quantile_double(__m, $q)"))
+      .drop("__m")
+  }
+
   /** Per-group distinct-with-threshold count — cs_hash_dup_count
     * (func.c:5750-6215): for each group, how many distinct values occur at
     * least minOcc times. Two-level aggregation = two shuffles, but the first

@@ -58,6 +58,23 @@ class AggSpec extends AnyFunSuite {
     assert(per == Seq(20L, 20L, 20L))
   }
 
+  test("quantile rollup: merged bucket sketches are EXACT below the sketch's k") {
+    // KLL keeps every value until compaction at k=200, so 3 buckets of 40
+    // values merged (120 total) must answer quantiles exactly — the
+    // merge path is what a 100 TB rollup exercises, exactness at small n
+    // proves the plumbing loses nothing
+    val df = (0 until 120).map(i => (i % 3, i.toDouble)).toDF("bucket", "x")
+    val sk = Aggs.quantileRollup(df, Seq("bucket"), "x")
+    assert(sk.count() == 3)
+    val p50 = Aggs.quantileEstimate(sk, Seq(), 0.5).head().getDouble(0)
+    // KLL quantile at q=0.5 over 0..119 returns an actual data value at
+    // the median rank
+    assert(p50 >= 59.0 && p50 <= 60.0, s"p50=$p50")
+    val perBucket = Aggs.quantileEstimate(sk, Seq("bucket"), 1.0)
+      .orderBy("bucket").select("approx_q").as[Double].collect().toSeq
+    assert(perBucket == Seq(117.0, 118.0, 119.0)) // exact per-bucket max
+  }
+
   test("run-group aggregates group adjacent equal values (cs_group_*)") {
     val df = Series.attachPos(
       Seq((1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "a", 4.0), (5, "a", 5.0))
