@@ -85,6 +85,39 @@ object Streams {
       .select(col("event_type"),
         col("window.start").as("bucket_start"), col("approx_users"))
 
+  /** Windowed approximate percentile at stream time — the KLL twin of
+    * [[tumblingApproxDistinct]]: per-window state is one quantile sketch
+    * (not the value multiset), so a p99-latency-per-window stream costs
+    * KB of state per open window regardless of event volume.
+    */
+  def tumblingApproxQuantile(spark: SparkSession, path: String, schema: StructType,
+                             valueCol: String, q: Double,
+                             bucketSeconds: Long = 3600): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    approxQuantileAgg(
+      spark.readStream.schema(schema).parquet(path)
+        .withColumn("ets", etsCol)
+        .withWatermark("ets", "1 hour"),
+      valueCol, q, bucketSeconds)
+  }
+
+  /** Batch twin of [[tumblingApproxQuantile]] — the same aggregation, so
+    * stream == batch equality is of one definition across modes.
+    */
+  def tumblingApproxQuantileBatch(df: DataFrame, valueCol: String, q: Double,
+                                  bucketSeconds: Long = 3600): DataFrame =
+    approxQuantileAgg(df.withColumn("ets", etsCol), valueCol, q, bucketSeconds)
+
+  private def approxQuantileAgg(withEts: DataFrame, valueCol: String,
+                                q: Double, bucketSeconds: Long): DataFrame =
+    withEts
+      .groupBy(col("event_type"), window(col("ets"), s"$bucketSeconds seconds"))
+      .agg(expr(
+        s"kll_sketch_get_quantile_double(kll_sketch_agg_double(`$valueCol`), $q)")
+        .as("approx_q"))
+      .select(col("event_type"),
+        col("window.start").as("bucket_start"), col("approx_q"))
+
   /** Sliding event-time aggregation — the streaming twin of the reference's
     * length-preserving moving aggregates (§2.5 re-expressed on event time):
     * each event contributes to window/slide overlapping windows, state

@@ -59,6 +59,37 @@ class StreamingDictSpec extends AnyFunSuite {
     assert(off.isEmpty)
   }
 
+  test("streaming windowed KLL quantile equals its batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_events_kll")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = graft.io.Tables.read(spark, sfDir, "events").schema
+    val stream = Streams.tumblingApproxQuantile(spark, dir.toString, schema,
+      "value", 0.9)
+    val got = Streams.runAvailableNow(stream, "t_kll")
+    val batch = Streams.tumblingApproxQuantileBatch(
+      graft.io.Tables.read(spark, sfDir, "events"), "value", 0.9)
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    // estimates stay within 5% RANK error of 0.9 against the raw rows
+    val raw = graft.io.Tables.read(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        window(timestamp_micros(expr("ts div 1000")), "3600 seconds"))
+      .agg(collect_list(col("value")).as("vs"))
+      .select(col("event_type"), col("window.start").as("bucket_start"), col("vs"))
+    // rank error is only meaningful where a window has enough mass: a
+    // 3-event window's best achievable rank near 0.9 is 1.0 (off by 0.1
+    // with NO error at all) — gate windows of >= 50 events, where the
+    // 1/n rank granularity (2%) fits inside the 5% bound
+    val off = got.join(raw, Seq("event_type", "bucket_start"))
+      .filter(expr("size(vs) >= 50"))
+      .withColumn("rank",
+        expr("size(filter(vs, v -> v <= approx_q)) / size(vs)"))
+      .filter(abs(col("rank") - 0.9) > 0.05)
+    assert(off.isEmpty)
+  }
+
   test("streaming EMA (flatMapGroupsWithState) equals batch Moving.ema") {
     val ev = graft.io.Tables.read(spark, sfDir, "events")
       .filter(col("event_id") < 200)
