@@ -42,6 +42,10 @@ object Dict {
     */
   def buildShared(inputs: Seq[(DataFrame, String)]): DataFrame = {
     require(inputs.nonEmpty, "buildShared needs at least one (frame, column)")
+    val types = inputs.map { case (df, c) => (c, df.schema(c).dataType) }
+    require(types.map(_._2).distinct.size == 1,
+      s"shared dictionary domains must agree on type; got " +
+        types.map { case (c, t) => s"$c: ${t.simpleString}" }.mkString(", "))
     val union = inputs.map { case (df, c) => df.select(col(c).as("value")) }
       .reduce(_.unionByName(_))
     build(union, "value")
