@@ -1232,6 +1232,31 @@ object SparkEntry {
         .agg(fl(percentile(col("value"), lit(0.5))).as("p50"),
           fl(percentile(col("value"), lit(0.9))).as("p90"),
           fl(percentile(col("value"), lit(0.99))).as("p99"))),
+    "q_theta_overlap" -> ((s, dir) => {
+      // theta sketch set algebra from a rollup: per-(event_type, day)
+      // sketches of user_id built once; "users who BOTH purchased and
+      // signed up" and "purchased only" read by union+intersect/difference
+      // of sketches — the audience-overlap query HLL cannot answer.
+      // Bounded-error contract vs the exact INTERSECT/EXCEPT counts.
+      val ev = Tables.read(s, dir, "events")
+      val sk = Aggs.thetaRollup(
+        ev.withColumn("day", expr("ts div 86400000000000")),
+        Seq("event_type", "day"), "user_id")
+      val est = Aggs.thetaOverlap(sk, "event_type", "purchase", "signup")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val g = ev.filter(col("event_type") === "signup")
+        .select(col("user_id")).distinct()
+      val exact = p.intersect(g).agg(count(lit(1)).as("exact_both"))
+        .crossJoin(p.exceptAll(g.distinct()).distinct()
+          .agg(count(lit(1)).as("exact_a_only")))
+      est.crossJoin(exact)
+        .select(col("exact_both"), col("exact_a_only"),
+          (abs(col("n_both") - col("exact_both")) <=
+            greatest(col("exact_both") * 0.05, lit(2.0))).as("both_ok"),
+          (abs(col("n_a_only") - col("exact_a_only")) <=
+            greatest(col("exact_a_only") * 0.05, lit(2.0))).as("a_only_ok"))
+    }),
     "q_quantile_rollup" -> ((s, dir) => {
       // mergeable KLL quantile rollup: per-(returnflag, linestatus) bucket
       // sketches over l_extendedprice, MERGED up to returnflag at query
@@ -2447,6 +2472,18 @@ object SparkEntry {
          CAST(quantile_cont("value", 0.9) AS REAL) AS p90,
          CAST(quantile_cont("value", 0.99) AS REAL) AS p99
          FROM events GROUP BY event_type""",
+    "q_theta_overlap" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'purchase'),
+         g AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'signup'),
+         b AS (SELECT count(*) AS exact_both
+               FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM g)),
+         ao AS (SELECT count(*) AS exact_a_only
+                FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM g))
+         SELECT b.exact_both, ao.exact_a_only,
+                true AS both_ok, true AS a_only_ok
+         FROM b, ao""",
     "q_quantile_rollup" ->
       """SELECT l_returnflag, true AS rank_ok
          FROM lineitem GROUP BY 1""",

@@ -111,6 +111,36 @@ object Aggs {
       .drop("__m")
   }
 
+  /** Theta sketch rollup — the set-ALGEBRA sketch the HLL rollup cannot
+    * be: per-bucket theta sketches support INTERSECTION and DIFFERENCE
+    * estimates, not just union — "users who did BOTH X and Y", "users in
+    * A but not B" — answered from the same KB-scale rollup table without
+    * rescanning raw rows. (Inclusion-exclusion over HLL estimates
+    * explodes the error; theta intersects the retained hash sample
+    * directly.) Exact below 2^lgK retained values, ~1.6% relative error
+    * past it at Spark's default; intersections compound both inputs'
+    * error, so gates use a bounded-error contract.
+    */
+  def thetaRollup(df: DataFrame, bucketKeys: Seq[String], value: String): DataFrame =
+    df.groupBy(bucketKeys.map(col): _*)
+      .agg(expr(s"theta_sketch_agg(`$value`)").as("t_sketch"))
+
+  /** |buckets(a) ∩ buckets(b)| estimate from a theta rollup: union each
+    * side's buckets, intersect the two results. `sideCol` picks the side
+    * per bucket row; rows matching neither value are ignored.
+    */
+  def thetaOverlap(sketches: DataFrame, sideCol: String,
+                   a: String, b: String): DataFrame =
+    sketches
+      .agg(
+        expr(s"theta_union_agg(CASE WHEN `$sideCol` = '$a' THEN t_sketch END)").as("__a"),
+        expr(s"theta_union_agg(CASE WHEN `$sideCol` = '$b' THEN t_sketch END)").as("__b"))
+      .select(
+        expr("theta_sketch_estimate(__a)").as("n_a"),
+        expr("theta_sketch_estimate(__b)").as("n_b"),
+        expr("theta_sketch_estimate(theta_intersection(__a, __b))").as("n_both"),
+        expr("theta_sketch_estimate(theta_difference(__a, __b))").as("n_a_only"))
+
   /** Per-group distinct-with-threshold count — cs_hash_dup_count
     * (func.c:5750-6215): for each group, how many distinct values occur at
     * least minOcc times. Two-level aggregation = two shuffles, but the first
