@@ -16,7 +16,8 @@ object Plans {
     "q_curation", "q_sketch_rollup",
     // round 6
     "q_asof_exec_keyless", "q_passage_dedup", "q_mixture", "q_dict_global",
-    "q_media_dup_banded", "q_window_join")
+    "q_media_dup_banded", "q_window_join", "q_theta_overlap",
+    "q_quantile_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

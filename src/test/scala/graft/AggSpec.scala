@@ -75,6 +75,22 @@ class AggSpec extends AnyFunSuite {
     assert(perBucket == Seq(117.0, 118.0, 119.0)) // exact per-bucket max
   }
 
+  test("theta rollup set algebra: planted overlap is exact below 2^lgK") {
+    // side A sees users 0..59, side B sees 40..89 → |A∩B| = 20,
+    // |A\B| = 40; buckets split each side so the union-then-intersect
+    // path (the rollup query shape) is what's exercised
+    val rows = (0 until 60).map(u => ("a", u % 3, u.toLong)) ++
+      (40 until 90).map(u => ("b", u % 2, u.toLong))
+    val df = rows.toDF("side", "day", "uid")
+    val sk = Aggs.thetaRollup(df, Seq("side", "day"), "uid")
+    assert(sk.count() == 5) // 3 a-buckets + 2 b-buckets
+    val r = Aggs.thetaOverlap(sk, "side", "a", "b").head()
+    // theta_sketch_estimate returns a LONG (rounded estimate)
+    assert(r.getLong(0) == 60L && r.getLong(1) == 50L)
+    assert(r.getLong(2) == 20L, s"n_both=${r.getLong(2)}")
+    assert(r.getLong(3) == 40L, s"n_a_only=${r.getLong(3)}")
+  }
+
   test("run-group aggregates group adjacent equal values (cs_group_*)") {
     val df = Series.attachPos(
       Seq((1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "a", 4.0), (5, "a", 5.0))
