@@ -1248,8 +1248,7 @@ object SparkEntry {
       val g = ev.filter(col("event_type") === "signup")
         .select(col("user_id")).distinct()
       val exact = p.intersect(g).agg(count(lit(1)).as("exact_both"))
-        .crossJoin(p.exceptAll(g.distinct()).distinct()
-          .agg(count(lit(1)).as("exact_a_only")))
+        .crossJoin(p.except(g).agg(count(lit(1)).as("exact_a_only")))
       est.crossJoin(exact)
         .select(col("exact_both"), col("exact_a_only"),
           (abs(col("n_both") - col("exact_both")) <=

@@ -132,9 +132,13 @@ object Aggs {
   def thetaOverlap(sketches: DataFrame, sideCol: String,
                    a: String, b: String): DataFrame =
     sketches
+      // side gating via the Column API, not string splicing — a side
+      // value containing a quote must select, not parse
+      .withColumn("__sa", when(col(sideCol) === a, col("t_sketch")))
+      .withColumn("__sb", when(col(sideCol) === b, col("t_sketch")))
       .agg(
-        expr(s"theta_union_agg(CASE WHEN `$sideCol` = '$a' THEN t_sketch END)").as("__a"),
-        expr(s"theta_union_agg(CASE WHEN `$sideCol` = '$b' THEN t_sketch END)").as("__b"))
+        expr("theta_union_agg(__sa)").as("__a"),
+        expr("theta_union_agg(__sb)").as("__b"))
       .select(
         expr("theta_sketch_estimate(__a)").as("n_a"),
         expr("theta_sketch_estimate(__b)").as("n_b"),

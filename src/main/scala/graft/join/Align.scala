@@ -73,22 +73,29 @@ object Align {
       // reference element type is numeric) and are cast back to their
       // original types on output; int64 fields (ns timestamps, snowflake
       // ids — legitimately beyond a Double's 2^53 integer range) split
-      // into exact signed-hi/unsigned-lo 32-bit lane pairs, so EVERY
-      // numeric round-trips exactly. A struct of numerics (the tolerance
-      // join's packed (v, ts)) is carried componentwise — its fields
-      // must be non-null whenever the struct is (true for asofJoinTol's
-      // packing).
-      import org.apache.spark.sql.types.{LongType, NumericType, StructType}
+      // into exact signed-hi/unsigned-lo 32-bit lane pairs, so every
+      // int64-and-under integral and every float/double round-trips
+      // exactly. DecimalType is REJECTED: arbitrary precision cannot
+      // ride a Double lane losslessly (a decimal with >15-16 significant
+      // digits would silently round) — and the reference has no decimal
+      // element type. A struct of numerics (the tolerance join's packed
+      // (v, ts)) is carried componentwise — its fields must be non-null
+      // whenever the struct is (true for asofJoinTol's packing).
+      import org.apache.spark.sql.types.{DecimalType, LongType, NumericType, StructType}
+      def laneSafe(dt: org.apache.spark.sql.types.DataType): Boolean =
+        dt.isInstanceOf[NumericType] && !dt.isInstanceOf[DecimalType]
       val vType = right.schema(valueCol).dataType
       val fields: Seq[org.apache.spark.sql.types.StructField] = vType match {
         case st: StructType =>
-          require(st.fields.forall(_.dataType.isInstanceOf[NumericType]),
-            s"keyless as-of struct carry needs all-numeric fields; got ${st.simpleString}")
+          require(st.fields.forall(f => laneSafe(f.dataType)),
+            s"keyless as-of struct carry needs all-numeric non-decimal fields " +
+              s"(decimals exceed a Double lane's precision); got ${st.simpleString}")
           st.fields.toSeq
-        case nt: NumericType =>
+        case nt: NumericType if laneSafe(nt) =>
           Seq(org.apache.spark.sql.types.StructField("v", nt))
         case other => throw new IllegalArgumentException(
-          s"keyless as-of carries the right value through a numeric scan; got ${other.simpleString}")
+          s"keyless as-of carries the right value through a numeric scan " +
+            s"(decimals excluded — Double-lane precision); got ${other.simpleString}")
       }
       val isLong: Array[Boolean] = fields.map(_.dataType == LongType).toArray
       val laneOff: Array[Int] =
@@ -321,9 +328,13 @@ object Align {
   def windowJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
                  before: Long, after: Long, valueCol: String,
                  bucket: Long = 0L): DataFrame = {
-    require(before >= 0 && after >= 0 && before + after > 0,
-      s"window [−$before, +$after] must be non-empty and non-negative")
-    val b = if (bucket > 0) bucket else before + after
+    // kdb wj windows are arbitrary [ts − before, ts + after] pairs:
+    // negative `before` gives a strictly-future window ([t+1, t+5]),
+    // negative `after` a strictly-past one — the only requirement is
+    // that the window is non-empty (start <= end)
+    require(before + after >= 0,
+      s"window [ts−$before, ts+$after] is empty (start > end)")
+    val b = if (bucket > 0) bucket else math.max(before + after, 1L)
     val intervals = left.select(
       (keys :+ ts).map(col) :+
         (col(ts) - before).as("__wstart") :+ (col(ts) + after).as("__wend"): _*)

@@ -65,23 +65,37 @@ class StreamingDictSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = graft.io.Tables.read(spark, sfDir, "events").schema
+    // 16-day windows: the fixture is ~200 events per event_type over 30
+    // days, so hourly windows top out at ~3 events — the rank gate below
+    // would be VACUOUS; 16 days gives ~2 windows per type of ~100 events
+    // each — dense enough to check real rows, yet under KLL's k=200
+    // retention bound, inside which the sketch is exact and
+    // stream==batch equality is sound (past k, randomized compaction
+    // makes equality merge-order dependent)
+    val bucketSec = 16L * 86400L
     val stream = Streams.tumblingApproxQuantile(spark, dir.toString, schema,
-      "value", 0.9)
+      "value", 0.9, bucketSeconds = bucketSec)
     val got = Streams.runAvailableNow(stream, "t_kll")
     val batch = Streams.tumblingApproxQuantileBatch(
-      graft.io.Tables.read(spark, sfDir, "events"), "value", 0.9)
+      graft.io.Tables.read(spark, sfDir, "events"), "value", 0.9,
+      bucketSeconds = bucketSec)
     assert(got.count() == batch.count() && got.count() > 0)
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
     // estimates stay within 5% RANK error of 0.9 against the raw rows
     val raw = graft.io.Tables.read(spark, sfDir, "events")
       .groupBy(col("event_type"),
-        window(timestamp_micros(expr("ts div 1000")), "3600 seconds"))
+        window(timestamp_micros(expr("ts div 1000")), s"$bucketSec seconds"))
       .agg(collect_list(col("value")).as("vs"))
       .select(col("event_type"), col("window.start").as("bucket_start"), col("vs"))
-    // rank error is only meaningful where a window has enough mass: a
-    // 3-event window's best achievable rank near 0.9 is 1.0 (off by 0.1
-    // with NO error at all) — gate windows of >= 50 events, where the
-    // 1/n rank granularity (2%) fits inside the 5% bound
+    // self-protection for the two bounds this test leans on: the gated
+    // set must be NONEMPTY (else the rank assertion checks nothing) and
+    // no window may reach k=200 (else the equality above is unsound)
+    val sizes = raw
+      .agg(max(expr("size(vs)")).as("mx"),
+        sum(when(expr("size(vs) >= 50"), 1L).otherwise(0L)).as("dense"))
+      .head()
+    assert(sizes.getLong(1) > 0, "no window dense enough - rank gate vacuous")
+    assert(sizes.getInt(0) < 200, s"window of ${sizes.getInt(0)} rows exceeds KLL k")
     val off = got.join(raw, Seq("event_type", "bucket_start"))
       .filter(expr("size(vs) >= 50"))
       .withColumn("rank",
