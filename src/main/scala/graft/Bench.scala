@@ -137,16 +137,33 @@ object Bench {
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._4).sum
     val endLoad = loadavg()
-    // Contention self-diagnosis. Two independent witnesses:
+    // Contention self-diagnosis. Three independent witnesses:
     //  (a) the box was already busy when the bench started (1-min loadavg
     //      over a quarter of the worker threads before WE did anything);
     //  (b) warm-rep spreads far beyond this workload's measured noise
     //      floor (clean-box spreads stay under ~0.1 s; the round-5
     //      contaminated run showed ~1 s) on more than one query — one
-    //      outlier can be a stray GC, a pattern is another tenant.
+    //      outlier can be a stray GC, a pattern is another tenant;
+    //  (c) ONE query whose spread dwarfs its own min (> 3×): round 6's
+    //      actual failure mode — q_minhash_lsh warm reps of 4.84 s
+    //      against a 0.80 s min passed contended=false because only one
+    //      query was hit. A 4× swing on a sub-second query is not GC
+    //      (measured: max pause 57 ms on this workload) — it is an
+    //      interference burst shorter than the loadavg resolution, and
+    //      the min-of-reps it anchors deserves the asterisk.
     // A contended run still prints, but carries its own disqualification.
-    val noisy = results.filter(r => r._3 > 0.3).map("\"" + _._1 + "\"")
-    val contended = startLoad.head > cpus.toDouble / 4 || noisy.size >= 2
+    val noisyResults = results.filter(r => r._3 > 0.3)
+    val noisy = noisyResults.map("\"" + _._1 + "\"")
+    val contended = startLoad.head > cpus.toDouble / 4 || noisy.size >= 2 ||
+      noisyResults.exists(r => r._3 > 3 * r._2)
+    // consumers scanning only the headline numbers still see the flag:
+    // warn loudly on stderr, never silently anchor a ratio on a noisy min
+    if (noisy.nonEmpty) System.err.println(
+      s"[bench] WARNING: noisy queries (warm spread > 0.3 s) — their min " +
+        s"times carry an asterisk: ${noisyResults.map(_._1).mkString(", ")}")
+    if (contended) System.err.println(
+      "[bench] WARNING: contended=true — this run is self-disqualified; " +
+        "re-run on an idle box before recording its numbers")
     val loadJson = (startLoad ++ endLoad).map(v => f"$v%.2f")
       .mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"rep_times":$repsJson,"failed":$failedList,"reps":$reps,"load_sec":$loadSec%.3f,"cold_sec":$coldTotal%.3f,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.mkString("[", ",", "]")},"sf":"$sfDir"}""")

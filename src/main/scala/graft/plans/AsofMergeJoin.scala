@@ -82,13 +82,14 @@ object AsofJoinStrategy extends SparkStrategy {
   *
   * Keyless series (the reference's default single-series shape) declare
   * [[AllTuples]] — a single merge task, the honest requirement for a
-  * global merge. The API layer never plans this shape for lane-able
-  * value types: [[AsofMerge.asofJoinDir]] routes keyless calls to the
-  * ranged carry-forward scan, which parallelizes the carry as a prefix
-  * monoid with the same row-carry semantics. AllTuples is reachable only
-  * by constructing [[AsofJoinPlan]] directly, or with a value type no
-  * Double lane can carry (strings/binary), where serial is the honest
-  * answer.
+  * global merge. The API layer never plans this shape for lane-able OR
+  * dictionary-encodable value types: [[AsofMerge.asofJoinDir]] routes
+  * keyless calls to the ranged carry-forward scan, which parallelizes
+  * the carry as a prefix monoid with the same row-carry semantics;
+  * strings/binary/decimals ride the scan as dictionary codes on exact
+  * hi/lo long lanes ([[AsofMerge.keylessDictAsof]]). AllTuples is
+  * reachable only by constructing [[AsofJoinPlan]] directly, or with a
+  * complex value type (array/struct/map) no lane or dictionary carries.
   */
 case class AsofMergeJoinExec(
     leftKeys: Seq[Expression],
@@ -235,9 +236,10 @@ object AsofMerge {
     // the ranged carry-forward scan instead (same parallel-prefix
     // machinery as Align.asofJoin's keyless branch), which keeps the
     // exec's row-carry NULL semantics via explicit null-flag lanes and
-    // exact int64 carry via hi/lo lane splitting. Only lane-able value
-    // types qualify (see lanable); anything else falls through to the
-    // single-task exec, documented at
+    // exact int64 carry via hi/lo lane splitting. Lane-able value types
+    // (see lanable) ride directly; dictionary-encodable ones (strings,
+    // binary, decimals) ride as long codes (see keylessDictAsof); only
+    // complex types fall through to the single-task exec, documented at
     // AsofMergeJoinExec.requiredChildDistribution. Name resolution here
     // is case-insensitive, like the exec path's attr().
     if (keys.isEmpty) {
@@ -245,10 +247,18 @@ object AsofMerge {
         right.schema.fieldNames.find(_.equalsIgnoreCase(name))
       val rVals = valueCols.map(resolve)
       val lTs = left.schema.fieldNames.find(_.equalsIgnoreCase(ts))
-      if (lTs.isDefined && resolve(ts).isDefined && rVals.forall(_.isDefined) &&
-          rVals.flatten.forall(c => lanable(right.schema(c).dataType)))
-        return keylessRangedAsof(left, right, lTs.get, rVals.flatten, outCols,
-          direction, inclusive)
+      if (lTs.isDefined && resolve(ts).isDefined && rVals.forall(_.isDefined)) {
+        val cols = rVals.flatten
+        val dts = cols.map(c => right.schema(c).dataType)
+        if (dts.forall(lanable))
+          return keylessRangedAsof(left, right, lTs.get, cols, outCols,
+            direction, inclusive)
+        // strings/binary/decimals have no Double lane, but their DOMAIN
+        // does: dictionary-encode to long codes, scan, decode the carry
+        if (dts.forall(dt => lanable(dt) || dictEncodable(dt)))
+          return keylessDictAsof(left, right, lTs.get, cols, outCols,
+            direction, inclusive)
+      }
     }
     val spark = left.sparkSession
     install(spark)
@@ -312,6 +322,72 @@ object AsofMerge {
     case _ => false
   }
 
+  /** Atomic types a dictionary can carry through the lanes: the VALUES
+    * are not lane-able but the distinct-value DOMAIN maps to long codes
+    * (exact hi/lo lanes) and back. Complex types (arrays, structs, maps)
+    * stay on the serial exec — the honest answer until someone needs it.
+    */
+  private def dictEncodable(dt: DataType): Boolean = dt match {
+    case StringType | BinaryType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** The __-prefixed working names of the keyless scans. A left frame
+    * already carrying one of these would be silently overwritten by
+    * `withColumn`/`select` — fail loud instead (repo-wide dunder
+    * convention: internal names are reserved).
+    */
+  private val InternalName =
+    "(__v\\d+|__cl\\d+|__cn\\d+|__dc\\d+|__do\\d+|__side|__seen)".r
+  private def guardInternalNames(lf: DataFrame, rf: DataFrame): Unit = {
+    val clash = (lf.columns ++ rf.columns).distinct
+      .filter(c => InternalName.pattern.matcher(c).matches())
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with the keyless " +
+        "as-of scan's reserved internal names (__vN/__clN/__cnN/__dcN/" +
+        "__doN/__side/__seen); rename them before the join")
+  }
+
+  /** Keyless as-of for dictionary-encodable value columns: per-column
+    * dictionary (long code = sorted rank of the distinct values,
+    * [[graft.text.Dict.build]] — a dictionary-sized distinct + ranged
+    * rank), encode the right frame (size-guarded broadcast lookup or
+    * plain join), run the parallel ranged scan on the exact hi/lo code
+    * lanes, then decode the carried codes. Row-carry NULL semantics are
+    * preserved for free: a NULL value encodes to a NULL code (left join
+    * misses), rides the null-flag lane, and decodes back to NULL. Costs
+    * vs the pure-lane path: one distinct per encoded column + one encode
+    * join + one decode join — all dictionary- or result-sized, never a
+    * second pass over the un-encoded corpus.
+    */
+  private def keylessDictAsof(lf: DataFrame, rf: DataFrame, ts: String,
+                              valueCols: Seq[String], outCols: Seq[String],
+                              direction: Int, inclusive: Boolean): DataFrame = {
+    import graft.text.Dict
+    guardInternalNames(lf, rf)
+    val encCols = valueCols.distinct
+      .filterNot(c => lanable(rf.schema(c).dataType))
+    val dicts: Map[String, DataFrame] =
+      encCols.map(c => c -> Dict.build(rf, c)).toMap
+    val rEnc = encCols.zipWithIndex.foldLeft(rf) { case (df, (c, i)) =>
+      Dict.str2code(df, dicts(c), c, s"__dc$i")
+        .drop(c).withColumnRenamed(s"__dc$i", c)
+    }
+    // encoded outputs land under temp names; decode rewrites them in place
+    val outNames = outCols.zipWithIndex.map { case (o, i) =>
+      if (dicts.contains(valueCols(i))) s"__do$i" else o
+    }
+    val scanned = keylessRangedAsof(lf, rEnc, ts, valueCols, outNames,
+      direction, inclusive)
+    val decoded = valueCols.zipWithIndex.foldLeft(scanned) {
+      case (df, (c, i)) if dicts.contains(c) =>
+        Dict.code2str(df, dicts(c), s"__do$i", outCols(i)).drop(s"__do$i")
+      case (df, _) => df
+    }
+    decoded.select((lf.columns.toSeq ++ outCols).map(
+      org.apache.spark.sql.functions.col): _*)
+  }
+
   /** Parallel keyless as-of with the MERGE EXEC's row-carry contract: the
     * carried state is the latest right ROW in scan order — including rows
     * whose value columns are NULL (each value rides with its own null-flag
@@ -326,6 +402,7 @@ object AsofMerge {
                                 direction: Int, inclusive: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
     require(direction == -1 || direction == 1, "direction must be -1 or +1")
+    guardInternalNames(lf, rf)
     val leftCols = lf.columns.toSeq
     val vTypes = valueCols.map(rf.schema(_).dataType)
     val n = valueCols.size

@@ -51,27 +51,53 @@ object Dict {
     build(union, "value")
   }
 
+  /** Rows above which the dictionary is NOT force-broadcast. The reference
+    * hard-bounds its small dictionary at 64K entries (imcs.h:35) and grows
+    * into int32 codes past that; our equivalent of "grown past small" is
+    * falling back from the forced broadcast to a plain join that
+    * Catalyst/AQE plan normally (still a broadcast if the byte size turns
+    * out under autoBroadcastJoinThreshold, a shuffled hash join otherwise
+    * — never a driver OOM from force-shipping a 100M-entry dictionary).
+    * 4M rows of (long, short string) ≈ low hundreds of MB serialized —
+    * the edge of sane for a 128 GiB-executor broadcast.
+    */
+  val MaxBroadcastRows: Long = 4L * 1000 * 1000
+
+  /** Force-broadcast only a dictionary that is actually small. The count
+    * is dictionary-sized work (one agg over the already-distinct frame)
+    * paid once per lookup call — noise next to the corpus-side scan the
+    * broadcast saves.
+    */
+  private def maybeBroadcast(dict: DataFrame, maxRows: Long): DataFrame =
+    if (dict.count() <= maxRows) broadcast(dict) else dict
+
   /** cs_str2code: attach `outCol` with the dictionary code of `value`.
-    * The dictionary side is broadcast — a map-side hash lookup, no shuffle
-    * of the data table. The dictionary's value column joins by POSITION
-    * (its one non-code column), not by name, so a shared dictionary built
-    * over a union encodes any column name.
+    * A small dictionary side is broadcast — a map-side hash lookup, no
+    * shuffle of the data table; past `maxBroadcastRows` the join plans
+    * normally (see [[MaxBroadcastRows]]). The dictionary's value column
+    * joins by POSITION (its one non-code column), not by name, so a
+    * shared dictionary built over a union encodes any column name.
     */
   def str2code(df: DataFrame, dict: DataFrame, value: String,
-               outCol: String = "code"): DataFrame = {
+               outCol: String = "code",
+               maxBroadcastRows: Long = MaxBroadcastRows): DataFrame = {
     require(dict.columns.length == 2 && dict.columns.contains("code"),
       s"dictionary must be exactly (code, value), got (${dict.columns.mkString(", ")})")
     val dv = dict.columns.filter(_ != "code").head
     df.join(
-      broadcast(dict.select(col("code").as(outCol), col(dv).as(value))),
+      maybeBroadcast(
+        dict.select(col("code").as(outCol), col(dv).as(value)), maxBroadcastRows),
       Seq(value), "left")
   }
 
-  /** cs_code2str: resolve `codeCol` back to the string value. */
+  /** cs_code2str: resolve `codeCol` back to the string value. Same
+    * size-guarded broadcast as [[str2code]].
+    */
   def code2str(df: DataFrame, dict: DataFrame, codeCol: String,
-               outCol: String = "value"): DataFrame = {
+               outCol: String = "value",
+               maxBroadcastRows: Long = MaxBroadcastRows): DataFrame = {
     val d = dict.select(col("code").as(codeCol),
       dict.columns.filter(_ != "code").map(col).head.as(outCol))
-    df.join(broadcast(d), Seq(codeCol), "left")
+    df.join(maybeBroadcast(d, maxBroadcastRows), Seq(codeCol), "left")
   }
 }

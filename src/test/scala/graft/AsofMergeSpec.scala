@@ -127,13 +127,87 @@ class AsofMergeSpec extends AnyFunSuite {
       rows2(1).getBoolean(2) == true)
   }
 
-  test("keyless as-of with a non-lane-able value type falls back to the exec") {
-    val l = Seq(Tuple1(7L)).toDF("ts")
-    val r = Seq((5L, "a"), (6L, "b")).toDF("ts", "v")
+  /** The serial single-task exec, constructed directly from the plan node
+    * — the ground truth the parallel keyless routings must match.
+    */
+  private def serialKeylessExec(l: DataFrame, r: DataFrame, ts: String,
+                                v: String, direction: Int = -1,
+                                inclusive: Boolean = true): DataFrame = {
+    AsofMerge.install(spark)
+    val lPlan = l.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    val node = graft.plans.AsofJoinPlan(lPlan, rPlan, Nil, Nil,
+      lPlan.output.find(_.name == ts).get, rPlan.output.find(_.name == ts).get,
+      Seq(rPlan.output.find(_.name == v).get), inclusive, direction)
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark, node)
+      .toDF(l.columns :+ "asof_value": _*)
+  }
+
+  test("keyless string as-of rides dictionary-coded lanes (no single-task merge)") {
+    val l = Seq(Tuple1(3L), Tuple1(5L), Tuple1(7L), Tuple1(9L)).toDF("ts")
+    val r = Seq((5L, "a"), (6L, "b"), (8L, null: String)).toDF("ts", "v")
     val df = AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
-    assert(df.head().getString(1) == "b")
+    assert(!df.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+      "string keyless as-of must ride the dictionary-coded ranged scan")
+    // equality with the SERIAL EXEC on the same inputs — including the
+    // row-carry contract: the NULL-valued right ROW at ts=8 masks "b"
+    val serial = serialKeylessExec(l, r, "ts", "v")
+    assert(serial.queryExecution.executedPlan.toString.contains("AsofMergeJoin"))
+    assert(rows(df) == rows(serial))
+    val out = df.orderBy("ts").select("asof_value").collect().map(_.get(0)).toSeq
+    assert(out == Seq(null, "a", "b", null))
+    // directions × boundaries on a larger frame vs the SERIAL EXEC (the
+    // window form's keyless scan deliberately rejects strings, and the
+    // exec is the semantics this routing replaces)
+    val rnd = new scala.util.Random(11)
+    val bl = Seq.fill(300)(Tuple1(rnd.nextInt(500).toLong)).toDF("ts")
+    val br = Seq.fill(200)(rnd.nextInt(500).toLong).distinct
+      .map(t => (t, s"s${t % 37}")).toDF("ts", "v")
+    for (dir <- Seq(-1, 1); incl <- Seq(true, false)) {
+      val merge = AsofMerge.asofJoinDir(bl, br, Seq(), "ts",
+        Seq("v"), Seq("asof_value"), direction = dir, inclusive = incl)
+      assert(!merge.queryExecution.executedPlan.toString.contains("AsofMergeJoin"))
+      val ground = serialKeylessExec(bl, br, "ts", "v",
+        direction = dir, inclusive = incl)
+      assert(rows(merge) == rows(ground), s"string dir=$dir incl=$incl")
+    }
+  }
+
+  test("keyless mixed value columns: string + decimal ride dict lanes, numeric rides direct") {
+    val l = Seq(Tuple1(4L), Tuple1(7L)).toDF("ts")
+    val r = Seq((3L, "y", BigDecimal("2.50"), 20.0),
+      (5L, "x", BigDecimal("1.25"), 10.0)).toDF("ts", "s", "dec", "d")
+    val out = AsofMerge.asofJoinDir(l, r, Seq(), "ts",
+      Seq("s", "dec", "d"), Seq("as", "adec", "ad"))
+    assert(!out.queryExecution.executedPlan.toString.contains("AsofMergeJoin"))
+    val got = out.orderBy("ts").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDecimal(2), x.getDouble(3))).toSeq
+    assert(got == Seq(
+      (4L, "y", new java.math.BigDecimal("2.50").setScale(18), 20.0),
+      (7L, "x", new java.math.BigDecimal("1.25").setScale(18), 10.0)))
+  }
+
+  test("keyless as-of with a complex value type falls back to the exec") {
+    val l = Seq(Tuple1(7L)).toDF("ts")
+    val r = Seq((5L, Seq(1, 2)), (6L, Seq(3))).toDF("ts", "v")
+    val df = AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
+    assert(df.head().getSeq[Int](1) == Seq(3))
     assert(df.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
-      "string keyless as-of has no Double lane; the honest single merge plans")
+      "complex-typed keyless as-of has no lane or dictionary; the honest single merge plans")
+  }
+
+  test("reserved internal names in keyless inputs fail loud, not corrupt") {
+    val l = Seq((7L, 1.0)).toDF("ts", "__side")
+    val r = Seq((5L, 2.0)).toDF("ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
+    }
+    assert(e.getMessage.contains("__side"))
+    val l2 = Seq((7L, "z")).toDF("ts", "__v0")
+    val e2 = intercept[IllegalArgumentException] {
+      AsofMerge.asofJoin(l2, r, Seq(), "ts", "v")
+    }
+    assert(e2.getMessage.contains("__v0"))
   }
 
   test("keyless lanes carry int64 beyond 2^53 EXACTLY (hi/lo split)") {

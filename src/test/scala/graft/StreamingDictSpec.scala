@@ -155,6 +155,30 @@ class StreamingDictSpec extends AnyFunSuite {
     assert(back.filter(col("code") === 2L).select("s2").as[String].head() == "cherry")
   }
 
+  test("dictionary above the broadcast threshold joins plainly (no forced broadcast)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hasBroadcastHint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collectFirst { case h: ResolvedHint => h }.nonEmpty
+    val df = (1 to 100).map(i => f"v$i%03d").toDF("s")
+    val dict = Dict.build(df, "s")
+    // under the threshold: the forced-broadcast hint is in the plan
+    val bcast = Dict.str2code(df, dict, "s")
+    assert(hasBroadcastHint(bcast))
+    // a "large" dictionary (threshold forced below its size): no hint —
+    // Catalyst plans the join normally instead of force-shipping it to
+    // the driver — and the codes are identical
+    val plain = Dict.str2code(df, dict, "s", maxBroadcastRows = 10)
+    assert(!hasBroadcastHint(plain))
+    assert(plain.orderBy("s").collect().toSeq == bcast.orderBy("s").collect().toSeq)
+    // build the code frame from the UN-hinted variant: a hint in the
+    // INPUT's lineage would make hasBroadcastHint vacuously true
+    val backB = Dict.code2str(plain.select(col("code")), dict, "code", "s2")
+    val backP = Dict.code2str(plain.select(col("code")), dict, "code", "s2",
+      maxBroadcastRows = 10)
+    assert(!hasBroadcastHint(backP) && hasBroadcastHint(backB))
+    assert(backP.orderBy("s2").collect().toSeq == backB.orderBy("s2").collect().toSeq)
+  }
+
   test("csIf consumes only the chosen branch (func.c:2559-2681)") {
     // cond: T F T T F  → a-index 0,_,1,2,_ ; b-index _,0,_,_,1
     val cond = Seq((0L, 1), (1L, 0), (2L, 1), (3L, 1), (4L, 0))
