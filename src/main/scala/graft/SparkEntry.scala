@@ -846,6 +846,57 @@ object SparkEntry {
         FROM lineitem_v GROUP BY l_returnflag""")
     }),
 
+    "q_cs_sketch" -> ((s, dir) => {
+      // the 100 TB sketch-rollup pattern in PURE SQL through the cs_
+      // sketch surface: per-(event_type, day) HLL + KLL + theta bucket
+      // sketches built ONCE (the rollup table), then distinct counts,
+      // p90, and audience overlap answered by MERGING sketches — raw
+      // rows are scanned only to build buckets and to assert the
+      // bounded-error contracts (HLL/theta 5%, KLL 5% rank error — the
+      // same contracts as q_sketch_rollup/q_quantile_rollup/
+      // q_theta_overlap, which gate the Scala API over these builtins)
+      graft.sqlext.GraftFunctions.register(s)
+      Tables.read(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql("""
+        WITH buckets AS (
+          SELECT event_type, ts div 86400000000000 AS day,
+                 cs_dc_sketch(user_id) AS dc_sk,
+                 cs_q_sketch(value)    AS q_sk,
+                 cs_t_sketch(user_id)  AS t_sk
+          FROM events_v GROUP BY 1, 2),
+        merged AS (
+          SELECT event_type,
+                 cs_dc_estimate(cs_dc_merge(dc_sk))   AS adc,
+                 cs_q_quantile(cs_q_merge(q_sk), 0.9) AS aq90
+          FROM buckets GROUP BY 1),
+        tmerged AS (
+          SELECT cs_t_merge(CASE WHEN event_type = 'purchase' THEN t_sk END) AS t_a,
+                 cs_t_merge(CASE WHEN event_type = 'signup'  THEN t_sk END) AS t_b
+          FROM buckets),
+        overlap AS (
+          SELECT cs_t_estimate(cs_t_intersect(t_a, t_b)) AS n_both FROM tmerged),
+        exact AS (
+          SELECT event_type, count(DISTINCT user_id) AS exact_dc
+          FROM events_v GROUP BY 1),
+        eb AS (
+          SELECT count(*) AS exact_both FROM (
+            SELECT DISTINCT user_id FROM events_v WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events_v WHERE event_type = 'signup')),
+        rk AS (
+          SELECT e.event_type,
+                 abs(avg(CASE WHEN e.value <= m.aq90 THEN 1.0 ELSE 0.0 END) - 0.9)
+                   <= 0.05 AS rank_ok
+          FROM events_v e JOIN merged m USING (event_type) GROUP BY 1)
+        SELECT m.event_type, x.exact_dc,
+               abs(m.adc - x.exact_dc) / x.exact_dc <= 0.05 AS dc_ok,
+               rk.rank_ok, eb.exact_both,
+               abs(o.n_both - eb.exact_both)
+                 <= greatest(eb.exact_both * 0.05, 2.0) AS both_ok
+        FROM merged m JOIN exact x USING (event_type) JOIN rk USING (event_type)
+        CROSS JOIN overlap o CROSS JOIN eb""")
+    }),
+
     "q_tpch_cs" -> ((s, dir) => {
       // The reference's cs_* form of TPC-H Q1 (tpch.sql:60-89), run
       // THROUGH the registered cs_* surface: cs_filter → NULL-masked
@@ -2217,6 +2268,16 @@ object SparkEntry {
          CAST(greatest(max(l_quantity), max(l_discount) * 100) AS REAL) AS mx,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
+    "q_cs_sketch" ->
+      """WITH x AS (SELECT event_type, count(DISTINCT user_id) AS exact_dc
+                    FROM events GROUP BY 1),
+         eb AS (SELECT count(*) AS exact_both FROM (
+                  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+                  INTERSECT
+                  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'))
+         SELECT x.event_type, x.exact_dc, true AS dc_ok, true AS rank_ok,
+                eb.exact_both, true AS both_ok
+         FROM x, eb""",
     "q_tpch_cs" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(l_quantity) AS REAL) AS sum_qty,

@@ -94,6 +94,70 @@ object GraftFunctions {
     ("cs_simhash", (c: Seq[Expression]) => SimHash64(c(0)),
       "cs_simhash(hashes) - 64-bit SimHash of a token-hash array (one-pass codegen)"),
 
+    // ---- mergeable sketch rollups (agg/Aggs.scala sketchRollup family) on
+    // ---- the SQL surface: build per-bucket sketches ONCE into a rollup
+    // ---- table, answer coarser queries by MERGING sketches — never
+    // ---- rescanning raw rows. Each name delegates to the native
+    // ---- Datasketches builtin (resolved by the analyzer to the same
+    // ---- codegen'd expression); the cs_ alias exists so the 100 TB
+    // ---- rollup pattern is reachable from the one engine namespace,
+    // ---- with the engine's arg conventions documented per name.
+    ("cs_dc_sketch", (c: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "hll_sketch_agg", c, isDistinct = false),
+      "cs_dc_sketch(x[, lgK]) - aggregate: mergeable HLL distinct-count sketch " +
+        "(binary; store per bucket in a rollup table; = hll_sketch_agg)"),
+    ("cs_dc_merge", (c: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "hll_union_agg", c, isDistinct = false),
+      "cs_dc_merge(sketch) - aggregate: union HLL bucket sketches up to the " +
+        "query's grouping (= hll_union_agg)"),
+    ("cs_dc_estimate", (c: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "hll_sketch_estimate", c, isDistinct = false),
+      "cs_dc_estimate(sketch) - distinct-count estimate from an HLL sketch " +
+        "(= hll_sketch_estimate)"),
+    ("cs_q_sketch", (c: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "kll_sketch_agg_double", c, isDistinct = false),
+      "cs_q_sketch(x[, k]) - aggregate: mergeable KLL quantile sketch over the " +
+        "float8 carrier (binary; k=200 default ~1.7% rank error; = kll_sketch_agg_double)"),
+    ("cs_q_merge", (c: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "kll_merge_agg_double", c, isDistinct = false),
+      "cs_q_merge(sketch) - aggregate: merge KLL bucket sketches up to the " +
+        "query's grouping (= kll_merge_agg_double)"),
+    ("cs_q_quantile", (c: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "kll_sketch_get_quantile_double", c, isDistinct = false),
+      "cs_q_quantile(sketch, q) - read quantile q from a (merged) KLL sketch " +
+        "(= kll_sketch_get_quantile_double)"),
+    ("cs_t_sketch", (c: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "theta_sketch_agg", c, isDistinct = false),
+      "cs_t_sketch(x[, lgK]) - aggregate: mergeable theta sketch — the " +
+        "set-ALGEBRA sketch (intersect/difference, not just union; = theta_sketch_agg)"),
+    ("cs_t_merge", (c: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "theta_union_agg", c, isDistinct = false),
+      "cs_t_merge(sketch) - aggregate: union theta bucket sketches " +
+        "(= theta_union_agg)"),
+    ("cs_t_estimate", (c: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "theta_sketch_estimate", c, isDistinct = false),
+      "cs_t_estimate(sketch) - cardinality estimate from a theta sketch " +
+        "(= theta_sketch_estimate)"),
+    ("cs_t_intersect", (c: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "theta_intersection", c, isDistinct = false),
+      "cs_t_intersect(a, b) - theta sketch of the intersection — 'did BOTH'; " +
+        "error compounds both inputs (= theta_intersection)"),
+    ("cs_t_diff", (c: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        "theta_difference", c, isDistinct = false),
+      "cs_t_diff(a, b) - theta sketch of a MINUS b — 'in A but not B' " +
+        "(= theta_difference)"),
+
     // ---- the reference's series-calculus surface (imcs--1.1.sql:518-1058),
     // ---- enough to run tpch.sql's cs_* form (tpch.sql:60-89) on Spark SQL
     ("cs_filter",

@@ -141,6 +141,36 @@ class SqlExtSpec extends AnyFunSuite {
     assert(d.getInt(0) == 2024 && d.getInt(1) == 3 && d.getInt(2) == 10)
   }
 
+  test("cs_ sketch family: rollup -> merge -> estimate in pure SQL") {
+    GraftFunctions.register(spark)
+    // 3 buckets x 60 distinct values with overlap across groups; exact
+    // below the sketches' retained-sample sizes, so estimates are EXACT
+    // u = (i/3) % 60 so EVERY group g0/g1/g2 sees all 60 distinct u's
+    // (u = i % 60 would give each group only its residue class mod 3)
+    Seq.tabulate(180)(i => (s"g${i % 3}", (i / 3) % 60, ((i / 3) % 60).toDouble))
+      .toDF("g", "u", "v").createOrReplaceTempView("t_sk")
+    val r = spark.sql(
+      """WITH b AS (SELECT g, cs_dc_sketch(u) AS dc, cs_q_sketch(v) AS q,
+                           cs_t_sketch(u) AS t
+                    FROM t_sk GROUP BY g)
+         SELECT cs_dc_estimate(cs_dc_merge(dc)) AS n,
+                cs_q_quantile(cs_q_merge(q), 1.0) AS mx,
+                cs_t_estimate(cs_t_intersect(
+                  cs_t_merge(CASE WHEN g = 'g0' THEN t END),
+                  cs_t_merge(CASE WHEN g = 'g1' THEN t END))) AS both
+         FROM b""").head()
+    assert(r.getLong(0) == 60)            // HLL exact at this cardinality
+    assert(r.getDouble(1) == 59.0)        // KLL max = quantile 1.0
+    assert(r.getLong(2) == 60L)           // g0 and g1 both see all 60 u's
+    // difference: g0 minus g1 is empty on this data
+    val d = spark.sql(
+      """WITH b AS (SELECT g, cs_t_sketch(u) AS t FROM t_sk GROUP BY g)
+         SELECT cs_t_estimate(cs_t_diff(
+           cs_t_merge(CASE WHEN g = 'g0' THEN t END),
+           cs_t_merge(CASE WHEN g = 'g1' THEN t END))) AS d FROM b""").head()
+    assert(d.getLong(0) == 0L)
+  }
+
   test("GraftExtensions injects the functions at session build time") {
     // Force a NEW session over the shared context: getOrCreate would
     // otherwise return the active test session (without the extensions).
