@@ -298,6 +298,12 @@ object Dedup {
   def hammingPairs64(withHash: DataFrame, id: String, hashCol: String,
                      bands: Int = 8, maxDist: Int = 7): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
+    // the banded select renames into these; an id (or hash) column already
+    // named one of them would silently collide and corrupt the self-join
+    val reserved = Set("band", "bucket", "pos", "col", "__h64")
+    require(!reserved(id) && !reserved(hashCol),
+      s"id/hash column must not be named one of ${reserved.mkString(", ")} " +
+        "(hammingPairs64's working names); alias it first")
     val bandBits = 64 / bands
     val banded = withHash.select(col(id), col(hashCol).as("__h64"),
       posexplode(array((0 until bands).map(b =>

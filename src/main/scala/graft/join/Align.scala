@@ -319,11 +319,15 @@ object Align {
     * Composition, not new machinery: the left rows BECOME intervals and
     * [[rangeJoin]] buckets the time axis so the range is an equi-key —
     * a shuffled hash join on (keys, slot), never BroadcastNestedLoop —
-    * then one hash aggregate per left row and a left join plants the
-    * empty windows. Left rows must be unique on (keys, ts) — the series
-    * contract the append guard enforces; `bucket` is the slot width
-    * (defaults to the window span), the same replication knob rangeJoin
-    * documents.
+    * then one hash aggregate per DISTINCT (keys, ts) and a left join
+    * plants the empty windows. Duplicate left rows are safe: intervals
+    * dedupe before the range join (a window is a function of (keys, ts),
+    * so duplicates would double-count every point), and each duplicate
+    * row receives the same — correct — window stats from the final join.
+    * `bucket` is the slot width (defaults to the window span), the same
+    * replication knob rangeJoin documents. The win_* output names and
+    * the __-prefixed working names are reserved: a left frame already
+    * carrying one fails loud instead of silently colliding.
     */
   def windowJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
                  before: Long, after: Long, valueCol: String,
@@ -334,10 +338,19 @@ object Align {
     // that the window is non-empty (start <= end)
     require(before + after >= 0,
       s"window [ts−$before, ts+$after] is empty (start > end)")
+    val reserved = Set("win_count", "win_sum", "win_avg", "win_min", "win_max",
+      "__wstart", "__wend", "__rts", "__rv")
+    val clash = (left.columns ++ right.columns).distinct.filter(reserved)
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with windowJoin's " +
+        "reserved output/working names (win_*/__w*/__r*); rename them first")
     val b = if (bucket > 0) bucket else math.max(before + after, 1L)
+    // dedupe BEFORE the range join: the window is a function of (keys, ts),
+    // and a duplicated interval would count every matched point twice
     val intervals = left.select(
       (keys :+ ts).map(col) :+
         (col(ts) - before).as("__wstart") :+ (col(ts) + after).as("__wend"): _*)
+      .dropDuplicates(keys :+ ts)
     val points = right.select(
       (keys.map(col) :+ col(ts).as("__rts")) :+ col(valueCol).as("__rv"): _*)
     val matched = rangeJoin(points, intervals, keys, "__rts",

@@ -51,6 +51,32 @@ class AlignSpec extends AnyFunSuite {
     }
   }
 
+  test("windowJoin: duplicate left (keys, ts) rows get CORRECT stats, not doubled") {
+    // two identical left rows: intervals dedupe before the range join, so
+    // each duplicate receives the true window count (2), not 4
+    val l = Seq(("k", 10L), ("k", 10L), ("k", 50L)).toDF("key", "ts")
+    val r = Seq(("k", 7L, 1.0), ("k", 13L, 5.0)).toDF("key", "ts", "v")
+    val got = Align.windowJoin(l, r, Seq("key"), "ts", 3L, 3L, "v")
+      .orderBy("key", "ts")
+      .select("key", "ts", "win_count", "win_sum").collect().map(_.toSeq).toSeq
+    assert(got == Seq(
+      Seq("k", 10L, 2L, 6.0), Seq("k", 10L, 2L, 6.0), Seq("k", 50L, 0L, null)))
+  }
+
+  test("windowJoin: reserved win_*/__-names in inputs fail loud") {
+    val l = Seq(("k", 10L, 1L)).toDF("key", "ts", "win_count")
+    val r = Seq(("k", 7L, 1.0)).toDF("key", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      Align.windowJoin(l, r, Seq("key"), "ts", 3L, 3L, "v")
+    }
+    assert(e.getMessage.contains("win_count"))
+    val r2 = Seq(("k", 7L, 1.0, 2.0)).toDF("key", "ts", "v", "__rv")
+    val e2 = intercept[IllegalArgumentException] {
+      Align.windowJoin(l.drop("win_count"), r2, Seq("key"), "ts", 3L, 3L, "v")
+    }
+    assert(e2.getMessage.contains("__rv"))
+  }
+
   test("rangeJoin with no keys (pure range join)") {
     val pts = Seq(Tuple1(5L), Tuple1(50L)).toDF("ts")
     val ivs = Seq((0L, 10L, "lo"), (40L, 60L, "hi"), (100L, 200L, "none"))

@@ -212,4 +212,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == exact)
     assert(pairs.contains((0L, 2L, 7L)) && !pairs.exists(p => p._1 == 0L && p._2 == 3L))
   }
+
+  test("hammingPairs64 rejects id/hash columns named after its working names") {
+    val df = Seq((1L, 2L)).toDF("band", "h")
+    val e = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.hammingPairs64(df, "band", "h")
+    }
+    assert(e.getMessage.contains("band"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.hammingPairs64(df.toDF("id", "__h64"), "id", "__h64")
+    }
+    assert(e2.getMessage.contains("__h64"))
+  }
 }
