@@ -76,14 +76,77 @@ object Streams {
                                   lgK: Int = 12): DataFrame =
     approxDistinctAgg(df.withColumn("ets", etsCol), keyCol, bucketSeconds, lgK)
 
-  private def approxDistinctAgg(withEts: DataFrame, keyCol: String,
-                                bucketSeconds: Long, lgK: Int): DataFrame =
+  /** Sliding-window approximate-distinct — "uniques in the last hour,
+    * updated every `slideSeconds`", the live-dashboard shape: each event
+    * folds into window/slide overlapping windows, and per OPEN window the
+    * state is still ONE KB-scale HLL sketch (an event in k windows costs
+    * k sketch-update operations, not k copies of the key set). Watermark
+    * bounds the number of open windows.
+    */
+  def slidingApproxDistinct(spark: SparkSession, path: String, schema: StructType,
+                            keyCol: String, windowSeconds: Long,
+                            slideSeconds: Long, lgK: Int = 12): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    approxDistinctAgg(
+      spark.readStream.schema(schema).parquet(path)
+        .withColumn("ets", etsCol)
+        .withWatermark("ets", "1 hour"),
+      keyCol, windowSeconds, lgK, slideSeconds)
+  }
+
+  /** Batch twin of [[slidingApproxDistinct]] — same aggregation, so the
+    * spec compares one definition across execution modes.
+    */
+  def slidingApproxDistinctBatch(df: DataFrame, keyCol: String,
+                                 windowSeconds: Long, slideSeconds: Long,
+                                 lgK: Int = 12): DataFrame =
+    approxDistinctAgg(df.withColumn("ets", etsCol), keyCol, windowSeconds,
+      lgK, slideSeconds)
+
+  /** Session-window approximate-distinct — uniques per activity burst
+    * (gap-separated session, the reference has no analog): one HLL sketch
+    * per open session, sessions close `gapSeconds` after the last event
+    * (watermark-bounded). Output keys on the session START.
+    */
+  def sessionApproxDistinct(spark: SparkSession, path: String, schema: StructType,
+                            keyCol: String, gapSeconds: Long,
+                            lgK: Int = 12): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sessionApproxDistinctAgg(
+      spark.readStream.schema(schema).parquet(path)
+        .withColumn("ets", etsCol)
+        .withWatermark("ets", "1 hour"),
+      keyCol, gapSeconds, lgK)
+  }
+
+  /** Batch twin of [[sessionApproxDistinct]]. */
+  def sessionApproxDistinctBatch(df: DataFrame, keyCol: String,
+                                 gapSeconds: Long, lgK: Int = 12): DataFrame =
+    sessionApproxDistinctAgg(df.withColumn("ets", etsCol), keyCol, gapSeconds, lgK)
+
+  private def sessionApproxDistinctAgg(withEts: DataFrame, keyCol: String,
+                                       gapSeconds: Long, lgK: Int): DataFrame =
     withEts
-      .groupBy(col("event_type"), window(col("ets"), s"$bucketSeconds seconds"))
+      .groupBy(col("event_type"),
+        session_window(col("ets"), s"$gapSeconds seconds"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col(keyCol), lit(lgK))).as("approx_users"))
+      .select(col("event_type"),
+        col("session_window.start").as("session_start"), col("approx_users"))
+
+  private def approxDistinctAgg(withEts: DataFrame, keyCol: String,
+                                bucketSeconds: Long, lgK: Int,
+                                slideSeconds: Long = 0L): DataFrame = {
+    val w = if (slideSeconds > 0)
+      window(col("ets"), s"$bucketSeconds seconds", s"$slideSeconds seconds")
+    else window(col("ets"), s"$bucketSeconds seconds")
+    withEts
+      .groupBy(col("event_type"), w)
       .agg(hll_sketch_estimate(
         hll_sketch_agg(col(keyCol), lit(lgK))).as("approx_users"))
       .select(col("event_type"),
         col("window.start").as("bucket_start"), col("approx_users"))
+  }
 
   /** Windowed approximate percentile at stream time — the KLL twin of
     * [[tumblingApproxDistinct]]: per-window state is one quantile sketch
@@ -108,15 +171,42 @@ object Streams {
                                   bucketSeconds: Long = 3600): DataFrame =
     approxQuantileAgg(df.withColumn("ets", etsCol), valueCol, q, bucketSeconds)
 
+  /** Sliding-window approximate percentile — "p99 over the last hour,
+    * updated every `slideSeconds`": the KLL twin of
+    * [[slidingApproxDistinct]], KB of state per open window.
+    */
+  def slidingApproxQuantile(spark: SparkSession, path: String, schema: StructType,
+                            valueCol: String, q: Double, windowSeconds: Long,
+                            slideSeconds: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    approxQuantileAgg(
+      spark.readStream.schema(schema).parquet(path)
+        .withColumn("ets", etsCol)
+        .withWatermark("ets", "1 hour"),
+      valueCol, q, windowSeconds, slideSeconds)
+  }
+
+  /** Batch twin of [[slidingApproxQuantile]]. */
+  def slidingApproxQuantileBatch(df: DataFrame, valueCol: String, q: Double,
+                                 windowSeconds: Long,
+                                 slideSeconds: Long): DataFrame =
+    approxQuantileAgg(df.withColumn("ets", etsCol), valueCol, q,
+      windowSeconds, slideSeconds)
+
   private def approxQuantileAgg(withEts: DataFrame, valueCol: String,
-                                q: Double, bucketSeconds: Long): DataFrame =
+                                q: Double, bucketSeconds: Long,
+                                slideSeconds: Long = 0L): DataFrame = {
+    val w = if (slideSeconds > 0)
+      window(col("ets"), s"$bucketSeconds seconds", s"$slideSeconds seconds")
+    else window(col("ets"), s"$bucketSeconds seconds")
     withEts
-      .groupBy(col("event_type"), window(col("ets"), s"$bucketSeconds seconds"))
+      .groupBy(col("event_type"), w)
       .agg(expr(
         s"kll_sketch_get_quantile_double(kll_sketch_agg_double(`$valueCol`), $q)")
         .as("approx_q"))
       .select(col("event_type"),
         col("window.start").as("bucket_start"), col("approx_q"))
+  }
 
   /** Sliding event-time aggregation — the streaming twin of the reference's
     * length-preserving moving aggregates (§2.5 re-expressed on event time):

@@ -59,6 +59,76 @@ class StreamingDictSpec extends AnyFunSuite {
     assert(off.isEmpty)
   }
 
+  test("SLIDING streaming HLL approx-distinct equals its batch twin") {
+    // the live-dashboard shape: uniques over a 2-day window sliding every
+    // 12h — each event lands in 4 overlapping windows, per-window state
+    // is still one sketch; the deterministic sketch makes stream==batch
+    // equality exact
+    val dir = java.nio.file.Files.createTempDirectory("stream_events_hll_sl")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = graft.io.Tables.read(spark, sfDir, "events").schema
+    val win = 2L * 86400L; val slide = 43200L
+    val stream = Streams.slidingApproxDistinct(spark, dir.toString, schema,
+      "user_id", win, slide)
+    val got = Streams.runAvailableNow(stream, "t_hll_sl")
+    val batch = Streams.slidingApproxDistinctBatch(
+      graft.io.Tables.read(spark, sfDir, "events"), "user_id", win, slide)
+    assert(got.count() == batch.count() && got.count() > 0)
+    // sliding windows really overlap: more windows than the tumbling twin
+    val tumbling = Streams.tumblingApproxDistinctBatch(
+      graft.io.Tables.read(spark, sfDir, "events"), "user_id", win)
+    assert(got.count() > tumbling.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    // estimates within HLL error of each sliding window's exact count
+    val exact = graft.io.Tables.read(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        window(timestamp_micros(expr("ts div 1000")),
+          s"$win seconds", s"$slide seconds"))
+      .agg(countDistinct(col("user_id")).as("dc"))
+      .select(col("event_type"), col("window.start").as("bucket_start"), col("dc"))
+    val off = got.join(exact, Seq("event_type", "bucket_start"))
+      .filter(abs(col("approx_users") - col("dc")) / col("dc") > 0.15)
+    assert(off.isEmpty)
+  }
+
+  test("SESSION-window streaming HLL approx-distinct equals its batch twin") {
+    // uniques per activity burst: sessions close 1 day after the last
+    // event; one sketch per open session
+    val dir = java.nio.file.Files.createTempDirectory("stream_events_hll_se")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = graft.io.Tables.read(spark, sfDir, "events").schema
+    val stream = Streams.sessionApproxDistinct(spark, dir.toString, schema,
+      "user_id", gapSeconds = 86400L)
+    val got = Streams.runAvailableNow(stream, "t_hll_se")
+    val batch = Streams.sessionApproxDistinctBatch(
+      graft.io.Tables.read(spark, sfDir, "events"), "user_id", gapSeconds = 86400L)
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
+  test("SLIDING streaming KLL quantile equals its batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_events_kll_sl")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = graft.io.Tables.read(spark, sfDir, "events").schema
+    // 16-day window sliding 8 days (same density reasoning as the
+    // tumbling KLL test: windows stay under KLL's k=200 retention, where
+    // the sketch is exact and stream==batch equality is sound)
+    val win = 16L * 86400L; val slide = 8L * 86400L
+    val stream = Streams.slidingApproxQuantile(spark, dir.toString, schema,
+      "value", 0.9, win, slide)
+    val got = Streams.runAvailableNow(stream, "t_kll_sl")
+    val batch = Streams.slidingApproxQuantileBatch(
+      graft.io.Tables.read(spark, sfDir, "events"), "value", 0.9, win, slide)
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("streaming windowed KLL quantile equals its batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("stream_events_kll")
     java.nio.file.Files.copy(
