@@ -31,6 +31,15 @@ object ScaleSmoke {
       val t0 = System.nanoTime(); val r = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
+    // optional 3rd arg: comma-separated label substrings — run only the
+    // matching query sections (setup always runs). Lets the big factors
+    // (x100) target one pipeline without paying for the whole battery:
+    //   ScaleSmoke 100 /tmp/work "window join,passage,mixture"
+    val only: Option[Set[String]] = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def run(label: String)(f: => Unit): Unit =
+      if (only.forall(_.exists(label.contains))) time(label)(f)
+      else println(s"$label: skipped (filter)")
 
     // ×factor lineitem: replicate with perturbed keys so group/join
     // cardinalities scale with the data (not constant groups)
@@ -48,22 +57,22 @@ object ScaleSmoke {
     println(s"rows = $rows, cached partitions = ${li.rdd.getNumPartitions} " +
       s"(sized by bytes/2.5MB clamped to cores — was 4-5 at sf0.1)")
 
-    time("q1-shape agg (warm 1)") {
+    run("q1-shape agg (warm 1)") {
       li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
         .write.format("noop").mode("overwrite").save()
     }
-    time("q1-shape agg (warm 2)") {
+    run("q1-shape agg (warm 2)") {
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
         .write.format("noop").mode("overwrite").save()
     }
-    time("filtered count") {
+    run("filtered count") {
       li.filter(col("l_extendedprice") > col("l_quantity") * lit(1000.0))
         .agg(count(lit(1))).write.format("noop").mode("overwrite").save()
     }
-    time("3-key hash agg") {
+    run("3-key hash agg") {
       li.groupBy(col("l_returnflag"), col("l_linestatus"), year(col("l_shipdate")))
         .agg(count(lit(1)), sum("l_extendedprice"), min("l_quantity"), max("l_quantity"))
         .write.format("noop").mode("overwrite").save()
@@ -71,33 +80,33 @@ object ScaleSmoke {
 
     // keyless series ops at scale: pos numbering + trailing window + as-of
     // via the ranged scans (partition-count parallelism, no global window)
-    val series = graft.series.Series.attachPosRanged(
+    lazy val series = graft.series.Series.attachPosRanged(
       li.select(col("l_orderkey").as("k"), col("l_extendedprice").as("value")),
       Seq(), Seq(col("k")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("keyless pos numbering (ranged)")(series.count())
-    time("keyless trailing window (scan)") {
+    run("keyless pos numbering (ranged)")(series.count())
+    run("keyless trailing window (scan)") {
       graft.window.Moving.windowAgg(series, Seq(), "value", 10)
         .write.format("noop").mode("overwrite").save()
     }
-    time("keyless EMA (parallel prefix)") {
+    run("keyless EMA (parallel prefix)") {
       graft.window.Moving.ema(series, Seq(), "value", 10)
         .write.format("noop").mode("overwrite").save()
     }
-    val l = series.filter(col("k") % 2 === 0).select(col("k").as("ts"), col("value"))
-    val r = series.filter(col("k") % 2 === 1)
+    lazy val l = series.filter(col("k") % 2 === 0).select(col("k").as("ts"), col("value"))
+    lazy val r = series.filter(col("k") % 2 === 1)
       .groupBy((col("k") - 1).as("ts")).agg(max("value").as("value"))
-    time("keyless as-of (carry scan)") {
+    run("keyless as-of (carry scan)") {
       graft.join.Align.asofJoin(l, r, Seq(), "ts", "value")
         .write.format("noop").mode("overwrite").save()
     }
     // round-5 alignment parity shapes at scale: nearest = two carry
     // scans; stretch0 = one full outer join — both partition-parallel
-    time("keyless nearest as-of (two carry scans)") {
+    run("keyless nearest as-of (two carry scans)") {
       graft.join.Align.asofJoinNearest(l, r, Seq(), "ts", "value")
         .write.format("noop").mode("overwrite").save()
     }
-    time("stretch0 union merge (full outer)") {
+    run("stretch0 union merge (full outer)") {
       graft.join.Align.stretch0(l, r, Seq(), "ts", "value", lit(-1.0))
         .write.format("noop").mode("overwrite").save()
     }
@@ -109,11 +118,11 @@ object ScaleSmoke {
     val kl = li.select(col("l_orderkey").as("key"),
       col("l_linenumber").cast("long").as("ts"), col("l_extendedprice").as("v"))
     val kr = kl.select(col("key"), (col("ts") - 1).as("ts"), col("v"))
-    time("keyed as-of union+window") {
+    run("keyed as-of union+window") {
       graft.join.Align.asofJoin(kl, kr, Seq("key"), "ts", "v")
         .write.format("noop").mode("overwrite").save()
     }
-    time("keyed as-of merge exec") {
+    run("keyed as-of merge exec") {
       graft.plans.AsofMerge.asofJoin(kl, kr, Seq("key"), "ts", "v")
         .write.format("noop").mode("overwrite").save()
     }
@@ -123,7 +132,7 @@ object ScaleSmoke {
     val ivs = li.filter(col("l_linenumber") === 1)
       .select(col("l_orderkey").as("key"), lit(1L).as("start"),
         lit(5L).as("end"), col("l_extendedprice").as("tag"))
-    time("bucketized interval join") {
+    run("bucketized interval join") {
       graft.join.Align.rangeJoin(kl.select(col("key"), col("ts")), ivs,
           Seq("key"), "ts", "start", "end", bucket = 4L, rightCols = Seq("tag"))
         .write.format("noop").mode("overwrite").save()
@@ -131,7 +140,7 @@ object ScaleSmoke {
     // window join at scale (round 6): per-row ±2 interval stats over the
     // same 12M×12M keyed frames — interval replication stays the
     // (span/bucket) constant, one shuffled equi-join + one hash agg
-    time("window join (kdb wj)") {
+    run("window join (kdb wj)") {
       graft.join.Align.windowJoin(
           kl.groupBy(col("key"), col("ts")).agg(max(col("v")).as("v")), kl,
           Seq("key"), "ts", before = 2L, after = 2L, "v", bucket = 4L)
@@ -140,7 +149,7 @@ object ScaleSmoke {
     // passage dedup at scale (round 6): 12M rows → ~36M passages; the
     // boilerplate passage appears 12M times and must reduce map-side
     // (partial count on the passage hash), never pile on one task
-    time("passage dedup (hot boilerplate)") {
+    run("passage dedup (hot boilerplate)") {
       val docs = li.select(col("l_orderkey").as("doc_id"),
         concat_ws("\n", col("l_extendedprice").cast("string"),
           lit("COMMON FOOTER"), col("l_partkey").cast("string")).as("text"))
@@ -149,7 +158,7 @@ object ScaleSmoke {
     }
     // mixture downsampling at scale (round 6): two corpus passes, the
     // counting one reading ONE pruned column; gate is map-only
-    time("mixture downsample") {
+    run("mixture downsample") {
       val src = li.select(col("l_orderkey").as("doc_id"),
         (col("l_orderkey") % 3).cast("string").as("source"),
         col("l_extendedprice").cast("string").as("text"))
