@@ -27,9 +27,17 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // loadavg head BEFORE each section: on a shared box a co-tenant burst
+    // inflates a section's wall time — the snapshot lets a reader qualify
+    // each number (our own 32 threads only show up in the NEXT section's
+    // snapshot; a high start value means the box was already busy)
+    def load(): Double = scala.util.Try(
+      scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble).getOrElse(-1.0)
     def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      val l0 = load(); val t0 = System.nanoTime(); val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+        f"(loadavg at start $l0%.2f)"); r
     }
     // optional 3rd arg: comma-separated label substrings — run only the
     // matching query sections (setup always runs). Lets the big factors
@@ -48,7 +56,12 @@ object ScaleSmoke {
       .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("l_orderkey", col("l_orderkey") * factor + col("__rep"))
       .drop("__rep")
-    time(s"write x$factor lineitem") {
+    // SPARK_GRAFT_REUSE=1 skips the replicate+write when the workdir
+    // already holds this factor's data (re-measuring after interference)
+    val reuse = sys.env.get("SPARK_GRAFT_REUSE").contains("1") &&
+      new java.io.File(s"$work/lineitem.parquet/_SUCCESS").exists()
+    if (reuse) println(s"write x$factor lineitem: reused $work")
+    else time(s"write x$factor lineitem") {
       big.write.mode("overwrite").parquet(s"$work/lineitem.parquet")
     }
     val li = graft.io.Tables.read(spark, work, "lineitem")
