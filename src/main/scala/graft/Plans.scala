@@ -17,7 +17,9 @@ object Plans {
     // round 6
     "q_asof_exec_keyless", "q_passage_dedup", "q_mixture", "q_dict_global",
     "q_media_dup_banded", "q_window_join", "q_theta_overlap",
-    "q_quantile_rollup")
+    "q_quantile_rollup",
+    // round 7
+    "q_cs_sketch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
