@@ -113,6 +113,19 @@ object ScaleSmoke {
       graft.join.Align.asofJoin(l, r, Seq(), "ts", "value")
         .write.format("noop").mode("overwrite").save()
     }
+    // round-7: keyless as-of with a STRING value — the dict-coded lane
+    // path (AsofMerge.keylessDictAsof): distinct+rank dictionary, encode
+    // join, the same parallel ranged scan on code lanes, decode join.
+    // The string domain is the distinct price strings (~hundreds of
+    // thousands — a mid-size dictionary, inside the broadcast guard);
+    // compare with the numeric "keyless as-of (carry scan)" above for
+    // the dictionary overhead on the same shape.
+    run("keyless string as-of (dict lanes)") {
+      val rs = r.withColumn("value",
+        format_number(col("value"), 2)).select(col("ts"), col("value"))
+      graft.plans.AsofMerge.asofJoin(l.select(col("ts")), rs, Seq(), "ts", "value")
+        .write.format("noop").mode("overwrite").save()
+    }
     // round-5 alignment parity shapes at scale: nearest = two carry
     // scans; stretch0 = one full outer join — both partition-parallel
     run("keyless nearest as-of (two carry scans)") {
