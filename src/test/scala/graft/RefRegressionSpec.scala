@@ -310,6 +310,42 @@ class RefRegressionSpec extends AnyFunSuite {
     assert(closes(sliced.filter(col("symbol") === "IBM")) == Seq(20.2f, 30.2f, 40.2f))
   }
 
+  test("drop.sql: delete/truncate lifecycle (expected/drop.out)") {
+    // the reference stores one SERIES per symbol (imcs--1.1.sql per-key
+    // load), so Quote_delete('IBM', ...) is a range delete on the IBM
+    // series — modeled here as per-symbol parquet paths
+    import graft.io.Tables
+    val dir = java.nio.file.Files.createTempDirectory("ref_drop").toString
+    val ibmPath = s"$dir/ibm.parquet"; val abbPath = s"$dir/abb.parquet"
+    val ibm = quoteFrame.filter(col("symbol") === "IBM").drop("pos")
+    val abb = quoteFrame.filter(col("symbol") === "ABB").drop("pos")
+    Tables.load(ibm, ibmPath, Seq("symbol"), "day")
+    Tables.load(abb, abbPath, Seq("symbol"), "day")
+    // Quote_delete('IBM', date('02-Nov-2013')) -> 2 (the one-arg form
+    // deletes FROM THE START through the date: 01-Nov and 02-Nov go)
+    val before = spark.read.parquet(ibmPath).count()
+    Tables.deleteRange(spark, ibmPath, "day",
+      lit("0001-01-01").cast("date"), lit("2013-11-02").cast("date"))
+    val after = spark.read.parquet(ibmPath)
+    assert(before - after.count() == 2)           // quote_delete = 2
+    assert(after.count() == 3)                    // Quote_count('IBM') = 3
+    assert(after.orderBy("day").select(col("day").cast("string"))
+      .as[String].collect().toSeq ==
+      Seq("2013-11-04", "2013-11-05", "2013-11-06")) // {11-04,11-05,11-06}
+    // Quote_delete('ABB', 03-Nov, 06-Nov) -> 2 (both ABB rows in range)
+    val abbBefore = spark.read.parquet(abbPath).count()
+    Tables.deleteRange(spark, abbPath, "day",
+      lit("2013-11-03").cast("date"), lit("2013-11-06").cast("date"))
+    assert(abbBefore - spark.read.parquet(abbPath).count() == 2)
+    // Quote_truncate() -> subsequent gets return EMPTY (count 0); our
+    // truncate removes the backing path — the engine-level equivalent
+    Tables.truncate(spark, ibmPath); Tables.truncate(spark, abbPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(ibmPath)) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(abbPath)))
+  }
+
   test("scalarop.sql: wsum/wavg/corr/cov over IBM (expected/scalarop.out)") {
     GraftFunctions.register(spark)
     quoteFrame.filter(col("symbol") === "IBM")
