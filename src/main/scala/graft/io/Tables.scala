@@ -180,7 +180,7 @@ object Tables {
     * BucketedJoinSpec).
     */
   def loadBucketed(df: DataFrame, table: String, keys: Seq[String],
-                   buckets: Int): Unit = {
+                   buckets: Int, sortCols: Seq[String] = Seq()): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // an orphaned location (e.g. a killed earlier run) blocks re-creation
@@ -191,10 +191,14 @@ object Tables {
     // one file per bucket: Spark trusts the per-bucket sort order (and
     // elides the per-query Sort under a sort-merge join) only when each
     // bucket is a single sorted file
+    // sortCols beyond the keys (e.g. the series ts) let ORDER-requiring
+    // operators — sort-merge join, the as-of merge exec — run with zero
+    // per-query Sort as well as zero Exchange
+    val sort = keys ++ sortCols
     df.repartition(buckets, keys.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
+      .sortBy(sort.head, sort.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }

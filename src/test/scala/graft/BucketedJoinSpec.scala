@@ -43,4 +43,39 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     }
   }
+
+  test("as-of merge exec over co-bucketed (key, ts)-sorted tables: zero Exchange, zero Sort") {
+    // the 100 TB as-of story: bucket + sort by (key, ts) at ingest and
+    // EVERY as-of join on those keys runs with no shuffle and no sort —
+    // the exec's ClusteredDistribution is satisfied by the bucketing, its
+    // (keys, ts) ordering by the per-bucket sort files
+    import org.apache.spark.sql.types.LongType
+    val ev = Tables.read(spark, sfDir, "events")
+      .select(col("user_id").as("key"), col("ts").cast(LongType).as("ts"),
+        col("value").as("v"))
+    Tables.loadBucketed(ev.filter(col("key") % 2 === 0), "b_asof_l",
+      Seq("key"), 8, sortCols = Seq("ts"))
+    Tables.loadBucketed(ev.filter(col("key") % 2 === 1)
+      .select(col("key") - 1 as "key", col("ts"), col("v")), "b_asof_r",
+      Seq("key"), 8, sortCols = Seq("ts"))
+    try {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val out = graft.plans.AsofMerge.asofJoin(
+        spark.table("b_asof_l"), spark.table("b_asof_r"), Seq("key"), "ts", "v")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("AsofMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(!plan.contains("Sort "), plan)
+      // same answer as the un-bucketed exec (which plans its own shuffles)
+      val base = graft.plans.AsofMerge.asofJoin(
+        ev.filter(col("key") % 2 === 0),
+        ev.filter(col("key") % 2 === 1)
+          .select(col("key") - 1 as "key", col("ts"), col("v")),
+        Seq("key"), "ts", "v")
+      assert(out.count() == base.count() && out.count() > 0)
+      assert(out.exceptAll(base).isEmpty && base.exceptAll(out).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
 }
