@@ -47,6 +47,30 @@ object Align {
                   valueCol: String, outCol: String = "asof_value",
                   direction: Int = -1, inclusive: Boolean = true): DataFrame = {
     require(direction == -1 || direction == 1, "direction must be -1 or +1")
+    // keyless strings/binary/decimals: the VALUES have no Double lane but
+    // their distinct-value DOMAIN does — dictionary-encode the right side
+    // to long codes, run the same parallel scan, decode the carry. The
+    // skip-NULL contract survives for free: a NULL value encodes to a
+    // NULL code, which the scan's inject already skips. (Keyed calls
+    // never lane — the window form carries any type directly.)
+    import org.apache.spark.sql.types.{BinaryType, DecimalType, StringType}
+    val vDt = right.schema(valueCol).dataType
+    val dictable = vDt == StringType || vDt == BinaryType || vDt.isInstanceOf[DecimalType]
+    if (keys.isEmpty && dictable) {
+      import graft.text.Dict
+      val clash = (left.columns ++ right.columns)
+        .filter(c => c == "__dcode" || c == "__dout")
+      require(clash.isEmpty, s"column name(s) ${clash.mkString(", ")} " +
+        "collide with the keyless dictionary scan's reserved names " +
+        "(__dcode/__dout); rename them before the join")
+      val dict = Dict.build(right, valueCol)
+      val rEnc = Dict.str2code(right, dict, valueCol, "__dcode")
+        .drop(valueCol).withColumnRenamed("__dcode", valueCol)
+      val scanned = asofJoinDir(left, rEnc, keys, ts, valueCol, "__dout",
+        direction, inclusive)
+      return Dict.code2str(scanned, dict, "__dout", outCol).drop("__dout")
+        .select((left.columns.toSeq :+ outCol).map(col): _*)
+    }
     val leftCols = left.columns.toSeq
     val lTagged = left
       .withColumn("__side", lit(1))
@@ -95,7 +119,8 @@ object Align {
           Seq(org.apache.spark.sql.types.StructField("v", nt))
         case other => throw new IllegalArgumentException(
           s"keyless as-of carries the right value through a numeric scan " +
-            s"(decimals excluded — Double-lane precision); got ${other.simpleString}")
+            s"(strings/binary/decimals ride dictionary codes; complex " +
+            s"types are unsupported); got ${other.simpleString}")
       }
       val isLong: Array[Boolean] = fields.map(_.dataType == LongType).toArray
       val laneOff: Array[Int] =

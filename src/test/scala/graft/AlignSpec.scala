@@ -77,6 +77,42 @@ class AlignSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("__rv"))
   }
 
+  test("keyless STRING as-of rides dictionary codes with window-form NULL semantics") {
+    // NULL right values are SKIPPED (last ignoreNulls), matching the
+    // keyed window form — "b" at ts=6 survives the null row at ts=8
+    val l = Seq(Tuple1(3L), Tuple1(5L), Tuple1(7L), Tuple1(9L)).toDF("ts")
+    val r = Seq((5L, "a"), (6L, "b"), (8L, null: String)).toDF("ts", "v")
+    val got = Align.asofJoin(l, r, Seq(), "ts", "v").orderBy("ts")
+      .select("asof_value").collect().map(_.get(0)).toSeq
+    assert(got == Seq(null, "a", "b", "b"))
+    // directions × boundaries equal the KEYED window form on a constant
+    // key (which carries strings natively) for a random frame
+    val rnd = new scala.util.Random(7)
+    val bl = Seq.fill(200)(rnd.nextInt(400).toLong).map(t => (t, 1)).toDF("ts", "k")
+    val br = Seq.fill(150)(rnd.nextInt(400).toLong).distinct
+      .map(t => (t, 1, s"s${t % 23}")).toDF("ts", "k", "v")
+    for (dir <- Seq(-1, 1); incl <- Seq(true, false)) {
+      val keyless = Align.asofJoinDir(bl.drop("k"), br.drop("k"), Seq(), "ts",
+        "v", "av", direction = dir, inclusive = incl)
+      val keyed = Align.asofJoinDir(bl, br, Seq("k"), "ts", "v", "av",
+        direction = dir, inclusive = incl).drop("k")
+      assert(keyless.orderBy("ts", "av").collect().toSeq ==
+        keyed.orderBy("ts", "av").collect().toSeq, s"dir=$dir incl=$incl")
+    }
+    // decimals ride the same dictionary path exactly
+    val rd = Seq((5L, BigDecimal("1.25")), (6L, BigDecimal("7.50"))).toDF("ts", "v")
+    val gd = Align.asofJoin(l, rd, Seq(), "ts", "v").orderBy("ts")
+      .select("asof_value").collect().map(_.get(0)).toSeq
+    assert(gd.map(Option(_).map(_.toString).orNull) ==
+      Seq(null, "1.250000000000000000", "7.500000000000000000",
+        "7.500000000000000000"))
+    // reserved dictionary names fail loud
+    val e = intercept[IllegalArgumentException] {
+      Align.asofJoin(l.withColumn("__dout", col("ts")), r, Seq(), "ts", "v")
+    }
+    assert(e.getMessage.contains("__dout"))
+  }
+
   test("rangeJoin with no keys (pure range join)") {
     val pts = Seq(Tuple1(5L), Tuple1(50L)).toDF("ts")
     val ivs = Seq((0L, 10L, "lo"), (40L, 60L, "hi"), (100L, 200L, "none"))
