@@ -193,6 +193,37 @@ object Streams {
     approxQuantileAgg(df.withColumn("ets", etsCol), valueCol, q,
       windowSeconds, slideSeconds)
 
+  /** Session-window approximate percentile — p99 per activity burst:
+    * the KLL twin of [[sessionApproxDistinct]], one quantile sketch per
+    * open session.
+    */
+  def sessionApproxQuantile(spark: SparkSession, path: String, schema: StructType,
+                            valueCol: String, q: Double,
+                            gapSeconds: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sessionApproxQuantileAgg(
+      spark.readStream.schema(schema).parquet(path)
+        .withColumn("ets", etsCol)
+        .withWatermark("ets", "1 hour"),
+      valueCol, q, gapSeconds)
+  }
+
+  /** Batch twin of [[sessionApproxQuantile]]. */
+  def sessionApproxQuantileBatch(df: DataFrame, valueCol: String, q: Double,
+                                 gapSeconds: Long): DataFrame =
+    sessionApproxQuantileAgg(df.withColumn("ets", etsCol), valueCol, q, gapSeconds)
+
+  private def sessionApproxQuantileAgg(withEts: DataFrame, valueCol: String,
+                                       q: Double, gapSeconds: Long): DataFrame =
+    withEts
+      .groupBy(col("event_type"),
+        session_window(col("ets"), s"$gapSeconds seconds"))
+      .agg(expr(
+        s"kll_sketch_get_quantile_double(kll_sketch_agg_double(`$valueCol`), $q)")
+        .as("approx_q"))
+      .select(col("event_type"),
+        col("session_window.start").as("session_start"), col("approx_q"))
+
   private def approxQuantileAgg(withEts: DataFrame, valueCol: String,
                                 q: Double, bucketSeconds: Long,
                                 slideSeconds: Long = 0L): DataFrame = {

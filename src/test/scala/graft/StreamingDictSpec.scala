@@ -129,6 +129,27 @@ class StreamingDictSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("SESSION-window streaming KLL quantile equals its batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_events_kll_se")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = graft.io.Tables.read(spark, sfDir, "events").schema
+    // 6-hour gap: the fixture's ~3.6h mean per-type spacing splits into
+    // MANY short sessions, each far under KLL's k=200 retention — inside
+    // which the sketch is exact and stream == batch equality is sound (a
+    // multi-day gap merges ~200-event runs, crossing k where randomized
+    // compaction makes equality merge-order dependent)
+    val stream = Streams.sessionApproxQuantile(spark, dir.toString, schema,
+      "value", 0.9, gapSeconds = 6L * 3600L)
+    val got = Streams.runAvailableNow(stream, "t_kll_se")
+    val batch = Streams.sessionApproxQuantileBatch(
+      graft.io.Tables.read(spark, sfDir, "events"), "value", 0.9,
+      gapSeconds = 6L * 3600L)
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("streaming windowed KLL quantile equals its batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("stream_events_kll")
     java.nio.file.Files.copy(
