@@ -67,6 +67,14 @@ object ScaleSmoke {
     val li = graft.io.Tables.read(spark, work, "lineitem")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = time("load+cache")(li.count())
+    // a reused workdir from a DIFFERENT factor would silently mislabel
+    // every measurement (x20 data recorded as x100) — fail loud instead
+    if (reuse) {
+      val want = base.count() * factor
+      require(rows == want, s"reused $work holds $rows rows but factor " +
+        s"$factor needs $want — wrong-factor data; drop SPARK_GRAFT_REUSE " +
+        "or point at the right workdir")
+    }
     println(s"rows = $rows, cached partitions = ${li.rdd.getNumPartitions} " +
       s"(sized by bytes/2.5MB clamped to cores — was 4-5 at sf0.1)")
 

@@ -47,6 +47,16 @@ object Align {
                   valueCol: String, outCol: String = "asof_value",
                   direction: Int = -1, inclusive: Boolean = true): DataFrame = {
     require(direction == -1 || direction == 1, "direction must be -1 or +1")
+    // the union scan tags rows with __side/__rv (and the dict branch adds
+    // __dcode/__dout) — a user frame already carrying one of these would
+    // be silently overwritten by withColumn; fail loud instead
+    locally {
+      val reserved = Set("__side", "__rv", "__dcode", "__dout")
+      val clash = (left.columns ++ right.columns).distinct.filter(reserved)
+      require(clash.isEmpty, s"column name(s) ${clash.mkString(", ")} " +
+        "collide with the as-of scan's reserved working names " +
+        "(__side/__rv/__dcode/__dout); rename them before the join")
+    }
     // keyless strings/binary/decimals: the VALUES have no Double lane but
     // their distinct-value DOMAIN does — dictionary-encode the right side
     // to long codes, run the same parallel scan, decode the carry. The
@@ -58,11 +68,6 @@ object Align {
     val dictable = vDt == StringType || vDt == BinaryType || vDt.isInstanceOf[DecimalType]
     if (keys.isEmpty && dictable) {
       import graft.text.Dict
-      val clash = (left.columns ++ right.columns)
-        .filter(c => c == "__dcode" || c == "__dout")
-      require(clash.isEmpty, s"column name(s) ${clash.mkString(", ")} " +
-        "collide with the keyless dictionary scan's reserved names " +
-        "(__dcode/__dout); rename them before the join")
       val dict = Dict.build(right, valueCol)
       val rEnc = Dict.str2code(right, dict, valueCol, "__dcode")
         .drop(valueCol).withColumnRenamed("__dcode", valueCol)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -48,24 +48,59 @@ object Streams {
         col("n"), col("sv"))
   }
 
+  /** Watermarked event-time stream over a parquet directory — the one
+    * source block every streaming operator here shares (ns ts → µs event
+    * time, 1 h watermark).
+    */
+  private def streamSource(spark: SparkSession, path: String,
+                           schema: StructType): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(schema).parquet(path)
+      .withColumn("ets", etsCol)
+      .withWatermark("ets", "1 hour")
+  }
+
+  /** One windowed-sketch aggregation shape for all twelve public
+    * variants: group by (event_type, `win`), fold ONE mergeable sketch
+    * per group (KB-scale state regardless of event volume — the property
+    * that makes stream-time cardinality/percentiles viable at 100 TB/day
+    * ingest), emit the window/session start + the estimate.
+    */
+  private def winAgg(withEts: DataFrame, win: Column, startField: String,
+                     outStart: String, agg: (Column, String)): DataFrame =
+    withEts.groupBy(col("event_type"), win)
+      .agg(agg._1.as(agg._2))
+      .select(col("event_type"), col(startField).as(outStart), col(agg._2))
+
+  private def hllEst(keyCol: String, lgK: Int): (Column, String) =
+    (hll_sketch_estimate(hll_sketch_agg(col(keyCol), lit(lgK))), "approx_users")
+
+  private def kllQuantile(valueCol: String, q: Double): (Column, String) =
+    (expr(s"kll_sketch_get_quantile_double(kll_sketch_agg_double(`$valueCol`), $q)"),
+      "approx_q")
+
+  private def tumbling(sec: Long): Column =
+    window(col("ets"), s"$sec seconds")
+  private def sliding(winSec: Long, slideSec: Long): Column = {
+    require(slideSec > 0,
+      s"slideSeconds must be positive, got $slideSec — a zero slide would " +
+        "silently degrade to tumbling windows")
+    window(col("ets"), s"$winSec seconds", s"$slideSec seconds")
+  }
+  private def session(gapSec: Long): Column =
+    session_window(col("ets"), s"$gapSec seconds")
+
   /** Windowed approximate-distinct at stream time — unique users per
     * event-time bucket via the same mergeable HLL sketch the batch rollup
     * uses ([[graft.agg.Aggs.sketchRollup]]): per-window state is ONE
-    * sketch (KB), not the user set, so a window with a billion distinct
-    * keys costs the same state as one with ten — the property that makes
-    * stream-time cardinality viable at 100 TB/day ingest. Watermark
-    * bounds how long a window's sketch stays open.
+    * sketch (KB), not the user set. Watermark bounds how long a window's
+    * sketch stays open.
     */
   def tumblingApproxDistinct(spark: SparkSession, path: String, schema: StructType,
                              keyCol: String, bucketSeconds: Long = 3600,
-                             lgK: Int = 12): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    approxDistinctAgg(
-      spark.readStream.schema(schema).parquet(path)
-        .withColumn("ets", etsCol)
-        .withWatermark("ets", "1 hour"),
-      keyCol, bucketSeconds, lgK)
-  }
+                             lgK: Int = 12): DataFrame =
+    winAgg(streamSource(spark, path, schema), tumbling(bucketSeconds),
+      "window.start", "bucket_start", hllEst(keyCol, lgK))
 
   /** Batch twin of [[tumblingApproxDistinct]] for stream==batch asserts —
     * the SAME aggregation applied to a batch frame, so the spec compares
@@ -74,34 +109,26 @@ object Streams {
   def tumblingApproxDistinctBatch(df: DataFrame, keyCol: String,
                                   bucketSeconds: Long = 3600,
                                   lgK: Int = 12): DataFrame =
-    approxDistinctAgg(df.withColumn("ets", etsCol), keyCol, bucketSeconds, lgK)
+    winAgg(df.withColumn("ets", etsCol), tumbling(bucketSeconds),
+      "window.start", "bucket_start", hllEst(keyCol, lgK))
 
   /** Sliding-window approximate-distinct — "uniques in the last hour,
     * updated every `slideSeconds`", the live-dashboard shape: each event
-    * folds into window/slide overlapping windows, and per OPEN window the
-    * state is still ONE KB-scale HLL sketch (an event in k windows costs
-    * k sketch-update operations, not k copies of the key set). Watermark
-    * bounds the number of open windows.
+    * folds into window/slide overlapping windows, each window still one
+    * KB-scale sketch. Watermark bounds the number of open windows.
     */
   def slidingApproxDistinct(spark: SparkSession, path: String, schema: StructType,
                             keyCol: String, windowSeconds: Long,
-                            slideSeconds: Long, lgK: Int = 12): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    approxDistinctAgg(
-      spark.readStream.schema(schema).parquet(path)
-        .withColumn("ets", etsCol)
-        .withWatermark("ets", "1 hour"),
-      keyCol, windowSeconds, lgK, slideSeconds)
-  }
+                            slideSeconds: Long, lgK: Int = 12): DataFrame =
+    winAgg(streamSource(spark, path, schema), sliding(windowSeconds, slideSeconds),
+      "window.start", "bucket_start", hllEst(keyCol, lgK))
 
-  /** Batch twin of [[slidingApproxDistinct]] — same aggregation, so the
-    * spec compares one definition across execution modes.
-    */
+  /** Batch twin of [[slidingApproxDistinct]]. */
   def slidingApproxDistinctBatch(df: DataFrame, keyCol: String,
                                  windowSeconds: Long, slideSeconds: Long,
                                  lgK: Int = 12): DataFrame =
-    approxDistinctAgg(df.withColumn("ets", etsCol), keyCol, windowSeconds,
-      lgK, slideSeconds)
+    winAgg(df.withColumn("ets", etsCol), sliding(windowSeconds, slideSeconds),
+      "window.start", "bucket_start", hllEst(keyCol, lgK))
 
   /** Session-window approximate-distinct — uniques per activity burst
     * (gap-separated session, the reference has no analog): one HLL sketch
@@ -110,43 +137,15 @@ object Streams {
     */
   def sessionApproxDistinct(spark: SparkSession, path: String, schema: StructType,
                             keyCol: String, gapSeconds: Long,
-                            lgK: Int = 12): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sessionApproxDistinctAgg(
-      spark.readStream.schema(schema).parquet(path)
-        .withColumn("ets", etsCol)
-        .withWatermark("ets", "1 hour"),
-      keyCol, gapSeconds, lgK)
-  }
+                            lgK: Int = 12): DataFrame =
+    winAgg(streamSource(spark, path, schema), session(gapSeconds),
+      "session_window.start", "session_start", hllEst(keyCol, lgK))
 
   /** Batch twin of [[sessionApproxDistinct]]. */
   def sessionApproxDistinctBatch(df: DataFrame, keyCol: String,
                                  gapSeconds: Long, lgK: Int = 12): DataFrame =
-    sessionApproxDistinctAgg(df.withColumn("ets", etsCol), keyCol, gapSeconds, lgK)
-
-  private def sessionApproxDistinctAgg(withEts: DataFrame, keyCol: String,
-                                       gapSeconds: Long, lgK: Int): DataFrame =
-    withEts
-      .groupBy(col("event_type"),
-        session_window(col("ets"), s"$gapSeconds seconds"))
-      .agg(hll_sketch_estimate(
-        hll_sketch_agg(col(keyCol), lit(lgK))).as("approx_users"))
-      .select(col("event_type"),
-        col("session_window.start").as("session_start"), col("approx_users"))
-
-  private def approxDistinctAgg(withEts: DataFrame, keyCol: String,
-                                bucketSeconds: Long, lgK: Int,
-                                slideSeconds: Long = 0L): DataFrame = {
-    val w = if (slideSeconds > 0)
-      window(col("ets"), s"$bucketSeconds seconds", s"$slideSeconds seconds")
-    else window(col("ets"), s"$bucketSeconds seconds")
-    withEts
-      .groupBy(col("event_type"), w)
-      .agg(hll_sketch_estimate(
-        hll_sketch_agg(col(keyCol), lit(lgK))).as("approx_users"))
-      .select(col("event_type"),
-        col("window.start").as("bucket_start"), col("approx_users"))
-  }
+    winAgg(df.withColumn("ets", etsCol), session(gapSeconds),
+      "session_window.start", "session_start", hllEst(keyCol, lgK))
 
   /** Windowed approximate percentile at stream time — the KLL twin of
     * [[tumblingApproxDistinct]]: per-window state is one quantile sketch
@@ -155,21 +154,15 @@ object Streams {
     */
   def tumblingApproxQuantile(spark: SparkSession, path: String, schema: StructType,
                              valueCol: String, q: Double,
-                             bucketSeconds: Long = 3600): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    approxQuantileAgg(
-      spark.readStream.schema(schema).parquet(path)
-        .withColumn("ets", etsCol)
-        .withWatermark("ets", "1 hour"),
-      valueCol, q, bucketSeconds)
-  }
+                             bucketSeconds: Long = 3600): DataFrame =
+    winAgg(streamSource(spark, path, schema), tumbling(bucketSeconds),
+      "window.start", "bucket_start", kllQuantile(valueCol, q))
 
-  /** Batch twin of [[tumblingApproxQuantile]] — the same aggregation, so
-    * stream == batch equality is of one definition across modes.
-    */
+  /** Batch twin of [[tumblingApproxQuantile]]. */
   def tumblingApproxQuantileBatch(df: DataFrame, valueCol: String, q: Double,
                                   bucketSeconds: Long = 3600): DataFrame =
-    approxQuantileAgg(df.withColumn("ets", etsCol), valueCol, q, bucketSeconds)
+    winAgg(df.withColumn("ets", etsCol), tumbling(bucketSeconds),
+      "window.start", "bucket_start", kllQuantile(valueCol, q))
 
   /** Sliding-window approximate percentile — "p99 over the last hour,
     * updated every `slideSeconds`": the KLL twin of
@@ -177,21 +170,16 @@ object Streams {
     */
   def slidingApproxQuantile(spark: SparkSession, path: String, schema: StructType,
                             valueCol: String, q: Double, windowSeconds: Long,
-                            slideSeconds: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    approxQuantileAgg(
-      spark.readStream.schema(schema).parquet(path)
-        .withColumn("ets", etsCol)
-        .withWatermark("ets", "1 hour"),
-      valueCol, q, windowSeconds, slideSeconds)
-  }
+                            slideSeconds: Long): DataFrame =
+    winAgg(streamSource(spark, path, schema), sliding(windowSeconds, slideSeconds),
+      "window.start", "bucket_start", kllQuantile(valueCol, q))
 
   /** Batch twin of [[slidingApproxQuantile]]. */
   def slidingApproxQuantileBatch(df: DataFrame, valueCol: String, q: Double,
                                  windowSeconds: Long,
                                  slideSeconds: Long): DataFrame =
-    approxQuantileAgg(df.withColumn("ets", etsCol), valueCol, q,
-      windowSeconds, slideSeconds)
+    winAgg(df.withColumn("ets", etsCol), sliding(windowSeconds, slideSeconds),
+      "window.start", "bucket_start", kllQuantile(valueCol, q))
 
   /** Session-window approximate percentile — p99 per activity burst:
     * the KLL twin of [[sessionApproxDistinct]], one quantile sketch per
@@ -199,45 +187,15 @@ object Streams {
     */
   def sessionApproxQuantile(spark: SparkSession, path: String, schema: StructType,
                             valueCol: String, q: Double,
-                            gapSeconds: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sessionApproxQuantileAgg(
-      spark.readStream.schema(schema).parquet(path)
-        .withColumn("ets", etsCol)
-        .withWatermark("ets", "1 hour"),
-      valueCol, q, gapSeconds)
-  }
+                            gapSeconds: Long): DataFrame =
+    winAgg(streamSource(spark, path, schema), session(gapSeconds),
+      "session_window.start", "session_start", kllQuantile(valueCol, q))
 
   /** Batch twin of [[sessionApproxQuantile]]. */
   def sessionApproxQuantileBatch(df: DataFrame, valueCol: String, q: Double,
                                  gapSeconds: Long): DataFrame =
-    sessionApproxQuantileAgg(df.withColumn("ets", etsCol), valueCol, q, gapSeconds)
-
-  private def sessionApproxQuantileAgg(withEts: DataFrame, valueCol: String,
-                                       q: Double, gapSeconds: Long): DataFrame =
-    withEts
-      .groupBy(col("event_type"),
-        session_window(col("ets"), s"$gapSeconds seconds"))
-      .agg(expr(
-        s"kll_sketch_get_quantile_double(kll_sketch_agg_double(`$valueCol`), $q)")
-        .as("approx_q"))
-      .select(col("event_type"),
-        col("session_window.start").as("session_start"), col("approx_q"))
-
-  private def approxQuantileAgg(withEts: DataFrame, valueCol: String,
-                                q: Double, bucketSeconds: Long,
-                                slideSeconds: Long = 0L): DataFrame = {
-    val w = if (slideSeconds > 0)
-      window(col("ets"), s"$bucketSeconds seconds", s"$slideSeconds seconds")
-    else window(col("ets"), s"$bucketSeconds seconds")
-    withEts
-      .groupBy(col("event_type"), w)
-      .agg(expr(
-        s"kll_sketch_get_quantile_double(kll_sketch_agg_double(`$valueCol`), $q)")
-        .as("approx_q"))
-      .select(col("event_type"),
-        col("window.start").as("bucket_start"), col("approx_q"))
-  }
+    winAgg(df.withColumn("ets", etsCol), session(gapSeconds),
+      "session_window.start", "session_start", kllQuantile(valueCol, q))
 
   /** Sliding event-time aggregation — the streaming twin of the reference's
     * length-preserving moving aggregates (§2.5 re-expressed on event time):

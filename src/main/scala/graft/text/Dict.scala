@@ -23,11 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object Dict {
 
-  /** Build the dictionary: (code: long, value) with code = sorted rank. */
-  def build(df: DataFrame, value: String): DataFrame =
-    Series.attachPosRanged(
+  /** Metadata key on the `code` column carrying the dictionary row count,
+    * stamped by [[build]] so the broadcast-size decision in
+    * [[str2code]]/[[code2str]] reads it for free instead of running a
+    * count job per lookup call. Hand-built dictionaries without the
+    * stamp fall back to one count (dictionary-sized).
+    */
+  private val RowsKey = "graft.dict.rows"
+
+  /** Build the dictionary: (code: long, value) with code = sorted rank.
+    * The row count is one extra dictionary-sized job here (the ranged
+    * numbering's shuffle is reused), paid once per BUILD rather than once
+    * per lookup.
+    */
+  def build(df: DataFrame, value: String): DataFrame = {
+    val d = Series.attachPosRanged(
       df.select(col(value)).distinct(), Seq(), Seq(col(value)), out = "code")
       .select(col("code"), col(value))
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(RowsKey, d.count()).build()
+    d.select(col("code").as("code", md), col(value))
+  }
 
   /** ONE dictionary shared across frames and columns — the reference's
     * actual model: a single store-wide dictionary serves every encoded
@@ -63,13 +79,18 @@ object Dict {
     */
   val MaxBroadcastRows: Long = 4L * 1000 * 1000
 
-  /** Force-broadcast only a dictionary that is actually small. The count
-    * is dictionary-sized work (one agg over the already-distinct frame)
-    * paid once per lookup call — noise next to the corpus-side scan the
-    * broadcast saves.
+  /** Force-broadcast only a dictionary that is actually small. The size
+    * comes from the [[build]]-stamped metadata when present (free); a
+    * hand-built dictionary without the stamp pays one dictionary-sized
+    * count — still noise next to the corpus-side scan the broadcast
+    * saves.
     */
-  private def maybeBroadcast(dict: DataFrame, maxRows: Long): DataFrame =
-    if (dict.count() <= maxRows) broadcast(dict) else dict
+  private def maybeBroadcast(dict: DataFrame, maxRows: Long): DataFrame = {
+    val stamped = dict.schema.fields
+      .find(f => f.metadata.contains(RowsKey))
+      .map(_.metadata.getLong(RowsKey))
+    if (stamped.getOrElse(dict.count()) <= maxRows) broadcast(dict) else dict
+  }
 
   /** cs_str2code: attach `outCol` with the dictionary code of `value`.
     * A small dictionary side is broadcast — a map-side hash lookup, no
