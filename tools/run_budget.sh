@@ -26,3 +26,22 @@ SPARK_GRAFT_TIME_BUDGET=$BUDGET SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.Verify "$SF" "$OUT"
 echo "== all queries within ${BUDGET}s at $SF"
+# surface the latest bench record's per-query noisy markers here too, so
+# a ratio consumer reading both gates can't miss a contaminated min
+# (run_bench.sh already refuses to RECORD such a run — exit 3/4/5)
+BENCH_JSON=${BENCH_JSON:-/tmp/bench_last.json}
+if [ -f "$BENCH_JSON" ]; then
+  python3 - "$BENCH_JSON" <<'EOF'
+import json, sys
+try:
+    d = json.load(open(sys.argv[1]))
+except Exception:
+    sys.exit(0)
+noisy, failed = d.get("noisy", []), d.get("failed", [])
+if noisy or failed or d.get("contended", False):
+    print(f"== WARNING: latest bench record ({sys.argv[1]}) carries "
+          f"noisy={noisy} failed={failed} contended={d.get('contended')}"
+          " — its numbers are not clean; re-run tools/run_bench.sh",
+          file=sys.stderr)
+EOF
+fi
