@@ -173,6 +173,24 @@ class AsofMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("keyless dict lanes: random frames WITH NULL values match the serial exec") {
+    // the row-carry contract under fire: ~25% NULL-valued right rows on a
+    // random frame, all four direction×boundary configs — the dict path
+    // must carry (and mask with) NULL rows exactly as the serial exec does
+    val rnd = new scala.util.Random(13)
+    val bl = Seq.fill(250)(Tuple1(rnd.nextInt(400).toLong)).toDF("ts")
+    val br = Seq.fill(150)(rnd.nextInt(400).toLong).distinct
+      .map(t => (t, if (t % 4 == 0) null else s"v${t % 31}")).toDF("ts", "v")
+    for (dir <- Seq(-1, 1); incl <- Seq(true, false)) {
+      val merge = AsofMerge.asofJoinDir(bl, br, Seq(), "ts",
+        Seq("v"), Seq("asof_value"), direction = dir, inclusive = incl)
+      assert(!merge.queryExecution.executedPlan.toString.contains("AsofMergeJoin"))
+      val ground = serialKeylessExec(bl, br, "ts", "v",
+        direction = dir, inclusive = incl)
+      assert(rows(merge) == rows(ground), s"null-carry dir=$dir incl=$incl")
+    }
+  }
+
   test("keyless mixed value columns: string + decimal ride dict lanes, numeric rides direct") {
     val l = Seq(Tuple1(4L), Tuple1(7L)).toDF("ts")
     val r = Seq((3L, "y", BigDecimal("2.50"), 20.0),
