@@ -30,4 +30,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(sliced.count() ==
       ev.filter(col("day") === firstDay).count())
   }
+
+  test("ts-range scan pushes filters to parquet and prunes columns (TABLE_get shape)") {
+    // the q_get shape: a ts-range predicate over a 2-column projection
+    // must reach the scan as PushedFilters (row-group min/max pruning on
+    // the ts-sorted files) with a ReadSchema of exactly the used columns
+    // — a scan reading all columns for a 2-column projection is wrong
+    val ev = graft.io.Tables.read(spark, sfDir, "events")
+    val lo = ev.agg(min("ts")).head().getLong(0)
+    val q = ev.filter(col("ts") >= lo && col("ts") < lo + 86400000000000L)
+      .select("ts", "value")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      plan)
+    assert(plan.contains("ReadSchema: struct<ts:bigint,value:double>"), plan)
+    assert(q.count() > 0)
+  }
 }
