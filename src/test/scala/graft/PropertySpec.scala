@@ -137,8 +137,11 @@ class PropertySpec extends AnyFunSuite {
   test("windowJoin equals the brute-force inequality join + group on random data") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(31)
+    // left is NOT deduplicated: ~150 draws over 4×500 slots include
+    // duplicate (key, ts) rows, which must each receive the same correct
+    // stats (not doubled counts) — the r7 duplicate-safety contract
     val l = Seq.fill(150)((s"k${rnd.nextInt(4)}", rnd.nextInt(500).toLong))
-      .distinct.toDF("key", "ts")
+      .toDF("key", "ts")
     val r = Seq.fill(300)((s"k${rnd.nextInt(5)}", rnd.nextInt(500).toLong,
       rnd.nextInt(100).toDouble)).toDF("key", "ts", "v")
     for ((before, after, bucket) <- Seq((10L, 10L, 7L), (0L, 25L, 25L), (40L, 3L, 100L))) {
@@ -146,13 +149,16 @@ class PropertySpec extends AnyFunSuite {
         before, after, "v", bucket)
         .select("key", "ts", "win_count", "win_sum", "win_min", "win_max")
         .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
-      val want = l.as("a").join(r.as("b"),
+      // brute force mirrors the contract: stats per DISTINCT (key, ts),
+      // then every left row (duplicates included) joins its stats
+      val stats = l.dropDuplicates("key", "ts").as("a").join(r.as("b"),
           col("a.key") === col("b.key") &&
             col("b.ts") >= col("a.ts") - before && col("b.ts") <= col("a.ts") + after,
           "left")
         .groupBy(col("a.key").as("key"), col("a.ts").as("ts"))
         .agg(count(col("b.ts")).as("win_count"), sum(col("b.v")).as("win_sum"),
           min(col("b.v")).as("win_min"), max(col("b.v")).as("win_max"))
+      val want = l.join(stats, Seq("key", "ts"), "left")
         .select("key", "ts", "win_count", "win_sum", "win_min", "win_max")
         .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
       assert(got == want, s"window=[-$before,+$after] bucket=$bucket")
