@@ -51,6 +51,27 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
 
+  /** Per-query interference witnesses, applied to (min, spread) of the warm
+    * reps. Two independent triggers, each sufficient on its own:
+    *  - ABSOLUTE: spread > 0.3 s — far beyond this workload's measured
+    *    idle-box noise floor (~0.1 s);
+    *  - RELATIVE: spread > 3× the query's own min (with a 0.1 s floor so
+    *    tens-of-ms JIT jitter on a 20 ms query doesn't false-positive).
+    *    Without the relative witness a 0.2 s burst on a 60 ms query — 4×
+    *    its min, clearly interference — slid under the absolute gate
+    *    (the round-7 blind band).
+    */
+  private[graft] def noisyWitness(minT: Double, spread: Double): Boolean =
+    spread > 0.3 || (spread > 3 * minT && spread > 0.1)
+
+  /** The single-query disqualifier: one spread both large in absolute terms
+    * AND dwarfing its own min is an interference burst, not GC (measured max
+    * pause 57 ms on this workload) — it flips the whole run to contended
+    * even when only one query was hit (the round-6 failure mode).
+    */
+  private[graft] def extremeWitness(minT: Double, spread: Double): Boolean =
+    spread > 0.3 && spread > 3 * minT
+
   def main(args: Array[String]): Unit = {
     val startLoad = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -152,15 +173,16 @@ object Bench {
     //      interference burst shorter than the loadavg resolution, and
     //      the min-of-reps it anchors deserves the asterisk.
     // A contended run still prints, but carries its own disqualification.
-    val noisyResults = results.filter(r => r._3 > 0.3)
+    val noisyResults = results.filter(r => noisyWitness(r._2, r._3))
     val noisy = noisyResults.map("\"" + _._1 + "\"")
     val contended = startLoad.head > cpus.toDouble / 4 || noisy.size >= 2 ||
-      noisyResults.exists(r => r._3 > 3 * r._2)
+      results.exists(r => extremeWitness(r._2, r._3))
     // consumers scanning only the headline numbers still see the flag:
     // warn loudly on stderr, never silently anchor a ratio on a noisy min
     if (noisy.nonEmpty) System.err.println(
-      s"[bench] WARNING: noisy queries (warm spread > 0.3 s) — their min " +
-        s"times carry an asterisk: ${noisyResults.map(_._1).mkString(", ")}")
+      s"[bench] WARNING: noisy queries (warm spread > 0.3 s absolute, or " +
+        s"> 3x the query's own min) — their min times carry an asterisk: " +
+        noisyResults.map(_._1).mkString(", "))
     if (contended) System.err.println(
       "[bench] WARNING: contended=true — this run is self-disqualified; " +
         "re-run on an idle box before recording its numbers")

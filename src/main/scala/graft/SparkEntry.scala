@@ -436,6 +436,40 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           fl(col("value")).as("value"), fl(col("asof_value")).as("asof_value"))
     }),
+    "q_asof_bucketed" -> ((s, dir) => {
+      // the 100 TB as-of layout, oracle-gated end-to-end: both sides are
+      // written through loadBucketed (bucketBy user_id, one file per
+      // bucket sorted on (user_id, ts)) and joined with the custom merge
+      // exec. The ingest-time shuffle is the ONLY shuffle — the per-query
+      // plan must carry ZERO Exchange and ZERO Sort (fail-loud assert
+      // below; BucketedJoinSpec pins the same property). Shares
+      // q_asof_exec's oracle. The reference's analog is its per-key
+      // series layout built at load (imcs--1.1.sql:361-369) feeding the
+      // one-pass merge (func.c:4591-4662) with no repartition step.
+      // Sort-order propagation from the sorted bucket files (sound here:
+      // exactly one sorted file per bucket) — left ON for the session;
+      // it only affects bucketed-table scans, and these two tables are
+      // the only bucketed reads in the gated set.
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val ev = Tables.read(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val r = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      Tables.loadBucketed(l, "g_asof_bkt_l", Seq("user_id"), 8, sortCols = Seq("ts"))
+      Tables.loadBucketed(r, "g_asof_bkt_r", Seq("user_id"), 8, sortCols = Seq("ts"))
+      val out = graft.plans.AsofMerge.asofJoin(
+        s.table("g_asof_bkt_l"), s.table("g_asof_bkt_r"),
+        Seq("user_id"), "ts", "value", "asof_value")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("AsofMergeJoin"), s"merge exec missing:\n$plan")
+      require(!plan.contains("Exchange"),
+        s"bucketed as-of plan still shuffles:\n$plan")
+      require(!plan.contains("Sort "),
+        s"bucketed as-of plan still sorts:\n$plan")
+      out.select(col("user_id"), col("event_id"),
+        fl(col("value")).as("value"), fl(col("asof_value")).as("asof_value"))
+    }),
     "q_asof_keyless" -> ((s, dir) => {
       // keyless as-of over the GLOBAL series (the reference's default
       // single-series shape, func.c:4591-4662) — exercises the ranged
@@ -1994,6 +2028,12 @@ object SparkEntry {
            AND epoch_ns(r.ts) <= epoch_ns(l.ts) + 259200000000000
          GROUP BY 1, 2""",
     "q_asof_exec" ->
+      """SELECT l.user_id, l.event_id, CAST(l."value" AS REAL) AS value,
+         CAST(r."value" AS REAL) AS asof_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q_asof_bucketed" ->
       """SELECT l.user_id, l.event_id, CAST(l."value" AS REAL) AS value,
          CAST(r."value" AS REAL) AS asof_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l

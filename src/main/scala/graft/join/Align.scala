@@ -47,15 +47,19 @@ object Align {
                   valueCol: String, outCol: String = "asof_value",
                   direction: Int = -1, inclusive: Boolean = true): DataFrame = {
     require(direction == -1 || direction == 1, "direction must be -1 or +1")
-    // the union scan tags rows with __side/__rv (and the dict branch adds
-    // __dcode/__dout) — a user frame already carrying one of these would
-    // be silently overwritten by withColumn; fail loud instead
+    // the union scan tags rows with __side/__rv, the dict branch adds
+    // __dcode/__dout, and the keyless int64 path materializes __cv0..__cvN
+    // and __has — a user frame already carrying any of these would be
+    // silently overwritten by withColumn; fail loud instead (regex guard,
+    // same pattern as AsofMerge.guardInternalNames, so new lanes can't
+    // reopen the gap one literal name at a time)
     locally {
-      val reserved = Set("__side", "__rv", "__dcode", "__dout")
-      val clash = (left.columns ++ right.columns).distinct.filter(reserved)
+      val reserved = "(__side|__rv|__dcode|__dout|__cv\\d+|__has)".r
+      val clash = (left.columns ++ right.columns).distinct
+        .filter(c => reserved.pattern.matcher(c).matches())
       require(clash.isEmpty, s"column name(s) ${clash.mkString(", ")} " +
         "collide with the as-of scan's reserved working names " +
-        "(__side/__rv/__dcode/__dout); rename them before the join")
+        "(__side/__rv/__dcode/__dout/__cvN/__has); rename them before the join")
     }
     // keyless strings/binary/decimals: the VALUES have no Double lane but
     // their distinct-value DOMAIN does — dictionary-encode the right side

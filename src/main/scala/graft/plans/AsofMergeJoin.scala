@@ -230,6 +230,11 @@ object AsofMerge {
                   valueCols: Seq[String], outCols: Seq[String],
                   direction: Int = -1, inclusive: Boolean = true): DataFrame = {
     require(valueCols.size == outCols.size, "valueCols/outCols arity mismatch")
+    // caller-supplied output names must not collide with the keyless
+    // scan's internal temps (__doN etc.) — checked ONCE here at the public
+    // surface; the internal routes below legitimately pass __doN temp
+    // names between themselves
+    guardOutCols(outCols)
     // Keyless series (the reference's default single-series shape):
     // AsofMergeJoinExec would declare AllTuples — ONE merge task, the
     // honest requirement for a global merge but a serial plan. Route to
@@ -346,6 +351,20 @@ object AsofMerge {
       s"column name(s) ${clash.mkString(", ")} collide with the keyless " +
         "as-of scan's reserved internal names (__vN/__clN/__cnN/__dcN/" +
         "__doN/__side/__seen); rename them before the join")
+  }
+
+  /** A caller-SUPPLIED output name matching an internal temp (e.g. an
+    * outCol literally named __do0) would collide with the dict decode
+    * temps and corrupt output instead of failing loud. Applied only at
+    * the public [[asofJoinDir]] surface — the internal keyless routes
+    * pass __doN temp names to each other by design.
+    */
+  private def guardOutCols(outCols: Seq[String]): Unit = {
+    val outClash = outCols.distinct
+      .filter(c => InternalName.pattern.matcher(c).matches())
+    require(outClash.isEmpty,
+      s"output column name(s) ${outClash.mkString(", ")} match the keyless " +
+        "as-of scan's reserved internal name pattern; pick different outCols")
   }
 
   /** Keyless as-of for dictionary-encodable value columns: per-column

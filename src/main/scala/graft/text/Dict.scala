@@ -24,12 +24,42 @@ import org.apache.spark.sql.functions._
 object Dict {
 
   /** Metadata key on the `code` column carrying the dictionary row count,
-    * stamped by [[build]] so the broadcast-size decision in
-    * [[str2code]]/[[code2str]] reads it for free instead of running a
-    * count job per lookup call. Hand-built dictionaries without the
-    * stamp fall back to one count (dictionary-sized).
+    * stamped by [[build]]. INFORMATIONAL ONLY since round 8: the stamp
+    * rides the code column through arbitrary downstream transforms (a
+    * union of a stamped dictionary with more rows keeps the original,
+    * smaller stamp), so the broadcast-size decision must never trust it —
+    * a stale stamp could force-broadcast a dictionary past
+    * [[MaxBroadcastRows]]. The authoritative row count lives in
+    * [[knownRows]], keyed by the canonicalized plan, which any derived
+    * frame misses by construction.
     */
   private val RowsKey = "graft.dict.rows"
+
+  /** Trusted row counts, keyed by the dictionary frame's CANONICALIZED
+    * logical plan (structural equality — exprIds normalized). [[build]]
+    * registers its exact count; [[trustedRows]] memoizes a hand-built
+    * dictionary's first count so a loop of lookup calls over the same
+    * dictionary pays at most ONE count job. A transformed frame (union,
+    * join, filter) canonicalizes differently and therefore re-counts —
+    * the stale-stamp hazard cannot reach the broadcast decision. Weak
+    * keys: entries die with the plan they describe.
+    */
+  private val knownRows = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      java.lang.Long]())
+
+  /** The dictionary's row count from the trusted registry, counting (and
+    * memoizing) on first sight. Dictionary-sized work at worst, zero jobs
+    * on every repeat call.
+    */
+  private[graft] def trustedRows(dict: DataFrame): Long = {
+    val key = dict.queryExecution.analyzed.canonicalized
+    Option(knownRows.get(key)).map(_.toLong).getOrElse {
+      val n = dict.count()
+      knownRows.put(key, n)
+      n
+    }
+  }
 
   /** Build the dictionary: (code: long, value) with code = sorted rank.
     * The row count is one extra dictionary-sized job here (the ranged
@@ -40,9 +70,12 @@ object Dict {
     val d = Series.attachPosRanged(
       df.select(col(value)).distinct(), Seq(), Seq(col(value)), out = "code")
       .select(col("code"), col(value))
+    val n = d.count()
     val md = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong(RowsKey, d.count()).build()
-    d.select(col("code").as("code", md), col(value))
+      .putLong(RowsKey, n).build()
+    val out = d.select(col("code").as("code", md), col(value))
+    knownRows.put(out.queryExecution.analyzed.canonicalized, n)
+    out
   }
 
   /** ONE dictionary shared across frames and columns — the reference's
@@ -80,17 +113,15 @@ object Dict {
   val MaxBroadcastRows: Long = 4L * 1000 * 1000
 
   /** Force-broadcast only a dictionary that is actually small. The size
-    * comes from the [[build]]-stamped metadata when present (free); a
-    * hand-built dictionary without the stamp pays one dictionary-sized
-    * count — still noise next to the corpus-side scan the broadcast
-    * saves.
+    * decision is made on the CALLER-SUPPLIED dict frame (before the lookup
+    * projection) via [[trustedRows]] — build-registered counts are free,
+    * hand-built dictionaries pay one memoized dictionary-sized count, and
+    * a frame derived from a registered dictionary (union, filter, join)
+    * re-counts rather than inheriting a stale number.
     */
-  private def maybeBroadcast(dict: DataFrame, maxRows: Long): DataFrame = {
-    val stamped = dict.schema.fields
-      .find(f => f.metadata.contains(RowsKey))
-      .map(_.metadata.getLong(RowsKey))
-    if (stamped.getOrElse(dict.count()) <= maxRows) broadcast(dict) else dict
-  }
+  private def maybeBroadcast(projected: DataFrame, rows: Long,
+                             maxRows: Long): DataFrame =
+    if (rows <= maxRows) broadcast(projected) else projected
 
   /** cs_str2code: attach `outCol` with the dictionary code of `value`.
     * A small dictionary side is broadcast — a map-side hash lookup, no
@@ -107,7 +138,8 @@ object Dict {
     val dv = dict.columns.filter(_ != "code").head
     df.join(
       maybeBroadcast(
-        dict.select(col("code").as(outCol), col(dv).as(value)), maxBroadcastRows),
+        dict.select(col("code").as(outCol), col(dv).as(value)),
+        trustedRows(dict), maxBroadcastRows),
       Seq(value), "left")
   }
 
@@ -119,6 +151,7 @@ object Dict {
                maxBroadcastRows: Long = MaxBroadcastRows): DataFrame = {
     val d = dict.select(col("code").as(codeCol),
       dict.columns.filter(_ != "code").map(col).head.as(outCol))
-    df.join(maybeBroadcast(d, maxBroadcastRows), Seq(codeCol), "left")
+    df.join(maybeBroadcast(d, trustedRows(dict), maxBroadcastRows),
+      Seq(codeCol), "left")
   }
 }
