@@ -501,6 +501,28 @@ object SparkEntry {
         .select(col("event_id"),
           fl(col("value")).as("value"), fl(col("asof_value")).as("asof_value"))
     }),
+    "q_asof_struct" -> ((s, dir) => {
+      // keyless as-of carrying a STRUCT value column through the
+      // decomposed parallel lanes (double + int64 + dict-coded string
+      // field, plus the presence lane) — the round-7 "complex-type
+      // keyless as-of" closure. The plan is asserted free of the
+      // single-task merge; the oracle carries the fields separately and
+      // the query unpacks the struct to match.
+      val ev = Tables.read(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("value"))
+      val r = ev.filter(col("event_type") === "signup")
+        .groupBy(col("ts")).agg(max(col("value")).as("v"),
+          max(col("event_id")).as("sid"), max(col("props")).as("tag"))
+        .select(col("ts"), struct(col("v"), col("sid"), col("tag")).as("sv"))
+      val out = graft.plans.AsofMerge.asofJoin(l, r, Seq(), "ts", "sv", "asof_sv")
+      require(!out.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+        "struct keyless as-of must ride the decomposed parallel scan")
+      out.select(col("event_id"), fl(col("value")).as("value"),
+        fl(col("asof_sv").getField("v")).as("asof_v"),
+        col("asof_sv").getField("sid").as("asof_sid"),
+        col("asof_sv").getField("tag").as("asof_tag"))
+    }),
     "q_asof_pos" -> ((s, dir) => {
       // cs_asof_join_pos (func.c:4591-4662): carry the matched right POS.
       // Right side deduped to one row per (user_id, ts) — the max pos —
@@ -715,6 +737,32 @@ object SparkEntry {
       Tables.read(s, dir, "events")
         .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour_bucket"))
         .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))),
+    "q_stream_sink" -> ((s, dir) => {
+      // SINK-LEVEL streaming gate: q_tumbling's aggregation run as a real
+      // Structured Streaming job (file source → watermarked tumbling agg
+      // → foreachBatch parquet sink with checkpointing), then the ON-DISK
+      // sink artifact read back and diffed against the same DuckDB oracle
+      // as the batch twin. The specs prove stream==batch on memory sinks;
+      // this proves the full commit path end-to-end. Stream micro-batch
+      // boundaries don't affect the result (Complete mode re-emits the
+      // closed-form aggregation), so the oracle comparison is exact.
+      import graft.streaming.Streams
+      val ev = Tables.read(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink")
+      val srcDir = tmp.resolve("src"); java.nio.file.Files.createDirectory(srcDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        srcDir.resolve("events.parquet"))
+      val streaming = Streams.tumblingAgg(s, srcDir.toString, ev.schema)
+      val sunk = Streams.runToParquet(streaming,
+        tmp.resolve("out").toString, tmp.resolve("ckpt").toString)
+      // bucket_start is the window start (µs timestamp, hour-aligned);
+      // (ts div 1000) div 3.6e9 == ts div 3.6e12 for positive ts, so this
+      // is exactly the oracle's hour_bucket
+      sunk.select(col("event_type"),
+        expr("unix_micros(bucket_start) div 3600000000").as("hour_bucket"),
+        col("n"), fl(col("sv")).as("sv"))
+    }),
     "q_time_window" -> ((s, dir) => {
       // trailing TIME-interval window (RANGE frame over int64-ns ts): each
       // event aggregates the preceding hour of its user's events — the
@@ -2053,6 +2101,14 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT ts, max("value") AS value FROM events
                          WHERE event_type = 'signup' GROUP BY ts) r
          ON l.ts >= r.ts""",
+    "q_asof_struct" ->
+      """SELECT l.event_id, CAST(l."value" AS REAL) AS value,
+         CAST(r.v AS REAL) AS asof_v, r.sid AS asof_sid, r.tag AS asof_tag
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT ts, max("value") AS v, max(event_id) AS sid,
+                         max(props) AS tag FROM events
+                         WHERE event_type = 'signup' GROUP BY ts) r
+         ON l.ts >= r.ts""",
     "q_asof_pos" ->
       s"""SELECT l.user_id, l.event_id, r.pos AS right_pos
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l
@@ -2219,6 +2275,10 @@ object SparkEntry {
            EXCEPT
            SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')""",
     "q_tumbling" ->
+      """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+         count(*) AS n, CAST(sum("value") AS REAL) AS sv
+         FROM events GROUP BY 1, 2""",
+    "q_stream_sink" ->
       """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
          count(*) AS n, CAST(sum("value") AS REAL) AS sv
          FROM events GROUP BY 1, 2""",

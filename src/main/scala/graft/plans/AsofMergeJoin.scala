@@ -87,9 +87,11 @@ object AsofJoinStrategy extends SparkStrategy {
   * keyless calls to the ranged carry-forward scan, which parallelizes
   * the carry as a prefix monoid with the same row-carry semantics;
   * strings/binary/decimals ride the scan as dictionary codes on exact
-  * hi/lo long lanes ([[AsofMerge.keylessDictAsof]]). AllTuples is
-  * reachable only by constructing [[AsofJoinPlan]] directly, or with a
-  * complex value type (array/struct/map) no lane or dictionary carries.
+  * hi/lo long lanes ([[AsofMerge.keylessDictAsof]]); structs of such
+  * fields decompose per-field onto the lanes and reassemble
+  * ([[AsofMerge.keylessStructAsof]]). AllTuples is reachable only by
+  * constructing [[AsofJoinPlan]] directly, or with a value type no lane,
+  * dictionary, or decomposition carries (arrays, maps, nested structs).
   */
 case class AsofMergeJoinExec(
     leftKeys: Seq[Expression],
@@ -263,6 +265,13 @@ object AsofMerge {
         if (dts.forall(dt => lanable(dt) || dictEncodable(dt)))
           return keylessDictAsof(left, right, lTs.get, cols, outCols,
             direction, inclusive)
+        // structs of lane-able/dict-encodable fields decompose per-field
+        // onto the same lanes (plus a presence lane) and reassemble —
+        // row-carry guarantees all fields come from the same matched row
+        if (dts.forall(dt => lanable(dt) || dictEncodable(dt) ||
+            structDecomposable(dt)))
+          return keylessStructAsof(left, right, lTs.get, cols, outCols,
+            direction, inclusive)
       }
     }
     val spark = left.sparkSession
@@ -329,11 +338,27 @@ object AsofMerge {
 
   /** Atomic types a dictionary can carry through the lanes: the VALUES
     * are not lane-able but the distinct-value DOMAIN maps to long codes
-    * (exact hi/lo lanes) and back. Complex types (arrays, structs, maps)
+    * (exact hi/lo lanes) and back. Arrays and maps (and structs of them)
     * stay on the serial exec — the honest answer until someone needs it.
     */
   private def dictEncodable(dt: DataType): Boolean = dt match {
     case StringType | BinaryType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Structs whose every field is lane-able or dictionary-encodable ride
+    * the parallel scan DECOMPOSED: one lane set per field plus one
+    * presence lane (`struct IS NOT NULL`). Sound because the keyless scan
+    * is row-carry — every lane updates together from the same matched
+    * right row — so reassembled fields are guaranteed to come from one
+    * row, and the presence lane distinguishes a carried NULL struct from
+    * a carried struct whose fields are all NULL. One level only: a
+    * nested struct/array/map field sends the whole column to the serial
+    * exec.
+    */
+  private def structDecomposable(dt: DataType): Boolean = dt match {
+    case st: StructType if st.fields.nonEmpty =>
+      st.fields.forall(f => lanable(f.dataType) || dictEncodable(f.dataType))
     case _ => false
   }
 
@@ -344,6 +369,14 @@ object AsofMerge {
     */
   private val InternalName =
     "(__v\\d+|__cl\\d+|__cn\\d+|__dc\\d+|__do\\d+|__side|__seen)".r
+
+  /** Working names of the struct-decomposition route (field extraction,
+    * presence, and their scan outputs) — reserved at the public surface
+    * like [[InternalName]], but checked separately because the inner
+    * routes see them as legitimate value/output columns.
+    */
+  private val StructTempName =
+    "(__sf\\d+_\\d+|__sp\\d+|__so\\d+_\\d+|__sq\\d+)".r
   private def guardInternalNames(lf: DataFrame, rf: DataFrame): Unit = {
     val clash = (lf.columns ++ rf.columns).distinct
       .filter(c => InternalName.pattern.matcher(c).matches())
@@ -360,8 +393,9 @@ object AsofMerge {
     * pass __doN temp names to each other by design.
     */
   private def guardOutCols(outCols: Seq[String]): Unit = {
-    val outClash = outCols.distinct
-      .filter(c => InternalName.pattern.matcher(c).matches())
+    val outClash = outCols.distinct.filter(c =>
+      InternalName.pattern.matcher(c).matches() ||
+        StructTempName.pattern.matcher(c).matches())
     require(outClash.isEmpty,
       s"output column name(s) ${outClash.mkString(", ")} match the keyless " +
         "as-of scan's reserved internal name pattern; pick different outCols")
@@ -405,6 +439,63 @@ object AsofMerge {
     }
     decoded.select((lf.columns.toSeq ++ outCols).map(
       org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** Keyless as-of for struct value columns whose fields all fit the
+    * existing lanes ([[structDecomposable]]): extract each field to its
+    * own column, add one presence lane per struct (`IS NOT NULL`), run
+    * the ordinary multi-column keyless scan (dict route when any field
+    * needs encoding), then rebuild each struct from its carried fields.
+    * Row-carry makes the decomposition sound: every lane carries from the
+    * SAME matched right row, so a rebuilt struct can never mix fields of
+    * two rows. NULL semantics: carried presence=false → NULL struct
+    * (a NULL struct in the matched row masks older non-null structs,
+    * the exec's row-carry contract); presence=true with NULL field lanes
+    * → a struct carrying NULL fields; no match at all → NULL presence →
+    * NULL struct.
+    */
+  private def keylessStructAsof(lf: DataFrame, rf: DataFrame, ts: String,
+                                valueCols: Seq[String], outCols: Seq[String],
+                                direction: Int, inclusive: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    locally {
+      val clash = (lf.columns ++ rf.columns).distinct
+        .filter(c => StructTempName.pattern.matcher(c).matches())
+      require(clash.isEmpty,
+        s"column name(s) ${clash.mkString(", ")} collide with the struct " +
+          "as-of decomposition's reserved names (__sfI_J/__spI/__soI_J/" +
+          "__sqI); rename them before the join")
+    }
+    var rExp = rf
+    val scanVals = Seq.newBuilder[String]
+    val scanOuts = Seq.newBuilder[String]
+    // (input index, struct type, per-field (name, carried-out col))
+    val rebuilds = valueCols.zipWithIndex.flatMap { case (c, i) =>
+      rf.schema(c).dataType match {
+        case st: StructType if structDecomposable(st) =>
+          rExp = rExp.withColumn(s"__sp$i", col(c).isNotNull)
+          scanVals += s"__sp$i"; scanOuts += s"__sq$i"
+          val fieldOuts = st.fields.zipWithIndex.map { case (f, j) =>
+            rExp = rExp.withColumn(s"__sf${i}_$j", col(c).getField(f.name))
+            scanVals += s"__sf${i}_$j"; scanOuts += s"__so${i}_$j"
+            (f.name, s"__so${i}_$j")
+          }
+          Some((i, fieldOuts.toSeq))
+        case _ =>
+          scanVals += c; scanOuts += outCols(i)
+          None
+      }
+    }
+    val sv = scanVals.result(); val so = scanOuts.result()
+    val scanned =
+      if (sv.forall(c => lanable(rExp.schema(c).dataType)))
+        keylessRangedAsof(lf, rExp, ts, sv, so, direction, inclusive)
+      else keylessDictAsof(lf, rExp, ts, sv, so, direction, inclusive)
+    val rebuilt = rebuilds.foldLeft(scanned) { case (df, (i, fieldOuts)) =>
+      df.withColumn(outCols(i), when(col(s"__sq$i"),
+        struct(fieldOuts.map { case (fn, oc) => col(oc).as(fn) }: _*)))
+    }
+    rebuilt.select((lf.columns.toSeq ++ outCols).map(col): _*)
   }
 
   /** Parallel keyless as-of with the MERGE EXEC's row-carry contract: the

@@ -326,6 +326,33 @@ object Streams {
     df.sparkSession.table(queryName)
   }
 
+  /** Drain a streaming aggregation with Trigger.AvailableNow through a
+    * REAL sink: foreachBatch writing parquet. Unlike the memory sink the
+    * specs use, this exercises the full production commit path — offset
+    * tracking, checkpointing, batch-id delivery, and an on-disk artifact
+    * a downstream (or an external oracle) can read back. Complete-mode
+    * aggregations re-emit the whole result every micro-batch, so each
+    * batch OVERWRITES the target atomically-per-batch; the final batch
+    * leaves the complete result on disk. At 100 TB/day this exact
+    * topology is the ingest pipeline's landing step (append mode +
+    * partitioned target instead of overwrite).
+    */
+  def runToParquet(df: DataFrame, outDir: String, checkpoint: String,
+                   mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming as-of join — the streaming form of the reference's
     * workhorse operator (Align.asofJoin; func.c:4591-4662): one tagged
     * stream per key carries rows with `side` 0 (right, value provider) and

@@ -205,6 +205,50 @@ class AsofMergeSpec extends AnyFunSuite {
       (7L, "x", new java.math.BigDecimal("1.25").setScale(18), 10.0)))
   }
 
+  test("keyless struct as-of decomposes onto lanes (no single-task merge)") {
+    // struct of (double, long, string): double/long ride value lanes,
+    // the string field rides dict lanes — all carried from the SAME row
+    val l = Seq(Tuple1(3L), Tuple1(5L), Tuple1(7L), Tuple1(9L)).toDF("ts")
+    val r = Seq[(Long, (java.lang.Double, java.lang.Long, String))](
+      (5L, (1.5, 1L << 40 | 3L, "a")),     // int64 field past 2^32: hi/lo lanes
+      (6L, (null, 2L, null)),              // present struct, NULL fields inside
+      (8L, null))                          // NULL struct row — must MASK ts=6
+      .toDF("ts", "v")
+    val df = AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
+    assert(!df.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+      "struct keyless as-of must ride the decomposed ranged scan")
+    val got = df.orderBy("ts").select("asof_value").collect().map(_.get(0))
+    assert(got(0) == null, "no match yet")
+    assert(got(1) == org.apache.spark.sql.Row(1.5, 1L << 40 | 3L, "a"))
+    assert(got(2) == org.apache.spark.sql.Row(null, 2L, null),
+      "present struct with NULL fields must surface as a struct, not NULL")
+    assert(got(3) == null, "carried NULL struct must mask the older rows")
+    // and the serial exec agrees on every row (row-carry ground truth)
+    val serial = serialKeylessExec(l, r, "ts", "v")
+    assert(serial.queryExecution.executedPlan.toString.contains("AsofMergeJoin"))
+    assert(rows(df) == rows(serial))
+  }
+
+  test("keyless struct lanes: random frames with NULL structs/fields match the serial exec") {
+    val rnd = new scala.util.Random(17)
+    val l = Seq.fill(250)(Tuple1(rnd.nextInt(400).toLong)).toDF("ts")
+    val r = Seq.fill(150)(rnd.nextInt(400).toLong).distinct.map { t =>
+      val v =
+        if (t % 5 == 0) null
+        else (if (t % 3 == 0) null else java.lang.Double.valueOf(t * 0.5),
+          if (t % 4 == 0) null else s"g${t % 23}")
+      (t, v)
+    }.toDF("ts", "v")
+    for (dir <- Seq(-1, 1); incl <- Seq(true, false)) {
+      val merge = AsofMerge.asofJoinDir(l, r, Seq(), "ts",
+        Seq("v"), Seq("asof_value"), direction = dir, inclusive = incl)
+      assert(!merge.queryExecution.executedPlan.toString.contains("AsofMergeJoin"))
+      val ground = serialKeylessExec(l, r, "ts", "v",
+        direction = dir, inclusive = incl)
+      assert(rows(merge) == rows(ground), s"struct-carry dir=$dir incl=$incl")
+    }
+  }
+
   test("keyless as-of with a complex value type falls back to the exec") {
     val l = Seq(Tuple1(7L)).toDF("ts")
     val r = Seq((5L, Seq(1, 2)), (6L, Seq(3))).toDF("ts", "v")
