@@ -41,7 +41,28 @@ object Prof {
     }
     val fn = SparkEntry.queries(name)
     if (doExplain) fn(spark, sfDir).explain("formatted")
+    // `jobs`: per-job wall-time accounting for the LAST run — how many
+    // Spark jobs a query launches and where each comes from (call site),
+    // i.e. how much of a bench-scale time is per-job launch floor vs data
+    val doJobs = args.contains("jobs")
+    case class J(id: Int, site: String, var start: Long = 0L, var end: Long = 0L,
+                 var tasks: Int = 0)
+    val jobLog = scala.collection.mutable.ArrayBuffer.empty[J]
+    if (doJobs) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobLog.synchronized {
+            jobLog += J(e.jobId,
+              Option(e.properties.getProperty("callSite.short")).getOrElse("?"),
+              e.time, 0L, e.stageInfos.map(_.numTasks).sum)
+          }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobLog.synchronized {
+            jobLog.find(_.id == e.jobId).foreach(_.end = e.time)
+          }
+      })
     (1 to runs).foreach { i =>
+      if (doJobs && i == runs) jobLog.synchronized(jobLog.clear())
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       df.queryExecution.executedPlan // force analysis through physical planning
@@ -49,6 +70,19 @@ object Prof {
       df.write.format("noop").mode("overwrite").save()
       val t2 = System.nanoTime()
       println(f"run $i: total ${(t2 - t0) / 1e9}%.3f s  (plan ${(t1 - t0) / 1e9}%.3f, exec ${(t2 - t1) / 1e9}%.3f)")
+    }
+    if (doJobs) {
+      // settle async listener events before reading the log (the bus is
+      // private API; poll until every started job has its end event)
+      val deadline = System.nanoTime() + 2_000_000_000L
+      while (jobLog.synchronized(jobLog.exists(_.end == 0L)) &&
+             System.nanoTime() < deadline) Thread.sleep(20)
+      val js = jobLog.synchronized(jobLog.toVector)
+      println(s"== jobs in final run: ${js.size}, " +
+        f"summed wall ${js.map(j => j.end - j.start).sum / 1e3}%.3f s (jobs overlap; gaps between jobs are driver/planning time)")
+      js.foreach { j =>
+        println(f"  job ${j.id}%3d ${(j.end - j.start) / 1e3}%7.3f s ${j.tasks}%4d tasks  ${j.site}")
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,401 @@
+package graft.fuzz
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+import scala.util.Random
+
+/** One randomly generated operator pipeline: a Spark program composed of
+  * graft operators plus the equivalent DuckDB SQL over the same parquet
+  * tables. `seed` fully determines the program — re-running with the same
+  * seed replays it exactly.
+  */
+case class FuzzProgram(seed: Long, desc: String,
+                       run: (SparkSession, String) => DataFrame,
+                       sql: String)
+
+/** Randomized differential fuzzing of operator COMPOSITIONS.
+  *
+  * The gated queries in [[graft.SparkEntry]] are fixed shapes and the
+  * property specs cover single operators; this generator composes random
+  * pipelines — filter → window → cum → diff/norm/rank → as-of → top-k/grid
+  * over random key sets (including the keyless ranged-scan paths) and
+  * NULL-injected value columns — and renders each into DuckDB SQL with the
+  * semantics each graft path documents (keyed paths use SQL window
+  * aggregates; keyless paths use the reference's naive var formula,
+  * func.c:1475-1491, rendered verbatim so the oracle matches the path
+  * taken). Differencing N programs per run against DuckDB exercises the
+  * operator interactions no fixed inventory reaches: non-dense `pos` after
+  * filters feeding the ranged scans, NULL frames inside sliding windows,
+  * as-of joins over enriched frames, warm-up rows feeding grid buckets.
+  *
+  * Grammar constraints are semantic, not cosmetic: stages whose keyless
+  * scan documents a no-NULL input contract (cumAgg, diff, rank — the scan
+  * reads the value as a primitive) are only generated when the value
+  * column is NULL-free at that point (either never nullified or already
+  * re-densified by a value filter), mirroring the operators' documented
+  * contracts rather than hiding them.
+  */
+object FuzzGen {
+  private val EventTypes = Vector("click", "error", "purchase", "signup", "view")
+  private type Xf = (DataFrame, SparkSession, String) => DataFrame
+
+  private def q(c: String) = "\"" + c + "\""
+
+  def gen(seed: Long): FuzzProgram = {
+    val rnd = new Random(seed)
+    val keys: Seq[String] = rnd.nextInt(4) match {
+      case 0 => Seq()
+      case 1 => Seq("user_id")
+      case 2 => Seq("event_type")
+      case _ => Seq("user_id", "event_type")
+    }
+    val nullMod = Vector(0, 0, 7, 13)(rnd.nextInt(4))
+    var hasNulls = nullMod > 0
+    val pb = if (keys.isEmpty) "" else s"PARTITION BY ${keys.map(q).mkString(", ")} "
+    val desc = new StringBuilder(
+      s"keys=${if (keys.isEmpty) "<none>" else keys.mkString(",")}" +
+        (if (nullMod > 0) s" nulls%$nullMod" else ""))
+
+    var cols = Vector("event_id", "ts", "user_id", "event_type", "value", "pos")
+    var xforms = Vector.empty[Xf]
+    var depth = 0
+    // ts is truncated to MICROSECONDS on both sides: Spark reads the
+    // TIMESTAMP(NANOS) parquet as long ns (nanosAsLong), but DuckDB's
+    // parquet reader truncates to its µs TIMESTAMP — epoch_ns() would
+    // yield trailing zeros and every raw-ts output would mismatch. Both
+    // engines ordering and as-of-comparing the SAME µs value keeps pos
+    // and join semantics aligned (event_id tiebreak absorbs µs ties).
+    var sql = {
+      val v =
+        if (nullMod > 0) s"""CASE WHEN event_id % $nullMod = 0 THEN NULL ELSE "value" END"""
+        else "\"value\""
+      s"""SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, $v AS "value", """ +
+        s"""row_number() OVER (${pb}ORDER BY epoch_us(ts), event_id) - 1 AS pos FROM events"""
+    }
+    val base: Xf = (_, s, sf) => {
+      var df = graft.io.Tables.read(s, sf, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", expr("ts div 1000"))
+      if (nullMod > 0)
+        df = df.withColumn("value",
+          when(col("event_id") % nullMod === 0, lit(null)).otherwise(col("value")))
+      graft.series.Series.attachPos(df, keys, Seq(col("ts"), col("event_id")))
+    }
+
+    /** Wrap the current SQL in a subselect adding `extras` (expr AS name)
+      * and/or a WHERE over the inner columns. */
+    def wrap(extras: Seq[(String, String)], where: Option[String] = None): Unit = {
+      depth += 1
+      val sel = cols.map(q).mkString(", ") +
+        extras.map { case (e, n) => s", $e AS ${q(n)}" }.mkString
+      sql = s"SELECT $sel FROM ($sql) t$depth" + where.map(" WHERE " + _).getOrElse("")
+      cols = cols ++ extras.map(_._2)
+    }
+
+    // ---- enrichment stages ------------------------------------------------
+    def windowAggStage(tag: String): Unit = {
+      val n = 2 + rnd.nextInt(39)
+      // keyless w_var/w_dev come out of the ring-buffer scan's naive
+      // accumulation — the SQL var_pop rendering only matches the keyed
+      // path's var_pop; keep the ref-formula variants for keyless (their
+      // SQL is the identical arithmetic, so only summation-order ulps
+      // differ, well inside the checker's tolerance)
+      val cands =
+        if (keys.isEmpty)
+          Vector("w_sum", "w_avg", "w_min", "w_max", "w_avg_ref", "w_var_ref", "w_dev_ref")
+        else
+          Vector("w_sum", "w_avg", "w_min", "w_max", "w_var", "w_dev",
+            "w_avg_ref", "w_var_ref", "w_dev_ref")
+      val keep = rnd.shuffle(cands).take(2).sorted
+      val all = Vector("w_sum", "w_avg", "w_min", "w_max", "w_var", "w_dev",
+        "w_avg_ref", "w_var_ref", "w_dev_ref")
+      val w = s"(${pb}ORDER BY ${q("pos")} ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)"
+      val ref = s"""(sum("value" * "value") OVER $w - """ +
+        s"""sum("value") OVER $w * sum("value") OVER $w / $n) / $n"""
+      def ex(c: String) = c match {
+        case "w_sum"     => s"""sum("value") OVER $w"""
+        case "w_avg"     => s"""avg("value") OVER $w"""
+        case "w_min"     => s"""min("value") OVER $w"""
+        case "w_max"     => s"""max("value") OVER $w"""
+        case "w_var"     => s"""var_pop("value") OVER $w"""
+        case "w_dev"     => s"""sqrt(var_pop("value") OVER $w)"""
+        case "w_avg_ref" => s"""sum("value") OVER $w / $n"""
+        case "w_var_ref" => ref
+        case "w_dev_ref" => s"sqrt(greatest($ref, 0.0))"
+      }
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) => {
+        val out = graft.window.Moving.windowAgg(df, keys, "value", n)
+        val dropped = out.drop(all.filterNot(keep.contains): _*)
+        keep.foldLeft(dropped)((d, c) => d.withColumnRenamed(c, s"${tag}_$c"))
+      })
+      wrap(keep.map(c => ex(c) -> s"${tag}_$c"))
+      desc ++= s" | windowAgg(n=$n keep=${keep.mkString(",")})"
+    }
+
+    def cumAggStage(tag: String): Unit = { // requires !hasNulls
+      val all = Vector("cum_sum", "cum_avg", "cum_min", "cum_max",
+        "cum_count", "cum_var", "cum_dev")
+      val keep = rnd.shuffle(all).take(2).sorted
+      val w = s"(${pb}ORDER BY ${q("pos")} ROWS UNBOUNDED PRECEDING)"
+      val nn = s"count(*) OVER $w"
+      val naive = s"""greatest((sum("value" * "value") OVER $w - """ +
+        s"""sum("value") OVER $w * sum("value") OVER $w / $nn) / $nn, 0.0)"""
+      def ex(c: String) = c match {
+        case "cum_sum"   => s"""sum("value") OVER $w"""
+        case "cum_avg"   =>
+          if (keys.isEmpty) s"""sum("value") OVER $w / $nn"""
+          else s"""avg("value") OVER $w"""
+        case "cum_min"   => s"""min("value") OVER $w"""
+        case "cum_max"   => s"""max("value") OVER $w"""
+        case "cum_count" => nn
+        case "cum_var"   =>
+          if (keys.isEmpty) naive else s"""var_pop("value") OVER $w"""
+        case "cum_dev"   =>
+          if (keys.isEmpty) s"sqrt($naive)" else s"""sqrt(var_pop("value") OVER $w)"""
+      }
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) => {
+        val out = graft.agg.Aggs.cumAgg(df, keys, "value")
+        val dropped = out.drop(all.filterNot(keep.contains): _*)
+        keep.foldLeft(dropped)((d, c) => d.withColumnRenamed(c, s"${tag}_$c"))
+      })
+      wrap(keep.map(c => ex(c) -> s"${tag}_$c"))
+      desc ++= s" | cumAgg(keep=${keep.mkString(",")})"
+    }
+
+    def diffStage(tag: String): Unit = { // requires keys.nonEmpty || !hasNulls
+      val out = s"${tag}_diff"
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.analytics.Analytics.diff(df, keys, "value", out))
+      wrap(Seq(
+        s"""COALESCE("value" - lag("value") OVER (${pb}ORDER BY ${q("pos")}), 0.0)""" -> out))
+      desc ++= " | diff"
+    }
+
+    def normStage(tag: String): Unit = {
+      val out = s"${tag}_norm"
+      val over = if (keys.isEmpty) "()" else s"(PARTITION BY ${keys.map(q).mkString(", ")})"
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.analytics.Analytics.norm(df, keys, "value", out))
+      wrap(Seq(s""""value" / sqrt(sum("value" * "value") OVER $over)""" -> out))
+      desc ++= " | norm"
+    }
+
+    def rankStage(tag: String): Unit = { // requires !hasNulls
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) => {
+        val out = graft.window.Moving.rank(df, keys, "value")
+        out.withColumnRenamed("rnk", s"${tag}_rnk")
+          .withColumnRenamed("dense_rnk", s"${tag}_drnk")
+      })
+      wrap(Seq(
+        s"""rank() OVER (${pb}ORDER BY "value")""" -> s"${tag}_rnk",
+        s"""dense_rank() OVER (${pb}ORDER BY "value")""" -> s"${tag}_drnk"))
+      desc ++= " | rank"
+    }
+
+    def asofStage(tag: String): Unit = {
+      val dirn = if (rnd.nextBoolean()) -1 else 1
+      val incl = rnd.nextBoolean()
+      val rtype = EventTypes(rnd.nextInt(EventTypes.size))
+      val out = s"${tag}_asof"
+      xforms :+= ((df: DataFrame, s: SparkSession, sf: String) => {
+        val r0 = graft.io.Tables.read(s, sf, "events")
+          .filter(col("event_type") === rtype)
+          .withColumn("ts", expr("ts div 1000")) // same µs domain as the left
+          .groupBy((keys :+ "ts").map(col): _*)
+          .agg(max(col("value")).as("rv"))
+        graft.join.Align.asofJoinDir(df, r0, keys, "ts", "rv", out, dirn, incl)
+      })
+      val cmp = (dirn, incl) match {
+        case (-1, true) => ">="
+        case (-1, false) => ">"
+        case (1, true)  => "<="
+        case (1, false) => "<"
+      }
+      depth += 1
+      val rsel = (keys.map(q) :+ "epoch_us(ts) AS rts").mkString(", ")
+      val rsql = s"""SELECT $rsel, max("value") AS rv FROM events """ +
+        s"""WHERE event_type = '$rtype' GROUP BY ${(1 to keys.size + 1).mkString(", ")}"""
+      val keyEq = keys.map(k => s"l.${q(k)} = r.${q(k)} AND ").mkString
+      sql = s"SELECT ${cols.map(c => "l." + q(c)).mkString(", ")}, r.rv AS ${q(out)} " +
+        s"FROM ($sql) l ASOF LEFT JOIN ($rsql) r ON ${keyEq}l.${q("ts")} $cmp r.rts"
+      cols :+= out
+      desc ++= s" | asof(dir=$dirn incl=$incl right=$rtype)"
+    }
+
+    // ---- filter stages ----------------------------------------------------
+    def filterValStage(): Unit = {
+      val c = math.rint((rnd.nextDouble() * 150 + 5) * 100) / 100
+      val gt = rnd.nextBoolean()
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        df.filter(if (gt) col("value") > c else col("value") <= c))
+      wrap(Nil, Some(s""""value" ${if (gt) ">" else "<="} $c"""))
+      hasNulls = false // NULL fails both comparisons in Spark and DuckDB
+      desc ++= s" | filter(value${if (gt) ">" else "<="}$c)"
+    }
+
+    def filterModStage(): Unit = {
+      val m = Vector(3, 5, 11)(rnd.nextInt(3))
+      val r = rnd.nextInt(m)
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        df.filter(col("event_id") % m =!= r))
+      wrap(Nil, Some(s"event_id % $m <> $r"))
+      desc ++= s" | filter(id%$m<>$r)"
+    }
+
+    def filterTypeStage(): Unit = {
+      val ts = rnd.shuffle(EventTypes).take(2 + rnd.nextInt(3)).sorted
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        df.filter(col("event_type").isin(ts: _*)))
+      wrap(Nil, Some(s"event_type IN (${ts.map(t => s"'$t'").mkString(", ")})"))
+      desc ++= s" | filter(type in ${ts.mkString("/")})"
+    }
+
+    def headStage(): Unit = {
+      val n = 50 + rnd.nextInt(400)
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.series.Series.head(df, n))
+      wrap(Nil, Some(s"${q("pos")} < $n"))
+      desc ++= s" | head($n)"
+    }
+
+    def thinStage(): Unit = {
+      val o = rnd.nextInt(4); val st = 2 + rnd.nextInt(4)
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.series.Series.thin(df, o, st))
+      wrap(Nil, Some(s"${q("pos")} >= $o AND (${q("pos")} - $o) % $st = 0"))
+      desc ++= s" | thin($o,$st)"
+    }
+
+    // ---- terminal stages --------------------------------------------------
+    def topKStage(): Unit = {
+      val k = 5 + rnd.nextInt(46)
+      val dsc = rnd.nextBoolean()
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.agg.Aggs.topK(df, "value", k, dsc, "event_id"))
+      depth += 1
+      val ord = if (dsc) "DESC NULLS LAST" else "ASC NULLS FIRST"
+      sql = s"SELECT * FROM ($sql) t$depth ORDER BY ${q("value")} $ord, event_id LIMIT $k"
+      desc ++= s" | topK($k,${if (dsc) "desc" else "asc"})"
+    }
+
+    def gridAggStage(): Unit = {
+      val step = 10 + rnd.nextInt(91)
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.agg.Aggs.gridAgg(df, keys, "value", step))
+      depth += 1
+      val kq = keys.map(q).map(_ + ", ").mkString
+      sql = s"SELECT $kq${q("pos")} // $step AS grid, count(*) AS grid_count, " +
+        s"""sum("value") AS grid_sum, min("value") AS grid_min, """ +
+        s"""max("value") AS grid_max, var_pop("value") AS grid_var, """ +
+        s"""sum("value") / count("value") AS grid_avg, """ +
+        s"""sqrt(var_pop("value")) AS grid_dev FROM ($sql) t$depth """ +
+        s"GROUP BY ${(1 to keys.size + 1).mkString(", ")}"
+      cols = (keys.toVector :+ "grid") ++ Vector("grid_count", "grid_sum",
+        "grid_min", "grid_max", "grid_var", "grid_avg", "grid_dev")
+      desc ++= s" | gridAgg($step)"
+    }
+
+    // ---- assemble ---------------------------------------------------------
+    val nStages = 2 + rnd.nextInt(3)
+    for (i <- 0 until nStages) {
+      val tag = s"f$i"
+      val enrichers = mutable.ArrayBuffer[() => Unit](
+        () => windowAggStage(tag), () => normStage(tag), () => asofStage(tag))
+      if (!hasNulls) {
+        enrichers += (() => cumAggStage(tag))
+        enrichers += (() => rankStage(tag))
+      }
+      if (keys.nonEmpty || !hasNulls) enrichers += (() => diffStage(tag))
+      val filters = Vector[() => Unit](
+        () => filterValStage(), () => filterModStage(), () => filterTypeStage(),
+        () => headStage(), () => thinStage())
+      // first stage is always an enricher so every program exercises at
+      // least one real operator; later stages mix filters in 50/50
+      val pool = if (i == 0 || rnd.nextBoolean()) enrichers.toVector else filters
+      pool(rnd.nextInt(pool.size))()
+    }
+    if (rnd.nextBoolean()) {
+      if (rnd.nextBoolean()) topKStage() else gridAggStage()
+    }
+
+    val stages = xforms
+    val run = (spark: SparkSession, sfDir: String) =>
+      stages.foldLeft(base(null, spark, sfDir))((df, f) => f(df, spark, sfDir))
+    FuzzProgram(seed, desc.result(), run, sql)
+  }
+}
+
+/** Driver for the fuzzer: writes each program's Spark result as parquet
+  * plus `oracle_sql.json`, in exactly the layout `tools/check.py` (and the
+  * round driver's gate) consumes — one differential run is then
+  * `python3 tools/check.py <sfDir> <outDir>`. `tools/run_fuzz.sh` wraps
+  * the whole loop; FuzzSpec runs it inside `sbt test`.
+  */
+object Fuzz {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val n = if (args.length > 2) args(2).toInt else 200
+    val seed0 = if (args.length > 3) args(3).toLong else 1L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val crashes = runPrograms(spark, sfDir, outDir, n, seed0)
+    crashes.foreach { case (s, d, e) =>
+      System.err.println(s"[fuzz] seed=$s CRASHED: $d\n  $e")
+    }
+    System.err.println(s"[fuzz] $n programs, seeds $seed0..${seed0 + n - 1}, " +
+      s"${crashes.size} crashed; results in $outDir")
+    if (crashes.nonEmpty) sys.exit(2)
+  }
+
+  /** Generate and execute programs seed0..seed0+n-1; write each result to
+    * `outDir/fuzz_<seed>/` plus `oracle_sql.json` and a `programs.txt`
+    * replay log. Returns (seed, desc, error) for programs that crashed on
+    * the Spark side — those are findings too (the oracle never ran).
+    */
+  def runPrograms(spark: SparkSession, sfDir: String, outDir: String,
+                  n: Int, seed0: Long): Seq[(Long, String, String)] = {
+    new java.io.File(outDir).mkdirs()
+    val sqls = mutable.LinkedHashMap.empty[String, String]
+    val crashes = mutable.ArrayBuffer.empty[(Long, String, String)]
+    val log = new StringBuilder
+    for (i <- 0 until n) {
+      val p = FuzzGen.gen(seed0 + i)
+      val name = s"fuzz_${p.seed}"
+      log ++= s"$name: ${p.desc}\n"
+      try {
+        p.run(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        sqls += name -> p.sql
+      } catch {
+        case e: Throwable => crashes += ((p.seed, p.desc, String.valueOf(e)))
+      }
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/programs.txt"),
+      log.result().getBytes("UTF-8"))
+    // same escape as Verify: control chars would break the driver's json.load
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = sqls.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      json.getBytes("UTF-8"))
+    crashes.toSeq
+  }
+}

@@ -270,7 +270,11 @@ object Moving {
           }
         }
         val outs: Seq[Any] =
-          if (c == 0) Seq(null, null, null, null, null, null, null, null, null)
+          // all-NULL frame: every aggregate is NULL except w_dev_ref —
+          // the keyed path computes sqrt(greatest(refVar, 0.0)) and
+          // greatest SKIPS nulls, so a NULL refVar yields 0.0 there; the
+          // scan must agree (fuzz finding, seeds 8026/8059)
+          if (c == 0) Seq(null, null, null, null, null, null, null, null, 0.0)
           else {
             val vr = math.max((ss - s * s / c) / c, 0.0)
             val refVar = (ss - s * s / n) / n
