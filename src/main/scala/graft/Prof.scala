@@ -48,21 +48,34 @@ object Prof {
     case class J(id: Int, site: String, var start: Long = 0L, var end: Long = 0L,
                  var tasks: Int = 0)
     val jobLog = scala.collection.mutable.ArrayBuffer.empty[J]
+    var taskMs = 0L; var taskDeserMs = 0L
+    val stageMs = scala.collection.mutable.Map.empty[Int, (Int, Long, Long)]
     if (doJobs) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobLog.synchronized {
             jobLog += J(e.jobId,
-              Option(e.properties.getProperty("callSite.short")).getOrElse("?"),
+              Option(e.properties.getProperty("callSite.short"))
+                .orElse(Option(e.properties.getProperty("spark.job.description")))
+                .getOrElse(e.stageInfos.map(_.name.takeWhile(_ != '\n'))
+                  .mkString(" <- ")),
               e.time, 0L, e.stageInfos.map(_.numTasks).sum)
           }
         override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
           jobLog.synchronized {
             jobLog.find(_.id == e.jobId).foreach(_.end = e.time)
           }
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          jobLog.synchronized {
+            taskMs += Option(e.taskMetrics).map(_.executorRunTime).getOrElse(0L)
+            taskDeserMs += Option(e.taskMetrics).map(_.executorDeserializeTime).getOrElse(0L)
+            val run = Option(e.taskMetrics).map(_.executorRunTime).getOrElse(0L)
+            val (n, ms, mx) = stageMs.getOrElse(e.stageId, (0, 0L, 0L))
+            stageMs(e.stageId) = (n + 1, ms + run, math.max(mx, run))
+          }
       })
     (1 to runs).foreach { i =>
-      if (doJobs && i == runs) jobLog.synchronized(jobLog.clear())
+      if (doJobs && i == runs) jobLog.synchronized { jobLog.clear(); taskMs = 0L; taskDeserMs = 0L; stageMs.clear() }
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       df.queryExecution.executedPlan // force analysis through physical planning
@@ -78,10 +91,14 @@ object Prof {
       while (jobLog.synchronized(jobLog.exists(_.end == 0L)) &&
              System.nanoTime() < deadline) Thread.sleep(20)
       val js = jobLog.synchronized(jobLog.toVector)
+      println(f"== executor task time in final run: ${taskMs / 1e3}%.3f s run + ${taskDeserMs / 1e3}%.3f s deserialize (the rest of exec wall is driver: planning, codegen, scheduling, broadcast collect)")
       println(s"== jobs in final run: ${js.size}, " +
         f"summed wall ${js.map(j => j.end - j.start).sum / 1e3}%.3f s (jobs overlap; gaps between jobs are driver/planning time)")
       js.foreach { j =>
         println(f"  job ${j.id}%3d ${(j.end - j.start) / 1e3}%7.3f s ${j.tasks}%4d tasks  ${j.site}")
+      }
+      stageMs.toVector.sortBy(_._1).foreach { case (sid, (n, ms, mx)) =>
+        println(f"  stage $sid%3d: $n%3d tasks, ${ms / 1e3}%7.3f s summed run, max task ${mx / 1e3}%.3f s")
       }
     }
     spark.stop()
