@@ -936,7 +936,13 @@ object SparkEntry {
       // rows are scanned only to build buckets and to assert the
       // bounded-error contracts (HLL/theta 5%, KLL 5% rank error — the
       // same contracts as q_sketch_rollup/q_quantile_rollup/
-      // q_theta_overlap, which gate the Scala API over these builtins)
+      // q_theta_overlap, which gate the Scala API over these builtins).
+      // PROBABILISTIC by nature: the dc_ok/rank_ok/both_ok booleans
+      // compare randomized estimates against fixed tolerances chosen
+      // ~3x the expected error (KLL k=200 ~1.7% at 99% confidence vs
+      // the 5% gate), so a failure here is overwhelmingly a real
+      // regression, not a tail draw — but it is not IMPOSSIBLE to flake;
+      // if it ever does, re-run before suspecting the sketch code
       graft.sqlext.GraftFunctions.register(s)
       Tables.read(s, dir, "events").createOrReplaceTempView("events_v")
       s.sql("""
