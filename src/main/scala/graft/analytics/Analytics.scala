@@ -125,7 +125,9 @@ object Analytics {
       }.withColumn("pos", col("__fp")).drop("__fp")
         .filter(col("__before") =!= 0.0 &&
           col("__after") =!= 0.0 && col("__before") =!= col("__after"))
-        .drop("__before", "__after")
+        // __d too: the internal diff's sign column — leaking it changed
+        // the output schema vs the keyed path (fuzz finding, seed 5006)
+        .drop("__d", "__before", "__after")
     } else {
       val w = keyWindow(keys)
       val wNext = w.rowsBetween(1, Window.unboundedFollowing)

@@ -94,6 +94,30 @@ object FuzzGen {
       cols = cols ++ extras.map(_._2)
     }
 
+    /** Wrap replacing one column's value (same name, new expression). */
+    def replaceColSql(name: String, expr: String): Unit = {
+      depth += 1
+      val sel = cols.map(c => if (c == name) s"$expr AS ${q(c)}" else q(c)).mkString(", ")
+      sql = s"SELECT $sel FROM ($sql) t$depth"
+    }
+
+    /** Wrap filtering on a window predicate (QUALIFY — windows are not
+      * legal in WHERE); column set unchanged. */
+    def qualifySql(pred: String): Unit = {
+      depth += 1
+      sql = s"SELECT ${cols.map(q).mkString(", ")} FROM ($sql) t$depth QUALIFY $pred"
+    }
+
+    /** Drop helper columns (project to `keep`) with an optional WHERE over
+      * the full inner column set — for stages whose Spark form computes
+      * temps, filters on them, then drops them. */
+    def projectSql(keep: Vector[String], where: Option[String] = None): Unit = {
+      depth += 1
+      sql = s"SELECT ${keep.map(q).mkString(", ")} FROM ($sql) t$depth" +
+        where.map(" WHERE " + _).getOrElse("")
+      cols = keep
+    }
+
     // ---- enrichment stages ------------------------------------------------
     def windowAggStage(tag: String): Unit = {
       val n = 2 + rnd.nextInt(39)
@@ -224,6 +248,159 @@ object FuzzGen {
       desc ++= s" | asof(dir=$dirn incl=$incl right=$rtype)"
     }
 
+    def trendStage(tag: String): Unit = { // requires keys.nonEmpty || !hasNulls
+      val out = s"${tag}_trend"
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.analytics.Analytics.trend(df, keys, "value", out))
+      val cum = s"(${pb}ORDER BY ${q("pos")} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      wrap(Seq(
+        s"""CAST(sign("value" - lag("value") OVER (${pb}ORDER BY ${q("pos")})) AS DOUBLE)""" -> "__td"))
+      val keep = cols.filterNot(_ == "__td")
+      wrap(Seq(
+        s"""COALESCE(last_value(CASE WHEN ${q("__td")} <> 0 THEN ${q("__td")} END IGNORE NULLS) OVER $cum, 0.0)""" -> out))
+      projectSql(keep :+ out)
+      desc ++= " | trend"
+    }
+
+    def extremaStage(): Unit = { // requires !hasNulls; filters to extremum rows
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.analytics.Analytics.extrema(df, keys, "value"))
+      val orig = cols
+      val cum = s"(${pb}ORDER BY ${q("pos")} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      val fut = s"(${pb}ORDER BY ${q("pos")} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+      wrap(Seq(
+        s"""CAST(sign("value" - lag("value") OVER (${pb}ORDER BY ${q("pos")})) AS DOUBLE)""" -> "__xd"))
+      wrap(Seq(
+        s"""last_value(CASE WHEN ${q("__xd")} <> 0 THEN ${q("__xd")} END IGNORE NULLS) OVER $cum""" -> "__xb"))
+      wrap(Seq(s"""first_value(${q("__xb")} IGNORE NULLS) OVER $fut""" -> "__xa"))
+      projectSql(orig, Some(
+        s"""${q("__xb")} IS NOT NULL AND ${q("__xa")} IS NOT NULL AND ${q("__xb")} <> ${q("__xa")}"""))
+      desc ++= " | extrema"
+    }
+
+    def uniqueAdjStage(): Unit = {
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.series.Series.uniqueAdjacent(df, keys, "value"))
+      val lagE = s"""lag("value") OVER (${pb}ORDER BY ${q("pos")})"""
+      qualifySql(s"""$lagE IS NULL OR $lagE <> "value"""")
+      desc ++= " | uniqueAdj"
+    }
+
+    def reverseStage(): Unit = {
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.series.Series.reverse(df, keys))
+      // dense reversed ordinals — NOT cnt-1-pos, which is wrong (negative)
+      // for non-dense input pos (fuzz finding, seed 8047)
+      replaceColSql("pos",
+        s"row_number() OVER (${pb}ORDER BY ${q("pos")} DESC) - 1")
+      desc ++= " | reverse"
+    }
+
+    def spanNegStage(): Unit = { // cs_tail / negative-index cs_limit
+      val fromV = if (rnd.nextBoolean()) -(1L + rnd.nextInt(200)) else rnd.nextInt(100).toLong
+      val tillV = -(1L + rnd.nextInt(3))
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.series.Series.span(df, keys, fromV, tillV))
+      val cnt =
+        if (keys.isEmpty) "count(*) OVER ()"
+        else s"count(*) OVER (PARTITION BY ${keys.map(q).mkString(", ")})"
+      val lo = if (fromV < 0) s"$cnt + $fromV" else s"$fromV"
+      qualifySql(s"${q("pos")} >= $lo AND ${q("pos")} <= $cnt + $tillV")
+      desc ++= s" | span($fromV,$tillV)"
+    }
+
+    def windowJoinStage(tag: String): Unit = { // at most once per program
+      val rtype = EventTypes(rnd.nextInt(EventTypes.size))
+      val before = Vector(0L, 3_600_000_000L, 21_600_000_000L)(rnd.nextInt(3))
+      val after = Vector(3_600_000_000L, 21_600_000_000L)(rnd.nextInt(2))
+      val outs = Vector("wc", "ws", "wa", "wmn", "wmx").map(s => s"${tag}_$s")
+      xforms :+= ((df: DataFrame, s: SparkSession, sf: String) => {
+        val r0 = graft.io.Tables.read(s, sf, "events")
+          .filter(col("event_type") === rtype)
+          .withColumn("ts", expr("ts div 1000"))
+          .select((keys :+ "ts").map(col) :+ col("value").as("rv"): _*)
+        val wj = graft.join.Align.windowJoin(df, r0, keys, "ts", before, after, "rv")
+        Vector("win_count", "win_sum", "win_avg", "win_min", "win_max")
+          .zip(outs).foldLeft(wj) { case (d, (f, t)) => d.withColumnRenamed(f, t) }
+      })
+      depth += 1
+      val keyEq2 = keys.map(k => s"l2.${q(k)} = r.${q(k)} AND ").mkString
+      val statsSub =
+        s"SELECT ${(keys.map(k => "l2." + q(k)) :+ "l2.ts AS ts").mkString(", ")}, " +
+          "count(*) AS wc, sum(r.rv) AS ws, avg(r.rv) AS wa, " +
+          "min(r.rv) AS wmn, max(r.rv) AS wmx " +
+          s"FROM (SELECT DISTINCT ${(keys :+ "ts").map(q).mkString(", ")} FROM ($sql)) l2 " +
+          s"JOIN (SELECT ${(keys.map(q) :+ "epoch_us(ts) AS rts").mkString(", ")}, " +
+          s""""value" AS rv FROM events WHERE event_type = '$rtype') r """ +
+          s"ON ${keyEq2}r.rts BETWEEN l2.ts - $before AND l2.ts + $after " +
+          s"GROUP BY ${(1 to keys.size + 1).mkString(", ")}"
+      val joinEq = keys.map(k => s"l.${q(k)} = s.${q(k)} AND ").mkString
+      sql = s"SELECT ${cols.map(c => "l." + q(c)).mkString(", ")}, " +
+        s"COALESCE(s.wc, 0) AS ${q(outs(0))}, s.ws AS ${q(outs(1))}, " +
+        s"s.wa AS ${q(outs(2))}, s.wmn AS ${q(outs(3))}, s.wmx AS ${q(outs(4))} " +
+        s"FROM ($sql) l LEFT JOIN ($statsSub) s ON ${joinEq}l.${q("ts")} = s.ts"
+      cols = cols ++ outs
+      desc ++= s" | windowJoin([-$before,+$after] right=$rtype)"
+    }
+
+    def asofTolStage(tag: String): Unit = {
+      val rtype = EventTypes(rnd.nextInt(EventTypes.size))
+      val tol = Vector(600_000_000L, 3_600_000_000L, 43_200_000_000L)(rnd.nextInt(3))
+      val out = s"${tag}_atol"
+      xforms :+= ((df: DataFrame, s: SparkSession, sf: String) => {
+        val r0 = graft.io.Tables.read(s, sf, "events")
+          .filter(col("event_type") === rtype)
+          .withColumn("ts", expr("ts div 1000"))
+          .groupBy((keys :+ "ts").map(col): _*)
+          .agg(max(col("value")).as("rv"))
+        graft.join.Align.asofJoinTol(df, r0, keys, "ts", "rv", lit(tol), out)
+      })
+      depth += 1
+      val rsel = (keys.map(q) :+ "epoch_us(ts) AS rts").mkString(", ")
+      val rsql = s"""SELECT $rsel, max("value") AS rv FROM events """ +
+        s"""WHERE event_type = '$rtype' GROUP BY ${(1 to keys.size + 1).mkString(", ")}"""
+      val keyEq = keys.map(k => s"l.${q(k)} = r.${q(k)} AND ").mkString
+      sql = s"SELECT ${cols.map(c => "l." + q(c)).mkString(", ")}, " +
+        s"CASE WHEN r.rts IS NOT NULL AND l.${q("ts")} - r.rts <= $tol THEN r.rv END AS ${q(out)} " +
+        s"FROM ($sql) l ASOF LEFT JOIN ($rsql) r ON ${keyEq}l.${q("ts")} >= r.rts"
+      cols :+= out
+      desc ++= s" | asofTol($tol right=$rtype)"
+    }
+
+    def equiJoinStage(tag: String): Unit = {
+      val rtype = EventTypes(rnd.nextInt(EventTypes.size))
+      val out = s"${tag}_eq"
+      xforms :+= ((df: DataFrame, s: SparkSession, sf: String) => {
+        val r0 = graft.io.Tables.read(s, sf, "events")
+          .filter(col("event_type") === rtype)
+          .withColumn("ts", expr("ts div 1000"))
+          .groupBy((keys :+ "ts").map(col): _*)
+          .agg(max(col("value")).as("rv"))
+        graft.join.Align.equiJoin(df, r0, keys, "ts", "rv", out)
+      })
+      depth += 1
+      val rsel = (keys.map(q) :+ "epoch_us(ts) AS rts").mkString(", ")
+      val rsql = s"""SELECT $rsel, max("value") AS rv FROM events """ +
+        s"""WHERE event_type = '$rtype' GROUP BY ${(1 to keys.size + 1).mkString(", ")}"""
+      val keyEq = keys.map(k => s"l.${q(k)} = r.${q(k)} AND ").mkString
+      sql = s"SELECT ${cols.map(c => "l." + q(c)).mkString(", ")}, r.rv AS ${q(out)} " +
+        s"FROM ($sql) l JOIN ($rsql) r ON ${keyEq}l.${q("ts")} = r.rts"
+      cols :+= out
+      desc ++= s" | equiJoin(right=$rtype)"
+    }
+
+    def dictRoundtripStage(tag: String): Unit = {
+      val out = s"${tag}_dt"
+      xforms :+= ((df: DataFrame, s: SparkSession, sf: String) => {
+        val d = graft.text.Dict.build(
+          graft.io.Tables.read(s, sf, "events").select("event_type"), "event_type")
+        val coded = graft.text.Dict.str2code(df, d, "event_type", "__dcd")
+        graft.text.Dict.code2str(coded, d, "__dcd", out).drop("__dcd")
+      })
+      wrap(Seq("event_type" -> out)) // str2code∘code2str is the identity
+      desc ++= " | dictRoundtrip"
+    }
+
     // ---- filter stages ----------------------------------------------------
     def filterValStage(): Unit = {
       val c = math.rint((rnd.nextDouble() * 150 + 5) * 100) / 100
@@ -285,8 +462,11 @@ object FuzzGen {
       xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
         graft.agg.Aggs.gridAgg(df, keys, "value", step))
       depth += 1
+      // CAST(floor(...)): DuckDB's `//` truncates toward zero for negative
+      // operands where Spark's floor(pos/step) floors — render the exact
+      // floor arithmetic so the oracle cannot diverge on any pos domain
       val kq = keys.map(q).map(_ + ", ").mkString
-      sql = s"SELECT $kq${q("pos")} // $step AS grid, count(*) AS grid_count, " +
+      sql = s"SELECT ${kq}CAST(floor(${q("pos")} / $step) AS BIGINT) AS grid, count(*) AS grid_count, " +
         s"""sum("value") AS grid_sum, min("value") AS grid_min, """ +
         s"""max("value") AS grid_max, var_pop("value") AS grid_var, """ +
         s"""sum("value") / count("value") AS grid_avg, """ +
@@ -297,27 +477,101 @@ object FuzzGen {
       desc ++= s" | gridAgg($step)"
     }
 
+    def histogramStage(): Unit = { // terminal
+      val lo = rnd.nextInt(50); val hi = lo + 50 + rnd.nextInt(250)
+      val bins = 5 + rnd.nextInt(16)
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.agg.Aggs.histogram(df, "value", lo, hi, bins))
+      depth += 1
+      // same literal arithmetic as the Scala width = (hi-lo)/bins, so the
+      // bin-edge doubles are IEEE-identical in both engines
+      sql = s"SELECT least(CAST($bins - 1 AS BIGINT), " +
+        s"""CAST(floor(("value" - $lo) / (($hi - $lo) / $bins)) AS BIGINT)) AS bin, """ +
+        s"""count(*) AS bin_count FROM ($sql) t$depth """ +
+        s"""WHERE "value" >= $lo AND "value" < $hi GROUP BY 1"""
+      cols = Vector("bin", "bin_count")
+      desc ++= s" | histogram($lo,$hi,$bins)"
+    }
+
+    def hashDupCountStage(): Unit = { // terminal
+      val minOcc = 2L + rnd.nextInt(2)
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.agg.Aggs.hashDupCount(df, "value", keys, minOcc))
+      depth += 1
+      val kq = keys.map(q).mkString(", ")
+      val inner = s"SELECT ${if (keys.isEmpty) "" else s"$kq, "}${q("value")} " +
+        s"FROM ($sql) t$depth GROUP BY ${(1 to keys.size + 1).mkString(", ")} " +
+        s"HAVING count(*) >= $minOcc"
+      sql =
+        if (keys.isEmpty) s"SELECT count(*) AS dup_count FROM ($inner)"
+        else s"SELECT $kq, count(*) AS dup_count FROM ($inner) GROUP BY ${(1 to keys.size).mkString(", ")}"
+      cols = keys.toVector :+ "dup_count"
+      desc ++= s" | hashDupCount(minOcc=$minOcc)"
+    }
+
+    def topKPosStage(): Unit = { // terminal, keyless only (pos is unique)
+      val k = 5 + rnd.nextInt(46)
+      val dsc = rnd.nextBoolean()
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.agg.Aggs.topKPos(df, "value", k, dsc))
+      depth += 1
+      val ord = if (dsc) "DESC NULLS LAST" else "ASC NULLS FIRST"
+      sql = s"SELECT ${q("pos")} FROM ($sql) t$depth " +
+        s"ORDER BY ${q("value")} $ord, ${q("pos")} LIMIT $k"
+      cols = Vector("pos")
+      desc ++= s" | topKPos($k,${if (dsc) "desc" else "asc"})"
+    }
+
+    def filterFirstPosStage(): Unit = { // terminal, keyless only (global order)
+      val c = math.rint((rnd.nextDouble() * 150 + 5) * 100) / 100
+      val n = 10 + rnd.nextInt(90)
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.series.Series.filterFirstPos(df, col("value") > c, n))
+      depth += 1
+      sql = s"""SELECT ${q("pos")} FROM ($sql) t$depth WHERE "value" > $c """ +
+        s"ORDER BY ${q("pos")} LIMIT $n"
+      cols = Vector("pos")
+      desc ++= s" | filterFirstPos(value>$c,$n)"
+    }
+
     // ---- assemble ---------------------------------------------------------
     val nStages = 2 + rnd.nextInt(3)
+    var usedWindowJoin = false // its SQL embeds the pipeline twice — once max
     for (i <- 0 until nStages) {
       val tag = s"f$i"
       val enrichers = mutable.ArrayBuffer[() => Unit](
-        () => windowAggStage(tag), () => normStage(tag), () => asofStage(tag))
+        () => windowAggStage(tag), () => normStage(tag), () => asofStage(tag),
+        () => asofTolStage(tag), () => dictRoundtripStage(tag),
+        () => uniqueAdjStage(), () => equiJoinStage(tag))
+      if (!usedWindowJoin)
+        enrichers += { () => usedWindowJoin = true; windowJoinStage(tag) }
       if (!hasNulls) {
         enrichers += (() => cumAggStage(tag))
         enrichers += (() => rankStage(tag))
+        enrichers += (() => extremaStage())
       }
-      if (keys.nonEmpty || !hasNulls) enrichers += (() => diffStage(tag))
+      if (keys.nonEmpty || !hasNulls) {
+        enrichers += (() => diffStage(tag))
+        enrichers += (() => trendStage(tag))
+      }
       val filters = Vector[() => Unit](
         () => filterValStage(), () => filterModStage(), () => filterTypeStage(),
-        () => headStage(), () => thinStage())
+        () => headStage(), () => thinStage(), () => spanNegStage(),
+        () => reverseStage())
       // first stage is always an enricher so every program exercises at
       // least one real operator; later stages mix filters in 50/50
       val pool = if (i == 0 || rnd.nextBoolean()) enrichers.toVector else filters
       pool(rnd.nextInt(pool.size))()
     }
     if (rnd.nextBoolean()) {
-      if (rnd.nextBoolean()) topKStage() else gridAggStage()
+      val terminals = mutable.ArrayBuffer[() => Unit](
+        () => topKStage(), () => gridAggStage(), () => histogramStage(),
+        () => hashDupCountStage())
+      if (keys.isEmpty) {
+        terminals += (() => topKPosStage())
+        terminals += (() => filterFirstPosStage())
+      }
+      terminals(rnd.nextInt(terminals.size))()
     }
 
     val stages = xforms

@@ -159,13 +159,27 @@ object Series {
   def tail(df: DataFrame, keys: Seq[String], n: Long): DataFrame =
     span(df, keys, -n, -1)
 
-  /** Reverse a series: new pos = count-1-pos — cs_reverse (func.c:1203-1306).
-    * Pure relabeling; the per-key count broadcasts (no whole-frame window).
+  /** Reverse a series — cs_reverse (func.c:1203-1306): output positions
+    * are the DENSE reversed ordinals 0..cnt−1, as in the reference (which
+    * reverses an array, so its output is always densely numbered).
+    *
+    * Renumbering, not the `cnt−1−pos` relabel: after slicing/filtering
+    * the input pos is non-dense, and the relabel would emit positions
+    * that are not a permutation of 0..cnt−1 — including NEGATIVE ones
+    * when max(pos) ≥ cnt, silently breaking every downstream consumer of
+    * the pos ≥ 0 invariant (grid buckets, head/span windows). Found by
+    * differential fuzzing (seed 8047: equiJoin → reverse → gridAgg).
+    * Keyed: one row_number window (parallel across keys); keyless: the
+    * ranged numbering scan over descending pos — no single-task stage.
     */
   def reverse(df: DataFrame, keys: Seq[String]): DataFrame =
-    withKeyCount(df, keys)
-      .withColumn("pos", col("__cnt") - 1L - col("pos"))
-      .drop("__cnt")
+    if (keys.isEmpty)
+      attachPosRanged(df.withColumnRenamed("pos", "__rp"), Seq(),
+        Seq(col("__rp") * -1L), out = "pos").drop("__rp")
+    else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("pos").desc)
+      df.withColumn("pos", row_number().over(w).cast("long") - 1L)
+    }
 
   /** Repeat each element n times — cs_repeat (func.c:769-862). New pos is
     * pos*n + repeat index, preserving order.

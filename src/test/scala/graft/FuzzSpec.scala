@@ -60,4 +60,22 @@ class FuzzSpec extends AnyFunSuite {
     runBatch(1, 8026L)
     runBatch(1, 8059L)
   }
+
+  test("pinned fuzz regression: reverse of a non-dense series must renumber") {
+    // Seeds 8047/8058 (equiJoin/span → reverse → gridAgg) caught
+    // Series.reverse's cnt-1-pos relabel emitting NEGATIVE positions for
+    // non-dense input pos, which leaked into grid bucket ids. reverse now
+    // renumbers to dense reversed ordinals (the reference's semantics).
+    assume(duckdbAvailable, "python3+duckdb oracle not available")
+    runBatch(1, 8047L)
+    runBatch(1, 8058L)
+  }
+
+  test("pinned fuzz regression: keyless extrema leaked its __d helper column") {
+    // Seed 5006 (keys=<none> | extrema | thin) caught Analytics.extrema's
+    // keyless path dropping __before/__after/__fp but not the internal
+    // diff's __d sign column — a schema divergence from the keyed path.
+    assume(duckdbAvailable, "python3+duckdb oracle not available")
+    runBatch(1, 5006L)
+  }
 }
