@@ -501,6 +501,27 @@ object SparkEntry {
         .select(col("event_id"),
           fl(col("value")).as("value"), fl(col("asof_value")).as("asof_value"))
     }),
+    "q_asof_exec_array" -> ((s, dir) => {
+      // keyless as-of carrying an ARRAY value column: arrays group/join by
+      // value, so they ride the dict-coded parallel lanes — the last
+      // reachable complex-type fallback closed (maps alone stay serial).
+      // Right array is [max, min] per ts (deterministic construction; a
+      // collect_list would have nondeterministic order). Elements are
+      // projected for the oracle; the array itself is what the scan
+      // carried.
+      val ev = Tables.read(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("value"))
+      val r = ev.filter(col("event_type") === "signup")
+        .groupBy(col("ts")).agg(
+          array(max(col("value")), min(col("value"))).as("av"))
+      val out = graft.plans.AsofMerge.asofJoin(l, r, Seq(), "ts", "av", "asof_av")
+      require(!out.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+        "array keyless as-of must ride the dict-coded parallel scan")
+      out.select(col("event_id"), fl(col("value")).as("value"),
+        fl(element_at(col("asof_av"), 1)).as("asof_mx"),
+        fl(element_at(col("asof_av"), 2)).as("asof_mn"))
+    }),
     "q_asof_struct" -> ((s, dir) => {
       // keyless as-of carrying a STRUCT value column through the
       // decomposed parallel lanes (double + int64 + dict-coded string
@@ -2106,6 +2127,13 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l
          ASOF LEFT JOIN (SELECT ts, max("value") AS value FROM events
                          WHERE event_type = 'signup' GROUP BY ts) r
+         ON l.ts >= r.ts""",
+    "q_asof_exec_array" ->
+      """SELECT l.event_id, CAST(l."value" AS REAL) AS value,
+         CAST(r.mx AS REAL) AS asof_mx, CAST(r.mn AS REAL) AS asof_mn
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT ts, max("value") AS mx, min("value") AS mn
+                         FROM events WHERE event_type = 'signup' GROUP BY ts) r
          ON l.ts >= r.ts""",
     "q_asof_struct" ->
       """SELECT l.event_id, CAST(l."value" AS REAL) AS value,

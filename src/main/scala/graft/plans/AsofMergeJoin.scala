@@ -87,11 +87,12 @@ object AsofJoinStrategy extends SparkStrategy {
   * keyless calls to the ranged carry-forward scan, which parallelizes
   * the carry as a prefix monoid with the same row-carry semantics;
   * strings/binary/decimals ride the scan as dictionary codes on exact
-  * hi/lo long lanes ([[AsofMerge.keylessDictAsof]]); structs of such
-  * fields decompose per-field onto the lanes and reassemble
-  * ([[AsofMerge.keylessStructAsof]]). AllTuples is reachable only by
-  * constructing [[AsofJoinPlan]] directly, or with a value type no lane,
-  * dictionary, or decomposition carries (arrays, maps, nested structs).
+  * hi/lo long lanes ([[AsofMerge.keylessDictAsof]]) — including ARRAYS,
+  * which group/join by value; structs of such fields decompose per-field
+  * onto the lanes and reassemble ([[AsofMerge.keylessStructAsof]]).
+  * AllTuples is reachable only by constructing [[AsofJoinPlan]] directly,
+  * or with a value type no lane, dictionary, or decomposition carries
+  * (maps and map-bearing types, structs nested in structs).
   */
 case class AsofMergeJoinExec(
     leftKeys: Seq[Expression],
@@ -336,13 +337,24 @@ object AsofMerge {
     case _ => false
   }
 
-  /** Atomic types a dictionary can carry through the lanes: the VALUES
-    * are not lane-able but the distinct-value DOMAIN maps to long codes
-    * (exact hi/lo lanes) and back. Arrays and maps (and structs of them)
-    * stay on the serial exec — the honest answer until someone needs it.
+  /** Types a dictionary can carry through the lanes: the VALUES are not
+    * lane-able but the distinct-value DOMAIN maps to long codes (exact
+    * hi/lo lanes) and back — anything Spark can group and join BY VALUE.
+    * That includes arrays (of atomics, structs, or nested arrays): array
+    * columns are hashable/orderable group and join keys. Maps are not
+    * groupable in Spark, so map-bearing types stay on the serial exec —
+    * the honest answer until someone needs it.
     */
   private def dictEncodable(dt: DataType): Boolean = dt match {
     case StringType | BinaryType | _: DecimalType => true
+    case at: ArrayType => !containsMap(at)
+    case _ => false
+  }
+
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case at: ArrayType => containsMap(at.elementType)
+    case st: StructType => st.fields.exists(f => containsMap(f.dataType))
     case _ => false
   }
 
@@ -352,9 +364,9 @@ object AsofMerge {
     * is row-carry — every lane updates together from the same matched
     * right row — so reassembled fields are guaranteed to come from one
     * row, and the presence lane distinguishes a carried NULL struct from
-    * a carried struct whose fields are all NULL. One level only: a
-    * nested struct/array/map field sends the whole column to the serial
-    * exec.
+    * a carried struct whose fields are all NULL. One struct level only:
+    * a struct-in-struct or map field sends the whole column to the
+    * serial exec (array fields are fine — they dictionary-encode).
     */
   private def structDecomposable(dt: DataType): Boolean = dt match {
     case st: StructType if st.fields.nonEmpty =>

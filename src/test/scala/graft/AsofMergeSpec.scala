@@ -249,13 +249,27 @@ class AsofMergeSpec extends AnyFunSuite {
     }
   }
 
-  test("keyless as-of with a complex value type falls back to the exec") {
-    val l = Seq(Tuple1(7L)).toDF("ts")
-    val r = Seq((5L, Seq(1, 2)), (6L, Seq(3))).toDF("ts", "v")
+  test("keyless ARRAY as-of rides dictionary codes (no single-task merge)") {
+    val l = Seq(Tuple1(3L), Tuple1(7L), Tuple1(9L)).toDF("ts")
+    val r = Seq((5L, Seq(1, 2)), (6L, Seq(3)), (8L, null)).toDF("ts", "v")
     val df = AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
-    assert(df.head().getSeq[Int](1) == Seq(3))
+    assert(!df.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+      "array values group/join by value, so the dict route must plan")
+    val got = df.orderBy("ts").collect()
+    assert(got(0).isNullAt(1), "no match yet")
+    assert(got(1).getSeq[Int](1) == Seq(3))
+    assert(got(2).isNullAt(1), "carried NULL array row must mask ts=6 (row-carry)")
+    // and the serial exec agrees on every row
+    assert(rows(df) == rows(serialKeylessExec(l, r, "ts", "v")))
+  }
+
+  test("keyless as-of with a MAP value type falls back to the exec") {
+    val l = Seq(Tuple1(7L)).toDF("ts")
+    val r = Seq((5L, Map("a" -> 1)), (6L, Map("b" -> 3))).toDF("ts", "v")
+    val df = AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
+    assert(df.head().getMap[String, Int](1) == Map("b" -> 3))
     assert(df.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
-      "complex-typed keyless as-of has no lane or dictionary; the honest single merge plans")
+      "maps are not groupable — no lane or dictionary; the honest single merge plans")
   }
 
   test("reserved internal names in keyless inputs fail loud, not corrupt") {
