@@ -91,8 +91,8 @@ object AsofJoinStrategy extends SparkStrategy {
   * which group/join by value; structs of such fields decompose per-field
   * onto the lanes and reassemble ([[AsofMerge.keylessStructAsof]]).
   * AllTuples is reachable only by constructing [[AsofJoinPlan]] directly,
-  * or with a value type no lane, dictionary, or decomposition carries
-  * (maps and map-bearing types, structs nested in structs).
+  * or with a value type no lane, dictionary, or decomposition carries —
+  * maps and map-bearing types only (Spark cannot group by a map).
   */
 case class AsofMergeJoinExec(
     leftKeys: Seq[Expression],
@@ -263,15 +263,19 @@ object AsofMerge {
             direction, inclusive)
         // strings/binary/decimals have no Double lane, but their DOMAIN
         // does: dictionary-encode to long codes, scan, decode the carry
-        if (dts.forall(dt => lanable(dt) || dictEncodable(dt)))
-          return keylessDictAsof(left, right, lTs.get, cols, outCols,
-            direction, inclusive)
         // structs of lane-able/dict-encodable fields decompose per-field
         // onto the same lanes (plus a presence lane) and reassemble —
-        // row-carry guarantees all fields come from the same matched row
-        if (dts.forall(dt => lanable(dt) || dictEncodable(dt) ||
-            structDecomposable(dt)))
+        // row-carry guarantees all fields come from the same matched row.
+        // Checked BEFORE the dict route: structs are also dict-encodable
+        // (group/join by value), but decomposition needs no dictionary
+        // build, so it is the scale-preferred route when available.
+        if (dts.exists(structDecomposable) &&
+            dts.forall(dt => lanable(dt) || dictEncodable(dt) ||
+              structDecomposable(dt)))
           return keylessStructAsof(left, right, lTs.get, cols, outCols,
+            direction, inclusive)
+        if (dts.forall(dt => lanable(dt) || dictEncodable(dt)))
+          return keylessDictAsof(left, right, lTs.get, cols, outCols,
             direction, inclusive)
       }
     }
@@ -348,6 +352,11 @@ object AsofMerge {
   private def dictEncodable(dt: DataType): Boolean = dt match {
     case StringType | BinaryType | _: DecimalType => true
     case at: ArrayType => !containsMap(at)
+    // structs group/join by value too — this is the route for structs a
+    // decomposition cannot flatten (struct-in-struct); one-level structs
+    // prefer keylessStructAsof (no dictionary build), see the branch
+    // order in asofJoinDir
+    case st: StructType => !containsMap(st)
     case _ => false
   }
 

@@ -263,6 +263,25 @@ class AsofMergeSpec extends AnyFunSuite {
     assert(rows(df) == rows(serialKeylessExec(l, r, "ts", "v")))
   }
 
+  test("keyless struct-in-struct as-of decomposes with a dict-coded field") {
+    // outer struct decomposes per-field; its struct FIELD is not lane-able
+    // but dict-encodes by value — the last non-map shape off the serial exec
+    val l = Seq(Tuple1(3L), Tuple1(7L), Tuple1(9L)).toDF("ts")
+    val r = Seq(
+      (5L, (1.5, (10L, "a"))),
+      (6L, (2.5, (20L, "b"))),
+      (8L, null.asInstanceOf[(Double, (Long, String))])).toDF("ts", "v")
+    val df = AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
+    assert(!df.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+      "struct-in-struct must decompose (inner struct via dictionary codes)")
+    val got = df.orderBy("ts").select("asof_value").collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1) == org.apache.spark.sql.Row(
+      org.apache.spark.sql.Row(2.5, org.apache.spark.sql.Row(20L, "b"))))
+    assert(got(2).isNullAt(0), "carried NULL struct row masks ts=6")
+    assert(rows(df) == rows(serialKeylessExec(l, r, "ts", "v")))
+  }
+
   test("keyless as-of with a MAP value type falls back to the exec") {
     val l = Seq(Tuple1(7L)).toDF("ts")
     val r = Seq((5L, Map("a" -> 1)), (6L, Map("b" -> 3))).toDF("ts", "v")
