@@ -134,6 +134,25 @@ object ScaleSmoke {
       graft.plans.AsofMerge.asofJoin(l.select(col("ts")), rs, Seq(), "ts", "value")
         .write.format("noop").mode("overwrite").save()
     }
+    // round-8: the same shape with an ARRAY value (dict-coded by value)
+    // and a STRUCT value (per-field lane decomposition + presence lane) —
+    // the two complex-type routes that close the serial-exec fallback.
+    // Array domain = distinct [price, price/2] pairs (same cardinality as
+    // the string dict above); struct fields ride one double lane + one
+    // dict lane each.
+    run("keyless array as-of (dict lanes)") {
+      val ra = r.select(col("ts"),
+        array(col("value"), col("value") / 2).as("value"))
+      graft.plans.AsofMerge.asofJoin(l.select(col("ts")), ra, Seq(), "ts", "value")
+        .write.format("noop").mode("overwrite").save()
+    }
+    run("keyless struct as-of (decomposed lanes)") {
+      val rst = r.select(col("ts"),
+        struct(col("value").as("v"),
+          format_number(col("value"), 0).as("tag")).as("value"))
+      graft.plans.AsofMerge.asofJoin(l.select(col("ts")), rst, Seq(), "ts", "value")
+        .write.format("noop").mode("overwrite").save()
+    }
     // round-5 alignment parity shapes at scale: nearest = two carry
     // scans; stretch0 = one full outer join — both partition-parallel
     run("keyless nearest as-of (two carry scans)") {
