@@ -38,13 +38,95 @@ case class FuzzProgram(seed: Long, desc: String,
   * contracts rather than hiding them.
   */
 object FuzzGen {
-  private val EventTypes = Vector("click", "error", "purchase", "signup", "view")
   private type Xf = (DataFrame, SparkSession, String) => DataFrame
 
   private def q(c: String) = "\"" + c + "\""
 
-  def gen(seed: Long): FuzzProgram = {
+  /** A fuzz source table, canonicalized to the fixed pipeline schema
+    * (event_id BIGINT unique, ts BIGINT µs, user_id BIGINT, event_type
+    * VARCHAR low-cardinality, "value" DOUBLE) so every stage generator
+    * works against any base. Spans/thresholds are per-base because the
+    * ts resolution (events: sub-second; lineitem: whole days — heavy ts
+    * ties) and value domains (events 0..328; l_quantity 1..50 with heavy
+    * duplicates; l_extendedprice 900..105k) differ.
+    */
+  case class FuzzBase(label: String, srcSql: String,
+                      srcSpark: (SparkSession, String) => DataFrame,
+                      types: Vector[String],
+                      valLo: Double, valSpan: Double,
+                      histLoMax: Int, histBase: Int, histSpan: Int,
+                      winBefore: Vector[Long], winAfter: Vector[Long],
+                      tols: Vector[Long])
+
+  private val eventsBase = FuzzBase(
+    label = "events",
+    srcSql = """SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, "value" FROM events""",
+    srcSpark = (s, sf) => graft.io.Tables.read(s, sf, "events")
+      .select(col("event_id"), expr("ts div 1000").as("ts"),
+        col("user_id"), col("event_type"), col("value")),
+    types = Vector("click", "error", "purchase", "signup", "view"),
+    valLo = 5.0, valSpan = 150.0,
+    histLoMax = 50, histBase = 50, histSpan = 250,
+    winBefore = Vector(0L, 3_600_000_000L, 21_600_000_000L),
+    winAfter = Vector(3_600_000_000L, 21_600_000_000L),
+    tols = Vector(600_000_000L, 3_600_000_000L, 43_200_000_000L))
+
+  private def lineitemBase(seed: Long): FuzzBase = {
+    // seed arithmetic, not rnd.nextBoolean(): java.util.Random's first
+    // draw is heavily correlated across sequential seeds (a 100-seed
+    // sweep picked the same column 40/40 times)
+    val useQty = (seed / 5) % 2 == 0
+    val (vc, lo, span, hLoMax, hBase, hSpan) =
+      if (useQty) ("l_quantity", 1.0, 49.0, 10, 10, 40)
+      else ("l_extendedprice", 1000.0, 80000.0, 20000, 20000, 80000)
+    val day = 86_400_000_000L
+    FuzzBase(
+      label = s"lineitem/$vc",
+      // event_id must be UNIQUE (it is the deterministic tiebreak for pos
+      // and top-k), but this synthetic lineitem has ~12k duplicate
+      // (l_orderkey, l_linenumber) pairs — so derive the id as a
+      // row_number over the FULL column ordering. Deterministic in both
+      // engines: distinct rows order identically; ties happen only
+      // between fully-identical rows, which are interchangeable. The
+      // single-partition window is fine at fuzz scale (≤60k rows).
+      srcSql = s"""SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber, """ +
+        s"""l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, """ +
+        s"""l_tax, l_returnflag, l_linestatus, l_shipdate) AS event_id, """ +
+        s"""epoch_us(l_shipdate) AS ts, l_partkey AS user_id, """ +
+        s"""l_returnflag AS event_type, $vc AS "value" FROM lineitem""",
+      srcSpark = (s, sf) => {
+        val ordCols = Seq("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+        val w = org.apache.spark.sql.expressions.Window.orderBy(ordCols.map(col): _*)
+        graft.io.Tables.read(s, sf, "lineitem")
+          .select(row_number().over(w).cast("long").as("event_id"),
+            // l_shipdate reads as TIMESTAMP_NTZ; the session tz is UTC in
+            // every harness, so the cast matches DuckDB's naive epoch_us
+            unix_micros(col("l_shipdate").cast("timestamp")).as("ts"),
+            col("l_partkey").as("user_id"),
+            col("l_returnflag").as("event_type"),
+            col(vc).as("value"))
+      },
+      types = Vector("A", "N", "R"),
+      valLo = lo, valSpan = span,
+      histLoMax = hLoMax, histBase = hBase, histSpan = hSpan,
+      winBefore = Vector(0L, day, 7 * day),
+      winAfter = Vector(day, 7 * day),
+      tols = Vector(day, 7 * day, 30 * day))
+  }
+
+  def gen(seed: Long, baseOverride: Option[String] = None): FuzzProgram = {
     val rnd = new Random(seed)
+    // Base chosen by seed arithmetic, NOT an rnd draw: events-based
+    // programs keep the exact pre-lineitem draw stream, so pinned
+    // regression seeds replay the same programs (with BASE=events).
+    val base: FuzzBase = baseOverride match {
+      case Some("lineitem") => lineitemBase(seed)
+      case Some(_)          => eventsBase
+      case None => if (seed % 5 < 3) eventsBase else lineitemBase(seed)
+    }
+    val EventTypes = base.types
     val keys: Seq[String] = rnd.nextInt(4) match {
       case 0 => Seq()
       case 1 => Seq("user_id")
@@ -55,29 +137,28 @@ object FuzzGen {
     var hasNulls = nullMod > 0
     val pb = if (keys.isEmpty) "" else s"PARTITION BY ${keys.map(q).mkString(", ")} "
     val desc = new StringBuilder(
-      s"keys=${if (keys.isEmpty) "<none>" else keys.mkString(",")}" +
+      s"base=${base.label} keys=${if (keys.isEmpty) "<none>" else keys.mkString(",")}" +
         (if (nullMod > 0) s" nulls%$nullMod" else ""))
 
     var cols = Vector("event_id", "ts", "user_id", "event_type", "value", "pos")
     var xforms = Vector.empty[Xf]
     var depth = 0
-    // ts is truncated to MICROSECONDS on both sides: Spark reads the
-    // TIMESTAMP(NANOS) parquet as long ns (nanosAsLong), but DuckDB's
-    // parquet reader truncates to its µs TIMESTAMP — epoch_ns() would
-    // yield trailing zeros and every raw-ts output would mismatch. Both
-    // engines ordering and as-of-comparing the SAME µs value keeps pos
-    // and join semantics aligned (event_id tiebreak absorbs µs ties).
+    // ts is canonicalized to MICROSECONDS on both sides (FuzzBase.srcSql /
+    // srcSpark): Spark reads events' TIMESTAMP(NANOS) parquet as long ns
+    // (nanosAsLong), but DuckDB's parquet reader truncates to its µs
+    // TIMESTAMP — epoch_ns() would yield trailing zeros and every raw-ts
+    // output would mismatch. Both engines ordering and as-of-comparing the
+    // SAME µs value keeps pos and join semantics aligned (the event_id
+    // tiebreak absorbs µs ties — and lineitem's day-resolution ties).
     var sql = {
       val v =
         if (nullMod > 0) s"""CASE WHEN event_id % $nullMod = 0 THEN NULL ELSE "value" END"""
         else "\"value\""
-      s"""SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, $v AS "value", """ +
-        s"""row_number() OVER (${pb}ORDER BY epoch_us(ts), event_id) - 1 AS pos FROM events"""
+      s"""SELECT event_id, ts, user_id, event_type, $v AS "value", """ +
+        s"""row_number() OVER (${pb}ORDER BY ts, event_id) - 1 AS pos FROM (${base.srcSql}) b0"""
     }
-    val base: Xf = (_, s, sf) => {
-      var df = graft.io.Tables.read(s, sf, "events")
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .withColumn("ts", expr("ts div 1000"))
+    val baseXf: Xf = (_, s, sf) => {
+      var df = base.srcSpark(s, sf)
       if (nullMod > 0)
         df = df.withColumn("value",
           when(col("event_id") % nullMod === 0, lit(null)).otherwise(col("value")))
@@ -224,9 +305,8 @@ object FuzzGen {
       val rtype = EventTypes(rnd.nextInt(EventTypes.size))
       val out = s"${tag}_asof"
       xforms :+= ((df: DataFrame, s: SparkSession, sf: String) => {
-        val r0 = graft.io.Tables.read(s, sf, "events")
+        val r0 = base.srcSpark(s, sf)
           .filter(col("event_type") === rtype)
-          .withColumn("ts", expr("ts div 1000")) // same µs domain as the left
           .groupBy((keys :+ "ts").map(col): _*)
           .agg(max(col("value")).as("rv"))
         graft.join.Align.asofJoinDir(df, r0, keys, "ts", "rv", out, dirn, incl)
@@ -238,8 +318,8 @@ object FuzzGen {
         case (1, false) => "<"
       }
       depth += 1
-      val rsel = (keys.map(q) :+ "epoch_us(ts) AS rts").mkString(", ")
-      val rsql = s"""SELECT $rsel, max("value") AS rv FROM events """ +
+      val rsel = (keys.map(q) :+ "ts AS rts").mkString(", ")
+      val rsql = s"""SELECT $rsel, max("value") AS rv FROM (${base.srcSql}) be """ +
         s"""WHERE event_type = '$rtype' GROUP BY ${(1 to keys.size + 1).mkString(", ")}"""
       val keyEq = keys.map(k => s"l.${q(k)} = r.${q(k)} AND ").mkString
       sql = s"SELECT ${cols.map(c => "l." + q(c)).mkString(", ")}, r.rv AS ${q(out)} " +
@@ -311,13 +391,12 @@ object FuzzGen {
 
     def windowJoinStage(tag: String): Unit = { // at most once per program
       val rtype = EventTypes(rnd.nextInt(EventTypes.size))
-      val before = Vector(0L, 3_600_000_000L, 21_600_000_000L)(rnd.nextInt(3))
-      val after = Vector(3_600_000_000L, 21_600_000_000L)(rnd.nextInt(2))
+      val before = base.winBefore(rnd.nextInt(base.winBefore.size))
+      val after = base.winAfter(rnd.nextInt(base.winAfter.size))
       val outs = Vector("wc", "ws", "wa", "wmn", "wmx").map(s => s"${tag}_$s")
       xforms :+= ((df: DataFrame, s: SparkSession, sf: String) => {
-        val r0 = graft.io.Tables.read(s, sf, "events")
+        val r0 = base.srcSpark(s, sf)
           .filter(col("event_type") === rtype)
-          .withColumn("ts", expr("ts div 1000"))
           .select((keys :+ "ts").map(col) :+ col("value").as("rv"): _*)
         val wj = graft.join.Align.windowJoin(df, r0, keys, "ts", before, after, "rv")
         Vector("win_count", "win_sum", "win_avg", "win_min", "win_max")
@@ -330,8 +409,8 @@ object FuzzGen {
           "count(*) AS wc, sum(r.rv) AS ws, avg(r.rv) AS wa, " +
           "min(r.rv) AS wmn, max(r.rv) AS wmx " +
           s"FROM (SELECT DISTINCT ${(keys :+ "ts").map(q).mkString(", ")} FROM ($sql)) l2 " +
-          s"JOIN (SELECT ${(keys.map(q) :+ "epoch_us(ts) AS rts").mkString(", ")}, " +
-          s""""value" AS rv FROM events WHERE event_type = '$rtype') r """ +
+          s"JOIN (SELECT ${(keys.map(q) :+ "ts AS rts").mkString(", ")}, " +
+          s""""value" AS rv FROM (${base.srcSql}) be WHERE event_type = '$rtype') r """ +
           s"ON ${keyEq2}r.rts BETWEEN l2.ts - $before AND l2.ts + $after " +
           s"GROUP BY ${(1 to keys.size + 1).mkString(", ")}"
       val joinEq = keys.map(k => s"l.${q(k)} = s.${q(k)} AND ").mkString
@@ -345,19 +424,18 @@ object FuzzGen {
 
     def asofTolStage(tag: String): Unit = {
       val rtype = EventTypes(rnd.nextInt(EventTypes.size))
-      val tol = Vector(600_000_000L, 3_600_000_000L, 43_200_000_000L)(rnd.nextInt(3))
+      val tol = base.tols(rnd.nextInt(base.tols.size))
       val out = s"${tag}_atol"
       xforms :+= ((df: DataFrame, s: SparkSession, sf: String) => {
-        val r0 = graft.io.Tables.read(s, sf, "events")
+        val r0 = base.srcSpark(s, sf)
           .filter(col("event_type") === rtype)
-          .withColumn("ts", expr("ts div 1000"))
           .groupBy((keys :+ "ts").map(col): _*)
           .agg(max(col("value")).as("rv"))
         graft.join.Align.asofJoinTol(df, r0, keys, "ts", "rv", lit(tol), out)
       })
       depth += 1
-      val rsel = (keys.map(q) :+ "epoch_us(ts) AS rts").mkString(", ")
-      val rsql = s"""SELECT $rsel, max("value") AS rv FROM events """ +
+      val rsel = (keys.map(q) :+ "ts AS rts").mkString(", ")
+      val rsql = s"""SELECT $rsel, max("value") AS rv FROM (${base.srcSql}) be """ +
         s"""WHERE event_type = '$rtype' GROUP BY ${(1 to keys.size + 1).mkString(", ")}"""
       val keyEq = keys.map(k => s"l.${q(k)} = r.${q(k)} AND ").mkString
       sql = s"SELECT ${cols.map(c => "l." + q(c)).mkString(", ")}, " +
@@ -371,16 +449,15 @@ object FuzzGen {
       val rtype = EventTypes(rnd.nextInt(EventTypes.size))
       val out = s"${tag}_eq"
       xforms :+= ((df: DataFrame, s: SparkSession, sf: String) => {
-        val r0 = graft.io.Tables.read(s, sf, "events")
+        val r0 = base.srcSpark(s, sf)
           .filter(col("event_type") === rtype)
-          .withColumn("ts", expr("ts div 1000"))
           .groupBy((keys :+ "ts").map(col): _*)
           .agg(max(col("value")).as("rv"))
         graft.join.Align.equiJoin(df, r0, keys, "ts", "rv", out)
       })
       depth += 1
-      val rsel = (keys.map(q) :+ "epoch_us(ts) AS rts").mkString(", ")
-      val rsql = s"""SELECT $rsel, max("value") AS rv FROM events """ +
+      val rsel = (keys.map(q) :+ "ts AS rts").mkString(", ")
+      val rsql = s"""SELECT $rsel, max("value") AS rv FROM (${base.srcSql}) be """ +
         s"""WHERE event_type = '$rtype' GROUP BY ${(1 to keys.size + 1).mkString(", ")}"""
       val keyEq = keys.map(k => s"l.${q(k)} = r.${q(k)} AND ").mkString
       sql = s"SELECT ${cols.map(c => "l." + q(c)).mkString(", ")}, r.rv AS ${q(out)} " +
@@ -393,7 +470,7 @@ object FuzzGen {
       val out = s"${tag}_dt"
       xforms :+= ((df: DataFrame, s: SparkSession, sf: String) => {
         val d = graft.text.Dict.build(
-          graft.io.Tables.read(s, sf, "events").select("event_type"), "event_type")
+          base.srcSpark(s, sf).select("event_type"), "event_type")
         val coded = graft.text.Dict.str2code(df, d, "event_type", "__dcd")
         graft.text.Dict.code2str(coded, d, "__dcd", out).drop("__dcd")
       })
@@ -403,7 +480,7 @@ object FuzzGen {
 
     // ---- filter stages ----------------------------------------------------
     def filterValStage(): Unit = {
-      val c = math.rint((rnd.nextDouble() * 150 + 5) * 100) / 100
+      val c = math.rint((rnd.nextDouble() * base.valSpan + base.valLo) * 100) / 100
       val gt = rnd.nextBoolean()
       xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
         df.filter(if (gt) col("value") > c else col("value") <= c))
@@ -478,7 +555,8 @@ object FuzzGen {
     }
 
     def histogramStage(): Unit = { // terminal
-      val lo = rnd.nextInt(50); val hi = lo + 50 + rnd.nextInt(250)
+      val lo = rnd.nextInt(base.histLoMax)
+      val hi = lo + base.histBase + rnd.nextInt(base.histSpan)
       val bins = 5 + rnd.nextInt(16)
       xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
         graft.agg.Aggs.histogram(df, "value", lo, hi, bins))
@@ -523,7 +601,7 @@ object FuzzGen {
     }
 
     def filterFirstPosStage(): Unit = { // terminal, keyless only (global order)
-      val c = math.rint((rnd.nextDouble() * 150 + 5) * 100) / 100
+      val c = math.rint((rnd.nextDouble() * base.valSpan + base.valLo) * 100) / 100
       val n = 10 + rnd.nextInt(90)
       xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
         graft.series.Series.filterFirstPos(df, col("value") > c, n))
@@ -576,7 +654,7 @@ object FuzzGen {
 
     val stages = xforms
     val run = (spark: SparkSession, sfDir: String) =>
-      stages.foldLeft(base(null, spark, sfDir))((df, f) => f(df, spark, sfDir))
+      stages.foldLeft(baseXf(null, spark, sfDir))((df, f) => f(df, spark, sfDir))
     FuzzProgram(seed, desc.result(), run, sql)
   }
 }
@@ -593,6 +671,7 @@ object Fuzz {
     val outDir = args(1)
     val n = if (args.length > 2) args(2).toInt else 200
     val seed0 = if (args.length > 3) args(3).toLong else 1L
+    val baseOverride = if (args.length > 4) Some(args(4)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -602,7 +681,7 @@ object Fuzz {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val crashes = runPrograms(spark, sfDir, outDir, n, seed0)
+    val crashes = runPrograms(spark, sfDir, outDir, n, seed0, baseOverride)
     crashes.foreach { case (s, d, e) =>
       System.err.println(s"[fuzz] seed=$s CRASHED: $d\n  $e")
     }
@@ -617,13 +696,14 @@ object Fuzz {
     * the Spark side — those are findings too (the oracle never ran).
     */
   def runPrograms(spark: SparkSession, sfDir: String, outDir: String,
-                  n: Int, seed0: Long): Seq[(Long, String, String)] = {
+                  n: Int, seed0: Long,
+                  baseOverride: Option[String] = None): Seq[(Long, String, String)] = {
     new java.io.File(outDir).mkdirs()
     val sqls = mutable.LinkedHashMap.empty[String, String]
     val crashes = mutable.ArrayBuffer.empty[(Long, String, String)]
     val log = new StringBuilder
     for (i <- 0 until n) {
-      val p = FuzzGen.gen(seed0 + i)
+      val p = FuzzGen.gen(seed0 + i, baseOverride)
       val name = s"fuzz_${p.seed}"
       log ++= s"$name: ${p.desc}\n"
       try {

@@ -22,9 +22,10 @@ class FuzzSpec extends AnyFunSuite {
   private def duckdbAvailable: Boolean =
     scala.util.Try(Seq("python3", "-c", "import duckdb").! == 0).getOrElse(false)
 
-  private def runBatch(n: Int, seed0: Long): Unit = {
+  private def runBatch(n: Int, seed0: Long,
+                       base: Option[String] = None): Unit = {
     val out = java.nio.file.Files.createTempDirectory("graft_fuzz").toString
-    val crashes = graft.fuzz.Fuzz.runPrograms(spark, sfDir, out, n, seed0)
+    val crashes = graft.fuzz.Fuzz.runPrograms(spark, sfDir, out, n, seed0, base)
     assert(crashes.isEmpty, s"Spark-side crashes (replay: N=1 SEED=<seed> " +
       s"bash tools/run_fuzz.sh):\n" +
       crashes.map { case (s, d, e) => s"  seed=$s $d\n    $e" }.mkString("\n"))
@@ -57,8 +58,8 @@ class FuzzSpec extends AnyFunSuite {
     // path's sqrt(greatest(refVar, 0.0)) yields 0.0 (greatest skips
     // NULLs). Both compose keyless windowAgg after NULL injection.
     assume(duckdbAvailable, "python3+duckdb oracle not available")
-    runBatch(1, 8026L)
-    runBatch(1, 8059L)
+    runBatch(1, 8026L, Some("events"))
+    runBatch(1, 8059L, Some("events"))
   }
 
   test("pinned fuzz regression: reverse of a non-dense series must renumber") {
@@ -67,8 +68,8 @@ class FuzzSpec extends AnyFunSuite {
     // non-dense input pos, which leaked into grid bucket ids. reverse now
     // renumbers to dense reversed ordinals (the reference's semantics).
     assume(duckdbAvailable, "python3+duckdb oracle not available")
-    runBatch(1, 8047L)
-    runBatch(1, 8058L)
+    runBatch(1, 8047L, Some("events"))
+    runBatch(1, 8058L, Some("events"))
   }
 
   test("pinned fuzz regression: keyless extrema leaked its __d helper column") {
@@ -76,6 +77,6 @@ class FuzzSpec extends AnyFunSuite {
     // keyless path dropping __before/__after/__fp but not the internal
     // diff's __d sign column — a schema divergence from the keyed path.
     assume(duckdbAvailable, "python3+duckdb oracle not available")
-    runBatch(1, 5006L)
+    runBatch(1, 5006L, Some("events"))
   }
 }

@@ -4,6 +4,8 @@
 # DuckDB running the equivalent SQL (tools/check.py — the same comparator
 # as the round driver's correctness gate). Replay a failure with:
 #   N=1 SEED=<seed> bash tools/run_fuzz.sh
+# (add BASE=events or BASE=lineitem to force the source table — needed to
+# replay pinned seeds recorded before the lineitem base existed)
 # The program text for every seed is in $OUT/programs.txt.
 set -eo pipefail
 cd /root/repo
@@ -17,5 +19,5 @@ ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/jav
 rm -rf "$OUT"
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "$CP" graft.fuzz.Fuzz "$SF" "$OUT" "$N" "$SEED" 2> >(grep -E '^\[fuzz\]' >&2 || true)
+  -cp "$CP" graft.fuzz.Fuzz "$SF" "$OUT" "$N" "$SEED" ${BASE:-} 2> >(grep -E '^\[fuzz\]' >&2 || true)
 python3 tools/check.py "$SF" "$OUT"
