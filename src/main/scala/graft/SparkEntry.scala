@@ -291,8 +291,14 @@ object SparkEntry {
           col("grp_all"), col("grp_any"), col("grp_exact_dc"),
           // per-run HLL bounded-error contract (cs_group_approxdc,
           // func.c:4975-5074): oracle computes the exact count; the boolean
-          // asserts the estimate is within tolerance
-          (abs(col("grp_adc") - col("grp_exact_dc")) / col("grp_exact_dc") < 0.15)
+          // asserts the estimate is within tolerance. Relative 15% (3σ at
+          // rsd 0.05) PLUS an absolute floor of 4: HLL++'s small-n regime
+          // is collision-driven, not rsd-bounded — a real sf0.1 run of 14
+          // distinct users deterministically estimates 11 (-21%), caught
+          // by the first full sf0.1 oracle diff (round 8). Same
+          // relative-or-absolute shape as q_cs_sketch's both_ok contract.
+          (abs(col("grp_adc") - col("grp_exact_dc")) <=
+            greatest(col("grp_exact_dc") * 0.15, lit(4.0)))
             .as("grp_adc_ok"))),
     "q_grid_agg" -> ((s, dir) =>
       Aggs.gridAgg(evSeries(s, dir), Seq("event_type"), "value", 100)
