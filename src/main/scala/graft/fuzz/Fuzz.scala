@@ -587,6 +587,23 @@ object FuzzGen {
       desc ++= s" | hashDupCount(minOcc=$minOcc)"
     }
 
+    def quantileStage(): Unit = { // terminal — cs_quantile boundary values
+      val qn = 2 + rnd.nextInt(9)
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.analytics.Analytics.quantile(df, "value", qn)
+          .select(col("q_idx"), col("q_value").cast("float").as("q_value")))
+      depth += 1
+      val ps = (0 to qn).map(i => i.toDouble / qn).mkString("[", ", ", "]")
+      // WHERE qs IS NOT NULL: an empty (or all-NULL) input yields a NULL
+      // quantile list — Spark's posexplode emits 0 rows there, so the
+      // oracle must too rather than qn+1 NULL rows
+      sql = s"""WITH qv AS (SELECT quantile_cont("value", $ps) AS qs FROM ($sql) t$depth) """ +
+        s"""SELECT q_idx, CAST(qs[q_idx + 1] AS REAL) AS q_value """ +
+        s"""FROM qv, (SELECT unnest(generate_series(0, $qn)) AS q_idx) WHERE qs IS NOT NULL"""
+      cols = Vector("q_idx", "q_value")
+      desc ++= s" | quantile($qn)"
+    }
+
     def topKPosStage(): Unit = { // terminal, keyless only (pos is unique)
       val k = 5 + rnd.nextInt(46)
       val dsc = rnd.nextBoolean()
@@ -644,7 +661,7 @@ object FuzzGen {
     if (rnd.nextBoolean()) {
       val terminals = mutable.ArrayBuffer[() => Unit](
         () => topKStage(), () => gridAggStage(), () => histogramStage(),
-        () => hashDupCountStage())
+        () => hashDupCountStage(), () => quantileStage())
       if (keys.isEmpty) {
         terminals += (() => topKPosStage())
         terminals += (() => filterFirstPosStage())

@@ -52,31 +52,58 @@ class FuzzSpec extends AnyFunSuite {
     runBatch(n, seed0)
   }
 
-  test("pinned fuzz regressions: keyless w_dev_ref on an all-NULL frame") {
-    // Seeds 8026/8059 found the keyless windowAgg scan emitting NULL
-    // w_dev_ref for a frame with no non-null values, where the keyed
-    // path's sqrt(greatest(refVar, 0.0)) yields 0.0 (greatest skips
-    // NULLs). Both compose keyless windowAgg after NULL injection.
-    assume(duckdbAvailable, "python3+duckdb oracle not available")
-    runBatch(1, 8026L, Some("events"))
-    runBatch(1, 8059L, Some("events"))
+  // ---- fuzz-found regressions, pinned as DIRECT shape tests -------------
+  // Seed replays drift as the grammar grows (pool sizes shift every draw
+  // after them), so each bug is pinned by reconstructing its minimal
+  // trigger explicitly. Original finding seeds noted for archaeology.
+
+  test("fuzz regression: keyless windowAgg w_dev_ref is 0.0 on an all-NULL frame") {
+    // Found by seeds 8026/8059 (pre-expansion grammar): the keyless scan
+    // emitted NULL where the keyed path's sqrt(greatest(refVar, 0.0))
+    // yields 0.0 (greatest skips NULLs).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((0L, Option.empty[Double]), (1L, Option.empty[Double]),
+      (2L, Some(5.0))).toDF("pos", "value")
+    val keyless = graft.window.Moving.windowAgg(df, Seq(), "value", 2)
+      .orderBy("pos").select("w_dev_ref").collect()
+    assert(keyless(0).getDouble(0) == 0.0, "all-NULL warm-up frame")
+    assert(keyless(1).getDouble(0) == 0.0, "still no non-null value")
+    // frame {NULL, 5.0} with the FIXED-n divisor: (25 - 25/2)/2 = 6.25
+    assert(keyless(2).getDouble(0) == 2.5, "one non-null value in an n=2 ref frame")
+    val keyed = graft.window.Moving.windowAgg(
+      df.withColumn("k", lit("a")), Seq("k"), "value", 2)
+      .orderBy("pos").select("w_dev_ref").collect()
+    assert(keyed.map(_.get(0)).toSeq == keyless.map(_.get(0)).toSeq,
+      "keyless scan must agree with the keyed window formula")
   }
 
-  test("pinned fuzz regression: reverse of a non-dense series must renumber") {
-    // Seeds 8047/8058 (equiJoin/span → reverse → gridAgg) caught
-    // Series.reverse's cnt-1-pos relabel emitting NEGATIVE positions for
-    // non-dense input pos, which leaked into grid bucket ids. reverse now
-    // renumbers to dense reversed ordinals (the reference's semantics).
-    assume(duckdbAvailable, "python3+duckdb oracle not available")
-    runBatch(1, 8047L, Some("events"))
-    runBatch(1, 8058L, Some("events"))
+  test("fuzz regression: reverse of a non-dense series renumbers densely") {
+    // Found by seeds 8047/8058 (equiJoin/span → reverse → gridAgg): the
+    // old cnt-1-pos relabel emitted NEGATIVE positions for non-dense
+    // input pos, which leaked into downstream grid buckets.
+    import spark.implicits._
+    val sparse = Seq((10L, 1.0), (500L, 2.0), (900L, 3.0)).toDF("pos", "value")
+    for (keys <- Seq(Seq.empty[String], Seq("k"))) {
+      val in = if (keys.isEmpty) sparse
+               else sparse.withColumn("k", org.apache.spark.sql.functions.lit("a"))
+      val r = graft.series.Series.reverse(in, keys)
+      val got = r.orderBy("pos").select("pos", "value").collect()
+        .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      assert(got == Seq((0L, 3.0), (1L, 2.0), (2L, 1.0)),
+        s"dense reversed ordinals for keys=$keys, got $got")
+    }
   }
 
-  test("pinned fuzz regression: keyless extrema leaked its __d helper column") {
-    // Seed 5006 (keys=<none> | extrema | thin) caught Analytics.extrema's
-    // keyless path dropping __before/__after/__fp but not the internal
-    // diff's __d sign column — a schema divergence from the keyed path.
-    assume(duckdbAvailable, "python3+duckdb oracle not available")
-    runBatch(1, 5006L, Some("events"))
+  test("fuzz regression: keyless extrema output schema equals the keyed path") {
+    // Found by seed 5006 (keys=<none> | extrema | thin): the keyless path
+    // leaked the internal diff's __d sign column.
+    import spark.implicits._
+    val df = Seq((0L, 1.0), (1L, 3.0), (2L, 2.0), (3L, 4.0))
+      .toDF("pos", "value")
+    val keyless = graft.analytics.Analytics.extrema(df, Seq(), "value")
+    assert(keyless.columns.toSet == Set("pos", "value"),
+      s"no helper columns may leak, got ${keyless.columns.toSeq}")
+    assert(keyless.select("pos").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 }
