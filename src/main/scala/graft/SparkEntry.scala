@@ -604,10 +604,10 @@ object SparkEntry {
     // ---- scans / arrays / misc (§2.1-2.3) ----
     "q_get" -> ((s, dir) =>
       // TABLE_get: timestamp-range scan (B-tree search analog → parquet
-      // row-group pruning on the pushed-down ts filter)
-      Tables.read(s, dir, "events")
-        .filter(col("event_type") === "purchase" &&
-          col("ts") >= 1704672000000000000L && col("ts") < 1704931200000000000L)
+      // row-group pruning on the pushed-down ts filter; rangeScan applies
+      // the bound to the raw ts column so the predicate reaches the scan)
+      Tables.rangeScan(s, dir, "events", 1704672000000000000L, 1704931200000000000L)
+        .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), fl(col("value")).as("value"))),
     "q_concat_series" -> ((s, dir) => {
       val ev = Tables.read(s, dir, "events")
@@ -776,10 +776,12 @@ object SparkEntry {
       import graft.streaming.Streams
       val ev = Tables.read(s, dir, "events")
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink")
-      val srcDir = tmp.resolve("src"); java.nio.file.Files.createDirectory(srcDir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        srcDir.resolve("events.parquet"))
+      // stage the NORMALIZED frame (int64-ns ts) rather than copying the
+      // raw file: the stream source schema must match what Streams'
+      // ns-denominated event-time math expects, independent of whether
+      // the source parquet stores ts as ns-int64 or µs-timestamp
+      val srcDir = tmp.resolve("src")
+      ev.write.mode("overwrite").parquet(srcDir.toString)
       val streaming = Streams.tumblingAgg(s, srcDir.toString, ev.schema)
       val sunk = Streams.runToParquet(streaming,
         tmp.resolve("out").toString, tmp.resolve("ckpt").toString)

@@ -16,14 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader rejects
-    * unless `spark.sql.legacy.parquet.nanosAsLong=true` — set once at
-    * session build (Bench/Verify/Prof/Plans/TestSpark all do), NOT here: a
-    * read helper mutating session config is racy with concurrent sessions
-    * and surprising for unrelated reads that follow. Read as raw int64
-    * nanoseconds; ordering and equality over the long are isomorphic to
-    * the timestamp, and the DuckDB oracle maps via epoch_ns(ts) when the
-    * column must be compared.
+  /** events.parquet's ts column has shipped as both TIMESTAMP(NANOS)
+    * (readable only with `spark.sql.legacy.parquet.nanosAsLong=true`, set
+    * once at session build — Bench/Verify/Prof/Plans/TestSpark all do, NOT
+    * here: a read helper mutating session config is racy with concurrent
+    * sessions) and TIMESTAMP(MICROS). `read` normalizes either to int64
+    * epoch-nanos (see normalizeNsTs); ordering and equality over the long
+    * are isomorphic to the timestamp, and the DuckDB oracle maps via
+    * epoch_ns(ts) when the column must be compared.
     *
     * Memoized per (session, dir, table): re-building the read per query
     * repeats file listing + footer schema inference (~tens of ms) BEFORE
@@ -83,8 +83,15 @@ object Tables {
     math.max(1L, math.min(dp.toLong, math.max(coarse, fine))).toInt
   }
 
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    readCache.getOrElseUpdate((spark, sfDir, name), {
+  /** Raw (pre-normalization) read — the `ts` column keeps whatever type
+    * the parquet carries. Range scans that need parquet filter pushdown
+    * on `ts` start here (see `rangeScan`), because a pushed-down parquet
+    * predicate must compare a plain attribute against a same-typed
+    * literal — a filter over the normalized `unix_micros(ts)*1000`
+    * projection never reaches the scan.
+    */
+  def readRaw(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    readCache.getOrElseUpdate((spark, sfDir, name + "#raw"), {
       val path = s"$sfDir/$name.parquet"
       val raw = spark.read.parquet(path)
       val target = {
@@ -98,6 +105,58 @@ object Tables {
       // multi-file layouts at scale) keeps its natural parallelism
       if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
     })
+
+  /** The engine's internal timestamp convention is int64 epoch-nanos (the
+    * reference's `timestamp` arithmetic is integral too — imcs.h:104-120).
+    * Earlier testdata shipped events.ts as parquet TIMESTAMP(NANOS), which
+    * `nanosAsLong` already surfaced as int64; current testdata ships
+    * TIMESTAMP(MICROS), which Spark reads as a timestamp type — normalize
+    * it to epoch-ns at the read boundary so every downstream operator
+    * (window frames, as-of tolerances, grid buckets — all ns-denominated)
+    * is unchanged. The DuckDB oracle maps via epoch_ns(ts), which yields
+    * the same µs-precision ns values. The NTZ→LTZ cast is value-preserving
+    * because every harness pins spark.sql.session.timeZone=UTC.
+    */
+  private def normalizeNsTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+           Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+      case _ => df
+    }
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    readCache.getOrElseUpdate((spark, sfDir, name),
+      normalizeNsTs(readRaw(spark, sfDir, name)))
+
+  /** Epoch-ns bound as a literal of the RAW ts column's type, so the
+    * comparison needs no cast around the attribute and translates to a
+    * parquet pushdown predicate (row-group min/max pruning).
+    */
+  private def tsLit(ns: Long, dt: org.apache.spark.sql.types.DataType): Column = {
+    val inst = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(ns, 1000000000L), Math.floorMod(ns, 1000000000L))
+    dt match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        lit(java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC))
+      case org.apache.spark.sql.types.TimestampType => lit(inst)
+      case _ => lit(ns)
+    }
+  }
+
+  /** TABLE_get's scan shape (btree.c range search → parquet row-group
+    * pruning): the [fromNs, tillNs) range predicate is applied to the RAW
+    * ts column — where it reaches the scan as PushedFilters — and the
+    * frame is then normalized to the int64-ns convention.
+    */
+  def rangeScan(spark: SparkSession, sfDir: String, name: String,
+                fromNs: Long, tillNs: Long): DataFrame = {
+    val raw = readRaw(spark, sfDir, name)
+    val dt = raw.schema("ts").dataType
+    normalizeNsTs(raw.filter(col("ts") >= tsLit(fromNs, dt) &&
+      col("ts") < tsLit(tillNs, dt)))
+  }
 
   /** TABLE_load: ingest sorted by (keys, ts) — the reference's
     * `order by <timestamp>` load (imcs.c:4265).

@@ -28,10 +28,7 @@ class StreamFuzzSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   private lazy val srcDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("stream_fuzz_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
+    val dir = TestSpark.stageEvents(sfDir, "stream_fuzz_events")
     dir.toString
   }
   private lazy val schema = graft.io.Tables.read(spark, sfDir, "events").schema

@@ -16,10 +16,7 @@ class StreamingDictSpec extends AnyFunSuite {
 
   test("streaming tumbling agg equals the batch answer (Trigger.AvailableNow)") {
     // The file streaming source needs a DIRECTORY; testdata ships one file.
-    val dir = java.nio.file.Files.createTempDirectory("stream_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
+    val dir = TestSpark.stageEvents(sfDir, "stream_events")
     val schema = graft.io.Tables.read(spark, sfDir, "events").schema
     val stream = Streams.tumblingAgg(spark, dir.toString, schema)
     val got = Streams.runAvailableNow(stream, "t_tumbling")
@@ -37,10 +34,7 @@ class StreamingDictSpec extends AnyFunSuite {
     // stream-time cardinality: per-window state is one KB-scale sketch,
     // never the key set; the deterministic sketch makes stream == batch
     // EXACT equality (same HLL algorithm folds the same values)
-    val dir = java.nio.file.Files.createTempDirectory("stream_events_hll")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
+    val dir = TestSpark.stageEvents(sfDir, "stream_events_hll")
     val schema = graft.io.Tables.read(spark, sfDir, "events").schema
     val stream = Streams.tumblingApproxDistinct(spark, dir.toString, schema, "user_id")
     val got = Streams.runAvailableNow(stream, "t_hll")
@@ -64,10 +58,7 @@ class StreamingDictSpec extends AnyFunSuite {
     // 12h — each event lands in 4 overlapping windows, per-window state
     // is still one sketch; the deterministic sketch makes stream==batch
     // equality exact
-    val dir = java.nio.file.Files.createTempDirectory("stream_events_hll_sl")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
+    val dir = TestSpark.stageEvents(sfDir, "stream_events_hll_sl")
     val schema = graft.io.Tables.read(spark, sfDir, "events").schema
     val win = 2L * 86400L; val slide = 43200L
     val stream = Streams.slidingApproxDistinct(spark, dir.toString, schema,
@@ -96,10 +87,7 @@ class StreamingDictSpec extends AnyFunSuite {
   test("SESSION-window streaming HLL approx-distinct equals its batch twin") {
     // uniques per activity burst: sessions close 1 day after the last
     // event; one sketch per open session
-    val dir = java.nio.file.Files.createTempDirectory("stream_events_hll_se")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
+    val dir = TestSpark.stageEvents(sfDir, "stream_events_hll_se")
     val schema = graft.io.Tables.read(spark, sfDir, "events").schema
     val stream = Streams.sessionApproxDistinct(spark, dir.toString, schema,
       "user_id", gapSeconds = 86400L)
@@ -111,10 +99,7 @@ class StreamingDictSpec extends AnyFunSuite {
   }
 
   test("SLIDING streaming KLL quantile equals its batch twin") {
-    val dir = java.nio.file.Files.createTempDirectory("stream_events_kll_sl")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
+    val dir = TestSpark.stageEvents(sfDir, "stream_events_kll_sl")
     val schema = graft.io.Tables.read(spark, sfDir, "events").schema
     // 16-day window sliding 8 days (same density reasoning as the
     // tumbling KLL test: windows stay under KLL's k=200 retention, where
@@ -130,10 +115,7 @@ class StreamingDictSpec extends AnyFunSuite {
   }
 
   test("SESSION-window streaming KLL quantile equals its batch twin") {
-    val dir = java.nio.file.Files.createTempDirectory("stream_events_kll_se")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
+    val dir = TestSpark.stageEvents(sfDir, "stream_events_kll_se")
     val schema = graft.io.Tables.read(spark, sfDir, "events").schema
     // 6-hour gap: the fixture's ~3.6h mean per-type spacing splits into
     // MANY short sessions, each far under KLL's k=200 retention — inside
@@ -151,10 +133,7 @@ class StreamingDictSpec extends AnyFunSuite {
   }
 
   test("streaming windowed KLL quantile equals its batch twin") {
-    val dir = java.nio.file.Files.createTempDirectory("stream_events_kll")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
+    val dir = TestSpark.stageEvents(sfDir, "stream_events_kll")
     val schema = graft.io.Tables.read(spark, sfDir, "events").schema
     // 16-day windows: the fixture is ~200 events per event_type over 30
     // days, so hourly windows top out at ~3 events — the rank gate below
@@ -296,10 +275,7 @@ class StreamingDictSpec extends AnyFunSuite {
   }
 
   test("sliding streaming agg equals batch window() aggregation") {
-    val dir = java.nio.file.Files.createTempDirectory("stream_events_slide")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
+    val dir = TestSpark.stageEvents(sfDir, "stream_events_slide")
     val schema = graft.io.Tables.read(spark, sfDir, "events").schema
     val got = Streams.runAvailableNow(
       Streams.slidingAgg(spark, dir.toString, schema, 7200, 3600), "t_sliding")
@@ -313,10 +289,7 @@ class StreamingDictSpec extends AnyFunSuite {
   }
 
   test("session_window streaming agg equals its batch twin") {
-    val dir = java.nio.file.Files.createTempDirectory("stream_events_sess")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
+    val dir = TestSpark.stageEvents(sfDir, "stream_events_sess")
     val schema = graft.io.Tables.read(spark, sfDir, "events").schema
     val got = Streams.runAvailableNow(
       Streams.sessionAgg(spark, dir.toString, schema, 3600), "t_session")
@@ -364,10 +337,7 @@ class StreamingDictSpec extends AnyFunSuite {
   }
 
   test("stream-stream interval join equals the batch inequality join") {
-    val dir = java.nio.file.Files.createTempDirectory("stream_ivj")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
+    val dir = TestSpark.stageEvents(sfDir, "stream_ivj")
     val ev = graft.io.Tables.read(spark, sfDir, "events")
     val got = Streams.runAvailableNow(
       Streams.intervalJoinStream(spark, dir.toString, ev.schema, 7 * 86400L),

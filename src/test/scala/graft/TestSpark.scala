@@ -15,4 +15,17 @@ object TestSpark {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  /** Stage the NORMALIZED events frame (int64-ns ts — Tables.read's
+    * convention) as a fresh parquet directory for the file streaming
+    * source. A raw file copy would hand the stream whatever ts type the
+    * testdata parquet carries (µs-timestamp since round 8), while Streams'
+    * event-time math and the batch twins both assume epoch-ns longs.
+    */
+  def stageEvents(sfDir: String, name: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(name)
+    graft.io.Tables.read(spark, sfDir, "events")
+      .write.mode("overwrite").parquet(dir.toString)
+    dir.toString
+  }
 }
