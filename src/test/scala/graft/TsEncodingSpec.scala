@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The testdata's events.ts column has shipped in different parquet
+  * encodings across rounds: TIMESTAMP(NANOS) (which `nanosAsLong=true`
+  * surfaces as int64 epoch-ns), and TIMESTAMP(MICROS) (which Spark reads
+  * as a timestamp type — TIMESTAMP_NTZ for isAdjustedToUTC=false, the
+  * round-8 shape). Tables.read normalizes every encoding to the engine's
+  * int64 epoch-ns convention so downstream operators (ns-denominated
+  * window frames, tolerances, grid buckets) never see the difference, and
+  * Tables.rangeScan keeps parquet filter pushdown by binding range
+  * predicates to the RAW ts column with a same-typed literal. This spec
+  * pins that boundary for each encoding the data has shipped in.
+  */
+class TsEncodingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 10 rows, 1 hour apart, starting 2024-01-01T00:00:00Z (micros)
+  private val baseUs = 1704067200000000L
+  private val hourUs = 3600L * 1000000L
+  private val rows: Seq[(Long, Long, Double)] =
+    (0 until 10).map(i => (i.toLong, baseUs + i * hourUs, i * 1.5))
+
+  /** Write an events-shaped table with ts in the given encoding; returns
+    * the sfDir-style parent so Tables.read(dir, "events") finds it.
+    */
+  private def stage(name: String, tsCol: org.apache.spark.sql.Column): String = {
+    val dir = java.nio.file.Files.createTempDirectory(name).toString
+    rows.toDF("event_id", "ts_us", "value")
+      .select(col("event_id"), tsCol.as("ts"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def tsValues(df: DataFrame): Seq[Long] =
+    df.select("ts").collect().map(_.getLong(0)).sorted.toSeq
+
+  private val wantNs = rows.map(_._2 * 1000L)
+
+  test("µs TIMESTAMP_NTZ ts (round-8 testdata shape) normalizes to epoch-ns longs") {
+    val dir = stage("ts_ntz", timestamp_micros(col("ts_us")).cast(TimestampNTZType))
+    val ev = graft.io.Tables.read(spark, dir, "events")
+    assert(ev.schema("ts").dataType === LongType)
+    assert(tsValues(ev) === wantNs)
+  }
+
+  test("µs TIMESTAMP (LTZ / isAdjustedToUTC) ts normalizes to epoch-ns longs") {
+    val dir = stage("ts_ltz", timestamp_micros(col("ts_us")))
+    val ev = graft.io.Tables.read(spark, dir, "events")
+    assert(ev.schema("ts").dataType === LongType)
+    assert(tsValues(ev) === wantNs)
+  }
+
+  test("legacy int64-ns ts (nanosAsLong read shape) passes through untouched") {
+    val dir = stage("ts_ns", (col("ts_us") * 1000L).as("ts"))
+    val ev = graft.io.Tables.read(spark, dir, "events")
+    assert(ev.schema("ts").dataType === LongType)
+    assert(tsValues(ev) === wantNs)
+  }
+
+  test("rangeScan pushes the ts bound to the scan for every encoding") {
+    val dirs = Seq(
+      stage("rs_ntz", timestamp_micros(col("ts_us")).cast(TimestampNTZType)),
+      stage("rs_ltz", timestamp_micros(col("ts_us"))),
+      stage("rs_ns", (col("ts_us") * 1000L).as("ts")))
+    // [t2, t5): hours 2,3,4 — half-open bound semantics
+    val fromNs = (baseUs + 2 * hourUs) * 1000L
+    val tillNs = (baseUs + 5 * hourUs) * 1000L
+    for (dir <- dirs) {
+      val q = graft.io.Tables.rangeScan(spark, dir, "events", fromNs, tillNs)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+        s"$dir:\n$plan")
+      assert(q.schema("ts").dataType === LongType, dir)
+      assert(tsValues(q) === wantNs.slice(2, 5), dir)
+    }
+  }
+}
