@@ -106,6 +106,7 @@ object Tables {
       if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
     })
 
+
   /** The engine's internal timestamp convention is int64 epoch-nanos (the
     * reference's `timestamp` arithmetic is integral too — imcs.h:104-120).
     * Earlier testdata shipped events.ts as parquet TIMESTAMP(NANOS), which
@@ -152,18 +153,43 @@ object Tables {
     */
   def rangeScan(spark: SparkSession, sfDir: String, name: String,
                 fromNs: Long, tillNs: Long): DataFrame = {
+    // Row-group pruning effectiveness depends on the FILE's ts encoding
+    // (measured, graft.PruneProbe): int64-ns and LTZ-µs layouts prune to
+    // the slice (~6% of rows for a 1-day cut of 30 days); NTZ-annotated
+    // files (isAdjustedToUTC=false — the raw testdata shape) list the
+    // pushed filter but Spark builds no parquet FilterPredicate for NTZ,
+    // so every row group is read regardless of read schema or rebase
+    // mode. The scale path is therefore the reference's own model: ingest
+    // via Tables.load (which persists the NORMALIZED int64-ns layout,
+    // time-clustered) and range-scan the loaded table — raw foreign NTZ
+    // parquet gets correct but unpruned scans until upstream supports NTZ
+    // predicates.
     val raw = readRaw(spark, sfDir, name)
     val dt = raw.schema("ts").dataType
     normalizeNsTs(raw.filter(col("ts") >= tsLit(fromNs, dt) &&
       col("ts") < tsLit(tillNs, dt)))
   }
 
-  /** TABLE_load: ingest sorted by (keys, ts) — the reference's
-    * `order by <timestamp>` load (imcs.c:4265).
+  /** TABLE_load: ingest range-clustered and sorted by (keys, ts) — the
+    * reference's `order by <timestamp>` load (imcs.c:4265), which pays a
+    * B-tree build per column at ingest so that range scans descend instead
+    * of scanning. The Spark analog pays ONE range shuffle at ingest so
+    * that each output file covers a disjoint (keys, ts) slice — parquet
+    * min/max stats then prune rangeScan to the touched slice (measured,
+    * graft.PruneProbe: ~6% of rows read for a 1-day cut of a 30-day
+    * int64-ns layout vs 100% for an unclustered or NTZ one). A
+    * sortWithinPartitions alone leaves round-robin input partitions each
+    * spanning the FULL ts range — every file's min/max covers everything
+    * and pruning is a no-op, precisely the layouts that break at 100 TB.
+    * Single-partition frames skip the shuffle (nothing to cluster).
     */
-  def load(df: DataFrame, path: String, keys: Seq[String], ts: String): Unit =
-    df.sortWithinPartitions((keys :+ ts).map(col): _*)
+  def load(df: DataFrame, path: String, keys: Seq[String], ts: String): Unit = {
+    val cols = (keys :+ ts).map(col)
+    val parts = df.rdd.getNumPartitions
+    val clustered = if (parts <= 1) df else df.repartitionByRange(parts, cols: _*)
+    clustered.sortWithinPartitions(cols: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** TABLE_append: rows with ts >= from appended (imcs--1.1.sql:211-217).
     * `from` is a Column bound so it works for both Timestamp and int64-ns
