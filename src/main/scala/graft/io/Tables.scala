@@ -150,24 +150,88 @@ object Tables {
     * pruning): the [fromNs, tillNs) range predicate is applied to the RAW
     * ts column — where it reaches the scan as PushedFilters — and the
     * frame is then normalized to the int64-ns convention.
+    *
+    * Row-group pruning effectiveness depends on the FILE's ts encoding
+    * (measured, graft.PruneProbe): int64-ns and LTZ-µs layouts prune to
+    * the slice (~6% of rows for a 1-day cut of 30 days); NTZ-annotated
+    * files (isAdjustedToUTC=false — the raw testdata shape) list the
+    * pushed filter but Spark builds no parquet FilterPredicate for NTZ,
+    * so every row group is read regardless of read schema or rebase mode.
+    * For NTZ sources the engine therefore prunes at FILE level itself:
+    * footers' ts column stats select the overlapping files before the
+    * scan (ntzPrunedRead below). The preferred scale path is still the
+    * reference's own model — ingest via Tables.load (normalized int64-ns,
+    * time-clustered) and range-scan the loaded table.
     */
   def rangeScan(spark: SparkSession, sfDir: String, name: String,
                 fromNs: Long, tillNs: Long): DataFrame = {
-    // Row-group pruning effectiveness depends on the FILE's ts encoding
-    // (measured, graft.PruneProbe): int64-ns and LTZ-µs layouts prune to
-    // the slice (~6% of rows for a 1-day cut of 30 days); NTZ-annotated
-    // files (isAdjustedToUTC=false — the raw testdata shape) list the
-    // pushed filter but Spark builds no parquet FilterPredicate for NTZ,
-    // so every row group is read regardless of read schema or rebase
-    // mode. The scale path is therefore the reference's own model: ingest
-    // via Tables.load (which persists the NORMALIZED int64-ns layout,
-    // time-clustered) and range-scan the loaded table — raw foreign NTZ
-    // parquet gets correct but unpruned scans until upstream supports NTZ
-    // predicates.
     val raw = readRaw(spark, sfDir, name)
     val dt = raw.schema("ts").dataType
-    normalizeNsTs(raw.filter(col("ts") >= tsLit(fromNs, dt) &&
+    val base = dt match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        ntzPrunedRead(spark, s"$sfDir/$name.parquet", raw.schema, fromNs, tillNs)
+      case _ => raw
+    }
+    normalizeNsTs(base.filter(col("ts") >= tsLit(fromNs, dt) &&
       col("ts") < tsLit(tillNs, dt)))
+  }
+
+  /** File-level ts pruning the parquet reader won't do for NTZ columns:
+    * read each part file's footer, keep files whose ts min/max stats
+    * overlap [fromNs, tillNs), and scan only those. Footer reads are
+    * per-file metadata RPCs on the driver (parallelized; the same order
+    * of work as the file listing Spark already does) — at cluster scale
+    * file-level pruning is the dominant win anyway, row groups within a
+    * kept file second-order. Files without usable ts stats are kept
+    * (pruning must never change results); the exact range filter is
+    * re-applied by the caller regardless.
+    */
+  private def ntzPrunedRead(spark: SparkSession, path: String,
+                            schema: org.apache.spark.sql.types.StructType,
+                            fromNs: Long, tillNs: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(conf)
+    val parts = {
+      val st = fs.getFileStatus(hp)
+      if (st.isFile) Array(st)
+      else fs.listStatus(hp).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    }
+    // NTZ parquet stats are INT64 epoch-µs; ns bounds are exact ×1000
+    def overlaps(p: org.apache.hadoop.fs.Path): Boolean = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        val bounds = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == "ts")
+            .map(_.getStatistics) match {
+            case Some(s) if s != null && s.hasNonNullValue && !s.isEmpty =>
+              (s.genericGetMin, s.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some((mn.longValue, mx.longValue))
+                case _ => None // unexpected physical type: keep
+              }
+            case _ => None // no usable stats: keep
+          }
+        }
+        bounds.exists(_.isEmpty) || bounds.isEmpty || {
+          val mins = bounds.map(_.get._1)
+          val maxs = bounds.map(_.get._2)
+          maxs.max * 1000L >= fromNs && mins.min * 1000L < tillNs
+        }
+      } finally reader.close()
+    }
+    val kept = {
+      import scala.collection.parallel.CollectionConverters._
+      parts.toSeq.par.filter(s => overlaps(s.getPath)).seq
+        .map(_.getPath.toString)
+    }
+    if (kept.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(kept: _*)
   }
 
   /** TABLE_load: ingest range-clustered and sorted by (keys, ts) — the
@@ -220,7 +284,15 @@ object Tables {
             s"the stored series tail max($ts)=${viol.head.get(1)} — the reference " +
             "rejects appends below the loaded tail (imcs.c:4617-4740)")
     }
-    incoming.write.mode(SaveMode.Append).parquet(path)
+    // cluster the incoming batch like load does: appends are accepted
+    // only above the stored tail, so batches are disjoint in ts across
+    // time — clustering WITHIN the batch keeps each new file's ts min/max
+    // tight instead of spanning the whole batch from round-robin input
+    val parts = incoming.rdd.getNumPartitions
+    val clustered =
+      if (parts <= 1) incoming else incoming.repartitionByRange(parts, col(ts))
+    clustered.sortWithinPartitions(col(ts))
+      .write.mode(SaveMode.Append).parquet(path)
   }
 
   /** TABLE_delete(from, till): inclusive range delete by timestamp

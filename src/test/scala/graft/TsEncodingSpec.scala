@@ -63,6 +63,56 @@ class TsEncodingSpec extends AnyFunSuite {
     assert(tsValues(ev) === wantNs)
   }
 
+  test("NTZ multi-file rangeScan prunes at file level without changing results") {
+    // Spark builds no parquet FilterPredicate for NTZ ts, so rangeScan
+    // does its own footer-stats file pruning for NTZ sources. Write the
+    // 10 hourly rows as 5 two-row files (disjoint ts ranges), slice
+    // [t2, t5), and check exact results incl. file-boundary rows.
+    val dir = java.nio.file.Files.createTempDirectory("ts_ntz_files").toString
+    rows.toDF("event_id", "ts_us", "value")
+      .select(col("event_id"),
+        timestamp_micros(col("ts_us")).cast(TimestampNTZType).as("ts"),
+        col("value"))
+      .repartitionByRange(5, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val nFiles = new java.io.File(s"$dir/events.parquet").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles == 5, s"expected 5 part files, got $nFiles")
+    val fromNs = (baseUs + 2 * hourUs) * 1000L
+    val tillNs = (baseUs + 5 * hourUs) * 1000L
+    val q = graft.io.Tables.rangeScan(spark, dir, "events", fromNs, tillNs)
+    assert(q.schema("ts").dataType === LongType)
+    assert(tsValues(q) === wantNs.slice(2, 5))
+    // empty slice (before the data) returns an empty frame, same schema
+    val empty = graft.io.Tables.rangeScan(spark, dir, "events",
+      0L, (baseUs - 1) * 1000L)
+    assert(empty.count() === 0)
+    assert(empty.schema("ts").dataType === LongType)
+  }
+
+  test("engine-written timestamp columns are INT64-µs, never INT96") {
+    // Spark's parquet default writes TimestampType as INT96, whose
+    // min/max stats readers ignore — every engine-written time-clustered
+    // layout would silently lose row-group pruning. All harness builders
+    // pin outputTimestampType=TIMESTAMP_MICROS; this guards the pin.
+    val dir = java.nio.file.Files.createTempDirectory("ts_int64").toString
+    rows.toDF("event_id", "ts_us", "value")
+      .select(timestamp_micros(col("ts_us")).as("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val part = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getPath),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val pt = reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .find(_.getName == "ts").get.asPrimitiveType().getPrimitiveTypeName
+      assert(pt === org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+    } finally reader.close()
+  }
+
   test("rangeScan pushes the ts bound to the scan for every encoding") {
     val dirs = Seq(
       stage("rs_ntz", timestamp_micros(col("ts_us")).cast(TimestampNTZType)),
