@@ -255,6 +255,48 @@ object Tables {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Compact an appended table back to the load layout. Steady append
+    * ingest accumulates one file set per batch; at scale the FILE COUNT —
+    * footer reads, listing, per-file task scheduling — starts to dominate
+    * scans long before data volume does, and per-file ts ranges from many
+    * small batches interleave less cleanly than one clustered rewrite.
+    * The reference never fragments (B-tree pages absorb appends in place,
+    * btree.c:644-745); the parquet analog is this explicit rewrite:
+    * range-recluster on (keys, ts) into byte-proportional files of
+    * ~targetBytes. The swap is rename-based — the new layout is fully
+    * written to a sibling tmp dir before replacing the old one, so a
+    * failure mid-compact leaves the original intact. Returns
+    * (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, path: String, keys: Seq[String], ts: String,
+              targetBytes: Long = 128L << 20): (Int, Int) = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val before = dataFiles(hp)
+    val bytes = before.map(_.getLen).sum
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val cols = (keys :+ ts).map(col)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val df = spark.read.parquet(path)
+    val clustered = if (parts <= 1 && before.length <= 1) df
+      else df.repartitionByRange(parts, cols: _*)
+    clustered.sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(hp, old)) sys.error(s"compact: cannot move $path aside")
+    if (!fs.rename(tmp, hp)) { // restore on failure
+      fs.rename(old, hp)
+      sys.error(s"compact: cannot move compacted layout into $path")
+    }
+    fs.delete(old, true)
+    (before.length, dataFiles(hp).length)
+  }
+
   /** TABLE_append: rows with ts >= from appended (imcs--1.1.sql:211-217).
     * `from` is a Column bound so it works for both Timestamp and int64-ns
     * encodings of the timestamp column.

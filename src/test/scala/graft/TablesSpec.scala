@@ -40,4 +40,47 @@ class TablesSpec extends AnyFunSuite {
     Tables.append(Seq((3L, 1.0)).toDF("ts", "v"), path, "ts", lit(0L))
     assert(spark.read.parquet(path).count() == 1)
   }
+
+  test("compact folds per-batch append files into the load layout") {
+    val path = tmp("compact")
+    // load + 3 appends: at least 4 file sets accumulate
+    Tables.load((0L until 10L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    for (b <- 1 to 3) {
+      val lo = b * 10L
+      Tables.append((lo until lo + 10L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+        path, "ts", lit(lo))
+    }
+    val expect = spark.read.parquet(path).select("ts", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val (nBefore, nAfter) = Tables.compact(spark, path, Seq(), "ts")
+    assert(nBefore > nAfter, s"compact must reduce files: $nBefore -> $nAfter")
+    assert(nAfter == 1, s"40 tiny rows fit one target file, got $nAfter")
+    val got = spark.read.parquet(path).select("ts", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.toSeq == expect.toSeq) // rewrite changes layout, never data
+    // the compacted layout still accepts appends above the tail
+    Tables.append(Seq((40L, 40.0)).toDF("ts", "v"), path, "ts", lit(40L))
+    assert(spark.read.parquet(path).count() == 41)
+  }
+
+  test("compact at a small targetBytes keeps files range-disjoint in ts") {
+    val path = tmp("compact_rs")
+    Tables.load((0L until 4000L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    // tiny target → several output files; each must cover a disjoint
+    // ts slice (the property row-group pruning needs)
+    val (_, nAfter) = Tables.compact(spark, path, Seq(), "ts", targetBytes = 16L << 10)
+    assert(nAfter > 1, s"expected a multi-file layout, got $nAfter")
+    val dir = new java.io.File(path)
+    val ranges = dir.listFiles.filter(_.getName.endsWith(".parquet")).map { f =>
+      val d = spark.read.parquet(f.getPath).agg(min("ts"), max("ts")).head()
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2,
+        s"overlapping file ranges: $hi1 >= $lo2 in ${ranges.mkString(",")}")
+      case _ =>
+    }
+  }
 }
