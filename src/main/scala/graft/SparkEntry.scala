@@ -833,6 +833,11 @@ object SparkEntry {
       Tables.append(ev, path, "ts", lit(cut))
       Tables.deleteRange(s, path, "ts",
         lit(1704672000000000000L), lit(1704758400000000000L))
+      // compact folds the load+append+delete file sets back into the
+      // clustered load layout — a pure rewrite, so the readback aggregate
+      // the oracle reproduces must be unchanged; compacted=true asserts
+      // the rewrite actually reduced the file count
+      val (nb, na) = Tables.compact(s, path, Seq("event_type"), "ts")
       val scratch = path + "_scratch"
       Tables.load(ev.limit(10), scratch, Seq(), "ts")
       Tables.truncate(s, scratch)
@@ -841,6 +846,7 @@ object SparkEntry {
       s.read.parquet(path).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))
         .withColumn("truncated", lit(truncated))
+        .withColumn("compacted", lit(na < nb))
     }),
 
     // ---- top-k positions / directional join / stretch / first-pos ----
@@ -2326,7 +2332,7 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
     "q_lifecycle" ->
       """SELECT event_type, count(*) AS n, CAST(sum("value") AS REAL) AS sv,
-         true AS truncated
+         true AS truncated, true AS compacted
          FROM events
          WHERE NOT (epoch_ns(ts) >= 1704672000000000000
                     AND epoch_ns(ts) <= 1704758400000000000)
