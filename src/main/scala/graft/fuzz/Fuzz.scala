@@ -71,6 +71,35 @@ object FuzzGen {
     winAfter = Vector(3_600_000_000L, 21_600_000_000L),
     tols = Vector(600_000_000L, 3_600_000_000L, 43_200_000_000L))
 
+  /** eventsBase restricted to a seeded ts range, entered through
+    * Tables.rangeScan — fuzzes the TABLE_get path (typed-literal
+    * pushdown, NTZ file-level pruning, [from,till) boundary semantics)
+    * against a plain WHERE in DuckDB. Bounds derive from the seed alone
+    * (replayable); the generator's epoch is 2024-01-01, so slices land
+    * inside the fixture's ~30-day span — an empty slice (possible if the
+    * fixture's epoch ever moves) still diffs validly, just vacuously.
+    */
+  private def eventsSliceBase(seed: Long): FuzzBase = {
+    val dayUs = 86_400_000_000L
+    val epochUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val fromUs = epochUs + (seed % 23) * dayUs +
+      ((seed / 23) % 24) * 3_600_000_000L
+    val tillUs = fromUs + (1L + seed % 11) * dayUs
+    def iso(us: Long) = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L),
+      java.time.ZoneOffset.UTC).format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    eventsBase.copy(
+      label = s"events[${iso(fromUs)},${iso(tillUs)})",
+      srcSql = "SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, " +
+        s""""value" FROM events WHERE ts >= TIMESTAMP '${iso(fromUs)}' """ +
+        s"""AND ts < TIMESTAMP '${iso(tillUs)}'""",
+      srcSpark = (s, sf) => graft.io.Tables
+        .rangeScan(s, sf, "events", fromUs * 1000L, tillUs * 1000L)
+        .select(col("event_id"), expr("ts div 1000").as("ts"),
+          col("user_id"), col("event_type"), col("value")))
+  }
+
   private def lineitemBase(seed: Long): FuzzBase = {
     // seed arithmetic, not rnd.nextBoolean(): java.util.Random's first
     // draw is heavily correlated across sequential seeds (a 100-seed
@@ -122,9 +151,15 @@ object FuzzGen {
     // programs keep the exact pre-lineitem draw stream, so pinned
     // regression seeds replay the same programs (with BASE=events).
     val base: FuzzBase = baseOverride match {
-      case Some("lineitem") => lineitemBase(seed)
-      case Some(_)          => eventsBase
-      case None => if (seed % 5 < 3) eventsBase else lineitemBase(seed)
+      case Some("lineitem")     => lineitemBase(seed)
+      case Some("events_slice") => eventsSliceBase(seed)
+      case Some(_)              => eventsBase
+      // events seeds split 2:1 plain vs rangeScan-sliced; pinned seeds
+      // from before a mapping change replay via the BASE override
+      case None =>
+        if (seed % 5 >= 3) lineitemBase(seed)
+        else if (seed % 10 == 2 || seed % 10 == 7) eventsSliceBase(seed)
+        else eventsBase
     }
     val EventTypes = base.types
     val keys: Seq[String] = rnd.nextInt(4) match {
