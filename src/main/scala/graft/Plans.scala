@@ -19,7 +19,10 @@ object Plans {
     "q_media_dup_banded", "q_window_join", "q_theta_overlap",
     "q_quantile_rollup",
     // round 7
-    "q_cs_sketch")
+    "q_cs_sketch",
+    // round 8: the TABLE_get scan shape (rangeScan pushdown + NTZ
+    // file-level pruning) and the bucketed zero-shuffle as-of
+    "q_get", "q_asof_bucketed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
