@@ -33,6 +33,12 @@ object PruneProbe {
     case p => p.children.iterator.flatMap(findScan).nextOption()
   }
 
+  /** Locale-pinned ratio rendering: default-locale %.4f writes a comma
+    * decimal separator under e.g. de_DE, corrupting the JSON line.
+    */
+  private def frac(n: Long, d: Long): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(n.toDouble / d))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val files = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(32)
@@ -89,7 +95,7 @@ object PruneProbe {
       val pushed = scan.metadata.getOrElse("PushedFilters", "")
       println(s"""{"probe":"$tag","files":$files,"total_rows":$total,""" +
         s""""slice_rows":$sliceRows,"scan_output_rows":$scanned,""" +
-        s""""scan_frac":${"%.4f".format(scanned.toDouble / total)},""" +
+        s""""scan_frac":${frac(scanned, total)},""" +
         s""""pushed":"${pushed.replace("\"", "'")}"}""")
       assert(pushed.contains("GreaterThanOrEqual(ts"), s"pushdown lost: $pushed")
     }
@@ -109,7 +115,7 @@ object PruneProbe {
       val scanned = scan.metrics("numOutputRows").value
       println(s"""{"probe":"table_load_path","files":$files,""" +
         s""""total_rows":$total,"slice_rows":$n,"scan_output_rows":$scanned,""" +
-        s""""scan_frac":${"%.4f".format(scanned.toDouble / total)}}""")
+        s""""scan_frac":${frac(scanned, total)}}""")
     }
 
     // control: the actual testdata file (pyarrow-written, naive µs, no

@@ -74,10 +74,14 @@ object Tables {
 
   /** Partition count proportional to on-disk bytes, clamped to [1, cores]. */
   def sizedParts(spark: SparkSession, path: String): Int = {
-    val dp = spark.sparkContext.defaultParallelism
     val hp = new org.apache.hadoop.fs.Path(path)
     val bytes = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getContentSummary(hp).getLength
+    sizedPartsForBytes(spark, bytes)
+  }
+
+  private def sizedPartsForBytes(spark: SparkSession, bytes: Long): Int = {
+    val dp = spark.sparkContext.defaultParallelism
     val coarse = (bytes + bytesPerPart - 1) / bytesPerPart
     val fine = math.min(fineCap, (bytes + fineBytesPerPart - 1) / fineBytesPerPart)
     math.max(1L, math.min(dp.toLong, math.max(coarse, fine))).toInt
@@ -134,17 +138,26 @@ object Tables {
   /** Epoch-ns bound as a literal of the RAW ts column's type, so the
     * comparison needs no cast around the attribute and translates to a
     * parquet pushdown predicate (row-group min/max pruning).
+    *
+    * Timestamp columns are µs-grain, so a ns bound quantizes — with a
+    * CEILING, for both ends of rangeScan's [fromNs, tillNs): a µs value u
+    * satisfies u*1000 >= fromNs iff u >= ceil(fromNs/1000), and
+    * u*1000 < tillNs iff u < ceil(tillNs/1000). Flooring (the naive
+    * Instant truncation) would both admit sub-bound rows and drop
+    * in-range rows for non-µs-aligned ns bounds, making results depend
+    * on the file's ts encoding.
     */
-  private def tsLit(ns: Long, dt: org.apache.spark.sql.types.DataType): Column = {
-    val inst = java.time.Instant.ofEpochSecond(
-      Math.floorDiv(ns, 1000000000L), Math.floorMod(ns, 1000000000L))
+  private def tsLit(ns: Long, dt: org.apache.spark.sql.types.DataType): Column =
     dt match {
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        lit(java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC))
-      case org.apache.spark.sql.types.TimestampType => lit(inst)
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.TimestampType =>
+        val us = Math.floorDiv(ns + 999L, 1000L)
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+        if (dt == org.apache.spark.sql.types.TimestampType) lit(inst)
+        else lit(java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC))
       case _ => lit(ns)
     }
-  }
 
   /** TABLE_get's scan shape (btree.c range search → parquet row-group
     * pruning): the [fromNs, tillNs) range predicate is applied to the RAW
@@ -193,12 +206,18 @@ object Tables {
     val conf = spark.sparkContext.hadoopConfiguration
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(conf)
-    val parts = {
-      val st = fs.getFileStatus(hp)
-      if (st.isFile) Array(st)
-      else fs.listStatus(hp).filter(s => s.isFile &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-    }
+    val st = fs.getFileStatus(hp)
+    val listing = if (st.isFile) Array(st) else fs.listStatus(hp)
+    // a nested layout (partitionBy directories, multi-level writes)
+    // cannot be pruned by per-file reads — reading part files directly
+    // would also DROP directory-encoded partition columns. Fall back to
+    // the plain unpruned read; date-partitioned layouts get directory
+    // pruning from Spark itself (LayoutSpec).
+    if (listing.exists(s => s.isDirectory && !s.getPath.getName.startsWith("_")))
+      return spark.read.schema(schema).parquet(path)
+    val parts =
+      if (st.isFile) listing
+      else listing.filter(s => s.isFile && isDataFile(s.getPath.getName))
     // NTZ parquet stats are INT64 epoch-µs; ns bounds are exact ×1000
     def overlaps(p: org.apache.hadoop.fs.Path): Boolean = {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -227,12 +246,22 @@ object Tables {
     val kept = {
       import scala.collection.parallel.CollectionConverters._
       parts.toSeq.par.filter(s => overlaps(s.getPath)).seq
-        .map(_.getPath.toString)
     }
     if (kept.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(kept: _*)
+    else {
+      val df = spark.read.schema(schema).parquet(kept.map(_.getPath.toString): _*)
+      // same undersized-source re-split as readRaw, sized on the KEPT
+      // bytes: without it a pruned single-row-group source runs the whole
+      // downstream query as one task
+      val target = sizedPartsForBytes(spark, kept.map(_.getLen).sum)
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
+
+  /** Part-file predicate shared by every direct-listing consumer. */
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
 
   /** TABLE_load: ingest range-clustered and sorted by (keys, ts) — the
     * reference's `order by <timestamp>` load (imcs.c:4265), which pays a
@@ -247,10 +276,19 @@ object Tables {
     * and pruning is a no-op, precisely the layouts that break at 100 TB.
     * Single-partition frames skip the shuffle (nothing to cluster).
     */
-  def load(df: DataFrame, path: String, keys: Seq[String], ts: String): Unit = {
-    val cols = (keys :+ ts).map(col)
-    val parts = df.rdd.getNumPartitions
-    val clustered = if (parts <= 1) df else df.repartitionByRange(parts, cols: _*)
+  def load(df: DataFrame, path: String, keys: Seq[String], ts: String): Unit =
+    writeClustered(df, path, (keys :+ ts).map(col), df.rdd.getNumPartitions)
+
+  /** The load layout writer: range-cluster into `parts` files (skipped
+    * when there is nothing to cluster), sort within each, overwrite.
+    */
+  private def writeClustered(df: DataFrame, path: String,
+                             cols: Seq[Column], parts: Int): Unit = {
+    // a single-partition frame targeting one file has nothing to cluster;
+    // a MULTI-partition frame targeting one file still must fold (compact)
+    val clustered =
+      if (parts <= 1 && df.rdd.getNumPartitions <= 1) df
+      else df.repartitionByRange(math.max(1, parts), cols: _*)
     clustered.sortWithinPartitions(cols: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
@@ -263,35 +301,40 @@ object Tables {
     * The reference never fragments (B-tree pages absorb appends in place,
     * btree.c:644-745); the parquet analog is this explicit rewrite:
     * range-recluster on (keys, ts) into byte-proportional files of
-    * ~targetBytes. The swap is rename-based — the new layout is fully
-    * written to a sibling tmp dir before replacing the old one, so a
-    * failure mid-compact leaves the original intact. Returns
-    * (filesBefore, filesAfter).
+    * ~targetBytes. The new layout is fully written to a sibling tmp dir
+    * first, so any failure BEFORE the swap leaves the original intact;
+    * the swap itself is two renames — a crash between them leaves the
+    * data at `path + ".compact.old"`, which the next compact (or any
+    * caller) recovers from at entry. Returns (filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, path: String, keys: Seq[String], ts: String,
               targetBytes: Long = 128L << 20): (Int, Int) = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    // crash recovery: a previous compact that died mid-swap left the
+    // table moved aside — put it back before anything else
+    if (!fs.exists(hp) && fs.exists(old) && !fs.rename(old, hp))
+      sys.error(s"compact: cannot recover $old back to $path")
     def dataFiles(p: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(p).filter(s => s.isFile &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath.getName))
     val before = dataFiles(hp)
     val bytes = before.map(_.getLen).sum
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val cols = (keys :+ ts).map(col)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    val df = spark.read.parquet(path)
-    val clustered = if (parts <= 1 && before.length <= 1) df
-      else df.repartitionByRange(parts, cols: _*)
-    clustered.sortWithinPartitions(cols: _*)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    writeClustered(spark.read.parquet(path), tmp.toString,
+      (keys :+ ts).map(col), parts)
     if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(hp, old)) sys.error(s"compact: cannot move $path aside")
-    if (!fs.rename(tmp, hp)) { // restore on failure
-      fs.rename(old, hp)
-      sys.error(s"compact: cannot move compacted layout into $path")
+    if (!fs.rename(hp, old)) {
+      fs.delete(tmp, true)
+      sys.error(s"compact: cannot move $path aside; original left in place")
+    }
+    if (!fs.rename(tmp, hp)) {
+      val restored = fs.rename(old, hp)
+      fs.delete(tmp, true)
+      sys.error(s"compact: cannot move compacted layout into $path; " +
+        (if (restored) "original restored" else s"ORIGINAL LEFT AT $old"))
     }
     fs.delete(old, true)
     (before.length, dataFiles(hp).length)

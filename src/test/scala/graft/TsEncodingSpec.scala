@@ -90,6 +90,42 @@ class TsEncodingSpec extends AnyFunSuite {
     assert(empty.schema("ts").dataType === LongType)
   }
 
+  test("rangeScan with non-µs-aligned ns bounds is encoding-independent") {
+    // a ns bound that falls BETWEEN µs grid points must select the same
+    // rows whether ts is stored as µs-timestamp (literal quantized with a
+    // ceiling) or as int64-ns (exact comparison): u µs satisfies
+    // u*1000 >= fromNs iff u >= ceil(fromNs/1000), same for the till end
+    val ntz = stage("ragged_ntz", timestamp_micros(col("ts_us")).cast(TimestampNTZType))
+    val ns = stage("ragged_ns", (col("ts_us") * 1000L).as("ts"))
+    // fromNs just ABOVE t2 (excludes hour 2), tillNs just above t5
+    // (includes hour 5) — flooring would get both ends wrong
+    val fromNs = (baseUs + 2 * hourUs) * 1000L + 1L
+    val tillNs = (baseUs + 5 * hourUs) * 1000L + 1L
+    val want = wantNs.slice(3, 6)
+    for (dir <- Seq(ntz, ns)) {
+      val got = tsValues(graft.io.Tables.rangeScan(spark, dir, "events", fromNs, tillNs))
+      assert(got === want, dir)
+    }
+  }
+
+  test("rangeScan falls back to an unpruned read on partitioned NTZ layouts") {
+    // per-file footer pruning cannot subset a partitionBy directory tree
+    // (direct part reads would drop the directory-encoded column) — the
+    // NTZ path must fall back, never silently return empty
+    val dir = java.nio.file.Files.createTempDirectory("ts_ntz_part").toString
+    rows.toDF("event_id", "ts_us", "value")
+      .select(col("event_id"),
+        timestamp_micros(col("ts_us")).cast(TimestampNTZType).as("ts"),
+        (col("event_id") % 2).as("bucket"), col("value"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val fromNs = (baseUs + 2 * hourUs) * 1000L
+    val tillNs = (baseUs + 5 * hourUs) * 1000L
+    val q = graft.io.Tables.rangeScan(spark, dir, "events", fromNs, tillNs)
+    assert(tsValues(q) === wantNs.slice(2, 5))
+    assert(q.columns.contains("bucket")) // partition column survives
+  }
+
   test("engine-written timestamp columns are INT64-µs, never INT96") {
     // Spark's parquet default writes TimestampType as INT96, whose
     // min/max stats readers ignore — every engine-written time-clustered
