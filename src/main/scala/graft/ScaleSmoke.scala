@@ -223,6 +223,41 @@ object ScaleSmoke {
         Map("0" -> 0.5, "1" -> 0.3, "2" -> 0.2))
         .write.format("noop").mode("overwrite").save()
     }
+    // TABLE_get at scale (round 8): ingest ×factor events through
+    // Tables.load (range shuffle + per-file sort → disjoint ts slices,
+    // int64-ns encoding), then compare a full-scan aggregate against a
+    // 1-day rangeScan — the COLD read path both times (no cache), since
+    // pruning is a property of the scan, not of cached data. Expect the
+    // slice time to track the slice, not the table.
+    lazy val tableGetFrom: Long = {
+      val evBig = graft.io.Tables.read(spark, "/root/testdata/sf0.1", "events")
+        .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("ts", col("ts") + col("__rep") * lit(1000L))
+        .withColumn("event_id", col("event_id") * factor + col("__rep"))
+        .drop("__rep")
+      time(s"TABLE_load x$factor events (clustered ingest)") {
+        graft.io.Tables.load(
+          evBig.repartition(spark.sparkContext.defaultParallelism),
+          s"$work/events.parquet", Seq(), "ts")
+      }
+      val r = spark.read.parquet(s"$work/events.parquet")
+        .agg(min("ts"), max("ts")).head()
+      val dayNs = 86400L * 1000000000L
+      r.getLong(0) + ((r.getLong(1) - r.getLong(0)) / 2 / dayNs) * dayNs
+    }
+    run("table_get full scan (cold)") {
+      tableGetFrom // ensure the loaded layout exists
+      spark.read.parquet(s"$work/events.parquet")
+        .agg(count(lit(1)), sum("value"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    run("table_get rangeScan 1 day (cold)") {
+      val from = tableGetFrom
+      graft.io.Tables.rangeScan(spark, work, "events",
+          from, from + 86400L * 1000000000L)
+        .agg(count(lit(1)), sum("value"))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
