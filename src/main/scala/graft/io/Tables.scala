@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, TimestampType}
 
 /** Table lifecycle over Parquet — the Spark equivalents of the reference's
   * load / append / delete / truncate generated functions
@@ -124,10 +125,8 @@ object Tables {
     */
   private def normalizeNsTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
-      case Some(org.apache.spark.sql.types.TimestampType) |
-           Some(org.apache.spark.sql.types.TimestampNTZType) =>
-        df.withColumn("ts",
-          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
       case _ => df
     }
 
@@ -147,14 +146,13 @@ object Tables {
     * in-range rows for non-µs-aligned ns bounds, making results depend
     * on the file's ts encoding.
     */
-  private def tsLit(ns: Long, dt: org.apache.spark.sql.types.DataType): Column =
+  private def tsLit(ns: Long, dt: DataType): Column =
     dt match {
-      case org.apache.spark.sql.types.TimestampNTZType |
-           org.apache.spark.sql.types.TimestampType =>
+      case TimestampNTZType | TimestampType =>
         val us = Math.floorDiv(ns + 999L, 1000L)
         val inst = java.time.Instant.ofEpochSecond(
           Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
-        if (dt == org.apache.spark.sql.types.TimestampType) lit(inst)
+        if (dt == TimestampType) lit(inst)
         else lit(java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC))
       case _ => lit(ns)
     }
@@ -181,7 +179,7 @@ object Tables {
     val raw = readRaw(spark, sfDir, name)
     val dt = raw.schema("ts").dataType
     val base = dt match {
-      case org.apache.spark.sql.types.TimestampNTZType =>
+      case TimestampNTZType =>
         ntzPrunedRead(spark, s"$sfDir/$name.parquet", raw.schema, fromNs, tillNs)
       case _ => raw
     }
@@ -200,7 +198,7 @@ object Tables {
     * re-applied by the caller regardless.
     */
   private def ntzPrunedRead(spark: SparkSession, path: String,
-                            schema: org.apache.spark.sql.types.StructType,
+                            schema: StructType,
                             fromNs: Long, tillNs: Long): DataFrame = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
@@ -280,17 +278,18 @@ object Tables {
     writeClustered(df, path, (keys :+ ts).map(col), df.rdd.getNumPartitions)
 
   /** The load layout writer: range-cluster into `parts` files (skipped
-    * when there is nothing to cluster), sort within each, overwrite.
+    * when there is nothing to cluster), sort within each, write.
     */
-  private def writeClustered(df: DataFrame, path: String,
-                             cols: Seq[Column], parts: Int): Unit = {
+  private def writeClustered(df: DataFrame, path: String, cols: Seq[Column],
+                             parts: Int,
+                             mode: SaveMode = SaveMode.Overwrite): Unit = {
     // a single-partition frame targeting one file has nothing to cluster;
     // a MULTI-partition frame targeting one file still must fold (compact)
     val clustered =
       if (parts <= 1 && df.rdd.getNumPartitions <= 1) df
       else df.repartitionByRange(math.max(1, parts), cols: _*)
     clustered.sortWithinPartitions(cols: _*)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      .write.mode(mode).parquet(path)
   }
 
   /** Compact an appended table back to the load layout. Steady append
@@ -373,11 +372,8 @@ object Tables {
     // only above the stored tail, so batches are disjoint in ts across
     // time — clustering WITHIN the batch keeps each new file's ts min/max
     // tight instead of spanning the whole batch from round-robin input
-    val parts = incoming.rdd.getNumPartitions
-    val clustered =
-      if (parts <= 1) incoming else incoming.repartitionByRange(parts, col(ts))
-    clustered.sortWithinPartitions(col(ts))
-      .write.mode(SaveMode.Append).parquet(path)
+    writeClustered(incoming, path, Seq(col(ts)),
+      incoming.rdd.getNumPartitions, SaveMode.Append)
   }
 
   /** TABLE_delete(from, till): inclusive range delete by timestamp
