@@ -19,7 +19,8 @@ case class FuzzProgram(seed: Long, desc: String,
   *
   * The gated queries in [[graft.SparkEntry]] are fixed shapes and the
   * property specs cover single operators; this generator composes random
-  * pipelines — filter → window → cum → diff/norm/rank → as-of → top-k/grid
+  * pipelines — filter → window → cum → diff/norm/rank/crossings →
+  * as-of/stretch/cs_if/win-group → top-k/grid/group-agg
   * over random key sets (including the keyless ranged-scan paths) and
   * NULL-injected value columns — and renders each into DuckDB SQL with the
   * semantics each graft path documents (keyed paths use SQL window
@@ -346,12 +347,9 @@ object FuzzGen {
           .agg(max(col("value")).as("rv"))
         graft.join.Align.asofJoinDir(df, r0, keys, "ts", "rv", out, dirn, incl)
       })
-      val cmp = (dirn, incl) match {
-        case (-1, true) => ">="
-        case (-1, false) => ">"
-        case (1, true)  => "<="
-        case (1, false) => "<"
-      }
+      val cmp =
+        if (dirn == -1) { if (incl) ">=" else ">" }
+        else { if (incl) "<=" else "<" }
       depth += 1
       val rsel = (keys.map(q) :+ "ts AS rts").mkString(", ")
       val rsql = s"""SELECT $rsel, max("value") AS rv FROM (${base.srcSql}) be """ +
@@ -361,6 +359,122 @@ object FuzzGen {
         s"FROM ($sql) l ASOF LEFT JOIN ($rsql) r ON ${keyEq}l.${q("ts")} $cmp r.rts"
       cols :+= out
       desc ++= s" | asof(dir=$dirn incl=$incl right=$rtype)"
+    }
+
+    def stretchStage(tag: String): Unit = { // cs_stretch: strict-future as-of + filler
+      val rtype = EventTypes(rnd.nextInt(EventTypes.size))
+      val out = s"${tag}_st"
+      xforms :+= ((df: DataFrame, s: SparkSession, sf: String) => {
+        val r0 = base.srcSpark(s, sf)
+          .filter(col("event_type") === rtype)
+          .groupBy((keys :+ "ts").map(col): _*)
+          .agg(max(col("value")).as("rv"))
+        graft.join.Align.stretch(df, r0, keys, "ts", "rv", lit(-999.25), out)
+      })
+      depth += 1
+      val rsel = (keys.map(q) :+ "ts AS rts").mkString(", ")
+      val rsql = s"""SELECT $rsel, max("value") AS rv FROM (${base.srcSql}) be """ +
+        s"""WHERE event_type = '$rtype' GROUP BY ${(1 to keys.size + 1).mkString(", ")}"""
+      val keyEq = keys.map(k => s"l.${q(k)} = r.${q(k)} AND ").mkString
+      sql = s"SELECT ${cols.map(c => "l." + q(c)).mkString(", ")}, " +
+        s"COALESCE(r.rv, -999.25) AS ${q(out)} " +
+        s"FROM ($sql) l ASOF LEFT JOIN ($rsql) r ON ${keyEq}l.${q("ts")} < r.rts"
+      cols :+= out
+      desc ++= s" | stretch(right=$rtype)"
+    }
+
+    def csIfStage(tag: String): Unit = { // cs_if: stateful branch-consume
+      val c = math.rint((rnd.nextDouble() * base.valSpan + base.valLo) * 100) / 100
+      val ta = EventTypes(rnd.nextInt(EventTypes.size))
+      val tb = EventTypes(rnd.nextInt(EventTypes.size))
+      val out = s"${tag}_if"
+      xforms :+= ((df: DataFrame, s: SparkSession, sf: String) => {
+        def side(t: String) = graft.series.Series.attachPos(
+          base.srcSpark(s, sf).filter(col("event_type") === t),
+          keys, Seq(col("ts"), col("event_id")))
+        graft.series.Conditional.csIf(
+          df.withColumn("__c", col("value") > c), keys, "__c",
+          side(ta), side(tb), "value", out).drop("__c")
+      })
+      depth += 1
+      val keyEqA = keys.map(k => s"ci.${q(k)} = a.${q(k)} AND ").mkString
+      val keyEqB = keys.map(k => s"ci.${q(k)} = b.${q(k)} AND ").mkString
+      def sideSql(t: String, vn: String) =
+        s"SELECT ${keys.map(q).map(_ + ", ").mkString}" +
+          s"row_number() OVER (${pb}ORDER BY ts, event_id) - 1 AS bpos, " +
+          s""""value" AS $vn FROM (${base.srcSql}) bs WHERE event_type = '$t'"""
+      val truthE = s"""("value" > $c)"""
+      // NULL conditions choose no branch — csIf drops them up front
+      val ciSql = s"SELECT ${cols.map(q).mkString(", ")}, $truthE AS __c, " +
+        s"row_number() OVER (PARTITION BY " +
+        s"${(keys.map(q) :+ truthE).mkString(", ")} ORDER BY ${q("pos")}) - 1 AS __bi " +
+        s"FROM ($sql) t$depth WHERE $truthE IS NOT NULL"
+      sql = s"SELECT ${cols.map(cn => "ci." + q(cn)).mkString(", ")}, " +
+        s"CASE WHEN ci.__c THEN a.av ELSE b.bv END AS ${q(out)} " +
+        s"FROM ($ciSql) ci " +
+        s"LEFT JOIN (${sideSql(ta, "av")}) a ON ${keyEqA}ci.__c AND a.bpos = ci.__bi " +
+        s"LEFT JOIN (${sideSql(tb, "bv")}) b ON ${keyEqB}(NOT ci.__c) AND b.bpos = ci.__bi"
+      cols :+= out
+      hasNulls = false // NULL-truth rows (NULL value) are dropped by csIf
+      desc ++= s" | csIf(value>$c a=$ta b=$tb)"
+    }
+
+    def winGroupAggStage(tag: String): Unit = { // cs_win_group_*: run aggregates, length-preserving
+      val all = Vector("wg_sum", "wg_min", "wg_max", "wg_avg", "wg_count",
+        "wg_var", "wg_dev")
+      val keep = rnd.shuffle(all).take(2).sorted
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) => {
+        val out = graft.agg.Aggs.winGroupAgg(df, keys, "event_type", "value")
+        val dropped = out.drop(
+          (Vector("run_id", "wg_first", "wg_last") ++ all.filterNot(keep.contains)): _*)
+        keep.foldLeft(dropped)((d, c) => d.withColumnRenamed(c, s"${tag}_$c"))
+      })
+      val orig = cols
+      val lagE = s"lag(event_type) OVER (${pb}ORDER BY ${q("pos")})"
+      wrap(Seq(
+        s"CASE WHEN $lagE IS NULL OR $lagE <> event_type THEN 1 ELSE 0 END" -> "__wchg"))
+      wrap(Seq(
+        s"CAST(sum(${q("__wchg")}) OVER (${pb}ORDER BY ${q("pos")} " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT)" -> "__rid"))
+      val wp = s"(PARTITION BY ${(keys.map(q) :+ q("__rid")).mkString(", ")})"
+      def ex(c: String) = c match {
+        case "wg_sum"   => s"""sum("value") OVER $wp"""
+        case "wg_min"   => s"""min("value") OVER $wp"""
+        case "wg_max"   => s"""max("value") OVER $wp"""
+        case "wg_avg"   => s"""avg("value") OVER $wp"""
+        case "wg_count" => s"count(*) OVER $wp"
+        case "wg_var"   => s"""var_pop("value") OVER $wp"""
+        case "wg_dev"   => s"""stddev_pop("value") OVER $wp"""
+      }
+      wrap(keep.map(c => ex(c) -> s"${tag}_$c"))
+      projectSql(orig ++ keep.map(c => s"${tag}_$c"))
+      desc ++= s" | winGroupAgg(keep=${keep.mkString(",")})"
+    }
+
+    def crossingsStage(): Unit = { // requires keys.nonEmpty || !hasNulls
+      // center the value so sign flips actually happen (fuzz domains are
+      // all-positive); NULL-value rows drop out of the crossing filter in
+      // both engines (sign(NULL) chooses neither side of <>)
+      val c = math.rint((base.valLo + (0.25 + 0.5 * rnd.nextDouble()) * base.valSpan) * 100) / 100
+      val dirn = rnd.nextInt(3) - 1
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.analytics.Analytics.crossings(
+          df.withColumn("value", col("value") - c), keys, "value", dirn))
+      replaceColSql("value", s""""value" - $c""")
+      val orig = cols
+      wrap(Seq(
+        s"""last_value(CASE WHEN sign("value") <> 0 THEN sign("value") END IGNORE NULLS) """ +
+          s"OVER (${pb}ORDER BY ${q("pos")} " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)" -> "__pvs"))
+      val dirPred =
+        if (dirn > 0) """ AND sign("value") > 0"""
+        else if (dirn < 0) """ AND sign("value") < 0"""
+        else ""
+      projectSql(orig, Some(
+        s"""${q("__pvs")} IS NOT NULL AND sign("value") <> 0 AND """ +
+          s"""sign("value") <> ${q("__pvs")}$dirPred"""))
+      hasNulls = false // NULL-value rows never pass the crossing filter
+      desc ++= s" | crossings(c=$c dir=$dirn)"
     }
 
     def trendStage(tag: String): Unit = { // requires keys.nonEmpty || !hasNulls
@@ -639,6 +753,32 @@ object FuzzGen {
       desc ++= s" | quantile($qn)"
     }
 
+    def groupAggStage(): Unit = { // terminal, requires !hasNulls (min_by/arg_min NULL semantics differ)
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        graft.agg.Aggs.groupAgg(df, keys, "event_type", "value"))
+      val lagE = s"lag(event_type) OVER (${pb}ORDER BY ${q("pos")})"
+      wrap(Seq(
+        s"CASE WHEN $lagE IS NULL OR $lagE <> event_type THEN 1 ELSE 0 END" -> "__gchg"))
+      wrap(Seq(
+        s"CAST(sum(${q("__gchg")}) OVER (${pb}ORDER BY ${q("pos")} " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT)" -> "__rid"))
+      depth += 1
+      val kq = keys.map(q).map(_ + ", ").mkString
+      sql = s"SELECT $kq${q("__rid")} AS run_id, " +
+        "min(event_type) AS group_val, count(*) AS grp_count, " +
+        """sum("value") AS grp_sum, min("value") AS grp_min, """ +
+        """max("value") AS grp_max, var_pop("value") AS grp_var, """ +
+        s"""first("value" ORDER BY ${q("pos")}) AS grp_first, """ +
+        s"""last("value" ORDER BY ${q("pos")}) AS grp_last, """ +
+        """avg("value") AS grp_avg, stddev_pop("value") AS grp_dev """ +
+        s"FROM ($sql) t$depth " +
+        s"GROUP BY ${(1 to keys.size + 1).mkString(", ")}"
+      cols = (keys.toVector :+ "run_id") ++ Vector("group_val", "grp_count",
+        "grp_sum", "grp_min", "grp_max", "grp_var", "grp_first", "grp_last",
+        "grp_avg", "grp_dev")
+      desc ++= " | groupAgg"
+    }
+
     def topKPosStage(): Unit = { // terminal, keyless only (pos is unique)
       val k = 5 + rnd.nextInt(46)
       val dsc = rnd.nextBoolean()
@@ -672,7 +812,9 @@ object FuzzGen {
       val enrichers = mutable.ArrayBuffer[() => Unit](
         () => windowAggStage(tag), () => normStage(tag), () => asofStage(tag),
         () => asofTolStage(tag), () => dictRoundtripStage(tag),
-        () => uniqueAdjStage(), () => equiJoinStage(tag))
+        () => uniqueAdjStage(), () => equiJoinStage(tag),
+        () => stretchStage(tag), () => csIfStage(tag),
+        () => winGroupAggStage(tag))
       if (!usedWindowJoin)
         enrichers += { () => usedWindowJoin = true; windowJoinStage(tag) }
       if (!hasNulls) {
@@ -684,10 +826,14 @@ object FuzzGen {
         enrichers += (() => diffStage(tag))
         enrichers += (() => trendStage(tag))
       }
-      val filters = Vector[() => Unit](
-        () => filterValStage(), () => filterModStage(), () => filterTypeStage(),
-        () => headStage(), () => thinStage(), () => spanNegStage(),
-        () => reverseStage())
+      val filters = {
+        val fs = mutable.ArrayBuffer[() => Unit](
+          () => filterValStage(), () => filterModStage(), () => filterTypeStage(),
+          () => headStage(), () => thinStage(), () => spanNegStage(),
+          () => reverseStage())
+        if (keys.nonEmpty || !hasNulls) fs += (() => crossingsStage())
+        fs.toVector
+      }
       // first stage is always an enricher so every program exercises at
       // least one real operator; later stages mix filters in 50/50
       val pool = if (i == 0 || rnd.nextBoolean()) enrichers.toVector else filters
@@ -697,6 +843,7 @@ object FuzzGen {
       val terminals = mutable.ArrayBuffer[() => Unit](
         () => topKStage(), () => gridAggStage(), () => histogramStage(),
         () => hashDupCountStage(), () => quantileStage())
+      if (!hasNulls) terminals += (() => groupAggStage())
       if (keys.isEmpty) {
         terminals += (() => topKPosStage())
         terminals += (() => filterFirstPosStage())
