@@ -617,14 +617,16 @@ object SparkEntry {
     }),
     "q_concat_sum" -> ((s, dir) => {
       // BASELINE row 11: cs_sum over Quote_concat(array(...)) — the grand
-      // sum over a concatenation of every per-key series. Catalyst
-      // collapses the concat-then-sum to one scan + partial sums (the
-      // concat order is irrelevant to a sum), exactly the plan a user of
-      // the reference's example.sql:50 wants
+      // sum over a concatenation of every per-key series. The
+      // UnionDisjointFilterCollapse rule (installed by unionMerge)
+      // rewrites the union of disjoint event_type slices into ONE
+      // IN-filtered scan + partial sums — one pass over the fact table
+      // instead of one per arm, exactly the plan a user of the
+      // reference's example.sql:50 wants (UnionCollapseSpec pins it)
       val ev = Tables.read(s, dir, "events")
       val perKey = Seq("view", "click", "purchase", "signup").map(t =>
         ev.filter(col("event_type") === t).select(col("value")))
-      perKey.reduce(_ unionByName _)
+      perKey.reduce(graft.join.Align.unionMerge)
         .agg(fl(sum(col("value"))).as("total"))
     }),
     "q_repeat" -> ((s, dir) =>

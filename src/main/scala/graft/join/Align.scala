@@ -300,8 +300,12 @@ object Align {
   /** Merge two sorted series preserving order, duplicates kept — cs_union
     * (func.c:3846-3936). In the set-oriented world this is UNION ALL; order
     * is re-derivable from (keys, ts), so no global sort is forced here.
+    * Installs [[graft.plans.UnionDisjointFilterCollapse]] so a
+    * concat-of-disjoint-slices of the SAME table (the reference's
+    * Quote_concat idiom) optimizes to ONE scan instead of one per arm.
     */
   def unionMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    graft.plans.UnionDisjointFilterCollapse.install(a.sparkSession)
     val cols = a.columns.toSeq
     a.unionByName(b.select(cols.map(col): _*))
   }

@@ -194,6 +194,7 @@ object Series {
     * the columns on which the two frames align (empty = single series).
     */
   def concat(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    graft.plans.UnionDisjointFilterCollapse.install(a.sparkSession)
     val cols = a.columns.toSeq
     if (keys.isEmpty) {
       val n = a.count() // single-series: one scalar count

@@ -568,5 +568,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // the custom as-of plan node (graft.plans.AsofMergeJoin)
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // concat-of-disjoint-slices → one scan (graft.plans.UnionCollapse)
+    e.injectOptimizerRule(_ => graft.plans.UnionDisjointFilterCollapse)
   }
 }
