@@ -101,6 +101,39 @@ object FuzzGen {
           col("user_id"), col("event_type"), col("value")))
   }
 
+  /** Two DISJOINT seeded ts slices, each entered through Tables.rangeScan,
+    * concatenated with Align.unionMerge — the TABLE_concat-of-period-slices
+    * idiom. UnionDisjointFilterCollapse folds the union back into ONE
+    * pruned scan (UnionCollapseSpec pins the plan; this base diffs the
+    * rewritten RESULTS against a plain WHERE-or in DuckDB across every
+    * downstream pipeline the grammar composes).
+    */
+  private def eventsConcatBase(seed: Long): FuzzBase = {
+    val dayUs = 86_400_000_000L
+    val epochUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val f1 = epochUs + (seed % 8) * dayUs
+    val t1 = f1 + (1L + seed % 3) * dayUs
+    val f2 = t1 + (1L + (seed / 3) % 4) * dayUs
+    val t2 = f2 + (1L + (seed / 7) % 3) * dayUs
+    def iso(us: Long) = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L),
+      java.time.ZoneOffset.UTC).format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    def cut(f: Long, t: Long) =
+      s"""(ts >= TIMESTAMP '${iso(f)}' AND ts < TIMESTAMP '${iso(t)}')"""
+    eventsBase.copy(
+      label = s"events[${iso(f1)},${iso(t1)})+[${iso(f2)},${iso(t2)})",
+      srcSql = "SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, " +
+        s""""value" FROM events WHERE ${cut(f1, t1)} OR ${cut(f2, t2)}""",
+      srcSpark = (s, sf) => {
+        def slice(f: Long, t: Long) = graft.io.Tables
+          .rangeScan(s, sf, "events", f * 1000L, t * 1000L)
+        graft.join.Align.unionMerge(slice(f1, t1), slice(f2, t2))
+          .select(col("event_id"), expr("ts div 1000").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+      })
+  }
+
   private def lineitemBase(seed: Long): FuzzBase = {
     // seed arithmetic, not rnd.nextBoolean(): java.util.Random's first
     // draw is heavily correlated across sequential seeds (a 100-seed
@@ -152,14 +185,16 @@ object FuzzGen {
     // programs keep the exact pre-lineitem draw stream, so pinned
     // regression seeds replay the same programs (with BASE=events).
     val base: FuzzBase = baseOverride match {
-      case Some("lineitem")     => lineitemBase(seed)
-      case Some("events_slice") => eventsSliceBase(seed)
-      case Some(_)              => eventsBase
-      // events seeds split 2:1 plain vs rangeScan-sliced; pinned seeds
-      // from before a mapping change replay via the BASE override
+      case Some("lineitem")      => lineitemBase(seed)
+      case Some("events_slice")  => eventsSliceBase(seed)
+      case Some("events_concat") => eventsConcatBase(seed)
+      case Some(_)               => eventsBase
+      // events seeds split plain / rangeScan-sliced / two-slice concat;
+      // pinned seeds from before a mapping change replay via BASE override
       case None =>
         if (seed % 5 >= 3) lineitemBase(seed)
         else if (seed % 10 == 2 || seed % 10 == 7) eventsSliceBase(seed)
+        else if (seed % 10 == 6) eventsConcatBase(seed)
         else eventsBase
     }
     val EventTypes = base.types

@@ -45,10 +45,29 @@ class UnionCollapseSpec extends AnyFunSuite {
       2 * ev.filter(col("event_type") === "view").count())
   }
 
-  test("an arm with an extra predicate does NOT collapse") {
+  test("arm-varying extra predicates collapse via the OR fallback") {
     graft.plans.UnionDisjointFilterCollapse.install(spark)
+    // slices on event_type are disjoint, so the union is still one scan —
+    // the extra predicate rides along inside its own disjunct
     val a = ev.filter(col("event_type") === "view").select(col("value"))
     val b = ev.filter(col("event_type") === "click" && col("value") > 100)
+      .select(col("value"))
+    val df = a.unionByName(b)
+    assert(unions(df).isEmpty)
+    assert(df.queryExecution.optimizedPlan.collectLeaves().size == 1)
+    val direct = ev.filter(
+      col("event_type") === "view" ||
+        (col("event_type") === "click" && col("value") > 100)).count()
+    assert(df.count() == direct)
+  }
+
+  test("no disjoint key at all does NOT collapse") {
+    graft.plans.UnionDisjointFilterCollapse.install(spark)
+    // both arms keep the same type; only the value ranges differ AND
+    // overlap — there is no column slicing the arms apart
+    val a = ev.filter(col("event_type") === "view" && col("value") > 50)
+      .select(col("value"))
+    val b = ev.filter(col("event_type") === "view" && col("value") < 100)
       .select(col("value"))
     assert(unions(a.unionByName(b)).nonEmpty)
   }
@@ -61,6 +80,54 @@ class UnionCollapseSpec extends AnyFunSuite {
     val b = li.filter(col("l_returnflag") === "A")
       .select(col("l_quantity").cast("double").as("v"))
     assert(unions(a.unionByName(b)).nonEmpty)
+  }
+
+  test("disjoint ts-range slices collapse to one scan (TABLE_concat of periods)") {
+    graft.plans.UnionDisjointFilterCollapse.install(spark)
+    // three half-open week slices of the events series — the reference's
+    // TABLE_concat-of-period-slices idiom (imcs--1.1.sql:246-259)
+    val t0 = ev.agg(min("ts")).head.getLong(0)
+    val day = 86_400_000_000_000L
+    val arms = Seq(
+      ev.filter(col("ts") < t0 + 7 * day),
+      ev.filter(col("ts") >= t0 + 7 * day && col("ts") < t0 + 14 * day),
+      ev.filter(col("ts") >= t0 + 14 * day && col("ts") < t0 + 21 * day))
+      .map(_.select(col("ts"), col("value")))
+    val df = arms.reduce(_ unionByName _)
+    assert(unions(df).isEmpty, "disjoint half-open ranges must collapse")
+    assert(df.queryExecution.optimizedPlan.collectLeaves().size == 1)
+    assert(df.count() == ev.filter(col("ts") < t0 + 21 * day).count())
+  }
+
+  test("overlapping or touching-inclusive ranges do NOT collapse") {
+    graft.plans.UnionDisjointFilterCollapse.install(spark)
+    val t0 = ev.agg(min("ts")).head.getLong(0)
+    val day = 86_400_000_000_000L
+    def slice(c: org.apache.spark.sql.Column) = ev.filter(c).select(col("ts"))
+    // [t0, t0+7d] then [t0+7d, ...): both ends inclusive at the boundary —
+    // a row AT the boundary belongs to both arms
+    val touching = slice(col("ts") <= t0 + 7 * day)
+      .unionByName(slice(col("ts") >= t0 + 7 * day))
+    assert(unions(touching).nonEmpty)
+    val overlapping = slice(col("ts") < t0 + 10 * day)
+      .unionByName(slice(col("ts") >= t0 + 7 * day))
+    assert(unions(overlapping).nonEmpty)
+  }
+
+  test("mixed point and range arms collapse only when provably disjoint") {
+    graft.plans.UnionDisjointFilterCollapse.install(spark)
+    def v(c: org.apache.spark.sql.Column) = ev.filter(c).select(col("value"))
+    val disjointMix = v(col("value") < 100.0)
+      .unionByName(v(col("value") === 150.0))
+      .unionByName(v(col("value") > 200.0))
+    assert(unions(disjointMix).isEmpty, "point between two open ranges collapses")
+    val cnt = disjointMix.count()
+    val direct = ev.filter(
+      col("value") < 100.0 || col("value") === 150.0 || col("value") > 200.0).count()
+    assert(cnt == direct)
+    val pointInRange = v(col("value") < 100.0)
+      .unionByName(v(col("value") === 50.0))
+    assert(unions(pointInRange).nonEmpty, "a point inside a range must block")
   }
 
   test("IN-arms merge and the rewrite stays disjointness-gated") {

@@ -4,9 +4,9 @@
 # DuckDB running the equivalent SQL (tools/check.py — the same comparator
 # as the round driver's correctness gate). Replay a failure with:
 #   N=1 SEED=<seed> bash tools/run_fuzz.sh
-# (add BASE=events, BASE=events_slice, or BASE=lineitem to force the
-# source table — needed to replay pinned seeds recorded before a base
-# existed or before the seed→base mapping changed)
+# (add BASE=events, BASE=events_slice, BASE=events_concat, or
+# BASE=lineitem to force the source table — needed to replay pinned seeds
+# recorded before a base existed or before the seed→base mapping changed)
 # The program text for every seed is in $OUT/programs.txt.
 set -eo pipefail
 cd /root/repo
