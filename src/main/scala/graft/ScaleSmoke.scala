@@ -103,6 +103,30 @@ object ScaleSmoke {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // union collapse at scale (round 8): concat of 3 disjoint returnflag
+    // slices then a grand agg — stock Catalyst scans the cached table once
+    // PER ARM; UnionDisjointFilterCollapse folds the arms into one
+    // IN-filtered pass. Expect the collapsed wall to approach 1/3 the
+    // uncollapsed (scan-bound shape). Rule removed/installed explicitly so
+    // the A/B is deterministic regardless of section ordering.
+    def concatSum(): Unit = {
+      Seq("A", "N", "R")
+        .map(f => li.filter(col("l_returnflag") === f).select(col("l_extendedprice")))
+        .reduce(_ unionByName _)
+        .agg(sum("l_extendedprice"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    run("concat-sum 3 slices (union, 3 scans)") {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.UnionDisjointFilterCollapse)
+      concatSum()
+    }
+    run("concat-sum 3 slices (collapsed, 1 scan)") {
+      graft.plans.UnionDisjointFilterCollapse.install(spark)
+      concatSum()
+    }
+
     // keyless series ops at scale: pos numbering + trailing window + as-of
     // via the ranged scans (partition-count parallelism, no global window)
     lazy val series = graft.series.Series.attachPosRanged(
