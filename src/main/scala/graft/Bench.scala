@@ -9,6 +9,19 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is materialized with a noop write — `count()` would let
   * Catalyst prune every computed column and undercount the real work.
+  *
+  * SELF-HEALING: the contention retry loop lives HERE, in the JVM the
+  * driver actually invokes — not only in the tools/run_bench.sh wrapper
+  * (rounds 7 and 8 both archived contended, self-disqualified records
+  * because the driver calls `graft.Bench` directly and bypassed the
+  * wrapper's retry). Each attempt first waits (bounded) for the box to go
+  * idle, then measures; a contended or noisy attempt is retried up to
+  * SPARK_GRAFT_BENCH_ATTEMPTS times, and if every attempt is dirty the
+  * LAST record is emitted with `no_clean_run: true` spliced into the same
+  * JSON object — the disqualification travels with the record even when
+  * stderr and exit codes are lost. Failed queries short-circuit the loop
+  * (retrying cannot fix broken code; a dead query must never masquerade
+  * as a fast one).
   */
 object Bench {
 
@@ -25,8 +38,10 @@ object Bench {
     "q_concat_sum",  // BASELINE row 11: cs_sum over concat of all series
     "q_window_agg",  // moving aggregates
     "q_topk",        // top-N
+    "q_get",         // TABLE_get: ts-range scan (prunability regression canary)
     "q_asof",        // as-of alignment join (union+window form)
     "q_asof_exec",   // same shape on the custom merge operator (graft.plans)
+    "q_asof_bucketed", // the flagship 100 TB plan: zero-Exchange bucketed as-of
     "q_join",        // relational join path
     "q_ema",         // recursive indicator scan
     "q_dedup_exact", // content-hash dedup
@@ -34,6 +49,12 @@ object Bench {
     "q_knn",         // embedding similarity
     "q_lang_id",     // text classification scan
     "q_tumbling")    // event-time bucket agg
+
+  /** One query's measurement: min/spread over the warm reps, the attempt's
+    * first (cold) run, and whether any rep threw.
+    */
+  private[graft] case class QRes(name: String, minT: Double, spread: Double,
+                                 cold: Double, failed: Boolean, warm: Seq[Double])
 
   /** 1/5/15-minute load averages — the machine-contention witness. A bench
     * number is only as good as the box it ran on: round 5's recorded run
@@ -72,11 +93,121 @@ object Bench {
   private[graft] def extremeWitness(minT: Double, spread: Double): Boolean =
     spread > 0.3 && spread > 3 * minT
 
+  /** Contention self-diagnosis over one attempt. Three independent
+    * witnesses:
+    *  (a) the box was already busy when the attempt started (1-min loadavg
+    *      over a quarter of the worker threads before WE did anything);
+    *  (b) warm-rep spreads far beyond the measured noise floor on MORE
+    *      than one query — one outlier can be a stray GC, a pattern is
+    *      another tenant;
+    *  (c) ONE query whose spread is both large and dwarfs its own min
+    *      (extremeWitness) — round 6's actual failure mode.
+    */
+  private[graft] def contendedRun(startLoad1m: Double, cpus: Int,
+                                  results: Seq[QRes]): Boolean = {
+    val noisyCount = results.count(r => noisyWitness(r.minT, r.spread))
+    startLoad1m > cpus.toDouble / 4 || noisyCount >= 2 ||
+      results.exists(r => extremeWitness(r.minT, r.spread))
+  }
+
+  /** Bounded wait for an idle box: poll `load` until it drops below
+    * `threshold` or `maxWaitSec` elapses. Returns whether idle was
+    * reached — a timeout still proceeds (the run self-detects contention),
+    * it just doesn't wait forever on a permanently-busy machine.
+    */
+  private[graft] def waitForIdle(load: () => Double, threshold: Double,
+                                 maxWaitSec: Int, sleepMs: Long = 10000L,
+                                 log: String => Unit = System.err.println): Boolean = {
+    var waitedMs = 0L
+    var l = load()
+    while (l >= threshold) {
+      if (waitedMs >= maxWaitSec * 1000L) {
+        log(f"[bench] loadavg still $l%.2f after ${waitedMs / 1000}s — " +
+          "running anyway (the record self-detects contention)")
+        return false
+      }
+      log(f"[bench] box busy (loadavg $l%.2f >= $threshold%.1f) — waiting " +
+        f"for idle (${waitedMs / 1000}/${maxWaitSec}s)")
+      Thread.sleep(sleepMs)
+      waitedMs += sleepMs
+      l = load()
+    }
+    true
+  }
+
+  /** The one-line JSON record. `noCleanRun` (set when every attempt was
+    * dirty) splices `"no_clean_run":true` plus the attempt count into the
+    * SAME object, so a consumer that archives the JSON unconditionally
+    * still carries the disqualification.
+    */
+  private[graft] def renderJson(results: Seq[QRes], reps: Int, loadSec: Double,
+                                startLoad: Seq[Double], endLoad: Seq[Double],
+                                contended: Boolean, noisy: Seq[String],
+                                sfDir: String, attempt: Int,
+                                noCleanRun: Option[Int]): String = {
+    def jmap(f: QRes => String) = results.map(f).mkString("{", ",", "}")
+    val qs = jmap(r => "\"" + r.name + "\":" + f"${r.minT}%.3f")
+    val spread = jmap(r => "\"" + r.name + "\":" + f"${r.spread}%.3f")
+    val repsJson = jmap(r =>
+      "\"" + r.name + "\":" + r.warm.map(w => f"$w%.3f").mkString("[", ",", "]"))
+    val failedList = results.filter(_.failed).map("\"" + _.name + "\"")
+      .mkString("[", ",", "]")
+    val total = results.map(_.minT).sum
+    val coldTotal = results.map(_.cold).sum
+    val loadJson = (startLoad ++ endLoad).map(v => f"$v%.2f")
+      .mkString("[", ",", "]")
+    val marker = noCleanRun
+      .map(a => s""","no_clean_run":true,"attempts":$a""").getOrElse("")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"rep_times":$repsJson,"failed":$failedList,"reps":$reps,"attempt":$attempt,"load_sec":$loadSec%.3f,"cold_sec":$coldTotal%.3f,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"$marker}"""
+  }
+
+  /** One measurement attempt over the headline set. N runs per query
+    * (default 7, 6 warm), min of the warm runs reported: run 1 pays
+    * one-time codegen compilation (~0.5-1 s per distinct plan), which the
+    * reference's published numbers exclude (they are post-load,
+    * repeat-measured — BASELINE.md row 9 quotes the "repeat" time).
+    * cold_sec keeps the first-run total visible (attempts after the first
+    * are warm throughout — their "cold" is informational only); "spread"
+    * (max-min over warm runs) exposes the per-query noise floor, and a
+    * query that throws is recorded in "failed". Reps run CONSECUTIVELY per
+    * query on purpose: an interleaved round-robin protocol was measured
+    * 70% slower end-to-end (5.42 vs 3.21 s back-to-back) — consecutive
+    * repeats keep each plan's codegen/JIT hot, which also matches the
+    * reference's published repeat-measurement methodology.
+    */
+  private def measure(spark: SparkSession, sfDir: String, reps: Int): Seq[QRes] =
+    headline.filter(SparkEntry.queries.contains).map { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val (cold, coldOk) = once()
+      // a query broken on its cold run stays broken — don't burn reps on it
+      val warm = if (coldOk) Seq.fill(reps - 1)(once()) else Seq((cold, false))
+      val failed = !coldOk || warm.exists(!_._2)
+      val warmTimes = warm.map(_._1)
+      QRes(name, warmTimes.min, warmTimes.max - warmTimes.min, cold, failed, warmTimes)
+    }
+
   def main(args: Array[String]): Unit = {
-    val startLoad = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).getOrElse(7).max(2)
+    val attempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
+      .flatMap(_.toIntOption).getOrElse(3).max(1)
+    val idleWaitSec = sys.env.get("SPARK_GRAFT_BENCH_IDLE_WAIT")
+      .flatMap(_.toIntOption).getOrElse(300).max(0)
+    val idleLoad = sys.env.get("SPARK_GRAFT_BENCH_IDLE_LOAD")
+      .flatMap(_.toDoubleOption).getOrElse(1.0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -98,7 +229,8 @@ object Bench {
     // columnar tables; Spark's CacheManager then serves every identical
     // `spark.read.parquet(path)` plan from the InMemoryRelation, so the
     // timed queries below scan memory, not parquet. Reported separately
-    // as load_sec.
+    // as load_sec. Runs ONCE — the contention retry loop below re-measures
+    // only; a dirty attempt doesn't re-pay the load.
     val tables = Seq("lineitem", "orders", "customer", "part",
       "events", "documents", "embeddings")
     val tLoad = System.nanoTime()
@@ -115,84 +247,48 @@ object Bench {
     SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop")
       .mode("overwrite").save()
 
-    // N runs per query (default 5), min of the warm runs reported: run 1
-    // pays one-time codegen compilation (~0.5-1 s per distinct plan), which
-    // the reference's published numbers exclude (they are post-load,
-    // repeat-measured — BASELINE.md row 9 quotes the "repeat" time).
-    // cold_sec keeps the first-run total visible; "spread" (max-min over
-    // warm runs) exposes the per-query noise floor, and a query that
-    // throws is recorded in "failed" — a dead query can never masquerade
-    // as a fast one.
-    // 7 reps (6 warm): round-4's min-of-4 still showed ±0.3 s phantom
-    // swings on this box (spread field); two more warm runs tighten the
-    // min at ~25 s extra wall per bench run. Reps run CONSECUTIVELY per
-    // query on purpose: an interleaved round-robin protocol was measured
-    // 70% slower end-to-end (5.42 vs 3.21 s back-to-back) — consecutive
-    // repeats keep each plan's codegen/JIT hot, which also matches the
-    // reference's published repeat-measurement methodology.
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
-      .flatMap(_.toIntOption).getOrElse(7).max(2)
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val fn = SparkEntry.queries(name)
-      def once(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
+    // The attempt loop: wait-for-idle, measure, classify; retry dirty
+    // attempts, short-circuit on clean records and on failed queries.
+    var attempt = 1
+    var emitted = false
+    var lastDirty: Option[String] = None
+    while (attempt <= attempts && !emitted) {
+      waitForIdle(() => loadavg().head, idleLoad, idleWaitSec)
+      val startLoad = loadavg()
+      val results = measure(spark, sfDir, reps)
+      val endLoad = loadavg()
+      val noisyResults = results.filter(r => noisyWitness(r.minT, r.spread))
+      val noisy = noisyResults.map(_.name)
+      val contended = contendedRun(startLoad.head, cpus.toInt, results)
+      val anyFailed = results.exists(_.failed)
+      if (noisy.nonEmpty) System.err.println(
+        s"[bench] WARNING: noisy queries (warm spread > 0.3 s absolute, or " +
+          s"> 3x the query's own min) — their min times carry an asterisk: " +
+          noisy.mkString(", "))
+      if (anyFailed || (!contended && noisy.isEmpty)) {
+        // clean — archive it; or broken queries — retrying cannot fix code
+        println(renderJson(results, reps, loadSec, startLoad, endLoad,
+          contended, noisy, sfDir, attempt, noCleanRun = None))
+        emitted = true
+      } else {
+        System.err.println(
+          s"[bench] attempt $attempt/$attempts dirty (contended=$contended, " +
+            s"noisy=[${noisy.mkString(", ")}]) — " +
+            (if (attempt < attempts) "retrying" else "no clean run"))
+        lastDirty = Some(renderJson(results, reps, loadSec, startLoad, endLoad,
+          contended, noisy, sfDir, attempt, noCleanRun = Some(attempts)))
+        attempt += 1
       }
-      val (cold, coldOk) = once()
-      // a query broken on its cold run stays broken — don't burn reps on it
-      val warm = if (coldOk) Seq.fill(reps - 1)(once()) else Seq((cold, false))
-      val failed = !coldOk || warm.exists(!_._2)
-      val warmTimes = warm.map(_._1)
-      (name, warmTimes.min, warmTimes.max - warmTimes.min, cold, failed, warmTimes)
     }
-    def jmap(f: ((String, Double, Double, Double, Boolean, Seq[Double])) => String) =
-      results.map(f).mkString("{", ",", "}")
-    val qs = jmap { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
-    val spread = jmap { case (k, _, s, _, _, _) => "\"" + k + "\":" + f"$s%.3f" }
-    val repsJson = jmap { case (k, _, _, _, _, ws) =>
-      "\"" + k + "\":" + ws.map(w => f"$w%.3f").mkString("[", ",", "]") }
-    val failedList = results.filter(_._5).map("\"" + _._1 + "\"")
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val coldTotal = results.map(_._4).sum
-    val endLoad = loadavg()
-    // Contention self-diagnosis. Three independent witnesses:
-    //  (a) the box was already busy when the bench started (1-min loadavg
-    //      over a quarter of the worker threads before WE did anything);
-    //  (b) warm-rep spreads far beyond this workload's measured noise
-    //      floor (clean-box spreads stay under ~0.1 s; the round-5
-    //      contaminated run showed ~1 s) on more than one query — one
-    //      outlier can be a stray GC, a pattern is another tenant;
-    //  (c) ONE query whose spread dwarfs its own min (> 3×): round 6's
-    //      actual failure mode — q_minhash_lsh warm reps of 4.84 s
-    //      against a 0.80 s min passed contended=false because only one
-    //      query was hit. A 4× swing on a sub-second query is not GC
-    //      (measured: max pause 57 ms on this workload) — it is an
-    //      interference burst shorter than the loadavg resolution, and
-    //      the min-of-reps it anchors deserves the asterisk.
-    // A contended run still prints, but carries its own disqualification.
-    val noisyResults = results.filter(r => noisyWitness(r._2, r._3))
-    val noisy = noisyResults.map("\"" + _._1 + "\"")
-    val contended = startLoad.head > cpus.toDouble / 4 || noisy.size >= 2 ||
-      results.exists(r => extremeWitness(r._2, r._3))
-    // consumers scanning only the headline numbers still see the flag:
-    // warn loudly on stderr, never silently anchor a ratio on a noisy min
-    if (noisy.nonEmpty) System.err.println(
-      s"[bench] WARNING: noisy queries (warm spread > 0.3 s absolute, or " +
-        s"> 3x the query's own min) — their min times carry an asterisk: " +
-        noisyResults.map(_._1).mkString(", "))
-    if (contended) System.err.println(
-      "[bench] WARNING: contended=true — this run is self-disqualified; " +
-        "re-run on an idle box before recording its numbers")
-    val loadJson = (startLoad ++ endLoad).map(v => f"$v%.2f")
-      .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"rep_times":$repsJson,"failed":$failedList,"reps":$reps,"load_sec":$loadSec%.3f,"cold_sec":$coldTotal%.3f,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // every attempt was dirty: emit the LAST record, self-disqualified in
+    // the JSON itself — never a bare contended record that reads as a
+    // phantom regression
+    if (!emitted) {
+      System.err.println(
+        s"[bench] WARNING: no clean run in $attempts attempts — the record " +
+          "carries no_clean_run=true; do not read its totals as a regression")
+      lastDirty.foreach(println)
+    }
     spark.stop()
   }
 }

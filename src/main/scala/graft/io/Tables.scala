@@ -440,4 +440,27 @@ object Tables {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** [[loadBucketed]] unless `table` already exists with data on disk —
+    * the repeat-measurement path: bucketed ingest is PAY-ONCE by design,
+    * so a caller re-running the same pipeline (bench warm reps, resumed
+    * sessions over the same warehouse) must not re-pay the ingest shuffle
+    * per run. The caller owns name-keying the table to its inputs (e.g. a
+    * source-dir suffix): an existing table is trusted as-is, exactly like
+    * any other already-loaded layout.
+    */
+  def loadBucketedIfAbsent(df: DataFrame, table: String, keys: Seq[String],
+                           buckets: Int, sortCols: Seq[String] = Seq()): Unit = {
+    val spark = df.sparkSession
+    val present = spark.catalog.tableExists(table) && {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a catalog entry whose location was wiped (killed run, cleaned
+      // warehouse) is not a table — re-ingest
+      fs.exists(loc) && fs.listStatus(loc)
+        .exists(s => s.isFile && isDataFile(s.getPath.getName) && s.getLen > 0)
+    }
+    if (!present) loadBucketed(df, table, keys, buckets, sortCols)
+  }
 }

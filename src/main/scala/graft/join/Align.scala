@@ -289,6 +289,17 @@ object Align {
     */
   def stretch0(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
                valueCol: String, filler: Column, outCol: String = "stretch_value"): DataFrame = {
+    // a frame already carrying the merge's working names would be silently
+    // shadowed by the rename below — fail loud (same regex-guard pattern
+    // as asofJoinDir's reserved names)
+    locally {
+      val reserved = "(__rv0|__has_r)".r
+      val clash = (left.columns ++ right.columns).distinct
+        .filter(c => reserved.pattern.matcher(c).matches())
+      require(clash.isEmpty, s"column name(s) ${clash.mkString(", ")} " +
+        "collide with stretch0's reserved working names (__rv0/__has_r); " +
+        "rename them before the merge")
+    }
     val lt = left.select((keys :+ ts).map(col): _*)
     val rt = right.select((keys :+ ts).map(col) :+ col(valueCol).as("__rv0"): _*)
       .withColumn("__has_r", lit(1))

@@ -199,11 +199,18 @@ case class AsofMergeJoinExec(
 /** DataFrame-level API over the custom operator. */
 object AsofMerge {
 
-  /** Idempotently add the planner strategy to a live session. */
+  /** Idempotently add the planner strategy to a live session. Serialized
+    * on the ExperimentalMethods instance — `extraStrategies` is a plain
+    * shared var, so an unsynchronized check-then-append could lose an
+    * install under concurrent callers (same reasoning as
+    * [[UnionDisjointFilterCollapse.install]]).
+    */
   def install(spark: SparkSession): Unit = {
     val e = spark.experimental
-    if (!e.extraStrategies.contains(AsofJoinStrategy))
-      e.extraStrategies = e.extraStrategies :+ AsofJoinStrategy
+    e.synchronized {
+      if (!e.extraStrategies.contains(AsofJoinStrategy))
+        e.extraStrategies = e.extraStrategies :+ AsofJoinStrategy
+    }
   }
 
   /** As-of join via the custom plan node — left columns + `outCol`, the

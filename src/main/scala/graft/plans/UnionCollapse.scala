@@ -124,24 +124,37 @@ object UnionDisjointFilterCollapse extends Rule[LogicalPlan] {
   /** All slices pairwise disjoint under the key type's ordering: points
     * become degenerate [l, l] intervals, then sorted intervals must not
     * touch (equal endpoints only when not both inclusive).
+    *
+    * Signed zeros: the interpreted ORDERING distinguishes -0.0 < 0.0, but
+    * Spark's comparison EVALUATION treats them equal — arms `k = -0.0` and
+    * `k = 0.0` both match a 0.0 row, so judging them disjoint would halve
+    * that row's multiplicity in the rewrite. Literal values are normalized
+    * (-0.0 → 0.0) before the check only — equal-after-normalization slices
+    * then touch and the union is left alone, the conservative outcome.
     */
+  private def normZero(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue == 0.0 => java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.floatValue == 0.0f => java.lang.Float.valueOf(0.0f)
+    case x => x
+  }
+
   private def disjoint(slices: Seq[Slice], dt: DataType): Boolean = {
     if (!TypeUtils.typeWithProperEquals(dt)) return false
     if (!org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt))
       return false
     val ord = TypeUtils.getInterpretedOrdering(dt)
     val iv: Seq[(Option[(Any, Boolean)], Option[(Any, Boolean)])] = slices.flatMap {
-      case Points(lits) => lits.map(l => (Some((l.value, true)), Some((l.value, true))))
+      case Points(lits) => lits.map(l => (Some((normZero(l.value), true)), Some((normZero(l.value), true))))
       case Interval(lo, hi) =>
         // an interval already empty (lo > hi, or lo = hi not both
         // inclusive) matches nothing — it cannot overlap anything
         val e = for { (ll, li) <- lo; (hl, hiI) <- hi } yield {
-          val c = ord.compare(ll.value, hl.value)
+          val c = ord.compare(normZero(ll.value), normZero(hl.value))
           c > 0 || (c == 0 && !(li && hiI))
         }
         if (e.contains(true)) Seq.empty
-        else Seq((lo.map { case (l, i) => (l.value, i) },
-          hi.map { case (l, i) => (l.value, i) }))
+        else Seq((lo.map { case (l, i) => (normZero(l.value), i) },
+          hi.map { case (l, i) => (normZero(l.value), i) }))
     }
     val (unboundedLo, boundedLo) = iv.partition(_._1.isEmpty)
     if (unboundedLo.size > 1) return false
@@ -286,10 +299,22 @@ object UnionDisjointFilterCollapse extends Rule[LogicalPlan] {
     }.nextOption()
   }
 
-  /** Idempotently add the rule to a live session. */
+  /** Idempotently add the rule to a live session. SESSION-GLOBAL: once
+    * installed (by [[graft.join.Align.unionMerge]] /
+    * [[graft.series.Series.concat]] or directly), the rule sees every
+    * union the session optimizes — sound because the rewrite fires only
+    * on provably-disjoint same-source arms and leaves everything else
+    * untouched. `extraOptimizations` is a plain shared var, so the
+    * check-then-append is serialized on the ExperimentalMethods instance —
+    * unsynchronized concurrent installers could lose or duplicate the
+    * append (duplicates are harmless but each costs an optimizer pass;
+    * a lost install silently skips the collapse).
+    */
   def install(spark: SparkSession): Unit = {
     val e = spark.experimental
-    if (!e.extraOptimizations.contains(UnionDisjointFilterCollapse))
-      e.extraOptimizations = e.extraOptimizations :+ UnionDisjointFilterCollapse
+    e.synchronized {
+      if (!e.extraOptimizations.contains(UnionDisjointFilterCollapse))
+        e.extraOptimizations = e.extraOptimizations :+ UnionDisjointFilterCollapse
+    }
   }
 }

@@ -176,6 +176,21 @@ class AlignSpec extends AnyFunSuite {
     assert(r == Seq((3L, "Z"), (4L, "a"), (5L, "Z"), (10L, "b"), (15L, "Z"), (20L, "c")))
   }
 
+  test("stretch0: reserved working names __rv0/__has_r in inputs fail loud") {
+    // a frame already carrying a working name would be silently shadowed
+    // by stretch0's rename — the guard must refuse instead
+    val bad = Seq(("k", 3L, "x")).toDF("key", "ts", "__rv0")
+    val e = intercept[IllegalArgumentException] {
+      Align.stretch0(bad, right, Seq("key"), "ts", "v", lit("Z"))
+    }
+    assert(e.getMessage.contains("__rv0"))
+    val badR = Seq(("k", 3L, "x", 1)).toDF("key", "ts", "v", "__has_r")
+    val e2 = intercept[IllegalArgumentException] {
+      Align.stretch0(left, badR, Seq("key"), "ts", "v", lit("Z"))
+    }
+    assert(e2.getMessage.contains("__has_r"))
+  }
+
   test("asofJoinNearest matches the reference user-guide example") {
     // cs_asof_join('{4,9}','{1,3,6,10}','{0.1,0.3,0.6,1.0}') = {0.3,1.0}:
     // left 9 matches the FUTURE ts 10; ties take the preceding element

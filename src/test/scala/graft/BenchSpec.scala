@@ -30,4 +30,66 @@ class BenchSpec extends AnyFunSuite {
     // relative-only (small absolute) never disqualifies the whole run alone
     assert(!Bench.extremeWitness(minT = 0.06, spread = 0.2))
   }
+
+  private def q(name: String, minT: Double, spread: Double,
+                failed: Boolean = false) =
+    Bench.QRes(name, minT, spread, cold = minT, failed, warm = Seq(minT, minT + spread))
+
+  test("contendedRun: busy start load, 2+ noisy queries, or one extreme") {
+    val clean = Seq(q("a", 0.2, 0.02), q("b", 0.5, 0.05))
+    assert(!Bench.contendedRun(0.3, 32, clean))
+    // witness (a): the box was busy before the bench did anything
+    assert(Bench.contendedRun(9.0, 32, clean))
+    // witness (b): a PATTERN of noisy queries (one alone is a stray GC)
+    assert(!Bench.contendedRun(0.3, 32, clean :+ q("c", 1.0, 0.4)))
+    assert(Bench.contendedRun(0.3, 32,
+      clean ++ Seq(q("c", 1.0, 0.4), q("d", 1.0, 0.35))))
+    // witness (c): one extreme burst disqualifies alone (round-6 mode)
+    assert(Bench.contendedRun(0.3, 32, clean :+ q("c", 0.8, 4.0)))
+  }
+
+  test("waitForIdle polls until idle, gives up after the bounded wait") {
+    var calls = 0
+    val loads = Seq(5.0, 3.0, 0.4)
+    val reached = Bench.waitForIdle(
+      () => { val l = loads(math.min(calls, loads.size - 1)); calls += 1; l },
+      threshold = 1.0, maxWaitSec = 60, sleepMs = 1L, log = _ => ())
+    assert(reached && calls == 3)
+    // permanently busy: returns false once maxWaitSec elapses, never hangs
+    assert(!Bench.waitForIdle(() => 8.0, threshold = 1.0, maxWaitSec = 0,
+      sleepMs = 1L, log = _ => ()))
+  }
+
+  test("renderJson: clean record has no marker; dirty-exhausted splices no_clean_run") {
+    val rs = Seq(q("a", 0.2, 0.02), q("b", 0.5, 0.05))
+    val clean = Bench.renderJson(rs, reps = 7, loadSec = 1.0,
+      startLoad = Seq(0.1, 0.1, 0.1), endLoad = Seq(0.2, 0.2, 0.2),
+      contended = false, noisy = Seq(), sfDir = "/sf", attempt = 1,
+      noCleanRun = None)
+    assert(!clean.contains("no_clean_run"))
+    assert(clean.contains("\"contended\":false"))
+    assert(clean.contains("\"value\":0.700"))
+    // the marker must live INSIDE the same JSON object (an archiver that
+    // keeps only the JSON line still carries the disqualification)
+    val dirty = Bench.renderJson(rs, reps = 7, loadSec = 1.0,
+      startLoad = Seq(9.0, 4.0, 2.0), endLoad = Seq(9.0, 4.0, 2.0),
+      contended = true, noisy = Seq("a"), sfDir = "/sf", attempt = 3,
+      noCleanRun = Some(3))
+    assert(dirty.contains("\"no_clean_run\":true"))
+    assert(dirty.contains("\"attempts\":3"))
+    assert(dirty.contains("\"noisy\":[\"a\"]"))
+    assert(dirty.endsWith("}") && dirty.startsWith("{"))
+  }
+
+  test("rendered records parse as one JSON object (brace/quote sanity)") {
+    // no JSON parser on the test classpath — pin the structural invariants
+    // the driver's python-side json.load depends on instead
+    val rs = Seq(q("a", 0.2, 0.02), q("fail", 0.1, 0.0, failed = true))
+    val s = Bench.renderJson(rs, 7, 1.0, Seq(1, 1, 1), Seq(1, 1, 1),
+      contended = false, noisy = Seq(), "/sf", 1, Some(2))
+    assert(s.count(_ == '{') == s.count(_ == '}'))
+    assert(s.count(_ == '[') == s.count(_ == ']'))
+    assert(s.count(_ == '"') % 2 == 0)
+    assert(s.contains("\"failed\":[\"fail\"]"))
+  }
 }

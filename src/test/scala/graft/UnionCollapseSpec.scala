@@ -38,6 +38,23 @@ class UnionCollapseSpec extends AnyFunSuite {
     assert(math.abs(a - b) < 1e-6 * math.abs(b))
   }
 
+  test("signed-zero float arms do NOT collapse (evaluation treats -0.0 = 0.0)") {
+    graft.plans.UnionDisjointFilterCollapse.install(spark)
+    // the interpreted ORDERING says -0.0 < 0.0 (distinct points) but
+    // comparison EVALUATION says they are equal — a 0.0 row satisfies BOTH
+    // arms, so a collapse to IN(-0.0, 0.0) would halve its multiplicity.
+    // (A parquet source, not a LocalRelation — ConvertToLocalRelation
+    // evaluates local filters away before this rule could ever see them.)
+    val df = ev.filter(col("value") === lit(-0.0)).select(col("value"))
+      .unionByName(ev.filter(col("value") === lit(0.0)).select(col("value")))
+    assert(unions(df).nonEmpty, "signed-zero arms overlap; must not collapse")
+    // sanity: genuinely-disjoint double points still collapse
+    val ok = ev.filter(col("value") === lit(1.5)).select(col("value"))
+      .unionByName(ev.filter(col("value") === lit(2.5)).select(col("value")))
+    assert(unions(ok).isEmpty)
+    assert(ok.queryExecution.optimizedPlan.collectLeaves().size == 1)
+  }
+
   test("duplicate literals do NOT collapse (multiset multiplicity)") {
     val df = slices(Seq("view", "view"))
     assert(unions(df).nonEmpty, "a duplicated arm doubles rows; IN would not")
