@@ -557,6 +557,28 @@ object SparkEntry {
         col("asof_sv").getField("sid").as("asof_sid"),
         col("asof_sv").getField("tag").as("asof_tag"))
     }),
+    "q_asof_exec_map" -> ((s, dir) => {
+      // keyless as-of carrying a MAP value column through the decomposed
+      // parallel lanes (sorted key/value entry arrays + presence lane,
+      // reassembled with map_from_arrays) — the LAST complex-type serial
+      // fallback closed: only nested-map types remain on the AllTuples
+      // exec. The right map is {mx→max, mn→min} per ts (deterministic
+      // construction); the oracle carries the values as columns and the
+      // query unpacks the carried map to match.
+      val ev = Tables.read(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("value"))
+      val r = ev.filter(col("event_type") === "signup")
+        .groupBy(col("ts")).agg(
+          map_from_arrays(array(lit("mx"), lit("mn")),
+            array(max(col("value")), min(col("value")))).as("mv"))
+      val out = graft.plans.AsofMerge.asofJoin(l, r, Seq(), "ts", "mv", "asof_mv")
+      require(!out.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+        "map keyless as-of must ride the decomposed parallel scan")
+      out.select(col("event_id"), fl(col("value")).as("value"),
+        fl(element_at(col("asof_mv"), "mx")).as("asof_mx"),
+        fl(element_at(col("asof_mv"), "mn")).as("asof_mn"))
+    }),
     "q_asof_pos" -> ((s, dir) => {
       // cs_asof_join_pos (func.c:4591-4662): carry the matched right POS.
       // Right side deduped to one row per (user_id, ts) — the max pos —
@@ -635,6 +657,31 @@ object SparkEntry {
         ev.filter(col("event_type") === t).select(col("value")))
       perKey.reduce(graft.join.Align.unionMerge)
         .agg(fl(sum(col("value"))).as("total"))
+    }),
+    "q_concat_ranges" -> ((s, dir) => {
+      // TABLE_concat over per-period slices of ONE table
+      // (imcs--1.1.sql:246-259): three disjoint ts-range slices of events
+      // unioned back together. The INTERVAL arm of
+      // UnionDisjointFilterCollapse (expression key = the normalized ts,
+      // range slices [lo, hi)) folds the three scans into ONE
+      // range-filtered pass — asserted in-query (fail-loud), mirroring
+      // q_asof_bucketed's pattern; q_concat_sum covers the all-points arm.
+      val ev = Tables.read(s, dir, "events")
+      val day = 86400000000000L // 1 day in ns
+      val t0 = 1704067200000000000L // 2024-01-01T00:00Z
+      val cuts = Seq(t0 + 4 * day, t0 + 9 * day, t0 + 14 * day, t0 + 19 * day)
+      val slices = cuts.sliding(2).map { case Seq(lo, hi) =>
+        ev.filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+          .select(col("event_type"), col("value"))
+      }.toSeq
+      val out = slices.reduce(graft.join.Align.unionMerge)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))
+      val leaves = out.queryExecution.optimizedPlan.collectLeaves()
+      require(leaves.size == 1,
+        s"union of disjoint ts-range slices must collapse to ONE scan, " +
+          s"got ${leaves.size} leaves:\n${out.queryExecution.optimizedPlan}")
+      out
     }),
     "q_repeat" -> ((s, dir) =>
       Series.repeat(evSeries(s, dir).filter(col("event_type") === "signup" && col("pos") < 30), 3)
@@ -2168,6 +2215,13 @@ object SparkEntry {
                          max(props) AS tag FROM events
                          WHERE event_type = 'signup' GROUP BY ts) r
          ON l.ts >= r.ts""",
+    "q_asof_exec_map" ->
+      """SELECT l.event_id, CAST(l."value" AS REAL) AS value,
+         CAST(r.mx AS REAL) AS asof_mx, CAST(r.mn AS REAL) AS asof_mn
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT ts, max("value") AS mx, min("value") AS mn
+                         FROM events WHERE event_type = 'signup' GROUP BY ts) r
+         ON l.ts >= r.ts""",
     "q_asof_pos" ->
       s"""SELECT l.user_id, l.event_id, r.pos AS right_pos
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l
@@ -2214,6 +2268,16 @@ object SparkEntry {
     "q_concat_sum" ->
       """SELECT CAST(sum("value") AS REAL) AS total FROM events
          WHERE event_type IN ('view', 'click', 'purchase', 'signup')""",
+    // three half-open per-period slices = one contiguous range; written as
+    // the range union so the oracle states the SEMANTICS the collapsed
+    // single-scan plan must reproduce
+    "q_concat_ranges" ->
+      """SELECT event_type, count(*) AS n, CAST(sum("value") AS REAL) AS sv
+         FROM events
+         WHERE (epoch_ns(ts) >= 1704412800000000000 AND epoch_ns(ts) < 1704844800000000000)
+            OR (epoch_ns(ts) >= 1704844800000000000 AND epoch_ns(ts) < 1705276800000000000)
+            OR (epoch_ns(ts) >= 1705276800000000000 AND epoch_ns(ts) < 1705708800000000000)
+         GROUP BY event_type""",
     "q_concat_series" ->
       """WITH a AS (SELECT event_id, row_number() OVER (ORDER BY ts, event_id) - 1 AS pos
                     FROM events WHERE event_type = 'view'),

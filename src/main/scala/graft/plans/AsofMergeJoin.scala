@@ -89,10 +89,14 @@ object AsofJoinStrategy extends SparkStrategy {
   * strings/binary/decimals ride the scan as dictionary codes on exact
   * hi/lo long lanes ([[AsofMerge.keylessDictAsof]]) — including ARRAYS,
   * which group/join by value; structs of such fields decompose per-field
-  * onto the lanes and reassemble ([[AsofMerge.keylessStructAsof]]).
+  * onto the lanes and reassemble ([[AsofMerge.keylessStructAsof]]); maps
+  * decompose to sorted key/value arrays plus a presence lane and
+  * reassemble via map_from_arrays ([[AsofMerge.keylessMapAsof]]).
   * AllTuples is reachable only by constructing [[AsofJoinPlan]] directly,
   * or with a value type no lane, dictionary, or decomposition carries —
-  * maps and map-bearing types only (Spark cannot group by a map).
+  * now only maps NESTED past the first level (a map-valued map, an array
+  * of maps, a struct with a map field; Spark cannot group by a map, so
+  * no dictionary or array lane can carry the inner one).
   */
 case class AsofMergeJoinExec(
     leftKeys: Seq[Expression],
@@ -270,6 +274,15 @@ object AsofMerge {
             direction, inclusive)
         // strings/binary/decimals have no Double lane, but their DOMAIN
         // does: dictionary-encode to long codes, scan, decode the carry
+        // maps decompose to sorted key/value ARRAYS (plus a presence
+        // lane) — Spark cannot group/join by a map, but the entry arrays
+        // group by value and ride the dict lanes like any array; checked
+        // first because a map fits no other route.
+        if (dts.exists(mapDecomposable) &&
+            dts.forall(dt => lanable(dt) || dictEncodable(dt) ||
+              structDecomposable(dt) || mapDecomposable(dt)))
+          return keylessMapAsof(left, right, lTs.get, cols, outCols,
+            direction, inclusive)
         // structs of lane-able/dict-encodable fields decompose per-field
         // onto the same lanes (plus a presence lane) and reassemble —
         // row-carry guarantees all fields come from the same matched row.
@@ -390,6 +403,21 @@ object AsofMerge {
     case _ => false
   }
 
+  /** Maps whose key and value types are themselves map-free ride the
+    * parallel scan DECOMPOSED: sorted entry arrays (`array_sort` over
+    * `map_entries` — keys are unique and non-null, so the sort is total
+    * and gives equal maps one canonical encoding) split into a key array
+    * and a value array, plus one presence lane. Both arrays are
+    * dictionary-encodable ([[dictEncodable]] admits map-free arrays), and
+    * row-carry guarantees the reassembled `map_from_arrays` pairs arrays
+    * from the SAME matched right row. A map nested deeper (map-valued
+    * maps, arrays of maps) still lands on the serial exec.
+    */
+  private def mapDecomposable(dt: DataType): Boolean = dt match {
+    case MapType(k, v, _) => !containsMap(k) && !containsMap(v)
+    case _ => false
+  }
+
   /** The __-prefixed working names of the keyless scans. A left frame
     * already carrying one of these would be silently overwritten by
     * `withColumn`/`select` — fail loud instead (repo-wide dunder
@@ -405,6 +433,12 @@ object AsofMerge {
     */
   private val StructTempName =
     "(__sf\\d+_\\d+|__sp\\d+|__so\\d+_\\d+|__sq\\d+)".r
+
+  /** Working names of the map-decomposition route (entry-array extraction,
+    * presence, and their scan outputs) — reserved like [[StructTempName]].
+    */
+  private val MapTempName =
+    "(__mk\\d+|__mv\\d+|__mp\\d+|__mq\\d+|__mok\\d+|__mov\\d+)".r
   private def guardInternalNames(lf: DataFrame, rf: DataFrame): Unit = {
     val clash = (lf.columns ++ rf.columns).distinct
       .filter(c => InternalName.pattern.matcher(c).matches())
@@ -423,7 +457,8 @@ object AsofMerge {
   private def guardOutCols(outCols: Seq[String]): Unit = {
     val outClash = outCols.distinct.filter(c =>
       InternalName.pattern.matcher(c).matches() ||
-        StructTempName.pattern.matcher(c).matches())
+        StructTempName.pattern.matcher(c).matches() ||
+        MapTempName.pattern.matcher(c).matches())
     require(outClash.isEmpty,
       s"output column name(s) ${outClash.mkString(", ")} match the keyless " +
         "as-of scan's reserved internal name pattern; pick different outCols")
@@ -522,6 +557,70 @@ object AsofMerge {
     val rebuilt = rebuilds.foldLeft(scanned) { case (df, (i, fieldOuts)) =>
       df.withColumn(outCols(i), when(col(s"__sq$i"),
         struct(fieldOuts.map { case (fn, oc) => col(oc).as(fn) }: _*)))
+    }
+    rebuilt.select((lf.columns.toSeq ++ outCols).map(col): _*)
+  }
+
+  /** Keyless as-of for map value columns ([[mapDecomposable]]): each map
+    * becomes (sorted key array, value array, presence lane) — `array_sort`
+    * over `map_entries` orders by key (unique, non-null), so equal maps
+    * encode identically and the split arrays stay index-aligned. The
+    * arrays ride the ordinary keyless scan (dictionary route — arrays
+    * group by value); the carried pair reassembles with `map_from_arrays`
+    * under the presence gate. Row-carry soundness is the struct route's
+    * argument verbatim: all three lanes update together from the same
+    * matched right row, so a rebuilt map can never pair keys of one row
+    * with values of another. NULL semantics: carried presence=false →
+    * NULL map (a NULL map in the matched row masks older non-null maps —
+    * the exec's row-carry contract); an EMPTY map is presence=true with
+    * empty arrays and round-trips as an empty map, distinct from NULL.
+    */
+  private def keylessMapAsof(lf: DataFrame, rf: DataFrame, ts: String,
+                             valueCols: Seq[String], outCols: Seq[String],
+                             direction: Int, inclusive: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    locally {
+      val clash = (lf.columns ++ rf.columns).distinct
+        .filter(c => MapTempName.pattern.matcher(c).matches())
+      require(clash.isEmpty,
+        s"column name(s) ${clash.mkString(", ")} collide with the map " +
+          "as-of decomposition's reserved names (__mkI/__mvI/__mpI/__mqI/" +
+          "__mokI/__movI); rename them before the join")
+    }
+    var rExp = rf
+    val scanVals = Seq.newBuilder[String]
+    val scanOuts = Seq.newBuilder[String]
+    val rebuilds = valueCols.zipWithIndex.flatMap { case (c, i) =>
+      rf.schema(c).dataType match {
+        case mt: MapType if mapDecomposable(mt) =>
+          val ents = array_sort(map_entries(col(c)))
+          rExp = rExp
+            .withColumn(s"__mp$i", col(c).isNotNull)
+            .withColumn(s"__mk$i", transform(ents, e => e.getField("key")))
+            .withColumn(s"__mv$i", transform(ents, e => e.getField("value")))
+          scanVals += s"__mp$i"; scanOuts += s"__mq$i"
+          scanVals += s"__mk$i"; scanOuts += s"__mok$i"
+          scanVals += s"__mv$i"; scanOuts += s"__mov$i"
+          Some(i)
+        case _ =>
+          scanVals += c; scanOuts += outCols(i)
+          None
+      }
+    }
+    val sv = scanVals.result(); val so = scanOuts.result()
+    // post-decomposition the columns are presence booleans (lane-able),
+    // entry arrays (dictionary-encodable), and whatever non-map columns
+    // rode along — including structs, which keep their own route
+    val dts = sv.map(rExp.schema(_).dataType)
+    val scanned =
+      if (dts.exists(structDecomposable))
+        keylessStructAsof(lf, rExp, ts, sv, so, direction, inclusive)
+      else if (dts.forall(lanable))
+        keylessRangedAsof(lf, rExp, ts, sv, so, direction, inclusive)
+      else keylessDictAsof(lf, rExp, ts, sv, so, direction, inclusive)
+    val rebuilt = rebuilds.foldLeft(scanned) { case (df, i) =>
+      df.withColumn(outCols(i), when(col(s"__mq$i"),
+        map_from_arrays(col(s"__mok$i"), col(s"__mov$i"))))
     }
     rebuilt.select((lf.columns.toSeq ++ outCols).map(col): _*)
   }

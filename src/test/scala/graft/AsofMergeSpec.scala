@@ -282,13 +282,66 @@ class AsofMergeSpec extends AnyFunSuite {
     assert(rows(df) == rows(serialKeylessExec(l, r, "ts", "v")))
   }
 
-  test("keyless as-of with a MAP value type falls back to the exec") {
-    val l = Seq(Tuple1(7L)).toDF("ts")
-    val r = Seq((5L, Map("a" -> 1)), (6L, Map("b" -> 3))).toDF("ts", "v")
+  test("keyless MAP as-of decomposes to sorted entry arrays (no single-task merge)") {
+    val l = Seq(Tuple1(3L), Tuple1(5L), Tuple1(7L), Tuple1(9L), Tuple1(11L)).toDF("ts")
+    val r = Seq(
+      (5L, Map("b" -> 3, "a" -> 1)),        // multi-entry: pairing must hold
+      (6L, Map.empty[String, Int]),         // EMPTY map ≠ NULL map
+      (8L, null.asInstanceOf[Map[String, Int]]), // NULL map row — must MASK ts=6
+      (10L, Map("z" -> 9))).toDF("ts", "v")
     val df = AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
-    assert(df.head().getMap[String, Int](1) == Map("b" -> 3))
+    assert(!df.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+      "map keyless as-of must ride the decomposed entry-array scan")
+    val got = df.orderBy("ts").collect()
+    assert(got(0).isNullAt(1), "no match yet")
+    assert(got(1).getMap[String, Int](1) == Map("a" -> 1, "b" -> 3))
+    assert(got(2).getMap[String, Int](1).isEmpty,
+      "carried EMPTY map must round-trip as empty, not NULL")
+    assert(got(3).isNullAt(1), "carried NULL map row must mask ts=6 (row-carry)")
+    assert(got(4).getMap[String, Int](1) == Map("z" -> 9))
+    // and the serial exec agrees on every row (maps canonicalized to
+    // sorted entry arrays — Row.toSeq map ordering is representation-
+    // dependent, entry arrays are not)
+    def canon(d: DataFrame) =
+      rows(d.withColumn("asof_value", array_sort(map_entries(col("asof_value")))))
+    val serial = serialKeylessExec(l, r, "ts", "v")
+    assert(serial.queryExecution.executedPlan.toString.contains("AsofMergeJoin"))
+    assert(canon(df) == canon(serial))
+  }
+
+  test("keyless map lanes: random frames with NULL/empty maps match the serial exec") {
+    val rnd = new scala.util.Random(29)
+    val l = Seq.fill(200)(Tuple1(rnd.nextInt(300).toLong)).toDF("ts")
+    val r = Seq.fill(120)(rnd.nextInt(300).toLong).distinct.map { t =>
+      val v: Map[String, Long] =
+        if (t % 7 == 0) null
+        else if (t % 5 == 0) Map.empty
+        else Seq.tabulate((t % 3 + 1).toInt)(j => s"k${(t + j) % 11}" -> (t * j))
+          .toMap
+      (t, v)
+    }.toDF("ts", "v")
+    def canon(d: DataFrame) =
+      rows(d.withColumn("asof_value", array_sort(map_entries(col("asof_value")))))
+    for (dir <- Seq(-1, 1); incl <- Seq(true, false)) {
+      val merge = AsofMerge.asofJoinDir(l, r, Seq(), "ts",
+        Seq("v"), Seq("asof_value"), direction = dir, inclusive = incl)
+      assert(!merge.queryExecution.executedPlan.toString.contains("AsofMergeJoin"))
+      val ground = serialKeylessExec(l, r, "ts", "v",
+        direction = dir, inclusive = incl)
+      assert(canon(merge) == canon(ground), s"map-carry dir=$dir incl=$incl")
+    }
+  }
+
+  test("keyless as-of with a NESTED-map value type still falls back to the exec") {
+    // map-valued maps have no decomposition: the entry arrays would
+    // themselves contain maps, which Spark cannot group by
+    val l = Seq(Tuple1(7L)).toDF("ts")
+    val r = Seq((5L, Map("a" -> Map("x" -> 1))), (6L, Map("b" -> Map("y" -> 3))))
+      .toDF("ts", "v")
+    val df = AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
+    assert(df.head().getMap[String, Map[String, Int]](1) == Map("b" -> Map("y" -> 3)))
     assert(df.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
-      "maps are not groupable — no lane or dictionary; the honest single merge plans")
+      "nested maps are not groupable at any level — the honest single merge plans")
   }
 
   test("reserved internal names in keyless inputs fail loud, not corrupt") {
