@@ -100,6 +100,29 @@ object PruneProbe {
       assert(pushed.contains("GreaterThanOrEqual(ts"), s"pushdown lost: $pushed")
     }
 
+    // manifest vs footer pruning equivalence on the NTZ layout (the one
+    // encoding where Spark itself cannot prune): the variant loop above
+    // ran WITHOUT a manifest (per-file footer RPCs); adopting the same
+    // dir via Tables.writeManifest must keep the same rows while reading
+    // no more files — one sidecar read replacing the O(files) footer pass
+    locally {
+      val dir = s"$work/ts_micros_ntz"
+      val byFooter = graft.io.Tables.rangeScan(spark, dir, "events", from, till)
+        .select("ts", "value")
+      val fRows = byFooter.collect().length
+      val fFiles = byFooter.inputFiles.length
+      graft.io.Tables.writeManifest(spark, s"$dir/events.parquet", "ts")
+      val byManifest = graft.io.Tables.rangeScan(spark, dir, "events", from, till)
+        .select("ts", "value")
+      val mRows = byManifest.collect().length
+      val mFiles = byManifest.inputFiles.length
+      println(s"""{"probe":"manifest_vs_footer","files":$files,""" +
+        s""""footer_files_read":$fFiles,"manifest_files_read":$mFiles,""" +
+        s""""footer_rows":$fRows,"manifest_rows":$mRows}""")
+      assert(mRows == fRows, s"manifest pruning changed results: $mRows vs $fRows")
+      assert(mFiles <= fFiles, s"manifest kept MORE files than footers: $mFiles > $fFiles")
+    }
+
     // the actual ingest API end-to-end: Tables.load (range shuffle +
     // within-file sort, normalized int64-ns ts) then rangeScan over the
     // loaded table — this is the engine's 100 TB read path

@@ -887,15 +887,31 @@ object SparkEntry {
       val cut = 1704500000000000000L
       Tables.load(ev.filter(col("ts") < cut), path, Seq("event_type"), "ts")
       Tables.append(ev, path, "ts", lit(cut))
+      // PARTITION-SCOPED compact folds ONLY the appended batch back into
+      // the layout; the load-layout files must be carried over by rename —
+      // same names, same byte counts, never rewritten (the 100 TB
+      // maintenance shape: work proportional to the APPEND, not the
+      // table). Fail-loud asserted in-query against the manifest, like
+      // q_asof_bucketed asserts its zero-Exchange plan.
+      val pre = Tables.manifest(s, path).getOrElse(
+        sys.error("load+append must leave a ts manifest"))
+      val coldPre = pre.files.filter(_.loaded).map(e => (e.name, e.bytes)).toSet
+      require(pre.files.exists(!_.loaded),
+        "append must register hot (unloaded) files in the manifest")
+      val (nb, na) = Tables.compactIncremental(s, path, Seq("event_type"), "ts")
+      val post = Tables.manifest(s, path).getOrElse(
+        sys.error("compactIncremental must rewrite the manifest"))
+      val postSet = post.files.map(e => (e.name, e.bytes)).toSet
+      require(coldPre.subsetOf(postSet),
+        s"cold load-layout files must survive the incremental compact " +
+          s"untouched; missing: ${coldPre -- postSet}")
+      require(post.files.forall(_.loaded),
+        "after compact every file belongs to the established layout")
+      // deleteRange then rewrites the remaining rows (a full-table
+      // operation by nature); the readback aggregate the oracle
+      // reproduces is unchanged by every layout step above
       Tables.deleteRange(s, path, "ts",
         lit(1704672000000000000L), lit(1704758400000000000L))
-      // compact folds the load+append+delete file sets back into the
-      // clustered load layout — a pure rewrite, so the readback aggregate
-      // the oracle reproduces must be unchanged; compacted=true asserts
-      // the invariant that holds in EVERY environment: a valid layout
-      // whose file count never grew (at 1 configured core each stage may
-      // write a single file, so strict reduction would be env-dependent)
-      val (nb, na) = Tables.compact(s, path, Seq("event_type"), "ts")
       val scratch = path + "_scratch"
       Tables.load(ev.limit(10), scratch, Seq(), "ts")
       Tables.truncate(s, scratch)

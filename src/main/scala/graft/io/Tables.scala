@@ -1,8 +1,29 @@
 package graft.io
 
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, TimestampType}
+
+/** One data file's recorded ts range in the table manifest: epoch-ns
+  * bounds (None when the file had no usable stats — such a file is KEPT
+  * by every pruning decision), and whether the file belongs to the
+  * established load layout (`loaded=true`) or was appended since
+  * (`loaded=false` — the set [[Tables.compactIncremental]] folds).
+  */
+case class TsFileEntry(name: String, bytes: Long, minNs: Option[Long],
+                       maxNs: Option[Long], loaded: Boolean)
+
+/** The table's ts min/max manifest — a `_graft_manifest.json` sidecar
+  * inside the table directory (underscore-prefixed: Spark's parquet
+  * reader ignores it as data). Written at load/compact/delete, extended
+  * at append; lets readers prune files WITHOUT per-file footer RPCs and
+  * lets incremental compact know which files the load layout owns. A
+  * manifest is advisory: every consumer first checks it against the live
+  * listing (names + sizes) and falls back to footer reads — or a full
+  * rewrite — when they disagree (e.g. a foreign writer touched the dir).
+  */
+case class TsManifest(version: Int, ts: String, files: Seq[TsFileEntry])
 
 /** Table lifecycle over Parquet — the Spark equivalents of the reference's
   * load / append / delete / truncate generated functions
@@ -178,11 +199,15 @@ object Tables {
                 fromNs: Long, tillNs: Long): DataFrame = {
     val raw = readRaw(spark, sfDir, name)
     val dt = raw.schema("ts").dataType
-    val base = dt match {
+    // engine-written layouts carry a ts manifest: file-level pruning from
+    // ONE sidecar read instead of O(files) driver footer RPCs — and it
+    // works for every ts encoding, not only the NTZ special case
+    val base = manifestPrunedRead(spark, s"$sfDir/$name.parquet", raw.schema,
+      fromNs, tillNs).getOrElse(dt match {
       case TimestampNTZType =>
         ntzPrunedRead(spark, s"$sfDir/$name.parquet", raw.schema, fromNs, tillNs)
       case _ => raw
-    }
+    })
     normalizeNsTs(base.filter(col("ts") >= tsLit(fromNs, dt) &&
       col("ts") < tsLit(tillNs, dt)))
   }
@@ -216,31 +241,11 @@ object Tables {
     val parts =
       if (st.isFile) listing
       else listing.filter(s => s.isFile && isDataFile(s.getPath.getName))
-    // NTZ parquet stats are INT64 epoch-µs; ns bounds are exact ×1000
-    def overlaps(p: org.apache.hadoop.fs.Path): Boolean = {
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      try {
-        val blocks = reader.getFooter.getBlocks.asScala
-        val bounds = blocks.map { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == "ts")
-            .map(_.getStatistics) match {
-            case Some(s) if s != null && s.hasNonNullValue && !s.isEmpty =>
-              (s.genericGetMin, s.genericGetMax) match {
-                case (mn: java.lang.Long, mx: java.lang.Long) =>
-                  Some((mn.longValue, mx.longValue))
-                case _ => None // unexpected physical type: keep
-              }
-            case _ => None // no usable stats: keep
-          }
-        }
-        bounds.exists(_.isEmpty) || bounds.isEmpty || {
-          val mins = bounds.map(_.get._1)
-          val maxs = bounds.map(_.get._2)
-          maxs.max * 1000L >= fromNs && mins.min * 1000L < tillNs
-        }
-      } finally reader.close()
-    }
+    // files without usable stats are kept (pruning never changes results)
+    def overlaps(p: Path): Boolean =
+      tsFileStatsNs(p, conf, "ts").forall { case (mn, mx) =>
+        mx >= fromNs && mn < tillNs
+      }
     val kept = {
       import scala.collection.parallel.CollectionConverters._
       parts.toSeq.par.filter(s => overlaps(s.getPath)).seq
@@ -261,6 +266,174 @@ object Tables {
   private def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")
 
+  // ---- ts min/max manifest -------------------------------------------
+
+  private val ManifestName = "_graft_manifest.json"
+
+  /** One file's ts column stats in epoch-NS, merged across row groups.
+    * The conversion factor comes from the parquet logical annotation —
+    * TIMESTAMP(MICROS/MILLIS/NANOS) scale to ns exactly; a plain INT64
+    * ts is the engine's own epoch-ns convention and passes through.
+    * None when the column is missing, non-INT64 (e.g. INT96, which has
+    * no usable min/max), an unknown annotation, or any row group lacks
+    * stats — callers must KEEP such files in every pruning decision.
+    */
+  private def tsFileStatsNs(p: Path, conf: org.apache.hadoop.conf.Configuration,
+                            ts: String): Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val factor: Option[Long] = schema.getFields.asScala.find(_.getName == ts)
+        .filter(_.isPrimitive).map(_.asPrimitiveType)
+        .filter(_.getPrimitiveTypeName == PrimitiveTypeName.INT64)
+        .flatMap { pt =>
+          pt.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.NANOS => Some(1L)
+                case LogicalTypeAnnotation.TimeUnit.MICROS => Some(1000L)
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(1000000L)
+                case _ => None
+              }
+            case null => Some(1L) // plain int64: the engine's epoch-ns
+            case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => Some(1L)
+            case _ => None
+          }
+        }
+      factor.flatMap { f =>
+        val bounds = reader.getFooter.getBlocks.asScala.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == ts)
+            .map(_.getStatistics) match {
+            case Some(s) if s != null && s.hasNonNullValue && !s.isEmpty =>
+              (s.genericGetMin, s.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some((mn.longValue * f, mx.longValue * f))
+                case _ => None
+              }
+            case _ => None
+          }
+        }
+        if (bounds.isEmpty || bounds.exists(_.isEmpty)) None
+        else Some((bounds.map(_.get._1).min, bounds.map(_.get._2).max))
+      }
+    } finally reader.close()
+  }
+
+  /** Footer-scan `files` into manifest entries (driver-side, parallelized
+    * — paid ONCE at write time so reads never repeat it).
+    */
+  private def scanEntries(conf: org.apache.hadoop.conf.Configuration,
+                          ts: String, files: Seq[FileStatus],
+                          loaded: Boolean): Seq[TsFileEntry] = {
+    import scala.collection.parallel.CollectionConverters._
+    files.par.map { s =>
+      val st = scala.util.Try(tsFileStatsNs(s.getPath, conf, ts)).toOption.flatten
+      TsFileEntry(s.getPath.getName, s.getLen, st.map(_._1), st.map(_._2), loaded)
+    }.seq
+  }
+
+  private implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
+
+  private def writeManifestFile(fs: FileSystem, dir: Path, m: TsManifest): Unit = {
+    val tmp = new Path(dir, ManifestName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(org.json4s.jackson.Serialization.write(m)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(dir, ManifestName)
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) sys.error(s"cannot install manifest at $target")
+  }
+
+  /** (Re)generate the manifest from the directory's current data files —
+    * every file becomes part of the established layout (`loaded=true`).
+    * Called after load/compact/delete rewrites; also the adoption path
+    * for a FOREIGN parquet directory (one footer pass now buys every
+    * future rangeScan manifest-level pruning there too). Footer-scan
+    * failures on individual files degrade to stat-less entries, never to
+    * a write failure: the manifest is an accelerator, not a gate.
+    */
+  def writeManifest(spark: SparkSession, path: String, ts: String): Unit = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hp)
+      .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+    val entries = scanEntries(spark.sparkContext.hadoopConfiguration, ts, files,
+      loaded = true)
+    writeManifestFile(fs, hp, TsManifest(1, ts, entries))
+  }
+
+  /** Read-only view of a table's ts manifest — None when absent or
+    * unreadable. Callers must treat it as advisory (see [[TsManifest]]).
+    */
+  def manifest(spark: SparkSession, path: String): Option[TsManifest] = {
+    val hp = new Path(path)
+    readManifest(hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  private def readManifest(fs: FileSystem, dir: Path): Option[TsManifest] = {
+    val p = new Path(dir, ManifestName)
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      org.json4s.jackson.Serialization.read[TsManifest](text)
+    }.toOption
+  }
+
+  /** The manifest is trusted only when it describes EXACTLY the live data
+    * files (same names, same sizes) — anything else means a foreign
+    * writer touched the directory and the manifest is stale.
+    */
+  private def manifestConsistent(m: TsManifest, files: Seq[FileStatus]): Boolean = {
+    val live = files.map(s => (s.getPath.getName, s.getLen)).toSet
+    val rec = m.files.map(e => (e.name, e.bytes)).toSet
+    live == rec
+  }
+
+  /** File-level ts pruning from the manifest sidecar: one small metadata
+    * read replaces the O(files) driver footer pass, for ANY ts encoding.
+    * Returns None when there is no trustworthy manifest (absent, stale,
+    * mismatched ts column, or a nested layout) — callers fall back to
+    * footer- or scan-level pruning. Entries without stats are kept.
+    */
+  private def manifestPrunedRead(spark: SparkSession, path: String,
+                                 schema: StructType,
+                                 fromNs: Long, tillNs: Long): Option[DataFrame] = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp) || fs.getFileStatus(hp).isFile) return None
+    readManifest(fs, hp).filter(_.ts == "ts").flatMap { m =>
+      val files = fs.listStatus(hp)
+        .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+      if (!manifestConsistent(m, files)) None
+      else {
+        val kept = m.files.filter { e =>
+          (e.minNs, e.maxNs) match {
+            case (Some(mn), Some(mx)) => mx >= fromNs && mn < tillNs
+            case _ => true
+          }
+        }
+        Some(
+          if (kept.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else {
+            val df = spark.read.schema(schema)
+              .parquet(kept.map(e => new Path(hp, e.name).toString): _*)
+            // same undersized-source re-split as readRaw, on the KEPT bytes
+            val target = sizedPartsForBytes(spark, kept.map(_.bytes).sum)
+            if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+          })
+      }
+    }
+  }
+
   /** TABLE_load: ingest range-clustered and sorted by (keys, ts) — the
     * reference's `order by <timestamp>` load (imcs.c:4265), which pays a
     * B-tree build per column at ingest so that range scans descend instead
@@ -274,8 +447,13 @@ object Tables {
     * and pruning is a no-op, precisely the layouts that break at 100 TB.
     * Single-partition frames skip the shuffle (nothing to cluster).
     */
-  def load(df: DataFrame, path: String, keys: Seq[String], ts: String): Unit =
+  def load(df: DataFrame, path: String, keys: Seq[String], ts: String): Unit = {
     writeClustered(df, path, (keys :+ ts).map(col), df.rdd.getNumPartitions)
+    // the load layout's ts manifest: one footer pass at write time buys
+    // every future rangeScan its file pruning without driver footer RPCs,
+    // and records the layout-membership compactIncremental folds against
+    writeManifest(df.sparkSession, path, ts)
+  }
 
   /** The load layout writer: range-cluster into `parts` files (skipped
     * when there is nothing to cluster), sort within each, write.
@@ -308,19 +486,16 @@ object Tables {
     */
   def compact(spark: SparkSession, path: String, keys: Seq[String], ts: String,
               targetBytes: Long = 128L << 20): (Int, Int) = {
-    val hp = new org.apache.hadoop.fs.Path(path)
+    val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
-    // crash recovery: a previous compact that died mid-swap left the
-    // table moved aside — put it back before anything else
-    if (!fs.exists(hp) && fs.exists(old) && !fs.rename(old, hp))
-      sys.error(s"compact: cannot recover $old back to $path")
-    def dataFiles(p: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+    recoverCompact(fs, path)
+    def dataFiles(p: Path): Array[FileStatus] =
       fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath.getName))
     val before = dataFiles(hp)
     val bytes = before.map(_.getLen).sum
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    val old = new Path(path + ".compact.old")
+    val tmp = new Path(path + ".compact.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     writeClustered(spark.read.parquet(path), tmp.toString,
       (keys :+ ts).map(col), parts)
@@ -336,6 +511,129 @@ object Tables {
         (if (restored) "original restored" else s"ORIGINAL LEFT AT $old"))
     }
     fs.delete(old, true)
+    writeManifest(spark, path, ts)
+    (before.length, dataFiles(hp).length)
+  }
+
+  /** Crash recovery shared by [[compact]] and [[compactIncremental]] —
+    * run at entry, before any new work:
+    *  - a COMMIT MARKER (`path + ".compact.commit"`) means an incremental
+    *    compact was fully staged and must roll FORWARD: finish moving the
+    *    marker's cold files into the staged dir, complete the two-rename
+    *    swap, clean up (every step idempotent);
+    *  - a staged tmp dir WITHOUT a marker is uncommitted garbage — delete;
+    *  - a missing live dir with a `.compact.old` sibling is the legacy
+    *    full-compact mid-swap crash — move the original back.
+    */
+  private def recoverCompact(fs: FileSystem, path: String): Unit = {
+    val hp = new Path(path)
+    val old = new Path(path + ".compact.old")
+    val tmp = new Path(path + ".compact.tmp")
+    val marker = new Path(path + ".compact.commit")
+    if (fs.exists(marker)) {
+      val coldNames: Seq[String] = scala.util.Try {
+        val in = fs.open(marker)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        org.json4s.jackson.Serialization.read[Seq[String]](text)
+      }.getOrElse(Seq.empty)
+      if (fs.exists(tmp)) {
+        coldNames.foreach { n =>
+          val src = new Path(hp, n)
+          val dst = new Path(tmp, n)
+          if (fs.exists(src) && !fs.exists(dst) && !fs.rename(src, dst))
+            sys.error(s"compact recovery: cannot move cold file $src to $dst")
+        }
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(hp) && !fs.rename(hp, old))
+          sys.error(s"compact recovery: cannot move $path aside")
+        if (!fs.rename(tmp, hp))
+          sys.error(s"compact recovery: cannot install staged layout at $path")
+        fs.delete(old, true)
+      } else {
+        // the swap completed before the crash — only cleanup remained
+        if (fs.exists(old)) fs.delete(old, true)
+      }
+      fs.delete(marker, false)
+    } else {
+      if (fs.exists(tmp)) fs.delete(tmp, true) // uncommitted staging
+      if (!fs.exists(hp) && fs.exists(old) && !fs.rename(old, hp))
+        sys.error(s"compact: cannot recover $old back to $path")
+    }
+  }
+
+  /** Partition-scoped compact: fold ONLY the files appended since the
+    * load layout was last established (`loaded=false` in the manifest)
+    * into clustered files; the cold load-layout files are carried over by
+    * RENAME — metadata operations, bytes untouched, names and lengths
+    * preserved. This is the 100 TB maintenance shape: the reference never
+    * pays a full rewrite because its B-tree pages absorb appends in place
+    * (btree.c:644-745), and a petabyte table cannot re-cluster wholesale
+    * every cycle — steady-state work here is proportional to the APPENDED
+    * data, not the table. Appends only land at/above the stored ts tail
+    * (the [[append]] guard), so folding them alone preserves the global
+    * range-disjointness pruning needs.
+    *
+    * Crash safety: the folded files AND the new manifest are fully staged
+    * in a tmp dir first; a commit marker listing the cold files is then
+    * written (the roll-forward point — see [[recoverCompact]]); cold
+    * files move into the staging dir by rename; the same two-rename swap
+    * as [[compact]] installs it. A crash anywhere is recovered at the
+    * next compact entry — backward before the marker, forward after.
+    *
+    * Falls back to the full [[compact]] when there is no trustworthy
+    * manifest (absent, stale, or foreign files present). Returns
+    * (filesBefore, filesAfter); a table with nothing appended is a no-op.
+    */
+  def compactIncremental(spark: SparkSession, path: String, keys: Seq[String],
+                         ts: String, targetBytes: Long = 128L << 20): (Int, Int) = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompact(fs, path)
+    def dataFiles(p: Path): Array[FileStatus] =
+      fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath.getName))
+    val before = dataFiles(hp).toSeq
+    val mOpt = readManifest(fs, hp).filter(_.ts == ts)
+      .filter(manifestConsistent(_, before))
+    if (mOpt.isEmpty) return compact(spark, path, keys, ts, targetBytes)
+    val m = mOpt.get
+    val hot = m.files.filterNot(_.loaded)
+    if (hot.isEmpty) return (before.length, before.length)
+    val cold = m.files.filter(_.loaded)
+    val bytes = hot.map(_.bytes).sum
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new Path(path + ".compact.tmp")
+    val marker = new Path(path + ".compact.commit")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writeClustered(
+      spark.read.parquet(hot.map(e => new Path(hp, e.name).toString): _*),
+      tmp.toString, (keys :+ ts).map(col), parts)
+    // stage the NEW manifest alongside the folded files: cold entries
+    // carry over verbatim, folded output is footer-scanned once — after
+    // the swap everything is the established layout again
+    val foldedEntries = scanEntries(spark.sparkContext.hadoopConfiguration, ts,
+      dataFiles(tmp).toSeq, loaded = true)
+    writeManifestFile(fs, tmp,
+      TsManifest(1, ts, cold.map(_.copy(loaded = true)) ++ foldedEntries))
+    // COMMIT: from here recovery rolls forward
+    val out = fs.create(marker, true)
+    try out.write(org.json4s.jackson.Serialization.write(cold.map(_.name))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    cold.foreach { e =>
+      val src = new Path(hp, e.name)
+      if (!fs.rename(src, new Path(tmp, e.name)))
+        sys.error(s"compactIncremental: cannot move cold file $src into staging")
+    }
+    val old = new Path(path + ".compact.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(hp, old))
+      sys.error(s"compactIncremental: cannot move $path aside")
+    if (!fs.rename(tmp, hp))
+      sys.error(s"compactIncremental: cannot install folded layout at $path " +
+        s"(recoverable: rerun compact — the commit marker rolls forward)")
+    fs.delete(old, true)
+    fs.delete(marker, false)
     (before.length, dataFiles(hp).length)
   }
 
@@ -372,8 +670,27 @@ object Tables {
     // only above the stored tail, so batches are disjoint in ts across
     // time — clustering WITHIN the batch keeps each new file's ts min/max
     // tight instead of spanning the whole batch from round-robin input
+    val hp = new Path(path)
+    def listing(): Seq[FileStatus] =
+      if (fs.exists(hp))
+        fs.listStatus(hp).filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+      else Seq.empty
+    val preFiles = listing()
     writeClustered(incoming, path, Seq(col(ts)),
       incoming.rdd.getNumPartitions, SaveMode.Append)
+    // extend the manifest with the batch's files as loaded=false (the set
+    // compactIncremental folds). A manifest that no longer matches the
+    // pre-append listing is stale (foreign writer) — drop it rather than
+    // compound the lie; readers and compact fall back gracefully.
+    readManifest(fs, hp).filter(_.ts == ts).foreach { m =>
+      if (manifestConsistent(m, preFiles)) {
+        val preNames = preFiles.map(_.getPath.getName).toSet
+        val fresh = listing().filterNot(s => preNames(s.getPath.getName))
+        val entries = scanEntries(spark.sparkContext.hadoopConfiguration, ts,
+          fresh, loaded = false)
+        writeManifestFile(fs, hp, m.copy(files = m.files ++ entries))
+      } else fs.delete(new Path(hp, ManifestName), false)
+    }
   }
 
   /** TABLE_delete(from, till): inclusive range delete by timestamp
@@ -394,6 +711,9 @@ object Tables {
     val p = new org.apache.hadoop.fs.Path(path)
     fs.delete(p, true)
     fs.rename(new org.apache.hadoop.fs.Path(path + "__tmp"), p)
+    // the rewrite replaced every file: regenerate the manifest (all files
+    // are the established layout now)
+    writeManifest(spark, path, ts)
   }
 
   /** TABLE_truncate (imcs--1.1.sql:105-115). */

@@ -64,6 +64,117 @@ class TablesSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 41)
   }
 
+  private def dataFiles(path: String): Seq[java.io.File] =
+    new java.io.File(path).listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .toSeq.sortBy(_.getName)
+
+  private def md5(f: java.io.File): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(f.toPath))
+      .map("%02x".format(_)).mkString
+
+  test("compactIncremental folds appends; cold load files stay byte-identical") {
+    val path = tmp("inc")
+    Tables.load((0L until 2000L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    val coldBefore = dataFiles(path).map(f => (f.getName, f.length, md5(f)))
+    assert(coldBefore.nonEmpty)
+    for (b <- 1 to 3) {
+      val lo = 2000L + b * 100L
+      Tables.append((lo until lo + 100L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+        path, "ts", lit(lo))
+    }
+    val m = Tables.manifest(spark, path).get
+    assert(m.files.count(!_.loaded) > 0, "appends must register as hot")
+    assert(m.files.count(_.loaded) == coldBefore.size)
+    val expect = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val (nb, na) = Tables.compactIncremental(spark, path, Seq(), "ts")
+    assert(na < nb, s"appended file sets must fold: $nb -> $na")
+    // THE incremental contract: untouched cold files — same names, same
+    // lengths, same bytes (carried by rename, never rewritten)
+    val after = dataFiles(path).map(f => (f.getName, f.length, md5(f)))
+    coldBefore.foreach { c =>
+      assert(after.contains(c), s"cold file $c was rewritten or lost")
+    }
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == expect, "layout maintenance must never change data")
+    val m2 = Tables.manifest(spark, path).get
+    assert(m2.files.forall(_.loaded), "post-compact everything is the layout")
+    assert(m2.files.size == after.size)
+    // further appends still work on the folded layout
+    Tables.append(Seq((9000L, 1.0)).toDF("ts", "v"), path, "ts", lit(9000L))
+    assert(Tables.manifest(spark, path).get.files.count(!_.loaded) == 1)
+  }
+
+  test("compactIncremental with nothing appended is a no-op") {
+    val path = tmp("inc_noop")
+    Tables.load((0L until 500L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    val before = dataFiles(path).map(f => (f.getName, f.length, md5(f)))
+    val (nb, na) = Tables.compactIncremental(spark, path, Seq(), "ts")
+    assert(nb == na)
+    assert(dataFiles(path).map(f => (f.getName, f.length, md5(f))) == before)
+  }
+
+  test("compactIncremental without a manifest falls back to the full rewrite") {
+    val path = tmp("inc_fallback")
+    Tables.load((0L until 100L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    Tables.append((100L until 200L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, "ts", lit(100L))
+    // simulate a legacy / foreign-managed dir: no manifest
+    new java.io.File(path, "_graft_manifest.json").delete()
+    val (_, na) = Tables.compactIncremental(spark, path, Seq(), "ts")
+    assert(na >= 1)
+    assert(spark.read.parquet(path).count() == 200)
+    // the full rewrite re-establishes the manifest for next time
+    assert(Tables.manifest(spark, path).exists(_.files.forall(_.loaded)))
+  }
+
+  test("a stray uncommitted staging dir is cleaned up, not installed") {
+    val path = tmp("inc_stray")
+    Tables.load((0L until 100L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    Tables.append(Seq((100L, 1.0)).toDF("ts", "v"), path, "ts", lit(100L))
+    val stray = new java.io.File(path + ".compact.tmp")
+    stray.mkdirs()
+    java.nio.file.Files.write(new java.io.File(stray, "garbage.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    Tables.compactIncremental(spark, path, Seq(), "ts")
+    assert(!stray.exists(), "uncommitted staging (no marker) must be deleted")
+    assert(spark.read.parquet(path).count() == 101)
+  }
+
+  test("rangeScan prunes files via the manifest (no footer pass, any encoding)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_scan")
+    dir.toFile.deleteOnExit()
+    val day = 86400000000000L
+    // 30 "days" of int64-ns data, range-clustered at load into many files
+    val rows = (0L until 3000L).map(i => (i * day / 100L, i * 1.0))
+    Tables.load(rows.toDF("ts", "v").repartition(10), s"$dir/t.parquet", Seq(), "ts")
+    val all = dataFiles(s"$dir/t.parquet")
+    assert(all.size > 3, s"need a multi-file layout, got ${all.size}")
+    val scanned = Tables.rangeScan(spark, dir.toString, "t", 10 * day, 11 * day)
+    assert(scanned.inputFiles.length < all.size,
+      s"manifest pruning must drop non-overlapping files " +
+        s"(read ${scanned.inputFiles.length} of ${all.size})")
+    val expect = rows.filter(r => r._1 >= 10 * day && r._1 < 11 * day).sortBy(_._1)
+    val got = scanned.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.toSeq == expect)
+    // a stale manifest (size mismatch) disables pruning but never breaks reads
+    val mf = new java.io.File(s"$dir/t.parquet", "_graft_manifest.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    java.nio.file.Files.write(mf.toPath,
+      txt.replaceFirst("\"bytes\":\\d+", "\"bytes\":1").getBytes("UTF-8"))
+    val fallback = Tables.rangeScan(spark, dir.toString, "t", 10 * day, 11 * day)
+    val got2 = fallback.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got2.toSeq == expect)
+  }
+
   test("compact at a small targetBytes keeps files range-disjoint in ts") {
     val path = tmp("compact_rs")
     Tables.load((0L until 4000L).map(i => (i, i * 1.0)).toDF("ts", "v"),
