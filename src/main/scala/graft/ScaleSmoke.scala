@@ -282,6 +282,33 @@ object ScaleSmoke {
         .agg(count(lit(1)), sum("value"))
         .write.format("noop").mode("overwrite").save()
     }
+    // compact at scale (round 9): same ×factor events layout; append a
+    // small batch above the tail, then A/B the maintenance cost.
+    // compactIncremental's wall must track the APPEND (fold the batch +
+    // rename the cold files); the full compact re-clusters the whole
+    // table. The ratio is the 100 TB claim measured: steady-state
+    // maintenance ∝ appended data, not table size.
+    run("compact: incremental (small append) vs full") {
+      val path = s"$work/events.parquet"
+      tableGetFrom // ensure the loaded layout + manifest exist
+      val mx = spark.read.parquet(path).agg(max("ts")).head().getLong(0)
+      def appendBatch(offset: Long): Unit = {
+        val batch = graft.io.Tables.read(spark, "/root/testdata/sf0.1", "events")
+          .filter(col("event_id") % 20 === 0) // 5k rows regardless of ×factor
+          .withColumn("ts", lit(mx + offset) + (col("event_id") % 1000000L))
+        graft.io.Tables.append(batch, path, "ts", lit(0L))
+      }
+      appendBatch(1L)
+      val (ib, ia) = time("  compactIncremental (folds the batch)") {
+        graft.io.Tables.compactIncremental(spark, path, Seq(), "ts")
+      }
+      println(s"  incremental files: $ib -> $ia")
+      appendBatch(2000000L)
+      val (fb, fa) = time("  full compact (re-clusters everything)") {
+        graft.io.Tables.compact(spark, path, Seq(), "ts")
+      }
+      println(s"  full files: $fb -> $fa")
+    }
     spark.stop()
   }
 }

@@ -20,8 +20,11 @@ case class FuzzProgram(seed: Long, desc: String,
   * The gated queries in [[graft.SparkEntry]] are fixed shapes and the
   * property specs cover single operators; this generator composes random
   * pipelines — filter → window → cum → diff/norm/rank/crossings →
-  * as-of/stretch/cs_if/win-group → top-k/grid/group-agg
-  * over random key sets (including the keyless ranged-scan paths) and
+  * as-of (window form AND the custom merge exec)/stretch/cs_if/win-group →
+  * top-k/grid/group-agg/hash-dup/histogram/quantile/HLL/cs_hash aggregates
+  * over random key sets (including the keyless ranged-scan paths), four
+  * source layouts (plain, rangeScan slice, union-of-slices, bucketed
+  * catalog table) and
   * NULL-injected value columns — and renders each into DuckDB SQL with the
   * semantics each graft path documents (keyed paths use SQL window
   * aggregates; keyless paths use the reference's naive var formula,
@@ -134,6 +137,23 @@ object FuzzGen {
       })
   }
 
+  /** eventsBase served from a BUCKETED catalog table (loadBucketedIfAbsent:
+    * bucketBy user_id, one sorted file per bucket, sort-order propagation
+    * on) — fuzzes every downstream pipeline over the zero-shuffle layout
+    * q_asof_bucketed gates, so bucket pruning / order-propagation bugs
+    * surface as differential mismatches, not just plan-shape regressions.
+    * The SQL side is unchanged: bucketing is layout, never semantics.
+    */
+  private def bucketedEventsBase: FuzzBase = eventsBase.copy(
+    label = "events_bucketed",
+    srcSpark = (s, sf) => {
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val name = "g_fuzz_bkt_" + java.lang.Integer.toHexString(sf.hashCode)
+      graft.io.Tables.loadBucketedIfAbsent(
+        eventsBase.srcSpark(s, sf), name, Seq("user_id"), 8, sortCols = Seq("ts"))
+      s.table(name)
+    })
+
   private def lineitemBase(seed: Long): FuzzBase = {
     // seed arithmetic, not rnd.nextBoolean(): java.util.Random's first
     // draw is heavily correlated across sequential seeds (a 100-seed
@@ -185,16 +205,19 @@ object FuzzGen {
     // programs keep the exact pre-lineitem draw stream, so pinned
     // regression seeds replay the same programs (with BASE=events).
     val base: FuzzBase = baseOverride match {
-      case Some("lineitem")      => lineitemBase(seed)
-      case Some("events_slice")  => eventsSliceBase(seed)
-      case Some("events_concat") => eventsConcatBase(seed)
-      case Some(_)               => eventsBase
-      // events seeds split plain / rangeScan-sliced / two-slice concat;
-      // pinned seeds from before a mapping change replay via BASE override
+      case Some("lineitem")        => lineitemBase(seed)
+      case Some("events_slice")    => eventsSliceBase(seed)
+      case Some("events_concat")   => eventsConcatBase(seed)
+      case Some("events_bucketed") => bucketedEventsBase
+      case Some(_)                 => eventsBase
+      // events seeds split plain / rangeScan-sliced / two-slice concat /
+      // bucketed-layout; pinned seeds from before a mapping change replay
+      // via BASE override
       case None =>
         if (seed % 5 >= 3) lineitemBase(seed)
         else if (seed % 10 == 2 || seed % 10 == 7) eventsSliceBase(seed)
         else if (seed % 10 == 6) eventsConcatBase(seed)
+        else if (seed % 10 == 1) bucketedEventsBase
         else eventsBase
     }
     val EventTypes = base.types
@@ -629,6 +652,39 @@ object FuzzGen {
       desc ++= s" | asofTol($tol right=$rtype)"
     }
 
+    def asofExecStage(tag: String): Unit = { // as-of via the CUSTOM OPERATOR
+      // keyed → AsofMergeJoinExec (two-cursor merge); keyless → the ranged
+      // carry-forward scan (hi/lo lanes). The right side filters NULL
+      // values BEFORE grouping so rv is never NULL — there row-carry and
+      // the window form's skip-NULL contract coincide, and DuckDB's ASOF
+      // (row-carry) renders both exactly.
+      val dirn = if (rnd.nextBoolean()) -1 else 1
+      val incl = rnd.nextBoolean()
+      val rtype = EventTypes(rnd.nextInt(EventTypes.size))
+      val out = s"${tag}_xasof"
+      xforms :+= ((df: DataFrame, s: SparkSession, sf: String) => {
+        val r0 = base.srcSpark(s, sf)
+          .filter(col("event_type") === rtype && col("value").isNotNull)
+          .groupBy((keys :+ "ts").map(col): _*)
+          .agg(max(col("value")).as("rv"))
+        graft.plans.AsofMerge.asofJoinDir(df, r0, keys, "ts",
+          Seq("rv"), Seq(out), dirn, incl)
+      })
+      val cmp =
+        if (dirn == -1) { if (incl) ">=" else ">" }
+        else { if (incl) "<=" else "<" }
+      depth += 1
+      val rsel = (keys.map(q) :+ "ts AS rts").mkString(", ")
+      val rsql = s"""SELECT $rsel, max("value") AS rv FROM (${base.srcSql}) be """ +
+        s"""WHERE event_type = '$rtype' AND "value" IS NOT NULL """ +
+        s"""GROUP BY ${(1 to keys.size + 1).mkString(", ")}"""
+      val keyEq = keys.map(k => s"l.${q(k)} = r.${q(k)} AND ").mkString
+      sql = s"SELECT ${cols.map(c => "l." + q(c)).mkString(", ")}, r.rv AS ${q(out)} " +
+        s"FROM ($sql) l ASOF LEFT JOIN ($rsql) r ON ${keyEq}l.${q("ts")} $cmp r.rts"
+      cols :+= out
+      desc ++= s" | asofExec(dir=$dirn incl=$incl right=$rtype)"
+    }
+
     def equiJoinStage(tag: String): Unit = {
       val rtype = EventTypes(rnd.nextInt(EventTypes.size))
       val out = s"${tag}_eq"
@@ -788,6 +844,55 @@ object FuzzGen {
       desc ++= s" | quantile($qn)"
     }
 
+    def csHashAggStage(): Unit = { // terminal — the cs_hash_* CUSTOM SQL AGGREGATE
+      // one TypedImperativeAggregate buffer holding the whole map
+      // (sqlext.CsHashAgg), exploded to rows for the diff; sum/avg are
+      // gated on a NULL-free value column (an all-NULL group's membership
+      // in the map is a contract choice the fixed gates pin — the fuzz
+      // oracle states plain GROUP BY semantics)
+      val fn =
+        if (hasNulls) "cs_hash_count"
+        else Vector("cs_hash_sum", "cs_hash_avg", "cs_hash_count")(rnd.nextInt(3))
+      xforms :+= ((df: DataFrame, s: SparkSession, _: String) => {
+        graft.sqlext.GraftFunctions.register(s)
+        val m = if (fn == "cs_hash_count") expr("cs_hash_count(event_type)")
+                else expr(s"""$fn(`value`, event_type)""")
+        df.agg(m.as("__m"))
+          .select(explode(col("__m")).as(Seq("group_val", "agg_val")))
+      })
+      depth += 1
+      val aggE = fn match {
+        case "cs_hash_sum"   => """sum("value")"""
+        case "cs_hash_avg"   => """avg("value")"""
+        case "cs_hash_count" => "count(event_type)"
+      }
+      sql = s"SELECT event_type AS group_val, $aggE AS agg_val " +
+        s"FROM ($sql) t$depth GROUP BY 1"
+      cols = Vector("group_val", "agg_val")
+      desc ++= s" | csHashAgg($fn)"
+    }
+
+    def approxDcStage(): Unit = { // terminal — HLL bounded-error contract
+      // the q_approxdc pattern, tolerance-aware by construction: the exact
+      // distinct count is the hashed output; the HLL estimate only decides
+      // within_tol, so the sketch's probabilistic contract (not its exact
+      // bits) is what random pipelines gate. 0.15 = 3σ of the default
+      // rsd 0.05, same bound the fixed gates use.
+      val dc = if (rnd.nextBoolean()) "user_id" else "event_id"
+      xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
+        df.groupBy(col("event_type")).agg(
+            count_distinct(col(dc)).as("exact_dc"),
+            approx_count_distinct(col(dc)).as("__adc"))
+          .select(col("event_type"), col("exact_dc"),
+            (abs(col("__adc") - col("exact_dc")) / col("exact_dc") < 0.15)
+              .as("within_tol")))
+      depth += 1
+      sql = s"SELECT event_type, count(DISTINCT ${q(dc)}) AS exact_dc, " +
+        s"true AS within_tol FROM ($sql) t$depth GROUP BY 1"
+      cols = Vector("event_type", "exact_dc", "within_tol")
+      desc ++= s" | approxDc($dc)"
+    }
+
     def groupAggStage(): Unit = { // terminal, requires !hasNulls (min_by/arg_min NULL semantics differ)
       xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
         graft.agg.Aggs.groupAgg(df, keys, "event_type", "value"))
@@ -846,6 +951,7 @@ object FuzzGen {
       val tag = s"f$i"
       val enrichers = mutable.ArrayBuffer[() => Unit](
         () => windowAggStage(tag), () => normStage(tag), () => asofStage(tag),
+        () => asofExecStage(tag),
         () => asofTolStage(tag), () => dictRoundtripStage(tag),
         () => uniqueAdjStage(), () => equiJoinStage(tag),
         () => stretchStage(tag), () => csIfStage(tag),
@@ -877,7 +983,8 @@ object FuzzGen {
     if (rnd.nextBoolean()) {
       val terminals = mutable.ArrayBuffer[() => Unit](
         () => topKStage(), () => gridAggStage(), () => histogramStage(),
-        () => hashDupCountStage(), () => quantileStage())
+        () => hashDupCountStage(), () => quantileStage(),
+        () => csHashAggStage(), () => approxDcStage())
       if (!hasNulls) terminals += (() => groupAggStage())
       if (keys.isEmpty) {
         terminals += (() => topKPosStage())
