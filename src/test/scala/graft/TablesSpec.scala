@@ -149,6 +149,72 @@ class TablesSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 101)
   }
 
+  test("crash recovery: a committed mid-swap state rolls FORWARD, no loss or dup") {
+    // Simulate a compactIncremental that died right after writing the
+    // commit marker: the staged dir holds the folded hot data, the live
+    // dir still holds cold + hot, and the marker lists the cold files.
+    // Recovery (at the next compact entry) must finish the job: cold
+    // files move into the staged dir, the swap completes, and the table
+    // reads back exactly cold ∪ folded-hot — nothing lost, nothing twice.
+    val path = tmp("roll")
+    val cold = (0L until 300L).map(i => (i, i * 1.0))
+    val hot = (300L until 400L).map(i => (i, i * 1.0))
+    Tables.load(cold.toDF("ts", "v"), path, Seq(), "ts")
+    val coldNames = dataFiles(path).map(_.getName)
+    // the staged dir: what the fold of the hot batch would have produced —
+    // folded files plus the staged manifest describing the FINAL state
+    // (cold entries carried over + folded entries), exactly what
+    // compactIncremental stages before it writes the marker
+    Tables.load(hot.toDF("ts", "v"), path + ".compact.tmp", Seq(), "ts")
+    Tables.append(hot.toDF("ts", "v"), path, "ts", lit(300L))
+    locally {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      import org.json4s.jackson.Serialization
+      def readM(p: String) = Serialization.read[graft.io.TsManifest](
+        new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(p, "_graft_manifest.json").toPath), "UTF-8"))
+      val merged = readM(path + ".compact.tmp").copy(files =
+        readM(path).files.filter(_.loaded) ++ readM(path + ".compact.tmp").files)
+      java.nio.file.Files.write(
+        new java.io.File(path + ".compact.tmp", "_graft_manifest.json").toPath,
+        Serialization.write(merged).getBytes("UTF-8"))
+      // editing behind Hadoop's back leaves a stale .crc sidecar that
+      // would fail fs.open — the real flow writes through fs.create
+      new java.io.File(path + ".compact.tmp", "._graft_manifest.json.crc").delete()
+    }
+    java.nio.file.Files.write(
+      new java.io.File(path + ".compact.commit").toPath,
+      coldNames.map("\"" + _ + "\"").mkString("[", ",", "]").getBytes("UTF-8"))
+    Tables.compactIncremental(spark, path, Seq(), "ts")
+    assert(!new java.io.File(path + ".compact.commit").exists())
+    assert(!new java.io.File(path + ".compact.tmp").exists())
+    assert(!new java.io.File(path + ".compact.old").exists())
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == (cold ++ hot), "roll-forward must yield cold ∪ folded-hot exactly")
+    // the carried cold files are still the original bytes
+    val after = dataFiles(path).map(_.getName).toSet
+    coldNames.foreach(n => assert(after.contains(n), s"cold $n lost in roll-forward"))
+  }
+
+  test("crash recovery: marker after a completed swap only cleans up") {
+    val path = tmp("rolltail")
+    Tables.load((0L until 100L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    val before = dataFiles(path).map(f => (f.getName, f.length, md5(f)))
+    // crash point: tmp already renamed into place, old + marker left behind
+    val old = new java.io.File(path + ".compact.old")
+    old.mkdirs()
+    java.nio.file.Files.write(new java.io.File(old, "stale.parquet").toPath,
+      Array[Byte](9, 9))
+    java.nio.file.Files.write(new java.io.File(path + ".compact.commit").toPath,
+      "[]".getBytes("UTF-8"))
+    val (nb, na) = Tables.compactIncremental(spark, path, Seq(), "ts")
+    assert(nb == na, "nothing hot — recovery cleanup then no-op")
+    assert(!old.exists() && !new java.io.File(path + ".compact.commit").exists())
+    assert(dataFiles(path).map(f => (f.getName, f.length, md5(f))) == before)
+  }
+
   test("rangeScan prunes files via the manifest (no footer pass, any encoding)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest_scan")
     dir.toFile.deleteOnExit()
@@ -170,6 +236,10 @@ class TablesSpec extends AnyFunSuite {
     val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
     java.nio.file.Files.write(mf.toPath,
       txt.replaceFirst("\"bytes\":\\d+", "\"bytes\":1").getBytes("UTF-8"))
+    // drop the stale Hadoop .crc so the reader sees a PARSEABLE-but-stale
+    // manifest (size mismatch) rather than a checksum failure — the
+    // consistency check, not the parse guard, is what this case pins
+    new java.io.File(s"$dir/t.parquet", "._graft_manifest.json.crc").delete()
     val fallback = Tables.rangeScan(spark, dir.toString, "t", 10 * day, 11 * day)
     val got2 = fallback.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
     assert(got2.toSeq == expect)
