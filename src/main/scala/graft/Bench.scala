@@ -95,18 +95,23 @@ object Bench {
 
   /** Contention self-diagnosis over one attempt. Three independent
     * witnesses:
-    *  (a) the box was already busy when the attempt started (1-min loadavg
-    *      over a quarter of the worker threads before WE did anything);
+    *  (a) the box was already busy BEFORE the bench did any work — the
+    *      caller passes the PRE-BENCH 1-min loadavg snapshot (taken after
+    *      the initial idle wait, before the load phase), the same one for
+    *      every attempt: an attempt-start sample would be dominated by
+    *      the previous attempt's own 32-thread measurement load, so
+    *      retries would self-poison and a clean box could be recorded as
+    *      no_clean_run;
     *  (b) warm-rep spreads far beyond the measured noise floor on MORE
     *      than one query — one outlier can be a stray GC, a pattern is
     *      another tenant;
     *  (c) ONE query whose spread is both large and dwarfs its own min
     *      (extremeWitness) — round 6's actual failure mode.
     */
-  private[graft] def contendedRun(startLoad1m: Double, cpus: Int,
+  private[graft] def contendedRun(preBenchLoad1m: Double, cpus: Int,
                                   results: Seq[QRes]): Boolean = {
     val noisyCount = results.count(r => noisyWitness(r.minT, r.spread))
-    startLoad1m > cpus.toDouble / 4 || noisyCount >= 2 ||
+    preBenchLoad1m > cpus.toDouble / 4 || noisyCount >= 2 ||
       results.exists(r => extremeWitness(r.minT, r.spread))
   }
 
@@ -208,6 +213,11 @@ object Bench {
       .flatMap(_.toIntOption).getOrElse(300).max(0)
     val idleLoad = sys.env.get("SPARK_GRAFT_BENCH_IDLE_LOAD")
       .flatMap(_.toDoubleOption).getOrElse(1.0)
+    // the contention witness (a) must see the box BEFORE the bench's own
+    // work: wait for idle once, snapshot, then pay the load phase. Every
+    // attempt reuses this snapshot (see contendedRun).
+    waitForIdle(() => loadavg().head, idleLoad, idleWaitSec)
+    val preBenchLoad = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -259,7 +269,7 @@ object Bench {
       val endLoad = loadavg()
       val noisyResults = results.filter(r => noisyWitness(r.minT, r.spread))
       val noisy = noisyResults.map(_.name)
-      val contended = contendedRun(startLoad.head, cpus.toInt, results)
+      val contended = contendedRun(preBenchLoad.head, cpus.toInt, results)
       val anyFailed = results.exists(_.failed)
       if (noisy.nonEmpty) System.err.println(
         s"[bench] WARNING: noisy queries (warm spread > 0.3 s absolute, or " +

@@ -250,16 +250,7 @@ object Tables {
       import scala.collection.parallel.CollectionConverters._
       parts.toSeq.par.filter(s => overlaps(s.getPath)).seq
     }
-    if (kept.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else {
-      val df = spark.read.schema(schema).parquet(kept.map(_.getPath.toString): _*)
-      // same undersized-source re-split as readRaw, sized on the KEPT
-      // bytes: without it a pruned single-row-group source runs the whole
-      // downstream query as one task
-      val target = sizedPartsForBytes(spark, kept.map(_.getLen).sum)
-      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-    }
+    readKeptFiles(spark, schema, kept.map(_.getPath.toString), kept.map(_.getLen).sum)
   }
 
   /** Part-file predicate shared by every direct-listing consumer. */
@@ -338,16 +329,51 @@ object Tables {
 
   private implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
 
-  private def writeManifestFile(fs: FileSystem, dir: Path, m: TsManifest): Unit = {
-    val tmp = new Path(dir, ManifestName + ".tmp")
+  /** Atomic small-file write: stage then rename, so neither a reader nor
+    * crash recovery can ever observe a torn file. The commit marker's
+    * roll-FORWARD semantics depend on this — a half-written marker read
+    * as "zero cold files" would let recovery delete the cold layout.
+    */
+  private def writeSmallFileAtomic(fs: FileSystem, target: Path, text: String): Unit = {
+    val tmp = new Path(target.getParent, "." + target.getName + ".staging")
     val out = fs.create(tmp, true)
-    try out.write(org.json4s.jackson.Serialization.write(m)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val target = new Path(dir, ManifestName)
     if (fs.exists(target)) fs.delete(target, false)
-    if (!fs.rename(tmp, target)) sys.error(s"cannot install manifest at $target")
+    if (!fs.rename(tmp, target)) sys.error(s"cannot install $target")
   }
+
+  private def readSmallText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Read exactly `paths` under `schema`, with readRaw's undersized-source
+    * re-split applied to the KEPT bytes; no paths (everything pruned) is
+    * an empty frame. Shared tail of both file-pruning readers.
+    */
+  private def readKeptFiles(spark: SparkSession, schema: StructType,
+                            paths: Seq[String], bytes: Long): DataFrame =
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val df = spark.read.schema(schema).parquet(paths: _*)
+      val target = sizedPartsForBytes(spark, bytes)
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+
+  /** A partition subdirectory (non-hidden child dir) means the layout is
+    * nested: per-file reads would drop directory-encoded columns and
+    * subdir rows, so manifest management refuses it — Spark's own
+    * directory pruning covers those layouts (LayoutSpec).
+    */
+  private def hasPartitionDirs(listing: Seq[FileStatus]): Boolean =
+    listing.exists(s => s.isDirectory && isDataFile(s.getPath.getName))
+
+  private def writeManifestFile(fs: FileSystem, dir: Path, m: TsManifest): Unit =
+    writeSmallFileAtomic(fs, new Path(dir, ManifestName),
+      org.json4s.jackson.Serialization.write(m))
 
   /** (Re)generate the manifest from the directory's current data files —
     * every file becomes part of the established layout (`loaded=true`).
@@ -360,8 +386,12 @@ object Tables {
   def writeManifest(spark: SparkSession, path: String, ts: String): Unit = {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(hp)
-      .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+    val listing = fs.listStatus(hp).toSeq
+    require(!hasPartitionDirs(listing),
+      s"writeManifest: $path holds partition subdirectories — a nested " +
+        "layout cannot be manifest-managed (per-file reads would drop " +
+        "directory-encoded columns); Spark's directory pruning covers it")
+    val files = listing.filter(s => s.isFile && isDataFile(s.getPath.getName))
     val entries = scanEntries(spark.sparkContext.hadoopConfiguration, ts, files,
       loaded = true)
     writeManifestFile(fs, hp, TsManifest(1, ts, entries))
@@ -378,12 +408,9 @@ object Tables {
   private def readManifest(fs: FileSystem, dir: Path): Option[TsManifest] = {
     val p = new Path(dir, ManifestName)
     if (!fs.exists(p)) None
-    else scala.util.Try {
-      val in = fs.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      org.json4s.jackson.Serialization.read[TsManifest](text)
-    }.toOption
+    else scala.util.Try(
+      org.json4s.jackson.Serialization.read[TsManifest](readSmallText(fs, p))
+    ).toOption
   }
 
   /** The manifest is trusted only when it describes EXACTLY the live data
@@ -409,8 +436,12 @@ object Tables {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp) || fs.getFileStatus(hp).isFile) return None
     readManifest(fs, hp).filter(_.ts == "ts").flatMap { m =>
-      val files = fs.listStatus(hp)
-        .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+      val listing = fs.listStatus(hp).toSeq
+      // a nested (partitioned) layout cannot be served by per-file reads
+      // — even a consistent-looking manifest (e.g. empty ↔ empty) would
+      // silently drop every subdir row and partition column
+      if (hasPartitionDirs(listing)) return None
+      val files = listing.filter(s => s.isFile && isDataFile(s.getPath.getName))
       if (!manifestConsistent(m, files)) None
       else {
         val kept = m.files.filter { e =>
@@ -419,17 +450,8 @@ object Tables {
             case _ => true
           }
         }
-        Some(
-          if (kept.isEmpty)
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          else {
-            val df = spark.read.schema(schema)
-              .parquet(kept.map(e => new Path(hp, e.name).toString): _*)
-            // same undersized-source re-split as readRaw, on the KEPT bytes
-            val target = sizedPartsForBytes(spark, kept.map(_.bytes).sum)
-            if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-          })
+        Some(readKeptFiles(spark, schema,
+          kept.map(e => new Path(hp, e.name).toString), kept.map(_.bytes).sum))
       }
     }
   }
@@ -531,30 +553,52 @@ object Tables {
     val tmp = new Path(path + ".compact.tmp")
     val marker = new Path(path + ".compact.commit")
     if (fs.exists(marker)) {
-      val coldNames: Seq[String] = scala.util.Try {
-        val in = fs.open(marker)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        org.json4s.jackson.Serialization.read[Seq[String]](text)
-      }.getOrElse(Seq.empty)
-      if (fs.exists(tmp)) {
-        coldNames.foreach { n =>
-          val src = new Path(hp, n)
-          val dst = new Path(tmp, n)
-          if (fs.exists(src) && !fs.exists(dst) && !fs.rename(src, dst))
-            sys.error(s"compact recovery: cannot move cold file $src to $dst")
-        }
-        if (fs.exists(old)) fs.delete(old, true)
-        if (fs.exists(hp) && !fs.rename(hp, old))
-          sys.error(s"compact recovery: cannot move $path aside")
-        if (!fs.rename(tmp, hp))
-          sys.error(s"compact recovery: cannot install staged layout at $path")
-        fs.delete(old, true)
-      } else {
-        // the swap completed before the crash — only cleanup remained
-        if (fs.exists(old)) fs.delete(old, true)
+      // the marker is written ATOMICALLY (stage+rename), so an unreadable
+      // one means external corruption, not a torn write — and it must
+      // NEVER be read as "zero cold files": rolling forward with an empty
+      // cold list would rename the live dir (cold data and all) aside and
+      // delete it
+      val coldNames: Option[Seq[String]] = scala.util.Try(
+        org.json4s.jackson.Serialization.read[Seq[String]](
+          readSmallText(fs, marker))).toOption
+      coldNames match {
+        case Some(cold) =>
+          if (fs.exists(tmp)) {
+            cold.foreach { n =>
+              val src = new Path(hp, n)
+              val dst = new Path(tmp, n)
+              if (fs.exists(src) && !fs.exists(dst) && !fs.rename(src, dst))
+                sys.error(s"compact recovery: cannot move cold file $src to $dst")
+            }
+            if (fs.exists(old)) fs.delete(old, true)
+            if (fs.exists(hp) && !fs.rename(hp, old))
+              sys.error(s"compact recovery: cannot move $path aside")
+            if (!fs.rename(tmp, hp))
+              sys.error(s"compact recovery: cannot install staged layout at $path")
+            fs.delete(old, true)
+          } else {
+            // the swap completed before the crash — only cleanup remained
+            if (fs.exists(old)) fs.delete(old, true)
+          }
+          fs.delete(marker, false)
+        case None if !fs.exists(hp) && fs.exists(tmp) =>
+          // live→old already happened, which the flow only does AFTER all
+          // cold moves completed — tmp provably holds cold + folded, so
+          // finishing the swap is lossless even without the cold list
+          if (!fs.rename(tmp, hp))
+            sys.error(s"compact recovery: cannot install staged layout at $path")
+          if (fs.exists(old)) fs.delete(old, true)
+          fs.delete(marker, false)
+        case None if fs.exists(hp) && !fs.exists(tmp) =>
+          // swap completed; only cleanup remained
+          if (fs.exists(old)) fs.delete(old, true)
+          fs.delete(marker, false)
+        case None =>
+          sys.error(s"compact recovery: unreadable commit marker $marker " +
+            s"with both $path and its staging dir present — cannot " +
+            "determine which cold files moved; inspect and resolve " +
+            "manually (the marker should hold a JSON list of cold names)")
       }
-      fs.delete(marker, false)
     } else {
       if (fs.exists(tmp)) fs.delete(tmp, true) // uncommitted staging
       if (!fs.exists(hp) && fs.exists(old) && !fs.rename(old, hp))
@@ -615,11 +659,11 @@ object Tables {
       dataFiles(tmp).toSeq, loaded = true)
     writeManifestFile(fs, tmp,
       TsManifest(1, ts, cold.map(_.copy(loaded = true)) ++ foldedEntries))
-    // COMMIT: from here recovery rolls forward
-    val out = fs.create(marker, true)
-    try out.write(org.json4s.jackson.Serialization.write(cold.map(_.name))
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // COMMIT: from here recovery rolls forward. Atomic (stage+rename) so
+    // a crash mid-write cannot leave a torn marker that recovery would
+    // misread as an empty cold list.
+    writeSmallFileAtomic(fs, marker,
+      org.json4s.jackson.Serialization.write(cold.map(_.name)))
     cold.foreach { e =>
       val src = new Path(hp, e.name)
       if (!fs.rename(src, new Path(tmp, e.name)))
@@ -761,25 +805,37 @@ object Tables {
       .saveAsTable(table)
   }
 
-  /** [[loadBucketed]] unless `table` already exists with data on disk —
-    * the repeat-measurement path: bucketed ingest is PAY-ONCE by design,
-    * so a caller re-running the same pipeline (bench warm reps, resumed
+  /** [[loadBucketed]] unless `table` already exists with data on disk AND
+    * the catalog's bucket spec matches the requested one — the
+    * repeat-measurement path: bucketed ingest is PAY-ONCE by design, so a
+    * caller re-running the same pipeline (bench warm reps, resumed
     * sessions over the same warehouse) must not re-pay the ingest shuffle
-    * per run. The caller owns name-keying the table to its inputs (e.g. a
-    * source-dir suffix): an existing table is trusted as-is, exactly like
-    * any other already-loaded layout.
+    * per run. The spec check matters on a persistent warehouse: without
+    * it, changing the bucket count / keys / sort in code would be
+    * silently ignored forever, measuring the OLD layout under the new
+    * claim. The caller still owns name-keying the table to its inputs
+    * (e.g. a source-dir suffix).
     */
   def loadBucketedIfAbsent(df: DataFrame, table: String, keys: Seq[String],
                            buckets: Int, sortCols: Seq[String] = Seq()): Unit = {
     val spark = df.sparkSession
     val present = spark.catalog.tableExists(table) && {
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // a catalog entry whose location was wiped (killed run, cleaned
-      // warehouse) is not a table — re-ingest
-      fs.exists(loc) && fs.listStatus(loc)
-        .exists(s => s.isFile && isDataFile(s.getPath.getName) && s.getLen > 0)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      val wantSort = (keys ++ sortCols).map(_.toLowerCase)
+      val specOk = meta.bucketSpec.exists(bs =>
+        bs.numBuckets == buckets &&
+          bs.bucketColumnNames.map(_.toLowerCase) == keys.map(_.toLowerCase) &&
+          bs.sortColumnNames.map(_.toLowerCase) == wantSort)
+      specOk && {
+        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // a catalog entry whose location was wiped (killed run, cleaned
+        // warehouse) is not a table — re-ingest
+        fs.exists(loc) && fs.listStatus(loc)
+          .exists(s => s.isFile && isDataFile(s.getPath.getName) && s.getLen > 0)
+      }
     }
     if (!present) loadBucketed(df, table, keys, buckets, sortCols)
   }
