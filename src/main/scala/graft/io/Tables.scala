@@ -628,6 +628,14 @@ object Tables {
     * Falls back to the full [[compact]] when there is no trustworthy
     * manifest (absent, stale, or foreign files present). Returns
     * (filesBefore, filesAfter); a table with nothing appended is a no-op.
+    *
+    * Single-writer maintenance op (like [[compact]]); readers racing the
+    * swap can transiently miss the table directory. On object stores
+    * where Hadoop rename is copy+delete (S3A without a rename-capable
+    * committer/layer), the cold-file "renames" pay a copy — run compact
+    * there over an HDFS/ABFS-style FS or a table format with metadata
+    * swaps; the crash-recovery protocol itself only needs renames to be
+    * atomic per file, which all Hadoop filesystems provide.
     */
   def compactIncremental(spark: SparkSession, path: String, keys: Seq[String],
                          ts: String, targetBytes: Long = 128L << 20): (Int, Int) = {
