@@ -209,8 +209,12 @@ object Bench {
       .flatMap(_.toIntOption).getOrElse(7).max(2)
     val attempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
       .flatMap(_.toIntOption).getOrElse(3).max(1)
+    // bounded so the WORST case (a persistently busy box: full wait before
+    // every attempt, all attempts dirty) adds ~3×3 min of waiting on top
+    // of ~3 one-minute measurement passes — a harness with a coarse
+    // timeout still gets its record (self-disqualified beats absent)
     val idleWaitSec = sys.env.get("SPARK_GRAFT_BENCH_IDLE_WAIT")
-      .flatMap(_.toIntOption).getOrElse(300).max(0)
+      .flatMap(_.toIntOption).getOrElse(180).max(0)
     val idleLoad = sys.env.get("SPARK_GRAFT_BENCH_IDLE_LOAD")
       .flatMap(_.toDoubleOption).getOrElse(1.0)
     // the contention witness (a) must see the box BEFORE the bench's own

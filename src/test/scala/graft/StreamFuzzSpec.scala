@@ -44,6 +44,121 @@ class StreamFuzzSpec extends AnyFunSuite {
       s"$label stream != batch: $extra extra, $missing missing rows")
   }
 
+  /** Split `sorted` (ascending ts at `tsOf`) into batches whose cuts fall
+    * only BETWEEN distinct ts values — the append-order contract both
+    * stateful streams document (an equal-ts group split across batches
+    * would let a left row emit before its same-ts right row arrives).
+    */
+  private def tsBatches[A](sorted: Seq[A], tsOf: A => Long,
+                           rnd: Random): Seq[Seq[A]] = {
+    val cuts = (1 until sorted.size)
+      .filter(i => tsOf(sorted(i - 1)) != tsOf(sorted(i)))
+      .filter(_ => rnd.nextInt(10) == 0)
+    (Seq(0) ++ cuts ++ Seq(sorted.size)).sliding(2).map {
+      case Seq(a, b) => sorted.slice(a, b)
+    }.toSeq.filter(_.nonEmpty)
+  }
+
+  private def drainBatches[A](ms: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A],
+                              out: DataFrame, tag: String,
+                              batches: Seq[Seq[A]]): DataFrame = {
+    val q = out.writeStream.format("memory").queryName(tag)
+      .outputMode("append").start()
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(tag)
+  }
+
+  test("random MULTI-BATCH as-of streams equal the batch twin (cross-batch state)") {
+    // the fixed StreamingDictSpec shape drives asofStream with the whole
+    // input in ONE batch; here random batch boundaries force the carried
+    // (value, seen) state to survive micro-batch handoffs — with NULL
+    // right values (neither match nor mask), heavy ts ties, and key counts
+    // from 1 (every batch hits the same state entry) to 4
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val n = sys.env.get("GRAFT_STREAM_FUZZ_N").map(_.toInt).getOrElse(4)
+    val seed0 = sys.env.get("GRAFT_STREAM_FUZZ_SEED").map(_.toLong).getOrElse(100L)
+    for (i <- 0 until n) {
+      val rnd = new Random(seed0 + 500 + i)
+      val nKeys = 1 + rnd.nextInt(4)
+      val raw = (0 until 300).map { j =>
+        val side = if (rnd.nextInt(3) == 0) 0 else 1
+        val v: Option[Double] =
+          if (side == 0 && rnd.nextInt(5) == 0) None
+          else Some(math.rint(rnd.nextDouble() * 1000) / 10)
+        ((rnd.nextInt(nKeys) + 1).toLong, rnd.nextInt(40).toLong, j.toLong, side, v)
+      }
+      // at most one RIGHT row per (key, ts): with several, which value the
+      // carry takes is tiebreak-order-specific in the stream but
+      // nondeterministic in the window form (same dedup the fixed test does)
+      val rSeen = scala.collection.mutable.Set.empty[(Long, Long)]
+      val rows = raw.filter(r => r._4 == 1 || rSeen.add((r._1, r._2)))
+      val sorted = rows.sortBy(_._2)
+      val batches = tsBatches[(Long, Long, Long, Int, Option[Double])](
+        sorted, _._2, rnd)
+      val ms = MemoryStream[(Long, Long, Long, Int, Option[Double])]
+      val out = Streams.asofStream(
+        ms.toDS().toDF("user_id", "ts", "event_id", "side", "value"),
+        "user_id", "ts", "event_id", "side", "value")
+      val got = drainBatches(ms, out, s"sfz_asof_${seed0 + 500 + i}", batches)
+        .select("user_id", "ts", "event_id", "asof_value")
+      val df = rows.toDF("user_id", "ts", "event_id", "side", "value")
+      val l = df.filter(col("side") === 1).select("user_id", "ts", "event_id")
+      val r = df.filter(col("side") === 0).select("user_id", "ts", "value")
+      val batch = graft.join.Align
+        .asofJoin(l, r, Seq("user_id"), "ts", "value")
+        .select("user_id", "ts", "event_id", "asof_value")
+      assert(got.count() == batch.count() && got.count() > 0,
+        s"seed=${seed0 + 500 + i} row counts diverge over ${batches.size} batches")
+      assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+        s"seed=${seed0 + 500 + i} multi-batch as-of != batch twin " +
+          s"(${batches.size} batches, $nKeys keys)")
+    }
+  }
+
+  test("random MULTI-BATCH EMA streams equal batch Moving.ema (cross-batch state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val n = sys.env.get("GRAFT_STREAM_FUZZ_N").map(_.toInt).getOrElse(4)
+    val seed0 = sys.env.get("GRAFT_STREAM_FUZZ_SEED").map(_.toLong).getOrElse(100L)
+    for (i <- 0 until n) {
+      val rnd = new Random(seed0 + 700 + i)
+      val keys = Vector("a", "b", "c").take(1 + rnd.nextInt(3))
+      val period = 2 + rnd.nextInt(30)
+      val rows = (0 until 250).map { j =>
+        (keys(rnd.nextInt(keys.size)), rnd.nextInt(60).toLong, j.toLong,
+          math.rint(rnd.nextDouble() * 1000) / 10)
+      }
+      val sorted = rows.sortBy(_._2)
+      val batches = tsBatches[(String, Long, Long, Double)](sorted, _._2, rnd)
+      val ms = MemoryStream[(String, Long, Long, Double)]
+      val out = Streams.emaStream(
+        ms.toDS().toDF("event_type", "ts", "event_id", "value"),
+        "event_type", "ts", "event_id", "value", period)
+      val got = drainBatches(ms, out, s"sfz_ema_${seed0 + 700 + i}", batches)
+        .select("event_type", "ts", "event_id", "ema")
+      val df = rows.toDF("event_type", "ts", "event_id", "value")
+      val batch = graft.window.Moving.ema(
+        graft.series.Series.attachPos(df, Seq("event_type"),
+          Seq(col("ts"), col("event_id"))),
+        Seq("event_type"), "value", period)
+        .select("event_type", "ts", "event_id", "ema")
+      val diff = got.as("a").join(batch.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.event_id") === col("b.event_id"))
+        .filter(abs(col("a.ema") - col("b.ema")) > 1e-9)
+      assert(got.count() == batch.count() && got.count() > 0)
+      assert(diff.isEmpty,
+        s"seed=${seed0 + 700 + i} multi-batch EMA != Moving.ema " +
+          s"(${batches.size} batches, n=$period)")
+    }
+  }
+
   test("random windowed sketch configs: stream equals batch twin") {
     val n = sys.env.get("GRAFT_STREAM_FUZZ_N").map(_.toInt).getOrElse(6)
     val seed0 = sys.env.get("GRAFT_STREAM_FUZZ_SEED").map(_.toLong).getOrElse(100L)
