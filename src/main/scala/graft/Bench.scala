@@ -95,23 +95,28 @@ object Bench {
 
   /** Contention self-diagnosis over one attempt. Three independent
     * witnesses:
-    *  (a) the box was already busy BEFORE the bench did any work — the
-    *      caller passes the PRE-BENCH 1-min loadavg snapshot (taken after
-    *      the initial idle wait, before the load phase), the same one for
-    *      every attempt: an attempt-start sample would be dominated by
-    *      the previous attempt's own 32-thread measurement load, so
-    *      retries would self-poison and a clean box could be recorded as
-    *      no_clean_run;
+    *  (a) `boxBusy`: this attempt's idle wait NEVER OBSERVED an idle box —
+    *      the wait's outcome, not a loadavg snapshot, is the witness,
+    *      because a raw attempt-start sample cannot be attributed (it is
+    *      dominated by the previous attempt's own 32-thread measurement
+    *      residue, so retries would self-poison), while a one-shot
+    *      pre-bench snapshot goes stale in BOTH directions (a tenant
+    *      leaving after start burns every retry; one arriving later is
+    *      invisible). Observed-idle immediately before measuring means
+    *      everything — ours and theirs — had drained;
     *  (b) warm-rep spreads far beyond the measured noise floor on MORE
     *      than one query — one outlier can be a stray GC, a pattern is
     *      another tenant;
     *  (c) ONE query whose spread is both large and dwarfs its own min
     *      (extremeWitness) — round 6's actual failure mode.
+    * A steady co-tenant that slows every query uniformly WITHOUT spread
+    * is detectable only by (a)'s failed idle wait — loadavg sampled
+    * mid-run cannot separate tenant load from our own.
     */
-  private[graft] def contendedRun(preBenchLoad1m: Double, cpus: Int,
+  private[graft] def contendedRun(boxBusy: Boolean,
                                   results: Seq[QRes]): Boolean = {
     val noisyCount = results.count(r => noisyWitness(r.minT, r.spread))
-    preBenchLoad1m > cpus.toDouble / 4 || noisyCount >= 2 ||
+    boxBusy || noisyCount >= 2 ||
       results.exists(r => extremeWitness(r.minT, r.spread))
   }
 
@@ -210,18 +215,21 @@ object Bench {
     val attempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
       .flatMap(_.toIntOption).getOrElse(3).max(1)
     // bounded so the WORST case (a persistently busy box: full wait before
-    // every attempt, all attempts dirty) adds ~3×3 min of waiting on top
-    // of ~3 one-minute measurement passes — a harness with a coarse
-    // timeout still gets its record (self-disqualified beats absent)
+    // the load phase and before every retry, all attempts dirty) adds at
+    // most ~(attempts+1)×3 min of waiting on top of ~3 one-minute
+    // measurement passes — a harness with a coarse timeout still gets its
+    // record (self-disqualified beats absent)
     val idleWaitSec = sys.env.get("SPARK_GRAFT_BENCH_IDLE_WAIT")
       .flatMap(_.toIntOption).getOrElse(180).max(0)
     val idleLoad = sys.env.get("SPARK_GRAFT_BENCH_IDLE_LOAD")
       .flatMap(_.toDoubleOption).getOrElse(1.0)
-    // the contention witness (a) must see the box BEFORE the bench's own
-    // work: wait for idle once, snapshot, then pay the load phase. Every
-    // attempt reuses this snapshot (see contendedRun).
-    waitForIdle(() => loadavg().head, idleLoad, idleWaitSec)
-    val preBenchLoad = loadavg()
+    // witness (a)'s evidence is each attempt's idle-wait OUTCOME (see
+    // contendedRun). The strict pre-bench wait runs before the load phase
+    // so attempt 1 measures a box that was observed idle before WE did
+    // any work; retries re-wait with a RELAXED threshold (cpus/4 — the
+    // busy-box bar) so our own just-finished attempt's decaying loadavg
+    // residue doesn't stall or falsely flag them.
+    val idleReachedPre = waitForIdle(() => loadavg().head, idleLoad, idleWaitSec)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -267,13 +275,18 @@ object Bench {
     var emitted = false
     var lastDirty: Option[String] = None
     while (attempt <= attempts && !emitted) {
-      waitForIdle(() => loadavg().head, idleLoad, idleWaitSec)
+      // attempt 1 rides the strict pre-load wait; retries re-check with
+      // the busy-box threshold (our own residue decays under it fast)
+      val idleReached =
+        if (attempt == 1) idleReachedPre
+        else waitForIdle(() => loadavg().head,
+          math.max(idleLoad, cpus.toInt / 4.0), idleWaitSec)
       val startLoad = loadavg()
       val results = measure(spark, sfDir, reps)
       val endLoad = loadavg()
       val noisyResults = results.filter(r => noisyWitness(r.minT, r.spread))
       val noisy = noisyResults.map(_.name)
-      val contended = contendedRun(preBenchLoad.head, cpus.toInt, results)
+      val contended = contendedRun(boxBusy = !idleReached, results)
       val anyFailed = results.exists(_.failed)
       if (noisy.nonEmpty) System.err.println(
         s"[bench] WARNING: noisy queries (warm spread > 0.3 s absolute, or " +

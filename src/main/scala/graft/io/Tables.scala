@@ -235,8 +235,9 @@ object Tables {
     // cannot be pruned by per-file reads — reading part files directly
     // would also DROP directory-encoded partition columns. Fall back to
     // the plain unpruned read; date-partitioned layouts get directory
-    // pruning from Spark itself (LayoutSpec).
-    if (listing.exists(s => s.isDirectory && !s.getPath.getName.startsWith("_")))
+    // pruning from Spark itself (LayoutSpec). Same definition of
+    // "nested" as the manifest reader (hidden dirs are not data).
+    if (hasPartitionDirs(listing.toSeq))
       return spark.read.schema(schema).parquet(path)
     val parts =
       if (st.isFile) listing
@@ -329,10 +330,17 @@ object Tables {
 
   private implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
 
-  /** Atomic small-file write: stage then rename, so neither a reader nor
-    * crash recovery can ever observe a torn file. The commit marker's
-    * roll-FORWARD semantics depend on this — a half-written marker read
-    * as "zero cold files" would let recovery delete the cold layout.
+  /** Torn-write-free small-file install: stage then rename, so neither a
+    * reader nor crash recovery can ever observe a HALF-WRITTEN file. The
+    * commit marker's roll-FORWARD semantics depend on this — a torn
+    * marker read as "zero cold files" would let recovery delete the cold
+    * layout — and the marker is always created FRESH (recoverCompact
+    * consumes any predecessor), so its install never takes the replace
+    * path. REPLACING an existing target (manifest rewrites) has a small
+    * delete→rename window with no file present; acceptable because every
+    * replaced file is ADVISORY — a missing manifest degrades readers to
+    * footer/plain scans and compactIncremental to the full rewrite,
+    * never to wrong results.
     */
   private def writeSmallFileAtomic(fs: FileSystem, target: Path, text: String): Unit = {
     val tmp = new Path(target.getParent, "." + target.getName + ".staging")
@@ -593,6 +601,17 @@ object Tables {
           // swap completed; only cleanup remained
           if (fs.exists(old)) fs.delete(old, true)
           fs.delete(marker, false)
+        case None if !fs.exists(hp) && !fs.exists(tmp) =>
+          // nothing staged, nothing live: the legacy `.compact.old`
+          // fallback is the only recoverable source — restore it if it
+          // exists, otherwise there is genuinely nothing left here
+          if (fs.exists(old)) {
+            if (!fs.rename(old, hp))
+              sys.error(s"compact recovery: cannot restore $old back to $path")
+            fs.delete(marker, false)
+          } else sys.error(s"compact recovery: unreadable commit marker " +
+            s"$marker and no table, staging, or .compact.old data at " +
+            s"$path — nothing to recover from; inspect manually")
         case None =>
           sys.error(s"compact recovery: unreadable commit marker $marker " +
             s"with both $path and its staging dir present — cannot " +
@@ -630,12 +649,14 @@ object Tables {
     * (filesBefore, filesAfter); a table with nothing appended is a no-op.
     *
     * Single-writer maintenance op (like [[compact]]); readers racing the
-    * swap can transiently miss the table directory. On object stores
-    * where Hadoop rename is copy+delete (S3A without a rename-capable
-    * committer/layer), the cold-file "renames" pay a copy — run compact
-    * there over an HDFS/ABFS-style FS or a table format with metadata
-    * swaps; the crash-recovery protocol itself only needs renames to be
-    * atomic per file, which all Hadoop filesystems provide.
+    * swap can transiently miss the table directory. The crash-recovery
+    * protocol REQUIRES atomic directory renames for the two-rename swap
+    * (HDFS, ABFS, any POSIX-style FS). Plain S3A provides neither atomic
+    * nor cheap directory renames — a crash mid-swap there can leave the
+    * move half-applied in ways the marker protocol cannot distinguish,
+    * and every cold-file "rename" pays a copy — so on object stores run
+    * compaction through a table format with metadata swaps (or an
+    * HDFS/ABFS staging tier), not directly against the bucket.
     */
   def compactIncremental(spark: SparkSession, path: String, keys: Seq[String],
                          ts: String, targetBytes: Long = 128L << 20): (Int, Int) = {
@@ -828,10 +849,14 @@ object Tables {
                            buckets: Int, sortCols: Seq[String] = Seq()): Unit = {
     val spark = df.sparkSession
     val present = spark.catalog.tableExists(table) && {
-      val meta = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      // Try: tableExists is true for temp views too, and a qualified name
+      // won't resolve through a bare TableIdentifier — both must degrade
+      // to "not present, re-ingest", never throw out of a presence check
       val wantSort = (keys ++ sortCols).map(_.toLowerCase)
-      val specOk = meta.bucketSpec.exists(bs =>
+      val specOk = scala.util.Try(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+      ).toOption.flatten.exists(bs =>
         bs.numBuckets == buckets &&
           bs.bucketColumnNames.map(_.toLowerCase) == keys.map(_.toLowerCase) &&
           bs.sortColumnNames.map(_.toLowerCase) == wantSort)

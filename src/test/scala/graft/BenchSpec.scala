@@ -35,17 +35,19 @@ class BenchSpec extends AnyFunSuite {
                 failed: Boolean = false) =
     Bench.QRes(name, minT, spread, cold = minT, failed, warm = Seq(minT, minT + spread))
 
-  test("contendedRun: busy start load, 2+ noisy queries, or one extreme") {
+  test("contendedRun: failed idle wait, 2+ noisy queries, or one extreme") {
     val clean = Seq(q("a", 0.2, 0.02), q("b", 0.5, 0.05))
-    assert(!Bench.contendedRun(0.3, 32, clean))
-    // witness (a): the box was busy before the bench did anything
-    assert(Bench.contendedRun(9.0, 32, clean))
+    assert(!Bench.contendedRun(boxBusy = false, clean))
+    // witness (a): the attempt's idle wait never observed an idle box —
+    // the outcome of the wait, not a loadavg snapshot, is the evidence
+    // (a mid-run sample cannot separate a tenant from our own residue)
+    assert(Bench.contendedRun(boxBusy = true, clean))
     // witness (b): a PATTERN of noisy queries (one alone is a stray GC)
-    assert(!Bench.contendedRun(0.3, 32, clean :+ q("c", 1.0, 0.4)))
-    assert(Bench.contendedRun(0.3, 32,
+    assert(!Bench.contendedRun(boxBusy = false, clean :+ q("c", 1.0, 0.4)))
+    assert(Bench.contendedRun(boxBusy = false,
       clean ++ Seq(q("c", 1.0, 0.4), q("d", 1.0, 0.35))))
     // witness (c): one extreme burst disqualifies alone (round-6 mode)
-    assert(Bench.contendedRun(0.3, 32, clean :+ q("c", 0.8, 4.0)))
+    assert(Bench.contendedRun(boxBusy = false, clean :+ q("c", 0.8, 4.0)))
   }
 
   test("waitForIdle polls until idle, gives up after the bounded wait") {
