@@ -343,6 +343,29 @@ object Align {
     * can misbucket boundary timestamps (2^60 ns is past double's 53-bit
     * integer range).
     */
+  /** [[rangeJoin]] with the bucket width derived from the data instead of
+    * a caller-supplied knob: the median right-side interval length (one
+    * approx-quantile job over a single computed column). The bucket
+    * trades interval replication (`ceil(len/bucket)+1` rows per interval)
+    * against false candidates per slot; anchoring it at the median keeps
+    * the TYPICAL interval's replication at ~2 rows while tail intervals
+    * pay proportionally to their length — the property that keeps the
+    * shuffle linear without asking the caller to know their interval
+    * distribution. Degenerate inputs (empty right, all zero-length
+    * intervals) fall back to bucket 1; results are bucket-INDEPENDENT by
+    * construction (the exact predicate is re-checked), so this only
+    * changes the plan's constant factors, never its output.
+    */
+  def rangeJoinAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    ts: String, start: String, end: String,
+                    rightCols: Seq[String]): DataFrame = {
+    val med = right
+      .select((col(end) - col(start)).cast("double").as("__len"))
+      .stat.approxQuantile("__len", Array(0.5), 0.01)
+    val bucket = med.headOption.map(m => math.max(1L, m.toLong)).getOrElse(1L)
+    rangeJoin(left, right, keys, ts, start, end, bucket, rightCols)
+  }
+
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
                 start: String, end: String, bucket: Long,
                 rightCols: Seq[String]): DataFrame = {

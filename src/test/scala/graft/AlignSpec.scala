@@ -32,6 +32,27 @@ class AlignSpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoinAuto derives the bucket from the data, results unchanged") {
+    val pts = Seq(("u", 10L), ("u", 100L), ("u", 250L), ("u", 9L),
+      ("v", 100L), ("w", 100L)).toDF("key", "ts")
+    val ivs = Seq(("u", 10L, 250L, "A"), ("u", 240L, 260L, "B"),
+      ("v", 90L, 110L, "C"), ("x", 0L, 999L, "D")).toDF("key", "start", "end", "tag")
+    val auto = Align.rangeJoinAuto(pts, ivs, Seq("key"), "ts", "start", "end",
+      Seq("tag")).select("key", "ts", "tag").collect()
+      .map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val fixed = Align.rangeJoin(pts, ivs, Seq("key"), "ts", "start", "end",
+      100L, Seq("tag")).select("key", "ts", "tag").collect()
+      .map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(auto == fixed && auto.nonEmpty)
+    // degenerate inputs: empty right and zero-length intervals still work
+    assert(Align.rangeJoinAuto(pts, ivs.limit(0), Seq("key"), "ts", "start",
+      "end", Seq("tag")).count() == 0)
+    val zeros = Seq(("u", 10L, 10L, "Z")).toDF("key", "start", "end", "tag")
+    val z = Align.rangeJoinAuto(pts, zeros, Seq("key"), "ts", "start", "end",
+      Seq("tag")).select("ts").as[Long].collect().toSeq
+    assert(z == Seq(10L), "zero-length interval matches its own point")
+  }
+
   test("windowJoin: per-row interval stats, empty windows, boundary ts") {
     // left k/10 has right rows at 7 (in, boundary −3), 13 (in, +3),
     // 14 (out); left k/50 has an EMPTY window → count 0, NULL stats;

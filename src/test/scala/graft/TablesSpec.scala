@@ -215,6 +215,26 @@ class TablesSpec extends AnyFunSuite {
     assert(dataFiles(path).map(f => (f.getName, f.length, md5(f))) == before)
   }
 
+  test("loadBucketedIfAbsent re-ingests when the bucket spec changed in code") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val df = (0L until 100L).map(i => (i % 7, i, i * 1.0)).toDF("k", "ts", "v")
+    val t = "t_bkt_spec_check"
+    Tables.loadBucketedIfAbsent(df, t, Seq("k"), 4, sortCols = Seq("ts"))
+    def spec = spark.sessionState.catalog.getTableMetadata(TableIdentifier(t))
+      .bucketSpec.get
+    assert(spec.numBuckets == 4)
+    // same spec → reuse (pay-once): the table object is untouched
+    val created = spark.sessionState.catalog.getTableMetadata(TableIdentifier(t)).createTime
+    Tables.loadBucketedIfAbsent(df, t, Seq("k"), 4, sortCols = Seq("ts"))
+    assert(spark.sessionState.catalog.getTableMetadata(TableIdentifier(t))
+      .createTime == created, "matching spec must not re-ingest")
+    // changed bucket count → the stale layout must NOT be silently reused
+    Tables.loadBucketedIfAbsent(df, t, Seq("k"), 8, sortCols = Seq("ts"))
+    assert(spec.numBuckets == 8, "spec change in code must re-ingest")
+    assert(spark.table(t).count() == 100)
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
+
   test("rangeScan prunes files via the manifest (no footer pass, any encoding)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest_scan")
     dir.toFile.deleteOnExit()
