@@ -36,6 +36,7 @@ object Bench {
     "q_grid_agg",    // BASELINE row 12: cs_grid_avg
     "q_cum_agg",     // BASELINE row 13: cs_cum_sum
     "q_concat_sum",  // BASELINE row 11: cs_sum over concat of all series
+    "q_concat_ranges", // interval-concat arm: UnionDisjointFilterCollapse single-scan
     "q_window_agg",  // moving aggregates
     "q_topk",        // top-N
     "q_get",         // TABLE_get: ts-range scan (prunability regression canary)
@@ -51,10 +52,16 @@ object Bench {
     "q_tumbling")    // event-time bucket agg
 
   /** One query's measurement: min/spread over the warm reps, the attempt's
-    * first (cold) run, and whether any rep threw.
+    * first (cold) run, and whether any rep threw. `maint` marks a
+    * MAINTENANCE op (append + incremental compact): its reps do real
+    * filesystem writes, whose cache/sync variance is not machine-contention
+    * evidence — the contention witnesses below were calibrated on the
+    * read-only scan queries, so maintenance results are recorded in the
+    * JSON but excluded from the noisy/contended classification.
     */
   private[graft] case class QRes(name: String, minT: Double, spread: Double,
-                                 cold: Double, failed: Boolean, warm: Seq[Double])
+                                 cold: Double, failed: Boolean, warm: Seq[Double],
+                                 maint: Boolean = false)
 
   /** 1/5/15-minute load averages — the machine-contention witness. A bench
     * number is only as good as the box it ran on: round 5's recorded run
@@ -145,21 +152,38 @@ object Bench {
     true
   }
 
-  /** The one-line JSON record. `noCleanRun` (set when every attempt was
+  /** The JSON record. `noCleanRun` (set when every attempt was
     * dirty) splices `"no_clean_run":true` plus the attempt count into the
     * SAME object, so a consumer that archives the JSON unconditionally
     * still carries the disqualification.
+    *
+    * Two renderings of the same attempt:
+    *  - `withRepTimes = false` (COMPACT): everything a round-over-round
+    *    comparison needs — totals, per-query mins, spreads, contention
+    *    verdict — but NO rep_times array. This is the record the driver
+    *    parses, and it is emitted as the LAST stdout line: the driver's
+    *    tail capture is bounded (2000 chars observed on BENCH_r09, whose
+    *    full record's HEAD was truncated mid-object → `parsed: null`), so
+    *    the parseable line must be last and short. BenchSpec pins a
+    *    conservative length bound on this rendering.
+    *  - `withRepTimes = true` (DETAIL): adds the full warm-rep series per
+    *    query; printed BEFORE the compact line and also written whole to a
+    *    sidecar file, so per-rep forensics survive even when the stdout
+    *    tail clips it.
     */
   private[graft] def renderJson(results: Seq[QRes], reps: Int, loadSec: Double,
                                 startLoad: Seq[Double], endLoad: Seq[Double],
                                 contended: Boolean, noisy: Seq[String],
                                 sfDir: String, attempt: Int,
-                                noCleanRun: Option[Int]): String = {
+                                noCleanRun: Option[Int],
+                                withRepTimes: Boolean = false): String = {
     def jmap(f: QRes => String) = results.map(f).mkString("{", ",", "}")
     val qs = jmap(r => "\"" + r.name + "\":" + f"${r.minT}%.3f")
     val spread = jmap(r => "\"" + r.name + "\":" + f"${r.spread}%.3f")
-    val repsJson = jmap(r =>
-      "\"" + r.name + "\":" + r.warm.map(w => f"$w%.3f").mkString("[", ",", "]"))
+    val repsJson =
+      if (!withRepTimes) ""
+      else ",\"rep_times\":" + jmap(r =>
+        "\"" + r.name + "\":" + r.warm.map(w => f"$w%.3f").mkString("[", ",", "]"))
     val failedList = results.filter(_.failed).map("\"" + _.name + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_.minT).sum
@@ -168,7 +192,32 @@ object Bench {
       .mkString("[", ",", "]")
     val marker = noCleanRun
       .map(a => s""","no_clean_run":true,"attempts":$a""").getOrElse("")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"rep_times":$repsJson,"failed":$failedList,"reps":$reps,"attempt":$attempt,"load_sec":$loadSec%.3f,"cold_sec":$coldTotal%.3f,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"$marker}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread$repsJson,"failed":$failedList,"reps":$reps,"attempt":$attempt,"load_sec":$loadSec%.3f,"cold_sec":$coldTotal%.3f,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"$marker}"""
+  }
+
+  /** Emit one attempt's record: detail line first (full rep_times, also
+    * persisted whole to the sidecar), COMPACT line last — the only ordering
+    * under which a bounded tail capture of stdout is guaranteed to contain
+    * one complete, parseable JSON object.
+    */
+  private def emitRecord(results: Seq[QRes], reps: Int, loadSec: Double,
+                         startLoad: Seq[Double], endLoad: Seq[Double],
+                         contended: Boolean, noisy: Seq[String],
+                         sfDir: String, attempt: Int,
+                         noCleanRun: Option[Int]): Unit = {
+    val detail = renderJson(results, reps, loadSec, startLoad, endLoad,
+      contended, noisy, sfDir, attempt, noCleanRun, withRepTimes = true)
+    val compact = renderJson(results, reps, loadSec, startLoad, endLoad,
+      contended, noisy, sfDir, attempt, noCleanRun, withRepTimes = false)
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_detail.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed ($sidecar): ${e.getMessage}")
+    }
+    println(detail)
+    println(compact)
   }
 
   /** One measurement attempt over the headline set. N runs per query
@@ -185,13 +234,13 @@ object Bench {
     * repeats keep each plan's codegen/JIT hot, which also matches the
     * reference's published repeat-measurement methodology.
     */
-  private def measure(spark: SparkSession, sfDir: String, reps: Int): Seq[QRes] =
-    headline.filter(SparkEntry.queries.contains).map { name =>
-      val fn = SparkEntry.queries(name)
+  private def measure(spark: SparkSession, sfDir: String, reps: Int,
+                      maint: Seq[(String, () => Unit)] = Seq()): Seq[QRes] = {
+    def timed(name: String, run: () => Unit, isMaint: Boolean): QRes = {
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          try { run(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
@@ -203,8 +252,20 @@ object Bench {
       val warm = if (coldOk) Seq.fill(reps - 1)(once()) else Seq((cold, false))
       val failed = !coldOk || warm.exists(!_._2)
       val warmTimes = warm.map(_._1)
-      QRes(name, warmTimes.min, warmTimes.max - warmTimes.min, cold, failed, warmTimes)
+      QRes(name, warmTimes.min, warmTimes.max - warmTimes.min, cold, failed,
+        warmTimes, isMaint)
     }
+    val qres = headline.filter(SparkEntry.queries.contains).map { name =>
+      val fn = SparkEntry.queries(name)
+      timed(name,
+        () => fn(spark, sfDir).write.format("noop").mode("overwrite").save(),
+        isMaint = false)
+    }
+    // maintenance ops: each rep is one full append+fold cycle — new data
+    // each time (the op's closure advances its own ts offset), so a rep
+    // measures steady-state incremental maintenance, never a warmed no-op
+    qres ++ maint.map { case (name, op) => timed(name, op, isMaint = true) }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -269,11 +330,47 @@ object Bench {
     SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop")
       .mode("overwrite").save()
 
+    // q_compact_incr: the r9 maintenance claim, timed round-over-round —
+    // one APPEND+INCREMENTAL-COMPACT cycle per rep over a load-layout
+    // table staged fresh per bench run. Each rep appends the same-size
+    // batch (the top 5% of events, ts-shifted past the stored tail so the
+    // in-order guard accepts it) and folds ONLY that batch; cold files
+    // carry over by rename, so a healthy rep's wall time is ∝ the batch —
+    // a rep that starts scaling with the growing table is exactly the
+    // regression this entry exists to catch.
+    val maintOps: Seq[(String, () => Unit)] = {
+      import org.apache.spark.sql.functions.{col, lit, min, max}
+      val ev = graft.io.Tables.read(spark, sfDir, "events")
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (tsMin, tsMax) = (mm.getLong(0), mm.getLong(1))
+      val cutNs = tsMax - (tsMax - tsMin) / 20
+      val batchSpan = tsMax - cutNs + 1
+      val batch = ev.filter(col("ts") >= cutNs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      batch.count()
+      val maintPath = s"${System.getProperty("java.io.tmpdir")}/graft_bench_incr_" +
+        java.lang.ProcessHandle.current().pid()
+      val fs = new org.apache.hadoop.fs.Path(maintPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(maintPath), true)
+      graft.io.Tables.load(ev.filter(col("ts") < cutNs), maintPath, Seq(), "ts")
+      var repIdx = 0L
+      Seq("q_compact_incr" -> (() => {
+        val shift = repIdx * batchSpan
+        repIdx += 1
+        graft.io.Tables.append(batch.withColumn("ts", col("ts") + lit(shift)),
+          maintPath, "ts", lit(Long.MinValue))
+        graft.io.Tables.compactIncremental(spark, maintPath, Seq(), "ts")
+        ()
+      }))
+    }
+
     // The attempt loop: wait-for-idle, measure, classify; retry dirty
     // attempts, short-circuit on clean records and on failed queries.
     var attempt = 1
     var emitted = false
-    var lastDirty: Option[String] = None
+    var lastDirty: Option[(Seq[QRes], Seq[Double], Seq[Double], Boolean,
+      Seq[String], Int)] = None
     while (attempt <= attempts && !emitted) {
       // attempt 1 rides the strict pre-load wait; retries re-check with
       // the busy-box threshold (our own residue decays under it fast)
@@ -282,11 +379,14 @@ object Bench {
         else waitForIdle(() => loadavg().head,
           math.max(idleLoad, cpus.toInt / 4.0), idleWaitSec)
       val startLoad = loadavg()
-      val results = measure(spark, sfDir, reps)
+      val results = measure(spark, sfDir, reps, maintOps)
       val endLoad = loadavg()
-      val noisyResults = results.filter(r => noisyWitness(r.minT, r.spread))
+      // maintenance ops (real filesystem writes) are excluded from the
+      // contention witnesses — write-cache variance is not tenant evidence
+      val scanResults = results.filterNot(_.maint)
+      val noisyResults = scanResults.filter(r => noisyWitness(r.minT, r.spread))
       val noisy = noisyResults.map(_.name)
-      val contended = contendedRun(boxBusy = !idleReached, results)
+      val contended = contendedRun(boxBusy = !idleReached, scanResults)
       val anyFailed = results.exists(_.failed)
       if (noisy.nonEmpty) System.err.println(
         s"[bench] WARNING: noisy queries (warm spread > 0.3 s absolute, or " +
@@ -294,16 +394,15 @@ object Bench {
           noisy.mkString(", "))
       if (anyFailed || (!contended && noisy.isEmpty)) {
         // clean — archive it; or broken queries — retrying cannot fix code
-        println(renderJson(results, reps, loadSec, startLoad, endLoad,
-          contended, noisy, sfDir, attempt, noCleanRun = None))
+        emitRecord(results, reps, loadSec, startLoad, endLoad,
+          contended, noisy, sfDir, attempt, noCleanRun = None)
         emitted = true
       } else {
         System.err.println(
           s"[bench] attempt $attempt/$attempts dirty (contended=$contended, " +
             s"noisy=[${noisy.mkString(", ")}]) — " +
             (if (attempt < attempts) "retrying" else "no clean run"))
-        lastDirty = Some(renderJson(results, reps, loadSec, startLoad, endLoad,
-          contended, noisy, sfDir, attempt, noCleanRun = Some(attempts)))
+        lastDirty = Some((results, startLoad, endLoad, contended, noisy, attempt))
         attempt += 1
       }
     }
@@ -314,7 +413,10 @@ object Bench {
       System.err.println(
         s"[bench] WARNING: no clean run in $attempts attempts — the record " +
           "carries no_clean_run=true; do not read its totals as a regression")
-      lastDirty.foreach(println)
+      lastDirty.foreach { case (results, startLoad, endLoad, contended, noisy, att) =>
+        emitRecord(results, reps, loadSec, startLoad, endLoad,
+          contended, noisy, sfDir, att, noCleanRun = Some(attempts))
+      }
     }
     spark.stop()
   }

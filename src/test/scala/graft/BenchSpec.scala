@@ -94,4 +94,28 @@ class BenchSpec extends AnyFunSuite {
     assert(s.count(_ == '"') % 2 == 0)
     assert(s.contains("\"failed\":[\"fail\"]"))
   }
+
+  test("compact record fits the driver's bounded tail capture (r9 parsed:null)") {
+    // BENCH_r09 was clean but parsed:null — rep_times made the single JSON
+    // line longer than the driver's 2000-char tail capture, which clipped
+    // the record's HEAD. The compact rendering (the LAST stdout line) must
+    // stay comfortably under that bound even at full headline width, and
+    // must not carry rep_times at all.
+    val rs = Bench.headline.map(n => q(n, 0.123, 0.045)) ++
+      Seq(q("q_future_headroom_1", 1.234, 0.567), q("q_future_headroom_2", 9.876, 0.321))
+    val compact = Bench.renderJson(rs, reps = 7, loadSec = 12.345,
+      startLoad = Seq(0.11, 0.22, 0.33), endLoad = Seq(4.44, 5.55, 6.66),
+      contended = false, noisy = Seq(), sfDir = "/root/testdata/sf0.1",
+      attempt = 3, noCleanRun = Some(3), withRepTimes = false)
+    assert(!compact.contains("rep_times"))
+    assert(compact.length < 1800,
+      s"compact record is ${compact.length} chars — would overflow the " +
+        "driver's 2000-char tail capture")
+    // the detail rendering keeps the full per-rep series for forensics
+    val detail = Bench.renderJson(rs, 7, 12.345, Seq(0.1, 0.1, 0.1),
+      Seq(0.1, 0.1, 0.1), contended = false, noisy = Seq(),
+      "/sf", 1, None, withRepTimes = true)
+    assert(detail.contains("\"rep_times\":{"))
+    assert(detail.count(_ == '{') == detail.count(_ == '}'))
+  }
 }
