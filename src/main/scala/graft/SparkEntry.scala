@@ -465,9 +465,10 @@ object SparkEntry {
       // pay-once ingest, dir-keyed names: bench warm reps re-run this
       // closure, and re-ingesting per rep would time the shuffle-ingest
       // instead of the zero-shuffle join the layout exists to prove. The
-      // suffix keys the table to its source dir (testdata is immutable),
-      // so a stale warehouse entry can never serve another dataset's rows.
-      val sfx = java.lang.Integer.toHexString(dir.hashCode)
+      // MD5 suffix keys the table to its source dir (testdata is
+      // immutable), so a stale warehouse entry can never serve another
+      // dataset's rows.
+      val sfx = Tables.dirKey(dir)
       val (lName, rName) = (s"g_asof_bkt_l_$sfx", s"g_asof_bkt_r_$sfx")
       Tables.loadBucketedIfAbsent(l, lName, Seq("user_id"), 8, sortCols = Seq("ts"))
       Tables.loadBucketedIfAbsent(r, rName, Seq("user_id"), 8, sortCols = Seq("ts"))

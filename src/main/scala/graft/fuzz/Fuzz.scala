@@ -148,7 +148,7 @@ object FuzzGen {
     label = "events_bucketed",
     srcSpark = (s, sf) => {
       s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      val name = "g_fuzz_bkt_" + java.lang.Integer.toHexString(sf.hashCode)
+      val name = "g_fuzz_bkt_" + graft.io.Tables.dirKey(sf)
       graft.io.Tables.loadBucketedIfAbsent(
         eventsBase.srcSpark(s, sf), name, Seq("user_id"), 8, sortCols = Seq("ts"))
       s.table(name)

@@ -94,6 +94,17 @@ object Tables {
   private val fineBytesPerPart = 1L << 18 // 256 KB
   private val fineCap = 8L
 
+  /** Collision-safe suffix for keying pay-once artifacts (bucketed
+    * catalog tables, dumped series) to their source directory: hex MD5 of
+    * the path. A 32-bit String.hashCode (the previous scheme) admits
+    * collisions between two source dirs, under which a stale warehouse
+    * entry keyed to one dir could silently serve the other's rows.
+    */
+  def dirKey(path: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   /** Partition count proportional to on-disk bytes, clamped to [1, cores]. */
   def sizedParts(spark: SparkSession, path: String): Int = {
     val hp = new org.apache.hadoop.fs.Path(path)
@@ -303,7 +314,13 @@ object Tables {
             case Some(s) if s != null && s.hasNonNullValue && !s.isEmpty =>
               (s.genericGetMin, s.genericGetMax) match {
                 case (mn: java.lang.Long, mx: java.lang.Long) =>
-                  Some((mn.longValue * f, mx.longValue * f))
+                  // overflow-checked: corrupt/sentinel stats (×1e6 for
+                  // MILLIS wraps Long) must degrade to the stat-less
+                  // keep-the-file path, never flip an overlap test —
+                  // pruning is not allowed to change results
+                  try Some((Math.multiplyExact(mn.longValue, f),
+                    Math.multiplyExact(mx.longValue, f)))
+                  catch { case _: ArithmeticException => None }
                 case _ => None
               }
             case _ => None
@@ -378,6 +395,39 @@ object Tables {
     */
   private def hasPartitionDirs(listing: Seq[FileStatus]): Boolean =
     listing.exists(s => s.isDirectory && isDataFile(s.getPath.getName))
+
+  /** Entries a compact rewrite may NOT silently destroy. The rename-aside
+    * + delete(old) swap deletes the whole original directory, so anything
+    * the engine doesn't own must stop the compact loudly first:
+    *  - ANY subdirectory (the engine never nests inside a table dir —
+    *    staging dirs are siblings): a non-hidden one is a partitioned
+    *    layout, a hidden one is a foreign artifact (e.g. a snapshot dir);
+    *  - hidden/underscore files other than the engine's own sidecars
+    *    (manifest + its staging temp) and Spark's write markers.
+    * Non-hidden FILES are not listed here on purpose: untracked ones
+    * already fail manifestConsistent, routing compactIncremental to the
+    * full compact — whose parquet read either folds them (parquet data)
+    * or fails loudly (anything else); never a silent delete.
+    */
+  private def foreignEntries(listing: Seq[FileStatus]): Seq[String] =
+    listing.filter { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory) true
+      else !isDataFile(n) && n != ManifestName && n != "_SUCCESS" &&
+        !n.endsWith(".crc") && n != "." + ManifestName + ".staging"
+    }.map(_.getPath.getName)
+
+  /** Shared entry guard for [[compact]] and [[compactIncremental]]: refuse
+    * to run when the directory holds content the swap would destroy.
+    */
+  private def guardCompactable(fs: FileSystem, hp: Path): Unit = {
+    val foreign = foreignEntries(fs.listStatus(hp).toSeq)
+    if (foreign.nonEmpty)
+      sys.error(s"compact: $hp holds entries the rewrite would silently " +
+        s"destroy (${foreign.mkString(", ")}) — a partitioned layout " +
+        "cannot be compacted (Spark's directory pruning covers it); " +
+        "remove or relocate foreign artifacts first")
+  }
 
   private def writeManifestFile(fs: FileSystem, dir: Path, m: TsManifest): Unit =
     writeSmallFileAtomic(fs, new Path(dir, ManifestName),
@@ -519,6 +569,7 @@ object Tables {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompact(fs, path)
+    guardCompactable(fs, hp)
     def dataFiles(p: Path): Array[FileStatus] =
       fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath.getName))
     val before = dataFiles(hp)
@@ -645,8 +696,12 @@ object Tables {
     * next compact entry — backward before the marker, forward after.
     *
     * Falls back to the full [[compact]] when there is no trustworthy
-    * manifest (absent, stale, or foreign files present). Returns
-    * (filesBefore, filesAfter); a table with nothing appended is a no-op.
+    * manifest (absent, stale, or untracked data files present). Content
+    * neither compact flavor may touch — any subdirectory, or hidden
+    * artifacts that are not the engine's own sidecars — stops BOTH loudly
+    * at entry (guardCompactable): the rename-aside swap would otherwise
+    * silently destroy it. Returns (filesBefore, filesAfter); a table with
+    * nothing appended is a no-op.
     *
     * Single-writer maintenance op (like [[compact]]); readers racing the
     * swap can transiently miss the table directory. The crash-recovery
@@ -663,6 +718,7 @@ object Tables {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompact(fs, path)
+    guardCompactable(fs, hp)
     def dataFiles(p: Path): Array[FileStatus] =
       fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath.getName))
     val before = dataFiles(hp).toSeq
@@ -717,38 +773,72 @@ object Tables {
     * Like the reference's insert trigger (imcs.c:4617-4740; user_guide
     * "When data is loaded..."), an append BELOW the stored series tail is
     * an error, not a silent corruption: per-key series positions and
-    * range-scan pruning both assume the timestamp column only grows. The
-    * check compares incoming min(ts) to stored max(ts) — two small
-    * aggregate jobs at load time (on a Delta/Iceberg deployment this is a
-    * metadata lookup; over plain Parquet the max() scan is one column).
+    * range-scan pruning both assume the timestamp column only grows.
+    *
+    * The stored tail comes from the MANIFEST when one is present,
+    * consistent with the live listing, and every entry carries ts stats —
+    * max over the recorded per-file maxima, a metadata lookup that reads
+    * ZERO data bytes (TablesSpec proves it by garbaging the stored data
+    * files in place). Only a manifest-less or stat-less table pays the
+    * fallback: one max(ts) column scan over the stored side (on a
+    * Delta/Iceberg deployment that too is a metadata lookup). The
+    * incoming side is one small min() aggregate either way.
     */
   def append(df: DataFrame, path: String, ts: String, from: Column): Unit = {
     val spark = df.sparkSession
     val incoming = df.filter(col(ts) >= from)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
-      // one row; null mn/mx (empty side) means no violation is possible
-      val viol = incoming.agg(min(col(ts)).as("mn"))
-        .crossJoin(spark.read.parquet(path).agg(max(col(ts)).as("mx")))
-        .filter(col("mn") < col("mx"))
-        .head(1)
-      if (viol.nonEmpty)
-        throw new IllegalStateException(
-          s"out-of-order append: incoming min($ts)=${viol.head.get(0)} is below " +
-            s"the stored series tail max($ts)=${viol.head.get(1)} — the reference " +
-            "rejects appends below the loaded tail (imcs.c:4617-4740)")
-    }
-    // cluster the incoming batch like load does: appends are accepted
-    // only above the stored tail, so batches are disjoint in ts across
-    // time — clustering WITHIN the batch keeps each new file's ts min/max
-    // tight instead of spanning the whole batch from round-robin input
     val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def listing(): Seq[FileStatus] =
       if (fs.exists(hp))
         fs.listStatus(hp).filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
       else Seq.empty
     val preFiles = listing()
+    if (fs.exists(hp)) {
+      // manifest-derived tail in epoch-ns; None → fall back to the scan.
+      // An EMPTY manifest-tracked table has no tail — nothing to violate.
+      val manifestTail: Option[Option[Long]] =
+        readManifest(fs, hp).filter(_.ts == ts)
+          .filter(manifestConsistent(_, preFiles))
+          .flatMap { m =>
+            if (m.files.isEmpty) Some(None)
+            else if (m.files.forall(_.maxNs.isDefined))
+              Some(Some(m.files.flatMap(_.maxNs).max))
+            else None // stat-less entries: the tail is unknowable from metadata
+          }
+      manifestTail match {
+        case Some(tailNsOpt) =>
+          for (tailNs <- tailNsOpt) {
+            // incoming min on the SAME epoch-ns scale the manifest records
+            // (µs→ns is monotonic, so the comparison is equivalent to the
+            // raw-column one); null min (empty batch) cannot violate
+            val mnRow = normalizeNsTs(incoming.select(col(ts).as("ts")))
+              .agg(min(col("ts")).as("mn")).head()
+            val mnNs = if (mnRow.isNullAt(0)) None
+              else Some(mnRow.get(0).asInstanceOf[Number].longValue)
+            if (mnNs.exists(_ < tailNs))
+              throw new IllegalStateException(
+                s"out-of-order append: incoming min($ts)=${mnNs.get}ns is below " +
+                  s"the stored series tail max($ts)=${tailNs}ns (manifest) — the " +
+                  "reference rejects appends below the loaded tail (imcs.c:4617-4740)")
+          }
+        case None =>
+          // one row; null mn/mx (empty side) means no violation is possible
+          val viol = incoming.agg(min(col(ts)).as("mn"))
+            .crossJoin(spark.read.parquet(path).agg(max(col(ts)).as("mx")))
+            .filter(col("mn") < col("mx"))
+            .head(1)
+          if (viol.nonEmpty)
+            throw new IllegalStateException(
+              s"out-of-order append: incoming min($ts)=${viol.head.get(0)} is below " +
+                s"the stored series tail max($ts)=${viol.head.get(1)} — the reference " +
+                "rejects appends below the loaded tail (imcs.c:4617-4740)")
+      }
+    }
+    // cluster the incoming batch like load does: appends are accepted
+    // only above the stored tail, so batches are disjoint in ts across
+    // time — clustering WITHIN the batch keeps each new file's ts min/max
+    // tight instead of spanning the whole batch from round-robin input
     writeClustered(incoming, path, Seq(col(ts)),
       incoming.rdd.getNumPartitions, SaveMode.Append)
     // extend the manifest with the batch's files as loaded=false (the set
@@ -853,21 +943,27 @@ object Tables {
       // won't resolve through a bare TableIdentifier — both must degrade
       // to "not present, re-ingest", never throw out of a presence check
       val wantSort = (keys ++ sortCols).map(_.toLowerCase)
-      val specOk = scala.util.Try(
+      scala.util.Try(
         spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
-      ).toOption.flatten.exists(bs =>
-        bs.numBuckets == buckets &&
-          bs.bucketColumnNames.map(_.toLowerCase) == keys.map(_.toLowerCase) &&
-          bs.sortColumnNames.map(_.toLowerCase) == wantSort)
-      specOk && {
-        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // a catalog entry whose location was wiped (killed run, cleaned
-        // warehouse) is not a table — re-ingest
-        fs.exists(loc) && fs.listStatus(loc)
-          .exists(s => s.isFile && isDataFile(s.getPath.getName) && s.getLen > 0)
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+      ).toOption.exists { ct =>
+        val specOk = ct.bucketSpec.exists(bs =>
+          bs.numBuckets == buckets &&
+            bs.bucketColumnNames.map(_.toLowerCase) == keys.map(_.toLowerCase) &&
+            bs.sortColumnNames.map(_.toLowerCase) == wantSort)
+        specOk && {
+          // the CATALOG's recorded location, not a $warehouse/$table
+          // reconstruction: the two diverge on custom locations, renamed
+          // warehouse dirs, or name normalization — and a presence check
+          // against the wrong dir either serves an empty table or forces
+          // perpetual re-ingest
+          val loc = new org.apache.hadoop.fs.Path(ct.location)
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // a catalog entry whose location was wiped (killed run, cleaned
+          // warehouse) is not a table — re-ingest
+          fs.exists(loc) && fs.listStatus(loc)
+            .exists(s => s.isFile && isDataFile(s.getPath.getName) && s.getLen > 0)
+        }
       }
     }
     if (!present) loadBucketed(df, table, keys, buckets, sortCols)

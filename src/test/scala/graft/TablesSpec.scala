@@ -284,4 +284,71 @@ class TablesSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("append tail guard is a metadata lookup when a manifest is present") {
+    val path = tmp("mguard")
+    Tables.load((0L until 100L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    // garbage every stored data file IN PLACE (same names, same lengths):
+    // the manifest stays consistent with the listing, but any actual read
+    // of the data would throw — so an append that still enforces the tail
+    // correctly has provably read ZERO stored data bytes
+    for (f <- dataFiles(path)) {
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](f.length.toInt)(0x5a))
+      val crc = new java.io.File(f.getParentFile, "." + f.getName + ".crc")
+      if (crc.exists) crc.delete() // stale checksums would fail before parquet
+    }
+    // in-order append: accepted without touching the (garbaged) data
+    Tables.append(Seq((150L, 1.0)).toDF("ts", "v"), path, "ts", lit(0L))
+    // out-of-order append: rejected from the manifest-recorded tail (150)
+    val e = intercept[IllegalStateException] {
+      Tables.append(Seq((120L, 2.0)).toDF("ts", "v"), path, "ts", lit(0L))
+    }
+    assert(e.getMessage.contains("manifest"),
+      s"guard should cite the manifest tail, got: ${e.getMessage}")
+  }
+
+  test("compact flavors refuse to destroy foreign content in the table dir") {
+    val path = tmp("foreign")
+    Tables.load((0L until 50L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    Tables.append(Seq((60L, 1.0)).toDF("ts", "v"), path, "ts", lit(60L))
+    // a foreign SUBDIRECTORY: the rename-aside + delete(old) swap would
+    // silently destroy it — both compact flavors must stop loudly instead
+    val sub = new java.io.File(path, "foreign_backup")
+    assert(sub.mkdir())
+    val e1 = intercept[RuntimeException] {
+      Tables.compactIncremental(spark, path, Seq(), "ts")
+    }
+    assert(e1.getMessage.contains("foreign_backup"))
+    assert(sub.exists, "refused compact must leave the foreign dir in place")
+    assert(spark.read.parquet(path).count() == 51)
+    assert(sub.delete())
+    // a foreign HIDDEN file (not a .crc, not the manifest staging temp)
+    val hidden = new java.io.File(path, ".snapshot_marker")
+    assert(hidden.createNewFile())
+    val e2 = intercept[RuntimeException] {
+      Tables.compact(spark, path, Seq(), "ts")
+    }
+    assert(e2.getMessage.contains(".snapshot_marker"))
+    assert(hidden.exists)
+    assert(hidden.delete())
+    // with the foreign content gone, the incremental fold proceeds
+    val (nb, na) = Tables.compactIncremental(spark, path, Seq(), "ts")
+    assert(na <= nb && spark.read.parquet(path).count() == 51)
+  }
+
+  test("extreme ts stats degrade to stat-less manifest entries, never wrap") {
+    val path = tmp("bigts")
+    // micros for year 2400 ≈ 1.36e16; ×1000 to ns overflows a Long — the
+    // conversion must degrade to None (file KEPT by every pruning
+    // decision), not wrap negative and flip the overlap test
+    val df = spark.sql(
+      "select timestamp'2400-01-01 00:00:00' as ts, 1.0 as v")
+    Tables.load(df, path, Seq(), "ts")
+    val m = Tables.manifest(spark, path).getOrElse(sys.error("manifest missing"))
+    assert(m.files.nonEmpty)
+    assert(m.files.forall(e => e.minNs.isEmpty && e.maxNs.isEmpty),
+      s"out-of-ns-range stats must be dropped, got ${m.files}")
+  }
 }
