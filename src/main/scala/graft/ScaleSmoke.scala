@@ -309,6 +309,34 @@ object ScaleSmoke {
       }
       println(s"  full files: $fb -> $fa")
     }
+    // bucketed lifecycle at scale (round 10): the zero-shuffle as-of
+    // layout must survive growth. Append rows for a FEW keys (≤5 of the
+    // 64 buckets go hot), then A/B the per-bucket fold against the full
+    // re-bucket a user without the lifecycle would pay. Fold wall must
+    // track the HOT buckets' data; the re-bucket re-shuffles the table.
+    run("bucketed fold (hot buckets) vs full re-bucket") {
+      tableGetFrom // ensure the ×factor events layout exists
+      val evB = graft.io.Tables.read(spark, work, "events")
+      time(s"  loadBucketed x$factor events (pay-once ingest)") {
+        graft.io.Tables.loadBucketed(evB, "smoke_bkt", Seq("user_id"), 64,
+          sortCols = Seq("ts"))
+      }
+      val someKeys = evB.select("user_id").distinct().limit(5)
+        .collect().map(_.getLong(0))
+      val batch = evB.filter(col("user_id").isin(someKeys: _*))
+      println(s"  append batch: ${batch.count()} rows over ${someKeys.length} keys")
+      time("  appendBucketed (few keys)") {
+        graft.io.Tables.appendBucketed(batch, "smoke_bkt")
+      }
+      val (b1, a1) = time("  compactBucketed (per-bucket fold)") {
+        graft.io.Tables.compactBucketed(spark, "smoke_bkt")
+      }
+      println(s"  fold files: $b1 -> $a1")
+      time("  full re-bucket (what no-lifecycle costs)") {
+        graft.io.Tables.loadBucketed(spark.table("smoke_bkt"), "smoke_bkt2",
+          Seq("user_id"), 64, sortCols = Seq("ts"))
+      }
+    }
     spark.stop()
   }
 }

@@ -347,6 +347,16 @@ object Tables {
 
   private implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
 
+  /** Test-only fault-injection seam for the staged-commit protocols: a
+    * hook that THROWS at a named protocol step simulates a crash exactly
+    * there, letting the crash-recovery fuzz (TablesSpec) kill the
+    * load/append/compact marker protocol at ARBITRARY steps instead of
+    * only the hand-picked ones. Production cost is a None check per
+    * protocol step — a handful per maintenance op, zero per query.
+    */
+  @volatile private[graft] var crashHook: Option[String => Unit] = None
+  private def crashPoint(tag: String): Unit = crashHook.foreach(_(tag))
+
   /** Torn-write-free small-file install: stage then rename, so neither a
     * reader nor crash recovery can ever observe a HALF-WRITTEN file. The
     * commit marker's roll-FORWARD semantics depend on this — a torn
@@ -580,17 +590,20 @@ object Tables {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     writeClustered(spark.read.parquet(path), tmp.toString,
       (keys :+ ts).map(col), parts)
+    crashPoint("full:staged")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(hp, old)) {
       fs.delete(tmp, true)
       sys.error(s"compact: cannot move $path aside; original left in place")
     }
+    crashPoint("full:aside")
     if (!fs.rename(tmp, hp)) {
       val restored = fs.rename(old, hp)
       fs.delete(tmp, true)
       sys.error(s"compact: cannot move compacted layout into $path; " +
         (if (restored) "original restored" else s"ORIGINAL LEFT AT $old"))
     }
+    crashPoint("full:installed")
     fs.delete(old, true)
     writeManifest(spark, path, ts)
     (before.length, dataFiles(hp).length)
@@ -737,6 +750,7 @@ object Tables {
     writeClustered(
       spark.read.parquet(hot.map(e => new Path(hp, e.name).toString): _*),
       tmp.toString, (keys :+ ts).map(col), parts)
+    crashPoint("incr:staged")
     // stage the NEW manifest alongside the folded files: cold entries
     // carry over verbatim, folded output is footer-scanned once — after
     // the swap everything is the established layout again
@@ -744,23 +758,28 @@ object Tables {
       dataFiles(tmp).toSeq, loaded = true)
     writeManifestFile(fs, tmp,
       TsManifest(1, ts, cold.map(_.copy(loaded = true)) ++ foldedEntries))
+    crashPoint("incr:manifest-staged")
     // COMMIT: from here recovery rolls forward. Atomic (stage+rename) so
     // a crash mid-write cannot leave a torn marker that recovery would
     // misread as an empty cold list.
     writeSmallFileAtomic(fs, marker,
       org.json4s.jackson.Serialization.write(cold.map(_.name)))
+    crashPoint("incr:marker")
     cold.foreach { e =>
       val src = new Path(hp, e.name)
       if (!fs.rename(src, new Path(tmp, e.name)))
         sys.error(s"compactIncremental: cannot move cold file $src into staging")
+      crashPoint("incr:cold-moved")
     }
     val old = new Path(path + ".compact.old")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(hp, old))
       sys.error(s"compactIncremental: cannot move $path aside")
+    crashPoint("incr:aside")
     if (!fs.rename(tmp, hp))
       sys.error(s"compactIncremental: cannot install folded layout at $path " +
         s"(recoverable: rerun compact — the commit marker rolls forward)")
+    crashPoint("incr:installed")
     fs.delete(old, true)
     fs.delete(marker, false)
     (before.length, dataFiles(hp).length)
@@ -841,6 +860,7 @@ object Tables {
     // tight instead of spanning the whole batch from round-robin input
     writeClustered(incoming, path, Seq(col(ts)),
       incoming.rdd.getNumPartitions, SaveMode.Append)
+    crashPoint("append:written")
     // extend the manifest with the batch's files as loaded=false (the set
     // compactIncremental folds). A manifest that no longer matches the
     // pre-append listing is stale (foreign writer) — drop it rather than
@@ -904,11 +924,20 @@ object Tables {
                    buckets: Int, sortCols: Seq[String] = Seq()): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // an orphaned location (e.g. a killed earlier run) blocks re-creation
+    // an orphaned location (e.g. a killed earlier run) blocks re-creation.
+    // Move it ASIDE rather than deleting: a crash between here and the
+    // saveAsTable commit must never have destroyed the only copy — the
+    // `.replaced` sibling survives until the new layout is fully written
+    // (the same reasoning as compact's two-rename swap; this is the
+    // CREATE path, so the catalog holds no location yet and the default
+    // warehouse path is the right one to clear)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val replaced = new org.apache.hadoop.fs.Path(s"$warehouse/$table.replaced")
+    if (fs.exists(replaced)) fs.delete(replaced, true) // stale from a crash
+    if (fs.exists(loc) && !fs.rename(loc, replaced))
+      sys.error(s"loadBucketed: cannot move orphaned $loc aside")
     // one file per bucket: Spark trusts the per-bucket sort order (and
     // elides the per-query Sort under a sort-merge join) only when each
     // bucket is a single sorted file
@@ -922,6 +951,156 @@ object Tables {
       .sortBy(sort.head, sort.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+    fs.delete(replaced, true)
+  }
+
+  /** Spark's bucket-file naming: `part-NNNNN-<uuid>_BBBBB[.ext]` — the
+    * digits after the LAST underscore are the bucket id. Files in a
+    * bucketed table dir that don't parse are foreign; lifecycle ops stop.
+    */
+  private val BucketIdRe = """.*_(\d+)(?:\..*)?$""".r
+  private def bucketIdOf(name: String): Option[Int] = name match {
+    case BucketIdRe(id) => Some(id.toInt)
+    case _ => None
+  }
+
+  /** Append a batch to a bucketed catalog table through its OWN bucket
+    * spec (looked up, never re-declared — a drifted re-declaration would
+    * be rejected by Spark, but looking it up makes drift impossible).
+    * Each batch adds at most one file per bucket. Until the next
+    * [[compactBucketed]], multi-file buckets make Spark withhold the
+    * sort-order claim, so order-requiring plans (sort-merge join, the
+    * as-of merge exec) regain a per-query Sort — but the ZERO-Exchange
+    * property survives: bucket membership is in the file names, and a
+    * scan of a multi-file bucket is still one partition. This mirrors the
+    * reference's append path (imcs.c:4617-4740): writes land in the
+    * series' existing layout, maintenance restores the compact form.
+    */
+  def appendBucketed(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val ct = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val bs = ct.bucketSpec.getOrElse(
+      sys.error(s"appendBucketed: $table carries no bucket spec"))
+    val keys = bs.bucketColumnNames
+    val sort = bs.sortColumnNames
+    df.repartition(bs.numBuckets, keys.map(col): _*)
+      .write.mode(SaveMode.Append)
+      .bucketBy(bs.numBuckets, keys.head, keys.tail: _*)
+      .sortBy(sort.head, sort.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Per-bucket incremental compact for a bucketed catalog table: fold
+    * ONLY buckets holding more than one file back to a single sorted
+    * file; single-file buckets are carried by RENAME — bytes untouched.
+    * Work is therefore proportional to the data in TOUCHED buckets, not
+    * the table: an append stream over a subset of keys folds just those
+    * buckets, which is what makes maintenance payable when the table is
+    * 100 TB but the day's appends are not. (When every bucket was
+    * appended to, a fold necessarily re-sorts every bucket — same as the
+    * reference absorbing appends into every touched B-tree page,
+    * btree.c:644-745.)
+    *
+    * The fold is ONE Spark job: the hot files are read together and
+    * re-written through the same bucketBy spec into a staging table, so
+    * each output file lands with the correct bucket id in its name (the
+    * bucket hash is a pure function of the key columns). The staged files
+    * plus the renamed-in cold files then install via the SAME commit-
+    * marker + two-rename swap [[compact]] uses (crash recovery shared:
+    * [[recoverCompact]] at entry, roll-forward after the marker).
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactBucketed(spark: SparkSession, table: String): (Int, Int) = {
+    val ct = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val bs = ct.bucketSpec.getOrElse(
+      sys.error(s"compactBucketed: $table carries no bucket spec"))
+    val loc = new Path(ct.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompact(fs, loc.toString)
+    guardCompactable(fs, loc)
+    // a crashed earlier fold leaks the staged `__fold` table — possibly
+    // only its LOCATION (a fresh session's in-memory catalog no longer
+    // lists it, but the orphaned dir still blocks the managed-table
+    // create). The fold is derived data: always rebuild, never trust
+    // leftovers. Found by the crash-point fuzz (TablesSpec).
+    val foldTable = table + "__fold"
+    def dropFoldLeftovers(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS `$foldTable`")
+      val fl = new Path(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/$foldTable")
+      val ffs = fl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (ffs.exists(fl)) ffs.delete(fl, true)
+    }
+    dropFoldLeftovers()
+    def dataFiles(p: Path): Seq[FileStatus] =
+      fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+    val before = dataFiles(loc)
+    val byBucket = before.groupBy { s =>
+      bucketIdOf(s.getPath.getName).getOrElse(
+        sys.error(s"compactBucketed: ${s.getPath.getName} has no bucket id — " +
+          s"foreign file in bucketed table dir $loc"))
+    }
+    val hot = byBucket.filter(_._2.size > 1)
+    if (hot.isEmpty) { spark.catalog.refreshTable(table); return (before.size, before.size) }
+    val cold = byBucket.filterNot(k => hot.contains(k._1)).values.flatten.toSeq
+    // fold the hot buckets through the same spec into a staging table so
+    // the output files carry correct bucket ids in their names
+    val hotPaths = hot.values.flatten.map(_.getPath.toString).toSeq
+    val keys = bs.bucketColumnNames
+    val sort = bs.sortColumnNames
+    spark.read.schema(ct.schema).parquet(hotPaths: _*)
+      .repartition(bs.numBuckets, keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(bs.numBuckets, keys.head, keys.tail: _*)
+      .sortBy(sort.head, sort.tail: _*)
+      .format("parquet")
+      .saveAsTable(foldTable)
+    crashPoint("bkt:folded")
+    val foldLoc = new Path(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(foldTable)).location)
+    val tmp = new Path(loc.toString + ".compact.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (!fs.mkdirs(tmp)) sys.error(s"compactBucketed: cannot create staging $tmp")
+    dataFiles(foldLoc).foreach { s =>
+      val id = bucketIdOf(s.getPath.getName)
+      // the bucket hash is the same function both writes used, so a fold
+      // output landing in a cold bucket means corruption — stop
+      if (!id.exists(hot.contains))
+        sys.error(s"compactBucketed: folded file ${s.getPath.getName} maps to " +
+          s"bucket $id which was not hot — refusing to install")
+      if (!fs.rename(s.getPath, new Path(tmp, s.getPath.getName)))
+        sys.error(s"compactBucketed: cannot stage folded file ${s.getPath}")
+    }
+    crashPoint("bkt:staged")
+    // COMMIT marker: from here recovery rolls the swap forward
+    val marker = new Path(loc.toString + ".compact.commit")
+    writeSmallFileAtomic(fs, marker,
+      org.json4s.jackson.Serialization.write(cold.map(_.getPath.getName)))
+    crashPoint("bkt:marker")
+    cold.foreach { s =>
+      if (!fs.rename(s.getPath, new Path(tmp, s.getPath.getName)))
+        sys.error(s"compactBucketed: cannot move cold file ${s.getPath} into staging")
+      crashPoint("bkt:cold-moved")
+    }
+    val old = new Path(loc.toString + ".compact.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(loc, old))
+      sys.error(s"compactBucketed: cannot move $loc aside")
+    crashPoint("bkt:aside")
+    if (!fs.rename(tmp, loc))
+      sys.error(s"compactBucketed: cannot install folded layout at $loc " +
+        "(recoverable: the commit marker rolls forward)")
+    crashPoint("bkt:installed")
+    fs.delete(old, true)
+    fs.delete(marker, false)
+    dropFoldLeftovers()
+    if (fs.exists(foldLoc)) fs.delete(foldLoc, true)
+    spark.catalog.refreshTable(table)
+    (before.size, dataFiles(loc).size)
   }
 
   /** [[loadBucketed]] unless `table` already exists with data on disk AND

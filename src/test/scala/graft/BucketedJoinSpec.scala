@@ -78,4 +78,79 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
     }
   }
+
+  test("bucketed lifecycle: load → append → compact keeps zero-Exchange zero-Sort as-of") {
+    import org.apache.spark.sql.types.LongType
+    val ev = Tables.read(spark, sfDir, "events")
+      .select(col("user_id").as("key"), col("ts").cast(LongType).as("ts"),
+        col("value").as("v"))
+    val mm = ev.agg(min("ts"), max("ts")).head()
+    val mid = mm.getLong(0) / 2 + mm.getLong(1) / 2
+    val l = ev.filter(col("key") % 2 === 0)
+    val r = ev.filter(col("key") % 2 === 1)
+      .select(col("key") - 1 as "key", col("ts"), col("v"))
+    Tables.loadBucketed(l.filter(col("ts") < mid), "b_lc_l",
+      Seq("key"), 8, sortCols = Seq("ts"))
+    Tables.loadBucketed(r.filter(col("ts") < mid), "b_lc_r",
+      Seq("key"), 8, sortCols = Seq("ts"))
+    try {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      Tables.appendBucketed(l.filter(col("ts") >= mid), "b_lc_l")
+      Tables.appendBucketed(r.filter(col("ts") >= mid), "b_lc_r")
+      // mid-state (multi-file buckets): Spark withholds the sort-order
+      // claim so a per-query Sort reappears, but the ZERO-Exchange
+      // property must survive — bucket membership lives in file names
+      val base = graft.plans.AsofMerge.asofJoin(l, r, Seq("key"), "ts", "v")
+      val mid1 = graft.plans.AsofMerge.asofJoin(
+        spark.table("b_lc_l"), spark.table("b_lc_r"), Seq("key"), "ts", "v")
+      val plan1 = mid1.queryExecution.executedPlan.toString
+      assert(plan1.contains("AsofMergeJoin") && !plan1.contains("Exchange"), plan1)
+      assert(mid1.exceptAll(base).isEmpty && base.exceptAll(mid1).isEmpty)
+      // fold: every multi-file bucket back to one sorted file
+      val (nb, na) = Tables.compactBucketed(spark, "b_lc_l")
+      assert(nb > na, s"fold must reduce files: $nb -> $na")
+      Tables.compactBucketed(spark, "b_lc_r")
+      val out = graft.plans.AsofMerge.asofJoin(
+        spark.table("b_lc_l"), spark.table("b_lc_r"), Seq("key"), "ts", "v")
+      val plan2 = out.queryExecution.executedPlan.toString
+      assert(plan2.contains("AsofMergeJoin") && !plan2.contains("Exchange") &&
+        !plan2.contains("Sort "), plan2)
+      assert(out.exceptAll(base).isEmpty && base.exceptAll(out).isEmpty)
+      assert(out.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
+
+  test("compactBucketed touches only hot buckets; cold bucket files carried by rename") {
+    import org.apache.spark.sql.types.LongType
+    val ev = Tables.read(spark, sfDir, "events")
+      .select(col("user_id").as("key"), col("ts").cast(LongType).as("ts"),
+        col("value").as("v"))
+    Tables.loadBucketed(ev, "b_cold", Seq("key"), 8, sortCols = Seq("ts"))
+    def loc = new java.io.File(java.net.URI.create(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("b_cold")).location.toString))
+    def files = loc.listFiles.filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")).sortBy(_.getName)
+    def md5(f: java.io.File) = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(f.toPath)).map("%02x".format(_)).mkString
+    val pre = files.map(f => f.getName -> md5(f)).toMap
+    // append ONE key's rows: at most one bucket goes hot
+    val k0 = ev.select("key").head().getLong(0)
+    Tables.appendBucketed(ev.filter(col("key") === k0), "b_cold")
+    val hotNames = files.map(_.getName).toSet -- pre.keySet
+    assert(hotNames.nonEmpty)
+    val (nb, na) = Tables.compactBucketed(spark, "b_cold")
+    assert(nb == pre.size + hotNames.size && na == pre.size,
+      s"fold must return to one file per bucket: $nb -> $na (pre ${pre.size})")
+    // every cold bucket's file survives BYTE-IDENTICAL under its own name
+    // (rename, not rewrite) — only the hot bucket's file is new
+    val post = files.map(f => f.getName -> md5(f)).toMap
+    val hotBuckets = hotNames.map(n => n.split("_").last.takeWhile(_.isDigit))
+    val coldPre = pre.filterNot { case (n, _) =>
+      hotBuckets.exists(b => n.contains("_" + b + ".")) }
+    coldPre.foreach { case (n, h) =>
+      assert(post.get(n).contains(h), s"cold file $n was rewritten or lost") }
+  }
 }

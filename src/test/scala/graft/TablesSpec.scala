@@ -338,6 +338,127 @@ class TablesSpec extends AnyFunSuite {
     assert(na <= nb && spark.read.parquet(path).count() == 51)
   }
 
+  /** Arm the fault-injection seam to throw at the `nth` firing of `tag`;
+    * returns whether the injected crash actually happened (false = the
+    * chosen point was never reached and the op completed — still a valid
+    * fuzz case: recovery must then be a harmless no-op).
+    */
+  private def withCrash(tag: String, nth: Int)(op: => Unit): Boolean = {
+    val counts = scala.collection.mutable.Map[String, Int]()
+    Tables.crashHook = Some { t =>
+      val c = counts.updateWith(t)(o => Some(o.getOrElse(0) + 1)).get
+      if (t == tag && c == nth)
+        throw new RuntimeException(s"injected crash at $t#$c")
+    }
+    try { op; false }
+    catch {
+      case e: RuntimeException
+        if e.getMessage != null && e.getMessage.startsWith("injected crash") => true
+    }
+    finally Tables.crashHook = None
+  }
+
+  private def tableContent(path: String): Seq[(Long, Double)] =
+    spark.read.parquet(path).select("ts", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(identity).toSeq
+
+  private def manifestConsistentHere(path: String): Boolean =
+    Tables.manifest(spark, path).exists { m =>
+      val live = dataFiles(path).map(f => (f.getName, f.length)).toSet
+      m.files.map(e => (e.name, e.bytes)).toSet == live && m.files.forall(_.loaded)
+    }
+
+  test("crash-point fuzz: arbitrary kills of the clustered protocol recover losslessly") {
+    // Chosen-point tests above cover the states the protocol was DESIGNED
+    // around; this stage kills it at an ARBITRARY step (seeded random) and
+    // requires recovery to converge to the no-crash twin's content with a
+    // consistent all-loaded manifest. Any find: pin the seed in a named
+    // regression case.
+    val rnd = new scala.util.Random(20260814L)
+    val incrTags = Seq("incr:staged" -> 1, "incr:manifest-staged" -> 1,
+      "incr:marker" -> 1, "incr:cold-moved" -> 1, "incr:cold-moved" -> 2,
+      "incr:aside" -> 1, "incr:installed" -> 1)
+    val fullTags = Seq("full:staged" -> 1, "full:aside" -> 1, "full:installed" -> 1)
+    for (iter <- 1 to 10) {
+      val pathA = tmp(s"fzA$iter")
+      val pathB = tmp(s"fzB$iter")
+      val n0 = 50 + rnd.nextInt(150)
+      val loadRows = (0L until n0).map(i => (i, rnd.nextDouble()))
+      val nBatches = 1 + rnd.nextInt(3)
+      val batches = (1 to nBatches).map { b =>
+        val lo = (n0 * b).toLong
+        (lo until lo + 20L).map(i => (i, rnd.nextDouble()))
+      }
+      Tables.load(loadRows.toDF("ts", "v"), pathA, Seq(), "ts")
+      Tables.load(loadRows.toDF("ts", "v"), pathB, Seq(), "ts")
+      val crashLastAppend = rnd.nextDouble() < 0.25
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        val df = rows.toDF("ts", "v")
+        Tables.append(df, pathB, "ts", lit(0L))
+        if (crashLastAppend && i == batches.size - 1) {
+          // kill between the data write and the manifest extend: the data
+          // is in, the manifest goes stale — recovery must re-establish it
+          assert(withCrash("append:written", 1)(Tables.append(df, pathA, "ts", lit(0L))),
+            s"iter $iter: append crash point must fire")
+        } else Tables.append(df, pathA, "ts", lit(0L))
+      }
+      val dropManifest = !crashLastAppend && rnd.nextDouble() < 0.3
+      if (dropManifest) { // route both twins through the FULL compact path
+        for (p <- Seq(pathA, pathB))
+          assert(new java.io.File(p, "_graft_manifest.json").delete())
+      }
+      val (tag, nth) =
+        if (dropManifest) fullTags(rnd.nextInt(fullTags.size))
+        else incrTags(rnd.nextInt(incrTags.size))
+      if (!crashLastAppend)
+        withCrash(tag, nth)(Tables.compactIncremental(spark, pathA, Seq(), "ts"))
+      // recovery is just the next maintenance cycle — no special entry point
+      Tables.compactIncremental(spark, pathA, Seq(), "ts")
+      Tables.compactIncremental(spark, pathB, Seq(), "ts")
+      assert(tableContent(pathA) == tableContent(pathB),
+        s"iter $iter (tag=$tag#$nth, dropManifest=$dropManifest, " +
+          s"crashAppend=$crashLastAppend): recovered content diverged")
+      assert(manifestConsistentHere(pathA),
+        s"iter $iter (tag=$tag#$nth): manifest inconsistent after recovery")
+      // a further cycle over the recovered table is a clean no-op
+      val (nb2, na2) = Tables.compactIncremental(spark, pathA, Seq(), "ts")
+      assert(nb2 == na2, s"iter $iter: recovered table should have nothing to fold")
+    }
+  }
+
+  test("crash-point fuzz: arbitrary kills of the bucketed protocol recover losslessly") {
+    val rnd = new scala.util.Random(77001L)
+    val tags = Seq("bkt:folded" -> 1, "bkt:staged" -> 1, "bkt:marker" -> 1,
+      "bkt:cold-moved" -> 1, "bkt:cold-moved" -> 2, "bkt:aside" -> 1,
+      "bkt:installed" -> 1)
+    for (iter <- 1 to 6) {
+      val (tA, tB) = (s"fz_bkt_a$iter", s"fz_bkt_b$iter")
+      val n0 = 100 + rnd.nextInt(100)
+      val loadRows = (0L until n0).map(i => (i % 7, i, rnd.nextDouble()))
+      val batchRows = (0L until 30L).map { i =>
+        val k = rnd.nextInt(3).toLong // few keys → some buckets stay cold
+        (k, n0 + i, rnd.nextDouble())
+      }
+      for (t <- Seq(tA, tB)) {
+        Tables.loadBucketed(loadRows.toDF("k", "ts", "v"), t, Seq("k"), 4,
+          sortCols = Seq("ts"))
+        Tables.appendBucketed(batchRows.toDF("k", "ts", "v"), t)
+      }
+      val (tag, nth) = tags(rnd.nextInt(tags.size))
+      withCrash(tag, nth)(Tables.compactBucketed(spark, tA))
+      Tables.compactBucketed(spark, tA) // recovery = the next cycle
+      Tables.compactBucketed(spark, tB)
+      def content(t: String) = spark.table(t).select("k", "ts", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(x => (x._1, x._2, x._3)).toSeq
+      assert(content(tA) == content(tB),
+        s"iter $iter (tag=$tag#$nth): recovered bucketed content diverged")
+      // recovered layout is back to ≤1 file per bucket
+      val (nb2, na2) = Tables.compactBucketed(spark, tA)
+      assert(nb2 == na2, s"iter $iter: recovered table should have nothing to fold")
+    }
+  }
+
   test("extreme ts stats degrade to stat-less manifest entries, never wrap") {
     val path = tmp("bigts")
     // micros for year 2400 ≈ 1.36e16; ×1000 to ns overflows a Long — the
