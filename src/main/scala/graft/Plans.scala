@@ -22,7 +22,10 @@ object Plans {
     "q_cs_sketch",
     // round 8: the TABLE_get scan shape (rangeScan pushdown + NTZ
     // file-level pruning) and the bucketed zero-shuffle as-of
-    "q_get", "q_asof_bucketed")
+    "q_get", "q_asof_bucketed",
+    // round 10: the two TPC-H plan families the headline under-tested —
+    // pure predicate pushdown (Q6) and join-order/broadcast (Q3)
+    "q_tpch_q6", "q_tpch_q3", "q_concat_ranges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -580,6 +580,28 @@ object SparkEntry {
         fl(element_at(col("asof_mv"), "mx")).as("asof_mx"),
         fl(element_at(col("asof_mv"), "mn")).as("asof_mn"))
     }),
+    "q_asof_exec_map_nested" -> ((s, dir) => {
+      // keyless as-of carrying a NESTED map (map<string, map<string,
+      // double>>) through the decomposed lanes: the inner maps flatten
+      // elementwise into key/value ARRAY-OF-ARRAYS (r10) — only maps at
+      // level 3+ remain on the serial exec (README "As-of value types").
+      // The right map is {stats → {mx→max, mn→min}} per ts; the query
+      // unpacks the carried nesting to the scalars the oracle computes.
+      val ev = Tables.read(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("value"))
+      val r = ev.filter(col("event_type") === "signup")
+        .groupBy(col("ts")).agg(
+          map_from_arrays(array(lit("stats")),
+            array(map_from_arrays(array(lit("mx"), lit("mn")),
+              array(max(col("value")), min(col("value")))))).as("nmv"))
+      val out = graft.plans.AsofMerge.asofJoin(l, r, Seq(), "ts", "nmv", "asof_nmv")
+      require(!out.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+        "one-level nested-map as-of must ride the decomposed parallel scan")
+      out.select(col("event_id"), fl(col("value")).as("value"),
+        fl(element_at(element_at(col("asof_nmv"), "stats"), "mx")).as("asof_mx"),
+        fl(element_at(element_at(col("asof_nmv"), "stats"), "mn")).as("asof_mn"))
+    }),
     "q_asof_pos" -> ((s, dir) => {
       // cs_asof_join_pos (func.c:4591-4662): carry the matched right POS.
       // Right side deduped to one row per (user_id, ts) — the max pos —
@@ -1142,6 +1164,89 @@ object SparkEntry {
                cast(count_order as long) as count_order
         from $q1 q1 natural join $q2 q2 natural join $q3 q3
         natural join $q4 q4 natural join $q5 q5 natural join $q6 q6""")
+    }),
+    "q_tpch_q6" -> ((s, dir) =>
+      // TPC-H Q6 (date window shifted to the testdata's 1995-2001 span):
+      // the pure-predicate-pushdown plan family — all four conjuncts
+      // reach the parquet scan as PushedFilters and the scan reads only
+      // the three referenced columns (plan notes in PLANS.md); the agg is
+      // one partial→final HashAggregate, no shuffle beyond the 1-row
+      // exchange
+      li(s, dir)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(fl(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))),
+    "q_tpch_q3" -> ((s, dir) => {
+      // TPC-H Q3 adapted to the testdata columns (no mktsegment /
+      // shippriority shipped: the customer cut is c_nationkey < 10, the
+      // carried order attribute o_orderpriority) — the join-order /
+      // broadcast plan family: customer (smallest, filtered) broadcasts
+      // into orders, that result broadcasts into lineitem, one shuffle
+      // for the group-by, TakeOrdered for the top-10. Ordering is on the
+      // FLOAT-cast revenue (ulp-stable across engines) with o_orderkey
+      // as the total tiebreak.
+      val cut = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+      cust(s, dir).filter(col("c_nationkey") < 10)
+        .join(ord(s, dir).filter(col("o_orderdate") < cut),
+          col("c_custkey") === col("o_custkey"))
+        .join(li(s, dir).filter(col("l_shipdate") > cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(fl(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    "q_tpch_cs_q6" -> ((s, dir) => {
+      // Q6 through the registered cs_* surface: cs_filter NULL-masks the
+      // non-qualifying rows, cs_sum ignores the masks — the reference's
+      // filter→aggregate calculus (imcs--1.1.sql:518-560) on the Q6
+      // predicate
+      graft.sqlext.GraftFunctions.register(s)
+      li(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        select cast(cs_sum(cs_filter(
+                 l_shipdate >= timestamp'1997-01-01' and
+                 l_shipdate <  timestamp'1998-01-01' and
+                 l_discount between 0.05 and 0.07 and l_quantity < 24,
+                 l_extendedprice * l_discount)) as float) as revenue,
+               cs_count(cs_filter(
+                 l_shipdate >= timestamp'1997-01-01' and
+                 l_shipdate <  timestamp'1998-01-01' and
+                 l_discount between 0.05 and 0.07 and l_quantity < 24,
+                 l_extendedprice)) as n
+        from lineitem_v""")
+    }),
+    "q_tpch_cs_q3" -> ((s, dir) => {
+      // Q3's aggregate through cs_hash_sum: relational joins stay SQL
+      // (the reference composes cs_* with ordinary PG joins the same
+      // way), the revenue-per-order rollup runs as the map-valued
+      // cs_hash_* aggregate keyed by the stringified order key, and the
+      // order attributes re-join after cs_project_agg unpacks the map
+      graft.sqlext.GraftFunctions.register(s)
+      cust(s, dir).createOrReplaceTempView("customer_v")
+      ord(s, dir).createOrReplaceTempView("orders_v")
+      li(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        with joined as (
+          select o_orderkey, l_extendedprice*(-l_discount+1) as rev
+          from customer_v
+          join orders_v on c_custkey = o_custkey
+          join lineitem_v on l_orderkey = o_orderkey
+          where c_nationkey < 10
+            and o_orderdate < timestamp'1998-06-01'
+            and l_shipdate  > timestamp'1998-06-01'),
+        agg as (
+          select cs_project_agg(cs_hash_sum(rev, cast(o_orderkey as string)))
+          from joined)
+        select cast(group_by as long) as o_orderkey,
+               cast(agg_val as float) as revenue,
+               o_orderdate, o_orderpriority
+        from agg join orders_v on cast(group_by as long) = o_orderkey
+        order by revenue desc, o_orderkey
+        limit 10""")
     }),
     "q_cs_series" -> ((s, dir) => {
       // the array-series cs_* functions (diff/ema/rank) end-to-end in SQL:
@@ -2239,6 +2344,15 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT ts, max("value") AS mx, min("value") AS mn
                          FROM events WHERE event_type = 'signup' GROUP BY ts) r
          ON l.ts >= r.ts""",
+    // the nested-map carry unpacks to the SAME scalars — the nesting is
+    // engine-side structure the oracle flattens by construction
+    "q_asof_exec_map_nested" ->
+      """SELECT l.event_id, CAST(l."value" AS REAL) AS value,
+         CAST(r.mx AS REAL) AS asof_mx, CAST(r.mn AS REAL) AS asof_mn
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT ts, max("value") AS mx, min("value") AS mn
+                         FROM events WHERE event_type = 'signup' GROUP BY ts) r
+         ON l.ts >= r.ts""",
     "q_asof_pos" ->
       s"""SELECT l.user_id, l.event_id, r.pos AS right_pos
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l
@@ -2530,6 +2644,46 @@ object SparkEntry {
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(l_extendedprice * l_discount) AS REAL) AS revenue,
+         count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate <  TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q_tpch_q3" ->
+      """SELECT o_orderkey,
+         CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue,
+         o_orderdate, o_orderpriority
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_nationkey < 10
+           AND o_orderdate < TIMESTAMP '1998-06-01'
+           AND l_shipdate  > TIMESTAMP '1998-06-01'
+         GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderkey
+         LIMIT 10""",
+    "q_tpch_cs_q6" ->
+      """SELECT CAST(sum(l_extendedprice * l_discount) AS REAL) AS revenue,
+         count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate <  TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q_tpch_cs_q3" ->
+      """SELECT o_orderkey,
+         CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue,
+         o_orderdate, o_orderpriority
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_nationkey < 10
+           AND o_orderdate < TIMESTAMP '1998-06-01'
+           AND l_shipdate  > TIMESTAMP '1998-06-01'
+         GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderkey
+         LIMIT 10""",
     "q_cs_series" ->
       s"""WITH RECURSIVE d AS (SELECT pos, "value" FROM ($evPosSql)
              WHERE event_type = 'error' AND pos < 64),

@@ -410,11 +410,22 @@ object AsofMerge {
     * and a value array, plus one presence lane. Both arrays are
     * dictionary-encodable ([[dictEncodable]] admits map-free arrays), and
     * row-carry guarantees the reassembled `map_from_arrays` pairs arrays
-    * from the SAME matched right row. A map nested deeper (map-valued
-    * maps, arrays of maps) still lands on the serial exec.
+    * from the SAME matched right row.
+    *
+    * ONE nested map level decomposes too (`map<k, map<k2, v2>>` with
+    * map-free k/k2/v2): the inner maps flatten elementwise into an
+    * array-of-key-arrays and an array-of-value-arrays (null inner maps
+    * stay null elements — `map_entries(null)` is null through the
+    * transform), both plain dict-encodable nested arrays. Deeper nesting
+    * (a map at level 3+, or maps inside arrays/structs) stays on the
+    * serial AllTuples exec — the documented statement of record (README
+    * "As-of value types"): correct, single-task, and loud in the plan.
     */
   private def mapDecomposable(dt: DataType): Boolean = dt match {
-    case MapType(k, v, _) => !containsMap(k) && !containsMap(v)
+    case MapType(k, v, _) if !containsMap(k) => v match {
+      case MapType(k2, v2, _) => !containsMap(k2) && !containsMap(v2)
+      case _ => !containsMap(v)
+    }
     case _ => false
   }
 
@@ -438,7 +449,8 @@ object AsofMerge {
     * presence, and their scan outputs) — reserved like [[StructTempName]].
     */
   private val MapTempName =
-    "(__mk\\d+|__mv\\d+|__mp\\d+|__mq\\d+|__mok\\d+|__mov\\d+)".r
+    ("(__mk\\d+|__mv\\d+|__mp\\d+|__mq\\d+|__mok\\d+|__mov\\d+" +
+      "|__mvk\\d+|__mvv\\d+|__movk\\d+|__movv\\d+)").r
   private def guardInternalNames(lf: DataFrame, rf: DataFrame): Unit = {
     val clash = (lf.columns ++ rf.columns).distinct
       .filter(c => InternalName.pattern.matcher(c).matches())
@@ -590,8 +602,34 @@ object AsofMerge {
     var rExp = rf
     val scanVals = Seq.newBuilder[String]
     val scanOuts = Seq.newBuilder[String]
-    val rebuilds = valueCols.zipWithIndex.flatMap { case (c, i) =>
+    // per decomposed column: (index, nested) — nested maps additionally
+    // flatten their inner maps into elementwise key/value arrays
+    val rebuilds: Seq[(Int, Boolean)] = valueCols.zipWithIndex.flatMap { case (c, i) =>
       rf.schema(c).dataType match {
+        case mt @ MapType(_, _: MapType, _) if mapDecomposable(mt) =>
+          // the default array_sort orders whole entry STRUCTS, and a
+          // map-valued entry is not orderable — sort by key alone (keys
+          // are unique and non-null, so the comparator is total)
+          val ents = array_sort(map_entries(col(c)), (a, b) =>
+            when(a.getField("key") < b.getField("key"), lit(-1))
+              .when(a.getField("key") > b.getField("key"), lit(1))
+              .otherwise(lit(0)))
+          def innerEnts(e: org.apache.spark.sql.Column) =
+            array_sort(map_entries(e.getField("value")))
+          rExp = rExp
+            .withColumn(s"__mp$i", col(c).isNotNull)
+            .withColumn(s"__mk$i", transform(ents, e => e.getField("key")))
+            // inner maps elementwise: null inner map → null element (the
+            // null propagates through map_entries/array_sort/transform)
+            .withColumn(s"__mvk$i", transform(ents,
+              e => transform(innerEnts(e), x => x.getField("key"))))
+            .withColumn(s"__mvv$i", transform(ents,
+              e => transform(innerEnts(e), x => x.getField("value"))))
+          scanVals += s"__mp$i"; scanOuts += s"__mq$i"
+          scanVals += s"__mk$i"; scanOuts += s"__mok$i"
+          scanVals += s"__mvk$i"; scanOuts += s"__movk$i"
+          scanVals += s"__mvv$i"; scanOuts += s"__movv$i"
+          Some((i, true))
         case mt: MapType if mapDecomposable(mt) =>
           val ents = array_sort(map_entries(col(c)))
           rExp = rExp
@@ -601,7 +639,7 @@ object AsofMerge {
           scanVals += s"__mp$i"; scanOuts += s"__mq$i"
           scanVals += s"__mk$i"; scanOuts += s"__mok$i"
           scanVals += s"__mv$i"; scanOuts += s"__mov$i"
-          Some(i)
+          Some((i, false))
         case _ =>
           scanVals += c; scanOuts += outCols(i)
           None
@@ -618,9 +656,17 @@ object AsofMerge {
       else if (dts.forall(lanable))
         keylessRangedAsof(lf, rExp, ts, sv, so, direction, inclusive)
       else keylessDictAsof(lf, rExp, ts, sv, so, direction, inclusive)
-    val rebuilt = rebuilds.foldLeft(scanned) { case (df, i) =>
-      df.withColumn(outCols(i), when(col(s"__mq$i"),
-        map_from_arrays(col(s"__mok$i"), col(s"__mov$i"))))
+    val rebuilt = rebuilds.foldLeft(scanned) {
+      case (df, (i, false)) =>
+        df.withColumn(outCols(i), when(col(s"__mq$i"),
+          map_from_arrays(col(s"__mok$i"), col(s"__mov$i"))))
+      case (df, (i, true)) =>
+        // rebuild inner maps elementwise first (null key-array element =
+        // the carried row's inner map was NULL), then the outer map
+        df.withColumn(outCols(i), when(col(s"__mq$i"),
+          map_from_arrays(col(s"__mok$i"),
+            zip_with(col(s"__movk$i"), col(s"__movv$i"),
+              (ks, vs) => when(ks.isNotNull, map_from_arrays(ks, vs))))))
     }
     rebuilt.select((lf.columns.toSeq ++ outCols).map(col): _*)
   }

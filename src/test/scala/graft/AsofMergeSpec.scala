@@ -332,16 +332,83 @@ class AsofMergeSpec extends AnyFunSuite {
     }
   }
 
-  test("keyless as-of with a NESTED-map value type still falls back to the exec") {
-    // map-valued maps have no decomposition: the entry arrays would
-    // themselves contain maps, which Spark cannot group by
-    val l = Seq(Tuple1(7L)).toDF("ts")
-    val r = Seq((5L, Map("a" -> Map("x" -> 1))), (6L, Map("b" -> Map("y" -> 3))))
+  test("keyless NESTED-map as-of decomposes one level (no single-task merge)") {
+    // map<k, map<k2, v2>>: inner maps flatten elementwise to an
+    // array-of-key-arrays + array-of-value-arrays (null inner map = null
+    // element), the outer to its own sorted key array + presence lane —
+    // all dict-encodable, so the whole column rides the parallel scan
+    val l = Seq(Tuple1(3L), Tuple1(5L), Tuple1(7L), Tuple1(9L), Tuple1(11L)).toDF("ts")
+    val r = Seq(
+      (5L, Map("a" -> Map("x" -> 1, "y" -> 2), "b" -> Map("z" -> 3))),
+      (6L, Map("c" -> null.asInstanceOf[Map[String, Int]])), // NULL inner map
+      (8L, null.asInstanceOf[Map[String, Map[String, Int]]]), // NULL outer — masks
+      (10L, Map("d" -> Map.empty[String, Int]))) // EMPTY inner ≠ NULL inner
       .toDF("ts", "v")
     val df = AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
-    assert(df.head().getMap[String, Map[String, Int]](1) == Map("b" -> Map("y" -> 3)))
+    assert(!df.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+      "one-level nested maps must ride the decomposed entry-array scan")
+    val got = df.orderBy("ts").collect()
+    assert(got(0).isNullAt(1), "no match yet")
+    assert(got(1).getMap[String, Map[String, Int]](1).toMap
+      .map { case (k, v) => (k, Option(v).map(_.toMap).orNull) } ==
+      Map("a" -> Map("x" -> 1, "y" -> 2), "b" -> Map("z" -> 3)))
+    val atC = got(2).getMap[String, Map[String, Int]](1)
+    assert(atC.keySet == Set("c") && atC("c") == null,
+      s"carried NULL inner map must stay null, got $atC")
+    assert(got(3).isNullAt(1), "carried NULL outer map row must mask ts=6")
+    val atD = got(4).getMap[String, Map[String, Int]](1)
+    assert(atD.keySet == Set("d") && atD("d") != null && atD("d").isEmpty,
+      s"carried EMPTY inner map must round-trip empty, not null, got $atD")
+  }
+
+  test("keyless nested-map lanes: random frames match the serial exec") {
+    val rnd = new scala.util.Random(31)
+    val l = Seq.fill(150)(rnd.nextInt(300).toLong).distinct
+      .map(Tuple1(_)).toDF("ts")
+    val r = Seq.fill(100)(rnd.nextInt(300).toLong).distinct.map { t =>
+      val v: Map[String, Map[String, Long]] =
+        if (t % 7 == 0) null
+        else if (t % 5 == 0) Map.empty
+        else Seq.tabulate((t % 3 + 1).toInt) { j =>
+          val inner: Map[String, Long] =
+            if ((t + j) % 4 == 0) null
+            else if ((t + j) % 6 == 0) Map.empty
+            else Seq.tabulate((j % 2 + 1))(m => s"i${(t + m) % 5}" -> (t * m)).toMap
+          s"k${(t + j) % 11}" -> inner
+        }.toMap
+      (t, v)
+    }.toDF("ts", "v")
+    def pairs(d: DataFrame): Seq[(Long, Map[String, Map[String, Long]])] =
+      d.orderBy("ts").collect().map { row =>
+        val m = if (row.isNullAt(1)) null
+        else row.getMap[String, scala.collection.Map[String, Long]](1).toMap
+          .map { case (k, v) => (k, Option(v).map(_.toMap).orNull) }
+        (row.getLong(0), m)
+      }.toSeq
+    for (dir <- Seq(-1, 1); incl <- Seq(true, false)) {
+      val merge = AsofMerge.asofJoinDir(l, r, Seq(), "ts",
+        Seq("v"), Seq("asof_value"), direction = dir, inclusive = incl)
+      assert(!merge.queryExecution.executedPlan.toString.contains("AsofMergeJoin"))
+      val ground = serialKeylessExec(l, r, "ts", "v",
+        direction = dir, inclusive = incl)
+      assert(pairs(merge) == pairs(ground), s"nested-map carry dir=$dir incl=$incl")
+    }
+  }
+
+  test("map nesting past two levels stays on the serial exec (statement of record)") {
+    // a map at level 3+ would need entry arrays containing maps, which
+    // Spark cannot group by at any depth below the flattened two — the
+    // serial AllTuples merge remains the honest plan there (README
+    // "As-of value types")
+    val l = Seq(Tuple1(7L)).toDF("ts")
+    val r = Seq((5L, Map("a" -> Map("x" -> Map("deep" -> 1)))),
+      (6L, Map("b" -> Map("y" -> Map("deep" -> 3)))))
+      .toDF("ts", "v")
+    val df = AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
+    assert(df.head().getMap[String, Map[String, Map[String, Int]]](1)
+      .toMap.keySet == Set("b"))
     assert(df.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
-      "nested maps are not groupable at any level — the honest single merge plans")
+      "three-level maps stay on the single merge — the documented boundary")
   }
 
   test("reserved internal names in keyless inputs fail loud, not corrupt") {

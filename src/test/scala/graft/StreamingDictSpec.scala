@@ -214,6 +214,93 @@ class StreamingDictSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  /** Batch-id count from a checkpoint's offsets log — the witness that a
+    * phase really processed micro-batches (and that a restart CONTINUED
+    * the numbering instead of starting over).
+    */
+  private def committedBatches(ck: String): Int =
+    Option(new java.io.File(s"$ck/offsets").list())
+      .map(_.count(f => !f.startsWith(".") && !f.endsWith(".tmp")))
+      .getOrElse(0)
+
+  test("checkpoint recovery: tumbling agg stops mid-stream, resumes exactly-once") {
+    // q_stream_sink proves the sink path once-through; this kills the
+    // query between micro-batches and restarts it FROM THE CHECKPOINT:
+    // phase 1 drains the early files (Trigger.AvailableNow terminates —
+    // the planned stop), phase 2 adds later files and restarts with the
+    // same checkpoint + target. The recovered aggregation state must
+    // merge phases into exactly the uninterrupted twin's artifact.
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_tumb").toString
+    val ev = graft.io.Tables.read(spark, sfDir, "events")
+    val mm = ev.agg(min("ts"), max("ts")).head()
+    val cut = mm.getLong(0) / 2 + mm.getLong(1) / 2
+    val src = s"$base/src"
+    ev.filter(col("ts") < cut).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def query() = Streams.tumblingAgg(spark, src, schema, 3600L)
+    Streams.runToParquet(query(), s"$base/out", s"$base/ck")
+    val phase1Batches = committedBatches(s"$base/ck")
+    assert(phase1Batches >= 1, "phase 1 must commit at least one batch")
+    // the stop happened (AvailableNow terminated); now the later data
+    // arrives and the query RESTARTS from the same checkpoint
+    ev.filter(col("ts") >= cut).write.mode("append").parquet(src)
+    val recovered = Streams.runToParquet(query(), s"$base/out", s"$base/ck")
+    assert(committedBatches(s"$base/ck") > phase1Batches,
+      "the restart must commit batches of its own (continued numbering)")
+    // uninterrupted twin: same query, all files, fresh checkpoint
+    val twin = Streams.runToParquet(query(), s"$base/out_twin", s"$base/ck_twin")
+    assert(recovered.count() == twin.count() && recovered.count() > 0)
+    assert(recovered.exceptAll(twin).isEmpty && twin.exceptAll(recovered).isEmpty,
+      "recovered tumbling artifact != uninterrupted twin")
+  }
+
+  test("checkpoint recovery: stateful EMA carries its state across the restart") {
+    // the flatMapGroupsWithState per-key EMA state must survive a stop +
+    // checkpoint restart: phase 2's first row folds against phase 1's
+    // LAST ema, which only recovery of the state store can supply. File
+    // sink (append mode) gives the exactly-once on-disk artifact.
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_ema").toString
+    val rows = (0 until 400).map { i =>
+      (if (i % 3 == 0) "a" else "b", i.toLong, i.toLong,
+        math.rint(math.sin(i) * 1000) / 10)
+    }
+    val (p1, p2) = rows.partition(_._2 < 200)
+    val src = s"$base/src"
+    p1.toDF("k", "ts", "id", "v").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def runPhase(): Unit = {
+      val out = Streams.emaStream(
+        spark.readStream.schema(schema).parquet(src), "k", "ts", "id", "v", 10)
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runPhase()
+    val phase1Batches = committedBatches(s"$base/ck")
+    assert(phase1Batches >= 1, "phase 1 must commit at least one batch")
+    p2.toDF("k", "ts", "id", "v").coalesce(1).write.mode("append").parquet(src)
+    runPhase() // restart from the same checkpoint
+    assert(committedBatches(s"$base/ck") > phase1Batches,
+      "the restart must commit batches of its own (continued numbering)")
+    val got = spark.read.parquet(s"$base/sink").select("k", "ts", "ema")
+    val batch = Moving.ema(
+      Series.attachPos(rows.toDF("k", "ts", "id", "v"),
+        Seq("k"), Seq(col("ts"), col("id"))),
+      Seq("k"), "v", 10).select(col("k"), col("ts"), col("ema"))
+    assert(got.count() == batch.count() && got.count() > 0,
+      "file sink must hold exactly one row per input row across the restart")
+    val joined = got.as("a").join(batch.as("b"),
+      col("a.k") === col("b.k") && col("a.ts") === col("b.ts"))
+    assert(joined.count() == batch.count())
+    assert(joined.filter(abs(col("a.ema") - col("b.ema")) > 1e-9).isEmpty,
+      "phase-2 EMA values must fold against phase-1's recovered state")
+  }
+
   test("dict codes are dense sorted ranks; str2code/code2str round-trip") {
     val df = Seq("cherry", "apple", "banana", "apple", "cherry").toDF("s")
     val dict = Dict.build(df, "s")
