@@ -154,6 +154,45 @@ object FuzzGen {
       s.table(name)
     })
 
+  /** eventsBase served through a full LIFECYCLE round-trip: the events
+    * frame is split at a seeded ts cut, loaded below it (clustered layout
+    * + manifest), appended above it, and — on half the seeds — folded
+    * back by compactIncremental; reads come from the resulting table dir.
+    * Fuzzes the load/append/compact data path (manifest extension, hot
+    * file clustering, fold rewrite, recovery-clean reads) under every
+    * downstream pipeline: the lifecycle is layout, never semantics, so
+    * the SQL twin is unchanged. Ingest is pay-once per (process, sf, cut,
+    * fold) — a process-keyed dir, re-served from disk across seeds.
+    */
+  private val lifecycleTag = java.util.UUID.randomUUID().toString.take(8)
+  private def lifecycleBase(seed: Long): FuzzBase = {
+    val cutIdx = (seed % 3).toInt
+    val doFold = (seed / 3) % 2 == 0
+    eventsBase.copy(
+      label = s"events_lifecycle(cut$cutIdx,${if (doFold) "folded" else "fragmented"})",
+      srcSpark = (s, sf) => {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_fuzz_lc_" +
+          s"${lifecycleTag}_${graft.io.Tables.dirKey(sf)}_${cutIdx}_$doFold"
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_manifest.json"))) {
+          fs.delete(hp, true)
+          val ev = graft.io.Tables.read(s, sf, "events")
+          val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+          val cut = mm.getLong(0) +
+            (mm.getLong(1) - mm.getLong(0)) / 4 * (cutIdx + 1)
+          graft.io.Tables.load(ev.filter(col("ts") < cut), path,
+            Seq("event_type"), "ts")
+          graft.io.Tables.append(ev.filter(col("ts") >= cut), path, "ts", lit(cut))
+          if (doFold)
+            graft.io.Tables.compactIncremental(s, path, Seq("event_type"), "ts")
+        }
+        s.read.parquet(path)
+          .select(col("event_id"), expr("ts div 1000").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+      })
+  }
+
   private def lineitemBase(seed: Long): FuzzBase = {
     // seed arithmetic, not rnd.nextBoolean(): java.util.Random's first
     // draw is heavily correlated across sequential seeds (a 100-seed
@@ -205,19 +244,21 @@ object FuzzGen {
     // programs keep the exact pre-lineitem draw stream, so pinned
     // regression seeds replay the same programs (with BASE=events).
     val base: FuzzBase = baseOverride match {
-      case Some("lineitem")        => lineitemBase(seed)
-      case Some("events_slice")    => eventsSliceBase(seed)
-      case Some("events_concat")   => eventsConcatBase(seed)
-      case Some("events_bucketed") => bucketedEventsBase
-      case Some(_)                 => eventsBase
+      case Some("lineitem")          => lineitemBase(seed)
+      case Some("events_slice")      => eventsSliceBase(seed)
+      case Some("events_concat")     => eventsConcatBase(seed)
+      case Some("events_bucketed")   => bucketedEventsBase
+      case Some("events_lifecycle")  => lifecycleBase(seed)
+      case Some(_)                   => eventsBase
       // events seeds split plain / rangeScan-sliced / two-slice concat /
-      // bucketed-layout; pinned seeds from before a mapping change replay
-      // via BASE override
+      // bucketed-layout / lifecycle-round-trip; pinned seeds from before
+      // a mapping change replay via BASE override
       case None =>
         if (seed % 5 >= 3) lineitemBase(seed)
         else if (seed % 10 == 2 || seed % 10 == 7) eventsSliceBase(seed)
         else if (seed % 10 == 6) eventsConcatBase(seed)
         else if (seed % 10 == 1) bucketedEventsBase
+        else if (seed % 10 == 5) lifecycleBase(seed)
         else eventsBase
     }
     val EventTypes = base.types
@@ -685,6 +726,55 @@ object FuzzGen {
       desc ++= s" | asofExec(dir=$dirn incl=$incl right=$rtype)"
     }
 
+    def asofMapExecStage(tag: String): Unit = { // map-carry as-of (r10)
+      // the right row's (max, min) pair rides as ONE map value — nested
+      // {s→{mx→…,mn→…}} on half the draws — through the decomposed
+      // parallel lanes, then unpacks to scalars; the twin carries the two
+      // aggregates as plain columns through DuckDB's ASOF. Row-carry on
+      // both sides, and both outputs must come from the SAME matched row.
+      val dirn = if (rnd.nextBoolean()) -1 else 1
+      val incl = rnd.nextBoolean()
+      val nested = rnd.nextBoolean()
+      val rtype = EventTypes(rnd.nextInt(EventTypes.size))
+      val outMx = s"${tag}_amx"
+      val outMn = s"${tag}_amn"
+      val tmp = s"${tag}_mv"
+      xforms :+= ((df: DataFrame, s: SparkSession, sf: String) => {
+        val r0 = base.srcSpark(s, sf)
+          .filter(col("event_type") === rtype && col("value").isNotNull)
+          .groupBy((keys :+ "ts").map(col): _*)
+          .agg(max(col("value")).as("mx"), min(col("value")).as("mn"))
+        val flat = map_from_arrays(array(lit("mx"), lit("mn")),
+          array(col("mx"), col("mn")))
+        val mv = if (nested)
+          map_from_arrays(array(lit("s")), array(flat))
+        else flat
+        val r1 = r0.select((keys :+ "ts").map(col) :+ mv.as(tmp): _*)
+        val j = graft.plans.AsofMerge.asofJoinDir(df, r1, keys, "ts",
+          Seq(tmp), Seq(tmp), dirn, incl)
+        val m = if (nested) element_at(col(tmp), "s") else col(tmp)
+        j.withColumn(outMx, element_at(m, "mx"))
+          .withColumn(outMn, element_at(m, "mn"))
+          .drop(tmp)
+      })
+      val cmp =
+        if (dirn == -1) { if (incl) ">=" else ">" }
+        else { if (incl) "<=" else "<" }
+      depth += 1
+      val rsel = (keys.map(q) :+ "ts AS rts").mkString(", ")
+      val rsql = s"""SELECT $rsel, max("value") AS mx, min("value") AS mn """ +
+        s"""FROM (${base.srcSql}) be """ +
+        s"""WHERE event_type = '$rtype' AND "value" IS NOT NULL """ +
+        s"""GROUP BY ${(1 to keys.size + 1).mkString(", ")}"""
+      val keyEq = keys.map(k => s"l.${q(k)} = r.${q(k)} AND ").mkString
+      sql = s"SELECT ${cols.map(c => "l." + q(c)).mkString(", ")}, " +
+        s"r.mx AS ${q(outMx)}, r.mn AS ${q(outMn)} " +
+        s"FROM ($sql) l ASOF LEFT JOIN ($rsql) r ON ${keyEq}l.${q("ts")} $cmp r.rts"
+      cols :+= outMx
+      cols :+= outMn
+      desc ++= s" | asofMapExec(dir=$dirn incl=$incl nested=$nested right=$rtype)"
+    }
+
     def equiJoinStage(tag: String): Unit = {
       val rtype = EventTypes(rnd.nextInt(EventTypes.size))
       val out = s"${tag}_eq"
@@ -951,7 +1041,7 @@ object FuzzGen {
       val tag = s"f$i"
       val enrichers = mutable.ArrayBuffer[() => Unit](
         () => windowAggStage(tag), () => normStage(tag), () => asofStage(tag),
-        () => asofExecStage(tag),
+        () => asofExecStage(tag), () => asofMapExecStage(tag),
         () => asofTolStage(tag), () => dictRoundtripStage(tag),
         () => uniqueAdjStage(), () => equiJoinStage(tag),
         () => stretchStage(tag), () => csIfStage(tag),
