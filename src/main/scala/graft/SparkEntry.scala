@@ -946,6 +946,34 @@ object SparkEntry {
         .withColumn("compacted", lit(na >= 1 && na <= nb))
     }),
 
+    "q_lifecycle_bucketed" -> ((s, dir) => {
+      // the bucketed layout's lifecycle round-trip (r10): loadBucketed
+      // below a ts cut → appendBucketed the tail through the catalog
+      // bucket spec → compactBucketed folds multi-file buckets back to
+      // one sorted file each (cold buckets carried by rename). Layout is
+      // never semantics: the readback aggregate is what the oracle
+      // reproduces from the source table; the fold's file-count
+      // contraction is fail-loud asserted in-query like q_lifecycle's
+      // manifest asserts.
+      val ev = Tables.read(s, dir, "events")
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = mm.getLong(0) / 2 + mm.getLong(1) / 2
+      val t = s"g_lc_bkt_${procTag}_${Tables.dirKey(dir)}"
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      Tables.loadBucketed(ev.filter(col("ts") < cut), t,
+        Seq("user_id"), 8, sortCols = Seq("ts"))
+      Tables.appendBucketed(ev.filter(col("ts") >= cut), t)
+      val (nb, na) = Tables.compactBucketed(s, t)
+      require(nb > na && na <= 8,
+        s"per-bucket fold must contract to ≤1 file per bucket: $nb -> $na")
+      // a second fold is a no-op — the layout is re-established
+      val (nb2, na2) = Tables.compactBucketed(s, t)
+      require(nb2 == na2, s"re-fold must be a no-op: $nb2 -> $na2")
+      s.table(t).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))
+        .withColumn("folded", lit(true))
+    }),
+
     // ---- top-k positions / directional join / stretch / first-pos ----
     "q_top_pos" -> ((s, dir) => {
       // cs_top_max_pos / cs_top_min_pos (func.c:3088-3208)
@@ -2644,6 +2672,10 @@ object SparkEntry {
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
+    "q_lifecycle_bucketed" ->
+      """SELECT event_type, count(*) AS n, CAST(sum("value") AS REAL) AS sv,
+         true AS folded
+         FROM events GROUP BY event_type""",
     "q_tpch_q6" ->
       """SELECT CAST(sum(l_extendedprice * l_discount) AS REAL) AS revenue,
          count(*) AS n
