@@ -879,21 +879,47 @@ object Tables {
   /** TABLE_delete(from, till): inclusive range delete by timestamp
     * (btree.c:747-899) — rewrite excluding the range. On a real deployment
     * this is a Delta/Iceberg DELETE; over plain Parquet it is
-    * read-filter-overwrite.
+    * read-filter-rewrite installed by the SAME two-rename swap the
+    * compact flavors use (never delete-then-write: a crash between the
+    * delete and the install must not strand the only copy in a staging
+    * dir). Entry recovery: a missing live dir with a `.delete.old`
+    * sibling is a mid-swap crash — restore it; a stray staging dir
+    * without that state is an uncommitted rewrite — discard it.
     */
   def deleteRange(spark: SparkSession, path: String, ts: String,
                   from: Column, till: Column): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".delete.old")
+    // entry recovery (mirrors recoverCompact's no-marker branch); with the
+    // live dir present, a surviving `.delete.old` is the superseded copy
+    // of an already-completed swap — cleanup, not data
+    if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
+      sys.error(s"deleteRange: cannot recover $old back to $path")
+    if (fs.exists(p) && fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     val remaining = spark.read.parquet(path)
       .filter(!(col(ts) >= from && col(ts) <= till))
       .cache()
-    remaining.count() // materialize before overwriting the source
-    remaining.write.mode(SaveMode.Overwrite).parquet(path + "__tmp")
+    remaining.count() // materialize before the swap touches the source
+    remaining.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     remaining.unpersist()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(path)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(path + "__tmp"), p)
+    crashPoint("del:staged")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(p, old)) {
+      fs.delete(tmp, true)
+      sys.error(s"deleteRange: cannot move $path aside; original left in place")
+    }
+    crashPoint("del:aside")
+    if (!fs.rename(tmp, p)) {
+      val restored = fs.rename(old, p)
+      fs.delete(tmp, true)
+      sys.error(s"deleteRange: cannot install rewritten layout at $path; " +
+        (if (restored) "original restored" else s"ORIGINAL LEFT AT $old"))
+    }
+    crashPoint("del:installed")
+    fs.delete(old, true)
     // the rewrite replaced every file: regenerate the manifest (all files
     // are the established layout now)
     writeManifest(spark, path, ts)

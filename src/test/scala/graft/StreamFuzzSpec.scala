@@ -196,4 +196,67 @@ class StreamFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("random MULTI-PHASE checkpoint restarts equal the batch twin (stateful EMA)") {
+    // the fixed StreamingDictSpec recovery gate stops once; here the
+    // query is stopped and restarted from its checkpoint a RANDOM number
+    // of times (2-4 phases at random ts cuts), each phase landing one
+    // more source file — per-key EMA state must survive every restart
+    // and the append-mode file sink must stay exactly-once end to end
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val n = sys.env.get("GRAFT_STREAM_FUZZ_N").map(_.toInt).getOrElse(3)
+    val seed0 = sys.env.get("GRAFT_STREAM_FUZZ_SEED").map(_.toLong).getOrElse(100L)
+    for (i <- 0 until n) {
+      val rnd = new Random(seed0 + 900 + i)
+      val keys = Vector("a", "b", "c").take(1 + rnd.nextInt(3))
+      val period = 2 + rnd.nextInt(20)
+      val rows = (0 until 300).map { j =>
+        (keys(rnd.nextInt(keys.size)), j.toLong, j.toLong,
+          math.rint(rnd.nextDouble() * 1000) / 10)
+      }
+      val nPhases = 2 + rnd.nextInt(3)
+      val cutsAt = (1 until nPhases)
+        .map(_ => 1 + rnd.nextInt(rows.size - 1)).distinct.sorted
+      val phases = (Seq(0) ++ cutsAt ++ Seq(rows.size)).sliding(2)
+        .map { case Seq(a, b) => rows.slice(a, b) }.toSeq.filter(_.nonEmpty)
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_ckpt_fuzz_$i").toString
+      phases.head.toDF("k", "ts", "id", "v").coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+      val schema = spark.read.parquet(s"$base/src").schema
+      var batchesSeen = 0
+      for ((phase, pi) <- phases.zipWithIndex) {
+        if (pi > 0) phase.toDF("k", "ts", "id", "v").coalesce(1)
+          .write.mode("append").parquet(s"$base/src")
+        val out = Streams.emaStream(
+          spark.readStream.schema(schema).parquet(s"$base/src"),
+          "k", "ts", "id", "v", period)
+        val q = out.writeStream.format("parquet")
+          .option("path", s"$base/sink")
+          .option("checkpointLocation", s"$base/ck")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val committed = Option(new java.io.File(s"$base/ck/offsets").list())
+          .map(_.count(f => !f.startsWith(".") && !f.endsWith(".tmp")))
+          .getOrElse(0)
+        assert(committed > batchesSeen,
+          s"seed=${seed0 + 900 + i} phase $pi committed no batch")
+        batchesSeen = committed
+      }
+      val got = spark.read.parquet(s"$base/sink").select("k", "ts", "ema")
+      val batch = graft.window.Moving.ema(
+        graft.series.Series.attachPos(rows.toDF("k", "ts", "id", "v"),
+          Seq("k"), Seq(col("ts"), col("id"))),
+        Seq("k"), "v", period).select(col("k"), col("ts"), col("ema"))
+      assert(got.count() == batch.count() && got.count() > 0,
+        s"seed=${seed0 + 900 + i}: sink row count across ${phases.size} restarts")
+      val joined = got.as("a").join(batch.as("b"),
+        col("a.k") === col("b.k") && col("a.ts") === col("b.ts"))
+      assert(joined.count() == batch.count())
+      assert(joined.filter(abs(col("a.ema") - col("b.ema")) > 1e-9).isEmpty,
+        s"seed=${seed0 + 900 + i}: EMA diverged across ${phases.size} restarts")
+    }
+  }
 }

@@ -426,6 +426,36 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("crash-point fuzz: deleteRange's two-rename swap recovers losslessly") {
+    // deleteRange previously deleted the live dir BEFORE installing the
+    // rewrite — a crash in between stranded the only copy in __tmp. Now
+    // it uses the same staged swap as compact; kill it at each step and
+    // require the next deleteRange call (entry recovery + idempotent
+    // re-delete of the same range) to converge to the no-crash twin.
+    val rnd = new scala.util.Random(4242L)
+    val tags = Seq("del:staged" -> 1, "del:aside" -> 1, "del:installed" -> 1)
+    for (iter <- 1 to 6) {
+      val pathA = tmp(s"delA$iter")
+      val pathB = tmp(s"delB$iter")
+      val rows = (0L until 150L).map(i => (i, rnd.nextDouble()))
+      Tables.load(rows.toDF("ts", "v"), pathA, Seq(), "ts")
+      Tables.load(rows.toDF("ts", "v"), pathB, Seq(), "ts")
+      val lo = rnd.nextInt(100).toLong
+      val hi = lo + rnd.nextInt(40)
+      val (tag, nth) = tags(rnd.nextInt(tags.size))
+      withCrash(tag, nth)(Tables.deleteRange(spark, pathA, "ts", lit(lo), lit(hi)))
+      Tables.deleteRange(spark, pathA, "ts", lit(lo), lit(hi)) // recovery
+      Tables.deleteRange(spark, pathB, "ts", lit(lo), lit(hi))
+      assert(tableContent(pathA) == tableContent(pathB),
+        s"iter $iter (tag=$tag): recovered delete content diverged")
+      assert(manifestConsistentHere(pathA),
+        s"iter $iter (tag=$tag): manifest inconsistent after recovery")
+      // no leftover swap-state siblings
+      for (sfx <- Seq("__tmp", ".delete.old"))
+        assert(!new java.io.File(pathA + sfx).exists, s"leftover $sfx")
+    }
+  }
+
   test("crash-point fuzz: arbitrary kills of the bucketed protocol recover losslessly") {
     val rnd = new scala.util.Random(77001L)
     val tags = Seq("bkt:folded" -> 1, "bkt:staged" -> 1, "bkt:marker" -> 1,
