@@ -980,6 +980,30 @@ object Tables {
     fs.delete(replaced, true)
   }
 
+  /** [[loadBucketed]] with the bucket count DERIVED from the data: a
+    * bucketed scan runs one task per bucket (Spark never splits a bucket
+    * across tasks), so the count should track the frame's bytes against a
+    * per-bucket target (~256 MB of columnar data by default — one
+    * comfortable task), clamped to [defaultParallelism, 16384]. The size
+    * comes from the optimized plan's statistics (actual file sizes for
+    * parquet-backed frames; estimates otherwise — both fine, the knob
+    * tolerates 2× error by construction). Same reasoning as
+    * `rangeJoinAuto`: the one misusable knob becomes data-driven.
+    * Returns the chosen count (callers co-bucketing a second table must
+    * reuse it — co-location requires EQUAL counts).
+    */
+  def loadBucketedAuto(df: DataFrame, table: String, keys: Seq[String],
+                       sortCols: Seq[String] = Seq(),
+                       targetBucketBytes: Long = 256L << 20): Int = {
+    val spark = df.sparkSession
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (bytes + targetBucketBytes - 1) / targetBucketBytes
+    val lo = BigInt(spark.sparkContext.defaultParallelism)
+    val buckets = want.max(lo).min(BigInt(16384)).toInt
+    loadBucketed(df, table, keys, buckets, sortCols)
+    buckets
+  }
+
   /** Spark's bucket-file naming: `part-NNNNN-<uuid>_BBBBB[.ext]` — the
     * digits after the LAST underscore are the bucket id. Files in a
     * bucketed table dir that don't parse are foreign; lifecycle ops stop.

@@ -122,6 +122,38 @@ class BucketedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("loadBucketedAuto derives the bucket count from data bytes") {
+    import org.apache.spark.sql.types.LongType
+    val ev = Tables.read(spark, sfDir, "events")
+      .select(col("user_id").as("key"), col("ts").cast(LongType).as("ts"),
+        col("value").as("v"))
+    // tiny frame → the parallelism floor binds (never fewer buckets than
+    // cores: co-located joins should still parallelize)
+    val n1 = Tables.loadBucketedAuto(ev, "b_auto1", Seq("key"), Seq("ts"))
+    assert(n1 == spark.sparkContext.defaultParallelism, s"floor: got $n1")
+    // a per-bucket target of 1/16th the frame's own stats forces the
+    // byte rule to bind instead (≈16 buckets regardless of fixture size)
+    val bytes = ev.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n2 = Tables.loadBucketedAuto(ev, "b_auto2", Seq("key"), Seq("ts"),
+      targetBucketBytes = (bytes / 16).max(1).toLong)
+    assert(n2 > n1, s"byte rule should exceed the floor: $n2 vs $n1")
+    // the produced table is a normal bucketed table: spec recorded, as-of
+    // plan zero-Exchange against a same-count twin
+    try {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      Tables.loadBucketed(ev.select(col("key"), col("ts"),
+        (col("v") * 2).as("v")), "b_auto1_twin", Seq("key"), n1, Seq("ts"))
+      val out = graft.plans.AsofMerge.asofJoin(
+        spark.table("b_auto1"), spark.table("b_auto1_twin"),
+        Seq("key"), "ts", "v")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("AsofMergeJoin") && !plan.contains("Exchange"), plan)
+      assert(out.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
+
   test("compactBucketed touches only hot buckets; cold bucket files carried by rename") {
     import org.apache.spark.sql.types.LongType
     val ev = Tables.read(spark, sfDir, "events")
