@@ -186,13 +186,20 @@ object Bench {
         "\"" + r.name + "\":" + r.warm.map(w => f"$w%.3f").mkString("[", ",", "]"))
     val failedList = results.filter(_.failed).map("\"" + _.name + "\"")
       .mkString("[", ",", "]")
-    val total = results.map(_.minT).sum
-    val coldTotal = results.map(_.cold).sum
+    // the headline total covers SCAN queries only: maintenance ops'
+    // filesystem-write variance is excluded from the contention witnesses,
+    // so letting their times into `value` would leak exactly that variance
+    // into "clean" totals — and break round-over-round comparison against
+    // records from before maintenance entries existed. Their per-query
+    // times stay in `queries`; `maint_sec` carries their own total.
+    val total = results.filterNot(_.maint).map(_.minT).sum
+    val coldTotal = results.filterNot(_.maint).map(_.cold).sum
+    val maintTotal = results.filter(_.maint).map(_.minT).sum
     val loadJson = (startLoad ++ endLoad).map(v => f"$v%.2f")
       .mkString("[", ",", "]")
     val marker = noCleanRun
       .map(a => s""","no_clean_run":true,"attempts":$a""").getOrElse("")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread$repsJson,"failed":$failedList,"reps":$reps,"attempt":$attempt,"load_sec":$loadSec%.3f,"cold_sec":$coldTotal%.3f,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"$marker}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread$repsJson,"failed":$failedList,"reps":$reps,"attempt":$attempt,"load_sec":$loadSec%.3f,"cold_sec":$coldTotal%.3f,"maint_sec":$maintTotal%.3f,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"$marker}"""
   }
 
   /** Emit one attempt's record: detail line first (full rep_times, also

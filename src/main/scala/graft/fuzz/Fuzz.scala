@@ -175,7 +175,12 @@ object FuzzGen {
           s"${lifecycleTag}_${graft.io.Tables.dirKey(sf)}_${cutIdx}_$doFold"
         val hp = new org.apache.hadoop.fs.Path(path)
         val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_graft_manifest.json"))) {
+        // completion marker, not load's own manifest: the manifest appears
+        // after step 1 of the 3-step ingest, so using it as the pay-once
+        // witness would serve a HALF-ingested table to every later seed
+        // if append/fold ever died mid-way (spurious differential storm)
+        val ready = new org.apache.hadoop.fs.Path(path, "_graft_fuzz_ready")
+        if (!fs.exists(ready)) {
           fs.delete(hp, true)
           val ev = graft.io.Tables.read(s, sf, "events")
           val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
@@ -186,6 +191,7 @@ object FuzzGen {
           graft.io.Tables.append(ev.filter(col("ts") >= cut), path, "ts", lit(cut))
           if (doFold)
             graft.io.Tables.compactIncremental(s, path, Seq("event_type"), "ts")
+          fs.create(ready, true).close()
         }
         s.read.parquet(path)
           .select(col("event_id"), expr("ts div 1000").as("ts"),

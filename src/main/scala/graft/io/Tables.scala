@@ -427,10 +427,21 @@ object Tables {
         !n.endsWith(".crc") && n != "." + ManifestName + ".staging"
     }.map(_.getPath.getName)
 
-  /** Shared entry guard for [[compact]] and [[compactIncremental]]: refuse
-    * to run when the directory holds content the swap would destroy.
+  /** Shared entry guard for the swap-installing rewrites ([[compact]],
+    * [[compactIncremental]], [[compactBucketed]], [[deleteRange]]):
+    * refuse to run when the directory holds content the swap would
+    * destroy. One exception is CLEANED rather than flagged: committer
+    * scratch (`_temporary`, `.spark-staging-*`) left by a write job that
+    * died mid-flight holds only uncommitted task attempts — deleting it
+    * is what the committer itself would do, and flagging it would brick
+    * every future maintenance op after any crashed append/load write.
     */
   private def guardCompactable(fs: FileSystem, hp: Path): Unit = {
+    fs.listStatus(hp).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && (n == "_temporary" || n.startsWith(".spark-staging")))
+        fs.delete(s.getPath, true)
+    }
     val foreign = foreignEntries(fs.listStatus(hp).toSeq)
     if (foreign.nonEmpty)
       sys.error(s"compact: $hp holds entries the rewrite would silently " +
@@ -898,7 +909,17 @@ object Tables {
     if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
       sys.error(s"deleteRange: cannot recover $old back to $path")
     if (fs.exists(p) && fs.exists(old)) fs.delete(old, true)
+    // the PRE-swap protocol (delete-then-rename) could crash with the
+    // rewrite stranded in __tmp as the ONLY copy (no live dir, no .old) —
+    // adopt it rather than discard it; the caller's re-delete of the same
+    // range is idempotent over the adopted content
+    if (!fs.exists(p) && !fs.exists(old) && fs.exists(tmp) &&
+      !fs.rename(tmp, p))
+      sys.error(s"deleteRange: cannot adopt stranded rewrite $tmp at $path")
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    // same refusal as the compact flavors: the rename-aside + delete(old)
+    // swap must never silently destroy content the engine doesn't own
+    guardCompactable(fs, p)
     val remaining = spark.read.parquet(path)
       .filter(!(col(ts) >= from && col(ts) <= till))
       .cache()
@@ -949,21 +970,40 @@ object Tables {
   def loadBucketed(df: DataFrame, table: String, keys: Seq[String],
                    buckets: Int, sortCols: Seq[String] = Seq()): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // an orphaned location (e.g. a killed earlier run) blocks re-creation.
-    // Move it ASIDE rather than deleting: a crash between here and the
-    // saveAsTable commit must never have destroyed the only copy — the
-    // `.replaced` sibling survives until the new layout is fully written
-    // (the same reasoning as compact's two-rename swap; this is the
-    // CREATE path, so the catalog holds no location yet and the default
-    // warehouse path is the right one to clear)
+    // Move the existing DATA aside BEFORE dropping the catalog entry:
+    // DROP TABLE on a managed table deletes its location, so dropping
+    // first would destroy the only copy before the replacement exists.
+    // The `.replaced` sibling survives until the new layout commits (the
+    // same reasoning as compact's two-rename swap). The location comes
+    // from the CATALOG when the table exists (it can differ from the
+    // warehouse default); the aside copy lives next to the new default.
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val loc = scala.util.Try(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      .toOption.map(u => new org.apache.hadoop.fs.Path(u))
+      .getOrElse(new org.apache.hadoop.fs.Path(s"$warehouse/$table"))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val replaced = new org.apache.hadoop.fs.Path(s"$warehouse/$table.replaced")
-    if (fs.exists(replaced)) fs.delete(replaced, true) // stale from a crash
-    if (fs.exists(loc) && !fs.rename(loc, replaced))
-      sys.error(s"loadBucketed: cannot move orphaned $loc aside")
+    // a surviving `.replaced` means an earlier attempt crashed BEFORE its
+    // saveAsTable committed: it holds the previous table's only copy and
+    // anything at `loc` is that attempt's partial output. Keep the copy,
+    // discard the partial — deleting `.replaced` here would defeat the
+    // crash safety on every retry (the copy must survive until THIS
+    // attempt commits).
+    if (fs.exists(replaced)) {
+      if (fs.exists(loc)) fs.delete(loc, true)
+    } else if (fs.exists(loc) && !fs.rename(loc, replaced))
+      sys.error(s"loadBucketed: cannot move $loc aside")
+    crashPoint("loadbkt:aside")
+    // catalog entry only — the data already moved, and Spark's drop
+    // tolerates a missing managed location
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // the default warehouse location must also be clear for re-creation
+    // (an orphaned dir from a killed run blocks saveAsTable even when the
+    // old catalog location pointed elsewhere)
+    val defLoc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    if (fs.exists(defLoc)) fs.delete(defLoc, true)
     // one file per bucket: Spark trusts the per-bucket sort order (and
     // elides the per-query Sort under a sort-merge join) only when each
     // bucket is a single sorted file
@@ -997,8 +1037,14 @@ object Tables {
                        targetBucketBytes: Long = 256L << 20): Int = {
     val spark = df.sparkSession
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val want = (bytes + targetBucketBytes - 1) / targetBucketBytes
     val lo = BigInt(spark.sparkContext.defaultParallelism)
+    // stat-less plans (LogicalRDD, some views) report the
+    // defaultSizeInBytes SENTINEL (Long.MaxValue) — that is "unknown",
+    // not "huge"; driving the count to the cap from it would ingest a
+    // tiny table as 16384 near-empty buckets. Unknown → parallelism floor.
+    val want =
+      if (bytes >= BigInt(Long.MaxValue) / 4) lo
+      else (bytes + targetBucketBytes - 1) / targetBucketBytes
     val buckets = want.max(lo).min(BigInt(16384)).toInt
     loadBucketed(df, table, keys, buckets, sortCols)
     buckets
@@ -1034,12 +1080,12 @@ object Tables {
       sys.error(s"appendBucketed: $table carries no bucket spec"))
     val keys = bs.bucketColumnNames
     val sort = bs.sortColumnNames
-    df.repartition(bs.numBuckets, keys.map(col): _*)
+    val w0 = df.repartition(bs.numBuckets, keys.map(col): _*)
       .write.mode(SaveMode.Append)
       .bucketBy(bs.numBuckets, keys.head, keys.tail: _*)
-      .sortBy(sort.head, sort.tail: _*)
-      .format("parquet")
-      .saveAsTable(table)
+    // bucketBy without sortBy is a legal catalog spec — mirror it exactly
+    val w = if (sort.isEmpty) w0 else w0.sortBy(sort.head, sort.tail: _*)
+    w.format("parquet").saveAsTable(table)
     spark.catalog.refreshTable(table)
   }
 
@@ -1102,13 +1148,13 @@ object Tables {
     val hotPaths = hot.values.flatten.map(_.getPath.toString).toSeq
     val keys = bs.bucketColumnNames
     val sort = bs.sortColumnNames
-    spark.read.schema(ct.schema).parquet(hotPaths: _*)
+    val w0 = spark.read.schema(ct.schema).parquet(hotPaths: _*)
       .repartition(bs.numBuckets, keys.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(bs.numBuckets, keys.head, keys.tail: _*)
-      .sortBy(sort.head, sort.tail: _*)
-      .format("parquet")
-      .saveAsTable(foldTable)
+    // sortless bucket specs fold without a sortBy (legal spec — mirror it)
+    val w = if (sort.isEmpty) w0 else w0.sortBy(sort.head, sort.tail: _*)
+    w.format("parquet").saveAsTable(foldTable)
     crashPoint("bkt:folded")
     val foldLoc = new Path(spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(foldTable)).location)
@@ -1121,7 +1167,8 @@ object Tables {
       // output landing in a cold bucket means corruption — stop
       if (!id.exists(hot.contains))
         sys.error(s"compactBucketed: folded file ${s.getPath.getName} maps to " +
-          s"bucket $id which was not hot — refusing to install")
+          s"bucket ${id.map(_.toString).getOrElse("<unparsed>")} which was " +
+          "not hot — refusing to install")
       if (!fs.rename(s.getPath, new Path(tmp, s.getPath.getName)))
         sys.error(s"compactBucketed: cannot stage folded file ${s.getPath}")
     }

@@ -95,6 +95,20 @@ class BenchSpec extends AnyFunSuite {
     assert(s.contains("\"failed\":[\"fail\"]"))
   }
 
+  test("maintenance ops stay out of the headline total (they're also exempt from noisy)") {
+    // maintenance reps do real filesystem writes and are excluded from the
+    // contention witnesses — letting their variance into `value` would
+    // leak exactly what the exemption keeps out of the clean/dirty call,
+    // and would break round-over-round comparison with pre-maint records
+    val rs = Seq(q("a", 0.2, 0.02), q("b", 0.5, 0.05),
+      Bench.QRes("m", 0.9, 0.4, 1.0, failed = false, warm = Seq(0.9, 1.3), maint = true))
+    val s = Bench.renderJson(rs, 7, 1.0, Seq(1, 1, 1), Seq(1, 1, 1),
+      contended = false, noisy = Seq(), "/sf", 1, None)
+    assert(s.contains("\"value\":0.700"), s)       // a + b only
+    assert(s.contains("\"maint_sec\":0.900"), s)   // m reported separately
+    assert(s.contains("\"m\":0.900"), s)           // still in the queries map
+  }
+
   test("compact record fits the driver's bounded tail capture (r9 parsed:null)") {
     // BENCH_r09 was clean but parsed:null — rep_times made the single JSON
     // line longer than the driver's 2000-char tail capture, which clipped

@@ -154,6 +154,23 @@ class BucketedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("sortless bucket specs append and fold (bucketBy without sortBy is legal)") {
+    import spark.implicits._
+    val t = "b_sortless"
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")
+      .repartition(4, col("k"))
+      .write.bucketBy(4, "k").format("parquet").saveAsTable(t)
+    Tables.appendBucketed(Seq((4L, 4.0), (5L, 5.0)).toDF("k", "v"), t)
+    assert(spark.table(t).count() == 5)
+    val (nb, na) = Tables.compactBucketed(spark, t)
+    assert(na <= nb && spark.table(t).count() == 5)
+  }
+
   test("compactBucketed touches only hot buckets; cold bucket files carried by rename") {
     import org.apache.spark.sql.types.LongType
     val ev = Tables.read(spark, sfDir, "events")

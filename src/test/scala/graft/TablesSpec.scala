@@ -489,6 +489,75 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteRange refuses foreign content; committer debris is cleaned, not fatal") {
+    val path = tmp("delguard")
+    Tables.load((0L until 40L).map(i => (i, i * 1.0)).toDF("ts", "v"), path, Seq(), "ts")
+    // foreign subdir: the swap would destroy it — refuse like the compacts
+    val sub = new java.io.File(path, "foreign_keep")
+    assert(sub.mkdir())
+    val e = intercept[RuntimeException] {
+      Tables.deleteRange(spark, path, "ts", lit(5L), lit(10L))
+    }
+    assert(e.getMessage.contains("foreign_keep") && sub.exists)
+    assert(sub.delete())
+    // _temporary (a crashed write job's committer scratch) must be CLEANED
+    // at entry, not brick the table: it holds only uncommitted attempts
+    val tmpDir = new java.io.File(path, "_temporary")
+    assert(tmpDir.mkdir())
+    Tables.deleteRange(spark, path, "ts", lit(5L), lit(10L))
+    assert(!tmpDir.exists, "_temporary debris should be removed")
+    assert(spark.read.parquet(path).count() == 34)
+  }
+
+  test("deleteRange adopts a rewrite stranded by the legacy delete-then-rename crash") {
+    // the pre-swap protocol could die between delete(live) and
+    // rename(tmp): path__tmp held the ONLY copy. Recovery must adopt it,
+    // never discard it as stale staging.
+    val path = tmp("dellegacy")
+    val rows = (0L until 50L).map(i => (i, i * 1.0))
+    Tables.load(rows.toDF("ts", "v"), path, Seq(), "ts")
+    val expect = spark.read.parquet(path)
+      .filter(!(col("ts") >= 10L && col("ts") <= 19L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    // simulate the legacy crash state: rewrite at __tmp, live dir gone
+    expect.toDF("ts", "v").write.parquet(path + "__tmp")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    // re-running the SAME delete adopts the stranded copy and converges
+    Tables.deleteRange(spark, path, "ts", lit(10L), lit(19L))
+    val got = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(got == expect)
+  }
+
+  test("loadBucketed retries keep the previous table's copy until the new commit") {
+    import spark.implicits._
+    val t = "b_replaced_retry"
+    Tables.loadBucketed(Seq((1L, 1L, 1.0), (2L, 2L, 2.0)).toDF("k", "ts", "v"),
+      t, Seq("k"), 2, Seq("ts"))
+    val replaced = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$t.replaced")
+    val rfs = replaced.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataIn = rfs.exists(replaced) && rfs.listStatus(replaced).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("."))
+    // first re-ingest crashes right after the aside: the old copy must be
+    // at .replaced
+    assert(withCrash("loadbkt:aside", 1) {
+      Tables.loadBucketed(Seq((3L, 3L, 3.0)).toDF("k", "ts", "v"), t, Seq("k"), 2, Seq("ts"))
+    })
+    assert(dataIn, "old table copy must survive the crash at .replaced")
+    // a SECOND crashed retry must not delete that copy (the r10 bug)
+    assert(withCrash("loadbkt:aside", 1) {
+      Tables.loadBucketed(Seq((3L, 3L, 3.0)).toDF("k", "ts", "v"), t, Seq("k"), 2, Seq("ts"))
+    })
+    assert(dataIn, "retry must keep the only copy until a commit")
+    // a clean run commits the new data and clears the aside copy
+    Tables.loadBucketed(Seq((3L, 3L, 3.0)).toDF("k", "ts", "v"), t, Seq("k"), 2, Seq("ts"))
+    assert(!rfs.exists(replaced), ".replaced cleared after the commit")
+    assert(spark.table(t).count() == 1)
+  }
+
   test("extreme ts stats degrade to stat-less manifest entries, never wrap") {
     val path = tmp("bigts")
     // micros for year 2400 ≈ 1.36e16; ×1000 to ns overflows a Long — the
