@@ -166,6 +166,21 @@ object Tables {
     readCache.getOrElseUpdate((spark, sfDir, name),
       normalizeNsTs(readRaw(spark, sfDir, name)))
 
+  /** Drop memoized reads of `path` and refresh Spark's own cached file
+    * indexes/plans for it. Every MUTATING lifecycle op calls this: the
+    * memoized DataFrames pin an InMemoryFileIndex snapshot, so without
+    * invalidation a read after append misses the new files and a read
+    * after compact/delete crashes on renamed-away ones (a full-battery
+    * ScaleSmoke run hits exactly that ordering).
+    */
+  private def invalidateRead(spark: SparkSession, path: String): Unit = {
+    readCache.keys.foreach { case k @ (_, dir, nameKey) =>
+      val name = nameKey.stripSuffix("#raw")
+      if (s"$dir/$name.parquet" == path) readCache.remove(k)
+    }
+    scala.util.Try(spark.catalog.refreshByPath(path))
+  }
+
   /** Epoch-ns bound as a literal of the RAW ts column's type, so the
     * comparison needs no cast around the attribute and translates to a
     * parquet pushdown predicate (row-group min/max pruning).
@@ -181,7 +196,11 @@ object Tables {
   private def tsLit(ns: Long, dt: DataType): Column =
     dt match {
       case TimestampNTZType | TimestampType =>
-        val us = Math.floorDiv(ns + 999L, 1000L)
+        // overflow-free ceil(ns/1000): `ns + 999` wraps for ns within 999
+        // of Long.MaxValue, which would turn an open-ended upper bound
+        // into a hugely negative literal (empty scan)
+        val us = Math.floorDiv(ns, 1000L) +
+          (if (Math.floorMod(ns, 1000L) != 0L) 1L else 0L)
         val inst = java.time.Instant.ofEpochSecond(
           Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
         if (dt == TimestampType) lit(inst)
@@ -253,11 +272,12 @@ object Tables {
     val parts =
       if (st.isFile) listing
       else listing.filter(s => s.isFile && isDataFile(s.getPath.getName))
-    // files without usable stats are kept (pruning never changes results)
+    // files without usable stats are kept (pruning never changes results);
+    // the Try mirrors scanEntries — one unreadable footer must degrade to
+    // keep-the-file, never abort the whole scan
     def overlaps(p: Path): Boolean =
-      tsFileStatsNs(p, conf, "ts").forall { case (mn, mx) =>
-        mx >= fromNs && mn < tillNs
-      }
+      scala.util.Try(tsFileStatsNs(p, conf, "ts")).toOption.flatten
+        .forall { case (mn, mx) => mx >= fromNs && mn < tillNs }
     val kept = {
       import scala.collection.parallel.CollectionConverters._
       parts.toSeq.par.filter(s => overlaps(s.getPath)).seq
@@ -427,6 +447,38 @@ object Tables {
         !n.endsWith(".crc") && n != "." + ManifestName + ".staging"
     }.map(_.getPath.getName)
 
+  /** The ONE two-rename install shared by every swap protocol: move the
+    * live dir aside to `old`, move the staged `tmp` in, delete `old`.
+    * `restorable` selects the failure semantics of the install rename:
+    * COPY protocols (full compact, deleteRange — tmp is a derived copy,
+    * the original intact at `old`) restore the original and discard tmp;
+    * MARKER protocols (incremental/bucketed compact — tmp holds COLD
+    * originals renamed in, and a commit marker promises roll-forward)
+    * must leave everything in place for recovery. Extracted because four
+    * hand-copied variants of this block had already drifted once.
+    */
+  private def swapInstall(fs: FileSystem, live: Path, tmp: Path, old: Path,
+                          op: String, tag: String, restorable: Boolean): Unit = {
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(live, old)) {
+      if (restorable) fs.delete(tmp, true)
+      sys.error(s"$op: cannot move $live aside; original left in place")
+    }
+    crashPoint(s"$tag:aside")
+    if (!fs.rename(tmp, live)) {
+      if (restorable) {
+        val restored = fs.rename(old, live)
+        fs.delete(tmp, true)
+        sys.error(s"$op: cannot install staged layout at $live; " +
+          (if (restored) "original restored" else s"ORIGINAL LEFT AT $old"))
+      } else
+        sys.error(s"$op: cannot install staged layout at $live " +
+          "(recoverable: rerun — the commit marker rolls forward)")
+    }
+    crashPoint(s"$tag:installed")
+    fs.delete(old, true)
+  }
+
   /** Shared entry guard for the swap-installing rewrites ([[compact]],
     * [[compactIncremental]], [[compactBucketed]], [[deleteRange]]):
     * refuse to run when the directory holds content the swap would
@@ -554,6 +606,7 @@ object Tables {
     // every future rangeScan its file pruning without driver footer RPCs,
     // and records the layout-membership compactIncremental folds against
     writeManifest(df.sparkSession, path, ts)
+    invalidateRead(df.sparkSession, path)
   }
 
   /** The load layout writer: range-cluster into `parts` files (skipped
@@ -602,21 +655,9 @@ object Tables {
     writeClustered(spark.read.parquet(path), tmp.toString,
       (keys :+ ts).map(col), parts)
     crashPoint("full:staged")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(hp, old)) {
-      fs.delete(tmp, true)
-      sys.error(s"compact: cannot move $path aside; original left in place")
-    }
-    crashPoint("full:aside")
-    if (!fs.rename(tmp, hp)) {
-      val restored = fs.rename(old, hp)
-      fs.delete(tmp, true)
-      sys.error(s"compact: cannot move compacted layout into $path; " +
-        (if (restored) "original restored" else s"ORIGINAL LEFT AT $old"))
-    }
-    crashPoint("full:installed")
-    fs.delete(old, true)
+    swapInstall(fs, hp, tmp, old, "compact", "full", restorable = true)
     writeManifest(spark, path, ts)
+    invalidateRead(spark, path)
     (before.length, dataFiles(hp).length)
   }
 
@@ -783,16 +824,9 @@ object Tables {
       crashPoint("incr:cold-moved")
     }
     val old = new Path(path + ".compact.old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(hp, old))
-      sys.error(s"compactIncremental: cannot move $path aside")
-    crashPoint("incr:aside")
-    if (!fs.rename(tmp, hp))
-      sys.error(s"compactIncremental: cannot install folded layout at $path " +
-        s"(recoverable: rerun compact — the commit marker rolls forward)")
-    crashPoint("incr:installed")
-    fs.delete(old, true)
+    swapInstall(fs, hp, tmp, old, "compactIncremental", "incr", restorable = false)
     fs.delete(marker, false)
+    invalidateRead(spark, path)
     (before.length, dataFiles(hp).length)
   }
 
@@ -885,6 +919,7 @@ object Tables {
         writeManifestFile(fs, hp, m.copy(files = m.files ++ entries))
       } else fs.delete(new Path(hp, ManifestName), false)
     }
+    invalidateRead(spark, path)
   }
 
   /** TABLE_delete(from, till): inclusive range delete by timestamp
@@ -920,37 +955,30 @@ object Tables {
     // same refusal as the compact flavors: the rename-aside + delete(old)
     // swap must never silently destroy content the engine doesn't own
     guardCompactable(fs, p)
-    val remaining = spark.read.parquet(path)
-      .filter(!(col(ts) >= from && col(ts) <= till))
-      .cache()
-    remaining.count() // materialize before the swap touches the source
-    remaining.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    remaining.unpersist()
+    // NULL-ts rows are outside every range: without the isNull arm the
+    // negated conjunction is NULL under three-valued logic and filter
+    // would silently DELETE them. No pre-materialization needed — the
+    // source stays untouched until the swap, strictly after this write.
+    spark.read.parquet(path)
+      .filter(col(ts).isNull || !(col(ts) >= from && col(ts) <= till))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     crashPoint("del:staged")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(p, old)) {
-      fs.delete(tmp, true)
-      sys.error(s"deleteRange: cannot move $path aside; original left in place")
-    }
-    crashPoint("del:aside")
-    if (!fs.rename(tmp, p)) {
-      val restored = fs.rename(old, p)
-      fs.delete(tmp, true)
-      sys.error(s"deleteRange: cannot install rewritten layout at $path; " +
-        (if (restored) "original restored" else s"ORIGINAL LEFT AT $old"))
-    }
-    crashPoint("del:installed")
-    fs.delete(old, true)
+    swapInstall(fs, p, tmp, old, "deleteRange", "del", restorable = true)
     // the rewrite replaced every file: regenerate the manifest (all files
     // are the established layout now)
     writeManifest(spark, path, ts)
+    invalidateRead(spark, path)
   }
 
-  /** TABLE_truncate (imcs--1.1.sql:105-115). */
+  /** TABLE_truncate (imcs--1.1.sql:105-115). The filesystem comes from
+    * the PATH (like every other lifecycle op), not the default FS — a
+    * qualified path on a non-default filesystem must not "Wrong FS".
+    */
   def truncate(spark: SparkSession, path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    invalidateRead(spark, path)
   }
 
   /** Bucketed ingest for co-located joins: hash-bucket and sort by the
@@ -973,10 +1001,12 @@ object Tables {
     // Move the existing DATA aside BEFORE dropping the catalog entry:
     // DROP TABLE on a managed table deletes its location, so dropping
     // first would destroy the only copy before the replacement exists.
-    // The `.replaced` sibling survives until the new layout commits (the
-    // same reasoning as compact's two-rename swap). The location comes
-    // from the CATALOG when the table exists (it can differ from the
-    // warehouse default); the aside copy lives next to the new default.
+    // The `.replaced` aside is a SIBLING of the data (same filesystem by
+    // construction — a warehouse-rooted aside could sit on a different FS
+    // than a custom table location, where rename is impossible) and
+    // survives until the new layout commits (the same reasoning as
+    // compact's two-rename swap). The location comes from the CATALOG
+    // when the table exists (it can differ from the warehouse default).
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val loc = scala.util.Try(
       spark.sessionState.catalog.getTableMetadata(
@@ -984,7 +1014,32 @@ object Tables {
       .toOption.map(u => new org.apache.hadoop.fs.Path(u))
       .getOrElse(new org.apache.hadoop.fs.Path(s"$warehouse/$table"))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val replaced = new org.apache.hadoop.fs.Path(s"$warehouse/$table.replaced")
+    val replaced = new org.apache.hadoop.fs.Path(
+      loc.getParent, loc.getName + ".replaced")
+    // the input must not READ the table being replaced: the data moves
+    // aside and the catalog entry drops BEFORE the lazy write executes,
+    // so an in-place `loadBucketed(spark.table("t"), "t", ...)` would
+    // scan a missing location — worst case committing an EMPTY table and
+    // then deleting the aside copy. Fail loudly with the remedy instead.
+    locally {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val qualLoc = fs.makeQualified(loc)
+      val readsTarget = df.queryExecution.analyzed.collect {
+        case l: LogicalRelation =>
+          l.catalogTable.exists(_.identifier.table.equalsIgnoreCase(table)) ||
+            (l.relation match {
+              case h: HadoopFsRelation => h.location.rootPaths.exists(p =>
+                p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .makeQualified(p) == qualLoc)
+              case _ => false
+            })
+      }.exists(identity)
+      require(!readsTarget,
+        s"loadBucketed: the input DataFrame reads the target table `$table` " +
+          "— an in-place re-bucket would scan the location being replaced. " +
+          "Write to a NEW table name, or materialize the input first " +
+          "(e.g. df.localCheckpoint()).")
+    }
     // a surviving `.replaced` means an earlier attempt crashed BEFORE its
     // saveAsTable committed: it holds the previous table's only copy and
     // anything at `loc` is that attempt's partial output. Keep the copy,
@@ -1001,9 +1056,11 @@ object Tables {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // the default warehouse location must also be clear for re-creation
     // (an orphaned dir from a killed run blocks saveAsTable even when the
-    // old catalog location pointed elsewhere)
+    // old catalog location pointed elsewhere); its OWN filesystem — the
+    // warehouse can sit on a different FS than a custom table location
     val defLoc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
-    if (fs.exists(defLoc)) fs.delete(defLoc, true)
+    val defFs = defLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (defFs.exists(defLoc)) defFs.delete(defLoc, true)
     // one file per bucket: Spark trusts the per-bucket sort order (and
     // elides the per-query Sort under a sort-merge join) only when each
     // bucket is a single sorted file
@@ -1184,15 +1241,7 @@ object Tables {
       crashPoint("bkt:cold-moved")
     }
     val old = new Path(loc.toString + ".compact.old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(loc, old))
-      sys.error(s"compactBucketed: cannot move $loc aside")
-    crashPoint("bkt:aside")
-    if (!fs.rename(tmp, loc))
-      sys.error(s"compactBucketed: cannot install folded layout at $loc " +
-        "(recoverable: the commit marker rolls forward)")
-    crashPoint("bkt:installed")
-    fs.delete(old, true)
+    swapInstall(fs, loc, tmp, old, "compactBucketed", "bkt", restorable = false)
     fs.delete(marker, false)
     dropFoldLeftovers()
     if (fs.exists(foldLoc)) fs.delete(foldLoc, true)

@@ -558,6 +558,57 @@ class TablesSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 1)
   }
 
+  test("deleteRange keeps NULL-ts rows (three-valued logic must not delete them)") {
+    val path = tmp("delnull")
+    Seq((Option(1L), 1.0), (Option.empty[Long], 2.0), (Option(30L), 3.0))
+      .toDF("ts", "v").write.parquet(path)
+    Tables.deleteRange(spark, path, "ts", lit(0L), lit(10L))
+    val got = spark.read.parquet(path).select("v")
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(got == Seq(2.0, 3.0),
+      "the NULL-ts row is outside every range and must survive")
+  }
+
+  test("rangeScan open-ended Long bounds don't overflow the µs literal") {
+    val dir = "/root/testdata/sf0.001"
+    val all = Tables.read(spark, dir, "events").count()
+    val got = Tables.rangeScan(spark, dir, "events",
+      Long.MinValue, Long.MaxValue).count()
+    assert(got == all, s"open-ended scan must return everything: $got vs $all")
+  }
+
+  test("read() sees lifecycle mutations (memoized file index invalidated)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inval").toString
+    val path = s"$dir/t.parquet"
+    Tables.load((0L until 10L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    assert(Tables.read(spark, dir, "t").count() == 10)
+    // append: a stale memoized InMemoryFileIndex would miss the new files
+    Tables.append((10L until 15L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, "ts", lit(10L))
+    assert(Tables.read(spark, dir, "t").count() == 15)
+    // compact renames every file: a stale index would crash on old names
+    Tables.compact(spark, path, Seq(), "ts")
+    assert(Tables.read(spark, dir, "t").count() == 15)
+    Tables.deleteRange(spark, path, "ts", lit(0L), lit(4L))
+    assert(Tables.read(spark, dir, "t").count() == 10)
+    Tables.truncate(spark, path)
+    assert(!new java.io.File(path).exists)
+  }
+
+  test("loadBucketed refuses an input that reads the target table (in-place re-bucket)") {
+    import spark.implicits._
+    Tables.loadBucketed(Seq((1L, 1L, 1.0)).toDF("k", "ts", "v"),
+      "b_selfref", Seq("k"), 2, Seq("ts"))
+    val e = intercept[IllegalArgumentException] {
+      Tables.loadBucketed(spark.table("b_selfref"), "b_selfref",
+        Seq("k"), 4, Seq("ts"))
+    }
+    assert(e.getMessage.contains("reads the target table"))
+    // the refused call must not have touched the table
+    assert(spark.table("b_selfref").count() == 1)
+  }
+
   test("extreme ts stats degrade to stat-less manifest entries, never wrap") {
     val path = tmp("bigts")
     // micros for year 2400 ≈ 1.36e16; ×1000 to ns overflows a Long — the
