@@ -249,6 +249,18 @@ object AsofMerge {
     // surface; the internal routes below legitimately pass __doN temp
     // names between themselves
     guardOutCols(outCols)
+    // nor with the LEFT frame's own columns: the keyless routes build the
+    // output via withColumn, which would silently REPLACE a same-named
+    // left column (and the exec route would emit duplicates) — three
+    // divergent behaviors, one of them silent data loss. Fail loud.
+    locally {
+      val lLower = left.columns.map(_.toLowerCase).toSet
+      val clash = outCols.filter(c => lLower(c.toLowerCase))
+      require(clash.isEmpty,
+        s"output column name(s) ${clash.mkString(", ")} already exist on " +
+          "the left frame — pick different outCols (the join would " +
+          "silently replace or duplicate them)")
+    }
     // Keyless series (the reference's default single-series shape):
     // AsofMergeJoinExec would declare AllTuples — ONE merge task, the
     // honest requirement for a global merge but a serial plan. Route to
@@ -313,12 +325,28 @@ object AsofMerge {
         throw new IllegalArgumentException(
           s"as-of $side side has no column '$name' (has: ${outAttrs.map(_.name).mkString(", ")})"))
     val rAttrs = rPlan.projectList.map(_.toAttribute)
+    // the exec's orderings are built from the LEFT side's types and then
+    // compare RIGHT-projected rows too — a type mismatch (int vs long ts,
+    // differently-typed keys) would read the wrong bytes and emit wrong
+    // carries with no error. Demand equal types loudly instead.
+    def sameTyped(l: Attribute, r: Attribute, what: String): Unit =
+      require(l.dataType == r.dataType,
+        s"as-of $what type differs between sides: left ${l.dataType.sql} " +
+          s"vs right ${r.dataType.sql} — cast one side before the join " +
+          "(the merge orderings are built from the left types)")
+    val lKeys = keys.map(attr(lPlan.output, _, "left"))
+    val rKeys = keys.map(attr(rAttrs, _, "right"))
+    lKeys.zip(rKeys).zip(keys).foreach { case ((l, r), k) =>
+      sameTyped(l, r, s"key '$k'") }
+    val lTsA = attr(lPlan.output, ts, "left")
+    val rTsA = attr(rAttrs, ts, "right")
+    sameTyped(lTsA, rTsA, s"timestamp '$ts'")
     val node = AsofJoinPlan(
       lPlan, rPlan,
-      keys.map(attr(lPlan.output, _, "left")),
-      keys.map(attr(rAttrs, _, "right")),
-      attr(lPlan.output, ts, "left"),
-      attr(rAttrs, ts, "right"),
+      lKeys,
+      rKeys,
+      lTsA,
+      rTsA,
       valueCols.map(attr(rAttrs, _, "right")),
       inclusive,
       direction)
@@ -337,6 +365,12 @@ object AsofMerge {
                   valueCol: String, tolerance: org.apache.spark.sql.Column,
                   outCol: String = "asof_value"): DataFrame = {
     import org.apache.spark.sql.functions.{col, when}
+    // "__mts" is this composition's own temp: an input already carrying
+    // it (or an outCol named it) would make the staleness gate ambiguous
+    val mtsClash = (left.columns ++ right.columns).exists(_.equalsIgnoreCase("__mts"))
+    require(!mtsClash && !outCol.equalsIgnoreCase("__mts"),
+      "column name __mts is reserved by asofJoinTol's staleness gate; " +
+        "rename it before the join")
     asofJoinDir(left, right.filter(col(valueCol).isNotNull),
       keys, ts, Seq(valueCol, ts), Seq(outCol, "__mts"))
       .withColumn(outCol,
@@ -366,8 +400,11 @@ object AsofMerge {
     * hi/lo lanes) and back — anything Spark can group and join BY VALUE.
     * That includes arrays (of atomics, structs, or nested arrays): array
     * columns are hashable/orderable group and join keys. Maps are not
-    * groupable in Spark, so map-bearing types stay on the serial exec —
-    * the honest answer until someone needs it.
+    * groupable in Spark at any depth — map-BEARING types are not dict-
+    * encodable; top-level and one-level-nested map COLUMNS still ride the
+    * parallel scan via [[mapDecomposable]]'s entry-array flattening, and
+    * only deeper nesting stays on the serial exec (README "As-of value
+    * types").
     */
   private def dictEncodable(dt: DataType): Boolean = dt match {
     case StringType | BinaryType | _: DecimalType => true
@@ -393,9 +430,12 @@ object AsofMerge {
     * is row-carry — every lane updates together from the same matched
     * right row — so reassembled fields are guaranteed to come from one
     * row, and the presence lane distinguishes a carried NULL struct from
-    * a carried struct whose fields are all NULL. One struct level only:
-    * a struct-in-struct or map field sends the whole column to the
-    * serial exec (array fields are fine — they dictionary-encode).
+    * a carried struct whose fields are all NULL. Inner STRUCT fields are
+    * fine too — they are dict-encodable (group/join by value), so a
+    * struct-in-struct decomposes with the inner struct riding a dict
+    * lane (AsofMergeSpec pins it); only map-bearing fields exclude the
+    * decomposition (they route via [[mapDecomposable]] when the map is
+    * the column itself, or the serial exec when nested deeper).
     */
   private def structDecomposable(dt: DataType): Boolean = dt match {
     case st: StructType if st.fields.nonEmpty =>
@@ -435,7 +475,7 @@ object AsofMerge {
     * convention: internal names are reserved).
     */
   private val InternalName =
-    "(__v\\d+|__cl\\d+|__cn\\d+|__dc\\d+|__do\\d+|__side|__seen)".r
+    "(?i)(__v\\d+|__cl\\d+|__cn\\d+|__dc\\d+|__do\\d+|__side|__seen)".r
 
   /** Working names of the struct-decomposition route (field extraction,
     * presence, and their scan outputs) — reserved at the public surface
@@ -443,13 +483,13 @@ object AsofMerge {
     * routes see them as legitimate value/output columns.
     */
   private val StructTempName =
-    "(__sf\\d+_\\d+|__sp\\d+|__so\\d+_\\d+|__sq\\d+)".r
+    "(?i)(__sf\\d+_\\d+|__sp\\d+|__so\\d+_\\d+|__sq\\d+)".r
 
   /** Working names of the map-decomposition route (entry-array extraction,
     * presence, and their scan outputs) — reserved like [[StructTempName]].
     */
   private val MapTempName =
-    ("(__mk\\d+|__mv\\d+|__mp\\d+|__mq\\d+|__mok\\d+|__mov\\d+" +
+    ("(?i)(__mk\\d+|__mv\\d+|__mp\\d+|__mq\\d+|__mok\\d+|__mov\\d+" +
       "|__mvk\\d+|__mvv\\d+|__movk\\d+|__movv\\d+)").r
   private def guardInternalNames(lf: DataFrame, rf: DataFrame): Unit = {
     val clash = (lf.columns ++ rf.columns).distinct

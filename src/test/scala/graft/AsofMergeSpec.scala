@@ -411,6 +411,50 @@ class AsofMergeSpec extends AnyFunSuite {
       "three-level maps stay on the single merge — the documented boundary")
   }
 
+  test("exec path demands equal key/ts types across sides (wrong-bytes hazard)") {
+    // the merge orderings are built from the LEFT types and compare
+    // right-projected rows too — an int/long mismatch would read the
+    // wrong bytes and emit wrong carries silently
+    val l = Seq((1, 1L, 1.0)).toDF("k", "ts", "v")
+    val r = Seq((1L, 1L, 2.0)).toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofMerge.asofJoin(l, r, Seq("k"), "ts", "v")
+    }
+    assert(e.getMessage.contains("type differs"))
+    val l2 = Seq((1L, 1, 1.0)).toDF("k", "ts", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      AsofMerge.asofJoin(l2, r, Seq("k"), "ts", "v")
+    }
+    assert(e2.getMessage.contains("type differs"))
+  }
+
+  test("outCols colliding with left columns fail loud (silent-replace hazard)") {
+    val l = Seq((1L, 3.0)).toDF("ts", "price")
+    val r = Seq((1L, 9.0)).toDF("ts", "price")
+    val e = intercept[IllegalArgumentException] {
+      AsofMerge.asofJoin(l, r, Seq(), "ts", "price", "price")
+    }
+    assert(e.getMessage.contains("already exist on"))
+  }
+
+  test("reserved-name guards match case-insensitively, like Spark resolution") {
+    val l = Seq((7L, 1.0)).toDF("ts", "__SIDE")
+    val r = Seq((5L, 2.0)).toDF("ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
+    }
+    assert(e.getMessage.contains("__SIDE"))
+  }
+
+  test("asofJoinTol reserves its __mts staleness temp") {
+    val l = Seq((7L, 1.0)).toDF("ts", "__mts")
+    val r = Seq((5L, 2.0)).toDF("ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofMerge.asofJoinTol(l, r, Seq(), "ts", "v", lit(10L))
+    }
+    assert(e.getMessage.contains("__mts"))
+  }
+
   test("reserved internal names in keyless inputs fail loud, not corrupt") {
     val l = Seq((7L, 1.0)).toDF("ts", "__side")
     val r = Seq((5L, 2.0)).toDF("ts", "v")
