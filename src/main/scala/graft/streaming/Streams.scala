@@ -37,10 +37,7 @@ object Streams {
     */
   def tumblingAgg(spark: SparkSession, path: String, schema: StructType,
                   bucketSeconds: Long = 3600): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(schema).parquet(path)
-      .withColumn("ets", etsCol)
-      .withWatermark("ets", "1 hour")
+    streamSource(spark, path, schema)
       .groupBy(col("event_type"), window(col("ets"), s"$bucketSeconds seconds"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
       .select(col("event_type"),
@@ -75,9 +72,12 @@ object Streams {
   private def hllEst(keyCol: String, lgK: Int): (Column, String) =
     (hll_sketch_estimate(hll_sketch_agg(col(keyCol), lit(lgK))), "approx_users")
 
-  private def kllQuantile(valueCol: String, q: Double): (Column, String) =
+  private def kllQuantile(valueCol: String, q: Double): (Column, String) = {
+    require(q >= 0.0 && q <= 1.0,
+      s"quantile rank must be in [0, 1], got $q")
     (expr(s"kll_sketch_get_quantile_double(kll_sketch_agg_double(`$valueCol`), $q)"),
       "approx_q")
+  }
 
   private def tumbling(sec: Long): Column =
     window(col("ets"), s"$sec seconds")
@@ -204,12 +204,8 @@ object Streams {
     */
   def slidingAgg(spark: SparkSession, path: String, schema: StructType,
                  windowSeconds: Long, slideSeconds: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(schema).parquet(path)
-      .withColumn("ets", etsCol)
-      .withWatermark("ets", "1 hour")
-      .groupBy(col("event_type"),
-        window(col("ets"), s"$windowSeconds seconds", s"$slideSeconds seconds"))
+    streamSource(spark, path, schema)
+      .groupBy(col("event_type"), sliding(windowSeconds, slideSeconds))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
       .select(col("event_type"),
         col("window.start").as("bucket_start"),
@@ -223,14 +219,8 @@ object Streams {
     * which is what the spec asserts (stream == batch on one input).
     */
   def sessionAgg(spark: SparkSession, path: String, schema: StructType,
-                 gapSeconds: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sessionExpr(
-      spark.readStream.schema(schema).parquet(path)
-        .withColumn("ets", etsCol)
-        .withWatermark("ets", "1 hour"),
-      gapSeconds)
-  }
+                 gapSeconds: Long): DataFrame =
+    sessionExpr(streamSource(spark, path, schema), gapSeconds)
 
   /** Batch twin of [[sessionAgg]] for equivalence testing — the SAME
     * aggregation body via [[sessionExpr]], so the stream==batch spec
@@ -274,12 +264,14 @@ object Streams {
     */
   def dedupStreamWithinWatermark(spark: SparkSession, path: String,
                                  schema: StructType, textCol: String,
-                                 tsCol: String, delay: String = "1 hour"): DataFrame =
+                                 tsCol: String, delay: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(schema).parquet(path)
       .withColumn("fp", graft.text.TextOps.fingerprint(col(textCol)))
-      .withColumn("ets", timestamp_micros(expr(s"$tsCol div 1000")))
+      .withColumn("ets", timestamp_micros(expr(s"`$tsCol` div 1000")))
       .withWatermark("ets", delay)
       .dropDuplicatesWithinWatermark("fp")
+  }
 
   /** Watermarked stream-stream interval join — the streaming twin of
     * [[graft.join.Align.rangeJoin]]'s q_range_join shape: purchases on one
@@ -340,17 +332,30 @@ object Streams {
   def runToParquet(df: DataFrame, outDir: String, checkpoint: String,
                    mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val spark = df.sparkSession
+    // the per-batch write mode must FOLLOW the output mode: Complete
+    // re-emits the whole result (overwrite leaves the final state), but
+    // Append delivers only each batch's new rows — overwriting there
+    // would silently keep just the LAST micro-batch
+    val writeMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
     val q = df.writeStream
       .outputMode(mode)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode("overwrite").parquet(outDir)
+        batch.write.mode(writeMode).parquet(outDir)
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    // zero micro-batches (empty source, or a restart with nothing new and
+    // nothing previously written) leaves no target dir — an empty frame
+    // of the query's schema, not a path-not-found crash
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(outPath))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    else spark.read.parquet(outDir)
   }
 
   /** Streaming as-of join — the streaming form of the reference's
@@ -416,24 +421,33 @@ object Streams {
     import events.sparkSession.implicits._
     val p = 2.0 / (n + 1)
     val kIdx = events.schema.fieldIndex(key)
+    require(events.schema(kIdx).dataType == org.apache.spark.sql.types.StringType,
+      s"emaStream keys on a STRING column; '$key' is " +
+        s"${events.schema(kIdx).dataType.sql} — cast it (asofStream is the " +
+        "numeric-keyed sibling)")
     val tIdx = events.schema.fieldIndex(ts)
     val bIdx = events.schema.fieldIndex(tiebreak)
     val vIdx = events.schema.fieldIndex(value)
     events
       .groupByKey(r => r.getAs[String](kIdx))
-      .flatMapGroupsWithState[Double, (String, Long, Long, Double)](
+      // state is (last ema, seen): an explicit seen flag, NOT a NaN
+      // sentinel — Moving.ema propagates a NaN VALUE to every later row
+      // of the key (affine recurrence), and a sentinel would both reseed
+      // after a NaN and skip the state update when a batch ENDS on NaN,
+      // diverging from the batch twin in the next micro-batch
+      .flatMapGroupsWithState[(Double, Boolean), (String, Long, Long, Double)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (k: String, rows: Iterator[Row], state: GroupState[Double]) =>
+        (k: String, rows: Iterator[Row], state: GroupState[(Double, Boolean)]) =>
           val sorted = rows.toSeq.sortBy(r =>
             (r.getAs[Number](tIdx).longValue(), r.getAs[Number](bIdx).longValue()))
-          var prev = state.getOption.getOrElse(Double.NaN)
+          var (prev, seen) = state.getOption.getOrElse((0.0, false))
           val out = sorted.map { r =>
             val x = r.getAs[Number](vIdx).doubleValue()
-            prev = if (prev.isNaN) x else x * p + prev * (1 - p)
+            prev = if (!seen) { seen = true; x } else x * p + prev * (1 - p)
             (k, r.getAs[Number](tIdx).longValue(),
               r.getAs[Number](bIdx).longValue(), prev)
           }
-          if (!prev.isNaN) state.update(prev)
+          if (seen) state.update((prev, seen))
           out.iterator
       }
       .toDF(key, ts, tiebreak, "ema")

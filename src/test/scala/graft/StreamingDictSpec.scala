@@ -301,6 +301,62 @@ class StreamingDictSpec extends AnyFunSuite {
       "phase-2 EMA values must fold against phase-1's recovered state")
   }
 
+  test("streaming EMA propagates NaN like the batch twin (no sentinel reseed)") {
+    // Moving.ema's affine recurrence makes a NaN value poison every later
+    // row of its key; a NaN used as the stream's "no state yet" sentinel
+    // instead RESEEDED after a NaN and dropped state when a batch ended
+    // on one. The explicit seen flag must reproduce batch semantics
+    // across the micro-batch boundary.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long, Double)]
+    val out = Streams.emaStream(ms.toDS().toDF("k", "ts", "id", "v"),
+      "k", "ts", "id", "v", 3)
+    val q = out.writeStream.format("memory").queryName("ema_nan")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(("k", 1L, 1L, 1.0), ("k", 2L, 2L, 2.0), ("k", 3L, 3L, Double.NaN)))
+      q.processAllAvailable()
+      ms.addData(Seq(("k", 4L, 4L, 4.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ema_nan").orderBy("ts")
+      .select("ema").collect().map(_.getDouble(0))
+    assert(!got(0).isNaN && !got(1).isNaN)
+    assert(got(2).isNaN, "the NaN row's own ema is NaN")
+    assert(got(3).isNaN,
+      "the NaN must poison the NEXT batch's fold (batch-twin semantics), " +
+        "not reseed the series")
+  }
+
+  test("emaStream demands a string key column (loud, not ClassCastException)") {
+    val ev = graft.io.Tables.read(spark, sfDir, "events").limit(5)
+    val e = intercept[IllegalArgumentException] {
+      Streams.emaStream(ev, "user_id", "ts", "event_id", "value", 10)
+    }
+    assert(e.getMessage.contains("STRING"))
+  }
+
+  test("runToParquet: append mode keeps every micro-batch; empty source is empty, not a crash") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val base = java.nio.file.Files.createTempDirectory("graft_rtp").toString
+    new java.io.File(s"$base/src").mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType)))
+    def src = spark.readStream.schema(schema).parquet(s"$base/src")
+    // zero micro-batches: an empty frame of the query's schema
+    val empty = Streams.runToParquet(src, s"$base/out", s"$base/ck", OutputMode.Append())
+    assert(empty.count() == 0)
+    // two phases in APPEND mode: both batches' rows must survive (the
+    // old overwrite-per-batch kept only the last one)
+    import spark.implicits._
+    (1L to 5L).toDF("x").coalesce(1).write.mode("append").parquet(s"$base/src")
+    Streams.runToParquet(src, s"$base/out", s"$base/ck", OutputMode.Append())
+    (6L to 8L).toDF("x").coalesce(1).write.mode("append").parquet(s"$base/src")
+    val got = Streams.runToParquet(src, s"$base/out", s"$base/ck", OutputMode.Append())
+    assert(got.count() == 8, s"append mode must retain every batch, got ${got.count()}")
+  }
+
   test("dict codes are dense sorted ranks; str2code/code2str round-trip") {
     val df = Seq("cherry", "apple", "banana", "apple", "cherry").toDF("s")
     val dict = Dict.build(df, "s")
