@@ -2933,9 +2933,17 @@ object SparkEntry {
            FROM b)
          SELECT event_type, pos FROM a
          WHERE before IS NOT NULL AND after IS NOT NULL AND before <> after""",
+    // empty-normalized docs (non-ASCII-only content) group by RAW text,
+    // mirroring Dedup.dedupKey's fallback — distinct non-Latin documents
+    // must never merge into one "duplicate" group. (The fixture has no
+    // such docs today; the CASE keeps the twins equivalent if it ever
+    // does.)
     "q_dedup_exact" ->
       s"""SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
-         FROM (SELECT doc_id, $normSql AS norm FROM documents)
+         FROM (SELECT doc_id,
+                 CASE WHEN $normSql = '' THEN 'raw:' || text
+                      ELSE 'n:' || $normSql END AS norm
+               FROM documents)
          GROUP BY norm""",
     "q_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,

@@ -2,7 +2,6 @@ package graft.dedup
 
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for training-data pipelines at 100 TB scale.
@@ -19,11 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The dedup grouping key: the normalized-content hash, EXCEPT when the
+    * normalization (ASCII-alphanumeric fold, TextOps.normalizedText) maps
+    * the text to the empty string — a CJK/Cyrillic/emoji-only document
+    * carries content the ASCII fold cannot see, and hashing all of them
+    * to fingerprint("") would silently merge distinct non-Latin documents
+    * into one "duplicate" group (wrong-content data loss in a
+    * multilingual corpus). Those fall back to the RAW text hash: byte-
+    * identical docs still dedup, distinct ones never merge.
+    */
+  private def dedupKey(text: String): Column = {
+    val norm = TextOps.normalizedText(col(text))
+    when(length(norm) === 0, xxhash64(col(text))).otherwise(xxhash64(norm))
+  }
+
   /** Exact duplicate groups by normalized-content hash: keeps the lowest id
     * as canonical and lists duplicate count per group.
     */
   def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
-    df.withColumn("fp", TextOps.fingerprint(col(text)))
+    df.withColumn("fp", dedupKey(text))
       .groupBy("fp")
       .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
@@ -38,8 +51,14 @@ object Dedup {
   def exactDedup(df: DataFrame, id: String, text: String): DataFrame = {
     val cols = df.columns.toSeq
     // Internal fingerprint column is named "__fp" so a user frame that
-    // already carries an "fp" column passes through untouched.
-    df.withColumn("__fp", TextOps.fingerprint(col(text)))
+    // already carries an "fp" column passes through untouched — and a
+    // frame that already carries "__fp"/"__keep" must fail loud, not be
+    // silently replaced by the working columns.
+    val clash = cols.filter(c => c.equalsIgnoreCase("__fp") || c.equalsIgnoreCase("__keep"))
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with exactDedup's " +
+        "working names (__fp/__keep); rename them before deduplication")
+    df.withColumn("__fp", dedupKey(text))
       .groupBy(col("__fp"))
       .agg(min_by(struct(cols.map(col): _*), col(id)).as("__keep"))
       .select(cols.map(c => col(s"__keep.`$c`")): _*)
@@ -166,7 +185,11 @@ object Dedup {
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("bh")))))
-      .select(col(id), col("col.band").as("band"), hash(col("col.bh").cast("string")).as("bucket"))
+      // xxhash64 over the band array DIRECTLY: a 32-bit hash of the
+      // stringified slice collides constantly at corpus scale (billions of
+      // (doc, band) rows vs 2^32 values), emitting candidate pairs that
+      // share NO band — and the per-row string build was pure waste
+      .select(col(id), col("col.band").as("band"), xxhash64(col("col.bh")).as("bucket"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -181,7 +204,11 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, id: String, text: String,
                       shingleLen: Int = 5, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
-    minhashCandidates(shingleSets(df, id, text, shingleLen), id, bands, rowsPerBand)
+    // materialized like the verified sibling: the bucket self-join
+    // references the frame twice, and the normalize+shingle+minhash pass
+    // is the dominant corpus cost — unmaterialized it would run TWICE
+    minhashCandidates(materializeShingles(shingleSets(df, id, text, shingleLen)),
+      id, bands, rowsPerBand)
 
   /** The full MinHash-LSH near-dup pipeline: banded candidate generation
     * followed by exact-Jaccard verification. Miss probability for a pair at
@@ -279,8 +306,20 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    bands: Int = 8, maxDist: Int = 7): DataFrame = {
-    val withSh = df.withColumn("__th", tokenHashes(col(text)))
+    // register on THE INPUT'S session (SparkSession.active can be a
+    // different session in multi-session apps — the minhash path already
+    // resolves through the frame's own session)
+    graft.sqlext.GraftFunctions.register(df.sparkSession)
+    // empty-normalized docs (whitespace/punctuation-only) all hash to the
+    // IDENTICAL simhash: one mega-bucket and a quadratic candidate blowup
+    // with zero content signal — exact dedup owns those. Materialized
+    // because the bucket self-join references the frame on both sides
+    // (tokenize+simhash is the dominant per-doc cost).
+    val withSh = df
+      .filter(length(TextOps.normalizedText(col(text))) > 0)
+      .withColumn("__th", tokenHashes(col(text)))
       .select(col(id), simhash(col("__th")).as("sh64"))
+      .localCheckpoint()
     hammingPairs64(withSh, id, "sh64", bands, maxDist)
   }
 
@@ -341,7 +380,9 @@ object Dedup {
     * baseline over all pairs (bounded inputs / verify stage).
     */
   def cosinePairs(df: DataFrame, id: String, vec: String, minCos: Double): DataFrame = {
-    val withNorm = df.select(col(id), col(vec).as("v"))
+    // array<double> like the bucketed path: float32 products would make
+    // the baseline and the scale path disagree on near-threshold pairs
+    val withNorm = df.select(col(id), col(vec).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (s, x) => s + x * x)))
       .filter(col("nrm") > 0)
     withNorm.as("a").join(withNorm.as("b"), col(s"a.$id") < col(s"b.$id"))
@@ -368,6 +409,9 @@ object Dedup {
     val withNorm = df.select(col(id), col(vec).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(graft.sim.Similarity.dot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
+      // referenced FOUR times (both banded sides + both verify joins):
+      // unmaterialized, the cast+norm+projection pass would run 4x
+      .localCheckpoint()
     // candidates carry only (id, table, bucket) — the vectors rejoin at the
     // verify stage, keeping the self-join build side to a few bytes per row
     val banded = withNorm.select(col(id),
@@ -412,15 +456,18 @@ object Dedup {
       .withColumn("label", col("id")).localCheckpoint()
     var converged = false
     var i = 0
+    // ONE definition of the propagation rule, shared by the loop and the
+    // post-loop convergence probe — two hand-copies could silently drift
+    // and make the probe test a different rule than the loop runs
+    def nbrMin(ls: DataFrame): DataFrame = edges
+      .join(ls.select(col("id").as("b"), col("label").as("__nl")), "b")
+      .groupBy(col("a").as("id")).agg(min(col("__nl")).as("__mn"))
     while (!converged && i < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("label").as("__nl")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("__nl")).as("__mn"))
       // carry the OLD label through the propagation join so the
       // convergence probe is a shuffle-free scan of the checkpointed
       // frame, not a second join per round (old label and new label come
       // out of the SAME pass)
-      val joined = labels.join(nbrMin, Seq("id"), "left")
+      val joined = labels.join(nbrMin(labels), Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("__mn"), col("label"))).as("label"))
         .localCheckpoint()
@@ -435,10 +482,7 @@ object Dedup {
     // is also true when that round was the completing one — probe once
     // more and throw only if another round would still change something.
     if (!converged) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("label").as("__nl")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("__nl")).as("__mn"))
-      val wouldChange = labels.join(nbrMin, Seq("id"), "left")
+      val wouldChange = labels.join(nbrMin(labels), Seq("id"), "left")
         .filter(least(col("label"), coalesce(col("__mn"), col("label"))) =!= col("label"))
       if (!wouldChange.isEmpty)
         throw new IllegalStateException(

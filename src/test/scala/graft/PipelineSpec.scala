@@ -31,6 +31,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("exact dedup never merges distinct non-ASCII documents (raw-hash fallback)") {
+    // the ASCII normalization maps entirely-CJK texts to "" — without the
+    // raw-text fallback they would all hash identically and DISTINCT
+    // documents would be silently dropped as "duplicates"
+    val cjk = Seq((1L, "深度学习模型"), (2L, "今天天气很好"),
+      (3L, "深度学习模型"), (4L, "hello world")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(cjk, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L),
+      s"byte-identical CJK docs dedup, distinct ones survive: got $kept")
+    assert(Dedup.exactGroups(cjk, "doc_id", "text").count() == 3)
+  }
+
+  test("exactDedup rejects frames carrying its working names") {
+    val bad = Seq((1L, "x", 9L)).toDF("doc_id", "text", "__fp")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.exactDedup(bad, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("__fp"))
+  }
+
+  test("simhash pairing skips empty-normalized docs instead of mega-bucketing them") {
+    // 20 punctuation-only docs share ONE simhash — unfiltered they form a
+    // quadratic all-pairs bucket with zero content signal; the real
+    // duplicate pair must still surface
+    val punct = (10L to 29L).map(i => (i, "!!! ??? ***"))
+    val mixed = (punct ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(mixed, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"only the real duplicate pair, no punctuation mega-bucket: got $pairs")
+  }
+
   test("minhash LSH pairs find the near-duplicates") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
