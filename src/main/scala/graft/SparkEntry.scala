@@ -2315,7 +2315,7 @@ object SparkEntry {
            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
          r AS (SELECT user_id, ts, "value" FROM events
                WHERE event_type = 'signup')
-         SELECT l.user_id, l.purchase_id, count(r.ts) AS win_count,
+         SELECT l.user_id, l.purchase_id, count(r."value") AS win_count,
            CAST(sum(r."value") AS REAL) AS win_sum,
            CAST(avg(r."value") AS REAL) AS win_avg,
            CAST(min(r."value") AS REAL) AS win_min,

@@ -660,7 +660,7 @@ object FuzzGen {
       val keyEq2 = keys.map(k => s"l2.${q(k)} = r.${q(k)} AND ").mkString
       val statsSub =
         s"SELECT ${(keys.map(k => "l2." + q(k)) :+ "l2.ts AS ts").mkString(", ")}, " +
-          "count(*) AS wc, sum(r.rv) AS ws, avg(r.rv) AS wa, " +
+          "count(r.rv) AS wc, sum(r.rv) AS ws, avg(r.rv) AS wa, " +
           "min(r.rv) AS wmn, max(r.rv) AS wmx " +
           s"FROM (SELECT DISTINCT ${(keys :+ "ts").map(q).mkString(", ")} FROM ($sql)) l2 " +
           s"JOIN (SELECT ${(keys.map(q) :+ "ts AS rts").mkString(", ")}, " +

@@ -18,6 +18,40 @@ import org.apache.spark.sql.functions._
   */
 object Align {
 
+  /** Types whose keyless as-of carry rides dictionary codes instead of a
+    * numeric lane: no Double lane fits the VALUES, but the distinct-value
+    * domain does (see [[asofJoinDir]]'s dict branch).
+    */
+  private def dictableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{BinaryType, DecimalType, StringType}
+    dt == StringType || dt == BinaryType || dt.isInstanceOf[DecimalType]
+  }
+
+  /** Fail loud when an input frame already carries one of an operator's
+    * reserved working/output names. Case-INSENSITIVE, because Spark column
+    * resolution is case-insensitive by default — a user `__RV` would
+    * otherwise slip past an exact-match guard and be silently clobbered
+    * by `withColumn("__rv", ...)` (same reasoning as
+    * AsofMerge.guardInternalNames).
+    */
+  private def guardReserved(cols: Seq[String], names: Seq[String], ctx: String): Unit = {
+    val lower = names.map(_.toLowerCase).toSet
+    val clash = cols.filter(c => lower.contains(c.toLowerCase)).distinct
+    require(clash.isEmpty, s"column name(s) ${clash.mkString(", ")} collide " +
+      s"with $ctx's reserved working names (${names.mkString("/")}); " +
+      "rename them before the join")
+  }
+
+  /** The result column must not shadow an existing left column: a chained
+    * `asofJoin(asofJoin(l, r1, ...), r2, ...)` with the default `outCol`
+    * would otherwise silently overwrite the first join's output (or, worse,
+    * `outCol == ts` would replace the timestamp itself).
+    */
+  private def guardOutCol(leftCols: Seq[String], outCol: String, ctx: String): Unit =
+    require(!leftCols.exists(_.equalsIgnoreCase(outCol)),
+      s"output column '$outCol' already exists on the left side of $ctx; " +
+        "pass a distinct outCol instead of silently overwriting it")
+
   /** As-of join — cs_asof_join (func.c:4499-4662): for each left row, the
     * latest right `valueCol` with right.ts <= left.ts (per key). Left rows
     * before any right row get NULL. Output: left columns + `asofValue`.
@@ -42,6 +76,12 @@ object Align {
     * equal right row is consumed, not carried). Implemented purely in the
     * scan order: at equal ts the left row sorts BEFORE the right row, so
     * the carry it sees cannot include it.
+    *
+    * NULL timestamps carry no position on the time axis: right rows with
+    * NULL ts are excluded (they would otherwise sort to one end of the
+    * scan and seed the carry as if ts = ±infinity), and left rows with
+    * NULL ts get a NULL `outCol` — matching the contract that a match
+    * requires an actual right ts on the required side of an actual left ts.
     */
   def asofJoinDir(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
                   valueCol: String, outCol: String = "asof_value",
@@ -51,31 +91,41 @@ object Align {
     // __dcode/__dout, and the keyless int64 path materializes __cv0..__cvN
     // and __has — a user frame already carrying any of these would be
     // silently overwritten by withColumn; fail loud instead (regex guard,
-    // same pattern as AsofMerge.guardInternalNames, so new lanes can't
-    // reopen the gap one literal name at a time)
+    // case-insensitive like Spark's own resolution, same pattern as
+    // AsofMerge.guardInternalNames, so new lanes can't reopen the gap one
+    // literal name at a time)
     locally {
-      val reserved = "(__side|__rv|__dcode|__dout|__cv\\d+|__has)".r
+      val reserved = "(?i)(__side|__rv|__dcode|__dout|__cv\\d+|__has)".r
       val clash = (left.columns ++ right.columns).distinct
         .filter(c => reserved.pattern.matcher(c).matches())
       require(clash.isEmpty, s"column name(s) ${clash.mkString(", ")} " +
         "collide with the as-of scan's reserved working names " +
         "(__side/__rv/__dcode/__dout/__cvN/__has); rename them before the join")
+      require(!reserved.pattern.matcher(outCol).matches(),
+        s"outCol '$outCol' collides with the as-of scan's reserved working names")
     }
+    guardOutCol(left.columns.toSeq, outCol, "asofJoinDir")
+    asofScan(left, right, keys, ts, valueCol, outCol, direction, inclusive)
+  }
+
+  /** [[asofJoinDir]] minus the entry guards — the dict branch recurses
+    * here with the reserved `__dout` working name as its outCol.
+    */
+  private def asofScan(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+                       valueCol: String, outCol: String,
+                       direction: Int, inclusive: Boolean): DataFrame = {
     // keyless strings/binary/decimals: the VALUES have no Double lane but
     // their distinct-value DOMAIN does — dictionary-encode the right side
     // to long codes, run the same parallel scan, decode the carry. The
     // skip-NULL contract survives for free: a NULL value encodes to a
     // NULL code, which the scan's inject already skips. (Keyed calls
     // never lane — the window form carries any type directly.)
-    import org.apache.spark.sql.types.{BinaryType, DecimalType, StringType}
-    val vDt = right.schema(valueCol).dataType
-    val dictable = vDt == StringType || vDt == BinaryType || vDt.isInstanceOf[DecimalType]
-    if (keys.isEmpty && dictable) {
+    if (keys.isEmpty && dictableType(right.schema(valueCol).dataType)) {
       import graft.text.Dict
       val dict = Dict.build(right, valueCol)
       val rEnc = Dict.str2code(right, dict, valueCol, "__dcode")
         .drop(valueCol).withColumnRenamed("__dcode", valueCol)
-      val scanned = asofJoinDir(left, rEnc, keys, ts, valueCol, "__dout",
+      val scanned = asofScan(left, rEnc, keys, ts, valueCol, "__dout",
         direction, inclusive)
       return Dict.code2str(scanned, dict, "__dout", outCol).drop("__dout")
         .select((left.columns.toSeq :+ outCol).map(col): _*)
@@ -84,7 +134,12 @@ object Align {
     val lTagged = left
       .withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
+    // a NULL right ts has no position on the time axis: under the scan
+    // order it would sort to one end and seed the carry as if
+    // ts = ±infinity (NULLS FIRST ascending / NULLS LAST descending) —
+    // exclude it, matching the no-match-without-a-timestamp contract
     val rTagged = right
+      .filter(col(ts).isNotNull)
       .select((keys :+ ts).map(col) :+ col(valueCol).as("__rv"): _*)
       .withColumn("__side", lit(0))
     val common = (keys :+ ts) ++ Seq("__side", "__rv")
@@ -138,12 +193,19 @@ object Align {
       val rvIdx = unioned.schema.fieldIndex("__rv")
       val zero = Array.fill(lanes + 1)(0.0)
       val outs = (0 until lanes).map(i => s"__cv$i") :+ "__has"
-      def injectInto(a: Array[Double], i: Int, get: => Number): Unit =
+      def injectInto(a: Array[Double], i: Int, get: => Number): Unit = {
+        val n = get
+        // a null field inside a non-null struct has no lane encoding; a
+        // clear rejection beats the NullPointerException it would become
+        if (n == null) throw new IllegalArgumentException(
+          s"keyless as-of struct carry requires non-null fields whenever " +
+            s"the struct is non-null; field '${fields(i).name}' is null")
         if (isLong(i)) {
-          val v = get.longValue()
+          val v = n.longValue()
           a(laneOff(i)) = (v >> 32).toDouble
           a(laneOff(i) + 1) = (v & 0xFFFFFFFFL).toDouble
-        } else a(laneOff(i)) = get.doubleValue()
+        } else a(laneOff(i)) = n.doubleValue()
+      }
       val scanned = graft.window.Moving.monoidScanRanged(
         unioned, Seq(), outs,
         order = Seq(tsOrd, sideOrd))(
@@ -174,8 +236,11 @@ object Align {
         }: _*)
         case _ => outLane(0)
       }
+      // a left row with NULL ts sits at one end of the scan order; its
+      // carry there is an artifact of null ordering, not a temporal match
       scanned
-        .withColumn(outCol, when(col("__has") === 1.0, carried))
+        .withColumn(outCol,
+          when(col("__has") === 1.0 && col(ts).isNotNull, carried))
         .filter(col("__side") === 1)
         .select((leftCols :+ outCol).map(col): _*)
     } else {
@@ -183,7 +248,9 @@ object Align {
         .orderBy(tsOrd, sideOrd)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       unioned
-        .withColumn(outCol, last(col("__rv"), ignoreNulls = true).over(w))
+        .withColumn(outCol,
+          when(col(ts).isNotNull,
+            last(col("__rv"), ignoreNulls = true).over(w)))
         .filter(col("__side") === 1)
         .select((leftCols :+ outCol).map(col): _*)
     }
@@ -206,6 +273,22 @@ object Align {
     */
   def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
                       valueCol: String, outCol: String = "asof_value"): DataFrame = {
+    guardReserved(left.columns.toSeq ++ right.columns,
+      Seq("__pkn", "__prevn", "__nextn", "__dcode", "__dout"), "asofJoinNearest")
+    guardOutCol(left.columns.toSeq, outCol, "asofJoinNearest")
+    // keyless strings/binary/decimals: the packed (v, t) struct cannot
+    // ride the numeric lanes, but the VALUE component can ride dictionary
+    // codes exactly like the base join's dict branch — encode, recurse,
+    // decode the pick
+    if (keys.isEmpty && dictableType(right.schema(valueCol).dataType)) {
+      import graft.text.Dict
+      val dict = Dict.build(right, valueCol)
+      val rEnc = Dict.str2code(right, dict, valueCol, "__dcode")
+        .drop(valueCol).withColumnRenamed("__dcode", valueCol)
+      val joined = asofJoinNearest(left, rEnc, keys, ts, valueCol, "__dout")
+      return Dict.code2str(joined, dict, "__dout", outCol).drop("__dout")
+        .select((left.columns.toSeq :+ outCol).map(col): _*)
+    }
     val packed = right
       .withColumn("__pkn",
         when(col(valueCol).isNotNull, struct(col(valueCol).as("v"), col(ts).as("t"))))
@@ -235,6 +318,20 @@ object Align {
   def asofJoinTol(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
                   valueCol: String, tolerance: Column,
                   outCol: String = "asof_value"): DataFrame = {
+    guardReserved(left.columns.toSeq ++ right.columns,
+      Seq("__pk", "__asof", "__dcode", "__dout"), "asofJoinTol")
+    guardOutCol(left.columns.toSeq, outCol, "asofJoinTol")
+    // keyless strings/binary/decimals ride dictionary codes, as in the
+    // base join and asofJoinNearest: encode, recurse, decode
+    if (keys.isEmpty && dictableType(right.schema(valueCol).dataType)) {
+      import graft.text.Dict
+      val dict = Dict.build(right, valueCol)
+      val rEnc = Dict.str2code(right, dict, valueCol, "__dcode")
+        .drop(valueCol).withColumnRenamed("__dcode", valueCol)
+      val joined = asofJoinTol(left, rEnc, keys, ts, valueCol, tolerance, "__dout")
+      return Dict.code2str(joined, dict, "__dout", outCol).drop("__dout")
+        .select((left.columns.toSeq :+ outCol).map(col): _*)
+    }
     // pack only non-null values: a bare struct is never NULL, which would
     // defeat the base join's last(..., ignoreNulls) and let a NULL-valued
     // right row mask an earlier real match
@@ -250,8 +347,10 @@ object Align {
   /** Positions in `right` matching each left ts — cs_asof_join_pos
     * (func.c:4591-4662). Same machinery carrying right.pos.
     */
-  def asofJoinPos(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String): DataFrame =
+  def asofJoinPos(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String): DataFrame = {
+    guardReserved(left.columns.toSeq ++ right.columns, Seq("__rpos"), "asofJoinPos")
     asofJoin(left, right.withColumnRenamed("pos", "__rpos"), keys, ts, "__rpos", "right_pos")
+  }
 
   /** Sorted-merge equi-join on ts — cs_join / cs_join_pos
     * (func.c:4677-4801): inner join on (keys, ts) returning left columns +
@@ -259,10 +358,12 @@ object Align {
     * side is small) — the distributed form of the reference's merge.
     */
   def equiJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
-               valueCol: String, outCol: String = "join_value"): DataFrame =
+               valueCol: String, outCol: String = "join_value"): DataFrame = {
+    guardOutCol(left.columns.toSeq, outCol, "equiJoin")
     left.join(
       right.select((keys :+ ts).map(col) :+ col(valueCol).as(outCol): _*),
       keys :+ ts, "inner")
+  }
 
   /** Forward temporal align with fill — cs_stretch (func.c:4308-4360):
     * for each left row, the right value at the FIRST right ts STRICTLY
@@ -292,14 +393,10 @@ object Align {
     // a frame already carrying the merge's working names would be silently
     // shadowed by the rename below — fail loud (same regex-guard pattern
     // as asofJoinDir's reserved names)
-    locally {
-      val reserved = "(__rv0|__has_r)".r
-      val clash = (left.columns ++ right.columns).distinct
-        .filter(c => reserved.pattern.matcher(c).matches())
-      require(clash.isEmpty, s"column name(s) ${clash.mkString(", ")} " +
-        "collide with stretch0's reserved working names (__rv0/__has_r); " +
-        "rename them before the merge")
-    }
+    guardReserved(left.columns.toSeq ++ right.columns,
+      Seq("__rv0", "__has_r"), "stretch0")
+    require(!(keys :+ ts).exists(_.equalsIgnoreCase(outCol)),
+      s"stretch0 output column '$outCol' collides with a key/ts column")
     val lt = left.select((keys :+ ts).map(col): _*)
     val rt = right.select((keys :+ ts).map(col) :+ col(valueCol).as("__rv0"): _*)
       .withColumn("__has_r", lit(1))
@@ -351,18 +448,34 @@ object Align {
     * the TYPICAL interval's replication at ~2 rows while tail intervals
     * pay proportionally to their length — the property that keeps the
     * shuffle linear without asking the caller to know their interval
-    * distribution. Degenerate inputs (empty right, all zero-length
-    * intervals) fall back to bucket 1; results are bucket-INDEPENDENT by
+    * distribution. The longest interval clamps the bucket from below so
+    * no single interval replicates past ~1024 slots (a heavy tail must
+    * never overflow `sequence()`). Degenerate inputs (empty right, all
+    * zero-length intervals) fall back to bucket 1; results are bucket-INDEPENDENT by
     * construction (the exact predicate is re-checked), so this only
     * changes the plan's constant factors, never its output.
     */
   def rangeJoinAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
                     ts: String, start: String, end: String,
                     rightCols: Seq[String]): DataFrame = {
-    val med = right
+    // one agg job derives both anchors: the approximate median sets the
+    // bucket, and the EXACT max clamps it from below — a heavy-tail
+    // interval (one open-ended range among second-long ones) would
+    // otherwise need len/median slots, which past ~2^31 is not a
+    // constant-factor slowdown but a hard sequence() overflow. The clamp
+    // bounds any single interval's replication at ~maxReplicas rows.
+    val maxReplicas = 1024L
+    val row = right
       .select((col(end) - col(start)).cast("double").as("__len"))
-      .stat.approxQuantile("__len", Array(0.5), 0.01)
-    val bucket = med.headOption.map(m => math.max(1L, m.toLong)).getOrElse(1L)
+      .agg(expr("approx_percentile(__len, 0.5)").as("med"),
+        max(col("__len")).as("mx")).head
+    val bucket =
+      if (row.isNullAt(0) || row.isNullAt(1)) 1L
+      else {
+        val med = math.max(1L, row.getDouble(0).toLong)
+        val mx = math.max(1L, row.getDouble(1).toLong)
+        math.max(med, mx / maxReplicas)
+      }
     rangeJoin(left, right, keys, ts, start, end, bucket, rightCols)
   }
 
@@ -370,6 +483,7 @@ object Align {
                 start: String, end: String, bucket: Long,
                 rightCols: Seq[String]): DataFrame = {
     require(bucket > 0, s"bucket width must be positive, got $bucket")
+    guardReserved(left.columns.toSeq ++ right.columns, Seq("__slot"), "rangeJoin")
     val lb = left.withColumn("__slot", expr(s"`$ts` div ${bucket}L"))
     val rb = right
       .select((keys :+ start :+ end).map(col) ++ rightCols.map(col): _*)
@@ -410,12 +524,9 @@ object Align {
     // that the window is non-empty (start <= end)
     require(before + after >= 0,
       s"window [ts−$before, ts+$after] is empty (start > end)")
-    val reserved = Set("win_count", "win_sum", "win_avg", "win_min", "win_max",
-      "__wstart", "__wend", "__rts", "__rv")
-    val clash = (left.columns ++ right.columns).distinct.filter(reserved)
-    require(clash.isEmpty,
-      s"column name(s) ${clash.mkString(", ")} collide with windowJoin's " +
-        "reserved output/working names (win_*/__w*/__r*); rename them first")
+    guardReserved(left.columns.toSeq ++ right.columns,
+      Seq("win_count", "win_sum", "win_avg", "win_min", "win_max",
+        "__wstart", "__wend", "__rts", "__rv"), "windowJoin")
     val b = if (bucket > 0) bucket else math.max(before + after, 1L)
     // dedupe BEFORE the range join: the window is a function of (keys, ts),
     // and a duplicated interval would count every matched point twice
@@ -427,8 +538,11 @@ object Align {
       (keys.map(col) :+ col(ts).as("__rts")) :+ col(valueCol).as("__rv"): _*)
     val matched = rangeJoin(points, intervals, keys, "__rts",
       "__wstart", "__wend", b, rightCols = Seq(ts))
+    // count the VALUES, not the rows: a NULL-valued right row contributes
+    // to no other stat, and counting it would make win_avg disagree with
+    // win_sum/win_count (and an all-NULL window look non-empty)
     val stats = matched.groupBy((keys :+ ts).map(col): _*)
-      .agg(count(lit(1)).as("win_count"), sum(col("__rv")).as("win_sum"),
+      .agg(count(col("__rv")).as("win_count"), sum(col("__rv")).as("win_sum"),
         avg(col("__rv")).as("win_avg"), min(col("__rv")).as("win_min"),
         max(col("__rv")).as("win_max"))
     left.join(stats, keys :+ ts, "left")
@@ -437,7 +551,7 @@ object Align {
 
   /** Skew-salted inner equi-join: for hot keys whose rows overwhelm one
     * reducer and whose other side cannot broadcast. The large skewed side
-    * gets a deterministic content-hash salt in [0, salt); the smaller side
+    * gets a per-row round-robin salt in [0, salt); the smaller side
     * is replicated `salt` times; the join key becomes (keys, salt), so a
     * hot key's rows spread over `salt` tasks. AQE's skew-join already
     * splits sort-merge skew at runtime — reach for explicit salting when
@@ -446,8 +560,19 @@ object Align {
     */
   def saltedEquiJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
                      salt: Int): DataFrame = {
+    require(salt > 0, s"salt fan-out must be positive, got $salt " +
+      "(pmod by 0 is NULL under non-ANSI semantics — the join would " +
+      "silently return zero rows)")
+    guardReserved(skewed.columns.toSeq ++ small.columns, Seq("__salt"),
+      "saltedEquiJoin")
+    // salt on a per-ROW counter, not a content hash: skewed hot keys are
+    // typically byte-identical repeats (heartbeats, default values), and
+    // hashing the row contents would send all of them to ONE salt bucket —
+    // the exact pile-up salting exists to spread. The monotonic id cycles
+    // round-robin within each input partition; it varies between runs,
+    // which is fine because the result is salt-independent by construction.
     val ls = skewed.withColumn("__salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(salt.toLong)))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val rs = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     ls.join(rs, keys :+ "__salt").drop("__salt")

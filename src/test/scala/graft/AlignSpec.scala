@@ -315,4 +315,163 @@ class AlignSpec extends AnyFunSuite {
     val b = Seq(("k", 1L), ("k", 2L)).toDF("key", "ts")
     assert(Align.unionMerge(a, b).count() == 3)
   }
+
+  test("NULL timestamps: right null-ts rows never match, left null-ts rows get NULL") {
+    // a right row with null ts would otherwise sort to one end of the
+    // scan and seed the carry as if ts = ±infinity
+    val l = Seq(("k", java.lang.Long.valueOf(5L)),
+      ("k", null.asInstanceOf[java.lang.Long])).toDF("key", "ts")
+    val r = Seq(("k", null.asInstanceOf[java.lang.Long], 99.0),
+      ("k", java.lang.Long.valueOf(10L), 1.0)).toDF("key", "ts", "v")
+    for (dir <- Seq(-1, 1)) {
+      val keyed = Align.asofJoinDir(l, r, Seq("key"), "ts", "v", "av", dir)
+        .orderBy(col("ts").asc_nulls_last).select("av")
+        .collect().map(x => Option(x.get(0))).toSeq
+      val keyless = Align.asofJoinDir(l.drop("key"), r.drop("key"), Seq(), "ts",
+        "v", "av", dir)
+        .orderBy(col("ts").asc_nulls_last).select("av")
+        .collect().map(x => Option(x.get(0))).toSeq
+      // dir=-1: ts=5 has no right ts <= 5 (the null row is NOT −infinity);
+      // dir=+1: ts=5 matches the ts=10 row; null left ts matches nothing
+      val want =
+        if (dir == -1) Seq(None, None) else Seq(Some(1.0), None)
+      assert(keyed == want, s"keyed dir=$dir")
+      assert(keyless == want, s"keyless dir=$dir")
+    }
+    // keyless struct carry (asofJoinTol's packing): a null right ts used
+    // to NPE inside the lane inject; now it is filtered before the scan
+    val tl = Seq(Tuple1(30L)).toDF("ts")
+    val tr = Seq((null.asInstanceOf[java.lang.Long], java.lang.Double.valueOf(5.0)),
+      (java.lang.Long.valueOf(1L), java.lang.Double.valueOf(7.0))).toDF("ts", "v")
+    val out = Align.asofJoinTol(tl, tr, Seq(), "ts", "v", lit(50L)).head()
+    assert(out.getDouble(1) == 7.0)
+  }
+
+  test("outCol collisions fail loud across the join family") {
+    // chaining two joins with the default output name used to silently
+    // overwrite the first join's result
+    val once = Align.asofJoin(left, right, Seq("key"), "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      Align.asofJoin(once, right, Seq("key"), "ts", "v")
+    }
+    assert(e.getMessage.contains("asof_value"))
+    intercept[IllegalArgumentException] { // outCol == ts replaces the axis
+      Align.asofJoin(left, right, Seq("key"), "ts", "v", outCol = "ts")
+    }
+    intercept[IllegalArgumentException] {
+      Align.equiJoin(left.withColumn("join_value", lit(1)), right,
+        Seq("key"), "ts", "v")
+    }
+    intercept[IllegalArgumentException] {
+      Align.asofJoinNearest(once.withColumnRenamed("asof_value", "x"), right,
+        Seq("key"), "ts", "v", outCol = "x")
+    }
+    intercept[IllegalArgumentException] {
+      Align.asofJoinTol(once.withColumnRenamed("asof_value", "x"), right,
+        Seq("key"), "ts", "v", lit(5L), outCol = "x")
+    }
+    intercept[IllegalArgumentException] { // stretch0 output is (keys, ts, out)
+      Align.stretch0(left, right, Seq("key"), "ts", "v", lit("Z"), outCol = "ts")
+    }
+  }
+
+  test("reserved-name guards fold case like Spark's resolution") {
+    // spark.sql.caseSensitive=false resolves __RV to the working __rv,
+    // so an exact-match guard would let the clobbering through
+    val l = left.withColumn("__RV", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Align.asofJoin(l, right, Seq("key"), "ts", "v")
+    }
+    assert(e.getMessage.contains("__RV"))
+    intercept[IllegalArgumentException] {
+      Align.windowJoin(left.withColumn("WIN_COUNT", lit(1)), right,
+        Seq("key"), "ts", 3L, 3L, "v")
+    }
+  }
+
+  test("composition-layer working names are guarded (__slot/__salt/__prevn/__pk/__rpos)") {
+    intercept[IllegalArgumentException] {
+      Align.rangeJoin(left.withColumn("__slot", lit(1)),
+        Seq(("k", 1L, 2L, "t")).toDF("key", "start", "end", "tag"),
+        Seq("key"), "ts", "start", "end", 10L, Seq("tag"))
+    }
+    intercept[IllegalArgumentException] {
+      Align.saltedEquiJoin(left.withColumn("__salt", lit(1)), right,
+        Seq("key"), salt = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Align.asofJoinNearest(left.withColumn("__prevn", lit(1)), right,
+        Seq("key"), "ts", "v")
+    }
+    intercept[IllegalArgumentException] {
+      Align.asofJoinTol(left, right.withColumn("__pk", lit(1)),
+        Seq("key"), "ts", "v", lit(5L))
+    }
+    intercept[IllegalArgumentException] {
+      Align.asofJoinPos(left.withColumn("__rpos", lit(1)),
+        right.withColumn("pos", lit(1L)), Seq("key"), "ts")
+    }
+  }
+
+  test("saltedEquiJoin: salt=0 rejected; byte-identical duplicates still join exactly") {
+    intercept[IllegalArgumentException] {
+      Align.saltedEquiJoin(left, right, Seq("key"), salt = 0)
+    }
+    // the hot key's rows are identical repeats — the per-row salt must
+    // still produce exactly the plain join's multiset
+    val dup = Seq.fill(64)(("k", 1L)).toDF("key", "ts")
+    val small = Seq(("k", "payload")).toDF("key", "tag")
+    val got = Align.saltedEquiJoin(dup, small, Seq("key"), salt = 8)
+    val plain = dup.join(small, Seq("key"))
+    assert(got.count() == 64 &&
+      got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+  }
+
+  test("rangeJoinAuto: a heavy-tail interval cannot explode the slot sequence") {
+    // median length 1, one interval 5M long: an unclamped median bucket
+    // would replicate that interval into 5M slot rows
+    val pts = Seq(("u", 10L), ("u", 4999999L)).toDF("key", "ts")
+    val ivs = (Seq(("u", 0L, 5000000L, "T")) ++
+      (1 to 50).map(i => ("u", i * 10L, i * 10L + 1L, s"s$i")))
+      .toDF("key", "start", "end", "tag")
+    val got = Align.rangeJoinAuto(pts, ivs, Seq("key"), "ts", "start", "end",
+      Seq("tag")).select("key", "ts", "tag").collect()
+      .map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val want = pts.join(ivs, Seq("key"))
+      .filter(col("ts") >= col("start") && col("ts") <= col("end"))
+      .select("key", "ts", "tag").collect()
+      .map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("windowJoin: NULL-valued right rows are not counted") {
+    val l = Seq(("k", 10L)).toDF("key", "ts")
+    val r = Seq(("k", 9L, Some(2.0)), ("k", 11L, None), ("k", 12L, None))
+      .toDF("key", "ts", "v")
+    val row = Align.windowJoin(l, r, Seq("key"), "ts", 3L, 3L, "v").head()
+    val (cnt, sum, avg) = (row.getAs[Long]("win_count"),
+      row.getAs[Double]("win_sum"), row.getAs[Double]("win_avg"))
+    // count must agree with the other stats: avg == sum / count
+    assert(cnt == 1L && sum == 2.0 && avg == 2.0)
+    // an all-NULL window is indistinguishable from an empty one
+    val r2 = Seq(("k", 9L, None: Option[Double])).toDF("key", "ts", "v")
+    val row2 = Align.windowJoin(l, r2, Seq("key"), "ts", 3L, 3L, "v").head()
+    assert(row2.getAs[Long]("win_count") == 0L && row2.isNullAt(row2.fieldIndex("win_sum")))
+  }
+
+  test("keyless asofJoinNearest and asofJoinTol carry strings via dictionary codes") {
+    val l = Seq(4L, 9L).toDF("ts")
+    val r = Seq((1L, "a"), (3L, "b"), (6L, "c"), (10L, "d")).toDF("ts", "v")
+    // reference guide example shape: ts 4 → nearest 3 ("b"), ts 9 → 10 ("d")
+    val near = Align.asofJoinNearest(l, r, Seq(), "ts", "v").orderBy("ts")
+      .select("asof_value").as[String].collect().toSeq
+    assert(near == Seq("b", "d"))
+    val keyed = Align.asofJoinNearest(l.withColumn("k", lit(1)),
+      r.withColumn("k", lit(1)), Seq("k"), "ts", "v").orderBy("ts")
+      .select("asof_value").as[String].collect().toSeq
+    assert(near == keyed)
+    val tol = Align.asofJoinTol(l, r, Seq(), "ts", "v", lit(1L)).orderBy("ts")
+      .select("asof_value").collect().map(x => Option(x.get(0))).toSeq
+    assert(tol == Seq(Some("b"), None))
+  }
 }
