@@ -2536,7 +2536,9 @@ object SparkEntry {
              (r.sd * (least(d.pos + 1, 14) - 1) + greatest(-d.dd, 0)) / least(d.pos + 1, 14)
            FROM r JOIN d ON d.event_type = r.event_type AND d.pos = r.pos + 1)
          SELECT event_type, pos,
-           CAST(CASE WHEN sd = 0 THEN 100 ELSE 100 - 100 / (1 + su / sd) END AS REAL) AS rsi
+           CAST(CASE WHEN sd = 0 AND su > 0 THEN 100
+                     WHEN sd = 0 THEN CAST('NaN' AS REAL)
+                     ELSE 100 - 100 / (1 + su / sd) END AS REAL) AS rsi
          FROM r""",
     "q_cum_prd" ->
       s"""SELECT pos, CAST(product("value") OVER (ORDER BY pos

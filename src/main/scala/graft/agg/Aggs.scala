@@ -174,30 +174,59 @@ object Aggs {
     * (run_id = Σ flags is E = E_prev + flag, i.e. a=1).
     */
   def attachRunId(df: DataFrame, keys: Seq[String], groupVal: String): DataFrame =
+    attachRunId(df, keys, groupVal, ordCol = None, chgOut = None)
+
+  /** [[attachRunId]] with two composition hooks for callers that already
+    * hold the pieces: `ordCol` names a column KNOWN to be a dense 0-based
+    * ordinal in scan order (skips the internal renumbering pass);
+    * `chgOut` keeps the run-start flag (1.0 at each run's first row)
+    * under that name instead of dropping it — keyless rank needs exactly
+    * this flag and used to recompute it with a second self-join.
+    *
+    * Consecutive NULL group values form ONE run (null-safe equality,
+    * matching SQL rank()'s treatment of NULL ties on the keyed path); a
+    * run starts at the first row or where the value IS DISTINCT FROM its
+    * predecessor.
+    */
+  def attachRunId(df: DataFrame, keys: Seq[String], groupVal: String,
+                  ordCol: Option[String], chgOut: Option[String]): DataFrame =
     if (keys.isEmpty) {
       // ordinal renumbering (gap-safe for non-dense pos) feeds the
       // predecessor join; the cumulative change-count is the affine scan
-      val ord = graft.series.Series.attachPosRanged(
-        df, Seq(), Seq(col("pos")), out = "__ord")
-      val prev = ord.select((col("__ord") + 1L).as("__ord"), col(groupVal).as("__prev"))
-      val flagged = ord.join(prev, Seq("__ord"), "left")
+      val (ord, ordName) = ordCol match {
+        case Some(c) => (df, c)
+        case None => (graft.series.Series.attachPosRanged(
+          df, Seq(), Seq(col("pos")), out = "__ord"), "__ord")
+      }
+      val prev = ord.select((col(ordName) + 1L).as(ordName), col(groupVal).as("__prev"))
+      // first row: the predecessor JOIN MISS is indistinguishable from a
+      // real NULL predecessor value, so detect it by ordinal instead
+      val flagged = ord.join(prev, Seq(ordName), "left")
         .withColumn("__chg",
-          when(col("__prev").isNull || col("__prev") =!= col(groupVal), 1.0)
+          when(col(ordName) === 0L || !(col("__prev") <=> col(groupVal)), 1.0)
             .otherwise(0.0))
       val cIdx = flagged.schema.fieldIndex("__chg")
-      graft.window.Moving.affineScanRanged(flagged, Seq(), "__run_d")(
+      val withRun = graft.window.Moving.affineScanRanged(flagged, Seq(), "__run_d")(
         seed = _ => 0.0) { r => (1.0, r.getDouble(cIdx)) }
         .withColumn("run_id", col("__run_d").cast("long"))
-        .drop("__chg", "__prev", "__run_d", "__ord")
+        .drop("__prev", "__run_d")
+      val dropped = if (ordCol.isEmpty) withRun.drop("__ord") else withRun
+      chgOut match {
+        case Some(c) => dropped.withColumnRenamed("__chg", c)
+        case None    => dropped.drop("__chg")
+      }
     } else {
       val w = Window.partitionBy(keys.map(col): _*).orderBy(col("pos"))
-      df.withColumn(
+      val withRun = df.withColumn(
         "__chg",
-        when(lag(col(groupVal), 1).over(w).isNull ||
-          lag(col(groupVal), 1).over(w) =!= col(groupVal), 1L).otherwise(0L))
+        when(row_number().over(w) === 1 ||
+          !(lag(col(groupVal), 1).over(w) <=> col(groupVal)), 1L).otherwise(0L))
         .withColumn("run_id", sum(col("__chg")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .drop("__chg")
+      chgOut match {
+        case Some(c) => withRun.withColumnRenamed("__chg", c)
+        case None    => withRun.drop("__chg")
+      }
     }
 
   /** Run-group aggregate — cs_group_count/max/min/sum/avg/var/dev/first/

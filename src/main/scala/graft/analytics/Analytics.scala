@@ -20,21 +20,36 @@ object Analytics {
     (if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*))
       .orderBy(col("pos"))
 
-  /** out[0]=0; out[i]=x[i]-x[i-1] — cs_diff (func.c:2268-2303). Keyless
-    * series get the predecessor from the pre-state of a reset-carry scan
-    * (order-based, so non-dense pos from slicing/filtering is handled the
-    * same way the keyed lag window handles it); seeding with the first
-    * value makes row 0's diff exactly 0.
+  /** out[0]=0; out[i]=x[i]-x[i-1] — cs_diff (func.c:2268-2303). NULL
+    * values follow the keyed lag-window form on BOTH paths: a NULL on
+    * either side of the delta yields 0 (`coalesce(v − lag(v), 0)`), so a
+    * NULL row neither crashes the scan nor poisons its successor. The
+    * keyless route carries the previous row's (value, missing) pair in a
+    * last-two-rows monoid — order-based, so non-dense pos from
+    * slicing/filtering is handled the same way the keyed window handles
+    * it.
     */
   def diff(df: DataFrame, keys: Seq[String], value: String, out: String = "diff"): DataFrame =
     if (keys.isEmpty) {
       val vIdx = df.schema.fieldIndex(value)
-      graft.window.Moving.affineScanRanged(df, Seq(), "__prev", pre = true)(
-        seed = r => r.getAs[Number](vIdx).doubleValue()) { r =>
-        (0.0, r.getAs[Number](vIdx).doubleValue())
-      }
-        .withColumn(out, col(value) - col("__prev"))
-        .drop("__prev")
+      // lanes: [prevVal, prevMissing, curVal, curMissing, rowsSeen (≤2)];
+      // the missing flag distinguishes NULL from a real NaN value
+      val lanes = Seq("__pv", "__pn", "__cv", "__cn", "__k")
+      val scanned = graft.window.Moving.monoidScanRanged(df, Seq(), lanes)(
+        identity = Array(0.0, 1.0, 0.0, 1.0, 0.0))(
+        inject = r =>
+          if (r.isNullAt(vIdx)) Array(0.0, 1.0, 0.0, 1.0, 1.0)
+          else Array(0.0, 1.0, r.getAs[Number](vIdx).doubleValue(), 0.0, 1.0))(
+        op = (a, b) =>
+          if (b(4) >= 2.0) b
+          else if (b(4) == 1.0)
+            Array(a(2), a(3), b(2), b(3), math.min(a(4) + 1.0, 2.0))
+          else a)
+      scanned
+        .withColumn(out,
+          when(col("__pn") === 1.0 || col("__cn") === 1.0, 0.0)
+            .otherwise(col("__cv") - col("__pv")))
+        .drop(lanes: _*)
     } else
       df.withColumn(out, col(value) - lag(col(value), 1, null).over(keyWindow(keys)))
         .withColumn(out, coalesce(col(out), lit(0.0)))
@@ -79,8 +94,13 @@ object Analytics {
       val s = signum(col(value))
       graft.window.Moving.affineScanRanged(df, Seq(), "__prevc", pre = true)(
         seed = _ => 0.0) { r =>
-        val sv = math.signum(r.getAs[Number](sIdx).doubleValue())
-        if (sv != 0.0) (0.0, sv) else (1.0, 0.0)
+        // NULL rows leave the carry untouched, mirroring the keyed path's
+        // ignoreNulls carry (they are also dropped by the filter below)
+        if (r.isNullAt(sIdx)) (1.0, 0.0)
+        else {
+          val sv = math.signum(r.getAs[Number](sIdx).doubleValue())
+          if (sv != 0.0) (0.0, sv) else (1.0, 0.0)
+        }
       }
         .filter(col("__prevc") =!= 0.0 && s =!= 0.0 && s =!= col("__prevc") && dirOk(s))
         .drop("__prevc")

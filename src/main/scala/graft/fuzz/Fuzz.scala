@@ -410,7 +410,7 @@ object FuzzGen {
       desc ++= s" | cumAgg(keep=${keep.mkString(",")})"
     }
 
-    def diffStage(tag: String): Unit = { // requires keys.nonEmpty || !hasNulls
+    def diffStage(tag: String): Unit = { // null-safe on both paths
       val out = s"${tag}_diff"
       xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
         graft.analytics.Analytics.diff(df, keys, "value", out))
@@ -556,7 +556,7 @@ object FuzzGen {
       desc ++= s" | winGroupAgg(keep=${keep.mkString(",")})"
     }
 
-    def crossingsStage(): Unit = { // requires keys.nonEmpty || !hasNulls
+    def crossingsStage(): Unit = { // null-safe on both paths
       // center the value so sign flips actually happen (fuzz domains are
       // all-positive); NULL-value rows drop out of the crossing filter in
       // both engines (sign(NULL) chooses neither side of <>)
@@ -582,7 +582,7 @@ object FuzzGen {
       desc ++= s" | crossings(c=$c dir=$dirn)"
     }
 
-    def trendStage(tag: String): Unit = { // requires keys.nonEmpty || !hasNulls
+    def trendStage(tag: String): Unit = { // null-safe on both paths
       val out = s"${tag}_trend"
       xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
         graft.analytics.Analytics.trend(df, keys, "value", out))
@@ -1059,16 +1059,17 @@ object FuzzGen {
         enrichers += (() => rankStage(tag))
         enrichers += (() => extremaStage())
       }
-      if (keys.nonEmpty || !hasNulls) {
-        enrichers += (() => diffStage(tag))
-        enrichers += (() => trendStage(tag))
-      }
+      // diff/trend/crossings handle NULLs identically on both paths since
+      // the keyless scans grew null-aware carries (coalesce-to-0 deltas,
+      // carry-through signs) — no null gate needed
+      enrichers += (() => diffStage(tag))
+      enrichers += (() => trendStage(tag))
       val filters = {
         val fs = mutable.ArrayBuffer[() => Unit](
           () => filterValStage(), () => filterModStage(), () => filterTypeStage(),
           () => headStage(), () => thinStage(), () => spanNegStage(),
           () => reverseStage())
-        if (keys.nonEmpty || !hasNulls) fs += (() => crossingsStage())
+        fs += (() => crossingsStage())
         fs.toVector
       }
       // first stage is always an enricher so every program exercises at

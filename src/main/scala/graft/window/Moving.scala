@@ -26,6 +26,31 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   */
 object Moving {
 
+  /** Read a numeric cell for a recursive scan, rejecting NULL loudly: the
+    * recursive state (EMA/ATR/cumprod/diff carries) has no NULL semantics —
+    * the reference's series elements are primitives — and the alternative
+    * is an opaque executor NullPointerException four task-retries later.
+    */
+  private[graft] def numAt(r: Row, idx: Int, op: String): Double = {
+    if (r.isNullAt(idx)) throw new IllegalArgumentException(
+      s"$op requires non-null values (recursive state has no NULL " +
+        "semantics); filter or gap-fill NULLs first")
+    r.getAs[Number](idx).doubleValue()
+  }
+
+  /** Same case-folded reserved-name guard as the join family: fail loud
+    * when an input frame already carries a column this operator is about
+    * to append or overwrite (Spark resolution is case-insensitive by
+    * default, so the check folds case too).
+    */
+  private[graft] def guardNames(cols: Seq[String], names: Seq[String], ctx: String): Unit = {
+    val lower = names.map(_.toLowerCase).toSet
+    val clash = cols.filter(c => lower.contains(c.toLowerCase)).distinct
+    require(clash.isEmpty, s"column name(s) ${clash.mkString(", ")} collide " +
+      s"with $ctx's reserved output/working names (${names.mkString("/")}); " +
+      "rename them first")
+  }
+
   /** Trailing-window frame of n rows ending at the current row (keyed
     * callers only — keyless trailing windows route through
     * [[windowAggScanKeyless]], never a whole-frame ordered window).
@@ -54,6 +79,7 @@ object Moving {
                        order: Seq[org.apache.spark.sql.Column] = Seq(col("pos")))(
       identity: Array[Double])(inject: Row => Array[Double])(
       op: (Array[Double], Array[Double]) => Array[Double]): DataFrame = {
+    guardNames(df.columns.toSeq, outs, "monoidScanRanged")
     if (keys.nonEmpty)
       return monoidScanKeyed(df, keys, outs, order)(identity)(inject)(op)
     val spark = df.sparkSession
@@ -126,6 +152,7 @@ object Moving {
                       order: Seq[org.apache.spark.sql.Column] = Seq(col("pos")))(
       identity: Array[Double])(inject: Row => Array[Double])(
       op: (Array[Double], Array[Double]) => Array[Double]): DataFrame = {
+    guardNames(df.columns.toSeq, outs, "monoidScanKeyed")
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val all = keys.map(col) ++ order
@@ -157,6 +184,7 @@ object Moving {
   def affineScanKeyed(df: DataFrame, keys: Seq[String], out: String,
                       pre: Boolean = false)(
       seed: Row => Double)(coef: Row => (Double, Double)): DataFrame = {
+    guardNames(df.columns.toSeq, Seq(out), "affineScanKeyed")
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val all = keys.map(col) :+ col("pos")
@@ -190,6 +218,12 @@ object Moving {
     * (the naive one-pass formula, func.c:1745-1761).
     */
   def windowAgg(df: DataFrame, keys: Seq[String], value: String, n: Int): DataFrame = {
+    // validate ONCE for both paths: the keyed frame would throw an
+    // AnalysisException but the keyless scan would silently emit all-NULL
+    require(n >= 1, s"window length must be >= 1, got $n")
+    guardNames(df.columns.toSeq,
+      Seq("w_sum", "w_avg", "w_min", "w_max", "w_var", "w_dev",
+        "w_avg_ref", "w_var_ref", "w_dev_ref"), "windowAgg")
     if (keys.isEmpty) return windowAggScanKeyless(df, value, n)
     val w = frame(keys, n)
     val v = col(value)
@@ -262,11 +296,17 @@ object Moving {
         var c = 0
         var s = 0.0; var ss = 0.0
         var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+        var anyNaN = false
         win.foreach { v =>
           if (v != null) {
             val x = v.doubleValue()
             c += 1; s += x; ss += x * x
-            mn = math.min(mn, x); mx = math.max(mx, x)
+            // Spark's total order puts NaN ABOVE every value, so min over
+            // a frame containing NaN is the true minimum (math.min would
+            // propagate NaN and diverge from the keyed SQL path) and max
+            // is NaN; sum/avg/var propagate NaN on both paths already
+            if (x.isNaN) anyNaN = true
+            else { mn = math.min(mn, x); mx = math.max(mx, x) }
           }
         }
         val outs: Seq[Any] =
@@ -276,9 +316,11 @@ object Moving {
           // scan must agree (fuzz finding, seeds 8026/8059)
           if (c == 0) Seq(null, null, null, null, null, null, null, null, 0.0)
           else {
+            val mnOut = if (anyNaN && mn == Double.PositiveInfinity) Double.NaN else mn
+            val mxOut = if (anyNaN) Double.NaN else mx
             val vr = math.max((ss - s * s / c) / c, 0.0)
             val refVar = (ss - s * s / n) / n
-            Seq(s, s / c, mn, mx, vr, math.sqrt(vr),
+            Seq(s, s / c, mnOut, mxOut, vr, math.sqrt(vr),
               s / n, refVar, math.sqrt(math.max(refVar, 0.0)))
           }
         Row.fromSeq(r.toSeq ++ outs)
@@ -322,6 +364,7 @@ object Moving {
                        pre: Boolean = false)(
       seed: Row => Double)(coef: Row => (Double, Double)): DataFrame = {
     if (keys.nonEmpty) return affineScanKeyed(df, keys, out, pre)(seed)(coef)
+    guardNames(df.columns.toSeq, Seq(out), "affineScanRanged")
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val all = keys.map(col) :+ col("pos")
@@ -383,27 +426,41 @@ object Moving {
     * recurrence exact at row 0: p·x0 + (1−p)·x0 = x0.
     */
   def ema(df: DataFrame, keys: Seq[String], value: String, n: Int, out: String = "ema"): DataFrame = {
+    require(n >= 1, s"EMA period must be >= 1, got $n")
     val p = 2.0 / (n + 1)
     val vIdx = df.schema.fieldIndex(value)
     affineScanRanged(df, keys, out)(
-      seed = r => r.getAs[Number](vIdx).doubleValue()) { r =>
-      (1 - p, p * r.getAs[Number](vIdx).doubleValue())
+      seed = r => numAt(r, vIdx, "ema")) { r =>
+      (1 - p, p * numAt(r, vIdx, "ema"))
     }
   }
 
   /** Wilder-smoothed average true range — cs_window_atr (func.c:1779-1788):
     * ATR[i] = (ATR[i-1]*(m-1) + TR[i]) / m with m = min(i+1, N). The
-    * warm-up divisor counts from the series origin (pos), so pos 0 has
-    * a = 0 and the seed is irrelevant for full series.
+    * warm-up index i is the row's ORDINAL within its key's series — the
+    * reference operates on the slice it is handed, with indices relative
+    * to that slice — so a thinned/sliced series with non-dense or offset
+    * pos still warms up over the rows actually present (the same
+    * actual-row-count rule cumAgg follows). Row 0 has a = 0, so the seed
+    * is irrelevant.
     */
   def atr(df: DataFrame, keys: Seq[String], value: String, n: Int, out: String = "atr"): DataFrame = {
-    val vIdx = df.schema.fieldIndex(value)
-    val pIdx = df.schema.fieldIndex("pos")
-    affineScanRanged(df, keys, out)(
-      seed = r => r.getAs[Number](vIdx).doubleValue()) { r =>
-      val m = math.min(r.getAs[Number](pIdx).longValue() + 1, n.toLong).toDouble
-      ((m - 1) / m, r.getAs[Number](vIdx).doubleValue() / m)
-    }
+    require(n >= 1, s"ATR period must be >= 1, got $n")
+    guardNames(df.columns.toSeq, Seq("__aord"), "atr")
+    val withOrd =
+      if (keys.isEmpty)
+        graft.series.Series.attachPosRanged(df, Seq(), Seq(col("pos")), out = "__aord")
+      else {
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col("pos"))
+        df.withColumn("__aord", row_number().over(w).cast("long") - 1L)
+      }
+    val vIdx = withOrd.schema.fieldIndex(value)
+    val oIdx = withOrd.schema.fieldIndex("__aord")
+    affineScanRanged(withOrd, keys, out)(
+      seed = r => numAt(r, vIdx, "atr")) { r =>
+      val m = math.min(r.getLong(oIdx) + 1, n.toLong).toDouble
+      ((m - 1) / m, numAt(r, vIdx, "atr") / m)
+    }.drop("__aord")
   }
 
   /** Cumulative product — cs_cum_prd (func.c:1824-1887). Recursive like
@@ -413,7 +470,7 @@ object Moving {
   def cumProd(df: DataFrame, keys: Seq[String], value: String, out: String = "cum_prd"): DataFrame = {
     val vIdx = df.schema.fieldIndex(value)
     affineScanRanged(df, keys, out)(seed = _ => 1.0) { r =>
-      (r.getAs[Number](vIdx).doubleValue(), 0.0)
+      (numAt(r, vIdx, "cumProd"), 0.0)
     }
   }
 
@@ -421,17 +478,25 @@ object Moving {
     * from cs_* primitives (example.sql RSI query): split the delta into
     * gains/losses, Wilder-smooth both (the ATR recurrence), then
     * RSI = 100 − 100/(1 + U/D). Pure composition of diff + two affine
-    * scans; an all-gain window (D = 0) reads 100.
+    * scans. The D = 0 cases mirror the reference's bare IEEE arithmetic
+    * (it has no special case): an all-gain window reads 100
+    * (U/0 = +Inf → 100 − 0), while a FLAT window (U = D = 0) is NaN
+    * (0/0) — Spark's SQL division returns NULL at 0, so both branches
+    * are spelled out instead of relying on `/`.
     */
   def rsi(df: DataFrame, keys: Seq[String], value: String, n: Int,
           out: String = "rsi"): DataFrame = {
+    require(n >= 1, s"RSI period must be >= 1, got $n")
+    guardNames(df.columns.toSeq,
+      Seq("__d", "__up", "__dn", "__su", "__sd", out), "rsi")
     val withUd = graft.analytics.Analytics.diff(df, keys, value, "__d")
       .withColumn("__up", greatest(col("__d"), lit(0.0)))
       .withColumn("__dn", greatest(-col("__d"), lit(0.0)))
     val smoothed = atr(atr(withUd, keys, "__up", n, "__su"), keys, "__dn", n, "__sd")
     smoothed
       .withColumn(out,
-        when(col("__sd") === 0.0, lit(100.0))
+        when(col("__sd") === 0.0 && col("__su") > 0.0, lit(100.0))
+          .when(col("__sd") === 0.0, lit(Double.NaN))
           .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("__su") / col("__sd"))))
       .drop("__d", "__up", "__dn", "__su", "__sd")
   }
@@ -445,29 +510,32 @@ object Moving {
     */
   def rank(df: DataFrame, keys: Seq[String], value: String): DataFrame =
     if (keys.isEmpty) {
+      guardNames(df.columns.toSeq,
+        Seq("__origpos", "__start", "__rfirst", "run_id", "rnk", "dense_rnk"),
+        "rank")
       val sorted = graft.series.Series.attachPosRanged(
         df.withColumnRenamed("pos", "__origpos"), Seq(),
         Seq(col(value), col("__origpos")), out = "pos")
-      val withRun = graft.agg.Aggs.attachRunId(sorted, Seq(), value)
-      // rank = 1 + the run's first sort_pos, carried forward by a second
-      // scan that resets at run starts (predecessor run_id via pos-join).
+      // the fresh sort_pos IS a dense 0-based ordinal, so attachRunId can
+      // skip its internal renumbering pass; its run-start flag is exactly
+      // rank's reset condition, so no predecessor self-join either.
       // A groupBy(run_id)+join would shuffle every row onto as many
       // reducers as there are runs — badly skewed when the series has few
       // distinct values.
-      val prev = withRun.select((col("pos") + 1L).as("pos"), col("run_id").as("__prun"))
-      val flagged = withRun.join(prev, Seq("pos"), "left")
-        .withColumn("__start",
-          col("__prun").isNull || col("__prun") =!= col("run_id"))
-      val sIdx = flagged.schema.fieldIndex("__start")
-      val pIdx2 = flagged.schema.fieldIndex("pos")
-      affineScanRanged(flagged, Seq(), "__rfirst")(
+      val withRun = graft.agg.Aggs.attachRunId(sorted, Seq(), value,
+        ordCol = Some("pos"), chgOut = Some("__start"))
+      val sIdx = withRun.schema.fieldIndex("__start")
+      val pIdx2 = withRun.schema.fieldIndex("pos")
+      // rank = 1 + the run's first sort_pos, carried forward by a scan
+      // that resets at run starts
+      affineScanRanged(withRun, Seq(), "__rfirst")(
         seed = r => r.getAs[Number](pIdx2).doubleValue()) { r =>
-        if (r.getBoolean(sIdx)) (0.0, r.getAs[Number](pIdx2).doubleValue())
+        if (r.getDouble(sIdx) == 1.0) (0.0, r.getAs[Number](pIdx2).doubleValue())
         else (1.0, 0.0)
       }
         .withColumn("rnk", col("__rfirst").cast("long") + 1L)
         .withColumn("dense_rnk", col("run_id")) // runs are value-ordered, 1-based
-        .drop("__rfirst", "__prun", "__start", "pos", "run_id")
+        .drop("__rfirst", "__start", "pos", "run_id")
         .withColumnRenamed("__origpos", "pos")
     } else {
       val w = Window.partitionBy(keys.map(col): _*).orderBy(col(value))

@@ -135,4 +135,17 @@ class AggSpec extends AnyFunSuite {
     val r = Aggs.topK(df, "v", 2, desc = true, "id").select("id").as[Long].collect().toSeq
     assert(r == Seq(1L, 2L))
   }
+
+  test("attachRunId ties consecutive NULL group values into one run, both paths") {
+    val base = Seq((0L, Some("a")), (1L, None), (2L, None), (3L, Some("a")))
+      .toDF("pos", "g")
+    val keyless = Aggs.attachRunId(base, Seq(), "g").orderBy("pos")
+      .select("run_id").as[Long].collect().toSeq
+    val keyed = Aggs.attachRunId(base.withColumn("k", lit(1)), Seq("k"), "g")
+      .orderBy("pos").select("run_id").as[Long].collect().toSeq
+    // a, [null null] as ONE run, a again: 1, 2, 2, 3 — SQL rank()-style
+    // NULL ties, not a fresh run per null row
+    assert(keyless == Seq(1L, 2L, 2L, 3L))
+    assert(keyless == keyed)
+  }
 }

@@ -66,4 +66,34 @@ class AnalyticsSpec extends AnyFunSuite {
       .orderBy("q_idx").select("q_value").as[Double].collect().toSeq
     assert(r == Seq(1.0, 3.0, 5.0))
   }
+
+  test("diff/trend/crossings: NULL values follow the keyed lag semantics on both paths") {
+    // deltas touching a NULL are 0 (coalesce(v - lag(v), 0)) and the
+    // sign carries straight through NULL rows
+    val base = Seq((0L, Some(2.0)), (1L, None), (2L, Some(5.0)), (3L, Some(3.0)),
+      (4L, None), (5L, Some(7.0))).toDF("pos", "v")
+    val keyed = base.withColumn("k", lit(1))
+
+    val dKeyless = Analytics.diff(base, Seq(), "v").orderBy("pos")
+      .select("diff").as[Double].collect().toSeq
+    val dKeyed = Analytics.diff(keyed, Seq("k"), "v").orderBy("pos")
+      .select("diff").as[Double].collect().toSeq
+    assert(dKeyless == Seq(0.0, 0.0, 0.0, -2.0, 0.0, 0.0))
+    assert(dKeyless == dKeyed)
+
+    val tKeyless = Analytics.trend(base, Seq(), "v").orderBy("pos")
+      .select("trend").as[Double].collect().toSeq
+    val tKeyed = Analytics.trend(keyed, Seq("k"), "v").orderBy("pos")
+      .select("trend").as[Double].collect().toSeq
+    assert(tKeyless == tKeyed)
+
+    // crossings: NULL rows drop out and do not disturb the sign carry
+    val cb = Seq((0L, Some(1.0)), (1L, None), (2L, Some(-1.0)), (3L, None),
+      (4L, Some(2.0))).toDF("pos", "v")
+    val cKeyless = Analytics.crossings(cb, Seq(), "v", 0).orderBy("pos")
+      .select("pos").as[Long].collect().toSeq
+    val cKeyed = Analytics.crossings(cb.withColumn("k", lit(1)), Seq("k"), "v", 0)
+      .orderBy("pos").select("pos").as[Long].collect().toSeq
+    assert(cKeyless == Seq(2L, 4L) && cKeyless == cKeyed)
+  }
 }

@@ -57,4 +57,95 @@ class MovingSpec extends AnyFunSuite {
       .select("rnk", "dense_rnk").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(r.toSeq == Seq((3L, 3L), (1L, 1L), (3L, 3L), (2L, 2L)))
   }
+
+  test("keyless rank ties NULL values together like the keyed SQL path") {
+    val base = Seq((0L, None), (1L, Some(5.0)), (2L, None), (3L, Some(5.0)))
+      .toDF("pos", "v")
+    val keyless = Moving.rank(base, Seq(), "v").orderBy("pos")
+      .select("rnk", "dense_rnk").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val keyed = Moving.rank(base.withColumn("k", lit(1)), Seq("k"), "v").orderBy("pos")
+      .select("rnk", "dense_rnk").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // nulls sort first and TIE: rnk 1,1 then the 5.0s tie at 3
+    assert(keyless == Seq((1L, 1L), (3L, 2L), (1L, 1L), (3L, 2L)))
+    assert(keyless == keyed)
+  }
+
+  test("ATR warm-up counts rows PRESENT, not the pos column (sliced series)") {
+    // thin a 6-row series to pos 0,2,4: the warm-up ordinal must be
+    // 0,1,2 over the remaining rows, not 0,2,4
+    val thinned = series(4, 99, 8, 99, 2, 99).filter(col("pos") % 2 === 0)
+    val r = Moving.atr(thinned, Seq(), "v", 2).orderBy("pos")
+      .select("atr").as[Double].collect().toSeq
+    // same recurrence as the dense test: 4; (4*1+8)/2=6; (6*1+2)/2=4
+    assert(r == Seq(4.0, 6.0, 4.0))
+    // keyed path agrees
+    val keyed = Moving.atr(thinned.withColumn("k", lit(1)), Seq("k"), "v", 2)
+      .orderBy("pos").select("atr").as[Double].collect().toSeq
+    assert(keyed == r)
+  }
+
+  test("RSI: all-gain reads 100, flat windows are NaN (reference IEEE arithmetic)") {
+    // strictly rising: su > 0, sd = 0 after warm-up -> 100 (row 0 is flat)
+    val up = Moving.rsi(series(1, 2, 3, 4), Seq(), "v", 3).orderBy("pos")
+      .select("rsi").as[Double].collect().toSeq
+    assert(up.head.isNaN && up.tail.forall(_ == 100.0))
+    // flat: U = D = 0 -> 0/0 -> NaN everywhere, never a fake 100
+    val flat = Moving.rsi(series(5, 5, 5), Seq(), "v", 3).orderBy("pos")
+      .select("rsi").as[Double].collect().toSeq
+    assert(flat.forall(_.isNaN))
+  }
+
+  test("keyless windowAgg matches keyed min/max when NaN is in the frame") {
+    val base = Seq((0L, 1.0), (1L, Double.NaN), (2L, 3.0), (3L, 0.5)).toDF("pos", "v")
+    val keyless = Moving.windowAgg(base, Seq(), "v", 2).orderBy("pos")
+      .select("w_min", "w_max").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val keyed = Moving.windowAgg(base.withColumn("k", lit(1)), Seq("k"), "v", 2)
+      .orderBy("pos").select("w_min", "w_max").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    def cmp(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b
+    assert(keyless.zip(keyed).forall { case ((a1, a2), (b1, b2)) =>
+      cmp(a1, b1) && cmp(a2, b2)
+    }, s"keyless=$keyless keyed=$keyed")
+    // Spark's total order puts NaN above every value: min picks the real
+    // minimum, max reports NaN
+    assert(keyless(1)._1 == 1.0 && keyless(1)._2.isNaN)
+  }
+
+  test("recursive scans reject NULL values loudly, not with an NPE") {
+    val withNull = Seq((0L, Some(1.0)), (1L, None)).toDF("pos", "v")
+    val e = intercept[Exception] {
+      Moving.ema(withNull, Seq(), "v", 3).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq.last.getMessage)
+    assert(rootMsg(e).contains("non-null"))
+    val e2 = intercept[Exception] {
+      Moving.cumProd(withNull, Seq(), "v").collect()
+    }
+    assert(rootMsg(e2).contains("non-null"))
+  }
+
+  test("windowAgg validates the window length on both paths") {
+    intercept[IllegalArgumentException] {
+      Moving.windowAgg(series(1, 2), Seq(), "v", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Moving.windowAgg(series(1, 2).withColumn("k", lit(1)), Seq("k"), "v", -1)
+    }
+    intercept[IllegalArgumentException] { Moving.ema(series(1), Seq(), "v", 0) }
+    intercept[IllegalArgumentException] { Moving.atr(series(1), Seq(), "v", 0) }
+  }
+
+  test("scan output and working names are guarded against input collisions") {
+    intercept[IllegalArgumentException] {
+      Moving.windowAgg(series(1, 2).withColumn("w_sum", lit(1)), Seq(), "v", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Moving.ema(series(1, 2).withColumn("EMA", lit(1)), Seq(), "v", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Moving.rank(series(1, 2).withColumn("rnk", lit(1)), Seq(), "v")
+    }
+  }
 }

@@ -195,11 +195,16 @@ class PropertySpec extends AnyFunSuite {
       val m = math.min(i + 1, n).toDouble
       su = (su * (m - 1) + math.max(d, 0.0)) / m
       sd = (sd * (m - 1) + math.max(-d, 0.0)) / m
-      if (sd == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + su / sd)
+      // reference IEEE arithmetic: all-gain → 100, FLAT (0/0) → NaN
+      if (sd == 0.0 && su > 0.0) 100.0
+      else if (sd == 0.0) Double.NaN
+      else 100.0 - 100.0 / (1.0 + su / sd)
     }
     val got = Moving.rsi(seriesDf(xs), Seq(), "value", n)
       .orderBy("pos").select("rsi").as[Double].collect().toSeq
-    expected.zip(got).foreach { case (e, g) => assert(math.abs(e - g) < 1e-9) }
+    expected.zip(got).foreach { case (e, g) =>
+      assert((e.isNaN && g.isNaN) || math.abs(e - g) < 1e-9, s"e=$e g=$g")
+    }
   }
 
   test("concat preserves counts and keeps pos dense") {
