@@ -615,8 +615,11 @@ object FuzzGen {
     def uniqueAdjStage(): Unit = {
       xforms :+= ((df: DataFrame, _: SparkSession, _: String) =>
         graft.series.Series.uniqueAdjacent(df, keys, "value"))
+      // null-safe run collapse: a run of NULLs keeps only its first row,
+      // so the first-row marker is the row number, not a NULL predecessor
       val lagE = s"""lag("value") OVER (${pb}ORDER BY ${q("pos")})"""
-      qualifySql(s"""$lagE IS NULL OR $lagE <> "value"""")
+      val rn1 = s"row_number() OVER (${pb}ORDER BY ${q("pos")}) = 1"
+      qualifySql(s"""$rn1 OR $lagE IS DISTINCT FROM "value"""")
       desc ++= " | uniqueAdj"
     }
 
@@ -638,8 +641,12 @@ object FuzzGen {
       val cnt =
         if (keys.isEmpty) "count(*) OVER ()"
         else s"count(*) OVER (PARTITION BY ${keys.map(q).mkString(", ")})"
-      val lo = if (fromV < 0) s"$cnt + $fromV" else s"$fromV"
-      qualifySql(s"${q("pos")} >= $lo AND ${q("pos")} <= $cnt + $tillV")
+      // negative indices count from the end in ORDINAL space (rank within
+      // the key), matching span's gap-safe semantics on non-dense pos;
+      // non-negative bounds stay pos-label filters
+      val ord = s"(row_number() OVER (${pb}ORDER BY ${q("pos")}) - 1)"
+      val loP = if (fromV < 0) s"$ord >= $cnt + $fromV" else s"${q("pos")} >= $fromV"
+      qualifySql(s"$loP AND $ord <= $cnt + $tillV")
       desc ++= s" | span($fromV,$tillV)"
     }
 

@@ -25,6 +25,20 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Series {
 
+  /** Key extractor for the scan machinery's run detection: values are
+    * compared and hashed inside `Seq[Any]`, where `Array[Byte]` (a
+    * BinaryType key — e.g. a fingerprint column) compares by REFERENCE —
+    * every row would look like a fresh key run and the broadcast offset
+    * lookup would miss. Normalize binary to an immutable Seq.
+    */
+  private[graft] def rowKey(keyIdx: Seq[Int])(r: Row): Seq[Any] =
+    keyIdx.map { i =>
+      r.get(i) match {
+        case a: Array[Byte] => a.toSeq
+        case x => x
+      }
+    }
+
   /** Attach `pos` (0-based) per key partition ordered by `order` columns.
     * Mirrors the implicit element order of a per-key timeseries like
     * "quote-close-IBM" (imcs--1.1.sql:361-369).
@@ -62,11 +76,13 @@ object Series {
     */
   def attachPosRanged(df: DataFrame, keys: Seq[String], order: Seq[Column],
                       out: String = "pos"): DataFrame = {
+    graft.window.Moving.guardNames(df.columns.toSeq, Seq(out), "attachPosRanged")
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val all = keys.map(col) ++ order
     val ranged = df.repartitionByRange(parts, all: _*).sortWithinPartitions(all: _*)
     val keyIdx = keys.map(ranged.schema.fieldIndex)
+    val keyOf = rowKey(keyIdx) _
     // Capture the shuffled RDD ONCE: the counts job and the numbering job
     // below share its shuffle output (the second job skips the map stage).
     // Re-deriving the DataFrame per job would re-sample the range bounds
@@ -83,7 +99,7 @@ object Series {
       var n = 0L
       var any = false
       it.foreach { r =>
-        val k = keyIdx.map(r.get)
+        val k = keyOf(r)
         if (!any || k != cur) {
           if (any) buf += ((pid, cur, n))
           cur = k; n = 1L; any = true
@@ -107,7 +123,7 @@ object Series {
       var i = 0L
       var off = 0L
       it.map { r =>
-        val k = keyIdx.map(r.get)
+        val k = keyOf(r)
         if (cur == null || k != cur) { cur = k; i = 0L; off = bc.value((pid, k)) }
         else i += 1L
         Row.fromSeq(r.toSeq :+ (off + i))
@@ -119,17 +135,35 @@ object Series {
 
   /** Positional slice [from, till] inclusive; negative index counts from the
     * end as in the reference's cs_limit/TABLE_span (func.c:3938-4026,
-    * imcs--1.1.sql:285-292). Needs a `cnt` per key when negatives are used.
+    * imcs--1.1.sql:285-292).
+    *
+    * Negative indices count elements from the end in ORDINAL space (the
+    * row's rank within its key), not pos-label space: after
+    * slicing/thinning the pos labels have gaps, and `cnt + from` compared
+    * against a LABEL would select the wrong rows or none at all ("last 3"
+    * of pos {10..19} is pos 17..19, not pos 7..9). Non-negative indices
+    * keep the documented pure pos-label filter, which pushes down.
     */
   def span(df: DataFrame, keys: Seq[String], from: Long, till: Long): DataFrame = {
     if (from >= 0 && till >= 0) {
       // Pure positional range — pushes down as a simple filter on pos.
       df.filter(col("pos") >= from && col("pos") <= till)
     } else {
-      val withCnt = withKeyCount(df, keys)
-      val lo = if (from >= 0) lit(from) else col("__cnt") + from
-      val hi = if (till >= 0) lit(till) else col("__cnt") + till
-      withCnt.filter(col("pos") >= lo && col("pos") <= hi).drop("__cnt")
+      graft.window.Moving.guardNames(df.columns.toSeq, Seq("__ord", "__cnt"),
+        "span (negative index)")
+      val withOrd =
+        if (keys.isEmpty)
+          attachPosRanged(df, Seq(), Seq(col("pos")), out = "__ord")
+        else {
+          val w = Window.partitionBy(keys.map(col): _*).orderBy(col("pos"))
+          df.withColumn("__ord", row_number().over(w).cast("long") - 1L)
+        }
+      val withCnt = withKeyCount(withOrd, keys)
+      val loOk =
+        if (from >= 0) col("pos") >= from else col("__ord") >= col("__cnt") + from
+      val hiOk =
+        if (till >= 0) col("pos") <= till else col("__ord") <= col("__cnt") + till
+      withCnt.filter(loOk && hiOk).drop("__cnt", "__ord")
     }
   }
 
@@ -145,8 +179,17 @@ object Series {
   private def withKeyCount(df: DataFrame, keys: Seq[String]): DataFrame =
     if (keys.isEmpty)
       df.crossJoin(broadcast(df.agg(count(lit(1)).as("__cnt"))))
-    else
-      df.join(df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt")), keys)
+    else {
+      // null-SAFE key equality: attachPos numbers a NULL key group like
+      // any other, so a plain equi-join here would silently drop every
+      // null-key row from the sliced output
+      val l = df.alias("__skl")
+      val r = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
+        .alias("__skr")
+      val on = keys.map(k => col(s"__skl.$k") <=> col(s"__skr.$k")).reduce(_ && _)
+      l.join(r, on)
+        .select(df.columns.map(c => col(s"__skl.$c")) :+ col("__skr.__cnt"): _*)
+    }
 
   /** Every step-th element starting at origin — cs_thin (func.c:664-767). */
   def thin(df: DataFrame, origin: Long, step: Long): DataFrame =
@@ -155,9 +198,12 @@ object Series {
   /** First n per key — cs_head / cs_limit(0, n-1) (func.c:3938-4026). */
   def head(df: DataFrame, n: Long): DataFrame = df.filter(col("pos") < n)
 
-  /** Last n per key — cs_tail (negative-index cs_limit). */
+  /** Last n per key — cs_tail (negative-index cs_limit). n <= 0 selects
+    * nothing (−0 == 0 would otherwise turn span(0, −1) into the WHOLE
+    * series).
+    */
   def tail(df: DataFrame, keys: Seq[String], n: Long): DataFrame =
-    span(df, keys, -n, -1)
+    if (n <= 0) df.limit(0) else span(df, keys, -n, -1)
 
   /** Reverse a series — cs_reverse (func.c:1203-1306): output positions
     * are the DENSE reversed ordinals 0..cnt−1, as in the reference (which
@@ -173,9 +219,11 @@ object Series {
     * ranged numbering scan over descending pos — no single-task stage.
     */
   def reverse(df: DataFrame, keys: Seq[String]): DataFrame =
-    if (keys.isEmpty)
+    if (keys.isEmpty) {
+      graft.window.Moving.guardNames(df.columns.toSeq, Seq("__rp"), "reverse")
       attachPosRanged(df.withColumnRenamed("pos", "__rp"), Seq(),
         Seq(col("__rp") * -1L), out = "pos").drop("__rp")
+    }
     else {
       val w = Window.partitionBy(keys.map(col): _*).orderBy(col("pos").desc)
       df.withColumn("pos", row_number().over(w).cast("long") - 1L)
@@ -184,30 +232,50 @@ object Series {
   /** Repeat each element n times — cs_repeat (func.c:769-862). New pos is
     * pos*n + repeat index, preserving order.
     */
-  def repeat(df: DataFrame, n: Int): DataFrame =
+  def repeat(df: DataFrame, n: Int): DataFrame = {
+    // n = 0 would NOT be empty: sequence(0, -1) infers step -1 and yields
+    // [0, -1], emitting two rows per element with a NEGATIVE pos
+    require(n > 0, s"repeat count must be positive, got $n")
+    graft.window.Moving.guardNames(df.columns.toSeq, Seq("__r"), "repeat")
     df.withColumn("__r", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("pos", col("pos") * n + col("__r"))
       .drop("__r")
+  }
 
   /** Concatenate series b after series a — cs_concat `|||`
-    * (func.c:2353-2456). Offsets b's pos by a's per-key count. `keys` are
-    * the columns on which the two frames align (empty = single series).
+    * (func.c:2353-2456). Offsets b's pos by a's per-key max(pos)+1 — NOT
+    * a's count: after slicing/thinning a's pos has gaps and a count-based
+    * shift would collide b's positions with a's surviving labels,
+    * breaking pos uniqueness. For dense a the two are identical. `keys`
+    * are the columns on which the two frames align (empty = single
+    * series). The offset stays a lazy part of the plan (broadcast 1-row
+    * agg / per-key join) — no driver-side count job at plan time.
     */
   def concat(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
     graft.plans.UnionDisjointFilterCollapse.install(a.sparkSession)
+    graft.window.Moving.guardNames(a.columns.toSeq ++ b.columns, Seq("__aoff"),
+      "concat")
     val cols = a.columns.toSeq
     if (keys.isEmpty) {
-      val n = a.count() // single-series: one scalar count
-      a.select(cols.map(col): _*).unionByName(
-        b.withColumn("pos", col("pos") + n).select(cols.map(col): _*))
-    } else {
-      // no broadcast hint: one count row per key — AQE picks broadcast
-      // only when the built side fits (see withKeyCount)
-      val cnts = a.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__acnt"))
-      val bShift = b
-        .join(cnts, keys, "left")
-        .withColumn("pos", col("pos") + coalesce(col("__acnt"), lit(0L)))
+      val off = a.agg((coalesce(max(col("pos")), lit(-1L)) + 1L).as("__aoff"))
+      val bShift = b.crossJoin(broadcast(off))
+        .withColumn("pos", col("pos") + col("__aoff"))
         .select(cols.map(col): _*)
+      a.select(cols.map(col): _*).unionByName(bShift)
+    } else {
+      // no broadcast hint: one offset row per key — AQE picks broadcast
+      // only when the built side fits (see withKeyCount). Null-safe key
+      // equality so null-key groups shift like any other (a plain
+      // equi-join would leave them at offset 0, colliding with a's).
+      val offs = a.groupBy(keys.map(col): _*)
+        .agg((max(col("pos")) + 1L).as("__aoff")).alias("__cr")
+      val bl = b.alias("__cl")
+      val on = keys.map(k => col(s"__cl.$k") <=> col(s"__cr.$k")).reduce(_ && _)
+      val bShift = bl.join(offs, on, "left")
+        .select(cols.map(c =>
+          if (c == "pos")
+            (col("__cl.pos") + coalesce(col("__cr.__aoff"), lit(0L))).as("pos")
+          else col(s"__cl.$c")): _*)
       a.select(cols.map(col): _*).unionByName(bShift)
     }
   }
@@ -220,17 +288,21 @@ object Series {
     * and `value` may be any comparable type.
     */
   def uniqueAdjacent(df: DataFrame, keys: Seq[String], value: String): DataFrame = {
+    // a run of NULLs collapses to its first element too (null-safe
+    // inequality), so the first row needs its own marker — a NULL
+    // predecessor VALUE is no longer distinguishable from "no predecessor"
     if (keys.isEmpty) {
       val ord = attachPosRanged(df, Seq(), Seq(col("pos")), out = "__ord")
       val prev = ord.select((col("__ord") + 1L).as("__ord"), col(value).as("__prev"))
       ord.join(prev, Seq("__ord"), "left")
-        .filter(col("__prev").isNull || col("__prev") =!= col(value))
+        .filter(col("__ord") === 0L || !(col("__prev") <=> col(value)))
         .drop("__prev", "__ord")
     } else {
       val w = Window.partitionBy(keys.map(col): _*).orderBy(col("pos"))
       df.withColumn("__prev", lag(col(value), 1).over(w))
-        .filter(col("__prev").isNull || col("__prev") =!= col(value))
-        .drop("__prev")
+        .withColumn("__rn1", row_number().over(w) === 1)
+        .filter(col("__rn1") || !(col("__prev") <=> col(value)))
+        .drop("__prev", "__rn1")
     }
   }
 
@@ -245,10 +317,12 @@ object Series {
   /** Gather elements of `df` at `positions` — cs_map (btree.c:255-347).
     * A join on pos; Catalyst broadcasts the position side when small,
     * which reproduces the reference's random-access B-tree probe without a
-    * full shuffle.
+    * full shuffle. A position listed twice gathers its element TWICE —
+    * cs_map emits one element per entry of the position sequence, so
+    * multiplicity is preserved, not deduplicated.
     */
   def gather(df: DataFrame, positions: DataFrame, keys: Seq[String]): DataFrame = {
     val onCols = keys :+ "pos"
-    df.join(positions.select(onCols.map(col): _*).distinct(), onCols, "inner")
+    df.join(positions.select(onCols.map(col): _*), onCols, "inner")
   }
 }

@@ -87,6 +87,7 @@ object Moving {
     val all = keys.map(col) ++ order
     val ranged = df.repartitionByRange(parts, all: _*).sortWithinPartitions(all: _*)
     val keyIdx = keys.map(ranged.schema.fieldIndex)
+    val keyOf = graft.series.Series.rowKey(keyIdx) _
     val rdd = ranged.rdd
     val comps: Array[(Int, Seq[Any], Array[Double])] =
       rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -98,7 +99,7 @@ object Moving {
         var acc = identity.clone()
         var any = false
         it.foreach { r =>
-          val k = keyIdx.map(r.get)
+          val k = keyOf(r)
           if (!any || k != cur) {
             if (any) buf += ((pid, cur, acc))
             cur = k; acc = identity.clone(); any = true
@@ -124,7 +125,7 @@ object Moving {
       var cur: Seq[Any] = null
       var e = identity.clone()
       it.map { r =>
-        val k = keyIdx.map(r.get)
+        val k = keyOf(r)
         // clone: broadcast values are SHARED across tasks in one executor
         // JVM — mutating them in place would corrupt other partitions' reads
         if (cur == null || k != cur) { cur = k; e = bc.value((pid, k)).clone() }
@@ -158,6 +159,7 @@ object Moving {
     val all = keys.map(col) ++ order
     val hashed = df.repartition(parts, keys.map(col): _*).sortWithinPartitions(all: _*)
     val keyIdx = keys.map(hashed.schema.fieldIndex)
+    val keyOf = graft.series.Series.rowKey(keyIdx) _
     val outRdd = hashed.rdd.mapPartitions { it =>
       var cur: Seq[Any] = null
       // clone at every key reset: `op` may mutate its accumulator argument
@@ -165,7 +167,7 @@ object Moving {
       // the shared identity array would corrupt it for every later key
       var acc = identity.clone()
       it.map { r =>
-        val k = keyIdx.map(r.get)
+        val k = keyOf(r)
         if (cur == null || k != cur) { cur = k; acc = identity.clone() }
         acc = op(acc, inject(r))
         Row.fromSeq(r.toSeq ++ acc.toSeq)
@@ -190,11 +192,12 @@ object Moving {
     val all = keys.map(col) :+ col("pos")
     val hashed = df.repartition(parts, keys.map(col): _*).sortWithinPartitions(all: _*)
     val keyIdx = keys.map(hashed.schema.fieldIndex)
+    val keyOf = graft.series.Series.rowKey(keyIdx) _
     val outRdd = hashed.rdd.mapPartitions { it =>
       var cur: Seq[Any] = null
       var e = 0.0
       it.map { r =>
-        val k = keyIdx.map(r.get)
+        val k = keyOf(r)
         if (cur == null || k != cur) { cur = k; e = seed(r) }
         val before = e
         val (ca, cb) = coef(r)
@@ -370,6 +373,7 @@ object Moving {
     val all = keys.map(col) :+ col("pos")
     val ranged = df.repartitionByRange(parts, all: _*).sortWithinPartitions(all: _*)
     val keyIdx = keys.map(ranged.schema.fieldIndex)
+    val keyOf = graft.series.Series.rowKey(keyIdx) _
     val rdd = ranged.rdd
     // Pass 1: per (partition, key) composed map (A, B) + the chunk's seed
     // (the key's overall seed is its first chunk's).
@@ -380,7 +384,7 @@ object Moving {
         var cur: Seq[Any] = null
         var a = 1.0; var b = 0.0; var s = 0.0; var any = false
         it.foreach { r =>
-          val k = keyIdx.map(r.get)
+          val k = keyOf(r)
           if (!any || k != cur) {
             if (any) buf += ((pid, cur, a, b, s))
             cur = k; a = 1.0; b = 0.0; s = seed(r); any = true
@@ -408,7 +412,7 @@ object Moving {
       var cur: Seq[Any] = null
       var e = 0.0
       it.map { r =>
-        val k = keyIdx.map(r.get)
+        val k = keyOf(r)
         if (cur == null || k != cur) { cur = k; e = bc.value((pid, k)) }
         val before = e
         val (ca, cb) = coef(r)

@@ -99,4 +99,82 @@ class SeriesSpec extends AnyFunSuite {
     val g = Series.gather(quote, pos, Seq("sym"))
     assert(g.select("vol").as[Long].collect().toSet == Set(400L, 500L, 600L, 700L))
   }
+
+  test("gather preserves position multiplicity (cs_map gathers per occurrence)") {
+    val pos = quote.filter(col("sym") === "IBM" && col("pos") === 2)
+      .select(col("sym"), col("pos"))
+    val twice = pos.unionByName(pos)
+    val g = Series.gather(quote, twice, Seq("sym"))
+    assert(g.count() == 2, "a position listed twice gathers its element twice")
+  }
+
+  test("negative span/tail count from the end of NON-dense series (ordinal space)") {
+    // thin IBM to pos {0,2,4}: 'last two' must be pos {2,4}, not a
+    // label-space window that misses or empties
+    val thinned = Series.thin(quote.filter(col("sym") === "IBM"), 0, 2)
+    val t = Series.tail(thinned, Seq("sym"), 2)
+    assert(posOf(t, "IBM") == Seq(2L, 4L))
+    // a slice whose labels start at 1: last 1 is the max-pos row
+    val sliced = quote.filter(col("sym") === "IBM" && col("pos") >= 1)
+    assert(posOf(Series.tail(sliced, Seq("sym"), 1), "IBM") == Seq(4L))
+    // keyless path agrees
+    val keyless = Series.tail(thinned.drop("sym"), Seq(), 2)
+    assert(keyless.orderBy("pos").select("pos").as[Long].collect().toSeq == Seq(2L, 4L))
+    // mixed bounds: pos-label lower bound, ordinal upper bound
+    val m = Series.span(thinned, Seq("sym"), 2, -2)
+    assert(posOf(m, "IBM") == Seq(2L))
+  }
+
+  test("tail(n <= 0) selects nothing; repeat(n <= 0) is rejected") {
+    assert(Series.tail(quote, Seq("sym"), 0).count() == 0)
+    intercept[IllegalArgumentException] { Series.repeat(quote, 0) }
+    intercept[IllegalArgumentException] { Series.repeat(quote, -1) }
+  }
+
+  test("concat offsets by max(pos)+1, keeping pos unique for NON-dense a") {
+    val a = Series.thin(quote.filter(col("sym") === "IBM"), 0, 2) // pos 0,2,4
+    val b = quote.filter(col("sym") === "ABB").withColumn("sym", lit("IBM")) // pos 0,1
+    val c = Series.concat(a, b, Seq("sym"))
+    val ps = posOf(c, "IBM")
+    assert(ps == Seq(0L, 2L, 4L, 5L, 6L), s"got $ps")
+    assert(ps.distinct.size == ps.size, "pos must stay unique after concat")
+    // keyless path agrees
+    val ck = Series.concat(a.drop("sym"), b.drop("sym"), Seq())
+    assert(ck.orderBy("pos").select("pos").as[Long].collect().toSeq ==
+      Seq(0L, 2L, 4L, 5L, 6L))
+  }
+
+  test("span/tail and concat keep NULL-key groups (null-safe key joins)") {
+    val df = Series.attachPos(
+      Seq((Some("k"), 1), (Some("k"), 2), (None: Option[String], 1),
+        (None: Option[String], 2), (None: Option[String], 3)).toDF("sym", "day"),
+      Seq("sym"), Seq(col("day")))
+    val t = Series.tail(df, Seq("sym"), 1)
+    assert(t.count() == 2, "one tail row per group INCLUDING the null key")
+    assert(t.filter(col("sym").isNull).select("day").as[Int].collect().toSeq == Seq(3))
+    val c = Series.concat(df, df, Seq("sym"))
+    val nullPos = c.filter(col("sym").isNull).orderBy("pos")
+      .select("pos").as[Long].collect().toSeq
+    assert(nullPos == Seq(0L, 1L, 2L, 3L, 4L, 5L), s"got $nullPos")
+  }
+
+  test("uniqueAdjacent collapses NULL runs and guards working names") {
+    val df = Series.attachPos(
+      Seq((1, Some("a")), (2, None), (3, None), (4, Some("a"))).toDF("t", "v"),
+      Seq(), Seq(col("t")))
+    val u = Series.uniqueAdjacent(df, Seq(), "v").orderBy("pos")
+      .select("v").collect().map(r => Option(r.getString(0))).toSeq
+    assert(u == Seq(Some("a"), None, Some("a")), s"got $u")
+    val keyed = Series.uniqueAdjacent(df.withColumn("k", lit(1)), Seq("k"), "v")
+      .orderBy("pos").select("v").collect().map(r => Option(r.getString(0))).toSeq
+    assert(keyed == u)
+  }
+
+  test("binary-typed keys number correctly through the ranged scan") {
+    val df = Seq((Array[Byte](1, 2), 10), (Array[Byte](1, 2), 20),
+      (Array[Byte](3), 30)).toDF("k", "t")
+    val posed = Series.attachPosRanged(df, Seq("k"), Seq(col("t")))
+    val byKey = posed.orderBy("t").select("pos").as[Long].collect().toSeq
+    assert(byKey == Seq(0L, 1L, 0L), "same binary key = same run, numbered 0,1")
+  }
 }
