@@ -19,28 +19,39 @@ object Aggs {
   /** Product aggregate — cs_prd (func.c:1423-1473). No Spark built-in.
     * Implemented as a typed Aggregator (associative, partial-merge friendly,
     * so it parallelizes exactly like sum). Zero handling: any zero factor
-    * short-circuits the product to 0; signs multiply through.
+    * short-circuits the product to 0; signs multiply through. NULL inputs
+    * are skipped and an empty/all-null input yields NULL — standard SQL
+    * aggregate semantics, matching the codegen'd [[CsProdAgg]] SQL form
+    * (a primitive-Double input encoder would crash decoding a NULL).
     */
-  val product: Aggregator[Double, Double, Double] =
-    new Aggregator[Double, Double, Double] {
-      def zero: Double = 1.0
-      def reduce(b: Double, a: Double): Double = b * a
-      def merge(b1: Double, b2: Double): Double = b1 * b2
-      def finish(r: Double): Double = r
-      def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
-      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  val product: Aggregator[java.lang.Double, (Double, Boolean), java.lang.Double] =
+    new Aggregator[java.lang.Double, (Double, Boolean), java.lang.Double] {
+      def zero: (Double, Boolean) = (1.0, false)
+      def reduce(b: (Double, Boolean), a: java.lang.Double): (Double, Boolean) =
+        if (a == null) b else (b._1 * a.doubleValue(), true)
+      def merge(b1: (Double, Boolean), b2: (Double, Boolean)): (Double, Boolean) =
+        (b1._1 * b2._1, b1._2 || b2._2)
+      def finish(r: (Double, Boolean)): java.lang.Double =
+        if (r._2) java.lang.Double.valueOf(r._1) else null
+      def bufferEncoder: Encoder[(Double, Boolean)] =
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaBoolean)
+      def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
     }
 
   /** Product as a Column over a DoubleType column. */
-  def prd(c: String): Column = udaf(product).apply(col(c).cast("double"))
+  def prd(c: String): Column =
+    udaf(product, Encoders.DOUBLE).apply(col(c).cast("double"))
 
   /** Weighted sum Σxy — cs_wsum (func.c:1502-1575). */
   def wsum(x: Column, y: Column): Column = sum(x * y)
 
   /** Weighted average Σxy/Σx — cs_wavg (func.c:1502-1575); this is VWAP
     * when x=volume, y=price (user_guide.html "Performance comparison").
+    * A row whose VALUE is NULL contributes to neither side: its product is
+    * skipped by `sum`, and its weight must not deflate the denominator.
     */
-  def wavg(x: Column, y: Column): Column = sum(x * y) / sum(x)
+  def wavg(x: Column, y: Column): Column =
+    sum(x * y) / sum(when(y.isNotNull, x))
 
   /** Population variance with the reference's naive Σx² formula
     * (func.c:1475-1491): (Σx² − (Σx)²/n)/n. Spark's var_pop uses Welford;
@@ -93,8 +104,10 @@ object Aggs {
     */
   def quantileRollup(df: DataFrame, bucketKeys: Seq[String],
                      value: String): DataFrame =
+    // call_function, not expr-string splicing: a column name containing a
+    // backtick must resolve, not parse
     df.groupBy(bucketKeys.map(col): _*)
-      .agg(expr(s"kll_sketch_agg_double(`$value`)").as("q_sketch"))
+      .agg(call_function("kll_sketch_agg_double", col(value)).as("q_sketch"))
 
   /** Merge pre-built bucket quantile sketches up to `groupKeys` and read
     * the `q` quantile.
@@ -107,7 +120,8 @@ object Aggs {
       else sketches.groupBy(groupKeys.map(col): _*)
         .agg(expr("kll_merge_agg_double(q_sketch)").as("__m"))
     merged
-      .withColumn("approx_q", expr(s"kll_sketch_get_quantile_double(__m, $q)"))
+      .withColumn("approx_q",
+        call_function("kll_sketch_get_quantile_double", col("__m"), lit(q)))
       .drop("__m")
   }
 
@@ -123,7 +137,7 @@ object Aggs {
     */
   def thetaRollup(df: DataFrame, bucketKeys: Seq[String], value: String): DataFrame =
     df.groupBy(bucketKeys.map(col): _*)
-      .agg(expr(s"theta_sketch_agg(`$value`)").as("t_sketch"))
+      .agg(call_function("theta_sketch_agg", col(value)).as("t_sketch"))
 
   /** |buckets(a) ∩ buckets(b)| estimate from a theta rollup: union each
     * side's buckets, intersect the two results. `sideCol` picks the side
@@ -139,11 +153,19 @@ object Aggs {
       .agg(
         expr("theta_union_agg(__sa)").as("__a"),
         expr("theta_union_agg(__sb)").as("__b"))
+      // an EMPTY side unions to a NULL sketch, which would propagate NULL
+      // through every estimate; the correct empty-set counts are 0 (and
+      // n_a when b is the empty side of the difference)
       .select(
-        expr("theta_sketch_estimate(__a)").as("n_a"),
-        expr("theta_sketch_estimate(__b)").as("n_b"),
-        expr("theta_sketch_estimate(theta_intersection(__a, __b))").as("n_both"),
-        expr("theta_sketch_estimate(theta_difference(__a, __b))").as("n_a_only"))
+        coalesce(expr("theta_sketch_estimate(__a)"), lit(0L)).as("n_a"),
+        coalesce(expr("theta_sketch_estimate(__b)"), lit(0L)).as("n_b"),
+        when(col("__a").isNull || col("__b").isNull, lit(0L))
+          .otherwise(expr("theta_sketch_estimate(theta_intersection(__a, __b))"))
+          .as("n_both"),
+        when(col("__a").isNull, lit(0L))
+          .when(col("__b").isNull, expr("theta_sketch_estimate(__a)"))
+          .otherwise(expr("theta_sketch_estimate(theta_difference(__a, __b))"))
+          .as("n_a_only"))
 
   /** Per-group distinct-with-threshold count — cs_hash_dup_count
     * (func.c:5750-6215): for each group, how many distinct values occur at
@@ -189,7 +211,10 @@ object Aggs {
     * predecessor.
     */
   def attachRunId(df: DataFrame, keys: Seq[String], groupVal: String,
-                  ordCol: Option[String], chgOut: Option[String]): DataFrame =
+                  ordCol: Option[String], chgOut: Option[String]): DataFrame = {
+    graft.window.Moving.guardNames(df.columns.toSeq,
+      Seq("run_id", "__chg", "__prev", "__run_d") ++ chgOut ++
+        (if (ordCol.isEmpty) Seq("__ord") else Nil), "attachRunId")
     if (keys.isEmpty) {
       // ordinal renumbering (gap-safe for non-dense pos) feeds the
       // predecessor join; the cumulative change-count is the affine scan
@@ -217,17 +242,20 @@ object Aggs {
       }
     } else {
       val w = Window.partitionBy(keys.map(col): _*).orderBy(col("pos"))
+      // the flag is DoubleType 1.0/0.0 on both paths so a chgOut consumer
+      // keeps working when the caller adds or removes keys
       val withRun = df.withColumn(
         "__chg",
         when(row_number().over(w) === 1 ||
-          !(lag(col(groupVal), 1).over(w) <=> col(groupVal)), 1L).otherwise(0L))
+          !(lag(col(groupVal), 1).over(w) <=> col(groupVal)), 1.0).otherwise(0.0))
         .withColumn("run_id", sum(col("__chg")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
       chgOut match {
         case Some(c) => withRun.withColumnRenamed("__chg", c)
         case None    => withRun.drop("__chg")
       }
     }
+  }
 
   /** Run-group aggregate — cs_group_count/max/min/sum/avg/var/dev/first/
     * last/any/all/approxdc (func.c:1985-2092, group_approxdc
@@ -237,6 +265,9 @@ object Aggs {
     */
   def groupAgg(df: DataFrame, keys: Seq[String], groupVal: String, value: String,
                intVal: Option[String] = None): DataFrame = {
+    graft.window.Moving.guardNames(df.columns.toSeq,
+      Seq("group_val", "grp_count", "grp_sum", "grp_min", "grp_max", "grp_var",
+        "grp_first", "grp_last", "grp_avg", "grp_dev", "__nv"), "groupAgg")
     val withRun = attachRunId(df, keys, groupVal)
     val grp = (keys :+ "run_id").map(col)
     // avg/dev derived in the projection — see gridAgg's note
@@ -265,26 +296,55 @@ object Aggs {
 
   /** Windowed run-group aggregate — cs_win_group_* (func.c:6594-6790):
     * same run semantics but length-preserving — every member of the run
-    * carries the run's aggregate. Window.partitionBy(run) is exactly this.
+    * carries the run's aggregate.
+    *
+    * Keyed: Window.partitionBy(keys, run) — one shuffle, parallel across
+    * (key, run) groups. Keyless: partitioning a window by run_id ALONE
+    * would funnel a long run (a regime flag with three runs over a
+    * billion rows) into one task — the exact single-task magnet the
+    * keyless machinery exists to avoid — so the run aggregates are
+    * computed with a hash aggregate (map-side partials collapse long runs
+    * BEFORE the shuffle) and joined back; the run-aggregate side is one
+    * row per run, so AQE broadcasts it when it fits.
     */
   def winGroupAgg(df: DataFrame, keys: Seq[String], groupVal: String, value: String,
                   intVal: Option[String] = None): DataFrame = {
+    val wgNames = Seq("wg_sum", "wg_min", "wg_max", "wg_avg", "wg_count",
+      "wg_var", "wg_dev", "wg_first", "wg_last") ++
+      intVal.toSeq.flatMap(_ => Seq("wg_all", "wg_any"))
+    graft.window.Moving.guardNames(df.columns.toSeq, wgNames, "winGroupAgg")
     val withRun = attachRunId(df, keys, groupVal)
-    val w = Window.partitionBy((keys :+ "run_id").map(col): _*)
-    val base = withRun
-      .withColumn("wg_sum", sum(col(value)).over(w))
-      .withColumn("wg_min", min(col(value)).over(w))
-      .withColumn("wg_max", max(col(value)).over(w))
-      .withColumn("wg_avg", avg(col(value)).over(w))
-      .withColumn("wg_count", count(lit(1)).over(w))
-      .withColumn("wg_var", var_pop(col(value)).over(w))
-      // sqrt of the var column, not a second windowed Welford buffer
-      .withColumn("wg_dev", sqrt(col("wg_var")))
-      .withColumn("wg_first", min_by(col(value), col("pos")).over(w))
-      .withColumn("wg_last", max_by(col(value), col("pos")).over(w))
-    intVal.fold(base) { iv =>
-      base.withColumn("wg_all", bit_and(col(iv)).over(w))
-        .withColumn("wg_any", bit_or(col(iv)).over(w))
+    if (keys.isEmpty) {
+      val aggCols = Seq(
+        sum(col(value)).as("wg_sum"), min(col(value)).as("wg_min"),
+        max(col(value)).as("wg_max"), avg(col(value)).as("wg_avg"),
+        count(lit(1)).as("wg_count"), var_pop(col(value)).as("wg_var"),
+        min_by(col(value), col("pos")).as("wg_first"),
+        max_by(col(value), col("pos")).as("wg_last")) ++
+        intVal.toSeq.flatMap(iv =>
+          Seq(bit_and(col(iv)).as("wg_all"), bit_or(col(iv)).as("wg_any")))
+      val runAggs = withRun.groupBy(col("run_id"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("wg_dev", sqrt(col("wg_var")))
+      withRun.join(runAggs, Seq("run_id"), "left")
+        .select((withRun.columns.toSeq ++ wgNames).map(col): _*)
+    } else {
+      val w = Window.partitionBy((keys :+ "run_id").map(col): _*)
+      val base = withRun
+        .withColumn("wg_sum", sum(col(value)).over(w))
+        .withColumn("wg_min", min(col(value)).over(w))
+        .withColumn("wg_max", max(col(value)).over(w))
+        .withColumn("wg_avg", avg(col(value)).over(w))
+        .withColumn("wg_count", count(lit(1)).over(w))
+        .withColumn("wg_var", var_pop(col(value)).over(w))
+        // sqrt of the var column, not a second windowed Welford buffer
+        .withColumn("wg_dev", sqrt(col("wg_var")))
+        .withColumn("wg_first", min_by(col(value), col("pos")).over(w))
+        .withColumn("wg_last", max_by(col(value), col("pos")).over(w))
+      intVal.fold(base) { iv =>
+        base.withColumn("wg_all", bit_and(col(iv)).over(w))
+          .withColumn("wg_any", bit_or(col(iv)).over(w))
+      }
     }
   }
 
@@ -292,6 +352,9 @@ object Aggs {
     * (func.c:2170-2266): buckets of `step` consecutive elements.
     */
   def gridAgg(df: DataFrame, keys: Seq[String], value: String, step: Long): DataFrame = {
+    // step = 0 would be pos/0 = NULL under non-ANSI division: every row
+    // in one NULL bucket, silently
+    require(step > 0, s"grid step must be positive, got $step")
     val grp = (keys.map(col) :+ floor(col("pos") / step).as("grid"))
     // avg and dev are DERIVED in the projection (sum/count(value) and
     // sqrt(var) — the exact formulas the dedicated aggregates finalize
@@ -315,33 +378,58 @@ object Aggs {
     * Running frame per key. cum_prd via exp∘sum∘log is only valid for
     * positive values; the general path is the window-product below.
     */
-  def cumAgg(df: DataFrame, keys: Seq[String], value: String): DataFrame =
+  def cumAgg(df: DataFrame, keys: Seq[String], value: String): DataFrame = {
+    graft.window.Moving.guardNames(df.columns.toSeq,
+      Seq("cum_sum", "cum_avg", "cum_min", "cum_max", "cum_count",
+        "cum_var", "cum_dev"), "cumAgg")
     if (keys.isEmpty) {
-      // one monoid scan carries (Σx, Σx², min, max, count) — the count is a
-      // scan component, NOT pos+1, so sliced series with non-dense pos
-      // divide by the true running row count; var/dev use the reference's
-      // naive formula (func.c:1475-1491) — no whole-frame ordered window
+      // one monoid scan carries (Σx, Σx², min, max, rows, values, NaNs) —
+      // the row count is a scan component, NOT pos+1, so sliced series
+      // with non-dense pos divide by the true running count; var/dev use
+      // the reference's naive formula (func.c:1475-1491) — no whole-frame
+      // ordered window. NULL values are SKIPPED like the keyed path's SQL
+      // aggregates (all-NULL prefix → NULL stats, count still counts
+      // rows), and min follows Spark's NaN-above-everything order (NaN
+      // only when every value so far is NaN) while max reports NaN the
+      // moment one appears — exactly what the keyed window emits.
       val vIdx = df.schema.fieldIndex(value)
       val scanned = graft.window.Moving.monoidScanRanged(
-        df, Seq(), Seq("__s", "__ss", "__mn", "__mx", "__n"))(
-        Array(0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity, 0.0)) { r =>
-        val x = r.getAs[Number](vIdx).doubleValue()
-        Array(x, x * x, x, x, 1.0)
+        df, Seq(), Seq("__s", "__ss", "__mn", "__mx", "__n", "__nv", "__nan"))(
+        Array(0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity,
+          0.0, 0.0, 0.0)) { r =>
+        if (r.isNullAt(vIdx))
+          Array(0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity,
+            1.0, 0.0, 0.0)
+        else {
+          val x = r.getAs[Number](vIdx).doubleValue()
+          if (x.isNaN)
+            Array(x, x, Double.PositiveInfinity, Double.NegativeInfinity,
+              1.0, 1.0, 1.0)
+          else Array(x, x * x, x, x, 1.0, 1.0, 0.0)
+        }
       } { (a, b) =>
         Array(a(0) + b(0), a(1) + b(1), math.min(a(2), b(2)),
-          math.max(a(3), b(3)), a(4) + b(4))
+          math.max(a(3), b(3)), a(4) + b(4), a(5) + b(5), a(6) + b(6))
       }
-      val n = col("__n")
+      val nv = col("__nv")
+      val none = nv === 0.0
       scanned
-        .withColumn("cum_sum", col("__s"))
-        .withColumn("cum_avg", col("__s") / n)
-        .withColumn("cum_min", col("__mn"))
-        .withColumn("cum_max", col("__mx"))
+        .withColumn("cum_sum", when(!none, col("__s")))
+        .withColumn("cum_avg", when(!none, col("__s") / nv))
+        .withColumn("cum_min",
+          when(none, lit(null))
+            .when(col("__nan") === nv, lit(Double.NaN))
+            .otherwise(col("__mn")))
+        .withColumn("cum_max",
+          when(none, lit(null))
+            .when(col("__nan") > 0.0, lit(Double.NaN))
+            .otherwise(col("__mx")))
         .withColumn("cum_count", col("__n").cast("long"))
         .withColumn("cum_var",
-          greatest((col("__ss") - col("__s") * col("__s") / n) / n, lit(0.0)))
+          when(!none,
+            greatest((col("__ss") - col("__s") * col("__s") / nv) / nv, lit(0.0))))
         .withColumn("cum_dev", sqrt(col("cum_var")))
-        .drop("__s", "__ss", "__mn", "__mx", "__n")
+        .drop("__s", "__ss", "__mn", "__mx", "__n", "__nv", "__nan")
     } else {
       val w = Window.partitionBy(keys.map(col): _*)
         .orderBy(col("pos"))
@@ -355,6 +443,7 @@ object Aggs {
         // sqrt of the var column, not a second windowed Welford buffer
         .withColumn("cum_dev", sqrt(col("cum_var")))
     }
+  }
 
   /** Fixed-bin histogram — cs_histogram (func.c:4062-4133): counts of
     * values in n equal bins over [min, max); out-of-range values ignored.
@@ -362,6 +451,8 @@ object Aggs {
     * bin-merge.
     */
   def histogram(df: DataFrame, value: String, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0, s"histogram needs a positive bin count, got $bins")
+    require(hi > lo, s"histogram range [$lo, $hi) is empty")
     val width = (hi - lo) / bins
     // clamp: width is rounded, so x just below hi can land in phantom bin
     // `bins` (the reference's (x-lo)*n/(hi-lo) multiply-before-divide

@@ -136,6 +136,69 @@ class AggSpec extends AnyFunSuite {
     assert(r == Seq(1L, 2L))
   }
 
+  test("prd skips NULLs and yields NULL for an all-null input (SQL aggregate semantics)") {
+    val mixed = Seq(Some(2.0), None, Some(3.0)).toDF("x").agg(Aggs.prd("x")).head()
+    assert(mixed.getDouble(0) == 6.0)
+    val allNull = Seq[Option[Double]](None, None).toDF("x").agg(Aggs.prd("x")).head()
+    assert(allNull.isNullAt(0))
+  }
+
+  test("wavg excludes the weight of NULL-valued rows from the denominator") {
+    val df = Seq((100L, Some(10.0)), (50L, None: Option[Double])).toDF("w", "v")
+    val r = df.agg(Aggs.wavg(col("w"), col("v"))).head().getDouble(0)
+    assert(r == 10.0, s"a NULL price must not deflate VWAP, got $r")
+  }
+
+  test("keyless cumAgg matches the keyed window on NULL and NaN values") {
+    val base = Seq((0L, Some(5.0)), (1L, None), (2L, Some(Double.NaN)),
+      (3L, Some(3.0))).toDF("pos", "v")
+    val cols = Seq("cum_sum", "cum_avg", "cum_min", "cum_max", "cum_count")
+    def render(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      df.orderBy("pos").select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf)).toSeq
+    val keyless = render(Aggs.cumAgg(base, Seq(), "v"))
+    val keyed = render(Aggs.cumAgg(base.withColumn("k", lit(1)), Seq("k"), "v"))
+    assert(keyless == keyed, s"keyless=$keyless keyed=$keyed")
+    // spot checks: NULL row keeps prior stats, counts ROWS; min survives
+    // the NaN (Spark orders NaN above everything), max reports it
+    assert(keyless(1) == Seq("5.0", "5.0", "5.0", "5.0", "2"))
+    assert(keyless(2)(2) == "5.0" && keyless(2)(3) == "NaN")
+    // all-NULL prefix yields NULL stats with a live row count
+    val headNull = Aggs.cumAgg(Seq((0L, None: Option[Double])).toDF("pos", "v"),
+      Seq(), "v").select("cum_sum", "cum_count").head()
+    assert(headNull.isNullAt(0) && headNull.getLong(1) == 1L)
+  }
+
+  test("keyless winGroupAgg equals the keyed form without a per-run window shuffle") {
+    val base = Seq((0L, "a", 1.0), (1L, "a", 3.0), (2L, "b", 5.0), (3L, "a", 7.0))
+      .toDF("pos", "g", "v")
+    val outCols = Seq("pos", "wg_sum", "wg_min", "wg_max", "wg_avg",
+      "wg_count", "wg_var", "wg_dev", "wg_first", "wg_last")
+    val keyless = Aggs.winGroupAgg(base, Seq(), "g", "v").orderBy("pos")
+      .select(outCols.map(col): _*).collect().map(_.toSeq).toSeq
+    val keyed = Aggs.winGroupAgg(base.withColumn("k", lit(1)), Seq("k"), "g", "v")
+      .orderBy("pos").select(outCols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(keyless == keyed)
+    assert(keyless.head(1) == 4.0) // run {1.0, 3.0}: wg_sum
+  }
+
+  test("thetaOverlap: an empty side estimates 0, not NULL") {
+    val df = Seq(("x", "u1"), ("x", "u2")).toDF("side", "u")
+    val sk = Aggs.thetaRollup(df, Seq("side"), "u")
+    val r = Aggs.thetaOverlap(sk, "side", "x", "zzz").head()
+    assert(r.getLong(0) == 2L, "n_a")
+    assert(r.getLong(1) == 0L, "n_b: empty side is 0, not NULL")
+    assert(r.getLong(2) == 0L, "n_both")
+    assert(r.getLong(3) == 2L, "n_a_only = n_a when b is empty")
+  }
+
+  test("histogram and gridAgg validate their knobs") {
+    val df = Seq((0L, 1.0)).toDF("pos", "v")
+    intercept[IllegalArgumentException] { Aggs.histogram(df, "v", 0.0, 10.0, 0) }
+    intercept[IllegalArgumentException] { Aggs.histogram(df, "v", 10.0, 10.0, 4) }
+    intercept[IllegalArgumentException] { Aggs.gridAgg(df, Seq(), "v", 0) }
+  }
+
   test("attachRunId ties consecutive NULL group values into one run, both paths") {
     val base = Seq((0L, Some("a")), (1L, None), (2L, None), (3L, Some("a")))
       .toDF("pos", "g")
