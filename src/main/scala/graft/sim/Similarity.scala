@@ -48,8 +48,11 @@ object Similarity {
                  query: Seq[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
     val v = col(vec)
-    val cos = dotFused(df, v, q) /
-      (sqrt(dotFused(df, v, v)) * sqrt(dotFused(df, q, q)))
+    // a zero-norm vector (padding row, failed embed) has no direction:
+    // 0/0 would be NaN, which Spark sorts ABOVE 1.0 and would capture a
+    // top-k slot — NULL instead, which descending order puts last
+    val denom = sqrt(dotFused(df, v, v)) * sqrt(dotFused(df, q, q))
+    val cos = when(denom > 0, dotFused(df, v, q) / denom)
     df.select(col(id), cos.cast("float").as("cosine"))
       .orderBy(col("cosine").desc, col(id).asc)
       .limit(k)
@@ -61,10 +64,20 @@ object Similarity {
     */
   def topKCosineJoin(corpus: DataFrame, queries: DataFrame, id: String,
                      vec: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
-    val scored = corpus.select(col(id), col(vec).as("cv"))
+    // norms computed ONCE per side before the join — inside cosine() each
+    // of the n·q pairs would recompute both O(dim) norms (the Dedup
+    // cosinePairsBucketed pattern); zero-norm rows score NULL (sorted
+    // last), not NaN (sorted first)
+    val q = broadcast(queries
+      .select(col(id).as("query_id"), col(vec).cast("array<double>").as("qv"))
+      .withColumn("__qn", l2norm(col("qv"))))
+    val scored = corpus
+      .select(col(id), col(vec).cast("array<double>").as("cv"))
+      .withColumn("__cn", l2norm(col("cv")))
       .join(q, col("query_id") =!= col(id))
-      .withColumn("cosine", cosine(col("cv").cast("array<double>"), col("qv").cast("array<double>")))
+      .withColumn("cosine",
+        when(col("__cn") * col("__qn") > 0,
+          dot(col("cv"), col("qv")) / (col("__cn") * col("__qn"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(id).asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -79,30 +92,41 @@ object Similarity {
     * is constant across centroids), correct for unnormalized embeddings
     * where max-dot-product is not.
     */
-  def ivfAssign(df: DataFrame, vec: String, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
-    require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
-    if (centroids.size == 1)
-      df.withColumn("centroid_id", lit(centroids.head._1))
-    else {
-      val scored = centroids.map { case (cid, c) =>
-        val cc = array(c.map(lit): _*)
-        val cNormSq = c.map(x => x * x).sum
-        struct((dot(col(vec).cast("array<double>"), cc) * 2.0 - cNormSq)
-          .as("score"), lit(cid).as("cid"))
-      }
-      df.withColumn("centroid_id", greatest(scored: _*).getField("cid"))
-    }
+  /** argmax-by-L2 centroid id for `sub` over a broadcast codebook — the
+    * shared scoring of [[ivfAssign]] and [[pqEncode]]: 2·v·c − |c|² is
+    * argmax-equivalent to −‖v−c‖² (|v|² is constant across centroids),
+    * correct for unnormalized embeddings where max-dot-product is not.
+    * One typedLit literal per centroid (not O(dim) expression nodes), and
+    * a single-entry codebook short-circuits (Spark's `greatest` needs two
+    * arguments).
+    */
+  private def nearestCid(sub: Column, cb: Seq[(Int, Seq[Double])]): Column = {
+    require(cb.nonEmpty, "nearest-centroid scoring needs at least one centroid")
+    if (cb.size == 1) lit(cb.head._1)
+    else greatest(cb.map { case (cid, c) =>
+      val cNormSq = c.map(x => x * x).sum
+      struct((dot(sub, typedLit(c)) * 2.0 - cNormSq).as("score"),
+        lit(cid).as("cid"))
+    }: _*).getField("cid")
   }
 
+  def ivfAssign(df: DataFrame, vec: String, centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    df.withColumn("centroid_id",
+      nearestCid(col(vec).cast("array<double>"), centroids))
+
   /** ANN query via IVF: scan only the `nProbe` centroids closest to the
-    * query vector, then brute-force within them.
+    * query vector, then brute-force within them. Probe ranking uses the
+    * SAME L2-equivalent score as [[ivfAssign]] (2·q·c − |c|²) — ranking
+    * by raw dot would favor long centroids over near ones and probe the
+    * wrong partitions whenever centroid norms differ.
     */
   def ivfQuery(indexed: DataFrame, id: String, vec: String,
                centroids: Seq[(Int, Seq[Double])], query: Seq[Float],
                k: Int, nProbe: Int): DataFrame = {
     val qd = query.map(_.toDouble)
-    def sdot(c: Seq[Double]) = c.zip(qd).map { case (x, y) => x * y }.sum
-    val probe = centroids.sortBy { case (_, c) => -sdot(c) }.take(nProbe).map(_._1)
+    def l2Score(c: Seq[Double]) =
+      2.0 * c.zip(qd).map { case (x, y) => x * y }.sum - c.map(x => x * x).sum
+    val probe = centroids.sortBy { case (_, c) => -l2Score(c) }.take(nProbe).map(_._1)
     topKCosine(indexed.filter(col("centroid_id").isin(probe: _*)), id, vec, query, k)
   }
 
@@ -113,6 +137,11 @@ object Similarity {
     * (multi-table LSH: table t passes offset t*planes).
     */
   def rhpBucket(vec: Column, dim: Int, planes: Int, planeOffset: Int = 0): Column = {
+    // bucket bits live in one Long: plane 64 would wrap shiftleft back to
+    // bit 0 (Java shift semantics) and silently alias plane 0 — multi-
+    // table variants get more planes via planeOffset, not a wider bucket
+    require(planes >= 1 && planes <= 64,
+      s"rhpBucket packs its bits into one Long (1..64 planes), got $planes")
     val bits = (0 until planes).map { j =>
       // one literal weight array + one HOF dot per plane: a handful of
       // expression nodes instead of O(dim) — multi-table variants (128+
@@ -123,11 +152,19 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Deterministic pseudo-random plane weights in [-1, 1). */
+  /** Deterministic pseudo-random plane weights in (-1, 1). The plane and
+    * dimension indices are mixed through a splitmix-style finalizer — a
+    * linear `pIdx*K + d` key would make plane p's weights at dims ≥ K a
+    * shifted copy of plane p+1's (correlated hyperplanes break the LSH
+    * recall contract the moment dim exceeds the stride).
+    */
   def rhpWeights(pIdx: Int, dim: Int): Seq[Double] =
     (0 until dim).map { d =>
-      val h = ((1469598103934665603L * (pIdx * 1024 + d + 1)) ^ 0x9e3779b97f4a7c15L)
-      (h % 1000003L).toDouble / 1000003.0
+      var z = pIdx.toLong * 0x9E3779B97F4A7C15L + (d + 1).toLong * 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      (z % 1000003L).toDouble / 1000003.0
     }
 
   /** Product quantization codebooks: the vector splits into `m` equal
@@ -159,18 +196,12 @@ object Similarity {
     val dsub = codebooks.head.head._2.size
     val withCodes = codebooks.zipWithIndex.foldLeft(df) { case (d, (cb, s)) =>
       val sub = slice(col(vec).cast("array<double>"), s * dsub + 1, dsub)
-      val scored = cb.map { case (cid, c) =>
-        val cc = array(c.map(lit): _*)
-        val cNormSq = c.map(x => x * x).sum
-        struct((dot(sub, cc) * 2.0 - cNormSq).as("score"), lit(cid).as("cid"))
-      }
-      d.withColumn(s"__code_$s", greatest(scored: _*).getField("cid"))
+      d.withColumn(s"__code_$s", nearestCid(sub, cb))
     }
     val recon = concat(codebooks.zipWithIndex.map { case (cb, s) =>
       // code → centroid as ONE literal map (typedLit folds it to a single
       // Literal; a CreateMap of literals would rebuild the map per row)
-      element_at(typedLit(cb.toMap.map { case (cid, c) => cid -> c }),
-        col(s"__code_$s"))
+      element_at(typedLit(cb.toMap), col(s"__code_$s"))
     }: _*)
     withCodes.withColumn("__recon", recon)
       .drop((0 until m).map(s => s"__code_$s"): _*)

@@ -169,6 +169,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(hit.head().getLong(0) == 1L)
   }
 
+  test("ivfQuery probe ranking is L2-equivalent, not raw dot (unequal centroid norms)") {
+    // the LONG centroid (10,0) has the larger dot with q=(1,0) but is
+    // FARTHER from it; the vector near q is assigned to (1,0), so a
+    // dot-ranked probe at nProbe=1 would scan the wrong partition and
+    // return the wrong row
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(9.5f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(10.0, 0.0)))
+    val indexed = Similarity.ivfAssign(df, "embedding", cents)
+    assert(indexed.filter(col("vec_id") === 1L).head().getAs[Int]("centroid_id") == 0)
+    val hit = Similarity.ivfQuery(indexed, "vec_id", "embedding", cents,
+      Seq(1.0f, 0.0f), 1, 1)
+    assert(hit.head().getLong(0) == 1L,
+      "nProbe=1 must probe the L2-nearest centroid's partition")
+  }
+
+  test("zero-norm vectors rank last in cosine top-k, not first via NaN") {
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), (3L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.topKCosine(df, "vec_id", "embedding", Seq(1.0f, 0.0f), 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r.last == 2L, s"the zero vector must sort last, got $r")
+    val joined = Similarity.topKCosineJoin(df, df.filter(col("vec_id") === 1L),
+      "vec_id", "embedding", 2)
+      .orderBy(col("cosine").desc_nulls_last).collect()
+    assert(joined.head.getLong(1) == 3L, "real neighbor outranks the zero vector")
+  }
+
+  test("rhpBucket rejects plane counts that overflow its Long, single-entry codebooks work") {
+    intercept[IllegalArgumentException] {
+      Similarity.rhpBucket(col("embedding"), 4, 65)
+    }
+    // a 1-entry PQ codebook must not hit greatest()'s two-arg minimum
+    val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(df, "embedding", Seq(Seq((7, Seq(0.5, 0.5))),
+      Seq((3, Seq(1.0, 1.0)))))
+    assert(enc.select("__recon").head().getSeq[Double](0) == Seq(0.5, 0.5, 1.0, 1.0))
+  }
+
+  test("rhp planes stay uncorrelated past dim 1024 (no shifted-copy weights)") {
+    val w0 = Similarity.rhpWeights(0, 1536)
+    val w1 = Similarity.rhpWeights(1, 1536)
+    // with the old pIdx*1024+d key, w1's head equaled w0's tail
+    assert(w0.drop(1024).take(64) != w1.take(64))
+  }
+
   test("multimodal: metadata extraction and frame sampling over binary") {
     val bin = docs.select(col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("bytes"), lit("x").as("mime"))
