@@ -3011,13 +3011,16 @@ object SparkEntry {
          FROM events GROUP BY event_type""",
     "q_token_count" ->
       """SELECT doc_id,
-         len(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
          FROM documents""",
     "q_quality" ->
       """WITH s AS (SELECT doc_id,
            CAST(length(text) AS DOUBLE) AS nc,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS nw,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nwc,
+           CASE WHEN length(trim(text)) = 0 THEN 0.0
+                ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END AS nw,
            CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS np,
            CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nu,
            CAST(len(list_filter(
@@ -3027,13 +3030,13 @@ object SparkEntry {
              AS DOUBLE) AS ns
            FROM documents)
          SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
-           CAST((nc - (nw - 1)) / nw AS REAL) AS mean_word_len,
-           CAST(np / nc AS REAL) AS punct_ratio,
-           CAST(nu / nc AS REAL) AS upper_ratio,
-           CAST(ns / nw AS REAL) AS stopword_ratio,
+           CAST(CASE WHEN nw > 0 THEN nwc / nw END AS REAL) AS mean_word_len,
+           CAST(CASE WHEN nc > 0 THEN np / nc END AS REAL) AS punct_ratio,
+           CAST(CASE WHEN nc > 0 THEN nu / nc END AS REAL) AS upper_ratio,
+           CAST(CASE WHEN nw > 0 THEN ns / nw END AS REAL) AS stopword_ratio,
            CAST(CASE WHEN nw >= 5 THEN 4 ELSE 0 END
-              + CASE WHEN ns / nw >= 0.1 THEN 3 ELSE 0 END
-              + CASE WHEN np / nc <= 0.2 THEN 3 ELSE 0 END AS INT) AS quality_score
+              + CASE WHEN nw > 0 AND ns / nw >= 0.1 THEN 3 ELSE 0 END
+              + CASE WHEN nc > 0 AND np / nc <= 0.2 THEN 3 ELSE 0 END AS INT) AS quality_score
          FROM s""",
     "q_lang_id" -> langIdOracle,
     "q_jaccard" -> jaccardPairsOracle(8, 0.2, "doc_id < 200"),
@@ -3042,7 +3045,10 @@ object SparkEntry {
       s"""WITH pairs AS (${jaccardPairsOracle(7, 0.6, "doc_id < 200")})
          SELECT count(*) AS n_exact, true AS recall_ok FROM pairs""",
     "q_fingerprint" ->
-      s"SELECT doc_id, md5($normSql) AS fp FROM documents",
+      s"""SELECT doc_id,
+         CASE WHEN length($normSql) > 0 THEN md5($normSql)
+              ELSE md5(text) END AS fp
+         FROM documents""",
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
            FROM documents),
@@ -3080,7 +3086,7 @@ object SparkEntry {
          rates AS (SELECT source, (c.c * sw / n) AS rate FROM counts, c)
          SELECT i.doc_id, i.source
          FROM i JOIN rates r USING (source)
-         WHERE CAST(('0x' || substring(md5(i.text), 1, 4)) AS INTEGER)
+         WHERE CAST(('0x' || substring(md5(i.text || 'gmix'), 1, 4)) AS INTEGER)
              < floor(r.rate * 65536 + 1e-9)""",
     "q_redact" -> redactOracle,
     "q_chunk" ->
@@ -3343,7 +3349,7 @@ object SparkEntry {
   private lazy val langIdOracle: String = {
     val langs = TextOps.langMarkers.keys.toSeq.sorted
     def hits(lang: String): String = {
-      val words = TextOps.langMarkers(lang).map(m => s"'${m.trim}'").mkString(", ")
+      val words = TextOps.langMarkers(lang).map(m => s"'$m'").mkString(", ")
       s"len(list_filter(p, x -> list_contains([$words], x)))"
     }
     val hcols = langs.map(l => s"(${hits(l)}) AS h_$l").mkString(", ")
@@ -3371,17 +3377,20 @@ object SparkEntry {
   /** q_redact oracle generated from TextOps.piiPatterns so the DuckDB
     * replay can never drift from the Spark patterns (both engines run
     * RE2-compatible syntax; Spark's regexp_replace is global, DuckDB
-    * needs the 'g' flag). Counts are over the ORIGINAL text; the chain
-    * applies in declaration order like the Scala foldLeft.
+    * needs the 'g' flag). Each kind counts over the text AFTER the
+    * earlier patterns replaced theirs — matching redactPii's sequential
+    * fold, so counts always equal the placeholders actually emitted.
     */
   private def redactOracle: String = {
     // standard SQL string literals: backslash is literal, only quotes escape
     def q(s: String) = s.replace("'", "''")
-    val chain = graft.text.TextOps.piiPatterns.foldLeft("text") {
+    val prefixes = graft.text.TextOps.piiPatterns.scanLeft("text") {
       case (acc, (_, pat, tok)) => s"regexp_replace($acc, '${q(pat)}', '$tok', 'g')"
     }
-    val counts = graft.text.TextOps.piiPatterns.map { case (kind, pat, _) =>
-      s"len(regexp_extract_all(text, '${q(pat)}')) AS n_$kind"
+    val chain = prefixes.last
+    val counts = graft.text.TextOps.piiPatterns.zip(prefixes.init).map {
+      case ((kind, pat, _), base) =>
+        s"len(regexp_extract_all($base, '${q(pat)}')) AS n_$kind"
     }.mkString(", ")
     s"SELECT doc_id, $counts, md5($chain) AS red_fp FROM documents"
   }

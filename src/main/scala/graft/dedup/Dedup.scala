@@ -27,10 +27,10 @@ object Dedup {
     * multilingual corpus). Those fall back to the RAW text hash: byte-
     * identical docs still dedup, distinct ones never merge.
     */
-  private def dedupKey(text: String): Column = {
-    val norm = TextOps.normalizedText(col(text))
-    when(length(norm) === 0, xxhash64(col(text))).otherwise(xxhash64(norm))
-  }
+  private def dedupKey(text: String): Column =
+    // the guard now lives inside TextOps.fingerprint itself, so the
+    // streaming dedup sinks and the cs_fingerprint SQL surface share it
+    TextOps.fingerprint(col(text))
 
   /** Exact duplicate groups by normalized-content hash: keeps the lowest id
     * as canonical and lists duplicate count per group.

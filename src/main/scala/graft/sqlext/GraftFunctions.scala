@@ -75,8 +75,13 @@ object GraftFunctions {
       "cs_iif(cond, a, b) - element-wise conditional (func.c:2457-2558)"),
     ("cs_hamming", (c: Seq[Expression]) => BitwiseCount(BitwiseXor(c(0), c(1))),
       "cs_hamming(a, b) - bit distance between 64-bit fingerprints"),
-    ("cs_fingerprint", (c: Seq[Expression]) => new XxHash64(Seq(norm(c(0)))),
-      "cs_fingerprint(text) - xxhash64 of normalized text"),
+    // empty normalization (non-Latin-only text) falls back to the raw
+    // text so distinct documents never share a fingerprint — same guard
+    // as TextOps.fingerprint
+    ("cs_fingerprint", (c: Seq[Expression]) =>
+      If(GreaterThan(Length(norm(c(0))), Literal(0)),
+        new XxHash64(Seq(norm(c(0)))), new XxHash64(Seq(c(0)))),
+      "cs_fingerprint(text) - xxhash64 of normalized text (raw when normalization is empty)"),
     ("cs_norm_text", (c: Seq[Expression]) => norm(c(0)),
       "cs_norm_text(text) - lowercase, non-alnum runs collapsed"),
     ("cs_dot", (c: Seq[Expression]) => ArrayDot(c(0), c(1)),
@@ -86,11 +91,16 @@ object GraftFunctions {
         Multiply(Sqrt(ArrayDot(c(0), c(0))), Sqrt(ArrayDot(c(1), c(1))))),
       "cs_cosine(a, b) - cosine similarity over embedding arrays"),
     ("cs_token_count",
-      (c: Seq[Expression]) => Size(StringSplit(
-        StringTrim(c(0)), Literal("\\s+"), Literal(-1))),
-      "cs_token_count(text) - whitespace token count"),
-    ("cs_md5_fp", (c: Seq[Expression]) => Md5(Cast(norm(c(0)), BinaryType)),
-      "cs_md5_fp(text) - portable md5 fingerprint of normalized text"),
+      (c: Seq[Expression]) =>
+        // empty text counts 0 tokens (split("") yields [""]) — same rule
+        // as TextOps.tokenCountWs
+        If(EqualTo(Length(StringTrim(c(0))), Literal(0)), Literal(0),
+          Size(StringSplit(StringTrim(c(0)), Literal("\\s+"), Literal(-1)))),
+      "cs_token_count(text) - whitespace token count (0 for empty text)"),
+    ("cs_md5_fp", (c: Seq[Expression]) =>
+      If(GreaterThan(Length(norm(c(0))), Literal(0)),
+        Md5(Cast(norm(c(0)), BinaryType)), Md5(Cast(c(0), BinaryType))),
+      "cs_md5_fp(text) - portable md5 fingerprint of normalized text (raw when empty)"),
     ("cs_simhash", (c: Seq[Expression]) => SimHash64(c(0)),
       "cs_simhash(hashes) - 64-bit SimHash of a token-hash array (one-pass codegen)"),
 

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Empty/whitespace-only text counts 0 —
+    * `split("", "\\s+")` yields `[""]`, which would phantom-count 1.
+    */
   def tokenCountWs(text: Column): Column =
-    size(split(trim(text), "\\s+")).cast("long")
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
   /** BPE-ish token estimate: words plus standalone punctuation/digit
     * runs, the usual cheap proxy for subword token counts.
@@ -29,19 +32,29 @@ object TextOps {
     val t = col(text)
     val nChars = length(t).cast("double")
     val words = split(trim(t), "\\s+")
-    val nWords = size(words).cast("double")
+    // empty text: split yields [""], which would phantom-count one word;
+    // ratios over an empty doc are explicitly NULL on both engines rather
+    // than whatever each one's x/0 happens to be
+    val nWords = when(length(trim(t)) === 0, lit(0.0))
+      .otherwise(size(words).cast("double"))
     val stop = Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
     val lw = transform(words, w => lower(regexp_replace(w, "[^A-Za-z]", "")))
     val nStop = size(filter(lw, w => w.isInCollection(stop))).cast("double")
     df.withColumn("n_chars_c", nChars.cast("long"))
       .withColumn("n_words", nWords.cast("long"))
+      // mean chars per word, counting the WORD characters only — the
+      // (nChars − (nWords−1))/nWords form assumed exactly one separator
+      // per gap and no leading/trailing whitespace, inflating the value
+      // for newline/tab-heavy or padded text
       .withColumn("mean_word_len",
-        (nChars - (nWords - 1)) / nWords)
+        when(nWords > 0, length(regexp_replace(t, "\\s+", "")) / nWords))
       .withColumn("punct_ratio",
-        (nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))) / nChars)
+        when(nChars > 0,
+          (nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))) / nChars))
       .withColumn("upper_ratio",
-        (nChars - length(regexp_replace(t, "[A-Z]", ""))) / nChars)
-      .withColumn("stopword_ratio", nStop / nWords)
+        when(nChars > 0,
+          (nChars - length(regexp_replace(t, "[A-Z]", ""))) / nChars))
+      .withColumn("stopword_ratio", when(nWords > 0, nStop / nWords))
   }
 
   /** Composite quality score in 0..10 points — monotone blend of the
@@ -58,26 +71,21 @@ object TextOps {
     * returns the argmax language, "und" when nothing matches.
     */
   val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq(" the ", " and ", " is ", " of ", " to "),
-    "de" -> Seq(" der ", " die ", " und ", " ist ", " das "),
-    "fr" -> Seq(" le ", " la ", " et ", " est ", " les "),
-    "es" -> Seq(" el ", " la ", " es ", " los ", " una "))
-
-  /** Count non-overlapping occurrences of `pat` in `c` via length/replace —
-    * stays in codegen (no UDF).
-    */
-  def countOccurrences(c: Column, pat: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(pat), ""))) /
-      pat.length).cast("long")
+    "en" -> Seq("the", "and", "is", "of", "to"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "la", "es", "los", "una"))
 
   def langId(df: DataFrame, text: String, out: String = "lang_pred"): DataFrame = {
     // token-membership counting: ONE split pass + one small-set membership
     // filter per language, instead of 2 regex scans per marker (20 markers
     // = 40 full-text passes in the substring-count formulation). Same
     // argmax; marker hits are whitespace-token equalities.
+    graft.window.Moving.guardNames(df.columns.toSeq,
+      "__ltoks" +: langMarkers.keys.toSeq.sorted.map(l => s"__hits_$l"), "langId")
     val withToks = df.withColumn("__ltoks", split(lower(trim(col(text))), "\\s+"))
     val scored = langMarkers.toSeq.sortBy(_._1).foldLeft(withToks) { case (d, (lang, ms)) =>
-      val words = ms.map(_.trim)
+      val words = ms
       d.withColumn(s"__hits_$lang",
         size(filter(col("__ltoks"),
           t => words.map(w => t === lit(w)).reduce(_ || _))).cast("long"))
@@ -104,14 +112,28 @@ object TextOps {
   def normalizedText(text: Column): Column =
     lower(trim(regexp_replace(text, "[^A-Za-z0-9]+", " ")))
 
-  def fingerprint(text: Column): Column = xxhash64(normalizedText(text))
-
-  /** Cross-engine-checkable fingerprint: md5 hex of the normalized text.
-    * Same normalization pipeline as `fingerprint`; used where an external
-    * oracle (DuckDB md5) must reproduce the value bit-for-bit. The xxhash64
-    * variant stays the fast path (8-byte shuffle key vs 32-char string).
+  /** When the normalization is EMPTY (a CJK/Cyrillic/emoji-only document
+    * has no [A-Za-z0-9] to keep), every such document would collapse to
+    * fingerprint("") and a dedup consumer would silently merge distinct
+    * non-Latin texts — fall back to hashing the raw text. The guard lives
+    * HERE so every consumer (batch dedup, the streaming dedup sinks, the
+    * cs_fingerprint SQL surface) inherits it.
     */
-  def fingerprintPortable(text: Column): Column = md5(normalizedText(text))
+  def fingerprint(text: Column): Column = {
+    val norm = normalizedText(text)
+    when(length(norm) > 0, xxhash64(norm)).otherwise(xxhash64(text))
+  }
+
+  /** Cross-engine-checkable fingerprint: md5 hex of the normalized text
+    * (raw text when the normalization is empty — same guard as
+    * [[fingerprint]]). Used where an external oracle (DuckDB md5) must
+    * reproduce the value bit-for-bit. The xxhash64 variant stays the fast
+    * path (8-byte shuffle key vs 32-char string).
+    */
+  def fingerprintPortable(text: Column): Column = {
+    val norm = normalizedText(text)
+    when(length(norm) > 0, md5(norm)).otherwise(md5(text))
+  }
 
   /** Character shingles (n-grams) as a distinct set. Building block for
     * MinHash / Jaccard dedup.
@@ -223,7 +245,14 @@ object TextOps {
   }
 
   def repetitionSignals(df: DataFrame, text: String): DataFrame = {
-    val withToks = df.withColumn("__toks", split(trim(col(text)), "\\s+"))
+    graft.window.Moving.guardNames(df.columns.toSeq,
+      Seq("__toks", "__bg", "n_words", "n_distinct_words", "distinct_ratio",
+        "top_word_frac", "top_bigram_frac"), "repetitionSignals")
+    // empty text: split yields [""] — an empty doc must count 0 words
+    // (with NULL ratios), not look maximally repetitive
+    val withToks = df.withColumn("__toks",
+      when(length(trim(col(text))) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(col(text)), "\\s+")))
     val toks = col("__toks")
     // guard: sequence(1, 0) counts DOWN in Spark, so a 1-word doc would
     // index past the array — emit an empty bigram list instead
@@ -234,9 +263,10 @@ object TextOps {
     withToks
       .withColumn("n_words", size(toks).cast("long"))
       .withColumn("n_distinct_words", size(array_distinct(toks)).cast("long"))
-      .withColumn("distinct_ratio", col("n_distinct_words") / col("n_words"))
+      .withColumn("distinct_ratio",
+        when(col("n_words") > 0, col("n_distinct_words") / col("n_words")))
       .withColumn("top_word_frac",
-        maxRunInSorted(array_sort(toks)) / col("n_words"))
+        when(col("n_words") > 0, maxRunInSorted(array_sort(toks)) / col("n_words")))
       .withColumn("__bg", bigrams)
       .withColumn("top_bigram_frac",
         when(size(col("__bg")) > 0,
@@ -297,13 +327,21 @@ object TextOps {
     val w = weights.foldLeft(lit(null).cast("double")) { case (acc, (k, v)) =>
       when(col(source) === k, lit(v)).otherwise(acc)
     }
+    graft.window.Moving.guardNames(df.columns.toSeq,
+      Seq("__w", "__rate"), "mixtureSample")
     val in = df.withColumn("__w", w).filter(col("__w").isNotNull)
     val counts = in.groupBy(col(source))
       .agg(count(lit(1)).as("__n"), min(col("__w")).as("__sw"))
     val c = counts.agg(min(col("__n") / col("__sw")).as("__c"))
     val rates = counts.crossJoin(broadcast(c))
       .select(col(source), (col("__c") * col("__sw") / col("__n")).as("__rate"))
-    val u = conv(substring(md5(col(text)), 1, 4), 16, 10).cast("long")
+    // SALTED gate: stratifiedSample keys on a prefix of the SAME
+    // md5(text); composing the two on one pipeline would correlate the
+    // uniforms (the survivors of one gate all sit below the other's
+    // threshold) and silently distort the realized rates — the salt makes
+    // the two draws independent
+    val u = conv(substring(md5(concat(col(text), lit("gmix"))), 1, 4), 16, 10)
+      .cast("long")
     // +1e-9 before the floor: the binding source's rate is (n/w)*w/n,
     // which in IEEE doubles lands 1 ulp BELOW 1.0 for non-dyadic
     // weights — a bare floor would then drop the ~1/65536 of its rows
@@ -317,11 +355,18 @@ object TextOps {
   }
 
   def redactPii(df: DataFrame, text: String, out: String = "redacted"): DataFrame = {
-    val redacted = piiPatterns.foldLeft(col(text)) { case (c, (_, pat, tok)) =>
-      regexp_replace(c, pat, tok)
-    }
-    piiPatterns.foldLeft(df) { case (d, (kind, pat, _)) =>
-      d.withColumn(s"n_$kind", regexp_count(col(text), lit(pat)))
+    // each kind counts matches on the text AFTER the earlier patterns
+    // replaced theirs — counting on the ORIGINAL would report phantom
+    // PII the output never redacted (the digits inside an email's local
+    // part match the phone pattern, but the email placeholder consumed
+    // them), inflating per-kind redaction stats
+    val (redacted, counts) =
+      piiPatterns.foldLeft((col(text), Seq.empty[(String, Column)])) {
+        case ((c, acc), (kind, pat, tok)) =>
+          (regexp_replace(c, pat, tok), acc :+ (kind -> regexp_count(c, lit(pat))))
+      }
+    counts.foldLeft(df) { case (d, (kind, cnt)) =>
+      d.withColumn(s"n_$kind", cnt)
     }.withColumn(out, redacted)
   }
 }

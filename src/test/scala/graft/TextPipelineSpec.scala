@@ -137,4 +137,65 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(byLang("zh") == 200L)
     assert(byLang("en") > 0L && byLang("en") < 200L)
   }
+
+  test("fingerprint falls back to the raw text when normalization is empty") {
+    import graft.text.TextOps
+    val df = Seq("日本語のテキスト", "другой текст", "hello world").toDF("text")
+    val fps = df.select(TextOps.fingerprint(col("text"))).as[Long].collect()
+    assert(fps.distinct.length == 3, "distinct non-Latin docs must never share a fingerprint")
+    val md5s = df.select(TextOps.fingerprintPortable(col("text"))).as[String].collect()
+    assert(md5s.distinct.length == 3)
+  }
+
+  test("empty/whitespace-only text counts 0 tokens with NULL quality ratios") {
+    import graft.text.TextOps
+    val df = Seq(("", 0), ("   ", 1), ("two words", 2)).toDF("text", "i")
+    val n = df.select(TextOps.tokenCountWs(col("text"))).as[Long].collect().toSeq
+    assert(n == Seq(0L, 0L, 2L))
+    val q = TextOps.qualitySignals(df, "text").orderBy("i")
+      .select("n_words", "stopword_ratio", "mean_word_len").collect()
+    assert(q(0).getLong(0) == 0L && q(0).isNullAt(1) && q(0).isNullAt(2))
+    assert(q(2).getLong(0) == 2L)
+    // padded text: mean word length counts WORD chars only ("  hi  " → 2)
+    val m = TextOps.qualitySignals(Seq(("  hi  ", 0)).toDF("text", "i"), "text")
+      .select("mean_word_len").head().getDouble(0)
+    assert(m == 2.0, s"got $m")
+    val r = TextOps.repetitionSignals(df, "text").orderBy("i")
+      .select("n_words", "top_word_frac").collect()
+    assert(r(0).getLong(0) == 0L && r(0).isNullAt(1))
+  }
+
+  test("mixtureSample's gate is independent of stratifiedSample's (salted hash)") {
+    import graft.text.TextOps
+    // 'rare' holds ~1/10 of rows, so a 50/50 mixture forces 's' to
+    // downsample to ~rare's size. Run the mixture AFTER a stratified
+    // half-gate on the SAME text column: with an unsalted shared hash the
+    // survivors of the first gate are exactly the low-hash rows, so the
+    // mixture's threshold filter would keep ~all of 's' instead of the
+    // target fraction and the realized ratio would blow out.
+    val docs = (0 until 2000).map(i => (s"doc text number $i", "en")).toDF("text", "lang")
+    val mixed = docs.withColumn("source",
+      when(col("text").endsWith("7"), lit("rare")).otherwise(lit("s")))
+    val sampled = TextOps.mixtureSample(
+      TextOps.stratifiedSample(mixed, "text", "lang", Map("en" -> 8), 8),
+      "source", "text", Map("s" -> 0.5, "rare" -> 0.5))
+    val bySrc = sampled.groupBy("source").count().as[(String, Long)].collect().toMap
+    val s = bySrc.getOrElse("s", 0L).toDouble
+    val rare = bySrc.getOrElse("rare", 0L).toDouble
+    assert(rare > 0 && s / rare < 2.5 && s / rare > 0.4,
+      s"mixture rates must hold after a prior hash gate: s=$s rare=$rare")
+  }
+
+  test("redactPii never counts PII the redaction did not emit") {
+    import graft.text.TextOps
+    // the email consumes the digits; an original-text phone count would
+    // report a phantom phone with no <PHONE> in the output
+    val df = Seq("contact a18005551234@example.com now").toDF("text")
+    val r = TextOps.redactPii(df, "text").head()
+    val red = r.getAs[String]("redacted")
+    assert(red.contains("<EMAIL>") && !red.contains("<PHONE>"), red)
+    assert(r.getAs[Int]("n_email") == 1)
+    assert(r.getAs[Int]("n_phone") == 0,
+      "phone count must reflect the emitted placeholders, not the raw text")
+  }
 }
