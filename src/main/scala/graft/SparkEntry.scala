@@ -3090,10 +3090,13 @@ object SparkEntry {
              < floor(r.rate * 65536 + 1e-9)""",
     "q_redact" -> redactOracle,
     "q_chunk" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      """WITH t AS (SELECT doc_id,
+           CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS w
            FROM documents),
          s AS (SELECT doc_id, w,
-             CASE WHEN len(w) > 32
+             CASE WHEN len(w) = 0 THEN 0
+               WHEN len(w) > 32
                THEN CAST(ceil(CAST(len(w) - 32 AS DOUBLE) / 24) AS INT) + 1
                ELSE 1 END AS nc
            FROM t),

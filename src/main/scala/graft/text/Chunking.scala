@@ -18,16 +18,23 @@ object Chunking {
   def chunkWords(df: DataFrame, id: String, text: String,
                  chunkSize: Int, stride: Int): DataFrame = {
     require(stride > 0 && chunkSize >= stride, s"need 0 < stride <= chunkSize")
-    val withToks = df.withColumn("__toks", split(trim(col(text)), "\\s+"))
+    graft.window.Moving.guardNames(df.columns.toSeq,
+      Seq("__toks", "__starts", "__start", "chunk_tokens", "chunk_idx",
+        "n_tokens", "chunk_text"), "chunkWords")
+    // empty/whitespace-only text chunks to NOTHING — split("") yields
+    // [""], which would emit a phantom 1-token chunk of "" (same trap
+    // TextOps.tokenCountWs guards); a NULL text likewise yields no rows
+    val withToks = df.withColumn("__toks",
+      when(length(trim(col(text))) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(col(text)), "\\s+")))
     val n = size(col("__toks"))
-    // starts: 0, stride, 2·stride, …, last start < n (guard the
-    // descending-sequence trap for n = 0 is moot: split never yields
-    // an empty array)
+    // starts: 0, stride, 2·stride, …, last start < n
     val nChunks = ceil((n - lit(chunkSize)).cast("double") / stride).cast("int") + 1
     withToks
       .withColumn("__starts",
         when(n > chunkSize, transform(sequence(lit(0), nChunks - 1), i => i * stride))
-          .otherwise(array(lit(0))))
+          .when(n > 0, array(lit(0)))
+          .otherwise(array().cast("array<int>")))
       .select(col(id), posexplode(col("__starts")).as(Seq("chunk_idx", "__start")),
         col("__toks"))
       .withColumn("chunk_tokens",
@@ -48,10 +55,18 @@ object Chunking {
   def packGreedy(df: DataFrame, keys: Seq[String], lenCol: String,
                  capacity: Long, out: String = "bin"): DataFrame = {
     require(keys.nonEmpty, "packGreedy packs within key groups; pass >= 1 key")
+    // the scan folds in (keys, pos) order — fail here with a clear
+    // message rather than a resolution error inside the scan machinery;
+    // pos must be unique per key or the greedy order (and thus the bin
+    // assignment) is nondeterministic
+    require(df.columns.exists(_.equalsIgnoreCase("pos")),
+      "packGreedy folds in (keys, pos) order; attach a pos column first " +
+        "(Series.attachPos)")
+    graft.window.Moving.guardNames(df.columns.toSeq, Seq(out), "packGreedy")
     val lIdx = df.schema.fieldIndex(lenCol)
     graft.window.Moving.monoidScanKeyed(df, keys, Seq("__fill", "__bin"))(
       Array(0.0, 0.0)) { r =>
-      Array(r.getAs[Number](lIdx).doubleValue(), 0.0)
+      Array(graft.window.Moving.numAt(r, lIdx, "packGreedy"), 0.0)
     } { (acc, x) =>
       val len = x(0)
       // reset iff the bin is non-empty and this item would overflow it

@@ -23,18 +23,6 @@ import org.apache.spark.sql.functions._
   */
 object Dict {
 
-  /** Metadata key on the `code` column carrying the dictionary row count,
-    * stamped by [[build]]. INFORMATIONAL ONLY since round 8: the stamp
-    * rides the code column through arbitrary downstream transforms (a
-    * union of a stamped dictionary with more rows keeps the original,
-    * smaller stamp), so the broadcast-size decision must never trust it —
-    * a stale stamp could force-broadcast a dictionary past
-    * [[MaxBroadcastRows]]. The authoritative row count lives in
-    * [[knownRows]], keyed by the canonicalized plan, which any derived
-    * frame misses by construction.
-    */
-  private val RowsKey = "graft.dict.rows"
-
   /** Trusted row counts, keyed by the dictionary frame's CANONICALIZED
     * logical plan (structural equality — exprIds normalized). [[build]]
     * registers its exact count; [[trustedRows]] memoizes a hand-built
@@ -43,6 +31,13 @@ object Dict {
     * join, filter) canonicalizes differently and therefore re-counts —
     * the stale-stamp hazard cannot reach the broadcast decision. Weak
     * keys: entries die with the plan they describe.
+    *
+    * LIMIT: the memo keys the PLAN, not the data — a dictionary read from
+    * a MUTABLE catalog table keeps its first count across appends (the
+    * same plan canonicalizes identically), so a table that grows past
+    * [[MaxBroadcastRows]] after first sight would still force-broadcast.
+    * Dictionaries over mutable sources should be re-built ([[build]])
+    * after ingest — the rebuilt frame is a new plan and re-registers.
     */
   private val knownRows = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -70,12 +65,8 @@ object Dict {
     val d = Series.attachPosRanged(
       df.select(col(value)).distinct(), Seq(), Seq(col(value)), out = "code")
       .select(col("code"), col(value))
-    val n = d.count()
-    val md = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong(RowsKey, n).build()
-    val out = d.select(col("code").as("code", md), col(value))
-    knownRows.put(out.queryExecution.analyzed.canonicalized, n)
-    out
+    knownRows.put(d.queryExecution.analyzed.canonicalized, d.count())
+    d
   }
 
   /** ONE dictionary shared across frames and columns — the reference's
@@ -135,6 +126,9 @@ object Dict {
                maxBroadcastRows: Long = MaxBroadcastRows): DataFrame = {
     require(dict.columns.length == 2 && dict.columns.contains("code"),
       s"dictionary must be exactly (code, value), got (${dict.columns.mkString(", ")})")
+    require(!df.columns.exists(_.equalsIgnoreCase(outCol)),
+      s"str2code output column '$outCol' already exists on the frame; " +
+        "pass a distinct outCol")
     val dv = dict.columns.filter(_ != "code").head
     df.join(
       maybeBroadcast(
@@ -149,6 +143,11 @@ object Dict {
   def code2str(df: DataFrame, dict: DataFrame, codeCol: String,
                outCol: String = "value",
                maxBroadcastRows: Long = MaxBroadcastRows): DataFrame = {
+    require(dict.columns.length == 2 && dict.columns.contains("code"),
+      s"dictionary must be exactly (code, value), got (${dict.columns.mkString(", ")})")
+    require(!df.columns.exists(_.equalsIgnoreCase(outCol)),
+      s"code2str output column '$outCol' already exists on the frame; " +
+        "pass a distinct outCol")
     val d = dict.select(col("code").as(codeCol),
       dict.columns.filter(_ != "code").map(col).head.as(outCol))
     df.join(maybeBroadcast(d, trustedRows(dict), maxBroadcastRows),

@@ -186,6 +186,44 @@ class TextPipelineSpec extends AnyFunSuite {
       s"mixture rates must hold after a prior hash gate: s=$s rare=$rare")
   }
 
+  test("chunkWords: empty/whitespace/null docs produce no chunks") {
+    import graft.text.Chunking
+    val df = Seq((1L, "one two three"), (2L, ""), (3L, "   "),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Chunking.chunkWords(df, "doc_id", "text", 4, 3)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L),
+      "no phantom empty chunks")
+  }
+
+  test("packGreedy validates its inputs loudly") {
+    import graft.text.Chunking
+    val noPos = Seq(("s", 300L)).toDF("source", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      Chunking.packGreedy(noPos, Seq("source"), "n_tokens", 512)
+    }
+    assert(e.getMessage.contains("pos"))
+    val withNull = Seq(("s", 0L, Some(300L)), ("s", 1L, None))
+      .toDF("source", "pos", "n_tokens")
+    val e2 = intercept[Exception] {
+      Chunking.packGreedy(withNull, Seq("source"), "n_tokens", 512).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq.last.getMessage
+    assert(rootMsg(e2).contains("non-null"))
+  }
+
+  test("Dict lookups fail loud on output-column collisions and bad dictionary shapes") {
+    import graft.text.Dict
+    val df = Seq(("a", 1)).toDF("v", "code")
+    val dict = Dict.build(Seq("a", "b").toDF("v"), "v")
+    intercept[IllegalArgumentException] { // df already has "code"
+      Dict.str2code(df, dict, "v")
+    }
+    intercept[IllegalArgumentException] { // malformed dictionary
+      Dict.code2str(Seq(1L).toDF("c"), dict.select("code"), "c")
+    }
+  }
+
   test("redactPii never counts PII the redaction did not emit") {
     import graft.text.TextOps
     // the email consumes the digits; an original-text phone count would
