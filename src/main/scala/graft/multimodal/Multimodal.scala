@@ -46,14 +46,22 @@ object Multimodal {
     */
   private val BmpDibSizes = Set(12, 40, 52, 56, 64, 108, 124)
 
-  /** BMP header: magic "BM", a known DIB header size at 14, int32 width at
-    * 18, int32 height at 22 (may be negative = top-down).
+  /** BMP header: magic "BM", a known DIB header size at 14. The INFO
+    * family (size >= 40) stores int32 width at 18 and int32 height at 22
+    * (may be negative = top-down); the OS/2 CORE header (size 12) stores
+    * uint16 width at 18 and uint16 height at 20 — reading int32s there
+    * would fuse width|height and planes|bitcount into garbage dimensions.
     */
   def parseBmp(b: Array[Byte]): Option[(Int, Int)] =
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' &&
-      BmpDibSizes.contains(leInt(b, 14)) && leInt(b, 18) > 0 && leInt(b, 22) != 0)
-      Some((leInt(b, 18), math.abs(leInt(b, 22))))
-    else None
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      val dib = leInt(b, 14)
+      if (dib == 12) {
+        val (w, h) = (leShort(b, 18), leShort(b, 20))
+        if (w > 0 && h > 0) Some((w, h)) else None
+      } else if (BmpDibSizes.contains(dib) && leInt(b, 18) > 0 && leInt(b, 22) != 0)
+        Some((leInt(b, 18), math.abs(leInt(b, 22))))
+      else None
+    } else None
 
   private def beInt(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
@@ -62,10 +70,15 @@ object Multimodal {
   private def beShort(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
 
-  /** PNG: 8-byte signature, IHDR width/height big-endian at 16/20. */
+  /** PNG: 8-byte signature, the IHDR chunk tag at 12, width/height
+    * big-endian at 16/20 — validating the tag and positive dimensions
+    * demotes a truncated-then-padded payload to the unknown path instead
+    * of reporting a "valid" 0×0 png.
+    */
   def parsePng(b: Array[Byte]): Option[(Int, Int)] =
     if (b.length >= 24 &&
-      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      tag(b, 12) == "IHDR" && beInt(b, 16) > 0 && beInt(b, 20) > 0)
       Some((beInt(b, 16), beInt(b, 20)))
     else None
 
@@ -194,8 +207,12 @@ object Multimodal {
     * can't fail a 100 TB job. The disk-backed stream cache is disabled
     * once per executor: media flows memory-to-memory.
     */
+  // JVM-global, genuinely once per executor (lazy val), not re-set on
+  // every row of the decode hot path
+  private lazy val imageIoNoCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
-    javax.imageio.ImageIO.setUseCache(false)
+    imageIoNoCache
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -203,7 +220,7 @@ object Multimodal {
   /** Encode a BufferedImage back to PNG bytes (lossless, so a
     * decode→encode→decode round-trip is pixel-exact). */
   def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
-    javax.imageio.ImageIO.setUseCache(false)
+    imageIoNoCache
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -279,6 +296,15 @@ object Multimodal {
   private def grayGrid(img: java.awt.image.BufferedImage,
                        gw: Int, gh: Int): Array[Double] = {
     val (w, h) = (img.getWidth, img.getHeight)
+    // ONE bulk pixel grab: per-pixel getRGB goes through the colour-model
+    // conversion per call — the slowest access path — and hash callers
+    // walk every pixel
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    grayGridPx(px, w, h, gw, gh)
+  }
+
+  private def grayGridPx(px: Array[Int], w: Int, h: Int,
+                         gw: Int, gh: Int): Array[Double] = {
     val out = new Array[Double](gw * gh)
     var cy = 0
     while (cy < gh) {
@@ -293,7 +319,7 @@ object Multimodal {
         while (y < y1) {
           var x = x0
           while (x < x1) {
-            val p = img.getRGB(x, y)
+            val p = px(y * w + x)
             s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
             x += 1
           }
@@ -312,8 +338,8 @@ object Multimodal {
 
   /** Perceptual image hashes — the standard cheap image near-dup
     * primitives over the REAL decode path: aHash (8×8 box-averaged gray
-    * grid, bit = cell ≥ grid mean) and dHash (9×8 grid, bit = cell
-    * brighter than its right neighbor), MSB-first row-major. Identical
+    * grid, bit = cell ≥ grid mean) and dHash (9×8 grid, bit = RIGHT
+    * neighbor brighter than the cell), MSB-first row-major. Identical
     * content at different resolutions hashes identically (box averaging);
     * near-duplicate images land within a few Hamming bits, so pairing is
     * an exact-match groupBy on the hash — or banded buckets for a
@@ -327,12 +353,15 @@ object Multimodal {
       it.flatMap { r =>
         val raw = r.getAs[Array[Byte]](bIdx)
         decodeImage(if (raw == null) Array.emptyByteArray else raw).map { img =>
-          val a8 = grayGrid(img, 8, 8)
+          // fetch the pixels ONCE; both grids share the buffer
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val a8 = grayGridPx(px, w, h, 8, 8)
           val mean = a8.sum / 64.0
           var ah = 0L
           var i = 0
           while (i < 64) { if (a8(i) >= mean) ah |= 1L << (63 - i); i += 1 }
-          val d9 = grayGrid(img, 9, 8)
+          val d9 = grayGridPx(px, w, h, 9, 8)
           var dh = 0L
           var b = 0
           var y = 0
@@ -396,12 +425,21 @@ object Multimodal {
   }
 
   /** Frame index sampling: every `step`-th frame per media row — the
-    * explode-side shape (1 input row → n output rows).
+    * explode-side shape (1 input row → n output rows). A lazy iterator
+    * per row, NOT explode(sequence(...)): the sequence form materializes
+    * the whole index array per row first (hundreds of MB for a long
+    * recording's hundred-million frames) and fabricates a phantom frame 0
+    * for zero-frame media (sequence(0, max(n−1, 0)) is never empty).
     */
-  def sampleFrames(meta: DataFrame, step: Int): DataFrame =
-    meta.withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(step))))
-      .select(col("media_id"), col("frame_idx"))
+  def sampleFrames(meta: DataFrame, step: Int): DataFrame = {
+    require(step >= 1, s"frame sampling step must be >= 1, got $step")
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.select(col("media_id").cast("long"), col("n_frames").cast("int"))
+      .as[(Long, Int)]
+      .flatMap { case (id, n) => (0 until n by step).iterator.map(i => (id, i)) }
+      .toDF("media_id", "frame_idx")
+  }
 
   case class PcmSample(media_id: Long, sample_idx: Long, amplitude: Double)
 
@@ -411,6 +449,9 @@ object Multimodal {
     * emitted lazily, never buffering a row's full audio.
     */
   def samplePcm(df: DataFrame, idCol: String, bytesCol: String, step: Int): DataFrame = {
+    // step 0 would throw "step cannot be 0" from inside an executor task;
+    // negative steps would silently emit nothing
+    require(step >= 1, s"PCM sampling step must be >= 1, got $step")
     val idIdx = df.schema.fieldIndex(idCol)
     val bIdx = df.schema.fieldIndex(bytesCol)
     df.mapPartitions { it =>

@@ -224,4 +224,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("__h64"))
   }
+
+  test("OS/2 CORE BMP headers read uint16 dimensions, not int32 garbage") {
+    // DIB size 12: uint16 width at 18, uint16 height at 20
+    val b = new Array[Byte](26)
+    b(0) = 'B'; b(1) = 'M'
+    b(14) = 12 // core header size (LE)
+    b(18) = 100.toByte; b(19) = 0 // width 100
+    b(20) = 50.toByte; b(21) = 0  // height 50
+    assert(Multimodal.parseBmp(b).contains((100, 50)))
+  }
+
+  test("PNG parse demotes corrupt payloads (bad IHDR tag or zero dims)") {
+    val sigOnly = new Array[Byte](24)
+    sigOnly(0) = 0x89.toByte; sigOnly(1) = 'P'; sigOnly(2) = 'N'; sigOnly(3) = 'G'
+    assert(Multimodal.parsePng(sigOnly).isEmpty,
+      "signature followed by zeros is not a valid 0x0 png")
+  }
+
+  test("sampleFrames: no phantom frame for zero-frame media; step validated") {
+    val meta = Seq((1L, 5), (2L, 0)).toDF("media_id", "n_frames")
+    val out = Multimodal.sampleFrames(meta, 2).orderBy("media_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out == Seq((1L, 0), (1L, 2), (1L, 4)),
+      s"zero-frame media emits no rows, got $out")
+    intercept[IllegalArgumentException] { Multimodal.sampleFrames(meta, 0) }
+    intercept[IllegalArgumentException] {
+      Multimodal.samplePcm(meta.withColumn("bytes", lit(Array[Byte]())),
+        "media_id", "bytes", 0)
+    }
+  }
 }
