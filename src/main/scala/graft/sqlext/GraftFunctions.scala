@@ -71,8 +71,8 @@ object GraftFunctions {
     ("cs_minof", (c: Seq[Expression]) =>
       if (c.size == 2) CsPolyBinary("minof", c(0), c(1)) else Least(c),
       "cs_minof(a, b, ...) - element-wise min over scalars or array series"),
-    ("cs_iif", (c: Seq[Expression]) => If(c(0), c(1), c(2)),
-      "cs_iif(cond, a, b) - element-wise conditional (func.c:2457-2558)"),
+    ("cs_iif", (c: Seq[Expression]) => CsPolyIf(c(0), c(1), c(2)),
+      "cs_iif(cond, a, b) - element-wise conditional over scalars or array series (func.c:2457-2558)"),
     ("cs_hamming", (c: Seq[Expression]) => BitwiseCount(BitwiseXor(c(0), c(1))),
       "cs_hamming(a, b) - bit distance between 64-bit fingerprints"),
     // empty normalization (non-Latin-only text) falls back to the raw
@@ -440,7 +440,11 @@ object GraftFunctions {
     ("cs_filter_pos", (c: Seq[Expression]) => CsSeriesFilterPos(c(0)),
       "cs_filter_pos(cond) - 0-based positions where cond holds (func.c:2834-2930)"),
     ("cs_filter_first_pos",
-      (c: Seq[Expression]) => CsSeriesSlice(CsSeriesFilterPos(c(0)), Literal(0), Subtract(c(1), Literal(1))),
+      // n <= 0 must be EMPTY: the slice's n-1 = -1 till would otherwise
+      // be reinterpreted as a from-the-end index, returning ALL positions
+      (c: Seq[Expression]) => If(LessThanOrEqual(c(1), Literal(0)),
+        Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)),
+        CsSeriesSlice(CsSeriesFilterPos(c(0)), Literal(0), Subtract(c(1), Literal(1)))),
       "cs_filter_first_pos(cond, n) - first n positions where cond holds (func.c:2931-2980)"),
     ("cs_repeat", (c: Seq[Expression]) => CsSeriesRepeat(c(0), c(1)),
       "cs_repeat(arr, n) - each element repeated n times (func.c:769-862)"),

@@ -35,6 +35,22 @@ object SeriesCalc {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }
+  /** Read an integral SQL argument as Int, rejecting values outside the
+    * Int range loudly — Number.intValue() silently WRAPS a bigint
+    * (2^32+1 becomes 1), turning an absurd window/step/k into a
+    * plausible-looking wrong answer.
+    */
+  private[sqlext] def intArg(v: Any, what: String): Int = {
+    val l = v.asInstanceOf[Number].longValue()
+    require(l >= Int.MinValue && l <= Int.MaxValue, s"$what out of int range: $l")
+    l.toInt
+  }
+
+  /** SQL-normalized double for ordering/tie purposes: -0.0 → 0.0 (Spark
+    * comparisons treat them equal).
+    */
+  private[sqlext] def normZero(x: Double): Double = if (x == 0.0) 0.0 else x
+
   private[sqlext] def fail(msg: String): TypeCheckResult =
     TypeCheckResult.TypeCheckFailure(msg)
   private[sqlext] val ok: TypeCheckResult = TypeCheckResult.TypeCheckSuccess
@@ -129,7 +145,7 @@ case class CsSeriesWindowAgg(op: String, left: Expression, right: Expression)
   override def prettyName: String = s"cs_window_$op"
   override def nullSafeEval(arr: Any, nv: Any): Any = {
     val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
-    val w = nv.asInstanceOf[Number].intValue()
+    val w = SeriesCalc.intArg(nv, s"cs_window_$op interval")
     require(w > 0, s"cs_window_$op interval must be positive, got $w")
     val n = a.numElements()
     val out = new Array[Any](n)
@@ -144,18 +160,20 @@ case class CsSeriesWindowAgg(op: String, left: Expression, right: Expression)
           i += 1
         }
       case "min" | "max" =>
+        // monotonic index deque — O(n), where rescanning the trailing
+        // window per element is O(n·w) (minutes per row at w ~ n/2)
         val isMin = op == "min"
+        val dq = new java.util.ArrayDeque[Int]()
         var i = 0
         while (i < n) {
-          val from = math.max(0, i - w + 1)
-          var m = a.getDouble(from)
-          var j = from + 1
-          while (j <= i) {
-            val x = a.getDouble(j)
-            if (if (isMin) x < m else x > m) m = x
-            j += 1
-          }
-          out(i) = m
+          val x = a.getDouble(i)
+          while (!dq.isEmpty && {
+            val t = a.getDouble(dq.peekLast)
+            if (isMin) t >= x else t <= x
+          }) dq.removeLast()
+          dq.addLast(i)
+          if (dq.peekFirst <= i - w) dq.removeFirst()
+          out(i) = a.getDouble(dq.peekFirst)
           i += 1
         }
       case _ =>
@@ -204,10 +222,12 @@ case class CsSeriesGrid(op: String, left: Expression, right: Expression)
   override def prettyName: String = s"cs_grid_$op"
   override def nullSafeEval(arr: Any, sv: Any): Any = {
     val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
-    val step = sv.asInstanceOf[Number].intValue()
+    val step = SeriesCalc.intArg(sv, s"cs_grid_$op step")
     require(step > 0, s"cs_grid_$op step must be positive, got $step")
     val n = a.numElements()
-    val buckets = (n + step - 1) / step
+    // NOT (n + step - 1) / step: that sum overflows Int for a large step
+    // (a legitimate "one bucket covering everything" value)
+    val buckets = if (n == 0) 0 else (n - 1) / step + 1
     val out = new Array[Any](buckets)
     var b = 0
     while (b < buckets) {
@@ -403,12 +423,19 @@ case class CsSeriesRankOrd(left: Expression, right: Expression)
     val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
     val asc = ascv.asInstanceOf[Boolean]
     val n = a.numElements()
-    val xs = Array.tabulate(n)(a.getDouble)
-    val order = xs.zipWithIndex.sortBy(p => if (asc) p._1 else -p._1)
+    // SQL-normalized doubles: -0.0 ties 0.0 and NaN ties NaN (the total
+    // order Spark's own rank() uses); descending REVERSES the total order
+    // instead of negating the key, which would strand NaN at the bottom
+    // of both directions
+    val xs = Array.tabulate(n)(i => SeriesCalc.normZero(a.getDouble(i)))
+    val ord =
+      if (asc) Ordering.Double.TotalOrdering
+      else Ordering.Double.TotalOrdering.reverse
+    val order = xs.zipWithIndex.sortBy(_._1)(ord)
     val ranks = new Array[Any](n)
     var i = 0
     while (i < n) {
-      if (i > 0 && order(i)._1 == order(i - 1)._1)
+      if (i > 0 && java.lang.Double.compare(order(i)._1, order(i - 1)._1) == 0)
         ranks(order(i)._2) = ranks(order(i - 1)._2)
       else
         ranks(order(i)._2) = (i + 1).toLong
@@ -437,11 +464,19 @@ case class CsSeriesDenseRank(left: Expression, right: Expression)
     val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
     val asc = ascv.asInstanceOf[Boolean]
     val n = a.numElements()
-    val xs = Array.tabulate(n)(a.getDouble)
-    val distinct = xs.distinct.sorted
+    // normalize -0.0 to 0.0 BEFORE distinct: boxed equality would keep
+    // both and hand numerically equal values different dense ranks
+    // (cs_rank ties them)
+    val xs = Array.tabulate(n)(i => SeriesCalc.normZero(a.getDouble(i)))
+    val distinct = xs.distinct.sorted(Ordering.Double.TotalOrdering)
     val ordered = if (asc) distinct else distinct.reverse
-    val rank = ordered.zipWithIndex.map { case (x, i) => x -> (i + 1).toLong }.toMap
-    new GenericArrayData(xs.map(x => rank(x): Any))
+    // key by canonical BITS: a Map[Double, _] lookup compares primitively,
+    // and NaN != NaN would miss its own entry
+    val rank = ordered.zipWithIndex.map { case (x, i) =>
+      java.lang.Double.doubleToLongBits(x) -> (i + 1).toLong
+    }.toMap
+    new GenericArrayData(
+      xs.map(x => rank(java.lang.Double.doubleToLongBits(x)): Any))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CsSeriesDenseRank =
     copy(left = l, right = r)
@@ -462,7 +497,7 @@ case class CsSeriesTopPos(left: Expression, right: Expression, desc: Boolean)
   override def prettyName: String = if (desc) "cs_top_max_pos" else "cs_top_min_pos"
   override def nullSafeEval(arr: Any, kv: Any): Any = {
     val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
-    val k = kv.asInstanceOf[Number].intValue()
+    val k = SeriesCalc.intArg(kv, s"$prettyName k")
     val n = a.numElements()
     val idx = Array.range(0, n)
     val sorted =
@@ -497,7 +532,7 @@ case class CsSeriesHistogram(children: Seq[Expression])
     val a = SeriesCalc.dense(vs(0).asInstanceOf[ArrayData], prettyName)
     val lo = vs(1).asInstanceOf[Number].doubleValue()
     val hi = vs(2).asInstanceOf[Number].doubleValue()
-    val bins = vs(3).asInstanceOf[Number].intValue()
+    val bins = SeriesCalc.intArg(vs(3), "cs_histogram bins")
     require(bins > 0 && hi > lo, s"cs_histogram: need max > min and n > 0")
     val width = (hi - lo) / bins
     val out = new Array[Long](bins)
@@ -771,8 +806,8 @@ case class CsSeriesThin(first: Expression, second: Expression, third: Expression
   override def prettyName: String = "cs_thin"
   override def nullSafeEval(arr: Any, originV: Any, stepV: Any): Any = {
     val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
-    val origin = originV.asInstanceOf[Number].intValue()
-    val step = stepV.asInstanceOf[Number].intValue()
+    val origin = SeriesCalc.intArg(originV, "cs_thin origin")
+    val step = SeriesCalc.intArg(stepV, "cs_thin step")
     require(origin >= 0, s"cs_thin origin must be >= 0, got $origin")
     require(step > 0, s"cs_thin step must be positive, got $step")
     val n = a.numElements()
@@ -877,9 +912,11 @@ case class CsSeriesRepeat(left: Expression, right: Expression)
   override def prettyName: String = "cs_repeat"
   override def nullSafeEval(arr: Any, nv: Any): Any = {
     val a = SeriesCalc.dense(arr.asInstanceOf[ArrayData], prettyName)
-    val rep = nv.asInstanceOf[Number].intValue()
+    val rep = SeriesCalc.intArg(nv, "cs_repeat count")
     require(rep >= 0, s"cs_repeat count must be >= 0, got $rep")
     val n = a.numElements()
+    require(n.toLong * rep <= Int.MaxValue,
+      s"cs_repeat output of $n x $rep elements exceeds the array limit")
     val out = new Array[Any](n * rep)
     var i = 0
     while (i < n) {

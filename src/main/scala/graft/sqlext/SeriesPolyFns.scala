@@ -237,3 +237,57 @@ object CsPolyUnary {
     "exp", "log", "sqrt", "ceil", "floor", "isnan", "not", "bit_not")
   def nameOf(op: String): String = s"cs_$op"
 }
+
+/** Ternary conditional over scalars or array series — cs_iif
+  * (func.c:2457-2558): a SCALAR boolean condition is plain `If`; an
+  * `array<boolean>` condition selects ELEMENT-WISE, with either branch a
+  * series or a broadcast scalar — the reference's comparisons yield 0/1
+  * series, and its iif composes with them (`cs_iif(cs_gt(x, 0), x,
+  * cs_neg(x))`), which a bare `If` rejects at analysis.
+  */
+case class CsPolyIf(cond: Expression, a: Expression, b: Expression)
+    extends Expression with RuntimeReplaceable {
+  import CsPoly._
+
+  override def children: Seq[Expression] = Seq(cond, a, b)
+  override def prettyName: String = "cs_iif"
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CsPolyIf =
+    copy(cond = c(0), a = c(1), b = c(2))
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def elemTy(dt: DataType) = if (isArr(dt)) elemOf(dt) else dt
+    if (elemTy(cond.dataType) != BooleanType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName condition must be boolean or array<boolean>, got ${cond.dataType.sql}")
+    else {
+      val (at, bt) = (elemTy(a.dataType), elemTy(b.dataType))
+      if (at == bt || TypeCoercion.findWiderTypeForTwo(at, bt).isDefined)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName branches must share a type, got ${a.dataType.sql} and ${b.dataType.sql}")
+    }
+  }
+
+  override lazy val replacement: Expression = {
+    def elemTy(dt: DataType) = if (isArr(dt)) elemOf(dt) else dt
+    if (!isArr(cond.dataType)) If(cond, a, b)
+    else {
+      val w = widen(elemTy(a.dataType), elemTy(b.dataType))
+      (isArr(a.dataType), isArr(b.dataType)) match {
+        case (false, false) =>
+          lift1(cond, c => If(c, cast(a, w), cast(b, w)))
+        case (true, false) =>
+          lift2(cond, a, (c, x) => If(c, cast(x, w), cast(b, w)))
+        case (false, true) =>
+          lift2(cond, b, (c, y) => If(c, cast(a, w), cast(y, w)))
+        case (true, true) =>
+          // no ternary zip in Catalyst: pair the branches first, then
+          // select per element from the paired struct
+          val zipped = lift2(a, b,
+            (x, y) => CreateStruct(Seq(cast(x, w), cast(y, w))))
+          lift2(cond, zipped,
+            (c, s) => If(c, GetStructField(s, 0), GetStructField(s, 1)))
+      }
+    }
+  }
+}

@@ -491,4 +491,67 @@ class SqlCalcSpec extends AnyFunSuite {
     assert(arr("cs_to_timestamp_array(array(0L))").map(_.toString)
       == Seq("1970-01-01 00:00:00.0"))
   }
+
+  test("cs_iif lifts over array series (reference series conditional)") {
+    // series cond, series branches: the reference's abs-style composition
+    assert(arr("cs_iif(cs_gt(array(1.0D,-2.0D,3.0D), 0.0D), " +
+      "array(1.0D,-2.0D,3.0D), cs_neg(array(1.0D,-2.0D,3.0D)))")
+      == Seq(1.0, 2.0, 3.0))
+    // series cond, scalar branches (broadcast)
+    assert(arr("cs_iif(array(true,false), 1.0D, 0.0D)") == Seq(1.0, 0.0))
+    // series cond, mixed series/scalar branches
+    assert(arr("cs_iif(array(true,false), array(5.0D,6.0D), -1.0D)")
+      == Seq(5.0, -1.0))
+    // scalar cond stays the plain conditional
+    assert(sql1[Double]("cs_iif(1 > 0, 2.0D, 3.0D)") == 2.0)
+  }
+
+  test("cs_filter_first_pos(cond, 0) is empty, not the whole position list") {
+    assert(arr("cs_filter_first_pos(array(true,true,true), 0)") == Seq())
+    assert(arr("cs_filter_first_pos(array(true,true,true), 2)") == Seq(0L, 1L))
+  }
+
+  test("cs_window_min/max monotonic deque equals the brute-force window") {
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.fill(300)(math.rint(rnd.nextDouble() * 1000) / 10)
+    val lit = xs.map(x => s"${x}D").mkString("array(", ",", ")")
+    for (w <- Seq(1, 3, 17, 300)) {
+      val got = arr(s"cs_window_min($lit, $w)").map(_.asInstanceOf[Double])
+      val want = xs.indices.map(i => xs.slice(math.max(0, i - w + 1), i + 1).min)
+      assert(got == want, s"min w=$w")
+      val gotMax = arr(s"cs_window_max($lit, $w)").map(_.asInstanceOf[Double])
+      val wantMax = xs.indices.map(i => xs.slice(math.max(0, i - w + 1), i + 1).max)
+      assert(gotMax == wantMax, s"max w=$w")
+    }
+  }
+
+  test("series-calc knobs reject wrapping/overflowing arguments loudly") {
+    // a bigint window that would wrap intValue() to 1
+    val e = intercept[Exception] {
+      arr("cs_window_sum(array(1.0D,2.0D), 4294967297)")
+    }
+    assert(e.getMessage.contains("out of int range"))
+    // one giant grid bucket must not overflow the bucket count
+    assert(arr("cs_grid_sum(array(1.0D,2.0D), 2147483647)") == Seq(3.0))
+    // 2 x MaxInt wraps the Int product to -2: must fail fast, not
+    // allocate a negative-size array (or index into a wrapped one)
+    val e2 = intercept[Exception] {
+      arr("cs_repeat(array(1.0D,2.0D), 2147483647)")
+    }
+    assert(e2.getMessage.contains("exceeds the array limit"))
+  }
+
+  test("rank families agree on -0.0/0.0 ties and NaN placement") {
+    // -0.0 and 0.0 are numerically equal: both rank forms tie them
+    assert(arr("cs_rank(array(-0.0D, 0.0D), true)") == Seq(1L, 1L))
+    assert(arr("cs_dense_rank(array(-0.0D, 0.0D), true)") == Seq(1L, 1L))
+    // NaN is greatest in the total order: last ascending, FIRST descending
+    // in both forms; equal NaNs tie
+    assert(arr("cs_rank(array(cast('NaN' as double), 1.0D, cast('NaN' as double)), false)")
+      == Seq(1L, 3L, 1L))
+    assert(arr("cs_dense_rank(array(cast('NaN' as double), 1.0D), false)")
+      == Seq(1L, 2L))
+    assert(arr("cs_rank(array(cast('NaN' as double), 1.0D), true)")
+      == Seq(2L, 1L))
+  }
 }
