@@ -30,6 +30,8 @@ object Conditional {
   def csIf(cond: DataFrame, keys: Seq[String], condCol: String,
            a: DataFrame, b: DataFrame, valueCol: String,
            out: String = "if_value"): DataFrame = {
+    graft.window.Moving.guardNames(cond.columns.toSeq,
+      Seq("__bi", "__t", out), "csIf")
     val truth = col(condCol).cast("boolean")
     // Null conditions choose no branch: drop them up front so BOTH paths
     // agree (the keyed window used to silently drop them at the filter,
@@ -58,12 +60,16 @@ object Conditional {
         cond0.withColumn("__bi", row_number().over(w).cast("long") - 1L)
       }
     val cols = cond.columns.toSeq
+    // both union legs filter the SAME ranked frame — materialize it once
+    // (lazy local checkpoint, the Dedup self-join pattern) or the whole
+    // rank/scan pipeline over cond recomputes per leg
+    val idx = withIdx.localCheckpoint(eager = false)
     def branch(src: DataFrame, rows: DataFrame): DataFrame =
       rows.join(
         src.select((keys.map(col) :+ col("pos").as("__bi")) :+ col(valueCol).as(out): _*),
         keys :+ "__bi", "left")
-    branch(a, withIdx.filter(truth))
-      .unionByName(branch(b, withIdx.filter(!truth)))
+    branch(a, idx.filter(truth))
+      .unionByName(branch(b, idx.filter(!truth)))
       .select((cols :+ out).map(col): _*)
   }
 }

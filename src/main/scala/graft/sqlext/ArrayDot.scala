@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   *
   * Elements widen to double before multiply, identical to the cast-based
   * HOF path, so results are bit-equal with it. Mismatched lengths use the
-  * common prefix; array element nulls are not expected (embedding columns
-  * are dense) and read as garbage per ArrayData semantics.
+  * common prefix. A NULL element makes the whole dot NULL — the HOF
+  * form's semantics (`s + null` poisons the aggregate) — with the
+  * per-element check generated ONLY when the array type admits nulls, so
+  * dense embedding columns keep the tight two-load loop.
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -28,6 +30,13 @@ case class ArrayDot(left: Expression, right: Expression)
     case ArrayType(FloatType | DoubleType, _) => true
     case _ => false
   }
+
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
+  override def nullable: Boolean = super.nullable || elemNullable
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (okType(left.dataType) && okType(right.dataType))
@@ -50,9 +59,11 @@ case class ArrayDot(left: Expression, right: Expression)
     val n = math.min(la.numElements(), ra.numElements())
     val lf = isFloat(left)
     val rf = isFloat(right)
+    val checkNulls = elemNullable
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (la.isNullAt(i) || ra.isNullAt(i))) return null
       val x = if (lf) la.getFloat(i).toDouble else la.getDouble(i)
       val y = if (rf) ra.getFloat(i).toDouble else ra.getDouble(i)
       s += x * y
@@ -68,10 +79,15 @@ case class ArrayDot(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val lGet = if (isFloat(left)) s"(double) $l.getFloat($i)" else s"$l.getDouble($i)"
       val rGet = if (isFloat(right)) s"(double) $r.getFloat($i)" else s"$r.getDouble($i)"
+      val nullBreak =
+        if (elemNullable)
+          s"if ($l.isNullAt($i) || $r.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullBreak
          |  $s += $lGet * $rGet;
          |}
          |${ev.value} = $s;

@@ -47,9 +47,11 @@ case class CsHashAgg(
       TypeCheckResult.TypeCheckFailure(
         s"cs_hash_$op group key must be a string (use || to pack compound keys), " +
           s"got ${group.dataType.sql}")
-    else if (!value.dataType.isInstanceOf[NumericType])
+    else if (!value.dataType.isInstanceOf[NumericType] ||
+      value.dataType.isInstanceOf[DecimalType])
       TypeCheckResult.TypeCheckFailure(
-        s"cs_hash_$op value must be numeric, got ${value.dataType.sql}")
+        s"cs_hash_$op value must be a non-decimal numeric (the buffer " +
+          s"folds primitive doubles), got ${value.dataType.sql}")
     else if (CsHashAgg.bitOps(op) && !CsHashAgg.integral(value.dataType))
       TypeCheckResult.TypeCheckFailure(
         s"cs_hash_$op is a bitwise reduction over integral values, got ${value.dataType.sql}")
@@ -158,7 +160,7 @@ case class CsHashAgg(
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (k, (s, m, n)) =>
-      out.writeUTF(k); out.writeDouble(s); out.writeDouble(m); out.writeLong(n)
+      CsHashAgg.writeStr(out, k); out.writeDouble(s); out.writeDouble(m); out.writeLong(n)
     }
     out.flush()
     bos.toByteArray
@@ -169,7 +171,7 @@ case class CsHashAgg(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, (Double, Double, Long)]
     (0 until n).foreach { _ =>
-      val k = in.readUTF()
+      val k = CsHashAgg.readStr(in)
       buf.update(k, (in.readDouble(), in.readDouble(), in.readLong()))
     }
     buf
@@ -186,6 +188,21 @@ case class CsHashAgg(
 }
 
 object CsHashAgg {
+  /** Length-prefixed raw UTF-8, not DataOutputStream.writeUTF: writeUTF
+    * hard-fails past 65535 encoded bytes, and the API steers users into
+    * packing compound keys with `||`, which can legitimately exceed that.
+    */
+  private[sqlext] def writeStr(out: java.io.DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(b.length); out.write(b)
+  }
+  private[sqlext] def readStr(in: java.io.DataInputStream): String = {
+    val n = in.readInt()
+    val b = new Array[Byte](n)
+    in.readFully(b)
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** cs_hash_any / cs_hash_all: per-group bitwise OR / AND reductions
     * (func.c:5385-5447) — the grouped twins of cs_any / cs_all.
     */
@@ -224,9 +241,10 @@ case class CsHashDupCount(
     if (!group.dataType.isInstanceOf[StringType])
       TypeCheckResult.TypeCheckFailure(
         s"cs_hash_dup_count group key must be a string, got ${group.dataType.sql}")
-    else if (!value.dataType.isInstanceOf[NumericType])
+    else if (!value.dataType.isInstanceOf[NumericType] ||
+      value.dataType.isInstanceOf[DecimalType])
       TypeCheckResult.TypeCheckFailure(
-        s"cs_hash_dup_count value must be numeric, got ${value.dataType.sql}")
+        s"cs_hash_dup_count value must be a non-decimal numeric, got ${value.dataType.sql}")
     else if (!minOccExpr.foldable || !CsHashAgg.integral(minOccExpr.dataType))
       TypeCheckResult.TypeCheckFailure(
         s"cs_hash_dup_count min_occ must be an integer literal")
@@ -258,6 +276,9 @@ case class CsHashDupCount(
     if (g != null) {
       val v = value.eval(input)
       if (v != null) {
+        // bound BOTH dimensions: many groups of one value each would
+        // never trip a per-group check and OOM the outer map silently
+        checkSize(buf.size)
         val inner = buf.getOrElseUpdate(g.toString, mutable.HashMap.empty)
         checkSize(inner.size)
         val x = v.asInstanceOf[Number].doubleValue()
@@ -271,6 +292,7 @@ case class CsHashDupCount(
       a: mutable.HashMap[String, mutable.HashMap[Double, Long]],
       b: mutable.HashMap[String, mutable.HashMap[Double, Long]]): mutable.HashMap[String, mutable.HashMap[Double, Long]] = {
     b.foreach { case (k, inner2) =>
+      checkSize(a.size)
       val inner1 = a.getOrElseUpdate(k, mutable.HashMap.empty)
       inner2.foreach { case (x, n2) =>
         checkSize(inner1.size)
@@ -294,7 +316,7 @@ case class CsHashDupCount(
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (k, inner) =>
-      out.writeUTF(k)
+      CsHashAgg.writeStr(out, k)
       out.writeInt(inner.size)
       inner.foreach { case (x, n) => out.writeDouble(x); out.writeLong(n) }
     }
@@ -307,7 +329,7 @@ case class CsHashDupCount(
     val ng = in.readInt()
     val buf = mutable.HashMap.empty[String, mutable.HashMap[Double, Long]]
     (0 until ng).foreach { _ =>
-      val k = in.readUTF()
+      val k = CsHashAgg.readStr(in)
       val nv = in.readInt()
       val inner = mutable.HashMap.empty[Double, Long]
       (0 until nv).foreach(_ => inner.update(in.readDouble(), in.readLong()))

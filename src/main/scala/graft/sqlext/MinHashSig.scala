@@ -57,7 +57,7 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
       }
       i += 1
     }
-    new GenericArrayData(mins.map(x => x: Any))
+    new GenericArrayData(mins) // long[] ctor — no per-lane boxing
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

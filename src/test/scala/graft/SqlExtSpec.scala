@@ -65,6 +65,34 @@ class SqlExtSpec extends AnyFunSuite {
     assert(cmp.filter(col("fused") =!= col("hof") || col("fused_ff") =!= col("hof_ff")).isEmpty)
   }
 
+  test("cs_dot propagates NULL elements like the HOF form; hash aggs reject decimals") {
+    GraftFunctions.register(spark)
+    // a NULL element poisons the dot to NULL, matching
+    // aggregate(zip_with(...)) — not a garbage partial sum
+    val r = spark.sql(
+      "SELECT cs_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS d")
+      .head()
+    assert(r.isNullAt(0))
+    // decimal values would ClassCastException at runtime in the primitive
+    // buffer — reject at analysis instead
+    val e = intercept[Exception] {
+      Seq((BigDecimal(1), "g")).toDF("v", "g")
+        .selectExpr("cs_hash_sum(v, g)").collect()
+    }
+    assert(e.getMessage.contains("non-decimal"))
+  }
+
+  test("cs_hash_* group keys longer than 64KB survive partial serialization") {
+    GraftFunctions.register(spark)
+    // writeUTF would abort at 65535 encoded bytes; compound || keys can
+    // legitimately exceed that
+    val big = "k" * 70000
+    val out = Seq((1.0, big), (2.0, big)).toDF("v", "g")
+      .repartition(2) // force a partial/final split with serialization
+      .selectExpr("cs_hash_sum(v, g) AS m").head().getMap[String, Double](0)
+    assert(out(big) == 3.0)
+  }
+
   test("cs_fingerprint matches TextOps.fingerprint") {
     GraftFunctions.register(spark)
     val df = Seq("Hello, World!  Twice  spaced.").toDF("text")
