@@ -158,7 +158,12 @@ object UnionDisjointFilterCollapse extends Rule[LogicalPlan] {
     }
     val (unboundedLo, boundedLo) = iv.partition(_._1.isEmpty)
     if (unboundedLo.size > 1) return false
-    val sorted = boundedLo.sortBy(_._1.get._1)(ord)
+    // tie-break equal lo bounds inclusive-first: a degenerate point [5,5]
+    // must sort BEFORE an exclusive-lo interval (5,10], or the sliding
+    // check compares the interval's hi against the point's lo and
+    // declares a phantom overlap (arm-order-dependent false negative)
+    val sorted = boundedLo.sortBy { p => (p._1.get._1, !p._1.get._2) }(
+      Ordering.Tuple2(ord, Ordering.Boolean))
     val all = unboundedLo ++ sorted
     all.sliding(2).forall {
       case Seq((_, Some((h, hIncl))), (Some((l, lIncl)), _)) =>
@@ -217,11 +222,19 @@ object UnionDisjointFilterCollapse extends Rule[LogicalPlan] {
     // short-circuiting; a subquery's inner plan would not rebase
     if (as.exists(a => !a.f.condition.deterministic ||
       a.f.condition.exists(_.isInstanceOf[PlanExpression[_]]))) return None
+    // same for PROJECTIONS: per-arm rand(seed)/monotonic-id columns
+    // canonicalize identically across arms, but one merged scan draws ONE
+    // stream over the combined rows — a different multiset than two
+    // per-arm streams (the same reason Catalyst's own rules refuse to
+    // reorganize non-deterministic evaluation)
+    if (as.exists(_.proj.exists(_.exists(e => !e.deterministic ||
+      e.exists(_.isInstanceOf[PlanExpression[_]]))))) return None
     // per arm: comparison atoms grouped by canonical key, plus the other
     // conjuncts; every conjunct must canonicalize (deterministic, no
     // subqueries, refs bound to the arm's own source) or the arm opts out
     type Atom = (Expression, Char, Seq[Literal])
     case class Split(byKey: Map[Expression, Seq[(Atom, Expression)]],
+                     keyOrder: Seq[Expression], // first-appearance order
                      residual: Seq[(Expression, Expression)]) // (canon, original)
     val splits = as.map { arm =>
       val parsed: Seq[Either[Expression, (Expression, Atom, Expression)]] =
@@ -241,13 +254,16 @@ object UnionDisjointFilterCollapse extends Rule[LogicalPlan] {
           case None => return None // non-deterministic / subquery conjunct
         }
       }
-      Split(parsed.collect { case Right((kc, a, c)) => (kc, (a, c)) }
-        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap, residual)
+      val keyed = parsed.collect { case Right((kc, a, c)) => (kc, (a, c)) }
+      Split(keyed.groupBy(_._1).view.mapValues(_.map(_._2)).toMap,
+        keyed.map(_._1).distinct, residual)
     }
     def multiset(xs: Seq[Expression]): Map[Expression, Int] =
       xs.groupBy(identity).view.mapValues(_.size).toMap
-    // candidate slice keys: tried in the head arm's order; first viable wins
-    splits.head.byKey.keys.toSeq.iterator.flatMap { key =>
+    // candidate slice keys: tried in the head arm's CONJUNCT order (a
+    // HashMap's .keys would make the chosen key — and thus the emitted
+    // plan shape — depend on expression hashing); first viable wins
+    splits.head.keyOrder.iterator.flatMap { key =>
       // per arm: the slice on this key; atoms on OTHER keys fold into the
       // residual (they must then match across arms like any residual)
       val armSlices = as.zip(splits).map { case (arm, sp) =>

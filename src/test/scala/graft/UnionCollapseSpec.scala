@@ -157,4 +157,30 @@ class UnionCollapseSpec extends AnyFunSuite {
       ev.filter(col("event_type") === "click").select(col("value")))
     assert(unions(overlap).nonEmpty, "overlapping literal must block the rewrite")
   }
+
+  test("non-deterministic projections block the collapse") {
+    graft.plans.UnionDisjointFilterCollapse.install(spark)
+    // rand(seed) canonicalizes identically across arms, but ONE merged
+    // scan draws one stream over the combined rows — a different multiset
+    // than two per-arm streams
+    val a = ev.filter(col("event_type") === "view")
+      .select(col("value"), rand(42).as("r"))
+    val b = ev.filter(col("event_type") === "click")
+      .select(col("value"), rand(42).as("r"))
+    assert(unions(a.unionByName(b)).nonEmpty,
+      "per-arm random columns must keep their own draws")
+  }
+
+  test("equal-lo ties collapse regardless of arm order (point vs exclusive-lo range)") {
+    graft.plans.UnionDisjointFilterCollapse.install(spark)
+    // v = 5 and (5, 10] are provably disjoint; the point must sort before
+    // the exclusive-lo interval at the shared bound in EITHER arm order
+    val point = ev.filter(col("user_id") === 5L).select(col("value"))
+    val range = ev.filter(col("user_id") > 5L && col("user_id") <= 10L)
+      .select(col("value"))
+    assert(unions(point.unionByName(range)).isEmpty, "point-first order")
+    assert(unions(range.unionByName(point)).isEmpty, "range-first order")
+    val directCount = ev.filter(col("user_id") >= 5L && col("user_id") <= 10L).count()
+    assert(point.unionByName(range).count() == directCount)
+  }
 }
