@@ -23,9 +23,11 @@ object Plans {
     // round 8: the TABLE_get scan shape (rangeScan pushdown + NTZ
     // file-level pruning) and the bucketed zero-shuffle as-of
     "q_get", "q_asof_bucketed",
-    // round 10: the two TPC-H plan families the headline under-tested —
-    // pure predicate pushdown (Q6) and join-order/broadcast (Q3)
-    "q_tpch_q6", "q_tpch_q3", "q_concat_ranges")
+    // round 10: the TPC-H plan families the headline under-tested —
+    // pure predicate pushdown (Q6), join-order/broadcast (Q3), the
+    // six-table multi-way join (Q5), and the conditional-aggregate
+    // promo share (Q14)
+    "q_tpch_q6", "q_tpch_q3", "q_tpch_q5", "q_tpch_q14", "q_concat_ranges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

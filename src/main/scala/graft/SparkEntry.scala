@@ -1227,6 +1227,47 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
+    "q_tpch_q14" -> ((s, dir) => {
+      // TPC-H Q14 (promo revenue) — the selective-fact-scan + tiny-
+      // dimension-broadcast + CONDITIONAL-aggregate plan family: the one-
+      // month window pushes to the lineitem scan, part broadcasts, and
+      // the promo share is two conditional sums in ONE aggregate pass
+      // (no second scan, no self-join)
+      val p = Tables.read(s, dir, "part")
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li(s, dir)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-03-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          fl(sum(when(col("p_type").startsWith("PROMO"), disc).otherwise(lit(0.0)))
+            * 100.0 / sum(disc)).as("promo_revenue"),
+          count(lit(1)).as("n"))
+    }),
+    "q_tpch_q5" -> ((s, dir) => {
+      // TPC-H Q5 (local supplier volume) — the MULTI-WAY join family the
+      // two-table queries cannot exercise: six tables, the region filter
+      // cascading through nation/supplier as broadcast cuts, the
+      // c_nationkey = s_nationkey LOCALITY predicate riding the supplier
+      // join, one shuffle for the per-nation aggregate
+      val sup = Tables.read(s, dir, "supplier")
+      val nat = Tables.read(s, dir, "nation")
+      val reg = Tables.read(s, dir, "region")
+      cust(s, dir)
+        .join(ord(s, dir).filter(
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(li(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg.filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(fl(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+    }),
     "q_tpch_cs_q6" -> ((s, dir) => {
       // Q6 through the registered cs_* surface: cs_filter NULL-masks the
       // non-qualifying rows, cs_sum ignores the masks — the reference's
@@ -2698,6 +2739,27 @@ object SparkEntry {
          GROUP BY o_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, o_orderkey
          LIMIT 10""",
+    "q_tpch_q14" ->
+      """SELECT CAST(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+           / sum(l_extendedprice * (1 - l_discount)) AS REAL) AS promo_revenue,
+         count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+           AND l_shipdate <  TIMESTAMP '1997-04-01'""",
+    "q_tpch_q5" ->
+      """SELECT n_name,
+         CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-01-01'
+         GROUP BY n_name""",
     "q_tpch_cs_q6" ->
       """SELECT CAST(sum(l_extendedprice * l_discount) AS REAL) AS revenue,
          count(*) AS n
