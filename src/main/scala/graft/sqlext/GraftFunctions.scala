@@ -77,10 +77,11 @@ object GraftFunctions {
       "cs_hamming(a, b) - bit distance between 64-bit fingerprints"),
     // empty normalization (non-Latin-only text) falls back to the raw
     // text so distinct documents never share a fingerprint — same guard
-    // as TextOps.fingerprint
+    // as TextOps.fingerprint, in the same coalesce(nullif(...)) shape so
+    // the regex normalization evaluates ONCE per row (an If on
+    // length(norm) would run it twice)
     ("cs_fingerprint", (c: Seq[Expression]) =>
-      If(GreaterThan(Length(norm(c(0))), Literal(0)),
-        new XxHash64(Seq(norm(c(0)))), new XxHash64(Seq(c(0)))),
+      new XxHash64(Seq(Coalesce(Seq(new NullIf(norm(c(0)), Literal("")), c(0))))),
       "cs_fingerprint(text) - xxhash64 of normalized text (raw when normalization is empty)"),
     ("cs_norm_text", (c: Seq[Expression]) => norm(c(0)),
       "cs_norm_text(text) - lowercase, non-alnum runs collapsed"),
@@ -98,8 +99,7 @@ object GraftFunctions {
           Size(StringSplit(StringTrim(c(0)), Literal("\\s+"), Literal(-1)))),
       "cs_token_count(text) - whitespace token count (0 for empty text)"),
     ("cs_md5_fp", (c: Seq[Expression]) =>
-      If(GreaterThan(Length(norm(c(0))), Literal(0)),
-        Md5(Cast(norm(c(0)), BinaryType)), Md5(Cast(c(0), BinaryType))),
+      Md5(Cast(Coalesce(Seq(new NullIf(norm(c(0)), Literal("")), c(0))), BinaryType)),
       "cs_md5_fp(text) - portable md5 fingerprint of normalized text (raw when empty)"),
     ("cs_simhash", (c: Seq[Expression]) => SimHash64(c(0)),
       "cs_simhash(hashes) - 64-bit SimHash of a token-hash array (one-pass codegen)"),

@@ -118,10 +118,18 @@ object TextOps {
     * non-Latin texts — fall back to hashing the raw text. The guard lives
     * HERE so every consumer (batch dedup, the streaming dedup sinks, the
     * cs_fingerprint SQL surface) inherits it.
+    *
+    * The guard is expressed as coalesce(nullif(norm, ''), text) so the
+    * regex normalization is evaluated ONCE per row — a when/otherwise on
+    * length(norm) would reference the regexp_replace tree in both the
+    * predicate and the branch and run it twice, doubling the dominant
+    * cost of the exact-dedup scan. NULL text stays NULL either way
+    * (xxhash64 skips null args), and '' hashes as '' (nullif fires, the
+    * coalesce falls through to the raw empty string).
     */
   def fingerprint(text: Column): Column = {
     val norm = normalizedText(text)
-    when(length(norm) > 0, xxhash64(norm)).otherwise(xxhash64(text))
+    xxhash64(coalesce(nullif(norm, lit("")), text))
   }
 
   /** Cross-engine-checkable fingerprint: md5 hex of the normalized text
@@ -132,7 +140,7 @@ object TextOps {
     */
   def fingerprintPortable(text: Column): Column = {
     val norm = normalizedText(text)
-    when(length(norm) > 0, md5(norm)).otherwise(md5(text))
+    md5(coalesce(nullif(norm, lit("")), text).cast("binary"))
   }
 
   /** Character shingles (n-grams) as a distinct set. Building block for
