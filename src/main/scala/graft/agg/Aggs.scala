@@ -231,7 +231,12 @@ object Aggs {
           when(col(ordName) === 0L || !(col("__prev") <=> col(groupVal)), 1.0)
             .otherwise(0.0))
       val cIdx = flagged.schema.fieldIndex("__chg")
-      val withRun = graft.window.Moving.affineScanRanged(flagged, Seq(), "__run_d")(
+      // the cumulative pass must scan in the SAME order the __chg flags
+      // were computed in — ordName, not the default pos (the sole current
+      // caller passes ordCol="pos", but a future caller whose ordinal
+      // disagrees with pos order would silently get wrong run_ids)
+      val withRun = graft.window.Moving.affineScanRanged(
+        flagged, Seq(), "__run_d", ordCol = ordName)(
         seed = _ => 0.0) { r => (1.0, r.getDouble(cIdx)) }
         .withColumn("run_id", col("__run_d").cast("long"))
         .drop("__prev", "__run_d")

@@ -435,7 +435,12 @@ object Multimodal {
     require(step >= 1, s"frame sampling step must be >= 1, got $step")
     val spark = meta.sparkSession
     import spark.implicits._
-    meta.select(col("media_id").cast("long"), col("n_frames").cast("int"))
+    // NULL media_id/n_frames rows (a caller-supplied meta frame, not one
+    // built from MediaMeta's primitive fields) sample no frames — the
+    // typed .as[(Long, Int)] decode would otherwise throw an opaque
+    // executor NullPointerException on the first null
+    meta.filter(col("media_id").isNotNull && col("n_frames").isNotNull)
+      .select(col("media_id").cast("long"), col("n_frames").cast("int"))
       .as[(Long, Int)]
       .flatMap { case (id, n) => (0 until n by step).iterator.map(i => (id, i)) }
       .toDF("media_id", "frame_idx")

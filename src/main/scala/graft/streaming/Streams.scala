@@ -337,6 +337,26 @@ object Streams {
     // Append delivers only each batch's new rows — overwriting there
     // would silently keep just the LAST micro-batch
     val writeMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
+    // Append mode accumulates batches into outDir, so a FRESH checkpoint
+    // (no offsets yet — batch numbering restarts at 0) pointed at a STALE
+    // outDir from a previous run would silently re-append every row on
+    // top of the old artifact. Refuse loudly: a restart of the SAME run
+    // (checkpoint has offsets) may of course keep appending.
+    if (writeMode == "append") {
+      val hc = spark.sparkContext.hadoopConfiguration
+      val ckOffsets = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+      val out = new org.apache.hadoop.fs.Path(outDir)
+      val freshCheckpoint = !ckOffsets.getFileSystem(hc).exists(ckOffsets)
+      val staleOut = {
+        val fs = out.getFileSystem(hc)
+        fs.exists(out) && fs.listStatus(out).nonEmpty
+      }
+      if (freshCheckpoint && staleOut) throw new IllegalStateException(
+        s"runToParquet(Append): checkpoint '$checkpoint' is fresh but output " +
+          s"'$outDir' already has content from a previous run — appending " +
+          "would silently duplicate it. Use a fresh outDir (or the previous " +
+          "run's checkpoint to continue it).")
+    }
     val q = df.writeStream
       .outputMode(mode)
       .option("checkpointLocation", checkpoint)

@@ -364,13 +364,21 @@ object Moving {
     * cannot skew it). The first row of a key emits the seed.
     */
   def affineScanRanged(df: DataFrame, keys: Seq[String], out: String,
-                       pre: Boolean = false)(
+                       pre: Boolean = false, ordCol: String = "pos")(
       seed: Row => Double)(coef: Row => (Double, Double)): DataFrame = {
-    if (keys.nonEmpty) return affineScanKeyed(df, keys, out, pre)(seed)(coef)
+    // the keyed dispatch scans in pos order; a caller with a different
+    // ordinal must stay on the keyless path (no current caller mixes
+    // keys with a non-pos ordinal — fail loudly rather than scan in the
+    // wrong order)
+    if (keys.nonEmpty) {
+      require(ordCol == "pos",
+        s"affineScanRanged: keyed scans order by 'pos'; got ordCol='$ordCol'")
+      return affineScanKeyed(df, keys, out, pre)(seed)(coef)
+    }
     guardNames(df.columns.toSeq, Seq(out), "affineScanRanged")
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val all = keys.map(col) :+ col("pos")
+    val all = keys.map(col) :+ col(ordCol)
     val ranged = df.repartitionByRange(parts, all: _*).sortWithinPartitions(all: _*)
     val keyIdx = keys.map(ranged.schema.fieldIndex)
     val keyOf = graft.series.Series.rowKey(keyIdx) _

@@ -148,4 +148,21 @@ class MovingSpec extends AnyFunSuite {
       Moving.rank(series(1, 2).withColumn("rnk", lit(1)), Seq(), "v")
     }
   }
+
+  test("affineScanRanged honors a caller ordinal; keyed + non-pos ordinal is refused") {
+    // scan in __ord order (the REVERSE of pos) — the cumulative state must
+    // follow the caller's ordinal, not the default pos
+    val df = series(10, 20, 30).withColumn("__ord", lit(2L) - col("pos"))
+    val vIdx = df.schema.fieldIndex("v")
+    val out = Moving.affineScanRanged(df, Seq(), "cum", ordCol = "__ord")(
+      seed = _ => 0.0) { r => (1.0, r.getDouble(vIdx)) }
+    val got = out.orderBy("pos").select("cum").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(60.0, 50.0, 30.0), s"reverse-ordinal cumsum, got $got")
+    // keyed scans order by pos — a different ordinal must fail loudly
+    // rather than compute run state in the wrong order
+    intercept[IllegalArgumentException] {
+      Moving.affineScanRanged(df.withColumn("k", lit(1)), Seq("k"), "cum2",
+        ordCol = "__ord")(seed = _ => 0.0) { r => (1.0, r.getDouble(vIdx)) }
+    }
+  }
 }

@@ -254,4 +254,17 @@ class MultimodalSpec extends AnyFunSuite {
         "media_id", "bytes", 0)
     }
   }
+
+  test("sampleFrames: NULL media_id/n_frames rows sample no frames, not an NPE") {
+    // a caller-supplied meta frame (not built from MediaMeta's primitive
+    // fields) can carry nulls — the typed decode would throw an opaque
+    // executor NullPointerException without the filter
+    val meta = Seq(
+      (Some(1L), Some(3)), (None, Some(4)), (Some(3L), None)
+    ).toDF("media_id", "n_frames")
+    val out = Multimodal.sampleFrames(meta, 1).orderBy("media_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out == Seq((1L, 0), (1L, 1), (1L, 2)),
+      s"null-meta rows must be skipped, got $out")
+  }
 }

@@ -355,6 +355,16 @@ class StreamingDictSpec extends AnyFunSuite {
     (6L to 8L).toDF("x").coalesce(1).write.mode("append").parquet(s"$base/src")
     val got = Streams.runToParquet(src, s"$base/out", s"$base/ck", OutputMode.Append())
     assert(got.count() == 8, s"append mode must retain every batch, got ${got.count()}")
+    // a FRESH checkpoint pointed at the STALE outDir must refuse loudly:
+    // batch numbering restarts at 0 and every row would silently append
+    // on top of the previous run's artifact (duplicating it)
+    val e = intercept[IllegalStateException] {
+      Streams.runToParquet(src, s"$base/out", s"$base/ck2", OutputMode.Append())
+    }
+    assert(e.getMessage.contains("fresh"), e.getMessage)
+    // the same fresh checkpoint into a fresh outDir is the normal path
+    val fresh = Streams.runToParquet(src, s"$base/out2", s"$base/ck2", OutputMode.Append())
+    assert(fresh.count() == 8)
   }
 
   test("dict codes are dense sorted ranks; str2code/code2str round-trip") {
