@@ -562,11 +562,12 @@ object Tables {
     */
   private def manifestPrunedRead(spark: SparkSession, path: String,
                                  schema: StructType,
-                                 fromNs: Long, tillNs: Long): Option[DataFrame] = {
+                                 fromNs: Long, tillNs: Long,
+                                 tsName: String = "ts"): Option[DataFrame] = {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp) || fs.getFileStatus(hp).isFile) return None
-    readManifest(fs, hp).filter(_.ts == "ts").flatMap { m =>
+    readManifest(fs, hp).filter(_.ts == tsName).flatMap { m =>
       val listing = fs.listStatus(hp).toSeq
       // a nested (partitioned) layout cannot be served by per-file reads
       // — even a consistent-looking manifest (e.g. empty ↔ empty) would
@@ -1074,7 +1075,29 @@ object Tables {
       .sortBy(sort.head, sort.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+    // the bucketed layout makes the SAME lifecycle promises as the
+    // clustered one: a ts manifest at the committed location backs
+    // appendBucketed's metadata-only out-of-order rejection and
+    // rangeScanBucketed's file pruning. Written before the aside copy is
+    // released so a crash here leaves either the old table (recoverable)
+    // or the new one with its manifest.
+    seriesTsOf(keys, sortCols).foreach { ts =>
+      val newLoc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      writeManifest(spark, newLoc.toString, ts)
+    }
     fs.delete(replaced, true)
+  }
+
+  /** The bucketed layout's series-order column: the first sort column
+    * BEYOND the bucket keys (case-insensitive — Spark resolution is).
+    * None for key-only or sortless specs — such a table carries no series
+    * order, so the ordered-ingest contract and ts pruning don't apply.
+    */
+  private def seriesTsOf(keys: Seq[String], sortCols: Seq[String]): Option[String] = {
+    val keySet = keys.map(_.toLowerCase).toSet
+    sortCols.find(c => !keySet(c.toLowerCase))
   }
 
   /** [[loadBucketed]] with the bucket count DERIVED from the data: a
@@ -1137,12 +1160,78 @@ object Tables {
       sys.error(s"appendBucketed: $table carries no bucket spec"))
     val keys = bs.bucketColumnNames
     val sort = bs.sortColumnNames
+    val loc = new Path(ct.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(): Seq[FileStatus] =
+      if (fs.exists(loc))
+        fs.listStatus(loc).filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+      else Seq.empty
+    val preFiles = listing()
+    // ordered-ingest contract — the SAME promise the clustered append
+    // makes (imcs.c:4617-4740): a batch below the stored series tail is an
+    // error, not a silent corruption. The tail comes from the manifest
+    // when it is present, consistent, and fully stat-carrying (a metadata
+    // lookup reading zero data bytes); manifest-less/stat-less tables pay
+    // one max(ts) scan over the catalog table. Sortless specs carry no
+    // series order — nothing to protect.
+    val seriesTs = seriesTsOf(keys, sort)
+    for (ts <- seriesTs; if preFiles.nonEmpty) {
+      val manifestTail: Option[Option[Long]] =
+        readManifest(fs, loc).filter(_.ts == ts)
+          .filter(manifestConsistent(_, preFiles))
+          .flatMap { m =>
+            if (m.files.isEmpty) Some(None)
+            else if (m.files.forall(_.maxNs.isDefined))
+              Some(Some(m.files.flatMap(_.maxNs).max))
+            else None
+          }
+      manifestTail match {
+        case Some(tailNsOpt) =>
+          for (tailNs <- tailNsOpt) {
+            val mnRow = normalizeNsTs(df.select(col(ts).as("ts")))
+              .agg(min(col("ts")).as("mn")).head()
+            val mnNs = if (mnRow.isNullAt(0)) None
+              else Some(mnRow.get(0).asInstanceOf[Number].longValue)
+            if (mnNs.exists(_ < tailNs))
+              throw new IllegalStateException(
+                s"out-of-order appendBucketed: incoming min($ts)=${mnNs.get}ns is " +
+                  s"below the stored series tail max($ts)=${tailNs}ns (manifest) — " +
+                  "the reference rejects appends below the loaded tail " +
+                  "(imcs.c:4617-4740)")
+          }
+        case None =>
+          val viol = df.agg(min(col(ts)).as("mn"))
+            .crossJoin(spark.table(table).agg(max(col(ts)).as("mx")))
+            .filter(col("mn") < col("mx"))
+            .head(1)
+          if (viol.nonEmpty)
+            throw new IllegalStateException(
+              s"out-of-order appendBucketed: incoming min($ts)=${viol.head.get(0)} " +
+                s"is below the stored series tail max($ts)=${viol.head.get(1)} — " +
+                "the reference rejects appends below the loaded tail " +
+                "(imcs.c:4617-4740)")
+      }
+    }
     val w0 = df.repartition(bs.numBuckets, keys.map(col): _*)
       .write.mode(SaveMode.Append)
       .bucketBy(bs.numBuckets, keys.head, keys.tail: _*)
     // bucketBy without sortBy is a legal catalog spec — mirror it exactly
     val w = if (sort.isEmpty) w0 else w0.sortBy(sort.head, sort.tail: _*)
     w.format("parquet").saveAsTable(table)
+    // extend the manifest with the batch's files as loaded=false (the set
+    // compactBucketed's fold re-establishes); a manifest that no longer
+    // matches the pre-append listing is stale (foreign writer) — drop it
+    // rather than compound the lie, exactly like the clustered append
+    for (ts <- seriesTs)
+      readManifest(fs, loc).filter(_.ts == ts).foreach { m =>
+        if (manifestConsistent(m, preFiles)) {
+          val preNames = preFiles.map(_.getPath.getName).toSet
+          val fresh = listing().filterNot(s => preNames(s.getPath.getName))
+          val entries = scanEntries(spark.sparkContext.hadoopConfiguration, ts,
+            fresh, loaded = false)
+          writeManifestFile(fs, loc, m.copy(files = m.files ++ entries))
+        } else fs.delete(new Path(loc, ManifestName), false)
+      }
     spark.catalog.refreshTable(table)
   }
 
@@ -1245,8 +1334,53 @@ object Tables {
     fs.delete(marker, false)
     dropFoldLeftovers()
     if (fs.exists(foldLoc)) fs.delete(foldLoc, true)
+    // the pre-fold manifest travelled into `.compact.old` with the rest of
+    // the replaced dir — regenerate it over the folded layout (every file
+    // loaded=true again), same as the clustered compact
+    seriesTsOf(bs.bucketColumnNames, bs.sortColumnNames).foreach { ts =>
+      writeManifest(spark, loc.toString, ts)
+    }
     spark.catalog.refreshTable(table)
     (before.size, dataFiles(loc).size)
+  }
+
+  /** TABLE_get over a BUCKETED table: ts-range scan with file-level
+    * pruning from the manifest sidecar — the second half of the
+    * reference's B-tree contract (per-key locality AND ts search,
+    * btree.c:479-589), which the bucketed layout previously lacked.
+    *
+    * What prunes: append batches (one file per touched bucket, each
+    * spanning only its batch's ts range) outside the slice are skipped
+    * entirely — the steady-state win for "recent data" scans between
+    * folds. The base load's bucket files each span the table's full ts
+    * range by construction (sorted by (keys, ts) WITHIN a bucket), so
+    * they prune only when the slice excludes the whole table; after a
+    * fold the same holds. This mirrors the trade the reference makes:
+    * its per-key B-trees also hold each key's full history, and a ts
+    * search descends within them.
+    *
+    * The pruned read serves files directly, so the result does NOT carry
+    * the bucket-join (zero-Exchange) property — correct for slice scans,
+    * which aggregate or feed small joins; a caller joining ON the bucket
+    * keys should read `spark.table(table)` instead. Falls back to the
+    * plain catalog table (parquet row-group pruning still applies) when
+    * the manifest is absent or stale.
+    */
+  def rangeScanBucketed(spark: SparkSession, table: String,
+                        fromNs: Long, tillNs: Long): DataFrame = {
+    val ct = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val bs = ct.bucketSpec.getOrElse(
+      sys.error(s"rangeScanBucketed: $table carries no bucket spec"))
+    val ts = seriesTsOf(bs.bucketColumnNames, bs.sortColumnNames).getOrElse(
+      sys.error(s"rangeScanBucketed: $table has no series ts sort column — " +
+        "a key-only bucket spec carries no series order to scan by"))
+    val dt = ct.schema.fields.find(_.name.equalsIgnoreCase(ts)).map(_.dataType)
+      .getOrElse(sys.error(s"rangeScanBucketed: sort column $ts missing from " +
+        s"$table's schema"))
+    val base = manifestPrunedRead(spark, new Path(ct.location).toString,
+      ct.schema, fromNs, tillNs, tsName = ts).getOrElse(spark.table(table))
+    base.filter(col(ts) >= tsLit(fromNs, dt) && col(ts) < tsLit(tillNs, dt))
   }
 
   /** [[loadBucketed]] unless `table` already exists with data on disk AND

@@ -185,9 +185,17 @@ class BucketedJoinSpec extends AnyFunSuite {
     def md5(f: java.io.File) = java.security.MessageDigest.getInstance("MD5")
       .digest(java.nio.file.Files.readAllBytes(f.toPath)).map("%02x".format(_)).mkString
     val pre = files.map(f => f.getName -> md5(f)).toMap
-    // append ONE key's rows: at most one bucket goes hot
+    // append ONE key's rows: at most one bucket goes hot. The batch rides
+    // ABOVE the stored tail (ts-shifted past max) — the ordered-ingest
+    // contract appendBucketed now enforces, same as the clustered append.
     val k0 = ev.select("key").head().getLong(0)
-    Tables.appendBucketed(ev.filter(col("key") === k0), "b_cold")
+    val span = {
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      mm.getLong(1) - mm.getLong(0) + 1L
+    }
+    Tables.appendBucketed(
+      ev.filter(col("key") === k0).withColumn("ts", col("ts") + lit(span)),
+      "b_cold")
     val hotNames = files.map(_.getName).toSet -- pre.keySet
     assert(hotNames.nonEmpty)
     val (nb, na) = Tables.compactBucketed(spark, "b_cold")

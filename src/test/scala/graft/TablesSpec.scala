@@ -308,6 +308,70 @@ class TablesSpec extends AnyFunSuite {
       s"guard should cite the manifest tail, got: ${e.getMessage}")
   }
 
+  private def tableLoc(t: String): java.io.File =
+    new java.io.File(java.net.URI.create(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString))
+
+  test("bucketed append enforces the ordered-ingest contract from the manifest (metadata-only)") {
+    val t = "bkt_ooo_guard"
+    Tables.loadBucketed((0L until 50L).map(i => (i % 5, i, i * 1.0))
+      .toDF("k", "ts", "v"), t, Seq("k"), 4, sortCols = Seq("ts"))
+    // garble every stored data file IN PLACE (same names, same lengths):
+    // the manifest stays consistent with the listing but any data read
+    // would throw — a tail check that still fires has provably read ZERO
+    // stored data bytes, the same property the clustered append proves
+    for (f <- tableLoc(t).listFiles.toSeq
+         if f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](f.length.toInt)(0x5a))
+      val crc = new java.io.File(f.getParentFile, "." + f.getName + ".crc")
+      if (crc.exists) crc.delete()
+    }
+    // in-order append: accepted without touching the (garbaged) data
+    Tables.appendBucketed(Seq((1L, 60L, 1.0)).toDF("k", "ts", "v"), t)
+    // out-of-order append: rejected from the manifest-recorded tail (60)
+    val e = intercept[IllegalStateException] {
+      Tables.appendBucketed(Seq((1L, 10L, 2.0)).toDF("k", "ts", "v"), t)
+    }
+    assert(e.getMessage.contains("manifest"),
+      s"guard should cite the manifest tail, got: ${e.getMessage}")
+    // key-only (sortless) specs carry no series order — append stays free
+    val t2 = "bkt_ooo_sortless"
+    Tables.loadBucketed(Seq((1L, 9L)).toDF("k", "ts"), t2, Seq("k"), 2)
+    Tables.appendBucketed(Seq((1L, 3L)).toDF("k", "ts"), t2)
+    assert(spark.table(t2).count() == 2)
+  }
+
+  test("rangeScanBucketed prunes files outside the ts slice via the manifest") {
+    val t = "bkt_prune"
+    Tables.loadBucketed((0L until 100L).map(i => (i % 5, i, i * 1.0))
+      .toDF("k", "ts", "v"), t, Seq("k"), 4, sortCols = Seq("ts"))
+    Tables.appendBucketed((100L until 130L).map(i => (i % 5, i, i * 1.0))
+      .toDF("k", "ts", "v"), t)
+    def nFiles = tableLoc(t).listFiles.count(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val total = nFiles
+    // a slice over the APPENDED range skips every base bucket file
+    // (their recorded max is 99) — the steady-state recent-data win
+    val recent = Tables.rangeScanBucketed(spark, t, 100L, 130L)
+    assert(recent.count() == 30)
+    assert(recent.inputFiles.length < total && recent.inputFiles.nonEmpty,
+      s"expected the append batch's files only, got ${recent.inputFiles.length} of $total")
+    // a slice below the appended range skips the append files instead
+    val base = Tables.rangeScanBucketed(spark, t, 0L, 50L)
+    assert(base.count() == 50)
+    assert(base.inputFiles.length < total,
+      s"expected the base files only, got ${base.inputFiles.length} of $total")
+    // after a fold the regenerated manifest still serves (and the whole
+    // table again prunes only when the slice excludes it)
+    Tables.compactBucketed(spark, t)
+    val all = Tables.rangeScanBucketed(spark, t, 0L, 200L)
+    assert(all.count() == 130)
+    val none = Tables.rangeScanBucketed(spark, t, 500L, 600L)
+    assert(none.count() == 0 && none.inputFiles.isEmpty,
+      "a slice beyond the table must read zero files")
+  }
+
   test("compact flavors refuse to destroy foreign content in the table dir") {
     val path = tmp("foreign")
     Tables.load((0L until 50L).map(i => (i, i * 1.0)).toDF("ts", "v"),
