@@ -502,6 +502,93 @@ object Tables {
         "remove or relocate foreign artifacts first")
   }
 
+  // ---- writer lease ----------------------------------------------------
+
+  /** Cross-process writer exclusion for the MUTATING lifecycle ops — the
+    * role the reference's MURSIW (multiple-readers-single-writer) lock
+    * plays (imcs.c:879-905). Readers need nothing: every protocol installs
+    * via atomic rename, so a reader sees the old or the new layout, never
+    * a torn one. Two LIVE writers racing a compact/append interleave is
+    * the case the staged-swap machinery cannot save — both stage against
+    * the same listing and the second install destroys the first's rows —
+    * so append, deleteRange, truncate, both compact flavors and the
+    * bucketed append/compact each hold this lease for the op's duration.
+    *
+    * The lease is a SIBLING file `<dir>.lease`, not an entry inside the
+    * table dir: the swap protocols replace the live dir wholesale (a
+    * lease inside would vanish mid-op) and the foreign-entry guard would
+    * have to whitelist it.
+    *
+    * Acquisition: create-if-absent with a unique token, then read back
+    * and confirm the token — the read-back arbitrates the local
+    * filesystem's check-then-create window (HDFS create is atomic; the
+    * read-back is belt-and-braces there). A present lease younger than
+    * the TTL is a LIVE writer → fail loudly, never queue (the reference
+    * blocks on its LWLock; a distributed job failing fast and retrying
+    * beats silently serializing hours-long maintenance). Older is a DEAD
+    * writer — a real kill, since a mere exception releases in the
+    * `finally` — and is broken and taken over, which is safe because
+    * every protocol is crash-recoverable at any step (crash-point fuzz).
+    * Re-entrant per thread so compactIncremental's fallback into compact
+    * doesn't self-deadlock.
+    */
+  private def leaseTtlMs: Long = sys.props.get("graft.lease.ttl.ms")
+    .flatMap(_.toLongOption).getOrElse(10L * 60L * 1000L)
+
+  private val heldLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue(): scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty[String]
+  }
+
+  private[graft] def withWriterLease[T](fs: FileSystem, dir: Path, op: String)(
+      body: => T): T = {
+    val key = dir.toString
+    if (heldLeases.get.contains(key)) return body // re-entrant (same thread)
+    val lease = new Path(dir.getParent, dir.getName + ".lease")
+    val token = java.util.UUID.randomUUID().toString
+    val record = org.json4s.jackson.Serialization.write(Map(
+      "token" -> token, "op" -> op,
+      "pid" -> java.lang.ProcessHandle.current().pid().toString,
+      "acquiredMs" -> System.currentTimeMillis().toString))
+    def tryCreate(): Boolean =
+      (try {
+        val out = fs.create(lease, false)
+        try { out.write(record.getBytes(java.nio.charset.StandardCharsets.UTF_8)); true }
+        finally out.close()
+      } catch { case _: java.io.IOException => false }) &&
+        // read back: whoever's token survived owns the lease
+        scala.util.Try(readSmallText(fs, lease)).toOption.exists(_.contains(token))
+    if (!tryCreate()) {
+      val ageMs = scala.util.Try(fs.getFileStatus(lease)).toOption
+        .map(s => System.currentTimeMillis() - s.getModificationTime)
+      if (ageMs.forall(_ < leaseTtlMs)) {
+        val holder = scala.util.Try(readSmallText(fs, lease)).getOrElse("<unreadable>")
+        throw new IllegalStateException(
+          s"$op: another writer holds the lease on $dir " +
+            s"(age ${ageMs.getOrElse(-1L)}ms < ttl ${leaseTtlMs}ms): $holder — " +
+            "concurrent lifecycle writers are not supported (the reference " +
+            "holds an exclusive lock here, imcs.c:879-905); retry after it " +
+            "finishes or expires")
+      }
+      // stale: a DEAD writer's lease — break it and take over (its partial
+      // state is exactly what the entry recovery/cleanup paths handle)
+      fs.delete(lease, false)
+      if (!tryCreate())
+        throw new IllegalStateException(
+          s"$op: lost the lease race on $dir after breaking a stale lease — " +
+            "another writer took it; retry")
+    }
+    heldLeases.get += key
+    try body
+    finally {
+      heldLeases.get -= key
+      // delete only OUR lease: if this op overran the TTL and another
+      // writer broke it, the successor's lease is not ours to remove
+      if (scala.util.Try(readSmallText(fs, lease)).toOption.exists(_.contains(token)))
+        fs.delete(lease, false)
+    }
+  }
+
   private def writeManifestFile(fs: FileSystem, dir: Path, m: TsManifest): Unit =
     writeSmallFileAtomic(fs, new Path(dir, ManifestName),
       org.json4s.jackson.Serialization.write(m))
@@ -643,6 +730,7 @@ object Tables {
               targetBytes: Long = 128L << 20): (Int, Int) = {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLease(fs, hp, "compact") {
     recoverCompact(fs, path)
     guardCompactable(fs, hp)
     def dataFiles(p: Path): Array[FileStatus] =
@@ -660,6 +748,7 @@ object Tables {
     writeManifest(spark, path, ts)
     invalidateRead(spark, path)
     (before.length, dataFiles(hp).length)
+    }
   }
 
   /** Crash recovery shared by [[compact]] and [[compactIncremental]] —
@@ -783,6 +872,7 @@ object Tables {
                          ts: String, targetBytes: Long = 128L << 20): (Int, Int) = {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLease(fs, hp, "compactIncremental") {
     recoverCompact(fs, path)
     guardCompactable(fs, hp)
     def dataFiles(p: Path): Array[FileStatus] =
@@ -829,6 +919,7 @@ object Tables {
     fs.delete(marker, false)
     invalidateRead(spark, path)
     (before.length, dataFiles(hp).length)
+    }
   }
 
   /** TABLE_append: rows with ts >= from appended (imcs--1.1.sql:211-217).
@@ -854,6 +945,7 @@ object Tables {
     val incoming = df.filter(col(ts) >= from)
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLease(fs, hp, "append") {
     def listing(): Seq[FileStatus] =
       if (fs.exists(hp))
         fs.listStatus(hp).filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
@@ -921,6 +1013,7 @@ object Tables {
       } else fs.delete(new Path(hp, ManifestName), false)
     }
     invalidateRead(spark, path)
+    }
   }
 
   /** TABLE_delete(from, till): inclusive range delete by timestamp
@@ -937,6 +1030,7 @@ object Tables {
                   from: Column, till: Column): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLease(fs, p, "deleteRange") {
     val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
     val old = new org.apache.hadoop.fs.Path(path + ".delete.old")
     // entry recovery (mirrors recoverCompact's no-marker branch); with the
@@ -969,6 +1063,7 @@ object Tables {
     // are the established layout now)
     writeManifest(spark, path, ts)
     invalidateRead(spark, path)
+    }
   }
 
   /** TABLE_truncate (imcs--1.1.sql:105-115). The filesystem comes from
@@ -978,8 +1073,10 @@ object Tables {
   def truncate(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    invalidateRead(spark, path)
+    withWriterLease(fs, p, "truncate") {
+      fs.delete(p, true)
+      invalidateRead(spark, path)
+    }
   }
 
   /** Bucketed ingest for co-located joins: hash-bucket and sort by the
@@ -1162,6 +1259,7 @@ object Tables {
     val sort = bs.sortColumnNames
     val loc = new Path(ct.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLease(fs, loc, "appendBucketed") {
     def listing(): Seq[FileStatus] =
       if (fs.exists(loc))
         fs.listStatus(loc).filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
@@ -1233,6 +1331,7 @@ object Tables {
         } else fs.delete(new Path(loc, ManifestName), false)
       }
     spark.catalog.refreshTable(table)
+    }
   }
 
   /** Per-bucket incremental compact for a bucketed catalog table: fold
@@ -1262,6 +1361,7 @@ object Tables {
       sys.error(s"compactBucketed: $table carries no bucket spec"))
     val loc = new Path(ct.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLease(fs, loc, "compactBucketed") {
     recoverCompact(fs, loc.toString)
     guardCompactable(fs, loc)
     // a crashed earlier fold leaks the staged `__fold` table — possibly
@@ -1342,6 +1442,7 @@ object Tables {
     }
     spark.catalog.refreshTable(table)
     (before.size, dataFiles(loc).size)
+    }
   }
 
   /** TABLE_get over a BUCKETED table: ts-range scan with file-level

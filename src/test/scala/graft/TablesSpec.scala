@@ -342,6 +342,49 @@ class TablesSpec extends AnyFunSuite {
     assert(spark.table(t2).count() == 2)
   }
 
+  test("writer lease: a live second writer is refused; a dead one's lease is broken") {
+    val path = tmp("lease")
+    Tables.load((0L until 20L).map(i => (i, i * 1.0)).toDF("ts", "v"), path, Seq(), "ts")
+    val leaseFile = new java.io.File(path + ".lease")
+    // plant ANOTHER writer's fresh lease — every mutating op must refuse
+    val foreign = """{"token":"someone-else","op":"compact","pid":"0","acquiredMs":"0"}"""
+    java.nio.file.Files.write(leaseFile.toPath, foreign.getBytes("UTF-8"))
+    for ((name, op) <- Seq[(String, () => Unit)](
+      "append" -> (() =>
+        Tables.append(Seq((30L, 1.0)).toDF("ts", "v"), path, "ts", lit(0L))),
+      "compact" -> (() => { Tables.compact(spark, path, Seq(), "ts"); () }),
+      "compactIncremental" -> (() =>
+        { Tables.compactIncremental(spark, path, Seq(), "ts"); () }),
+      "deleteRange" -> (() =>
+        Tables.deleteRange(spark, path, "ts", lit(0L), lit(5L))),
+      "truncate" -> (() => Tables.truncate(spark, path)))) {
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("another writer"),
+        s"$name must refuse under a live foreign lease, got: ${e.getMessage}")
+    }
+    assert(spark.read.parquet(path).count() == 20, "refused ops wrote nothing")
+    // age the lease past the TTL: a DEAD writer — broken and taken over
+    assert(leaseFile.setLastModified(System.currentTimeMillis() - 11L * 60L * 1000L))
+    Tables.append(Seq((30L, 1.0)).toDF("ts", "v"), path, "ts", lit(0L))
+    assert(spark.read.parquet(path).count() == 21)
+    assert(!leaseFile.exists, "a completed op releases its lease")
+    // bucketed flavors hold the lease on the catalog location
+    val t = "bkt_lease"
+    Tables.loadBucketed(Seq((1L, 1L, 1.0)).toDF("k", "ts", "v"), t, Seq("k"), 2,
+      sortCols = Seq("ts"))
+    val bktLease = new java.io.File(tableLoc(t).getParent, tableLoc(t).getName + ".lease")
+    java.nio.file.Files.write(bktLease.toPath, foreign.getBytes("UTF-8"))
+    val eb = intercept[IllegalStateException] {
+      Tables.appendBucketed(Seq((1L, 2L, 2.0)).toDF("k", "ts", "v"), t)
+    }
+    assert(eb.getMessage.contains("another writer"), eb.getMessage)
+    val ec = intercept[IllegalStateException](Tables.compactBucketed(spark, t))
+    assert(ec.getMessage.contains("another writer"), ec.getMessage)
+    bktLease.delete()
+    Tables.appendBucketed(Seq((1L, 2L, 2.0)).toDF("k", "ts", "v"), t)
+    assert(spark.table(t).count() == 2)
+  }
+
   test("rangeScanBucketed prunes files outside the ts slice via the manifest") {
     val t = "bkt_prune"
     Tables.loadBucketed((0L until 100L).map(i => (i % 5, i, i * 1.0))
