@@ -27,7 +27,10 @@ object Plans {
     // pure predicate pushdown (Q6), join-order/broadcast (Q3), the
     // six-table multi-way join (Q5), and the conditional-aggregate
     // promo share (Q14)
-    "q_tpch_q6", "q_tpch_q3", "q_tpch_q5", "q_tpch_q14", "q_concat_ranges")
+    "q_tpch_q6", "q_tpch_q3", "q_tpch_q5", "q_tpch_q14", "q_concat_ranges",
+    // round 11: the semi/anti join families (Q4 EXISTS → left-semi,
+    // Q16 NOT IN → left-anti)
+    "q_tpch_q4", "q_tpch_q16")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

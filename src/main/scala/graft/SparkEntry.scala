@@ -1268,6 +1268,43 @@ object SparkEntry {
         .agg(fl(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .as("revenue"))
     }),
+    "q_tpch_q4" -> ((s, dir) =>
+      // TPC-H Q4 (order priority checking), adapted to the testdata
+      // columns (no l_commitdate/l_receiptdate shipped: the EXISTS
+      // predicate is "the order has a returned line", l_returnflag='R')
+      // — the SEMI-join plan family: EXISTS compiles to LEFT-SEMI, so
+      // each order emits AT MOST ONCE however many lines match (a plain
+      // join + distinct would shuffle the duplicated rows first). The
+      // date-quarter cut pushes to the orders scan; the returned-lines
+      // side carries only l_orderkey into the join; one shuffle for the
+      // 5-group aggregate. Plan notes in PLANS.md.
+      ord(s, dir)
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+        .join(li(s, dir).filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))),
+    "q_tpch_q16" -> ((s, dir) => {
+      // TPC-H Q16 (supplier relationship), adapted to the testdata (no
+      // partsupp table: lineitem's (l_partkey, l_suppkey) is the
+      // part-supplier relationship; no s_comment: the excluded-supplier
+      // cut is s_acctbal < 0) — the ANTI-join plan family: NOT IN over a
+      // non-null key compiles to LEFT-ANTI against the (tiny, broadcast)
+      // excluded set, then the part cuts broadcast into the fact, one
+      // shuffle for the distinct-count aggregate. Plan notes in PLANS.md.
+      val sup = Tables.read(s, dir, "supplier")
+      val p = Tables.read(s, dir, "part")
+      li(s, dir).select(col("l_partkey"), col("l_suppkey"))
+        .join(sup.filter(col("s_acctbal") < 0).select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(p.filter(col("p_brand") =!= "Brand#1" &&
+            !col("p_type").startsWith("SMALL") &&
+            col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
     "q_tpch_cs_q6" -> ((s, dir) => {
       // Q6 through the registered cs_* surface: cs_filter NULL-masks the
       // non-qualifying rows, cs_sum ignores the masks — the reference's
@@ -2760,6 +2797,24 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate <  TIMESTAMP '1997-01-01'
          GROUP BY n_name""",
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority""",
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+         count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#1'
+           AND p_type NOT LIKE 'SMALL%'
+           AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size""",
     "q_tpch_cs_q6" ->
       """SELECT CAST(sum(l_extendedprice * l_discount) AS REAL) AS revenue,
          count(*) AS n
