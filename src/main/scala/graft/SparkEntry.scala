@@ -602,6 +602,31 @@ object SparkEntry {
         fl(element_at(element_at(col("asof_nmv"), "stats"), "mx")).as("asof_mx"),
         fl(element_at(element_at(col("asof_nmv"), "stats"), "mn")).as("asof_mn"))
     }),
+    "q_asof_exec_map_deep" -> ((s, dir) => {
+      // keyless as-of carrying a DEPTH-3 map (map<string, map<string,
+      // map<string, double>>>) — the shape beyond the entry-array route:
+      // the value transcodes recursively to a map-free canonical
+      // struct-of-sorted-arrays, rides the parallel scan, and decodes
+      // back (r11 closes the last AllTuples corner; README "As-of value
+      // types"). The right map is {agg → {stats → {mx→max, mn→min}}} per
+      // ts; the query unpacks the carried nesting to the oracle scalars.
+      val ev = Tables.read(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("value"))
+      val r = ev.filter(col("event_type") === "signup")
+        .groupBy(col("ts")).agg(
+          map_from_arrays(array(lit("agg")),
+            array(map_from_arrays(array(lit("stats")),
+              array(map_from_arrays(array(lit("mx"), lit("mn")),
+                array(max(col("value")), min(col("value")))))))).as("dmv"))
+      val out = graft.plans.AsofMerge.asofJoin(l, r, Seq(), "ts", "dmv", "asof_dmv")
+      require(!out.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+        "depth-3 map as-of must ride the deep-transcoded parallel scan")
+      val stats = element_at(element_at(col("asof_dmv"), "agg"), "stats")
+      out.select(col("event_id"), fl(col("value")).as("value"),
+        fl(element_at(stats, "mx")).as("asof_mx"),
+        fl(element_at(stats, "mn")).as("asof_mn"))
+    }),
     "q_asof_pos" -> ((s, dir) => {
       // cs_asof_join_pos (func.c:4591-4662): carry the matched right POS.
       // Right side deduped to one row per (user_id, ts) — the max pos —
@@ -2453,6 +2478,13 @@ object SparkEntry {
     // the nested-map carry unpacks to the SAME scalars — the nesting is
     // engine-side structure the oracle flattens by construction
     "q_asof_exec_map_nested" ->
+      """SELECT l.event_id, CAST(l."value" AS REAL) AS value,
+         CAST(r.mx AS REAL) AS asof_mx, CAST(r.mn AS REAL) AS asof_mn
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT ts, max("value") AS mx, min("value") AS mn
+                         FROM events WHERE event_type = 'signup' GROUP BY ts) r
+         ON l.ts >= r.ts""",
+    "q_asof_exec_map_deep" ->
       """SELECT l.event_id, CAST(l."value" AS REAL) AS value,
          CAST(r.mx AS REAL) AS asof_mx, CAST(r.mn AS REAL) AS asof_mn
          FROM (SELECT * FROM events WHERE event_type = 'purchase') l

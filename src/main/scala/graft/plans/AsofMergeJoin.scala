@@ -295,6 +295,16 @@ object AsofMerge {
               structDecomposable(dt) || mapDecomposable(dt)))
           return keylessMapAsof(left, right, lTs.get, cols, outCols,
             direction, inclusive)
+        // maps the entry-array route can't flatten — nested 3+ levels, or
+        // buried inside arrays/structs — transcode recursively to a
+        // map-free canonical struct-of-arrays and ride the parallel scan;
+        // checked after keylessMapAsof so the cheaper one-level route
+        // keeps frames it fully covers
+        if (dts.exists(containsMap) &&
+            dts.forall(dt => lanable(dt) || dictEncodable(dt) ||
+              structDecomposable(dt) || containsMap(dt)))
+          return keylessDeepMapAsof(left, right, lTs.get, cols, outCols,
+            direction, inclusive)
         // structs of lane-able/dict-encodable fields decompose per-field
         // onto the same lanes (plus a presence lane) and reassemble —
         // row-carry guarantees all fields come from the same matched row.
@@ -401,10 +411,10 @@ object AsofMerge {
     * That includes arrays (of atomics, structs, or nested arrays): array
     * columns are hashable/orderable group and join keys. Maps are not
     * groupable in Spark at any depth — map-BEARING types are not dict-
-    * encodable; top-level and one-level-nested map COLUMNS still ride the
-    * parallel scan via [[mapDecomposable]]'s entry-array flattening, and
-    * only deeper nesting stays on the serial exec (README "As-of value
-    * types").
+    * encodable directly; top-level and one-level-nested map COLUMNS ride
+    * the parallel scan via [[mapDecomposable]]'s entry-array flattening,
+    * and every other map shape (depth 3+, maps inside arrays/structs)
+    * via [[keylessDeepMapAsof]]'s recursive map-free transcoding.
     */
   private def dictEncodable(dt: DataType): Boolean = dt match {
     case StringType | BinaryType | _: DecimalType => true
@@ -457,9 +467,10 @@ object AsofMerge {
     * array-of-key-arrays and an array-of-value-arrays (null inner maps
     * stay null elements — `map_entries(null)` is null through the
     * transform), both plain dict-encodable nested arrays. Deeper nesting
-    * (a map at level 3+, or maps inside arrays/structs) stays on the
-    * serial AllTuples exec — the documented statement of record (README
-    * "As-of value types"): correct, single-task, and loud in the plan.
+    * (a map at level 3+, or maps inside arrays/structs) rides
+    * [[keylessDeepMapAsof]]'s recursive transcoder instead — the entry-
+    * array route stays preferred where it applies because it skips the
+    * per-level struct wrapping.
     */
   private def mapDecomposable(dt: DataType): Boolean = dt match {
     case MapType(k, v, _) if !containsMap(k) => v match {
@@ -487,10 +498,11 @@ object AsofMerge {
 
   /** Working names of the map-decomposition route (entry-array extraction,
     * presence, and their scan outputs) — reserved like [[StructTempName]].
+    * `__dmN`/`__dmoN` are the deep-map transcoder's ([[keylessDeepMapAsof]]).
     */
   private val MapTempName =
     ("(?i)(__mk\\d+|__mv\\d+|__mp\\d+|__mq\\d+|__mok\\d+|__mov\\d+" +
-      "|__mvk\\d+|__mvv\\d+|__movk\\d+|__movv\\d+)").r
+      "|__mvk\\d+|__mvv\\d+|__movk\\d+|__movv\\d+|__dm\\d+|__dmo\\d+)").r
   private def guardInternalNames(lf: DataFrame, rf: DataFrame): Unit = {
     val clash = (lf.columns ++ rf.columns).distinct
       .filter(c => InternalName.pattern.matcher(c).matches())
@@ -707,6 +719,111 @@ object AsofMerge {
           map_from_arrays(col(s"__mok$i"),
             zip_with(col(s"__movk$i"), col(s"__movv$i"),
               (ks, vs) => when(ks.isNotNull, map_from_arrays(ks, vs))))))
+    }
+    rebuilt.select((lf.columns.toSeq ++ outCols).map(col): _*)
+  }
+
+  /** The map-free image of a type: every map at ANY depth becomes a
+    * struct of parallel key/value arrays. Used by [[keylessDeepMapAsof]].
+    */
+  private def encMapFree(c: org.apache.spark.sql.Column,
+                         dt: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    dt match {
+      case MapType(k, v, _) =>
+        // entries sorted by ENCODED key: keys are unique and non-null, so
+        // the sort is total (encoding is injective) and equal maps get ONE
+        // canonical encoding — the property the dictionary route's
+        // group-by-value requires. The encoded key type (struct/array/
+        // atomic, map-free by construction) is orderable where a raw
+        // map-bearing key would not be.
+        val encEnts = transform(map_entries(c), e => struct(
+          encMapFree(e.getField("key"), k).as("k"),
+          encMapFree(e.getField("value"), v).as("v")))
+        val sorted = array_sort(encEnts, (a, b) =>
+          when(a.getField("k") < b.getField("k"), lit(-1))
+            .when(a.getField("k") > b.getField("k"), lit(1))
+            .otherwise(lit(0)))
+        // null map → null struct (struct() of null fields is NOT null)
+        when(c.isNotNull, struct(
+          transform(sorted, _.getField("k")).as("ks"),
+          transform(sorted, _.getField("v")).as("vs")))
+      case ArrayType(e, _) if containsMap(e) =>
+        transform(c, x => encMapFree(x, e))
+      case st: StructType if containsMap(st) =>
+        when(c.isNotNull, struct(st.fields.toSeq.map(f =>
+          encMapFree(c.getField(f.name), f.dataType).as(f.name)): _*))
+      case _ => c
+    }
+  }
+
+  /** Inverse of [[encMapFree]] — null-gated at every level, so null-ness
+    * at any nesting depth survives the round trip (null map ↔ null
+    * struct; empty map ↔ empty arrays, distinct from null).
+    */
+  private def decMapFree(c: org.apache.spark.sql.Column,
+                         dt: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    dt match {
+      case MapType(k, v, _) =>
+        when(c.isNotNull, map_from_arrays(
+          transform(c.getField("ks"), x => decMapFree(x, k)),
+          transform(c.getField("vs"), x => decMapFree(x, v))))
+      case ArrayType(e, _) if containsMap(e) =>
+        transform(c, x => decMapFree(x, e))
+      case st: StructType if containsMap(st) =>
+        when(c.isNotNull, struct(st.fields.toSeq.map(f =>
+          decMapFree(c.getField(f.name), f.dataType).as(f.name)): _*))
+      case _ => c
+    }
+  }
+
+  /** Keyless as-of for map-bearing value columns BEYOND the one-level
+    * entry-array route: maps nested three levels or deeper, and maps
+    * buried inside arrays or structs. Each such column transcodes
+    * recursively to its map-free canonical form ([[encMapFree]]), rides
+    * the parallel scan as an ordinary struct/dict column, and the
+    * carried value decodes back ([[decMapFree]]). Row-carry soundness is
+    * the struct route's argument verbatim — the encoded column is ONE
+    * column, so the carried encoding is always internally consistent.
+    * This closes the last serial corner: the AllTuples exec remains
+    * reachable only by direct plan construction.
+    */
+  private def keylessDeepMapAsof(lf: DataFrame, rf: DataFrame, ts: String,
+                                 valueCols: Seq[String], outCols: Seq[String],
+                                 direction: Int, inclusive: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    locally {
+      val clash = (lf.columns ++ rf.columns).distinct
+        .filter(c => MapTempName.pattern.matcher(c).matches())
+      require(clash.isEmpty,
+        s"column name(s) ${clash.mkString(", ")} collide with the map " +
+          "as-of decomposition's reserved names; rename them before the join")
+    }
+    var rExp = rf
+    val scanVals = Seq.newBuilder[String]
+    val scanOuts = Seq.newBuilder[String]
+    val rebuilds: Seq[(Int, DataType)] = valueCols.zipWithIndex.flatMap { case (c, i) =>
+      val dt = rf.schema(c).dataType
+      if (containsMap(dt)) {
+        rExp = rExp.withColumn(s"__dm$i", encMapFree(col(c), dt))
+        scanVals += s"__dm$i"; scanOuts += s"__dmo$i"
+        Some((i, dt))
+      } else {
+        scanVals += c; scanOuts += outCols(i)
+        None
+      }
+    }
+    val sv = scanVals.result(); val so = scanOuts.result()
+    val dts = sv.map(rExp.schema(_).dataType)
+    val scanned =
+      if (dts.exists(structDecomposable))
+        keylessStructAsof(lf, rExp, ts, sv, so, direction, inclusive)
+      else if (dts.forall(lanable))
+        keylessRangedAsof(lf, rExp, ts, sv, so, direction, inclusive)
+      else keylessDictAsof(lf, rExp, ts, sv, so, direction, inclusive)
+    val rebuilt = rebuilds.foldLeft(scanned) { case (df, (i, dt)) =>
+      df.withColumn(outCols(i), decMapFree(col(s"__dmo$i"), dt))
     }
     rebuilt.select((lf.columns.toSeq ++ outCols).map(col): _*)
   }

@@ -395,20 +395,81 @@ class AsofMergeSpec extends AnyFunSuite {
     }
   }
 
-  test("map nesting past two levels stays on the serial exec (statement of record)") {
-    // a map at level 3+ would need entry arrays containing maps, which
-    // Spark cannot group by at any depth below the flattened two — the
-    // serial AllTuples merge remains the honest plan there (README
-    // "As-of value types")
+  test("maps at ANY depth/position ride the parallel scan (deep transcoder)") {
+    // depth-3 maps, maps inside structs, and maps inside arrays all
+    // transcode recursively to map-free canonical structs-of-arrays and
+    // ride the parallel scan — the former AllTuples boundary is closed;
+    // the serial exec is reachable only by direct plan construction
     val l = Seq(Tuple1(7L)).toDF("ts")
-    val r = Seq((5L, Map("a" -> Map("x" -> Map("deep" -> 1)))),
+    val r3 = Seq((5L, Map("a" -> Map("x" -> Map("deep" -> 1)))),
       (6L, Map("b" -> Map("y" -> Map("deep" -> 3)))))
       .toDF("ts", "v")
-    val df = AsofMerge.asofJoin(l, r, Seq(), "ts", "v")
-    assert(df.head().getMap[String, Map[String, Map[String, Int]]](1)
+    val d3 = AsofMerge.asofJoin(l, r3, Seq(), "ts", "v")
+    assert(!d3.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+      "three-level maps must ride the deep transcoder, not the single merge")
+    assert(d3.head().getMap[String, Map[String, Map[String, Int]]](1)
       .toMap.keySet == Set("b"))
-    assert(df.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
-      "three-level maps stay on the single merge — the documented boundary")
+    // map inside a struct
+    val rs = Seq((5L, ("tag1", Map("a" -> 1))), (6L, ("tag2", Map("b" -> 2))))
+      .toDF("ts", "v")
+    val ds = AsofMerge.asofJoin(l, rs, Seq(), "ts", "v")
+    assert(!ds.queryExecution.executedPlan.toString.contains("AsofMergeJoin"))
+    val sRow = ds.head().getStruct(1)
+    assert(sRow.getString(0) == "tag2" &&
+      sRow.getMap[String, Int](1).toMap == Map("b" -> 2))
+    // map inside an array (with a null element)
+    val ra = Seq((5L, Seq(Map("a" -> 1), null)), (6L, Seq(Map("b" -> 2), null)))
+      .toDF("ts", "v")
+    val da = AsofMerge.asofJoin(l, ra, Seq(), "ts", "v")
+    assert(!da.queryExecution.executedPlan.toString.contains("AsofMergeJoin"))
+    val aGot = da.head().getSeq[scala.collection.Map[String, Int]](1)
+    assert(aGot.size == 2 && aGot.head.toMap == Map("b" -> 2) && aGot(1) == null,
+      s"array-of-maps carry (null element preserved), got $aGot")
+  }
+
+  test("deep-map lanes: random depth-3 frames match the serial exec") {
+    val rnd = new scala.util.Random(47)
+    val l = Seq.fill(120)(rnd.nextInt(250).toLong).distinct
+      .map(Tuple1(_)).toDF("ts")
+    val r = Seq.fill(80)(rnd.nextInt(250).toLong).distinct.map { t =>
+      val v: Map[String, Map[String, Map[String, Long]]] =
+        if (t % 7 == 0) null
+        else if (t % 5 == 0) Map.empty
+        else Seq.tabulate((t % 3 + 1).toInt) { j =>
+          val mid: Map[String, Map[String, Long]] =
+            if ((t + j) % 4 == 0) null
+            else if ((t + j) % 6 == 0) Map.empty
+            else Seq.tabulate(j % 2 + 1) { m =>
+              val inner: Map[String, Long] =
+                if ((t + j + m) % 5 == 0) null
+                else Map(s"z${(t + m) % 3}" -> (t * m))
+              s"i${(t + m) % 5}" -> inner
+            }.toMap
+          s"k${(t + j) % 11}" -> mid
+        }.toMap
+      (t, v)
+    }.toDF("ts", "v")
+    def deepCanon(m: scala.collection.Map[String, _]): Map[String, Any] =
+      if (m == null) null
+      else m.toMap.map { case (k, v) => (k, v match {
+        case inner: scala.collection.Map[_, _] =>
+          deepCanon(inner.asInstanceOf[scala.collection.Map[String, _]])
+        case other => other
+      }) }
+    def pairs(d: DataFrame): Seq[(Long, Any)] =
+      d.orderBy("ts").collect().map { row =>
+        val m = if (row.isNullAt(1)) null
+          else deepCanon(row.getMap[String, Any](1))
+        (row.getLong(0), m)
+      }.toSeq
+    for (dir <- Seq(-1, 1); incl <- Seq(true, false)) {
+      val merge = AsofMerge.asofJoinDir(l, r, Seq(), "ts",
+        Seq("v"), Seq("asof_value"), direction = dir, inclusive = incl)
+      assert(!merge.queryExecution.executedPlan.toString.contains("AsofMergeJoin"))
+      val ground = serialKeylessExec(l, r, "ts", "v",
+        direction = dir, inclusive = incl)
+      assert(pairs(merge) == pairs(ground), s"deep-map carry dir=$dir incl=$incl")
+    }
   }
 
   test("exec path demands equal key/ts types across sides (wrong-bytes hazard)") {
