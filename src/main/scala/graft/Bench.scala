@@ -201,7 +201,14 @@ object Bench {
       .mkString("[", ",", "]")
     val marker = noCleanRun
       .map(a => s""","no_clean_run":true,"attempts":$a""").getOrElse("")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread$repsJson,"failed":$failedList,"reps":$reps,"attempt":$attempt,"load_sec":$loadSec%.3f,"cold_sec":$coldTotal%.3f,"maint_sec":$maintTotal%.3f,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"$marker}"""
+    // queries running MORE warm reps than the session default (the as-of
+    // trio runs 2x) record their actual count — without this the global
+    // "reps" field silently misstates their sample size round-over-round
+    val extraReps = results.filter(r => r.warm.length != reps - 1)
+      .map(r => "\"" + r.name + "\":" + r.warm.length)
+    val extraJson =
+      if (extraReps.isEmpty) "" else extraReps.mkString(""","warm_reps":{""", ",", "}")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread$repsJson,"failed":$failedList,"reps":$reps$extraJson,"attempt":$attempt,"load_sec":$loadSec%.3f,"cold_sec":$coldTotal%.3f,"maint_sec":$maintTotal%.3f,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"$marker}"""
   }
 
   /** Emit one attempt's record: detail line first (full rep_times, also
@@ -360,11 +367,29 @@ object Bench {
     // regression this entry exists to catch.
     // FIXED staging names (not PID-keyed): a PID-keyed name never repeats,
     // so a killed run's staging dir would never be reclaimed — with fixed
-    // names the next run's entry cleanup (the deletes below) reclaims any
-    // leftover, and the end-of-run cleanup after the attempt loop removes
-    // this run's own staging eagerly.
+    // names the next run's entry cleanup (reclaimStaging below) reclaims
+    // any leftover, and the end-of-run cleanup after the attempt loop
+    // removes this run's own staging eagerly. A LIVE lease on the staging
+    // (another bench run mid-measurement on this box — its numbers and
+    // ours would both be garbage) is refused loudly rather than stomped;
+    // a stale lease (a killed run) is reclaimed with the dir.
     val maintPath = s"${System.getProperty("java.io.tmpdir")}/graft_bench_incr"
     val maintBktTable = "graft_bench_bkt_incr"
+    def reclaimStaging(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val lease = new org.apache.hadoop.fs.Path(hp.getParent, hp.getName + ".lease")
+      if (hfs.exists(lease)) {
+        val age = System.currentTimeMillis() -
+          hfs.getFileStatus(lease).getModificationTime
+        if (age < graft.io.Tables.leaseTtlMs) throw new IllegalStateException(
+          s"another bench run's maintenance staging is LIVE ($lease, " +
+            s"age ${age}ms) — refusing to stomp its measurement; rerun " +
+            "after it finishes or its lease expires")
+        hfs.delete(lease, false)
+      }
+      hfs.delete(hp, true)
+    }
     val maintOps: Seq[(String, () => Unit)] = {
       import org.apache.spark.sql.functions.{col, lit, min, max}
       val ev = graft.io.Tables.read(spark, sfDir, "events")
@@ -375,9 +400,8 @@ object Bench {
       val batch = ev.filter(col("ts") >= cutNs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       batch.count()
-      val fs = new org.apache.hadoop.fs.Path(maintPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(maintPath), true)
+      reclaimStaging(maintPath)
+      reclaimStaging(s"${spark.conf.get("spark.sql.warehouse.dir")}/$maintBktTable")
       graft.io.Tables.load(ev.filter(col("ts") < cutNs), maintPath, Seq(), "ts")
       var repIdx = 0L
       // the bucketed lifecycle twin (r10's appendBucketed/compactBucketed):

@@ -532,7 +532,7 @@ object Tables {
     * Re-entrant per thread so compactIncremental's fallback into compact
     * doesn't self-deadlock.
     */
-  private def leaseTtlMs: Long = sys.props.get("graft.lease.ttl.ms")
+  private[graft] def leaseTtlMs: Long = sys.props.get("graft.lease.ttl.ms")
     .flatMap(_.toLongOption).getOrElse(10L * 60L * 1000L)
 
   private val heldLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
@@ -550,40 +550,74 @@ object Tables {
       "token" -> token, "op" -> op,
       "pid" -> java.lang.ProcessHandle.current().pid().toString,
       "acquiredMs" -> System.currentTimeMillis().toString))
+    // ATOMIC create-if-absent: on HDFS fs.create(overwrite=false) is
+    // atomic; the local RawLocalFileSystem's is check-then-create (two
+    // racing creates could both "succeed", the second truncating the
+    // first), so local paths go through NIO's O_CREAT|O_EXCL instead.
+    // The token read-back stays as belt-and-braces on both.
     def tryCreate(): Boolean =
       (try {
-        val out = fs.create(lease, false)
-        try { out.write(record.getBytes(java.nio.charset.StandardCharsets.UTF_8)); true }
-        finally out.close()
+        if (fs.getUri.getScheme == "file") {
+          val local = java.nio.file.Paths.get(lease.toUri.getPath)
+          java.nio.file.Files.write(local,
+            record.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } else {
+          val out = fs.create(lease, false)
+          try { out.write(record.getBytes(java.nio.charset.StandardCharsets.UTF_8)); true }
+          finally out.close()
+        }
       } catch { case _: java.io.IOException => false }) &&
         // read back: whoever's token survived owns the lease
         scala.util.Try(readSmallText(fs, lease)).toOption.exists(_.contains(token))
-    if (!tryCreate()) {
-      val ageMs = scala.util.Try(fs.getFileStatus(lease)).toOption
-        .map(s => System.currentTimeMillis() - s.getModificationTime)
-      if (ageMs.forall(_ < leaseTtlMs)) {
-        val holder = scala.util.Try(readSmallText(fs, lease)).getOrElse("<unreadable>")
-        throw new IllegalStateException(
-          s"$op: another writer holds the lease on $dir " +
-            s"(age ${ageMs.getOrElse(-1L)}ms < ttl ${leaseTtlMs}ms): $holder — " +
-            "concurrent lifecycle writers are not supported (the reference " +
-            "holds an exclusive lock here, imcs.c:879-905); retry after it " +
-            "finishes or expires")
+    def acquire(canBreak: Boolean): Unit =
+      if (!tryCreate()) {
+        val st = scala.util.Try(fs.getFileStatus(lease)).toOption
+        if (st.isEmpty) {
+          // the holder finished between our failed create and this check —
+          // the lease is gone, not held; one retry acquires it (without
+          // this, a vacuous age check would throw "another writer, age -1")
+          if (!canBreak || !tryCreate())
+            throw new IllegalStateException(
+              s"$op: lost the lease race on $dir — another writer took it; retry")
+        } else {
+          val ageMs = System.currentTimeMillis() - st.get.getModificationTime
+          if (ageMs < leaseTtlMs || !canBreak) {
+            val holder = scala.util.Try(readSmallText(fs, lease)).getOrElse("<unreadable>")
+            throw new IllegalStateException(
+              s"$op: another writer holds the lease on $dir " +
+                s"(age ${ageMs}ms, ttl ${leaseTtlMs}ms): $holder — " +
+                "concurrent lifecycle writers are not supported (the reference " +
+                "holds an exclusive lock here, imcs.c:879-905); retry after it " +
+                "finishes or expires")
+          }
+          // stale: a DEAD writer's lease. Break it by ATOMIC RENAME-ASIDE —
+          // of N writers racing the break, exactly one rename succeeds (the
+          // source vanishes for the rest), so a loser can never delete the
+          // winner's fresh lease (the delete-then-create shape had exactly
+          // that hole). The dead writer's partial state is what the entry
+          // recovery/cleanup paths handle.
+          val aside = new Path(dir.getParent, dir.getName + s".lease.broken.$token")
+          if (!fs.rename(lease, aside))
+            throw new IllegalStateException(
+              s"$op: lost the stale-lease break race on $dir — another " +
+                "writer is taking over; retry")
+          fs.delete(aside, false)
+          acquire(canBreak = false)
+        }
       }
-      // stale: a DEAD writer's lease — break it and take over (its partial
-      // state is exactly what the entry recovery/cleanup paths handle)
-      fs.delete(lease, false)
-      if (!tryCreate())
-        throw new IllegalStateException(
-          s"$op: lost the lease race on $dir after breaking a stale lease — " +
-            "another writer took it; retry")
-    }
+    acquire(canBreak = true)
     heldLeases.get += key
     try body
     finally {
       heldLeases.get -= key
-      // delete only OUR lease: if this op overran the TTL and another
-      // writer broke it, the successor's lease is not ours to remove
+      // delete only OUR lease: if this op overran the TTL and a successor
+      // broke it, theirs is not ours to remove. Residual window: between
+      // this read and the delete a successor could break-and-retake —
+      // that needs a >TTL overrun AND a microsecond interleave; the
+      // rename-aside break keeps even that from cascading (a third
+      // writer's break of the then-deleted lease just fails its rename).
       if (scala.util.Try(readSmallText(fs, lease)).toOption.exists(_.contains(token)))
         fs.delete(lease, false)
     }
@@ -689,12 +723,20 @@ object Tables {
     * Single-partition frames skip the shuffle (nothing to cluster).
     */
   def load(df: DataFrame, path: String, keys: Seq[String], ts: String): Unit = {
-    writeClustered(df, path, (keys :+ ts).map(col), df.rdd.getNumPartitions)
-    // the load layout's ts manifest: one footer pass at write time buys
-    // every future rangeScan its file pruning without driver footer RPCs,
-    // and records the layout-membership compactIncremental folds against
-    writeManifest(df.sparkSession, path, ts)
-    invalidateRead(df.sparkSession, path)
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    // load replaces the whole layout — the most destructive mutation, so
+    // it holds the writer lease like every other lifecycle op (racing a
+    // compact's staged swap unleased could resurrect pre-load files or
+    // tear the fresh layout)
+    withWriterLease(fs, hp, "load") {
+      writeClustered(df, path, (keys :+ ts).map(col), df.rdd.getNumPartitions)
+      // the load layout's ts manifest: one footer pass at write time buys
+      // every future rangeScan its file pruning without driver footer RPCs,
+      // and records the layout-membership compactIncremental folds against
+      writeManifest(df.sparkSession, path, ts)
+      invalidateRead(df.sparkSession, path)
+    }
   }
 
   /** The load layout writer: range-cluster into `parts` files (skipped
@@ -1138,6 +1180,19 @@ object Tables {
           "Write to a NEW table name, or materialize the input first " +
           "(e.g. df.localCheckpoint()).")
     }
+    // loadBucketed replaces the table wholesale — it holds the writer
+    // lease like every other mutating op, on BOTH dirs it touches: the
+    // current catalog location and the warehouse default the re-created
+    // table lands at (they differ after a custom-location history). Same
+    // thread re-entrancy makes the nesting a no-op when they coincide.
+    val defLoc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val defFs = defLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sameDir = defFs.makeQualified(defLoc) == fs.makeQualified(loc)
+    def leased[T](b: => T): T =
+      withWriterLease(fs, loc, "loadBucketed") {
+        if (sameDir) b else withWriterLease(defFs, defLoc, "loadBucketed")(b)
+      }
+    leased {
     // a surviving `.replaced` means an earlier attempt crashed BEFORE its
     // saveAsTable committed: it holds the previous table's only copy and
     // anything at `loc` is that attempt's partial output. Keep the copy,
@@ -1156,8 +1211,6 @@ object Tables {
     // (an orphaned dir from a killed run blocks saveAsTable even when the
     // old catalog location pointed elsewhere); its OWN filesystem — the
     // warehouse can sit on a different FS than a custom table location
-    val defLoc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
-    val defFs = defLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (defFs.exists(defLoc)) defFs.delete(defLoc, true)
     // one file per bucket: Spark trusts the per-bucket sort order (and
     // elides the per-query Sort under a sort-merge join) only when each
@@ -1185,6 +1238,7 @@ object Tables {
       writeManifest(spark, newLoc.toString, ts)
     }
     fs.delete(replaced, true)
+    }
   }
 
   /** The bucketed layout's series-order column: the first sort column

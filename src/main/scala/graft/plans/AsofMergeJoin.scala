@@ -815,12 +815,15 @@ object AsofMerge {
       }
     }
     val sv = scanVals.result(); val so = scanOuts.result()
+    // at least one column was transcoded (this route is only entered for
+    // map-bearing frames), and its encoded type is a struct or array —
+    // never lane-able — so the dispatch is struct-decomposition when any
+    // column qualifies, dictionary otherwise
+    assert(rebuilds.nonEmpty, "keylessDeepMapAsof entered with no map column")
     val dts = sv.map(rExp.schema(_).dataType)
     val scanned =
       if (dts.exists(structDecomposable))
         keylessStructAsof(lf, rExp, ts, sv, so, direction, inclusive)
-      else if (dts.forall(lanable))
-        keylessRangedAsof(lf, rExp, ts, sv, so, direction, inclusive)
       else keylessDictAsof(lf, rExp, ts, sv, so, direction, inclusive)
     val rebuilt = rebuilds.foldLeft(scanned) { case (df, (i, dt)) =>
       df.withColumn(outCols(i), decMapFree(col(s"__dmo$i"), dt))
