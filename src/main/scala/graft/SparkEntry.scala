@@ -686,6 +686,37 @@ object SparkEntry {
       Tables.rangeScan(s, dir, "events", 1704672000000000000L, 1704931200000000000L)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), fl(col("value")).as("value"))),
+    "q_get_bucketed" -> ((s, dir) => {
+      // TABLE_get over the BUCKETED layout — both halves of the
+      // reference's B-tree contract (btree.c:479-589): per-key locality
+      // from the buckets, ts search from the r11 manifest.
+      // rangeScanBucketed must skip the BASE bucket files entirely (their
+      // recorded max ts is below the cut) and read only the appended
+      // batch's files — fail-loud asserted on inputFiles before the
+      // readback aggregate the oracle reproduces. procTag: the table
+      // mutates (append), so two concurrent JVMs must not share it.
+      val cut = 1706227200000000000L // 2024-01-26, inside every SF's span
+      val ev = Tables.read(s, dir, "events")
+      val t = s"g_get_bkt_${procTag}_${Tables.dirKey(dir)}"
+      Tables.loadBucketed(ev.filter(col("ts") < cut), t,
+        Seq("user_id"), 8, sortCols = Seq("ts"))
+      Tables.appendBucketed(ev.filter(col("ts") >= cut), t)
+      val total = {
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(loc).count(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      }
+      val out = Tables.rangeScanBucketed(s, t, cut, Long.MaxValue)
+      val read = out.inputFiles.length
+      require(read > 0 && read < total,
+        s"ts-sliced bucketed scan must prune the base bucket files: read " +
+          s"$read of $total")
+      out.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))
+    }),
     "q_concat_series" -> ((s, dir) => {
       val ev = Tables.read(s, dir, "events")
       val a = Series.attachPos(ev.filter(col("event_type") === "view"), Seq(), Seq(col("ts"), col("event_id")))
@@ -2534,6 +2565,10 @@ object SparkEntry {
       """SELECT event_id, user_id, CAST("value" AS REAL) AS value FROM events
          WHERE event_type = 'purchase' AND epoch_ns(ts) >= 1704672000000000000
            AND epoch_ns(ts) < 1704931200000000000""",
+    "q_get_bucketed" ->
+      """SELECT event_type, count(*) AS n, CAST(sum("value") AS REAL) AS sv
+         FROM events WHERE epoch_ns(ts) >= 1706227200000000000
+         GROUP BY event_type""",
     "q_concat_sum" ->
       """SELECT CAST(sum("value") AS REAL) AS total FROM events
          WHERE event_type IN ('view', 'click', 'purchase', 'signup')""",
