@@ -323,7 +323,14 @@ object ScaleSmoke {
       }
       val someKeys = evB.select("user_id").distinct().limit(5)
         .collect().map(_.getLong(0))
+      // the batch rides ABOVE the stored tail (ts-shifted past max) — the
+      // ordered-ingest contract appendBucketed enforces since r11
+      val span = {
+        val mm = evB.agg(min(col("ts")), max(col("ts"))).head()
+        mm.getLong(1) - mm.getLong(0) + 1L
+      }
       val batch = evB.filter(col("user_id").isin(someKeys: _*))
+        .withColumn("ts", col("ts") + lit(span))
       println(s"  append batch: ${batch.count()} rows over ${someKeys.length} keys")
       time("  appendBucketed (few keys)") {
         graft.io.Tables.appendBucketed(batch, "smoke_bkt")
@@ -335,6 +342,35 @@ object ScaleSmoke {
       time("  full re-bucket (what no-lifecycle costs)") {
         graft.io.Tables.loadBucketed(spark.table("smoke_bkt"), "smoke_bkt2",
           Seq("user_id"), 64, sortCols = Seq("ts"))
+      }
+    }
+    // bucketed ts-slice at scale (round 11): the manifest's file pruning
+    // must pay at growth — a recent-data slice reads only the appended
+    // batch's files while the unpruned filter scans every bucket file of
+    // the ×factor table. The gap widens linearly with table size; the
+    // slice side stays ∝ the batch.
+    run("bucketed ts-slice: manifest pruning vs full filter") {
+      tableGetFrom // ensure the ×factor events layout exists
+      val evB = graft.io.Tables.read(spark, work, "events")
+      graft.io.Tables.loadBucketedIfAbsent(evB, "smoke_bkt_slice",
+        Seq("user_id"), 64, sortCols = Seq("ts"))
+      val mx = spark.table("smoke_bkt_slice").agg(max("ts")).head().getLong(0)
+      val batch = graft.io.Tables.read(spark, "/root/testdata/sf0.1", "events")
+        .filter(col("event_id") % 20 === 0) // 5k rows regardless of ×factor
+        .withColumn("ts", lit(mx + 1L) + (col("event_id") % 1000000L))
+      graft.io.Tables.appendBucketed(batch, "smoke_bkt_slice")
+      val sliced = graft.io.Tables.rangeScanBucketed(
+        spark, "smoke_bkt_slice", mx + 1L, Long.MaxValue)
+      println(s"  slice reads ${sliced.inputFiles.length} files " +
+        "(the appended batch's buckets only)")
+      time("  rangeScanBucketed (manifest-pruned)") {
+        sliced.agg(count(lit(1)), sum("value"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("  full-table filter (no file pruning)") {
+        spark.table("smoke_bkt_slice").filter(col("ts") > lit(mx))
+          .agg(count(lit(1)), sum("value"))
+          .write.format("noop").mode("overwrite").save()
       }
     }
     spark.stop()

@@ -174,9 +174,21 @@ object Tables {
     * ScaleSmoke run hits exactly that ordering).
     */
   private def invalidateRead(spark: SparkSession, path: String): Unit = {
+    // compare QUALIFIED paths, not raw strings: the same directory
+    // addressed as "file:/x/t" by the mutator and "/x/t" by the reader
+    // (or with a trailing slash) must still evict — a missed eviction
+    // leaves a memoized frame pinning a dead InMemoryFileIndex, exactly
+    // the stale-read crash this eviction exists to prevent
+    def qual(p: String): String =
+      scala.util.Try {
+        val hp = new Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .makeQualified(hp).toString
+      }.getOrElse(p)
+    val target = qual(path)
     readCache.keys.foreach { case k @ (_, dir, nameKey) =>
       val name = nameKey.stripSuffix("#raw")
-      if (s"$dir/$name.parquet" == path) readCache.remove(k)
+      if (qual(s"$dir/$name.parquet") == target) readCache.remove(k)
     }
     scala.util.Try(spark.catalog.refreshByPath(path))
   }
@@ -310,7 +322,11 @@ object Tables {
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
-      val factor: Option[Long] = schema.getFields.asScala.find(_.getName == ts)
+      // case-insensitive, like Spark's own column resolution and
+      // seriesTsOf — a sortCols casing differing from the schema must not
+      // silently produce an all-stat-less manifest
+      val factor: Option[Long] = schema.getFields.asScala
+        .find(_.getName.equalsIgnoreCase(ts))
         .filter(_.isPrimitive).map(_.asPrimitiveType)
         .filter(_.getPrimitiveTypeName == PrimitiveTypeName.INT64)
         .flatMap { pt =>
@@ -329,7 +345,7 @@ object Tables {
         }
       factor.flatMap { f =>
         val bounds = reader.getFooter.getBlocks.asScala.map { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == ts)
+          b.getColumns.asScala.find(_.getPath.toDotString.equalsIgnoreCase(ts))
             .map(_.getStatistics) match {
             case Some(s) if s != null && s.hasNonNullValue && !s.isEmpty =>
               (s.genericGetMin, s.genericGetMax) match {
@@ -559,6 +575,10 @@ object Tables {
       (try {
         if (fs.getUri.getScheme == "file") {
           val local = java.nio.file.Paths.get(lease.toUri.getPath)
+          // NIO does not create parents (fs.create on HDFS does) — a
+          // load to a fresh nested path must not die on the lease
+          Option(local.getParent)
+            .foreach(p => java.nio.file.Files.createDirectories(p))
           java.nio.file.Files.write(local,
             record.getBytes(java.nio.charset.StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE_NEW)
@@ -609,8 +629,28 @@ object Tables {
       }
     acquire(canBreak = true)
     heldLeases.get += key
+    // HEARTBEAT: staleness is judged by the lease file's mtime, so a LIVE
+    // op running longer than the TTL (a petabyte compact) must refresh it
+    // or a second writer would classify it dead, break the lease, and
+    // re-open the exact concurrent-writer corruption the lease prevents.
+    // A daemon thread touches the mtime every TTL/3 while the body runs;
+    // a real kill stops the heartbeat and the lease goes stale honestly.
+    val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hb = new Thread(() => {
+      while (!hbStop.get) {
+        try Thread.sleep(math.max(1000L, leaseTtlMs / 3))
+        catch { case _: InterruptedException => }
+        if (!hbStop.get)
+          try fs.setTimes(lease, System.currentTimeMillis(), -1)
+          catch { case _: Throwable => () } // lost lease heals via read-check below
+      }
+    }, s"graft-lease-heartbeat-${dir.getName}")
+    hb.setDaemon(true)
+    hb.start()
     try body
     finally {
+      hbStop.set(true)
+      hb.interrupt()
       heldLeases.get -= key
       // delete only OUR lease: if this op overran the TTL and a successor
       // broke it, theirs is not ours to remove. Residual window: between
@@ -730,6 +770,7 @@ object Tables {
     // compact's staged swap unleased could resurrect pre-load files or
     // tear the fresh layout)
     withWriterLease(fs, hp, "load") {
+      recoverMutations(fs, path)
       writeClustered(df, path, (keys :+ ts).map(col), df.rdd.getNumPartitions)
       // the load layout's ts manifest: one footer pass at write time buys
       // every future rangeScan its file pruning without driver footer RPCs,
@@ -773,7 +814,7 @@ object Tables {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, hp, "compact") {
-    recoverCompact(fs, path)
+    recoverMutations(fs, path)
     guardCompactable(fs, hp)
     def dataFiles(p: Path): Array[FileStatus] =
       fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath.getName))
@@ -791,6 +832,42 @@ object Tables {
     invalidateRead(spark, path)
     (before.length, dataFiles(hp).length)
     }
+  }
+
+  /** deleteRange's entry recovery (mirrors recoverCompact's no-marker
+    * branch). With the live dir present, a surviving `.delete.old` is the
+    * superseded copy of an already-completed swap — cleanup, not data.
+    * The PRE-swap legacy protocol (delete-then-rename) could crash with
+    * the rewrite stranded in `__tmp` as the ONLY copy (no live dir, no
+    * .old) — adopt it rather than discard it; a re-delete of the same
+    * range is idempotent over the adopted content.
+    */
+  private def recoverDelete(fs: FileSystem, path: String): Unit = {
+    val p = new Path(path)
+    val tmp = new Path(path + "__tmp")
+    val old = new Path(path + ".delete.old")
+    if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
+      sys.error(s"deleteRange: cannot recover $old back to $path")
+    if (fs.exists(p) && fs.exists(old)) fs.delete(old, true)
+    if (!fs.exists(p) && !fs.exists(old) && fs.exists(tmp) &&
+      !fs.rename(tmp, p))
+      sys.error(s"deleteRange: cannot adopt stranded rewrite $tmp at $path")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** Entry recovery for EVERY mutating op on a clustered path: complete
+    * or clean any predecessor's crash state from BOTH swap families
+    * before new work. This must not be limited to the compact flavors —
+    * an append or load that ignores a committed compact marker would
+    * have its fresh files swept aside (and deleted) when the NEXT
+    * compact rolls the stale staged layout forward, and an append after
+    * a deleteRange mid-swap crash would recreate the live dir so the
+    * next delete treats `.delete.old` — the only full copy — as
+    * superseded cleanup. Silent data loss both ways; recovery first.
+    */
+  private def recoverMutations(fs: FileSystem, path: String): Unit = {
+    recoverCompact(fs, path)
+    recoverDelete(fs, path)
   }
 
   /** Crash recovery shared by [[compact]] and [[compactIncremental]] —
@@ -915,7 +992,7 @@ object Tables {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, hp, "compactIncremental") {
-    recoverCompact(fs, path)
+    recoverMutations(fs, path)
     guardCompactable(fs, hp)
     def dataFiles(p: Path): Array[FileStatus] =
       fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath.getName))
@@ -988,6 +1065,7 @@ object Tables {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, hp, "append") {
+    recoverMutations(fs, path)
     def listing(): Seq[FileStatus] =
       if (fs.exists(hp))
         fs.listStatus(hp).filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
@@ -1075,20 +1153,7 @@ object Tables {
     withWriterLease(fs, p, "deleteRange") {
     val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
     val old = new org.apache.hadoop.fs.Path(path + ".delete.old")
-    // entry recovery (mirrors recoverCompact's no-marker branch); with the
-    // live dir present, a surviving `.delete.old` is the superseded copy
-    // of an already-completed swap — cleanup, not data
-    if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
-      sys.error(s"deleteRange: cannot recover $old back to $path")
-    if (fs.exists(p) && fs.exists(old)) fs.delete(old, true)
-    // the PRE-swap protocol (delete-then-rename) could crash with the
-    // rewrite stranded in __tmp as the ONLY copy (no live dir, no .old) —
-    // adopt it rather than discard it; the caller's re-delete of the same
-    // range is idempotent over the adopted content
-    if (!fs.exists(p) && !fs.exists(old) && fs.exists(tmp) &&
-      !fs.rename(tmp, p))
-      sys.error(s"deleteRange: cannot adopt stranded rewrite $tmp at $path")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    recoverMutations(fs, path)
     // same refusal as the compact flavors: the rename-aside + delete(old)
     // swap must never silently destroy content the engine doesn't own
     guardCompactable(fs, p)
@@ -1117,6 +1182,14 @@ object Tables {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, p, "truncate") {
       fs.delete(p, true)
+      // a predecessor crash's protocol siblings must go too: a surviving
+      // commit marker + staged dir (or a `.delete.old` copy) would let
+      // the next op's entry recovery RESURRECT the truncated data
+      Seq(".compact.tmp", ".compact.commit", ".compact.old",
+          "__tmp", ".delete.old").foreach { sfx =>
+        val s = new org.apache.hadoop.fs.Path(path + sfx)
+        if (fs.exists(s)) fs.delete(s, true)
+      }
       invalidateRead(spark, path)
     }
   }
@@ -1147,12 +1220,18 @@ object Tables {
     // survives until the new layout commits (the same reasoning as
     // compact's two-rename swap). The location comes from the CATALOG
     // when the table exists (it can differ from the warehouse default).
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    // defaultTablePath, not a "$warehouse/$table" reconstruction: the two
+    // diverge outside the default database ($warehouse/<db>.db/<table>),
+    // where a hand-built path would clear/lease/guard a directory nothing
+    // writes to
+    def defaultLoc: org.apache.hadoop.fs.Path =
+      new org.apache.hadoop.fs.Path(spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val loc = scala.util.Try(
       spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
       .toOption.map(u => new org.apache.hadoop.fs.Path(u))
-      .getOrElse(new org.apache.hadoop.fs.Path(s"$warehouse/$table"))
+      .getOrElse(defaultLoc)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val replaced = new org.apache.hadoop.fs.Path(
       loc.getParent, loc.getName + ".replaced")
@@ -1185,7 +1264,7 @@ object Tables {
     // current catalog location and the warehouse default the re-created
     // table lands at (they differ after a custom-location history). Same
     // thread re-entrancy makes the nesting a no-op when they coincide.
-    val defLoc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val defLoc = defaultLoc
     val defFs = defLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sameDir = defFs.makeQualified(defLoc) == fs.makeQualified(loc)
     def leased[T](b: => T): T =
@@ -1426,8 +1505,10 @@ object Tables {
     val foldTable = table + "__fold"
     def dropFoldLeftovers(): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS `$foldTable`")
-      val fl = new Path(
-        s"${spark.conf.get("spark.sql.warehouse.dir")}/$foldTable")
+      // defaultTablePath, not $warehouse/$foldTable: they diverge outside
+      // the default database (<db>.db/ subdir)
+      val fl = new Path(spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(foldTable)))
       val ffs = fl.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (ffs.exists(fl)) ffs.delete(fl, true)
     }
@@ -1441,7 +1522,20 @@ object Tables {
           s"foreign file in bucketed table dir $loc"))
     }
     val hot = byBucket.filter(_._2.size > 1)
-    if (hot.isEmpty) { spark.catalog.refreshTable(table); return (before.size, before.size) }
+    if (hot.isEmpty) {
+      // nothing to fold — but a roll-forward recovery (recoverCompact
+      // above) installs the folded layout WITHOUT a manifest (the
+      // bucketed staging never carries one), so returning here without a
+      // regen would strand the table manifest-less forever: every slice
+      // re-reads all bucket files and every append pays the max(ts) scan
+      seriesTsOf(bs.bucketColumnNames, bs.sortColumnNames).foreach { ts =>
+        val ok = readManifest(fs, loc).exists(m =>
+          m.ts == ts && manifestConsistent(m, before))
+        if (!ok) writeManifest(spark, loc.toString, ts)
+      }
+      spark.catalog.refreshTable(table)
+      return (before.size, before.size)
+    }
     val cold = byBucket.filterNot(k => hot.contains(k._1)).values.flatten.toSeq
     // fold the hot buckets through the same spec into a staging table so
     // the output files carry correct bucket ids in their names
@@ -1486,8 +1580,10 @@ object Tables {
     val old = new Path(loc.toString + ".compact.old")
     swapInstall(fs, loc, tmp, old, "compactBucketed", "bkt", restorable = false)
     fs.delete(marker, false)
+    // dropFoldLeftovers' own-filesystem delete covers the fold location —
+    // a second delete through the TABLE-location fs would "Wrong FS" on a
+    // cross-filesystem warehouse after the swap already committed
     dropFoldLeftovers()
-    if (fs.exists(foldLoc)) fs.delete(foldLoc, true)
     // the pre-fold manifest travelled into `.compact.old` with the rest of
     // the replaced dir — regenerate it over the folded layout (every file
     // loaded=true again), same as the clustered compact

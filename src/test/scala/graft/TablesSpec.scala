@@ -161,12 +161,16 @@ class TablesSpec extends AnyFunSuite {
     val hot = (300L until 400L).map(i => (i, i * 1.0))
     Tables.load(cold.toDF("ts", "v"), path, Seq(), "ts")
     val coldNames = dataFiles(path).map(_.getName)
+    // real-protocol order: the append lands FIRST, then the compact
+    // stages. (Staging before the append would be an uncommitted tmp dir
+    // that append's entry recovery rightly deletes as garbage — every
+    // mutating op now runs recovery first.)
+    Tables.append(hot.toDF("ts", "v"), path, "ts", lit(300L))
     // the staged dir: what the fold of the hot batch would have produced —
     // folded files plus the staged manifest describing the FINAL state
     // (cold entries carried over + folded entries), exactly what
     // compactIncremental stages before it writes the marker
     Tables.load(hot.toDF("ts", "v"), path + ".compact.tmp", Seq(), "ts")
-    Tables.append(hot.toDF("ts", "v"), path, "ts", lit(300L))
     locally {
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
       import org.json4s.jackson.Serialization
@@ -340,6 +344,52 @@ class TablesSpec extends AnyFunSuite {
     Tables.loadBucketed(Seq((1L, 9L)).toDF("k", "ts"), t2, Seq("k"), 2)
     Tables.appendBucketed(Seq((1L, 3L)).toDF("k", "ts"), t2)
     assert(spark.table(t2).count() == 2)
+  }
+
+  test("append/load after a crashed compact or delete recover first (no silent loss)") {
+    // a committed compact marker left by a killed writer must be rolled
+    // forward BEFORE an append writes fresh files — otherwise the NEXT
+    // compact's recovery would sweep the appended files aside with the
+    // replaced dir and delete them
+    val path = tmp("recfirst")
+    Tables.load((0L until 40L).map(i => (i, i * 1.0)).toDF("ts", "v"), path, Seq(), "ts")
+    Tables.append(Seq((50L, 1.0)).toDF("ts", "v"), path, "ts", lit(0L))
+    assert(withCrash("incr:marker", 1) {
+      Tables.compactIncremental(spark, path, Seq(), "ts")
+    })
+    // the marker is committed; append must roll the swap forward, then add
+    Tables.append(Seq((60L, 2.0)).toDF("ts", "v"), path, "ts", lit(0L))
+    val (nb, na) = Tables.compactIncremental(spark, path, Seq(), "ts")
+    assert(na <= nb)
+    val got = spark.read.parquet(path).orderBy("ts")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.size == 42 && got.contains((50L, 1.0)) && got.contains((60L, 2.0)),
+      s"rows lost across crash-recovery + append: ${got.size}")
+    // a deleteRange mid-swap crash leaves the only copy at .delete.old;
+    // an append must restore it first, never recreate a live dir that
+    // makes the next delete treat the copy as superseded cleanup
+    val path2 = tmp("recdel")
+    Tables.load((0L until 30L).map(i => (i, i * 1.0)).toDF("ts", "v"), path2, Seq(), "ts")
+    assert(withCrash("del:aside", 1) {
+      Tables.deleteRange(spark, path2, "ts", lit(5L), lit(9L))
+    })
+    Tables.append(Seq((90L, 3.0)).toDF("ts", "v"), path2, "ts", lit(0L))
+    Tables.deleteRange(spark, path2, "ts", lit(5L), lit(9L))
+    val got2 = spark.read.parquet(path2).select("ts").as[Long].collect().toSet
+    assert(got2.size == 26 && got2.contains(90L) && !got2.contains(5L),
+      s"recovered+appended+deleted content wrong: ${got2.size} rows")
+    // truncate clears protocol siblings: stale marker state must not
+    // resurrect the truncated table on the next op's entry recovery
+    val path3 = tmp("rectrunc")
+    Tables.load((0L until 20L).map(i => (i, i * 1.0)).toDF("ts", "v"), path3, Seq(), "ts")
+    Tables.append(Seq((30L, 1.0)).toDF("ts", "v"), path3, "ts", lit(0L))
+    assert(withCrash("incr:marker", 1) {
+      Tables.compactIncremental(spark, path3, Seq(), "ts")
+    })
+    Tables.truncate(spark, path3)
+    Tables.append(Seq((99L, 9.0)).toDF("ts", "v"), path3, "ts", lit(0L))
+    assert(spark.read.parquet(path3).count() == 1,
+      "truncated data resurrected from stale protocol siblings")
   }
 
   test("writer lease: a live second writer is refused; a dead one's lease is broken") {
