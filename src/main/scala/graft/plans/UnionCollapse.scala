@@ -58,7 +58,7 @@ object UnionDisjointFilterCollapse extends Rule[LogicalPlan] {
 
   private case class Arm(proj: Option[Seq[NamedExpression]], src: LogicalPlan,
                          shape: LogicalPlan, conjs: Seq[Expression],
-                         f: Filter)
+                         f: Filter, repart: Option[(Int, Boolean)] = None)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -193,6 +193,14 @@ object UnionDisjointFilterCollapse extends Rule[LogicalPlan] {
       Some(Arm(Some(pl), pf.child, Project(pl, pf.child), conjuncts(pf.condition), pf))
     case pf: Filter =>
       Some(Arm(None, pf.child, pf.child, conjuncts(pf.condition), pf))
+    // a round-robin Repartition (the undersized-source re-split
+    // Tables.read inserts at sizes where one file would serialize every
+    // scan) is row-preserving — peel it, collapse underneath, re-apply
+    // ONE equivalent node on the merged scan. Arms must agree on
+    // (numPartitions, shuffle) — checked in tryCollapse like the shape.
+    case r: org.apache.spark.sql.catalyst.plans.logical.Repartition =>
+      decomposeShape(r.child).filter(_.repart.isEmpty)
+        .map(_.copy(repart = Some((r.numPartitions, r.shuffle))))
     case _ => None
   }
 
@@ -216,7 +224,8 @@ object UnionDisjointFilterCollapse extends Rule[LogicalPlan] {
     val as = arms.map(_.get)
     val h = as.head
     if (!as.tail.forall(a =>
-      a.proj.isDefined == h.proj.isDefined && a.shape.sameResult(h.shape)))
+      a.proj.isDefined == h.proj.isDefined && a.repart == h.repart &&
+        a.shape.sameResult(h.shape)))
       return None
     // a non-deterministic arm changes per-row evaluation under OR
     // short-circuiting; a subquery's inner plan would not rebase
@@ -309,7 +318,11 @@ object UnionDisjointFilterCollapse extends Rule[LogicalPlan] {
               as.map(a => rebase(a.f.condition, a.src.output, h.src.output))
                 .reduceLeft(Or(_, _))
           val nf = Filter(cond, h.src)
-          Some(h.proj.map(Project(_, nf)).getOrElse(nf): LogicalPlan)
+          val merged: LogicalPlan = h.proj.map(Project(_, nf)).getOrElse(nf)
+          Some(h.repart.map { case (n, sh) =>
+            org.apache.spark.sql.catalyst.plans.logical
+              .Repartition(n, sh, merged): LogicalPlan
+          }.getOrElse(merged))
         }
       }
     }.nextOption()

@@ -38,6 +38,30 @@ class UnionCollapseSpec extends AnyFunSuite {
     assert(math.abs(a - b) < 1e-6 * math.abs(b))
   }
 
+  test("arms wrapped in identical round-robin Repartition still collapse") {
+    // Tables.read's undersized-source re-split puts a Repartition node on
+    // top of every arm at sf0.1-class sizes — the collapse must peel it
+    // (row-preserving) and re-apply ONE node on the merged scan, or the
+    // single-scan property silently vanishes exactly where the data is
+    // big enough to matter (caught by the sf0.1 budget gate on
+    // q_concat_ranges, whose in-query assert counted 3 scan leaves)
+    val arms = Seq("view", "click", "purchase").map(t =>
+      ev.filter(col("event_type") === t).select(col("value")).repartition(4))
+    val df = arms.reduce(graft.join.Align.unionMerge)
+    assert(unions(df).isEmpty, "repartitioned disjoint arms must collapse")
+    assert(df.queryExecution.optimizedPlan.collectLeaves().size == 1,
+      "exactly one source scan after the rewrite")
+    val direct = ev.filter(col("event_type").isin("view", "click", "purchase"))
+    assert(df.count() == direct.count())
+    // arms with DIFFERENT partition counts stay un-collapsed (content
+    // would still match, but the conservative gate mirrors the shape gate)
+    val mixed = Seq(
+      ev.filter(col("event_type") === "view").select(col("value")).repartition(4),
+      ev.filter(col("event_type") === "click").select(col("value")).repartition(8)
+    ).reduce(graft.join.Align.unionMerge)
+    assert(unions(mixed).nonEmpty, "mismatched repartition params must not merge")
+  }
+
   test("signed-zero float arms do NOT collapse (evaluation treats -0.0 = 0.0)") {
     graft.plans.UnionDisjointFilterCollapse.install(spark)
     // the interpreted ORDERING says -0.0 < 0.0 (distinct points) but
