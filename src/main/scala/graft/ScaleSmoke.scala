@@ -352,7 +352,12 @@ object ScaleSmoke {
     run("bucketed ts-slice: manifest pruning vs full filter") {
       tableGetFrom // ensure the ×factor events layout exists
       val evB = graft.io.Tables.read(spark, work, "events")
-      graft.io.Tables.loadBucketedIfAbsent(evB, "smoke_bkt_slice",
+      // plain loadBucketed, NOT IfAbsent: the spec-match reuse check is
+      // factor-blind, so a persistent-warehouse re-run at ×100 would
+      // silently measure the stale ×20 table (and same-factor re-runs
+      // would accumulate one appended batch per run, drifting the
+      // baseline). Fresh ingest per run keeps the section honest.
+      graft.io.Tables.loadBucketed(evB, "smoke_bkt_slice",
         Seq("user_id"), 64, sortCols = Seq("ts"))
       val mx = spark.table("smoke_bkt_slice").agg(max("ts")).head().getLong(0)
       val batch = graft.io.Tables.read(spark, "/root/testdata/sf0.1", "events")

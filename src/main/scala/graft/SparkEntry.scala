@@ -697,7 +697,11 @@ object SparkEntry {
       // mutates (append), so two concurrent JVMs must not share it.
       val cut = 1706227200000000000L // 2024-01-26, inside every SF's span
       val ev = Tables.read(s, dir, "events")
-      val t = s"g_get_bkt_${procTag}_${Tables.dirKey(dir)}"
+      // FIXED dir-keyed name (no procTag): the table is rebuilt per run
+      // anyway (it mutates), so a fixed name lets loadBucketed overwrite
+      // a crashed run's leftover instead of orphaning one per JVM; a
+      // concurrent JVM on the same dir fails loudly on the writer lease
+      val t = s"g_get_bkt_${Tables.dirKey(dir)}"
       Tables.loadBucketed(ev.filter(col("ts") < cut), t,
         Seq("user_id"), 8, sortCols = Seq("ts"))
       Tables.appendBucketed(ev.filter(col("ts") >= cut), t)
@@ -714,8 +718,15 @@ object SparkEntry {
       require(read > 0 && read < total,
         s"ts-sliced bucketed scan must prune the base bucket files: read " +
           s"$read of $total")
-      out.groupBy(col("event_type"))
+      val agg = out.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))
+      // materialize the small readback, then DROP the staging table —
+      // returning the lazy frame would pin the table past the closure and
+      // leak one full bucketed copy of events into the warehouse per run
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+      s.sql(s"DROP TABLE IF EXISTS `$t`")
+      local
     }),
     "q_concat_series" -> ((s, dir) => {
       val ev = Tables.read(s, dir, "events")
@@ -1014,7 +1025,11 @@ object SparkEntry {
       val ev = Tables.read(s, dir, "events")
       val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
       val cut = mm.getLong(0) / 2 + mm.getLong(1) / 2
-      val t = s"g_lc_bkt_${procTag}_${Tables.dirKey(dir)}"
+      // fixed dir-keyed name + in-closure drop (same reasoning as
+      // q_get_bucketed): a procTag name never repeats, so a crashed run's
+      // table was orphaned forever; now the next run's loadBucketed
+      // overwrites it, and concurrent JVMs fail loudly on the lease
+      val t = s"g_lc_bkt_${Tables.dirKey(dir)}"
       s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       Tables.loadBucketed(ev.filter(col("ts") < cut), t,
         Seq("user_id"), 8, sortCols = Seq("ts"))
@@ -1025,9 +1040,13 @@ object SparkEntry {
       // a second fold is a no-op — the layout is re-established
       val (nb2, na2) = Tables.compactBucketed(s, t)
       require(nb2 == na2, s"re-fold must be a no-op: $nb2 -> $na2")
-      s.table(t).groupBy(col("event_type"))
+      val agg = s.table(t).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))
         .withColumn("folded", lit(true))
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+      s.sql(s"DROP TABLE IF EXISTS `$t`")
+      local
     }),
 
     // ---- top-k positions / directional join / stretch / first-pos ----

@@ -324,9 +324,15 @@ object Tables {
       val schema = reader.getFooter.getFileMetaData.getSchema
       // case-insensitive, like Spark's own column resolution and
       // seriesTsOf — a sortCols casing differing from the schema must not
-      // silently produce an all-stat-less manifest
-      val factor: Option[Long] = schema.getFields.asScala
-        .find(_.getName.equalsIgnoreCase(ts))
+      // silently produce an all-stat-less manifest. AMBIGUITY is the one
+      // exception: a case-sensitive schema can hold both 'ts' and 'TS';
+      // binding to the wrong one would record the wrong column's min/max
+      // and let pruning drop in-range files, so exact match wins and an
+      // unresolvable tie degrades to stat-less (keep every file).
+      val ciMatches = schema.getFields.asScala
+        .filter(_.getName.equalsIgnoreCase(ts)).toSeq
+      val factor: Option[Long] = ciMatches.find(_.getName == ts)
+        .orElse(if (ciMatches.size == 1) ciMatches.headOption else None)
         .filter(_.isPrimitive).map(_.asPrimitiveType)
         .filter(_.getPrimitiveTypeName == PrimitiveTypeName.INT64)
         .flatMap { pt =>
@@ -344,8 +350,12 @@ object Tables {
           }
         }
       factor.flatMap { f =>
+        // resolve the chunk by the FIELD's recorded name (the unambiguous
+        // one chosen above), so the stats always come from that column
+        val fieldName = ciMatches.find(_.getName == ts)
+          .orElse(ciMatches.headOption).map(_.getName).getOrElse(ts)
         val bounds = reader.getFooter.getBlocks.asScala.map { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString.equalsIgnoreCase(ts))
+          b.getColumns.asScala.find(_.getPath.toDotString == fieldName)
             .map(_.getStatistics) match {
             case Some(s) if s != null && s.hasNonNullValue && !s.isEmpty =>
               (s.genericGetMin, s.genericGetMax) match {
@@ -638,7 +648,10 @@ object Tables {
     val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val hb = new Thread(() => {
       while (!hbStop.get) {
-        try Thread.sleep(math.max(1000L, leaseTtlMs / 3))
+        // period must stay well inside the TTL even for the sub-second
+        // TTLs the test knob configures — a 1 s floor would let a live
+        // 500 ms lease expire between refreshes and be broken mid-op
+        try Thread.sleep(math.max(50L, leaseTtlMs / 3))
         catch { case _: InterruptedException => }
         if (!hbStop.get)
           try fs.setTimes(lease, System.currentTimeMillis(), -1)
@@ -842,17 +855,26 @@ object Tables {
     * .old) — adopt it rather than discard it; a re-delete of the same
     * range is idempotent over the adopted content.
     */
-  private def recoverDelete(fs: FileSystem, path: String): Unit = {
+  private def recoverDelete(fs: FileSystem, path: String,
+                            adoptStranded: Boolean): Unit = {
     val p = new Path(path)
     val tmp = new Path(path + "__tmp")
     val old = new Path(path + ".delete.old")
     if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
       sys.error(s"deleteRange: cannot recover $old back to $path")
     if (fs.exists(p) && fs.exists(old)) fs.delete(old, true)
-    if (!fs.exists(p) && !fs.exists(old) && fs.exists(tmp) &&
-      !fs.rename(tmp, p))
-      sys.error(s"deleteRange: cannot adopt stranded rewrite $tmp at $path")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // the `__tmp` suffix is dot-less — a USER table legitimately named
+    // `<path>__tmp` is indistinguishable from the legacy protocol's
+    // stranded rewrite by name alone, so only deleteRange itself (whose
+    // caller is explicitly operating on `path`) adopts or deletes it;
+    // load/append leave it untouched rather than silently consuming an
+    // unrelated sibling on a first write to a fresh path
+    if (adoptStranded) {
+      if (!fs.exists(p) && !fs.exists(old) && fs.exists(tmp) &&
+        !fs.rename(tmp, p))
+        sys.error(s"deleteRange: cannot adopt stranded rewrite $tmp at $path")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
   }
 
   /** Entry recovery for EVERY mutating op on a clustered path: complete
@@ -864,10 +886,13 @@ object Tables {
     * a deleteRange mid-swap crash would recreate the live dir so the
     * next delete treats `.delete.old` — the only full copy — as
     * superseded cleanup. Silent data loss both ways; recovery first.
+    * Only deleteRange adopts a legacy stranded `__tmp` (see
+    * [[recoverDelete]]'s foreign-sibling hazard).
     */
-  private def recoverMutations(fs: FileSystem, path: String): Unit = {
+  private def recoverMutations(fs: FileSystem, path: String,
+                               adoptStranded: Boolean = false): Unit = {
     recoverCompact(fs, path)
-    recoverDelete(fs, path)
+    recoverDelete(fs, path, adoptStranded)
   }
 
   /** Crash recovery shared by [[compact]] and [[compactIncremental]] —
@@ -1153,7 +1178,7 @@ object Tables {
     withWriterLease(fs, p, "deleteRange") {
     val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
     val old = new org.apache.hadoop.fs.Path(path + ".delete.old")
-    recoverMutations(fs, path)
+    recoverMutations(fs, path, adoptStranded = true)
     // same refusal as the compact flavors: the rename-aside + delete(old)
     // swap must never silently destroy content the engine doesn't own
     guardCompactable(fs, p)
@@ -1181,12 +1206,23 @@ object Tables {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, p, "truncate") {
-      fs.delete(p, true)
       // a predecessor crash's protocol siblings must go too: a surviving
       // commit marker + staged dir (or a `.delete.old` copy) would let
-      // the next op's entry recovery RESURRECT the truncated data
-      Seq(".compact.tmp", ".compact.commit", ".compact.old",
-          "__tmp", ".delete.old").foreach { sfx =>
+      // the next op's entry recovery RESURRECT the truncated data. The
+      // RECOVERY-DRIVING siblings (marker, .delete.old) go BEFORE the
+      // live dir: a crash after the live delete but before their removal
+      // would otherwise leave exactly the "no live dir + marker/old"
+      // state recovery rolls forward/restores. With them gone first, a
+      // crash at any point leaves either the live dir (re-truncate) or
+      // inert garbage (tmp without marker — cleaned at the next
+      // recovery), never a resurrection.
+      Seq(".compact.commit", ".delete.old").foreach { sfx =>
+        val s = new org.apache.hadoop.fs.Path(path + sfx)
+        if (fs.exists(s)) fs.delete(s, true)
+      }
+      crashPoint("trunc:markers-cleared")
+      fs.delete(p, true)
+      Seq(".compact.tmp", ".compact.old", "__tmp").foreach { sfx =>
         val s = new org.apache.hadoop.fs.Path(path + sfx)
         if (fs.exists(s)) fs.delete(s, true)
       }

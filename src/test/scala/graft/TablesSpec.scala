@@ -390,6 +390,17 @@ class TablesSpec extends AnyFunSuite {
     Tables.append(Seq((99L, 9.0)).toDF("ts", "v"), path3, "ts", lit(0L))
     assert(spark.read.parquet(path3).count() == 1,
       "truncated data resurrected from stale protocol siblings")
+    // truncate's own crash window: killed after clearing the recovery
+    // markers but before the live delete — the table survives intact
+    // (the op simply didn't complete; all-or-nothing), and a re-truncate
+    // finishes the job with nothing resurrectable left behind
+    val path4 = tmp("rectrunc2")
+    Tables.load((0L until 10L).map(i => (i, i * 1.0)).toDF("ts", "v"), path4, Seq(), "ts")
+    assert(withCrash("trunc:markers-cleared", 1) { Tables.truncate(spark, path4) })
+    assert(spark.read.parquet(path4).count() == 10,
+      "a truncate crashed before the live delete must leave the table intact")
+    Tables.truncate(spark, path4)
+    assert(!new java.io.File(path4).exists)
   }
 
   test("writer lease: a live second writer is refused; a dead one's lease is broken") {
