@@ -46,6 +46,33 @@ object SparkEntry {
     * fresh process must not serve a stale dump from a prior run.
     */
   private val procTag = java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** Materialize a small staged-table readback and DROP the staging table
+    * in one step — returning the lazy frame would pin the table past the
+    * closure and leak one full copy per run into the persistent warehouse.
+    */
+  private def materializeAndDrop(s: SparkSession, agg: DataFrame,
+                                 t: String): DataFrame = {
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    s.sql(s"DROP TABLE IF EXISTS `$t`")
+    local
+  }
+
+  /** Hold `t`'s writer lease for a WHOLE staged-table query closure: the
+    * per-op leases inside (load/append/compact each take and release
+    * their own) leave gaps where a concurrent JVM sharing the warehouse
+    * could rebuild or drop the table mid-query — double-counted
+    * readbacks with no error. Same-thread re-entrancy makes the inner
+    * ops' leases no-ops under this one.
+    */
+  private def withTableLease[T](s: SparkSession, t: String)(body: => T): T = {
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)))
+    Tables.withWriterLease(
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration), loc, s"query:$t")(body)
+  }
   // collision-free per-cache-entry suffix: identityHashCode is stable but
   // NOT unique, and a collision between two live sessions caching the same
   // dir would alias their dump paths (overwrite-while-reading)
@@ -693,40 +720,37 @@ object SparkEntry {
       // rangeScanBucketed must skip the BASE bucket files entirely (their
       // recorded max ts is below the cut) and read only the appended
       // batch's files — fail-loud asserted on inputFiles before the
-      // readback aggregate the oracle reproduces. procTag: the table
-      // mutates (append), so two concurrent JVMs must not share it.
+      // readback aggregate the oracle reproduces.
       val cut = 1706227200000000000L // 2024-01-26, inside every SF's span
       val ev = Tables.read(s, dir, "events")
       // FIXED dir-keyed name (no procTag): the table is rebuilt per run
       // anyway (it mutates), so a fixed name lets loadBucketed overwrite
-      // a crashed run's leftover instead of orphaning one per JVM; a
-      // concurrent JVM on the same dir fails loudly on the writer lease
+      // a crashed run's leftover instead of orphaning one per JVM; the
+      // CLOSURE-WIDE lease below (not just the per-op ones inside)
+      // excludes a concurrent JVM for the whole load→append→scan→drop
+      // span, so it can neither rebuild the table mid-query (a
+      // double-counted readback) nor have ours dropped mid-flight
       val t = s"g_get_bkt_${Tables.dirKey(dir)}"
-      Tables.loadBucketed(ev.filter(col("ts") < cut), t,
-        Seq("user_id"), 8, sortCols = Seq("ts"))
-      Tables.appendBucketed(ev.filter(col("ts") >= cut), t)
-      val total = {
-        val loc = new org.apache.hadoop.fs.Path(
-          s.sessionState.catalog.getTableMetadata(
-            org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.listStatus(loc).count(f => f.isFile &&
-          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      withTableLease(s, t) {
+        Tables.loadBucketed(ev.filter(col("ts") < cut), t,
+          Seq("user_id"), 8, sortCols = Seq("ts"))
+        Tables.appendBucketed(ev.filter(col("ts") >= cut), t)
+        val total = {
+          val loc = new org.apache.hadoop.fs.Path(
+            s.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.listStatus(loc).count(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        }
+        val out = Tables.rangeScanBucketed(s, t, cut, Long.MaxValue)
+        val read = out.inputFiles.length
+        require(read > 0 && read < total,
+          s"ts-sliced bucketed scan must prune the base bucket files: read " +
+            s"$read of $total")
+        materializeAndDrop(s, out.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv")), t)
       }
-      val out = Tables.rangeScanBucketed(s, t, cut, Long.MaxValue)
-      val read = out.inputFiles.length
-      require(read > 0 && read < total,
-        s"ts-sliced bucketed scan must prune the base bucket files: read " +
-          s"$read of $total")
-      val agg = out.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))
-      // materialize the small readback, then DROP the staging table —
-      // returning the lazy frame would pin the table past the closure and
-      // leak one full bucketed copy of events into the warehouse per run
-      val local = s.createDataFrame(
-        java.util.Arrays.asList(agg.collect(): _*), agg.schema)
-      s.sql(s"DROP TABLE IF EXISTS `$t`")
-      local
     }),
     "q_concat_series" -> ((s, dir) => {
       val ev = Tables.read(s, dir, "events")
@@ -1025,28 +1049,27 @@ object SparkEntry {
       val ev = Tables.read(s, dir, "events")
       val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
       val cut = mm.getLong(0) / 2 + mm.getLong(1) / 2
-      // fixed dir-keyed name + in-closure drop (same reasoning as
-      // q_get_bucketed): a procTag name never repeats, so a crashed run's
-      // table was orphaned forever; now the next run's loadBucketed
-      // overwrites it, and concurrent JVMs fail loudly on the lease
+      // fixed dir-keyed name + closure-wide lease + in-closure drop
+      // (same reasoning as q_get_bucketed): a procTag name never repeats,
+      // so a crashed run's table was orphaned forever; now the next
+      // run's loadBucketed overwrites it, and a concurrent JVM is
+      // excluded for the whole multi-op span
       val t = s"g_lc_bkt_${Tables.dirKey(dir)}"
       s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      Tables.loadBucketed(ev.filter(col("ts") < cut), t,
-        Seq("user_id"), 8, sortCols = Seq("ts"))
-      Tables.appendBucketed(ev.filter(col("ts") >= cut), t)
-      val (nb, na) = Tables.compactBucketed(s, t)
-      require(nb > na && na <= 8,
-        s"per-bucket fold must contract to ≤1 file per bucket: $nb -> $na")
-      // a second fold is a no-op — the layout is re-established
-      val (nb2, na2) = Tables.compactBucketed(s, t)
-      require(nb2 == na2, s"re-fold must be a no-op: $nb2 -> $na2")
-      val agg = s.table(t).groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))
-        .withColumn("folded", lit(true))
-      val local = s.createDataFrame(
-        java.util.Arrays.asList(agg.collect(): _*), agg.schema)
-      s.sql(s"DROP TABLE IF EXISTS `$t`")
-      local
+      withTableLease(s, t) {
+        Tables.loadBucketed(ev.filter(col("ts") < cut), t,
+          Seq("user_id"), 8, sortCols = Seq("ts"))
+        Tables.appendBucketed(ev.filter(col("ts") >= cut), t)
+        val (nb, na) = Tables.compactBucketed(s, t)
+        require(nb > na && na <= 8,
+          s"per-bucket fold must contract to ≤1 file per bucket: $nb -> $na")
+        // a second fold is a no-op — the layout is re-established
+        val (nb2, na2) = Tables.compactBucketed(s, t)
+        require(nb2 == na2, s"re-fold must be a no-op: $nb2 -> $na2")
+        materializeAndDrop(s, s.table(t).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))
+          .withColumn("folded", lit(true)), t)
+      }
     }),
 
     // ---- top-k positions / directional join / stretch / first-pos ----

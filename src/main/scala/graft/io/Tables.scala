@@ -568,7 +568,11 @@ object Tables {
 
   private[graft] def withWriterLease[T](fs: FileSystem, dir: Path, op: String)(
       body: => T): T = {
-    val key = dir.toString
+    // re-entrancy keys on the QUALIFIED path: the same dir reached as
+    // "file:/x/t" (catalog location) and "/x/t" (defaultTablePath) must
+    // count as one lease, or a nested op would deadlock-fail against its
+    // own caller's lease file
+    val key = scala.util.Try(fs.makeQualified(dir).toString).getOrElse(dir.toString)
     if (heldLeases.get.contains(key)) return body // re-entrant (same thread)
     val lease = new Path(dir.getParent, dir.getName + ".lease")
     val token = java.util.UUID.randomUUID().toString
@@ -855,26 +859,35 @@ object Tables {
     * .old) — adopt it rather than discard it; a re-delete of the same
     * range is idempotent over the adopted content.
     */
-  private def recoverDelete(fs: FileSystem, path: String,
-                            adoptStranded: Boolean): Unit = {
+  /** deleteRange's staging-provenance tag: a sibling marker file created
+    * BEFORE the rewrite dir is written and removed after the swap. It is
+    * the discriminator the dot-less `__tmp` suffix cannot provide by
+    * name: a TAGGED `__tmp` is provably this engine's delete rewrite
+    * (adopt when it is the only copy, clean otherwise); an UNTAGGED one
+    * is unknown provenance — a user's own sibling table, or a strand
+    * from the pre-tag legacy protocol — and is never touched silently
+    * (deleteRange refuses loudly with remediation instead).
+    */
+  private def deleteStagingTag(path: String): Path = new Path(path + "__tmp.graft")
+
+  private def recoverDelete(fs: FileSystem, path: String): Unit = {
     val p = new Path(path)
     val tmp = new Path(path + "__tmp")
     val old = new Path(path + ".delete.old")
+    val tag = deleteStagingTag(path)
     if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
       sys.error(s"deleteRange: cannot recover $old back to $path")
     if (fs.exists(p) && fs.exists(old)) fs.delete(old, true)
-    // the `__tmp` suffix is dot-less — a USER table legitimately named
-    // `<path>__tmp` is indistinguishable from the legacy protocol's
-    // stranded rewrite by name alone, so only deleteRange itself (whose
-    // caller is explicitly operating on `path`) adopts or deletes it;
-    // load/append leave it untouched rather than silently consuming an
-    // unrelated sibling on a first write to a fresh path
-    if (adoptStranded) {
-      if (!fs.exists(p) && !fs.exists(old) && fs.exists(tmp) &&
-        !fs.rename(tmp, p))
-        sys.error(s"deleteRange: cannot adopt stranded rewrite $tmp at $path")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(tmp) && fs.exists(tag)) {
+      // engine-tagged staging: the only copy is adopted, anything else
+      // is an uncommitted rewrite — garbage
+      if (!fs.exists(p)) {
+        if (!fs.rename(tmp, p))
+          sys.error(s"deleteRange: cannot adopt stranded rewrite $tmp at $path")
+      } else fs.delete(tmp, true)
     }
+    // untagged tmp: left strictly alone (see deleteStagingTag)
+    if (fs.exists(tag) && !fs.exists(tmp)) fs.delete(tag, false)
   }
 
   /** Entry recovery for EVERY mutating op on a clustered path: complete
@@ -886,13 +899,10 @@ object Tables {
     * a deleteRange mid-swap crash would recreate the live dir so the
     * next delete treats `.delete.old` — the only full copy — as
     * superseded cleanup. Silent data loss both ways; recovery first.
-    * Only deleteRange adopts a legacy stranded `__tmp` (see
-    * [[recoverDelete]]'s foreign-sibling hazard).
     */
-  private def recoverMutations(fs: FileSystem, path: String,
-                               adoptStranded: Boolean = false): Unit = {
+  private def recoverMutations(fs: FileSystem, path: String): Unit = {
     recoverCompact(fs, path)
-    recoverDelete(fs, path, adoptStranded)
+    recoverDelete(fs, path)
   }
 
   /** Crash recovery shared by [[compact]] and [[compactIncremental]] —
@@ -972,6 +982,12 @@ object Tables {
       if (fs.exists(tmp)) fs.delete(tmp, true) // uncommitted staging
       if (!fs.exists(hp) && fs.exists(old) && !fs.rename(old, hp))
         sys.error(s"compact: cannot recover $old back to $path")
+      // live + old with no marker: the swap installed but the crash hit
+      // before swapInstall's final delete — old is the SUPERSEDED copy.
+      // Consume it here, not lazily: a later truncate that removed the
+      // live dir would otherwise turn this leftover into a resurrection
+      // source for the restore branch above.
+      else if (fs.exists(hp) && fs.exists(old)) fs.delete(old, true)
     }
   }
 
@@ -1168,8 +1184,10 @@ object Tables {
     * compact flavors use (never delete-then-write: a crash between the
     * delete and the install must not strand the only copy in a staging
     * dir). Entry recovery: a missing live dir with a `.delete.old`
-    * sibling is a mid-swap crash — restore it; a stray staging dir
-    * without that state is an uncommitted rewrite — discard it.
+    * sibling is a mid-swap crash — restore it; a TAGGED staging dir
+    * (see [[deleteStagingTag]]) is adopted when it is the only copy and
+    * discarded otherwise; an untagged `__tmp` is never touched silently
+    * — the op refuses loudly with remediation.
     */
   def deleteRange(spark: SparkSession, path: String, ts: String,
                   from: Column, till: Column): Unit = {
@@ -1178,10 +1196,25 @@ object Tables {
     withWriterLease(fs, p, "deleteRange") {
     val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
     val old = new org.apache.hadoop.fs.Path(path + ".delete.old")
-    recoverMutations(fs, path, adoptStranded = true)
+    recoverMutations(fs, path)
+    // an UNTAGGED __tmp survived recovery: unknown provenance — a user's
+    // own sibling table, or a strand from the pre-tag legacy protocol.
+    // The Overwrite write below would silently destroy it; refuse with
+    // the remediation instead (same spirit as guardCompactable).
+    if (fs.exists(tmp)) sys.error(
+      s"deleteRange: $tmp exists and is not this engine's tagged staging — " +
+        "if it is a stranded legacy delete rewrite and the table dir is " +
+        s"missing, rename it to $path to adopt it; if it is unrelated " +
+        "data, move it aside. Refusing to overwrite.")
     // same refusal as the compact flavors: the rename-aside + delete(old)
     // swap must never silently destroy content the engine doesn't own
     guardCompactable(fs, p)
+    // provenance tag FIRST, so the staging dir is engine-owned from
+    // birth — a crash anywhere mid-write leaves a tagged partial that
+    // the next recovery cleans silently
+    writeSmallFileAtomic(fs, deleteStagingTag(path),
+      org.json4s.jackson.Serialization.write(Map("table" -> path, "op" -> "deleteRange")))
+    crashPoint("del:tagged")
     // NULL-ts rows are outside every range: without the isNull arm the
     // negated conjunction is NULL under three-valued logic and filter
     // would silently DELETE them. No pre-materialization needed — the
@@ -1191,6 +1224,7 @@ object Tables {
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     crashPoint("del:staged")
     swapInstall(fs, p, tmp, old, "deleteRange", "del", restorable = true)
+    fs.delete(deleteStagingTag(path), false)
     // the rewrite replaced every file: regenerate the manifest (all files
     // are the established layout now)
     writeManifest(spark, path, ts)
@@ -1206,26 +1240,21 @@ object Tables {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, p, "truncate") {
-      // a predecessor crash's protocol siblings must go too: a surviving
-      // commit marker + staged dir (or a `.delete.old` copy) would let
-      // the next op's entry recovery RESURRECT the truncated data. The
-      // RECOVERY-DRIVING siblings (marker, .delete.old) go BEFORE the
-      // live dir: a crash after the live delete but before their removal
-      // would otherwise leave exactly the "no live dir + marker/old"
-      // state recovery rolls forward/restores. With them gone first, a
-      // crash at any point leaves either the live dir (re-truncate) or
-      // inert garbage (tmp without marker — cleaned at the next
-      // recovery), never a resurrection.
-      Seq(".compact.commit", ".delete.old").foreach { sfx =>
-        val s = new org.apache.hadoop.fs.Path(path + sfx)
-        if (fs.exists(s)) fs.delete(s, true)
-      }
-      crashPoint("trunc:markers-cleared")
+      // RECOVERY FIRST, not sibling deletion: clearing a committed
+      // compact marker by hand would orphan the cold files the crashed
+      // compact had already moved into its staging dir (the next
+      // recovery then deletes that dir as "uncommitted" — silent row
+      // loss into a table that survives), and deleting siblings after
+      // the live dir leaves resurrection sources (.compact.old /
+      // tagged __tmp with no live dir). Completing recovery makes every
+      // protocol sibling inert or consumed; the only thing left to do
+      // is delete the live dir. A crash before the delete leaves the
+      // recovered table intact (re-truncate); after it, nothing remains
+      // that any recovery path would restore. An UNTAGGED __tmp (foreign
+      // or legacy — see deleteStagingTag) is deliberately left alone.
+      recoverMutations(fs, path)
+      crashPoint("trunc:recovered")
       fs.delete(p, true)
-      Seq(".compact.tmp", ".compact.old", "__tmp").foreach { sfx =>
-        val s = new org.apache.hadoop.fs.Path(path + sfx)
-        if (fs.exists(s)) fs.delete(s, true)
-      }
       invalidateRead(spark, path)
     }
   }

@@ -396,7 +396,7 @@ class TablesSpec extends AnyFunSuite {
     // finishes the job with nothing resurrectable left behind
     val path4 = tmp("rectrunc2")
     Tables.load((0L until 10L).map(i => (i, i * 1.0)).toDF("ts", "v"), path4, Seq(), "ts")
-    assert(withCrash("trunc:markers-cleared", 1) { Tables.truncate(spark, path4) })
+    assert(withCrash("trunc:recovered", 1) { Tables.truncate(spark, path4) })
     assert(spark.read.parquet(path4).count() == 10,
       "a truncate crashed before the live delete must leave the table intact")
     Tables.truncate(spark, path4)
@@ -677,25 +677,43 @@ class TablesSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 34)
   }
 
-  test("deleteRange adopts a rewrite stranded by the legacy delete-then-rename crash") {
-    // the pre-swap protocol could die between delete(live) and
-    // rename(tmp): path__tmp held the ONLY copy. Recovery must adopt it,
-    // never discard it as stale staging.
+  test("untagged __tmp (legacy strand or foreign dir) is never consumed silently") {
+    // the dot-less __tmp suffix cannot distinguish the legacy protocol's
+    // stranded rewrite from a USER table named <path>__tmp — so an
+    // untagged one is refused loudly with remediation, never adopted or
+    // deleted (the tagged current protocol recovers silently; its own
+    // crash fuzz covers that). After the operator's manual rename, the
+    // re-delete converges exactly as the legacy adoption used to.
     val path = tmp("dellegacy")
     val rows = (0L until 50L).map(i => (i, i * 1.0))
     Tables.load(rows.toDF("ts", "v"), path, Seq(), "ts")
     val expect = spark.read.parquet(path)
       .filter(!(col("ts") >= 10L && col("ts") <= 19L))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
-    // simulate the legacy crash state: rewrite at __tmp, live dir gone
+    // simulate the legacy crash state: rewrite at __tmp (no tag), live gone
     expect.toDF("ts", "v").write.parquet(path + "__tmp")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    // re-running the SAME delete adopts the stranded copy and converges
+    val e = intercept[RuntimeException] {
+      Tables.deleteRange(spark, path, "ts", lit(10L), lit(19L))
+    }
+    assert(e.getMessage.contains("tagged staging"), e.getMessage)
+    assert(new java.io.File(path + "__tmp").exists,
+      "the untagged dir must survive the refusal untouched")
+    // operator remediation: adopt by rename, then the re-delete converges
+    fs.rename(new org.apache.hadoop.fs.Path(path + "__tmp"),
+      new org.apache.hadoop.fs.Path(path))
     Tables.deleteRange(spark, path, "ts", lit(10L), lit(19L))
     val got = spark.read.parquet(path)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
     assert(got == expect)
+    // an append to a FRESH path never consumes an unrelated __tmp sibling
+    val path2 = tmp("foreigntmp")
+    Seq((1L, 1.0)).toDF("ts", "v").write.parquet(path2 + "__tmp")
+    Tables.append(Seq((5L, 5.0)).toDF("ts", "v"), path2, "ts", lit(0L))
+    assert(spark.read.parquet(path2).count() == 1)
+    assert(spark.read.parquet(path2 + "__tmp").count() == 1,
+      "the unrelated sibling must survive an append to the fresh path")
   }
 
   test("loadBucketed retries keep the previous table's copy until the new commit") {
