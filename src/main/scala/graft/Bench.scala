@@ -63,7 +63,7 @@ object Bench {
     */
   private[graft] case class QRes(name: String, minT: Double, spread: Double,
                                  cold: Double, failed: Boolean, warm: Seq[Double],
-                                 maint: Boolean = false)
+                                 maint: Boolean = false, nreps: Int = 0)
 
   /** 1/5/15-minute load averages — the machine-contention witness. A bench
     * number is only as good as the box it ran on: round 5's recorded run
@@ -154,6 +154,28 @@ object Bench {
     true
   }
 
+  /** The standing box-floor canary (VERDICT r11 "What's wrong" #2): a
+    * plan-constant synthetic job — a partitioned `range` sum, no I/O, no
+    * data dependence, a plan no engine change alters — timed fresh each
+    * attempt and recorded as `canary_sec`. Cross-round comparisons divide
+    * per-query deltas by the canary ratio to separate machine/JVM floor
+    * drift (the r10→r11 confounder: every small-absolute query "moved"
+    * +20-60 ms including under a pre-change binary) from real plan
+    * regressions; PLANS.md states round-over-round deltas
+    * canary-normalized.
+    */
+  private[graft] def measureCanary(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 64L << 20, 1L, 32)
+        .selectExpr("sum(id * 2654435761) as s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // codegen/JIT warm — the canary tracks the floor, not startup
+    Seq.fill(3)(once()).min
+  }
+
   /** The JSON record. `noCleanRun` (set when every attempt was
     * dirty) splices `"no_clean_run":true` plus the attempt count into the
     * SAME object, so a consumer that archives the JSON unconditionally
@@ -178,7 +200,8 @@ object Bench {
                                 contended: Boolean, noisy: Seq[String],
                                 sfDir: String, attempt: Int,
                                 noCleanRun: Option[Int],
-                                withRepTimes: Boolean = false): String = {
+                                withRepTimes: Boolean = false,
+                                canarySec: Double = -1.0): String = {
     def jmap(f: QRes => String) = results.map(f).mkString("{", ",", "}")
     val qs = jmap(r => "\"" + r.name + "\":" + f"${r.minT}%.3f")
     val spread = jmap(r => "\"" + r.name + "\":" + f"${r.spread}%.3f")
@@ -202,13 +225,16 @@ object Bench {
     val marker = noCleanRun
       .map(a => s""","no_clean_run":true,"attempts":$a""").getOrElse("")
     // queries running MORE warm reps than the session default (the as-of
-    // trio runs 2x) record their actual count — without this the global
-    // "reps" field silently misstates their sample size round-over-round
-    val extraReps = results.filter(r => r.warm.length != reps - 1)
+    // trio + q_minhash_lsh run 2x) record their actual count — without
+    // this the global "reps" field silently misstates their sample size
+    // round-over-round. Keyed on the INTENDED nreps, not warm.length: a
+    // cold-run failure truncates warm to one sentinel entry, which must
+    // read as a failure (the `failed` list), never as a 1-rep sample.
+    val extraReps = results.filter(r => !r.failed && r.nreps != reps)
       .map(r => "\"" + r.name + "\":" + r.warm.length)
     val extraJson =
       if (extraReps.isEmpty) "" else extraReps.mkString(""","warm_reps":{""", ",", "}")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread$repsJson,"failed":$failedList,"reps":$reps$extraJson,"attempt":$attempt,"load_sec":$loadSec%.3f,"cold_sec":$coldTotal%.3f,"maint_sec":$maintTotal%.3f,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"$marker}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread$repsJson,"failed":$failedList,"reps":$reps$extraJson,"attempt":$attempt,"load_sec":$loadSec%.3f,"canary_sec":$canarySec%.3f,"cold_sec":$coldTotal%.3f,"maint_sec":$maintTotal%.3f,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"$marker}"""
   }
 
   /** Emit one attempt's record: detail line first (full rep_times, also
@@ -220,11 +246,13 @@ object Bench {
                          startLoad: Seq[Double], endLoad: Seq[Double],
                          contended: Boolean, noisy: Seq[String],
                          sfDir: String, attempt: Int,
-                         noCleanRun: Option[Int]): Unit = {
+                         noCleanRun: Option[Int], canarySec: Double): Unit = {
     val detail = renderJson(results, reps, loadSec, startLoad, endLoad,
-      contended, noisy, sfDir, attempt, noCleanRun, withRepTimes = true)
+      contended, noisy, sfDir, attempt, noCleanRun, withRepTimes = true,
+      canarySec = canarySec)
     val compact = renderJson(results, reps, loadSec, startLoad, endLoad,
-      contended, noisy, sfDir, attempt, noCleanRun, withRepTimes = false)
+      contended, noisy, sfDir, attempt, noCleanRun, withRepTimes = false,
+      canarySec = canarySec)
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "bench_detail.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
@@ -257,7 +285,13 @@ object Bench {
     * More reps tighten the min estimate where the round-over-round claim
     * ("merge exec beats union+window") is actually adjudicated.
     */
-  private val extraRepQueries = Set("q_asof", "q_asof_exec", "q_asof_bucketed")
+  /** q_minhash_lsh joined in r12: BENCH_r11 flagged it `noisy` (0.429 s
+    * spread on a 0.692 s min over 6 reps) with a correct plan — the
+    * slowest headline query needs the tightest min estimate, not the
+    * loosest (VERDICT r11 "What's wrong" #1).
+    */
+  private val extraRepQueries =
+    Set("q_asof", "q_asof_exec", "q_asof_bucketed", "q_minhash_lsh")
 
   private def measure(spark: SparkSession, sfDir: String, reps: Int,
                       maint: Seq[(String, () => Unit)] = Seq()): Seq[QRes] = {
@@ -278,7 +312,7 @@ object Bench {
       val failed = !coldOk || warm.exists(!_._2)
       val warmTimes = warm.map(_._1)
       QRes(name, warmTimes.min, warmTimes.max - warmTimes.min, cold, failed,
-        warmTimes, isMaint)
+        warmTimes, isMaint, nreps)
     }
     val qres = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
@@ -295,6 +329,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // zero retention grace for the maintenance headline entries: eager
+    // reclaim keeps q_compact_incr's per-rep filesystem work comparable
+    // with pre-retention rounds (deferred reclaim would shift deletes
+    // into later reps' entry phase — same total work, noisier attribution)
+    sys.props.getOrElseUpdate("graft.retire.grace.ms", "0")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -367,29 +406,30 @@ object Bench {
     // regression this entry exists to catch.
     // FIXED staging names (not PID-keyed): a PID-keyed name never repeats,
     // so a killed run's staging dir would never be reclaimed — with fixed
-    // names the next run's entry cleanup (reclaimStaging below) reclaims
-    // any leftover, and the end-of-run cleanup after the attempt loop
-    // removes this run's own staging eagerly. A LIVE lease on the staging
-    // (another bench run mid-measurement on this box — its numbers and
-    // ours would both be garbage) is refused loudly rather than stomped;
-    // a stale lease (a killed run) is reclaimed with the dir.
+    // names the next run's entry cleanup reclaims any leftover, and the
+    // end-of-run cleanup after the attempt loop removes this run's own
+    // staging eagerly.
+    //
+    // RUN-SCOPED lease (ADVICE r11 #1): the previous design only held a
+    // lease while a maintenance OP was in flight, so a second bench run's
+    // entry reclaim arriving BETWEEN reps saw no lease and silently
+    // deleted this run's maintenance tables mid-measurement. Now the run
+    // holds the writer lease on BOTH staging paths for the entire attempt
+    // loop (acquired here, released after the end-of-run cleanup): lease
+    // ACQUISITION is the arbitration — a LIVE foreign lease (another
+    // bench run mid-measurement; its numbers and ours would both be
+    // garbage) refuses loudly, a stale one (killed run) is broken and its
+    // staging reclaimed. The per-op leases inside re-enter (same thread).
     val maintPath = s"${System.getProperty("java.io.tmpdir")}/graft_bench_incr"
     val maintBktTable = "graft_bench_bkt_incr"
-    def reclaimStaging(p: String): Unit = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val lease = new org.apache.hadoop.fs.Path(hp.getParent, hp.getName + ".lease")
-      if (hfs.exists(lease)) {
-        val age = System.currentTimeMillis() -
-          hfs.getFileStatus(lease).getModificationTime
-        if (age < graft.io.Tables.leaseTtlMs) throw new IllegalStateException(
-          s"another bench run's maintenance staging is LIVE ($lease, " +
-            s"age ${age}ms) — refusing to stomp its measurement; rerun " +
-            "after it finishes or its lease expires")
-        hfs.delete(lease, false)
-      }
-      hfs.delete(hp, true)
-    }
+    val maintHp = new org.apache.hadoop.fs.Path(maintPath)
+    val maintFs = maintHp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bktLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(maintBktTable)))
+    val bktFs = bktLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.io.Tables.withWriterLease(maintFs, maintHp, "bench-run") {
+    graft.io.Tables.withWriterLease(bktFs, bktLoc, "bench-run") {
     val maintOps: Seq[(String, () => Unit)] = {
       import org.apache.spark.sql.functions.{col, lit, min, max}
       val ev = graft.io.Tables.read(spark, sfDir, "events")
@@ -400,8 +440,10 @@ object Bench {
       val batch = ev.filter(col("ts") >= cutNs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       batch.count()
-      reclaimStaging(maintPath)
-      reclaimStaging(s"${spark.conf.get("spark.sql.warehouse.dir")}/$maintBktTable")
+      // entry reclaim of killed-run leftovers — we hold the run lease, so
+      // plain deletes are safe (no second run can be mid-measurement here)
+      maintFs.delete(maintHp, true)
+      bktFs.delete(bktLoc, true)
       graft.io.Tables.load(ev.filter(col("ts") < cutNs), maintPath, Seq(), "ts")
       var repIdx = 0L
       // the bucketed lifecycle twin (r10's appendBucketed/compactBucketed):
@@ -436,7 +478,7 @@ object Bench {
     var attempt = 1
     var emitted = false
     var lastDirty: Option[(Seq[QRes], Seq[Double], Seq[Double], Boolean,
-      Seq[String], Int)] = None
+      Seq[String], Int, Double)] = None
     while (attempt <= attempts && !emitted) {
       // attempt 1 rides the strict pre-load wait; retries re-check with
       // the busy-box threshold (our own residue decays under it fast)
@@ -445,6 +487,7 @@ object Bench {
         else waitForIdle(() => loadavg().head,
           math.max(idleLoad, cpus.toInt / 4.0), idleWaitSec)
       val startLoad = loadavg()
+      val canary = measureCanary(spark)
       val results = measure(spark, sfDir, reps, maintOps)
       val endLoad = loadavg()
       // maintenance ops (real filesystem writes) are excluded from the
@@ -461,14 +504,15 @@ object Bench {
       if (anyFailed || (!contended && noisy.isEmpty)) {
         // clean — archive it; or broken queries — retrying cannot fix code
         emitRecord(results, reps, loadSec, startLoad, endLoad,
-          contended, noisy, sfDir, attempt, noCleanRun = None)
+          contended, noisy, sfDir, attempt, noCleanRun = None, canary)
         emitted = true
       } else {
         System.err.println(
           s"[bench] attempt $attempt/$attempts dirty (contended=$contended, " +
             s"noisy=[${noisy.mkString(", ")}]) — " +
             (if (attempt < attempts) "retrying" else "no clean run"))
-        lastDirty = Some((results, startLoad, endLoad, contended, noisy, attempt))
+        lastDirty = Some((results, startLoad, endLoad, contended, noisy,
+          attempt, canary))
         attempt += 1
       }
     }
@@ -479,9 +523,10 @@ object Bench {
       System.err.println(
         s"[bench] WARNING: no clean run in $attempts attempts — the record " +
           "carries no_clean_run=true; do not read its totals as a regression")
-      lastDirty.foreach { case (results, startLoad, endLoad, contended, noisy, att) =>
+      lastDirty.foreach { case (results, startLoad, endLoad, contended, noisy,
+                                att, canary) =>
         emitRecord(results, reps, loadSec, startLoad, endLoad,
-          contended, noisy, sfDir, att, noCleanRun = Some(attempts))
+          contended, noisy, sfDir, att, noCleanRun = Some(attempts), canary)
       }
     }
     // reclaim this run's maintenance staging eagerly (the fixed names above
@@ -503,6 +548,8 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] staging cleanup failed: ${e.getMessage}")
     }
+    } // bench-run lease (bucketed staging)
+    } // bench-run lease (clustered staging)
     spark.stop()
   }
 }

@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
+    // zero retention grace: the smoke times maintenance walls, and eager
+    // reclaim (delete replaced files in-op) matches the pre-retention
+    // records the A/B comparisons were built on
+    sys.props.getOrElseUpdate("graft.retire.grace.ms", "0")
     val factor = args.headOption.flatMap(_.toIntOption).getOrElse(20)
     val work = args.drop(1).headOption.getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_scale_smoke")

@@ -1031,7 +1031,11 @@ object SparkEntry {
       Tables.truncate(s, scratch)
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       val truncated = !fs.exists(new org.apache.hadoop.fs.Path(scratch))
-      s.read.parquet(path).groupBy(col("event_type"))
+      // snapshot, not a plain directory read: deleteRange grace-retains the
+      // replaced generation in place for in-flight readers (the reader half
+      // of the reference's MURSIW contract) — the engine's read serves the
+      // LIVE generation only
+      Tables.snapshot(s, path).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))
         .withColumn("truncated", lit(truncated))
         .withColumn("compacted", lit(na >= 1 && na <= nb))

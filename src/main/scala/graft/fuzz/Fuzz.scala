@@ -193,7 +193,9 @@ object FuzzGen {
             graft.io.Tables.compactIncremental(s, path, Seq("event_type"), "ts")
           fs.create(ready, true).close()
         }
-        s.read.parquet(path)
+        // snapshot: the fold grace-retains the replaced hot files in place
+        // for in-flight readers — a plain dir read would double-count them
+        graft.io.Tables.snapshot(s, path)
           .select(col("event_id"), expr("ts div 1000").as("ts"),
             col("user_id"), col("event_type"), col("value"))
       })

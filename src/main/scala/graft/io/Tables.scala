@@ -14,6 +14,12 @@ import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, Times
 case class TsFileEntry(name: String, bytes: Long, minNs: Option[Long],
                        maxNs: Option[Long], loaded: Boolean)
 
+/** A replaced data file grace-retained in place for in-flight readers:
+  * the file stays at its original path (excluded from the live set) until
+  * `retiredMs + grace` passes, then the next lease-holding op reclaims it.
+  */
+case class RetiredEntry(name: String, retiredMs: Long)
+
 /** The table's ts min/max manifest — a `_graft_manifest.json` sidecar
   * inside the table directory (underscore-prefixed: Spark's parquet
   * reader ignores it as data). Written at load/compact/delete, extended
@@ -22,8 +28,37 @@ case class TsFileEntry(name: String, bytes: Long, minNs: Option[Long],
   * manifest is advisory: every consumer first checks it against the live
   * listing (names + sizes) and falls back to footer reads — or a full
   * rewrite — when they disagree (e.g. a foreign writer touched the dir).
+  *
+  * `files` is the LIVE generation; `retired` lists replaced files still
+  * present on disk for in-flight readers (the reader half of the
+  * reference's MURSIW contract, imcs.c:879-905) — engine reads serve
+  * `files` only, and a retired entry whose file is already gone (reclaim
+  * crashed mid-delete) is tolerated, never required.
   */
-case class TsManifest(version: Int, ts: String, files: Seq[TsFileEntry])
+case class TsManifest(version: Int, ts: String, files: Seq[TsFileEntry],
+                      retired: Seq[RetiredEntry] = Seq.empty)
+
+/** The generation-install commit marker (`<path>.gen.commit` sibling):
+  * written AFTER the new generation is fully staged, deleted after the
+  * manifest installs — its presence means roll FORWARD (finish moving
+  * `newFiles` in, rewrite the manifest retiring `replaced`).
+  */
+case class GenMarker(ts: String, newFiles: Seq[String], replaced: Seq[String])
+
+/** A streaming micro-batch append in flight: written to the stream-commit
+  * sidecar BEFORE the batch's data, cleared after the commit record — its
+  * survival means the attempt crashed, and recovery rolls the partial
+  * batch BACK (delete data files not in `preFiles`, prune them from the
+  * manifest) so the replay re-appends exactly once.
+  */
+case class PendingBatch(streamId: String, batchId: Long, preFiles: Seq[String])
+
+/** The stream-ingest commit log (`_graft_stream_commits.json` sidecar in
+  * the table dir): highest committed micro-batch id per stream (keyed by
+  * checkpoint location), plus at most one in-flight [[PendingBatch]].
+  */
+case class StreamCommits(committed: Map[String, Long],
+                         pending: Option[PendingBatch] = None)
 
 /** Table lifecycle over Parquet — the Spark equivalents of the reference's
   * load / append / delete / truncate generated functions
@@ -130,7 +165,10 @@ object Tables {
   def readRaw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     readCache.getOrElseUpdate((spark, sfDir, name + "#raw"), {
       val path = s"$sfDir/$name.parquet"
-      val raw = spark.read.parquet(path)
+      // snapshot, not a plain directory read: a manifest-governed table
+      // mid-grace holds retired (replaced) files a plain read would
+      // double-count; ungoverned paths (the testdata tables) read plainly
+      val raw = snapshot(spark, path)
       val target = {
         val sized = sizedParts(spark, path)
         if (cpuHeavy(name))
@@ -470,11 +508,16 @@ object Tables {
       val n = s.getPath.getName
       if (s.isDirectory) true
       else !isDataFile(n) && n != ManifestName && n != "_SUCCESS" &&
-        !n.endsWith(".crc") && n != "." + ManifestName + ".staging"
+        !n.endsWith(".crc") && n != "." + ManifestName + ".staging" &&
+        n != StreamCommitsName && n != "." + StreamCommitsName + ".staging"
     }.map(_.getPath.getName)
 
-  /** The ONE two-rename install shared by every swap protocol: move the
-    * live dir aside to `old`, move the staged `tmp` in, delete `old`.
+  /** The two-rename install retained for the BUCKETED maintenance flavor
+    * and legacy crash recovery (the clustered ops moved to the in-place
+    * generation install, [[installGeneration]], for reader isolation —
+    * a catalog-integrated bucketed scan cannot exclude co-located retired
+    * files, so the bucketed fold keeps the reader-exclusive swap): move
+    * the live dir aside to `old`, move the staged `tmp` in, delete `old`.
     * `restorable` selects the failure semantics of the install rename:
     * COPY protocols (full compact, deleteRange — tmp is a derived copy,
     * the original intact at `old`) restore the original and discard tmp;
@@ -532,9 +575,12 @@ object Tables {
 
   /** Cross-process writer exclusion for the MUTATING lifecycle ops — the
     * role the reference's MURSIW (multiple-readers-single-writer) lock
-    * plays (imcs.c:879-905). Readers need nothing: every protocol installs
-    * via atomic rename, so a reader sees the old or the new layout, never
-    * a torn one. Two LIVE writers racing a compact/append interleave is
+    * plays (imcs.c:879-905). Readers take no lock: installs are atomic
+    * (manifest rename for the clustered generation protocol, dir rename
+    * for the bucketed swap), so a reader plans against the old or the new
+    * layout, never a torn one — and the clustered layout grace-retains
+    * replaced files so mid-scan readers finish too ([[installGeneration]]).
+    * Two LIVE writers racing a compact/append interleave is
     * the case the staged-swap machinery cannot save — both stage against
     * the same listing and the second install destroys the first's rows —
     * so append, deleteRange, truncate, both compact flavors and the
@@ -557,6 +603,13 @@ object Tables {
     * every protocol is crash-recoverable at any step (crash-point fuzz).
     * Re-entrant per thread so compactIncremental's fallback into compact
     * doesn't self-deadlock.
+    */
+  /** Staleness is judged by comparing the CHECKER's clock against an
+    * mtime stamped by the HOLDER's heartbeat — on a shared filesystem
+    * across hosts this assumes clocks synchronized (NTP) well within
+    * `TTL − heartbeat period` (~6-7 min at the defaults); skew beyond
+    * that can make a live writer's lease look dead and get broken. Raise
+    * the TTL on deployments with weaker clock discipline.
     */
   private[graft] def leaseTtlMs: Long = sys.props.get("graft.lease.ttl.ms")
     .flatMap(_.toLongOption).getOrElse(10L * 60L * 1000L)
@@ -700,10 +753,17 @@ object Tables {
       s"writeManifest: $path holds partition subdirectories — a nested " +
         "layout cannot be manifest-managed (per-file reads would drop " +
         "directory-encoded columns); Spark's directory pruning covers it")
-    val files = listing.filter(s => s.isFile && isDataFile(s.getPath.getName))
+    // a regen over a dir holding grace-retained files must not promote
+    // them back to live (they would double-count every retired row) —
+    // carry the previous manifest's retired set and exclude those names
+    val prevRetired = readManifest(fs, hp).map(_.retired).getOrElse(Seq.empty)
+    val retiredNames = prevRetired.map(_.name).toSet
+    val files = listing.filter(s => s.isFile &&
+      isDataFile(s.getPath.getName) && !retiredNames(s.getPath.getName))
     val entries = scanEntries(spark.sparkContext.hadoopConfiguration, ts, files,
       loaded = true)
-    writeManifestFile(fs, hp, TsManifest(1, ts, entries))
+    writeManifestFile(fs, hp, TsManifest(1, ts, entries,
+      prevRetired.filter(r => fs.exists(new Path(hp, r.name)))))
   }
 
   /** Read-only view of a table's ts manifest — None when absent or
@@ -722,14 +782,233 @@ object Tables {
     ).toOption
   }
 
-  /** The manifest is trusted only when it describes EXACTLY the live data
-    * files (same names, same sizes) — anything else means a foreign
-    * writer touched the directory and the manifest is stale.
+  /** The manifest is trusted only when every LIVE entry is on disk with
+    * its recorded size and every on-disk data file is accounted for —
+    * live, grace-retained (`retired`), or staged by a LIVE generation
+    * install (`extraAllowed`, the gen marker's new-file names, present on
+    * disk mid-move before the new manifest lands). A retired entry whose
+    * file is already gone is tolerated (reclaim deletes files first,
+    * updates the manifest second — the crash-safe order). Anything else
+    * means a foreign writer touched the directory and the manifest is
+    * stale.
     */
-  private def manifestConsistent(m: TsManifest, files: Seq[FileStatus]): Boolean = {
-    val live = files.map(s => (s.getPath.getName, s.getLen)).toSet
-    val rec = m.files.map(e => (e.name, e.bytes)).toSet
-    live == rec
+  private def manifestConsistent(m: TsManifest, files: Seq[FileStatus],
+                                 extraAllowed: Set[String] = Set.empty): Boolean = {
+    val live = files.map(s => (s.getPath.getName, s.getLen)).toMap
+    m.files.forall(e => live.get(e.name).contains(e.bytes)) && {
+      val known = m.files.map(_.name).toSet ++ m.retired.map(_.name) ++ extraAllowed
+      files.forall(s => known(s.getPath.getName))
+    }
+  }
+
+  private def genMarkerPath(path: String): Path = new Path(path + ".gen.commit")
+  private def genTmpPath(path: String): Path = new Path(path + ".gen.tmp")
+
+  /** Grace window for retired (replaced) data files — how long an
+    * in-flight reader that listed the OLD generation may keep scanning it
+    * after a maintenance op installs the new one. Defaults to the lease
+    * TTL; size it to the longest expected query against the table. Zero
+    * disables retention (replaced files reclaimed at the end of the op —
+    * the pre-r12 behavior).
+    */
+  private[graft] def retireGraceMs: Long = sys.props.get("graft.retire.grace.ms")
+    .flatMap(_.toLongOption).getOrElse(leaseTtlMs)
+
+  /** The LIVE view of a manifest-governed directory: Some(manifest) when
+    * a trustworthy manifest exists (consistency judged modulo retired
+    * files and a mid-install gen marker), None for ungoverned dirs. A
+    * manifest that no longer matches the listing while retired files
+    * exist FAILS LOUDLY instead of degrading: a plain-read fallback there
+    * would silently serve retired duplicates as live rows.
+    */
+  private def liveEntries(fs: FileSystem, hp: Path,
+                          tsName: Option[String]): Option[TsManifest] =
+    readManifest(fs, hp).filter(m => tsName.forall(_ == m.ts)).flatMap { m =>
+      val listing = fs.listStatus(hp).toSeq
+      if (hasPartitionDirs(listing)) None
+      else {
+        val files = listing.filter(s => s.isFile && isDataFile(s.getPath.getName))
+        val markerNew: Set[String] =
+          scala.util.Try(org.json4s.jackson.Serialization.read[GenMarker](
+            readSmallText(fs, genMarkerPath(hp.toString)))).toOption
+            .map(_.newFiles.toSet).getOrElse(Set.empty)
+        if (manifestConsistent(m, files, markerNew)) Some(m)
+        else if (m.retired.nonEmpty) sys.error(
+          s"table $hp holds grace-retained retired files but its manifest " +
+            "no longer matches the live listing — a foreign writer modified " +
+            "the directory, and reads can no longer distinguish live from " +
+            "retired data. Restore the manifest (or move the foreign " +
+            "content aside and run Tables.vacuum) before reading")
+        else None
+      }
+    }
+
+  /** The live generation of `path` as a DataFrame: manifest-governed
+    * directories serve EXACTLY the manifest's live files — grace-retained
+    * retired files excluded — so a read taken after a maintenance op
+    * never sees the replaced generation; ungoverned paths read plainly.
+    * This (and the read/rangeScan paths built on it) is the engine's read
+    * contract for managed tables: a plain `spark.read.parquet(dir)`
+    * during the grace window sees retired files too (the same rule every
+    * table format imposes — read through the engine, not the directory).
+    */
+  def snapshot(spark: SparkSession, path: String): DataFrame = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val governed =
+      if (fs.exists(hp) && fs.getFileStatus(hp).isDirectory)
+        liveEntries(fs, hp, None).map { m =>
+          if (m.files.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              spark.read.parquet(path).schema)
+          else {
+            val df = spark.read.parquet(
+              m.files.map(e => new Path(hp, e.name).toString): _*)
+            val target = sizedPartsForBytes(spark, m.files.map(_.bytes).sum)
+            if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+          }
+        }
+      else None
+    governed.getOrElse(spark.read.parquet(path))
+  }
+
+  /** Delete grace-expired retired files and drop their manifest entries.
+    * Crash-safe order: files first, manifest second — a crash in between
+    * leaves retired entries pointing at missing files, which
+    * [[manifestConsistent]] tolerates and the next reclaim clears. Runs
+    * under the lease at the entry AND exit of every retiring op (so a
+    * zero grace reproduces eager deletion), and via [[vacuum]].
+    */
+  private def reclaimRetired(fs: FileSystem, hp: Path, graceMs: Long): Int = {
+    readManifest(fs, hp).map { m =>
+      if (m.retired.isEmpty) 0
+      else {
+        val now = System.currentTimeMillis()
+        val (expired, kept) = m.retired.partition(r => now - r.retiredMs >= graceMs)
+        if (expired.nonEmpty) {
+          expired.foreach { r =>
+            val p = new Path(hp, r.name)
+            if (fs.exists(p)) fs.delete(p, false)
+            crashPoint("retire:reclaimed")
+          }
+          writeManifestFile(fs, hp, m.copy(retired = kept))
+        }
+        expired.size
+      }
+    }.getOrElse(0)
+  }
+
+  /** Reclaim retired files older than `graceMs` (default: the configured
+    * grace window; 0 = reclaim everything now). Holds the writer lease —
+    * reclamation deletes data files, so it must never race an install.
+    * Returns the number of files reclaimed.
+    */
+  def vacuum(spark: SparkSession, path: String,
+             graceMs: Long = retireGraceMs): Int = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLease(fs, hp, "vacuum") {
+      val n = reclaimRetired(fs, hp, graceMs)
+      if (n > 0) invalidateRead(spark, path)
+      n
+    }
+  }
+
+  /** The generation install shared by the rewriting ops (full compact,
+    * incremental compact's fold, deleteRange): move the staged tmp dir's
+    * files INTO the live directory under their own (job-unique) names,
+    * then atomically install a manifest whose live set is
+    * `carryLive ++ staged` with `replaced` grace-retained as retired.
+    * Replaced files never move — an in-flight reader that listed the old
+    * generation keeps scanning it until the grace expires (the reader
+    * half of the reference's MURSIW contract); manifest-governed readers
+    * flip to the new generation at the manifest rename. The gen marker is
+    * the roll-forward commit point ([[recoverGen]]).
+    */
+  private def installGeneration(spark: SparkSession, fs: FileSystem, hp: Path,
+                                tmp: Path, ts: String,
+                                replaced: Seq[String],
+                                carryLive: Seq[TsFileEntry],
+                                carryRetired: Seq[RetiredEntry],
+                                tag: String): Seq[TsFileEntry] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staged = fs.listStatus(tmp)
+      .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+    // job-unique part names make a collision with an existing file a sign
+    // of corruption (the same job wrote both) — stop, never overwrite
+    val existing = fs.listStatus(hp).filter(_.isFile)
+      .map(_.getPath.getName).toSet
+    staged.foreach { s =>
+      if (existing(s.getPath.getName)) sys.error(
+        s"$tag: staged file ${s.getPath.getName} collides with an existing " +
+          s"file in $hp — refusing to install")
+    }
+    val entries = scanEntries(conf, ts, staged, loaded = true)
+    writeSmallFileAtomic(fs, genMarkerPath(hp.toString),
+      org.json4s.jackson.Serialization.write(
+        GenMarker(ts, staged.map(_.getPath.getName), replaced)))
+    crashPoint(s"$tag:gen-marker")
+    staged.foreach { s =>
+      if (!fs.rename(s.getPath, new Path(hp, s.getPath.getName)))
+        sys.error(s"$tag: cannot move staged file ${s.getPath} into $hp")
+      crashPoint(s"$tag:gen-moved")
+    }
+    val now = System.currentTimeMillis()
+    writeManifestFile(fs, hp, TsManifest(1, ts, carryLive ++ entries,
+      carryRetired ++ replaced.map(n => RetiredEntry(n, now))))
+    crashPoint(s"$tag:gen-manifest")
+    fs.delete(genMarkerPath(hp.toString), false)
+    fs.delete(tmp, true)
+    carryLive ++ entries
+  }
+
+  /** Crash recovery for the generation-install protocol, run at entry of
+    * every mutating op (before the legacy swap recoveries): a gen marker
+    * means the new generation was fully staged — roll FORWARD (finish
+    * moving its files in, install the manifest retiring the replaced
+    * set); staging without a marker is uncommitted garbage. Every step is
+    * idempotent, and no step ever deletes a replaced (old-generation)
+    * file — those wait for reclaim past the grace.
+    */
+  private def recoverGen(spark: SparkSession, fs: FileSystem, path: String): Unit = {
+    val hp = new Path(path)
+    val marker = genMarkerPath(path)
+    val tmp = genTmpPath(path)
+    if (fs.exists(marker)) {
+      // atomically-written marker: unreadable means external corruption
+      val gm = scala.util.Try(org.json4s.jackson.Serialization.read[GenMarker](
+        readSmallText(fs, marker))).getOrElse(
+        sys.error(s"gen recovery: unreadable marker $marker — inspect manually"))
+      gm.newFiles.foreach { n =>
+        val dst = new Path(hp, n)
+        if (!fs.exists(dst)) {
+          val src = new Path(tmp, n)
+          if (!fs.exists(src) || !fs.rename(src, dst))
+            sys.error(s"gen recovery: staged file $n present in neither " +
+              s"$tmp nor $hp — cannot roll forward; inspect manually")
+        }
+      }
+      val mOpt = readManifest(fs, hp)
+      val isNew = mOpt.exists(m =>
+        gm.newFiles.forall(n => m.files.exists(_.name == n)) &&
+          gm.replaced.forall(n => !m.files.exists(_.name == n)))
+      if (!isNew) {
+        val listing = fs.listStatus(hp)
+          .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+        val newSet = gm.newFiles.toSet
+        val entries = scanEntries(spark.sparkContext.hadoopConfiguration, gm.ts,
+          listing.filter(s => newSet(s.getPath.getName)), loaded = true)
+        val carryLive = mOpt.map(_.files.filterNot(e =>
+          gm.replaced.contains(e.name) || newSet(e.name))).getOrElse(Seq.empty)
+        val carryRetired = mOpt.map(_.retired).getOrElse(Seq.empty)
+        val now = System.currentTimeMillis()
+        writeManifestFile(fs, hp, TsManifest(1, gm.ts, carryLive ++ entries,
+          carryRetired ++ gm.replaced.map(n => RetiredEntry(n, now))))
+      }
+      fs.delete(marker, false)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    } else if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** File-level ts pruning from the manifest sidecar: one small metadata
@@ -745,24 +1024,15 @@ object Tables {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp) || fs.getFileStatus(hp).isFile) return None
-    readManifest(fs, hp).filter(_.ts == tsName).flatMap { m =>
-      val listing = fs.listStatus(hp).toSeq
-      // a nested (partitioned) layout cannot be served by per-file reads
-      // — even a consistent-looking manifest (e.g. empty ↔ empty) would
-      // silently drop every subdir row and partition column
-      if (hasPartitionDirs(listing)) return None
-      val files = listing.filter(s => s.isFile && isDataFile(s.getPath.getName))
-      if (!manifestConsistent(m, files)) None
-      else {
-        val kept = m.files.filter { e =>
-          (e.minNs, e.maxNs) match {
-            case (Some(mn), Some(mx)) => mx >= fromNs && mn < tillNs
-            case _ => true
-          }
+    liveEntries(fs, hp, Some(tsName)).map { m =>
+      val kept = m.files.filter { e =>
+        (e.minNs, e.maxNs) match {
+          case (Some(mn), Some(mx)) => mx >= fromNs && mn < tillNs
+          case _ => true
         }
-        Some(readKeptFiles(spark, schema,
-          kept.map(e => new Path(hp, e.name).toString), kept.map(_.bytes).sum))
       }
+      readKeptFiles(spark, schema,
+        kept.map(e => new Path(hp, e.name).toString), kept.map(_.bytes).sum)
     }
   }
 
@@ -780,14 +1050,15 @@ object Tables {
     * Single-partition frames skip the shuffle (nothing to cluster).
     */
   def load(df: DataFrame, path: String, keys: Seq[String], ts: String): Unit = {
+    val spark = df.sparkSession
     val hp = new Path(path)
-    val fs = hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // load replaces the whole layout — the most destructive mutation, so
     // it holds the writer lease like every other lifecycle op (racing a
     // compact's staged swap unleased could resurrect pre-load files or
     // tear the fresh layout)
     withWriterLease(fs, hp, "load") {
-      recoverMutations(fs, path)
+      recoverMutations(spark, fs, path)
       writeClustered(df, path, (keys :+ ts).map(col), df.rdd.getNumPartitions)
       // the load layout's ts manifest: one footer pass at write time buys
       // every future rangeScan its file pruning without driver footer RPCs,
@@ -831,23 +1102,34 @@ object Tables {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, hp, "compact") {
-    recoverMutations(fs, path)
+    recoverMutations(spark, fs, path)
+    reclaimRetired(fs, hp, retireGraceMs)
     guardCompactable(fs, hp)
     def dataFiles(p: Path): Array[FileStatus] =
       fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath.getName))
-    val before = dataFiles(hp)
-    val bytes = before.map(_.getLen).sum
-    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val old = new Path(path + ".compact.old")
-    val tmp = new Path(path + ".compact.tmp")
+    // the rewrite's input is the LIVE generation: a governed manifest's
+    // live set (retired files excluded — folding them would duplicate
+    // rows), or the whole listing for an ungoverned dir
+    val listing = dataFiles(hp)
+    val mOpt = liveEntries(fs, hp, Some(ts))
+    val (liveNames, liveBytes, carryRetired) = mOpt match {
+      case Some(m) => (m.files.map(_.name), m.files.map(_.bytes).sum, m.retired)
+      case None => (listing.map(_.getPath.getName).toSeq,
+        listing.map(_.getLen).sum, Seq.empty[RetiredEntry])
+    }
+    val parts = math.max(1L, (liveBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = genTmpPath(path)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    writeClustered(spark.read.parquet(path), tmp.toString,
-      (keys :+ ts).map(col), parts)
+    writeClustered(
+      spark.read.parquet(liveNames.map(n => new Path(hp, n).toString): _*),
+      tmp.toString, (keys :+ ts).map(col), parts)
     crashPoint("full:staged")
-    swapInstall(fs, hp, tmp, old, "compact", "full", restorable = true)
-    writeManifest(spark, path, ts)
+    val after = installGeneration(spark, fs, hp, tmp, ts,
+      replaced = liveNames, carryLive = Seq.empty,
+      carryRetired = carryRetired, tag = "full")
+    reclaimRetired(fs, hp, retireGraceMs)
     invalidateRead(spark, path)
-    (before.length, dataFiles(hp).length)
+    (liveNames.length, after.length)
     }
   }
 
@@ -900,7 +1182,10 @@ object Tables {
     * next delete treats `.delete.old` — the only full copy — as
     * superseded cleanup. Silent data loss both ways; recovery first.
     */
-  private def recoverMutations(fs: FileSystem, path: String): Unit = {
+  private def recoverMutations(spark: SparkSession, fs: FileSystem,
+                               path: String): Unit = {
+    recoverStreamPending(fs, path)
+    recoverGen(spark, fs, path)
     recoverCompact(fs, path)
     recoverDelete(fs, path)
   }
@@ -1003,82 +1288,65 @@ object Tables {
     * (the [[append]] guard), so folding them alone preserves the global
     * range-disjointness pruning needs.
     *
-    * Crash safety: the folded files AND the new manifest are fully staged
-    * in a tmp dir first; a commit marker listing the cold files is then
-    * written (the roll-forward point — see [[recoverCompact]]); cold
-    * files move into the staging dir by rename; the same two-rename swap
-    * as [[compact]] installs it. A crash anywhere is recovered at the
-    * next compact entry — backward before the marker, forward after.
+    * Crash safety + reader isolation (the generation install,
+    * [[installGeneration]]): the folded files are fully staged in a
+    * sibling tmp dir; the gen marker commits (roll-forward point,
+    * [[recoverGen]]); staged files move INTO the live dir under their
+    * job-unique names; the manifest — the live-set source of truth —
+    * installs atomically with the folded hot files live and the replaced
+    * ones grace-retained as `retired`. Cold load-layout files are NOT
+    * TOUCHED AT ALL, and replaced files never move, so an in-flight
+    * reader that listed the old generation finishes on its snapshot (the
+    * reader half of the reference's MURSIW contract, imcs.c:879-905);
+    * manifest-governed readers flip atomically at the manifest rename.
+    * Retired files are reclaimed by the next lease-holding op past the
+    * grace window ([[retireGraceMs]]) or by [[vacuum]].
     *
     * Falls back to the full [[compact]] when there is no trustworthy
     * manifest (absent, stale, or untracked data files present). Content
     * neither compact flavor may touch — any subdirectory, or hidden
     * artifacts that are not the engine's own sidecars — stops BOTH loudly
-    * at entry (guardCompactable): the rename-aside swap would otherwise
-    * silently destroy it. Returns (filesBefore, filesAfter); a table with
-    * nothing appended is a no-op.
+    * at entry (guardCompactable). Returns (liveBefore, liveAfter); a
+    * table with nothing appended is a no-op.
     *
-    * Single-writer maintenance op (like [[compact]]); readers racing the
-    * swap can transiently miss the table directory. The crash-recovery
-    * protocol REQUIRES atomic directory renames for the two-rename swap
-    * (HDFS, ABFS, any POSIX-style FS). Plain S3A provides neither atomic
-    * nor cheap directory renames — a crash mid-swap there can leave the
-    * move half-applied in ways the marker protocol cannot distinguish,
-    * and every cold-file "rename" pays a copy — so on object stores run
-    * compaction through a table format with metadata swaps (or an
-    * HDFS/ABFS staging tier), not directly against the bucket.
+    * Single-writer maintenance op (like [[compact]]). The protocol needs
+    * only FILE renames (atomic on HDFS/ABFS/POSIX; small-object copies on
+    * S3A — viable, unlike the directory renames the pre-r12 swap needed),
+    * but on object stores a table format with metadata swaps remains the
+    * better host for compaction.
     */
   def compactIncremental(spark: SparkSession, path: String, keys: Seq[String],
                          ts: String, targetBytes: Long = 128L << 20): (Int, Int) = {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, hp, "compactIncremental") {
-    recoverMutations(fs, path)
+    recoverMutations(spark, fs, path)
+    reclaimRetired(fs, hp, retireGraceMs)
     guardCompactable(fs, hp)
-    def dataFiles(p: Path): Array[FileStatus] =
-      fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath.getName))
-    val before = dataFiles(hp).toSeq
-    val mOpt = readManifest(fs, hp).filter(_.ts == ts)
-      .filter(manifestConsistent(_, before))
+    val mOpt = liveEntries(fs, hp, Some(ts))
     if (mOpt.isEmpty) return compact(spark, path, keys, ts, targetBytes)
     val m = mOpt.get
     val hot = m.files.filterNot(_.loaded)
-    if (hot.isEmpty) return (before.length, before.length)
+    if (hot.isEmpty) return (m.files.length, m.files.length)
+    // the cold load-layout files are NOT TOUCHED AT ALL — they stay live
+    // at their paths, carried in the manifest verbatim (the pre-r12 swap
+    // renamed them through a staging dir, which broke in-flight readers'
+    // paths; zero moves is both the isolation and less rename work)
     val cold = m.files.filter(_.loaded)
     val bytes = hot.map(_.bytes).sum
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new Path(path + ".compact.tmp")
-    val marker = new Path(path + ".compact.commit")
+    val tmp = genTmpPath(path)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     writeClustered(
       spark.read.parquet(hot.map(e => new Path(hp, e.name).toString): _*),
       tmp.toString, (keys :+ ts).map(col), parts)
     crashPoint("incr:staged")
-    // stage the NEW manifest alongside the folded files: cold entries
-    // carry over verbatim, folded output is footer-scanned once — after
-    // the swap everything is the established layout again
-    val foldedEntries = scanEntries(spark.sparkContext.hadoopConfiguration, ts,
-      dataFiles(tmp).toSeq, loaded = true)
-    writeManifestFile(fs, tmp,
-      TsManifest(1, ts, cold.map(_.copy(loaded = true)) ++ foldedEntries))
-    crashPoint("incr:manifest-staged")
-    // COMMIT: from here recovery rolls forward. Atomic (stage+rename) so
-    // a crash mid-write cannot leave a torn marker that recovery would
-    // misread as an empty cold list.
-    writeSmallFileAtomic(fs, marker,
-      org.json4s.jackson.Serialization.write(cold.map(_.name)))
-    crashPoint("incr:marker")
-    cold.foreach { e =>
-      val src = new Path(hp, e.name)
-      if (!fs.rename(src, new Path(tmp, e.name)))
-        sys.error(s"compactIncremental: cannot move cold file $src into staging")
-      crashPoint("incr:cold-moved")
-    }
-    val old = new Path(path + ".compact.old")
-    swapInstall(fs, hp, tmp, old, "compactIncremental", "incr", restorable = false)
-    fs.delete(marker, false)
+    val after = installGeneration(spark, fs, hp, tmp, ts,
+      replaced = hot.map(_.name), carryLive = cold.map(_.copy(loaded = true)),
+      carryRetired = m.retired, tag = "incr")
+    reclaimRetired(fs, hp, retireGraceMs)
     invalidateRead(spark, path)
-    (before.length, dataFiles(hp).length)
+    (m.files.length, after.length)
     }
   }
 
@@ -1100,21 +1368,33 @@ object Tables {
     * Delta/Iceberg deployment that too is a metadata lookup). The
     * incoming side is one small min() aggregate either way.
     */
-  def append(df: DataFrame, path: String, ts: String, from: Column): Unit = {
-    val spark = df.sparkSession
-    val incoming = df.filter(col(ts) >= from)
+  def append(df: DataFrame, path: String, ts: String, from: Column): Unit =
+    appendBatch(df.filter(col(ts) >= from), path, ts)
+
+  /** [[append]] without the `from` cut — the whole frame is the batch.
+    * Also the streaming bridge's per-micro-batch body
+    * ([[appendStreamBatch]] wraps it in the commit-log protocol).
+    */
+  private[graft] def appendBatch(incoming: DataFrame, path: String,
+                                 ts: String): Unit = {
+    val spark = incoming.sparkSession
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, hp, "append") {
-    recoverMutations(fs, path)
+    recoverMutations(spark, fs, path)
+    // any lease-holding op reclaims grace-expired retired files — append
+    // is the steady-state op, so retention never outlives grace for long
+    if (fs.exists(hp)) reclaimRetired(fs, hp, retireGraceMs)
     def listing(): Seq[FileStatus] =
       if (fs.exists(hp))
         fs.listStatus(hp).filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
       else Seq.empty
     val preFiles = listing()
-    if (fs.exists(hp)) {
+    if (preFiles.nonEmpty) {
       // manifest-derived tail in epoch-ns; None → fall back to the scan.
       // An EMPTY manifest-tracked table has no tail — nothing to violate.
+      // (`preFiles.nonEmpty`, not dir existence: the stream bridge creates
+      // the dir with only its commit sidecar before the first batch.)
       val manifestTail: Option[Option[Long]] =
         readManifest(fs, hp).filter(_.ts == ts)
           .filter(manifestConsistent(_, preFiles))
@@ -1143,7 +1423,7 @@ object Tables {
         case None =>
           // one row; null mn/mx (empty side) means no violation is possible
           val viol = incoming.agg(min(col(ts)).as("mn"))
-            .crossJoin(spark.read.parquet(path).agg(max(col(ts)).as("mx")))
+            .crossJoin(snapshot(spark, path).agg(max(col(ts)).as("mx")))
             .filter(col("mn") < col("mx"))
             .head(1)
           if (viol.nonEmpty)
@@ -1160,20 +1440,170 @@ object Tables {
     writeClustered(incoming, path, Seq(col(ts)),
       incoming.rdd.getNumPartitions, SaveMode.Append)
     crashPoint("append:written")
+    // fresh-table bootstrap: the FIRST batch establishes the manifest
+    // (one footer pass over just-written files, like load's), so
+    // stream-ingested tables are manifest-governed from birth — metadata
+    // tail checks and rangeScan file pruning from batch two onward
+    if (preFiles.isEmpty && readManifest(fs, hp).isEmpty)
+      writeManifest(spark, path, ts)
     // extend the manifest with the batch's files as loaded=false (the set
     // compactIncremental folds). A manifest that no longer matches the
     // pre-append listing is stale (foreign writer) — drop it rather than
     // compound the lie; readers and compact fall back gracefully.
-    readManifest(fs, hp).filter(_.ts == ts).foreach { m =>
+    else readManifest(fs, hp).filter(_.ts == ts).foreach { m =>
       if (manifestConsistent(m, preFiles)) {
         val preNames = preFiles.map(_.getPath.getName).toSet
         val fresh = listing().filterNot(s => preNames(s.getPath.getName))
         val entries = scanEntries(spark.sparkContext.hadoopConfiguration, ts,
           fresh, loaded = false)
         writeManifestFile(fs, hp, m.copy(files = m.files ++ entries))
-      } else fs.delete(new Path(hp, ManifestName), false)
+      } else if (m.retired.nonEmpty) sys.error(
+        s"append: manifest at $path no longer matches the live listing but " +
+          "grace-retained retired files exist — dropping the manifest would " +
+          "surface them as live duplicates; resolve the foreign modification " +
+          "(or Tables.vacuum) first")
+      else fs.delete(new Path(hp, ManifestName), false)
     }
     invalidateRead(spark, path)
+    }
+  }
+
+  // ---- streaming ingest bridge (insert trigger, imcs.c:4617-4740) ------
+
+  private val StreamCommitsName = "_graft_stream_commits.json"
+
+  private def readStreamCommits(fs: FileSystem, dir: Path): StreamCommits = {
+    val p = new Path(dir, StreamCommitsName)
+    if (!fs.exists(p)) StreamCommits(Map.empty)
+    else scala.util.Try(org.json4s.jackson.Serialization.read[StreamCommits](
+      readSmallText(fs, p))).getOrElse(
+      sys.error(s"unreadable stream-commit sidecar $p — it is written " +
+        "atomically, so this is external corruption; inspect manually"))
+  }
+
+  private def writeStreamCommits(fs: FileSystem, dir: Path,
+                                 rec: StreamCommits): Unit =
+    writeSmallFileAtomic(fs, new Path(dir, StreamCommitsName),
+      org.json4s.jackson.Serialization.write(rec))
+
+  /** Roll back a crashed in-flight stream batch: delete data files not in
+    * the pending record's pre-listing, prune them from the manifest, and
+    * clear the pending marker. Runs at entry of EVERY mutating op (via
+    * [[recoverMutations]]) so maintenance can never fold a half-committed
+    * batch into the layout before its replay decides it.
+    */
+  /** The stream batch THIS thread is currently landing: its own pending
+    * record must not be "recovered" by the nested append body's entry
+    * recovery (rolling back the very batch being written would both strip
+    * crash protection and discard the data mid-flight).
+    */
+  private val inFlightPending = new ThreadLocal[Option[(String, Long)]] {
+    override def initialValue(): Option[(String, Long)] = None
+  }
+
+  private def recoverStreamPending(fs: FileSystem, path: String): Unit = {
+    val hp = new Path(path)
+    if (!fs.exists(hp) || fs.getFileStatus(hp).isFile) return
+    val rec = readStreamCommits(fs, hp)
+    rec.pending.foreach { pnd =>
+      if (inFlightPending.get.contains((pnd.streamId, pnd.batchId))) return
+      val pre = pnd.preFiles.toSet
+      val extras = fs.listStatus(hp).filter(s => s.isFile &&
+        isDataFile(s.getPath.getName) && !pre(s.getPath.getName))
+      extras.foreach(s => fs.delete(s.getPath, false))
+      crashPoint("stream:rolled-back")
+      if (extras.nonEmpty) {
+        val extraNames = extras.map(_.getPath.getName).toSet
+        readManifest(fs, hp).foreach { m =>
+          if (m.files.exists(e => extraNames(e.name)))
+            writeManifestFile(fs, hp,
+              m.copy(files = m.files.filterNot(e => extraNames(e.name))))
+        }
+      }
+      writeStreamCommits(fs, hp, rec.copy(pending = None))
+    }
+  }
+
+  /** One streaming micro-batch appended EXACTLY ONCE into a managed
+    * clustered layout — the reference's continuous-ingest path
+    * (imcs.c:4617-4740) as a Structured Streaming foreachBatch body
+    * ([[graft.streaming.Streams.ingestAppend]] is the writeStream
+    * wrapper). Under ONE writer lease: a replayed batch (id ≤ the
+    * stream's committed high-water mark, e.g. after checkpoint recovery)
+    * is SKIPPED; otherwise a pending record (with the pre-batch file
+    * listing) commits the attempt, the batch appends through the ordered
+    * -ingest contract + manifest extension [[appendBatch]], and the
+    * commit record advances the mark. A crash anywhere replays the batch:
+    * before the pending record nothing happened; after it, recovery rolls
+    * the partial data back and the replay re-appends. `streamId` keys the
+    * commit log — use the checkpoint location (stable across restarts,
+    * unique per query). Returns whether the batch was applied (false =
+    * replay skipped).
+    */
+  def appendStreamBatch(batch: DataFrame, path: String, ts: String,
+                        streamId: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLease(fs, hp, "appendStreamBatch") {
+      recoverMutations(spark, fs, path)
+      if (fs.exists(hp)) reclaimRetired(fs, hp, retireGraceMs)
+      val rec = if (fs.exists(hp)) readStreamCommits(fs, hp)
+                else StreamCommits(Map.empty)
+      if (rec.committed.get(streamId).exists(_ >= batchId)) false
+      else {
+        val preNames =
+          if (fs.exists(hp)) fs.listStatus(hp)
+            .filter(s => s.isFile && isDataFile(s.getPath.getName))
+            .map(_.getPath.getName).toSeq
+          else Seq.empty[String]
+        writeStreamCommits(fs, hp,
+          rec.copy(pending = Some(PendingBatch(streamId, batchId, preNames))))
+        crashPoint("stream:pending")
+        inFlightPending.set(Some((streamId, batchId)))
+        try appendBatch(batch, path, ts)
+        finally inFlightPending.set(None)
+        crashPoint("stream:appended")
+        writeStreamCommits(fs, hp,
+          StreamCommits(rec.committed + (streamId -> batchId), None))
+        true
+      }
+    }
+  }
+
+  /** The bucketed twin of [[appendStreamBatch]]: exactly-once micro-batch
+    * ingest through a catalog bucketed table's own spec
+    * ([[appendBucketed]] body — ordered contract + manifest extension +
+    * zero-Exchange layout preserved). The table must already exist
+    * ([[loadBucketed]] establishes the spec; a stream cannot invent one).
+    */
+  def appendStreamBatchBucketed(batch: DataFrame, table: String,
+                                streamId: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val ct = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val loc = new Path(ct.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLease(fs, loc, "appendStreamBatchBucketed") {
+      recoverStreamPending(fs, loc.toString)
+      val rec = readStreamCommits(fs, loc)
+      if (rec.committed.get(streamId).exists(_ >= batchId)) false
+      else {
+        val preNames = fs.listStatus(loc)
+          .filter(s => s.isFile && isDataFile(s.getPath.getName))
+          .map(_.getPath.getName).toSeq
+        writeStreamCommits(fs, loc,
+          rec.copy(pending = Some(PendingBatch(streamId, batchId, preNames))))
+        crashPoint("stream:pending")
+        inFlightPending.set(Some((streamId, batchId)))
+        try appendBucketed(batch, table)
+        finally inFlightPending.set(None)
+        crashPoint("stream:appended")
+        writeStreamCommits(fs, loc,
+          StreamCommits(rec.committed + (streamId -> batchId), None))
+        spark.catalog.refreshTable(table)
+        true
+      }
     }
   }
 
@@ -1183,51 +1613,45 @@ object Tables {
     * read-filter-rewrite installed by the SAME two-rename swap the
     * compact flavors use (never delete-then-write: a crash between the
     * delete and the install must not strand the only copy in a staging
-    * dir). Entry recovery: a missing live dir with a `.delete.old`
-    * sibling is a mid-swap crash — restore it; a TAGGED staging dir
-    * (see [[deleteStagingTag]]) is adopted when it is the only copy and
-    * discarded otherwise; an untagged `__tmp` is never touched silently
-    * — the op refuses loudly with remediation.
+    * dir), with the replaced generation grace-retained in place for
+    * in-flight readers. Legacy entry recovery still honors the pre-r12
+    * protocol's strands: a missing live dir with a `.delete.old` sibling
+    * is restored, a TAGGED `__tmp` ([[deleteStagingTag]]) is adopted when
+    * it is the only copy; an untagged `__tmp` is never touched at all.
     */
   def deleteRange(spark: SparkSession, path: String, ts: String,
                   from: Column, till: Column): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, p, "deleteRange") {
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-    val old = new org.apache.hadoop.fs.Path(path + ".delete.old")
-    recoverMutations(fs, path)
-    // an UNTAGGED __tmp survived recovery: unknown provenance — a user's
-    // own sibling table, or a strand from the pre-tag legacy protocol.
-    // The Overwrite write below would silently destroy it; refuse with
-    // the remediation instead (same spirit as guardCompactable).
-    if (fs.exists(tmp)) sys.error(
-      s"deleteRange: $tmp exists and is not this engine's tagged staging — " +
-        "if it is a stranded legacy delete rewrite and the table dir is " +
-        s"missing, rename it to $path to adopt it; if it is unrelated " +
-        "data, move it aside. Refusing to overwrite.")
-    // same refusal as the compact flavors: the rename-aside + delete(old)
-    // swap must never silently destroy content the engine doesn't own
+    recoverMutations(spark, fs, path)
+    reclaimRetired(fs, p, retireGraceMs)
+    // same refusal as the compact flavors: a rewrite must never silently
+    // destroy content the engine doesn't own. (The legacy `__tmp` staging
+    // is gone — a sibling `__tmp` of unknown provenance is simply never
+    // touched; recoverDelete still adopts TAGGED legacy strands.)
     guardCompactable(fs, p)
-    // provenance tag FIRST, so the staging dir is engine-owned from
-    // birth — a crash anywhere mid-write leaves a tagged partial that
-    // the next recovery cleans silently
-    writeSmallFileAtomic(fs, deleteStagingTag(path),
-      org.json4s.jackson.Serialization.write(Map("table" -> path, "op" -> "deleteRange")))
-    crashPoint("del:tagged")
+    val mOpt = liveEntries(fs, p, Some(ts))
+    def dataFiles: Seq[FileStatus] = fs.listStatus(p)
+      .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+    val (liveNames, carryRetired) = mOpt match {
+      case Some(m) => (m.files.map(_.name), m.retired)
+      case None => (dataFiles.map(_.getPath.getName), Seq.empty[RetiredEntry])
+    }
+    val tmp = genTmpPath(path)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     // NULL-ts rows are outside every range: without the isNull arm the
     // negated conjunction is NULL under three-valued logic and filter
     // would silently DELETE them. No pre-materialization needed — the
-    // source stays untouched until the swap, strictly after this write.
-    spark.read.parquet(path)
+    // source stays untouched until the install, strictly after this write.
+    spark.read.parquet(liveNames.map(n => new Path(p, n).toString): _*)
       .filter(col(ts).isNull || !(col(ts) >= from && col(ts) <= till))
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     crashPoint("del:staged")
-    swapInstall(fs, p, tmp, old, "deleteRange", "del", restorable = true)
-    fs.delete(deleteStagingTag(path), false)
-    // the rewrite replaced every file: regenerate the manifest (all files
-    // are the established layout now)
-    writeManifest(spark, path, ts)
+    installGeneration(spark, fs, p, tmp, ts,
+      replaced = liveNames, carryLive = Seq.empty,
+      carryRetired = carryRetired, tag = "del")
+    reclaimRetired(fs, p, retireGraceMs)
     invalidateRead(spark, path)
     }
   }
@@ -1252,7 +1676,7 @@ object Tables {
       // recovered table intact (re-truncate); after it, nothing remains
       // that any recovery path would restore. An UNTAGGED __tmp (foreign
       // or legacy — see deleteStagingTag) is deliberately left alone.
-      recoverMutations(fs, path)
+      recoverMutations(spark, fs, path)
       crashPoint("trunc:recovered")
       fs.delete(p, true)
       invalidateRead(spark, path)
@@ -1458,6 +1882,7 @@ object Tables {
     val loc = new Path(ct.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, loc, "appendBucketed") {
+    recoverStreamPending(fs, loc.toString)
     def listing(): Seq[FileStatus] =
       if (fs.exists(loc))
         fs.listStatus(loc).filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
@@ -1560,6 +1985,7 @@ object Tables {
     val loc = new Path(ct.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, loc, "compactBucketed") {
+    recoverStreamPending(fs, loc.toString)
     recoverCompact(fs, loc.toString)
     guardCompactable(fs, loc)
     // a crashed earlier fold leaks the staged `__fold` table — possibly

@@ -378,6 +378,57 @@ object Streams {
     else spark.read.parquet(outDir)
   }
 
+  /** Continuous ingest INTO a managed clustered layout — the reference's
+    * insert-trigger path (imcs.c:4617-4740) as Structured Streaming: each
+    * micro-batch lands through [[graft.io.Tables.appendStreamBatch]],
+    * which holds the writer lease, enforces the ordered-ingest contract,
+    * extends the ts manifest (bootstrapping it on the first batch), and
+    * commits the batch id so a checkpoint-recovery replay is skipped —
+    * exactly-once into the table, with the same lifecycle guarantees a
+    * batch [[graft.io.Tables.append]] makes. The checkpoint location is
+    * the stream's commit-log identity; reuse it to continue a run, use a
+    * fresh one (against a fresh table) to start over.
+    *
+    * At 100 TB/day this is the landing topology: file/queue source →
+    * (optional transforms) → ingestAppend; downstream readers range-scan
+    * the manifest-governed table while compactIncremental folds batches
+    * under the same lease.
+    */
+  def ingestAppend(df: DataFrame, path: String, ts: String, checkpoint: String,
+                   trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.io.Tables.appendStreamBatch(batch.toDF(), path, ts,
+          streamId = checkpoint, batchId = batchId)
+        ()
+      }
+      .start()
+
+  /** The bucketed twin of [[ingestAppend]]: micro-batches land through the
+    * catalog table's own bucket spec ([[graft.io.Tables
+    * .appendStreamBatchBucketed]]), preserving the zero-Exchange join
+    * layout; [[graft.io.Tables.compactBucketed]] folds multi-file buckets
+    * between (or during) runs. The table must already exist with its spec
+    * ([[graft.io.Tables.loadBucketed]]).
+    */
+  def ingestAppendBucketed(df: DataFrame, table: String, checkpoint: String,
+                           trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.io.Tables.appendStreamBatchBucketed(batch.toDF(), table,
+          streamId = checkpoint, batchId = batchId)
+        ()
+      }
+      .start()
+
   /** Streaming as-of join — the streaming form of the reference's
     * workhorse operator (Align.asofJoin; func.c:4591-4662): one tagged
     * stream per key carries rows with `side` 0 (right, value provider) and

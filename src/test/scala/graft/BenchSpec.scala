@@ -32,8 +32,9 @@ class BenchSpec extends AnyFunSuite {
   }
 
   private def q(name: String, minT: Double, spread: Double,
-                failed: Boolean = false) =
-    Bench.QRes(name, minT, spread, cold = minT, failed, warm = Seq(minT, minT + spread))
+                failed: Boolean = false, nreps: Int = 7) =
+    Bench.QRes(name, minT, spread, cold = minT, failed,
+      warm = Seq(minT, minT + spread), nreps = nreps)
 
   test("contendedRun: failed idle wait, 2+ noisy queries, or one extreme") {
     val clean = Seq(q("a", 0.2, 0.02), q("b", 0.5, 0.05))
@@ -81,6 +82,34 @@ class BenchSpec extends AnyFunSuite {
     assert(dirty.contains("\"attempts\":3"))
     assert(dirty.contains("\"noisy\":[\"a\"]"))
     assert(dirty.endsWith("}") && dirty.startsWith("{"))
+  }
+
+  test("canary_sec is a standing field in both renderings") {
+    // the box-floor canary (r12): round-over-round regression reads divide
+    // by it — the field must exist in the compact record the driver parses
+    val rs = Seq(q("a", 0.2, 0.02))
+    val compact = Bench.renderJson(rs, 7, 1.0, Seq(1, 1, 1), Seq(1, 1, 1),
+      contended = false, noisy = Seq(), "/sf", 1, None, canarySec = 0.123)
+    assert(compact.contains("\"canary_sec\":0.123"), compact)
+    val detail = Bench.renderJson(rs, 7, 1.0, Seq(1, 1, 1), Seq(1, 1, 1),
+      contended = false, noisy = Seq(), "/sf", 1, None,
+      withRepTimes = true, canarySec = 0.123)
+    assert(detail.contains("\"canary_sec\":0.123"), detail)
+  }
+
+  test("warm_reps records double-rep queries, never failed ones (ADVICE r11 #2)") {
+    // a failed query's warm seq collapses to one sentinel entry — it must
+    // land in `failed`, never masquerade as a 1-rep warm_reps sample; a
+    // double-rep query records its actual warm count
+    val rs = Seq(q("a", 0.2, 0.02),
+      q("x2", 0.3, 0.01, nreps = 14)
+        .copy(warm = Seq.fill(13)(0.3)),
+      q("dead", 0.1, 0.0, failed = true, nreps = 14))
+    val sjson = Bench.renderJson(rs, 7, 1.0, Seq(1, 1, 1), Seq(1, 1, 1),
+      contended = false, noisy = Seq(), "/sf", 1, None)
+    assert(sjson.contains("\"warm_reps\":{\"x2\":13}"), sjson)
+    assert(!sjson.contains("\"dead\":1"), sjson)
+    assert(sjson.contains("\"failed\":[\"dead\"]"), sjson)
   }
 
   test("rendered records parse as one JSON object (brace/quote sanity)") {

@@ -1,0 +1,205 @@
+package graft
+
+import graft.io.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming→lifecycle bridge (r12): Structured Streaming micro-batches
+  * landing through the managed append path — writer lease per batch, ordered
+  * -ingest contract, manifest extension, and an exactly-once batch commit
+  * log that survives checkpoint-recovery replays and mid-batch crashes.
+  * The reference's insert-trigger ingest (imcs.c:4617-4740) as a sink.
+  */
+class StreamIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_singest_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  /** Write `rows` as ONE parquet file named `name` in `dir` with the given
+    * modification time — the file stream source orders batches by modtime,
+    * so explicit stamps make the batch sequence deterministic.
+    */
+  private def stageFile(dir: String, name: String, rows: Seq[(Long, Double)],
+                        modMs: Long): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("stage").toString
+    rows.toDF("ts", "v").coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+    val dst = new java.io.File(dir, name)
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    assert(dst.setLastModified(modMs))
+  }
+
+  test("streamed ingest == batch twin: content, manifest governance, pruning") {
+    val src = tmpDir("src")
+    val table = tmpDir("tbl") + "/t.parquet"
+    val ck = tmpDir("ck")
+    val b0 = (0L until 500L).map(i => (i, i * 1.0))
+    val b1 = (500L until 800L).map(i => (i, i * 1.0))
+    val b2 = (800L until 1000L).map(i => (i, i * 1.0))
+    val t0 = System.currentTimeMillis() - 60000L
+    stageFile(src, "b0.parquet", b0, t0)
+    stageFile(src, "b1.parquet", b1, t0 + 2000L)
+    stageFile(src, "b2.parquet", b2, t0 + 4000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = Streams.ingestAppend(stream, table, "ts", ck)
+    q.awaitTermination()
+    // content equals the batch twin
+    val got = Tables.snapshot(spark, table).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == b0 ++ b1 ++ b2)
+    // the ingested table is manifest-governed from birth: every file
+    // tracked, batch-2/3 files registered as hot (foldable)
+    val m = Tables.manifest(spark, table).getOrElse(
+      sys.error("stream-ingested table must carry a manifest"))
+    assert(m.files.count(_.loaded) >= 1, "first batch bootstraps the layout")
+    assert(m.files.count(!_.loaded) >= 2, "later batches register as hot")
+    // rangeScan prunes to the touched batch exactly like a batch-built
+    // twin: a slice over b2's range must skip earlier batches' files
+    val dir = new java.io.File(table).getParent
+    val slice = Tables.rangeScan(spark, dir, "t", 800L, 1000L)
+    assert(slice.count() == 200L)
+    assert(slice.inputFiles.length < m.files.size,
+      s"slice must prune (read ${slice.inputFiles.length} of ${m.files.size})")
+    // the exactly-once commit log survived the run
+    val committedRuns = q.recentProgress.length
+    assert(committedRuns >= 1)
+    // a RESTART on the same checkpoint with no new data applies nothing
+    val q2 = Streams.ingestAppend(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src), table, "ts", ck)
+    q2.awaitTermination()
+    assert(Tables.snapshot(spark, table).count() == 1000L)
+    // a restart with ONE new file appends exactly it, and the fold then
+    // re-establishes the layout under the same lease machinery
+    stageFile(src, "b3.parquet", (1000L until 1100L).map(i => (i, i * 1.0)),
+      t0 + 6000L)
+    val q3 = Streams.ingestAppend(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src), table, "ts", ck)
+    q3.awaitTermination()
+    assert(Tables.snapshot(spark, table).count() == 1100L)
+    val (nb, na) = Tables.compactIncremental(spark, table, Seq(), "ts")
+    assert(na <= nb)
+    assert(Tables.snapshot(spark, table).count() == 1100L)
+    assert(Tables.manifest(spark, table).get.files.forall(_.loaded))
+  }
+
+  test("a replayed batch id is skipped (checkpoint-recovery exactly-once)") {
+    val table = tmpDir("replay") + "/t.parquet"
+    val b0 = (0L until 100L).map(i => (i, i * 1.0)).toDF("ts", "v")
+    val b1 = (100L until 150L).map(i => (i, i * 1.0)).toDF("ts", "v")
+    assert(Tables.appendStreamBatch(b0, table, "ts", "ckA", 0L))
+    assert(Tables.appendStreamBatch(b1, table, "ts", "ckA", 1L))
+    // the recovery replay: same stream, same batch id — skipped
+    assert(!Tables.appendStreamBatch(b1, table, "ts", "ckA", 1L))
+    assert(!Tables.appendStreamBatch(b0, table, "ts", "ckA", 0L))
+    assert(Tables.snapshot(spark, table).count() == 150L)
+    // a DIFFERENT stream's ids are independent (fresh checkpoint identity)
+    // — but the ordered-ingest contract still rejects its out-of-order data
+    val e = intercept[IllegalStateException] {
+      Tables.appendStreamBatch(b0, table, "ts", "ckB", 0L)
+    }
+    assert(e.getMessage.contains("out-of-order"))
+  }
+
+  /** Arm Tables.crashHook to throw at the nth firing of `tag` (same seam
+    * as TablesSpec's fuzz); returns whether the injected crash fired.
+    */
+  private def withCrash(tag: String, nth: Int)(op: => Unit): Boolean = {
+    val counts = scala.collection.mutable.Map[String, Int]()
+    Tables.crashHook = Some { t =>
+      val c = counts.updateWith(t)(o => Some(o.getOrElse(0) + 1)).get
+      if (t == tag && c == nth)
+        throw new RuntimeException(s"injected crash at $t#$c")
+    }
+    try { op; false }
+    catch {
+      case e: RuntimeException
+        if e.getMessage != null && e.getMessage.startsWith("injected crash") => true
+    }
+    finally Tables.crashHook = None
+  }
+
+  test("crash between append and commit record: replay rolls back, lands once") {
+    val table = tmpDir("crash1") + "/t.parquet"
+    val b0 = (0L until 100L).map(i => (i, i * 1.0)).toDF("ts", "v")
+    val b1 = (100L until 160L).map(i => (i, i * 1.0)).toDF("ts", "v")
+    assert(Tables.appendStreamBatch(b0, table, "ts", "ck", 0L))
+    // crash AFTER the batch's data+manifest landed, BEFORE the commit
+    // record — the no-rollback replay would double every b1 row
+    assert(withCrash("stream:appended", 1) {
+      Tables.appendStreamBatch(b1, table, "ts", "ck", 1L)
+    })
+    // the replay (what the restarted stream delivers) must roll the
+    // partial attempt back and append exactly once
+    assert(Tables.appendStreamBatch(b1, table, "ts", "ck", 1L))
+    val got = Tables.snapshot(spark, table).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == (0L until 160L).map(i => (i, i * 1.0)),
+      "crash replay must not duplicate or lose rows")
+    val m = Tables.manifest(spark, table).get
+    assert(m.files.map(_.name).toSet ==
+      new java.io.File(table).listFiles.filter(f => f.isFile &&
+        f.getName.endsWith(".parquet") && !f.getName.startsWith(".")
+        && !f.getName.startsWith("_")).map(_.getName).toSet,
+      "manifest must track exactly the live files after rollback+replay")
+  }
+
+  test("crash after the pending record, before any data: replay lands once") {
+    val table = tmpDir("crash2") + "/t.parquet"
+    val b0 = (0L until 50L).map(i => (i, i * 1.0)).toDF("ts", "v")
+    assert(withCrash("stream:pending", 1) {
+      Tables.appendStreamBatch(b0, table, "ts", "ck", 0L)
+    })
+    assert(Tables.appendStreamBatch(b0, table, "ts", "ck", 0L))
+    assert(Tables.snapshot(spark, table).count() == 50L)
+    // maintenance after a crashed pending rolls it back BEFORE folding —
+    // a half-committed batch must never be compacted into the layout
+    val b1 = (50L until 90L).map(i => (i, i * 1.0)).toDF("ts", "v")
+    assert(withCrash("stream:appended", 1) {
+      Tables.appendStreamBatch(b1, table, "ts", "ck", 1L)
+    })
+    Tables.compactIncremental(spark, table, Seq(), "ts")
+    assert(Tables.snapshot(spark, table).count() == 50L,
+      "maintenance must discard the uncommitted batch, not fold it")
+    // the replay then lands it (fresh ids still advance)
+    assert(Tables.appendStreamBatch(b1, table, "ts", "ck", 1L))
+    assert(Tables.snapshot(spark, table).count() == 90L)
+  }
+
+  test("bucketed stream ingest: exactly-once through the catalog spec") {
+    val t = "stream_bkt_ingest"
+    Tables.loadBucketed((0L until 200L).map(i => (i % 8, i, i * 1.0))
+      .toDF("k", "ts", "v"), t, Seq("k"), 4, sortCols = Seq("ts"))
+    val b1 = (200L until 260L).map(i => (i % 8, i, i * 1.0)).toDF("k", "ts", "v")
+    val b2 = (260L until 300L).map(i => (i % 8, i, i * 1.0)).toDF("k", "ts", "v")
+    assert(Tables.appendStreamBatchBucketed(b1, t, "ckb", 0L))
+    assert(!Tables.appendStreamBatchBucketed(b1, t, "ckb", 0L)) // replay skip
+    // crash between append and commit: replay rolls back and lands once
+    assert(withCrash("stream:appended", 1) {
+      Tables.appendStreamBatchBucketed(b2, t, "ckb", 1L)
+    })
+    assert(Tables.appendStreamBatchBucketed(b2, t, "ckb", 1L))
+    assert(spark.table(t).count() == 300L)
+    // the fold restores one file per bucket over the streamed batches
+    val (nb, na) = Tables.compactBucketed(spark, t)
+    assert(na <= nb && na <= 4)
+    assert(spark.table(t).count() == 300L)
+    val got = spark.table(t).select("ts").as[Long].collect().toSet
+    assert(got == (0L until 300L).toSet)
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
+}

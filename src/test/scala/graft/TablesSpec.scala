@@ -354,7 +354,7 @@ class TablesSpec extends AnyFunSuite {
     val path = tmp("recfirst")
     Tables.load((0L until 40L).map(i => (i, i * 1.0)).toDF("ts", "v"), path, Seq(), "ts")
     Tables.append(Seq((50L, 1.0)).toDF("ts", "v"), path, "ts", lit(0L))
-    assert(withCrash("incr:marker", 1) {
+    assert(withCrash("incr:gen-marker", 1) {
       Tables.compactIncremental(spark, path, Seq(), "ts")
     })
     // the marker is committed; append must roll the swap forward, then add
@@ -370,7 +370,7 @@ class TablesSpec extends AnyFunSuite {
     // makes the next delete treat the copy as superseded cleanup
     val path2 = tmp("recdel")
     Tables.load((0L until 30L).map(i => (i, i * 1.0)).toDF("ts", "v"), path2, Seq(), "ts")
-    assert(withCrash("del:aside", 1) {
+    assert(withCrash("del:gen-moved", 1) {
       Tables.deleteRange(spark, path2, "ts", lit(5L), lit(9L))
     })
     Tables.append(Seq((90L, 3.0)).toDF("ts", "v"), path2, "ts", lit(0L))
@@ -383,7 +383,7 @@ class TablesSpec extends AnyFunSuite {
     val path3 = tmp("rectrunc")
     Tables.load((0L until 20L).map(i => (i, i * 1.0)).toDF("ts", "v"), path3, Seq(), "ts")
     Tables.append(Seq((30L, 1.0)).toDF("ts", "v"), path3, "ts", lit(0L))
-    assert(withCrash("incr:marker", 1) {
+    assert(withCrash("incr:gen-marker", 1) {
       Tables.compactIncremental(spark, path3, Seq(), "ts")
     })
     Tables.truncate(spark, path3)
@@ -543,10 +543,11 @@ class TablesSpec extends AnyFunSuite {
     // consistent all-loaded manifest. Any find: pin the seed in a named
     // regression case.
     val rnd = new scala.util.Random(20260814L)
-    val incrTags = Seq("incr:staged" -> 1, "incr:manifest-staged" -> 1,
-      "incr:marker" -> 1, "incr:cold-moved" -> 1, "incr:cold-moved" -> 2,
-      "incr:aside" -> 1, "incr:installed" -> 1)
-    val fullTags = Seq("full:staged" -> 1, "full:aside" -> 1, "full:installed" -> 1)
+    val incrTags = Seq("incr:staged" -> 1, "incr:gen-marker" -> 1,
+      "incr:gen-moved" -> 1, "incr:gen-moved" -> 2, "incr:gen-manifest" -> 1,
+      "retire:reclaimed" -> 1, "retire:reclaimed" -> 2)
+    val fullTags = Seq("full:staged" -> 1, "full:gen-marker" -> 1,
+      "full:gen-moved" -> 1, "full:gen-manifest" -> 1, "retire:reclaimed" -> 1)
     for (iter <- 1 to 10) {
       val pathA = tmp(s"fzA$iter")
       val pathB = tmp(s"fzB$iter")
@@ -601,7 +602,8 @@ class TablesSpec extends AnyFunSuite {
     // require the next deleteRange call (entry recovery + idempotent
     // re-delete of the same range) to converge to the no-crash twin.
     val rnd = new scala.util.Random(4242L)
-    val tags = Seq("del:staged" -> 1, "del:aside" -> 1, "del:installed" -> 1)
+    val tags = Seq("del:staged" -> 1, "del:gen-marker" -> 1,
+      "del:gen-moved" -> 1, "del:gen-manifest" -> 1, "retire:reclaimed" -> 1)
     for (iter <- 1 to 6) {
       val pathA = tmp(s"delA$iter")
       val pathB = tmp(s"delB$iter")
@@ -619,7 +621,7 @@ class TablesSpec extends AnyFunSuite {
       assert(manifestConsistentHere(pathA),
         s"iter $iter (tag=$tag): manifest inconsistent after recovery")
       // no leftover swap-state siblings
-      for (sfx <- Seq("__tmp", ".delete.old"))
+      for (sfx <- Seq("__tmp", ".delete.old", ".gen.tmp", ".gen.commit"))
         assert(!new java.io.File(pathA + sfx).exists, s"leftover $sfx")
     }
   }
@@ -679,11 +681,12 @@ class TablesSpec extends AnyFunSuite {
 
   test("untagged __tmp (legacy strand or foreign dir) is never consumed silently") {
     // the dot-less __tmp suffix cannot distinguish the legacy protocol's
-    // stranded rewrite from a USER table named <path>__tmp — so an
-    // untagged one is refused loudly with remediation, never adopted or
-    // deleted (the tagged current protocol recovers silently; its own
-    // crash fuzz covers that). After the operator's manual rename, the
-    // re-delete converges exactly as the legacy adoption used to.
+    // stranded rewrite from a USER table named <path>__tmp. The r12
+    // generation protocol never stages at __tmp, so an untagged sibling is
+    // simply NEVER touched: a deleteRange against the missing table fails
+    // loudly (nothing to delete), the sibling survives byte-identical, and
+    // the operator's manual rename adoption converges exactly as the
+    // legacy adoption used to (recoverDelete still adopts TAGGED strands).
     val path = tmp("dellegacy")
     val rows = (0L until 50L).map(i => (i, i * 1.0))
     Tables.load(rows.toDF("ts", "v"), path, Seq(), "ts")
@@ -694,12 +697,11 @@ class TablesSpec extends AnyFunSuite {
     expect.toDF("ts", "v").write.parquet(path + "__tmp")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    val e = intercept[RuntimeException] {
+    intercept[Exception] {
       Tables.deleteRange(spark, path, "ts", lit(10L), lit(19L))
     }
-    assert(e.getMessage.contains("tagged staging"), e.getMessage)
     assert(new java.io.File(path + "__tmp").exists,
-      "the untagged dir must survive the refusal untouched")
+      "the untagged dir must survive the failed op untouched")
     // operator remediation: adopt by rename, then the re-delete converges
     fs.rename(new org.apache.hadoop.fs.Path(path + "__tmp"),
       new org.apache.hadoop.fs.Path(path))
@@ -807,5 +809,249 @@ class TablesSpec extends AnyFunSuite {
     assert(m.files.nonEmpty)
     assert(m.files.forall(e => e.minNs.isEmpty && e.maxNs.isEmpty),
       s"out-of-ns-range stats must be dropped, got ${m.files}")
+  }
+
+  /** Run `body` with the retire grace window set to `ms`, restoring the
+    * previous value (the suite default is 0 — eager reclaim).
+    */
+  private def withGrace[T](ms: Long)(body: => T): T = {
+    val prev = sys.props.get("graft.retire.grace.ms")
+    sys.props("graft.retire.grace.ms") = ms.toString
+    try body
+    finally prev match {
+      case Some(v) => sys.props("graft.retire.grace.ms") = v
+      case None => sys.props.remove("graft.retire.grace.ms")
+    }
+  }
+
+  test("maintenance installs never break in-flight readers (grace retention)") {
+    withGrace(600000L) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_race")
+      dir.toFile.deleteOnExit()
+      val path = s"$dir/t.parquet"
+      val base = (0L until 3000L).map(i => (i, i * 1.0))
+      val hot = (3000L until 3300L).map(i => (i, i * 1.0))
+      Tables.load(base.toDF("ts", "v").repartition(4), path, Seq(), "ts")
+      Tables.append(hot.toDF("ts", "v"), path, "ts", lit(3000L))
+      // the in-flight reader: lists the OLD generation's files (the file
+      // index is built here), materializes only AFTER the install — the
+      // exact interleave that died with FileNotFoundException under the
+      // pre-r12 rename swap
+      val reader = Tables.snapshot(spark, path)
+      val preFiles = reader.inputFiles.toSeq
+      assert(preFiles.nonEmpty)
+      Tables.compactIncremental(spark, path, Seq(), "ts")
+      // every pre-listed file is still at its path (hot ones grace-retained)
+      preFiles.foreach { f =>
+        assert(new java.io.File(java.net.URI.create(f)).exists,
+          s"pre-install file $f vanished — reader isolation broken")
+      }
+      val got = reader.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(_._1).toSeq
+      assert(got == base ++ hot, "in-flight reader must complete on its snapshot")
+      // a FRESH snapshot serves the new generation — same rows, new files
+      val fresh = Tables.snapshot(spark, path)
+      assert(fresh.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(_._1).toSeq == base ++ hot)
+      val m = Tables.manifest(spark, path).get
+      assert(m.retired.nonEmpty, "replaced files must be recorded as retired")
+      assert(m.files.forall(_.loaded))
+      // rangeScan serves the live generation only (no double counting)
+      assert(Tables.rangeScan(spark, dir.toString, "t", 3000L, 3300L).count() == 300)
+
+      // deleteRange isolation: a reader that listed files pre-delete
+      // completes on the undeleted snapshot
+      val reader2 = Tables.snapshot(spark, path)
+      assert(reader2.inputFiles.nonEmpty)
+      Tables.deleteRange(spark, path, "ts", lit(100L), lit(199L))
+      assert(reader2.count() == 3300L, "pre-delete reader sees its snapshot")
+      assert(Tables.snapshot(spark, path).count() == 3200L)
+
+      // vacuum reclaims the retained generations; plain dir read and the
+      // snapshot then agree again
+      val retired = Tables.manifest(spark, path).get.retired.size
+      assert(retired > 0)
+      assert(Tables.vacuum(spark, path, 0L) == retired)
+      assert(Tables.manifest(spark, path).get.retired.isEmpty)
+      assert(spark.read.parquet(path).count() == 3200L,
+        "post-vacuum the directory holds exactly the live generation")
+    }
+  }
+
+  test("full compact retains the whole replaced generation until reclaim") {
+    withGrace(600000L) {
+      val path = tmp("race_full")
+      val rows = (0L until 1000L).map(i => (i, i * 1.0))
+      Tables.load(rows.toDF("ts", "v").repartition(3), path, Seq(), "ts")
+      val reader = Tables.snapshot(spark, path)
+      assert(reader.inputFiles.nonEmpty)
+      Tables.compact(spark, path, Seq(), "ts")
+      assert(reader.count() == 1000L)
+      assert(Tables.snapshot(spark, path).count() == 1000L)
+      // expired entries are reclaimed by the NEXT lease-holding op: drop
+      // the grace to zero and run an append — entry reclaim fires
+      withGrace(0L) {
+        Tables.append(Seq((5000L, 1.0)).toDF("ts", "v"), path, "ts", lit(0L))
+      }
+      assert(Tables.manifest(spark, path).get.retired.isEmpty,
+        "the next op past the grace must reclaim retired files")
+      assert(spark.read.parquet(path).count() == 1001L)
+    }
+  }
+
+  test("writeManifest regen never promotes retired files back to live") {
+    withGrace(600000L) {
+      val path = tmp("regen")
+      Tables.load((0L until 500L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+        path, Seq(), "ts")
+      Tables.compact(spark, path, Seq(), "ts") // retires the load files
+      val before = Tables.manifest(spark, path).get
+      assert(before.retired.nonEmpty)
+      Tables.writeManifest(spark, path, "ts")
+      val after = Tables.manifest(spark, path).get
+      assert(after.files.map(_.name).toSet == before.files.map(_.name).toSet,
+        "regen must keep the live set unchanged")
+      assert(after.retired.map(_.name).toSet == before.retired.map(_.name).toSet,
+        "regen must carry the retired set, not resurrect it")
+      assert(Tables.snapshot(spark, path).count() == 500L)
+    }
+  }
+
+  test("a foreign write onto a grace-retained table fails loudly, never duplicates") {
+    withGrace(600000L) {
+      val path = tmp("race_foreign")
+      Tables.load((0L until 100L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+        path, Seq(), "ts")
+      Tables.compact(spark, path, Seq(), "ts") // leaves retired files
+      assert(Tables.manifest(spark, path).get.retired.nonEmpty)
+      // a foreign writer drops a stray data file into the dir: the
+      // manifest no longer matches — with retired files present a plain
+      // fallback would silently serve duplicates, so reads must refuse
+      val stray = new java.io.File(path, "foreign-file.parquet")
+      java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
+      val e = intercept[RuntimeException](Tables.snapshot(spark, path).count())
+      assert(e.getMessage.contains("retired"), e.getMessage)
+      assert(stray.delete())
+      assert(Tables.snapshot(spark, path).count() == 100L)
+    }
+  }
+
+  // ---- lease dynamics under real concurrency (r12) ---------------------
+
+  test("lease hammer: concurrent writers serialize or refuse — never corrupt") {
+    val path = tmp("hammer")
+    Tables.load((0L until 100L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    val nThreads = 4
+    val opsPer = 5
+    val counter = new java.util.concurrent.atomic.AtomicLong(1000L)
+    val appended = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val allowed = Seq("another writer", "lost the lease race",
+      "taking over", "out-of-order append")
+    val threads = (1 to nThreads).map { t =>
+      new Thread(() => {
+        val rnd = new scala.util.Random(t * 7919L)
+        for (_ <- 1 to opsPer) {
+          try {
+            rnd.nextInt(3) match {
+              case 2 => Tables.compactIncremental(spark, path, Seq(), "ts")
+              case _ =>
+                val base = counter.addAndGet(10L)
+                Tables.append((base until base + 5L).map(j => (j, j * 1.0))
+                  .toDF("ts", "v"), path, "ts", lit(0L))
+                (base until base + 5L).foreach(appended.add)
+            }
+          } catch {
+            case e: Throwable
+              if e.getMessage != null && allowed.exists(e.getMessage.contains) => ()
+            case e: Throwable => unexpected.add(e)
+          }
+        }
+      }, s"hammer-$t")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000L))
+    assert(unexpected.isEmpty,
+      s"unexpected failures under contention: ${unexpected.toArray.toSeq}")
+    // exactly base ∪ acknowledged appends — nothing lost, nothing phantom
+    import scala.jdk.CollectionConverters._
+    val got = Tables.snapshot(spark, path).select("ts").as[Long].collect().toSet
+    val want = (0L until 100L).toSet ++ appended.asScala
+    assert(got == want, s"content diverged: missing=${want -- got} phantom=${got -- want}")
+    // the table is still maintainable and consistent
+    Tables.compactIncremental(spark, path, Seq(), "ts")
+    assert(manifestConsistentHere(path))
+    assert(!new java.io.File(path + ".lease").exists, "no lease leaked")
+  }
+
+  test("lease heartbeat keeps a live over-TTL op unbroken; release follows the body") {
+    val prev = sys.props.get("graft.lease.ttl.ms")
+    sys.props("graft.lease.ttl.ms") = "400"
+    try {
+      val path = tmp("hb")
+      Tables.load(Seq((1L, 1.0)).toDF("ts", "v"), path, Seq(), "ts")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val holding = new java.util.concurrent.CountDownLatch(1)
+      val slow = new Thread(() => Tables.withWriterLease(fs, hp, "slow") {
+        holding.countDown(); release.await()
+      }, "slow-writer")
+      slow.start()
+      assert(holding.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // probe well past the TTL: the heartbeat must have refreshed the
+      // lease, so a second writer still sees a LIVE holder and refuses
+      Thread.sleep(900L)
+      val e = intercept[IllegalStateException] {
+        Tables.append(Seq((2L, 2.0)).toDF("ts", "v"), path, "ts", lit(0L))
+      }
+      assert(e.getMessage.contains("another writer"), e.getMessage)
+      release.countDown()
+      slow.join(10000L)
+      // with the holder gone the next writer proceeds
+      Tables.append(Seq((2L, 2.0)).toDF("ts", "v"), path, "ts", lit(0L))
+      assert(Tables.snapshot(spark, path).count() == 2)
+    } finally prev match {
+      case Some(v) => sys.props("graft.lease.ttl.ms") = v
+      case None => sys.props.remove("graft.lease.ttl.ms")
+    }
+  }
+
+  test("stale-lease break race: of N concurrent breakers at most one takes over") {
+    val path = tmp("breakrace")
+    Tables.load(Seq((1L, 1.0)).toDF("ts", "v"), path, Seq(), "ts")
+    // plant a DEAD writer's lease, aged past the TTL
+    val leaseFile = new java.io.File(path + ".lease")
+    java.nio.file.Files.write(leaseFile.toPath,
+      """{"token":"dead","op":"compact","pid":"0","acquiredMs":"0"}""".getBytes("UTF-8"))
+    assert(leaseFile.setLastModified(System.currentTimeMillis() - 11L * 60L * 1000L))
+    val successes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val allowed = Seq("another writer", "lost the lease race",
+      "taking over", "out-of-order append")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 6).map { t =>
+      new Thread(() => {
+        gate.await()
+        try {
+          Tables.append(Seq((10L + t, t * 1.0)).toDF("ts", "v"), path, "ts", lit(0L))
+          successes.incrementAndGet()
+        } catch {
+          case e: Throwable
+            if e.getMessage != null && allowed.exists(e.getMessage.contains) => ()
+          case e: Throwable => unexpected.add(e)
+        }
+      }, s"breaker-$t")
+    }
+    threads.foreach(_.start())
+    gate.countDown()
+    threads.foreach(_.join(120000L))
+    assert(unexpected.isEmpty,
+      s"unexpected failures in the break race: ${unexpected.toArray.toSeq}")
+    assert(successes.get >= 1, "at least one breaker must take the stale lease over")
+    // content = base + exactly the successful appends (one row each)
+    assert(Tables.snapshot(spark, path).count() == 1L + successes.get)
+    assert(!leaseFile.exists, "no lease left behind after the race")
   }
 }

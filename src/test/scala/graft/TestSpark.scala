@@ -4,6 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local session for all suites. */
 object TestSpark {
+  // zero retention grace for the test JVM: every retiring op reclaims its
+  // replaced files at exit (the pre-r12 eager-deletion semantics plain
+  // directory-read assertions expect). The retention/racing-reader tests
+  // override the prop per-test and restore it.
+  sys.props("graft.retire.grace.ms") = "0"
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
