@@ -1407,6 +1407,68 @@ object SparkEntry {
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
     }),
+    "q_tpch_q13" -> ((s, dir) =>
+      // TPC-H Q13 (customer distribution), adapted to the testdata (no
+      // o_comment: the order-side cut is o_orderpriority <> '1-URGENT')
+      // — the OUTER-join plan family: the priority cut must live in the
+      // JOIN condition, not a WHERE (a post-join filter would drop the
+      // zero-order customers the query exists to count). Customers carry
+      // only c_custkey into the join; count(o_orderkey) ignores the
+      // nulls outer-preserved rows carry, so empty groups land in the
+      // c_count=0 bucket; two shuffles (per-customer count, then the
+      // distribution) — the second over |distinct counts| rows only.
+      // Plan notes in PLANS.md.
+      Tables.read(s, dir, "customer").select(col("c_custkey"))
+        .join(ord(s, dir).filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+    "q_tpch_q17" -> ((s, dir) => {
+      // TPC-H Q17 (small-quantity-order revenue), adapted to the testdata
+      // (no p_container: the part cut is p_brand alone) — the CORRELATED
+      // scalar-agg subquery plan family: `l_quantity < 0.2 * avg per
+      // part` decorrelates (DecorrelateInnerQuery) into a per-p_partkey
+      // aggregate joined back on the correlation key, so the inner
+      // lineitem pass runs ONCE as a hash aggregate instead of per outer
+      // row. Written as SQL on purpose — the decorrelation rewrite is the
+      // thing under test. Plan notes in PLANS.md.
+      li(s, dir).createOrReplaceTempView("lineitem_q17")
+      Tables.read(s, dir, "part").createOrReplaceTempView("part_q17")
+      s.sql("""
+        select cast(sum(l_extendedprice) / 7.0 as float) as avg_yearly
+        from lineitem_q17, part_q17
+        where p_partkey = l_partkey and p_brand = 'Brand#23'
+          and l_quantity < (select 0.2 * avg(l_quantity)
+                            from lineitem_q17 l2
+                            where l2.l_partkey = p_partkey)""")
+    }),
+    "q_get_bucketed_key" -> ((s, dir) => {
+      // bucket PRUNING on key-equality scans — the per-key half of
+      // TABLE_get (btree.c:479-589: descend ONE series' tree). Spark
+      // prunes a bucketed scan to the matching bucket when the filter is
+      // an equality on the bucket column; nothing in the gated set proved
+      // that fires on our layouts (a mis-wired bucket spec would silently
+      // read all 8 buckets forever). Fail-loud asserted from the scan's
+      // SelectedBucketsCount before the readback aggregate the oracle
+      // reproduces — the q_get_bucketed pattern for the KEY dimension.
+      val ev = Tables.read(s, dir, "events")
+      val t = s"g_get_bktkey_${Tables.dirKey(dir)}"
+      Tables.loadBucketedIfAbsent(ev, t, Seq("user_id"), 8, sortCols = Seq("ts"))
+      val q = s.table(t).filter(col("user_id") === 7L)
+      val scans = q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.nonEmpty, "expected a file scan over the bucketed table")
+      val sel = scans.head.metadata.get("SelectedBucketsCount")
+      require(sel.exists(_.trim.startsWith("1 ")),
+        s"user_id = k must prune the scan to ONE bucket of 8, got " +
+          s"${sel.getOrElse("<no bucket pruning recorded>")}")
+      q.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))
+    }),
     "q_tpch_cs_q6" -> ((s, dir) => {
       // Q6 through the registered cs_* surface: cs_filter NULL-masks the
       // non-qualifying rows, cs_sum ignores the masks — the reference's
@@ -2928,6 +2990,23 @@ object SparkEntry {
            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                  WHERE s_acctbal < 0)
          GROUP BY p_brand, p_type, p_size""",
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey) t
+         GROUP BY c_count""",
+    "q_tpch_q17" ->
+      """SELECT CAST(sum(l_extendedprice) / 7.0 AS REAL) AS avg_yearly
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)""",
+    "q_get_bucketed_key" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(value) AS REAL) AS sv
+         FROM events WHERE user_id = 7 GROUP BY event_type""",
     "q_tpch_cs_q6" ->
       """SELECT CAST(sum(l_extendedprice * l_discount) AS REAL) AS revenue,
          count(*) AS n
