@@ -30,7 +30,10 @@ object Plans {
     "q_tpch_q6", "q_tpch_q3", "q_tpch_q5", "q_tpch_q14", "q_concat_ranges",
     // round 11: the semi/anti join families (Q4 EXISTS → left-semi,
     // Q16 NOT IN → left-anti)
-    "q_tpch_q4", "q_tpch_q16")
+    "q_tpch_q4", "q_tpch_q16",
+    // round 12: the outer-join (Q13) and correlated scalar-subquery
+    // decorrelation (Q17) families, and the key-equality bucket-pruned scan
+    "q_tpch_q13", "q_tpch_q17", "q_get_bucketed_key")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
