@@ -167,8 +167,9 @@ object Bench {
   private[graft] def measureCanary(spark: SparkSession): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
+      // double arithmetic: a long product-sum overflows under ANSI mode
       spark.range(0L, 64L << 20, 1L, 32)
-        .selectExpr("sum(id * 2654435761) as s")
+        .selectExpr("sum(cast(id as double) * 2654435761.0) as s")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

@@ -1883,6 +1883,12 @@ object Tables {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, loc, "appendBucketed") {
     recoverStreamPending(fs, loc.toString)
+    // recover a predecessor's crashed fold BEFORE writing fresh files —
+    // an append on top of a committed-but-uninstalled fold marker would
+    // otherwise have its files swept aside (and deleted) when the next
+    // compactBucketed rolls that stale staged layout forward; the same
+    // recover-first rule the clustered append has carried since r11
+    recoverCompact(fs, loc.toString)
     def listing(): Seq[FileStatus] =
       if (fs.exists(loc))
         fs.listStatus(loc).filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq

@@ -626,6 +626,27 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("appendBucketed after a crashed fold recovers first (no silent loss)") {
+    // the bucketed twin of the clustered recover-first rule: a committed
+    // fold marker left by a killed writer must be rolled forward BEFORE an
+    // append writes fresh files — otherwise the NEXT fold's recovery would
+    // sweep the appended files aside with the replaced dir and delete them
+    val t = "bkt_recfirst"
+    Tables.loadBucketed((0L until 80L).map(i => (i % 4, i, i * 1.0))
+      .toDF("k", "ts", "v"), t, Seq("k"), 4, sortCols = Seq("ts"))
+    Tables.appendBucketed((80L until 100L).map(i => (i % 2, i, i * 1.0))
+      .toDF("k", "ts", "v"), t)
+    assert(withCrash("bkt:marker", 1) { Tables.compactBucketed(spark, t) })
+    // the marker is committed; the append must roll the fold forward, then add
+    Tables.appendBucketed(Seq((1L, 200L, 9.0)).toDF("k", "ts", "v"), t)
+    val (nb, na) = Tables.compactBucketed(spark, t)
+    assert(na <= nb)
+    val got = spark.table(t).select("ts").as[Long].collect().toSet
+    assert(got == ((0L until 100L).toSet + 200L),
+      s"rows lost across bucketed crash-recovery + append: ${got.size}")
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
+
   test("crash-point fuzz: arbitrary kills of the bucketed protocol recover losslessly") {
     val rnd = new scala.util.Random(77001L)
     val tags = Seq("bkt:folded" -> 1, "bkt:staged" -> 1, "bkt:marker" -> 1,
