@@ -417,17 +417,25 @@ object Streams {
     */
   def ingestAppendBucketed(df: DataFrame, table: String, checkpoint: String,
                            trigger: Trigger = Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // foreachBatch hands the body a CLONED session; the relation-cache
+    // refresh inside appendStreamBatchBucketed applies to that clone, so
+    // the stream OWNER's session must be refreshed too or its
+    // spark.table(t) keeps serving the pre-stream file listing (other
+    // sessions refresh on their own — standard Spark staleness rules)
+    val owner = df.sparkSession
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        graft.io.Tables.appendStreamBatchBucketed(batch.toDF(), table,
-          streamId = checkpoint, batchId = batchId)
+        if (graft.io.Tables.appendStreamBatchBucketed(batch.toDF(), table,
+          streamId = checkpoint, batchId = batchId))
+          owner.catalog.refreshTable(table)
         ()
       }
       .start()
+  }
 
   /** Streaming as-of join — the streaming form of the reference's
     * workhorse operator (Align.asofJoin; func.c:4591-4662): one tagged

@@ -180,6 +180,45 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(Tables.snapshot(spark, table).count() == 90L)
   }
 
+  test("bucketed stream ingest end-to-end: writeStream through the catalog spec") {
+    val t = "stream_bkt_e2e"
+    Tables.loadBucketed((0L until 100L).map(i => (i % 4, i, i * 1.0))
+      .toDF("k", "ts", "v"), t, Seq("k"), 4, sortCols = Seq("ts"))
+    val src = tmpDir("bsrc")
+    val ck = tmpDir("bck")
+    val t0 = System.currentTimeMillis() - 60000L
+    stageFile(src, "b0.parquet",
+      (100L until 160L).map(i => (i, i * 1.0)), t0) // (ts, v) staged...
+    // the staged frame must carry the bucket key too — restage properly
+    new java.io.File(src, "b0.parquet").delete()
+    locally {
+      val stage = java.nio.file.Files.createTempDirectory("bstage").toString
+      (100L until 160L).map(i => (i % 4, i, i * 1.0)).toDF("k", "ts", "v")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = new java.io.File(src, "b0.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(t0))
+    }
+    val schema = spark.table(t).schema
+    val q = Streams.ingestAppendBucketed(
+      spark.readStream.schema(schema).parquet(src), t, ck)
+    q.awaitTermination()
+    assert(spark.table(t).count() == 160L)
+    // restart on the same checkpoint with nothing new: no duplication
+    val q2 = Streams.ingestAppendBucketed(
+      spark.readStream.schema(schema).parquet(src), t, ck)
+    q2.awaitTermination()
+    assert(spark.table(t).count() == 160L)
+    // the streamed batch folds like any append
+    val (nb, na) = Tables.compactBucketed(spark, t)
+    assert(na <= nb && na <= 4)
+    assert(spark.table(t).select("ts").as[Long].collect().toSet ==
+      (0L until 160L).toSet)
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
+
   test("bucketed stream ingest: exactly-once through the catalog spec") {
     val t = "stream_bkt_ingest"
     Tables.loadBucketed((0L until 200L).map(i => (i % 8, i, i * 1.0))

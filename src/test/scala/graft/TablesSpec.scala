@@ -1039,6 +1039,38 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("lease excludes a writer in a SEPARATE process (cross-process arbitration)") {
+    // the in-JVM hammer shares thread-locals and one filesystem object;
+    // the lease's actual claim is cross-PROCESS exclusion through the
+    // filesystem. Spawn a second JVM (no Spark needed — the lease is pure
+    // Hadoop FS arbitration) that takes the lease and holds it; every
+    // mutating op here must refuse while it lives, then proceed after it
+    // exits and releases.
+    val path = tmp("xproc")
+    Tables.load(Seq((1L, 1.0)).toDF("ts", "v"), path, Seq(), "ts")
+    val ready = java.nio.file.Files.createTempDirectory("xproc").resolve("ready")
+    val java_ = s"${System.getProperty("java.home")}/bin/java"
+    val proc = new ProcessBuilder(java_, "-cp",
+      System.getProperty("java.class.path"), "graft.LeaseHold",
+      path, "8000", ready.toString).inheritIO().start()
+    try {
+      val t0 = System.currentTimeMillis()
+      while (!java.nio.file.Files.exists(ready) && proc.isAlive &&
+        System.currentTimeMillis() - t0 < 60000L) Thread.sleep(50L)
+      assert(java.nio.file.Files.exists(ready),
+        "the probe process never acquired the lease")
+      val e = intercept[IllegalStateException] {
+        Tables.append(Seq((2L, 2.0)).toDF("ts", "v"), path, "ts", lit(0L))
+      }
+      assert(e.getMessage.contains("another writer"), e.getMessage)
+      assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) &&
+        proc.exitValue == 0, "probe process did not exit cleanly")
+      // released by the probe's finally — the next writer proceeds
+      Tables.append(Seq((2L, 2.0)).toDF("ts", "v"), path, "ts", lit(0L))
+      assert(Tables.snapshot(spark, path).count() == 2)
+    } finally if (proc.isAlive) proc.destroyForcibly()
+  }
+
   test("stale-lease break race: of N concurrent breakers at most one takes over") {
     val path = tmp("breakrace")
     Tables.load(Seq((1L, 1.0)).toDF("ts", "v"), path, Seq(), "ts")
