@@ -60,6 +60,12 @@ case class PendingBatch(streamId: String, batchId: Long, preFiles: Seq[String])
 case class StreamCommits(committed: Map[String, Long],
                          pending: Option[PendingBatch] = None)
 
+/** A superseded bucketed-table generation directory grace-retained for
+  * in-flight readers after [[Tables.compactBucketedIsolated]]'s location
+  * flip; reclaimed past the grace by the next bucketed lifecycle op.
+  */
+case class RetiredDir(path: String, retiredMs: Long)
+
 /** Table lifecycle over Parquet — the Spark equivalents of the reference's
   * load / append / delete / truncate generated functions
   * (imcs--1.1.sql:33-430, imcs.c:4177-4412; SURVEY.md §2.1).
@@ -509,7 +515,8 @@ object Tables {
       if (s.isDirectory) true
       else !isDataFile(n) && n != ManifestName && n != "_SUCCESS" &&
         !n.endsWith(".crc") && n != "." + ManifestName + ".staging" &&
-        n != StreamCommitsName && n != "." + StreamCommitsName + ".staging"
+        n != StreamCommitsName && n != "." + StreamCommitsName + ".staging" &&
+        n != RetiredDirsName && n != "." + RetiredDirsName + ".staging"
     }.map(_.getPath.getName)
 
   /** The two-rename install retained for the BUCKETED maintenance flavor
@@ -1585,7 +1592,9 @@ object Tables {
     val loc = new Path(ct.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, loc, "appendStreamBatchBucketed") {
+      requireLocationCurrent(spark, table, fs, loc, "appendStreamBatchBucketed")
       recoverStreamPending(fs, loc.toString)
+      reclaimRetiredDirs(fs, loc, retireGraceMs)
       val rec = readStreamCommits(fs, loc)
       if (rec.committed.get(streamId).exists(_ >= batchId)) false
       else {
@@ -1882,7 +1891,9 @@ object Tables {
     val loc = new Path(ct.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, loc, "appendBucketed") {
+    requireLocationCurrent(spark, table, fs, loc, "appendBucketed")
     recoverStreamPending(fs, loc.toString)
+    reclaimRetiredDirs(fs, loc, retireGraceMs)
     // recover a predecessor's crashed fold BEFORE writing fresh files —
     // an append on top of a committed-but-uninstalled fold marker would
     // otherwise have its files swept aside (and deleted) when the next
@@ -1983,6 +1994,172 @@ object Tables {
     * [[recoverCompact]] at entry, roll-forward after the marker).
     * Returns (filesBefore, filesAfter).
     */
+  // ---- bucketed generation flip (reader-isolated fold) -----------------
+
+  private val RetiredDirsName = "_graft_retired_dirs.json"
+
+  private def readRetiredDirs(fs: FileSystem, dir: Path): Seq[RetiredDir] = {
+    val p = new Path(dir, RetiredDirsName)
+    if (!fs.exists(p)) Seq.empty
+    else scala.util.Try(org.json4s.jackson.Serialization.read[Seq[RetiredDir]](
+      readSmallText(fs, p))).getOrElse(
+      sys.error(s"unreadable retired-dirs ledger $p — written atomically, " +
+        "so this is external corruption; inspect manually"))
+  }
+
+  /** Delete grace-expired retired generation dirs listed in the CURRENT
+    * location's ledger. Crash order: dirs first, ledger second — an entry
+    * whose dir is already gone is tolerated and cleared next pass.
+    */
+  private def reclaimRetiredDirs(fs: FileSystem, loc: Path,
+                                 graceMs: Long): Int = {
+    val ledger = readRetiredDirs(fs, loc)
+    if (ledger.isEmpty) 0
+    else {
+      val now = System.currentTimeMillis()
+      val (expired, kept) = ledger.partition(r => now - r.retiredMs >= graceMs)
+      if (expired.nonEmpty) {
+        expired.foreach { r =>
+          val p = new Path(r.path)
+          if (fs.exists(p)) fs.delete(p, true)
+          crashPoint("retiredir:reclaimed")
+        }
+        writeSmallFileAtomic(fs, new Path(loc, RetiredDirsName),
+          org.json4s.jackson.Serialization.write(kept))
+      }
+      expired.size
+    }
+  }
+
+  private val GenDirRe = """__gen(\d+)$""".r
+
+  /** Delete crashed [[compactBucketedIsolated]] staging dirs: siblings
+    * named `<table>__gen<millis>` that are not the current location, not
+    * in the ledger (those wait for [[reclaimRetiredDirs]]), and whose
+    * stamp is older than the grace (a fresher one may be a LIVE attempt
+    * from a writer whose lease we broke — its files are garbage either
+    * way, but the grace keeps the sweep deterministic in tests).
+    */
+  private def sweepStaleGenerations(fs: FileSystem, table: String, loc: Path,
+                                    graceMs: Long): Unit = {
+    val parent = loc.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val current = fs.makeQualified(loc).toString
+    val ledger = readRetiredDirs(fs, loc)
+      .map(r => fs.makeQualified(new Path(r.path)).toString).toSet
+    val now = System.currentTimeMillis()
+    fs.listStatus(parent).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith(table + "__gen")) {
+        val q = fs.makeQualified(s.getPath).toString
+        val stamp = GenDirRe.findFirstMatchIn(n).map(_.group(1).toLong)
+        if (q != current && !ledger(q) &&
+            stamp.exists(t => now - t >= graceMs))
+          fs.delete(s.getPath, true)
+      }
+    }
+  }
+
+  /** Post-acquisition location check for every bucketed mutator: the
+    * lease was taken on a location read BEFORE acquisition, and a
+    * concurrent [[compactBucketedIsolated]] may have flipped the table to
+    * a new generation in between — proceeding would mutate a retired
+    * directory that reclaim later deletes (silent loss). Fail fast; the
+    * caller retries and leases the current generation.
+    */
+  private def requireLocationCurrent(spark: SparkSession, table: String,
+                                     fs: FileSystem, leased: Path,
+                                     op: String): Unit = {
+    val now = new Path(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    if (fs.makeQualified(now) != fs.makeQualified(leased))
+      throw new IllegalStateException(
+        s"$op: $table's generation flipped (location moved from $leased to " +
+          s"$now) between the metadata read and the lease acquisition — retry")
+  }
+
+  /** Reader-ISOLATED bucketed maintenance: rewrite the WHOLE table as a
+    * fresh generation directory (`<table>__gen<millis>` sibling) through
+    * its own bucket spec, flip the catalog location atomically, and
+    * grace-retain the superseded generation for in-flight readers —
+    * reclaimed past the grace by the next bucketed lifecycle op.
+    *
+    * This is the opt-in complement to [[compactBucketed]]: the in-place
+    * fold touches only hot buckets (work ∝ the appends) but is
+    * reader-EXCLUSIVE (a catalog bucketed scan cannot exclude co-located
+    * retired files, and cold files leave their paths in the swap); this
+    * variant pays a FULL rewrite — the price of isolation on a
+    * catalog-scanned layout — in exchange for the clustered layout's
+    * reader guarantee. Use the in-place fold in maintenance windows, this
+    * one under live readers. Restores one sorted file per bucket (the
+    * zero-Exchange zero-Sort join layout) like a fresh [[loadBucketed]].
+    *
+    * Crash safety: the staged generation (external table write, then its
+    * ledger + manifest) is unreferenced until the `ALTER TABLE SET
+    * LOCATION` flip — a crash before the flip leaves only a stale
+    * `__gen` sibling (swept past the grace); the ledger naming the old
+    * generation is written INSIDE the new one before the flip, so a
+    * crash after it loses nothing. Returns (filesBefore, filesAfter).
+    */
+  def compactBucketedIsolated(spark: SparkSession, table: String): (Int, Int) = {
+    val ct = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val bs = ct.bucketSpec.getOrElse(
+      sys.error(s"compactBucketedIsolated: $table carries no bucket spec"))
+    val loc = new Path(ct.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLease(fs, loc, "compactBucketedIsolated") {
+    requireLocationCurrent(spark, table, fs, loc, "compactBucketedIsolated")
+    recoverStreamPending(fs, loc.toString)
+    recoverCompact(fs, loc.toString)
+    guardCompactable(fs, loc)
+    reclaimRetiredDirs(fs, loc, retireGraceMs)
+    sweepStaleGenerations(fs, table, loc, retireGraceMs)
+    def dataFiles(p: Path): Seq[FileStatus] =
+      fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+    val before = dataFiles(loc).size
+    val keys = bs.bucketColumnNames
+    val sort = bs.sortColumnNames
+    val genTable = table + "__gen"
+    spark.sql(s"DROP TABLE IF EXISTS `$genTable`") // crashed-attempt entry
+    val gen = new Path(loc.getParent,
+      s"${table}__gen${System.currentTimeMillis()}")
+    if (fs.exists(gen)) fs.delete(gen, true) // same-ms retry
+    // EXTERNAL staging table (explicit path): DROP later leaves the files
+    // for the location flip. The input reads the current generation's
+    // FILES plainly (not spark.table: a bucketed scan carries its own
+    // output partitioning, under which the repartition can be elided and
+    // the write then emits one file per (task, bucket) instead of the one
+    // sorted file per bucket the zero-Sort property needs)
+    val w0 = spark.read.schema(ct.schema)
+      .parquet(dataFiles(loc).map(_.getPath.toString): _*)
+      .repartition(bs.numBuckets, keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("path", gen.toString)
+      .bucketBy(bs.numBuckets, keys.head, keys.tail: _*)
+    val w = if (sort.isEmpty) w0 else w0.sortBy(sort.head, sort.tail: _*)
+    w.format("parquet").saveAsTable(genTable)
+    crashPoint("bktiso:staged")
+    // the new generation's ledger: previous retirees carry over, the
+    // current generation joins them — written INSIDE the new dir BEFORE
+    // the flip so the flip is the single commit point
+    writeSmallFileAtomic(fs, new Path(gen, RetiredDirsName),
+      org.json4s.jackson.Serialization.write(
+        readRetiredDirs(fs, loc) :+
+          RetiredDir(fs.makeQualified(loc).toString, System.currentTimeMillis())))
+    seriesTsOf(keys, sort).foreach(ts => writeManifest(spark, gen.toString, ts))
+    crashPoint("bktiso:ledger")
+    spark.sql(s"DROP TABLE IF EXISTS `$genTable`") // external: files stay
+    crashPoint("bktiso:gen-dropped")
+    // THE atomic commit: catalog location flip. Readers that planned
+    // against the old generation keep their paths (grace-retained).
+    spark.sql(s"ALTER TABLE `$table` SET LOCATION '${gen.toString}'")
+    crashPoint("bktiso:flipped")
+    spark.catalog.refreshTable(table)
+    (before, dataFiles(gen).size)
+    }
+  }
+
   def compactBucketed(spark: SparkSession, table: String): (Int, Int) = {
     val ct = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -1991,9 +2168,11 @@ object Tables {
     val loc = new Path(ct.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, loc, "compactBucketed") {
+    requireLocationCurrent(spark, table, fs, loc, "compactBucketed")
     recoverStreamPending(fs, loc.toString)
     recoverCompact(fs, loc.toString)
     guardCompactable(fs, loc)
+    reclaimRetiredDirs(fs, loc, retireGraceMs)
     // a crashed earlier fold leaks the staged `__fold` table — possibly
     // only its LOCATION (a fresh session's in-memory catalog no longer
     // lists it, but the orphaned dir still blocks the managed-table

@@ -836,6 +836,10 @@ class TablesSpec extends AnyFunSuite {
     * previous value (the suite default is 0 — eager reclaim).
     */
   private def withGrace[T](ms: Long)(body: => T): T = {
+    // force session init FIRST: TestSpark's initializer sets the suite's
+    // zero-grace default, and it runs lazily at first spark access — an
+    // override set before that would be silently clobbered mid-test
+    val _ = spark
     val prev = sys.props.get("graft.retire.grace.ms")
     sys.props("graft.retire.grace.ms") = ms.toString
     try body
@@ -954,6 +958,93 @@ class TablesSpec extends AnyFunSuite {
       assert(e.getMessage.contains("retired"), e.getMessage)
       assert(stray.delete())
       assert(Tables.snapshot(spark, path).count() == 100L)
+    }
+  }
+
+  test("compactBucketedIsolated: readers finish on the old generation; flip is atomic") {
+    withGrace(600000L) {
+      val t = "bkt_iso_race"
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      Tables.loadBucketed((0L until 200L).map(i => (i % 4, i, i * 1.0))
+        .toDF("k", "ts", "v"), t, Seq("k"), 4, sortCols = Seq("ts"))
+      Tables.appendBucketed((200L until 240L).map(i => (i % 2, i, i * 1.0))
+        .toDF("k", "ts", "v"), t)
+      // the in-flight reader: plans (and lists files) BEFORE the flip
+      val reader = spark.table(t)
+      val preFiles = reader.inputFiles.toSeq
+      assert(preFiles.nonEmpty)
+      val filesPre = tableLoc(t).listFiles.count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val (nb, na) = Tables.compactBucketedIsolated(spark, t)
+      assert(nb == filesPre && na <= 4,
+        s"isolated fold must restore ≤1 file/bucket: $nb -> $na")
+      // every pre-flip file is still at its path — the reader completes
+      preFiles.foreach { f =>
+        assert(new java.io.File(java.net.URI.create(f)).exists,
+          s"pre-flip file $f vanished — bucketed reader isolation broken")
+      }
+      assert(reader.count() == 240L, "pre-flip reader must finish on its snapshot")
+      // a fresh read serves the new generation: same rows, new location
+      val fresh = spark.table(t)
+      assert(fresh.count() == 240L)
+      assert(fresh.inputFiles.toSet.intersect(preFiles.toSet).isEmpty,
+        "the new generation must be a disjoint file set")
+      // the flipped table still carries the zero-Exchange bucket layout
+      val l = spark.table(t).groupBy(col("k")).agg(sum(col("v")).as("sv"))
+      assert(!l.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+        s"bucketed agg must not shuffle after the flip:\n${l.queryExecution.executedPlan}")
+      // the ordered-ingest contract survives the flip (manifest regenerated)
+      val locNow = tableLoc(t)
+      assert(new java.io.File(locNow, "_graft_manifest.json").exists,
+        "flipped generation must carry a manifest")
+      intercept[IllegalStateException] {
+        Tables.appendBucketed(Seq((1L, 5L, 0.0)).toDF("k", "ts", "v"), t)
+      }
+      // reclaim: past the grace, the next bucketed op deletes the old dir
+      val oldDir = new java.io.File(java.net.URI.create(preFiles.head)).getParentFile
+      assert(oldDir.exists)
+      withGrace(0L) {
+        Tables.appendBucketed(Seq((1L, 500L, 1.0)).toDF("k", "ts", "v"), t)
+      }
+      assert(!oldDir.exists, "expired retired generation must be reclaimed")
+      assert(spark.table(t).count() == 241L)
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    }
+  }
+
+  test("compactBucketedIsolated crash points: un-flipped attempts leave the table intact") {
+    val tags = Seq("bktiso:staged", "bktiso:ledger", "bktiso:gen-dropped",
+      "bktiso:flipped")
+    for ((tag, i) <- tags.zipWithIndex) {
+      val t = s"bkt_iso_crash$i"
+      Tables.loadBucketed((0L until 60L).map(j => (j % 3, j, j * 1.0))
+        .toDF("k", "ts", "v"), t, Seq("k"), 3, sortCols = Seq("ts"))
+      Tables.appendBucketed((60L until 80L).map(j => (j % 3, j, j * 1.0))
+        .toDF("k", "ts", "v"), t)
+      assert(withCrash(tag, 1) { Tables.compactBucketedIsolated(spark, t) },
+        s"$tag must fire")
+      // content must be intact at every crash point (old generation before
+      // the flip, new generation after) and the retry must converge
+      assert(spark.table(t).select("ts").as[Long].collect().toSet ==
+        (0L until 80L).toSet, s"$tag: content diverged after crash")
+      val (_, na2) = Tables.compactBucketedIsolated(spark, t)
+      assert(na2 <= 3, s"$tag: retry did not fold")
+      assert(spark.table(t).select("ts").as[Long].collect().toSet ==
+        (0L until 80L).toSet, s"$tag: content diverged after retry")
+      // with the suite's zero grace, nothing stale survives: at most the
+      // current generation dir + ledger remain
+      val parent = tableLoc(t).getParentFile
+      val stale = parent.listFiles.filter(f =>
+        f.getName.startsWith(s"bkt_iso_crash${i}__gen") &&
+          f.getAbsolutePath != tableLoc(t).getAbsolutePath)
+      // one more op triggers sweep+reclaim of anything left
+      Tables.appendBucketed(Seq((1L, 900L, 1.0)).toDF("k", "ts", "v"), t)
+      val staleAfter = parent.listFiles.filter(f =>
+        f.getName.startsWith(s"bkt_iso_crash${i}__gen") &&
+          f.getAbsolutePath != tableLoc(t).getAbsolutePath)
+      assert(staleAfter.isEmpty,
+        s"$tag: stale generations not reclaimed: ${staleAfter.mkString(",")}")
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
     }
   }
 
