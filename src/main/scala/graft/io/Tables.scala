@@ -2147,6 +2147,14 @@ object Tables {
       org.json4s.jackson.Serialization.write(
         readRetiredDirs(fs, loc) :+
           RetiredDir(fs.makeQualified(loc).toString, System.currentTimeMillis())))
+    // the stream-commit log must FOLLOW the table to the new generation:
+    // leaving it in the retired dir would reset every stream's high-water
+    // mark, so a checkpoint-recovery replay after the flip would re-append
+    // committed batches (pending is None here — entry recovery cleared it)
+    locally {
+      val sc = readStreamCommits(fs, loc)
+      if (sc.committed.nonEmpty) writeStreamCommits(fs, gen, sc.copy(pending = None))
+    }
     seriesTsOf(keys, sort).foreach(ts => writeManifest(spark, gen.toString, ts))
     crashPoint("bktiso:ledger")
     spark.sql(s"DROP TABLE IF EXISTS `$genTable`") // external: files stay
@@ -2241,6 +2249,14 @@ object Tables {
           "not hot — refusing to install")
       if (!fs.rename(s.getPath, new Path(tmp, s.getPath.getName)))
         sys.error(s"compactBucketed: cannot stage folded file ${s.getPath}")
+    }
+    // the stream-commit log travels with the layout: the two-rename swap
+    // replaces the whole dir, so the sidecar must be staged into tmp or
+    // every stream's high-water mark would be lost at each fold (a
+    // checkpoint replay would then re-append committed batches)
+    locally {
+      val sc = readStreamCommits(fs, loc)
+      if (sc.committed.nonEmpty) writeStreamCommits(fs, tmp, sc.copy(pending = None))
     }
     crashPoint("bkt:staged")
     // COMMIT marker: from here recovery rolls the swap forward

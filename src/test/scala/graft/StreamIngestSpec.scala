@@ -239,6 +239,22 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 300L)
     val got = spark.table(t).select("ts").as[Long].collect().toSet
     assert(got == (0L until 300L).toSet)
+    // the stream-commit log SURVIVES the fold's dir swap: a checkpoint
+    // replay arriving after maintenance must still be skipped, never
+    // re-appended (the high-water mark travels with the layout)
+    assert(!Tables.appendStreamBatchBucketed(b2, t, "ckb", 1L),
+      "post-fold replay must be skipped — the commit log was lost in the swap")
+    assert(spark.table(t).count() == 300L)
+    // ... and survives the reader-isolated generation flip the same way
+    assert(Tables.appendStreamBatchBucketed(
+      (300L until 320L).map(i => (i % 8, i, i * 1.0)).toDF("k", "ts", "v"),
+      t, "ckb", 2L))
+    Tables.compactBucketedIsolated(spark, t)
+    assert(!Tables.appendStreamBatchBucketed(
+      (300L until 320L).map(i => (i % 8, i, i * 1.0)).toDF("k", "ts", "v"),
+      t, "ckb", 2L),
+      "post-flip replay must be skipped — the commit log stayed in the retired generation")
+    assert(spark.table(t).count() == 320L)
     spark.sql(s"DROP TABLE IF EXISTS `$t`")
   }
 }
