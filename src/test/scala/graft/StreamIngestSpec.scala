@@ -180,6 +180,30 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(Tables.snapshot(spark, table).count() == 90L)
   }
 
+  test("crash inside the append body (data written, manifest not extended): lands once") {
+    // deeper than stream:appended: the kill happens INSIDE appendBatch,
+    // after the batch's data files committed but before the manifest
+    // extension — the replay's rollback must delete the data files AND
+    // leave the manifest consistent before re-appending
+    val table = tmpDir("crash3") + "/t.parquet"
+    val b0 = (0L until 80L).map(i => (i, i * 1.0)).toDF("ts", "v")
+    val b1 = (80L until 120L).map(i => (i, i * 1.0)).toDF("ts", "v")
+    assert(Tables.appendStreamBatch(b0, table, "ts", "ck", 0L))
+    assert(withCrash("append:written", 1) {
+      Tables.appendStreamBatch(b1, table, "ts", "ck", 1L)
+    })
+    assert(Tables.appendStreamBatch(b1, table, "ts", "ck", 1L))
+    assert(Tables.snapshot(spark, table).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq ==
+      (0L until 120L).map(i => (i, i * 1.0)),
+      "in-append crash replay must not duplicate or lose rows")
+    val m = Tables.manifest(spark, table).get
+    assert(m.files.map(_.name).toSet ==
+      new java.io.File(table).listFiles.filter(f => f.isFile &&
+        f.getName.endsWith(".parquet") && !f.getName.startsWith(".")
+        && !f.getName.startsWith("_")).map(_.getName).toSet)
+  }
+
   test("bucketed stream ingest end-to-end: writeStream through the catalog spec") {
     val t = "stream_bkt_e2e"
     Tables.loadBucketed((0L until 100L).map(i => (i % 4, i, i * 1.0))

@@ -849,6 +849,34 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("readers on a mid-install crashed state serve the OLD snapshot (marker allowance)") {
+    withGrace(600000L) {
+      val path = tmp("midcrash")
+      val rows = (0L until 800L).map(i => (i, i * 1.0))
+      Tables.load(rows.toDF("ts", "v").repartition(3), path, Seq(), "ts")
+      val preContent = Tables.snapshot(spark, path).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      // kill the full compact mid-move: some staged files are already in
+      // the live dir, the marker is present, the manifest is still OLD —
+      // the exact state a reader can land on between crash and recovery
+      assert(withCrash("full:gen-moved", 1) {
+        Tables.compact(spark, path, Seq(), "ts")
+      })
+      assert(new java.io.File(path + ".gen.commit").exists, "marker must be live")
+      // a reader in this window serves the OLD generation consistently:
+      // the manifest governs, the marker whitelists the half-moved staged
+      // files, and no retired duplication is possible
+      assert(Tables.snapshot(spark, path).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq == preContent,
+        "mid-crash reader must see the old snapshot, not a torn or doubled one")
+      // recovery rolls forward; content unchanged, marker consumed
+      Tables.compactIncremental(spark, path, Seq(), "ts")
+      assert(!new java.io.File(path + ".gen.commit").exists)
+      assert(Tables.snapshot(spark, path).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq == preContent)
+    }
+  }
+
   test("maintenance installs never break in-flight readers (grace retention)") {
     withGrace(600000L) {
       val dir = java.nio.file.Files.createTempDirectory("graft_race")
