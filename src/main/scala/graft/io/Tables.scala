@@ -692,13 +692,51 @@ object Tables {
           // winner's fresh lease (the delete-then-create shape had exactly
           // that hole). The dead writer's partial state is what the entry
           // recovery/cleanup paths handle.
-          val aside = new Path(dir.getParent, dir.getName + s".lease.broken.$token")
-          if (!fs.rename(lease, aside))
+          //
+          // RE-STAT immediately before the rename (r12 — found by the
+          // break-race hammer): the age above may have been read
+          // arbitrarily long ago, and in between a WINNING breaker can
+          // have created a FRESH lease at the same name — renaming that
+          // aside would break a live writer. After the rename, verify the
+          // aside really was stale; a fresh one that slipped into the
+          // re-stat→rename window is restored (or, if a third writer
+          // occupied the name meanwhile — a double microsecond race —
+          // refuse loudly WITHOUT taking over; we never write unleased).
+          val st2 = scala.util.Try(fs.getFileStatus(lease)).toOption
+          val age2 = st2.map(s => System.currentTimeMillis() - s.getModificationTime)
+          if (st2.isEmpty) {
+            // holder finished between the checks — the name is free
+            if (!tryCreate())
+              throw new IllegalStateException(
+                s"$op: lost the lease race on $dir — another writer took it; retry")
+          } else if (age2.exists(_ < leaseTtlMs)) {
             throw new IllegalStateException(
-              s"$op: lost the stale-lease break race on $dir — another " +
-                "writer is taking over; retry")
-          fs.delete(aside, false)
-          acquire(canBreak = false)
+              s"$op: another writer took over the lease on $dir while its " +
+                "staleness was being confirmed; retry")
+          } else {
+            val aside = new Path(dir.getParent, dir.getName + s".lease.broken.$token")
+            // Try, not a bare call: on a local FS a rename whose SOURCE
+            // vanished mid-race falls back to FileUtil.copy and THROWS
+            // FileNotFoundException rather than returning false — to a
+            // racing breaker both mean the same thing (someone else won)
+            if (!scala.util.Try(fs.rename(lease, aside)).getOrElse(false))
+              throw new IllegalStateException(
+                s"$op: lost the stale-lease break race on $dir — another " +
+                  "writer is taking over; retry")
+            val asideAge = scala.util.Try(fs.getFileStatus(aside)).toOption
+              .map(s => System.currentTimeMillis() - s.getModificationTime)
+            if (asideAge.exists(_ < leaseTtlMs)) {
+              // we renamed a FRESH lease (created in the re-stat→rename
+              // window) — restore it and stand down
+              if (!scala.util.Try(fs.rename(aside, lease)).getOrElse(false))
+                scala.util.Try(fs.delete(aside, false))
+              throw new IllegalStateException(
+                s"$op: another writer took the lease on $dir mid-break; " +
+                  "its lease was restored — retry")
+            }
+            scala.util.Try(fs.delete(aside, false))
+            acquire(canBreak = false)
+          }
         }
       }
     acquire(canBreak = true)
@@ -735,8 +773,11 @@ object Tables {
       // that needs a >TTL overrun AND a microsecond interleave; the
       // rename-aside break keeps even that from cascading (a third
       // writer's break of the then-deleted lease just fails its rename).
+      // Try: the file can vanish between the ownership read and the
+      // delete (a successor's break), and ChecksumFileSystem.delete stats
+      // its target — a missing-file throw here would mask the body's result
       if (scala.util.Try(readSmallText(fs, lease)).toOption.exists(_.contains(token)))
-        fs.delete(lease, false)
+        scala.util.Try(fs.delete(lease, false))
     }
   }
 
@@ -786,7 +827,19 @@ object Tables {
     if (!fs.exists(p)) None
     else scala.util.Try(
       org.json4s.jackson.Serialization.read[TsManifest](readSmallText(fs, p))
-    ).toOption
+    ) match {
+      case scala.util.Success(m) => Some(m)
+      // LOUD, not a silent un-govern: the manifest is written atomically,
+      // so an unparseable one is external corruption — and ignoring it on
+      // a table holding grace-retained files would serve every retired
+      // row as a live duplicate (recovery paths would also lose the
+      // retired ledger). Restore the file, or delete it to re-adopt the
+      // directory (writeManifest) once its contents are verified.
+      case scala.util.Failure(e) => sys.error(
+        s"unreadable table manifest $p — it is written atomically, so " +
+          s"this is external corruption (${e.getMessage}); restore it, or " +
+          "verify the directory and delete the manifest to re-adopt it")
+    }
   }
 
   /** The manifest is trusted only when every LIVE entry is on disk with
@@ -1594,6 +1647,12 @@ object Tables {
     withWriterLease(fs, loc, "appendStreamBatchBucketed") {
       requireLocationCurrent(spark, table, fs, loc, "appendStreamBatchBucketed")
       recoverStreamPending(fs, loc.toString)
+      // predecessor-crash recovery must run BEFORE the pending record's
+      // pre-listing: a committed fold marker rolled forward later (inside
+      // appendBucketed) replaces the directory, and a crash after that
+      // would make the rollback delete the recovered layout's files as
+      // "extras" of a stale listing
+      recoverCompact(fs, loc.toString)
       reclaimRetiredDirs(fs, loc, retireGraceMs)
       val rec = readStreamCommits(fs, loc)
       if (rec.committed.get(streamId).exists(_ >= batchId)) false

@@ -204,6 +204,31 @@ class StreamIngestSpec extends AnyFunSuite {
         && !f.getName.startsWith("_")).map(_.getName).toSet)
   }
 
+  test("stream batch over a crashed fold: recovery precedes the rollback listing") {
+    // a compactBucketed killed after its commit marker leaves a
+    // roll-forward obligation; a stream batch arriving next must recover
+    // it BEFORE snapshotting the pending pre-listing — otherwise a crash
+    // after the append would roll back the RECOVERED layout's files as
+    // "extras" (folded hot data silently lost)
+    val t = "stream_bkt_recfold"
+    Tables.loadBucketed((0L until 90L).map(i => (i % 3, i, i * 1.0))
+      .toDF("k", "ts", "v"), t, Seq("k"), 3, sortCols = Seq("ts"))
+    Tables.appendBucketed((90L until 120L).map(i => (i % 3, i, i * 1.0))
+      .toDF("k", "ts", "v"), t)
+    assert(withCrash("bkt:marker", 1) { Tables.compactBucketed(spark, t) })
+    // stream batch 0 lands over the crashed-fold state, and ITSELF crashes
+    // right after its append — the rollback must only remove batch 0's files
+    val b0 = (120L until 150L).map(i => (i % 3, i, i * 1.0)).toDF("k", "ts", "v")
+    assert(withCrash("stream:appended", 1) {
+      Tables.appendStreamBatchBucketed(b0, t, "ckf", 0L)
+    })
+    assert(Tables.appendStreamBatchBucketed(b0, t, "ckf", 0L))
+    assert(spark.table(t).select("ts").as[Long].collect().toSet ==
+      (0L until 150L).toSet,
+      "rolled-forward fold data must survive the stream batch's crash replay")
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
+
   test("bucketed stream ingest end-to-end: writeStream through the catalog spec") {
     val t = "stream_bkt_e2e"
     Tables.loadBucketed((0L until 100L).map(i => (i % 4, i, i * 1.0))
