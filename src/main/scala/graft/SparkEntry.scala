@@ -1445,6 +1445,27 @@ object SparkEntry {
                             from lineitem_q17 l2
                             where l2.l_partkey = p_partkey)""")
     }),
+    "q_tpch_q18" -> ((s, dir) => {
+      // TPC-H Q18 (large-volume customer), adapted thresholds — the
+      // AGGREGATE-SEMI-JOIN plan family: `o_orderkey IN (SELECT
+      // l_orderkey ... HAVING sum > K)` plans as a semi join against a
+      // GROUPED subquery (two-phase partial/final sum, then the filter,
+      // then LeftSemi) — the qualifying-keys set stays distributed, never
+      // a collected IN-list. Distinct from Q4's EXISTS (no aggregate) and
+      // Q17's correlated scalar (per-key threshold): here the subquery is
+      // UNCORRELATED but aggregated. SQL on purpose — the IN→semi-join
+      // rewrite over an aggregate is the thing under test.
+      li(s, dir).createOrReplaceTempView("lineitem_q18")
+      ord(s, dir).createOrReplaceTempView("orders_q18")
+      Tables.read(s, dir, "customer").createOrReplaceTempView("customer_q18")
+      s.sql("""
+        select c_custkey, o_orderkey, cast(sum(l_quantity) as float) as total_qty
+        from customer_q18, orders_q18, lineitem_q18
+        where o_orderkey in (select l_orderkey from lineitem_q18
+                             group by l_orderkey having sum(l_quantity) > 150)
+          and c_custkey = o_custkey and o_orderkey = l_orderkey
+        group by c_custkey, o_orderkey""")
+    }),
     "q_get_bucketed_key" -> ((s, dir) => {
       // bucket PRUNING on key-equality scans — the per-key half of
       // TABLE_get (btree.c:479-589: descend ONE series' tree). Spark
@@ -3004,6 +3025,13 @@ object SparkEntry {
            AND l_quantity < (SELECT 0.2 * avg(l_quantity)
                              FROM lineitem l2
                              WHERE l2.l_partkey = p_partkey)""",
+    "q_tpch_q18" ->
+      """SELECT c_custkey, o_orderkey, CAST(sum(l_quantity) AS REAL) AS total_qty
+         FROM customer, orders, lineitem
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         GROUP BY c_custkey, o_orderkey""",
     "q_get_bucketed_key" ->
       """SELECT event_type, count(*) AS n, CAST(sum(value) AS REAL) AS sv
          FROM events WHERE user_id = 7 GROUP BY event_type""",

@@ -385,7 +385,11 @@ object Streams {
     * extends the ts manifest (bootstrapping it on the first batch), and
     * commits the batch id so a checkpoint-recovery replay is skipped —
     * exactly-once into the table, with the same lifecycle guarantees a
-    * batch [[graft.io.Tables.append]] makes. The checkpoint location is
+    * batch [[graft.io.Tables.append]] makes. The ordered-ingest contract
+    * is PER-BATCH: each micro-batch's min(ts) must be ≥ the stored tail
+    * (violations fail the query loudly, the reference's trigger
+    * semantics); WITHIN a batch rows may arrive unordered — the append
+    * clusters them by ts at write, so file-level pruning stays tight. The checkpoint location is
     * the stream's commit-log identity; reuse it to continue a run, use a
     * fresh one (against a fresh table) to start over.
     *
