@@ -933,6 +933,70 @@ object Tables {
     governed.getOrElse(spark.read.parquet(path))
   }
 
+  // ---- reader pins -----------------------------------------------------
+
+  /** A live reader pin on `dir` defers reclamation of its grace-retained
+    * files/generations: the grace window covers typical queries, pins
+    * cover the long tail (an hours-long scan outliving any reasonable
+    * grace). A pin is a sibling file `<dir>.pin.<uuid>` whose mtime a
+    * heartbeat refreshes (same machinery and TTL as the writer lease), so
+    * a crashed reader's pin ages out instead of blocking reclaim forever.
+    * Pins never block INSTALLS — maintenance proceeds and the pinned
+    * reader keeps its snapshot; only the deferred delete waits.
+    */
+  def withReaderPin[T](spark: SparkSession, path: String)(body: => T): T = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pin = new Path(hp.getParent,
+      hp.getName + ".pin." + java.util.UUID.randomUUID().toString)
+    val out = fs.create(pin, false)
+    try out.write(("{\"holder\":\"reader\",\"pid\":\"" +
+      java.lang.ProcessHandle.current().pid() + "\"}")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hb = new Thread(() => {
+      while (!hbStop.get) {
+        try Thread.sleep(math.max(50L, leaseTtlMs / 3))
+        catch { case _: InterruptedException => }
+        if (!hbStop.get)
+          try fs.setTimes(pin, System.currentTimeMillis(), -1)
+          catch { case _: Throwable => () }
+      }
+    }, s"graft-reader-pin-${hp.getName}")
+    hb.setDaemon(true)
+    hb.start()
+    try body
+    finally {
+      hbStop.set(true)
+      hb.interrupt()
+      scala.util.Try(fs.delete(pin, false))
+    }
+  }
+
+  /** Whether any LIVE reader pin (age under the lease TTL) exists for
+    * `dir` — reclaim defers while one does; stale pins (crashed readers)
+    * are cleaned up in passing.
+    */
+  private def livePinsExist(fs: FileSystem, dir: Path): Boolean = {
+    val parent = dir.getParent
+    if (parent == null || !fs.exists(parent)) return false
+    val now = System.currentTimeMillis()
+    // glob, not a full parent listing: a warehouse dir can hold thousands
+    // of sibling tables ('.' is literal in Hadoop globs, and pin UUIDs
+    // contain no glob metacharacters)
+    val pins = scala.util.Try(
+      fs.globStatus(new Path(parent, dir.getName + ".pin.*"))).toOption
+      .map(_.toSeq).getOrElse(Seq.empty)
+    pins.exists { s =>
+      s.isFile && {
+        val live = now - s.getModificationTime < leaseTtlMs
+        if (!live) scala.util.Try(fs.delete(s.getPath, false))
+        live
+      }
+    }
+  }
+
   /** Delete grace-expired retired files and drop their manifest entries.
     * Crash-safe order: files first, manifest second — a crash in between
     * leaves retired entries pointing at missing files, which
@@ -943,6 +1007,7 @@ object Tables {
   private def reclaimRetired(fs: FileSystem, hp: Path, graceMs: Long): Int = {
     readManifest(fs, hp).map { m =>
       if (m.retired.isEmpty) 0
+      else if (livePinsExist(fs, hp)) 0 // a pinned reader defers the delete
       else {
         val now = System.currentTimeMillis()
         val (expired, kept) = m.retired.partition(r => now - r.retiredMs >= graceMs)
@@ -2076,7 +2141,11 @@ object Tables {
     if (ledger.isEmpty) 0
     else {
       val now = System.currentTimeMillis()
-      val (expired, kept) = ledger.partition(r => now - r.retiredMs >= graceMs)
+      // a retired GENERATION stays while a live reader pin exists on that
+      // directory (the pin is taken on the location the reader planned
+      // against — which is exactly the dir that later retires)
+      val (expired, kept) = ledger.partition(r =>
+        now - r.retiredMs >= graceMs && !livePinsExist(fs, new Path(r.path)))
       if (expired.nonEmpty) {
         expired.foreach { r =>
           val p = new Path(r.path)

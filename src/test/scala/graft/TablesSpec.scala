@@ -1076,6 +1076,64 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("reader pins defer reclamation beyond the grace (clustered and bucketed)") {
+    // grace covers typical queries; a PIN covers the long tail — an
+    // hours-long scan outliving any reasonable grace defers the delete
+    // until it releases (or its pin goes stale: a crashed reader must
+    // never block reclaim forever)
+    val path = tmp("pins")
+    Tables.load((0L until 400L).map(i => (i, i * 1.0)).toDF("ts", "v")
+      .repartition(3), path, Seq(), "ts")
+    Tables.withReaderPin(spark, path) {
+      val reader = Tables.snapshot(spark, path)
+      val preFiles = reader.inputFiles.toSeq
+      // suite grace is ZERO — without the pin this compact would delete
+      // the replaced files at op exit
+      Tables.compact(spark, path, Seq(), "ts")
+      preFiles.foreach { f =>
+        assert(new java.io.File(java.net.URI.create(f)).exists,
+          s"pinned reader's file $f reclaimed under a live pin")
+      }
+      assert(reader.count() == 400L, "pinned reader must finish on its snapshot")
+      assert(Tables.manifest(spark, path).get.retired.nonEmpty,
+        "retired entries must persist while the pin lives")
+    }
+    // pin released: the next op reclaims
+    Tables.append(Seq((1000L, 1.0)).toDF("ts", "v"), path, "ts", lit(0L))
+    assert(Tables.manifest(spark, path).get.retired.isEmpty,
+      "released pin must unblock reclamation")
+    // a STALE pin (crashed reader) does not block: plant one aged past TTL
+    Tables.compact(spark, path, Seq(), "ts") // leaves retired under a fresh...
+    val stale = new java.io.File(path + ".pin.deadbeef")
+    if (Tables.manifest(spark, path).get.retired.nonEmpty) {
+      java.nio.file.Files.write(stale.toPath, "{}".getBytes("UTF-8"))
+      assert(stale.setLastModified(System.currentTimeMillis() - 11L * 60L * 1000L))
+      Tables.append(Seq((2000L, 1.0)).toDF("ts", "v"), path, "ts", lit(0L))
+      assert(Tables.manifest(spark, path).get.retired.isEmpty,
+        "a stale pin must not block reclamation")
+      assert(!stale.exists, "stale pins are cleaned in passing")
+    }
+
+    // bucketed generations: a pin on the pre-flip location defers the
+    // retired-dir delete
+    val t = "bkt_pin"
+    Tables.loadBucketed((0L until 120L).map(i => (i % 4, i, i * 1.0))
+      .toDF("k", "ts", "v"), t, Seq("k"), 4, sortCols = Seq("ts"))
+    val loc0 = tableLoc(t)
+    Tables.withReaderPin(spark, loc0.getAbsolutePath) {
+      val reader = spark.table(t)
+      assert(reader.inputFiles.nonEmpty)
+      Tables.compactBucketedIsolated(spark, t)
+      // reclaim attempt under the pin: the old generation dir survives
+      Tables.appendBucketed(Seq((1L, 500L, 1.0)).toDF("k", "ts", "v"), t)
+      assert(loc0.exists, "pinned retired generation reclaimed under a live pin")
+      assert(reader.count() == 120L)
+    }
+    Tables.appendBucketed(Seq((1L, 600L, 1.0)).toDF("k", "ts", "v"), t)
+    assert(!loc0.exists, "released pin must unblock generation reclaim")
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
+
   // ---- lease dynamics under real concurrency (r12) ---------------------
 
   test("lease hammer: concurrent writers serialize or refuse — never corrupt") {
