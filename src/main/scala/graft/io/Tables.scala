@@ -880,28 +880,59 @@ object Tables {
     * manifest that no longer matches the listing while retired files
     * exist FAILS LOUDLY instead of degrading: a plain-read fallback there
     * would silently serve retired duplicates as live rows.
+    *
+    * Lock-free reader protocol: the sequence manifest-read →
+    * listing+marker-read → consistency check is not atomic, and an entire
+    * install can land INSIDE the window (new files moved in, new manifest
+    * installed, marker already deleted) — the stale first manifest then
+    * looks torn against the advanced listing. On a mismatch the manifest
+    * is RE-READ: if it moved, the evaluation retries against the fresh
+    * one (bounded — each retry needs another full install in the window);
+    * only a STABLE mismatch is a real foreign modification.
     */
   private def liveEntries(fs: FileSystem, hp: Path,
-                          tsName: Option[String]): Option[TsManifest] =
-    readManifest(fs, hp).filter(m => tsName.forall(_ == m.ts)).flatMap { m =>
-      val listing = fs.listStatus(hp).toSeq
-      if (hasPartitionDirs(listing)) None
-      else {
-        val files = listing.filter(s => s.isFile && isDataFile(s.getPath.getName))
-        val markerNew: Set[String] =
-          scala.util.Try(org.json4s.jackson.Serialization.read[GenMarker](
-            readSmallText(fs, genMarkerPath(hp.toString)))).toOption
-            .map(_.newFiles.toSet).getOrElse(Set.empty)
-        if (manifestConsistent(m, files, markerNew)) Some(m)
-        else if (m.retired.nonEmpty) sys.error(
-          s"table $hp holds grace-retained retired files but its manifest " +
-            "no longer matches the live listing — a foreign writer modified " +
-            "the directory, and reads can no longer distinguish live from " +
-            "retired data. Restore the manifest (or move the foreign " +
-            "content aside and run Tables.vacuum) before reading")
-        else None
+                          tsName: Option[String]): Option[TsManifest] = {
+    val maxRetries = 5
+    var attempt = 0
+    while (true) {
+      val mOpt = readManifest(fs, hp)
+      mOpt match {
+        case None => return None
+        case Some(m) if !tsName.forall(_ == m.ts) =>
+          // a ts-name mismatch on a table holding retired files must fail
+          // LOUDLY like the inconsistent case — the ungoverned fallback
+          // would list retired files as data and duplicate every row
+          if (m.retired.nonEmpty) sys.error(
+            s"table $hp is governed by ts column '${m.ts}' but the " +
+              s"operation addressed '${tsName.getOrElse("")}' while " +
+              "grace-retained retired files exist — an ungoverned " +
+              "fallback would serve retired duplicates; use the " +
+              "manifest's ts column (or vacuum first)")
+          return None
+        case Some(m) =>
+          val listing = fs.listStatus(hp).toSeq
+          if (hasPartitionDirs(listing)) return None
+          val files = listing.filter(s => s.isFile && isDataFile(s.getPath.getName))
+          val markerNew: Set[String] =
+            scala.util.Try(org.json4s.jackson.Serialization.read[GenMarker](
+              readSmallText(fs, genMarkerPath(hp.toString)))).toOption
+              .map(_.newFiles.toSet).getOrElse(Set.empty)
+          if (manifestConsistent(m, files, markerNew)) return Some(m)
+          val mNow = readManifest(fs, hp)
+          if (mNow == mOpt || attempt >= maxRetries) {
+            if (m.retired.nonEmpty) sys.error(
+              s"table $hp holds grace-retained retired files but its manifest " +
+                "no longer matches the live listing — a foreign writer modified " +
+                "the directory, and reads can no longer distinguish live from " +
+                "retired data. Restore the manifest (or move the foreign " +
+                "content aside and run Tables.vacuum) before reading")
+            return None
+          }
+          attempt += 1 // the manifest moved mid-evaluation: re-evaluate
       }
     }
+    None // unreachable
+  }
 
   /** The live generation of `path` as a DataFrame: manifest-governed
     * directories serve EXACTLY the manifest's live files — grace-retained
@@ -1234,9 +1265,18 @@ object Tables {
       fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath.getName))
     // the rewrite's input is the LIVE generation: a governed manifest's
     // live set (retired files excluded — folding them would duplicate
-    // rows), or the whole listing for an ungoverned dir
+    // rows). An UNGOVERNED (or stale-manifest, retired-free) dir is
+    // ADOPTED first — manifest written BEFORE staging — so engine readers
+    // racing the install see the old generation via the manifest + marker
+    // allowance instead of a torn old+new mix during the move window (the
+    // pre-r12 dir swap was trivially atomic here; the in-place install
+    // buys its reader atomicity with the manifest; one footer pass is the
+    // documented adoption cost)
     val listing = dataFiles(hp)
-    val mOpt = liveEntries(fs, hp, Some(ts))
+    val mOpt = liveEntries(fs, hp, Some(ts)).orElse {
+      writeManifest(spark, path, ts)
+      liveEntries(fs, hp, Some(ts))
+    }
     val (liveNames, liveBytes, carryRetired) = mOpt match {
       case Some(m) => (m.files.map(_.name), m.files.map(_.bytes).sum, m.retired)
       case None => (listing.map(_.getPath.getName).toSeq,
@@ -1515,13 +1555,17 @@ object Tables {
         fs.listStatus(hp).filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
       else Seq.empty
     val preFiles = listing()
+    // ONE manifest read serves the tail check, the bootstrap decision and
+    // the extension below — under the writer lease nothing else can move
+    // it (reclaimRetired above may have rewritten it, hence read AFTER)
+    val mEntry = if (fs.exists(hp)) readManifest(fs, hp) else None
     if (preFiles.nonEmpty) {
       // manifest-derived tail in epoch-ns; None → fall back to the scan.
       // An EMPTY manifest-tracked table has no tail — nothing to violate.
       // (`preFiles.nonEmpty`, not dir existence: the stream bridge creates
       // the dir with only its commit sidecar before the first batch.)
       val manifestTail: Option[Option[Long]] =
-        readManifest(fs, hp).filter(_.ts == ts)
+        mEntry.filter(_.ts == ts)
           .filter(manifestConsistent(_, preFiles))
           .flatMap { m =>
             if (m.files.isEmpty) Some(None)
@@ -1569,13 +1613,13 @@ object Tables {
     // (one footer pass over just-written files, like load's), so
     // stream-ingested tables are manifest-governed from birth — metadata
     // tail checks and rangeScan file pruning from batch two onward
-    if (preFiles.isEmpty && readManifest(fs, hp).isEmpty)
+    if (preFiles.isEmpty && mEntry.isEmpty)
       writeManifest(spark, path, ts)
     // extend the manifest with the batch's files as loaded=false (the set
     // compactIncremental folds). A manifest that no longer matches the
     // pre-append listing is stale (foreign writer) — drop it rather than
     // compound the lie; readers and compact fall back gracefully.
-    else readManifest(fs, hp).filter(_.ts == ts).foreach { m =>
+    else mEntry.filter(_.ts == ts).foreach { m =>
       if (manifestConsistent(m, preFiles)) {
         val preNames = preFiles.map(_.getPath.getName).toSet
         val fresh = listing().filterNot(s => preNames(s.getPath.getName))
@@ -1637,13 +1681,15 @@ object Tables {
         isDataFile(s.getPath.getName) && !pre(s.getPath.getName))
       extras.foreach(s => fs.delete(s.getPath, false))
       crashPoint("stream:rolled-back")
-      if (extras.nonEmpty) {
-        val extraNames = extras.map(_.getPath.getName).toSet
-        readManifest(fs, hp).foreach { m =>
-          if (m.files.exists(e => extraNames(e.name)))
-            writeManifestFile(fs, hp,
-              m.copy(files = m.files.filterNot(e => extraNames(e.name))))
-        }
+      // prune keyed on the PENDING RECORD, not on this run's extras: a
+      // recovery crashed between the deletes and the prune leaves extras
+      // empty on re-run, but the manifest may still carry the batch's
+      // dangling entries — anything not in the pre-listing is the rolled
+      // -back batch's (the lease + pending serialize all other writers)
+      readManifest(fs, hp).foreach { m =>
+        if (m.files.exists(e => !pre(e.name)))
+          writeManifestFile(fs, hp,
+            m.copy(files = m.files.filter(e => pre(e.name))))
       }
       writeStreamCommits(fs, hp, rec.copy(pending = None))
     }
@@ -1764,7 +1810,12 @@ object Tables {
     // is gone — a sibling `__tmp` of unknown provenance is simply never
     // touched; recoverDelete still adopts TAGGED legacy strands.)
     guardCompactable(fs, p)
-    val mOpt = liveEntries(fs, p, Some(ts))
+    // adoption bootstrap before staging — same reader-atomicity reasoning
+    // as compact's (engine readers must never see a torn old+new mix)
+    val mOpt = liveEntries(fs, p, Some(ts)).orElse {
+      writeManifest(spark, path, ts)
+      liveEntries(fs, p, Some(ts))
+    }
     def dataFiles: Seq[FileStatus] = fs.listStatus(p)
       .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
     val (liveNames, carryRetired) = mOpt match {
@@ -2182,7 +2233,8 @@ object Tables {
         val q = fs.makeQualified(s.getPath).toString
         val stamp = GenDirRe.findFirstMatchIn(n).map(_.group(1).toLong)
         if (q != current && !ledger(q) &&
-            stamp.exists(t => now - t >= graceMs))
+            stamp.exists(t => now - t >= graceMs) &&
+            !livePinsExist(fs, s.getPath)) // belt: never sweep a pinned dir
           fs.delete(s.getPath, true)
       }
     }
@@ -2378,13 +2430,18 @@ object Tables {
       if (!fs.rename(s.getPath, new Path(tmp, s.getPath.getName)))
         sys.error(s"compactBucketed: cannot stage folded file ${s.getPath}")
     }
-    // the stream-commit log travels with the layout: the two-rename swap
-    // replaces the whole dir, so the sidecar must be staged into tmp or
-    // every stream's high-water mark would be lost at each fold (a
-    // checkpoint replay would then re-append committed batches)
+    // the stream-commit log AND the retired-dirs ledger travel with the
+    // layout: the two-rename swap replaces the whole dir, so both
+    // sidecars must be staged into tmp — losing the commit log would
+    // re-append replayed batches; losing the ledger would orphan retired
+    // generations (leaked forever by reclaim, then deleted PIN-BLIND by
+    // the stale-generation sweep while in-grace readers scan them)
     locally {
       val sc = readStreamCommits(fs, loc)
       if (sc.committed.nonEmpty) writeStreamCommits(fs, tmp, sc.copy(pending = None))
+      val ledger = readRetiredDirs(fs, loc)
+      if (ledger.nonEmpty) writeSmallFileAtomic(fs, new Path(tmp, RetiredDirsName),
+        org.json4s.jackson.Serialization.write(ledger))
     }
     crashPoint("bkt:staged")
     // COMMIT marker: from here recovery rolls the swap forward
