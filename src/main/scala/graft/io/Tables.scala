@@ -48,8 +48,11 @@ case class GenMarker(ts: String, newFiles: Seq[String], replaced: Seq[String])
 /** A streaming micro-batch append in flight: written to the stream-commit
   * sidecar BEFORE the batch's data, cleared after the commit record — its
   * survival means the attempt crashed, and recovery rolls the partial
-  * batch BACK (delete data files not in `preFiles`, prune them from the
-  * manifest) so the replay re-appends exactly once.
+  * batch BACK so the replay re-appends exactly once. Clustered batches
+  * leave `preFiles` EMPTY (the rollback identity is the append marker's
+  * O(batch) file list); the bucketed path (no staged marker — writes go
+  * through the catalog committer) records the O(bucket-files) pre-batch
+  * listing, as did all pre-slim records, which recovery still honors.
   */
 case class PendingBatch(streamId: String, batchId: Long, preFiles: Seq[String])
 
@@ -59,6 +62,15 @@ case class PendingBatch(streamId: String, batchId: Long, preFiles: Seq[String])
   */
 case class StreamCommits(committed: Map[String, Long],
                          pending: Option[PendingBatch] = None)
+
+/** An in-flight APPEND's staged batch: the marker (`<path>.append.pending`
+  * sibling) names the batch's files — written after staging, cleared after
+  * the manifest extension. Readers whitelist exactly these names as
+  * in-flight (serving the pre-batch snapshot); a crashed PLAIN append
+  * rolls FORWARD from it (the data was committed), a crashed STREAM batch
+  * rolls BACK by it (the replay re-appends exactly once).
+  */
+case class AppendMarker(ts: String, files: Seq[String])
 
 /** A superseded bucketed-table generation directory grace-retained for
   * in-flight readers after [[Tables.compactBucketedIsolated]]'s location
@@ -176,7 +188,12 @@ object Tables {
       // double-count; ungoverned paths (the testdata tables) read plainly
       val raw = snapshot(spark, path)
       val target = {
-        val sized = sizedParts(spark, path)
+        // live bytes, not directory bytes: a mid-grace governed table's
+        // directory counts the retained (excluded) generation too, which
+        // would inflate the partition target ~2x right after a compact
+        val sized = governedLiveBytes(spark, path)
+          .map(sizedPartsForBytes(spark, _))
+          .getOrElse(sizedParts(spark, path))
         if (cpuHeavy(name))
           math.max(sized, math.min(4, spark.sparkContext.defaultParallelism))
         else sized
@@ -621,6 +638,28 @@ object Tables {
   private[graft] def leaseTtlMs: Long = sys.props.get("graft.lease.ttl.ms")
     .flatMap(_.toLongOption).getOrElse(10L * 60L * 1000L)
 
+  /** Start a daemon thread refreshing `p`'s mtime every TTL/3 (floored at
+    * 50 ms so the sub-second TTLs the test knob configures stay covered);
+    * returns a stop handle. Shared by the writer lease and reader pins —
+    * staleness for both is judged by mtime against the TTL.
+    */
+  private def startHeartbeat(fs: FileSystem, p: Path,
+                             name: String): () => Unit = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hb = new Thread(() => {
+      while (!stop.get) {
+        try Thread.sleep(math.max(50L, leaseTtlMs / 3))
+        catch { case _: InterruptedException => }
+        if (!stop.get)
+          try fs.setTimes(p, System.currentTimeMillis(), -1)
+          catch { case _: Throwable => () } // a lost file heals at release
+      }
+    }, name)
+    hb.setDaemon(true)
+    hb.start()
+    () => { stop.set(true); hb.interrupt() }
+  }
+
   private val heldLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
     override def initialValue(): scala.collection.mutable.Set[String] =
       scala.collection.mutable.Set.empty[String]
@@ -727,9 +766,13 @@ object Tables {
               .map(s => System.currentTimeMillis() - s.getModificationTime)
             if (asideAge.exists(_ < leaseTtlMs)) {
               // we renamed a FRESH lease (created in the re-stat→rename
-              // window) — restore it and stand down
-              if (!scala.util.Try(fs.rename(aside, lease)).getOrElse(false))
-                scala.util.Try(fs.delete(aside, false))
+              // window) — restore it and stand down. If the restore loses
+              // to a THIRD writer's create (a double microsecond race),
+              // the aside is LEFT IN PLACE: the wronged holder's record is
+              // forensic evidence of the residual TOCTOU (deleting it
+              // would only erase the trail; either way we never proceed —
+              // this writer takes nothing over)
+              scala.util.Try(fs.rename(aside, lease))
               throw new IllegalStateException(
                 s"$op: another writer took the lease on $dir mid-break; " +
                   "its lease was restored — retry")
@@ -745,27 +788,11 @@ object Tables {
     // op running longer than the TTL (a petabyte compact) must refresh it
     // or a second writer would classify it dead, break the lease, and
     // re-open the exact concurrent-writer corruption the lease prevents.
-    // A daemon thread touches the mtime every TTL/3 while the body runs;
-    // a real kill stops the heartbeat and the lease goes stale honestly.
-    val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val hb = new Thread(() => {
-      while (!hbStop.get) {
-        // period must stay well inside the TTL even for the sub-second
-        // TTLs the test knob configures — a 1 s floor would let a live
-        // 500 ms lease expire between refreshes and be broken mid-op
-        try Thread.sleep(math.max(50L, leaseTtlMs / 3))
-        catch { case _: InterruptedException => }
-        if (!hbStop.get)
-          try fs.setTimes(lease, System.currentTimeMillis(), -1)
-          catch { case _: Throwable => () } // lost lease heals via read-check below
-      }
-    }, s"graft-lease-heartbeat-${dir.getName}")
-    hb.setDaemon(true)
-    hb.start()
+    // A real kill stops the heartbeat and the lease goes stale honestly.
+    val stopHb = startHeartbeat(fs, lease, s"graft-lease-heartbeat-${dir.getName}")
     try body
     finally {
-      hbStop.set(true)
-      hb.interrupt()
+      stopHb()
       heldLeases.get -= key
       // delete only OUR lease: if this op overran the TTL and a successor
       // broke it, theirs is not ours to remove. Residual window: between
@@ -863,6 +890,17 @@ object Tables {
 
   private def genMarkerPath(path: String): Path = new Path(path + ".gen.commit")
   private def genTmpPath(path: String): Path = new Path(path + ".gen.tmp")
+  private def appendMarkerPath(path: String): Path = new Path(path + ".append.pending")
+  private def batchTmpPath(path: String): Path = new Path(path + ".batch.tmp")
+
+  private def readAppendMarker(fs: FileSystem, path: String): Option[AppendMarker] = {
+    val p = appendMarkerPath(path)
+    if (!fs.exists(p)) None
+    else Some(scala.util.Try(org.json4s.jackson.Serialization.read[AppendMarker](
+      readSmallText(fs, p))).getOrElse(
+      sys.error(s"unreadable append marker $p — written atomically, so this " +
+        "is external corruption; inspect manually")))
+  }
 
   /** Grace window for retired (replaced) data files — how long an
     * in-flight reader that listed the OLD generation may keep scanning it
@@ -913,10 +951,16 @@ object Tables {
           val listing = fs.listStatus(hp).toSeq
           if (hasPartitionDirs(listing)) return None
           val files = listing.filter(s => s.isFile && isDataFile(s.getPath.getName))
+          // in-flight allowances: a gen install's staged names and an
+          // append's staged batch names — both serve the OLD manifest (the
+          // pre-op snapshot) while the files move in
           val markerNew: Set[String] =
             scala.util.Try(org.json4s.jackson.Serialization.read[GenMarker](
               readSmallText(fs, genMarkerPath(hp.toString)))).toOption
-              .map(_.newFiles.toSet).getOrElse(Set.empty)
+              .map(_.newFiles.toSet).getOrElse(Set.empty) ++
+            scala.util.Try(org.json4s.jackson.Serialization.read[AppendMarker](
+              readSmallText(fs, appendMarkerPath(hp.toString)))).toOption
+              .map(_.files.toSet).getOrElse(Set.empty)
           if (manifestConsistent(m, files, markerNew)) return Some(m)
           val mNow = readManifest(fs, hp)
           if (mNow == mOpt || attempt >= maxRetries) {
@@ -943,6 +987,15 @@ object Tables {
     * during the grace window sees retired files too (the same rule every
     * table format imposes — read through the engine, not the directory).
     */
+  /** The live generation's byte total for a governed dir, None otherwise. */
+  private def governedLiveBytes(spark: SparkSession, path: String): Option[Long] = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp) && fs.getFileStatus(hp).isDirectory)
+      liveEntries(fs, hp, None).map(_.files.map(_.bytes).sum)
+    else None
+  }
+
   def snapshot(spark: SparkSession, path: String): DataFrame = {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -985,25 +1038,24 @@ object Tables {
       java.lang.ProcessHandle.current().pid() + "\"}")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val hb = new Thread(() => {
-      while (!hbStop.get) {
-        try Thread.sleep(math.max(50L, leaseTtlMs / 3))
-        catch { case _: InterruptedException => }
-        if (!hbStop.get)
-          try fs.setTimes(pin, System.currentTimeMillis(), -1)
-          catch { case _: Throwable => () }
-      }
-    }, s"graft-reader-pin-${hp.getName}")
-    hb.setDaemon(true)
-    hb.start()
+    val stopHb = startHeartbeat(fs, pin, s"graft-reader-pin-${hp.getName}")
     try body
     finally {
-      hbStop.set(true)
-      hb.interrupt()
+      stopHb()
       scala.util.Try(fs.delete(pin, false))
     }
   }
+
+  /** The whole-table destructive ops ([[truncate]], [[load]]'s overwrite)
+    * cannot defer around a pin the way reclaim does — they refuse loudly
+    * while a live pin exists, honoring the pin contract ("the pinned
+    * reader keeps its snapshot") the only way a full-directory delete can.
+    */
+  private def requireNoLivePins(fs: FileSystem, hp: Path, op: String): Unit =
+    if (livePinsExist(fs, hp)) sys.error(
+      s"$op: $hp is pinned by a live reader (sibling .pin.* file) — this " +
+        "operation deletes the data the pin protects; retry after the " +
+        "reader releases (a crashed reader's pin expires with the lease TTL)")
 
   /** Whether any LIVE reader pin (age under the lease TTL) exists for
     * `dir` — reclaim defers while one does; stale pins (crashed readers)
@@ -1215,6 +1267,7 @@ object Tables {
     // tear the fresh layout)
     withWriterLease(fs, hp, "load") {
       recoverMutations(spark, fs, path)
+      if (fs.exists(hp)) requireNoLivePins(fs, hp, "load")
       writeClustered(df, path, (keys :+ ts).map(col), df.rdd.getNumPartitions)
       // the load layout's ts manifest: one footer pass at write time buys
       // every future rangeScan its file pruning without driver footer RPCs,
@@ -1350,9 +1403,55 @@ object Tables {
   private def recoverMutations(spark: SparkSession, fs: FileSystem,
                                path: String): Unit = {
     recoverStreamPending(fs, path)
+    recoverAppend(spark, fs, path)
     recoverGen(spark, fs, path)
     recoverCompact(fs, path)
     recoverDelete(fs, path)
+  }
+
+  /** Crash recovery for the staged append: a surviving append marker means
+    * the batch's data was fully staged (and possibly partially moved) —
+    * roll FORWARD: finish the moves, extend (or bootstrap) the manifest,
+    * clear the marker. Runs AFTER [[recoverStreamPending]]: a crashed
+    * STREAM batch rolls BACK there (consuming the marker), so only plain
+    * appends reach this roll-forward. Marker-less staging is garbage.
+    */
+  private def recoverAppend(spark: SparkSession, fs: FileSystem,
+                            path: String): Unit = {
+    val hp = new Path(path)
+    val tmp = batchTmpPath(path)
+    readAppendMarker(fs, path) match {
+      case Some(am) =>
+        if (!fs.exists(hp)) fs.mkdirs(hp)
+        am.files.foreach { n =>
+          val dst = new Path(hp, n)
+          if (!fs.exists(dst)) {
+            val src = new Path(tmp, n)
+            if (!fs.exists(src) || !fs.rename(src, dst))
+              sys.error(s"append recovery: staged file $n present in neither " +
+                s"$tmp nor $hp — cannot roll forward; inspect manually")
+          }
+        }
+        readManifest(fs, hp) match {
+          case Some(m) if m.ts == am.ts =>
+            val missing = am.files.filterNot(n => m.files.exists(_.name == n))
+            if (missing.nonEmpty) {
+              val sts = fs.listStatus(hp).filter(s =>
+                s.isFile && missing.contains(s.getPath.getName)).toSeq
+              writeManifestFile(fs, hp, m.copy(files = m.files ++
+                scanEntries(spark.sparkContext.hadoopConfiguration, am.ts,
+                  sts, loaded = false)))
+            }
+          case Some(_) => () // ts-mismatched manifest: leave for the op's own guards
+          case None =>
+            // the fresh-table bootstrap crashed before its manifest write
+            writeManifest(spark, path, am.ts)
+        }
+        fs.delete(appendMarkerPath(path), false)
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+      case None =>
+        if (fs.exists(tmp)) fs.delete(tmp, true) // uncommitted staging
+    }
   }
 
   /** Crash recovery shared by [[compact]] and [[compactIncremental]] —
@@ -1539,9 +1638,14 @@ object Tables {
   /** [[append]] without the `from` cut — the whole frame is the batch.
     * Also the streaming bridge's per-micro-batch body
     * ([[appendStreamBatch]] wraps it in the commit-log protocol).
+    * `retainMarker` (the stream path) leaves the append marker in place
+    * at success: the marker IS the batch's rollback identity, and it must
+    * survive until the stream's commit record lands — the caller clears
+    * it after that write (a crash in between rolls forward idempotently
+    * through [[recoverAppend]]).
     */
   private[graft] def appendBatch(incoming: DataFrame, path: String,
-                                 ts: String): Unit = {
+                                 ts: String, retainMarker: Boolean = false): Unit = {
     val spark = incoming.sparkSession
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1602,12 +1706,39 @@ object Tables {
                 "rejects appends below the loaded tail (imcs.c:4617-4740)")
       }
     }
-    // cluster the incoming batch like load does: appends are accepted
-    // only above the stored tail, so batches are disjoint in ts across
-    // time — clustering WITHIN the batch keeps each new file's ts min/max
-    // tight instead of spanning the whole batch from round-robin input
-    writeClustered(incoming, path, Seq(col(ts)),
-      incoming.rdd.getNumPartitions, SaveMode.Append)
+    // STAGE-THEN-MOVE (r12 review): the batch clusters into a sibling
+    // staging dir, the append marker names its files, the files move into
+    // the live dir, the manifest extends, the marker clears. The marker
+    // keeps engine reads atomic through the window (liveEntries whitelists
+    // exactly these names and serves the pre-batch snapshot), lets a
+    // crashed PLAIN append roll FORWARD at the next op's entry, and gives
+    // a crashed STREAM batch an O(batch) rollback record. Clustering
+    // within the batch keeps each new file's ts min/max tight (batches are
+    // ts-disjoint across time by the tail guard above). Also keeps Spark
+    // committer scratch out of the live directory.
+    val tmp = batchTmpPath(path)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writeClustered(incoming, tmp.toString, Seq(col(ts)),
+      incoming.rdd.getNumPartitions)
+    val staged = fs.listStatus(tmp)
+      .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+    val entries = scanEntries(spark.sparkContext.hadoopConfiguration, ts,
+      staged, loaded = false)
+    crashPoint("append:staged")
+    writeSmallFileAtomic(fs, appendMarkerPath(path),
+      org.json4s.jackson.Serialization.write(
+        AppendMarker(ts, staged.map(_.getPath.getName))))
+    crashPoint("append:marker")
+    if (!fs.exists(hp)) fs.mkdirs(hp)
+    val existingNames = listing().map(_.getPath.getName).toSet
+    staged.foreach { f =>
+      if (existingNames(f.getPath.getName)) sys.error(
+        s"append: staged file ${f.getPath.getName} collides with an " +
+          s"existing file in $hp — refusing to install")
+      if (!fs.rename(f.getPath, new Path(hp, f.getPath.getName)))
+        sys.error(s"append: cannot move staged file ${f.getPath} into $hp")
+      crashPoint("append:moved")
+    }
     crashPoint("append:written")
     // fresh-table bootstrap: the FIRST batch establishes the manifest
     // (one footer pass over just-written files, like load's), so
@@ -1621,10 +1752,6 @@ object Tables {
     // compound the lie; readers and compact fall back gracefully.
     else mEntry.filter(_.ts == ts).foreach { m =>
       if (manifestConsistent(m, preFiles)) {
-        val preNames = preFiles.map(_.getPath.getName).toSet
-        val fresh = listing().filterNot(s => preNames(s.getPath.getName))
-        val entries = scanEntries(spark.sparkContext.hadoopConfiguration, ts,
-          fresh, loaded = false)
         writeManifestFile(fs, hp, m.copy(files = m.files ++ entries))
       } else if (m.retired.nonEmpty) sys.error(
         s"append: manifest at $path no longer matches the live listing but " +
@@ -1633,6 +1760,8 @@ object Tables {
           "(or Tables.vacuum) first")
       else fs.delete(new Path(hp, ManifestName), false)
     }
+    if (!retainMarker) fs.delete(appendMarkerPath(path), false)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     invalidateRead(spark, path)
     }
   }
@@ -1676,20 +1805,41 @@ object Tables {
     val rec = readStreamCommits(fs, hp)
     rec.pending.foreach { pnd =>
       if (inFlightPending.get.contains((pnd.streamId, pnd.batchId))) return
-      val pre = pnd.preFiles.toSet
-      val extras = fs.listStatus(hp).filter(s => s.isFile &&
-        isDataFile(s.getPath.getName) && !pre(s.getPath.getName))
-      extras.foreach(s => fs.delete(s.getPath, false))
-      crashPoint("stream:rolled-back")
-      // prune keyed on the PENDING RECORD, not on this run's extras: a
-      // recovery crashed between the deletes and the prune leaves extras
-      // empty on re-run, but the manifest may still carry the batch's
-      // dangling entries — anything not in the pre-listing is the rolled
-      // -back batch's (the lease + pending serialize all other writers)
-      readManifest(fs, hp).foreach { m =>
-        if (m.files.exists(e => !pre(e.name)))
-          writeManifestFile(fs, hp,
-            m.copy(files = m.files.filter(e => pre(e.name))))
+      if (pnd.preFiles.nonEmpty) {
+        // LEGACY + BUCKETED rollback: the pending record carries the
+        // pre-batch listing; anything beyond it is the rolled-back batch.
+        // The manifest prune keys on the RECORD, not on this run's extras
+        // (idempotent across a crash between the deletes and the prune).
+        val pre = pnd.preFiles.toSet
+        val extras = fs.listStatus(hp).filter(s => s.isFile &&
+          isDataFile(s.getPath.getName) && !pre(s.getPath.getName))
+        extras.foreach(s => fs.delete(s.getPath, false))
+        crashPoint("stream:rolled-back")
+        readManifest(fs, hp).foreach { m =>
+          if (m.files.exists(e => !pre(e.name)))
+            writeManifestFile(fs, hp,
+              m.copy(files = m.files.filter(e => pre(e.name))))
+        }
+      } else {
+        // CLUSTERED rollback (r12 slim pending — O(batch), not O(table)):
+        // the append marker names the batch's files; delete them wherever
+        // they are (live dir after the move, staging before it), prune
+        // them from the manifest, clear marker + staging
+        val tmp = batchTmpPath(path)
+        val names: Set[String] = readAppendMarker(fs, path)
+          .map(_.files.toSet).getOrElse(Set.empty)
+        names.foreach { n =>
+          scala.util.Try(fs.delete(new Path(hp, n), false))
+          scala.util.Try(fs.delete(new Path(tmp, n), false))
+        }
+        crashPoint("stream:rolled-back")
+        if (names.nonEmpty) readManifest(fs, hp).foreach { m =>
+          if (m.files.exists(e => names(e.name)))
+            writeManifestFile(fs, hp,
+              m.copy(files = m.files.filterNot(e => names(e.name))))
+        }
+        scala.util.Try(fs.delete(appendMarkerPath(path), false))
+        if (fs.exists(tmp)) fs.delete(tmp, true)
       }
       writeStreamCommits(fs, hp, rec.copy(pending = None))
     }
@@ -1723,20 +1873,25 @@ object Tables {
                 else StreamCommits(Map.empty)
       if (rec.committed.get(streamId).exists(_ >= batchId)) false
       else {
-        val preNames =
-          if (fs.exists(hp)) fs.listStatus(hp)
-            .filter(s => s.isFile && isDataFile(s.getPath.getName))
-            .map(_.getPath.getName).toSeq
-          else Seq.empty[String]
+        // slim pending (r12 review): the rollback identity is the append
+        // MARKER's O(batch) file list, not an O(table) pre-listing — the
+        // sidecar stays small however many files the table accumulates
         writeStreamCommits(fs, hp,
-          rec.copy(pending = Some(PendingBatch(streamId, batchId, preNames))))
+          rec.copy(pending = Some(PendingBatch(streamId, batchId, Seq.empty))))
         crashPoint("stream:pending")
         inFlightPending.set(Some((streamId, batchId)))
-        try appendBatch(batch, path, ts)
+        // retainMarker: the append marker is this batch's rollback
+        // identity — it must outlive appendBatch so a crash BEFORE the
+        // commit record below still lets recovery delete exactly the
+        // batch's files; cleared after the commit (a crash in between
+        // rolls forward idempotently through recoverAppend)
+        try appendBatch(batch, path, ts, retainMarker = true)
         finally inFlightPending.set(None)
         crashPoint("stream:appended")
         writeStreamCommits(fs, hp,
           StreamCommits(rec.committed + (streamId -> batchId), None))
+        crashPoint("stream:committed")
+        fs.delete(appendMarkerPath(path), false)
         true
       }
     }
@@ -1861,6 +2016,7 @@ object Tables {
       // that any recovery path would restore. An UNTAGGED __tmp (foreign
       // or legacy — see deleteStagingTag) is deliberately left alone.
       recoverMutations(spark, fs, path)
+      requireNoLivePins(fs, p, "truncate")
       crashPoint("trunc:recovered")
       fs.delete(p, true)
       invalidateRead(spark, path)

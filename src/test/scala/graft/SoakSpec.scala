@@ -54,8 +54,10 @@ class SoakSpec extends AnyFunSuite {
       "incr:gen-moved" -> 1, "incr:gen-moved" -> 2, "incr:gen-manifest" -> 1,
       "del:staged" -> 1, "del:gen-marker" -> 1, "del:gen-moved" -> 1,
       "del:gen-manifest" -> 1, "retire:reclaimed" -> 1, "retire:reclaimed" -> 2,
+      "append:staged" -> 1, "append:marker" -> 1, "append:moved" -> 1,
       "append:written" -> 1, "stream:pending" -> 1, "stream:appended" -> 1,
-      "stream:rolled-back" -> 1, "trunc:recovered" -> 1)
+      "stream:committed" -> 1, "stream:rolled-back" -> 1,
+      "trunc:recovered" -> 1)
     for (iter <- 1 to 40) {
       val pathA = tmp(s"A$iter")
       val pathB = tmp(s"B$iter")

@@ -1134,6 +1134,85 @@ class TablesSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS `$t`")
   }
 
+  test("append window is reader-atomic: marker allowance + roll-forward") {
+    withGrace(600000L) {
+      val path = tmp("appwin")
+      Tables.load((0L until 300L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+        path, Seq(), "ts")
+      // retire some files so a mis-read of the window would FAIL LOUDLY
+      // (the pre-fix behavior) instead of silently double-counting
+      Tables.append((300L until 330L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+        path, "ts", lit(0L))
+      Tables.compactIncremental(spark, path, Seq(), "ts")
+      assert(Tables.manifest(spark, path).get.retired.nonEmpty)
+      // kill the next append AFTER its files moved in, BEFORE the manifest
+      // extension — the exact window a concurrent reader can land on
+      assert(withCrash("append:written", 1) {
+        Tables.append((330L until 360L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+          path, "ts", lit(0L))
+      })
+      assert(new java.io.File(path + ".append.pending").exists)
+      // a reader in the window serves the PRE-batch snapshot — no spurious
+      // "foreign writer" error, no torn view
+      assert(Tables.snapshot(spark, path).count() == 330L,
+        "mid-append reader must see the pre-batch snapshot")
+      // the next op rolls the append FORWARD (plain appends are committed
+      // data — never dropped), clears the marker, extends the manifest
+      Tables.append((360L until 370L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+        path, "ts", lit(0L))
+      assert(!new java.io.File(path + ".append.pending").exists)
+      assert(Tables.snapshot(spark, path).select("ts").as[Long].collect().toSet ==
+        (0L until 370L).toSet,
+        "crashed append must roll forward losslessly")
+      val m = Tables.manifest(spark, path).get
+      assert(m.files.map(_.name).toSet.size == m.files.size)
+    }
+  }
+
+  test("append crash at each staged-move point rolls forward losslessly") {
+    for ((tag, i) <- Seq("append:staged", "append:marker", "append:moved",
+      "append:written").zipWithIndex) {
+      val path = tmp(s"appcrash$i")
+      Tables.load((0L until 50L).map(j => (j, j * 1.0)).toDF("ts", "v"),
+        path, Seq(), "ts")
+      val fired = withCrash(tag, 1) {
+        Tables.append((50L until 70L).map(j => (j, j * 1.0)).toDF("ts", "v"),
+          path, "ts", lit(0L))
+      }
+      assert(fired, s"$tag must fire")
+      // recovery = the next maintenance cycle; content must converge to
+      // either pre-batch (killed before the marker) or full (after)
+      Tables.compactIncremental(spark, path, Seq(), "ts")
+      val got = Tables.snapshot(spark, path).select("ts").as[Long].collect().toSet
+      val expect = if (tag == "append:staged") (0L until 50L).toSet
+                   else (0L until 70L).toSet
+      assert(got == expect, s"$tag: content diverged (got ${got.size})")
+      assert(manifestConsistentHere(path), s"$tag: manifest inconsistent")
+      assert(!new java.io.File(path + ".append.pending").exists, s"$tag: marker leaked")
+      assert(!new java.io.File(path + ".batch.tmp").exists, s"$tag: staging leaked")
+    }
+  }
+
+  test("truncate and load refuse while a live reader pin exists") {
+    val path = tmp("pinrefuse")
+    Tables.load((0L until 20L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    Tables.withReaderPin(spark, path) {
+      val e1 = intercept[RuntimeException](Tables.truncate(spark, path))
+      assert(e1.getMessage.contains("pinned"), e1.getMessage)
+      val e2 = intercept[RuntimeException] {
+        Tables.load(Seq((1L, 1.0)).toDF("ts", "v"), path, Seq(), "ts")
+      }
+      assert(e2.getMessage.contains("pinned"), e2.getMessage)
+      assert(Tables.snapshot(spark, path).count() == 20L)
+    }
+    // pin released: both proceed
+    Tables.load(Seq((1L, 1.0)).toDF("ts", "v"), path, Seq(), "ts")
+    assert(Tables.snapshot(spark, path).count() == 1L)
+    Tables.truncate(spark, path)
+    assert(!new java.io.File(path).exists)
+  }
+
   // ---- lease dynamics under real concurrency (r12) ---------------------
 
   test("lease hammer: concurrent writers serialize or refuse — never corrupt") {
