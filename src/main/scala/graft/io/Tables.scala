@@ -49,12 +49,18 @@ case class GenMarker(ts: String, newFiles: Seq[String], replaced: Seq[String])
   * sidecar BEFORE the batch's data, cleared after the commit record — its
   * survival means the attempt crashed, and recovery rolls the partial
   * batch BACK so the replay re-appends exactly once. Clustered batches
-  * leave `preFiles` EMPTY (the rollback identity is the append marker's
-  * O(batch) file list); the bucketed path (no staged marker — writes go
-  * through the catalog committer) records the O(bucket-files) pre-batch
-  * listing, as did all pre-slim records, which recovery still honors.
+  * set `markerBased` (the rollback identity is the append marker's
+  * O(batch) file list, `preFiles` unused); the bucketed path (no staged
+  * marker — writes go through the catalog committer) records the
+  * O(bucket-files) pre-batch listing, as did all pre-slim records, which
+  * recovery still honors. The mode is the EXPLICIT flag, never inferred
+  * from an empty listing — a bucketed/legacy batch 0 against an empty
+  * table legitimately has `preFiles == Nil` (json4s leaves an absent
+  * field's Option at None, so legacy records parse as listing-based).
   */
-case class PendingBatch(streamId: String, batchId: Long, preFiles: Seq[String])
+case class PendingBatch(streamId: String, batchId: Long,
+                        preFiles: Seq[String],
+                        markerBased: Option[Boolean] = None)
 
 /** The stream-ingest commit log (`_graft_stream_commits.json` sidecar in
   * the table dir): highest committed micro-batch id per stream (keyed by
@@ -158,13 +164,17 @@ object Tables {
       .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
-  /** Partition count proportional to on-disk bytes, clamped to [1, cores]. */
-  def sizedParts(spark: SparkSession, path: String): Int = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val bytes = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getContentSummary(hp).getLength
-    sizedPartsForBytes(spark, bytes)
-  }
+  /** Partition count proportional to on-disk bytes, clamped to [1, cores].
+    * On a manifest-governed table this is the LIVE generation's bytes —
+    * a mid-grace directory also holds the retained (excluded) generation,
+    * which would inflate the target ~2x right after every compact.
+    */
+  def sizedParts(spark: SparkSession, path: String): Int =
+    sizedPartsForBytes(spark, governedLiveBytes(spark, path).getOrElse {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(hp).getLength
+    })
 
   private def sizedPartsForBytes(spark: SparkSession, bytes: Long): Int = {
     val dp = spark.sparkContext.defaultParallelism
@@ -185,15 +195,16 @@ object Tables {
       val path = s"$sfDir/$name.parquet"
       // snapshot, not a plain directory read: a manifest-governed table
       // mid-grace holds retired (replaced) files a plain read would
-      // double-count; ungoverned paths (the testdata tables) read plainly
-      val raw = snapshot(spark, path)
+      // double-count; ungoverned paths (the testdata tables) read plainly.
+      // The governed branch surfaces its live-byte total so sizing reuses
+      // the SAME liveEntries evaluation (no second listing/manifest read)
+      val (raw, liveBytes) = snapshotWithBytes(spark, path)
       val target = {
-        // live bytes, not directory bytes: a mid-grace governed table's
-        // directory counts the retained (excluded) generation too, which
-        // would inflate the partition target ~2x right after a compact
-        val sized = governedLiveBytes(spark, path)
-          .map(sizedPartsForBytes(spark, _))
-          .getOrElse(sizedParts(spark, path))
+        val sized = sizedPartsForBytes(spark, liveBytes.getOrElse {
+          val hp = new Path(path)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getContentSummary(hp).getLength
+        })
         if (cpuHeavy(name))
           math.max(sized, math.min(4, spark.sparkContext.defaultParallelism))
         else sized
@@ -996,25 +1007,36 @@ object Tables {
     else None
   }
 
-  def snapshot(spark: SparkSession, path: String): DataFrame = {
+  def snapshot(spark: SparkSession, path: String): DataFrame =
+    snapshotWithBytes(spark, path)._1
+
+  /** [[snapshot]] plus, for a governed table, the live generation's byte
+    * total (None for ungoverned paths) — so a caller that also needs to
+    * SIZE by live bytes reuses the single liveEntries evaluation instead
+    * of paying a second listing + manifest + marker round-trip.
+    */
+  private[graft] def snapshotWithBytes(spark: SparkSession,
+                                       path: String): (DataFrame, Option[Long]) = {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val governed =
       if (fs.exists(hp) && fs.getFileStatus(hp).isDirectory)
         liveEntries(fs, hp, None).map { m =>
+          val bytes = m.files.map(_.bytes).sum
           if (m.files.isEmpty)
-            spark.createDataFrame(
+            (spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              spark.read.parquet(path).schema)
+              spark.read.parquet(path).schema), Some(bytes))
           else {
             val df = spark.read.parquet(
               m.files.map(e => new Path(hp, e.name).toString): _*)
-            val target = sizedPartsForBytes(spark, m.files.map(_.bytes).sum)
-            if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+            val target = sizedPartsForBytes(spark, bytes)
+            (if (df.rdd.getNumPartitions < target) df.repartition(target) else df,
+              Some(bytes))
           }
         }
       else None
-    governed.getOrElse(spark.read.parquet(path))
+    governed.getOrElse((spark.read.parquet(path), None))
   }
 
   // ---- reader pins -----------------------------------------------------
@@ -1444,8 +1466,17 @@ object Tables {
             }
           case Some(_) => () // ts-mismatched manifest: leave for the op's own guards
           case None =>
-            // the fresh-table bootstrap crashed before its manifest write
-            writeManifest(spark, path, am.ts)
+            // bootstrap ONLY when the marker's files are the table's only
+            // data files — the fresh-table first batch, mirroring the
+            // non-crash path's (preFiles.isEmpty && mEntry.isEmpty) gate.
+            // An append into an UNGOVERNED dir with pre-existing files
+            // (or a crash after the stale-manifest drop) must stay
+            // ungoverned: adopting foreign files as loaded entries would
+            // invent a tail from content the engine never vetted
+            val live = fs.listStatus(hp)
+              .filter(s => s.isFile && isDataFile(s.getPath.getName))
+              .map(_.getPath.getName).toSet
+            if (live == am.files.toSet) writeManifest(spark, path, am.ts)
         }
         fs.delete(appendMarkerPath(path), false)
         if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -1725,16 +1756,23 @@ object Tables {
     val entries = scanEntries(spark.sparkContext.hadoopConfiguration, ts,
       staged, loaded = false)
     crashPoint("append:staged")
-    writeSmallFileAtomic(fs, appendMarkerPath(path),
-      org.json4s.jackson.Serialization.write(
-        AppendMarker(ts, staged.map(_.getPath.getName))))
-    crashPoint("append:marker")
-    if (!fs.exists(hp)) fs.mkdirs(hp)
+    // the collision refusal must run BEFORE the marker durably commits
+    // the batch: after the marker, recovery rolls FORWARD keying on
+    // fs.exists(dst) — it cannot tell a pre-existing foreign file from an
+    // already-moved batch file, so a post-marker refusal would later be
+    // "recovered" by adopting the foreign file and dropping the staged one
     val existingNames = listing().map(_.getPath.getName).toSet
     staged.foreach { f =>
       if (existingNames(f.getPath.getName)) sys.error(
         s"append: staged file ${f.getPath.getName} collides with an " +
           s"existing file in $hp — refusing to install")
+    }
+    writeSmallFileAtomic(fs, appendMarkerPath(path),
+      org.json4s.jackson.Serialization.write(
+        AppendMarker(ts, staged.map(_.getPath.getName))))
+    crashPoint("append:marker")
+    if (!fs.exists(hp)) fs.mkdirs(hp)
+    staged.foreach { f =>
       if (!fs.rename(f.getPath, new Path(hp, f.getPath.getName)))
         sys.error(s"append: cannot move staged file ${f.getPath} into $hp")
       crashPoint("append:moved")
@@ -1805,7 +1843,7 @@ object Tables {
     val rec = readStreamCommits(fs, hp)
     rec.pending.foreach { pnd =>
       if (inFlightPending.get.contains((pnd.streamId, pnd.batchId))) return
-      if (pnd.preFiles.nonEmpty) {
+      if (!pnd.markerBased.contains(true)) {
         // LEGACY + BUCKETED rollback: the pending record carries the
         // pre-batch listing; anything beyond it is the rolled-back batch.
         // The manifest prune keys on the RECORD, not on this run's extras
@@ -1828,9 +1866,13 @@ object Tables {
         val tmp = batchTmpPath(path)
         val names: Set[String] = readAppendMarker(fs, path)
           .map(_.files.toSet).getOrElse(Set.empty)
+        // a missing file returns false (already rolled back / never moved)
+        // but a FAILED delete must propagate: swallowing it here would
+        // clear the pending record below with the batch's data still live
+        // — the replay would then duplicate every row
         names.foreach { n =>
-          scala.util.Try(fs.delete(new Path(hp, n), false))
-          scala.util.Try(fs.delete(new Path(tmp, n), false))
+          fs.delete(new Path(hp, n), false)
+          if (fs.exists(tmp)) fs.delete(new Path(tmp, n), false)
         }
         crashPoint("stream:rolled-back")
         if (names.nonEmpty) readManifest(fs, hp).foreach { m =>
@@ -1838,7 +1880,11 @@ object Tables {
             writeManifestFile(fs, hp,
               m.copy(files = m.files.filterNot(e => names(e.name))))
         }
-        scala.util.Try(fs.delete(appendMarkerPath(path), false))
+        // same propagation rule: a marker that cannot be deleted must not
+        // be left behind a cleared pending record — recoverAppend would
+        // roll the already-rolled-back batch FORWARD and fail on the
+        // missing files, bricking every mutating op
+        fs.delete(appendMarkerPath(path), false)
         if (fs.exists(tmp)) fs.delete(tmp, true)
       }
       writeStreamCommits(fs, hp, rec.copy(pending = None))
@@ -1877,7 +1923,8 @@ object Tables {
         // MARKER's O(batch) file list, not an O(table) pre-listing — the
         // sidecar stays small however many files the table accumulates
         writeStreamCommits(fs, hp,
-          rec.copy(pending = Some(PendingBatch(streamId, batchId, Seq.empty))))
+          rec.copy(pending = Some(PendingBatch(streamId, batchId, Seq.empty,
+            markerBased = Some(true)))))
         crashPoint("stream:pending")
         inFlightPending.set(Some((streamId, batchId)))
         // retainMarker: the append marker is this batch's rollback

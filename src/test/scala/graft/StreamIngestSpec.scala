@@ -306,4 +306,24 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 320L)
     spark.sql(s"DROP TABLE IF EXISTS `$t`")
   }
+
+  test("bucketed batch 0 against an EMPTY table: crash replay never duplicates") {
+    // regression (review): the rollback mode was inferred from an empty
+    // pre-listing, so a bucketed batch 0 on an empty table (legitimately
+    // empty preFiles, NO append marker) was misrouted to the marker-based
+    // rollback, which found nothing to delete — the replay then doubled
+    // every row. The mode is now an explicit flag on the pending record.
+    val t = "stream_bkt_empty0"
+    Tables.loadBucketed(Seq.empty[(Long, Long, Double)]
+      .toDF("k", "ts", "v"), t, Seq("k"), 4, sortCols = Seq("ts"))
+    val b0 = (0L until 40L).map(i => (i % 4, i, i * 1.0)).toDF("k", "ts", "v")
+    assert(withCrash("stream:appended", 1) {
+      Tables.appendStreamBatchBucketed(b0, t, "cke", 0L)
+    })
+    assert(Tables.appendStreamBatchBucketed(b0, t, "cke", 0L))
+    assert(spark.table(t).select("ts").as[Long].collect().toSet ==
+      (0L until 40L).toSet,
+      "batch 0 on an empty table must land exactly once across a crash replay")
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
 }

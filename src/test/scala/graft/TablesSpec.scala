@@ -1193,6 +1193,31 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("a crashed append into an UNGOVERNED dir stays ungoverned at recovery") {
+    // regression (review): recovery's fresh-table bootstrap used to fire
+    // whenever no manifest existed, adopting pre-existing unvetted files
+    // as loaded entries — inventing a tail the engine never checked. It
+    // must mirror the non-crash gate: bootstrap only when the batch's
+    // files are the table's ONLY data files.
+    val path = tmp("ungov")
+    (0L until 50L).map(i => (i, i * 1.0)).toDF("ts", "v")
+      .coalesce(1).write.parquet(path) // plain write: no manifest
+    assert(withCrash("append:written", 1) {
+      Tables.append((50L until 70L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+        path, "ts", lit(0L))
+    })
+    // the next op rolls the committed batch forward — but must NOT
+    // manufacture governance over the foreign pre-existing files
+    Tables.append((70L until 80L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, "ts", lit(0L))
+    assert(Tables.snapshot(spark, path).select("ts").as[Long].collect().toSet ==
+      (0L until 80L).toSet, "roll-forward must not lose the crashed batch")
+    assert(Tables.manifest(spark, path).isEmpty,
+      "recovery must not bootstrap a manifest over an ungoverned dir")
+    assert(!new java.io.File(path + ".append.pending").exists)
+    assert(!new java.io.File(path + ".batch.tmp").exists)
+  }
+
   test("truncate and load refuse while a live reader pin exists") {
     val path = tmp("pinrefuse")
     Tables.load((0L until 20L).map(i => (i, i * 1.0)).toDF("ts", "v"),
