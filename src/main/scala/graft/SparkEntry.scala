@@ -1466,6 +1466,62 @@ object SparkEntry {
           and c_custkey = o_custkey and o_orderkey = l_orderkey
         group by c_custkey, o_orderkey""")
     }),
+    "q_tpch_q21" -> ((s, dir) => {
+      // TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+      // testdata (no receipt/commit dates: the "late line" marker is
+      // l_returnflag = 'R') — the MULTI-CORRELATED SELF-JOIN family: an
+      // EXISTS and a NOT EXISTS against the SAME fact, both correlated on
+      // l_orderkey with a non-equi residual (l2.l_suppkey <> l1.l_suppkey).
+      // Catalyst must plan the pair as a LeftSemi AND a LeftAnti over
+      // lineitem keyed on l_orderkey (the <> residual rides the join
+      // condition) — three passes over the fact, each column-pruned to
+      // (l_orderkey, l_suppkey[, l_returnflag]), never a per-row subquery.
+      // SQL on purpose — the double-correlated rewrite is under test.
+      li(s, dir).createOrReplaceTempView("lineitem_q21")
+      ord(s, dir).createOrReplaceTempView("orders_q21")
+      Tables.read(s, dir, "supplier").createOrReplaceTempView("supplier_q21")
+      Tables.read(s, dir, "nation").createOrReplaceTempView("nation_q21")
+      s.sql("""
+        select s_name, count(*) as numwait
+        from supplier_q21, lineitem_q21 l1, orders_q21, nation_q21
+        where s_suppkey = l1.l_suppkey and o_orderkey = l1.l_orderkey
+          and o_orderstatus = 'F' and l1.l_returnflag = 'R'
+          and exists (select * from lineitem_q21 l2
+                      where l2.l_orderkey = l1.l_orderkey
+                        and l2.l_suppkey <> l1.l_suppkey)
+          and not exists (select * from lineitem_q21 l3
+                          where l3.l_orderkey = l1.l_orderkey
+                            and l3.l_suppkey <> l1.l_suppkey
+                            and l3.l_returnflag = 'R')
+          and s_nationkey = n_nationkey
+          and n_name in ('NATION_3', 'NATION_7')
+        group by s_name""")
+    }),
+    "q_tpch_q22" -> ((s, dir) => {
+      // TPC-H Q22 (global sales opportunity), adapted (no c_phone: the
+      // country code is c_nationkey; "never places an order" has no
+      // instances in the testdata, so the anti side is "no URGENT order")
+      // — the ANTI JOIN + UNCORRELATED SCALAR-AGG family: the threshold
+      // subquery plans as a one-row scalar (computed once, broadcast into
+      // the filter), the NOT EXISTS as a LeftAnti against orders pruned
+      // to (o_custkey) after its own pushed priority cut. Distinct from
+      // Q16 (anti against a DIM) and Q17 (CORRELATED scalar): here the
+      // anti side is the fact and the scalar is global. SQL on purpose.
+      ord(s, dir).createOrReplaceTempView("orders_q22")
+      Tables.read(s, dir, "customer").createOrReplaceTempView("customer_q22")
+      s.sql("""
+        select c_nationkey as cntry, count(*) as numcust,
+               cast(sum(c_acctbal) as float) as totacctbal
+        from customer_q22
+        where c_nationkey in (1, 2, 3, 10, 17, 20, 23)
+          and c_acctbal > (select avg(c_acctbal) from customer_q22
+                           where c_acctbal > 0.0
+                             and c_nationkey in (1, 2, 3, 10, 17, 20, 23))
+          and not exists (select * from orders_q22
+                          where o_custkey = c_custkey
+                            and o_orderpriority = '1-URGENT')
+        group by c_nationkey""")
+    }),
     "q_get_bucketed_key" -> ((s, dir) => {
       // bucket PRUNING on key-equality scans — the per-key half of
       // TABLE_get (btree.c:479-589: descend ONE series' tree). Spark
@@ -3032,6 +3088,33 @@ object SparkEntry {
                               GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
            AND c_custkey = o_custkey AND o_orderkey = l_orderkey
          GROUP BY c_custkey, o_orderkey""",
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders, nation
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT * FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT * FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+           AND s_nationkey = n_nationkey
+           AND n_name IN ('NATION_3', 'NATION_7')
+         GROUP BY s_name""",
+    "q_tpch_q22" ->
+      """SELECT c_nationkey AS cntry, count(*) AS numcust,
+         CAST(sum(c_acctbal) AS REAL) AS totacctbal
+         FROM customer
+         WHERE c_nationkey IN (1, 2, 3, 10, 17, 20, 23)
+           AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                            WHERE c_acctbal > 0.0
+                              AND c_nationkey IN (1, 2, 3, 10, 17, 20, 23))
+           AND NOT EXISTS (SELECT * FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY c_nationkey""",
     "q_get_bucketed_key" ->
       """SELECT event_type, count(*) AS n, CAST(sum(value) AS REAL) AS sv
          FROM events WHERE user_id = 7 GROUP BY event_type""",
