@@ -42,6 +42,7 @@ object Bench {
     "q_get",         // TABLE_get: ts-range scan (prunability regression canary)
     "q_tpch_q6",     // pure-pushdown plan family (round-over-round canary)
     "q_tpch_q3",     // join-order/broadcast plan family (TakeOrdered top-10)
+    "q_tpch_q21",    // multi-correlated self-join family (semi+anti on one fact)
     "q_asof",        // as-of alignment join (union+window form)
     "q_asof_exec",   // same shape on the custom merge operator (graft.plans)
     "q_asof_bucketed", // the flagship 100 TB plan: zero-Exchange bucketed as-of

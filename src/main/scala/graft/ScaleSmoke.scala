@@ -302,7 +302,13 @@ object ScaleSmoke {
           .withColumn("ts", lit(mx + offset) + (col("event_id") % 1000000L))
         graft.io.Tables.append(batch, path, "ts", lit(0L))
       }
-      appendBatch(1L)
+      // the staged append itself, timed (r12): the stage-then-move
+      // protocol's metadata ops (marker write+delete, O(batch-files)
+      // renames, manifest extension, tail check from the manifest alone)
+      // must keep the wall ∝ the 5k-row batch at ANY ×factor — growth of
+      // this line across the ×20/×100 logs would mean an O(table) step
+      // leaked into the append path
+      time("  staged append 5k rows (O(batch) claim)")(appendBatch(1L))
       val (ib, ia) = time("  compactIncremental (folds the batch)") {
         graft.io.Tables.compactIncremental(spark, path, Seq(), "ts")
       }

@@ -1218,6 +1218,30 @@ class TablesSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".batch.tmp").exists)
   }
 
+  test("legacy pending records (no markerBased field) parse as listing-based") {
+    // wire-format pin: pre-r12 (and current bucketed) pending records
+    // carry no markerBased field — they MUST parse to None (listing-based
+    // rollback), never default to the marker branch, or an upgrade across
+    // a mid-crash state would skip the rollback and duplicate the batch
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val legacy = org.json4s.jackson.Serialization
+      .read[graft.io.PendingBatch](
+        """{"streamId":"ck","batchId":3,"preFiles":["a.parquet"]}""")
+    assert(legacy.markerBased.isEmpty, "absent field must parse as None")
+    assert(legacy.preFiles == Seq("a.parquet"))
+    val legacyEmpty = org.json4s.jackson.Serialization
+      .read[graft.io.PendingBatch](
+        """{"streamId":"ck","batchId":0,"preFiles":[]}""")
+    assert(legacyEmpty.markerBased.isEmpty,
+      "an empty pre-listing is a legitimate listing-based record (batch 0 " +
+        "on an empty table), not a marker-based one")
+    // and the new slim record round-trips with its flag intact
+    val slim = org.json4s.jackson.Serialization.write(
+      graft.io.PendingBatch("ck", 1L, Seq.empty, markerBased = Some(true)))
+    assert(org.json4s.jackson.Serialization
+      .read[graft.io.PendingBatch](slim).markerBased.contains(true))
+  }
+
   test("truncate and load refuse while a live reader pin exists") {
     val path = tmp("pinrefuse")
     Tables.load((0L until 20L).map(i => (i, i * 1.0)).toDF("ts", "v"),
