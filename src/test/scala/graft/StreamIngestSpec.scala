@@ -307,6 +307,28 @@ class StreamIngestSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS `$t`")
   }
 
+  test("an empty micro-batch commits cleanly (no marker or staging leak)") {
+    // empty trigger batches are routine in streaming; the staged protocol
+    // must treat them as a normal commit: the high-water mark advances,
+    // nothing lands, no sidecar artifacts leak, and the next real batch
+    // appends normally
+    val table = tmpDir("emptyb") + "/t.parquet"
+    val b0 = (0L until 50L).map(i => (i, i * 1.0)).toDF("ts", "v")
+    assert(Tables.appendStreamBatch(b0, table, "ts", "ck", 0L))
+    assert(Tables.appendStreamBatch(b0.limit(0), table, "ts", "ck", 1L))
+    assert(Tables.snapshot(spark, table).count() == 50L)
+    assert(!new java.io.File(table + ".append.pending").exists)
+    assert(!new java.io.File(table + ".batch.tmp").exists)
+    assert(!Tables.appendStreamBatch(b0.limit(0), table, "ts", "ck", 1L),
+      "the empty batch's id must still advance the high-water mark")
+    assert(Tables.appendStreamBatch(
+      (50L until 70L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      table, "ts", "ck", 2L))
+    assert(Tables.snapshot(spark, table).count() == 70L)
+    val m = Tables.manifest(spark, table).get
+    assert(m.files.map(_.name).toSet.size == m.files.size)
+  }
+
   test("bucketed batch 0 against an EMPTY table: crash replay never duplicates") {
     // regression (review): the rollback mode was inferred from an empty
     // pre-listing, so a bucketed batch 0 on an empty table (legitimately

@@ -1218,6 +1218,51 @@ class TablesSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".batch.tmp").exists)
   }
 
+  test("live churn: concurrent readers never fail while maintenance runs") {
+    // the MURSIW claim under REAL concurrency (not staged interleaves):
+    // three unpinned reader threads snapshot continuously while a writer
+    // churns append + both compact flavors + grace-respecting vacuum.
+    // Readers must never throw (no FileNotFound from a swap, no spurious
+    // foreign-writer refusal from an append window) and must only ever
+    // see committed batch-aligned counts, monotone per thread.
+    withGrace(600000L) {
+      val path = tmp("churn")
+      val batch = 50L
+      Tables.load((0L until 200L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+        path, Seq(), "ts")
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val readers = (1 to 3).map { r =>
+        val t = new Thread(() => {
+          var last = 0L
+          while (!stop.get && errs.isEmpty) {
+            try {
+              val c = Tables.snapshot(spark, path).count()
+              if (c % batch != 0L || c < 200L || c < last)
+                errs.add(new AssertionError(
+                  s"reader $r saw a torn count $c (previous $last)"))
+              last = c
+            } catch { case e: Throwable => errs.add(e) }
+          }
+        }, s"churn-reader-$r")
+        t.start(); t
+      }
+      try {
+        var next = 200L
+        for (i <- 1 to 8) {
+          Tables.append((next until next + batch).map(j => (j, j * 1.0))
+            .toDF("ts", "v"), path, "ts", lit(0L))
+          next += batch
+          if (i % 3 == 0) Tables.compact(spark, path, Seq(), "ts")
+          else Tables.compactIncremental(spark, path, Seq(), "ts")
+          Tables.vacuum(spark, path) // grace-respecting: reclaims nothing here
+        }
+      } finally { stop.set(true); readers.foreach(_.join(60000)) }
+      assert(errs.isEmpty, s"concurrent reader failed: ${errs.peek()}")
+      assert(Tables.snapshot(spark, path).count() == 200L + 8 * batch)
+    }
+  }
+
   test("legacy pending records (no markerBased field) parse as listing-based") {
     // wire-format pin: pre-r12 (and current bucketed) pending records
     // carry no markerBased field — they MUST parse to None (listing-based
