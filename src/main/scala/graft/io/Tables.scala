@@ -1049,6 +1049,19 @@ object Tables {
     * a crashed reader's pin ages out instead of blocking reclaim forever.
     * Pins never block INSTALLS — maintenance proceeds and the pinned
     * reader keeps its snapshot; only the deferred delete waits.
+    *
+    * Arbitration against the DESTRUCTIVE ops (truncate / load overwrite)
+    * is a publish-then-check handshake, the same shape the writer lease
+    * uses: the pin file is created FIRST, then the table's lease is read
+    * — a live lease held by a destructive op means that op already passed
+    * its pin check, so the pin withdraws and throws. Symmetrically the
+    * destructive op checks pins AFTER acquiring its lease. Whatever the
+    * interleave, at least one side observes the other's published file:
+    * a pin created before the op's check is seen and refuses the op; a
+    * pin created after it sees the op's (already-held) lease and refuses
+    * itself. Ordinary maintenance leases (append/compact/delete/vacuum)
+    * never block a pin — their installs grace-retain, so the pinned
+    * snapshot survives them.
     */
   def withReaderPin[T](spark: SparkSession, path: String)(body: => T): T = {
     val hp = new Path(path)
@@ -1060,6 +1073,23 @@ object Tables {
       java.lang.ProcessHandle.current().pid() + "\"}")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // publish-then-check: only AFTER the pin is visible, look for a live
+    // destructive-op lease (age under TTL, op ∈ {load, truncate})
+    val lease = new Path(hp.getParent, hp.getName + ".lease")
+    val destructive = scala.util.Try(fs.getFileStatus(lease)).toOption
+      .filter(st => System.currentTimeMillis() - st.getModificationTime < leaseTtlMs)
+      .flatMap(_ => scala.util.Try(
+        org.json4s.jackson.Serialization.read[Map[String, String]](
+          readSmallText(fs, lease))).toOption)
+      .flatMap(_.get("op"))
+      .exists(o => o == "truncate" || o == "load")
+    if (destructive) {
+      scala.util.Try(fs.delete(pin, false))
+      throw new IllegalStateException(
+        s"withReaderPin: $path is being truncated or overwritten (live " +
+          "destructive-op lease) — there will be no snapshot to pin; " +
+          "retry after the operation completes")
+    }
     val stopHb = startHeartbeat(fs, pin, s"graft-reader-pin-${hp.getName}")
     try body
     finally {

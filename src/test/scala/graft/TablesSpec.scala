@@ -1263,6 +1263,44 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("pin-vs-destructive handshake: pins refuse under a live load/truncate lease") {
+    // closes the check-then-act race (review): a pin created AFTER
+    // truncate/load checked pins must observe the op's already-held lease
+    // and withdraw — publish-then-check on both sides means at least one
+    // side always sees the other
+    val path = tmp("pinhs")
+    Tables.load((0L until 20L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    def plantLease(op: String): java.io.File = {
+      val f = new java.io.File(path + ".lease")
+      val rec = s"""{"token":"t","op":"$op","pid":"0","acquiredMs":"0"}"""
+      java.nio.file.Files.write(f.toPath, rec.getBytes("UTF-8"))
+      f
+    }
+    // a LIVE destructive-op lease refuses the pin
+    val l1 = plantLease("truncate")
+    val e = intercept[IllegalStateException] {
+      Tables.withReaderPin(spark, path) { fail("body must not run") }
+    }
+    assert(e.getMessage.contains("truncated or overwritten"), e.getMessage)
+    assert(!new java.io.File(path).getParentFile.listFiles
+      .exists(_.getName.contains(".pin.")), "the refused pin must withdraw")
+    // a MAINTENANCE lease does not block pins (installs grace-retain)
+    java.nio.file.Files.write(l1.toPath,
+      """{"token":"t","op":"compactIncremental","pid":"0","acquiredMs":"0"}"""
+        .getBytes("UTF-8"))
+    Tables.withReaderPin(spark, path) {
+      assert(Tables.snapshot(spark, path).count() == 20L)
+    }
+    // a STALE destructive lease (dead writer) does not block pins either
+    val l2 = plantLease("load")
+    assert(l2.setLastModified(System.currentTimeMillis() - Tables.leaseTtlMs - 60000L))
+    Tables.withReaderPin(spark, path) {
+      assert(Tables.snapshot(spark, path).count() == 20L)
+    }
+    l2.delete()
+  }
+
   test("legacy pending records (no markerBased field) parse as listing-based") {
     // wire-format pin: pre-r12 (and current bucketed) pending records
     // carry no markerBased field — they MUST parse to None (listing-based
