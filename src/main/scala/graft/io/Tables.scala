@@ -1050,7 +1050,9 @@ object Tables {
     * Pins never block INSTALLS — maintenance proceeds and the pinned
     * reader keeps its snapshot; only the deferred delete waits.
     *
-    * Arbitration against the DESTRUCTIVE ops (truncate / load overwrite)
+    * Arbitration against the DESTRUCTIVE ops (truncate, load overwrite,
+    * loadBucketed replacement, the reader-exclusive in-place
+    * compactBucketed fold)
     * is a publish-then-check handshake, the same shape the writer lease
     * uses: the pin file is created FIRST, then the table's lease is read
     * — a live lease held by a destructive op means that op already passed
@@ -1082,13 +1084,14 @@ object Tables {
         org.json4s.jackson.Serialization.read[Map[String, String]](
           readSmallText(fs, lease))).toOption)
       .flatMap(_.get("op"))
-      .exists(o => o == "truncate" || o == "load")
+      .exists(o => o == "truncate" || o == "load" ||
+        o == "loadBucketed" || o == "compactBucketed")
     if (destructive) {
       scala.util.Try(fs.delete(pin, false))
       throw new IllegalStateException(
-        s"withReaderPin: $path is being truncated or overwritten (live " +
-          "destructive-op lease) — there will be no snapshot to pin; " +
-          "retry after the operation completes")
+        s"withReaderPin: $path is being truncated, overwritten, or folded " +
+          "in place (live destructive-op lease) — there will be no stable " +
+          "snapshot to pin; retry after the operation completes")
     }
     val stopHb = startHeartbeat(fs, pin, s"graft-reader-pin-${hp.getName}")
     try body
@@ -2178,6 +2181,10 @@ object Tables {
         if (sameDir) b else withWriterLease(defFs, defLoc, "loadBucketed")(b)
       }
     leased {
+    // wholesale replacement moves the current data ASIDE — a pinned
+    // reader's snapshot would vanish mid-scan; same refusal contract as
+    // truncate/load (the pin side checks for this op's lease in turn)
+    if (fs.exists(loc)) requireNoLivePins(fs, loc, "loadBucketed")
     // a surviving `.replaced` means an earlier attempt crashed BEFORE its
     // saveAsTable committed: it holds the previous table's only copy and
     // anything at `loc` is that attempt's partial output. Keep the copy,
@@ -2590,6 +2597,11 @@ object Tables {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, loc, "compactBucketed") {
     requireLocationCurrent(spark, table, fs, loc, "compactBucketed")
+    // the in-place fold rewrites the directory under any reader (its
+    // documented reader-EXCLUSIVE trade) — an explicit pin is the one
+    // reader statement it can honor: refuse, like truncate/load do
+    // (compactBucketedIsolated is the fold that proceeds under pins)
+    requireNoLivePins(fs, loc, "compactBucketed")
     recoverStreamPending(fs, loc.toString)
     recoverCompact(fs, loc.toString)
     guardCompactable(fs, loc)

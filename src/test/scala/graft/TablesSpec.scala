@@ -1282,7 +1282,7 @@ class TablesSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException] {
       Tables.withReaderPin(spark, path) { fail("body must not run") }
     }
-    assert(e.getMessage.contains("truncated or overwritten"), e.getMessage)
+    assert(e.getMessage.contains("no stable snapshot to pin"), e.getMessage)
     assert(!new java.io.File(path).getParentFile.listFiles
       .exists(_.getName.contains(".pin.")), "the refused pin must withdraw")
     // a MAINTENANCE lease does not block pins (installs grace-retain)
@@ -1299,6 +1299,29 @@ class TablesSpec extends AnyFunSuite {
       assert(Tables.snapshot(spark, path).count() == 20L)
     }
     l2.delete()
+  }
+
+  test("the in-place bucketed fold refuses while a live reader pin exists") {
+    // compactBucketed rewrites the directory under any reader (its
+    // documented reader-exclusive trade) — an explicit pin is the one
+    // reader statement it can honor; compactBucketedIsolated remains the
+    // fold that proceeds under pins (generation flip + grace retention)
+    val t = "pin_bkt_fold"
+    Tables.loadBucketed((0L until 64L).map(i => (i % 4, i, i * 1.0))
+      .toDF("k", "ts", "v"), t, Seq("k"), 4, sortCols = Seq("ts"))
+    Tables.appendBucketed((64L until 96L).map(i => (i % 4, i, i * 1.0))
+      .toDF("k", "ts", "v"), t)
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString
+    Tables.withReaderPin(spark, loc) {
+      val e = intercept[RuntimeException](Tables.compactBucketed(spark, t))
+      assert(e.getMessage.contains("pinned"), e.getMessage)
+      assert(spark.table(t).count() == 96L)
+    }
+    val (nb, na) = Tables.compactBucketed(spark, t) // pin released: proceeds
+    assert(na <= nb)
+    assert(spark.table(t).count() == 96L)
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
   }
 
   test("legacy pending records (no markerBased field) parse as listing-based") {
@@ -1488,11 +1511,26 @@ class TablesSpec extends AnyFunSuite {
     threads.foreach(_.start())
     gate.countDown()
     threads.foreach(_.join(120000L))
+    // on any failure, capture the full end state — this test flaked once
+    // (1 in ~18 runs) without its detail being recorded; if it flakes
+    // again the message must name the interleave
+    def state(): String = {
+      val lease = if (leaseFile.exists)
+        scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+          leaseFile.toPath), "UTF-8")).getOrElse("<unreadable>")
+      else "<absent>"
+      val sibs = Option(new java.io.File(path).getParentFile.listFiles)
+        .map(_.map(_.getName).toSeq.sorted).getOrElse(Seq())
+      s"successes=${successes.get} lease=$lease siblings=$sibs " +
+        s"unexpected=${unexpected.toArray.toSeq}"
+    }
     assert(unexpected.isEmpty,
-      s"unexpected failures in the break race: ${unexpected.toArray.toSeq}")
-    assert(successes.get >= 1, "at least one breaker must take the stale lease over")
+      s"unexpected failures in the break race: ${state()}")
+    assert(successes.get >= 1,
+      s"at least one breaker must take the stale lease over: ${state()}")
     // content = base + exactly the successful appends (one row each)
-    assert(Tables.snapshot(spark, path).count() == 1L + successes.get)
-    assert(!leaseFile.exists, "no lease left behind after the race")
+    val n = Tables.snapshot(spark, path).count()
+    assert(n == 1L + successes.get, s"count $n after the race: ${state()}")
+    assert(!leaseFile.exists, s"no lease left behind after the race: ${state()}")
   }
 }
