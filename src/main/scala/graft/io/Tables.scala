@@ -450,6 +450,14 @@ object Tables {
     } finally reader.close()
   }
 
+  /** Total row count from the footer (metadata only, no data pages). */
+  private def parquetRowCount(p: Path,
+                              conf: org.apache.hadoop.conf.Configuration): Long = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try reader.getRecordCount finally reader.close()
+  }
+
   /** Footer-scan `files` into manifest entries (driver-side, parallelized
     * — paid ONCE at write time so reads never repeat it).
     */
@@ -1784,8 +1792,17 @@ object Tables {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     writeClustered(incoming, tmp.toString, Seq(col(ts)),
       incoming.rdd.getNumPartitions)
+    // drop ROW-LESS part files before they enter the marker/manifest: an
+    // empty trigger batch stages one, and its stat-less manifest entry
+    // would permanently degrade the metadata-only tail check to a full
+    // max(ts) scan per append — the O(batch) property broken by a single
+    // empty micro-batch. Footer-read failures KEEP the file (dropping
+    // possible data on a read error is never allowed); such a file stays
+    // stat-less, the conservative pre-existing behavior.
     val staged = fs.listStatus(tmp)
       .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+      .filter(s => scala.util.Try(parquetRowCount(s.getPath,
+        spark.sparkContext.hadoopConfiguration)).getOrElse(1L) > 0L)
     val entries = scanEntries(spark.sparkContext.hadoopConfiguration, ts,
       staged, loaded = false)
     crashPoint("append:staged")
@@ -1793,8 +1810,11 @@ object Tables {
     // the batch: after the marker, recovery rolls FORWARD keying on
     // fs.exists(dst) — it cannot tell a pre-existing foreign file from an
     // already-moved batch file, so a post-marker refusal would later be
-    // "recovered" by adopting the foreign file and dropping the staged one
-    val existingNames = listing().map(_.getPath.getName).toSet
+    // "recovered" by adopting the foreign file and dropping the staged
+    // one. preFiles IS the current live listing (taken under this lease;
+    // only the sibling staging dir has been written since) — no second
+    // O(files) directory listing needed
+    val existingNames = preFiles.map(_.getPath.getName).toSet
     staged.foreach { f =>
       if (existingNames(f.getPath.getName)) sys.error(
         s"append: staged file ${f.getPath.getName} collides with an " +
@@ -1876,7 +1896,18 @@ object Tables {
     val rec = readStreamCommits(fs, hp)
     rec.pending.foreach { pnd =>
       if (inFlightPending.get.contains((pnd.streamId, pnd.batchId))) return
-      if (!pnd.markerBased.contains(true)) {
+      // routing: the explicit flag picks the marker-based branch; for
+      // flag-less records, an EMPTY pre-listing WITH a surviving append
+      // marker is the brief flag-less slim format's encoding (it wrote
+      // preFiles=[] meaning "see the marker"; treating it listing-based
+      // would delete EVERY data file as an "extra") — a marker's presence
+      // is unambiguous, since the pre-slim protocol never wrote one and
+      // the bucketed path still doesn't. A flag-less empty pre-listing
+      // with NO marker is a genuinely-empty-table record (bucketed or
+      // legacy batch 0), where the listing-based delete-all is correct.
+      val markerBased = pnd.markerBased.contains(true) ||
+        (pnd.preFiles.isEmpty && fs.exists(appendMarkerPath(path)))
+      if (!markerBased) {
         // LEGACY + BUCKETED rollback: the pending record carries the
         // pre-batch listing; anything beyond it is the rolled-back batch.
         // The manifest prune keys on the RECORD, not on this run's extras
@@ -1884,7 +1915,15 @@ object Tables {
         val pre = pnd.preFiles.toSet
         val extras = fs.listStatus(hp).filter(s => s.isFile &&
           isDataFile(s.getPath.getName) && !pre(s.getPath.getName))
-        extras.foreach(s => fs.delete(s.getPath, false))
+        extras.foreach { s =>
+          // fs.delete returns FALSE (no throw) for a failed delete on the
+          // local FS — both signals must stop the rollback, or the pending
+          // record clears with the batch's data still live (see the
+          // marker branch's comment)
+          if (!fs.delete(s.getPath, false) && fs.exists(s.getPath))
+            sys.error(s"stream rollback: cannot delete ${s.getPath} — " +
+              "refusing to clear the pending record; retry")
+        }
         crashPoint("stream:rolled-back")
         readManifest(fs, hp).foreach { m =>
           if (m.files.exists(e => !pre(e.name)))
@@ -1899,12 +1938,17 @@ object Tables {
         val tmp = batchTmpPath(path)
         val names: Set[String] = readAppendMarker(fs, path)
           .map(_.files.toSet).getOrElse(Set.empty)
-        // a missing file returns false (already rolled back / never moved)
-        // but a FAILED delete must propagate: swallowing it here would
-        // clear the pending record below with the batch's data still live
-        // — the replay would then duplicate every row
+        // a missing file returns false harmlessly (already rolled back /
+        // never moved) but a FAILED delete must stop the rollback — on the
+        // local FS that failure is ALSO a false return (no exception), so
+        // check return-plus-exists, not just propagate: clearing the
+        // pending record with the batch's data still live would make the
+        // replay duplicate every row
         names.foreach { n =>
-          fs.delete(new Path(hp, n), false)
+          val live = new Path(hp, n)
+          if (!fs.delete(live, false) && fs.exists(live))
+            sys.error(s"stream rollback: cannot delete $live — refusing " +
+              "to clear the pending record; retry")
           if (fs.exists(tmp)) fs.delete(new Path(tmp, n), false)
         }
         crashPoint("stream:rolled-back")
@@ -1913,11 +1957,15 @@ object Tables {
             writeManifestFile(fs, hp,
               m.copy(files = m.files.filterNot(e => names(e.name))))
         }
-        // same propagation rule: a marker that cannot be deleted must not
-        // be left behind a cleared pending record — recoverAppend would
-        // roll the already-rolled-back batch FORWARD and fail on the
-        // missing files, bricking every mutating op
-        fs.delete(appendMarkerPath(path), false)
+        // same rule for the marker: one that cannot be deleted must not be
+        // left behind a cleared pending record — recoverAppend would roll
+        // the already-rolled-back batch FORWARD and fail on the missing
+        // files, bricking every mutating op (false-return AND exception
+        // both mean failure on this path; absence is fine)
+        val mk = appendMarkerPath(path)
+        if (!fs.delete(mk, false) && fs.exists(mk))
+          sys.error(s"stream rollback: cannot delete append marker $mk — " +
+            "refusing to clear the pending record; retry")
         if (fs.exists(tmp)) fs.delete(tmp, true)
       }
       writeStreamCommits(fs, hp, rec.copy(pending = None))
@@ -2202,8 +2250,15 @@ object Tables {
     // the default warehouse location must also be clear for re-creation
     // (an orphaned dir from a killed run blocks saveAsTable even when the
     // old catalog location pointed elsewhere); its OWN filesystem — the
-    // warehouse can sit on a different FS than a custom table location
-    if (defFs.exists(defLoc)) defFs.delete(defLoc, true)
+    // warehouse can sit on a different FS than a custom table location.
+    // Pin check on THIS dir too (review): after a compactBucketedIsolated
+    // flip the warehouse default is a grace-retained retired generation a
+    // reader may have pinned — the op holds defLoc's lease (`leased`
+    // wraps both dirs), so the handshake covers pins on either side
+    if (defFs.exists(defLoc)) {
+      if (!sameDir) requireNoLivePins(defFs, defLoc, "loadBucketed")
+      defFs.delete(defLoc, true)
+    }
     // one file per bucket: Spark trusts the per-bucket sort order (and
     // elides the per-query Sort under a sort-merge join) only when each
     // bucket is a single sorted file

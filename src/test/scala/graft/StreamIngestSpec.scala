@@ -327,6 +327,11 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(Tables.snapshot(spark, table).count() == 70L)
     val m = Tables.manifest(spark, table).get
     assert(m.files.map(_.name).toSet.size == m.files.size)
+    // the empty batch must not have planted a row-less stat-less entry —
+    // one would permanently degrade the metadata-only tail check to a
+    // full max(ts) scan per append (the O(batch) property)
+    assert(m.files.forall(e => e.minNs.isDefined && e.maxNs.isDefined),
+      s"stat-less manifest entries after an empty batch: ${m.files}")
   }
 
   test("bucketed batch 0 against an EMPTY table: crash replay never duplicates") {
