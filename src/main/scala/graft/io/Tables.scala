@@ -1796,13 +1796,22 @@ object Tables {
     // empty trigger batch stages one, and its stat-less manifest entry
     // would permanently degrade the metadata-only tail check to a full
     // max(ts) scan per append — the O(batch) property broken by a single
-    // empty micro-batch. Footer-read failures KEEP the file (dropping
-    // possible data on a read error is never allowed); such a file stays
-    // stat-less, the conservative pre-existing behavior.
-    val staged = fs.listStatus(tmp)
-      .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
-      .filter(s => scala.util.Try(parquetRowCount(s.getPath,
-        spark.sparkContext.hadoopConfiguration)).getOrElse(1L) > 0L)
+    // empty micro-batch. Cost-gated: footers are read only for files
+    // small enough to plausibly BE row-less (an empty parquet is
+    // header+schema+footer; 64 KiB covers even very wide schemas), and
+    // in parallel like scanEntries — large files skip the check entirely.
+    // Footer-read failures KEEP the file (dropping possible data on a
+    // read error is never allowed); a misjudged keep degrades to the
+    // conservative pre-existing stat-less behavior, never to loss.
+    val staged = {
+      import scala.collection.parallel.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      fs.listStatus(tmp)
+        .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+        .par.filter(s => s.getLen > 65536L ||
+          scala.util.Try(parquetRowCount(s.getPath, conf)).getOrElse(1L) > 0L)
+        .seq
+    }
     val entries = scanEntries(spark.sparkContext.hadoopConfiguration, ts,
       staged, loaded = false)
     crashPoint("append:staged")
