@@ -386,13 +386,23 @@ object Tables {
     * stats — callers must KEEP such files in every pruning decision.
     */
   private def tsFileStatsNs(p: Path, conf: org.apache.hadoop.conf.Configuration,
-                            ts: String): Option[(Long, Long)] = {
+                            ts: String): Option[(Long, Long)] =
+    tsFileFooterNs(p, conf, ts)._1
+
+  /** [[tsFileStatsNs]] plus the footer's total row count from the SAME
+    * reader open — the append path needs both (stats for the manifest,
+    * row count to drop row-less staged files) and must not pay two footer
+    * opens per file for them.
+    */
+  private def tsFileFooterNs(p: Path, conf: org.apache.hadoop.conf.Configuration,
+                             ts: String): (Option[(Long, Long)], Option[Long]) = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
     try {
+      val rows = scala.util.Try(reader.getRecordCount).toOption
       val schema = reader.getFooter.getFileMetaData.getSchema
       // case-insensitive, like Spark's own column resolution and
       // seriesTsOf — a sortCols casing differing from the schema must not
@@ -421,7 +431,7 @@ object Tables {
             case _ => None
           }
         }
-      factor.flatMap { f =>
+      val stats = factor.flatMap { f =>
         // resolve the chunk by the FIELD's recorded name (the unambiguous
         // one chosen above), so the stats always come from that column
         val fieldName = ciMatches.find(_.getName == ts)
@@ -447,15 +457,8 @@ object Tables {
         if (bounds.isEmpty || bounds.exists(_.isEmpty)) None
         else Some((bounds.map(_.get._1).min, bounds.map(_.get._2).max))
       }
+      (stats, rows)
     } finally reader.close()
-  }
-
-  /** Total row count from the footer (metadata only, no data pages). */
-  private def parquetRowCount(p: Path,
-                              conf: org.apache.hadoop.conf.Configuration): Long = {
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-    try reader.getRecordCount finally reader.close()
   }
 
   /** Footer-scan `files` into manifest entries (driver-side, parallelized
@@ -463,11 +466,23 @@ object Tables {
     */
   private def scanEntries(conf: org.apache.hadoop.conf.Configuration,
                           ts: String, files: Seq[FileStatus],
-                          loaded: Boolean): Seq[TsFileEntry] = {
+                          loaded: Boolean): Seq[TsFileEntry] =
+    scanEntriesWithRows(conf, ts, files, loaded).map(_._1)
+
+  /** [[scanEntries]] plus each file's footer row count (None on a footer
+    * -read failure), from the SAME single footer open per file — the
+    * append path uses the counts to drop row-less staged files without a
+    * second I/O pass. Input order is preserved (par.map keeps ordering).
+    */
+  private def scanEntriesWithRows(conf: org.apache.hadoop.conf.Configuration,
+                                  ts: String, files: Seq[FileStatus],
+                                  loaded: Boolean): Seq[(TsFileEntry, Option[Long])] = {
     import scala.collection.parallel.CollectionConverters._
     files.par.map { s =>
-      val st = scala.util.Try(tsFileStatsNs(s.getPath, conf, ts)).toOption.flatten
-      TsFileEntry(s.getPath.getName, s.getLen, st.map(_._1), st.map(_._2), loaded)
+      val (st, rows) = scala.util.Try(tsFileFooterNs(s.getPath, conf, ts))
+        .getOrElse((None, None))
+      (TsFileEntry(s.getPath.getName, s.getLen, st.map(_._1), st.map(_._2), loaded),
+        rows)
     }.seq
   }
 
@@ -1792,28 +1807,21 @@ object Tables {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     writeClustered(incoming, tmp.toString, Seq(col(ts)),
       incoming.rdd.getNumPartitions)
-    // drop ROW-LESS part files before they enter the marker/manifest: an
-    // empty trigger batch stages one, and its stat-less manifest entry
-    // would permanently degrade the metadata-only tail check to a full
-    // max(ts) scan per append — the O(batch) property broken by a single
-    // empty micro-batch. Cost-gated: footers are read only for files
-    // small enough to plausibly BE row-less (an empty parquet is
-    // header+schema+footer; 64 KiB covers even very wide schemas), and
-    // in parallel like scanEntries — large files skip the check entirely.
-    // Footer-read failures KEEP the file (dropping possible data on a
-    // read error is never allowed); a misjudged keep degrades to the
-    // conservative pre-existing stat-less behavior, never to loss.
-    val staged = {
-      import scala.collection.parallel.CollectionConverters._
-      val conf = spark.sparkContext.hadoopConfiguration
-      fs.listStatus(tmp)
-        .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
-        .par.filter(s => s.getLen > 65536L ||
-          scala.util.Try(parquetRowCount(s.getPath, conf)).getOrElse(1L) > 0L)
-        .seq
-    }
-    val entries = scanEntries(spark.sparkContext.hadoopConfiguration, ts,
-      staged, loaded = false)
+    // ONE footer pass serves both needs: manifest stats AND the row-less
+    // drop. An empty trigger batch stages a 0-row part file whose
+    // stat-less manifest entry would permanently degrade the metadata
+    // -only tail check to a full max(ts) scan per append — drop files
+    // whose footer says rows == 0. A footer-read failure (rows unknown =
+    // None) KEEPS the file: dropping possible data on a read error is
+    // never allowed; such a file stays stat-less, the conservative
+    // pre-existing behavior.
+    val scanned = scanEntriesWithRows(spark.sparkContext.hadoopConfiguration,
+      ts, fs.listStatus(tmp)
+        .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq,
+      loaded = false)
+    val kept = scanned.filterNot(_._2.contains(0L))
+    val staged = kept.map { case (e, _) => new Path(tmp, e.name) }
+    val entries = kept.map(_._1)
     crashPoint("append:staged")
     // the collision refusal must run BEFORE the marker durably commits
     // the batch: after the marker, recovery rolls FORWARD keying on
@@ -1825,18 +1833,18 @@ object Tables {
     // O(files) directory listing needed
     val existingNames = preFiles.map(_.getPath.getName).toSet
     staged.foreach { f =>
-      if (existingNames(f.getPath.getName)) sys.error(
-        s"append: staged file ${f.getPath.getName} collides with an " +
+      if (existingNames(f.getName)) sys.error(
+        s"append: staged file ${f.getName} collides with an " +
           s"existing file in $hp — refusing to install")
     }
     writeSmallFileAtomic(fs, appendMarkerPath(path),
       org.json4s.jackson.Serialization.write(
-        AppendMarker(ts, staged.map(_.getPath.getName))))
+        AppendMarker(ts, staged.map(_.getName))))
     crashPoint("append:marker")
     if (!fs.exists(hp)) fs.mkdirs(hp)
     staged.foreach { f =>
-      if (!fs.rename(f.getPath, new Path(hp, f.getPath.getName)))
-        sys.error(s"append: cannot move staged file ${f.getPath} into $hp")
+      if (!fs.rename(f, new Path(hp, f.getName)))
+        sys.error(s"append: cannot move staged file $f into $hp")
       crashPoint("append:moved")
     }
     crashPoint("append:written")
