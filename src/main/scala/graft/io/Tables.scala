@@ -1849,11 +1849,16 @@ object Tables {
     }
     crashPoint("append:written")
     // fresh-table bootstrap: the FIRST batch establishes the manifest
-    // (one footer pass over just-written files, like load's), so
+    // (REUSING the staging footer pass — writeManifest would re-scan the
+    // same files; names and stats are unchanged by the rename), so
     // stream-ingested tables are manifest-governed from birth — metadata
-    // tail checks and rangeScan file pruning from batch two onward
+    // tail checks and rangeScan file pruning from batch two onward.
+    // loaded=true like writeManifest's bootstrap: the first batch IS the
+    // established layout, not a pending fold; a fresh table has no
+    // retired set to carry
     if (preFiles.isEmpty && mEntry.isEmpty)
-      writeManifest(spark, path, ts)
+      writeManifestFile(fs, hp,
+        TsManifest(1, ts, entries.map(_.copy(loaded = true))))
     // extend the manifest with the batch's files as loaded=false (the set
     // compactIncremental folds). A manifest that no longer matches the
     // pre-append listing is stale (foreign writer) — drop it rather than
