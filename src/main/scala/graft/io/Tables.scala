@@ -504,19 +504,55 @@ object Tables {
     * marker read as "zero cold files" would let recovery delete the cold
     * layout — and the marker is always created FRESH (recoverCompact
     * consumes any predecessor), so its install never takes the replace
-    * path. REPLACING an existing target (manifest rewrites) has a small
-    * delete→rename window with no file present; acceptable because every
-    * replaced file is ADVISORY — a missing manifest degrades readers to
-    * footer/plain scans and compactIncremental to the full rewrite,
-    * never to wrong results.
+    * path.
+    *
+    * REPLACING an existing target must ALSO be atomic since the manifest
+    * became the live-vs-retired source of truth (r12): the pre-r12
+    * delete→rename had a window with NO manifest present, during which a
+    * lock-free reader degrades to a plain directory read and serves
+    * grace-retained retired files as live rows (ADVICE r12, high). The
+    * replace therefore tries, in order:
+    *  1. a plain rename onto the existing target — POSIX rename(2)
+    *     semantics on the local FS (RawLocalFileSystem delegates to
+    *     File.renameTo first), which atomically replaces;
+    *  2. FileContext's Options.Rename.OVERWRITE — the documented atomic
+    *     overwrite on HDFS-like filesystems where FileSystem.rename
+    *     refuses an existing destination;
+    *  3. the legacy delete→rename ONLY when neither API can replace —
+    *     paired with the reader-side staging-sibling wait in
+    *     [[liveEntries]] that covers the residual window.
     */
   private def writeSmallFileAtomic(fs: FileSystem, target: Path, text: String): Unit = {
+    // a ChecksumFileSystem (the local FS) pairs every file with a .crc
+    // sidecar that CANNOT be replaced atomically alongside the data —
+    // a rename-over leaves the OLD crc against the NEW bytes and every
+    // later read fails "Checksum error". Small sidecars therefore write
+    // through the RAW filesystem (no crc; a torn/corrupt JSON is still
+    // detected loudly by the parse), retiring any stale sidecar a
+    // checksummed predecessor left so verified reads don't trip on it.
+    val (wfs, crcOf): (FileSystem, Option[Path => Path]) = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        (c.getRawFileSystem, Some(p => c.getChecksumFile(p)))
+      case other => (other, None)
+    }
     val tmp = new Path(target.getParent, "." + target.getName + ".staging")
-    val out = fs.create(tmp, true)
+    val out = wfs.create(tmp, true)
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(target)) fs.delete(target, false)
-    if (!fs.rename(tmp, target)) sys.error(s"cannot install $target")
+    crcOf.foreach { f =>
+      wfs.delete(f(target), false); wfs.delete(f(tmp), false)
+    }
+    if (wfs.rename(tmp, target)) return
+    if (wfs.exists(target)) {
+      val replaced = scala.util.Try {
+        org.apache.hadoop.fs.FileContext.getFileContext(wfs.getUri, wfs.getConf)
+          .rename(wfs.makeQualified(tmp), wfs.makeQualified(target),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }.isSuccess
+      if (replaced) return
+      wfs.delete(target, false) // last resort: non-atomic window (see doc)
+    }
+    if (!wfs.rename(tmp, target)) sys.error(s"cannot install $target")
   }
 
   private def readSmallText(fs: FileSystem, p: Path): String = {
@@ -969,7 +1005,21 @@ object Tables {
     while (true) {
       val mOpt = readManifest(fs, hp)
       mOpt match {
-        case None => return None
+        case None =>
+          // an ABSENT manifest with its .staging sibling present may be a
+          // replace in flight on a filesystem where neither plain rename
+          // nor FileContext OVERWRITE could replace atomically (the
+          // writeSmallFileAtomic fallback) — degrading to a plain
+          // directory read inside that window would serve grace-retained
+          // retired files as live rows (ADVICE r12, high). Wait it out
+          // (bounded); an ORPHANED staging file (writer crashed before
+          // its rename) exhausts the retries and degrades as before —
+          // crash cleanup is the next lease holder's job, not a reader's.
+          val staging = new Path(hp, "." + ManifestName + ".staging")
+          if (attempt < maxRetries && scala.util.Try(fs.exists(staging))
+                .getOrElse(false)) {
+            Thread.sleep(25L * (attempt + 1)); attempt += 1
+          } else return None
         case Some(m) if !tsName.forall(_ == m.ts) =>
           // a ts-name mismatch on a table holding retired files must fail
           // LOUDLY like the inconsistent case — the ungoverned fallback
@@ -988,14 +1038,28 @@ object Tables {
           // in-flight allowances: a gen install's staged names and an
           // append's staged batch names — both serve the OLD manifest (the
           // pre-op snapshot) while the files move in
-          val markerNew: Set[String] =
+          val genNames: Set[String] =
             scala.util.Try(org.json4s.jackson.Serialization.read[GenMarker](
               readSmallText(fs, genMarkerPath(hp.toString)))).toOption
-              .map(_.newFiles.toSet).getOrElse(Set.empty) ++
+              .map(_.newFiles.toSet).getOrElse(Set.empty)
+          val appendNames: Set[String] =
             scala.util.Try(org.json4s.jackson.Serialization.read[AppendMarker](
               readSmallText(fs, appendMarkerPath(hp.toString)))).toOption
               .map(_.files.toSet).getOrElse(Set.empty)
-          if (manifestConsistent(m, files, markerNew)) return Some(m)
+          if (manifestConsistent(m, files, genNames ++ appendNames))
+            // an IN-FLIGHT append batch's files may already be in the
+            // manifest (the extension lands before a stream batch's
+            // commit record, and a crash in between rolls the batch
+            // BACK) — serving them would be a dirty read that later
+            // vanishes and reappears under new names (ADVICE r12,
+            // medium). Subtract the marker-listed names: the batch
+            // becomes reader-visible when the marker clears, i.e. after
+            // the commit record / the plain append's completion. The gen
+            // marker is the OPPOSITE case — its manifest is written only
+            // AFTER the move, and rolls FORWARD — so its names stay.
+            return Some(
+              if (!m.files.exists(e => appendNames(e.name))) m
+              else m.copy(files = m.files.filterNot(e => appendNames(e.name))))
           val mNow = readManifest(fs, hp)
           if (mNow == mOpt || attempt >= maxRetries) {
             if (m.retired.nonEmpty) sys.error(
@@ -1047,9 +1111,19 @@ object Tables {
         liveEntries(fs, hp, None).map { m =>
           val bytes = m.files.map(_.bytes).sum
           if (m.files.isEmpty)
+            // an EMPTY live set still needs a schema. Directory inference
+            // covers the common case (grace-retained files still on
+            // disk); a fully-reclaimed empty table has no footer left
+            // anywhere — fail with the table's actual state instead of
+            // AnalysisException's misleading "unable to infer schema"
+            // (ADVICE r12, low)
             (spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              spark.read.parquet(path).schema), Some(bytes))
+              scala.util.Try(spark.read.parquet(path).schema).getOrElse(
+                sys.error(s"table $path is governed but EMPTY (its live " +
+                  "set has zero files and no parquet footer remains to " +
+                  "derive a schema from) — load data before reading, or " +
+                  "truncate it"))), Some(bytes))
           else {
             val df = spark.read.parquet(
               m.files.map(e => new Path(hp, e.name).toString): _*)
@@ -1219,8 +1293,19 @@ object Tables {
                                 carryRetired: Seq[RetiredEntry],
                                 tag: String): Seq[TsFileEntry] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val staged = fs.listStatus(tmp)
-      .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+    // one footer pass serves manifest stats AND the zero-row drop (the
+    // same fold appendBatch's staging does): a rewrite that empties a
+    // file — deleteRange removing every row a file held — must not
+    // install a stat-less 0-row entry that degrades every future
+    // metadata-only decision. A footer-read failure keeps the file.
+    val scanned = scanEntriesWithRows(conf, ts, fs.listStatus(tmp)
+      .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq,
+      loaded = true)
+    scanned.filter(_._2.contains(0L)).foreach { case (e, _) =>
+      fs.delete(new Path(tmp, e.name), false)
+    }
+    val kept = scanned.filterNot(_._2.contains(0L))
+    val staged = kept.map(e => fs.getFileStatus(new Path(tmp, e._1.name)))
     // job-unique part names make a collision with an existing file a sign
     // of corruption (the same job wrote both) — stop, never overwrite
     val existing = fs.listStatus(hp).filter(_.isFile)
@@ -1230,7 +1315,7 @@ object Tables {
         s"$tag: staged file ${s.getPath.getName} collides with an existing " +
           s"file in $hp — refusing to install")
     }
-    val entries = scanEntries(conf, ts, staged, loaded = true)
+    val entries = kept.map(_._1)
     writeSmallFileAtomic(fs, genMarkerPath(hp.toString),
       org.json4s.jackson.Serialization.write(
         GenMarker(ts, staged.map(_.getPath.getName), replaced)))
@@ -1413,6 +1498,10 @@ object Tables {
       case None => (listing.map(_.getPath.getName).toSeq,
         listing.map(_.getLen).sum, Seq.empty[RetiredEntry])
     }
+    // an EMPTY live set (every row deleted, retired files reclaimed) has
+    // nothing to fold — and an empty varargs parquet read throws rather
+    // than no-opping (ADVICE r12, low)
+    if (liveNames.isEmpty) return (0, 0)
     val parts = math.max(1L, (liveBytes + targetBytes - 1) / targetBytes).toInt
     val tmp = genTmpPath(path)
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -1855,8 +1944,11 @@ object Tables {
     // tail checks and rangeScan file pruning from batch two onward.
     // loaded=true like writeManifest's bootstrap: the first batch IS the
     // established layout, not a pending fold; a fresh table has no
-    // retired set to carry
-    if (preFiles.isEmpty && mEntry.isEmpty)
+    // retired set to carry. An all-empty first batch (every staged file
+    // dropped as 0-row) writes NO manifest — an empty governed table has
+    // no schema source, so snapshot would fail on it (ADVICE r12, low);
+    // the table bootstraps at the first batch that carries rows.
+    if (preFiles.isEmpty && mEntry.isEmpty && entries.nonEmpty)
       writeManifestFile(fs, hp,
         TsManifest(1, ts, entries.map(_.copy(loaded = true))))
     // extend the manifest with the batch's files as loaded=false (the set
@@ -2103,6 +2195,43 @@ object Tables {
     * is restored, a TAGGED `__tmp` ([[deleteStagingTag]]) is adopted when
     * it is the only copy; an untagged `__tmp` is never touched at all.
     */
+  /** deleteRange's [from, till] bounds as epoch-ns on the manifest's
+    * scale: the literals cast to the ts column's own type, then converted
+    * exactly like [[normalizeNsTs]] converts stored values (µs→ns for
+    * timestamp grains — exact, both sides are µs multiples — and
+    * pass-through for the int64-ns convention), so a manifest entry's
+    * (minNs, maxNs) is directly comparable against them. One local
+    * one-row job (literals only, no table scan). None when a bound is
+    * NULL or not locally evaluable — the caller falls back to the
+    * conservative full rewrite, never to a wrong prune.
+    */
+  private def deleteBoundsNs(spark: SparkSession, dt: DataType,
+                             from: Column, till: Column): Option[(Long, Long)] =
+    scala.util.Try {
+      val b = spark.range(1).select(from.cast(dt).as("f"), till.cast(dt).as("t"))
+      val row = (dt match {
+        case TimestampType | TimestampNTZType =>
+          b.select(unix_micros(col("f").cast(TimestampType)) * 1000L,
+            unix_micros(col("t").cast(TimestampType)) * 1000L)
+        case _ => b.select(col("f").cast("long"), col("t").cast("long"))
+      }).head()
+      if (row.isNullAt(0) || row.isNullAt(1)) None
+      else Some((row.getLong(0), row.getLong(1)))
+    }.toOption.flatten
+
+  /** TABLE_delete(from, till) — O(AFFECTED RANGE), not O(table): the
+    * manifest's per-file ts bounds split the live set into files wholly
+    * OUTSIDE [from, till] (carried into the new generation untouched —
+    * zero I/O, the same cold-carry compactIncremental uses) and files
+    * that INTERSECT it (read, filtered, rewritten). This is the Spark
+    * analog of the reference's range delete, which descends the B-tree
+    * and removes only the affected pages (btree.c:747-899) — the shape
+    * that makes scheduled retention deletes payable at 100 TB, where
+    * deleting one day from a year of data must not rewrite the year.
+    * Stat-less manifest entries (unreadable footers) conservatively join
+    * the rewrite set; non-literal bounds fall back to the full rewrite.
+    * A delete touching NOTHING (no file intersects) is a pure no-op.
+    */
   def deleteRange(spark: SparkSession, path: String, ts: String,
                   from: Column, till: Column): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -2123,22 +2252,48 @@ object Tables {
     }
     def dataFiles: Seq[FileStatus] = fs.listStatus(p)
       .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
-    val (liveNames, carryRetired) = mOpt match {
-      case Some(m) => (m.files.map(_.name), m.retired)
-      case None => (dataFiles.map(_.getPath.getName), Seq.empty[RetiredEntry])
+    val (liveFiles, carryRetired) = mOpt match {
+      case Some(m) => (m.files, m.retired)
+      case None =>
+        (scanEntries(spark.sparkContext.hadoopConfiguration, ts, dataFiles,
+          loaded = true), Seq.empty[RetiredEntry])
     }
+    // an EMPTY live set has nothing to delete — and an empty varargs
+    // parquet read throws rather than no-opping (ADVICE r12, low)
+    if (liveFiles.isEmpty) return
+    // the manifest-pruned split (O(affected range), see Scaladoc): bounds
+    // on the manifest's ns scale come from the ts column's OWN type; a
+    // file is carried only when its recorded bounds prove it disjoint
+    // from the INCLUSIVE [from, till] — stat-less entries and
+    // unevaluable bounds conservatively rewrite
+    val dtTs = spark.read
+      .parquet(liveFiles.map(e => new Path(p, e.name).toString): _*)
+      .schema.fields.find(_.name.equalsIgnoreCase(ts)).map(_.dataType)
+    val bounds = dtTs.flatMap(dt => deleteBoundsNs(spark, dt, from, till))
+    val (carried, rewrite) = bounds match {
+      case Some((fromNs, tillNs)) => liveFiles.partition { e =>
+        (e.minNs, e.maxNs) match {
+          case (Some(mn), Some(mx)) => mx < fromNs || mn > tillNs
+          case _ => false
+        }
+      }
+      case None => (Seq.empty[TsFileEntry], liveFiles)
+    }
+    // nothing intersects: the delete is a pure no-op — no rewrite, no
+    // generation flip, no manifest churn
+    if (rewrite.isEmpty) return
     val tmp = genTmpPath(path)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // NULL-ts rows are outside every range: without the isNull arm the
     // negated conjunction is NULL under three-valued logic and filter
     // would silently DELETE them. No pre-materialization needed — the
     // source stays untouched until the install, strictly after this write.
-    spark.read.parquet(liveNames.map(n => new Path(p, n).toString): _*)
+    spark.read.parquet(rewrite.map(e => new Path(p, e.name).toString): _*)
       .filter(col(ts).isNull || !(col(ts) >= from && col(ts) <= till))
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     crashPoint("del:staged")
     installGeneration(spark, fs, p, tmp, ts,
-      replaced = liveNames, carryLive = Seq.empty,
+      replaced = rewrite.map(_.name), carryLive = carried,
       carryRetired = carryRetired, tag = "del")
     reclaimRetired(fs, p, retireGraceMs)
     invalidateRead(spark, path)

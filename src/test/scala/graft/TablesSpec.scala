@@ -778,6 +778,69 @@ class TablesSpec extends AnyFunSuite {
       "the NULL-ts row is outside every range and must survive")
   }
 
+  test("deleteRange is O(affected range): disjoint files carried byte-identical") {
+    val path = tmp("delprune")
+    // 8 range-clustered files over ts 0..7999 — each covers a disjoint slice
+    Tables.load((0L until 8000L).map(i => (i, i * 1.0)).toDF("ts", "v")
+      .repartition(8), path, Seq(), "ts")
+    val m = Tables.manifest(spark, path).get
+    assert(m.files.size >= 4, s"need a multi-file layout, got ${m.files.size}")
+    assert(m.files.forall(e => e.minNs.isDefined && e.maxNs.isDefined))
+    val disjoint = m.files.filter(_.maxNs.get < 7000L)
+    val intersecting = m.files.filterNot(_.maxNs.get < 7000L)
+    assert(disjoint.nonEmpty && intersecting.nonEmpty,
+      "the range must split the layout for this test to mean anything")
+    val bytesBefore = dataFiles(path).map(f => (f.getName, f.length, md5(f)))
+    Tables.deleteRange(spark, path, "ts", lit(7000L), lit(7999L))
+    val m2 = Tables.manifest(spark, path).get
+    // THE O(range) contract: every ts-disjoint file is carried live —
+    // same name, same bytes (never read, never rewritten); only the
+    // intersecting files were replaced
+    val after = dataFiles(path).map(f => (f.getName, f.length, md5(f)))
+    disjoint.foreach { e =>
+      assert(m2.files.exists(_.name == e.name),
+        s"disjoint file ${e.name} must stay in the live set")
+      val b = bytesBefore.find(_._1 == e.name).get
+      assert(after.contains(b), s"disjoint file ${e.name} was rewritten")
+    }
+    intersecting.foreach { e =>
+      assert(!m2.files.exists(_.name == e.name),
+        s"intersecting file ${e.name} must leave the live set")
+    }
+    assert(Tables.snapshot(spark, path).count() == 7000)
+    // a range no file intersects is a pure no-op: same manifest, same files
+    val preNoop = dataFiles(path).map(f => (f.getName, f.length, md5(f)))
+    Tables.deleteRange(spark, path, "ts", lit(100000L), lit(200000L))
+    assert(dataFiles(path).map(f => (f.getName, f.length, md5(f))) == preNoop,
+      "a no-intersection delete must not touch a byte")
+    assert(Tables.manifest(spark, path).get.files.map(_.name).toSet
+      == m2.files.map(_.name).toSet, "a no-intersection delete must not churn")
+    assert(Tables.snapshot(spark, path).count() == 7000)
+  }
+
+  test("delete-everything empties the table; compact and re-delete no-op on it") {
+    val path = tmp("delall")
+    Tables.load((0L until 100L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    withGrace(600000L) {
+      Tables.deleteRange(spark, path, "ts", lit(0L), lit(1000L))
+      val m = Tables.manifest(spark, path).get
+      assert(m.files.isEmpty, "live set must be empty after delete-everything")
+      // while retired footers remain, the empty snapshot still has a schema
+      val snap = Tables.snapshot(spark, path)
+      assert(snap.count() == 0)
+      assert(snap.schema.fieldNames.toSet == Set("ts", "v"))
+      // empty-live-set maintenance must no-op, not throw on an empty read
+      assert(Tables.compact(spark, path, Seq(), "ts") == (0, 0))
+      Tables.deleteRange(spark, path, "ts", lit(0L), lit(10L))
+    }
+    // after reclaim nothing remains to derive a schema from: fail with the
+    // table's actual state, not AnalysisException's "unable to infer"
+    Tables.vacuum(spark, path, graceMs = 0L)
+    val e = intercept[RuntimeException](Tables.snapshot(spark, path))
+    assert(e.getMessage.contains("EMPTY"), s"got: ${e.getMessage}")
+  }
+
   test("rangeScan open-ended Long bounds don't overflow the µs literal") {
     val dir = "/root/testdata/sf0.001"
     val all = Tables.read(spark, dir, "events").count()
