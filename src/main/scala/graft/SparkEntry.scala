@@ -1070,6 +1070,11 @@ object SparkEntry {
         // a second fold is a no-op — the layout is re-established
         val (nb2, na2) = Tables.compactBucketed(s, t)
         require(nb2 == na2, s"re-fold must be a no-op: $nb2 -> $na2")
+        // range delete on the BUCKETED layout (r13): the same window
+        // q_lifecycle deletes on the clustered one — the rolling-retention
+        // op the reference applies to every stored table (btree.c:747-899)
+        Tables.deleteRangeBucketed(s, t,
+          lit(1704672000000000000L), lit(1704758400000000000L))
         materializeAndDrop(s, s.table(t).groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), fl(sum(col("value"))).as("sv"))
           .withColumn("folded", lit(true)), t)
@@ -3007,7 +3012,10 @@ object SparkEntry {
     "q_lifecycle_bucketed" ->
       """SELECT event_type, count(*) AS n, CAST(sum("value") AS REAL) AS sv,
          true AS folded
-         FROM events GROUP BY event_type""",
+         FROM events
+         WHERE NOT (epoch_ns(ts) >= 1704672000000000000
+                    AND epoch_ns(ts) <= 1704758400000000000)
+         GROUP BY event_type""",
     "q_tpch_q6" ->
       """SELECT CAST(sum(l_extendedprice * l_discount) AS REAL) AS revenue,
          count(*) AS n

@@ -2949,6 +2949,149 @@ object Tables {
     }
   }
 
+  /** TABLE_delete(from, till) on a BUCKETED catalog table — the rolling
+    * -retention delete the reference applies to every stored table
+    * (btree.c:747-899; head deletion is its own streaming-retention
+    * pattern, user_guide.html). Same O(affected range) shape as the
+    * clustered [[deleteRange]]: the ordered-ingest manifest's per-file ts
+    * bounds split the live files into ts-DISJOINT ones (carried by RENAME
+    * — metadata ops, bytes untouched, names preserved) and INTERSECTING
+    * ones (read, filtered, rewritten through the table's own bucket spec
+    * so each output lands with a correct bucket id). Installs via the
+    * commit-marker + two-rename swap [[compactBucketed]] uses — crash
+    * recovery is shared ([[recoverCompact]] rolls a committed marker
+    * forward at the next op's entry). Stat-less manifest entries and
+    * non-literal bounds conservatively join the rewrite set; a delete no
+    * file intersects is a pure no-op.
+    *
+    * A bucket holding both carried and rewritten files temporarily has
+    * >1 file (the same state [[appendBucketed]] creates); the next fold
+    * restores one sorted file per bucket. Reader-EXCLUSIVE like the
+    * in-place fold (the swap replaces the directory) — refuses under a
+    * live reader pin; inclusive [from, till], NULL-ts rows survive.
+    */
+  def deleteRangeBucketed(spark: SparkSession, table: String,
+                          from: Column, till: Column): Unit = {
+    val ct = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val bs = ct.bucketSpec.getOrElse(
+      sys.error(s"deleteRangeBucketed: $table carries no bucket spec"))
+    val keys = bs.bucketColumnNames
+    val sort = bs.sortColumnNames
+    val ts = seriesTsOf(keys, sort).getOrElse(
+      sys.error(s"deleteRangeBucketed: $table has no series ts sort column — " +
+        "a key-only bucket spec carries no series order to delete by"))
+    val dt = ct.schema.fields.find(_.name.equalsIgnoreCase(ts)).map(_.dataType)
+      .getOrElse(sys.error(s"deleteRangeBucketed: sort column $ts missing " +
+        s"from $table's schema"))
+    val loc = new Path(ct.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLease(fs, loc, "deleteRangeBucketed") {
+    requireLocationCurrent(spark, table, fs, loc, "deleteRangeBucketed")
+    requireNoLivePins(fs, loc, "deleteRangeBucketed")
+    recoverStreamPending(fs, loc.toString)
+    recoverCompact(fs, loc.toString)
+    guardCompactable(fs, loc)
+    reclaimRetiredDirs(fs, loc, retireGraceMs)
+    // derived staging table — always rebuilt, never trusted (the same
+    // leftover-reclaim reasoning as compactBucketed's fold)
+    val foldTable = table + "__fold"
+    def dropFoldLeftovers(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS `$foldTable`")
+      val fl = new Path(spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(foldTable)))
+      val ffs = fl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (ffs.exists(fl)) ffs.delete(fl, true)
+    }
+    dropFoldLeftovers()
+    def dataFiles(p: Path): Seq[FileStatus] =
+      fs.listStatus(p).filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+    val files = dataFiles(loc)
+    if (files.isEmpty) return
+    // the manifest-pruned split (trustworthy manifest only — a stale one
+    // cannot prove a file disjoint); bounds on the manifest's ns scale
+    val entryBounds: Map[String, (Option[Long], Option[Long])] =
+      readManifest(fs, loc).filter(_.ts == ts)
+        .filter(manifestConsistent(_, files))
+        .map(_.files.map(e => e.name -> (e.minNs, e.maxNs)).toMap)
+        .getOrElse(Map.empty)
+    val bounds = deleteBoundsNs(spark, dt, from, till)
+    val (carried, rewrite) = bounds match {
+      case Some((fromNs, tillNs)) => files.partition { s =>
+        entryBounds.get(s.getPath.getName) match {
+          case Some((Some(mn), Some(mx))) => mx < fromNs || mn > tillNs
+          case _ => false
+        }
+      }
+      case None => (Seq.empty[FileStatus], files)
+    }
+    if (rewrite.isEmpty) return // nothing intersects — pure no-op
+    val rewriteBuckets = rewrite.flatMap(s => bucketIdOf(s.getPath.getName)).toSet
+    // filtered rewrite of the intersecting files through the bucket spec
+    // (NULL-ts rows are outside every range — the isNull arm keeps them
+    // from being deleted by three-valued logic, like the clustered path)
+    val w0 = spark.read.schema(ct.schema)
+      .parquet(rewrite.map(_.getPath.toString): _*)
+      .filter(col(ts).isNull || !(col(ts) >= from && col(ts) <= till))
+      .repartition(bs.numBuckets, keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(bs.numBuckets, keys.head, keys.tail: _*)
+    val w = if (sort.isEmpty) w0 else w0.sortBy(sort.head, sort.tail: _*)
+    w.format("parquet").saveAsTable(foldTable)
+    crashPoint("bktdel:folded")
+    val foldLoc = new Path(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(foldTable)).location)
+    val tmp = new Path(loc.toString + ".compact.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (!fs.mkdirs(tmp)) sys.error(s"deleteRangeBucketed: cannot create staging $tmp")
+    // one footer pass over the fold outputs: bucket-id sanity (an output
+    // landing in a bucket no rewritten file belonged to means the hash
+    // functions disagree — corruption, stop) + the zero-row drop (a
+    // bucket whose every row was deleted writes an empty file)
+    val foldScan = scanEntriesWithRows(spark.sparkContext.hadoopConfiguration,
+      ts, dataFiles(foldLoc), loaded = true)
+    foldScan.foreach { case (e, rows) =>
+      val id = bucketIdOf(e.name)
+      if (!id.exists(rewriteBuckets.contains)) sys.error(
+        s"deleteRangeBucketed: rewritten file ${e.name} maps to bucket " +
+          s"${id.map(_.toString).getOrElse("<unparsed>")} which held no " +
+          "intersecting file — refusing to install")
+      if (!rows.contains(0L) &&
+          !fs.rename(new Path(foldLoc, e.name), new Path(tmp, e.name)))
+        sys.error(s"deleteRangeBucketed: cannot stage rewritten file ${e.name}")
+    }
+    // sidecars travel with the layout (same reasoning as compactBucketed)
+    locally {
+      val sc = readStreamCommits(fs, loc)
+      if (sc.committed.nonEmpty) writeStreamCommits(fs, tmp, sc.copy(pending = None))
+      val ledger = readRetiredDirs(fs, loc)
+      if (ledger.nonEmpty) writeSmallFileAtomic(fs, new Path(tmp, RetiredDirsName),
+        org.json4s.jackson.Serialization.write(ledger))
+    }
+    crashPoint("bktdel:staged")
+    // COMMIT marker (shared recoverCompact protocol: a JSON list of the
+    // files still to move) — from here recovery rolls the swap forward
+    val marker = new Path(loc.toString + ".compact.commit")
+    writeSmallFileAtomic(fs, marker,
+      org.json4s.jackson.Serialization.write(carried.map(_.getPath.getName)))
+    crashPoint("bktdel:marker")
+    carried.foreach { s =>
+      if (!fs.rename(s.getPath, new Path(tmp, s.getPath.getName)))
+        sys.error(s"deleteRangeBucketed: cannot move carried file ${s.getPath} " +
+          "into staging")
+      crashPoint("bktdel:cold-moved")
+    }
+    val old = new Path(loc.toString + ".compact.old")
+    swapInstall(fs, loc, tmp, old, "deleteRangeBucketed", "bktdel",
+      restorable = false)
+    fs.delete(marker, false)
+    dropFoldLeftovers()
+    // regenerate the ordered-ingest manifest over the installed layout
+    writeManifest(spark, loc.toString, ts)
+    spark.catalog.refreshTable(table)
+    }
+  }
+
   /** TABLE_get over a BUCKETED table: ts-range scan with file-level
     * pruning from the manifest sidecar — the second half of the
     * reference's B-tree contract (per-key locality AND ts search,

@@ -680,6 +680,80 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteRangeBucketed: disjoint files carried by rename, intersecting rewritten") {
+    val t = "bkt_delrange"
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    // base load (ts 0..399) + three appends (400..499, 500..599, 600..699):
+    // each append writes fresh files whose manifest bounds cover only its
+    // batch, so a tail delete splits the layout
+    Tables.loadBucketed((0L until 400L).map(i => (i % 4, i, i * 1.0))
+      .toDF("k", "ts", "v"), t, Seq("k"), 4, sortCols = Seq("ts"))
+    for (b <- 0 until 3) {
+      val lo = 400L + b * 100L
+      Tables.appendBucketed((lo until lo + 100L).map(i => (i % 4, i, i * 1.0))
+        .toDF("k", "ts", "v"), t)
+    }
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location).toUri.getPath
+    val m = Tables.manifest(spark, loc).get
+    val disjoint = m.files.filter(e => e.maxNs.exists(_ < 600L))
+    assert(disjoint.nonEmpty, "the base + early appends must be ts-disjoint")
+    val before = dataFiles(loc).map(f => (f.getName, f.length, md5(f)))
+    // retention delete of the tail: [600, inf) — the head-deletion twin
+    Tables.deleteRangeBucketed(spark, t, lit(600L), lit(Long.MaxValue))
+    val after = dataFiles(loc).map(f => (f.getName, f.length, md5(f)))
+    disjoint.foreach { e =>
+      val b = before.find(_._1 == e.name).get
+      assert(after.contains(b),
+        s"ts-disjoint bucketed file ${e.name} was rewritten, not carried")
+    }
+    assert(spark.table(t).count() == 600)
+    assert(spark.table(t).agg(max(col("ts"))).head().getLong(0) == 599L)
+    // a range nothing intersects is a pure no-op
+    val preNoop = dataFiles(loc).map(f => (f.getName, f.length, md5(f)))
+    Tables.deleteRangeBucketed(spark, t, lit(5000L), lit(6000L))
+    assert(dataFiles(loc).map(f => (f.getName, f.length, md5(f))) == preNoop)
+    // the layout still folds and appends normally afterwards
+    val (nb, na) = Tables.compactBucketed(spark, t)
+    assert(na <= nb && na <= 4)
+    Tables.appendBucketed(Seq((1L, 700L, 7.0)).toDF("k", "ts", "v"), t)
+    assert(spark.table(t).count() == 601)
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
+
+  test("crash-point fuzz: arbitrary kills of the bucketed range delete recover losslessly") {
+    val rnd = new scala.util.Random(88002L)
+    val tags = Seq("bktdel:folded" -> 1, "bktdel:staged" -> 1,
+      "bktdel:marker" -> 1, "bktdel:cold-moved" -> 1, "bktdel:cold-moved" -> 2,
+      "bktdel:aside" -> 1, "bktdel:installed" -> 1)
+    for (iter <- 1 to 7) {
+      val (tA, tB) = (s"fz_bktdel_a$iter", s"fz_bktdel_b$iter")
+      val n0 = 100 + rnd.nextInt(100)
+      val loadRows = (0L until n0).map(i => (i % 5, i, rnd.nextDouble()))
+      val batchRows = (0L until 40L).map(i => (i % 5, n0 + i, rnd.nextDouble()))
+      for (t <- Seq(tA, tB)) {
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        Tables.loadBucketed(loadRows.toDF("k", "ts", "v"), t, Seq("k"), 4,
+          sortCols = Seq("ts"))
+        Tables.appendBucketed(batchRows.toDF("k", "ts", "v"), t)
+      }
+      val (lo, hi) = (n0.toLong, n0 + 19L) // cuts the appended batch in half
+      val (tag, nth) = tags(rnd.nextInt(tags.size))
+      withCrash(tag, nth)(Tables.deleteRangeBucketed(spark, tA, lit(lo), lit(hi)))
+      Tables.deleteRangeBucketed(spark, tA, lit(lo), lit(hi)) // recovery + redo
+      Tables.deleteRangeBucketed(spark, tB, lit(lo), lit(hi))
+      def content(t: String) = spark.table(t).select("k", "ts", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(x => (x._1, x._2, x._3)).toSeq
+      assert(content(tA) == content(tB),
+        s"iter $iter (tag=$tag#$nth): recovered delete content diverged")
+      assert(content(tA).size == n0 + 20,
+        s"iter $iter: exactly the [$lo,$hi] rows must be gone")
+      for (t <- Seq(tA, tB)) spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    }
+  }
+
   test("deleteRange refuses foreign content; committer debris is cleaned, not fatal") {
     val path = tmp("delguard")
     Tables.load((0L until 40L).map(i => (i, i * 1.0)).toDF("ts", "v"), path, Seq(), "ts")
