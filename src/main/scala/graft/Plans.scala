@@ -33,7 +33,10 @@ object Plans {
     "q_tpch_q4", "q_tpch_q16",
     // round 12: the outer-join (Q13) and correlated scalar-subquery
     // decorrelation (Q17) families, and the key-equality bucket-pruned scan
-    "q_tpch_q13", "q_tpch_q17", "q_get_bucketed_key", "q_tpch_q18")
+    "q_tpch_q13", "q_tpch_q17", "q_get_bucketed_key", "q_tpch_q18",
+    // round 13: the disjunctive-pushdown (Q19) and nested-semi-join-chain
+    // (Q20) families
+    "q_tpch_q19", "q_tpch_q20")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

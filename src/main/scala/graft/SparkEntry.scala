@@ -1527,6 +1527,58 @@ object SparkEntry {
                             and o_orderpriority = '1-URGENT')
         group by c_nationkey""")
     }),
+    "q_tpch_q19" -> ((s, dir) => {
+      // TPC-H Q19 (discounted revenue), adapted to the testdata (no
+      // p_container/l_shipmode: each disjunct pairs p_brand + p_size with
+      // an l_quantity band) — the DISJUNCTIVE-PUSHDOWN plan family: an
+      // OR-of-ANDs spanning both join sides, where Catalyst must still
+      // derive the per-side residue ((brand,size) triple-OR) and push it
+      // through the join into the part scan instead of evaluating the
+      // whole predicate post-join (PushExtraPredicateThroughJoin). A scan
+      // that reads every part row for this query is the regression this
+      // gate exists to catch. SQL on purpose. Plan notes in PLANS.md.
+      li(s, dir).createOrReplaceTempView("lineitem_q19")
+      Tables.read(s, dir, "part").createOrReplaceTempView("part_q19")
+      s.sql("""
+        select cast(sum(l_extendedprice * (1 - l_discount)) as float) as revenue,
+               count(*) as n
+        from lineitem_q19, part_q19
+        where p_partkey = l_partkey
+          and ((p_brand = 'Brand#12' and p_size between 1 and 15
+                and l_quantity between 1 and 11)
+            or (p_brand = 'Brand#23' and p_size between 1 and 25
+                and l_quantity between 10 and 20)
+            or (p_brand = 'Brand#34' and p_size between 1 and 35
+                and l_quantity between 20 and 30))""")
+    }),
+    "q_tpch_q20" -> ((s, dir) => {
+      // TPC-H Q20 (potential part promotion), adapted to the testdata (no
+      // partsupp: lineitem is the supplier↔part bridge, and the original's
+      // `ps_availqty > 0.5 * correlated sum` becomes `l_quantity > 1.6 *
+      // correlated avg per part`) — the NESTED SEMI-JOIN CHAIN family:
+      // the outer `s_suppkey IN (...)` must plan as a LeftSemi whose
+      // subquery ITSELF contains a second semi join (`l_partkey IN
+      // (parts named *gear*)`) plus a correlated scalar agg that
+      // decorrelates to ONE per-partkey aggregate — two LeftSemis and a
+      // hash agg, no collected IN-list, no per-row subquery anywhere.
+      // SQL on purpose. Plan notes in PLANS.md.
+      li(s, dir).createOrReplaceTempView("lineitem_q20")
+      Tables.read(s, dir, "part").createOrReplaceTempView("part_q20")
+      Tables.read(s, dir, "supplier").createOrReplaceTempView("supplier_q20")
+      Tables.read(s, dir, "nation").createOrReplaceTempView("nation_q20")
+      s.sql("""
+        select s_name, cast(s_acctbal as float) as s_acctbal
+        from supplier_q20, nation_q20
+        where s_suppkey in (
+            select l.l_suppkey from lineitem_q20 l
+            where l.l_partkey in (select p_partkey from part_q20
+                                  where p_name like '%gear%')
+              and l.l_quantity > (select 1.6 * avg(l2.l_quantity)
+                                  from lineitem_q20 l2
+                                  where l2.l_partkey = l.l_partkey))
+          and s_nationkey = n_nationkey
+          and n_name in ('NATION_1', 'NATION_5', 'NATION_9')""")
+    }),
     "q_get_bucketed_key" -> ((s, dir) => {
       // bucket PRUNING on key-equality scans — the per-key half of
       // TABLE_get (btree.c:479-589: descend ONE series' tree). Spark
@@ -3016,6 +3068,29 @@ object SparkEntry {
          WHERE NOT (epoch_ns(ts) >= 1704672000000000000
                     AND epoch_ns(ts) <= 1704758400000000000)
          GROUP BY event_type""",
+    "q_tpch_q19" ->
+      """SELECT CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue,
+         count(*) AS n
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey
+           AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                 AND l_quantity BETWEEN 20 AND 30))""",
+    "q_tpch_q20" ->
+      """SELECT s_name, CAST(s_acctbal AS REAL) AS s_acctbal
+         FROM supplier, nation
+         WHERE s_suppkey IN (
+             SELECT l.l_suppkey FROM lineitem l
+             WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                                   WHERE p_name LIKE '%gear%')
+               AND l.l_quantity > (SELECT 1.6 * avg(l2.l_quantity)
+                                   FROM lineitem l2
+                                   WHERE l2.l_partkey = l.l_partkey))
+           AND s_nationkey = n_nationkey
+           AND n_name IN ('NATION_1', 'NATION_5', 'NATION_9')""",
     "q_tpch_q6" ->
       """SELECT CAST(sum(l_extendedprice * l_discount) AS REAL) AS revenue,
          count(*) AS n
