@@ -84,6 +84,22 @@ case class AppendMarker(ts: String, files: Seq[String])
   */
 case class RetiredDir(path: String, retiredMs: Long)
 
+/** One managed table's operational snapshot — the engine's analog of the
+  * reference's cs_used_memory / cs_profile introspection
+  * (imcs.c:5716-5767): what the store holds (live vs grace-retained
+  * bytes, fold backlog), what is flowing in (stream high-water marks),
+  * and who is working on it (lease, reader pins). Snake_case fields on
+  * purpose: they are the column names of [[Tables.stats]]' one-row frame
+  * and of the `cs_table_stats` SQL surface. All values are metadata-only
+  * reads (listing + sidecars) — no data bytes are touched.
+  */
+case class TableStats(
+    path: String, governed: Boolean, ts: String,
+    live_files: Int, live_bytes: Long, unloaded_files: Int,
+    retired_files: Int, retired_bytes: Long,
+    stream_count: Int, stream_high_water: Long, stream_pending: Boolean,
+    lease_op: String, lease_age_ms: Long, reader_pins: Int)
+
 /** Table lifecycle over Parquet — the Spark equivalents of the reference's
   * load / append / delete / truncate generated functions
   * (imcs--1.1.sql:33-430, imcs.c:4177-4412; SURVEY.md §2.1).
@@ -3130,6 +3146,83 @@ object Tables {
       ct.schema, fromNs, tillNs, tsName = ts).getOrElse(spark.table(table))
     base.filter(col(ts) >= tsLit(fromNs, dt) && col(ts) < tsLit(tillNs, dt))
   }
+
+  // ---- introspection (cs_used_memory / cs_profile, imcs.c:5716-5767) ----
+
+  /** Operational snapshot of a managed table directory — see
+    * [[TableStats]]. Metadata-only: one listing plus the sidecars
+    * (manifest, stream commits, lease, pins); zero data bytes read. An
+    * ungoverned or absent path reports governed=false with the plain
+    * listing's file counts. Values are an instantaneous, lock-free read —
+    * concurrent maintenance can move them; use inside a lease/pin for a
+    * stable view.
+    */
+  def tableStats(conf: org.apache.hadoop.conf.Configuration,
+                 path: String): TableStats = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(conf)
+    val exists = fs.exists(hp) && fs.getFileStatus(hp).isDirectory
+    val listing = if (exists) fs.listStatus(hp).filter(_.isFile).toSeq
+                  else Seq.empty
+    val dataByName = listing.filter(s => isDataFile(s.getPath.getName))
+      .map(s => s.getPath.getName -> s.getLen).toMap
+    val m = if (exists) readManifest(fs, hp) else None
+    val (liveFiles, liveBytes, unloaded) = m match {
+      case Some(mm) =>
+        (mm.files.size, mm.files.map(_.bytes).sum, mm.files.count(!_.loaded))
+      case None => (dataByName.size, dataByName.values.sum, 0)
+    }
+    val (retFiles, retBytes) = m.map { mm =>
+      val present = mm.retired.flatMap(r => dataByName.get(r.name))
+      (present.size, present.sum)
+    }.getOrElse((0, 0L))
+    val sc = if (exists) readStreamCommits(fs, hp) else StreamCommits(Map.empty)
+    val lease = new Path(hp.getParent, hp.getName + ".lease")
+    val leaseAge = scala.util.Try(fs.getFileStatus(lease)).toOption
+      .map(s => System.currentTimeMillis() - s.getModificationTime)
+    val leaseLive = leaseAge.exists(_ < leaseTtlMs)
+    val leaseOp =
+      if (!leaseLive) ""
+      else scala.util.Try(org.json4s.jackson.Serialization
+        .read[Map[String, String]](readSmallText(fs, lease))
+        .getOrElse("op", "<unknown>")).getOrElse("<unreadable>")
+    val now = System.currentTimeMillis()
+    val pins = scala.util.Try(
+      fs.globStatus(new Path(hp.getParent, hp.getName + ".pin.*"))).toOption
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .count(s => s.isFile && now - s.getModificationTime < leaseTtlMs)
+    TableStats(path, m.isDefined, m.map(_.ts).getOrElse(""),
+      liveFiles, liveBytes, unloaded, retFiles, retBytes,
+      sc.committed.size,
+      if (sc.committed.isEmpty) -1L else sc.committed.values.max,
+      sc.pending.isDefined, leaseOp,
+      if (leaseLive) leaseAge.get else -1L, pins)
+  }
+
+  /** [[tableStats]] as a one-row DataFrame (columns = the case class's
+    * snake_case fields) for a managed clustered path.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame =
+    spark.createDataFrame(Seq(
+      tableStats(spark.sparkContext.hadoopConfiguration, path)))
+
+  /** [[stats]] for a bucketed CATALOG table — resolves the table's
+    * CURRENT generation location (it moves on every isolated fold).
+    */
+  def statsTable(spark: SparkSession, table: String): DataFrame = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+    stats(spark, new Path(loc).toString)
+  }
+
+  /** [[tableStats]] rendered as one JSON object — the payload of the
+    * `cs_table_stats(path)` SQL function (registered by
+    * [[graft.sqlext.GraftFunctions.register]]). Builds its own Hadoop
+    * configuration so the closure captures nothing unserializable.
+    */
+  def statsJson(path: String): String =
+    org.json4s.jackson.Serialization.write(
+      tableStats(new org.apache.hadoop.conf.Configuration(), path))
 
   /** [[loadBucketed]] unless `table` already exists with data on disk AND
     * the catalog's bucket spec matches the requested one — the

@@ -564,8 +564,17 @@ object GraftFunctions {
       "cs_to_timestamp_array(arr) - epoch-microsecond series as array<timestamp> (PG timestamp precision)"))
 
   /** Register as temp functions on a live session. */
-  def register(spark: SparkSession): Unit = all.foreach { case (name, b, _) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "scala_udf")
+  def register(spark: SparkSession): Unit = {
+    all.foreach { case (name, b, _) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+    // the ONE non-expression registration: cs_table_stats is operational
+    // introspection (cs_used_memory/cs_profile analog, imcs.c:5716-5767)
+    // — a filesystem-metadata read, not a per-row function, so the
+    // native-expression rule above doesn't apply. Returns one JSON
+    // object; see graft.io.Tables.stats for the columnar form.
+    spark.udf.register("cs_table_stats",
+      (path: String) => graft.io.Tables.statsJson(path))
   }
 }
 

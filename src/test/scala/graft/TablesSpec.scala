@@ -915,6 +915,60 @@ class TablesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("EMPTY"), s"got: ${e.getMessage}")
   }
 
+  test("tableStats cross-checks the filesystem through the lifecycle") {
+    val path = tmp("stats")
+    def fsData(): Seq[java.io.File] = dataFiles(path)
+    // ungoverned/absent: zeros, governed=false
+    val s0 = Tables.tableStats(spark.sparkContext.hadoopConfiguration, path)
+    assert(!s0.governed && s0.live_files == 0 && s0.live_bytes == 0L)
+    // load: governed, live = the on-disk files, nothing unloaded
+    Tables.load((0L until 2000L).map(i => (i, i * 1.0)).toDF("ts", "v")
+      .repartition(4), path, Seq(), "ts")
+    val s1 = Tables.tableStats(spark.sparkContext.hadoopConfiguration, path)
+    assert(s1.governed && s1.ts == "ts")
+    assert(s1.live_files == fsData().size)
+    assert(s1.live_bytes == fsData().map(_.length).sum)
+    assert(s1.unloaded_files == 0 && s1.retired_files == 0)
+    assert(s1.lease_op == "" && s1.reader_pins == 0 && s1.stream_count == 0)
+    // append: the batch registers as unloaded
+    Tables.append(Seq((3000L, 1.0)).toDF("ts", "v"), path, "ts", lit(3000L))
+    val s2 = Tables.tableStats(spark.sparkContext.hadoopConfiguration, path)
+    assert(s2.unloaded_files == 1 && s2.live_files == s1.live_files + 1)
+    // delete under grace: replaced files show as retired with their bytes
+    withGrace(600000L) {
+      Tables.deleteRange(spark, path, "ts", lit(3000L), lit(3000L))
+      val s3 = Tables.tableStats(spark.sparkContext.hadoopConfiguration, path)
+      assert(s3.retired_files == 1 && s3.retired_bytes > 0L)
+      assert(s3.live_files == s1.live_files)
+      // a live reader pin and a held lease are both visible
+      Tables.withReaderPin(spark, path) {
+        val s4 = Tables.tableStats(spark.sparkContext.hadoopConfiguration, path)
+        assert(s4.reader_pins == 1)
+      }
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Tables.withWriterLease(fs, hp, "statsprobe") {
+        val s5 = Tables.tableStats(spark.sparkContext.hadoopConfiguration, path)
+        assert(s5.lease_op == "statsprobe" && s5.lease_age_ms >= 0L)
+      }
+    }
+    // stream ingest: high-water mark and stream count surface
+    val batch = Seq((5000L, 5.0)).toDF("ts", "v")
+    assert(Tables.appendStreamBatch(batch, path, "ts", "ckpt-stats", 0L))
+    assert(Tables.appendStreamBatch(
+      Seq((6000L, 6.0)).toDF("ts", "v"), path, "ts", "ckpt-stats", 1L))
+    val s6 = Tables.tableStats(spark.sparkContext.hadoopConfiguration, path)
+    assert(s6.stream_count == 1 && s6.stream_high_water == 1L)
+    assert(!s6.stream_pending)
+    // the one-row DataFrame form matches, and the SQL surface serves it
+    val row = Tables.stats(spark, path).head()
+    assert(row.getAs[Long]("live_bytes") == s6.live_bytes)
+    graft.sqlext.GraftFunctions.register(spark)
+    val js = spark.sql(s"select cs_table_stats('$path') as j").head().getString(0)
+    assert(js.contains("\"live_files\":" + s6.live_files), js)
+    assert(js.contains("\"governed\":true"), js)
+  }
+
   test("rangeScan open-ended Long bounds don't overflow the µs literal") {
     val dir = "/root/testdata/sf0.001"
     val all = Tables.read(spark, dir, "events").count()
