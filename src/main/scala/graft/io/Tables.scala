@@ -279,7 +279,42 @@ object Tables {
       if (qual(s"$dir/$name.parquet") == target) readCache.remove(k)
     }
     scala.util.Try(spark.catalog.refreshByPath(path))
+    refreshRegisteredView(spark, path, target)
   }
+
+  // ---- registered views over the live generation ------------------------
+
+  private val viewRegistry =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Register `name` as a session temp view that ALWAYS serves `path`'s
+    * LIVE generation: every mutating lifecycle op re-resolves the view
+    * from the post-install manifest, so `spark.table(name)` mid-grace
+    * never sees retired files — the safe read path becomes the obvious
+    * one (the bucketed layout gets this for free from its catalog
+    * location flip; this closes the same hole for the clustered layout,
+    * where a plain `spark.read.parquet(dir)` during the grace window
+    * would double-count). A truncate drops the view. Session-scoped —
+    * re-register after a restart, like any temp view.
+    */
+  def registerView(spark: SparkSession, path: String, name: String): Unit = {
+    val hp = new Path(path)
+    val q = scala.util.Try(
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toString).getOrElse(path)
+    viewRegistry.put((spark, q), name)
+    snapshot(spark, path).createOrReplaceTempView(name)
+  }
+
+  private def refreshRegisteredView(spark: SparkSession, path: String,
+                                    qualified: String): Unit =
+    Option(viewRegistry.get((spark, qualified))).foreach { name =>
+      scala.util.Try(snapshot(spark, path)) match {
+        case scala.util.Success(df) => df.createOrReplaceTempView(name)
+        case scala.util.Failure(_) => // truncated/emptied: the view dies too
+          scala.util.Try(spark.catalog.dropTempView(name))
+      }
+    }
 
   /** Epoch-ns bound as a literal of the RAW ts column's type, so the
     * comparison needs no cast around the attribute and translates to a

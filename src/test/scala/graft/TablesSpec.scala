@@ -915,6 +915,37 @@ class TablesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("EMPTY"), s"got: ${e.getMessage}")
   }
 
+  test("registered view serves the live generation mid-grace; pinned reader completes") {
+    withGrace(600000L) {
+      val path = tmp("view")
+      Tables.load((0L until 2000L).map(i => (i, i * 1.0)).toDF("ts", "v")
+        .repartition(4), path, Seq(), "ts")
+      Tables.registerView(spark, path, "g_view_t")
+      assert(spark.table("g_view_t").count() == 2000)
+      Tables.withReaderPin(spark, path) {
+        // this reader listed the OLD generation before the delete
+        val old = Tables.snapshot(spark, path)
+        Tables.deleteRange(spark, path, "ts", lit(0L), lit(999L))
+        // the catalog read mid-grace sees ONLY the live generation —
+        // never the grace-retained intersecting files a plain
+        // spark.read.parquet(dir) would double-count
+        assert(spark.table("g_view_t").count() == 1000)
+        assert(spark.table("g_view_t").agg(min(col("ts"))).head().getLong(0)
+          == 1000L)
+        // while the pinned reader still completes on its old snapshot
+        assert(old.count() == 2000)
+      }
+    }
+    // a truncate kills the view rather than leaving it dangling
+    val path2 = tmp("view2")
+    Tables.load(Seq((1L, 1.0)).toDF("ts", "v"), path2, Seq(), "ts")
+    Tables.registerView(spark, path2, "g_view_t2")
+    assert(spark.table("g_view_t2").count() == 1)
+    Tables.truncate(spark, path2)
+    assert(!spark.catalog.tableExists("g_view_t2"),
+      "truncate must drop the registered view")
+  }
+
   test("tableStats cross-checks the filesystem through the lifecycle") {
     val path = tmp("stats")
     def fsData(): Seq[java.io.File] = dataFiles(path)
