@@ -197,13 +197,49 @@ object Bench {
     *    sidecar file, so per-rep forensics survive even when the stdout
     *    tail clips it.
     */
+  /** Canary-normalized round-over-round ratios (VERDICT r12 #4): for each
+    * query in both rounds, (q_now/q_prev) / (canary_now/canary_prev) —
+    * PLANS.md's prescribed formula, computed here so round-over-round
+    * reads stop being a manual exercise. Reads the HIGHEST-numbered
+    * BENCH_r*.json archive in the working directory (the driver's record
+    * of the previous round); absent/unparseable archives (or a prior
+    * record with no canary) yield None and the fields are omitted.
+    */
+  private[graft] def normalizedVsPrev(results: Seq[QRes], canarySec: Double):
+      Option[(String, Double, Map[String, Double])] = scala.util.Try {
+    val re = """BENCH_r(\d+)\.json""".r
+    val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => f.getName match {
+        case re(n) => Some((n.toInt, f))
+        case _ => None
+      }).sortBy(_._1).lastOption
+    prev.flatMap { case (_, f) =>
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val root = org.json4s.jackson.JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      val parsed = root \ "parsed"
+      val prevCanary = (parsed \ "canary_sec").extractOpt[Double].getOrElse(-1.0)
+      val prevQ = (parsed \ "queries").extractOpt[Map[String, Double]]
+        .getOrElse(Map.empty)
+      if (prevCanary <= 0.0 || canarySec <= 0.0 || prevQ.isEmpty) None
+      else {
+        val cr = canarySec / prevCanary
+        val m = results.filter(r => !r.failed && prevQ.get(r.name).exists(_ > 0))
+          .map(r => r.name -> (r.minT / prevQ(r.name)) / cr).toMap
+        Some((f.getName, cr, m))
+      }
+    }
+  }.toOption.flatten
+
   private[graft] def renderJson(results: Seq[QRes], reps: Int, loadSec: Double,
                                 startLoad: Seq[Double], endLoad: Seq[Double],
                                 contended: Boolean, noisy: Seq[String],
                                 sfDir: String, attempt: Int,
                                 noCleanRun: Option[Int],
                                 withRepTimes: Boolean = false,
-                                canarySec: Double = -1.0): String = {
+                                canarySec: Double = -1.0,
+                                normPrev: Option[(String, Double,
+                                  Map[String, Double])] = None): String = {
     def jmap(f: QRes => String) = results.map(f).mkString("{", ",", "}")
     val qs = jmap(r => "\"" + r.name + "\":" + f"${r.minT}%.3f")
     val spread = jmap(r => "\"" + r.name + "\":" + f"${r.spread}%.3f")
@@ -236,7 +272,18 @@ object Bench {
       .map(r => "\"" + r.name + "\":" + r.warm.length)
     val extraJson =
       if (extraReps.isEmpty) "" else extraReps.mkString(""","warm_reps":{""", ",", "}")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread$repsJson,"failed":$failedList,"reps":$reps$extraJson,"attempt":$attempt,"load_sec":$loadSec%.3f,"canary_sec":$canarySec%.3f,"cold_sec":$coldTotal%.3f,"maint_sec":$maintTotal%.3f,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"$marker}"""
+    // normalized round-over-round ratios: the COMPACT line (the driver's
+    // bounded tail capture) carries only the out-of-band movers
+    // (|ratio-1| > 10%) so the record stays parseable; the detail line +
+    // sidecar carry the full map for forensics
+    val normJson = normPrev.map { case (prevName, cr, m) =>
+      val kept = if (withRepTimes) m else m.filter(e => math.abs(e._2 - 1.0) > 0.10)
+      val entries = kept.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      s""","prev_round":"$prevName","canary_ratio":${f"$cr%.2f"},"normalized_vs_prev":$entries"""
+    }.getOrElse("")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread$repsJson,"failed":$failedList,"reps":$reps$extraJson,"attempt":$attempt,"load_sec":$loadSec%.3f,"canary_sec":$canarySec%.3f,"cold_sec":$coldTotal%.3f,"maint_sec":$maintTotal%.3f$normJson,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"$marker}"""
   }
 
   /** Emit one attempt's record: detail line first (full rep_times, also
@@ -249,12 +296,13 @@ object Bench {
                          contended: Boolean, noisy: Seq[String],
                          sfDir: String, attempt: Int,
                          noCleanRun: Option[Int], canarySec: Double): Unit = {
+    val normPrev = normalizedVsPrev(results, canarySec)
     val detail = renderJson(results, reps, loadSec, startLoad, endLoad,
       contended, noisy, sfDir, attempt, noCleanRun, withRepTimes = true,
-      canarySec = canarySec)
+      canarySec = canarySec, normPrev = normPrev)
     val compact = renderJson(results, reps, loadSec, startLoad, endLoad,
       contended, noisy, sfDir, attempt, noCleanRun, withRepTimes = false,
-      canarySec = canarySec)
+      canarySec = canarySec, normPrev = normPrev)
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "bench_detail.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
@@ -423,14 +471,20 @@ object Bench {
     // garbage) refuses loudly, a stale one (killed run) is broken and its
     // staging reclaimed. The per-op leases inside re-enter (same thread).
     val maintPath = s"${System.getProperty("java.io.tmpdir")}/graft_bench_incr"
+    val maintDelPath = s"${System.getProperty("java.io.tmpdir")}/graft_bench_del"
+    val maintStreamPath = s"${System.getProperty("java.io.tmpdir")}/graft_bench_stream"
     val maintBktTable = "graft_bench_bkt_incr"
     val maintHp = new org.apache.hadoop.fs.Path(maintPath)
     val maintFs = maintHp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delHp = new org.apache.hadoop.fs.Path(maintDelPath)
+    val strHp = new org.apache.hadoop.fs.Path(maintStreamPath)
     val bktLoc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
         org.apache.spark.sql.catalyst.TableIdentifier(maintBktTable)))
     val bktFs = bktLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.io.Tables.withWriterLease(maintFs, maintHp, "bench-run") {
+    graft.io.Tables.withWriterLease(maintFs, delHp, "bench-run") {
+    graft.io.Tables.withWriterLease(maintFs, strHp, "bench-run") {
     graft.io.Tables.withWriterLease(bktFs, bktLoc, "bench-run") {
     val maintOps: Seq[(String, () => Unit)] = {
       import org.apache.spark.sql.functions.{col, lit, min, max}
@@ -445,9 +499,21 @@ object Bench {
       // entry reclaim of killed-run leftovers — we hold the run lease, so
       // plain deletes are safe (no second run can be mid-measurement here)
       maintFs.delete(maintHp, true)
+      maintFs.delete(delHp, true)
+      maintFs.delete(strHp, true)
       bktFs.delete(bktLoc, true)
       graft.io.Tables.load(ev.filter(col("ts") < cutNs), maintPath, Seq(), "ts")
+      // q_delete_range's table: base below the cut; each rep appends one
+      // batch then retention-deletes exactly its span — the table returns
+      // to the base size, so every rep measures the same-shaped delete
+      graft.io.Tables.load(ev.filter(col("ts") < cutNs), maintDelPath, Seq(), "ts")
+      // q_stream_ingest's table: same base; each rep lands the batch as
+      // K micro-batches through the exactly-once commit-log path
+      graft.io.Tables.load(ev.filter(col("ts") < cutNs), maintStreamPath,
+        Seq(), "ts")
       var repIdx = 0L
+      var delRepIdx = 0L
+      var streamRepIdx = 0L
       // the bucketed lifecycle twin (r10's appendBucketed/compactBucketed):
       // same base/batch split through the bucketed layout. loadBucketed
       // overwrites any leftover from a killed run (fixed name). Each rep
@@ -471,6 +537,39 @@ object Bench {
           graft.io.Tables.appendBucketed(
             batch.withColumn("ts", col("ts") + lit(shift)), maintBktTable)
           graft.io.Tables.compactBucketed(spark, maintBktTable)
+          ()
+        }),
+        // one APPEND + RETENTION-DELETE cycle per rep (the r13 O(range)
+        // claim, timed round-over-round): the delete's manifest split must
+        // carry every base file and rewrite only the batch's — a rep that
+        // starts scaling with the base table is the regression this entry
+        // catches (ScaleSmoke's deleteRange A/B is the ∝-range proof)
+        "q_delete_range" -> (() => {
+          val shift = delRepIdx * batchSpan
+          delRepIdx += 1
+          val lo = cutNs + shift
+          graft.io.Tables.append(batch.withColumn("ts", col("ts") + lit(shift)),
+            maintDelPath, "ts", lit(Long.MinValue))
+          graft.io.Tables.deleteRange(spark, maintDelPath, "ts",
+            lit(lo), lit(lo + batchSpan))
+          ()
+        }),
+        // the batch landed as 4 micro-batches through the exactly-once
+        // stream commit-log path (VERDICT r12 #6: the reference's trigger
+        // -cost baseline has a standing number, ours didn't) — per-batch
+        // metadata overhead = (this / 4) vs (q_compact_incr's append half)
+        "q_stream_ingest" -> (() => {
+          val shift = streamRepIdx * batchSpan
+          streamRepIdx += 1
+          val k = 4
+          val step = (batchSpan + k - 1) / k
+          for (j <- 0 until k) {
+            val lo = cutNs + j * step
+            val sub = batch.filter(col("ts") >= lo && col("ts") < (lo + step))
+              .withColumn("ts", col("ts") + lit(shift))
+            graft.io.Tables.appendStreamBatch(sub, maintStreamPath, "ts",
+              "bench-stream", streamRepIdx * k + j)
+          }
           ()
         }))
     }
@@ -536,8 +635,10 @@ object Bench {
     // cleanup instead); best-effort — a cleanup failure must never turn an
     // emitted record into a non-zero exit
     try {
-      val mp = new org.apache.hadoop.fs.Path(maintPath)
-      mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, true)
+      Seq(maintPath, maintDelPath, maintStreamPath).foreach { mp0 =>
+        val mp = new org.apache.hadoop.fs.Path(mp0)
+        mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, true)
+      }
       val loc = scala.util.Try(
         spark.sessionState.catalog.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(maintBktTable)).location)
@@ -551,6 +652,8 @@ object Bench {
       System.err.println(s"[bench] staging cleanup failed: ${e.getMessage}")
     }
     } // bench-run lease (bucketed staging)
+    } // bench-run lease (stream staging)
+    } // bench-run lease (delete staging)
     } // bench-run lease (clustered staging)
     spark.stop()
   }

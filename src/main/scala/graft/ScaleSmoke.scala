@@ -354,6 +354,72 @@ object ScaleSmoke {
           Seq("user_id"), 64, sortCols = Seq("ts"))
       }
     }
+    // deleteRange at scale (round 13): the retention delete's wall must
+    // track the AFFECTED RANGE, not the table — the manifest split carries
+    // every ts-disjoint file untouched and rewrites only the appended
+    // span's files. Growth of this line across the ×20/×100 logs would
+    // mean the O(range) claim broke (the pre-r13 behavior rewrote the
+    // whole ×factor table here). The full-compact line above is the
+    // O(table) comparator at the same factor.
+    run("deleteRange: retention delete of one appended span (O(range) claim)") {
+      val path = s"$work/events.parquet"
+      tableGetFrom // ensure the ×factor events layout + manifest exist
+      val mx = spark.read.parquet(path).agg(max("ts")).head().getLong(0)
+      val batch = graft.io.Tables.read(spark, "/root/testdata/sf0.1", "events")
+        .filter(col("event_id") % 20 === 0) // 5k rows regardless of ×factor
+        .withColumn("ts", lit(mx + 1L) + (col("event_id") % 1000000L))
+      graft.io.Tables.append(batch, path, "ts", lit(0L))
+      val pre = graft.io.Tables.manifest(spark, path).get.files.map(_.name).toSet
+      time("  deleteRange of exactly the appended span") {
+        graft.io.Tables.deleteRange(spark, path, "ts",
+          lit(mx + 1L), lit(Long.MaxValue))
+      }
+      val post = graft.io.Tables.manifest(spark, path).get
+      val carriedN = post.files.count(e => pre(e.name))
+      println(s"  carried $carriedN of ${pre.size} files untouched; " +
+        s"rewrote ${pre.size - carriedN} (the appended span's)")
+    }
+    // stream-ingest overhead (round 13, VERDICT r12 #6): the same rows
+    // landed as K micro-batches through the exactly-once commit-log path
+    // vs ONE plain append — the delta / K is the per-batch metadata cost
+    // (pending record, marker retention, commit record, marker delete).
+    run("stream ingest: 4 micro-batches vs one batch append") {
+      val pA = s"$work/stream_ab_batch.parquet"
+      val pB = s"$work/stream_ab_stream.parquet"
+      val ev01 = graft.io.Tables.read(spark, "/root/testdata/sf0.1", "events")
+      val mm2 = ev01.agg(min(col("ts")), max(col("ts"))).head()
+      val (t0v, t1v) = (mm2.getLong(0), mm2.getLong(1))
+      val cut = t1v - (t1v - t0v) / 20
+      val batch = ev01.filter(col("ts") >= cut)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"  batch rows: ${batch.count()}")
+      for (p <- Seq(pA, pB)) {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        graft.io.Tables.load(ev01.filter(col("ts") < cut), p, Seq(), "ts")
+      }
+      val tOne = time("  one plain append") {
+        val t0 = System.nanoTime()
+        graft.io.Tables.append(batch, pA, "ts", lit(Long.MinValue))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val k = 4
+      val span = t1v - cut + 1
+      val step = (span + k - 1) / k
+      val tK = time(s"  $k stream micro-batches (commit-log path)") {
+        val t0 = System.nanoTime()
+        for (j <- 0 until k) {
+          val lo = cut + j * step
+          graft.io.Tables.appendStreamBatch(
+            batch.filter(col("ts") >= lo && col("ts") < (lo + step)),
+            pB, "ts", "smoke-stream", j.toLong)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"  per-micro-batch overhead vs one append: " +
+        f"${(tK - tOne) / k}%.3f s (metadata ops + smaller write jobs)")
+      batch.unpersist()
+    }
     // bucketed ts-slice at scale (round 11): the manifest's file pruning
     // must pay at growth — a recent-data slice reads only the appended
     // batch's files while the unpruned filter scans every bucket file of

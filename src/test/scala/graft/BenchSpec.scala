@@ -138,6 +138,31 @@ class BenchSpec extends AnyFunSuite {
     assert(s.contains("\"m\":0.900"), s)           // still in the queries map
   }
 
+  test("normalized_vs_prev: compact carries movers only, detail the full map") {
+    val rs = Seq(q("q_a", 0.2, 0.01), q("q_b", 0.3, 0.01), q("q_c", 0.1, 0.01))
+    val norm = Some(("BENCH_r12.json", 1.05,
+      Map("q_a" -> 1.21, "q_b" -> 0.99, "q_c" -> 0.85)))
+    val compact = Bench.renderJson(rs, 7, 1.0, Seq(1, 1, 1), Seq(1, 1, 1),
+      contended = false, noisy = Seq(), "/sf", 1, None,
+      withRepTimes = false, canarySec = 0.08, normPrev = norm)
+    assert(compact.contains("\"prev_round\":\"BENCH_r12.json\""))
+    assert(compact.contains("\"canary_ratio\":1.05"))
+    // only |ratio-1| > 10% movers survive into the bounded compact line
+    assert(compact.contains("\"normalized_vs_prev\":{\"q_a\":1.21,\"q_c\":0.85}"),
+      compact)
+    assert(!compact.contains("\"q_b\":0.99"))
+    val detail = Bench.renderJson(rs, 7, 1.0, Seq(1, 1, 1), Seq(1, 1, 1),
+      contended = false, noisy = Seq(), "/sf", 1, None,
+      withRepTimes = true, canarySec = 0.08, normPrev = norm)
+    assert(detail.contains("\"q_b\":0.99"), "detail must carry the full map")
+    assert(compact.count(_ == '{') == compact.count(_ == '}'))
+    assert(detail.count(_ == '{') == detail.count(_ == '}'))
+    // absent archive → fields omitted entirely, record still parses
+    val none = Bench.renderJson(rs, 7, 1.0, Seq(1, 1, 1), Seq(1, 1, 1),
+      contended = false, noisy = Seq(), "/sf", 1, None)
+    assert(!none.contains("normalized_vs_prev") && !none.contains("prev_round"))
+  }
+
   test("compact record fits the driver's bounded tail capture (r9 parsed:null)") {
     // BENCH_r09 was clean but parsed:null — rep_times made the single JSON
     // line longer than the driver's 2000-char tail capture, which clipped
@@ -145,11 +170,16 @@ class BenchSpec extends AnyFunSuite {
     // stay comfortably under that bound even at full headline width, and
     // must not carry rep_times at all.
     val rs = Bench.headline.map(n => q(n, 0.123, 0.045)) ++
-      Seq(q("q_future_headroom_1", 1.234, 0.567), q("q_future_headroom_2", 9.876, 0.321))
+      Seq(q("q_future_headroom_1", 1.234, 0.567), q("q_future_headroom_2", 9.876, 0.321),
+        q("q_compact_incr", 0.6, 0.05), q("q_compact_bucketed", 0.5, 0.05),
+        q("q_delete_range", 0.6, 0.05), q("q_stream_ingest", 1.2, 0.05))
+    // worst realistic case: a floor-shifted round flags a dozen movers
+    val norm = Some(("BENCH_r12.json", 1.08,
+      rs.take(12).map(r => r.name -> 1.21).toMap))
     val compact = Bench.renderJson(rs, reps = 7, loadSec = 12.345,
       startLoad = Seq(0.11, 0.22, 0.33), endLoad = Seq(4.44, 5.55, 6.66),
       contended = false, noisy = Seq(), sfDir = "/root/testdata/sf0.1",
-      attempt = 3, noCleanRun = Some(3), withRepTimes = false)
+      attempt = 3, noCleanRun = Some(3), withRepTimes = false, normPrev = norm)
     assert(!compact.contains("rep_times"))
     assert(compact.length < 1800,
       s"compact record is ${compact.length} chars — would overflow the " +
