@@ -1349,13 +1349,23 @@ object Tables {
     // file — deleteRange removing every row a file held — must not
     // install a stat-less 0-row entry that degrades every future
     // metadata-only decision. A footer-read failure keeps the file.
+    // EXCEPTION: a rewrite that empties the whole TABLE (delete-all)
+    // keeps ONE zero-row file as the schema anchor — the reference's
+    // delete-everything leaves a readable empty table (drop.sql), and a
+    // file-less governed dir has no schema source; the anchor's lone
+    // stat-less entry folds away at the table's next non-empty rewrite.
     val scanned = scanEntriesWithRows(conf, ts, fs.listStatus(tmp)
       .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq,
       loaded = true)
-    scanned.filter(_._2.contains(0L)).foreach { case (e, _) =>
+    val (zeros, nonzero) = scanned.partition(_._2.contains(0L))
+    val kept =
+      if (nonzero.isEmpty && carryLive.isEmpty && zeros.nonEmpty)
+        zeros.take(1)
+      else nonzero
+    val keptNames = kept.map(_._1.name).toSet
+    zeros.filterNot(z => keptNames(z._1.name)).foreach { case (e, _) =>
       fs.delete(new Path(tmp, e.name), false)
     }
-    val kept = scanned.filterNot(_._2.contains(0L))
     val staged = kept.map(e => fs.getFileStatus(new Path(tmp, e._1.name)))
     // job-unique part names make a collision with an existing file a sign
     // of corruption (the same job wrote both) — stop, never overwrite

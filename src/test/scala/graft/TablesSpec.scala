@@ -892,25 +892,42 @@ class TablesSpec extends AnyFunSuite {
     assert(Tables.snapshot(spark, path).count() == 7000)
   }
 
-  test("delete-everything empties the table; compact and re-delete no-op on it") {
+  test("delete-everything leaves a readable EMPTY table (drop.sql semantics)") {
     val path = tmp("delall")
     Tables.load((0L until 100L).map(i => (i, i * 1.0)).toDF("ts", "v"),
       path, Seq(), "ts")
     withGrace(600000L) {
       Tables.deleteRange(spark, path, "ts", lit(0L), lit(1000L))
+      // the schema ANCHOR: exactly one zero-row file stays live, so the
+      // table remains readable (the reference's delete-everything leaves
+      // an empty table, not a missing one)
       val m = Tables.manifest(spark, path).get
-      assert(m.files.isEmpty, "live set must be empty after delete-everything")
-      // while retired footers remain, the empty snapshot still has a schema
+      assert(m.files.size == 1, s"one anchor file expected, got ${m.files}")
       val snap = Tables.snapshot(spark, path)
       assert(snap.count() == 0)
       assert(snap.schema.fieldNames.toSet == Set("ts", "v"))
-      // empty-live-set maintenance must no-op, not throw on an empty read
-      assert(Tables.compact(spark, path, Seq(), "ts") == (0, 0))
+      // maintenance and re-deletes on the emptied table no-op gracefully
+      Tables.compact(spark, path, Seq(), "ts")
       Tables.deleteRange(spark, path, "ts", lit(0L), lit(10L))
     }
-    // after reclaim nothing remains to derive a schema from: fail with the
-    // table's actual state, not AnalysisException's "unable to infer"
+    // plain reads also work once the retired generation is reclaimed —
+    // the anchor survives vacuum (it is LIVE, not retired)
     Tables.vacuum(spark, path, graceMs = 0L)
+    assert(spark.read.parquet(path).count() == 0)
+    assert(Tables.snapshot(spark, path).count() == 0)
+    // appends resume on the emptied table
+    Tables.append(Seq((5L, 5.0)).toDF("ts", "v"), path, "ts", lit(0L))
+    assert(Tables.snapshot(spark, path).count() == 1)
+  }
+
+  test("a governed dir whose every footer vanished fails with its real state") {
+    // the defensive branch behind the anchor: a manifest with an empty
+    // live set over a dir holding NO parquet footer at all (hand-emptied,
+    // or an empty dir adopted by writeManifest) must name the condition
+    // instead of AnalysisException's misleading "unable to infer schema"
+    val path = tmp("emptygov")
+    new java.io.File(path).mkdirs()
+    Tables.writeManifest(spark, path, "ts")
     val e = intercept[RuntimeException](Tables.snapshot(spark, path))
     assert(e.getMessage.contains("EMPTY"), s"got: ${e.getMessage}")
   }
