@@ -3,7 +3,7 @@ package graft.io
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType, TimestampNTZType, TimestampType}
 
 /** One data file's recorded ts range in the table manifest: epoch-ns
   * bounds (None when the file had no usable stats — such a file is KEPT
@@ -311,7 +311,12 @@ object Tables {
     Option(viewRegistry.get((spark, qualified))).foreach { name =>
       scala.util.Try(snapshot(spark, path)) match {
         case scala.util.Success(df) => df.createOrReplaceTempView(name)
-        case scala.util.Failure(_) => // truncated/emptied: the view dies too
+        case scala.util.Failure(_) =>
+          // truncated/emptied: the view dies AND the registration dies
+          // with it — a stale registry entry would resurrect the name on
+          // the next lifecycle op and could clobber a user's own later
+          // temp view of the same name (r13 review finding #3)
+          viewRegistry.remove((spark, qualified))
           scala.util.Try(spark.catalog.dropTempView(name))
       }
     }
@@ -1354,9 +1359,10 @@ object Tables {
     // delete-everything leaves a readable empty table (drop.sql), and a
     // file-less governed dir has no schema source; the anchor's lone
     // stat-less entry folds away at the table's next non-empty rewrite.
-    val scanned = scanEntriesWithRows(conf, ts, fs.listStatus(tmp)
-      .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq,
-      loaded = true)
+    val stagedListing = fs.listStatus(tmp)
+      .filter(s => s.isFile && isDataFile(s.getPath.getName)).toSeq
+    val statusByName = stagedListing.map(s => s.getPath.getName -> s).toMap
+    val scanned = scanEntriesWithRows(conf, ts, stagedListing, loaded = true)
     val (zeros, nonzero) = scanned.partition(_._2.contains(0L))
     val kept =
       if (nonzero.isEmpty && carryLive.isEmpty && zeros.nonEmpty)
@@ -1366,7 +1372,7 @@ object Tables {
     zeros.filterNot(z => keptNames(z._1.name)).foreach { case (e, _) =>
       fs.delete(new Path(tmp, e.name), false)
     }
-    val staged = kept.map(e => fs.getFileStatus(new Path(tmp, e._1.name)))
+    val staged = kept.map(e => statusByName(e._1.name))
     // job-unique part names make a collision with an existing file a sign
     // of corruption (the same job wrote both) — stop, never overwrite
     val existing = fs.listStatus(hp).filter(_.isFile)
@@ -1630,11 +1636,25 @@ object Tables {
     */
   private def recoverMutations(spark: SparkSession, fs: FileSystem,
                                path: String): Unit = {
+    sweepManifestStaging(fs, new Path(path))
     recoverStreamPending(fs, path)
     recoverAppend(spark, fs, path)
     recoverGen(spark, fs, path)
     recoverCompact(fs, path)
     recoverDelete(fs, path)
+  }
+
+  /** Delete an ORPHANED manifest-staging sibling (a writer crashed
+    * between writeSmallFileAtomic's staging write and its rename). Under
+    * the caller's lease the orphan is provably garbage — no replace can
+    * be in flight — and leaving it would tax every manifest-less read
+    * with liveEntries' replace-in-flight wait forever (r13 review
+    * finding #4). Runs at every mutator's entry, both layouts.
+    */
+  private def sweepManifestStaging(fs: FileSystem, hp: Path): Unit = {
+    val staging = new Path(hp, "." + ManifestName + ".staging")
+    if (scala.util.Try(fs.exists(staging)).getOrElse(false))
+      fs.delete(staging, false)
   }
 
   /** Crash recovery for the staged append: a surviving append marker means
@@ -2195,6 +2215,13 @@ object Tables {
           StreamCommits(rec.committed + (streamId -> batchId), None))
         crashPoint("stream:committed")
         fs.delete(appendMarkerPath(path), false)
+        // re-invalidate AFTER the marker clears: appendBatch's own
+        // invalidation ran while the retained marker still subtracted the
+        // batch's files from the served live set, so a registered view
+        // (and any memoized read) rebuilt there holds the PRE-batch
+        // snapshot — without this the view would lag the stream by one
+        // batch forever (r13 review finding #1)
+        invalidateRead(spark, path)
         true
       }
     }
@@ -2215,7 +2242,8 @@ object Tables {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, loc, "appendStreamBatchBucketed") {
       requireLocationCurrent(spark, table, fs, loc, "appendStreamBatchBucketed")
-      recoverStreamPending(fs, loc.toString)
+      sweepManifestStaging(fs, loc)
+    recoverStreamPending(fs, loc.toString)
       // predecessor-crash recovery must run BEFORE the pending record's
       // pre-listing: a committed fold marker rolled forward later (inside
       // appendBucketed) replaces the directory, and a crash after that
@@ -2256,28 +2284,45 @@ object Tables {
     * is restored, a TAGGED `__tmp` ([[deleteStagingTag]]) is adopted when
     * it is the only copy; an untagged `__tmp` is never touched at all.
     */
-  /** deleteRange's [from, till] bounds as epoch-ns on the manifest's
-    * scale: the literals cast to the ts column's own type, then converted
-    * exactly like [[normalizeNsTs]] converts stored values (µs→ns for
-    * timestamp grains — exact, both sides are µs multiples — and
-    * pass-through for the int64-ns convention), so a manifest entry's
-    * (minNs, maxNs) is directly comparable against them. One local
-    * one-row job (literals only, no table scan). None when a bound is
-    * NULL or not locally evaluable — the caller falls back to the
-    * conservative full rewrite, never to a wrong prune.
+  /** deleteRange's [from, till] bounds as epoch-ns on the MANIFEST's
+    * scale, which is the parquet footer's: NTZ stats are timezone-less
+    * WALL micros ×1000 and LTZ stats are UTC-adjusted micros ×1000
+    * (tsFileStatsNs) — so the conversion here must match per type, on
+    * the driver, from the evaluated literal itself:
+    *  - NTZ → LocalDateTime interpreted at UTC offset (pure wall time —
+    *    a cast through the session-zoned TimestampType would shift the
+    *    bound by the session offset and let the prune carry files whose
+    *    rows the filter deletes; r13 review finding #2);
+    *  - LTZ → Instant / java.sql.Timestamp epoch ns;
+    *  - integral → the engine's int64-ns convention, pass-through.
+    * One local one-row job (literals only, no table scan). None when a
+    * bound is NULL, not locally evaluable, or of an unhandled type
+    * (dates) — the caller falls back to the conservative full rewrite,
+    * never to a wrong prune.
     */
   private def deleteBoundsNs(spark: SparkSession, dt: DataType,
                              from: Column, till: Column): Option[(Long, Long)] =
     scala.util.Try {
-      val b = spark.range(1).select(from.cast(dt).as("f"), till.cast(dt).as("t"))
-      val row = (dt match {
-        case TimestampType | TimestampNTZType =>
-          b.select(unix_micros(col("f").cast(TimestampType)) * 1000L,
-            unix_micros(col("t").cast(TimestampType)) * 1000L)
-        case _ => b.select(col("f").cast("long"), col("t").cast("long"))
-      }).head()
-      if (row.isNullAt(0) || row.isNullAt(1)) None
-      else Some((row.getLong(0), row.getLong(1)))
+      def instNs(i: java.time.Instant): Long =
+        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000000L),
+          i.getNano.toLong)
+      def toNs(v: Any): Option[Long] = v match {
+        case null => None
+        case ldt: java.time.LocalDateTime =>
+          Some(instNs(ldt.toInstant(java.time.ZoneOffset.UTC)))
+        case i: java.time.Instant => Some(instNs(i))
+        case t: java.sql.Timestamp => Some(instNs(t.toInstant))
+        case n: java.lang.Number => Some(n.longValue)
+        case _ => None
+      }
+      dt match {
+        case TimestampType | TimestampNTZType |
+             LongType | IntegerType | ShortType | ByteType =>
+          val row = spark.range(1)
+            .select(from.cast(dt).as("f"), till.cast(dt).as("t")).head()
+          for (f <- toNs(row.get(0)); t <- toNs(row.get(1))) yield (f, t)
+        case _ => None
+      }
     }.toOption.flatten
 
   /** TABLE_delete(from, till) — O(AFFECTED RANGE), not O(table): the
@@ -2326,10 +2371,14 @@ object Tables {
     // on the manifest's ns scale come from the ts column's OWN type; a
     // file is carried only when its recorded bounds prove it disjoint
     // from the INCLUSIVE [from, till] — stat-less entries and
-    // unevaluable bounds conservatively rewrite
-    val dtTs = spark.read
-      .parquet(liveFiles.map(e => new Path(p, e.name).toString): _*)
-      .schema.fields.find(_.name.equalsIgnoreCase(ts)).map(_.dataType)
+    // unevaluable bounds conservatively rewrite. ONE footer gives the
+    // type (engine layouts are schema-uniform): probing through a read
+    // over every live file would pay an O(files) driver file-index pass
+    // in the op sold as O(range) (r13 review finding #7)
+    val dtTs = scala.util.Try(
+      spark.read.parquet(new Path(p, liveFiles.head.name).toString)
+        .schema.fields.find(_.name.equalsIgnoreCase(ts)).map(_.dataType)
+    ).toOption.flatten
     val bounds = dtTs.flatMap(dt => deleteBoundsNs(spark, dt, from, till))
     val (carried, rewrite) = bounds match {
       case Some((fromNs, tillNs)) => liveFiles.partition { e =>
@@ -2600,6 +2649,7 @@ object Tables {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, loc, "appendBucketed") {
     requireLocationCurrent(spark, table, fs, loc, "appendBucketed")
+    sweepManifestStaging(fs, loc)
     recoverStreamPending(fs, loc.toString)
     reclaimRetiredDirs(fs, loc, retireGraceMs)
     // recover a predecessor's crashed fold BEFORE writing fresh files —
@@ -2823,6 +2873,7 @@ object Tables {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, loc, "compactBucketedIsolated") {
     requireLocationCurrent(spark, table, fs, loc, "compactBucketedIsolated")
+    sweepManifestStaging(fs, loc)
     recoverStreamPending(fs, loc.toString)
     recoverCompact(fs, loc.toString)
     guardCompactable(fs, loc)
@@ -2895,6 +2946,7 @@ object Tables {
     // reader statement it can honor: refuse, like truncate/load do
     // (compactBucketedIsolated is the fold that proceeds under pins)
     requireNoLivePins(fs, loc, "compactBucketed")
+    sweepManifestStaging(fs, loc)
     recoverStreamPending(fs, loc.toString)
     recoverCompact(fs, loc.toString)
     guardCompactable(fs, loc)
@@ -3050,6 +3102,7 @@ object Tables {
     withWriterLease(fs, loc, "deleteRangeBucketed") {
     requireLocationCurrent(spark, table, fs, loc, "deleteRangeBucketed")
     requireNoLivePins(fs, loc, "deleteRangeBucketed")
+    sweepManifestStaging(fs, loc)
     recoverStreamPending(fs, loc.toString)
     recoverCompact(fs, loc.toString)
     guardCompactable(fs, loc)
@@ -3261,13 +3314,21 @@ object Tables {
   }
 
   /** [[tableStats]] rendered as one JSON object — the payload of the
-    * `cs_table_stats(path)` SQL function (registered by
-    * [[graft.sqlext.GraftFunctions.register]]). Builds its own Hadoop
-    * configuration so the closure captures nothing unserializable.
+    * `cs_table_stats(path)` SQL expression. Resolves the Hadoop
+    * configuration from the active (or default) session when one exists
+    * in this JVM — a bare `new Configuration()` would miss session-set
+    * filesystem credentials/impls (s3a etc., r13 review finding #6) —
+    * and falls back to defaults only when no session is visible (an
+    * executor evaluating the expression remotely; core-site still
+    * applies there).
     */
-  def statsJson(path: String): String =
-    org.json4s.jackson.Serialization.write(
-      tableStats(new org.apache.hadoop.conf.Configuration(), path))
+  def statsJson(path: String): String = {
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    org.json4s.jackson.Serialization.write(tableStats(conf, path))
+  }
 
   /** [[loadBucketed]] unless `table` already exists with data on disk AND
     * the catalog's bucket spec matches the requested one — the

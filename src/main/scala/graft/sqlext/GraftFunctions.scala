@@ -561,21 +561,35 @@ object GraftFunctions {
       val t = UnresolvedNamedLambdaVariable(Seq("t"))
       ArrayTransform(c(0), LambdaFunction(MicrosToTimestamp(t), Seq(t)))
     },
-      "cs_to_timestamp_array(arr) - epoch-microsecond series as array<timestamp> (PG timestamp precision)"))
+      "cs_to_timestamp_array(arr) - epoch-microsecond series as array<timestamp> (PG timestamp precision)"),
+    ("cs_table_stats", (c: Seq[Expression]) => TableStatsExpr(c(0)),
+      "cs_table_stats(path) - one JSON object of a managed table's operational snapshot (live/retired files+bytes, fold backlog, stream high-water, lease, pins) - cs_used_memory/cs_profile analog (imcs.c:5716-5767); columnar form: graft.io.Tables.stats"))
 
   /** Register as temp functions on a live session. */
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, b, _) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "scala_udf")
     }
-    // the ONE non-expression registration: cs_table_stats is operational
-    // introspection (cs_used_memory/cs_profile analog, imcs.c:5716-5767)
-    // — a filesystem-metadata read, not a per-row function, so the
-    // native-expression rule above doesn't apply. Returns one JSON
-    // object; see graft.io.Tables.stats for the columnar form.
-    spark.udf.register("cs_table_stats",
-      (path: String) => graft.io.Tables.statsJson(path))
   }
+}
+
+/** The one deliberately non-codegen cs_* expression: operational
+  * introspection, not a per-row function — it evaluates a filesystem
+  * -metadata snapshot ([[graft.io.Tables.statsJson]]), typically once
+  * over a literal path. Marked non-deterministic so the optimizer never
+  * constant-folds a stale snapshot into a reused plan.
+  */
+case class TableStatsExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "cs_table_stats"
+  protected override def nullSafeEval(path: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.io.Tables.statsJson(path.toString))
+  override protected def withNewChildInternal(newChild: Expression): TableStatsExpr =
+    copy(child = newChild)
 }
 
 /** `spark.sql.extensions` entry point: injects the cs_* functions at

@@ -953,7 +953,20 @@ class TablesSpec extends AnyFunSuite {
         assert(old.count() == 2000)
       }
     }
-    // a truncate kills the view rather than leaving it dangling
+    // a committed STREAM batch is visible through the view immediately:
+    // the in-batch invalidation runs while the retained marker still
+    // subtracts the batch's files, so the post-commit re-invalidation is
+    // what keeps the view from lagging the stream by one batch forever
+    val path3 = tmp("view3")
+    Tables.load(Seq((1L, 1.0)).toDF("ts", "v"), path3, Seq(), "ts")
+    Tables.registerView(spark, path3, "g_view_t3")
+    assert(Tables.appendStreamBatch(Seq((5L, 5.0)).toDF("ts", "v"),
+      path3, "ts", "ckpt-view", 0L))
+    assert(spark.table("g_view_t3").count() == 2,
+      "the committed stream batch must be visible through the view")
+    // a truncate kills the view rather than leaving it dangling — and
+    // kills the REGISTRATION: a later lifecycle op must not resurrect the
+    // name over a user's own view
     val path2 = tmp("view2")
     Tables.load(Seq((1L, 1.0)).toDF("ts", "v"), path2, Seq(), "ts")
     Tables.registerView(spark, path2, "g_view_t2")
@@ -961,6 +974,11 @@ class TablesSpec extends AnyFunSuite {
     Tables.truncate(spark, path2)
     assert(!spark.catalog.tableExists("g_view_t2"),
       "truncate must drop the registered view")
+    spark.range(3).createOrReplaceTempView("g_view_t2") // the user's own
+    Tables.load(Seq((2L, 2.0)).toDF("ts", "v"), path2, Seq(), "ts")
+    assert(spark.table("g_view_t2").count() == 3,
+      "a dead registration must never clobber a user's later view")
+    spark.catalog.dropTempView("g_view_t2")
   }
 
   test("tableStats cross-checks the filesystem through the lifecycle") {
