@@ -2410,6 +2410,39 @@ object Tables {
     }
   }
 
+  /** [[deleteRange]] with epoch-ns bounds — INCLUSIVE [fromNs, tillNs]
+    * on the engine's int64-ns scale, translated to literals of the ts
+    * column's OWN type: ceiling on the lower bound and floor on the
+    * upper (the inclusive duals of [[tsLit]]'s half-open pair — a µs
+    * value u satisfies u*1000 >= fromNs iff u >= ceil(fromNs/1000) and
+    * u*1000 <= tillNs iff u <= floor(tillNs/1000)), NTZ interpreted as
+    * wall time at UTC like the manifest's footer stats. The streaming
+    * retention path ([[graft.streaming.Streams.ingestAppendRetained]])
+    * drives head deletion through this form.
+    */
+  def deleteRangeNs(spark: SparkSession, path: String, ts: String,
+                    fromNs: Long, tillNs: Long): Unit = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dtOpt =
+      if (!fs.exists(hp)) None
+      else scala.util.Try(snapshot(spark, path).schema).toOption
+        .flatMap(_.fields.find(_.name.equalsIgnoreCase(ts)))
+        .map(_.dataType)
+    dtOpt match {
+      case Some(dt @ (TimestampType | TimestampNTZType)) =>
+        val tillUs = Math.floorDiv(tillNs, 1000L)
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(tillUs, 1000000L), Math.floorMod(tillUs, 1000000L) * 1000L)
+        val tillLit =
+          if (dt == TimestampType) lit(inst)
+          else lit(java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC))
+        deleteRange(spark, path, ts, tsLit(fromNs, dt), tillLit)
+      case _ =>
+        deleteRange(spark, path, ts, lit(fromNs), lit(tillNs))
+    }
+  }
+
   /** TABLE_truncate (imcs--1.1.sql:105-115). The filesystem comes from
     * the PATH (like every other lifecycle op), not the default FS — a
     * qualified path on a non-default filesystem must not "Wrong FS".

@@ -412,6 +412,49 @@ object Streams {
       }
       .start()
 
+  /** [[ingestAppend]] plus the reference's streaming-RETENTION pattern
+    * (user_guide.html's rolling-window head deletion): after every
+    * `every`-th committed batch, rows older than `retainNs` behind the
+    * stored tail are dropped through [[graft.io.Tables.deleteRangeNs]].
+    * With the r13 manifest split the delete is O(EXPIRING FILES) — the
+    * in-window files carry untouched, so a rolling window costs metadata
+    * plus exactly the expiring head, never a table rewrite; runs inside
+    * the same single-writer regime as the ingest (the foreachBatch body
+    * is sequential; deleteRange re-enters nothing and takes the lease
+    * between batches). The cut comes from the MANIFEST's file stats
+    * (metadata-only, zero data bytes); a stat-less layout skips
+    * retention that round rather than scan — the next fold restores
+    * stats. Retention is idempotent across checkpoint replays (a
+    * replayed delete finds nothing in range).
+    */
+  def ingestAppendRetained(df: DataFrame, path: String, ts: String,
+                           checkpoint: String, retainNs: Long,
+                           every: Int = 1,
+                           trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val applied = graft.io.Tables.appendStreamBatch(batch.toDF(), path, ts,
+          streamId = checkpoint, batchId = batchId)
+        if (applied && batchId % math.max(1, every) == 0)
+          for {
+            m <- graft.io.Tables.manifest(spark, path)
+            if m.files.nonEmpty &&
+              m.files.forall(e => e.minNs.isDefined && e.maxNs.isDefined)
+            mx = m.files.flatMap(_.maxNs).max
+            mn = m.files.flatMap(_.minNs).min
+            cut = mx - retainNs
+            if mn < cut // something has actually expired
+          } graft.io.Tables.deleteRangeNs(spark, path, ts,
+            Long.MinValue, cut - 1) // retain [cut, mx]: delete ts <= cut-1
+        ()
+      }
+      .start()
+
   /** The bucketed twin of [[ingestAppend]]: micro-batches land through the
     * catalog table's own bucket spec ([[graft.io.Tables
     * .appendStreamBatchBucketed]]), preserving the zero-Exchange join
