@@ -35,8 +35,12 @@ object Plans {
     // decorrelation (Q17) families, and the key-equality bucket-pruned scan
     "q_tpch_q13", "q_tpch_q17", "q_get_bucketed_key", "q_tpch_q18",
     // round 13: the disjunctive-pushdown (Q19) and nested-semi-join-chain
-    // (Q20) families
-    "q_tpch_q19", "q_tpch_q20")
+    // (Q20) families, then the remaining adaptable families — nation-pair
+    // OR join (Q7), share-of-group over the deepest join (Q8), computed
+    // measure over three relations (Q9), top-N revenue (Q10), dual
+    // conditional counts (Q12), aggregate-of-aggregate CTE reuse (Q15)
+    "q_tpch_q19", "q_tpch_q20", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "q_tpch_q10", "q_tpch_q12", "q_tpch_q15")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -1527,6 +1527,152 @@ object SparkEntry {
                             and o_orderpriority = '1-URGENT')
         group by c_nationkey""")
     }),
+    "q_tpch_q7" -> ((s, dir) => {
+      // TPC-H Q7 (volume shipping) — the DISJUNCTIVE NATION-PAIR join
+      // family: two copies of the nation dim join the same fact chain
+      // with an OR-of-pairs predicate that references BOTH copies, so it
+      // cannot push to either scan alone and must ride the join; groups
+      // on an extracted year. Both nation sides broadcast (stats-driven).
+      li(s, dir).createOrReplaceTempView("lineitem_q7")
+      ord(s, dir).createOrReplaceTempView("orders_q7")
+      cust(s, dir).createOrReplaceTempView("customer_q7")
+      Tables.read(s, dir, "supplier").createOrReplaceTempView("supplier_q7")
+      Tables.read(s, dir, "nation").createOrReplaceTempView("nation_q7")
+      s.sql("""
+        select supp_nation, cust_nation, l_year,
+               cast(sum(volume) as float) as revenue
+        from (select n1.n_name as supp_nation, n2.n_name as cust_nation,
+                year(l_shipdate) as l_year,
+                l_extendedprice * (1 - l_discount) as volume
+              from supplier_q7, lineitem_q7, orders_q7, customer_q7,
+                   nation_q7 n1, nation_q7 n2
+              where s_suppkey = l_suppkey and o_orderkey = l_orderkey
+                and c_custkey = o_custkey and s_nationkey = n1.n_nationkey
+                and c_nationkey = n2.n_nationkey
+                and ((n1.n_name = 'NATION_2' and n2.n_name = 'NATION_8')
+                  or (n1.n_name = 'NATION_8' and n2.n_name = 'NATION_2'))
+                and l_shipdate between timestamp '1996-01-01'
+                                   and timestamp '1997-12-31') shipping
+        group by supp_nation, cust_nation, l_year""")
+    }),
+    "q_tpch_q8" -> ((s, dir) => {
+      // TPC-H Q8 (national market share) — the SHARE-OF-GROUP family: a
+      // conditional numerator over the same rows as the denominator
+      // (sum(case)/sum), computed over the deepest join in the battery
+      // (8 relations incl. two nation copies and region). The region and
+      // type cuts prune at the dims and semi-reduce the fact chain.
+      li(s, dir).createOrReplaceTempView("lineitem_q8")
+      ord(s, dir).createOrReplaceTempView("orders_q8")
+      cust(s, dir).createOrReplaceTempView("customer_q8")
+      Tables.read(s, dir, "part").createOrReplaceTempView("part_q8")
+      Tables.read(s, dir, "supplier").createOrReplaceTempView("supplier_q8")
+      Tables.read(s, dir, "nation").createOrReplaceTempView("nation_q8")
+      Tables.read(s, dir, "region").createOrReplaceTempView("region_q8")
+      s.sql("""
+        select o_year,
+               cast(sum(case when nat = 'NATION_3' then volume else 0 end)
+                    / sum(volume) as float) as mkt_share
+        from (select year(o_orderdate) as o_year,
+                l_extendedprice * (1 - l_discount) as volume,
+                n2.n_name as nat
+              from part_q8, supplier_q8, lineitem_q8, orders_q8,
+                   customer_q8, nation_q8 n1, nation_q8 n2, region_q8
+              where p_partkey = l_partkey and s_suppkey = l_suppkey
+                and l_orderkey = o_orderkey and o_custkey = c_custkey
+                and c_nationkey = n1.n_nationkey
+                and n1.n_regionkey = r_regionkey
+                and r_name = 'ASIA' and s_nationkey = n2.n_nationkey
+                and p_type = 'ECONOMY') all_nations
+        group by o_year""")
+    }),
+    "q_tpch_q9" -> ((s, dir) => {
+      // TPC-H Q9 (product-type profit), adapted (no partsupp: the cost
+      // term is p_retailprice * l_quantity * 0.01 instead of
+      // ps_supplycost * l_quantity) — the COMPUTED-MEASURE-OVER-JOIN
+      // family: the aggregated amount is an arithmetic expression over
+      // columns of THREE different relations, so it can only form after
+      // the joins; the p_name LIKE cut prunes the part dim.
+      li(s, dir).createOrReplaceTempView("lineitem_q9")
+      ord(s, dir).createOrReplaceTempView("orders_q9")
+      Tables.read(s, dir, "part").createOrReplaceTempView("part_q9")
+      Tables.read(s, dir, "supplier").createOrReplaceTempView("supplier_q9")
+      Tables.read(s, dir, "nation").createOrReplaceTempView("nation_q9")
+      s.sql("""
+        select nat, o_year, cast(sum(amount) as float) as sum_profit
+        from (select n_name as nat, year(o_orderdate) as o_year,
+                l_extendedprice * (1 - l_discount)
+                  - p_retailprice * l_quantity * 0.01 as amount
+              from part_q9, supplier_q9, lineitem_q9, orders_q9, nation_q9
+              where s_suppkey = l_suppkey and p_partkey = l_partkey
+                and o_orderkey = l_orderkey and s_nationkey = n_nationkey
+                and p_name like '%blue%') profit
+        group by nat, o_year""")
+    }),
+    "q_tpch_q10" -> ((s, dir) => {
+      // TPC-H Q10 (returned-item reporting) — the TOP-N-REVENUE family:
+      // a 4-way join grouped on the customer identity, ordered by the
+      // aggregate, cut to 20 (TakeOrderedAndProject over the agg — the
+      // ORDER BY + LIMIT must never sort the full group set on one node).
+      li(s, dir).createOrReplaceTempView("lineitem_q10")
+      ord(s, dir).createOrReplaceTempView("orders_q10")
+      cust(s, dir).createOrReplaceTempView("customer_q10")
+      Tables.read(s, dir, "nation").createOrReplaceTempView("nation_q10")
+      s.sql("""
+        select c_custkey, c_name,
+               cast(sum(l_extendedprice * (1 - l_discount)) as float) as revenue,
+               cast(c_acctbal as float) as c_acctbal, n_name
+        from customer_q10, orders_q10, lineitem_q10, nation_q10
+        where c_custkey = o_custkey and l_orderkey = o_orderkey
+          and o_orderdate >= timestamp '1997-01-01'
+          and o_orderdate <  timestamp '1997-07-01'
+          and l_returnflag = 'R' and c_nationkey = n_nationkey
+        group by c_custkey, c_name, c_acctbal, n_name
+        order by revenue desc, c_custkey limit 20""")
+    }),
+    "q_tpch_q12" -> ((s, dir) => {
+      // TPC-H Q12 (shipping-mode priority), adapted (no l_shipmode: the
+      // mode column is l_returnflag, the IN cut its two-value set) — the
+      // DUAL-CONDITIONAL-COUNT family: two complementary CASE sums over
+      // one join pass (one fact read, both counters fold map-side).
+      li(s, dir).createOrReplaceTempView("lineitem_q12")
+      ord(s, dir).createOrReplaceTempView("orders_q12")
+      s.sql("""
+        select l_linestatus,
+          cast(sum(case when o_orderpriority = '1-URGENT'
+                     or o_orderpriority = '2-HIGH' then 1 else 0 end)
+            as bigint) as high_line_count,
+          cast(sum(case when o_orderpriority <> '1-URGENT'
+                    and o_orderpriority <> '2-HIGH' then 1 else 0 end)
+            as bigint) as low_line_count
+        from orders_q12, lineitem_q12
+        where o_orderkey = l_orderkey
+          and l_shipdate >= timestamp '1997-01-01'
+          and l_shipdate <  timestamp '1998-01-01'
+          and l_returnflag in ('A', 'R')
+        group by l_linestatus""")
+    }),
+    "q_tpch_q15" -> ((s, dir) => {
+      // TPC-H Q15 (top supplier) — the AGGREGATE-OF-AGGREGATE family: a
+      // derived per-supplier revenue relation consumed TWICE (once
+      // joined to supplier, once reduced to its own max) — the CTE must
+      // evaluate as a reusable subplan and the scalar max must come from
+      // the aggregate, never a collected list; equality against the
+      // scalar selects the top supplier(s).
+      li(s, dir).createOrReplaceTempView("lineitem_q15")
+      Tables.read(s, dir, "supplier").createOrReplaceTempView("supplier_q15")
+      s.sql("""
+        with revenue as (
+          select l_suppkey as supplier_no,
+                 sum(l_extendedprice * (1 - l_discount)) as total_revenue
+          from lineitem_q15
+          where l_shipdate >= timestamp '1997-01-01'
+            and l_shipdate <  timestamp '1997-04-01'
+          group by l_suppkey)
+        select s_suppkey, s_name, cast(total_revenue as float) as total_revenue
+        from supplier_q15, revenue
+        where s_suppkey = supplier_no
+          and total_revenue = (select max(total_revenue) from revenue)""")
+    }),
     "q_tpch_q19" -> ((s, dir) => {
       // TPC-H Q19 (discounted revenue), adapted to the testdata (no
       // p_container/l_shipmode: each disjunct pairs p_brand + p_size with
@@ -3068,6 +3214,85 @@ object SparkEntry {
          WHERE NOT (epoch_ns(ts) >= 1704672000000000000
                     AND epoch_ns(ts) <= 1704758400000000000)
          GROUP BY event_type""",
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+         CAST(sum(volume) AS REAL) AS revenue
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+               FROM supplier, lineitem, orders, customer,
+                    nation n1, nation n2
+               WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                 AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+                 AND c_nationkey = n2.n_nationkey
+                 AND ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_8')
+                   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_2'))
+                 AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                                    AND TIMESTAMP '1997-12-31') shipping
+         GROUP BY supp_nation, cust_nation, l_year""",
+    "q_tpch_q8" ->
+      """SELECT o_year,
+         CAST(sum(CASE WHEN nat = 'NATION_3' THEN volume ELSE 0 END)
+              / sum(volume) AS REAL) AS mkt_share
+         FROM (SELECT year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nat
+               FROM part, supplier, lineitem, orders, customer,
+                    nation n1, nation n2, region
+               WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                 AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                 AND c_nationkey = n1.n_nationkey
+                 AND n1.n_regionkey = r_regionkey
+                 AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+                 AND p_type = 'ECONOMY') all_nations
+         GROUP BY o_year""",
+    "q_tpch_q9" ->
+      """SELECT nat, o_year, CAST(sum(amount) AS REAL) AS sum_profit
+         FROM (SELECT n_name AS nat, year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - p_retailprice * l_quantity * 0.01 AS amount
+               FROM part, supplier, lineitem, orders, nation
+               WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+                 AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+                 AND p_name LIKE '%blue%') profit
+         GROUP BY nat, o_year""",
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+         CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue,
+         CAST(c_acctbal AS REAL) AS c_acctbal, n_name
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-07-01'
+           AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                    OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+           AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                   AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)
+           AS BIGINT) AS low_line_count
+         FROM orders, lineitem
+         WHERE o_orderkey = l_orderkey
+           AND l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate <  TIMESTAMP '1998-01-01'
+           AND l_returnflag IN ('A', 'R')
+         GROUP BY l_linestatus""",
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+                  sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate <  TIMESTAMP '1997-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, CAST(total_revenue AS REAL) AS total_revenue
+         FROM supplier, revenue
+         WHERE s_suppkey = supplier_no
+           AND total_revenue = (SELECT max(total_revenue) FROM revenue)""",
     "q_tpch_q19" ->
       """SELECT CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue,
          count(*) AS n
