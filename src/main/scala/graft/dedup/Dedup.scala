@@ -168,8 +168,15 @@ object Dedup {
     * pairs emitted once (id1 < id2). Verification (exact Jaccard) is the
     * caller's choice — see `minhashLshPairsVerified` for the full pipeline.
     */
-  def minhashCandidates(sh: DataFrame, id: String,
-                        bands: Int, rowsPerBand: Int): DataFrame = {
+  /** Per-document LSH band buckets over a prebuilt shingle frame:
+    * (id, band, bucket), one row per band per doc — the join-key space
+    * of [[minhashCandidates]], exposed on its own for INCREMENTAL dedup
+    * (a new doc collides with a stored corpus iff any (band, bucket)
+    * matches the corpus's stored buckets — see
+    * [[graft.streaming.Streams.ingestDedupNearDup]]).
+    */
+  def bandBucketsSh(sh: DataFrame, id: String,
+                    bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
     // one fused codegen pass per doc (hash each shingle once, fold into
     // all k lane minima) — the HOF form (minhashBase + k array_min lanes)
@@ -180,7 +187,7 @@ object Dedup {
       .withColumn("sig", call_function("cs_minhash", col("sh"), lit(k)))
     // (id, band) is unique by construction — one row per band per doc —
     // so no distinct is needed before the bucket self-join
-    val banded = withSig.select(
+    withSig.select(
       col(id),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
@@ -190,6 +197,19 @@ object Dedup {
       // (doc, band) rows vs 2^32 values), emitting candidate pairs that
       // share NO band — and the per-row string build was pure waste
       .select(col(id), col("col.band").as("band"), xxhash64(col("col.bh")).as("bucket"))
+  }
+
+  /** [[bandBucketsSh]] from raw text (normalize → shingle → minhash →
+    * band buckets in one pass).
+    */
+  def bandBuckets(df: DataFrame, id: String, text: String,
+                  shingleLen: Int = 5, bands: Int = 8,
+                  rowsPerBand: Int = 2): DataFrame =
+    bandBucketsSh(shingleSets(df, id, text, shingleLen), id, bands, rowsPerBand)
+
+  def minhashCandidates(sh: DataFrame, id: String,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = bandBucketsSh(sh, id, bands, rowsPerBand)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,

@@ -455,6 +455,94 @@ object Streams {
       }
       .start()
 
+  /** NEAR-DUP-FILTERED streaming ingest — dedup at LANDING, the shape a
+    * training-data pipeline actually runs (drop near-duplicates as data
+    * arrives, not in a later full-corpus pass): each micro-batch drops
+    * documents whose MinHash LSH band buckets collide with any
+    * previously-RETAINED document, resolves in-batch collisions by
+    * connected components (keep the min id per cluster — deterministic),
+    * then lands the survivors into `docPath` and their (id, band, bucket)
+    * rows into `bucketPath`, both through the exactly-once commit-log
+    * append. Semantics are retained-representative dedup (CCNet-style
+    * keep-one): dropped docs contribute NO buckets, so a doc colliding
+    * only with a dropped doc is judged against the retained
+    * representative's buckets instead — every cluster keeps exactly one.
+    *
+    * Scale shape: the per-batch corpus check is ONE semi join of the
+    * batch's O(batch × bands) bucket rows against the bucket table — no
+    * corpus text is re-read, no signatures recomputed; the bucket table
+    * grows with the RETAINED corpus and folds like any managed table
+    * (`Tables.compactIncremental(bucketPath, Seq("band","bucket"), ts)`).
+    *
+    * Crash consistency: survivors are a pure function of the batch and
+    * the PRE-batch bucket-table state. The doc append commits first; a
+    * crash between the two appends replays the batch, recomputes the SAME
+    * survivor set (the bucket table is unchanged), skips the committed
+    * doc append, and applies the bucket append — exactly-once for both
+    * tables whatever the interleave.
+    */
+  def ingestDedupNearDup(df: DataFrame, docPath: String, bucketPath: String,
+                         ts: String, checkpoint: String,
+                         id: String, text: String,
+                         shingleLen: Int = 5, bands: Int = 8,
+                         rowsPerBand: Int = 2,
+                         trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch0: Dataset[Row], batchId: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bb = graft.dedup.Dedup
+          .bandBuckets(batch, id, text, shingleLen, bands, rowsPerBand)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // ids colliding with the RETAINED corpus (absent table = empty)
+          val hp = new org.apache.hadoop.fs.Path(bucketPath)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val fresh =
+            if (!fs.exists(hp)) batch
+            else {
+              val stored = graft.io.Tables.snapshot(spark, bucketPath)
+              val hit = bb.join(stored.select(col("band"), col("bucket")),
+                Seq("band", "bucket"), "left_semi").select(col(id)).distinct()
+              batch.join(hit, Seq(id), "left_anti")
+            }
+          // in-batch collisions among the remaining docs: connected
+          // components over the bucket-collision graph, min id per
+          // cluster survives (docs too short to shingle have no buckets,
+          // collide with nothing, and always survive)
+          val freshBB = bb.join(fresh.select(col(id)), Seq(id), "left_semi")
+          val a = freshBB.as("a"); val b = freshBB.as("b")
+          val pairs = a.join(b,
+              col(s"a.band") === col(s"b.band") &&
+                col(s"a.bucket") === col(s"b.bucket") &&
+                col(s"a.$id") < col(s"b.$id"))
+            .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
+            .distinct()
+          val losers = graft.dedup.Dedup.connectedComponents(pairs)
+            .filter(col("id") =!= col("cluster_id"))
+            .select(col("id").as(id))
+          val survivors = fresh.join(losers, Seq(id), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // doc table first, bucket table second (see crash-consistency
+          // note); distinct stream ids keep the two commit logs separate
+          graft.io.Tables.appendStreamBatch(survivors, docPath, ts,
+            checkpoint + "#docs", batchId)
+          val bucketRows = bb
+            .join(survivors.select(col(id), col(ts)), Seq(id))
+            .select(col(id), col("band"), col("bucket"), col(ts))
+          graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
+            checkpoint + "#buckets", batchId)
+          survivors.unpersist()
+        } finally { bb.unpersist(); batch.unpersist() }
+        ()
+      }
+      .start()
+
   /** The bucketed twin of [[ingestAppend]]: micro-batches land through the
     * catalog table's own bucket spec ([[graft.io.Tables
     * .appendStreamBatchBucketed]]), preserving the zero-Exchange join

@@ -136,6 +136,67 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(Tables.snapshot(spark, table).count() == 151)
   }
 
+  test("near-dup-filtered ingest: dedup at landing, exactly-once both tables") {
+    val src = tmpDir("ndsrc")
+    val docs = tmpDir("nddoc") + "/docs.parquet"
+    val buckets = tmpDir("ndbkt") + "/buckets.parquet"
+    val ck = tmpDir("ndck")
+    val base = "the quick brown fox jumps over the lazy dog while the band plays on and the crowd cheers loudly"
+    val other = "completely different content about distributed query engines and columnar storage formats at scale"
+    val third = "a third unrelated document discussing minhash signatures locality sensitive hashing and jaccard similarity"
+    def stage(name: String, rows: Seq[(Long, Long, String)], modMs: Long): Unit = {
+      val stg = java.nio.file.Files.createTempDirectory("ndstage").toString
+      rows.toDF("id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(stg)
+      val part = new java.io.File(stg).listFiles
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = new java.io.File(src, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(modMs))
+    }
+    val t0 = System.currentTimeMillis() - 60000L
+    // batch 0: A(1) and B(2) — unrelated, both land
+    stage("b0.parquet", Seq((1L, 100L, base), (2L, 101L, other)), t0)
+    // batch 1: A-near-dup(3, one word changed) drops against RETAINED A;
+    // C(4) is new and lands
+    stage("b1.parquet", Seq(
+      (3L, 200L, base.replace("lazy", "sleepy")), (4L, 201L, third)), t0 + 2000L)
+    // batch 2: in-batch exact dups 5/6 — components keep min id 5;
+    // 7 is an exact dup of A and drops against the corpus
+    val fourth = "yet another body of text on streaming retention windows checkpoint recovery and commit log replay"
+    stage("b2.parquet", Seq(
+      (5L, 300L, fourth), (6L, 301L, fourth),
+      (7L, 302L, base)), t0 + 4000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = Streams.ingestDedupNearDup(stream, docs, buckets, "ts", ck,
+      id = "id", text = "text")
+    q.awaitTermination()
+    val kept = Tables.snapshot(spark, docs).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 4L, 5L),
+      s"retained-representative dedup wrong: kept $kept")
+    // the bucket table holds rows for exactly the retained docs
+    val bids = Tables.snapshot(spark, buckets).select("id").as[Long]
+      .collect().toSet
+    assert(bids == Set(1L, 2L, 4L, 5L), s"bucket table ids: $bids")
+    // both tables are manifest-governed from birth
+    assert(Tables.manifest(spark, docs).isDefined)
+    assert(Tables.manifest(spark, buckets).isDefined)
+    // a full replay through the same checkpoint is a no-op on BOTH logs
+    val q2 = Streams.ingestDedupNearDup(stream, docs, buckets, "ts", ck,
+      id = "id", text = "text")
+    q2.awaitTermination()
+    assert(Tables.snapshot(spark, docs).count() == 4)
+    assert(Tables.snapshot(spark, buckets).count() == bids.size * 8L)
+  }
+
   test("a replayed batch id is skipped (checkpoint-recovery exactly-once)") {
     val table = tmpDir("replay") + "/t.parquet"
     val b0 = (0L until 100L).map(i => (i, i * 1.0)).toDF("ts", "v")
