@@ -493,55 +493,66 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch0: Dataset[Row], batchId: Long) =>
-        val spark = batch0.sparkSession
-        val batch = batch0.toDF()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val bb = graft.dedup.Dedup
-          .bandBuckets(batch, id, text, shingleLen, bands, rowsPerBand)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // ids colliding with the RETAINED corpus (absent table = empty)
-          val hp = new org.apache.hadoop.fs.Path(bucketPath)
-          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val fresh =
-            if (!fs.exists(hp)) batch
-            else {
-              val stored = graft.io.Tables.snapshot(spark, bucketPath)
-              val hit = bb.join(stored.select(col("band"), col("bucket")),
-                Seq("band", "bucket"), "left_semi").select(col(id)).distinct()
-              batch.join(hit, Seq(id), "left_anti")
-            }
-          // in-batch collisions among the remaining docs: connected
-          // components over the bucket-collision graph, min id per
-          // cluster survives (docs too short to shingle have no buckets,
-          // collide with nothing, and always survive)
-          val freshBB = bb.join(fresh.select(col(id)), Seq(id), "left_semi")
-          val a = freshBB.as("a"); val b = freshBB.as("b")
-          val pairs = a.join(b,
-              col(s"a.band") === col(s"b.band") &&
-                col(s"a.bucket") === col(s"b.bucket") &&
-                col(s"a.$id") < col(s"b.$id"))
-            .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
-            .distinct()
-          val losers = graft.dedup.Dedup.connectedComponents(pairs)
-            .filter(col("id") =!= col("cluster_id"))
-            .select(col("id").as(id))
-          val survivors = fresh.join(losers, Seq(id), "left_anti")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // doc table first, bucket table second (see crash-consistency
-          // note); distinct stream ids keep the two commit logs separate
-          graft.io.Tables.appendStreamBatch(survivors, docPath, ts,
-            checkpoint + "#docs", batchId)
-          val bucketRows = bb
-            .join(survivors.select(col(id), col(ts)), Seq(id))
-            .select(col(id), col("band"), col("bucket"), col(ts))
-          graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
-            checkpoint + "#buckets", batchId)
-          survivors.unpersist()
-        } finally { bb.unpersist(); batch.unpersist() }
+        dedupIngestBatch(batch0.toDF(), docPath, bucketPath, ts, checkpoint,
+          id, text, shingleLen, bands, rowsPerBand, batchId)
         ()
       }
       .start()
+
+  /** One micro-batch of [[ingestDedupNearDup]] — public so crash tests
+    * (and batch backfills) can drive the two-table protocol directly.
+    */
+  def dedupIngestBatch(batch0: DataFrame, docPath: String, bucketPath: String,
+                       ts: String, streamKey: String, id: String, text: String,
+                       shingleLen: Int, bands: Int, rowsPerBand: Int,
+                       batchId: Long): Unit = {
+    val spark = batch0.sparkSession
+    val batch = batch0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bb = graft.dedup.Dedup
+      .bandBuckets(batch, id, text, shingleLen, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ids colliding with the RETAINED corpus (absent table = empty)
+      val hp = new org.apache.hadoop.fs.Path(bucketPath)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fresh =
+        if (!fs.exists(hp)) batch
+        else {
+          val stored = graft.io.Tables.snapshot(spark, bucketPath)
+          val hit = bb.join(stored.select(col("band"), col("bucket")),
+            Seq("band", "bucket"), "left_semi").select(col(id)).distinct()
+          batch.join(hit, Seq(id), "left_anti")
+        }
+      // in-batch collisions among the remaining docs: connected
+      // components over the bucket-collision graph, min id per
+      // cluster survives (docs too short to shingle have no buckets,
+      // collide with nothing, and always survive)
+      val freshBB = bb.join(fresh.select(col(id)), Seq(id), "left_semi")
+      val a = freshBB.as("a"); val b = freshBB.as("b")
+      val pairs = a.join(b,
+          col(s"a.band") === col(s"b.band") &&
+            col(s"a.bucket") === col(s"b.bucket") &&
+            col(s"a.$id") < col(s"b.$id"))
+        .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
+        .distinct()
+      val losers = graft.dedup.Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as(id))
+      val survivors = fresh.join(losers, Seq(id), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // doc table first, bucket table second (see crash-consistency
+      // note); distinct stream ids keep the two commit logs separate
+      graft.io.Tables.appendStreamBatch(survivors, docPath, ts,
+        streamKey + "#docs", batchId)
+      val bucketRows = bb
+        .join(survivors.select(col(id), col(ts)), Seq(id))
+        .select(col(id), col("band"), col("bucket"), col(ts))
+      graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
+        streamKey + "#buckets", batchId)
+      survivors.unpersist()
+    } finally { bb.unpersist(); batch.unpersist() }
+  }
 
   /** The bucketed twin of [[ingestAppend]]: micro-batches land through the
     * catalog table's own bucket spec ([[graft.io.Tables

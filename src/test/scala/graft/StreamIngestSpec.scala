@@ -197,6 +197,44 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(Tables.snapshot(spark, buckets).count() == bids.size * 8L)
   }
 
+  test("near-dup ingest two-table protocol: crash at any point replays consistently") {
+    // the claim under test: survivors are a pure function of (batch,
+    // pre-batch bucket state), the doc append commits first — so a crash
+    // ANYWHERE in the two-append sequence converges on replay with no
+    // duplicate and no lost doc/bucket row. Crash points: the doc
+    // append's pending/appended/committed (occurrences 1-3 of the stream
+    // tags) and the bucket append's (occurrences 4-6).
+    val base = "the five boxing wizards jump quickly over the glass of sparkling water near the pier"
+    val other = "entirely unrelated prose describing adaptive query execution and shuffle partition coalescing"
+    for ((tag, nth) <- Seq(("stream:pending", 1), ("stream:appended", 1),
+        ("stream:committed", 1), ("stream:pending", 2), ("stream:appended", 2),
+        ("stream:committed", 2))) {
+      val docs = tmpDir(s"cdoc") + "/docs.parquet"
+      val buckets = tmpDir(s"cbkt") + "/buckets.parquet"
+      def runBatch(bid: Long, rows: Seq[(Long, Long, String)]): Unit =
+        Streams.dedupIngestBatch(rows.toDF("id", "ts", "text"), docs, buckets,
+          "ts", "ck-crash", "id", "text", 5, 8, 2, bid)
+      runBatch(0L, Seq((1L, 100L, base), (2L, 101L, other)))
+      // batch 1: a near-dup of doc 1 (drops) + a genuinely new doc 4
+      // (lands) — crashed at (tag, nth), then replayed
+      val b1 = Seq((3L, 200L, base.replace("quickly", "slowly")),
+        (4L, 201L, "a completely fresh topic covering parquet footers " +
+          "row group statistics and manifest sidecar pruning"))
+      val crashed = withCrash(tag, nth)(runBatch(1L, b1))
+      runBatch(1L, b1) // the replay (also runs entry recovery)
+      val kept = Tables.snapshot(spark, docs).select("id").as[Long]
+        .collect().sorted.toSeq
+      assert(kept == Seq(1L, 2L, 4L),
+        s"($tag#$nth crashed=$crashed): docs wrong after replay: $kept")
+      val bkt = Tables.snapshot(spark, buckets)
+        .select("id").as[Long].collect().toSet
+      assert(bkt == Set(1L, 2L, 4L),
+        s"($tag#$nth): bucket table diverged from docs: $bkt")
+      assert(Tables.snapshot(spark, buckets).count() == 24,
+        s"($tag#$nth): duplicate bucket rows after replay")
+    }
+  }
+
   test("a replayed batch id is skipped (checkpoint-recovery exactly-once)") {
     val table = tmpDir("replay") + "/t.parquet"
     val b0 = (0L until 100L).map(i => (i, i * 1.0)).toDF("ts", "v")
