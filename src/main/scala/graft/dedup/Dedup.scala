@@ -163,11 +163,6 @@ object Dedup {
     verifyJaccard(allPairs, sh, id, minJaccard)
   }
 
-  /** MinHash + LSH candidate pairs: signature split into `bands` bands of
-    * `rowsPerBand` values; docs sharing any band land in the same bucket;
-    * pairs emitted once (id1 < id2). Verification (exact Jaccard) is the
-    * caller's choice — see `minhashLshPairsVerified` for the full pipeline.
-    */
   /** Per-document LSH band buckets over a prebuilt shingle frame:
     * (id, band, bucket), one row per band per doc — the join-key space
     * of [[minhashCandidates]], exposed on its own for INCREMENTAL dedup
@@ -207,9 +202,13 @@ object Dedup {
                   rowsPerBand: Int = 2): DataFrame =
     bandBucketsSh(shingleSets(df, id, text, shingleLen), id, bands, rowsPerBand)
 
-  def minhashCandidates(sh: DataFrame, id: String,
-                        bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = bandBucketsSh(sh, id, bands, rowsPerBand)
+  /** Collision pairs over a (id, band, bucket) frame: docs sharing any
+    * (band, bucket) pair once, id1 < id2, deduplicated across bands —
+    * the LSH pair semantics defined ONCE for the batch candidates
+    * ([[minhashCandidates]]) and the streaming in-batch check
+    * ([[graft.streaming.Streams.dedupIngestBatch]]).
+    */
+  def bandedPairs(banded: DataFrame, id: String): DataFrame = {
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -218,6 +217,15 @@ object Dedup {
       .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
       .distinct()
   }
+
+  /** MinHash + LSH candidate pairs: signature split into `bands` bands of
+    * `rowsPerBand` values; docs sharing any band land in the same bucket;
+    * pairs emitted once (id1 < id2). Verification (exact Jaccard) is the
+    * caller's choice — see `minhashLshPairsVerified` for the full pipeline.
+    */
+  def minhashCandidates(sh: DataFrame, id: String,
+                        bands: Int, rowsPerBand: Int): DataFrame =
+    bandedPairs(bandBucketsSh(sh, id, bands, rowsPerBand), id)
 
   /** Candidate pairs only (unverified) — kept for pipelines that do their
     * own verification pass.

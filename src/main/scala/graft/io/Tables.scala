@@ -1366,7 +1366,18 @@ object Tables {
     val (zeros, nonzero) = scanned.partition(_._2.contains(0L))
     val kept =
       if (nonzero.isEmpty && carryLive.isEmpty && zeros.nonEmpty)
-        zeros.take(1)
+        // the anchor's stats are the EMPTY-SET sentinel (min = +∞,
+        // max = −∞), which is vacuously correct for every consumer — a
+        // range scan always prunes it (MinValue >= fromNs is false), the
+        // metadata tail check never raises the tail from it, and every
+        // delete range is disjoint from it (carried untouched). A
+        // stat-LESS entry here would instead disable every metadata-only
+        // decision on the table forever — the tail check degrades to a
+        // per-append max(ts) scan and ingestAppendRetained's retention
+        // silently never runs (second r13 review pass, finding #2).
+        zeros.take(1).map { case (e, r) =>
+          (e.copy(minNs = Some(Long.MaxValue), maxNs = Some(Long.MinValue)), r)
+        }
       else nonzero
     val keptNames = kept.map(_._1.name).toSet
     zeros.filterNot(z => keptNames(z._1.name)).foreach { case (e, _) =>
@@ -1644,17 +1655,36 @@ object Tables {
     recoverDelete(fs, path)
   }
 
-  /** Delete an ORPHANED manifest-staging sibling (a writer crashed
-    * between writeSmallFileAtomic's staging write and its rename). Under
-    * the caller's lease the orphan is provably garbage — no replace can
-    * be in flight — and leaving it would tax every manifest-less read
-    * with liveEntries' replace-in-flight wait forever (r13 review
-    * finding #4). Runs at every mutator's entry, both layouts.
+  /** Resolve an ORPHANED manifest-staging sibling (a writer crashed
+    * inside writeSmallFileAtomic) at every mutator's entry, both layouts
+    * — under the caller's lease no replace can be in flight, and leaving
+    * the orphan would tax every manifest-less read with liveEntries'
+    * replace-in-flight wait forever (r13 review finding #4). Two crash
+    * states look identical by name but need OPPOSITE treatment (second
+    * r13 review pass, finding #1):
+    *  - manifest PRESENT: the staging is a superseded or torn draft —
+    *    delete it (the live manifest is authoritative either way);
+    *  - manifest ABSENT: on the delete-then-rename fallback path the
+    *    staging may be the SOLE surviving copy — including the retired
+    *    ledger, whose loss would resurrect grace-retained files as live
+    *    duplicates at the next bootstrap. A staging that parses as a
+    *    manifest rolls FORWARD (rename into place); only an unparseable
+    *    (torn mid-write, so no replace was in flight and no manifest
+    *    ever existed here) one is garbage.
     */
   private def sweepManifestStaging(fs: FileSystem, hp: Path): Unit = {
     val staging = new Path(hp, "." + ManifestName + ".staging")
-    if (scala.util.Try(fs.exists(staging)).getOrElse(false))
-      fs.delete(staging, false)
+    if (!scala.util.Try(fs.exists(staging)).getOrElse(false)) return
+    val target = new Path(hp, ManifestName)
+    if (fs.exists(target)) { fs.delete(staging, false); return }
+    val parses = scala.util.Try(
+      org.json4s.jackson.Serialization.read[TsManifest](
+        readSmallText(fs, staging))).isSuccess
+    if (parses) {
+      if (!fs.rename(staging, target))
+        sys.error(s"manifest recovery: cannot roll staged manifest " +
+          s"$staging forward to $target")
+    } else fs.delete(staging, false)
   }
 
   /** Crash recovery for the staged append: a surviving append marker means
@@ -2243,7 +2273,7 @@ object Tables {
     withWriterLease(fs, loc, "appendStreamBatchBucketed") {
       requireLocationCurrent(spark, table, fs, loc, "appendStreamBatchBucketed")
       sweepManifestStaging(fs, loc)
-    recoverStreamPending(fs, loc.toString)
+      recoverStreamPending(fs, loc.toString)
       // predecessor-crash recovery must run BEFORE the pending record's
       // pre-listing: a committed fold marker rolled forward later (inside
       // appendBucketed) replaces the directory, and a crash after that

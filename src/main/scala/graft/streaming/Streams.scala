@@ -447,7 +447,12 @@ object Streams {
               m.files.forall(e => e.minNs.isDefined && e.maxNs.isDefined)
             mx = m.files.flatMap(_.maxNs).max
             mn = m.files.flatMap(_.minNs).min
-            cut = mx - retainNs
+            // exact, not wrapping: mx - retainNs on a pre-1970 table with
+            // a huge retainNs ("never expire") would wrap POSITIVE and
+            // delete the whole table including the tail — overflow means
+            // nothing can have expired, so retention skips (second r13
+            // review pass, finding #3)
+            cut <- scala.util.Try(Math.subtractExact(mx, retainNs)).toOption
             if mn < cut // something has actually expired
           } graft.io.Tables.deleteRangeNs(spark, path, ts,
             Long.MinValue, cut - 1) // retain [cut, mx]: delete ts <= cut-1
@@ -512,6 +517,7 @@ object Streams {
     val bb = graft.dedup.Dedup
       .bandBuckets(batch, id, text, shingleLen, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var survivorsCached: Option[DataFrame] = None
     try {
       // ids colliding with the RETAINED corpus (absent table = empty)
       val hp = new org.apache.hadoop.fs.Path(bucketPath)
@@ -529,18 +535,13 @@ object Streams {
       // cluster survives (docs too short to shingle have no buckets,
       // collide with nothing, and always survive)
       val freshBB = bb.join(fresh.select(col(id)), Seq(id), "left_semi")
-      val a = freshBB.as("a"); val b = freshBB.as("b")
-      val pairs = a.join(b,
-          col(s"a.band") === col(s"b.band") &&
-            col(s"a.bucket") === col(s"b.bucket") &&
-            col(s"a.$id") < col(s"b.$id"))
-        .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
-        .distinct()
+      val pairs = graft.dedup.Dedup.bandedPairs(freshBB, id)
       val losers = graft.dedup.Dedup.connectedComponents(pairs)
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as(id))
       val survivors = fresh.join(losers, Seq(id), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      survivorsCached = Some(survivors)
       // doc table first, bucket table second (see crash-consistency
       // note); distinct stream ids keep the two commit logs separate
       graft.io.Tables.appendStreamBatch(survivors, docPath, ts,
@@ -550,8 +551,13 @@ object Streams {
         .select(col(id), col("band"), col("bucket"), col(ts))
       graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
         streamKey + "#buckets", batchId)
-      survivors.unpersist()
-    } finally { bb.unpersist(); batch.unpersist() }
+    } finally {
+      // every persist released on EVERY path — a throw from either append
+      // (lease contention, ordered-ingest reject, crash injection) must
+      // not pin survivor blocks for the session's lifetime
+      survivorsCached.foreach(_.unpersist())
+      bb.unpersist(); batch.unpersist()
+    }
   }
 
   /** The bucketed twin of [[ingestAppend]]: micro-batches land through the
