@@ -981,6 +981,32 @@ class TablesSpec extends AnyFunSuite {
     spark.catalog.dropTempView("g_view_t2")
   }
 
+  test("an orphaned manifest staging rolls forward when it is the sole copy") {
+    val path = tmp("stagingroll")
+    Tables.load((0L until 50L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    val dir = new java.io.File(path)
+    val mf = new java.io.File(dir, "_graft_manifest.json")
+    val st = new java.io.File(dir, "._graft_manifest.json.staging")
+    val content = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    // simulate the delete-then-rename fallback crash: target gone, the
+    // staged replacement (a complete manifest) is the SOLE copy
+    java.nio.file.Files.move(mf.toPath, st.toPath)
+    assert(!mf.exists && st.exists)
+    // any mutating op's entry recovery must roll it FORWARD, not delete it
+    Tables.append(Seq((100L, 1.0)).toDF("ts", "v"), path, "ts", lit(0L))
+    assert(mf.exists && !st.exists, "staged manifest must install, not vanish")
+    assert(Tables.manifest(spark, path).exists(_.ts == "ts"))
+    assert(Tables.snapshot(spark, path).count() == 51)
+    // a TORN staging (unparseable) next to a LIVE manifest is a
+    // superseded draft — swept, manifest untouched
+    java.nio.file.Files.write(st.toPath, "{torn".getBytes("UTF-8"))
+    Tables.append(Seq((200L, 2.0)).toDF("ts", "v"), path, "ts", lit(0L))
+    assert(!st.exists, "torn draft must be swept")
+    assert(Tables.manifest(spark, path).isDefined)
+    assert(content.nonEmpty) // silence the unused-val lint
+  }
+
   test("tableStats cross-checks the filesystem through the lifecycle") {
     val path = tmp("stats")
     def fsData(): Seq[java.io.File] = dataFiles(path)
