@@ -560,6 +560,113 @@ object Streams {
     }
   }
 
+  /** The EMBEDDING twin of [[ingestDedupNearDup]]: semantic dedup at
+    * landing (SemDeDup at the ingest boundary, arXiv:2303.09540) — each
+    * micro-batch drops documents whose embedding is within `minCos`
+    * cosine of a previously-RETAINED document. Unlike MinHash banding, a
+    * random-hyperplane bucket collision is only a CANDIDATE (RHP buckets
+    * are coarse), so the stored-corpus check verifies candidates with
+    * the exact cosine against the retained vectors (column-pruned doc
+    * -table join over the candidate ids only); in-batch collisions
+    * resolve through [[graft.dedup.Dedup.cosinePairsBucketed]] (same
+    * verify-after-bucket shape) + connected components, min id per
+    * cluster. Same two-table exactly-once protocol and crash consistency
+    * as the text variant. Zero-norm embeddings have no direction, bucket
+    * nowhere, and always survive. LSH recall caveat: a true near-dup
+    * pair missed by all `tables` hash tables lands twice — tune
+    * (tables, bits) like cosinePairsBucketed; misses are possible by
+    * construction (the batch SemDeDup query asserts a recall floor, not
+    * equality, for the same reason).
+    */
+  def ingestDedupEmbedding(df: DataFrame, docPath: String, bucketPath: String,
+                           ts: String, checkpoint: String,
+                           id: String, vec: String, dim: Int,
+                           minCos: Double = 0.95,
+                           tables: Int = 8, bits: Int = 16,
+                           trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch0: Dataset[Row], batchId: Long) =>
+        dedupIngestEmbeddingBatch(batch0.toDF(), docPath, bucketPath, ts,
+          checkpoint, id, vec, dim, minCos, tables, bits, batchId)
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[ingestDedupEmbedding]] — public for crash tests
+    * and batch backfills, like [[dedupIngestBatch]].
+    */
+  def dedupIngestEmbeddingBatch(batch0: DataFrame, docPath: String,
+                                bucketPath: String, ts: String,
+                                streamKey: String, id: String, vec: String,
+                                dim: Int, minCos: Double, tables: Int,
+                                bits: Int, batchId: Long): Unit = {
+    import graft.sim.Similarity.{dot, rhpBucket}
+    val spark = batch0.sparkSession
+    val batch = batch0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withNorm = batch
+      .select(col(id), col(vec).cast("array<double>").as("__v"))
+      .withColumn("__nrm", sqrt(dot(col("__v"), col("__v"))))
+      .filter(col("__nrm") > 0)
+    val bb = withNorm.select(col(id),
+        posexplode(array((0 until tables).map(t =>
+          rhpBucket(col("__v"), dim, bits, planeOffset = t * bits)): _*)))
+      .select(col(id), col("pos").as("band"), col("col").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var survivorsCached: Option[DataFrame] = None
+    try {
+      val hp = new org.apache.hadoop.fs.Path(bucketPath)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fresh =
+        if (!fs.exists(hp)) batch
+        else {
+          // candidates (bucket collision with the retained corpus), then
+          // the exact-cosine verify against the retained vectors — RHP
+          // buckets alone are not near-dup evidence
+          val stored = graft.io.Tables.snapshot(spark, bucketPath)
+            .select(col("band"), col("bucket"), col(id).as("__oldId"))
+          val cand = bb.join(stored, Seq("band", "bucket"))
+            .select(col(id), col("__oldId")).distinct()
+          val oldVecs = graft.io.Tables.snapshot(spark, docPath)
+            .select(col(id).as("__oldId"),
+              col(vec).cast("array<double>").as("__ov"))
+          val hit = cand
+            .join(withNorm.select(col(id), col("__v"), col("__nrm")), Seq(id))
+            .join(oldVecs, Seq("__oldId"))
+            .withColumn("__on", sqrt(dot(col("__ov"), col("__ov"))))
+            .filter(col("__on") > 0)
+            .filter(dot(col("__v"), col("__ov")) / (col("__nrm") * col("__on"))
+              >= minCos)
+            .select(col(id)).distinct()
+          batch.join(hit, Seq(id), "left_anti")
+        }
+      // in-batch: verified cosine pairs (bucketed candidates + exact
+      // verify) → components → keep min id per cluster
+      val pairs = graft.dedup.Dedup.cosinePairsBucketed(
+        fresh.select(col(id), col(vec)), id, vec, dim, minCos, tables, bits)
+      val losers = graft.dedup.Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as(id))
+      val survivors = fresh.join(losers, Seq(id), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      survivorsCached = Some(survivors)
+      graft.io.Tables.appendStreamBatch(survivors, docPath, ts,
+        streamKey + "#docs", batchId)
+      val bucketRows = bb
+        .join(survivors.select(col(id), col(ts)), Seq(id))
+        .select(col(id), col("band"), col("bucket"), col(ts))
+      graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
+        streamKey + "#buckets", batchId)
+    } finally {
+      survivorsCached.foreach(_.unpersist())
+      bb.unpersist(); batch.unpersist()
+    }
+  }
+
   /** The bucketed twin of [[ingestAppend]]: micro-batches land through the
     * catalog table's own bucket spec ([[graft.io.Tables
     * .appendStreamBatchBucketed]]), preserving the zero-Exchange join

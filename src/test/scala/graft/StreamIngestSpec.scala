@@ -197,6 +197,40 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(Tables.snapshot(spark, buckets).count() == bids.size * 8L)
   }
 
+  test("embedding dedup ingest: cosine-verified drop at landing, replay no-op") {
+    val docs = tmpDir("edoc") + "/docs.parquet"
+    val buckets = tmpDir("ebkt") + "/buckets.parquet"
+    def v(xs: Double*): Seq[Double] = xs
+    def runBatch(bid: Long, rows: Seq[(Long, Long, Seq[Double])]): Unit =
+      Streams.dedupIngestEmbeddingBatch(rows.toDF("id", "ts", "emb"),
+        docs, buckets, "ts", "ck-emb", "id", "emb", dim = 4,
+        minCos = 0.95, tables = 8, bits = 16, batchId = bid)
+    // batch 0: two orthogonal embeddings — both land
+    runBatch(0L, Seq((1L, 100L, v(1, 0, 0, 0)), (2L, 101L, v(0, 1, 0, 0))))
+    // batch 1: 3 ≈ doc 1 (cos ≈ 0.9995 → drops); 4 is a bucket-collision
+    // candidate of NOTHING above minCos (cos(4,1)=0.71) and lands; the
+    // in-batch pair 5/6 are near-identical — min id 5 survives
+    runBatch(1L, Seq(
+      (3L, 200L, v(1, 0.03, 0, 0)),
+      (4L, 201L, v(1, 1, 0, 0)),
+      (5L, 202L, v(0, 0, 1, 0.01)),
+      (6L, 203L, v(0, 0, 1.02, 0.01))))
+    val kept = Tables.snapshot(spark, docs).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 4L, 5L), s"semantic dedup at landing wrong: $kept")
+    // zero-norm embeddings bucket nowhere and always survive
+    runBatch(2L, Seq((7L, 300L, v(0, 0, 0, 0))))
+    assert(Tables.snapshot(spark, docs).count() == 5)
+    // replaying both batches through the same stream key is a no-op
+    runBatch(1L, Seq((3L, 200L, v(1, 0.03, 0, 0))))
+    runBatch(2L, Seq((7L, 300L, v(0, 0, 0, 0))))
+    assert(Tables.snapshot(spark, docs).count() == 5)
+    val bids = Tables.snapshot(spark, buckets).select("id").as[Long]
+      .collect().toSet
+    assert(bids == Set(1L, 2L, 4L, 5L),
+      s"bucket table must hold retained non-zero-norm docs only: $bids")
+  }
+
   test("near-dup ingest two-table protocol: crash at any point replays consistently") {
     // the claim under test: survivors are a pure function of (batch,
     // pre-batch bucket state), the doc append commits first — so a crash
