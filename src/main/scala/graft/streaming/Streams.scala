@@ -572,17 +572,24 @@ object Streams {
     * verify-after-bucket shape) + connected components, min id per
     * cluster. Same two-table exactly-once protocol and crash consistency
     * as the text variant. Zero-norm embeddings have no direction, bucket
-    * nowhere, and always survive. LSH recall caveat: a true near-dup
-    * pair missed by all `tables` hash tables lands twice — tune
-    * (tables, bits) like cosinePairsBucketed; misses are possible by
-    * construction (the batch SemDeDup query asserts a recall floor, not
-    * equality, for the same reason).
+    * nowhere, and always survive.
+    *
+    * LSH recall: a true near-dup pair missed by ALL `tables` hash tables
+    * lands twice — recall at angle θ is 1 − (1 − (1−θ/π)^bits)^tables.
+    * The ingest defaults (32 tables × 16 bits → ~0.998 at cos 0.95)
+    * deliberately use WIDER buckets than cosinePairsBucketed's batch
+    * defaults (32×4): here every bucket row joins against the whole
+    * RETAINED corpus, so candidate volume scales with corpus/2^bits per
+    * table — 4-bit buckets would make every batch collide with ~1/16 of
+    * the corpus per table. Misses are possible by construction (the
+    * batch SemDeDup query asserts a recall floor, not equality, for the
+    * same reason); lower minCos needs more tables.
     */
   def ingestDedupEmbedding(df: DataFrame, docPath: String, bucketPath: String,
                            ts: String, checkpoint: String,
                            id: String, vec: String, dim: Int,
                            minCos: Double = 0.95,
-                           tables: Int = 8, bits: Int = 16,
+                           tables: Int = 32, bits: Int = 16,
                            trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
@@ -612,48 +619,72 @@ object Streams {
       .select(col(id), col(vec).cast("array<double>").as("__v"))
       .withColumn("__nrm", sqrt(dot(col("__v"), col("__v"))))
       .filter(col("__nrm") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE plane-hashing pass per doc (tables×bits dots): bb serves BOTH
+    // the stored-corpus candidate join and the in-batch pair join — the
+    // same reuse the text twin gets from bandBuckets + bandedPairs
     val bb = withNorm.select(col(id),
         posexplode(array((0 until tables).map(t =>
           rhpBucket(col("__v"), dim, bits, planeOffset = t * bits)): _*)))
       .select(col(id), col("pos").as("band"), col("col").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var survivorsCached: Option[DataFrame] = None
+    val caches = scala.collection.mutable.ListBuffer[DataFrame](withNorm, bb)
     try {
       val hp = new org.apache.hadoop.fs.Path(bucketPath)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val fresh =
+      // exact-cosine verify of a candidate set against `side` vectors —
+      // RHP buckets alone are not near-dup evidence
+      def verified(cand: DataFrame, otherVecs: DataFrame): DataFrame = cand
+        .join(withNorm.select(col(id), col("__v"), col("__nrm")), Seq(id))
+        .join(otherVecs, Seq("__oldId"))
+        .withColumn("__on", sqrt(dot(col("__ov"), col("__ov"))))
+        .filter(col("__on") > 0)
+        .filter(dot(col("__v"), col("__ov")) / (col("__nrm") * col("__on"))
+          >= minCos)
+      val fresh = (
         if (!fs.exists(hp)) batch
         else {
-          // candidates (bucket collision with the retained corpus), then
-          // the exact-cosine verify against the retained vectors — RHP
-          // buckets alone are not near-dup evidence
           val stored = graft.io.Tables.snapshot(spark, bucketPath)
             .select(col("band"), col("bucket"), col(id).as("__oldId"))
           val cand = bb.join(stored, Seq("band", "bucket"))
             .select(col(id), col("__oldId")).distinct()
-          val oldVecs = graft.io.Tables.snapshot(spark, docPath)
-            .select(col(id).as("__oldId"),
-              col(vec).cast("array<double>").as("__ov"))
-          val hit = cand
-            .join(withNorm.select(col(id), col("__v"), col("__nrm")), Seq(id))
-            .join(oldVecs, Seq("__oldId"))
-            .withColumn("__on", sqrt(dot(col("__ov"), col("__ov"))))
-            .filter(col("__on") > 0)
-            .filter(dot(col("__v"), col("__ov")) / (col("__nrm") * col("__on"))
-              >= minCos)
-            .select(col(id)).distinct()
-          batch.join(hit, Seq(id), "left_anti")
-        }
-      // in-batch: verified cosine pairs (bucketed candidates + exact
-      // verify) → components → keep min id per cluster
-      val pairs = graft.dedup.Dedup.cosinePairsBucketed(
-        fresh.select(col(id), col(vec)), id, vec, dim, minCos, tables, bits)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          caches += cand
+          // candidate-id pushdown: the verify must read the CANDIDATES'
+          // vectors, not the whole retained corpus — a small candidate
+          // set becomes an isin filter the doc-table scan can prune on;
+          // an adversarial flood falls back to the plain join (Spark
+          // broadcasts the candidate side, but the scan reads all vecs)
+          val candIds = cand.select(col("__oldId")).distinct()
+            .limit(1001).collect().map(_.get(0))
+          if (candIds.isEmpty) batch
+          else {
+            val oldVecs0 = graft.io.Tables.snapshot(spark, docPath)
+              .select(col(id).as("__oldId"),
+                col(vec).cast("array<double>").as("__ov"))
+            val oldVecs =
+              if (candIds.length <= 1000)
+                oldVecs0.filter(col("__oldId").isin(candIds: _*))
+              else oldVecs0
+            val hit = verified(cand, oldVecs).select(col(id)).distinct()
+            batch.join(hit, Seq(id), "left_anti")
+          }
+        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      caches += fresh
+      // in-batch: bucket-collision pairs from the ALREADY-HASHED bb, then
+      // the same exact-cosine verify → components → keep min per cluster
+      val freshBB = bb.join(fresh.select(col(id)), Seq(id), "left_semi")
+      val candPairs = graft.dedup.Dedup.bandedPairs(freshBB, id)
+      val pairs = verified(
+        candPairs.select(col("id1").as(id), col("id2").as("__oldId")),
+        withNorm.select(col(id).as("__oldId"), col("__v").as("__ov")))
+        .select(col(id).as("id1"), col("__oldId").as("id2"))
       val losers = graft.dedup.Dedup.connectedComponents(pairs)
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as(id))
       val survivors = fresh.join(losers, Seq(id), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      survivorsCached = Some(survivors)
+      caches += survivors
       graft.io.Tables.appendStreamBatch(survivors, docPath, ts,
         streamKey + "#docs", batchId)
       val bucketRows = bb
@@ -662,8 +693,8 @@ object Streams {
       graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
         streamKey + "#buckets", batchId)
     } finally {
-      survivorsCached.foreach(_.unpersist())
-      bb.unpersist(); batch.unpersist()
+      caches.foreach(c => scala.util.Try(c.unpersist()))
+      batch.unpersist()
     }
   }
 

@@ -269,6 +269,40 @@ class StreamIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding dedup ingest: crash at any point replays consistently") {
+    // the EMBEDDING variant has one more determinism dependency than the
+    // text one: the stored-corpus verify reads doc-table VECTORS, and a
+    // crash between the doc and bucket appends leaves the batch's own
+    // survivors in docPath at replay time — they must stay inert
+    // (candidates come only from the pre-batch BUCKET table)
+    def v(xs: Double*): Seq[Double] = xs
+    for ((tag, nth) <- Seq(("stream:pending", 1), ("stream:appended", 1),
+        ("stream:committed", 1), ("stream:pending", 2), ("stream:appended", 2),
+        ("stream:committed", 2))) {
+      val docs = tmpDir("cedoc") + "/docs.parquet"
+      val buckets = tmpDir("cebkt") + "/buckets.parquet"
+      def runBatch(bid: Long, rows: Seq[(Long, Long, Seq[Double])]): Unit =
+        Streams.dedupIngestEmbeddingBatch(rows.toDF("id", "ts", "emb"),
+          docs, buckets, "ts", "ck-ecrash", "id", "emb", dim = 4,
+          minCos = 0.95, tables = 8, bits = 16, batchId = bid)
+      runBatch(0L, Seq((1L, 100L, v(1, 0, 0, 0)), (2L, 101L, v(0, 1, 0, 0))))
+      // batch 1: 3 ≈ doc 1 (drops against the corpus), 4 is new (lands)
+      val b1 = Seq((3L, 200L, v(1, 0.03, 0, 0)), (4L, 201L, v(0, 0, 1, 0)))
+      val crashed = withCrash(tag, nth)(runBatch(1L, b1))
+      runBatch(1L, b1)
+      val kept = Tables.snapshot(spark, docs).select("id").as[Long]
+        .collect().sorted.toSeq
+      assert(kept == Seq(1L, 2L, 4L),
+        s"($tag#$nth crashed=$crashed): docs wrong after replay: $kept")
+      val bkt = Tables.snapshot(spark, buckets)
+        .select("id").as[Long].collect().toSet
+      assert(bkt == Set(1L, 2L, 4L),
+        s"($tag#$nth): bucket table diverged from docs: $bkt")
+      assert(Tables.snapshot(spark, buckets).count() == 24,
+        s"($tag#$nth): duplicate bucket rows after replay")
+    }
+  }
+
   test("a replayed batch id is skipped (checkpoint-recovery exactly-once)") {
     val table = tmpDir("replay") + "/t.parquet"
     val b0 = (0L until 100L).map(i => (i, i * 1.0)).toDF("ts", "v")

@@ -996,7 +996,15 @@ class TablesSpec extends AnyFunSuite {
     // any mutating op's entry recovery must roll it FORWARD, not delete it
     Tables.append(Seq((100L, 1.0)).toDF("ts", "v"), path, "ts", lit(0L))
     assert(mf.exists && !st.exists, "staged manifest must install, not vanish")
-    assert(Tables.manifest(spark, path).exists(_.ts == "ts"))
+    // the rolled-forward manifest's PRE-APPEND entries are byte-for-byte
+    // the captured originals (the append then extends with its own file)
+    val recovered = Tables.manifest(spark, path).get
+    val original = org.json4s.jackson.Serialization
+      .read[graft.io.TsManifest](content)(org.json4s.DefaultFormats,
+        implicitly[scala.reflect.Manifest[graft.io.TsManifest]])
+    assert(recovered.ts == original.ts)
+    assert(original.files.toSet.subsetOf(recovered.files.toSet),
+      "roll-forward must install the staged entries intact")
     assert(Tables.snapshot(spark, path).count() == 51)
     // a TORN staging (unparseable) next to a LIVE manifest is a
     // superseded draft — swept, manifest untouched
@@ -1004,7 +1012,6 @@ class TablesSpec extends AnyFunSuite {
     Tables.append(Seq((200L, 2.0)).toDF("ts", "v"), path, "ts", lit(0L))
     assert(!st.exists, "torn draft must be swept")
     assert(Tables.manifest(spark, path).isDefined)
-    assert(content.nonEmpty) // silence the unused-val lint
   }
 
   test("tableStats cross-checks the filesystem through the lifecycle") {
