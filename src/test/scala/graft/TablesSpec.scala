@@ -1014,6 +1014,65 @@ class TablesSpec extends AnyFunSuite {
     assert(Tables.manifest(spark, path).isDefined)
   }
 
+  test("deleteRange randomized differential: split semantics == full filter") {
+    // the O(range) split must be INVISIBLE semantically: for random
+    // layouts and random (possibly degenerate) bounds, the surviving
+    // rows equal a plain filterNot over the original data — whatever mix
+    // of carried/rewritten/no-op the manifest split chose
+    val rnd = new scala.util.Random(913001L)
+    for (iter <- 1 to 8) {
+      val path = tmp(s"deldiff$iter")
+      val n = 50 + rnd.nextInt(400)
+      val rows = (0L until n.toLong).map(i => (i, rnd.nextDouble()))
+      Tables.load(rows.toDF("ts", "v").repartition(1 + rnd.nextInt(6)),
+        path, Seq(), "ts")
+      val lo = rnd.nextInt(2 * n).toLong - n / 2  // may miss everything
+      val hi = lo + rnd.nextInt(n).toLong
+      Tables.deleteRange(spark, path, "ts", lit(lo), lit(hi))
+      val expect = rows.filterNot { case (t, _) => t >= lo && t <= hi }
+        .sortBy(_._1)
+      val got = Tables.snapshot(spark, path).select("ts", "v")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(got == expect,
+        s"iter $iter: delete [$lo,$hi] over $n rows diverged " +
+          s"(got ${got.size}, want ${expect.size})")
+    }
+  }
+
+  test("deleteRangeNs inclusive duals are exact on µs-grain timestamps") {
+    // the typed-literal translation (ceiling lower, floor upper) must
+    // delete EXACTLY the µs ticks whose ns value lies in [fromNs, tillNs]
+    // — including non-µs-aligned ns bounds, where naive floor/ceil choices
+    // admit or drop boundary rows depending on the file's encoding
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType, DoubleType}
+    val rnd = new scala.util.Random(913002L)
+    for (iter <- 1 to 4) {
+      val path = tmp(s"delns$iter")
+      val n = 200
+      val rows = (0 until n).map { i =>
+        org.apache.spark.sql.Row(
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0L, i * 1000L)),
+          i.toDouble)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3),
+        StructType(Seq(StructField("ts", TimestampType), StructField("v", DoubleType))))
+      Tables.load(df, path, Seq(), "ts")
+      // ns bounds deliberately off the µs grid
+      val fromNs = rnd.nextInt(n * 1000).toLong + (if (iter % 2 == 0) 1L else 0L)
+      val tillNs = fromNs + rnd.nextInt(n * 500).toLong + 7L
+      Tables.deleteRangeNs(spark, path, "ts", fromNs, tillNs)
+      val expect = (0 until n).filterNot { i =>
+        val ns = i * 1000L; ns >= fromNs && ns <= tillNs
+      }.map(_.toDouble).sorted
+      val got = Tables.snapshot(spark, path).select("v")
+        .collect().map(_.getDouble(0)).sorted.toSeq
+      assert(got == expect,
+        s"iter $iter: deleteRangeNs [$fromNs,$tillNs] diverged " +
+          s"(got ${got.size}, want ${expect.size})")
+    }
+  }
+
   test("tableStats cross-checks the filesystem through the lifecycle") {
     val path = tmp("stats")
     def fsData(): Seq[java.io.File] = dataFiles(path)
