@@ -274,11 +274,16 @@ object Bench {
       if (extraReps.isEmpty) "" else extraReps.mkString(""","warm_reps":{""", ",", "}")
     // normalized round-over-round ratios: the COMPACT line (the driver's
     // bounded tail capture) carries only the out-of-band movers
-    // (|ratio-1| > 10%) so the record stays parseable; the detail line +
+    // (|ratio-1| > 10%), capped at the 8 LARGEST displacements — a
+    // floor-shifted round can flag every query, and an uncapped list
+    // would push the record past the 2000-char tail; the detail line +
     // sidecar carry the full map for forensics
     val normJson = normPrev.map { case (prevName, cr, m) =>
-      val kept = if (withRepTimes) m else m.filter(e => math.abs(e._2 - 1.0) > 0.10)
-      val entries = kept.toSeq.sortBy(_._1)
+      val kept =
+        if (withRepTimes) m.toSeq
+        else m.toSeq.filter(e => math.abs(e._2 - 1.0) > 0.10)
+          .sortBy(e => -math.abs(e._2 - 1.0)).take(8)
+      val entries = kept.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
       s""","prev_round":"$prevName","canary_ratio":${f"$cr%.2f"},"normalized_vs_prev":$entries"""

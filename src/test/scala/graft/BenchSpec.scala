@@ -172,10 +172,12 @@ class BenchSpec extends AnyFunSuite {
     val rs = Bench.headline.map(n => q(n, 0.123, 0.045)) ++
       Seq(q("q_future_headroom_1", 1.234, 0.567), q("q_future_headroom_2", 9.876, 0.321),
         q("q_compact_incr", 0.6, 0.05), q("q_compact_bucketed", 0.5, 0.05),
-        q("q_delete_range", 0.6, 0.05), q("q_stream_ingest", 1.2, 0.05))
-    // worst realistic case: a floor-shifted round flags a dozen movers
+        q("q_delete_range", 0.6, 0.05), q("q_stream_ingest", 1.2, 0.05),
+        q("q_dedup_ingest", 2.9, 0.74))
+    // worst case: a floor-shifted round flags EVERY query — the compact
+    // rendering caps the emitted movers at the 8 largest displacements
     val norm = Some(("BENCH_r12.json", 1.08,
-      rs.take(12).map(r => r.name -> 1.21).toMap))
+      rs.map(r => r.name -> 1.21).toMap))
     val compact = Bench.renderJson(rs, reps = 7, loadSec = 12.345,
       startLoad = Seq(0.11, 0.22, 0.33), endLoad = Seq(4.44, 5.55, 6.66),
       contended = false, noisy = Seq(), sfDir = "/root/testdata/sf0.1",
