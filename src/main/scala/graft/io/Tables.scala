@@ -2333,9 +2333,22 @@ object Tables {
   private def deleteBoundsNs(spark: SparkSession, dt: DataType,
                              from: Column, till: Column): Option[(Long, Long)] =
     scala.util.Try {
-      def instNs(i: java.time.Instant): Long =
-        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000000L),
-          i.getNano.toLong)
+      // via MICROS, not seconds×1e9: the seconds intermediate overflows
+      // for values near Long.MinValue ns even when the true ns value is
+      // representable — e.g. the tsLit(Long.MinValue) lower bound the
+      // retention path issues every round (epochSecond -9223372037 × 1e9
+      // < Long.MinValue while µs×1000 = -9223372036854775000 fits), and
+      // the swallowed throw silently degraded that delete to a FULL-TABLE
+      // rewrite (ADVICE r13, medium). Exactness preserved: every op is
+      // still *Exact, so a genuinely unrepresentable instant throws into
+      // the Try → None → conservative full rewrite, never a wrong prune.
+      def instNs(i: java.time.Instant): Long = {
+        val micros = Math.addExact(
+          Math.multiplyExact(i.getEpochSecond, 1000000L),
+          (i.getNano / 1000).toLong)
+        Math.addExact(Math.multiplyExact(micros, 1000L),
+          (i.getNano % 1000).toLong)
+      }
       def toNs(v: Any): Option[Long] = v match {
         case null => None
         case ldt: java.time.LocalDateTime =>

@@ -136,6 +136,52 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(Tables.snapshot(spark, table).count() == 151)
   }
 
+  test("retained ingest on a TIMESTAMP ts column: head deletion stays O(range)") {
+    // the retention delete's lower bound is tsLit(Long.MinValue) — on
+    // timestamp-typed ts columns that literal's ns conversion overflowed
+    // and the delete silently became a full-table rewrite (ADVICE r14,
+    // medium). Assert the window lands AND the wholly-in-window batch
+    // file carried untouched through every retention beat.
+    val src = tmpDir("rtssrc")
+    val table = tmpDir("rtstbl") + "/t.parquet"
+    val ck = tmpDir("rtsck")
+    val t0 = System.currentTimeMillis() - 60000L
+    def stageTs(name: String, fromS: Long, untilS: Long, modMs: Long): Unit = {
+      val stg = java.nio.file.Files.createTempDirectory("rtsstage").toString
+      (fromS until untilS).map(i => (new java.sql.Timestamp(i * 1000L), i * 1.0))
+        .toDF("ts", "v").coalesce(1).write.mode("overwrite").parquet(stg)
+      val part = new java.io.File(stg).listFiles
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+      val dst = new java.io.File(src, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(modMs))
+    }
+    for (b <- 0 until 4) stageTs(s"b$b.parquet", b * 100L, (b + 1) * 100L,
+      t0 + b * 2000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    // retain 150 seconds of wall time (the manifest scale is ns)
+    val q = Streams.ingestAppendRetained(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src), table, "ts", ck, retainNs = 150L * 1000000000L)
+    q.awaitTermination()
+    val got = Tables.snapshot(spark, table).select("ts")
+      .as[java.sql.Timestamp].collect().map(_.getTime / 1000L).sorted.toSeq
+    assert(got == (249L to 399L),
+      s"timestamp rolling window wrong: ${got.headOption}..${got.lastOption}, " +
+        s"n=${got.size}")
+    // batch 3 (seconds 300..399) sits wholly inside every cut — its file
+    // must have carried through retention untouched (the O(range) claim)
+    val m = Tables.manifest(spark, table).get
+    assert(m.files.forall(e => e.minNs.isDefined && e.maxNs.isDefined))
+    assert(m.files.exists(e => e.minNs.get == 300L * 1000000000L &&
+      e.maxNs.get == 399L * 1000000000L),
+      s"batch-3's file should survive timestamp retention intact: ${m.files}")
+  }
+
   test("near-dup-filtered ingest: dedup at landing, exactly-once both tables") {
     val src = tmpDir("ndsrc")
     val docs = tmpDir("nddoc") + "/docs.parquet"

@@ -892,6 +892,46 @@ class TablesSpec extends AnyFunSuite {
     assert(Tables.snapshot(spark, path).count() == 7000)
   }
 
+  test("deleteRangeNs(MinValue, cut) on a TIMESTAMP ts stays O(range)") {
+    // regression (ADVICE r14, medium): the retention path's lower bound is
+    // tsLit(Long.MinValue) — its Instant's epochSecond × 1e9 intermediate
+    // overflowed, the Try swallowed it, bounds became None, and the delete
+    // silently fell back to a FULL-TABLE rewrite for timestamp-typed ts
+    // columns. The O(expiring files) contract must hold for the exact call
+    // shape ingestAppendRetained issues: deleteRangeNs(MinValue, cut).
+    val path = tmp("delnsmin")
+    Tables.load((0L until 8000L)
+      .map(i => (new java.sql.Timestamp(i * 1000L), i * 1.0)).toDF("ts", "v")
+      .repartition(8), path, Seq(), "ts")
+    val m = Tables.manifest(spark, path).get
+    assert(m.files.size >= 4 &&
+      m.files.forall(e => e.minNs.isDefined && e.maxNs.isDefined))
+    val cutNs = 1000L * 1000L * 1000000L // delete ts <= second 1000
+    val inWindow = m.files.filter(_.minNs.get > cutNs)
+    val expiring = m.files.filterNot(_.minNs.get > cutNs)
+    assert(inWindow.nonEmpty && expiring.nonEmpty,
+      "the head cut must split the layout for this test to mean anything")
+    val bytesBefore = dataFiles(path).map(f => (f.getName, f.length, md5(f)))
+    Tables.deleteRangeNs(spark, path, "ts", Long.MinValue, cutNs)
+    val m2 = Tables.manifest(spark, path).get
+    val after = dataFiles(path).map(f => (f.getName, f.length, md5(f)))
+    inWindow.foreach { e =>
+      assert(m2.files.exists(_.name == e.name),
+        s"in-window file ${e.name} must stay in the live set")
+      val b = bytesBefore.find(_._1 == e.name).get
+      assert(after.contains(b),
+        s"in-window file ${e.name} was rewritten — the MinValue lower " +
+          "bound degraded the delete to O(table)")
+    }
+    assert(Tables.snapshot(spark, path).count() == 8000 - 1001)
+    // a REPLAYED retention delete (same bounds, nothing left in range)
+    // must be a pure no-op, not another table rewrite
+    val preNoop = dataFiles(path).map(f => (f.getName, f.length, md5(f)))
+    Tables.deleteRangeNs(spark, path, "ts", Long.MinValue, cutNs)
+    assert(dataFiles(path).map(f => (f.getName, f.length, md5(f))) == preNoop,
+      "a replayed MinValue-bounded retention delete must not touch a byte")
+  }
+
   test("delete-everything leaves a readable EMPTY table (drop.sql semantics)") {
     val path = tmp("delall")
     Tables.load((0L until 100L).map(i => (i, i * 1.0)).toDF("ts", "v"),
