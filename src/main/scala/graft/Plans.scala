@@ -40,7 +40,11 @@ object Plans {
     // measure over three relations (Q9), top-N revenue (Q10), dual
     // conditional counts (Q12), aggregate-of-aggregate CTE reuse (Q15)
     "q_tpch_q19", "q_tpch_q20", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
-    "q_tpch_q10", "q_tpch_q12", "q_tpch_q15")
+    "q_tpch_q10", "q_tpch_q12", "q_tpch_q15",
+    // round 14: the last two TPC-H families, gated over the synthesized
+    // partsupp CTE — correlated-min decorrelation + TakeOrdered (Q2),
+    // group-filter scalar subquery (Q11)
+    "q_tpch_q2", "q_tpch_q11")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -1725,6 +1725,85 @@ object SparkEntry {
           and s_nationkey = n_nationkey
           and n_name in ('NATION_1', 'NATION_5', 'NATION_9')""")
     }),
+    "q_tpch_q2" -> ((s, dir) => {
+      // TPC-H Q2 (minimum-cost supplier). The testdata ships no partsupp,
+      // so it is SYNTHESIZED inside the query from dbgen's own public
+      // supplier-assignment shape (TPC-H spec 4.2.3: 4 suppliers per
+      // part, suppkey a modular walk over the supplier domain; costs and
+      // quantities a deterministic residue of the keys) — the IDENTICAL
+      // integer-arithmetic CTE runs on the DuckDB side, so the oracle
+      // compares real engine work, not a shared fixture file. Plan family
+      // under test: the CORRELATED MIN subquery over the (re-used) CTE
+      // decorrelates to one per-partkey min aggregate joined back on the
+      // correlation key, and ORDER BY + LIMIT plans as
+      // TakeOrderedAndProject (never a single-node global sort). Output
+      // columns adapted to the testdata's trimmed schema (no p_mfgr /
+      // s_address / s_phone / s_comment). SQL on purpose. PLANS.md notes.
+      Tables.read(s, dir, "part").createOrReplaceTempView("part_q2")
+      Tables.read(s, dir, "supplier").createOrReplaceTempView("supplier_q2")
+      Tables.read(s, dir, "nation").createOrReplaceTempView("nation_q2")
+      Tables.read(s, dir, "region").createOrReplaceTempView("region_q2")
+      s.sql("""
+        with s as (select count(*) as cnt from supplier_q2),
+        partsupp as (
+          select p_partkey as ps_partkey,
+                 (p_partkey + i.i * (s.cnt div 4 + p_partkey div s.cnt)) % s.cnt
+                   as ps_suppkey,
+                 ((p_partkey * 7 +
+                   (p_partkey + i.i * (s.cnt div 4 + p_partkey div s.cnt))
+                     % s.cnt * 13) % 99900 + 100) / 100.0 as ps_supplycost
+          from part_q2, s, (values (0), (1), (2), (3)) as i(i))
+        select s_acctbal, s_name, n_name, p_partkey
+        from part_q2, supplier_q2, partsupp, nation_q2, region_q2
+        where p_partkey = ps_partkey and s_suppkey = ps_suppkey
+          and p_size <= 25 and p_type in ('STANDARD', 'ECONOMY')
+          and s_nationkey = n_nationkey and n_regionkey = r_regionkey
+          and r_name = 'EUROPE'
+          and ps_supplycost = (
+            select min(ps2.ps_supplycost)
+            from partsupp ps2, supplier_q2 s2, nation_q2 n2, region_q2 r2
+            where p_partkey = ps2.ps_partkey and s2.s_suppkey = ps2.ps_suppkey
+              and s2.s_nationkey = n2.n_nationkey
+              and n2.n_regionkey = r2.r_regionkey and r2.r_name = 'EUROPE')
+        order by s_acctbal desc, n_name, s_name, p_partkey
+        limit 100""")
+    }),
+    "q_tpch_q11" -> ((s, dir) => {
+      // TPC-H Q11 (important stock identification) over the SAME
+      // synthesized partsupp as Q2 (identical CTE on the DuckDB side).
+      // Plan family: the HAVING threshold is an UNCORRELATED scalar
+      // subquery over the same joined shape — one extra aggregate whose
+      // single row broadcasts into the group filter; the group-by itself
+      // is one shuffle on ps_partkey. The nation cut broadcasts into the
+      // 4-row-per-part CTE. SQL on purpose. PLANS.md notes.
+      Tables.read(s, dir, "part").createOrReplaceTempView("part_q11")
+      Tables.read(s, dir, "supplier").createOrReplaceTempView("supplier_q11")
+      Tables.read(s, dir, "nation").createOrReplaceTempView("nation_q11")
+      s.sql("""
+        with s as (select count(*) as cnt from supplier_q11),
+        partsupp as (
+          select p_partkey as ps_partkey,
+                 (p_partkey + i.i * (s.cnt div 4 + p_partkey div s.cnt)) % s.cnt
+                   as ps_suppkey,
+                 (p_partkey * 11 +
+                  (p_partkey + i.i * (s.cnt div 4 + p_partkey div s.cnt))
+                    % s.cnt * 3) % 9999 + 1 as ps_availqty,
+                 ((p_partkey * 7 +
+                   (p_partkey + i.i * (s.cnt div 4 + p_partkey div s.cnt))
+                     % s.cnt * 13) % 99900 + 100) / 100.0 as ps_supplycost
+          from part_q11, s, (values (0), (1), (2), (3)) as i(i))
+        select ps_partkey,
+               cast(sum(ps_supplycost * ps_availqty) as float) as part_value
+        from partsupp, supplier_q11, nation_q11
+        where ps_suppkey = s_suppkey and s_nationkey = n_nationkey
+          and n_name = 'NATION_3'
+        group by ps_partkey
+        having sum(ps_supplycost * ps_availqty) > (
+          select sum(ps_supplycost * ps_availqty) * 0.002
+          from partsupp, supplier_q11, nation_q11
+          where ps_suppkey = s_suppkey and s_nationkey = n_nationkey
+            and n_name = 'NATION_3')""")
+    }),
     "q_get_bucketed_key" -> ((s, dir) => {
       // bucket PRUNING on key-equality scans — the per-key half of
       // TABLE_get (btree.c:479-589: descend ONE series' tree). Spark
@@ -3316,6 +3395,54 @@ object SparkEntry {
                                    WHERE l2.l_partkey = l.l_partkey))
            AND s_nationkey = n_nationkey
            AND n_name IN ('NATION_1', 'NATION_5', 'NATION_9')""",
+    "q_tpch_q2" ->
+      """WITH s AS (SELECT count(*) AS cnt FROM supplier),
+         partsupp AS (
+           SELECT p_partkey AS ps_partkey,
+                  (p_partkey + i.i * (s.cnt // 4 + p_partkey // s.cnt)) % s.cnt
+                    AS ps_suppkey,
+                  ((p_partkey * 7 +
+                    (p_partkey + i.i * (s.cnt // 4 + p_partkey // s.cnt))
+                      % s.cnt * 13) % 99900 + 100) / 100.0 AS ps_supplycost
+           FROM part, s, (VALUES (0), (1), (2), (3)) AS i(i))
+         SELECT s_acctbal, s_name, n_name, p_partkey
+         FROM part, supplier, partsupp, nation, region
+         WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+           AND p_size <= 25 AND p_type IN ('STANDARD', 'ECONOMY')
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'EUROPE'
+           AND ps_supplycost = (
+             SELECT min(ps2.ps_supplycost)
+             FROM partsupp ps2, supplier s2, nation n2, region r2
+             WHERE p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+               AND s2.s_nationkey = n2.n_nationkey
+               AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         LIMIT 100""",
+    "q_tpch_q11" ->
+      """WITH s AS (SELECT count(*) AS cnt FROM supplier),
+         partsupp AS (
+           SELECT p_partkey AS ps_partkey,
+                  (p_partkey + i.i * (s.cnt // 4 + p_partkey // s.cnt)) % s.cnt
+                    AS ps_suppkey,
+                  (p_partkey * 11 +
+                   (p_partkey + i.i * (s.cnt // 4 + p_partkey // s.cnt))
+                     % s.cnt * 3) % 9999 + 1 AS ps_availqty,
+                  ((p_partkey * 7 +
+                    (p_partkey + i.i * (s.cnt // 4 + p_partkey // s.cnt))
+                      % s.cnt * 13) % 99900 + 100) / 100.0 AS ps_supplycost
+           FROM part, s, (VALUES (0), (1), (2), (3)) AS i(i))
+         SELECT ps_partkey,
+                CAST(sum(ps_supplycost * ps_availqty) AS REAL) AS part_value
+         FROM partsupp, supplier, nation
+         WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND n_name = 'NATION_3'
+         GROUP BY ps_partkey
+         HAVING sum(ps_supplycost * ps_availqty) > (
+           SELECT sum(ps_supplycost * ps_availqty) * 0.002
+           FROM partsupp, supplier, nation
+           WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             AND n_name = 'NATION_3')""",
     "q_tpch_q6" ->
       """SELECT CAST(sum(l_extendedprice * l_discount) AS REAL) AS revenue,
          count(*) AS n
