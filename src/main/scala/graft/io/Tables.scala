@@ -284,42 +284,106 @@ object Tables {
 
   // ---- registered views over the live generation ------------------------
 
-  private val viewRegistry =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-
-  /** Register `name` as a session temp view that ALWAYS serves `path`'s
-    * LIVE generation: every mutating lifecycle op re-resolves the view
-    * from the post-install manifest, so `spark.table(name)` mid-grace
-    * never sees retired files — the safe read path becomes the obvious
-    * one (the bucketed layout gets this for free from its catalog
-    * location flip; this closes the same hole for the clustered layout,
-    * where a plain `spark.read.parquet(dir)` during the grace window
-    * would double-count). A truncate drops the view. Session-scoped —
-    * re-register after a restart, like any temp view.
+  /** Session-scoped registrations, weakly keyed by the SESSION so a
+    * stopped/dropped SparkSession never pins its registrations (ADVICE
+    * r14: the old (SparkSession, path) tuple keys retained sessions
+    * forever). Inner map: qualified path → view name.
     */
-  def registerView(spark: SparkSession, path: String, name: String): Unit = {
+  private val viewRegistry =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
+
+  /** Application-scoped registrations (global temp views): qualified path
+    * → view name, refreshed on a mutation from ANY session.
+    */
+  private val globalViewRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Register `name` as a temp view that ALWAYS serves `path`'s LIVE
+    * generation: every mutating lifecycle op re-resolves the view from
+    * the post-install manifest, so a catalog read mid-grace never sees
+    * retired files — the safe read path becomes the obvious one (the
+    * bucketed layout gets this for free from its catalog location flip;
+    * this closes the same hole for the clustered layout, where a plain
+    * `spark.read.parquet(dir)` during the grace window would
+    * double-count). A truncate drops the view. Re-registering the same
+    * path under a new name drops the old view first — a renamed
+    * registration must not leave a never-refreshed alias serving stale
+    * generations (ADVICE r14).
+    *
+    * `global = false`: a SESSION temp view (`spark.table(name)`),
+    * refreshed when THIS session mutates the table.
+    *
+    * `global = true`: a GLOBAL temp view
+    * (`anySession.table("global_temp.<name>")`) — the CROSS-SESSION safe
+    * read for the clustered layout. Global temp views live in the
+    * application-shared global_temp database, so every session of this
+    * SparkContext (`newSession()`, concurrent jobs, foreachBatch clones)
+    * reads the same definition, and a lifecycle op from ANY session
+    * re-points it — the clustered-layout analog of the bucketed layout's
+    * catalog-location flip, matching the reference's shared-memory MURSIW
+    * visibility (imcs.c:879-905) within one engine instance. Across
+    * APPLICATIONS (separate driver JVMs) a flat shared-file directory
+    * cannot express "live files only" as a location-backed catalog table
+    * — that needs a metastore-backed file manifest (the Delta/Iceberg
+    * design point); the documented rule stands: foreign applications read
+    * through the engine (Tables.snapshot) or the bucketed layout.
+    */
+  def registerView(spark: SparkSession, path: String, name: String,
+                   global: Boolean = false): Unit = {
     val hp = new Path(path)
     val q = scala.util.Try(
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .makeQualified(hp).toString).getOrElse(path)
-    viewRegistry.put((spark, q), name)
-    snapshot(spark, path).createOrReplaceTempView(name)
+    if (global) {
+      Option(globalViewRegistry.put(q, name)).filter(_ != name)
+        .foreach(old => scala.util.Try(spark.catalog.dropGlobalTempView(old)))
+      snapshot(spark, path).createOrReplaceGlobalTempView(name)
+    } else {
+      val m = viewRegistry.synchronized {
+        var inner = viewRegistry.get(spark)
+        if (inner == null) {
+          inner = new java.util.concurrent.ConcurrentHashMap[String, String]()
+          viewRegistry.put(spark, inner)
+        }
+        inner
+      }
+      Option(m.put(q, name)).filter(_ != name)
+        .foreach(old => scala.util.Try(spark.catalog.dropTempView(old)))
+      snapshot(spark, path).createOrReplaceTempView(name)
+    }
   }
 
   private def refreshRegisteredView(spark: SparkSession, path: String,
-                                    qualified: String): Unit =
-    Option(viewRegistry.get((spark, qualified))).foreach { name =>
+                                    qualified: String): Unit = {
+    def rebuild(name: String, replace: org.apache.spark.sql.DataFrame => Unit,
+                drop: () => Unit, deregister: () => Unit): Unit =
       scala.util.Try(snapshot(spark, path)) match {
-        case scala.util.Success(df) => df.createOrReplaceTempView(name)
+        case scala.util.Success(df) => replace(df)
         case scala.util.Failure(_) =>
           // truncated/emptied: the view dies AND the registration dies
           // with it — a stale registry entry would resurrect the name on
           // the next lifecycle op and could clobber a user's own later
           // temp view of the same name (r13 review finding #3)
-          viewRegistry.remove((spark, qualified))
-          scala.util.Try(spark.catalog.dropTempView(name))
+          deregister()
+          scala.util.Try(drop())
       }
+    val sessionName = viewRegistry.synchronized {
+      Option(viewRegistry.get(spark)).flatMap(m => Option(m.get(qualified)))
     }
+    sessionName.foreach { name =>
+      rebuild(name, _.createOrReplaceTempView(name),
+        () => spark.catalog.dropTempView(name),
+        () => viewRegistry.synchronized {
+          Option(viewRegistry.get(spark)).foreach(_.remove(qualified))
+        })
+    }
+    Option(globalViewRegistry.get(qualified)).foreach { name =>
+      rebuild(name, _.createOrReplaceGlobalTempView(name),
+        () => spark.catalog.dropGlobalTempView(name),
+        () => globalViewRegistry.remove(qualified))
+    }
+  }
 
   /** Epoch-ns bound as a literal of the RAW ts column's type, so the
     * comparison needs no cast around the attribute and translates to a

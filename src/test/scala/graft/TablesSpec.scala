@@ -1021,6 +1021,40 @@ class TablesSpec extends AnyFunSuite {
     spark.catalog.dropTempView("g_view_t2")
   }
 
+  test("GLOBAL registered view: a second session's mid-grace read is exact") {
+    // the cross-session half of the safe-read surface (VERDICT r13 item
+    // 5): a GLOBAL temp view lives in the application-shared global_temp
+    // database, so a lifecycle op from session A re-points what session B
+    // reads — the clustered-layout analog of the bucketed catalog flip
+    withGrace(600000L) {
+      val path = tmp("gview")
+      Tables.load((0L until 2000L).map(i => (i, i * 1.0)).toDF("ts", "v")
+        .repartition(4), path, Seq(), "ts")
+      Tables.registerView(spark, path, "g_xsession_v", global = true)
+      val sessionB = spark.newSession()
+      assert(sessionB.table("global_temp.g_xsession_v").count() == 2000)
+      // session A mutates: the replaced generation stays on disk (grace)
+      Tables.deleteRange(spark, path, "ts", lit(0L), lit(999L))
+      // session B's CATALOG read mid-grace: exactly the live generation
+      assert(sessionB.table("global_temp.g_xsession_v").count() == 1000,
+        "session B must see only the live generation through the view")
+      assert(sessionB.table("global_temp.g_xsession_v")
+        .agg(min(col("ts"))).head().getLong(0) == 1000L)
+      // the contrast that makes the view necessary: a plain directory
+      // read from session B double-counts the grace-retained files
+      assert(sessionB.read.parquet(path).count() > 1000,
+        "plain read should see retired files mid-grace (else no contrast)")
+      // re-registering the SAME path under a NEW global name drops the
+      // old alias (a renamed registration must not leave a stale view)
+      Tables.registerView(spark, path, "g_xsession_v2", global = true)
+      assert(!spark.catalog.tableExists("global_temp.g_xsession_v"),
+        "renaming a global registration must drop the old alias")
+      assert(sessionB.table("global_temp.g_xsession_v2").count() == 1000)
+      // cleanup
+      spark.catalog.dropGlobalTempView("g_xsession_v2")
+    }
+  }
+
   test("an orphaned manifest staging rolls forward when it is the sole copy") {
     val path = tmp("stagingroll")
     Tables.load((0L until 50L).map(i => (i, i * 1.0)).toDF("ts", "v"),
