@@ -200,19 +200,35 @@ object Bench {
   /** Canary-normalized round-over-round ratios (VERDICT r12 #4): for each
     * query in both rounds, (q_now/q_prev) / (canary_now/canary_prev) —
     * PLANS.md's prescribed formula, computed here so round-over-round
-    * reads stop being a manual exercise. Reads the HIGHEST-numbered
-    * BENCH_r*.json archive in the working directory (the driver's record
-    * of the previous round); absent/unparseable archives (or a prior
-    * record with no canary) yield None and the fields are omitted.
+    * reads stop being a manual exercise. Reads the highest-numbered
+    * BENCH_r*.json archive in the working directory NOT NEWER than the
+    * last JUDGED round (VERDICT.md's "round N" header — the only local
+    * fact that distinguishes the previous round's record from the
+    * CURRENT round's own archive, which exists by judge-re-run time and
+    * would otherwise make every ratio ≈1 and mask real movement; ADVICE
+    * r14). SPARK_GRAFT_BENCH_PREV names an explicit archive instead.
+    * Absent/unparseable archives (or a prior record with no canary)
+    * yield None and the fields are omitted.
     */
   private[graft] def normalizedVsPrev(results: Seq[QRes], canarySec: Double):
       Option[(String, Double, Map[String, Double])] = scala.util.Try {
     val re = """BENCH_r(\d+)\.json""".r
-    val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
-      .flatMap(f => f.getName match {
-        case re(n) => Some((n.toInt, f))
-        case _ => None
-      }).sortBy(_._1).lastOption
+    // the newest round VERDICT.md has judged: archives beyond it are this
+    // round's own record (no VERDICT → round 1 → nothing to exclude)
+    val judged: Option[Int] = scala.util.Try {
+      val src = scala.io.Source.fromFile("VERDICT.md")
+      try """(?i)VERDICT\s*[—–-]+\s*round\s+(\d+)""".r
+        .findFirstMatchIn(src.mkString).map(_.group(1).toInt)
+      finally src.close()
+    }.toOption.flatten
+    val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .map(n => new java.io.File(n)).filter(_.isFile).map(f => (0, f))
+    val prev = explicit.orElse(
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => f.getName match {
+          case re(n) if judged.forall(n.toInt <= _) => Some((n.toInt, f))
+          case _ => None
+        }).sortBy(_._1).lastOption)
     prev.flatMap { case (_, f) =>
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
       val root = org.json4s.jackson.JsonMethods.parse(
@@ -345,8 +361,15 @@ object Bench {
     * slowest headline query needs the tightest min estimate, not the
     * loosest (VERDICT r11 "What's wrong" #1).
     */
+  /** q_dedup_ingest joined in r14: BENCH_r13's widest spread (1.008 s on
+    * a 1.354 s min) — per-batch job-launch floor variance on the slowest
+    * maintenance entry needs the larger sample, and the corpus now lands
+    * in SETUP so every measured rep (the cold one included) is the
+    * steady-state re-crawl batch, not stream bootstrap.
+    */
   private val extraRepQueries =
-    Set("q_asof", "q_asof_exec", "q_asof_bucketed", "q_minhash_lsh")
+    Set("q_asof", "q_asof_exec", "q_asof_bucketed", "q_minhash_lsh",
+      "q_dedup_ingest")
 
   private def measure(spark: SparkSession, sfDir: String, reps: Int,
                       maint: Seq[(String, () => Unit)] = Seq()): Seq[QRes] = {
@@ -380,7 +403,8 @@ object Bench {
     // each time (the op's closure advances its own ts offset), so a rep
     // measures steady-state incremental maintenance, never a warmed no-op
     qres ++ maint.map { case (name, op) =>
-      timed(name, op, isMaint = true, nreps = reps) }
+      timed(name, op, isMaint = true,
+        nreps = if (extraRepQueries(name)) reps * 2 else reps) }
   }
 
   def main(args: Array[String]): Unit = {
@@ -491,6 +515,9 @@ object Bench {
     graft.io.Tables.withWriterLease(maintFs, delHp, "bench-run") {
     graft.io.Tables.withWriterLease(maintFs, strHp, "bench-run") {
     graft.io.Tables.withWriterLease(bktFs, bktLoc, "bench-run") {
+    // q_dedup_ingest's lazily-built corpus cache — hoisted so the
+    // end-of-run cleanup can release the pinned blocks (ADVICE r14)
+    var dedupDocsCache: Option[org.apache.spark.sql.DataFrame] = None
     val maintOps: Seq[(String, () => Unit)] = {
       import org.apache.spark.sql.functions.{col, lit, min, max}
       val ev = graft.io.Tables.read(spark, sfDir, "events")
@@ -561,26 +588,44 @@ object Bench {
         }),
         // dedup-at-landing (r13): one micro-batch of 1000 docs through the
         // near-dup-filtered ingest — minhash banding, corpus bucket check,
-        // in-batch components, two exactly-once appends. Rep 0 LANDS the
-        // corpus; every later rep re-feeds the same texts under fresh
-        // ids/ts, so the steady-state measurement is the RE-CRAWL shape
-        // (every doc near-dups the retained corpus and drops) — banding +
-        // bucket join + drop decision + the empty-batch commits, the
-        // common case at scale. Staging paths are covered transitively by
-        // the run lease (a second bench run refuses at maintPath first).
+        // in-batch components, two exactly-once appends. Setup is LAZY
+        // (first invocation — a run that never reaches the entry pays
+        // nothing, and the corpus cache is released in the end-of-run
+        // cleanup, ADVICE r14) and LANDS the corpus as batch 0 plus one
+        // fold of the bucket table into its (band,bucket)-clustered probe
+        // layout, so every MEASURED rep — the cold one included — is the
+        // steady-state RE-CRAWL shape (every doc near-dups the retained
+        // corpus and drops): banding + the sublinear corpus probe + drop
+        // decision + the empty-batch commits, the common case at scale.
+        // Staging paths are covered transitively by the run lease (a
+        // second bench run refuses at maintPath first).
         "q_dedup_ingest" -> {
-          val docs = graft.io.Tables.read(spark, sfDir, "documents")
-            .limit(1000).select(col("doc_id"), col("text"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          docs.count()
           val dedupDoc = s"${System.getProperty("java.io.tmpdir")}/graft_bench_dedup_docs"
           val dedupBkt = s"${System.getProperty("java.io.tmpdir")}/graft_bench_dedup_bkts"
-          Seq(dedupDoc, dedupBkt).foreach { p =>
-            val hp = new org.apache.hadoop.fs.Path(p)
-            hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-          }
-          var dedupRep = 0L
+          var dedupRep = 1L
           (() => {
+            val docs = dedupDocsCache.getOrElse {
+              val d = graft.io.Tables.read(spark, sfDir, "documents")
+                .limit(1000).select(col("doc_id"), col("text"))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              d.count()
+              Seq(dedupDoc, dedupBkt).foreach { p =>
+                val hp = new org.apache.hadoop.fs.Path(p)
+                hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .delete(hp, true)
+              }
+              // batch 0 lands the corpus OUTSIDE the measurement; the fold
+              // installs the clustered layout the probe's pushdown prunes
+              graft.streaming.Streams.dedupIngestBatch(
+                d.select(col("doc_id").as("id"), col("doc_id").as("ts"),
+                  col("text")),
+                dedupDoc, dedupBkt, "ts", "bench-dedup", "id", "text",
+                5, 8, 2, 0L)
+              graft.io.Tables.compactIncremental(spark, dedupBkt,
+                Seq("band", "bucket"), "ts")
+              dedupDocsCache = Some(d)
+              d
+            }
             val rep = dedupRep
             dedupRep += 1
             val batch = docs.select(
@@ -672,6 +717,7 @@ object Bench {
     // mean a kill before this point is reclaimed by the NEXT run's entry
     // cleanup instead); best-effort — a cleanup failure must never turn an
     // emitted record into a non-zero exit
+    dedupDocsCache.foreach(d => scala.util.Try(d.unpersist()))
     try {
       Seq(maintPath, maintDelPath, maintStreamPath,
         s"${System.getProperty("java.io.tmpdir")}/graft_bench_dedup_docs",
