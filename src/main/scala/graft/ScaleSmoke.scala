@@ -420,6 +420,77 @@ object ScaleSmoke {
         f"${(tK - tOne) / k}%.3f s (metadata ops + smaller write jobs)")
       batch.unpersist()
     }
+    // dedup-ingest corpus probe at scale (round 14, VERDICT r13 #1): the
+    // per-batch stored-corpus check must NOT grow with the retained
+    // corpus. A/B on bucket tables built at x1 and x`factor` row counts
+    // (the probe never reads document text, so the tables are built
+    // directly from band buckets — the steady-state layout a folded
+    // ingest maintains), each with its bloom sidecar: the rewritten
+    // probe (driver-side bloom check → exact verify of positives only,
+    // broadcast flip, column pruning) should stay ~FLAT across the
+    // growth — a no-collision batch reads nothing at any corpus size —
+    // while the r13 shape (full-scan left_semi with the corpus on the
+    // right — scan + shuffle of every stored row per batch) grows with
+    // the table. Hits are printed so both shapes provably do the work.
+    run("dedup-ingest probe: sublinear vs retained corpus") {
+      val docsSrc = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val corpus = docsSrc.limit(20000).select(col("doc_id").as("id"), col("text"))
+      val bb1 = graft.dedup.Dedup.bandBuckets(corpus, "id", "text", 5, 8, 2)
+        .withColumn("ts", col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"  x1 bucket rows: ${bb1.count()}")
+      val p1 = s"$work/probe_bkt_x1.parquet"
+      val pN = s"$work/probe_bkt_x$factor.parquet"
+      for (p <- Seq(p1, pN)) {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      graft.io.Tables.load(bb1, p1, Seq("band", "bucket"), "ts")
+      // xfactor: replicate rows with re-hashed buckets (uniform 64-bit
+      // either way — the probe's cost model only sees row count and
+      // bucket distribution, never text)
+      val bbN = bb1
+        .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("bucket", when(col("__rep") === 0, col("bucket"))
+          .otherwise(xxhash64(col("bucket"), col("__rep"))))
+        .withColumn("id", col("id") * factor + col("__rep"))
+        .withColumn("ts", col("id"))
+        .drop("__rep")
+      val x1Rows = bb1.count()
+      time(s"  build x$factor bucket table (${x1Rows * factor} rows)") {
+        graft.io.Tables.load(bbN, pN, Seq("band", "bucket"), "ts")
+      }
+      // sidecars sized to each table (what a folded ingest maintains
+      // incrementally; built here in one shot via the rebuild utility)
+      time("  bloom sidecar rebuild x1")(
+        graft.streaming.DedupBloom.rebuild(spark, p1))
+      time(s"  bloom sidecar rebuild x$factor")(
+        graft.streaming.DedupBloom.rebuild(spark, pN))
+      // the probe batch: 1000 unseen docs (reversed text = different
+      // char shingles), hashed ONCE — the per-batch cost under test is
+      // the stored-corpus check, not the banding
+      val fresh = docsSrc.limit(1000)
+        .select((col("doc_id") + 10000000L).as("id"), reverse(col("text")).as("text"))
+      val bbF = graft.dedup.Dedup.bandBuckets(fresh, "id", "text", 5, 8, 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bbF.count()
+      def newProbe(p: String): Long =
+        graft.streaming.Streams.probeStoredBuckets(spark, p, bbF,
+          Seq("band", "bucket")).count()
+      def oldProbe(p: String): Long = {
+        val stored = graft.io.Tables.snapshot(spark, p)
+        bbF.join(stored.select(col("band"), col("bucket")),
+          Seq("band", "bucket"), "left_semi").select(col("id")).distinct().count()
+      }
+      newProbe(p1) // codegen warm-up
+      time("  probe (rewritten) vs x1")(println(s"    hits=${newProbe(p1)}"))
+      time(s"  probe (rewritten) vs x$factor")(println(s"    hits=${newProbe(pN)}"))
+      oldProbe(p1)
+      time("  probe (r13 full-scan shape) vs x1")(println(s"    ids=${oldProbe(p1)}"))
+      time(s"  probe (r13 full-scan shape) vs x$factor")(println(s"    ids=${oldProbe(pN)}"))
+      bbF.unpersist(); bb1.unpersist()
+    }
+
     // bucketed ts-slice at scale (round 11): the manifest's file pruning
     // must pay at growth — a recent-data slice reads only the appended
     // batch's files while the unpruned filter scans every bucket file of

@@ -508,17 +508,27 @@ object Streams {
     *     LeftSemi with ZERO Exchange — no shuffle of the stored table,
     *     ever. The emitted hit set is tiny (collisions only), so the
     *     join back to the batch broadcasts too.
-    *  2. SCAN PUSHDOWN — the batch's distinct bucket VALUES (collected,
-    *     capped at `graft.dedup.probe.isin.max`, default 4096) become an
-    *     In filter on the stored scan. Fold layout makes it bite:
-    *     compactIncremental(bucketPath, Seq("band","bucket"), ts) folds
-    *     each hot span into files range-clustered by (band, bucket), so
-    *     parquet row-group stats skip the (huge) non-colliding remainder
-    *     — the probe reads O(batch-buckets) row groups, not O(corpus).
-    *     The parquet in-filter threshold is raised around the probe (the
-    *     default 10 would degrade the In to a useless min/max range over
-    *     uniform 64-bit hashes). A flood past the cap falls back to the
-    *     unpruned scan — still shuffle-free via (1).
+    *  2. BLOOM SIDECAR + VERIFIED POSITIVES — the batch's distinct
+    *     bucket values are checked against [[DedupBloom]]'s sidecar on
+    *     the driver (microseconds per value, cached per sidecar
+    *     version). The common case — a batch colliding with nothing —
+    *     probes with ZERO scan (measured flat, 0.25 s at ×1 and ×20
+    *     corpus, vs the r13 shape's 0.36→1.22 s growth). Bloom positives
+    *     (real hits + a ~1% false-positive tail) become ONE Spark-side
+    *     InSet filter on the verify scan — hash-set membership in
+    *     codegen, deliberately NOT pushed into parquet: a pushed In
+    *     compiles to a left-deep parquet or()-chain that overflows the
+    *     task stack beyond ~1.5k values (measured: 1024 fine, 1536
+    *     StackOverflowError — why Spark's default in-filter threshold is
+    *     10), and row-group stats cannot eliminate anything for uniform
+    *     64-bit keys anyway (also measured — chunked pushed-In scans
+    *     came out 5× SLOWER than the plain scan). Membership is decided
+    *     by the real join, so bloom false positives cost I/O, never
+    *     semantics; a positives flood past `graft.dedup.probe.isin.max`
+    *     (8192 — a saturated sidecar, or a genuinely all-colliding
+    *     batch) drops the filter and scans plainly, still shuffle-free
+    *     via (1). The bloom is what the reference's B-tree point lookups
+    *     (btree.c:479-589) map to in a lakehouse layout.
     *  3. COLUMN PRUNING — the probe reads exactly (band, bucket[, id]):
     *     two small ints (+ the id for the embedding twin's candidate
     *     pairs), never the table's full width.
@@ -532,42 +542,34 @@ object Streams {
                                         bb: DataFrame,
                                         cols: Seq[String]): DataFrame = {
     val probe = bb.select(col("band"), col("bucket")).distinct()
-    val cap = sys.props.get("graft.dedup.probe.isin.max")
-      .flatMap(_.toIntOption).getOrElse(4096)
+    val isinCap = sys.props.get("graft.dedup.probe.isin.max")
+      .flatMap(_.toIntOption).getOrElse(8192)
+    val collectCap = sys.props.get("graft.dedup.probe.collect.max")
+      .flatMap(_.toIntOption).getOrElse(1000000)
     val vals = probe.select(col("bucket")).distinct()
-      .limit(cap + 1).collect().map(_.get(0))
+      .limit(collectCap + 1).collect().map(_.getLong(0))
     val stored0 = graft.io.Tables.snapshotUnsized(spark, bucketPath)
       .select(cols.map(col): _*)
     // a bucket-less batch (empty, or all docs too short to shingle)
     // can collide with nothing — skip the scan outright
     if (vals.isEmpty) return stored0.limit(0)
-    val stored =
-      if (vals.length <= cap) stored0.filter(col("bucket").isin(vals: _*))
-      else stored0
-    stored.join(broadcast(probe), Seq("band", "bucket"), "left_semi")
-  }
-
-  /** Raises the parquet in-filter pushdown threshold for the duration of
-    * a landing-dedup batch: the probe's In(bucket, …) carries up to
-    * `graft.dedup.probe.isin.max` uniform 64-bit hashes, and under the
-    * default threshold (10) the scan would degrade the In to a min/max
-    * RANGE — useless over uniform hashes, reading every row group. The
-    * threshold must stay raised through plan compilation of every action
-    * that consumes the probe (the two appends), so the whole batch body
-    * runs inside this scope; the conf is restored on every exit path.
-    * Session-scoped damage is bounded: foreachBatch hands each batch a
-    * cloned session, and direct callers get the restore from the finally.
-    */
-  private def withProbePushdownConf[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
-    val cap = sys.props.get("graft.dedup.probe.isin.max")
-      .flatMap(_.toIntOption).getOrElse(4096)
-    val saved = spark.conf.getOption(key)
-    spark.conf.set(key, math.max(cap + 1, 10).toString)
-    try body
-    finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    // the sidecar check: definite-miss values drop on the driver; what
+    // remains (real hits + the fp tail) is the verify scan's filter set.
+    // No sidecar (or a collect flood past collectCap) → candidates =
+    // None → the always-correct full-scan fallback.
+    val candidates: Option[Array[Long]] =
+      if (vals.length > collectCap) None
+      else DedupBloom.load(spark, bucketPath)
+        .map(bf => vals.filter(bf.mightContainLong))
+    candidates match {
+      case Some(pos) if pos.isEmpty =>
+        // bloom-cleared: the common no-collision batch reads NOTHING
+        stored0.limit(0)
+      case Some(pos) if pos.length <= isinCap =>
+        stored0.filter(col("bucket").isin(pos.map(Long.box): _*))
+          .join(broadcast(probe), Seq("band", "bucket"), "left_semi")
+      case _ =>
+        stored0.join(broadcast(probe), Seq("band", "bucket"), "left_semi")
     }
   }
 
@@ -643,7 +645,7 @@ object Streams {
       .bandBuckets(batch, id, text, shingleLen, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var survivorsCached: Option[DataFrame] = None
-    try withProbePushdownConf(spark) {
+    try {
       // ids colliding with the RETAINED corpus (absent table = empty):
       // the sublinear probe — broadcast flip + In pushdown + column
       // pruning (probeStoredBuckets) — then the tiny hit-bucket set
@@ -678,6 +680,13 @@ object Streams {
       val bucketRows = bb
         .join(survivors.select(col(id), col(ts)), Seq(id))
         .select(col(id), col("band"), col("bucket"), col(ts))
+      // sidecar BEFORE the bucket append: a crash between the two leaves
+      // the bloom a superset of the stored table — the invariant the
+      // probe's correctness contract rests on (see DedupBloom); a
+      // replayed batch re-ORs the same bits, a skipped append changes
+      // nothing the superset cares about
+      DedupBloom.update(spark, bucketPath, bucketRows.select(col("bucket"))
+        .distinct().collect().map(_.getLong(0)))
       graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
         streamKey + "#buckets", batchId)
       // retention LAST, after both appends committed: a replayed batch
@@ -768,7 +777,7 @@ object Streams {
       .select(col(id), col("pos").as("band"), col("col").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val caches = scala.collection.mutable.ListBuffer[DataFrame](withNorm, bb)
-    try withProbePushdownConf(spark) {
+    try {
       val hp = new org.apache.hadoop.fs.Path(bucketPath)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // exact-cosine verify of a candidate set against `side` vectors —
@@ -834,6 +843,13 @@ object Streams {
       val bucketRows = bb
         .join(survivors.select(col(id), col(ts)), Seq(id))
         .select(col(id), col("band"), col("bucket"), col(ts))
+      // sidecar BEFORE the bucket append: a crash between the two leaves
+      // the bloom a superset of the stored table — the invariant the
+      // probe's correctness contract rests on (see DedupBloom); a
+      // replayed batch re-ORs the same bits, a skipped append changes
+      // nothing the superset cares about
+      DedupBloom.update(spark, bucketPath, bucketRows.select(col("bucket"))
+        .distinct().collect().map(_.getLong(0)))
       graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
         streamKey + "#buckets", batchId)
       // same retention composition as the text twin (see dedupIngestBatch)

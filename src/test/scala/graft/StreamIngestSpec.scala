@@ -277,10 +277,8 @@ class StreamIngestSpec extends AnyFunSuite {
     val ref = Tables.snapshot(spark, buckets).select("band", "bucket")
       .join(bb.select("band", "bucket").distinct(), Seq("band", "bucket"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
-    // raise the in-filter threshold like the batch driver does; AQE off so
-    // the executed plan is the plain tree the shape asserts can walk (AQE
-    // only re-plans around the same join choice here)
-    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "4097")
+    // AQE off so the executed plan is the plain tree the shape asserts
+    // can walk (AQE only re-plans around the same join choice here)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     // NOT cached: a cache would wrap the whole probe in an
     // InMemoryRelation and hide the join from the plan walk below
@@ -312,7 +310,6 @@ class StreamIngestSpec extends AnyFunSuite {
         s"corpus side must never shuffle, found: $shuffles\n$planStr")
     } finally {
       bb.unpersist()
-      spark.conf.unset("spark.sql.parquet.pushdown.inFilterThreshold")
       spark.conf.unset("spark.sql.adaptive.enabled")
     }
     // and the probe still FINDS real collisions (correctness of the flip):
