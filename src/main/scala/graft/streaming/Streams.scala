@@ -608,6 +608,16 @@ object Streams {
       graft.io.Tables.deleteRangeNs(spark, docPath, ts, Long.MinValue, cut - 1)
     }
 
+  /** Rebuild the landing-dedup bloom sidecar exactly from the live
+    * bucket table — the operator's fold-cadence maintenance call: sheds
+    * the stale bits retention left behind (expired buckets linger as
+    * harmless false positives until a rebuild) and re-sizes a sidecar
+    * the table has outgrown. Safe while the stream is live: a reader
+    * landing in the swap window falls back to the full-scan probe.
+    */
+  def rebuildDedupBloom(spark: SparkSession, bucketPath: String): Unit =
+    DedupBloom.rebuild(spark, bucketPath)
+
   def ingestDedupNearDup(df: DataFrame, docPath: String, bucketPath: String,
                          ts: String, checkpoint: String,
                          id: String, text: String,
