@@ -609,7 +609,11 @@ object Bench {
                 .limit(1000).select(col("doc_id"), col("text"))
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               d.count()
-              Seq(dedupDoc, dedupBkt).foreach { p =>
+              // the bloom sidecar is a SIBLING FILE of the bucket dir —
+              // a dir-only delete would leak a stale (superset, so
+              // correctness-safe, but bit-accumulating) sidecar into the
+              // next run's probe
+              Seq(dedupDoc, dedupBkt, dedupBkt + ".bloom").foreach { p =>
                 val hp = new org.apache.hadoop.fs.Path(p)
                 hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
                   .delete(hp, true)
@@ -721,7 +725,8 @@ object Bench {
     try {
       Seq(maintPath, maintDelPath, maintStreamPath,
         s"${System.getProperty("java.io.tmpdir")}/graft_bench_dedup_docs",
-        s"${System.getProperty("java.io.tmpdir")}/graft_bench_dedup_bkts").foreach { mp0 =>
+        s"${System.getProperty("java.io.tmpdir")}/graft_bench_dedup_bkts",
+        s"${System.getProperty("java.io.tmpdir")}/graft_bench_dedup_bkts.bloom").foreach { mp0 =>
         val mp = new org.apache.hadoop.fs.Path(mp0)
         mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, true)
       }

@@ -87,6 +87,14 @@ private[graft] object DedupBloom {
       scala.util.Try(fs.delete(tmp, false))
       sys.error(s"bloom sidecar install failed: $tmp -> $target")
     }
+    // re-cache under the installed version: without this every
+    // post-update probe would re-read the sidecar file (each batch
+    // writes one), defeating the read-through cache in steady state
+    scala.util.Try {
+      val st = fs.getFileStatus(target)
+      cache.put(fs.makeQualified(target).toString,
+        (st.getModificationTime, st.getLen, bf))
+    }
   }
 
   /** Extend the sidecar with a batch's bucket values — called BEFORE the
