@@ -565,7 +565,13 @@ object Streams {
       case Some(pos) if pos.isEmpty =>
         // bloom-cleared: the common no-collision batch reads NOTHING
         stored0.limit(0)
-      case Some(pos) if pos.length <= isinCap =>
+      case Some(pos) if pos.length <= isinCap && pos.length * 2 <= vals.length =>
+        // SELECTIVE positives: the InSet thins what flows into the join.
+        // When most of the batch is positive (a re-crawl batch: every
+        // doc collides), the filter eliminates ~nothing and only adds
+        // per-batch analysis + codegen of a thousands-literal predicate
+        // — the plain scan+join is cheaper (measured on the bench's
+        // re-crawl entry), so large positive fractions skip it.
         stored0.filter(col("bucket").isin(pos.map(Long.box): _*))
           .join(broadcast(probe), Seq("band", "bucket"), "left_semi")
       case _ =>
