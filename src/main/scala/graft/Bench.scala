@@ -619,7 +619,7 @@ object Bench {
                   .delete(hp, true)
               }
               // batch 0 lands the corpus OUTSIDE the measurement; the fold
-              // installs the clustered layout the probe's pushdown prunes
+              // installs the clustered layout the probe reads
               graft.streaming.Streams.dedupIngestBatch(
                 d.select(col("doc_id").as("id"), col("doc_id").as("ts"),
                   col("text")),
@@ -627,6 +627,17 @@ object Bench {
                 5, 8, 2, 0L)
               graft.io.Tables.compactIncremental(spark, dedupBkt,
                 Seq("band", "bucket"), "ts")
+              // two UNMEASURED re-crawl batches: the pipeline compiles a
+              // fresh plan set per batch (new literals each rep), and its
+              // JIT warm-down spanned the first measured reps (BENCH_r13's
+              // widest spread) — burn it here so measured reps start warm
+              for (w <- 1L to 2L)
+                graft.streaming.Streams.dedupIngestBatch(
+                  d.select((col("doc_id") + lit(w * 1000000L)).as("id"),
+                    (col("doc_id") + lit(w * 1000000L)).as("ts"), col("text")),
+                  dedupDoc, dedupBkt, "ts", "bench-dedup", "id", "text",
+                  5, 8, 2, w)
+              dedupRep = 3L
               dedupDocsCache = Some(d)
               d
             }

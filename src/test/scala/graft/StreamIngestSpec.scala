@@ -366,6 +366,35 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(Tables.snapshot(spark, docs).count() == 2)
   }
 
+  test("embedding dedup-ingest retention: expired vectors stop suppressing") {
+    val docs = tmpDir("erdoc") + "/docs.parquet"
+    val buckets = tmpDir("erbkt") + "/buckets.parquet"
+    def v(xs: Double*): Seq[Double] = xs
+    def run(bid: Long, rows: Seq[(Long, Long, Seq[Double])]): Unit =
+      Streams.dedupIngestEmbeddingBatch(rows.toDF("id", "ts", "emb"),
+        docs, buckets, "ts", "ck-eret", "id", "emb", dim = 4,
+        minCos = 0.95, tables = 8, bits = 16, batchId = bid,
+        retainNs = 150L)
+    // batch 0: A lands; batch 1: A-near (cos≈0.9995) drops, B lands
+    run(0L, Seq((1L, 100L, v(1, 0, 0, 0))))
+    run(1L, Seq((2L, 120L, v(1, 0.03, 0, 0)), (3L, 121L, v(0, 1, 0, 0))))
+    assert(Tables.snapshot(spark, docs).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L))
+    // batch 2 at ts 400 → cut 250 → A and B expire from both tables
+    run(2L, Seq((4L, 400L, v(0, 0, 1, 0))))
+    assert(Tables.snapshot(spark, docs).select("id").as[Long].collect().sorted
+      .toSeq == Seq(4L))
+    assert(Tables.snapshot(spark, buckets).select("id").as[Long].collect()
+      .toSet == Set(4L))
+    // a near-dup of the EXPIRED A now survives (bloom still carries A's
+    // stale bits — the exact-cosine verify over the LIVE tables is what
+    // decides, so stale sidecar bits cannot suppress)
+    run(3L, Seq((5L, 450L, v(1, 0.02, 0, 0))))
+    assert(Tables.snapshot(spark, docs).select("id").as[Long].collect().sorted
+      .toSeq == Seq(4L, 5L),
+      "a near-dup of an expired embedding must land after retention")
+  }
+
   test("dedup-ingest retention: crash inside either delete replays consistently") {
     // extend the two-table crash matrix to the retention beat: the beat
     // deletes BUCKETS first then DOCS, each through deleteRange's staged
