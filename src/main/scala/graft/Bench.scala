@@ -519,7 +519,7 @@ object Bench {
     // end-of-run cleanup can release the pinned blocks (ADVICE r14)
     var dedupDocsCache: Option[org.apache.spark.sql.DataFrame] = None
     val maintOps: Seq[(String, () => Unit)] = {
-      import org.apache.spark.sql.functions.{col, lit, min, max}
+      import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, max, md5, min}
       val ev = graft.io.Tables.read(spark, sfDir, "events")
       val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
       val (tsMin, tsMax) = (mm.getLong(0), mm.getLong(1))
@@ -586,19 +586,28 @@ object Bench {
             lit(lo), lit(lo + batchSpan))
           ()
         }),
-        // dedup-at-landing (r13): one micro-batch of 1000 docs through the
-        // near-dup-filtered ingest — minhash banding, corpus bucket check,
-        // in-batch components, two exactly-once appends. Setup is LAZY
-        // (first invocation — a run that never reaches the entry pays
-        // nothing, and the corpus cache is released in the end-of-run
-        // cleanup, ADVICE r14) and LANDS the corpus as batch 0 plus one
-        // fold of the bucket table into its (band,bucket)-clustered probe
-        // layout, so every MEASURED rep — the cold one included — is the
-        // steady-state RE-CRAWL shape (every doc near-dups the retained
-        // corpus and drops): banding + the sublinear corpus probe + drop
-        // decision + the empty-batch commits, the common case at scale.
-        // Staging paths are covered transitively by the run lease (a
-        // second bench run refuses at maintPath first).
+        // dedup-at-landing (r13; corpus re-composed r14): one micro-batch
+        // of 1000 docs through the near-dup-filtered ingest — minhash
+        // banding, the bloom-sidecar corpus probe, in-batch components,
+        // two exactly-once appends. Setup is LAZY (first invocation — a
+        // run that never reaches the entry pays nothing, and the corpus
+        // cache is released in the end-of-run cleanup, ADVICE r14) and
+        // LANDS the corpus as batch 0 plus one fold of the bucket table,
+        // so every WARM rep is the steady-state RE-CRAWL shape (every doc
+        // near-dups the retained corpus and drops at the PROBE): banding
+        // + corpus probe + drop decision + the empty-batch commits, the
+        // common case at scale. The COLD rep carries the one-time setup
+        // (landing + fold + warm-ups) — read this entry's min/spread,
+        // not its cold figure. The corpus is SYNTHETIC (8 md5 tokens per
+        // doc_id): the raw documents slice chain-collides under landing
+        // banding (5-char shingles, 8×2 bands) into <5 retained
+        // representatives, which left the r13 entry measuring connected
+        // -components job floor on a degenerate 272-doc chain EVERY rep
+        // instead of the probe path this canary exists to watch;
+        // distinct texts land ~all 1000 docs, so the probe faces a real
+        // stored bucket set and the re-crawl drops everything before
+        // components. Staging paths are covered transitively by the run
+        // lease (a second bench run refuses at maintPath first).
         "q_dedup_ingest" -> {
           val dedupDoc = s"${System.getProperty("java.io.tmpdir")}/graft_bench_dedup_docs"
           val dedupBkt = s"${System.getProperty("java.io.tmpdir")}/graft_bench_dedup_bkts"
@@ -606,7 +615,10 @@ object Bench {
           (() => {
             val docs = dedupDocsCache.getOrElse {
               val d = graft.io.Tables.read(spark, sfDir, "documents")
-                .limit(1000).select(col("doc_id"), col("text"))
+                .limit(1000).select(col("doc_id"),
+                  concat_ws(" ", (0 until 8).map(k =>
+                    md5(concat(col("doc_id").cast("string"), lit(s"-$k")))): _*)
+                    .as("text"))
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               d.count()
               // the bloom sidecar is a SIBLING FILE of the bucket dir —

@@ -47,39 +47,59 @@ private[graft] object DedupBloom {
     sys.props.get("graft.dedup.probe.bloom.items").flatMap(_.toLongOption)
       .getOrElse(1000000L)
 
-  /** (mtime, length)-validated read-through cache: the sidecar is read at
-    * most once per version per process — per-batch cost is one metadata
-    * getFileStatus, not a file read.
+  /** Sidecar format: MAGIC, format version, a MONOTONIC install counter,
+    * then the serialized bloom. The counter is what cache validation
+    * keys on — (mtime, length) alone cannot distinguish installs, since
+    * every same-capacity bloom serializes to an identical length and
+    * mtime granularity can swallow back-to-back writes from two
+    * processes (review r14 finding #5).
+    */
+  private val Magic = 0x47424c4d // "GBLM"
+  private val FormatV = 1
+
+  /** version-validated read-through cache: the sidecar's HEADER (12
+    * bytes) is re-read per probe; the bloom body only when the install
+    * counter moved.
     */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, BloomFilter)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, BloomFilter)]()
 
   /** The sidecar's bloom, or None when absent/unreadable (probe then
     * falls back to the full scan — the always-correct path).
     */
-  def load(spark: SparkSession, bucketPath: String): Option[BloomFilter] = {
+  def load(spark: SparkSession, bucketPath: String): Option[BloomFilter] =
+    loadVersioned(spark, bucketPath).map(_._2)
+
+  private def loadVersioned(spark: SparkSession,
+                            bucketPath: String): Option[(Long, BloomFilter)] = {
     val hp = new Path(bucketPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = sidecar(hp)
     scala.util.Try {
-      val st = fs.getFileStatus(p)
       val key = fs.makeQualified(p).toString
-      val hit = Option(cache.get(key))
-        .filter(c => c._1 == st.getModificationTime && c._2 == st.getLen)
-      hit.map(_._3).getOrElse {
-        val in = fs.open(p)
-        val bf = try BloomFilter.readFrom(in) finally in.close()
-        cache.put(key, (st.getModificationTime, st.getLen, bf))
-        bf
-      }
+      val in = new java.io.DataInputStream(fs.open(p))
+      try {
+        require(in.readInt() == Magic && in.readInt() == FormatV,
+          "not a graft bloom sidecar")
+        val ver = in.readLong()
+        Option(cache.get(key)).filter(_._1 == ver).getOrElse {
+          val bf = BloomFilter.readFrom(in)
+          cache.put(key, (ver, bf))
+          (ver, bf)
+        }
+      } finally in.close()
     }.toOption
   }
 
-  private def write(fs: FileSystem, hp: Path, bf: BloomFilter): Unit = {
+  private def write(fs: FileSystem, hp: Path, version: Long,
+                    bf: BloomFilter): Unit = {
     val target = sidecar(hp)
     val tmp = new Path(target.getParent, target.getName + ".tmp")
-    val out = fs.create(tmp, true)
-    try bf.writeTo(out) finally out.close()
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
+    try {
+      out.writeInt(Magic); out.writeInt(FormatV); out.writeLong(version)
+      bf.writeTo(out)
+    } finally out.close()
     // delete+rename window: a reader landing inside it sees no sidecar
     // and takes the scan fallback — degraded, never wrong
     if (fs.exists(target)) fs.delete(target, false)
@@ -90,33 +110,36 @@ private[graft] object DedupBloom {
     // re-cache under the installed version: without this every
     // post-update probe would re-read the sidecar file (each batch
     // writes one), defeating the read-through cache in steady state
-    scala.util.Try {
-      val st = fs.getFileStatus(target)
-      cache.put(fs.makeQualified(target).toString,
-        (st.getModificationTime, st.getLen, bf))
-    }
+    cache.put(fs.makeQualified(target).toString, (version, bf))
   }
 
   /** Extend the sidecar with a batch's bucket values — called BEFORE the
     * bucket-table append so a crash between the two preserves the
     * superset invariant. An absent sidecar bootstraps: from the batch
-    * alone when the table is empty/absent (nothing older to cover), else
-    * by a one-time [[rebuild]] from the live table first.
+    * alone when the table is PROVABLY empty/absent (nothing older to
+    * cover), from a one-time [[rebuild]] when it provably holds rows —
+    * and FAILS LOUDLY when the emptiness probe itself errors (review r14
+    * finding #3: "assume empty" on an unknown table would install a
+    * strict-subset bloom whose false negatives silently admit duplicates
+    * forever; a thrown batch just replays).
     */
   def update(spark: SparkSession, bucketPath: String,
              newBuckets: Array[Long]): Unit = {
     if (newBuckets.isEmpty) return
     val hp = new Path(bucketPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bf = load(spark, bucketPath).getOrElse {
-      if (fs.exists(hp) &&
-          scala.util.Try(graft.io.Tables.snapshotUnsized(spark, bucketPath)
-            .head(1).nonEmpty).getOrElse(false))
-        rebuilt(spark, bucketPath)
-      else BloomFilter.create(expectedItems, 0.01)
+    val (ver, bf) = loadVersioned(spark, bucketPath).getOrElse {
+      val fresh =
+        if (!fs.exists(hp)) BloomFilter.create(expectedItems, 0.01)
+        else graft.io.Tables.snapshotUnsized(spark, bucketPath)
+          .head(1).isEmpty match { // a throw here fails the batch loudly
+            case true => BloomFilter.create(expectedItems, 0.01)
+            case false => rebuilt(spark, bucketPath)
+          }
+      (0L, fresh)
     }
     newBuckets.foreach(bf.putLong)
-    write(fs, hp, bf)
+    write(fs, hp, ver + 1, bf)
   }
 
   private def rebuilt(spark: SparkSession, bucketPath: String): BloomFilter = {
@@ -128,11 +151,21 @@ private[graft] object DedupBloom {
   }
 
   /** Rebuild the sidecar exactly from the live table — run at fold
-    * cadence or after retention to shed stale bits and re-size.
+    * cadence or after retention to shed stale bits and re-size. Holds
+    * the bucket table's WRITER LEASE for the snapshot→install span: an
+    * unguarded rebuild racing a live ingest batch could snapshot the
+    * table, lose to the batch's sidecar-update + append, then install a
+    * bloom MISSING the batch's buckets (review r14 finding #2 — a
+    * superset break, the one thing the design must never do). Under the
+    * lease the batch's append waits/fails instead; its replay re-ORs the
+    * sidecar before appending, restoring any bits this install dropped.
     */
   def rebuild(spark: SparkSession, bucketPath: String): Unit = {
     val hp = new Path(bucketPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    write(fs, hp, rebuilt(spark, bucketPath))
+    graft.io.Tables.withWriterLease(fs, hp, "bloomRebuild") {
+      val ver = loadVersioned(spark, bucketPath).map(_._1).getOrElse(0L)
+      write(fs, hp, ver + 1, rebuilt(spark, bucketPath))
+    }
   }
 }

@@ -441,24 +441,34 @@ object Streams {
         val applied = graft.io.Tables.appendStreamBatch(batch.toDF(), path, ts,
           streamId = checkpoint, batchId = batchId)
         if (applied && batchId % math.max(1, every) == 0)
-          for {
-            m <- graft.io.Tables.manifest(spark, path)
-            if m.files.nonEmpty &&
-              m.files.forall(e => e.minNs.isDefined && e.maxNs.isDefined)
-            mx = m.files.flatMap(_.maxNs).max
-            mn = m.files.flatMap(_.minNs).min
-            // exact, not wrapping: mx - retainNs on a pre-1970 table with
-            // a huge retainNs ("never expire") would wrap POSITIVE and
-            // delete the whole table including the tail — overflow means
-            // nothing can have expired, so retention skips (second r13
-            // review pass, finding #3)
-            cut <- scala.util.Try(Math.subtractExact(mx, retainNs)).toOption
-            if mn < cut // something has actually expired
-          } graft.io.Tables.deleteRangeNs(spark, path, ts,
-            Long.MinValue, cut - 1) // retain [cut, mx]: delete ts <= cut-1
+          retentionCut(spark, path, retainNs).foreach(cut =>
+            graft.io.Tables.deleteRangeNs(spark, path, ts,
+              Long.MinValue, cut - 1)) // retain [cut, mx]: delete ≤ cut-1
         ()
       }
       .start()
+
+  /** The retention cut for `path` — max stored ts − retainNs, from
+    * MANIFEST metadata alone — or None when nothing can have expired: no
+    * manifest, stat-less files (the next fold restores stats), or an
+    * overflowing subtraction. EXACT, not wrapping: mx − retainNs on a
+    * pre-1970 table with a huge retainNs ("never expire") would wrap
+    * POSITIVE and delete the whole table including the tail — overflow
+    * means nothing can have expired, so retention skips (second r13
+    * review pass, finding #3). Shared by [[ingestAppendRetained]] and
+    * [[dedupRetentionBeat]] so the guards can never diverge.
+    */
+  private def retentionCut(spark: SparkSession, path: String,
+                           retainNs: Long): Option[Long] =
+    for {
+      m <- graft.io.Tables.manifest(spark, path)
+      if m.files.nonEmpty &&
+        m.files.forall(e => e.minNs.isDefined && e.maxNs.isDefined)
+      mx = m.files.flatMap(_.maxNs).max
+      mn = m.files.flatMap(_.minNs).min
+      cut <- scala.util.Try(Math.subtractExact(mx, retainNs)).toOption
+      if mn < cut // something has actually expired
+    } yield cut
 
   /** NEAR-DUP-FILTERED streaming ingest — dedup at LANDING, the shape a
     * training-data pipeline actually runs (drop near-duplicates as data
@@ -601,15 +611,7 @@ object Streams {
   private def dedupRetentionBeat(spark: SparkSession, docPath: String,
                                  bucketPath: String, ts: String,
                                  retainNs: Long): Unit =
-    for {
-      m <- graft.io.Tables.manifest(spark, docPath)
-      if m.files.nonEmpty &&
-        m.files.forall(e => e.minNs.isDefined && e.maxNs.isDefined)
-      mx = m.files.flatMap(_.maxNs).max
-      mn = m.files.flatMap(_.minNs).min
-      cut <- scala.util.Try(Math.subtractExact(mx, retainNs)).toOption
-      if mn < cut
-    } {
+    retentionCut(spark, docPath, retainNs).foreach { cut =>
       graft.io.Tables.deleteRangeNs(spark, bucketPath, ts, Long.MinValue, cut - 1)
       graft.io.Tables.deleteRangeNs(spark, docPath, ts, Long.MinValue, cut - 1)
     }
