@@ -614,6 +614,14 @@ object Streams {
     retentionCut(spark, docPath, retainNs).foreach { cut =>
       graft.io.Tables.deleteRangeNs(spark, bucketPath, ts, Long.MinValue, cut - 1)
       graft.io.Tables.deleteRangeNs(spark, docPath, ts, Long.MinValue, cut - 1)
+      // the deletes just turned the expired window's sidecar bits STALE
+      // (blooms cannot delete); the beat is the natural rebuild cadence —
+      // one live-table scan, only on beats where something actually
+      // expired (`every` thins them). Best-effort: a rebuild failure
+      // leaves a correct superset sidecar (degraded probes, never wrong),
+      // so it must not fail a batch whose appends+deletes committed.
+      scala.util.Try(DedupBloom.rebuild(spark, bucketPath)).failed.foreach(e =>
+        System.err.println(s"[dedup-retention] bloom rebuild skipped: ${e.getMessage}"))
     }
 
   /** Rebuild the landing-dedup bloom sidecar exactly from the live
