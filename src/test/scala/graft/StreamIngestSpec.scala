@@ -366,6 +366,56 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(Tables.snapshot(spark, docs).count() == 2)
   }
 
+  test("bloom sidecar loss/corruption degrades the probe, never the answer") {
+    // the correctness contract under test: the sidecar is an ACCELERATOR
+    // — with it deleted or corrupted, the probe must fall back to the
+    // full-scan path and still drop every re-crawled duplicate; and the
+    // next batch with survivors must REBUILD a superset sidecar (the
+    // bootstrap path over a non-empty table), never a batch-only subset
+    val docs = tmpDir("bldoc") + "/docs.parquet"
+    val buckets = tmpDir("blbkt") + "/buckets.parquet"
+    def text(i: Int): String = (0 until 12).map(w => s"b${w}q$i").mkString(" ")
+    def run(bid: Long, rows: Seq[(Long, Long, String)]): Unit =
+      Streams.dedupIngestBatch(rows.toDF("id", "ts", "text"), docs, buckets,
+        "ts", "ck-bloomloss", "id", "text", 5, 8, 2, bid)
+    run(0L, (0 until 20).map(i => (i.toLong, 100L + i, text(i))))
+    val retained = Tables.snapshot(spark, docs).count()
+    val sidecar = new java.io.File(buckets + ".bloom")
+    assert(sidecar.isFile, "the ingest must have installed a sidecar")
+    // 1) sidecar DELETED: re-crawl of retained texts must still drop all
+    assert(sidecar.delete())
+    val retainedIds = Tables.snapshot(spark, docs).select("id").as[Long]
+      .collect().sorted
+    run(1L, retainedIds.zipWithIndex.map { case (orig, k) =>
+      (1000L + k, 300L + k, text(orig.toInt)) }.toSeq)
+    assert(Tables.snapshot(spark, docs).count() == retained,
+      "without a sidecar the probe must fall back to the scan and drop all")
+    // batch 1 had no survivors → no rebuild yet; 2) sidecar CORRUPTED:
+    // land one NEW doc — its batch must both drop the re-crawled dups
+    // and bootstrap-rebuild a sidecar covering the WHOLE stored table
+    java.nio.file.Files.write(sidecar.toPath,
+      "not a bloom".getBytes("UTF-8"))
+    // the new doc uses a DISJOINT alphabet — text(9999) would share char
+    // shingles with doc 9 ("b0q9" ⊂ "b0q9999") and near-dup it for real
+    val newDoc = (0 until 12).map(w => s"z${w}k77").mkString(" ")
+    run(2L, Seq((5000L, 500L, newDoc)) ++
+      retainedIds.take(3).zipWithIndex.map { case (orig, k) =>
+        (2000L + k, 501L + k, text(orig.toInt)) })
+    assert(Tables.snapshot(spark, docs).count() == retained + 1,
+      "corrupt sidecar: dups still drop, the new doc still lands")
+    // the rebuilt sidecar must be a SUPERSET of every stored bucket
+    val bf = graft.streaming.DedupBloom.load(spark, buckets)
+      .getOrElse(fail("the survivor batch must have reinstalled a sidecar"))
+    val storedBuckets = Tables.snapshot(spark, buckets).select("bucket")
+      .as[Long].collect()
+    assert(storedBuckets.forall(bf.mightContainLong),
+      "the reinstalled sidecar must cover the whole stored table")
+    // and the accelerated path works again: one more full re-crawl drops
+    run(3L, retainedIds.zipWithIndex.map { case (orig, k) =>
+      (3000L + k, 600L + k, text(orig.toInt)) }.toSeq)
+    assert(Tables.snapshot(spark, docs).count() == retained + 1)
+  }
+
   test("embedding dedup-ingest retention: expired vectors stop suppressing") {
     val docs = tmpDir("erdoc") + "/docs.parquet"
     val buckets = tmpDir("erbkt") + "/buckets.parquet"
