@@ -120,26 +120,35 @@ private[graft] object DedupBloom {
     * cover), from a one-time [[rebuild]] when it provably holds rows —
     * and FAILS LOUDLY when the emptiness probe itself errors (review r14
     * finding #3: "assume empty" on an unknown table would install a
-    * strict-subset bloom whose false negatives silently admit duplicates
+    *  strict-subset bloom whose false negatives silently admit duplicates
     * forever; a thrown batch just replays).
+    *
+    * LEASED: the whole read-modify-write runs under the bucket table's
+    * writer lease (re-entrant for the ingest protocol, which already
+    * holds it across its update→append span — see dedupIngestBatch). An
+    * UN-leased update is the review-r15 race: two writers sharing one
+    * bucketPath interleave their RMWs and the loser's bits vanish from
+    * the installed sidecar — a silent superset break.
     */
   def update(spark: SparkSession, bucketPath: String,
              newBuckets: Array[Long]): Unit = {
     if (newBuckets.isEmpty) return
     val hp = new Path(bucketPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (ver, bf) = loadVersioned(spark, bucketPath).getOrElse {
-      val fresh =
-        if (!fs.exists(hp)) BloomFilter.create(expectedItems, 0.01)
-        else graft.io.Tables.snapshotUnsized(spark, bucketPath)
-          .head(1).isEmpty match { // a throw here fails the batch loudly
-            case true => BloomFilter.create(expectedItems, 0.01)
-            case false => rebuilt(spark, bucketPath)
-          }
-      (0L, fresh)
+    graft.io.Tables.withWriterLease(fs, hp, "bloomUpdate") {
+      val (ver, bf) = loadVersioned(spark, bucketPath).getOrElse {
+        val fresh =
+          if (!fs.exists(hp)) BloomFilter.create(expectedItems, 0.01)
+          else graft.io.Tables.snapshotUnsized(spark, bucketPath)
+            .head(1).isEmpty match { // a throw here fails the batch loudly
+              case true => BloomFilter.create(expectedItems, 0.01)
+              case false => rebuilt(spark, bucketPath)
+            }
+        (0L, fresh)
+      }
+      newBuckets.foreach(bf.putLong)
+      write(fs, hp, ver + 1, bf)
     }
-    newBuckets.foreach(bf.putLong)
-    write(fs, hp, ver + 1, bf)
   }
 
   private def rebuilt(spark: SparkSession, bucketPath: String): BloomFilter = {
@@ -152,13 +161,17 @@ private[graft] object DedupBloom {
 
   /** Rebuild the sidecar exactly from the live table — run at fold
     * cadence or after retention to shed stale bits and re-size. Holds
-    * the bucket table's WRITER LEASE for the snapshot→install span: an
-    * unguarded rebuild racing a live ingest batch could snapshot the
-    * table, lose to the batch's sidecar-update + append, then install a
-    * bloom MISSING the batch's buckets (review r14 finding #2 — a
-    * superset break, the one thing the design must never do). Under the
-    * lease the batch's append waits/fails instead; its replay re-ORs the
-    * sidecar before appending, restoring any bits this install dropped.
+    * the bucket table's WRITER LEASE for the snapshot→install span, and
+    * that lease is the WHOLE guarantee: the ingest protocol holds the
+    * SAME lease across its sidecar-update → bucket-append span
+    * (dedupIngestBatch) and [[update]] itself acquires it, so a rebuild
+    * can never interleave between a batch's update and its append —
+    * the r14-review race where the rebuild snapshots the table without
+    * the batch's rows, installs a bloom missing its bits, and the
+    * batch's append then lands anyway (a SILENT superset break, the one
+    * failure the design must never allow: bloom false negatives admit
+    * duplicates forever). A rebuild attempted while a batch holds the
+    * lease fails loudly instead; retry after the batch commits.
     */
   def rebuild(spark: SparkSession, bucketPath: String): Unit = {
     val hp = new Path(bucketPath)

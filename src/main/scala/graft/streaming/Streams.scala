@@ -398,6 +398,44 @@ object Streams {
     * the manifest-governed table while compactIncremental folds batches
     * under the same lease.
     */
+  /** Bounded lease-contention retry for streaming foreachBatch bodies.
+    * The writer lease FAILS LOUDLY on contention rather than queueing
+    * (Tables.withWriterLease) — correct for one-shot lifecycle calls,
+    * but inside a live stream a collision with a maintenance op (a fold
+    * or bloom rebuild run "while the stream is live", USER_GUIDE) would
+    * otherwise terminate the whole streaming query over a transient
+    * conflict (ADVICE r15 #3). Every ingest batch body is
+    * replay-idempotent (the exactly-once commit log skips the parts
+    * that already landed), so re-running the WHOLE body after a backoff
+    * is safe; leases that stay contended past the budget still fail the
+    * query — an operator signal, with restart-as-replay the documented
+    * recovery. Tunables: graft.lease.retry.max (default 8 attempts),
+    * graft.lease.retry.backoff.ms (base, default 250 — doubled per
+    * attempt, capped at 10 s).
+    */
+  private def retryingLease[T](what: String)(body: => T): T = {
+    val max = sys.props.get("graft.lease.retry.max")
+      .flatMap(_.toIntOption).getOrElse(8)
+    val base = sys.props.get("graft.lease.retry.backoff.ms")
+      .flatMap(_.toLongOption).getOrElse(250L)
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: IllegalStateException
+            if attempt < max && e.getMessage != null &&
+              (e.getMessage.contains("another writer holds the lease") ||
+                e.getMessage.contains("lost the lease race")) =>
+          attempt += 1
+          val sleep = math.min(base << math.min(attempt - 1, 6), 10000L)
+          System.err.println(s"[graft-ingest] $what: lease contention " +
+            s"(attempt $attempt/$max), retrying in ${sleep}ms")
+          Thread.sleep(sleep)
+      }
+    }
+    sys.error("unreachable")
+  }
+
   def ingestAppend(df: DataFrame, path: String, ts: String, checkpoint: String,
                    trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -406,8 +444,10 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        graft.io.Tables.appendStreamBatch(batch.toDF(), path, ts,
-          streamId = checkpoint, batchId = batchId)
+        retryingLease("ingestAppend") {
+          graft.io.Tables.appendStreamBatch(batch.toDF(), path, ts,
+            streamId = checkpoint, batchId = batchId)
+        }
         ()
       }
       .start()
@@ -438,12 +478,14 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val applied = graft.io.Tables.appendStreamBatch(batch.toDF(), path, ts,
-          streamId = checkpoint, batchId = batchId)
-        if (applied && batchId % math.max(1, every) == 0)
-          retentionCut(spark, path, retainNs).foreach(cut =>
-            graft.io.Tables.deleteRangeNs(spark, path, ts,
-              Long.MinValue, cut - 1)) // retain [cut, mx]: delete ≤ cut-1
+        retryingLease("ingestAppendRetained") {
+          val applied = graft.io.Tables.appendStreamBatch(batch.toDF(), path, ts,
+            streamId = checkpoint, batchId = batchId)
+          if (applied && batchId % math.max(1, every) == 0)
+            retentionCut(spark, path, retainNs).foreach(cut =>
+              graft.io.Tables.deleteRangeNs(spark, path, ts,
+                Long.MinValue, cut - 1)) // retain [cut, mx]: delete ≤ cut-1
+        }
         ()
       }
       .start()
@@ -524,21 +566,28 @@ object Streams {
     *     version). The common case — a batch colliding with nothing —
     *     probes with ZERO scan (measured flat, 0.25 s at ×1 and ×20
     *     corpus, vs the r13 shape's 0.36→1.22 s growth). Bloom positives
-    *     (real hits + a ~1% false-positive tail) become ONE Spark-side
-    *     InSet filter on the verify scan — hash-set membership in
-    *     codegen, deliberately NOT pushed into parquet: a pushed In
-    *     compiles to a left-deep parquet or()-chain that overflows the
-    *     task stack beyond ~1.5k values (measured: 1024 fine, 1536
-    *     StackOverflowError — why Spark's default in-filter threshold is
-    *     10), and row-group stats cannot eliminate anything for uniform
-    *     64-bit keys anyway (also measured — chunked pushed-In scans
-    *     came out 5× SLOWER than the plain scan). Membership is decided
-    *     by the real join, so bloom false positives cost I/O, never
-    *     semantics; a positives flood past `graft.dedup.probe.isin.max`
-    *     (8192 — a saturated sidecar, or a genuinely all-colliding
-    *     batch) drops the filter and scans plainly, still shuffle-free
-    *     via (1). The bloom is what the reference's B-tree point lookups
-    *     (btree.c:479-589) map to in a lakehouse layout.
+    *     (real hits + a ~1% false-positive tail) become ONE In filter on
+    *     the verify scan — Spark evaluates it as hash-set membership in
+    *     codegen (InSet) and OFFERS it to the parquet source (it shows
+    *     in PushedFilters); what parquet-mr actually receives depends on
+    *     spark.sql.parquet.pushdown.inFilterThreshold (default 10): at
+    *     or under the threshold an or()-chain of eq — which is LEFT-DEEP
+    *     and overflows the task stack beyond ~1.5k values (measured:
+    *     1024 fine, 1536 StackOverflowError; why Spark's default is 10)
+    *     — and above it a min/max range predicate, harmless but useless
+    *     for uniform 64-bit keys (row-group stats eliminate nothing;
+    *     also measured — chunked pushed-In scans came out 5× SLOWER
+    *     than the plain scan). The probe therefore GUARDS the or-chain
+    *     zone: a positive set that is both >1024 values and ≤ the
+    *     session's threshold (an operator raised the knob) skips the In
+    *     and scans plainly instead of risking a task StackOverflowError
+    *     (ADVICE r15 #2). Membership is decided by the real join, so
+    *     bloom false positives cost I/O, never semantics; a positives
+    *     flood past `graft.dedup.probe.isin.max` (8192 — a saturated
+    *     sidecar, or a genuinely all-colliding batch) likewise drops the
+    *     filter and scans plainly, still shuffle-free via (1). The bloom
+    *     is what the reference's B-tree point lookups (btree.c:479-589)
+    *     map to in a lakehouse layout.
     *  3. COLUMN PRUNING — the probe reads exactly (band, bucket[, id]):
     *     two small ints (+ the id for the embedding twin's candidate
     *     pairs), never the table's full width.
@@ -571,11 +620,23 @@ object Streams {
       if (vals.length > collectCap) None
       else DedupBloom.load(spark, bucketPath)
         .map(bf => vals.filter(bf.mightContainLong))
+    // the or-chain hazard zone (see the doc block): parquet-mr receives
+    // an In ≤ the session threshold as a left-deep or()-chain of eq,
+    // which stack-overflows tasks beyond ~1.5k values. Safe by default
+    // (threshold 10 → only 10-value chains); an operator who RAISES the
+    // common tuning knob must not turn the probe into a crash, so the
+    // zone falls back to the plain scan.
+    def orChainHazard(n: Int): Boolean = {
+      val pushThresh = scala.util.Try(spark.conf.get(
+        "spark.sql.parquet.pushdown.inFilterThreshold").toInt).getOrElse(10)
+      n > 1024 && n <= pushThresh
+    }
     candidates match {
       case Some(pos) if pos.isEmpty =>
         // bloom-cleared: the common no-collision batch reads NOTHING
         stored0.limit(0)
-      case Some(pos) if pos.length <= isinCap && pos.length * 2 <= vals.length =>
+      case Some(pos) if pos.length <= isinCap &&
+          pos.length * 2 <= vals.length && !orChainHazard(pos.length) =>
         // SELECTIVE positives: the InSet thins what flows into the join.
         // When most of the batch is positive (a re-crawl batch: every
         // doc collides), the filter eliminates ~nothing and only adds
@@ -647,10 +708,12 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch0: Dataset[Row], batchId: Long) =>
-        dedupIngestBatch(batch0.toDF(), docPath, bucketPath, ts, checkpoint,
-          id, text, shingleLen, bands, rowsPerBand, batchId,
-          retainNs = if (batchId % math.max(1, every) == 0) retainNs
-                     else Long.MaxValue)
+        retryingLease("ingestDedupNearDup") {
+          dedupIngestBatch(batch0.toDF(), docPath, bucketPath, ts, checkpoint,
+            id, text, shingleLen, bands, rowsPerBand, batchId,
+            retainNs = if (batchId % math.max(1, every) == 0) retainNs
+                       else Long.MaxValue)
+        }
         ()
       }
       .start()
@@ -710,11 +773,22 @@ object Streams {
       // the bloom a superset of the stored table — the invariant the
       // probe's correctness contract rests on (see DedupBloom); a
       // replayed batch re-ORs the same bits, a skipped append changes
-      // nothing the superset cares about
-      DedupBloom.update(spark, bucketPath, bucketRows.select(col("bucket"))
-        .distinct().collect().map(_.getLong(0)))
-      graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
-        streamKey + "#buckets", batchId)
+      // nothing the superset cares about. ONE writer-lease span covers
+      // update AND append (ADVICE r15 high): an un-leased window between
+      // them lets a concurrent rebuild snapshot the table WITHOUT this
+      // batch's rows and install a bloom missing its bits — after which
+      // the append lands anyway and the sidecar is a strict SUBSET of
+      // the table (silent false negatives = duplicates admitted
+      // forever). The lease is thread-re-entrant, so the nested
+      // acquisitions inside DedupBloom.update and appendStreamBatch are
+      // no-ops; a rebuild attempted mid-span fails loudly instead.
+      val newBucketVals = bucketRows.select(col("bucket"))
+        .distinct().collect().map(_.getLong(0)) // the Spark job runs OUTSIDE the lease
+      graft.io.Tables.withWriterLease(fs, hp, "dedupIngestBuckets") {
+        DedupBloom.update(spark, bucketPath, newBucketVals)
+        graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
+          streamKey + "#buckets", batchId)
+      }
       // retention LAST, after both appends committed: a replayed batch
       // re-runs the beat (idempotent — the re-cut range is empty), and a
       // crash inside either delete recovers through the standard delete
@@ -768,10 +842,12 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch0: Dataset[Row], batchId: Long) =>
-        dedupIngestEmbeddingBatch(batch0.toDF(), docPath, bucketPath, ts,
-          checkpoint, id, vec, dim, minCos, tables, bits, batchId,
-          retainNs = if (batchId % math.max(1, every) == 0) retainNs
-                     else Long.MaxValue)
+        retryingLease("ingestDedupEmbedding") {
+          dedupIngestEmbeddingBatch(batch0.toDF(), docPath, bucketPath, ts,
+            checkpoint, id, vec, dim, minCos, tables, bits, batchId,
+            retainNs = if (batchId % math.max(1, every) == 0) retainNs
+                       else Long.MaxValue)
+        }
         ()
       }
       .start()
@@ -869,15 +945,16 @@ object Streams {
       val bucketRows = bb
         .join(survivors.select(col(id), col(ts)), Seq(id))
         .select(col(id), col("band"), col("bucket"), col(ts))
-      // sidecar BEFORE the bucket append: a crash between the two leaves
-      // the bloom a superset of the stored table — the invariant the
-      // probe's correctness contract rests on (see DedupBloom); a
-      // replayed batch re-ORs the same bits, a skipped append changes
-      // nothing the superset cares about
-      DedupBloom.update(spark, bucketPath, bucketRows.select(col("bucket"))
-        .distinct().collect().map(_.getLong(0)))
-      graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
-        streamKey + "#buckets", batchId)
+      // sidecar BEFORE the bucket append, under ONE writer-lease span —
+      // same crash-consistency and anti-rebuild-race contract as the
+      // text twin (see dedupIngestBatch)
+      val newBucketVals = bucketRows.select(col("bucket"))
+        .distinct().collect().map(_.getLong(0))
+      graft.io.Tables.withWriterLease(fs, hp, "dedupIngestBuckets") {
+        DedupBloom.update(spark, bucketPath, newBucketVals)
+        graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
+          streamKey + "#buckets", batchId)
+      }
       // same retention composition as the text twin (see dedupIngestBatch)
       if (retainNs != Long.MaxValue)
         dedupRetentionBeat(spark, docPath, bucketPath, ts, retainNs)
@@ -908,9 +985,11 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (graft.io.Tables.appendStreamBatchBucketed(batch.toDF(), table,
-          streamId = checkpoint, batchId = batchId))
-          owner.catalog.refreshTable(table)
+        retryingLease("ingestAppendBucketed") {
+          if (graft.io.Tables.appendStreamBatchBucketed(batch.toDF(), table,
+            streamId = checkpoint, batchId = batchId))
+            owner.catalog.refreshTable(table)
+        }
         ()
       }
       .start()

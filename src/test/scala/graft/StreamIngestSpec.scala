@@ -843,4 +843,93 @@ class StreamIngestSpec extends AnyFunSuite {
       "batch 0 on an empty table must land exactly once across a crash replay")
     spark.sql(s"DROP TABLE IF EXISTS `$t`")
   }
+
+  test("bloom sidecar atomicity: a rebuild cannot interleave a batch's update→append span") {
+    // ADVICE r15 (high): before the fix, DedupBloom.update ran UN-leased
+    // before the leased bucket append — a rebuildDedupBloom that started
+    // AND finished inside that window snapshotted the table WITHOUT the
+    // batch's rows, installed a bloom missing its bits, and the batch's
+    // append then landed anyway: sidecar ⊊ table, silent false negatives
+    // (duplicates admitted forever). Now the ingest holds ONE writer-lease
+    // span across update+append, and update/rebuild each take the same
+    // lease — the mid-span rebuild FAILS LOUDLY and the superset
+    // invariant survives every interleave the lease permits.
+    val docs = tmpDir("atdoc") + "/docs.parquet"
+    val buckets = tmpDir("atbkt") + "/buckets.parquet"
+    def text(i: Int): String = (0 until 12).map(w => s"at${w}q$i").mkString(" ")
+    Streams.dedupIngestBatch(
+      (0 until 20).map(i => (i.toLong, 100L + i, text(i)))
+        .toDF("id", "ts", "text"),
+      docs, buckets, "ts", "ck-atom", "id", "text", 5, 8, 2, 0L)
+    assert(graft.streaming.DedupBloom.load(spark, buckets).isDefined)
+    val hp = new org.apache.hadoop.fs.Path(buckets)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // drive the protocol's update→append span by hand (exactly what
+    // dedupIngestBatch does under its lease) and attempt the race's
+    // rebuild MID-SPAN from another thread (the lease is per-thread
+    // re-entrant, so only a foreign thread models a maintenance job)
+    val probeVal = 0x5eedL
+    val bucketRows = Seq((999L, 3, probeVal, 200L))
+      .toDF("id", "band", "bucket", "ts")
+    @volatile var raced: Option[Throwable] = None
+    Tables.withWriterLease(fs, hp, "test-ingest-span") {
+      graft.streaming.DedupBloom.update(spark, buckets, Array(probeVal))
+      val t = new Thread(() => {
+        try Streams.rebuildDedupBloom(spark, buckets)
+        catch { case e: Throwable => raced = Some(e) }
+      })
+      t.start(); t.join(30000)
+      Tables.appendStreamBatch(bucketRows, buckets, "ts", "ck-atom#buckets", 1L)
+    }
+    assert(raced.exists(e => e.isInstanceOf[IllegalStateException] &&
+      e.getMessage.contains("another writer holds the lease")),
+      s"a mid-span rebuild must fail loudly on the lease, got: $raced")
+    // the invariant the race used to break: every stored bucket value is
+    // bloom-positive, including the mid-span batch's
+    val bf = graft.streaming.DedupBloom.load(spark, buckets).get
+    val stored = Tables.snapshot(spark, buckets).select("bucket").as[Long]
+      .collect()
+    assert(stored.forall(bf.mightContainLong),
+      "sidecar must remain a superset of the stored table")
+    assert(bf.mightContainLong(probeVal))
+    // a post-span rebuild (lease free again) succeeds and stays a superset
+    Streams.rebuildDedupBloom(spark, buckets)
+    val bf2 = graft.streaming.DedupBloom.load(spark, buckets).get
+    assert(stored.forall(bf2.mightContainLong))
+  }
+
+  test("probe skips the In filter inside the parquet or-chain hazard zone") {
+    // ADVICE r15 #2: spark.sql.parquet.pushdown.inFilterThreshold governs
+    // how parquet-mr receives a pushed In — at or under the threshold a
+    // LEFT-DEEP or()-chain of eq (task StackOverflowError beyond ~1.5k
+    // values, measured r14), above it a harmless min/max range. The
+    // default of 10 keeps the probe's InSet safe; an operator raising the
+    // knob must not turn a >1k-positive probe into a crash — the probe
+    // detects the zone and takes the plain broadcast-semi scan instead.
+    val buckets = tmpDir("ozbkt") + "/buckets.parquet"
+    // a synthetic stored bucket table + sidecar: 3000 (band, bucket) rows
+    val stored = (0 until 3000)
+      .map(i => (i.toLong, i % 8, 0xabc000L + i, 100L + i))
+      .toDF("id", "band", "bucket", "ts")
+    Tables.load(stored, buckets, Seq("band", "bucket"), "ts")
+    graft.streaming.DedupBloom.rebuild(spark, buckets)
+    // a probe whose positives land in the zone: 3000 stored values (all
+    // bloom-positive) + 3000 unseen (selectivity gate: pos*2 <= vals)
+    val bb = ((0 until 3000).map(i => (i % 8, 0xabc000L + i)) ++
+      (0 until 3000).map(i => (i % 8, 0xdef000000L + i)))
+      .toDF("band", "bucket")
+    def hits(): Long = Streams.probeStoredBuckets(spark, buckets, bb,
+      Seq("band", "bucket")).count()
+    val want = hits() // default threshold 10: InSet branch, range-pushed
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "8192")
+    try {
+      val probe = Streams.probeStoredBuckets(spark, buckets, bb,
+        Seq("band", "bucket"))
+      val planStr = probe.queryExecution.executedPlan.toString
+      assert(!planStr.contains("In(bucket"),
+        s"inside the or-chain zone the probe must not push an In:\n$planStr")
+      assert(probe.count() == want,
+        "the plain-scan fallback must return the same hits")
+    } finally spark.conf.unset("spark.sql.parquet.pushdown.inFilterThreshold")
+  }
 }
