@@ -1039,6 +1039,22 @@ object Tables {
     readManifest(hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
   }
 
+  /** The LIVE generation's data-file names for a manifest-governed table —
+    * the consistency-checked view (grace-retained retired files excluded,
+    * in-flight append batches subtracted), exactly the file set
+    * [[snapshot]] would read. None for ungoverned paths. Consumers that
+    * build per-file structures (e.g. the dedup probe's per-file bloom
+    * sidecars, [[graft.streaming.FileBlooms]]) key on these names.
+    */
+  private[graft] def liveFileNames(spark: SparkSession,
+                                   path: String): Option[Seq[String]] = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (scala.util.Try(fs.getFileStatus(hp)).toOption.exists(_.isDirectory))
+      liveEntries(fs, hp, None).map(_.files.map(_.name))
+    else None
+  }
+
   private def readManifest(fs: FileSystem, dir: Path): Option[TsManifest] = {
     val p = new Path(dir, ManifestName)
     if (!fs.exists(p)) None

@@ -70,6 +70,18 @@ private[graft] object DedupBloom {
   def load(spark: SparkSession, bucketPath: String): Option[BloomFilter] =
     loadVersioned(spark, bucketPath).map(_._2)
 
+  /** Sidecar introspection for the operator's health check
+    * ([[Streams.dedupStats]]): (install counter, bit capacity, CURRENT
+    * expected false-positive rate given the bits actually set — the
+    * saturation signal; built at 1%, so a figure far above that means
+    * the table outgrew the sidecar and a [[rebuild]] is due).
+    */
+  def info(spark: SparkSession,
+           bucketPath: String): Option[(Long, Long, Double)] =
+    loadVersioned(spark, bucketPath).map { case (ver, bf) =>
+      (ver, bf.bitSize(), bf.expectedFpp())
+    }
+
   private def loadVersioned(spark: SparkSession,
                             bucketPath: String): Option[(Long, BloomFilter)] = {
     val hp = new Path(bucketPath)

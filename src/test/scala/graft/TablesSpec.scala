@@ -1055,6 +1055,56 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  test("GLOBAL registered view: lifecycle ops from a NON-registering session re-point it") {
+    // VERDICT r14 item 4: the registry is keyed by path alone, so a
+    // lifecycle op issued FROM session B must re-point the view session A
+    // registered — append, compact, delete each re-resolve it, and a
+    // truncate (from B) drops it in every session AND kills the
+    // registration so later ops never resurrect the name.
+    withGrace(600000L) {
+      val path = tmp("gviewops")
+      Tables.load((0L until 1000L).map(i => (i, i * 1.0)).toDF("ts", "v")
+        .repartition(4), path, Seq(), "ts")
+      Tables.registerView(spark, path, "g_ops_v", global = true)
+      val sessionB = spark.newSession()
+      def viewCount(s: org.apache.spark.sql.SparkSession): Long =
+        s.table("global_temp.g_ops_v").count()
+      assert(viewCount(sessionB) == 1000)
+      // APPEND from B: both sessions' catalog reads include the new rows
+      Tables.append(sessionB.createDataFrame((1000L until 1200L)
+        .map(i => (i, i * 1.0))).toDF("ts", "v"), path, "ts", lit(0L))
+      assert(viewCount(spark) == 1200 && viewCount(sessionB) == 1200,
+        "an append from session B must re-point the view for everyone")
+      // COMPACT from B mid-grace: the view serves exactly the live
+      // generation — never the retired one, never both
+      Tables.compactIncremental(sessionB, path, Seq(), "ts")
+      assert(viewCount(spark) == 1200,
+        "a compact from session B must leave the view exact (no double count)")
+      assert(spark.table("global_temp.g_ops_v")
+        .select(countDistinct(col("ts"))).head().getLong(0) == 1200)
+      // DELETE from B: the view re-points to the shrunk generation
+      Tables.deleteRange(sessionB, path, "ts", lit(0L), lit(199L))
+      assert(viewCount(spark) == 1000 && viewCount(sessionB) == 1000,
+        "a delete from session B must re-point the view for everyone")
+      assert(spark.table("global_temp.g_ops_v")
+        .agg(min(col("ts"))).head().getLong(0) == 200L)
+      // TRUNCATE from B: the view dies in every session, and the
+      // registration dies with it
+      Tables.truncate(sessionB, path)
+      assert(!spark.catalog.tableExists("global_temp.g_ops_v"),
+        "truncate from session B must drop the global view")
+      assert(!sessionB.catalog.tableExists("global_temp.g_ops_v"))
+      // a user's OWN later global view of the same name must survive the
+      // next lifecycle op on the path (the registration is dead)
+      spark.range(3).createOrReplaceGlobalTempView("g_ops_v")
+      Tables.load(Seq((5L, 5.0)).toDF("ts", "v"), path, Seq(), "ts")
+      Tables.append(Seq((6L, 6.0)).toDF("ts", "v"), path, "ts", lit(0L))
+      assert(viewCount(spark) == 3,
+        "a dead global registration must never clobber a user's later view")
+      spark.catalog.dropGlobalTempView("g_ops_v")
+    }
+  }
+
   test("an orphaned manifest staging rolls forward when it is the sole copy") {
     val path = tmp("stagingroll")
     Tables.load((0L until 50L).map(i => (i, i * 1.0)).toDF("ts", "v"),
