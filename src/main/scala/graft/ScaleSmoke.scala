@@ -490,6 +490,75 @@ object ScaleSmoke {
       time(s"  probe (r13 full-scan shape) vs x$factor")(println(s"    ids=${oldProbe(pN)}"))
       bbF.unpersist(); bb1.unpersist()
     }
+    // probe POSITIVE path at scale (round 15, VERDICT r14 item 2): the
+    // x100 A/B above measures the bloom-CLEARED path (unseen docs, zero
+    // scan). This one measures an ALL-COLLIDING batch — a re-crawl of
+    // window-0 docs, every bucket value a true positive — where the
+    // verify scan used to read the whole (band, bucket) projection. The
+    // corpus is `factor` ts-disjoint windows, each one bucket-clustered
+    // file (the steady-state layout a folded ingest maintains); per-file
+    // bloom sidecars let the probe read ~window-0's file regardless of
+    // how many windows follow, vs the unpruned shape reading all of them.
+    run("dedup-ingest probe: all-colliding (re-crawl) batch, file-pruned") {
+      val docsSrc = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val corpus = docsSrc.limit(5000).select(col("doc_id").as("id"), col("text"))
+      val bbW = graft.dedup.Dedup.bandBuckets(corpus, "id", "text", 5, 8, 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"  window bucket rows: ${bbW.count()}")
+      val p1 = s"$work/probe_fb_x1.parquet"
+      val pN = s"$work/probe_fb_x$factor.parquet"
+      for (p <- Seq(p1, pN); sfx <- Seq("", ".bloom", ".fblooms")) {
+        val hp = new org.apache.hadoop.fs.Path(p + sfx)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      def window(w: Int) = {
+        val win = if (w == 0) bbW else bbW
+          .withColumn("bucket", xxhash64(col("bucket"), lit(w)))
+          .withColumn("id", col("id") + w.toLong * 10000000L)
+        win.withColumn("ts", col("id"))
+          .repartition(1).sortWithinPartitions("band", "bucket")
+      }
+      graft.io.Tables.append(window(0), p1, "ts", lit(0L))
+      time(s"  build x$factor windowed corpus + sidecars") {
+        // at factor 1 the two paths coincide — window 0 is already in
+        for (w <- (if (factor == 1) 1 else 0) until factor)
+          graft.io.Tables.append(window(w), pN, "ts", lit(0L))
+        for (p <- Seq(p1, pN).distinct) {
+          graft.streaming.DedupBloom.rebuild(spark, p)
+          graft.streaming.FileBlooms.sync(spark, p)
+        }
+      }
+      // the re-crawl batch: 1000 window-0 docs under new ids — every
+      // bucket value collides with the stored window-0 rows
+      val re = corpus.limit(1000)
+        .select((col("id") + 900000000L).as("id"), col("text"))
+      val bbF = graft.dedup.Dedup.bandBuckets(re, "id", "text", 5, 8, 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bbF.count()
+      def probe(p: String): (Long, Int) = {
+        val pr = graft.streaming.Streams.probeStoredBuckets(spark, p, bbF,
+          Seq("band", "bucket"))
+        (pr.count(), pr.inputFiles.length)
+      }
+      // warm-up per path: codegen + the one-time sidecar loads (global
+      // bloom + per-file blooms populate the driver caches on first
+      // touch; the per-BATCH steady state the cost model cares about
+      // runs against warm caches, sidecars re-read only on version moves)
+      probe(p1); probe(pN)
+      def show(tag: String, r: (Long, Int)): Unit =
+        println(s"    $tag hits=${r._1} filesRead=${r._2}")
+      time("  re-crawl probe (file-pruned) vs x1")(show("x1", probe(p1)))
+      time(s"  re-crawl probe (file-pruned) vs x$factor")(
+        show(s"x$factor", probe(pN)))
+      sys.props("graft.dedup.fbloom.enabled") = "false"
+      try {
+        probe(p1); probe(pN)
+        time("  re-crawl probe (unpruned shape) vs x1")(show("x1", probe(p1)))
+        time(s"  re-crawl probe (unpruned shape) vs x$factor")(
+          show(s"x$factor", probe(pN)))
+      } finally sys.props.remove("graft.dedup.fbloom.enabled")
+      bbF.unpersist(); bbW.unpersist()
+    }
 
     // bucketed ts-slice at scale (round 11): the manifest's file pruning
     // must pay at growth — a recent-data slice reads only the appended

@@ -183,10 +183,20 @@ private[graft] object FileBlooms {
     */
   def pruneLive(spark: SparkSession, tablePath: String,
                 positives: Array[Long]): Option[Seq[String]] = {
+    val live = graft.io.Tables.liveFileNames(spark, tablePath).getOrElse(return None)
+    pruneKnown(spark, tablePath, positives, live)
+  }
+
+  /** [[pruneLive]] against an already-resolved live file list — the probe
+    * resolves the manifest once and shares it between the prune pass and
+    * its empty-frame schema, instead of paying a second listing.
+    */
+  private[streaming] def pruneKnown(spark: SparkSession, tablePath: String,
+                                    positives: Array[Long],
+                                    live: Seq[String]): Option[Seq[String]] = {
     if (!enabled || positives.isEmpty) return None
     val hp = new Path(tablePath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = graft.io.Tables.liveFileNames(spark, tablePath).getOrElse(return None)
     if (live.isEmpty) return Some(Seq.empty)
     if (positives.length.toLong * live.length > probeBudget) return None
     val dir = bloomDir(hp)

@@ -607,11 +607,28 @@ object Streams {
       .flatMap(_.toIntOption).getOrElse(1000000)
     val vals = probe.select(col("bucket")).distinct()
       .limit(collectCap + 1).collect().map(_.getLong(0))
-    val storedFull = graft.io.Tables.snapshotUnsized(spark, bucketPath)
-    val stored0 = storedFull.select(cols.map(col): _*)
+    // the live-file view is resolved ONCE and shared by the prune pass,
+    // the empty frame's schema, and the pruned read. snapshotUnsized's
+    // DataFrame CONSTRUCTION is O(live files) driver work (file index +
+    // schema resolution — measured ~0.4 s warm over a 100-file table),
+    // so the paths that read nothing or read a pruned subset must never
+    // build it; it stays the fallback for the unpruned scan, lazily.
+    val liveNames = graft.io.Tables.liveFileNames(spark, bucketPath)
+    lazy val storedFull = graft.io.Tables.snapshotUnsized(spark, bucketPath)
+    lazy val stored0 = storedFull.select(cols.map(col): _*)
+    def filePaths(ns: Seq[String]): Seq[String] =
+      ns.map(n => new org.apache.hadoop.fs.Path(bucketPath, n).toString)
+    // an empty result still needs the scan's schema — one live file's
+    // footer supplies it without the full index
+    def emptyStored: DataFrame = liveNames match {
+      case Some(ns) if ns.nonEmpty =>
+        spark.read.parquet(filePaths(ns.take(1)): _*)
+          .select(cols.map(col): _*).limit(0)
+      case _ => stored0.limit(0)
+    }
     // a bucket-less batch (empty, or all docs too short to shingle)
     // can collide with nothing — skip the scan outright
-    if (vals.isEmpty) return stored0.limit(0)
+    if (vals.isEmpty) return emptyStored
     // the sidecar check: definite-miss values drop on the driver; what
     // remains (real hits + the fp tail) is the verify scan's filter set.
     // No sidecar (or a collect flood past collectCap) → candidates =
@@ -643,17 +660,22 @@ object Streams {
     // files are always kept), so the probe's answer is scan-identical.
     val verifySet: Option[Array[Long]] =
       if (vals.length > collectCap) None else candidates.orElse(Some(vals))
-    val stored = verifySet.filter(_.nonEmpty)
-      .flatMap(pos => FileBlooms.pruneLive(spark, bucketPath, pos)) match {
-      case Some(keep) if keep.isEmpty => stored0.limit(0)
-      case Some(keep) => spark.read.schema(storedFull.schema)
-        .parquet(keep: _*).select(cols.map(col): _*)
-      case None => stored0
+    val stored = (verifySet.filter(_.nonEmpty), liveNames) match {
+      case (Some(pos), Some(live)) =>
+        FileBlooms.pruneKnown(spark, bucketPath, pos, live) match {
+          case Some(keep) if keep.isEmpty => emptyStored
+          // schema inferred from the kept files themselves (the table's
+          // own live files) — never the full-index storedFull
+          case Some(keep) => spark.read.parquet(keep: _*)
+            .select(cols.map(col): _*)
+          case None => stored0
+        }
+      case _ => stored0
     }
     candidates match {
       case Some(pos) if pos.isEmpty =>
         // bloom-cleared: the common no-collision batch reads NOTHING
-        stored0.limit(0)
+        emptyStored
       case Some(pos) if pos.length <= isinCap &&
           pos.length * 2 <= vals.length && !orChainHazard(pos.length) =>
         // SELECTIVE positives: the InSet thins what flows into the join.
