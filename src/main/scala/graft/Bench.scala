@@ -621,11 +621,12 @@ object Bench {
                     .as("text"))
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               d.count()
-              // the bloom sidecar is a SIBLING FILE of the bucket dir —
-              // a dir-only delete would leak a stale (superset, so
-              // correctness-safe, but bit-accumulating) sidecar into the
-              // next run's probe
-              Seq(dedupDoc, dedupBkt, dedupBkt + ".bloom").foreach { p =>
+              // the bloom sidecars are SIBLINGS of the bucket dir (global
+              // file + per-file dir) — a dir-only delete would leak stale
+              // (superset/orphan, so correctness-safe, but accumulating)
+              // sidecars into the next run's probe
+              Seq(dedupDoc, dedupBkt, dedupBkt + ".bloom",
+                dedupBkt + ".fblooms").foreach { p =>
                 val hp = new org.apache.hadoop.fs.Path(p)
                 hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
                   .delete(hp, true)

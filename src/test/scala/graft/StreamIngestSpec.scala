@@ -1049,6 +1049,63 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(row2.getAs[Long]("doc_rows") == docRows)
   }
 
+  test("global sidecar capacity is CAPPED: saturation degrades cost, never answers") {
+    // VERDICT r14 wrong #2: the sidecar is driver-resident and re-written
+    // per batch, so rebuild sizing must be bounded no matter how big the
+    // retained corpus is. Past the cap the bloom saturates (higher fpp —
+    // visible in dedupStats), the probe verifies more positives (pruned
+    // by the per-file blooms), and answers stay exact.
+    val docs = tmpDir("capdoc") + "/docs.parquet"
+    val buckets = tmpDir("capbkt") + "/buckets.parquet"
+    // md5-token words: distinct docs share NO char shingles, so the full
+    // 500 survive in-batch CC (word-pattern texts chain-collide — the
+    // same trap BENCH r13's corpus hit) and the bucket table really holds
+    // ~4000 distinct values against the 1000-item cap
+    def text(i: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 8).map(w => md.digest(s"$i-$w".getBytes)
+        .map("%02x".format(_)).mkString).mkString(" ")
+    }
+    sys.props("graft.dedup.probe.bloom.maxItems") = "1000"
+    sys.props("graft.dedup.probe.bloom.items") = "1000"
+    try {
+      // 500 docs × 8 bands = ~4000 bucket rows >> the 1000-item cap
+      Streams.dedupIngestBatch(
+        (0 until 500).map(i => (i.toLong, 100L + i, text(i)))
+          .toDF("id", "ts", "text"),
+        docs, buckets, "ts", "ck-cap", "id", "text", 5, 8, 2, 0L)
+      Streams.rebuildDedupBloom(spark, buckets)
+      val info = graft.streaming.DedupBloom.info(spark, buckets).get
+      val capBits = org.apache.spark.util.sketch.BloomFilter
+        .create(1000, 0.01).bitSize()
+      assert(info._2 == capBits,
+        s"rebuild must size at the cap, got ${info._2} bits vs $capBits")
+      assert(info._3 > 0.05,
+        s"a 4×-over-cap sidecar must read as saturated (fpp ${info._3})")
+      // saturation must not change behavior: a re-crawl still drops all,
+      // genuinely new docs still land (the bloom's false positives are
+      // rejected by the exact verify, so they cost I/O, not answers)
+      val kept0 = Tables.snapshot(spark, docs).count()
+      assert(kept0 >= 490, s"md5-token docs should rarely collide: $kept0")
+      Streams.dedupIngestBatch(
+        (0 until 100).map(i => (5000L + i, 700L + i, text(i)))
+          .toDF("id", "ts", "text"),
+        docs, buckets, "ts", "ck-cap", "id", "text", 5, 8, 2, 1L)
+      assert(Tables.snapshot(spark, docs).count() == kept0,
+        "saturated sidecar: re-crawled docs must still all drop")
+      Streams.dedupIngestBatch(
+        (0 until 50).map(i => (9000L + i, 800L + i, text(100000 + i)))
+          .toDF("id", "ts", "text"),
+        docs, buckets, "ts", "ck-cap", "id", "text", 5, 8, 2, 2L)
+      val kept2 = Tables.snapshot(spark, docs).count()
+      assert(kept2 >= kept0 + 45 && kept2 <= kept0 + 50,
+        s"saturated sidecar: new docs must still land ($kept0 -> $kept2)")
+    } finally {
+      sys.props.remove("graft.dedup.probe.bloom.maxItems")
+      sys.props.remove("graft.dedup.probe.bloom.items")
+    }
+  }
+
   test("crash-point fuzz: the two-table dedup protocol converges under arbitrary kills") {
     // VERDICT r14 item 6: the crash matrices above are point-interleaves;
     // this leg drives the WHOLE protocol — two-table ingest, retention
