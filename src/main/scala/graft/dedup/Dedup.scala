@@ -478,6 +478,13 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
                           id2: String = "id2", maxIter: Int = 20): DataFrame = {
     val e = pairs.select(col(id1).as("a"), col(id2).as("b"))
+    // an empty graph earns an empty answer WITHOUT the union+distinct
+    // checkpoints and the first propagation round — those are ~6 shuffle
+    // stages of pure task-launch floor on empty inputs (measured ~2 s at
+    // local[32]), and collision-free batches are the streaming ingest's
+    // steady state. Non-empty graphs pay one limit-1 probe.
+    if (e.isEmpty)
+      return e.select(col("a").as("id"), col("a").as("cluster_id"))
     val edges = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()

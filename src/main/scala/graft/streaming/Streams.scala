@@ -841,6 +841,7 @@ object Streams {
       .bandBuckets(batch, id, text, shingleLen, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var survivorsCached: Option[DataFrame] = None
+    var freshCached: Option[DataFrame] = None
     try {
       // ids colliding with the RETAINED corpus (absent table = empty):
       // the sublinear probe — broadcast flip + In pushdown + column
@@ -855,19 +856,31 @@ object Streams {
             Seq("band", "bucket")).distinct()
           val hit = bb.join(broadcast(hitBuckets), Seq("band", "bucket"),
             "left_semi").select(col(id)).distinct()
-          batch.join(hit, Seq(id), "left_anti")
+          val f = batch.join(hit, Seq(id), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          freshCached = Some(f)
+          f
         }
       // in-batch collisions among the remaining docs: connected
       // components over the bucket-collision graph, min id per
       // cluster survives (docs too short to shingle have no buckets,
-      // collide with nothing, and always survive)
-      val freshBB = bb.join(fresh.select(col(id)), Seq(id), "left_semi")
-      val pairs = graft.dedup.Dedup.bandedPairs(freshBB, id)
-      val losers = graft.dedup.Dedup.connectedComponents(pairs)
-        .filter(col("id") =!= col("cluster_id"))
-        .select(col("id").as(id))
-      val survivors = fresh.join(losers, Seq(id), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // collide with nothing, and always survive). An ALL-DROP batch (a
+      // re-crawl — the steady state when a crawler revisits its corpus)
+      // short-circuits: no survivors means no pairs, and the pair
+      // self-join + component machinery costs whole shuffle stages of
+      // task-launch floor even on empty inputs (measured ~3.5 s at
+      // bench scale before this guard).
+      val survivors =
+        if (freshCached.isDefined && fresh.isEmpty) fresh
+        else {
+          val freshBB = bb.join(fresh.select(col(id)), Seq(id), "left_semi")
+          val pairs = graft.dedup.Dedup.bandedPairs(freshBB, id)
+          val losers = graft.dedup.Dedup.connectedComponents(pairs)
+            .filter(col("id") =!= col("cluster_id"))
+            .select(col("id").as(id))
+          fresh.join(losers, Seq(id), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
       survivorsCached = Some(survivors)
       // doc table first, bucket table second (see crash-consistency
       // note); distinct stream ids keep the two commit logs separate
@@ -912,6 +925,7 @@ object Streams {
       // (lease contention, ordered-ingest reject, crash injection) must
       // not pin survivor blocks for the session's lifetime
       survivorsCached.foreach(_.unpersist())
+      freshCached.foreach(_.unpersist())
       bb.unpersist(); batch.unpersist()
     }
   }
@@ -1039,18 +1053,24 @@ object Streams {
         }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       caches += fresh
       // in-batch: bucket-collision pairs from the ALREADY-HASHED bb, then
-      // the same exact-cosine verify → components → keep min per cluster
-      val freshBB = bb.join(fresh.select(col(id)), Seq(id), "left_semi")
-      val candPairs = graft.dedup.Dedup.bandedPairs(freshBB, id)
-      val pairs = verified(
-        candPairs.select(col("id1").as(id), col("id2").as("__oldId")),
-        withNorm.select(col(id).as("__oldId"), col("__v").as("__ov")))
-        .select(col(id).as("id1"), col("__oldId").as("id2"))
-      val losers = graft.dedup.Dedup.connectedComponents(pairs)
-        .filter(col("id") =!= col("cluster_id"))
-        .select(col("id").as(id))
-      val survivors = fresh.join(losers, Seq(id), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the same exact-cosine verify → components → keep min per cluster.
+      // An all-drop batch short-circuits past the pair/component
+      // machinery entirely (see the text twin — same empty-input floor).
+      val survivors =
+        if (fresh.isEmpty) fresh
+        else {
+          val freshBB = bb.join(fresh.select(col(id)), Seq(id), "left_semi")
+          val candPairs = graft.dedup.Dedup.bandedPairs(freshBB, id)
+          val pairs = verified(
+            candPairs.select(col("id1").as(id), col("id2").as("__oldId")),
+            withNorm.select(col(id).as("__oldId"), col("__v").as("__ov")))
+            .select(col(id).as("id1"), col("__oldId").as("id2"))
+          val losers = graft.dedup.Dedup.connectedComponents(pairs)
+            .filter(col("id") =!= col("cluster_id"))
+            .select(col("id").as(id))
+          fresh.join(losers, Seq(id), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
       caches += survivors
       graft.io.Tables.appendStreamBatch(survivors, docPath, ts,
         streamKey + "#docs", batchId)
