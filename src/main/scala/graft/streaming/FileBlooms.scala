@@ -155,12 +155,20 @@ private[graft] object FileBlooms {
       else Set.empty
     val liveSet = live.toSet
     val missing = live.filterNot(n => existing(n + ".bloom"))
-    if (missing.nonEmpty && !fs.exists(dir)) fs.mkdirs(dir)
-    missing.foreach { n =>
-      val df = spark.read.parquet(new Path(hp, n).toString).select(valueCol)
-      val rows = df.count()
-      val bf = df.stat.bloomFilter(valueCol, math.max(64L, rows), fpp)
-      write(fs, new Path(dir, n + ".bloom"), bf)
+    if (missing.nonEmpty && !fs.exists(dir)) { fs.mkdirs(dir); () }
+    // builds run CONCURRENTLY (each is two small single-file Spark jobs):
+    // the steady-state batch has one missing file, but a fold re-keys its
+    // whole output generation in one sync — serialized, that is 2×files
+    // driver-sequential job launches; parallel, it is bounded by the
+    // scheduler like any multi-job workload
+    locally {
+      import scala.collection.parallel.CollectionConverters._
+      missing.par.foreach { n =>
+        val df = spark.read.parquet(new Path(hp, n).toString).select(valueCol)
+        val rows = df.count()
+        val bf = df.stat.bloomFilter(valueCol, math.max(64L, rows), fpp)
+        write(fs, new Path(dir, n + ".bloom"), bf)
+      }
     }
     // orphans: folded/expired files' blooms, plus crashed installs' tmps.
     // Reclamation can race a concurrent sync's fresh install for a file
