@@ -132,7 +132,7 @@ private[graft] object DedupBloom {
     * cover), from a one-time [[rebuild]] when it provably holds rows —
     * and FAILS LOUDLY when the emptiness probe itself errors (review r14
     * finding #3: "assume empty" on an unknown table would install a
-    *  strict-subset bloom whose false negatives silently admit duplicates
+    * strict-subset bloom whose false negatives silently admit duplicates
     * forever; a thrown batch just replays).
     *
     * LEASED: the whole read-modify-write runs under the bucket table's

@@ -660,7 +660,11 @@ object Streams {
     // files are always kept), so the probe's answer is scan-identical.
     val verifySet: Option[Array[Long]] =
       if (vals.length > collectCap) None else candidates.orElse(Some(vals))
-    val stored = (verifySet.filter(_.nonEmpty), liveNames) match {
+    // LAZY like storedFull: the bloom-cleared branch below returns the
+    // empty frame without ever resolving a stored-side scan — a strict
+    // val here would force storedFull's O(files) construction on the
+    // one path that exists to read nothing
+    lazy val stored = (verifySet.filter(_.nonEmpty), liveNames) match {
       case (Some(pos), Some(live)) =>
         FileBlooms.pruneKnown(spark, bucketPath, pos, live) match {
           case Some(keep) if keep.isEmpty => emptyStored
@@ -779,8 +783,12 @@ object Streams {
   def dedupStats(spark: SparkSession, docPath: String,
                  bucketPath: String): DataFrame = {
     import spark.implicits._
-    val docRows = graft.io.Tables.snapshot(spark, docPath).count()
-    val bucketRows = graft.io.Tables.snapshot(spark, bucketPath).count()
+    // absent / not-yet-bootstrapped tables read as 0 rows — a health
+    // check must not throw on the pipeline's own day-zero state
+    def rows(p: String): Long =
+      scala.util.Try(graft.io.Tables.snapshot(spark, p).count()).getOrElse(0L)
+    val docRows = rows(docPath)
+    val bucketRows = rows(bucketPath)
     val hp = new org.apache.hadoop.fs.Path(bucketPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bucketFiles = graft.io.Tables.liveFileNames(spark, bucketPath)
