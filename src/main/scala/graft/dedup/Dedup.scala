@@ -477,12 +477,16 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, id1: String = "id1",
                           id2: String = "id2", maxIter: Int = 20): DataFrame = {
-    val e = pairs.select(col(id1).as("a"), col(id2).as("b"))
-    // an empty graph earns an empty answer WITHOUT the union+distinct
-    // checkpoints and the first propagation round — those are ~6 shuffle
-    // stages of pure task-launch floor on empty inputs (measured ~2 s at
-    // local[32]), and collision-free batches are the streaming ingest's
-    // steady state. Non-empty graphs pay one limit-1 probe.
+    // the pairs plan is MATERIALIZED once up front: the union below
+    // references it twice (the un-checkpointed shape evaluated the whole
+    // upstream pair generation — LSH self-join + verification — twice in
+    // one job), and the empty-graph probe reads the checkpointed blocks
+    // for free. An empty graph then earns an empty answer WITHOUT the
+    // union+distinct checkpoints and the first propagation round — ~6
+    // shuffle stages of pure task-launch floor on empty inputs (measured
+    // ~2 s at local[32]), and collision-free batches are the streaming
+    // ingest's steady state.
+    val e = pairs.select(col(id1).as("a"), col(id2).as("b")).localCheckpoint()
     if (e.isEmpty)
       return e.select(col("a").as("id"), col("a").as("cluster_id"))
     val edges = e.union(e.select(col("b").as("a"), col("a").as("b")))

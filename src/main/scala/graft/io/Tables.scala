@@ -45,6 +45,17 @@ case class TsManifest(version: Int, ts: String, files: Seq[TsFileEntry],
   */
 case class GenMarker(ts: String, newFiles: Seq[String], replaced: Seq[String])
 
+/** TRANSIENT writer-lease contention — another live writer holds (or just
+  * took) the lease. Every contention outcome of [[Tables.withWriterLease]]
+  * throws THIS type, so retry loops key on the type rather than matching
+  * message substrings (review r15: the message-matching retry missed the
+  * break-race variants, and a streaming query died over a transient
+  * conflict its retry budget was meant to absorb). Still an
+  * IllegalStateException, so existing fail-loud call sites and specs see
+  * the same contract.
+  */
+class LeaseContentionException(msg: String) extends IllegalStateException(msg)
+
 /** A streaming micro-batch append in flight: written to the stream-commit
   * sidecar BEFORE the batch's data, cleared after the commit record — its
   * survival means the attempt crashed, and recovery rolls the partial
@@ -606,6 +617,19 @@ object Tables {
     }.seq
   }
 
+  /** One data file's parquet footer row count (None on a footer-read
+    * failure) — a single driver-side footer open, no column scan. Used by
+    * per-file structure builders (e.g. [[graft.streaming.FileBlooms]]) to
+    * size a sketch without paying a Spark count job per file.
+    */
+  private[graft] def footerRowCount(
+      conf: org.apache.hadoop.conf.Configuration, p: Path): Option[Long] =
+    scala.util.Try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try reader.getRecordCount finally reader.close()
+    }.toOption
+
   private implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
 
   /** Test-only fault-injection seam for the staged-commit protocols: a
@@ -902,13 +926,13 @@ object Tables {
           // the lease is gone, not held; one retry acquires it (without
           // this, a vacuous age check would throw "another writer, age -1")
           if (!canBreak || !tryCreate())
-            throw new IllegalStateException(
+            throw new LeaseContentionException(
               s"$op: lost the lease race on $dir — another writer took it; retry")
         } else {
           val ageMs = System.currentTimeMillis() - st.get.getModificationTime
           if (ageMs < leaseTtlMs || !canBreak) {
             val holder = scala.util.Try(readSmallText(fs, lease)).getOrElse("<unreadable>")
-            throw new IllegalStateException(
+            throw new LeaseContentionException(
               s"$op: another writer holds the lease on $dir " +
                 s"(age ${ageMs}ms, ttl ${leaseTtlMs}ms): $holder — " +
                 "concurrent lifecycle writers are not supported (the reference " +
@@ -936,10 +960,10 @@ object Tables {
           if (st2.isEmpty) {
             // holder finished between the checks — the name is free
             if (!tryCreate())
-              throw new IllegalStateException(
+              throw new LeaseContentionException(
                 s"$op: lost the lease race on $dir — another writer took it; retry")
           } else if (age2.exists(_ < leaseTtlMs)) {
-            throw new IllegalStateException(
+            throw new LeaseContentionException(
               s"$op: another writer took over the lease on $dir while its " +
                 "staleness was being confirmed; retry")
           } else {
@@ -949,7 +973,7 @@ object Tables {
             // FileNotFoundException rather than returning false — to a
             // racing breaker both mean the same thing (someone else won)
             if (!scala.util.Try(fs.rename(lease, aside)).getOrElse(false))
-              throw new IllegalStateException(
+              throw new LeaseContentionException(
                 s"$op: lost the stale-lease break race on $dir — another " +
                   "writer is taking over; retry")
             val asideAge = scala.util.Try(fs.getFileStatus(aside)).toOption
@@ -963,7 +987,7 @@ object Tables {
               // would only erase the trail; either way we never proceed —
               // this writer takes nothing over)
               scala.util.Try(fs.rename(aside, lease))
-              throw new IllegalStateException(
+              throw new LeaseContentionException(
                 s"$op: another writer took the lease on $dir mid-break; " +
                   "its lease was restored — retry")
             }

@@ -103,6 +103,13 @@ private[graft] object FileBlooms {
   private def load(fs: FileSystem, p: Path): Option[BloomFilter] = {
     val key = fs.makeQualified(p).toString
     cacheGet(key).orElse(scala.util.Try {
+      // a SINGLE sidecar larger than the whole cache cap would put the
+      // O(file-rows) bytes on the driver heap the cap exists to bound
+      // (a multi-billion-row fold output at ~3 B/row is GBs) — refuse to
+      // load it; the un-bloomed contract keeps that file in every scan,
+      // degraded never wrong (review r15)
+      require(fs.getFileStatus(p).getLen <= cacheCapBytes,
+        s"file bloom $p exceeds the cache cap; file stays unpruned")
       val in = new java.io.DataInputStream(fs.open(p))
       try {
         require(in.readInt() == Magic && in.readInt() == FormatV,
@@ -164,8 +171,13 @@ private[graft] object FileBlooms {
     locally {
       import scala.collection.parallel.CollectionConverters._
       missing.par.foreach { n =>
-        val df = spark.read.parquet(new Path(hp, n).toString).select(valueCol)
-        val rows = df.count()
+        val fp = new Path(hp, n)
+        val df = spark.read.parquet(fp.toString).select(valueCol)
+        // size from the footer's row count (one driver-side footer open)
+        // instead of a Spark count job — halves the per-file build I/O
+        val rows = graft.io.Tables
+          .footerRowCount(spark.sparkContext.hadoopConfiguration, fp)
+          .getOrElse(df.count())
         val bf = df.stat.bloomFilter(valueCol, math.max(64L, rows), fpp)
         write(fs, new Path(dir, n + ".bloom"), bf)
       }

@@ -422,10 +422,13 @@ object Streams {
     while (true) {
       try return body
       catch {
-        case e: IllegalStateException
-            if attempt < max && e.getMessage != null &&
-              (e.getMessage.contains("another writer holds the lease") ||
-                e.getMessage.contains("lost the lease race")) =>
+        // keyed on the TYPE, not message substrings: every contention
+        // outcome of withWriterLease (held, race lost, took-over
+        // mid-confirm, break race lost, taken mid-break) throws
+        // LeaseContentionException — a substring match missed the
+        // break-race variants and let a transient conflict kill the
+        // streaming query (review r15)
+        case _: graft.io.LeaseContentionException if attempt < max =>
           attempt += 1
           val sleep = math.min(base << math.min(attempt - 1, 6), 10000L)
           System.err.println(s"[graft-ingest] $what: lease contention " +
@@ -745,8 +748,13 @@ object Streams {
   def rebuildDedupBloom(spark: SparkSession, bucketPath: String): Unit = {
     DedupBloom.rebuild(spark, bucketPath)
     // a fold just before this call renamed the table's files — re-key the
-    // per-file sidecars to the new generation in the same maintenance beat
-    FileBlooms.sync(spark, bucketPath)
+    // per-file sidecars to the new generation in the same maintenance
+    // beat. Best-effort like every sync call site: the global rebuild
+    // already installed, and a concurrent retention beat deleting a file
+    // mid-sync must not read as a failed rebuild (sync's own contract is
+    // that a missing file bloom only degrades pruning)
+    scala.util.Try(FileBlooms.sync(spark, bucketPath)).failed.foreach(e =>
+      System.err.println(s"[dedup-rebuild] file-bloom sync skipped: ${e.getMessage}"))
   }
 
   /** Re-key the PER-FILE bloom sidecars ([[FileBlooms]]) to the bucket
@@ -791,15 +799,20 @@ object Streams {
     val bucketRows = rows(bucketPath)
     val hp = new org.apache.hadoop.fs.Path(bucketPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bucketFiles = graft.io.Tables.liveFileNames(spark, bucketPath)
-      .map(_.size).getOrElse(-1)
+    val liveN = graft.io.Tables.liveFileNames(spark, bucketPath)
+    val bucketFiles = liveN.map(_.size).getOrElse(-1)
     val sidecar = DedupBloom.info(spark, bucketPath)
     val fbDir = FileBlooms.bloomDir(hp)
+    // coverage counts blooms for LIVE files only — raw dir counts would
+    // read "fully covered" off a pile of orphans after an out-of-band
+    // fold renamed every file, exactly the state this column exists to
+    // surface (review r15)
     val fileBlooms =
-      if (scala.util.Try(fs.getFileStatus(fbDir)).toOption.exists(_.isDirectory))
-        fs.listStatus(fbDir).count(s => s.isFile &&
-          s.getPath.getName.endsWith(".bloom"))
-      else 0
+      if (scala.util.Try(fs.getFileStatus(fbDir)).toOption.exists(_.isDirectory)) {
+        val present = fs.listStatus(fbDir).filter(s => s.isFile &&
+          s.getPath.getName.endsWith(".bloom")).map(_.getPath.getName).toSet
+        liveN.map(_.count(n => present(n + ".bloom"))).getOrElse(0)
+      } else 0
     Seq((docRows, bucketRows,
       if (docRows == 0L) 0.0 else bucketRows.toDouble / docRows,
       bucketFiles, sidecar.isDefined,

@@ -422,6 +422,12 @@ class TablesSpec extends AnyFunSuite {
       val e = intercept[IllegalStateException](op())
       assert(e.getMessage.contains("another writer"),
         s"$name must refuse under a live foreign lease, got: ${e.getMessage}")
+      // the TYPED contract the streaming retry loop keys on: every
+      // contention outcome is a LeaseContentionException — a message-
+      // substring match missed the break-race variants and let transient
+      // conflicts kill streaming queries (review r15)
+      assert(e.isInstanceOf[graft.io.LeaseContentionException],
+        s"$name must throw the typed contention exception, got ${e.getClass}")
     }
     assert(spark.read.parquet(path).count() == 20, "refused ops wrote nothing")
     // age the lease past the TTL: a DEAD writer — broken and taken over
