@@ -1049,6 +1049,44 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(row2.getAs[Long]("doc_rows") == docRows)
   }
 
+  test("streaming ingest retries through transient lease contention instead of dying") {
+    // ADVICE r15 #3 / review r15: a maintenance op holding the writer
+    // lease makes a micro-batch's append throw — the ingest loop must
+    // absorb a contention that clears within its retry budget (typed on
+    // LeaseContentionException, which ALL five contention outcomes throw)
+    // rather than fail the streaming query.
+    val src = tmpDir("rtsrc")
+    val table = tmpDir("rttab") + "/t.parquet"
+    val ck = tmpDir("rtck")
+    stageFile(src, "b0.parquet", (0L until 50L).map(i => (i, i * 1.0)),
+      System.currentTimeMillis() - 10000L)
+    // a FOREIGN writer's fresh lease: appends are refused until it clears
+    val leaseFile = new java.io.File(table + ".lease")
+    assert(new java.io.File(table).getParentFile.exists() ||
+      new java.io.File(table).getParentFile.mkdirs() || true)
+    java.nio.file.Files.write(leaseFile.toPath,
+      """{"token":"maintenance","op":"compact","pid":"0"}""".getBytes("UTF-8"))
+    sys.props("graft.lease.retry.backoff.ms") = "100"
+    val releaser = new Thread(() => { Thread.sleep(700); leaseFile.delete(); () })
+    releaser.start()
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType)))
+      val q = Streams.ingestAppend(
+        spark.readStream.schema(schema).parquet(src), table, "ts", ck)
+      q.awaitTermination()
+      releaser.join()
+      assert(Tables.snapshot(spark, table).count() == 50,
+        "the batch must land once the transient lease clears")
+    } finally {
+      sys.props.remove("graft.lease.retry.backoff.ms")
+      releaser.join()
+    }
+  }
+
   test("global sidecar capacity is CAPPED: saturation degrades cost, never answers") {
     // VERDICT r14 wrong #2: the sidecar is driver-resident and re-written
     // per batch, so rebuild sizing must be bounded no matter how big the
