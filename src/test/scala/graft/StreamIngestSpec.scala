@@ -1047,6 +1047,21 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(!row2.getAs[Boolean]("sidecar_present"))
     assert(row2.getAs[Long]("sidecar_version") == -1L)
     assert(row2.getAs[Long]("doc_rows") == docRows)
+    // out-of-band fold WITHOUT the sidecar beat: cold files are carried
+    // by rename (their blooms stay valid) but the fold's OUTPUT file is a
+    // new name whose bloom doesn't exist yet and whose inputs' blooms are
+    // orphans — coverage must read the GAP (a raw sidecar-dir count would
+    // read "fully covered" off the orphans, review r15), and the
+    // maintenance sync must close it
+    Tables.compactIncremental(spark, buckets, Seq("band", "bucket"), "ts")
+    val row3 = Streams.dedupStats(spark, docs, buckets).head()
+    assert(row3.getAs[Int]("file_blooms") < row3.getAs[Int]("bucket_files"),
+      s"the fold's un-bloomed output must read as a coverage gap: ${row3}")
+    Streams.syncDedupFileBlooms(spark, buckets)
+    val row4 = Streams.dedupStats(spark, docs, buckets).head()
+    assert(row4.getAs[Int]("file_blooms") == row4.getAs[Int]("bucket_files") &&
+      row4.getAs[Int]("bucket_files") > 0,
+      s"sync must restore full coverage: ${row4}")
   }
 
   test("streaming ingest retries through transient lease contention instead of dying") {
