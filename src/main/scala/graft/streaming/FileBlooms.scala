@@ -171,15 +171,23 @@ private[graft] object FileBlooms {
     locally {
       import scala.collection.parallel.CollectionConverters._
       missing.par.foreach { n =>
-        val fp = new Path(hp, n)
-        val df = spark.read.parquet(fp.toString).select(valueCol)
-        // size from the footer's row count (one driver-side footer open)
-        // instead of a Spark count job — halves the per-file build I/O
-        val rows = graft.io.Tables
-          .footerRowCount(spark.sparkContext.hadoopConfiguration, fp)
-          .getOrElse(df.count())
-        val bf = df.stat.bloomFilter(valueCol, math.max(64L, rows), fpp)
-        write(fs, new Path(dir, n + ".bloom"), bf)
+        // per-file fault isolation (review r15): one unreadable file —
+        // e.g. retired+reclaimed by a concurrent retention beat between
+        // the listing and this read — must not abort the OTHER builds;
+        // its own bloom just stays missing (file unpruned, next sync
+        // retries)
+        scala.util.Try {
+          val fp = new Path(hp, n)
+          val df = spark.read.parquet(fp.toString).select(valueCol)
+          // size from the footer's row count (one driver-side footer
+          // open) instead of a Spark count job — halves the build I/O
+          val rows = graft.io.Tables
+            .footerRowCount(spark.sparkContext.hadoopConfiguration, fp)
+            .getOrElse(df.count())
+          val bf = df.stat.bloomFilter(valueCol, math.max(64L, rows), fpp)
+          write(fs, new Path(dir, n + ".bloom"), bf)
+        }.failed.foreach(e => System.err.println(
+          s"[fblooms] build skipped for $n: ${e.getMessage}"))
       }
     }
     // orphans: folded/expired files' blooms, plus crashed installs' tmps.
@@ -194,22 +202,14 @@ private[graft] object FileBlooms {
         .foreach(s => scala.util.Try(fs.delete(s.getPath, false)))
   }
 
-  /** The file paths the verify scan must read for `positives`: every live
-    * file whose bloom might contain one of them, plus every live file
-    * without a loadable bloom (always kept — the safe default). None when
-    * pruning cannot run (disabled, ungoverned path, no sidecar dir yet,
-    * or positives × files past the driver budget) — the caller then scans
-    * the live set unpruned, exactly as before.
-    */
-  def pruneLive(spark: SparkSession, tablePath: String,
-                positives: Array[Long]): Option[Seq[String]] = {
-    val live = graft.io.Tables.liveFileNames(spark, tablePath).getOrElse(return None)
-    pruneKnown(spark, tablePath, positives, live)
-  }
-
-  /** [[pruneLive]] against an already-resolved live file list — the probe
-    * resolves the manifest once and shares it between the prune pass and
-    * its empty-frame schema, instead of paying a second listing.
+  /** The file paths the verify scan must read for `positives`, given the
+    * table's already-resolved LIVE file list (the probe resolves the
+    * manifest once and shares it between this prune pass and its
+    * empty-frame schema): every live file whose bloom might contain a
+    * positive, plus every live file without a loadable bloom (always
+    * kept — the safe default). None when pruning cannot run (disabled,
+    * no sidecar dir yet, or positives × files past the driver budget) —
+    * the caller then scans the live set unpruned, exactly as before.
     */
   private[streaming] def pruneKnown(spark: SparkSession, tablePath: String,
                                     positives: Array[Long],

@@ -378,26 +378,6 @@ object Streams {
     else spark.read.parquet(outDir)
   }
 
-  /** Continuous ingest INTO a managed clustered layout — the reference's
-    * insert-trigger path (imcs.c:4617-4740) as Structured Streaming: each
-    * micro-batch lands through [[graft.io.Tables.appendStreamBatch]],
-    * which holds the writer lease, enforces the ordered-ingest contract,
-    * extends the ts manifest (bootstrapping it on the first batch), and
-    * commits the batch id so a checkpoint-recovery replay is skipped —
-    * exactly-once into the table, with the same lifecycle guarantees a
-    * batch [[graft.io.Tables.append]] makes. The ordered-ingest contract
-    * is PER-BATCH: each micro-batch's min(ts) must be ≥ the stored tail
-    * (violations fail the query loudly, the reference's trigger
-    * semantics); WITHIN a batch rows may arrive unordered — the append
-    * clusters them by ts at write, so file-level pruning stays tight. The checkpoint location is
-    * the stream's commit-log identity; reuse it to continue a run, use a
-    * fresh one (against a fresh table) to start over.
-    *
-    * At 100 TB/day this is the landing topology: file/queue source →
-    * (optional transforms) → ingestAppend; downstream readers range-scan
-    * the manifest-governed table while compactIncremental folds batches
-    * under the same lease.
-    */
   /** Bounded lease-contention retry for streaming foreachBatch bodies.
     * The writer lease FAILS LOUDLY on contention rather than queueing
     * (Tables.withWriterLease) — correct for one-shot lifecycle calls,
@@ -439,6 +419,26 @@ object Streams {
     sys.error("unreachable")
   }
 
+  /** Continuous ingest INTO a managed clustered layout — the reference's
+    * insert-trigger path (imcs.c:4617-4740) as Structured Streaming: each
+    * micro-batch lands through [[graft.io.Tables.appendStreamBatch]],
+    * which holds the writer lease, enforces the ordered-ingest contract,
+    * extends the ts manifest (bootstrapping it on the first batch), and
+    * commits the batch id so a checkpoint-recovery replay is skipped —
+    * exactly-once into the table, with the same lifecycle guarantees a
+    * batch [[graft.io.Tables.append]] makes. The ordered-ingest contract
+    * is PER-BATCH: each micro-batch's min(ts) must be ≥ the stored tail
+    * (violations fail the query loudly, the reference's trigger
+    * semantics); WITHIN a batch rows may arrive unordered — the append
+    * clusters them by ts at write, so file-level pruning stays tight. The checkpoint location is
+    * the stream's commit-log identity; reuse it to continue a run, use a
+    * fresh one (against a fresh table) to start over.
+    *
+    * At 100 TB/day this is the landing topology: file/queue source →
+    * (optional transforms) → ingestAppend; downstream readers range-scan
+    * the manifest-governed table while compactIncremental folds batches
+    * under the same lease.
+    */
   def ingestAppend(df: DataFrame, path: String, ts: String, checkpoint: String,
                    trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -482,9 +482,16 @@ object Streams {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         retryingLease("ingestAppendRetained") {
-          val applied = graft.io.Tables.appendStreamBatch(batch.toDF(), path, ts,
+          graft.io.Tables.appendStreamBatch(batch.toDF(), path, ts,
             streamId = checkpoint, batchId = batchId)
-          if (applied && batchId % math.max(1, every) == 0)
+          // the beat keys on the BATCH ID alone, never on whether THIS
+          // call applied the append: a lease-contention retry (and a
+          // checkpoint replay) re-enters with the append already
+          // committed, and gating on "applied" would silently skip the
+          // retention the retry exists to re-attempt (review r15 — the
+          // dedup twins already key this way). Idempotent: a re-cut
+          // range is empty.
+          if (batchId % math.max(1, every) == 0)
             retentionCut(spark, path, retainNs).foreach(cut =>
               graft.io.Tables.deleteRangeNs(spark, path, ts,
                 Long.MinValue, cut - 1)) // retain [cut, mx]: delete ≤ cut-1
@@ -792,9 +799,23 @@ object Streams {
                  bucketPath: String): DataFrame = {
     import spark.implicits._
     // absent / not-yet-bootstrapped tables read as 0 rows — a health
-    // check must not throw on the pipeline's own day-zero state
-    def rows(p: String): Long =
-      scala.util.Try(graft.io.Tables.snapshot(spark, p).count()).getOrElse(0L)
+    // check must not throw on the pipeline's own day-zero state. ONLY
+    // day-zero shapes are absorbed (path missing, no data files to infer
+    // a schema from): the engine's deliberate fail-loud errors (foreign
+    // manifest corruption, retired-file ambiguity) PROPAGATE — a health
+    // check that reads corruption as "empty table" hides the one state
+    // it exists to surface (review r15)
+    def rows(p: String): Long = {
+      val ph = new org.apache.hadoop.fs.Path(p)
+      if (!ph.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ph)) 0L
+      else
+        try graft.io.Tables.snapshot(spark, p).count()
+        catch {
+          // dir exists but holds no readable data yet (the stream bridge
+          // creates it with only its commit sidecar before batch 0)
+          case _: org.apache.spark.sql.AnalysisException => 0L
+        }
+    }
     val docRows = rows(docPath)
     val bucketRows = rows(bucketPath)
     val hp = new org.apache.hadoop.fs.Path(bucketPath)
