@@ -369,7 +369,7 @@ object Bench {
     */
   private val extraRepQueries =
     Set("q_asof", "q_asof_exec", "q_asof_bucketed", "q_minhash_lsh",
-      "q_dedup_ingest")
+      "q_dedup_ingest", "q_stream_ingest")
 
   private def measure(spark: SparkSession, sfDir: String, reps: Int,
                       maint: Seq[(String, () => Unit)] = Seq()): Seq[QRes] = {
