@@ -1234,4 +1234,76 @@ class StreamIngestSpec extends AnyFunSuite {
           s"denies: ${misses.take(5).mkString(",")}")
     }
   }
+
+  test("crash-point fuzz: the EMBEDDING dedup protocol converges under arbitrary kills") {
+    // the text twin's fuzz, for the embedding protocol: its verify path
+    // has one more moving part (stored VECTORS re-read from the doc
+    // table, candidate-id pushdown) and its own crash matrix above is
+    // point-interleaves only. Same convergence bar: exact doc and bucket
+    // content vs the no-crash twin, superset invariant on the sidecar.
+    val rnd = new scala.util.Random(20260817L)
+    val dim = 8
+    def vec(seedId: Int): Seq[Double] = {
+      val r = new scala.util.Random(seedId * 7919L)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val tags = Seq("stream:pending" -> 1, "stream:pending" -> 2,
+      "stream:appended" -> 1, "stream:appended" -> 2,
+      "stream:committed" -> 1, "stream:committed" -> 2,
+      "del:staged" -> 1, "del:staged" -> 2)
+    for (iter <- 1 to 3) {
+      val docsA = tmpDir(s"efzdA$iter") + "/docs.parquet"
+      val bktA = tmpDir(s"efzbA$iter") + "/buckets.parquet"
+      val docsB = tmpDir(s"efzdB$iter") + "/docs.parquet"
+      val bktB = tmpDir(s"efzbB$iter") + "/buckets.parquet"
+      var nextSeed = 0
+      val seen = scala.collection.mutable.ArrayBuffer[Int]()
+      val nBatches = 3 + rnd.nextInt(3)
+      for (bid <- 0 until nBatches) {
+        val n = 3 + rnd.nextInt(4)
+        val rows = (0 until n).map { j =>
+          val v =
+            if (seen.nonEmpty && rnd.nextDouble() < 0.35) {
+              // a near-duplicate of an earlier vector (cos ≈ 1 → drops
+              // against the retained original, or in-batch)
+              val base = vec(seen(rnd.nextInt(seen.size)))
+              base.map(_ * 1.0001)
+            } else { nextSeed += 1; seen += nextSeed; vec(nextSeed) }
+          ((bid * 100 + j).toLong + iter * 1000000L,
+            (bid + 1) * 100L + j, v)
+        }
+        def runInto(d: String, b: String): Unit =
+          Streams.dedupIngestEmbeddingBatch(rows.toDF("id", "ts", "emb"),
+            d, b, "ts", s"ck-efz$iter", "id", "emb", dim = dim,
+            minCos = 0.98, tables = 8, bits = 16, batchId = bid.toLong,
+            retainNs = 260L)
+        runInto(docsB, bktB)
+        if (rnd.nextDouble() < 0.6) {
+          val (tag, nth) = tags(rnd.nextInt(tags.size))
+          withCrash(tag, nth)(runInto(docsA, bktA))
+          runInto(docsA, bktA)
+        } else runInto(docsA, bktA)
+        if (rnd.nextDouble() < 0.25) {
+          Tables.compactIncremental(spark, bktA, Seq("band", "bucket"), "ts")
+          Streams.rebuildDedupBloom(spark, bktA)
+        }
+      }
+      def docsOf(p: String): Set[(Long, Long)] =
+        Tables.snapshot(spark, p).select("id", "ts").as[(Long, Long)]
+          .collect().toSet
+      def bktOf(p: String): Seq[(Long, Int, Long)] =
+        Tables.snapshot(spark, p).select("id", "band", "bucket")
+          .as[(Long, Int, Long)].collect().sorted.toSeq
+      assert(docsOf(docsA) == docsOf(docsB),
+        s"iter $iter: embedding doc tables diverged after crash/replay")
+      assert(bktOf(bktA) == bktOf(bktB),
+        s"iter $iter: embedding bucket tables diverged after crash/replay")
+      val bf = graft.streaming.DedupBloom.load(spark, bktA)
+      assert(bf.isDefined, s"iter $iter: sidecar must exist after ingest")
+      val stored = Tables.snapshot(spark, bktA).select("bucket")
+        .distinct().as[Long].collect()
+      assert(stored.forall(bf.get.mightContainLong),
+        s"iter $iter: embedding superset invariant broken")
+    }
+  }
 }
