@@ -574,8 +574,8 @@ object Streams {
     *     bucket values are checked against [[DedupBloom]]'s sidecar on
     *     the driver (microseconds per value, cached per sidecar
     *     version). The common case — a batch colliding with nothing —
-    *     probes with ZERO scan (measured flat, 0.25 s at ×1 and ×20
-    *     corpus, vs the r13 shape's 0.36→1.22 s growth). Bloom positives
+    *     probes with ZERO scan (measured flat, 0.26→0.25 s across a
+    *     ×1→×100 corpus, vs the r13 shape's 0.43→4.70 s). Bloom positives
     *     (real hits + a ~1% false-positive tail) become ONE In filter on
     *     the verify scan — Spark evaluates it as hash-set membership in
     *     codegen (InSet) and OFFERS it to the parquet source (it shows
