@@ -511,10 +511,15 @@ object ScaleSmoke {
         val hp = new org.apache.hadoop.fs.Path(p + sfx)
         hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
       }
+      // window stride from the ACTUAL max id, not a fixed 10^7: raw
+      // doc_ids at or above a fixed stride would interleave the windows'
+      // ts ranges and the ordered-append contract would reject the build
+      // — a data-shape failure masquerading as a regression (ADVICE r15)
+      val idStride = bbW.agg(max("id")).head().getLong(0) + 1L
       def window(w: Int) = {
         val win = if (w == 0) bbW else bbW
           .withColumn("bucket", xxhash64(col("bucket"), lit(w)))
-          .withColumn("id", col("id") + w.toLong * 10000000L)
+          .withColumn("id", col("id") + w.toLong * idStride)
         win.withColumn("ts", col("id"))
           .repartition(1).sortWithinPartitions("band", "bucket")
       }
@@ -558,6 +563,67 @@ object ScaleSmoke {
           show(s"x$factor", probe(pN)))
       } finally sys.props.remove("graft.dedup.fbloom.enabled")
       bbF.unpersist(); bbW.unpersist()
+    }
+
+    // positive-path prune at FILE-COUNT scale (round 16, VERDICT r15 #1):
+    // the re-crawl A/B above scales corpus ROWS; this one scales FILE
+    // COUNT at a FIXED corpus size — the dimension the old bloom-loop
+    // budget silently degraded on (positives × files past 64M reverted
+    // the probe to the full live-set scan). With the footer range index
+    // deciding first, an all-colliding batch reads ~the one overlapping
+    // file and the prune DECISION stays ~flat from 1 to 100 files —
+    // including with the bloom second level forced OVER BUDGET (range
+    // arithmetic only), the regime a multi-TB table at ~1 GB files
+    // actually runs in.
+    run("dedup-ingest probe: fixed corpus, x1/x10/x100 file counts") {
+      val totalRows = 400000L
+      def build(files: Int): String = {
+        val p = s"$work/probe_fc_$files.parquet"
+        for (sfx <- Seq("", ".bloom", ".fblooms")) {
+          val hp = new org.apache.hadoop.fs.Path(p + sfx)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        }
+        val per = totalRows / files
+        for (w <- 0 until files) {
+          val df = spark.range(per).select(
+            (lit(w * per) + col("id")).as("id"),
+            (col("id") % 8).cast("int").as("band"),
+            (lit(w * 10000000L) + col("id")).as("bucket"),
+            (lit(w * per) + col("id")).as("ts"))
+            .repartition(1).sortWithinPartitions("band", "bucket")
+          graft.io.Tables.append(df, p, "ts", lit(0L))
+        }
+        graft.streaming.DedupBloom.rebuild(spark, p)
+        graft.streaming.FileBlooms.sync(spark, p)
+        p
+      }
+      // the batch: 1000 (band, bucket) pairs all inside window 0 —
+      // every value a true positive, the re-crawl shape
+      val bbF = spark.range(1000).select(
+        (col("id") % 8).cast("int").as("band"), col("id").as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bbF.count()
+      def probe(p: String): (Long, Int) = {
+        val pr = graft.streaming.Streams.probeStoredBuckets(spark, p, bbF,
+          Seq("band", "bucket"))
+        (pr.count(), pr.inputFiles.length)
+      }
+      def show(tag: String, r: (Long, Int)): Unit =
+        println(s"    $tag hits=${r._1} filesRead=${r._2}")
+      for (files <- Seq(1, 10, 100)) {
+        val p = time(s"  build ${files}-file corpus ($totalRows rows)")(build(files))
+        probe(p) // warm caches per layout (sidecar loads are one-time)
+        time(s"  probe (range+bloom) vs $files files")(show(s"f$files", probe(p)))
+        sys.props("graft.dedup.fbloom.probe.budget") = "1"
+        try time(s"  probe (range only, bloom over budget) vs $files files")(
+          show(s"f$files", probe(p)))
+        finally sys.props.remove("graft.dedup.fbloom.probe.budget")
+        sys.props("graft.dedup.fbloom.enabled") = "false"
+        try { probe(p); time(s"  probe (unpruned shape) vs $files files")(
+          show(s"f$files", probe(p))) }
+        finally sys.props.remove("graft.dedup.fbloom.enabled")
+      }
+      bbF.unpersist()
     }
 
     // bucketed ts-slice at scale (round 11): the manifest's file pruning

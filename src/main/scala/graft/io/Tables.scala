@@ -630,6 +630,20 @@ object Tables {
       try reader.getRecordCount finally reader.close()
     }.toOption
 
+  /** One data file's int64-column min/max plus its footer row count, from
+    * a SINGLE driver-side footer open — the per-file index builders
+    * ([[graft.streaming.FileBlooms]]) need both (the range for the prune
+    * index, the row count to size the bloom) and must not pay two footer
+    * RPCs per file. Stats are None when the column is missing, non-INT64,
+    * or any row group lacks stats — consumers must KEEP such files in
+    * every pruning decision (the same safe contract as the ts manifest).
+    */
+  private[graft] def footerLongStatsWithRows(
+      conf: org.apache.hadoop.conf.Configuration, p: Path,
+      colName: String): (Option[(Long, Long)], Option[Long]) =
+    scala.util.Try(tsFileFooterNs(p, conf, colName))
+      .getOrElse((None, None))
+
   private implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
 
   /** Test-only fault-injection seam for the staged-commit protocols: a
@@ -666,7 +680,7 @@ object Tables {
     *     paired with the reader-side staging-sibling wait in
     *     [[liveEntries]] that covers the residual window.
     */
-  private def writeSmallFileAtomic(fs: FileSystem, target: Path, text: String): Unit = {
+  private[graft] def writeSmallFileAtomic(fs: FileSystem, target: Path, text: String): Unit = {
     // a ChecksumFileSystem (the local FS) pairs every file with a .crc
     // sidecar that CANNOT be replaced atomically alongside the data —
     // a rename-over leaves the OLD crc against the NEW bytes and every
@@ -699,7 +713,7 @@ object Tables {
     if (!wfs.rename(tmp, target)) sys.error(s"cannot install $target")
   }
 
-  private def readSmallText(fs: FileSystem, p: Path): String = {
+  private[graft] def readSmallText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()

@@ -661,13 +661,16 @@ object Streams {
     // FILE PRUNING for the positive path (the remaining O(corpus) edge,
     // VERDICT r14 missing #1): a known verify set — the bloom positives,
     // or the raw batch values when the global sidecar is absent but small
-    // enough — consults the per-file bloom sidecars ([[FileBlooms]]) and
+    // enough — consults the per-file indexes ([[FileBlooms]]: footer
+    // bucket min/max ranges first — O(files × log k) driver arithmetic,
+    // flat at 100 TB file counts — then bloom sidecars, budgeted) and
     // the verify scan reads ONLY the files that might hold a positive.
     // The common fp-tail batch (a handful of positives) reads a handful
     // of files; a re-crawl batch reads ~the files of the window it
     // re-crawls, not the whole retained corpus. Pruning can only
-    // over-keep (per-file blooms have no false negatives; un-bloomed
-    // files are always kept), so the probe's answer is scan-identical.
+    // over-keep (footer ranges bound the real values; per-file blooms
+    // have no false negatives; un-indexed files are always kept), so the
+    // probe's answer is scan-identical.
     val verifySet: Option[Array[Long]] =
       if (vals.length > collectCap) None else candidates.orElse(Some(vals))
     // LAZY like storedFull: the bloom-cleared branch below returns the
