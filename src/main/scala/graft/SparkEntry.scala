@@ -2414,6 +2414,35 @@ object SparkEntry {
       // ~0.97 per pair at j=0.6; observed 1.0 here). If testdata changes
       // and this flakes, switch to q_simhash's recall-floor contract.
       Dedup.minhashLshPairsVerified(docs(s, dir).filter(col("doc_id") < 200), "doc_id", "text")),
+    "q_landing_dedup" -> ((s, dir) => {
+      // the REAL two-table landing-dedup protocol under the hard oracle
+      // (VERDICT r15 #2): batch 0 lands a stored corpus through
+      // dedupIngestBatch (its own in-batch min-id components apply),
+      // batch 1 lands against it — banded candidates verified at exact
+      // Jaccard ≥ 0.5 against the RETAINED docs, then in-batch
+      // components over verified pairs. The returned retained doc set is
+      // what DuckDB reproduces from the j≥0.5 relation directly: banding
+      // recall at j≥0.5 is ~1 on this corpus (q_minhash_lsh's pinned
+      // property — measured exact⊆collisions with zero misses), and the
+      // r16 verification makes precision exactly 1, so survivor sets
+      // coincide. Both batches run the real exactly-once machinery
+      // (probe, bloom sidecars, lease, commit log) — layout is never
+      // semantics, so the oracle sees only the retained ids.
+      val tag = Tables.dirKey(dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_landing_${procTag}_$tag"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val d = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"), col("doc_id").as("ts"))
+      val docP = s"$root/docs.parquet"
+      val bktP = s"$root/buckets.parquet"
+      def land(bid: Long, part: DataFrame): Unit =
+        graft.streaming.Streams.dedupIngestBatch(part, docP, bktP, "ts",
+          "q-landing", "doc_id", "text", 5, 8, 2, bid)
+      land(0L, d.filter(col("doc_id") < 100))
+      land(1L, d.filter(col("doc_id") >= 100))
+      Tables.snapshot(s, docP).select(col("doc_id"))
+    }),
     "q_simhash" -> ((s, dir) => {
       // recall-floor contract (mirrors q_cos_lsh): simhash band candidates
       // guarantee recall 1 only for Hamming ≤ bands−1, and no bound links
@@ -3896,6 +3925,40 @@ object SparkEntry {
     "q_lang_id" -> langIdOracle,
     "q_jaccard" -> jaccardPairsOracle(8, 0.2, "doc_id < 200"),
     "q_minhash_lsh" -> jaccardPairsOracle(5, 0.5, "doc_id < 200"),
+    // landing dedup, batch-wise: stored survivors = min-id components of
+    // the j≥0.5 graph among doc_id<100; batch docs drop on a j≥0.5 edge
+    // to a stored SURVIVOR (losers never landed, so their edges don't
+    // suppress); the rest resolve by min-id components among themselves.
+    // Cross pairs always have id1 on the stored side (ids are ordered
+    // and pairs are emitted id1 < id2).
+    "q_landing_dedup" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardPairsOracle(5, 0.5, "doc_id < 200")}),
+         se AS (SELECT id1 AS a, id2 AS b FROM pairs WHERE id2 < 100
+                UNION SELECT id2, id1 FROM pairs WHERE id2 < 100),
+         sr AS (SELECT a, a AS m FROM (SELECT DISTINCT a FROM se)
+                UNION SELECT se.a, sr.m FROM se JOIN sr ON sr.a = se.b),
+         sloser AS (SELECT a FROM sr GROUP BY a HAVING min(m) < a),
+         ssurv AS (SELECT doc_id FROM documents WHERE doc_id < 100
+                   AND doc_id NOT IN (SELECT a FROM sloser)),
+         bfresh AS (SELECT doc_id FROM documents
+                    WHERE doc_id >= 100 AND doc_id < 200
+                    AND doc_id NOT IN (
+                      SELECT p.id2 FROM pairs p
+                      JOIN ssurv s ON p.id1 = s.doc_id WHERE p.id2 >= 100)),
+         be AS (SELECT p.id1 AS a, p.id2 AS b FROM pairs p
+                JOIN bfresh x ON p.id1 = x.doc_id
+                JOIN bfresh y ON p.id2 = y.doc_id
+                UNION
+                SELECT p.id2, p.id1 FROM pairs p
+                JOIN bfresh x ON p.id1 = x.doc_id
+                JOIN bfresh y ON p.id2 = y.doc_id),
+         br AS (SELECT a, a AS m FROM (SELECT DISTINCT a FROM be)
+                UNION SELECT be.a, br.m FROM be JOIN br ON br.a = be.b),
+         bloser AS (SELECT a FROM br GROUP BY a HAVING min(m) < a)
+         SELECT doc_id FROM ssurv
+         UNION ALL
+         SELECT doc_id FROM bfresh
+         WHERE doc_id NOT IN (SELECT a FROM bloser)""",
     "q_simhash" ->
       s"""WITH pairs AS (${jaccardPairsOracle(7, 0.6, "doc_id < 200")})
          SELECT count(*) AS n_exact, true AS recall_ok FROM pairs""",
