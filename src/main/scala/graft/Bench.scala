@@ -210,30 +210,64 @@ object Bench {
     * Absent/unparseable archives (or a prior record with no canary)
     * yield None and the fields are omitted.
     */
-  private[graft] def normalizedVsPrev(results: Seq[QRes], canarySec: Double):
+  /** Parsed `parsed` object of a driver bench archive, or JNothing. */
+  private def parsedOf(f: java.io.File): org.json4s.JValue = scala.util.Try {
+    org.json4s.jackson.JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")) \ "parsed"
+  }.getOrElse(org.json4s.JNothing)
+
+  /** Every archived round's canary floor, round → canary_sec — the drift
+    * ledger (VERDICT r15 item 4): three straight rounds were adjudicated
+    * against floor drift by PLANS.md archaeology; with the history in the
+    * record itself the attribution is one lookup. All parseable archives
+    * in the working directory, no judged-round cutoff (a current-round
+    * archive present at judge-re-run time is just one more true entry).
+    */
+  private[graft] def canaryHistory(dir: java.io.File = new java.io.File(".")):
+      Seq[(Int, Double)] = scala.util.Try {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val re = """BENCH_r(\d+)\.json""".r
+    Option(dir.listFiles()).toSeq.flatten
+      .flatMap(f => f.getName match {
+        case re(n) => (parsedOf(f) \ "canary_sec").extractOpt[Double]
+          .filter(_ > 0.0).map(c => (n.toInt, c))
+        case _ => None
+      }).sortBy(_._1)
+  }.getOrElse(Seq.empty)
+
+  private[graft] def normalizedVsPrev(results: Seq[QRes], canarySec: Double,
+      dir: java.io.File = new java.io.File(".")):
       Option[(String, Double, Map[String, Double])] = scala.util.Try {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val re = """BENCH_r(\d+)\.json""".r
     // the newest round VERDICT.md has judged: archives beyond it are this
     // round's own record (no VERDICT → round 1 → nothing to exclude)
     val judged: Option[Int] = scala.util.Try {
-      val src = scala.io.Source.fromFile("VERDICT.md")
+      val src = scala.io.Source.fromFile(new java.io.File(dir, "VERDICT.md"))
       try """(?i)VERDICT\s*[—–-]+\s*round\s+(\d+)""".r
         .findFirstMatchIn(src.mkString).map(_.group(1).toInt)
       finally src.close()
     }.toOption.flatten
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
       .map(n => new java.io.File(n)).filter(_.isFile).map(f => (0, f))
+    // newest CLEAN archive first (contended=false, noisy=[]): normalizing
+    // against a contended record reads as movement what was the prior
+    // box's noise — r15's "2.71× q_vwap vs a 2.85×-contended r14" is
+    // exactly the misread (VERDICT r15 item 4). The newest archive stays
+    // the fallback when no clean one exists.
+    val candidates = Option(dir.listFiles()).toSeq.flatten
+      .flatMap(f => f.getName match {
+        case re(n) if judged.forall(n.toInt <= _) => Some((n.toInt, f))
+        case _ => None
+      }).sortBy(-_._1)
+    def isClean(p: org.json4s.JValue): Boolean =
+      (p \ "contended").extractOpt[Boolean].contains(false) &&
+        (p \ "noisy").extractOpt[Seq[String]].exists(_.isEmpty)
     val prev = explicit.orElse(
-      Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .flatMap(f => f.getName match {
-          case re(n) if judged.forall(n.toInt <= _) => Some((n.toInt, f))
-          case _ => None
-        }).sortBy(_._1).lastOption)
+      candidates.find(c => isClean(parsedOf(c._2)))
+        .orElse(candidates.headOption))
     prev.flatMap { case (_, f) =>
-      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-      val root = org.json4s.jackson.JsonMethods.parse(
-        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-      val parsed = root \ "parsed"
+      val parsed = parsedOf(f)
       val prevCanary = (parsed \ "canary_sec").extractOpt[Double].getOrElse(-1.0)
       val prevQ = (parsed \ "queries").extractOpt[Map[String, Double]]
         .getOrElse(Map.empty)
@@ -255,7 +289,8 @@ object Bench {
                                 withRepTimes: Boolean = false,
                                 canarySec: Double = -1.0,
                                 normPrev: Option[(String, Double,
-                                  Map[String, Double])] = None): String = {
+                                  Map[String, Double])] = None,
+                                canaryHist: Seq[(Int, Double)] = Seq.empty): String = {
     def jmap(f: QRes => String) = results.map(f).mkString("{", ",", "}")
     val qs = jmap(r => "\"" + r.name + "\":" + f"${r.minT}%.3f")
     val spread = jmap(r => "\"" + r.name + "\":" + f"${r.spread}%.3f")
@@ -304,7 +339,16 @@ object Bench {
         .mkString("{", ",", "}")
       s""","prev_round":"$prevName","canary_ratio":${f"$cr%.2f"},"normalized_vs_prev":$entries"""
     }.getOrElse("")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread$repsJson,"failed":$failedList,"reps":$reps$extraJson,"attempt":$attempt,"load_sec":$loadSec%.3f,"canary_sec":$canarySec%.3f,"cold_sec":$coldTotal%.3f,"maint_sec":$maintTotal%.3f$normJson,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"$marker}"""
+    // the drift ledger: round → canary floor for every parseable archive.
+    // The compact line carries the newest 8 (bounded tail capture, same
+    // cap reasoning as the movers list); the detail line carries them all.
+    val histJson =
+      if (canaryHist.isEmpty) ""
+      else ""","canary_history":""" +
+        (if (withRepTimes) canaryHist else canaryHist.takeRight(8))
+          .map { case (r, c) => "\"r" + r + "\":" + f"$c%.3f" }
+          .mkString("{", ",", "}")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread$repsJson,"failed":$failedList,"reps":$reps$extraJson,"attempt":$attempt,"load_sec":$loadSec%.3f,"canary_sec":$canarySec%.3f$histJson,"cold_sec":$coldTotal%.3f,"maint_sec":$maintTotal%.3f$normJson,"loadavg_start_end":$loadJson,"contended":$contended,"noisy":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"$marker}"""
   }
 
   /** Emit one attempt's record: detail line first (full rep_times, also
@@ -318,12 +362,13 @@ object Bench {
                          sfDir: String, attempt: Int,
                          noCleanRun: Option[Int], canarySec: Double): Unit = {
     val normPrev = normalizedVsPrev(results, canarySec)
+    val hist = canaryHistory()
     val detail = renderJson(results, reps, loadSec, startLoad, endLoad,
       contended, noisy, sfDir, attempt, noCleanRun, withRepTimes = true,
-      canarySec = canarySec, normPrev = normPrev)
+      canarySec = canarySec, normPrev = normPrev, canaryHist = hist)
     val compact = renderJson(results, reps, loadSec, startLoad, endLoad,
       contended, noisy, sfDir, attempt, noCleanRun, withRepTimes = false,
-      canarySec = canarySec, normPrev = normPrev)
+      canarySec = canarySec, normPrev = normPrev, canaryHist = hist)
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "bench_detail.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),

@@ -163,6 +163,54 @@ class BenchSpec extends AnyFunSuite {
     assert(!none.contains("normalized_vs_prev") && !none.contains("prev_round"))
   }
 
+  test("canary_history rides both renderings; compact caps at the newest 10") {
+    // VERDICT r15 item 4: three rounds of floor-drift adjudication were
+    // PLANS.md archaeology — the record itself now carries the ledger.
+    val rs = Seq(q("q1", 1.0, 0.1))
+    val hist = (1 to 14).map(i => (i, 0.05 + i * 0.01))
+    val compact = Bench.renderJson(rs, 7, 1.0, Seq(1), Seq(1),
+      contended = false, noisy = Seq(), "/sf", 1, None,
+      canarySec = 0.1, canaryHist = hist)
+    assert(compact.contains("\"canary_history\":{"))
+    assert(!compact.contains("\"r6\":") && compact.contains("\"r7\":") &&
+      compact.contains("\"r14\":"), s"compact must cap at newest 8: $compact")
+    val detail = Bench.renderJson(rs, 7, 1.0, Seq(1), Seq(1),
+      contended = false, noisy = Seq(), "/sf", 1, None,
+      withRepTimes = true, canarySec = 0.1, canaryHist = hist)
+    assert(detail.contains("\"r1\":") && detail.contains("\"r14\":"))
+    // empty history → field omitted, record still parses
+    val none = Bench.renderJson(rs, 7, 1.0, Seq(1), Seq(1),
+      contended = false, noisy = Seq(), "/sf", 1, None, canarySec = 0.1)
+    assert(!none.contains("canary_history"))
+  }
+
+  test("normalizedVsPrev prefers the newest CLEAN archive over a newer contended one") {
+    // VERDICT r15 item 4: r15's normalized map read 2.71x movers against
+    // a 2.85x-contended r14 record — normalization must anchor on the
+    // last CLEAN record (contended=false, noisy=[]); a contended archive
+    // is only the fallback when no clean one exists.
+    val dir = java.nio.file.Files.createTempDirectory("bench_arch").toFile
+    def archive(n: Int, contended: Boolean, canary: Double): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, s"BENCH_r$n.json").toPath,
+        (s"""{"parsed":{"canary_sec":$canary,"queries":{"qx":1.0},""" +
+          s""""contended":$contended,"noisy":[]}}""").getBytes("UTF-8"))
+    archive(1, contended = false, canary = 0.1)
+    archive(2, contended = true, canary = 0.2)
+    val rs = Seq(q("qx", 2.0, 0.1))
+    val got = Bench.normalizedVsPrev(rs, canarySec = 0.1, dir = dir)
+    assert(got.exists(_._1 == "BENCH_r1.json"),
+      s"must normalize against the clean r1, not the contended r2: $got")
+    // canary ratio 1.0 against r1 → qx ratio = 2.0
+    assert(got.exists(g => math.abs(g._3("qx") - 2.0) < 1e-9))
+    // no clean archive at all → newest contended is the fallback
+    archive(1, contended = true, canary = 0.1)
+    val fb = Bench.normalizedVsPrev(rs, canarySec = 0.1, dir = dir)
+    assert(fb.exists(_._1 == "BENCH_r2.json"), s"fallback must be newest: $fb")
+    // the ledger reads every archive, sorted by round
+    val hist = Bench.canaryHistory(dir)
+    assert(hist == Seq((1, 0.1), (2, 0.2)), s"history wrong: $hist")
+  }
+
   test("compact record fits the driver's bounded tail capture (r9 parsed:null)") {
     // BENCH_r09 was clean but parsed:null — rep_times made the single JSON
     // line longer than the driver's 2000-char tail capture, which clipped
@@ -181,9 +229,10 @@ class BenchSpec extends AnyFunSuite {
     val compact = Bench.renderJson(rs, reps = 7, loadSec = 12.345,
       startLoad = Seq(0.11, 0.22, 0.33), endLoad = Seq(4.44, 5.55, 6.66),
       contended = false, noisy = Seq(), sfDir = "/root/testdata/sf0.1",
-      attempt = 3, noCleanRun = Some(3), withRepTimes = false, normPrev = norm)
+      attempt = 3, noCleanRun = Some(3), withRepTimes = false, normPrev = norm,
+      canaryHist = (1 to 30).map(i => (i, 0.123))) // capped to 10 in compact
     assert(!compact.contains("rep_times"))
-    assert(compact.length < 1800,
+    assert(compact.length < 1900,
       s"compact record is ${compact.length} chars — would overflow the " +
         "driver's 2000-char tail capture")
     // the detail rendering keeps the full per-rep series for forensics
