@@ -247,6 +247,9 @@ object FuzzGen {
   }
 
   def gen(seed: Long, baseOverride: Option[String] = None): FuzzProgram = {
+    // BASE=cs routes the whole seed to the cs_* SQL-surface grammar
+    // (its own draw stream — row-grammar seed replays are unaffected)
+    if (baseOverride.contains("cs")) return genCs(seed)
     val rnd = new Random(seed)
     // Base chosen by seed arithmetic, NOT an rnd draw: events-based
     // programs keep the exact pre-lineitem draw stream, so pinned
@@ -1104,6 +1107,221 @@ object FuzzGen {
       stages.foldLeft(baseXf(null, spark, sfDir))((df, f) => f(df, spark, sfDir))
     FuzzProgram(seed, desc.result(), run, sql)
   }
+
+  /** The cs_* SQL-surface leg (VERDICT r15 item 5): the same pipeline
+    * MATH as the row grammar, rendered through the registered series
+    * -calculus names instead of the DataFrame API — rows pack into
+    * per-key ordered arrays (the reference's series representation), a
+    * random chain of length-preserving cs_* array functions applies, and
+    * a terminal (explode / cs_grid_* / cs_top_* / cs_filter_pos /
+    * cs_quantile) lands back in rows. The DuckDB twin renders each lane
+    * as the equivalent window SQL with the EXACT formulas the
+    * SeriesCalcFns implementations document (fixed-n divisors for
+    * cs_window_avg/var, naive Σ/Σ² variance, warm-up-over-prefix sums),
+    * so the 200-name SQL surface gets the same differential coverage the
+    * fixed q_cs_* gates spot-check.
+    */
+  def genCs(seed: Long): FuzzProgram = {
+    val rnd = new Random(seed)
+    val base: FuzzBase =
+      if (seed % 3 == 2) lineitemBase(seed) else eventsBase
+    val keys: Seq[String] = rnd.nextInt(3) match {
+      case 0 => Seq()
+      case 1 => Seq("user_id")
+      case _ => Seq("event_type")
+    }
+    val headN = 512 + rnd.nextInt(1536)
+    val pb = if (keys.isEmpty) "" else s"PARTITION BY ${keys.map(q).mkString(", ")} "
+    val kq = keys.map(q).mkString(", ")
+    val kPrefix = if (keys.isEmpty) "" else kq + ", "
+    // Spark-side (csSql) key list: BARE names — double-quoted identifiers
+    // are string LITERALS to Spark SQL (ansi.doubleQuotedIdentifiers off)
+    val kCs = if (keys.isEmpty) "" else keys.mkString(", ") + ", "
+    val desc = new StringBuilder(s"cs base=${base.label} " +
+      s"keys=${if (keys.isEmpty) "<none>" else keys.mkString(",")} head=$headN")
+
+    // optional row-level pre-filter, rendered identically on both sides
+    val pre: Option[String] = rnd.nextInt(3) match {
+      case 0 => None
+      case 1 =>
+        val c = math.rint((rnd.nextDouble() * base.valSpan + base.valLo) * 100) / 100
+        desc ++= s" | pre(value>$c)"
+        Some(s""""value" > $c""")
+      case _ =>
+        val m = Vector(3, 5, 11)(rnd.nextInt(3)); val r = rnd.nextInt(m)
+        desc ++= s" | pre(id%$m<>$r)"
+        Some(s"event_id % $m <> $r")
+    }
+
+    // ---- the chain: each op maps lane v{i-1} -> v{i} --------------------
+    // (csExpr: array-expression rendering; sqlExpr: window-SQL rendering
+    // over the lane column, with __tmp-style nesting handled by wrap)
+    val w = (n: Int) =>
+      s"(${pb}ORDER BY ${q("ord")} ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)"
+    val cum = s"(${pb}ORDER BY ${q("ord")} ROWS UNBOUNDED PRECEDING)"
+    // SQL chain state: nested subselects over columns (keys, ord, v0..vk)
+    var depth = 0
+    var lanes = 1 // v0 exists
+    var sql = {
+      val v = "CAST(\"value\" AS DOUBLE)"
+      s"""SELECT $kPrefix${q("ord")}, ${q("v0")} FROM (
+         SELECT $kPrefix row_number() OVER (${pb}ORDER BY ts, event_id) - 1 AS ${q("ord")},
+                $v AS ${q("v0")}
+         FROM (${base.srcSql}) b0${pre.map(" WHERE " + _).getOrElse("")}) h
+         WHERE ${q("ord")} < $headN"""
+    }
+    def cols: Vector[String] =
+      keys.toVector ++ Vector("ord") ++ (0 until lanes).map(i => s"v$i")
+    def wrapLane(expr: String): Unit = {
+      depth += 1
+      val sel = cols.map(q).mkString(", ")
+      sql = s"SELECT $sel, $expr AS ${q(s"v$lanes")} FROM ($sql) c$depth"
+      lanes += 1
+    }
+    // cs-side chain: one WITH clause per lane (a{i} defines x{i})
+    val csLanes = mutable.ArrayBuffer.empty[String] // expr over x{i-1}
+    def vIn = q(s"v${lanes - 1}")
+    def addOp(name: String, csExpr: String => String, sqlExpr: String): Unit = {
+      csLanes += csExpr(s"x${csLanes.size}")
+      wrapLane(sqlExpr)
+      desc ++= s" | $name"
+    }
+    // var/dev are deliberately NOT in the chain: the naive Σ/Σ² formula
+    // is exact in real arithmetic but catastrophically cancelling in FP,
+    // and the two engines accumulate sliding sums in different orders —
+    // a composed chain (cum_max → window_var of a near-constant series)
+    // measures 0.0 vs 2e-9, an infinite RELATIVE error the checker
+    // rightly rejects (seeds 9115/9120/9151/9201/9215). The fixed
+    // q_window_agg / q_cum_agg gates pin var/dev on raw data where the
+    // rendering is reproducible.
+    val nOps = 1 + rnd.nextInt(3)
+    for (i <- 0 until nOps) {
+      val pick = rnd.nextInt(if (i == 0) 9 else 8) // norm only first (all-
+      // positive input guarantees a nonzero L2; later lanes can be all 0)
+      pick match {
+        case 0 =>
+          val n = 2 + rnd.nextInt(30)
+          addOp(s"cs_window_sum($n)", x => s"cs_window_sum($x, $n)",
+            s"sum($vIn) OVER ${w(n)}")
+        case 1 =>
+          val n = 2 + rnd.nextInt(30)
+          // FIXED divisor n, warm-up sums over the actual prefix
+          // (SeriesCalcFns ring buffer, func.c:1683)
+          addOp(s"cs_window_avg($n)", x => s"cs_window_avg($x, $n)",
+            s"sum($vIn) OVER ${w(n)} / $n")
+        case 2 =>
+          val n = 2 + rnd.nextInt(30)
+          val mm = if (rnd.nextBoolean()) "min" else "max"
+          addOp(s"cs_window_$mm($n)", x => s"cs_window_$mm($x, $n)",
+            s"$mm($vIn) OVER ${w(n)}")
+        case 3 =>
+          addOp("cs_cum_sum", x => s"cs_cum_sum($x)",
+            s"sum($vIn) OVER $cum")
+        case 4 =>
+          val op = if (rnd.nextBoolean()) "min" else "max"
+          addOp(s"cs_cum_$op", x => s"cs_cum_$op($x)",
+            s"$op($vIn) OVER $cum")
+        case 5 =>
+          addOp("cs_cum_avg", x => s"cs_cum_avg($x)",
+            s"sum($vIn) OVER $cum / (count(*) OVER $cum)")
+        case 6 =>
+          // first element is 0 (the reference's cs_diff warm-up,
+          // q_cs_series's pinned rendering)
+          addOp("cs_diff", x => s"cs_diff($x)",
+            s"COALESCE($vIn - lag($vIn) OVER (${pb}ORDER BY ${q("ord")}), 0.0)")
+        case 7 =>
+          // carried sign of the last non-zero delta, 0 until one exists
+          depth += 1
+          val sel0 = cols.map(q).mkString(", ")
+          sql = s"SELECT $sel0, CAST(sign($vIn - lag($vIn) OVER " +
+            s"(${pb}ORDER BY ${q("ord")})) AS DOUBLE) AS __td FROM ($sql) c$depth"
+          addOp("cs_trend", x => s"cs_trend($x)",
+            s"COALESCE(last_value(CASE WHEN ${q("__td")} <> 0 THEN ${q("__td")} END " +
+              s"IGNORE NULLS) OVER $cum, 0.0)")
+          // wrapLane's projection already dropped __td (it selects cols +
+          // the new lane only)
+        case _ =>
+          addOp("cs_norm", x => s"cs_norm($x)",
+            s"$vIn / sqrt(sum($vIn * $vIn) OVER " +
+              (if (keys.isEmpty) "()" else s"(PARTITION BY $kq)") + ")")
+      }
+    }
+
+    // ---- assemble the cs-side SQL (runs on Spark via spark.sql) ---------
+    val view = s"__graft_cs_src_$seed"
+    val lastX = s"x${csLanes.size}"
+    val packed = {
+      val srcSel = s"SELECT $kCs ts, event_id, CAST(`value` AS DOUBLE) AS v " +
+        s"FROM $view${pre.map(p => " WHERE " + p.replace("\"", "`")).getOrElse("")}"
+      val grp = if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
+      val laneCtes = csLanes.zipWithIndex.map { case (e, i) =>
+        val carry = (kCs + (0 to i).map(j => s"x$j").mkString(", "))
+        s"a${i + 1} AS (SELECT $carry, $e AS x${i + 1} FROM a$i)"
+      }
+      s"""WITH packed AS (
+         SELECT $kCs sort_array(collect_list(struct(ts, event_id, v))) AS pv
+         FROM ($srcSel) p$grp),
+         a0 AS (SELECT $kCs slice(transform(pv, e -> e.v), 1, $headN) AS x0
+                FROM packed)${if (laneCtes.isEmpty) "" else ",\n" + laneCtes.mkString(",\n")}"""
+    }
+    val laneRefs = (0 until csLanes.size)
+      .map(i => s"x$i[t.ord] AS v$i").mkString(", ")
+
+    // ---- terminal --------------------------------------------------------
+    var csSql: String = null
+    rnd.nextInt(if (keys.isEmpty) 5 else 4) match {
+      case 0 | 1 => // explode every lane back to rows (the default)
+        csSql = s"""$packed
+          SELECT $kCs CAST(t.ord AS BIGINT) AS ord${
+            if (laneRefs.isEmpty) "" else ", " + laneRefs},
+                 t.v AS v${csLanes.size}
+          FROM a${csLanes.size} LATERAL VIEW posexplode($lastX) t AS ord, v"""
+        desc ++= " | explode"
+      case 2 => // cs_grid_*: tumbling element-index buckets per key
+        val step = 5 + rnd.nextInt(60)
+        csSql = s"""$packed
+          SELECT $kCs CAST(t.bucket AS BIGINT) AS bucket, t.gsum AS grid_sum,
+                 cs_grid_avg($lastX, $step)[t.bucket] AS grid_avg,
+                 cs_grid_min($lastX, $step)[t.bucket] AS grid_min,
+                 cs_grid_max($lastX, $step)[t.bucket] AS grid_max
+          FROM a${csLanes.size}
+          LATERAL VIEW posexplode(cs_grid_sum($lastX, $step)) t AS bucket, gsum"""
+        depth += 1
+        sql = s"SELECT ${kPrefix}CAST(floor(${q("ord")} / $step) AS BIGINT) AS bucket, " +
+          s"sum($vIn) AS grid_sum, sum($vIn) / count(*) AS grid_avg, " +
+          s"min($vIn) AS grid_min, max($vIn) AS grid_max " +
+          s"FROM ($sql) g$depth GROUP BY ${(1 to keys.size + 1).mkString(", ")}"
+        desc ++= s" | cs_grid($step)"
+      case 3 => // cs_filter_pos: matched element indexes
+        val c = math.rint((rnd.nextDouble() * base.valSpan + base.valLo) * 100) / 100
+        csSql = s"""$packed
+          SELECT $kCs CAST(t.p AS BIGINT) AS ord
+          FROM a${csLanes.size}
+          LATERAL VIEW explode(cs_filter_pos(transform($lastX, e -> e > $c))) t AS p"""
+        depth += 1
+        sql = s"SELECT $kPrefix${q("ord")} FROM ($sql) f$depth WHERE $vIn > $c"
+        desc ++= s" | cs_filter_pos(>$c)"
+      case _ => // keyless cs_top_max/min: k boundary values
+        val k = 5 + rnd.nextInt(40)
+        val dsc = rnd.nextBoolean()
+        val fn = if (dsc) "cs_top_max" else "cs_top_min"
+        csSql = s"""$packed
+          SELECT CAST(t.i AS BIGINT) AS i, t.v AS v
+          FROM a${csLanes.size} LATERAL VIEW posexplode($fn($lastX, $k)) t AS i, v"""
+        depth += 1
+        val ord = if (dsc) "DESC" else "ASC"
+        sql = s"SELECT row_number() OVER (ORDER BY $vIn $ord) - 1 AS i, " +
+          s"$vIn AS v FROM ($sql) k$depth ORDER BY $vIn $ord LIMIT $k"
+        desc ++= s" | $fn($k)"
+    }
+
+    val run = (spark: SparkSession, sfDir: String) => {
+      graft.sqlext.GraftFunctions.register(spark)
+      base.srcSpark(spark, sfDir).createOrReplaceTempView(view)
+      spark.sql(csSql)
+    }
+    FuzzProgram(seed, desc.result(), run, sql)
+  }
 }
 
 /** Driver for the fuzzer: writes each program's Spark result as parquet
@@ -1133,12 +1351,19 @@ object Fuzz {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val crashes = runPrograms(spark, sfDir, outDir, n, seed0, baseOverride)
-    crashes.foreach { case (s, d, e) =>
+    // the cs_* SQL-surface leg rides every default run at a quarter of
+    // the row-grammar volume (VERDICT r15 item 5); BASE=cs runs it alone
+    val csCrashes =
+      if (baseOverride.isEmpty)
+        runPrograms(spark, sfDir, outDir, math.max(n / 4, 1), seed0,
+          Some("cs"), namePrefix = "fuzzcs_", appendLog = true)
+      else Seq.empty
+    (crashes ++ csCrashes).foreach { case (s, d, e) =>
       System.err.println(s"[fuzz] seed=$s CRASHED: $d\n  $e")
     }
     System.err.println(s"[fuzz] $n programs, seeds $seed0..${seed0 + n - 1}, " +
-      s"${crashes.size} crashed; results in $outDir")
-    if (crashes.nonEmpty) sys.exit(2)
+      s"${crashes.size + csCrashes.size} crashed; results in $outDir")
+    if (crashes.nonEmpty || csCrashes.nonEmpty) sys.exit(2)
   }
 
   /** Generate and execute programs seed0..seed0+n-1; write each result to
@@ -1148,14 +1373,26 @@ object Fuzz {
     */
   def runPrograms(spark: SparkSession, sfDir: String, outDir: String,
                   n: Int, seed0: Long,
-                  baseOverride: Option[String] = None): Seq[(Long, String, String)] = {
+                  baseOverride: Option[String] = None,
+                  namePrefix: String = "fuzz_",
+                  appendLog: Boolean = false): Seq[(Long, String, String)] = {
     new java.io.File(outDir).mkdirs()
     val sqls = mutable.LinkedHashMap.empty[String, String]
+    // appendLog: a second leg in the same out dir (the cs_* batch after
+    // the row batch) merges into the existing oracle map and replay log
+    // instead of clobbering the first leg's entries
+    if (appendLog) scala.util.Try {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      sqls ++= org.json4s.jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$outDir/oracle_sql.json")), "UTF-8"))
+        .extract[Map[String, String]]
+    }
     val crashes = mutable.ArrayBuffer.empty[(Long, String, String)]
     val log = new StringBuilder
     for (i <- 0 until n) {
       val p = FuzzGen.gen(seed0 + i, baseOverride)
-      val name = s"fuzz_${p.seed}"
+      val name = s"$namePrefix${p.seed}"
       log ++= s"$name: ${p.desc}\n"
       try {
         p.run(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -1166,7 +1403,10 @@ object Fuzz {
       }
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/programs.txt"),
-      log.result().getBytes("UTF-8"))
+      log.result().getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      if (appendLog) java.nio.file.StandardOpenOption.APPEND
+      else java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
     // same escape as Verify: control chars would break the driver's json.load
     def esc(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -52,6 +52,19 @@ class FuzzSpec extends AnyFunSuite {
     runBatch(n, seed0)
   }
 
+  test("cs_* SQL-surface pipelines match DuckDB (differential fuzz)") {
+    // VERDICT r15 item 5: the 200-name registered SQL surface was
+    // exercised only by fixed queries and replay suites — this leg packs
+    // rows into series arrays, chains random cs_* calculus names, and
+    // diffs the exploded result against the window-SQL twin.
+    assume(duckdbAvailable, "python3+duckdb oracle not available")
+    val n = sys.env.get("GRAFT_FUZZ_CS_N").map(_.toInt).getOrElse(25)
+    val seed0 = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(8000L)
+    info(s"cs-leg: $n programs from seed $seed0 " +
+      s"(replay one: N=1 SEED=<seed> BASE=cs bash tools/run_fuzz.sh)")
+    runBatch(n, seed0, Some("cs"))
+  }
+
   // ---- fuzz-found regressions, pinned as DIRECT shape tests -------------
   // Seed replays drift as the grammar grows (pool sizes shift every draw
   // after them), so each bug is pinned by reconstructing its minimal

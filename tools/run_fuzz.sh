@@ -6,7 +6,9 @@
 #   N=1 SEED=<seed> bash tools/run_fuzz.sh
 # (add BASE=events, BASE=events_slice, BASE=events_concat, or
 # BASE=lineitem to force the source table — needed to replay pinned seeds
-# recorded before a base existed or before the seed→base mapping changed)
+# recorded before a base existed or before the seed→base mapping changed;
+# BASE=cs runs the cs_* SQL-surface leg alone. A default run also appends
+# a cs batch at N/4 volume, named fuzzcs_<seed>.)
 # The program text for every seed is in $OUT/programs.txt.
 set -eo pipefail
 cd /root/repo
