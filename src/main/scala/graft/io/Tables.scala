@@ -648,6 +648,28 @@ object Tables {
       if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
     }
 
+  /** A manifest-FILE-pruned snapshot slice over [fromNs, tillNs] of a
+    * governed table — the dedup verify's candidate-window read: the
+    * landing protocol knows the colliding stored docs' ts span (bucket
+    * rows carry the doc ts), so fetching their texts/vectors must read
+    * the overlapping files, not the whole doc table (at 100 TB the
+    * verify read would otherwise scan every file's row-group stats for
+    * an In over ids the layout is not clustered by). Falls back to the
+    * full [[snapshot]] when the path is ungoverned. Pruning only drops
+    * files whose recorded ts range cannot overlap — the caller applies
+    * its exact predicates regardless, so this can never change results.
+    */
+  private[graft] def snapshotSliceNs(spark: SparkSession, path: String,
+                                     fromNs: Long, tillNs: Long,
+                                     ts: String = "ts"): DataFrame = {
+    val till = if (tillNs == Long.MaxValue) Long.MaxValue else tillNs + 1
+    liveFileNames(spark, path).filter(_.nonEmpty).flatMap { live =>
+      val schema = spark.read
+        .parquet(new Path(path, live.head).toString).schema
+      manifestPrunedRead(spark, path, schema, fromNs, till, ts)
+    }.getOrElse(snapshot(spark, path))
+  }
+
   /** One data file's int64-column min/max plus its footer row count, from
     * a SINGLE driver-side footer open — the per-file index builders
     * ([[graft.streaming.FileBlooms]]) need both (the range for the prune
