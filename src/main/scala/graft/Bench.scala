@@ -263,11 +263,16 @@ object Bench {
     def isClean(p: org.json4s.JValue): Boolean =
       (p \ "contended").extractOpt[Boolean].contains(false) &&
         (p \ "noisy").extractOpt[Seq[String]].exists(_.isEmpty)
+    // parse each candidate ONCE (review r16): the clean scan and the
+    // chosen record's field reads serve from the same parse
+    val parsedBy = scala.collection.mutable.HashMap.empty[String, org.json4s.JValue]
+    def parsedOnce(f: java.io.File): org.json4s.JValue =
+      parsedBy.getOrElseUpdate(f.getName, parsedOf(f))
     val prev = explicit.orElse(
-      candidates.find(c => isClean(parsedOf(c._2)))
+      candidates.find(c => isClean(parsedOnce(c._2)))
         .orElse(candidates.headOption))
     prev.flatMap { case (_, f) =>
-      val parsed = parsedOf(f)
+      val parsed = parsedOnce(f)
       val prevCanary = (parsed \ "canary_sec").extractOpt[Double].getOrElse(-1.0)
       val prevQ = (parsed \ "queries").extractOpt[Map[String, Double]]
         .getOrElse(Map.empty)

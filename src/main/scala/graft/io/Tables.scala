@@ -7,12 +7,17 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
 
 /** One data file's recorded ts range in the table manifest: epoch-ns
   * bounds (None when the file had no usable stats — such a file is KEPT
-  * by every pruning decision), and whether the file belongs to the
+  * by every pruning decision), whether the file belongs to the
   * established load layout (`loaded=true`) or was appended since
-  * (`loaded=false` — the set [[Tables.compactIncremental]] folds).
+  * (`loaded=false` — the set [[Tables.compactIncremental]] folds), and
+  * its footer ROW COUNT (recorded from the same footer open that reads
+  * the ts stats, so metadata row counts — [[Tables.metadataRowCount]] —
+  * are one manifest read with zero per-file RPCs; None on pre-r16
+  * manifests and stat-less files, served by a footer fallback).
   */
 case class TsFileEntry(name: String, bytes: Long, minNs: Option[Long],
-                       maxNs: Option[Long], loaded: Boolean)
+                       maxNs: Option[Long], loaded: Boolean,
+                       rows: Option[Long] = None)
 
 /** A replaced data file grace-retained in place for in-flight readers:
   * the file stays at its original path (excluded from the live set) until
@@ -612,8 +617,8 @@ object Tables {
     files.par.map { s =>
       val (st, rows) = scala.util.Try(tsFileFooterNs(s.getPath, conf, ts))
         .getOrElse((None, None))
-      (TsFileEntry(s.getPath.getName, s.getLen, st.map(_._1), st.map(_._2), loaded),
-        rows)
+      (TsFileEntry(s.getPath.getName, s.getLen, st.map(_._1), st.map(_._2),
+        loaded, rows), rows)
     }.seq
   }
 
@@ -639,14 +644,25 @@ object Tables {
     * real scan, which stays the always-correct shape.
     */
   private[graft] def metadataRowCount(spark: SparkSession,
-                                      path: String): Option[Long] =
-    liveFileNames(spark, path).flatMap { names =>
+                                      path: String): Option[Long] = {
+    val hp = new Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = hp.getFileSystem(conf)
+    if (!scala.util.Try(fs.getFileStatus(hp)).toOption.exists(_.isDirectory))
+      return None
+    liveEntries(fs, hp, None).flatMap { m =>
+      // the manifest carries each file's footer row count (recorded at
+      // write time, review r16) — the common case is ZERO per-file RPCs;
+      // entries from pre-r16 manifests or stat-less writes fall back to
+      // one footer open each, and any unreadable footer degrades the
+      // whole answer to None (the caller's scan fallback)
       import scala.collection.parallel.CollectionConverters._
-      val conf = spark.sparkContext.hadoopConfiguration
-      val counts = names.par
-        .map(n => footerRowCount(conf, new Path(path, n))).seq
+      val counts = m.files.par
+        .map(e => e.rows.orElse(footerRowCount(conf, new Path(hp, e.name))))
+        .seq
       if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
     }
+  }
 
   /** A manifest-FILE-pruned snapshot slice over [fromNs, tillNs] of a
     * governed table — the dedup verify's candidate-window read: the

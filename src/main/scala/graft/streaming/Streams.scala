@@ -976,28 +976,43 @@ object Streams {
             .select(col(id), col("__oldId"), col("__oldTs")).distinct()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           candCached = Some(cand)
-          // ONE bounded collect carries both the id set (isin pushdown)
-          // and the candidates' ts SPAN — bucket rows carry the doc ts,
-          // so the doc-table text fetch reads the manifest-pruned slice
-          // of files overlapping the colliding window, not the whole
-          // retained corpus (the layout is ts-clustered, never
-          // id-clustered, so an In alone cannot file-prune at 100 TB)
-          val candRows = cand.select(col("__oldId"), col("__oldTs"))
-            .distinct().limit(1001).collect()
-          val candIds = candRows.map(_.get(0))
-          val f = (if (candIds.isEmpty) batch
+          // the fetch is bounded in BOTH dimensions at ANY candidate
+          // count (review r16: a >1000-candidate re-crawl is the steady
+          // state, not an adversarial flood — it must not revert to the
+          // O(corpus) scan+shingle): the ts SPAN of the colliding docs
+          // (bucket rows carry the doc ts) comes from one tiny agg over
+          // the candidate frame and file-prunes the doc read to the
+          // overlapping manifest slice (the layout is ts-clustered,
+          // never id-clustered, so an In alone cannot file-prune at
+          // 100 TB); a broadcast semi-join then bounds the SHINGLING to
+          // the candidates themselves, and a ≤1000-id isin additionally
+          // pushes row-group pruning inside the kept files
+          // small projections over the PERSISTED cand (the verify join
+          // below reads it too — one probe evaluation serves all three)
+          val candOld = cand.select(col("__oldId"), col("__oldTs")).distinct()
+          val span = candOld
+            .agg(min(col("__oldTs")), max(col("__oldTs")), count(lit(1))).head()
+          val nCand = span.getLong(2)
+          val f = (if (nCand == 0L) batch
           else {
-            val tsNs = candRows.flatMap(r => tsValueNs(r.get(1)))
-            val oldDocs0 = (if (candRows.length <= 1000 &&
-                tsNs.length == candRows.length) {
-              graft.io.Tables.snapshotSliceNs(spark, docPath,
-                tsNs.min, tsNs.max, ts)
-            } else graft.io.Tables.snapshot(spark, docPath))
+            val bounds = for {
+              lo <- tsValueNs(span.get(0)); hi <- tsValueNs(span.get(1))
+            } yield (lo, hi)
+            val oldDocs0 = bounds.map { case (lo, hi) =>
+              graft.io.Tables.snapshotSliceNs(spark, docPath, lo, hi, ts)
+            }.getOrElse(graft.io.Tables.snapshot(spark, docPath))
               .select(col(id).as("__oid"), col(text).as("__otxt"))
-            val oldDocs =
-              if (candIds.length <= 1000)
-                oldDocs0.filter(col("__oid").isin(candIds.distinct: _*))
-              else oldDocs0 // adversarial flood: plain join, still ∝ scan
+            val candIds: Array[Any] =
+              if (nCand <= 1000L) candOld.select(col("__oldId"))
+                .collect().map(_.get(0))
+              else Array.empty
+            val sliced =
+              if (candIds.nonEmpty)
+                oldDocs0.filter(col("__oid").isin(candIds: _*))
+              else oldDocs0
+            val oldDocs = sliced.join(
+              broadcast(candOld.select(col("__oldId").as("__oid"))),
+              Seq("__oid"), "left_semi")
             // shingle only the colliding stored docs (∝ candidates); the
             // intersect arithmetic is verifyJaccard's, inlined because
             // the two sides come from different frames
@@ -1196,31 +1211,39 @@ object Streams {
             .select(col(id), col("__oldId"), col("__oldTs")).distinct()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           caches += cand
-          // candidate pushdown, both dimensions (same shape as the text
-          // twin's verified fetch): the verify must read the CANDIDATES'
-          // vectors, not the whole retained corpus — the ts SPAN of the
-          // colliding stored docs prunes the doc-table read to the
-          // manifest files overlapping the window (the layout is
-          // ts-clustered, never id-clustered), and the id set becomes an
-          // isin filter on what remains; an adversarial flood falls back
-          // to the plain join over the full snapshot
-          val candRows = cand.select(col("__oldId"), col("__oldTs"))
-            .distinct().limit(1001).collect()
-          val candIds = candRows.map(_.get(0))
-          if (candIds.isEmpty) batch
+          // candidate pushdown, both dimensions at ANY candidate count
+          // (same shape as the text twin's verified fetch — a large
+          // re-crawl must not revert to the O(corpus) vector read): the
+          // ts SPAN of the colliding stored docs (one tiny agg over the
+          // persisted cand) file-prunes the doc read to the overlapping
+          // manifest slice, a broadcast semi-join bounds the verify to
+          // the candidates, and a ≤1000-id isin additionally pushes
+          // row-group pruning inside the kept files
+          val candOld = cand.select(col("__oldId"), col("__oldTs")).distinct()
+          val span = candOld
+            .agg(min(col("__oldTs")), max(col("__oldTs")), count(lit(1))).head()
+          val nCand = span.getLong(2)
+          if (nCand == 0L) batch
           else {
-            val tsNs = candRows.flatMap(r => tsValueNs(r.get(1)))
-            val oldVecs0 = (if (candRows.length <= 1000 &&
-                tsNs.length == candRows.length)
-              graft.io.Tables.snapshotSliceNs(spark, docPath,
-                tsNs.min, tsNs.max, ts)
-            else graft.io.Tables.snapshot(spark, docPath))
+            val bounds = for {
+              lo <- tsValueNs(span.get(0)); hi <- tsValueNs(span.get(1))
+            } yield (lo, hi)
+            val oldVecs0 = bounds.map { case (lo, hi) =>
+              graft.io.Tables.snapshotSliceNs(spark, docPath, lo, hi, ts)
+            }.getOrElse(graft.io.Tables.snapshot(spark, docPath))
               .select(col(id).as("__oldId"),
                 col(vec).cast("array<double>").as("__ov"))
-            val oldVecs =
-              if (candIds.length <= 1000)
-                oldVecs0.filter(col("__oldId").isin(candIds.distinct: _*))
+            val candIds: Array[Any] =
+              if (nCand <= 1000L) candOld.select(col("__oldId"))
+                .collect().map(_.get(0))
+              else Array.empty
+            val sliced =
+              if (candIds.nonEmpty)
+                oldVecs0.filter(col("__oldId").isin(candIds: _*))
               else oldVecs0
+            val oldVecs = sliced.join(
+              broadcast(candOld.select(col("__oldId"))), Seq("__oldId"),
+              "left_semi")
             val hit = verified(cand, oldVecs).select(col(id)).distinct()
             batch.join(hit, Seq(id), "left_anti")
           }

@@ -163,7 +163,7 @@ class BenchSpec extends AnyFunSuite {
     assert(!none.contains("normalized_vs_prev") && !none.contains("prev_round"))
   }
 
-  test("canary_history rides both renderings; compact caps at the newest 10") {
+  test("canary_history rides both renderings; compact caps at the newest 8") {
     // VERDICT r15 item 4: three rounds of floor-drift adjudication were
     // PLANS.md archaeology — the record itself now carries the ledger.
     val rs = Seq(q("q1", 1.0, 0.1))
@@ -230,7 +230,7 @@ class BenchSpec extends AnyFunSuite {
       startLoad = Seq(0.11, 0.22, 0.33), endLoad = Seq(4.44, 5.55, 6.66),
       contended = false, noisy = Seq(), sfDir = "/root/testdata/sf0.1",
       attempt = 3, noCleanRun = Some(3), withRepTimes = false, normPrev = norm,
-      canaryHist = (1 to 30).map(i => (i, 0.123))) // capped to 10 in compact
+      canaryHist = (1 to 30).map(i => (i, 0.123))) // capped to 8 in compact
     assert(!compact.contains("rep_times"))
     assert(compact.length < 1900,
       s"compact record is ${compact.length} chars — would overflow the " +

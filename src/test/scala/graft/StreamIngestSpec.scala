@@ -1200,6 +1200,12 @@ class StreamIngestSpec extends AnyFunSuite {
     // metadata path agrees with the scan, deterministically
     assert(Tables.metadataRowCount(spark, docs).contains(docRows))
     assert(Tables.metadataRowCount(spark, buckets).contains(bktRows))
+    // and the counts are IN the manifest (recorded at write time from
+    // the same footer open as the ts stats, review r16) — zero per-file
+    // footer RPCs on the poll path, not just zero Spark jobs
+    for (p <- Seq(docs, buckets))
+      assert(Tables.manifest(spark, p).exists(_.files.forall(_.rows.isDefined)),
+        s"write paths must record footer row counts in the manifest: $p")
     // and the stats call launches NO job at all (the one-row result is a
     // local relation; every field is metadata). The listener is
     // validated by a positive control first so the zero can't be a
