@@ -300,6 +300,35 @@ class StreamIngestSpec extends AnyFunSuite {
       "legacy mode must still drop on raw collision (the banding-aggressive contract)")
   }
 
+  test("verified landing above the isin cap: the semi-join fetch still drops exactly") {
+    // review r16: >1000 distinct candidates is the re-crawl steady
+    // state — the fetch must stay candidate-bounded (ts-slice +
+    // broadcast semi-join) rather than revert to the O(corpus)
+    // scan+shingle, and the drop decision must be identical to the
+    // under-cap path. 1200 stored docs, all re-crawled → 1200
+    // candidates (> the 1000-id isin cap) → every re-crawl drops; a
+    // fresh doc in the same batch survives.
+    val docs = tmpDir("bigdoc") + "/docs.parquet"
+    val buckets = tmpDir("bigbkt") + "/buckets.parquet"
+    def text(i: Int): String = (0 until 12).map(w => s"g${w}h$i").mkString(" ")
+    val n = 1200
+    Streams.dedupIngestBatch(
+      (0 until n).map(i => (i.toLong, 100L + i, text(i)))
+        .toDF("id", "ts", "text"),
+      docs, buckets, "ts", "ck-big", "id", "text", 5, 8, 2, 0L)
+    val stored = Tables.snapshot(spark, docs).count()
+    assert(stored > 1000, s"need an over-cap corpus: $stored")
+    val recrawl = (0 until n).map(i => (10000L + i, 5000L + i, text(i))) ++
+      Seq((99999L, 9000L, "a genuinely novel document about parquet " +
+        "footer statistics and manifest sidecar pruning at scale"))
+    Streams.dedupIngestBatch(recrawl.toDF("id", "ts", "text"),
+      docs, buckets, "ts", "ck-big", "id", "text", 5, 8, 2, 1L)
+    val kept = Tables.snapshot(spark, docs).select("id").as[Long].collect()
+    assert(kept.length == stored + 1,
+      s"over-cap re-crawl must drop every duplicate and keep the novel doc: ${kept.length}")
+    assert(kept.contains(99999L))
+  }
+
   test("dedup-ingest corpus probe: broadcast flip, In pushdown, no corpus Exchange") {
     // VERDICT r13's scale-killer: the old probe scanned AND shuffled the
     // whole bucket table every micro-batch. The rewritten probe must
