@@ -649,14 +649,17 @@ object Bench {
         // common case at scale. The COLD rep carries the one-time setup
         // (landing + fold + warm-ups) — read this entry's min/spread,
         // not its cold figure. The corpus is SYNTHETIC (8 md5 tokens per
-        // doc_id): the raw documents slice chain-collides under landing
-        // banding (5-char shingles, 8×2 bands) into <5 retained
-        // representatives, which left the r13 entry measuring connected
-        // -components job floor on a degenerate 272-doc chain EVERY rep
-        // instead of the probe path this canary exists to watch;
-        // distinct texts land ~all 1000 docs, so the probe faces a real
-        // stored bucket set and the re-crawl drops everything before
-        // components. Staging paths are covered transitively by the run
+        // doc_id): pre-r16 the raw documents slice chain-collided under
+        // unverified landing banding into <5 retained representatives
+        // (the very over-drop r16's exact-Jaccard verification fixed),
+        // and synthetic distinct texts keep the candidate volume
+        // deterministic either way; ~all 1000 docs land, so the probe
+        // faces a real stored bucket set. Since r16 each warm re-crawl
+        // rep deliberately INCLUDES the verification cost (candidate
+        // ts-slice fetch + shingle + exact-Jaccard join before the
+        // drop) — the honest steady-state price of verified semantics;
+        // the all-drop outcome still short-circuits the component
+        // machinery. Staging paths are covered transitively by the run
         // lease (a second bench run refuses at maintPath first).
         "q_dedup_ingest" -> {
           val dedupDoc = s"${System.getProperty("java.io.tmpdir")}/graft_bench_dedup_docs"

@@ -1193,43 +1193,61 @@ object FuzzGen {
     // measures 0.0 vs 2e-9, an infinite RELATIVE error the checker
     // rightly rejects (seeds 9115/9120/9151/9201/9215). The fixed
     // q_window_agg / q_cum_agg gates pin var/dev on raw data where the
-    // rendering is reproducible.
+    // rendering is reproducible. diff/trend carry a milder form of the
+    // same hazard: over an ACCUMULATED lane (a running sum/avg) adjacent
+    // values are near-equal, so the subtraction amplifies each engine's
+    // ulp-level accumulation-order difference into a relative mismatch
+    // (seed 9409: cum_avg → diff → 0.545898437 vs ...438). They are
+    // therefore drawn only while the lane is EXACT — raw values, or
+    // min/max/diff/trend outputs, where a difference is either material
+    // or exactly zero in BOTH engines.
+    var accumulated = false
     val nOps = 1 + rnd.nextInt(3)
     for (i <- 0 until nOps) {
-      val pick = rnd.nextInt(if (i == 0) 9 else 8) // norm only first (all-
-      // positive input guarantees a nonzero L2; later lanes can be all 0)
-      pick match {
-        case 0 =>
-          val n = 2 + rnd.nextInt(30)
-          addOp(s"cs_window_sum($n)", x => s"cs_window_sum($x, $n)",
-            s"sum($vIn) OVER ${w(n)}")
-        case 1 =>
-          val n = 2 + rnd.nextInt(30)
-          // FIXED divisor n, warm-up sums over the actual prefix
-          // (SeriesCalcFns ring buffer, func.c:1683)
-          addOp(s"cs_window_avg($n)", x => s"cs_window_avg($x, $n)",
-            s"sum($vIn) OVER ${w(n)} / $n")
-        case 2 =>
-          val n = 2 + rnd.nextInt(30)
-          val mm = if (rnd.nextBoolean()) "min" else "max"
-          addOp(s"cs_window_$mm($n)", x => s"cs_window_$mm($x, $n)",
-            s"$mm($vIn) OVER ${w(n)}")
-        case 3 =>
-          addOp("cs_cum_sum", x => s"cs_cum_sum($x)",
-            s"sum($vIn) OVER $cum")
-        case 4 =>
-          val op = if (rnd.nextBoolean()) "min" else "max"
-          addOp(s"cs_cum_$op", x => s"cs_cum_$op($x)",
-            s"$op($vIn) OVER $cum")
-        case 5 =>
-          addOp("cs_cum_avg", x => s"cs_cum_avg($x)",
-            s"sum($vIn) OVER $cum / (count(*) OVER $cum)")
-        case 6 =>
+      val pool = mutable.ArrayBuffer[() => Unit]()
+      pool += { () =>
+        val n = 2 + rnd.nextInt(30)
+        accumulated = true
+        addOp(s"cs_window_sum($n)", x => s"cs_window_sum($x, $n)",
+          s"sum($vIn) OVER ${w(n)}")
+      }
+      pool += { () =>
+        val n = 2 + rnd.nextInt(30)
+        // FIXED divisor n, warm-up sums over the actual prefix
+        // (SeriesCalcFns ring buffer, func.c:1683)
+        accumulated = true
+        addOp(s"cs_window_avg($n)", x => s"cs_window_avg($x, $n)",
+          s"sum($vIn) OVER ${w(n)} / $n")
+      }
+      pool += { () =>
+        val n = 2 + rnd.nextInt(30)
+        val mm = if (rnd.nextBoolean()) "min" else "max"
+        addOp(s"cs_window_$mm($n)", x => s"cs_window_$mm($x, $n)",
+          s"$mm($vIn) OVER ${w(n)}")
+      }
+      pool += { () =>
+        accumulated = true
+        addOp("cs_cum_sum", x => s"cs_cum_sum($x)",
+          s"sum($vIn) OVER $cum")
+      }
+      pool += { () =>
+        val op = if (rnd.nextBoolean()) "min" else "max"
+        addOp(s"cs_cum_$op", x => s"cs_cum_$op($x)",
+          s"$op($vIn) OVER $cum")
+      }
+      pool += { () =>
+        accumulated = true
+        addOp("cs_cum_avg", x => s"cs_cum_avg($x)",
+          s"sum($vIn) OVER $cum / (count(*) OVER $cum)")
+      }
+      if (!accumulated) {
+        pool += { () =>
           // first element is 0 (the reference's cs_diff warm-up,
           // q_cs_series's pinned rendering)
           addOp("cs_diff", x => s"cs_diff($x)",
             s"COALESCE($vIn - lag($vIn) OVER (${pb}ORDER BY ${q("ord")}), 0.0)")
-        case 7 =>
+        }
+        pool += { () =>
           // carried sign of the last non-zero delta, 0 until one exists
           depth += 1
           val sel0 = cols.map(q).mkString(", ")
@@ -1240,11 +1258,19 @@ object FuzzGen {
               s"IGNORE NULLS) OVER $cum, 0.0)")
           // wrapLane's projection already dropped __td (it selects cols +
           // the new lane only)
-        case _ =>
-          addOp("cs_norm", x => s"cs_norm($x)",
-            s"$vIn / sqrt(sum($vIn * $vIn) OVER " +
-              (if (keys.isEmpty) "()" else s"(PARTITION BY $kq)") + ")")
+        }
       }
+      if (i == 0) pool += { () =>
+        // norm only first: all-positive input guarantees a nonzero L2;
+        // later lanes can be all 0. The shared divisor keeps relative
+        // error flat, so the lane stays exact ENOUGH for min/max — but
+        // a later diff over it would cancel, so it counts as accumulated
+        accumulated = true
+        addOp("cs_norm", x => s"cs_norm($x)",
+          s"$vIn / sqrt(sum($vIn * $vIn) OVER " +
+            (if (keys.isEmpty) "()" else s"(PARTITION BY $kq)") + ")")
+      }
+      pool(rnd.nextInt(pool.size))()
     }
 
     // ---- assemble the cs-side SQL (runs on Spark via spark.sql) ---------

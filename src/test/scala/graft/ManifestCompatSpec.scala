@@ -24,4 +24,18 @@ class ManifestCompatSpec extends AnyFunSuite {
     val json = org.json4s.jackson.Serialization.write(m)
     assert(org.json4s.jackson.Serialization.read[TsManifest](json) == m)
   }
+
+  test("a pre-r16 entry without the rows field reads with rows=None; rows round-trip") {
+    // r16 added per-file footer row counts (metadata-only dedupStats);
+    // a pre-r16 manifest must parse with the empty default — a throw
+    // would silently un-govern every table written before the change
+    val old = """{"version":1,"ts":"ts","files":[{"name":"a","bytes":10,"minNs":1,"maxNs":2,"loaded":true}],"retired":[]}"""
+    val m = org.json4s.jackson.Serialization.read[TsManifest](old)
+    assert(m.files.head.rows.isEmpty)
+    val m2 = TsManifest(1, "ts",
+      Seq(TsFileEntry("a", 10L, Some(1L), Some(2L), loaded = true,
+        rows = Some(42L))))
+    val json = org.json4s.jackson.Serialization.write(m2)
+    assert(org.json4s.jackson.Serialization.read[TsManifest](json) == m2)
+  }
 }
