@@ -564,6 +564,14 @@ object Streams {
     * None for shapes with no exact ns reading — the caller then skips
     * the slice and reads the full snapshot (degraded, never wrong).
     */
+  /** Memoized bucket-table fp-layout answers, keyed by "<path>#<head
+    * file>" — data files are immutable and uniquely named, so the answer
+    * for a given key never changes; any maintenance that rewrites the
+    * layout changes the head name and re-detects naturally.
+    */
+  private val fpLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private def tsValueNs(v: Any): Option[Long] = v match {
     case l: java.lang.Long => Some(l.longValue)
     case t: java.sql.Timestamp =>
@@ -949,6 +957,23 @@ object Streams {
       // broadcasts back onto the batch
       val hp = new org.apache.hadoop.fs.Path(bucketPath)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // fp layout detection (one manifest read per batch; the footer
+      // schema memoizes on the IMMUTABLE head file — a fold/retention
+      // that renames files changes the head name and re-detects): does
+      // the bucket table's live generation carry the content-fingerprint
+      // column (tier-1 shortcut below)? A table with no live files yet
+      // is "new" — the prop decides its layout.
+      val liveHead =
+        if (fs.exists(hp))
+          graft.io.Tables.liveFileNames(spark, bucketPath).flatMap(_.headOption)
+        else None
+      val hasFp = liveHead.exists { n =>
+        fpLayoutCache.computeIfAbsent(s"$bucketPath#$n", (_: String) =>
+          java.lang.Boolean.valueOf(scala.util.Try(spark.read.parquet(
+            new org.apache.hadoop.fs.Path(bucketPath, n).toString)
+            .schema.fieldNames.contains("fp")).getOrElse(false)))
+          .booleanValue()
+      }
       val fresh =
         if (!fs.exists(hp)) batch
         else if (minJaccard <= 0) {
@@ -964,55 +989,78 @@ object Streams {
           f
         } else {
           // VERIFIED: the probe carries the stored id, so the hits ARE
-          // the candidate (batch-id, stored-id) pairs; candidates then
-          // verify with exact n-gram Jaccard against the candidates'
-          // stored TEXTS only — an isin-prunable doc-table read bounded
-          // by the collision count, the same candidate-pushdown shape as
-          // the embedding twin's exact-cosine verify
-          val storedHits = probeStoredBuckets(spark, bucketPath, bb,
-            Seq("band", "bucket", id, ts)).withColumnRenamed(id, "__oldId")
-              .withColumnRenamed(ts, "__oldTs")
+          // the candidate (batch-id, stored-id) pairs. Two-tier verify:
+          //  1. FINGERPRINT SHORTCUT — bucket rows written by this
+          //     version carry the stored doc's content fingerprint
+          //     (`fp`, the exact-dedup key), so a candidate whose batch
+          //     fingerprint MATCHES is an exact duplicate (jaccard 1 ≥
+          //     any sane threshold) and drops with ZERO doc-table I/O.
+          //     A re-crawl of identical pages — THE steady state when a
+          //     crawler revisits its corpus — never touches the doc
+          //     table at all. Tables written before fp existed take the
+          //     jaccard tier for everything (hasFp detection below).
+          //  2. EXACT JACCARD for the rest — fetched from the doc table
+          //     bounded in BOTH dimensions: the candidates' ts SPAN
+          //     file-prunes the read to the overlapping manifest slice
+          //     (the layout is ts-clustered, never id-clustered, so an
+          //     In alone cannot file-prune at 100 TB) and the id set
+          //     bounds the shingling (≤1000 ids: one collect serves
+          //     bounds + an isin with row-group pushdown, zero extra
+          //     jobs; above it: one tiny agg for the exact span + a
+          //     broadcast semi-join — a large re-crawl must not revert
+          //     to the O(corpus) scan+shingle, review r16).
+          val probeCols = Seq("band", "bucket", id, ts) ++
+            (if (hasFp) Seq("fp") else Nil)
+          val storedHits = probeStoredBuckets(spark, bucketPath, bb, probeCols)
+            .withColumnRenamed(id, "__oldId").withColumnRenamed(ts, "__oldTs")
+            .withColumnsRenamed(Map("fp" -> "__oldFp"))
+          val candCols = Seq(col(id), col("__oldId"), col("__oldTs")) ++
+            (if (hasFp) Seq(col("__oldFp")) else Nil)
           val cand = storedHits.join(broadcast(bb), Seq("band", "bucket"))
-            .select(col(id), col("__oldId"), col("__oldTs")).distinct()
+            .select(candCols: _*).distinct()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           candCached = Some(cand)
-          // the fetch is bounded in BOTH dimensions at ANY candidate
-          // count (review r16: a >1000-candidate re-crawl is the steady
-          // state, not an adversarial flood — it must not revert to the
-          // O(corpus) scan+shingle): the ts SPAN of the colliding docs
-          // (bucket rows carry the doc ts) comes from one tiny agg over
-          // the candidate frame and file-prunes the doc read to the
-          // overlapping manifest slice (the layout is ts-clustered,
-          // never id-clustered, so an In alone cannot file-prune at
-          // 100 TB); a broadcast semi-join then bounds the SHINGLING to
-          // the candidates themselves, and a ≤1000-id isin additionally
-          // pushes row-group pruning inside the kept files
-          // small projections over the PERSISTED cand (the verify join
-          // below reads it too — one probe evaluation serves all three)
-          val candOld = cand.select(col("__oldId"), col("__oldTs")).distinct()
-          val span = candOld
-            .agg(min(col("__oldTs")), max(col("__oldTs")), count(lit(1))).head()
-          val nCand = span.getLong(2)
-          val f = (if (nCand == 0L) batch
+          // tier 1: exact-duplicate ids (empty frame when fp is absent)
+          val exactIds =
+            if (hasFp && minJaccard <= 1.0)
+              cand.join(batch.select(col(id),
+                  graft.text.TextOps.fingerprint(col(text)).as("__bfp")),
+                  Seq(id))
+                .filter(col("__oldFp") === col("__bfp"))
+                .select(col(id)).distinct()
+            else cand.select(col(id)).limit(0)
+          // tier 2 operates on the pairs NOT already decided by tier 1
+          val rest = cand.join(exactIds, Seq(id), "left_anti")
+            .select(col("__oldId"), col("__oldTs")).distinct()
+          val candRows = rest.limit(1001).collect()
+          val f = (if (candRows.isEmpty)
+            batch.join(exactIds, Seq(id), "left_anti")
           else {
-            val bounds = for {
-              lo <- tsValueNs(span.get(0)); hi <- tsValueNs(span.get(1))
-            } yield (lo, hi)
+            val overCap = candRows.length > 1000
+            val bounds =
+              if (!overCap) {
+                val ns = candRows.flatMap(r => tsValueNs(r.get(1)))
+                if (ns.length == candRows.length) Some((ns.min, ns.max))
+                else None
+              } else {
+                // exact span needs ALL rows — one tiny agg over the
+                // persisted cand instead of an unbounded collect
+                val span = rest.agg(min(col("__oldTs")),
+                  max(col("__oldTs"))).head()
+                for { lo <- tsValueNs(span.get(0)); hi <- tsValueNs(span.get(1)) }
+                  yield (lo, hi)
+              }
             val oldDocs0 = bounds.map { case (lo, hi) =>
               graft.io.Tables.snapshotSliceNs(spark, docPath, lo, hi, ts)
             }.getOrElse(graft.io.Tables.snapshot(spark, docPath))
               .select(col(id).as("__oid"), col(text).as("__otxt"))
-            val candIds: Array[Any] =
-              if (nCand <= 1000L) candOld.select(col("__oldId"))
-                .collect().map(_.get(0))
-              else Array.empty
-            val sliced =
-              if (candIds.nonEmpty)
-                oldDocs0.filter(col("__oid").isin(candIds: _*))
-              else oldDocs0
-            val oldDocs = sliced.join(
-              broadcast(candOld.select(col("__oldId").as("__oid"))),
-              Seq("__oid"), "left_semi")
+            val oldDocs =
+              if (!overCap)
+                oldDocs0.filter(col("__oid")
+                  .isin(candRows.map(_.get(0)).distinct: _*))
+              else oldDocs0.join(
+                broadcast(rest.select(col("__oldId").as("__oid"))),
+                Seq("__oid"), "left_semi")
             // shingle only the colliding stored docs (∝ candidates); the
             // intersect arithmetic is verifyJaccard's, inlined because
             // the two sides come from different frames
@@ -1028,7 +1076,8 @@ object Streams {
                 (size(col("sh")) + size(col("__osh")) - col("__inter"))
                 >= minJaccard)
               .select(col(id)).distinct()
-            batch.join(hit, Seq(id), "left_anti")
+            batch.join(hit.unionByName(exactIds).distinct(), Seq(id),
+              "left_anti")
           }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           freshCached = Some(f)
           f
@@ -1064,9 +1113,24 @@ object Streams {
       // note); distinct stream ids keep the two commit logs separate
       graft.io.Tables.appendStreamBatch(survivors, docPath, ts,
         streamKey + "#docs", batchId)
-      val bucketRows = bb
+      // bucket rows carry the doc's content FINGERPRINT so future
+      // batches' exact-duplicate candidates drop at the probe with zero
+      // doc-table I/O (the verified path's tier 1). New tables always
+      // write it; a table created before fp existed keeps its 4-column
+      // schema (appending a wider frame would tear the layout) and its
+      // probes stay on the jaccard tier. `graft.dedup.fp.enabled=false`
+      // pins the legacy layout for tests and operators.
+      val writeFp = sys.props.get("graft.dedup.fp.enabled")
+        .forall(_ != "false") && (liveHead.isEmpty || hasFp)
+      val bucketRows0 = bb
         .join(survivors.select(col(id), col(ts)), Seq(id))
-        .select(col(id), col("band"), col("bucket"), col(ts))
+      val bucketRows =
+        if (writeFp) bucketRows0
+          .join(batch.select(col(id),
+            graft.text.TextOps.fingerprint(col(text)).as("fp")), Seq(id))
+          .select(col(id), col("band"), col("bucket"), col(ts), col("fp"))
+        else bucketRows0
+          .select(col(id), col("band"), col("bucket"), col(ts))
       // sidecar BEFORE the bucket append: a crash between the two leaves
       // the bloom a superset of the stored table — the invariant the
       // probe's correctness contract rests on (see DedupBloom); a

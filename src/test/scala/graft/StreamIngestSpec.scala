@@ -302,31 +302,90 @@ class StreamIngestSpec extends AnyFunSuite {
 
   test("verified landing above the isin cap: the semi-join fetch still drops exactly") {
     // review r16: >1000 distinct candidates is the re-crawl steady
-    // state — the fetch must stay candidate-bounded (ts-slice +
+    // state — the jaccard tier must stay candidate-bounded (ts-slice +
     // broadcast semi-join) rather than revert to the O(corpus)
     // scan+shingle, and the drop decision must be identical to the
-    // under-cap path. 1200 stored docs, all re-crawled → 1200
-    // candidates (> the 1000-id isin cap) → every re-crawl drops; a
-    // fresh doc in the same batch survives.
+    // under-cap path. 1200 stored docs, all re-crawled as NEAR-dups
+    // (one token changed — different fingerprint, so the tier-1 exact
+    // shortcut cannot decide them and all 1200 reach the jaccard
+    // fetch) → every re-crawl drops; a fresh doc in the same batch
+    // survives.
     val docs = tmpDir("bigdoc") + "/docs.parquet"
     val buckets = tmpDir("bigbkt") + "/buckets.parquet"
-    def text(i: Int): String = (0 until 12).map(w => s"g${w}h$i").mkString(" ")
+    // hashed 16-hex tokens: essentially no shared shingles ACROSS docs
+    // (digit-pattern tokens like g0h111/g0h1118 made ~50 accidental
+    // in-batch near-dups, whose re-crawl variants then legitimately
+    // survived against the cluster winners and broke the count oracle)
+    def tok(i: Int, w: Int): String =
+      java.lang.Long.toHexString(i * 1099511628211L + w * 2654435761L)
+    def text(i: Int): String = (0 until 12).map(w => tok(i, w)).mkString(" ")
+    def near(i: Int): String = ((0 until 11).map(w => tok(i, w)) :+
+      s"zz${i}q").mkString(" ")
     val n = 1200
     Streams.dedupIngestBatch(
       (0 until n).map(i => (i.toLong, 100L + i, text(i)))
         .toDF("id", "ts", "text"),
       docs, buckets, "ts", "ck-big", "id", "text", 5, 8, 2, 0L)
     val stored = Tables.snapshot(spark, docs).count()
-    assert(stored > 1000, s"need an over-cap corpus: $stored")
-    val recrawl = (0 until n).map(i => (10000L + i, 5000L + i, text(i))) ++
+    assert(stored == n, s"precondition: the corpus must be collision-free: $stored")
+    val recrawl = (0 until n).map(i => (10000L + i, 5000L + i, near(i))) ++
       Seq((99999L, 9000L, "a genuinely novel document about parquet " +
         "footer statistics and manifest sidecar pruning at scale"))
     Streams.dedupIngestBatch(recrawl.toDF("id", "ts", "text"),
       docs, buckets, "ts", "ck-big", "id", "text", 5, 8, 2, 1L)
     val kept = Tables.snapshot(spark, docs).select("id").as[Long].collect()
     assert(kept.length == stored + 1,
-      s"over-cap re-crawl must drop every duplicate and keep the novel doc: ${kept.length}")
+      s"over-cap re-crawl must drop every near-dup and keep the novel doc: ${kept.length}")
     assert(kept.contains(99999L))
+  }
+
+  test("fingerprint tier: exact re-crawls drop via bucket rows; legacy layout stays on jaccard") {
+    // r16 tier 1: bucket rows carry the content fingerprint, so an
+    // exact-duplicate candidate is decided at the probe (the shortcut
+    // can only agree with the jaccard tier — fp equality means
+    // identical normalized text, j = 1 — so the pin here is the
+    // LAYOUT contract: fp written on new tables, propagated through
+    // fold/retention, and a bucket table CREATED without fp — the
+    // pre-fp layout, pinned by graft.dedup.fp.enabled=false — keeps
+    // its 4-column schema on later appends and still drops through
+    // the jaccard tier; the zero-doc-I/O effect is the bench entry's
+    // measured claim).
+    def text(i: Int): String = (0 until 12).map(w => s"f${w}p$i").mkString(" ")
+    def run(docs: String, buckets: String, bid: Long,
+            rows: Seq[(Long, Long, String)]): Unit =
+      Streams.dedupIngestBatch(rows.toDF("id", "ts", "text"), docs, buckets,
+        "ts", "ck-fpt", "id", "text", 5, 8, 2, bid)
+    // --- fp layout: written at creation, exact re-crawl drops ---
+    val docs = tmpDir("fptdoc") + "/docs.parquet"
+    val buckets = tmpDir("fptbkt") + "/buckets.parquet"
+    run(docs, buckets, 0L, (0 until 30).map(i => (i.toLong, 100L + i, text(i))))
+    assert(Tables.snapshot(spark, buckets).columns.contains("fp"),
+      "new bucket tables must carry the fingerprint column")
+    run(docs, buckets, 1L,
+      (0 until 30).map(i => (1000L + i, 500L + i, text(i))))
+    assert(Tables.snapshot(spark, docs).count() == 30,
+      "exact re-crawl must drop every duplicate via the fingerprint tier")
+    // the fold preserves the layout (fp survives the rewrite)
+    Tables.compactIncremental(spark, buckets, Seq("band", "bucket"), "ts")
+    assert(Tables.snapshot(spark, buckets).columns.contains("fp"),
+      "the fold must carry the fingerprint column through")
+    // --- legacy layout: no fp column, jaccard tier still correct ---
+    val docsL = tmpDir("fpldoc") + "/docs.parquet"
+    val bucketsL = tmpDir("fplbkt") + "/buckets.parquet"
+    sys.props("graft.dedup.fp.enabled") = "false"
+    try run(docsL, bucketsL, 0L,
+      (0 until 30).map(i => (i.toLong, 100L + i, text(i))))
+    finally sys.props.remove("graft.dedup.fp.enabled")
+    assert(!Tables.snapshot(spark, bucketsL).columns.contains("fp"),
+      "fp.enabled=false must pin the pre-fp 4-column layout")
+    // later batches (prop back at default) must keep the legacy schema
+    // and drop exact re-crawls through the jaccard tier
+    run(docsL, bucketsL, 1L,
+      (0 until 30).map(i => (1000L + i, 500L + i, text(i))))
+    assert(!Tables.snapshot(spark, bucketsL).columns.contains("fp"),
+      "appends must match the table's existing layout")
+    assert(Tables.snapshot(spark, docsL).count() == 30,
+      "legacy layout still drops exact re-crawls (jaccard tier)")
   }
 
   test("dedup-ingest corpus probe: broadcast flip, In pushdown, no corpus Exchange") {
