@@ -627,13 +627,23 @@ object Tables {
     * per-file structure builders (e.g. [[graft.streaming.FileBlooms]]) to
     * size a sketch without paying a Spark count job per file.
     */
+  /** Test-visible tally of driver-side footer opens on the ROW-COUNT
+    * fallback path — how TablesSpec asserts the rows backfill actually
+    * eliminated the per-poll footer pass (a filesystem-level witness the
+    * Spark job listener cannot see).
+    */
+  private[graft] val footerRowCountOpens =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def footerRowCount(
-      conf: org.apache.hadoop.conf.Configuration, p: Path): Option[Long] =
+      conf: org.apache.hadoop.conf.Configuration, p: Path): Option[Long] = {
+    footerRowCountOpens.incrementAndGet()
     scala.util.Try {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
       try reader.getRecordCount finally reader.close()
     }.toOption
+  }
 
   /** A governed table's LIVE row count from METADATA only — the
     * consistency-checked manifest file list plus one parquet footer open
@@ -658,11 +668,51 @@ object Tables {
       // whole answer to None (the caller's scan fallback)
       import scala.collection.parallel.CollectionConverters._
       val counts = m.files.par
-        .map(e => e.rows.orElse(footerRowCount(conf, new Path(hp, e.name))))
+        .map(e => e.name ->
+          e.rows.orElse(footerRowCount(conf, new Path(hp, e.name))))
         .seq
-      if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+      if (counts.exists(_._2.isEmpty)) None
+      else {
+        // opportunistic rows BACKFILL (VERDICT r16 item 3): the footer
+        // pass just paid for the counts a pre-r16 manifest lacks — write
+        // them back so a long-lived table pays the O(files) pass ONCE,
+        // not on every health-check poll. Best-effort and non-blocking:
+        // a held lease (live stream mid-batch) skips the backfill — the
+        // next poll retries; a read path must never queue behind writers.
+        if (m.files.exists(_.rows.isEmpty))
+          backfillManifestRows(fs, hp, counts.toMap)
+        Some(counts.flatMap(_._2).sum)
+      }
     }
   }
+
+  /** Patch footer row counts into manifest entries that lack them, under
+    * the writer lease (atomic install; entries matched by NAME — data
+    * files are immutable and uniquely named, so a count read from a
+    * file's footer is valid for that entry whenever it still appears).
+    * The manifest is RE-READ under the lease: concurrent maintenance may
+    * have moved it since the caller's view, and only still-present
+    * row-less entries are touched. Failures (lease contention included)
+    * are swallowed — the backfill is an accelerator, never a gate.
+    */
+  private def backfillManifestRows(fs: FileSystem, hp: Path,
+                                   rows: Map[String, Option[Long]]): Unit =
+    scala.util.Try {
+      withWriterLease(fs, hp, "manifestRowsBackfill") {
+        readManifest(fs, hp).foreach { cur =>
+          val patched = cur.files.map(e =>
+            if (e.rows.isEmpty) rows.get(e.name).flatten
+              .map(r => e.copy(rows = Some(r))).getOrElse(e)
+            else e)
+          if (patched != cur.files)
+            writeManifestFile(fs, hp, cur.copy(files = patched))
+        }
+      }
+    }.failed.foreach {
+      case _: LeaseContentionException => () // a writer is live — next poll
+      case e => System.err.println(
+        s"[tables] manifest rows backfill skipped for $hp: ${e.getMessage}")
+    }
 
   /** A manifest-FILE-pruned snapshot slice over [fromNs, tillNs] of a
     * governed table — the dedup verify's candidate-window read: the

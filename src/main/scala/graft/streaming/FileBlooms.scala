@@ -116,6 +116,20 @@ private[graft] object FileBlooms {
   private val negCache =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Memoized PERMANENT build skips: data files whose predicted bloom
+    * exceeds the cache cap, keyed by qualified data-file path → predicted
+    * bytes (ADVICE r16: without this every sync re-enters the file in
+    * `missing`, re-opens its footer, and re-prints the skip warning —
+    * per-batch driver RPC and log noise growing with the over-cap file
+    * count). The PREDICTED size is stored, not a boolean, so an operator
+    * raising `graft.dedup.fbloom.cache.mb` mid-run un-skips files the new
+    * cap can hold. Unlike negCache this survives [[sync]] (the skip is a
+    * property of the immutable file, not of sidecar presence); cleared by
+    * [[clearCache]].
+    */
+  private val skipCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def cacheGet(key: String): Option[BloomFilter] =
     cache.synchronized(Option(cache.get(key)).map(_._2))
 
@@ -133,6 +147,7 @@ private[graft] object FileBlooms {
   private[graft] def clearCache(): Unit = {
     cache.synchronized { cache.clear(); cachedBytes = 0L }
     negCache.clear()
+    skipCache.clear()
     rangesCache.synchronized(rangesCache.clear())
   }
 
@@ -264,7 +279,12 @@ private[graft] object FileBlooms {
           .filter(n => n.endsWith(".bloom") && !n.startsWith(".")).toSet
       else Set.empty
     val liveSet = live.toSet
-    val missing = live.filterNot(n => existing(n + ".bloom"))
+    // a memoized over-cap skip only holds while the CURRENT cap still
+    // can't fit the predicted bloom — a raised cap re-admits the file
+    def skipped(n: String): Boolean =
+      Option(skipCache.get(fs.makeQualified(new Path(hp, n)).toString))
+        .exists(_.longValue > cacheCapBytes)
+    val missing = live.filterNot(n => existing(n + ".bloom") || skipped(n))
     val prevRanges = loadRanges(fs, dir)
     val rangeMissing = live.filterNot(prevRanges.contains)
     if ((missing.nonEmpty || rangeMissing.nonEmpty) && !fs.exists(dir)) {
@@ -300,11 +320,15 @@ private[graft] object FileBlooms {
           // size from the footer's row count (already read above) instead
           // of a Spark count job — halves the build I/O
           val rows = footerFor.get(n).flatMap(_._2).getOrElse(df.count())
-          if (predictedBloomBytes(rows) > cacheCapBytes)
+          if (predictedBloomBytes(rows) > cacheCapBytes) {
+            // memoize the skip (ADVICE r16): later syncs drop the file
+            // from `missing` without re-opening its footer or re-warning
+            skipCache.put(fs.makeQualified(fp).toString,
+              java.lang.Long.valueOf(predictedBloomBytes(rows)))
             System.err.println(s"[fblooms] bloom skipped for $n: predicted " +
               s"size exceeds the ${cacheCapBytes / 1024 / 1024} MB cache " +
               "cap (file stays range-pruned only)")
-          else {
+          } else {
             val bf = df.stat.bloomFilter(valueCol, math.max(64L, rows), fpp)
             write(fs, new Path(dir, n + ".bloom"), bf)
           }

@@ -51,6 +51,56 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.contendedRun(boxBusy = false, clean :+ q("c", 0.8, 4.0)))
   }
 
+  test("maintenance witnesses: scaled thresholds catch the r16 contamination") {
+    // VERDICT r16 wrong #1, verbatim from the shipped record: these
+    // shipped as "clean" because maintenance entries sat outside every
+    // witness. The scaled witness must flag all three.
+    assert(Bench.maintNoisyWitness(minT = 2.420, spread = 3.980)) // q_compact_bucketed
+    assert(Bench.maintNoisyWitness(minT = 3.529, spread = 7.714)) // q_dedup_ingest
+    assert(Bench.maintNoisyWitness(minT = 0.629, spread = 3.302)) // q_delete_range
+    // clean-round maintenance variance stays under it (r15: 0.553 ± 0.022;
+    // measured write-cache wobble up to ~0.45 s on a 1.5 s entry is fine)
+    assert(!Bench.maintNoisyWitness(minT = 0.553, spread = 0.022))
+    assert(!Bench.maintNoisyWitness(minT = 1.5, spread = 0.45))
+    // the extreme form needs the spread to exceed BOTH 0.5 s and the min —
+    // "a spread > min is never GC" at maintenance scale
+    assert(Bench.maintExtremeWitness(minT = 2.420, spread = 3.980))
+    assert(!Bench.maintExtremeWitness(minT = 2.0, spread = 1.6)) // big but < min
+    assert(!Bench.maintExtremeWitness(minT = 0.3, spread = 0.4)) // > min but small
+  }
+
+  private def m(name: String, minT: Double, spread: Double) =
+    Bench.QRes(name, minT, spread, cold = minT, failed = false,
+      warm = Seq(minT, minT + spread), maint = true, nreps = 7)
+
+  test("maintContendedRun: noisy pattern, one extreme, or mid-run canary drift") {
+    val clean = Seq(m("c1", 0.6, 0.1), m("c2", 1.5, 0.3), m("c3", 2.5, 0.4))
+    assert(!Bench.maintContendedRun(0.08, 0.09, clean))
+    // one extreme burst disqualifies alone (the r16 record had three)
+    assert(Bench.maintContendedRun(0.08, 0.09, clean :+ m("x", 2.42, 3.98)))
+    // a pattern of two noisy-but-not-extreme entries disqualifies
+    assert(Bench.maintContendedRun(0.08, 0.09,
+      clean ++ Seq(m("n1", 2.0, 1.6), m("n2", 3.0, 2.4))))
+    // the canary RE-MEASURED between phases catches a tenant arriving
+    // after the scans even when every maintenance spread squeaks under
+    assert(Bench.maintContendedRun(0.08, 0.25, clean))
+    assert(!Bench.maintContendedRun(0.08, 0.11, clean)) // ~floor wobble
+    // a phase that never ran (no canary) can't disqualify
+    assert(!Bench.maintContendedRun(0.08, -1.0, clean))
+  }
+
+  test("canary_maint_sec rides the record when the maintenance phase ran") {
+    val rs = Seq(q("a", 0.2, 0.02))
+    val withM = Bench.renderJson(rs, 7, 1.0, Seq(1, 1, 1), Seq(1, 1, 1),
+      contended = false, noisy = Seq(), "/sf", 1, None,
+      canarySec = 0.08, canaryMaintSec = 0.092)
+    assert(withM.contains("\"canary_maint_sec\":0.092"), withM)
+    val without = Bench.renderJson(rs, 7, 1.0, Seq(1, 1, 1), Seq(1, 1, 1),
+      contended = false, noisy = Seq(), "/sf", 1, None, canarySec = 0.08)
+    assert(!without.contains("canary_maint_sec"))
+    assert(withM.count(_ == '{') == withM.count(_ == '}'))
+  }
+
   test("waitForIdle polls until idle, gives up after the bounded wait") {
     var calls = 0
     val loads = Seq(5.0, 3.0, 0.4)
@@ -124,11 +174,12 @@ class BenchSpec extends AnyFunSuite {
     assert(s.contains("\"failed\":[\"fail\"]"))
   }
 
-  test("maintenance ops stay out of the headline total (they're also exempt from noisy)") {
+  test("maintenance ops stay out of the headline total (scan-witness exempt, own witnesses)") {
     // maintenance reps do real filesystem writes and are excluded from the
-    // contention witnesses — letting their variance into `value` would
-    // leak exactly what the exemption keeps out of the clean/dirty call,
-    // and would break round-over-round comparison with pre-maint records
+    // SCAN-calibrated contention witnesses (they get maintNoisyWitness /
+    // maintContendedRun instead, r17) — letting their variance into
+    // `value` would break round-over-round comparison with pre-maint
+    // records
     val rs = Seq(q("a", 0.2, 0.02), q("b", 0.5, 0.05),
       Bench.QRes("m", 0.9, 0.4, 1.0, failed = false, warm = Seq(0.9, 1.3), maint = true))
     val s = Bench.renderJson(rs, 7, 1.0, Seq(1, 1, 1), Seq(1, 1, 1),

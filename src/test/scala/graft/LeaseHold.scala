@@ -8,6 +8,28 @@ package graft
   * cross-process test exists to prove.
   */
 object LeaseHold {
+
+  /** Hold the writer lease on `dir` from ANOTHER THREAD for the duration
+    * of `body` — the in-process way to present a FOREIGN (non-re-entrant)
+    * lease to the code under test (the lease is thread-re-entrant, so
+    * holding it on the test's own thread wouldn't contend).
+    */
+  def whileHeld[T](fs: org.apache.hadoop.fs.FileSystem,
+                   dir: org.apache.hadoop.fs.Path, op: String)(body: => T): T = {
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      graft.io.Tables.withWriterLease(fs, dir, op) {
+        started.countDown()
+        release.await()
+      }
+    }, "lease-hold-test")
+    holder.setDaemon(true)
+    holder.start()
+    started.await()
+    try body finally { release.countDown(); holder.join() }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = new org.apache.hadoop.fs.Path(args(0))
     val holdMs = args(1).toLong

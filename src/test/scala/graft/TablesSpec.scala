@@ -2012,4 +2012,74 @@ class TablesSpec extends AnyFunSuite {
     assert(n == 1L + successes.get, s"count $n after the race: ${state()}")
     assert(!leaseFile.exists, s"no lease left behind after the race: ${state()}")
   }
+
+  test("metadataRowCount backfills pre-r16 manifests: the footer pass is paid once") {
+    // VERDICT r16 item 3: a manifest written before row counts existed
+    // made every metadataRowCount poll pay one footer open per live file
+    // — the fallback pass must WRITE BACK what it just paid for (under
+    // the writer lease, atomic install) so the second poll is pure
+    // manifest arithmetic.
+    val path = tmp("rowsbf")
+    Tables.load(Seq((1L, 1.0), (5L, 2.0), (9L, 3.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    Tables.append(Seq((12L, 4.0), (15L, 5.0)).toDF("ts", "v"), path, "ts",
+      lit(9L))
+    val m0 = Tables.manifest(spark, path).get
+    assert(m0.files.size >= 2, "need a multi-file table")
+    assert(m0.files.forall(_.rows.isDefined), "write paths record rows")
+    // simulate the pre-r16 manifest: strip every rows field
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Tables.writeSmallFileAtomic(fs,
+      new org.apache.hadoop.fs.Path(hp, "_graft_manifest.json"),
+      org.json4s.jackson.Serialization.write(
+        m0.copy(files = m0.files.map(_.copy(rows = None)))))
+    assert(Tables.manifest(spark, path).exists(_.files.forall(_.rows.isEmpty)))
+    // first poll: pays exactly one footer open per live file, answers
+    // correctly, and backfills the manifest
+    val c0 = Tables.footerRowCountOpens.get()
+    assert(Tables.metadataRowCount(spark, path).contains(5L))
+    assert(Tables.footerRowCountOpens.get() - c0 == m0.files.size.toLong,
+      "fallback pass must open each live file's footer exactly once")
+    assert(Tables.manifest(spark, path).exists(_.files.forall(_.rows.isDefined)),
+      "the paid-for counts must be written back into the manifest")
+    // second poll: ZERO footer opens — manifest arithmetic only
+    val c1 = Tables.footerRowCountOpens.get()
+    assert(Tables.metadataRowCount(spark, path).contains(5L))
+    assert(Tables.footerRowCountOpens.get() == c1,
+      "a backfilled manifest must serve row counts with zero footer opens")
+    // and the backfill touched nothing else (ts stats, retired set intact)
+    val m1 = Tables.manifest(spark, path).get
+    assert(m1.files.map(e => (e.name, e.bytes, e.minNs, e.maxNs, e.loaded)) ==
+      m0.files.map(e => (e.name, e.bytes, e.minNs, e.maxNs, e.loaded)))
+    assert(m1.retired == m0.retired)
+  }
+
+  test("metadataRowCount backfill stands down on a held writer lease (non-blocking read)") {
+    // the backfill is opportunistic: a live stream holding the lease must
+    // not make a health-check poll queue or fail — the poll still answers
+    // (footer fallback), the manifest stays un-backfilled for next time
+    val path = tmp("rowsbf2")
+    Tables.load(Seq((1L, 1.0), (5L, 2.0)).toDF("ts", "v"), path, Seq(), "ts")
+    val m0 = Tables.manifest(spark, path).get
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Tables.writeSmallFileAtomic(fs,
+      new org.apache.hadoop.fs.Path(hp, "_graft_manifest.json"),
+      org.json4s.jackson.Serialization.write(
+        m0.copy(files = m0.files.map(_.copy(rows = None)))))
+    // hold the lease from ANOTHER thread (the lease is thread-re-entrant,
+    // so holding it from this thread would let the backfill ride along)
+    LeaseHold.whileHeld(fs, hp, "foreign-writer") {
+      assert(Tables.metadataRowCount(spark, path).contains(2L),
+        "the poll itself must still answer under a foreign lease")
+      assert(Tables.manifest(spark, path).exists(_.files.forall(_.rows.isEmpty)),
+        "the backfill must stand down, not queue, under a foreign lease")
+    }
+    // lease released: the next poll backfills
+    assert(Tables.metadataRowCount(spark, path).contains(2L))
+    assert(Tables.manifest(spark, path).exists(_.files.forall(_.rows.isDefined)))
+  }
 }
