@@ -248,7 +248,9 @@ object FuzzGen {
 
   def gen(seed: Long, baseOverride: Option[String] = None): FuzzProgram = {
     // BASE=cs routes the whole seed to the cs_* SQL-surface grammar
-    // (its own draw stream — row-grammar seed replays are unaffected)
+    // (its own draw stream — row-grammar seed replays are unaffected);
+    // BASE=csalign forces the align leg for every seed (replay + soak)
+    if (baseOverride.contains("csalign")) return genCsAlign(seed)
     if (baseOverride.contains("cs")) return genCs(seed)
     val rnd = new Random(seed)
     // Base chosen by seed arithmetic, NOT an rnd draw: events-based
@@ -1122,6 +1124,12 @@ object FuzzGen {
     * fixed q_cs_* gates spot-check.
     */
   def genCs(seed: Long): FuzzProgram = {
+    // a quarter of the cs leg routes to the ALIGN grammar (VERDICT r16
+    // item 4: cs_asof_join / cs_join / cs_stretch / cs_stretch0 — the
+    // hardest semantics in the surface — were fixed-gate-only). Seed
+    // arithmetic, not an rnd draw, so the other seeds' draw streams are
+    // untouched.
+    if (seed % 4 == 1) return genCsAlign(seed)
     val rnd = new Random(seed)
     val base: FuzzBase =
       if (seed % 3 == 2) lineitemBase(seed) else eventsBase
@@ -1339,6 +1347,191 @@ object FuzzGen {
         sql = s"SELECT row_number() OVER (ORDER BY $vIn $ord) - 1 AS i, " +
           s"$vIn AS v FROM ($sql) k$depth ORDER BY $vIn $ord LIMIT $k"
         desc ++= s" | $fn($k)"
+    }
+
+    val run = (spark: SparkSession, sfDir: String) => {
+      graft.sqlext.GraftFunctions.register(spark)
+      base.srcSpark(spark, sfDir).createOrReplaceTempView(view)
+      spark.sql(csSql)
+    }
+    FuzzProgram(seed, desc.result(), run, sql)
+  }
+
+  /** The ALIGN leg of the cs_* grammar (VERDICT r16 item 4): two per-key
+    * sorted series — a LEFT timestamp series and a RIGHT (ts, value)
+    * series, split deterministically by event_id parity and deduped per
+    * (key, ts) so ties can never flip a pick — aligned by a randomly
+    * drawn member of the cs align family (cs_asof_join(_pos) — NEAREST
+    * ts, equidistant ties to the earlier element; cs_join(_pos) — exact
+    * one-to-one matches; cs_stretch — first right ts strictly greater,
+    * filler when exhausted; cs_stretch0 — the merged ts union). The
+    * DuckDB twin renders each op's documented contract directly
+    * (list-function nearest pick, inner join on ts, list_filter stretch,
+    * FULL JOIN union) — the same formulas the fixed q_cs_asof_nearest /
+    * q_cs_stretch0 gates pin, here exercised across random keys, bases,
+    * pre-filters and slice lengths.
+    */
+  def genCsAlign(seed: Long): FuzzProgram = {
+    val rnd = new Random(seed)
+    val base: FuzzBase =
+      if (seed % 3 == 2) lineitemBase(seed) else eventsBase
+    val keys: Seq[String] = rnd.nextInt(3) match {
+      case 0 => Seq()
+      case 1 => Seq("user_id")
+      case _ => Seq("event_type")
+    }
+    val headN = 256 + rnd.nextInt(1024)
+    val kq = keys.map(q).mkString(", ")
+    val kPrefix = if (keys.isEmpty) "" else kq + ", "
+    val kCs = if (keys.isEmpty) "" else keys.mkString(", ") + ", "
+    val pb = if (keys.isEmpty) "" else s"PARTITION BY $kq "
+    val grpD = if (keys.isEmpty) "" else s" GROUP BY $kq"
+    val grpS = if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}"
+    val desc = new StringBuilder(s"csalign base=${base.label} " +
+      s"keys=${if (keys.isEmpty) "<none>" else keys.mkString(",")} head=$headN")
+    val pre: Option[String] = rnd.nextInt(3) match {
+      case 0 => None
+      case 1 =>
+        val c = math.rint((rnd.nextDouble() * base.valSpan + base.valLo) * 100) / 100
+        desc ++= s" | pre(value>$c)"
+        Some(s""""value" > $c""")
+      case _ =>
+        val m = Vector(3, 5, 11)(rnd.nextInt(3)); val r = rnd.nextInt(m)
+        desc ++= s" | pre(id%$m<>$r)"
+        Some(s"event_id % $m <> $r")
+    }
+    def whereD(extra: String) =
+      "WHERE " + pre.map(p => s"($p) AND ").getOrElse("") + extra
+    def whereS(extra: String) =
+      "WHERE " + pre.map(p => s"(${p.replace("\"", "`")}) AND ").getOrElse("") + extra
+    val filler = Vector(-1.0, 0.0)(rnd.nextInt(2))
+    val op = Vector("asof_join", "asof_join_pos", "join", "join_pos",
+      "stretch", "stretch0")(rnd.nextInt(6))
+    // exact-match ops need exact-match OPPORTUNITIES: events ts is
+    // µs-resolution, so the parity-split halves would share ~no exact
+    // timestamps and cs_join would diff vacuously-empty results forever —
+    // coarsen ts to a seeded grid (the base's tolerance menu) for the
+    // join pair, rendered identically on both sides
+    val joinOp = op == "join" || op == "join_pos"
+    val quant = if (joinOp) Some(base.tols(rnd.nextInt(base.tols.size))) else None
+    val tsD = quant.map(qt => s"(ts // $qt) * $qt").getOrElse("ts")
+    val tsS = quant.map(qt => s"(ts div $qt) * $qt").getOrElse("ts")
+    desc ++= s" | cs_$op${if (op.startsWith("stretch")) s"($filler)" else ""}" +
+      quant.map(qt => s" quant=$qt").getOrElse("")
+
+    // ---- DuckDB twin: row/list CTEs over the same split ------------------
+    // l = left ts set (deduped, sliced to the first headN per key);
+    // r = right (ts, v) rows; ra = r packed into per-key sorted lists
+    val duckPrefix =
+      s"""WITH l0 AS (SELECT ${kPrefix}$tsD AS ts FROM (${base.srcSql}) b0
+           ${whereD("event_id % 2 = 0")} GROUP BY ${kPrefix}$tsD),
+         lr AS (SELECT ${kPrefix}ts, row_number() OVER (${pb}ORDER BY ts) AS rn FROM l0),
+         l AS (SELECT * FROM lr WHERE rn <= $headN),
+         r0 AS (SELECT ${kPrefix}$tsD AS ts, max("value") AS v FROM (${base.srcSql}) b1
+           ${whereD("""event_id % 2 = 1 AND "value" IS NOT NULL""")} GROUP BY ${kPrefix}$tsD),
+         rr AS (SELECT ${kPrefix}ts, v, row_number() OVER (${pb}ORDER BY ts) AS rn FROM r0),
+         r AS (SELECT * FROM rr WHERE rn <= $headN),
+         ra AS (SELECT ${kPrefix}list(ts ORDER BY ts) AS rts, list(v ORDER BY ts) AS rvs
+                FROM r$grpD)"""
+    val joinRaD =
+      if (keys.isEmpty) "l CROSS JOIN ra" else s"l JOIN ra USING ($kq)"
+    def keyEqD(a: String, b: String) =
+      keys.map(k => s""" AND $a.${q(k)} = $b.${q(k)}""").mkString
+    // nearest pick, rendered once (the q_cs_asof_nearest formula)
+    val deltas = s"list_transform(ra.rts, x -> abs(x - l.ts))"
+    val nearPos1 = s"list_position($deltas, list_min($deltas))" // 1-based
+    val sql = op match {
+      case "asof_join" =>
+        s"""$duckPrefix
+           SELECT ${kPrefix}CAST(l.rn - 1 AS BIGINT) AS i,
+                  ra.rvs[$nearPos1] AS val
+           FROM $joinRaD"""
+      case "asof_join_pos" =>
+        s"""$duckPrefix
+           SELECT ${kPrefix}CAST(l.rn - 1 AS BIGINT) AS i,
+                  CAST($nearPos1 - 1 AS BIGINT) AS p
+           FROM $joinRaD"""
+      case "join" =>
+        val pbL = if (keys.isEmpty) ""
+          else s"PARTITION BY ${keys.map(k => s"l.${q(k)}").mkString(", ")} "
+        s"""$duckPrefix
+           SELECT ${keys.map(k => s"l.${q(k)}, ").mkString}
+                  CAST(row_number() OVER (${pbL}ORDER BY l.ts) - 1 AS BIGINT) AS i,
+                  r.v AS val
+           FROM l JOIN r ON l.ts = r.ts${keyEqD("l", "r")}"""
+      case "join_pos" =>
+        val pbL = if (keys.isEmpty) ""
+          else s"PARTITION BY ${keys.map(k => s"l.${q(k)}").mkString(", ")} "
+        s"""$duckPrefix
+           SELECT ${keys.map(k => s"l.${q(k)}, ").mkString}
+                  CAST(row_number() OVER (${pbL}ORDER BY l.ts) - 1 AS BIGINT) AS i,
+                  CAST(r.rn - 1 AS BIGINT) AS p
+           FROM l JOIN r ON l.ts = r.ts${keyEqD("l", "r")}"""
+      case "stretch" =>
+        s"""$duckPrefix
+           SELECT ${kPrefix}CAST(l.rn - 1 AS BIGINT) AS i,
+                  CASE WHEN len(list_filter(ra.rts, x -> x > l.ts)) = 0 THEN $filler
+                       ELSE ra.rvs[len(ra.rts) - len(list_filter(ra.rts, x -> x > l.ts)) + 1]
+                  END AS val
+           FROM $joinRaD"""
+      case _ => // stretch0: the merged union via FULL JOIN, keys-in-both
+        val ck = keys.map(k =>
+          s"""coalesce(l.${q(k)}, r.${q(k)}) AS ${q(k)}, """).mkString
+        val bothKeys =
+          if (keys.isEmpty) ""
+          else s"""WHERE ${keys.map(k =>
+            s"${q(k)} IN (SELECT ${q(k)} FROM l) AND ${q(k)} IN (SELECT ${q(k)} FROM r)")
+            .mkString(" AND ")}"""
+        s"""$duckPrefix,
+           u AS (SELECT ${ck}coalesce(l.ts, r.ts) AS ts, r.v,
+                        (r.ts IS NOT NULL) AS has_r
+                 FROM l FULL JOIN r ON l.ts = r.ts${keyEqD("l", "r")})
+           SELECT ${kPrefix}CAST(row_number() OVER (${pb}ORDER BY ts) - 1 AS BIGINT) AS i,
+                  CASE WHEN has_r THEN v ELSE $filler END AS val
+           FROM u $bothKeys"""
+    }
+
+    // ---- cs side: pack both series, apply the registered align name ------
+    val view = s"__graft_csalign_src_$seed"
+    val joinRaS =
+      if (keys.isEmpty) "la CROSS JOIN ra" else s"la JOIN ra USING (${keys.mkString(", ")})"
+    val csPrefix =
+      s"""WITH l0 AS (SELECT ${kCs}$tsS AS ts FROM $view
+           ${whereS("event_id % 2 = 0")} GROUP BY ${kCs}$tsS),
+         la AS (SELECT ${kCs}slice(sort_array(collect_list(ts)), 1, $headN) AS lts
+                FROM l0$grpS),
+         r0 AS (SELECT ${kCs}$tsS AS ts, max(CAST(`value` AS DOUBLE)) AS v FROM $view
+           ${whereS("event_id % 2 = 1 AND `value` IS NOT NULL")} GROUP BY ${kCs}$tsS),
+         ra0 AS (SELECT ${kCs}sort_array(collect_list(struct(ts, v))) AS tv
+                 FROM r0$grpS),
+         ra AS (SELECT ${kCs}transform(slice(tv, 1, $headN), e -> e.ts) AS rts,
+                       transform(slice(tv, 1, $headN), e -> e.v) AS rvs FROM ra0),
+         j AS (SELECT ${kCs}lts, rts, rvs FROM $joinRaS)"""
+    val csSql = op match {
+      case "asof_join" =>
+        s"""$csPrefix
+           SELECT ${kCs}CAST(t.i AS BIGINT) AS i, t.v AS val
+           FROM j LATERAL VIEW posexplode(cs_asof_join(lts, rts, rvs)) t AS i, v"""
+      case "asof_join_pos" =>
+        s"""$csPrefix
+           SELECT ${kCs}CAST(t.i AS BIGINT) AS i, CAST(t.p AS BIGINT) AS p
+           FROM j LATERAL VIEW posexplode(cs_asof_join_pos(lts, rts)) t AS i, p"""
+      case "join" =>
+        s"""$csPrefix
+           SELECT ${kCs}CAST(t.i AS BIGINT) AS i, t.v AS val
+           FROM j LATERAL VIEW posexplode(cs_join(lts, rts, rvs)) t AS i, v"""
+      case "join_pos" =>
+        s"""$csPrefix
+           SELECT ${kCs}CAST(t.i AS BIGINT) AS i, CAST(t.p AS BIGINT) AS p
+           FROM j LATERAL VIEW posexplode(cs_join_pos(lts, rts)) t AS i, p"""
+      case "stretch" =>
+        s"""$csPrefix
+           SELECT ${kCs}CAST(t.i AS BIGINT) AS i, t.v AS val
+           FROM j LATERAL VIEW posexplode(cs_stretch(lts, rts, rvs, ${filler}D)) t AS i, v"""
+      case _ =>
+        s"""$csPrefix
+           SELECT ${kCs}CAST(t.i AS BIGINT) AS i, t.v AS val
+           FROM j LATERAL VIEW posexplode(cs_stretch0(lts, rts, rvs, ${filler}D)) t AS i, v"""
     }
 
     val run = (spark: SparkSession, sfDir: String) => {

@@ -56,13 +56,29 @@ class FuzzSpec extends AnyFunSuite {
     // VERDICT r15 item 5: the 200-name registered SQL surface was
     // exercised only by fixed queries and replay suites — this leg packs
     // rows into series arrays, chains random cs_* calculus names, and
-    // diffs the exploded result against the window-SQL twin.
+    // diffs the exploded result against the window-SQL twin. (A quarter
+    // of the seeds route to the align grammar — genCs's seed%4 split.)
     assume(duckdbAvailable, "python3+duckdb oracle not available")
     val n = sys.env.get("GRAFT_FUZZ_CS_N").map(_.toInt).getOrElse(25)
     val seed0 = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(8000L)
     info(s"cs-leg: $n programs from seed $seed0 " +
       s"(replay one: N=1 SEED=<seed> BASE=cs bash tools/run_fuzz.sh)")
     runBatch(n, seed0, Some("cs"))
+  }
+
+  test("cs align family matches DuckDB (differential fuzz)") {
+    // VERDICT r16 item 4: cs_asof_join(_pos) / cs_join(_pos) /
+    // cs_stretch / cs_stretch0 — the hardest semantics in the surface —
+    // get their own forced leg: two per-key deduped series split by
+    // event_id parity, a random align op, and a DuckDB twin rendering
+    // each op's documented contract (nearest pick with earlier-tie,
+    // exact one-to-one join, strictly-greater stretch, FULL JOIN union).
+    assume(duckdbAvailable, "python3+duckdb oracle not available")
+    val n = sys.env.get("GRAFT_FUZZ_ALIGN_N").map(_.toInt).getOrElse(10)
+    val seed0 = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(8000L)
+    info(s"align-leg: $n programs from seed $seed0 " +
+      s"(replay one: N=1 SEED=<seed> BASE=csalign bash tools/run_fuzz.sh)")
+    runBatch(n, seed0, Some("csalign"))
   }
 
   // ---- fuzz-found regressions, pinned as DIRECT shape tests -------------
