@@ -339,6 +339,54 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(kept.contains(99999L))
   }
 
+  test("verified landing above the candidate-collect cap: the frame path decides identically") {
+    // r17: under graft.dedup.verify.collect.max the labeled candidate
+    // set collects and the DRIVER decides; past it the frame-based
+    // fallback takes over (persisted cand, exact span agg, broadcast
+    // semi-join fetch). Pin the fallback by forcing the cap to 1: a
+    // mixed batch — exact re-crawls (tier 1), true near-dups (tier 2
+    // drop), sub-threshold collisions (tier 2 keep), a novel doc —
+    // must decide exactly as the default-cap run of the SAME batch
+    // against an identically-built corpus.
+    def tok(i: Int, w: Int): String =
+      java.lang.Long.toHexString(i * 1099511628211L + w * 2654435761L)
+    def text(i: Int): String = (0 until 12).map(w => tok(i, w)).mkString(" ")
+    def near(i: Int): String = ((0 until 11).map(w => tok(i, w)) :+
+      s"zz${i}q").mkString(" ")
+    // ~4/12 shared tokens → jaccard well under 0.5: collides in some
+    // band occasionally but must NOT drop
+    def far(i: Int): String = ((0 until 4).map(w => tok(i, w)) ++
+      (0 until 8).map(w => s"fx${i}w$w")).mkString(" ")
+    def run(tag: String, cap: Option[String]): Seq[Long] = {
+      val docs = tmpDir(s"capdoc$tag") + "/docs.parquet"
+      val buckets = tmpDir(s"capbkt$tag") + "/buckets.parquet"
+      cap.foreach(c => sys.props("graft.dedup.verify.collect.max") = c)
+      try {
+        Streams.dedupIngestBatch(
+          (0 until 40).map(i => (i.toLong, 100L + i, text(i)))
+            .toDF("id", "ts", "text"),
+          docs, buckets, "ts", s"ck-cap$tag", "id", "text", 5, 8, 2, 0L)
+        val batch = (0 until 10).map(i => (1000L + i, 500L + i, text(i))) ++
+          (10 until 20).map(i => (1000L + i, 500L + i, near(i))) ++
+          (20 until 30).map(i => (1000L + i, 500L + i, far(i))) :+
+          ((1999L, 599L, "a genuinely novel doc about range index pruning"))
+        Streams.dedupIngestBatch(batch.toDF("id", "ts", "text"),
+          docs, buckets, "ts", s"ck-cap$tag", "id", "text", 5, 8, 2, 1L)
+        Tables.snapshot(spark, docs).select("id").as[Long].collect()
+          .sorted.toSeq
+      } finally cap.foreach(_ => sys.props.remove("graft.dedup.verify.collect.max"))
+    }
+    val defaultKept = run("d", None)
+    val forcedKept = run("f", Some("1")) // every batch takes the frame path
+    assert(defaultKept == forcedKept,
+      s"the over-cap frame path must decide exactly like the driver path:\n" +
+        s"  default: $defaultKept\n  forced:  $forcedKept")
+    // and the decision itself is the verified contract: exact + near
+    // re-crawls dropped, far collisions + the novel doc kept
+    assert(forcedKept.count(_ >= 1000L) == 11,
+      s"10 far docs + the novel doc must land: $forcedKept")
+  }
+
   test("fingerprint tier: exact re-crawls drop via bucket rows; legacy layout stays on jaccard") {
     // r16 tier 1: bucket rows carry the content fingerprint, so an
     // exact-duplicate candidate is decided at the probe (the shortcut
