@@ -2443,6 +2443,55 @@ object SparkEntry {
       land(1L, d.filter(col("doc_id") >= 100))
       Tables.snapshot(s, docP).select(col("doc_id"))
     }),
+    "q_landing_dedup_emb" -> ((s, dir) => {
+      // the EMBEDDING twin of q_landing_dedup under the hard oracle: the
+      // real two-table RHP-LSH landing protocol (probe, vector-fingerprint
+      // tier, lease, exactly-once commits) with a batch CONSTRUCTED to
+      // exercise every decision tier DETERMINISTICALLY. Exact re-uploads
+      // (v % 4 == 0) carry an identical fingerprint — tier 1. Scaled
+      // copies (v % 4 == 1, each element × 2) sit on the SAME side of
+      // every hyperplane as the original — doubling is exact in IEEE
+      // double and sign(dot(p, 2v)) = sign(dot(p, v)) — so the RHP
+      // signature is identical in ALL tables and cos(v, 2v) = 1 ≥ 0.95,
+      // while the fingerprint differs: the exact-cosine tier decides.
+      // Fresh vectors (v % 4 == 2, a disjoint source slice) land; an
+      // in-batch exact pair (v % 4 == 3, the same source vector under two
+      // ids) resolves by min-id components. The corpus has no natural
+      // pair above cos 0.52 (measured), so the ≥0.95 relation is EXACTLY
+      // the constructed one — banding recall is 1 by construction, and
+      // the exact-cosine verification makes precision exactly 1, so the
+      // engine's survivor set and DuckDB's protocol replay coincide.
+      val tag = Tables.dirKey(dir)
+      val root =
+        s"${System.getProperty("java.io.tmpdir")}/graft_landing_emb_${procTag}_$tag"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val src = emb(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = src.filter(col("vec_id") < 100)
+      val c2 = src.select((col("vec_id") - 200).as("vec_id"), col("v").as("v2"))
+      val c3 = src.select((col("vec_id") - 300).as("vec_id"), col("v").as("v3"))
+      val b1 = a.join(c2, Seq("vec_id")).join(c3, Seq("vec_id"))
+        .select((col("vec_id") + 100).cast("long").as("id"),
+          when(col("vec_id") % 4 === 0, col("v"))
+            .when(col("vec_id") % 4 === 1,
+              transform(col("v"), x => x * lit(2.0)))
+            .when(col("vec_id") % 4 === 2, col("v2"))
+            .otherwise(col("v3")).as("v"))
+        .unionByName(
+          a.filter(col("vec_id") % 4 === 3).join(c3, Seq("vec_id"))
+            .select((col("vec_id") + 600).cast("long").as("id"),
+              col("v3").as("v")))
+      val docP = s"$root/vecs.parquet"
+      val bktP = s"$root/buckets.parquet"
+      def land(bid: Long, part: DataFrame): Unit =
+        graft.streaming.Streams.dedupIngestEmbeddingBatch(
+          part.withColumn("ts", col("id")), docP, bktP, "ts",
+          "q-landing-emb", "id", "v", 64, 0.95, 32, 16, bid)
+      land(0L, a.select(col("vec_id").cast("long").as("id"), col("v")))
+      land(1L, b1)
+      Tables.snapshot(s, docP).select(col("id"))
+    }),
     "q_simhash" -> ((s, dir) => {
       // recall-floor contract (mirrors q_cos_lsh): simhash band candidates
       // guarantee recall 1 only for Hamming ≤ bands−1, and no bound links
@@ -3959,6 +4008,54 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id FROM bfresh
          WHERE doc_id NOT IN (SELECT a FROM bloser)""",
+    "q_landing_dedup_emb" ->
+      """WITH RECURSIVE src AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         u AS (
+           SELECT CAST(vec_id AS BIGINT) AS id, v FROM src WHERE vec_id < 100
+           UNION ALL
+           SELECT CAST(a.vec_id + 100 AS BIGINT),
+                  CASE a.vec_id % 4
+                    WHEN 0 THEN a.v
+                    WHEN 1 THEN list_transform(a.v, x -> x * 2)
+                    WHEN 2 THEN c.v ELSE d.v END
+           FROM src a JOIN src c ON c.vec_id = a.vec_id + 200
+                      JOIN src d ON d.vec_id = a.vec_id + 300
+           WHERE a.vec_id < 100
+           UNION ALL
+           SELECT CAST(a.vec_id + 600 AS BIGINT), d.v
+           FROM src a JOIN src d ON d.vec_id = a.vec_id + 300
+           WHERE a.vec_id < 100 AND a.vec_id % 4 = 3),
+         px AS (SELECT x.id AS id1, y.id AS id2,
+                       unnest(x.v) AS xe, unnest(y.v) AS ye
+                FROM u x JOIN u y ON x.id < y.id),
+         pairs AS (SELECT id1, id2 FROM px GROUP BY id1, id2
+                   HAVING sum(xe * ye)
+                     / (sqrt(sum(xe * xe)) * sqrt(sum(ye * ye))) >= 0.95),
+         se AS (SELECT id1 AS a, id2 AS b FROM pairs WHERE id2 < 100
+                UNION SELECT id2, id1 FROM pairs WHERE id2 < 100),
+         sr AS (SELECT a, a AS m FROM (SELECT DISTINCT a FROM se)
+                UNION SELECT se.a, sr.m FROM se JOIN sr ON sr.a = se.b),
+         sloser AS (SELECT a FROM sr GROUP BY a HAVING min(m) < a),
+         ssurv AS (SELECT id FROM u WHERE id < 100
+                   AND id NOT IN (SELECT a FROM sloser)),
+         bfresh AS (SELECT id FROM u WHERE id >= 100
+                    AND id NOT IN (
+                      SELECT p.id2 FROM pairs p
+                      JOIN ssurv s ON p.id1 = s.id WHERE p.id2 >= 100)),
+         be AS (SELECT p.id1 AS a, p.id2 AS b FROM pairs p
+                JOIN bfresh x ON p.id1 = x.id
+                JOIN bfresh y ON p.id2 = y.id
+                UNION
+                SELECT p.id2, p.id1 FROM pairs p
+                JOIN bfresh x ON p.id1 = x.id
+                JOIN bfresh y ON p.id2 = y.id),
+         br AS (SELECT a, a AS m FROM (SELECT DISTINCT a FROM be)
+                UNION SELECT be.a, br.m FROM be JOIN br ON br.a = be.b),
+         bloser AS (SELECT a FROM br GROUP BY a HAVING min(m) < a)
+         SELECT id FROM ssurv
+         UNION ALL
+         SELECT id FROM bfresh WHERE id NOT IN (SELECT a FROM bloser)""",
     "q_simhash" ->
       s"""WITH pairs AS (${jaccardPairsOracle(7, 0.6, "doc_id < 200")})
          SELECT count(*) AS n_exact, true AS recall_ok FROM pairs""",

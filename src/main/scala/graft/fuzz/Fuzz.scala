@@ -1366,10 +1366,10 @@ object FuzzGen {
     * one-to-one matches; cs_stretch — first right ts strictly greater,
     * filler when exhausted; cs_stretch0 — the merged ts union). The
     * DuckDB twin renders each op's documented contract directly
-    * (list-function nearest pick, inner join on ts, list_filter stretch,
-    * FULL JOIN union) — the same formulas the fixed q_cs_asof_nearest /
-    * q_cs_stretch0 gates pin, here exercised across random keys, bases,
-    * pre-filters and slice lengths.
+    * (list-function nearest pick, backward at/before lookup, inner join
+    * on ts, list_filter stretch, FULL JOIN union) — the same formulas the
+    * fixed q_cs_asof_nearest / q_cs_asof / q_cs_stretch0 gates pin, here
+    * exercised across random keys, bases, pre-filters and slice lengths.
     */
   def genCsAlign(seed: Long): FuzzProgram = {
     val rnd = new Random(seed)
@@ -1406,7 +1406,7 @@ object FuzzGen {
       "WHERE " + pre.map(p => s"(${p.replace("\"", "`")}) AND ").getOrElse("") + extra
     val filler = Vector(-1.0, 0.0)(rnd.nextInt(2))
     val op = Vector("asof_join", "asof_join_pos", "join", "join_pos",
-      "stretch", "stretch0")(rnd.nextInt(6))
+      "stretch", "stretch0", "asof_back")(rnd.nextInt(7))
     // exact-match ops need exact-match OPPORTUNITIES: events ts is
     // µs-resolution, so the parity-split halves would share ~no exact
     // timestamps and cs_join would diff vacuously-empty results forever —
@@ -1474,6 +1474,16 @@ object FuzzGen {
                        ELSE ra.rvs[len(ra.rts) - len(list_filter(ra.rts, x -> x > l.ts)) + 1]
                   END AS val
            FROM $joinRaD"""
+      case "asof_back" =>
+        // cs_asof's BACKWARD direction: the rightmost right element
+        // at/before l.ts (rts sorted asc, so the count of elements
+        // <= l.ts is that element's 1-based index), NULL when none
+        s"""$duckPrefix
+           SELECT ${kPrefix}CAST(l.rn - 1 AS BIGINT) AS i,
+                  CASE WHEN len(list_filter(ra.rts, x -> x <= l.ts)) = 0 THEN NULL
+                       ELSE ra.rvs[len(list_filter(ra.rts, x -> x <= l.ts))]
+                  END AS val
+           FROM $joinRaD"""
       case _ => // stretch0: the merged union via FULL JOIN, keys-in-both
         val ck = keys.map(k =>
           s"""coalesce(l.${q(k)}, r.${q(k)}) AS ${q(k)}, """).mkString
@@ -1528,6 +1538,13 @@ object FuzzGen {
         s"""$csPrefix
            SELECT ${kCs}CAST(t.i AS BIGINT) AS i, t.v AS val
            FROM j LATERAL VIEW posexplode(cs_stretch(lts, rts, rvs, ${filler}D)) t AS i, v"""
+      case "asof_back" =>
+        // the scalar lookup applied per exploded left element — the
+        // backward-direction leg of the align family (cs_asof vs
+        // cs_asof_join's nearest pick)
+        s"""$csPrefix
+           SELECT ${kCs}CAST(t.i AS BIGINT) AS i, cs_asof(t.lt, rts, rvs) AS val
+           FROM j LATERAL VIEW posexplode(lts) t AS i, lt"""
       case _ =>
         s"""$csPrefix
            SELECT ${kCs}CAST(t.i AS BIGINT) AS i, t.v AS val

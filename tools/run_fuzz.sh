@@ -9,8 +9,8 @@
 # recorded before a base existed or before the seed→base mapping changed;
 # BASE=cs runs the cs_* SQL-surface leg alone (a quarter of its seeds
 # route to the align grammar); BASE=csalign forces the align leg —
-# cs_asof_join(_pos)/cs_join(_pos)/cs_stretch/cs_stretch0 — for every
-# seed. A default run also appends a cs batch at N/4 volume, named
+# cs_asof_join(_pos)/cs_join(_pos)/cs_stretch/cs_stretch0 plus the
+# backward cs_asof lookup — for every seed. A default run also appends a cs batch at N/4 volume, named
 # fuzzcs_<seed>.)
 # The program text for every seed is in $OUT/programs.txt.
 set -eo pipefail
