@@ -2443,6 +2443,34 @@ object SparkEntry {
       land(1L, d.filter(col("doc_id") >= 100))
       Tables.snapshot(s, docP).select(col("doc_id"))
     }),
+    "q_landing_dedup_retain" -> ((s, dir) => {
+      // q_landing_dedup composed with the RETENTION beat under the same
+      // hard oracle: both batches pass retainNs = 150, so batch 1's beat
+      // derives cut = max(manifest ts) - 150 from the just-landed
+      // survivors' footer stats and head-deletes ts <= cut - 1 from BOTH
+      // tables (deleteRangeNs — row-exact, not file-approximate). The
+      // oracle replays the landing protocol (same CTEs as
+      // q_landing_dedup) and then applies the cut arithmetic to the
+      // survivor set directly: ts IS doc_id here, so the retained window
+      // is doc_id >= max(surviving doc_id) - 150. Batch 0's own beat is
+      // a no-op by the guard (min >= cut at corpus scale), which the
+      // final filter reproduces vacuously.
+      val tag = Tables.dirKey(dir)
+      val root =
+        s"${System.getProperty("java.io.tmpdir")}/graft_landing_ret_${procTag}_$tag"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val d = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"), col("doc_id").as("ts"))
+      val docP = s"$root/docs.parquet"
+      val bktP = s"$root/buckets.parquet"
+      def land(bid: Long, part: DataFrame): Unit =
+        graft.streaming.Streams.dedupIngestBatch(part, docP, bktP, "ts",
+          "q-landing-ret", "doc_id", "text", 5, 8, 2, bid, retainNs = 150L)
+      land(0L, d.filter(col("doc_id") < 100))
+      land(1L, d.filter(col("doc_id") >= 100))
+      Tables.snapshot(s, docP).select(col("doc_id"))
+    }),
     "q_landing_dedup_emb" -> ((s, dir) => {
       // the EMBEDDING twin of q_landing_dedup under the hard oracle: the
       // real two-table RHP-LSH landing protocol (probe, vector-fingerprint
@@ -4008,6 +4036,36 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id FROM bfresh
          WHERE doc_id NOT IN (SELECT a FROM bloser)""",
+    "q_landing_dedup_retain" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardPairsOracle(5, 0.5, "doc_id < 200")}),
+         se AS (SELECT id1 AS a, id2 AS b FROM pairs WHERE id2 < 100
+                UNION SELECT id2, id1 FROM pairs WHERE id2 < 100),
+         sr AS (SELECT a, a AS m FROM (SELECT DISTINCT a FROM se)
+                UNION SELECT se.a, sr.m FROM se JOIN sr ON sr.a = se.b),
+         sloser AS (SELECT a FROM sr GROUP BY a HAVING min(m) < a),
+         ssurv AS (SELECT doc_id FROM documents WHERE doc_id < 100
+                   AND doc_id NOT IN (SELECT a FROM sloser)),
+         bfresh AS (SELECT doc_id FROM documents
+                    WHERE doc_id >= 100 AND doc_id < 200
+                    AND doc_id NOT IN (
+                      SELECT p.id2 FROM pairs p
+                      JOIN ssurv s ON p.id1 = s.doc_id WHERE p.id2 >= 100)),
+         be AS (SELECT p.id1 AS a, p.id2 AS b FROM pairs p
+                JOIN bfresh x ON p.id1 = x.doc_id
+                JOIN bfresh y ON p.id2 = y.doc_id
+                UNION
+                SELECT p.id2, p.id1 FROM pairs p
+                JOIN bfresh x ON p.id1 = x.doc_id
+                JOIN bfresh y ON p.id2 = y.doc_id),
+         br AS (SELECT a, a AS m FROM (SELECT DISTINCT a FROM be)
+                UNION SELECT be.a, br.m FROM be JOIN br ON br.a = be.b),
+         bloser AS (SELECT a FROM br GROUP BY a HAVING min(m) < a),
+         surv AS (SELECT doc_id FROM ssurv
+                  UNION ALL
+                  SELECT doc_id FROM bfresh
+                  WHERE doc_id NOT IN (SELECT a FROM bloser))
+         SELECT doc_id FROM surv
+         WHERE doc_id >= (SELECT max(doc_id) FROM surv) - 150""",
     "q_landing_dedup_emb" ->
       """WITH RECURSIVE src AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
