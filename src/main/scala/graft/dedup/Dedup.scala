@@ -441,10 +441,14 @@ object Dedup {
       // unmaterialized, the cast+norm+projection pass would run 4x
       .localCheckpoint()
     // candidates carry only (id, table, bucket) — the vectors rejoin at the
-    // verify stage, keeping the self-join build side to a few bytes per row
+    // verify stage, keeping the self-join build side to a few bytes per row.
+    // The plane hashing is the fused cs_rhp_sig pass (bit-exact with the
+    // composed per-table rhpBucket form; one compiled loop instead of
+    // tables×bits interpreted HOF dots per row)
+    graft.sqlext.GraftFunctions.register(df.sparkSession)
     val banded = withNorm.select(col(id),
-      posexplode(array((0 until tables).map(t =>
-        graft.sim.Similarity.rhpBucket(col("v"), dim, bits, planeOffset = t * bits)): _*)))
+      posexplode(call_function("cs_rhp_sig", col("v"),
+        lit(dim), lit(bits), lit(tables))))
       .select(col(id), col("pos").as("table"), col("col").as("bucket"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&

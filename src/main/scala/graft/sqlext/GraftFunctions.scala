@@ -87,6 +87,9 @@ object GraftFunctions {
       "cs_norm_text(text) - lowercase, non-alnum runs collapsed"),
     ("cs_dot", (c: Seq[Expression]) => ArrayDot(c(0), c(1)),
       "cs_dot(a, b) - fused codegen dot product over float/double arrays"),
+    ("cs_rhp_sig", (c: Seq[Expression]) => RhpSignatures(c),
+      "cs_rhp_sig(vec, dim, bits, tables) - all RHP-LSH bucket signatures " +
+        "in one fused pass (bit-exact with per-table rhpBucket)"),
     ("cs_cosine",
       (c: Seq[Expression]) => Divide(ArrayDot(c(0), c(1)),
         Multiply(Sqrt(ArrayDot(c(0), c(0))), Sqrt(ArrayDot(c(1), c(1))))),

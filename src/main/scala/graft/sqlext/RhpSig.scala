@@ -1,0 +1,108 @@
+package graft.sqlext
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** cs_rhp_sig(vec, dim, bits, tables): ALL random-hyperplane LSH bucket
+  * signatures of one embedding in a single fused pass — the array
+  * `[bucket(table 0), …, bucket(tables−1)]` where table t's bucket packs
+  * `bits` sign bits (bit j set iff Σ vec[d]·w(t·bits+j)[d] > 0, planes
+  * from [[graft.sim.Similarity.rhpWeights]]).
+  *
+  * This exists because the composed form — `array(rhpBucket(t*bits) …)`,
+  * i.e. tables×bits separate HOF dots (`aggregate ∘ zip_with`) — costs a
+  * per-element lambda dispatch and an intermediate products array for
+  * every plane: at the embedding-landing defaults (32 tables × 16 bits ×
+  * dim 64) that is 32k interpreted lambda steps PER ROW, and the plane
+  * hashing dominated the whole ingest batch (measured ~7× the total
+  * batch cost at 1000 rows). Here the row pays one primitive-array copy
+  * and tables×bits×dim fused multiply-adds in compiled code.
+  *
+  * BIT-EXACT with the composed form, which existing bucket tables
+  * persist: same weights, same element order (products summed left to
+  * right from 0.0 — identical IEEE rounding), same `> 0` predicate and
+  * bit packing, and the same degenerate results — a vector whose length
+  * differs from `dim` or that carries a NULL element yields bucket 0 in
+  * every table (the HOF dot is NULL there, and `when(null > 0, bit)
+  * .otherwise(0)` contributes nothing). dim/bits/tables must be foldable
+  * ints; weights build once per (de)serialized instance.
+  */
+case class RhpSignatures(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = children.head.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val intsOk = children.tail.forall(c =>
+      c.dataType == IntegerType && c.foldable)
+    if (children.size == 4 && vecOk && intsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "cs_rhp_sig requires (array<float|double> vec, int dim, int bits, " +
+        "int tables) with literal ints, got " +
+        children.map(_.dataType.sql).mkString(", "))
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.head.nullable
+  override def prettyName: String = "cs_rhp_sig"
+
+  @transient private lazy val dimV = children(1).eval(null).asInstanceOf[Int]
+  @transient private lazy val bitsV = children(2).eval(null).asInstanceOf[Int]
+  @transient private lazy val tablesV = children(3).eval(null).asInstanceOf[Int]
+  @transient private lazy val floatElems =
+    children.head.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // [tables*bits][dim] — the same planes the composed form draws
+  @transient private lazy val weights: Array[Array[Double]] = {
+    require(bitsV >= 1 && bitsV <= 64,
+      s"cs_rhp_sig packs bucket bits into one Long (1..64), got $bitsV")
+    Array.tabulate(tablesV * bitsV)(p =>
+      graft.sim.Similarity.rhpWeights(p, dimV).toArray)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = children.head.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val out = new Array[Long](tablesV)
+    val n = arr.numElements()
+    var ok = n == dimV
+    if (ok) {
+      var d = 0
+      while (ok && d < n) { ok = !arr.isNullAt(d); d += 1 }
+    }
+    if (ok) {
+      val x = new Array[Double](dimV)
+      var d = 0
+      while (d < dimV) {
+        x(d) = if (floatElems) arr.getFloat(d).toDouble else arr.getDouble(d)
+        d += 1
+      }
+      var t = 0
+      while (t < tablesV) {
+        var bucket = 0L
+        var j = 0
+        while (j < bitsV) {
+          val w = weights(t * bitsV + j)
+          var s = 0.0
+          var d2 = 0
+          while (d2 < dimV) { s += x(d2) * w(d2); d2 += 1 }
+          if (s > 0) bucket |= (1L << j)
+          j += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): RhpSignatures =
+    copy(children = newChildren)
+}

@@ -1340,7 +1340,7 @@ object Streams {
                                 dim: Int, minCos: Double, tables: Int,
                                 bits: Int, batchId: Long,
                                 retainNs: Long = Long.MaxValue): Unit = {
-    import graft.sim.Similarity.{dot, rhpBucket}
+    import graft.sim.Similarity.dot
     val spark = batch0.sparkSession
     val batch = batch0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1356,12 +1356,19 @@ object Streams {
       // collision risk as the text fingerprint.
       .withColumn("__vfp", xxhash64(col("__v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE plane-hashing pass per doc (tables×bits dots): bb serves BOTH
-    // the stored-corpus candidate join and the in-batch pair join — the
-    // same reuse the text twin gets from bandBuckets + bandedPairs
+    // ONE plane-hashing pass per doc: bb serves BOTH the stored-corpus
+    // candidate join and the in-batch pair join — the same reuse the text
+    // twin gets from bandBuckets + bandedPairs. The pass is the FUSED
+    // cs_rhp_sig expression (all tables×bits plane dots in one compiled
+    // loop, bit-exact with the composed per-table rhpBucket form existing
+    // bucket tables persist): the composed form's 32k interpreted HOF
+    // lambda steps per row dominated the whole ingest batch at the
+    // defaults (32×16×dim 64 — q_emb_ingest measured it ~7× the rest of
+    // the batch put together).
+    graft.sqlext.GraftFunctions.register(spark)
     val bb = withNorm.select(col(id),
-        posexplode(array((0 until tables).map(t =>
-          rhpBucket(col("__v"), dim, bits, planeOffset = t * bits)): _*)))
+        posexplode(call_function("cs_rhp_sig", col("__v"),
+          lit(dim), lit(bits), lit(tables))))
       .select(col(id), col("pos").as("band"), col("col").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val caches = scala.collection.mutable.ListBuffer[DataFrame](withNorm, bb)

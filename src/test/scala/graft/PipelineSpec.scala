@@ -207,6 +207,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(enc.select("__recon").head().getSeq[Double](0) == Seq(0.5, 0.5, 1.0, 1.0))
   }
 
+  test("cs_rhp_sig is bit-exact with the composed per-table rhpBucket form") {
+    // the fused expression must reproduce the EXACT bucket values the
+    // composed form persisted into existing bucket tables — same planes,
+    // same left-to-right IEEE summation, same >0 predicate and packing,
+    // and the same degenerate bucket-0 results (length mismatch / null
+    // element, where the HOF dot is NULL)
+    graft.sqlext.GraftFunctions.register(spark)
+    val (dim, bits, tables) = (64, 16, 32)
+    val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val composed = e.select(col("vec_id"),
+      array((0 until tables).map(t =>
+        Similarity.rhpBucket(col("v"), dim, bits, planeOffset = t * bits)): _*)
+        .as("sig"))
+    val fused = e.select(col("vec_id"),
+      call_function("cs_rhp_sig", col("v"),
+        lit(dim), lit(bits), lit(tables)).as("sig"))
+    assert(composed.exceptAll(fused).isEmpty && fused.exceptAll(composed).isEmpty,
+      "fused and composed signatures diverge on real embeddings")
+    // degenerate inputs: wrong length and a null element → all-zero buckets
+    val weird = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0)), // length 2 != dim
+      (2L, Seq[java.lang.Double](null) ++ (1 until dim).map(
+        d => java.lang.Double.valueOf(d.toDouble)))).toDF("vec_id", "v")
+    val wf = weird.select(
+      call_function("cs_rhp_sig", col("v"), lit(dim), lit(bits), lit(tables))
+        .as("sig")).collect()
+    assert(wf.forall(_.getSeq[Long](0).forall(_ == 0L)),
+      "degenerate vectors must yield bucket 0 everywhere, like the HOF form")
+  }
+
   test("rhp planes stay uncorrelated past dim 1024 (no shifted-copy weights)") {
     val w0 = Similarity.rhpWeights(0, 1536)
     val w1 = Similarity.rhpWeights(1, 1536)
