@@ -1416,54 +1416,101 @@ object Streams {
             .select(col(id), col("__oldId"), col("__oldTs"),
               exactCol.as("__exact"))
             .distinct()
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          caches += cand
-          // tier 1 decides exact re-uploads outright; tier 2 (exact
-          // cosine) sees only the pairs whose batch id survived it
-          val exactIds = cand.filter(col("__exact"))
-            .select(col(id)).distinct()
-          val rest = cand.join(exactIds, Seq(id), "left_anti")
-          // candidate pushdown, both dimensions at ANY candidate count
-          // (same shape as the text twin's verified fetch — a large
-          // re-crawl must not revert to the O(corpus) vector read): the
-          // ts SPAN of the colliding stored docs (one tiny agg over the
-          // persisted cand) file-prunes the doc read to the overlapping
-          // manifest slice, a broadcast semi-join bounds the verify to
-          // the candidates, and a ≤1000-id isin additionally pushes
-          // row-group pruning inside the kept files
-          val candOld = rest.select(col("__oldId"), col("__oldTs")).distinct()
-          val span = candOld
-            .agg(min(col("__oldTs")), max(col("__oldTs")), count(lit(1))).head()
-          val nCand = span.getLong(2)
-          if (nCand == 0L) {
-            // every candidate (if any) was an exact re-upload — the
-            // embedding steady state: the doc table is never touched
-            if (tier1) batch.join(exactIds, Seq(id), "left_anti") else batch
+          // DRIVER-DECIDED probe, mirroring the text twin (VERDICT r16
+          // next #2): the labeled candidate set collects once under the
+          // same cap — tier 1 resolves outright, tier 2's pair set
+          // becomes a LOCAL frame, and an all-exact re-upload batch (the
+          // embedding steady state) runs ZERO tier-2 jobs and zero
+          // vector I/O. Past the cap the frame-based shape below takes
+          // over (persisted cand, exact span agg, broadcast semi-join —
+          // a giant re-upload must not revert to O(corpus) vector reads
+          // or an unbounded collect).
+          val candCap = sys.props.get("graft.dedup.verify.collect.max")
+            .flatMap(_.toIntOption).getOrElse(20000)
+          val candRows = cand.limit(candCap + 1).collect()
+          def idFrame(vals: Array[Any], name: String): DataFrame =
+            spark.createDataFrame(
+              new java.util.ArrayList[Row](java.util.Arrays.asList(
+                vals.map(v => Row(v)): _*)),
+              org.apache.spark.sql.types.StructType(
+                Seq(batch.schema(id).copy(name = name))))
+          if (candRows.length <= candCap) {
+            val exactIds = candRows.filter(_.getBoolean(3)).map(_.get(0)).distinct
+            val exactSet = exactIds.toSet
+            val restRows = candRows.filterNot(r => exactSet.contains(r.get(0)))
+            if (restRows.isEmpty) {
+              if (exactIds.isEmpty) batch
+              else batch.join(broadcast(idFrame(exactIds, id)), Seq(id),
+                "left_anti")
+            } else {
+              // candidate pushdown, both dimensions: the colliding
+              // stored docs' ts span file-prunes the vector read to the
+              // overlapping manifest slice (the layout is ts-clustered,
+              // never id-clustered), and the id set bounds the verify
+              val ns = restRows.flatMap(r => tsValueNs(r.get(2)))
+              val bounds =
+                if (ns.length == restRows.length) Some((ns.min, ns.max))
+                else None
+              val oldVecs0 = bounds.map { case (lo, hi) =>
+                graft.io.Tables.snapshotSliceNs(spark, docPath, lo, hi, ts)
+              }.getOrElse(graft.io.Tables.snapshot(spark, docPath))
+                .select(col(id).as("__oldId"),
+                  col(vec).cast("array<double>").as("__ov"))
+              val oldIds = restRows.map(_.get(1)).distinct
+              val oldVecs =
+                if (oldIds.length <= 1000)
+                  // isin additionally pushes row-group pruning inside
+                  // the ts-sliced files
+                  oldVecs0.filter(col("__oldId").isin(oldIds: _*))
+                else oldVecs0.join(broadcast(idFrame(oldIds, "__oldId")),
+                  Seq("__oldId"), "left_semi")
+              // the pair set is a LOCAL frame (it was just collected) —
+              // tier 2 never recomputes the probe
+              val pairs = spark.createDataFrame(
+                new java.util.ArrayList[Row](java.util.Arrays.asList(
+                  restRows.map(r => Row(r.get(0), r.get(1))): _*)),
+                org.apache.spark.sql.types.StructType(Seq(
+                  batch.schema(id).copy(name = id),
+                  batch.schema(id).copy(name = "__oldId"))))
+              val hit = verified(pairs, oldVecs).select(col(id)).distinct()
+              val drops =
+                if (exactIds.isEmpty) hit
+                else hit.unionByName(idFrame(exactIds, id)).distinct()
+              batch.join(drops, Seq(id), "left_anti")
+            }
           } else {
-            val bounds = for {
-              lo <- tsValueNs(span.get(0)); hi <- tsValueNs(span.get(1))
-            } yield (lo, hi)
-            val oldVecs0 = bounds.map { case (lo, hi) =>
-              graft.io.Tables.snapshotSliceNs(spark, docPath, lo, hi, ts)
-            }.getOrElse(graft.io.Tables.snapshot(spark, docPath))
-              .select(col(id).as("__oldId"),
-                col(vec).cast("array<double>").as("__ov"))
-            val candIds: Array[Any] =
-              if (nCand <= 1000L) candOld.select(col("__oldId"))
-                .collect().map(_.get(0))
-              else Array.empty
-            val sliced =
-              if (candIds.nonEmpty)
-                oldVecs0.filter(col("__oldId").isin(candIds: _*))
-              else oldVecs0
-            val oldVecs = sliced.join(
-              broadcast(candOld.select(col("__oldId"))), Seq("__oldId"),
-              "left_semi")
-            val hit = verified(rest.select(col(id), col("__oldId")), oldVecs)
+            // OVER-CAP fallback: the frame-based shape (persisted cand,
+            // exact span agg, broadcast semi-join fetch)
+            val candDf = cand
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            caches += candDf
+            val exactIds = candDf.filter(col("__exact"))
               .select(col(id)).distinct()
-            val drops =
-              if (tier1) hit.unionByName(exactIds).distinct() else hit
-            batch.join(drops, Seq(id), "left_anti")
+            val rest = candDf.join(exactIds, Seq(id), "left_anti")
+            val candOld = rest.select(col("__oldId"), col("__oldTs")).distinct()
+            val span = candOld
+              .agg(min(col("__oldTs")), max(col("__oldTs")), count(lit(1))).head()
+            val nCand = span.getLong(2)
+            if (nCand == 0L) {
+              if (tier1) batch.join(exactIds, Seq(id), "left_anti") else batch
+            } else {
+              val bounds = for {
+                lo <- tsValueNs(span.get(0)); hi <- tsValueNs(span.get(1))
+              } yield (lo, hi)
+              val oldVecs0 = bounds.map { case (lo, hi) =>
+                graft.io.Tables.snapshotSliceNs(spark, docPath, lo, hi, ts)
+              }.getOrElse(graft.io.Tables.snapshot(spark, docPath))
+                .select(col(id).as("__oldId"),
+                  col(vec).cast("array<double>").as("__ov"))
+              val oldVecs = oldVecs0.join(
+                broadcast(candOld.select(col("__oldId"))), Seq("__oldId"),
+                "left_semi")
+              val hit = verified(rest.select(col(id), col("__oldId")), oldVecs)
+                .select(col(id)).distinct()
+              val drops =
+                if (tier1) hit.unionByName(exactIds).distinct() else hit
+              batch.join(drops, Seq(id), "left_anti")
+            }
           }
         }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       caches += fresh

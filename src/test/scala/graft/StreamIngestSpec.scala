@@ -708,6 +708,48 @@ class StreamIngestSpec extends AnyFunSuite {
       s"bucket table must hold retained non-zero-norm docs only: $bids")
   }
 
+  test("embedding landing above the candidate-collect cap: the frame path decides identically") {
+    // r17: the embedding twin gets the text twin's driver-decided probe;
+    // forcing the collect cap to 1 routes every batch down the over-cap
+    // frame path, which must land exactly the same set. The constructed
+    // batch is fully deterministic whatever the (deterministic) RHP
+    // collisions are: exact copy -> fp tier, scaled copy -> cosine 1 at
+    // tier 2, sub-threshold vectors -> kept by the exact verify, an
+    // in-batch exact pair -> min id.
+    def run(tag: String, cap: Option[String]): Seq[Long] = {
+      val docs = tmpDir(s"ecapd$tag") + "/docs.parquet"
+      val buckets = tmpDir(s"ecapb$tag") + "/buckets.parquet"
+      cap.foreach(c => sys.props("graft.dedup.verify.collect.max") = c)
+      try {
+        def land(bid: Long, rows: Seq[(Long, Long, Seq[Double])]): Unit =
+          Streams.dedupIngestEmbeddingBatch(rows.toDF("id", "ts", "emb"),
+            docs, buckets, "ts", s"ck-ecap$tag", "id", "emb", dim = 4,
+            minCos = 0.95, tables = 8, bits = 16, batchId = bid)
+        land(0L, Seq(
+          (0L, 100L, Seq(1.0, 0.0, 0.0, 0.0)),
+          (1L, 101L, Seq(0.0, 1.0, 0.0, 0.0)),
+          (2L, 102L, Seq(0.0, 0.0, 1.0, 0.0)),
+          (3L, 103L, Seq(0.0, 0.0, 0.0, 1.0))))
+        land(1L, Seq(
+          (10L, 200L, Seq(1.0, 0.0, 0.0, 0.0)), // exact re-upload: fp tier
+          (11L, 201L, Seq(0.0, 2.0, 0.0, 0.0)), // scaled: cos 1, fp differs
+          (12L, 202L, Seq(1.0, 0.5, 0.0, 0.0)), // cos .894 vs v0: kept
+          (13L, 203L, Seq(0.0, 0.0, 1.0, 1.0)), // cos .707 vs v2: kept
+          (14L, 204L, Seq(0.5, 0.5, 0.5, 0.5)), // in-batch pair: min id
+          (15L, 205L, Seq(0.5, 0.5, 0.5, 0.5)))) //  ... component loser
+        Tables.snapshot(spark, docs).select("id").as[Long].collect()
+          .sorted.toSeq
+      } finally cap.foreach(_ =>
+        sys.props.remove("graft.dedup.verify.collect.max"))
+    }
+    val defaultKept = run("d", None)
+    val forcedKept = run("f", Some("1"))
+    assert(defaultKept == forcedKept,
+      s"the over-cap frame path must decide exactly like the driver " +
+        s"path:\n  default: $defaultKept\n  forced:  $forcedKept")
+    assert(defaultKept == Seq(0L, 1L, 2L, 3L, 12L, 13L, 14L))
+  }
+
   test("embedding fingerprint tier: exact re-uploads drop with zero doc-table scans") {
     // VERDICT r16 item 5: the text twin's r16 fingerprint tier, mirrored —
     // bucket rows carry xxhash64 over the cast vector, so an exact
