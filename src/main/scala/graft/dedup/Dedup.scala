@@ -410,12 +410,14 @@ object Dedup {
   def cosinePairs(df: DataFrame, id: String, vec: String, minCos: Double): DataFrame = {
     // array<double> like the bucketed path: float32 products would make
     // the baseline and the scale path disagree on near-threshold pairs
+    // fused codegen dots (bit-equal with the HOF form; ArrayDot scaladoc)
     val withNorm = df.select(col(id), col(vec).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d), (s, x) => s + x * x)))
+      .withColumn("nrm",
+        sqrt(graft.sim.Similarity.dotFused(df, col("v"), col("v"))))
       .filter(col("nrm") > 0)
     withNorm.as("a").join(withNorm.as("b"), col(s"a.$id") < col(s"b.$id"))
       .withColumn("dot",
-        aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0d), (s, x) => s + x))
+        graft.sim.Similarity.dotFused(df, col("a.v"), col("b.v")))
       .withColumn("cosine", col("dot") / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= minCos)
       .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"),
@@ -435,7 +437,8 @@ object Dedup {
   def cosinePairsBucketed(df: DataFrame, id: String, vec: String, dim: Int,
                           minCos: Double, tables: Int = 32, bits: Int = 4): DataFrame = {
     val withNorm = df.select(col(id), col(vec).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(graft.sim.Similarity.dot(col("v"), col("v"))))
+      .withColumn("nrm",
+        sqrt(graft.sim.Similarity.dotFused(df, col("v"), col("v"))))
       .filter(col("nrm") > 0)
       // referenced FOUR times (both banded sides + both verify joins):
       // unmaterialized, the cast+norm+projection pass would run 4x
@@ -460,7 +463,8 @@ object Dedup {
       .join(side.select(col(id).as("id1"), col("v").as("__v1"), col("nrm").as("__n1")), "id1")
       .join(side.select(col(id).as("id2"), col("v").as("__v2"), col("nrm").as("__n2")), "id2")
       .withColumn("cosine",
-        graft.sim.Similarity.dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2")))
+        graft.sim.Similarity.dotFused(df, col("__v1"), col("__v2"))
+          / (col("__n1") * col("__n2")))
       .filter(col("cosine") >= minCos)
       .select(col("id1"), col("id2"), col("cosine").cast("float").as("cosine"))
   }

@@ -70,14 +70,15 @@ object Similarity {
     // last), not NaN (sorted first)
     val q = broadcast(queries
       .select(col(id).as("query_id"), col(vec).cast("array<double>").as("qv"))
-      .withColumn("__qn", l2norm(col("qv"))))
+      .withColumn("__qn", sqrt(dotFused(queries, col("qv"), col("qv")))))
     val scored = corpus
       .select(col(id), col(vec).cast("array<double>").as("cv"))
-      .withColumn("__cn", l2norm(col("cv")))
+      .withColumn("__cn", sqrt(dotFused(corpus, col("cv"), col("cv"))))
       .join(q, col("query_id") =!= col(id))
       .withColumn("cosine",
         when(col("__cn") * col("__qn") > 0,
-          dot(col("cv"), col("qv")) / (col("__cn") * col("__qn"))))
+          dotFused(corpus, col("cv"), col("qv"))
+            / (col("__cn") * col("__qn"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(id).asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -218,7 +219,9 @@ object Similarity {
     val qd = array(query.map(v => lit(v.toDouble)): _*)
     val approx = encoded
       .withColumn("__ascore",
-        dot(col("__recon"), qd) / (sqrt(dot(col("__recon"), col("__recon"))) + lit(1e-12)))
+        dotFused(encoded, col("__recon"), qd)
+          / (sqrt(dotFused(encoded, col("__recon"), col("__recon")))
+            + lit(1e-12)))
       .orderBy(col("__ascore").desc, col(id).asc)
       .limit(rerank)
     topKCosine(approx.drop("__ascore", "__recon"), id, vec, query, k)

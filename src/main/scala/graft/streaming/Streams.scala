@@ -1340,8 +1340,12 @@ object Streams {
                                 dim: Int, minCos: Double, tables: Int,
                                 bits: Int, batchId: Long,
                                 retainNs: Long = Long.MaxValue): Unit = {
-    import graft.sim.Similarity.dot
     val spark = batch0.sparkSession
+    // one registration serves cs_rhp_sig (plane hashing) and cs_dot (the
+    // fused norm/verify dots — bit-equal with the HOF form, ArrayDot)
+    graft.sqlext.GraftFunctions.register(spark)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("cs_dot", a, b)
     val batch = batch0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withNorm = batch
@@ -1365,7 +1369,6 @@ object Streams {
     // lambda steps per row dominated the whole ingest batch at the
     // defaults (32×16×dim 64 — q_emb_ingest measured it ~7× the rest of
     // the batch put together).
-    graft.sqlext.GraftFunctions.register(spark)
     val bb = withNorm.select(col(id),
         posexplode(call_function("cs_rhp_sig", col("__v"),
           lit(dim), lit(bits), lit(tables))))
