@@ -106,14 +106,18 @@ object Similarity {
     if (cb.size == 1) lit(cb.head._1)
     else greatest(cb.map { case (cid, c) =>
       val cNormSq = c.map(x => x * x).sum
-      struct((dot(sub, typedLit(c)) * 2.0 - cNormSq).as("score"),
-        lit(cid).as("cid"))
+      // cs_dot: the corpus-scale assignment pays k of these per row —
+      // fused, not an interpreted HOF (callers register the functions)
+      struct((call_function("cs_dot", sub, typedLit(c)) * 2.0 - cNormSq)
+        .as("score"), lit(cid).as("cid"))
     }: _*).getField("cid")
   }
 
-  def ivfAssign(df: DataFrame, vec: String, centroids: Seq[(Int, Seq[Double])]): DataFrame =
+  def ivfAssign(df: DataFrame, vec: String, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    graft.sqlext.GraftFunctions.register(df.sparkSession)
     df.withColumn("centroid_id",
       nearestCid(col(vec).cast("array<double>"), centroids))
+  }
 
   /** ANN query via IVF: scan only the `nProbe` centroids closest to the
     * query vector, then brute-force within them. Probe ranking uses the
@@ -193,6 +197,7 @@ object Similarity {
     */
   def pqEncode(df: DataFrame, vec: String,
                codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    graft.sqlext.GraftFunctions.register(df.sparkSession)
     val m = codebooks.size
     val dsub = codebooks.head.head._2.size
     val withCodes = codebooks.zipWithIndex.foldLeft(df) { case (d, (cb, s)) =>
