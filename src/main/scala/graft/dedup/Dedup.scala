@@ -92,15 +92,24 @@ object Dedup {
     array(sig: _*)
   }
 
-  /** (id, sh) shingle-set frame shared by the near-dup paths. The norm
-    * column is materialized first per charShingles' performance contract.
+  /** (id, sh) shingle-set frame shared by the near-dup paths. `sh` is the
+    * HASHED shingle set (array<bigint> of distinct xxhash64 values, the
+    * fused ShingleHashes pass) since r17: every consumer keys on the
+    * hashes anyway — cs_minhash folds them into lane minima, verifyJaccard
+    * intersects them, ngramJaccardPairs' inverted index explodes them —
+    * so the n-char string array was a pure intermediate: slower to build
+    * (per-position substring + string-set dedup per doc), ~40% more bytes
+    * through every shuffle/broadcast/checkpoint that carries `sh`, and a
+    * second hash pass at each consumer. Jaccard over hashed sets equals
+    * Jaccard over string sets modulo xxhash64 collisions (~(per-doc
+    * shingles)²/2⁶⁵ — see ShingleHashes' scaladoc), and cs_minhash
+    * signatures are bit-identical by construction.
     */
   def shingleSets(df: DataFrame, id: String, text: String, shingleLen: Int): DataFrame =
     df.withColumn("__norm", TextOps.normalizedText(col(text)))
       .filter(length(col("__norm")) >= shingleLen) // = size(sh) > 0, but
-      // checkable per row; a filter on sh would be pushed down with the
-      // whole shingle expression inlined (per-element regex re-eval)
-      .select(col(id), TextOps.charShingles(col("__norm"), shingleLen).as("sh"))
+      // checkable per row without inlining the shingle expression
+      .select(col(id), TextOps.hashedCharShingles(col("__norm"), shingleLen).as("sh"))
 
   /** Exact Jaccard verification of candidate pairs: join the two shingle
     * sets back and intersect. This is the scale-correct verify stage —
@@ -270,14 +279,15 @@ object Dedup {
     val sh = materializeShingles(shingleSets(df, id, text, shingleLen))
     // the index carries xxhash64(shingle), not the n-char string: the
     // candidate self-join's shuffle keys shrink to 8 bytes and hash-join
-    // probing is a long compare. With the cap disabled a collision can
-    // only ADD a candidate (removed by the exact string-set verify), so
-    // results are unchanged by construction. With a finite maxDf a
-    // collision also merges two shingles' document frequencies, which can
-    // (with negligible 2^-64-ish probability) push both over the cap and
-    // lose a candidate whose only shared shingles were the merged pair.
-    val inv = sh.select(col(id), explode(
-      transform(col("sh"), s => xxhash64(s))).as("g"))
+    // probing is a long compare. Since r17 `sh` IS the hashed set, so the
+    // index explodes it directly — the per-element re-hash transform is
+    // gone. With the cap disabled a collision can only ADD a candidate
+    // (removed by the exact set verify), so results are unchanged by
+    // construction. With a finite maxDf a collision also merges two
+    // shingles' document frequencies, which can (with negligible
+    // 2^-64-ish probability) push both over the cap and lose a candidate
+    // whose only shared shingles were the merged pair.
+    val inv = sh.select(col(id), explode(col("sh")).as("g"))
     // hot-shingle list via groupBy (map-side partial counts — skew-safe,
     // unlike a window over g which would pile every occurrence of a hot
     // shingle onto one task), then a broadcast anti-join drops them from
@@ -620,9 +630,10 @@ object Dedup {
                                shingleLen: Int): DataFrame =
     df.withColumn("__norm", TextOps.normalizedText(col(text)))
       .filter(length(col("__norm")) >= shingleLen)
-      .select(col(id), explode(array_distinct(
-        transform(sequence(lit(0), length(col("__norm")) - shingleLen),
-          i => xxhash64(col("__norm").substr(i + 1, lit(shingleLen)))))).as("g"))
+      // the fused ShingleHashes pass (r17) — same values as the previous
+      // per-position xxhash64(substr) transform, one compiled loop
+      .select(col(id),
+        explode(TextOps.hashedCharShingles(col("__norm"), shingleLen)).as("g"))
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): keep ONE representative per group of

@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   */
 object GraftFunctions {
 
-  private def norm(text: Expression): Expression =
-    Lower(StringTrim(RegExpReplace(text, Literal("[^A-Za-z0-9]+"), Literal(" "))))
+  // the fused byte-pass normalization (NormText) — bit-identical to the
+  // pre-r17 Lower(StringTrim(RegExpReplace(text, "[^A-Za-z0-9]+", " ")))
+  // composition at a fraction of the per-document cost (OPTIMIZATION_r17)
+  private def norm(text: Expression): Expression = NormText(text)
 
   /** The reference's cs_sort_order enum ('asc'|'desc', imcs--1.1.sql:10)
     * as a boolean: a string LITERAL translates at build time so the
@@ -106,6 +108,12 @@ object GraftFunctions {
       "cs_md5_fp(text) - portable md5 fingerprint of normalized text (raw when empty)"),
     ("cs_simhash", (c: Seq[Expression]) => SimHash64(c(0)),
       "cs_simhash(hashes) - 64-bit SimHash of a token-hash array (one-pass codegen)"),
+    ("cs_shingle_hashes", (c: Seq[Expression]) => c(1) match {
+      case Literal(n: Int, IntegerType) => ShingleHashes(c(0), n)
+      case other => throw new IllegalArgumentException(
+        s"cs_shingle_hashes(text, n) needs a literal int shingle length, got $other")
+    },
+      "cs_shingle_hashes(text, n) - distinct xxhash64 of every n-char shingle (one-pass codegen)"),
 
     // ---- mergeable sketch rollups (agg/Aggs.scala sketchRollup family) on
     // ---- the SQL surface: build per-bucket sketches ONCE into a rollup

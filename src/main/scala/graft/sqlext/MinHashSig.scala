@@ -27,10 +27,23 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0 && k <= 256, s"minhash signature width must be in [1,256], got $k")
 
+  /** array<string> shingles are xxhash64'd here; array<long> shingles are
+    * PRE-HASHED xxhash64 values ([[ShingleHashes]]) and skip straight to
+    * the lane folds — same chain, so signatures (and everything persisted
+    * from them, e.g. the landing-dedup band buckets) are bit-identical
+    * between the two input forms.
+    */
+  private lazy val preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"cs_minhash requires array<string> shingles, got ${other.sql}")
+      s"cs_minhash requires array<string> shingles or array<bigint> " +
+        s"pre-hashed shingles, got ${other.sql}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -45,8 +58,12 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
-        val s = a.getUTF8String(i)
-        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h0 =
+          if (preHashed) a.getLong(i)
+          else {
+            val s = a.getUTF8String(i)
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          }
         val h = ((h0 % P) + P) % P
         var j = 0
         while (j < k) {
@@ -70,15 +87,19 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
       val s = ctx.freshName("s")
       val mins = ctx.freshName("mins")
       val P = MinHashSig.P
+      val rawHash =
+        if (preHashed) s"long $h = $a.getLong($i);"
+        else
+          s"""org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+             |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+             |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);""".stripMargin
       s"""
          |int $n = $a.numElements();
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, ${P}L);
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
-         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
-         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    $rawHash
          |    $h = (($h % ${P}L) + ${P}L) % ${P}L;
          |    for (int $j = 0; $j < $k; $j++) {
          |      long $v = ((2L * $j + 1) * $h + 104729L * ($j + 1)) % ${P}L;

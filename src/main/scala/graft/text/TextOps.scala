@@ -109,8 +109,15 @@ object TextOps {
     * this normalization runs once per document over the whole corpus, so it
     * dominates the exact-dedup scan.
     */
-  def normalizedText(text: Column): Column =
-    lower(trim(regexp_replace(text, "[^A-Za-z0-9]+", " ")))
+  def normalizedText(text: Column): Column = {
+    // the fused single-pass NormText expression — bit-identical to the
+    // pre-r17 lower(trim(regexp_replace(text, "[^A-Za-z0-9]+", " ")))
+    // composition (NormTextSpec pins the equality), at a fraction of the
+    // cost: the regex chain was ~75% of the exact-dedup corpus scan
+    graft.sqlext.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("cs_norm_text", text)
+  }
 
   /** When the normalization is EMPTY (a CJK/Cyrillic/emoji-only document
     * has no [A-Za-z0-9] to keep), every such document would collapse to
@@ -158,6 +165,23 @@ object TextOps {
         transform(sequence(lit(0), greatest(length(norm) - n, lit(0))),
           i => norm.substr(i + 1, lit(n))),
         s => length(s) === n))
+
+  /** Distinct xxhash64 values of every n-char shingle — the scale form of
+    * [[charShingles]]: one fused codegen pass ([[graft.sqlext.ShingleHashes]]),
+    * no per-position substring or string-set allocation, and the derived
+    * 8-byte hashes are what every downstream consumer (minhash lanes,
+    * Jaccard intersects, inverted indexes) actually keys on. Value-equal
+    * to `array_distinct(transform(charShingles(norm, n), xxhash64))`
+    * (ShingleHashesSpec pins it), so cs_minhash signatures — and the
+    * (band, bucket) values persisted in landing-dedup bucket tables —
+    * are unchanged. Same materialization contract as charShingles: pass a
+    * materialized norm column.
+    */
+  def hashedCharShingles(norm: Column, n: Int): Column = {
+    graft.sqlext.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("cs_shingle_hashes", norm, lit(n))
+  }
 
   /** Word shingles (n-gram of tokens) joined by a space. Same contract:
     * `toks` must be a materialized array column (`split(norm, " ")`).

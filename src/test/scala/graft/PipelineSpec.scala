@@ -75,7 +75,11 @@ class PipelineSpec extends AnyFunSuite {
 
   test("fused cs_minhash equals the HOF minhashBase + signature lanes") {
     graft.sqlext.GraftFunctions.register(spark)
-    val sh = Dedup.shingleSets(docs, "doc_id", "text", 5)
+    // STRING shingles (the pre-r17 sh form) pin the original contract
+    val sh = docs
+      .withColumn("__norm", TextOps.normalizedText(col("text")))
+      .filter(length(col("__norm")) >= 5)
+      .select(col("doc_id"), TextOps.charShingles(col("__norm"), 5).as("sh"))
     val cmp = sh.select(
       call_function("cs_minhash", col("sh"), lit(16)).as("fused"),
       Dedup.minhashSignature(Dedup.minhashBase(col("sh")), 16).as("hof"))
@@ -86,6 +90,15 @@ class PipelineSpec extends AnyFunSuite {
       call_function("cs_minhash", concat(col("sh"), col("sh")), lit(16)).as("a"),
       call_function("cs_minhash", col("sh"), lit(16)).as("b"))
     assert(dup.filter(col("a") =!= col("b")).isEmpty)
+    // PRE-HASHED (array<bigint>, the r17 sh form) signs bit-identically
+    // to the string form: the persisted landing-dedup band buckets
+    // derive from these signatures, so this equality is the
+    // schema-stability pin for the shingle-hashing switch
+    val both = sh.select(
+      call_function("cs_minhash", col("sh"), lit(16)).as("s"),
+      call_function("cs_minhash",
+        transform(col("sh"), x => xxhash64(x)), lit(16)).as("h"))
+    assert(both.filter(col("s") =!= col("h")).isEmpty)
   }
 
   test("ngram Jaccard is 1.0 for normalized-identical docs") {
