@@ -147,28 +147,33 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(md5s.distinct.length == 3)
   }
 
-  test("fingerprint evaluates the regex normalization once per row") {
-    // The empty-normalization guard must not double the regex cost: a
-    // when(length(norm) > 0, hash(norm)).otherwise(hash(text)) form
-    // references the regexp_replace tree in both predicate and branch and
-    // runs it TWICE per row — at corpus scale the normalization dominates
-    // the exact-dedup scan. The coalesce(nullif(...)) form binds it once
-    // (NullIf lowers through With/CommonExpressionRef). Parquet-backed
-    // frame so ConvertToLocalRelation can't constant-fold the plan away.
+  test("fingerprint evaluates the normalization once per row") {
+    // The empty-normalization guard must not double the normalization
+    // cost: a when(length(norm) > 0, hash(norm)).otherwise(hash(text))
+    // form references the normalization tree in both predicate and branch
+    // and runs it TWICE per row — at corpus scale the normalization
+    // dominates the exact-dedup scan. The coalesce(nullif(...)) form
+    // binds it once (NullIf lowers through With/CommonExpressionRef).
+    // Since the cs_norm_text fusion the normalization is one fused
+    // expression, not a regexp_replace chain — the single-evaluation
+    // property is asserted on it the same way. Parquet-backed frame so
+    // ConvertToLocalRelation can't constant-fold the plan away.
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (expr <- Seq(TextOps.fingerprint(col("text")),
                      TextOps.fingerprintPortable(col("text")))) {
       val opt = docs.select(expr.as("fp")).queryExecution.optimizedPlan.toString
-      val n = "regexp_replace".r.findAllIn(opt).length
-      assert(n == 1, s"expected 1 regexp_replace in the optimized plan, got $n:\n$opt")
+      val n = "cs_norm_text".r.findAllIn(opt).length
+      assert(n == 1, s"expected 1 cs_norm_text in the optimized plan, got $n:\n$opt")
+      assert(!opt.contains("regexp_replace"),
+        s"normalization must be the fused pass, found regexp_replace:\n$opt")
     }
     graft.sqlext.GraftFunctions.register(spark)
     docs.createOrReplaceTempView("fp_docs")
     for (fn <- Seq("cs_fingerprint", "cs_md5_fp")) {
       val opt = spark.sql(s"SELECT $fn(text) AS fp FROM fp_docs")
         .queryExecution.optimizedPlan.toString
-      val n = "regexp_replace".r.findAllIn(opt).length
-      assert(n == 1, s"$fn: expected 1 regexp_replace in the optimized plan, got $n:\n$opt")
+      val n = "cs_norm_text".r.findAllIn(opt).length
+      assert(n == 1, s"$fn: expected 1 cs_norm_text in the optimized plan, got $n:\n$opt")
     }
   }
 
