@@ -114,6 +114,12 @@ object GraftFunctions {
         s"cs_shingle_hashes(text, n) needs a literal int shingle length, got $other")
     },
       "cs_shingle_hashes(text, n) - distinct xxhash64 of every n-char shingle (one-pass codegen)"),
+    ("cs_quality_sig", (c: Seq[Expression]) => QualitySig(c(0)),
+      "cs_quality_sig(text) - quality-signal counters " +
+        "(n_chars, n_nonws, n_punct, n_upper, n_words, n_stop) in one pass"),
+    ("cs_rep_sig", (c: Seq[Expression]) => RepSig(c(0)),
+      "cs_rep_sig(text) - repetition-signal counters " +
+        "(n_words, n_distinct, top_word, n_bigrams, top_bigram) in one pass"),
 
     // ---- mergeable sketch rollups (agg/Aggs.scala sketchRollup family) on
     // ---- the SQL surface: build per-bucket sketches ONCE into a rollup

@@ -64,6 +64,54 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object ShingleHashes {
+  /** Insertion-ordered distinct set of primitive longs: open addressing
+    * with linear probing over a power-of-two table (load factor <= 0.5 —
+    * the table is sized from the window count upfront, and distinct <=
+    * windows, so it never grows), first-occurrence order kept in a flat
+    * output array. Replaces a LinkedHashSet[java.lang.Long] that boxed
+    * every hash and allocated one node per entry — on a corpus scan the
+    * boxing was the dominant allocation of the whole shingle pass.
+    * The value 0 is encoded out-of-band (`hasZero`) so 0L can stay the
+    * empty-slot marker.
+    */
+  private final class LongDistinct(maxEntries: Int) {
+    // fail loudly instead of probing a wrapped-around table: a document
+    // with >2^29 windows needs a >8 GiB table and could never have fit
+    // the boxed set either
+    require(maxEntries < (1 << 29),
+      s"cs_shingle_hashes: document too large ($maxEntries windows)")
+    private val cap = Integer.highestOneBit(
+      math.max(8, maxEntries * 2 - 1)) << 1
+    private val mask = cap - 1
+    private val table = new Array[Long](cap)
+    private val order = new Array[Long](math.max(maxEntries, 1))
+    private var n = 0
+    private var hasZero = false
+
+    def add(v: Long): Unit = {
+      if (v == 0L) {
+        if (!hasZero) { hasZero = true; order(n) = 0L; n += 1 }
+        return
+      }
+      // finalizer-style mix so clustered hash values probe evenly
+      var h = v ^ (v >>> 33)
+      h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33
+      var idx = h.toInt & mask
+      while (true) {
+        val cur = table(idx)
+        if (cur == 0L) {
+          table(idx) = v; order(n) = v; n += 1
+          return
+        }
+        if (cur == v) return
+        idx = (idx + 1) & mask
+      }
+    }
+
+    def result(): Array[Long] = java.util.Arrays.copyOf(order, n)
+  }
+
   /** Shared kernel: distinct window hashes in first-occurrence order. */
   def compute(s: UTF8String, n: Int): Array[Long] = {
     val bytes = s.numBytes()
@@ -76,14 +124,16 @@ object ShingleHashes {
       if (s.getByte(i) < 0) ascii = false
       i += 1
     }
-    // LinkedHashSet preserves first-occurrence order == array_distinct's
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
     if (ascii) {
+      val windows = bytes - n + 1
+      if (windows <= 0) return Array.emptyLongArray
+      val seen = new LongDistinct(windows)
       var p = 0
       while (p + n <= bytes) {
         seen.add(XXH64.hashUnsafeBytes(base, off + p, n, 42L))
         p += 1
       }
+      seen.result()
     } else {
       // codepoint starts (UTF-8: a continuation byte is 10xxxxxx)
       val starts = new Array[Int](s.numChars() + 1)
@@ -94,17 +144,16 @@ object ShingleHashes {
         b += UTF8String.numBytesForFirstByte(s.getByte(b))
       }
       starts(c) = bytes
+      val windows = c - n + 1
+      if (windows <= 0) return Array.emptyLongArray
+      val seen = new LongDistinct(windows)
       var w = 0
       while (w + n <= c) {
         val lo = starts(w)
         seen.add(XXH64.hashUnsafeBytes(base, off + lo, starts(w + n) - lo, 42L))
         w += 1
       }
+      seen.result()
     }
-    val out = new Array[Long](seen.size())
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    out
   }
 }

@@ -29,6 +29,47 @@ object TextOps {
     * uppercase ratio, stopword ratio.
     */
   def qualitySignals(df: DataFrame, text: String): DataFrame = {
+    // ONE fused byte pass (cs_quality_sig, r17) supplies every counter the
+    // signals divide; the ratio arithmetic below is byte-for-byte the
+    // composed form's, so outputs are bit-identical
+    // ([[qualitySignalsComposed]] is the pinned reference —
+    // TextSignalsSpec asserts frame equality on adversarial inputs).
+    // The composition paid four full-text regexp_replace passes, a regex
+    // split, and a per-word interpreted lower∘regexp_replace lambda per
+    // document — the dominant cost of the quality scan.
+    graft.window.Moving.guardNames(df.columns.toSeq, Seq("__qs"),
+      "qualitySignals")
+    graft.sqlext.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    val t = col(text)
+    val sig = col("__qs")
+    val nChars = sig.getField("n_chars").cast("double")
+    // the fused scan already returns 0 for trimmed-empty text — the
+    // composition's phantom-one-word guard, folded in
+    val nWords = sig.getField("n_words").cast("double")
+    val nStop = sig.getField("n_stop").cast("double")
+    df.withColumn("__qs", call_function("cs_quality_sig", t))
+      .withColumn("n_chars_c", nChars.cast("long"))
+      .withColumn("n_words", nWords.cast("long"))
+      // mean chars per word, counting the WORD characters only — the
+      // (nChars − (nWords−1))/nWords form assumed exactly one separator
+      // per gap and no leading/trailing whitespace, inflating the value
+      // for newline/tab-heavy or padded text
+      .withColumn("mean_word_len",
+        when(nWords > 0, sig.getField("n_nonws") / nWords))
+      .withColumn("punct_ratio",
+        when(nChars > 0, sig.getField("n_punct") / nChars))
+      .withColumn("upper_ratio",
+        when(nChars > 0, sig.getField("n_upper") / nChars))
+      .withColumn("stopword_ratio", when(nWords > 0, nStop / nWords))
+      .drop("__qs")
+  }
+
+  /** The pre-r17 composed form of [[qualitySignals]] — kept as the
+    * bit-equality REFERENCE for TextSignalsSpec (regex passes + per-word
+    * lambda; never called on a scan path).
+    */
+  private[graft] def qualitySignalsComposed(df: DataFrame, text: String): DataFrame = {
     val t = col(text)
     val nChars = length(t).cast("double")
     val words = split(trim(t), "\\s+")
@@ -42,10 +83,6 @@ object TextOps {
     val nStop = size(filter(lw, w => w.isInCollection(stop))).cast("double")
     df.withColumn("n_chars_c", nChars.cast("long"))
       .withColumn("n_words", nWords.cast("long"))
-      // mean chars per word, counting the WORD characters only — the
-      // (nChars − (nWords−1))/nWords form assumed exactly one separator
-      // per gap and no leading/trailing whitespace, inflating the value
-      // for newline/tab-heavy or padded text
       .withColumn("mean_word_len",
         when(nWords > 0, length(regexp_replace(t, "\\s+", "")) / nWords))
       .withColumn("punct_ratio",
@@ -277,6 +314,38 @@ object TextOps {
   }
 
   def repetitionSignals(df: DataFrame, text: String): DataFrame = {
+    // ONE fused byte pass (cs_rep_sig, r17) supplies every counter: the
+    // composition paid a regex split, an array_distinct, two array_sorts
+    // and two interpreted per-element aggregate() scans per document.
+    // Ratio arithmetic below is the composed form's (long/long division,
+    // same when() guards), so outputs are bit-identical
+    // ([[repetitionSignalsComposed]] is the pinned reference —
+    // TextSignalsSpec asserts frame equality on adversarial inputs).
+    graft.window.Moving.guardNames(df.columns.toSeq,
+      Seq("__rs", "n_words", "n_distinct_words", "distinct_ratio",
+        "top_word_frac", "top_bigram_frac"), "repetitionSignals")
+    graft.sqlext.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    val sig = col("__rs")
+    df.withColumn("__rs", call_function("cs_rep_sig", col(text)))
+      .withColumn("n_words", sig.getField("n_words"))
+      .withColumn("n_distinct_words", sig.getField("n_distinct"))
+      .withColumn("distinct_ratio",
+        when(col("n_words") > 0, col("n_distinct_words") / col("n_words")))
+      .withColumn("top_word_frac",
+        when(col("n_words") > 0, sig.getField("top_word") / col("n_words")))
+      .withColumn("top_bigram_frac",
+        when(sig.getField("n_bigrams") > 0,
+          sig.getField("top_bigram") / sig.getField("n_bigrams"))
+          .otherwise(lit(0.0)))
+      .drop("__rs")
+  }
+
+  /** The pre-r17 composed form of [[repetitionSignals]] — kept as the
+    * bit-equality REFERENCE for TextSignalsSpec (regex split +
+    * array_distinct + sort/aggregate scans; never called on a scan path).
+    */
+  private[graft] def repetitionSignalsComposed(df: DataFrame, text: String): DataFrame = {
     graft.window.Moving.guardNames(df.columns.toSeq,
       Seq("__toks", "__bg", "n_words", "n_distinct_words", "distinct_ratio",
         "top_word_frac", "top_bigram_frac"), "repetitionSignals")
