@@ -43,6 +43,36 @@ object Prof {
       }
       SparkEntry.warmSeries(spark, sfDir)
     }
+    // SWEEP mode: `graft.Prof <sfDir> sweep [reps]` times EVERY declared
+    // query in one JVM (bench conditions, noop sink, min/spread over warm
+    // reps) — the full-coverage outlier scan an optimization round needs.
+    // One JVM so the 15 s session startup isn't paid 179 times; queries
+    // run alphabetically, failures are reported and skipped.
+    if (name == "sweep") {
+      val reps = args.drop(2).flatMap(_.toIntOption).headOption.getOrElse(3)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+      SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+        val f = SparkEntry.queries(q)
+        try {
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            f(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once() // warm (codegen/JIT)
+          val times = Seq.fill(reps)(once())
+          out += ((q, times.min, times.max - times.min))
+          println(f"$q%-28s min ${times.min}%7.3f  spread ${times.max - times.min}%6.3f")
+        } catch { case e: Throwable =>
+          println(f"$q%-28s FAILED ${e.getMessage}")
+        }
+      }
+      println("== slowest 20 ==")
+      out.sortBy(-_._2).take(20).foreach { case (q, m, s) =>
+        println(f"$q%-28s min $m%7.3f  spread $s%6.3f") }
+      spark.stop()
+      return
+    }
     val fn = SparkEntry.queries(name)
     if (doExplain) fn(spark, sfDir).explain("formatted")
     // `jobs`: per-job wall-time accounting for the LAST run — how many

@@ -28,6 +28,21 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String) = Tables.read(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.read(s, dir, "embeddings")
 
+  /** Split a frame UP to the core count for CPU-per-row-heavy aggregate
+    * partials (exact percentile builds a per-value hash count per row —
+    * ~30 µs/row, far above scan cost): Tables.readRaw's byte-sized cache
+    * partitioning is right for scan-bound queries but leaves these
+    * aggregates on a handful of long tasks. Scale-adaptive, not a local
+    * constant: the target is defaultParallelism, and a source already
+    * split finer (any real multi-file layout at scale) passes through
+    * untouched. Only order-independent aggregates may sit on top — the
+    * round-robin shuffle reassigns rows to partitions.
+    */
+  private def cpuSplit(df: org.apache.spark.sql.DataFrame) = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+  }
+
   /** events as a per-type series: pos = rank within event_type by
     * (ts, event_id). event_type has ~5 distinct values, so the naive
     * key-partitioned window would run 5 tasks; attachPosRanged keeps
@@ -206,9 +221,13 @@ object SparkEntry {
       evSeries(s, dir).filter(col("event_type") === "purchase" && col("pos") < 20)
         .agg(fl(Aggs.prd("value")).as("prd"))),
     "q_median" -> ((s, dir) =>
-      li(s, dir).agg(
-        fl(percentile(col("l_quantity"), lit(0.5))).as("med_q"),
-        fl(percentile(col("l_extendedprice"), lit(0.9))).as("p90_price"))),
+      // exact percentile partials are CPU-bound (cpuSplit doc); the
+      // per-value-count aggregate is order-independent, so the split
+      // cannot move the result
+      cpuSplit(li(s, dir).select(col("l_quantity"), col("l_extendedprice")))
+        .agg(
+          fl(percentile(col("l_quantity"), lit(0.5))).as("med_q"),
+          fl(percentile(col("l_extendedprice"), lit(0.9))).as("p90_price"))),
     "q_all_any" -> ((s, dir) =>
       // bitwise AND/OR reduction — cs_all/cs_any (func.c:1446-1456)
       ord(s, dir).agg(
@@ -365,7 +384,9 @@ object SparkEntry {
       Moving.rank(evSeries(s, dir).filter(col("pos") < 50), Seq("event_type"), "value")
         .select(col("event_type"), col("pos"), col("rnk"), col("dense_rnk"))),
     "q_quantile" -> ((s, dir) =>
-      Analytics.quantile(li(s, dir), "l_extendedprice", 4)
+      // cpuSplit: exact-percentile partials, order-independent (q_median)
+      Analytics.quantile(cpuSplit(li(s, dir).select(col("l_extendedprice"))),
+        "l_extendedprice", 4)
         .select(col("q_idx"), fl(col("q_value")).as("q_value"))),
     "q_diff" -> ((s, dir) =>
       Analytics.diff(evSeries(s, dir), Seq("event_type"), "value")
@@ -586,11 +607,10 @@ object SparkEntry {
         col("asof_sv").getField("tag").as("asof_tag"))
     }),
     "q_asof_exec_map" -> ((s, dir) => {
-      // keyless as-of carrying a MAP value column through the decomposed
-      // parallel lanes (sorted key/value entry arrays + presence lane,
-      // reassembled with map_from_arrays) — the LAST complex-type serial
-      // fallback closed: only nested-map types remain on the AllTuples
-      // exec. The right map is {mx→max, mn→min} per ts (deterministic
+      // keyless as-of carrying a MAP value column through the parallel
+      // scan via the row-id carry (the int64 right-row id rides the exact
+      // hi/lo lanes; one hash join fetches the carried row's map after
+      // the scan). The right map is {mx→max, mn→min} per ts (deterministic
       // construction); the oracle carries the values as columns and the
       // query unpacks the carried map to match.
       val ev = Tables.read(s, dir, "events")
@@ -602,18 +622,18 @@ object SparkEntry {
             array(max(col("value")), min(col("value")))).as("mv"))
       val out = graft.plans.AsofMerge.asofJoin(l, r, Seq(), "ts", "mv", "asof_mv")
       require(!out.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
-        "map keyless as-of must ride the decomposed parallel scan")
+        "map keyless as-of must ride the row-id-carry parallel scan")
       out.select(col("event_id"), fl(col("value")).as("value"),
         fl(element_at(col("asof_mv"), "mx")).as("asof_mx"),
         fl(element_at(col("asof_mv"), "mn")).as("asof_mn"))
     }),
     "q_asof_exec_map_nested" -> ((s, dir) => {
       // keyless as-of carrying a NESTED map (map<string, map<string,
-      // double>>) through the decomposed lanes: the inner maps flatten
-      // elementwise into key/value ARRAY-OF-ARRAYS (r10) — only maps at
-      // level 3+ remain on the serial exec (README "As-of value types").
-      // The right map is {stats → {mx→max, mn→min}} per ts; the query
-      // unpacks the carried nesting to the scalars the oracle computes.
+      // double>>) through the parallel scan via the row-id carry (README
+      // "As-of value types") — nesting depth does not change the scan's
+      // shape, only the fetch join's payload width. The right map is
+      // {stats → {mx→max, mn→min}} per ts; the query unpacks the carried
+      // nesting to the scalars the oracle computes.
       val ev = Tables.read(s, dir, "events")
       val l = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("ts"), col("value"))
@@ -624,19 +644,18 @@ object SparkEntry {
               array(max(col("value")), min(col("value")))))).as("nmv"))
       val out = graft.plans.AsofMerge.asofJoin(l, r, Seq(), "ts", "nmv", "asof_nmv")
       require(!out.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
-        "one-level nested-map as-of must ride the decomposed parallel scan")
+        "one-level nested-map as-of must ride the row-id-carry parallel scan")
       out.select(col("event_id"), fl(col("value")).as("value"),
         fl(element_at(element_at(col("asof_nmv"), "stats"), "mx")).as("asof_mx"),
         fl(element_at(element_at(col("asof_nmv"), "stats"), "mn")).as("asof_mn"))
     }),
     "q_asof_exec_map_deep" -> ((s, dir) => {
       // keyless as-of carrying a DEPTH-3 map (map<string, map<string,
-      // map<string, double>>>) — the shape beyond the entry-array route:
-      // the value transcodes recursively to a map-free canonical
-      // struct-of-sorted-arrays, rides the parallel scan, and decodes
-      // back (r11 closes the last AllTuples corner; README "As-of value
-      // types"). The right map is {agg → {stats → {mx→max, mn→min}}} per
-      // ts; the query unpacks the carried nesting to the oracle scalars.
+      // map<string, double>>>) through the same row-id carry as the flat
+      // and one-level map cases (r17 retired the recursive transcoder;
+      // README "As-of value types"). The right map is {agg → {stats →
+      // {mx→max, mn→min}}} per ts; the query unpacks the carried nesting
+      // to the oracle scalars.
       val ev = Tables.read(s, dir, "events")
       val l = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("ts"), col("value"))
@@ -648,7 +667,7 @@ object SparkEntry {
                 array(max(col("value")), min(col("value")))))))).as("dmv"))
       val out = graft.plans.AsofMerge.asofJoin(l, r, Seq(), "ts", "dmv", "asof_dmv")
       require(!out.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
-        "depth-3 map as-of must ride the deep-transcoded parallel scan")
+        "depth-3 map as-of must ride the row-id-carry parallel scan")
       val stats = element_at(element_at(col("asof_dmv"), "agg"), "stats")
       out.select(col("event_id"), fl(col("value")).as("value"),
         fl(element_at(stats, "mx")).as("asof_mx"),
@@ -2261,7 +2280,12 @@ object SparkEntry {
       // bounded-error contract — |rank(approx_p90) − 0.9| ≤ 0.01, far
       // looser than the sketch's 1/accuracy bound, so the boolean is
       // deterministic; the exact p90 rides along for value comparison
-      val l = li(s, dir).select(col("l_extendedprice").as("x"))
+      // cpuSplit: the exact-percentile partial dominates this query
+      // (~2 s/task on the byte-sized 8-way cache split). The split cannot
+      // move the output: exact percentile is order-independent, and `ap`
+      // only feeds the rank_ok tolerance check (sketch error 1e-4 vs the
+      // 0.01 band), never the output itself
+      val l = cpuSplit(li(s, dir).select(col("l_extendedprice").as("x")))
       val a = l.agg(
         percentile_approx(col("x"), lit(0.9), lit(10000)).as("ap"),
         percentile(col("x"), lit(0.9)).as("ex"),

@@ -89,14 +89,11 @@ object AsofJoinStrategy extends SparkStrategy {
   * strings/binary/decimals ride the scan as dictionary codes on exact
   * hi/lo long lanes ([[AsofMerge.keylessDictAsof]]) — including ARRAYS,
   * which group/join by value; structs of such fields decompose per-field
-  * onto the lanes and reassemble ([[AsofMerge.keylessStructAsof]]); maps
-  * decompose to sorted key/value arrays plus a presence lane and
-  * reassemble via map_from_arrays ([[AsofMerge.keylessMapAsof]]).
-  * AllTuples is reachable only by constructing [[AsofJoinPlan]] directly,
-  * or with a value type no lane, dictionary, or decomposition carries —
-  * now only maps NESTED past the first level (a map-valued map, an array
-  * of maps, a struct with a map field; Spark cannot group by a map, so
-  * no dictionary or array lane can carry the inner one).
+  * onto the lanes and reassemble ([[AsofMerge.keylessStructAsof]]);
+  * map-bearing values (any depth or position) carry the matched right
+  * ROW's identity through the int64 lanes and fetch the value back with
+  * one join ([[AsofMerge.keylessRowIdAsof]]). AllTuples is reachable
+  * only by constructing [[AsofJoinPlan]] directly.
   */
 case class AsofMergeJoinExec(
     leftKeys: Seq[Expression],
@@ -284,26 +281,20 @@ object AsofMerge {
         if (dts.forall(lanable))
           return keylessRangedAsof(left, right, lTs.get, cols, outCols,
             direction, inclusive)
-        // strings/binary/decimals have no Double lane, but their DOMAIN
-        // does: dictionary-encode to long codes, scan, decode the carry
-        // maps decompose to sorted key/value ARRAYS (plus a presence
-        // lane) — Spark cannot group/join by a map, but the entry arrays
-        // group by value and ride the dict lanes like any array; checked
-        // first because a map fits no other route.
-        if (dts.exists(mapDecomposable) &&
-            dts.forall(dt => lanable(dt) || dictEncodable(dt) ||
-              structDecomposable(dt) || mapDecomposable(dt)))
-          return keylessMapAsof(left, right, lTs.get, cols, outCols,
-            direction, inclusive)
-        // maps the entry-array route can't flatten — nested 3+ levels, or
-        // buried inside arrays/structs — transcode recursively to a
-        // map-free canonical struct-of-arrays and ride the parallel scan;
-        // checked after keylessMapAsof so the cheaper one-level route
-        // keeps frames it fully covers
+        // map-bearing values (top-level maps, maps nested to any depth,
+        // maps inside arrays or structs): Spark cannot group/join BY a
+        // map, so no dictionary or lane carries the value itself — carry
+        // the matched right ROW's identity through the exact int64 lanes
+        // and fetch the value columns back with one hash join
+        // (keylessRowIdAsof). Replaces the retired entry-array and
+        // recursive-transcode routes: no per-column dictionary distinct
+        // over high-cardinality entry arrays, no O(depth) transcode
+        // expression trees; checked first because a map fits no other
+        // route.
         if (dts.exists(containsMap) &&
             dts.forall(dt => lanable(dt) || dictEncodable(dt) ||
               structDecomposable(dt) || containsMap(dt)))
-          return keylessDeepMapAsof(left, right, lTs.get, cols, outCols,
+          return keylessRowIdAsof(left, right, lTs.get, cols, outCols,
             direction, inclusive)
         // structs of lane-able/dict-encodable fields decompose per-field
         // onto the same lanes (plus a presence lane) and reassemble —
@@ -411,10 +402,8 @@ object AsofMerge {
     * That includes arrays (of atomics, structs, or nested arrays): array
     * columns are hashable/orderable group and join keys. Maps are not
     * groupable in Spark at any depth — map-BEARING types are not dict-
-    * encodable directly; top-level and one-level-nested map COLUMNS ride
-    * the parallel scan via [[mapDecomposable]]'s entry-array flattening,
-    * and every other map shape (depth 3+, maps inside arrays/structs)
-    * via [[keylessDeepMapAsof]]'s recursive map-free transcoding.
+    * encodable; every map shape (top-level, nested, inside arrays or
+    * structs) rides [[keylessRowIdAsof]]'s row-identity carry instead.
     */
   private def dictEncodable(dt: DataType): Boolean = dt match {
     case StringType | BinaryType | _: DecimalType => true
@@ -444,39 +433,11 @@ object AsofMerge {
     * fine too — they are dict-encodable (group/join by value), so a
     * struct-in-struct decomposes with the inner struct riding a dict
     * lane (AsofMergeSpec pins it); only map-bearing fields exclude the
-    * decomposition (they route via [[mapDecomposable]] when the map is
-    * the column itself, or the serial exec when nested deeper).
+    * decomposition (those route via [[keylessRowIdAsof]]).
     */
   private def structDecomposable(dt: DataType): Boolean = dt match {
     case st: StructType if st.fields.nonEmpty =>
       st.fields.forall(f => lanable(f.dataType) || dictEncodable(f.dataType))
-    case _ => false
-  }
-
-  /** Maps whose key and value types are themselves map-free ride the
-    * parallel scan DECOMPOSED: sorted entry arrays (`array_sort` over
-    * `map_entries` — keys are unique and non-null, so the sort is total
-    * and gives equal maps one canonical encoding) split into a key array
-    * and a value array, plus one presence lane. Both arrays are
-    * dictionary-encodable ([[dictEncodable]] admits map-free arrays), and
-    * row-carry guarantees the reassembled `map_from_arrays` pairs arrays
-    * from the SAME matched right row.
-    *
-    * ONE nested map level decomposes too (`map<k, map<k2, v2>>` with
-    * map-free k/k2/v2): the inner maps flatten elementwise into an
-    * array-of-key-arrays and an array-of-value-arrays (null inner maps
-    * stay null elements — `map_entries(null)` is null through the
-    * transform), both plain dict-encodable nested arrays. Deeper nesting
-    * (a map at level 3+, or maps inside arrays/structs) rides
-    * [[keylessDeepMapAsof]]'s recursive transcoder instead — the entry-
-    * array route stays preferred where it applies because it skips the
-    * per-level struct wrapping.
-    */
-  private def mapDecomposable(dt: DataType): Boolean = dt match {
-    case MapType(k, v, _) if !containsMap(k) => v match {
-      case MapType(k2, v2, _) => !containsMap(k2) && !containsMap(v2)
-      case _ => !containsMap(v)
-    }
     case _ => false
   }
 
@@ -496,13 +457,10 @@ object AsofMerge {
   private val StructTempName =
     "(?i)(__sf\\d+_\\d+|__sp\\d+|__so\\d+_\\d+|__sq\\d+)".r
 
-  /** Working names of the map-decomposition route (entry-array extraction,
-    * presence, and their scan outputs) — reserved like [[StructTempName]].
-    * `__dmN`/`__dmoN` are the deep-map transcoder's ([[keylessDeepMapAsof]]).
+  /** Working names of the row-id-carry route (the right frame's row
+    * number and its carried image) — reserved like [[StructTempName]].
     */
-  private val MapTempName =
-    ("(?i)(__mk\\d+|__mv\\d+|__mp\\d+|__mq\\d+|__mok\\d+|__mov\\d+" +
-      "|__mvk\\d+|__mvv\\d+|__movk\\d+|__movv\\d+|__dm\\d+|__dmo\\d+)").r
+  private val RowIdTempName = "(?i)(__rid|__crid)".r
   private def guardInternalNames(lf: DataFrame, rf: DataFrame): Unit = {
     val clash = (lf.columns ++ rf.columns).distinct
       .filter(c => InternalName.pattern.matcher(c).matches())
@@ -522,7 +480,7 @@ object AsofMerge {
     val outClash = outCols.distinct.filter(c =>
       InternalName.pattern.matcher(c).matches() ||
         StructTempName.pattern.matcher(c).matches() ||
-        MapTempName.pattern.matcher(c).matches())
+        RowIdTempName.pattern.matcher(c).matches())
     require(outClash.isEmpty,
       s"output column name(s) ${outClash.mkString(", ")} match the keyless " +
         "as-of scan's reserved internal name pattern; pick different outCols")
@@ -625,210 +583,55 @@ object AsofMerge {
     rebuilt.select((lf.columns.toSeq ++ outCols).map(col): _*)
   }
 
-  /** Keyless as-of for map value columns ([[mapDecomposable]]): each map
-    * becomes (sorted key array, value array, presence lane) — `array_sort`
-    * over `map_entries` orders by key (unique, non-null), so equal maps
-    * encode identically and the split arrays stay index-aligned. The
-    * arrays ride the ordinary keyless scan (dictionary route — arrays
-    * group by value); the carried pair reassembles with `map_from_arrays`
-    * under the presence gate. Row-carry soundness is the struct route's
-    * argument verbatim: all three lanes update together from the same
-    * matched right row, so a rebuilt map can never pair keys of one row
-    * with values of another. NULL semantics: carried presence=false →
-    * NULL map (a NULL map in the matched row masks older non-null maps —
-    * the exec's row-carry contract); an EMPTY map is presence=true with
-    * empty arrays and round-trips as an empty map, distinct from NULL.
+  /** Keyless as-of for map-bearing value columns (any depth or position:
+    * a map column, map<k, map<…>>, maps inside arrays or structs). Spark
+    * cannot group or join BY a map, so no dictionary or lane can carry the
+    * value itself — carry the matched right ROW's identity instead:
+    *
+    *  1. number the right frame once ([[graft.series.Series.attachPosRanged]],
+    *     keyless — range shuffle + an O(partitions) driver offset table);
+    *  2. ride ONLY (ts, row id) through the parallel ranged scan — the id
+    *     is int64, so it takes the exact hi/lo lanes;
+    *  3. fetch the carried row's value columns back with one left hash
+    *     join on the id.
+    *
+    * Row-carry soundness is trivial: the carried payload IS the row
+    * identity, so every fetched column comes from the one matched right
+    * row. NULL semantics follow for free — a NULL (or empty) map in the
+    * carried row comes back exactly as stored from the fetch join, and a
+    * left row with no match carries a NULL id, which the left join leaves
+    * as NULL outputs. The id→row mapping is consistent between the scan
+    * and fetch subtrees because both read the SAME numbered RDD
+    * (attachPosRanged captures its shuffled RDD once; Spark reuses the
+    * shuffle output across the consuming jobs).
+    *
+    * This route retired the r10/r11 entry-array and recursive-transcode
+    * forms: they dict-encoded the (high-cardinality) sorted entry arrays —
+    * a distinct + rank + two joins PER encoded lane, over values the size
+    * of the maps — and planned O(depth) transcode expression trees. The
+    * scan here shuffles (ts, int64) regardless of value width or depth.
     */
-  private def keylessMapAsof(lf: DataFrame, rf: DataFrame, ts: String,
-                             valueCols: Seq[String], outCols: Seq[String],
-                             direction: Int, inclusive: Boolean): DataFrame = {
+  private def keylessRowIdAsof(lf: DataFrame, rf: DataFrame, ts: String,
+                               valueCols: Seq[String], outCols: Seq[String],
+                               direction: Int, inclusive: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
+    guardInternalNames(lf, rf)
     locally {
       val clash = (lf.columns ++ rf.columns).distinct
-        .filter(c => MapTempName.pattern.matcher(c).matches())
+        .filter(c => RowIdTempName.pattern.matcher(c).matches())
       require(clash.isEmpty,
-        s"column name(s) ${clash.mkString(", ")} collide with the map " +
-          "as-of decomposition's reserved names (__mkI/__mvI/__mpI/__mqI/" +
-          "__mokI/__movI); rename them before the join")
+        s"column name(s) ${clash.mkString(", ")} collide with the row-id " +
+          "as-of route's reserved names (__rid/__crid); rename them " +
+          "before the join")
     }
-    var rExp = rf
-    val scanVals = Seq.newBuilder[String]
-    val scanOuts = Seq.newBuilder[String]
-    // per decomposed column: (index, nested) — nested maps additionally
-    // flatten their inner maps into elementwise key/value arrays
-    val rebuilds: Seq[(Int, Boolean)] = valueCols.zipWithIndex.flatMap { case (c, i) =>
-      rf.schema(c).dataType match {
-        case mt @ MapType(_, _: MapType, _) if mapDecomposable(mt) =>
-          // the default array_sort orders whole entry STRUCTS, and a
-          // map-valued entry is not orderable — sort by key alone (keys
-          // are unique and non-null, so the comparator is total)
-          val ents = array_sort(map_entries(col(c)), (a, b) =>
-            when(a.getField("key") < b.getField("key"), lit(-1))
-              .when(a.getField("key") > b.getField("key"), lit(1))
-              .otherwise(lit(0)))
-          def innerEnts(e: org.apache.spark.sql.Column) =
-            array_sort(map_entries(e.getField("value")))
-          rExp = rExp
-            .withColumn(s"__mp$i", col(c).isNotNull)
-            .withColumn(s"__mk$i", transform(ents, e => e.getField("key")))
-            // inner maps elementwise: null inner map → null element (the
-            // null propagates through map_entries/array_sort/transform)
-            .withColumn(s"__mvk$i", transform(ents,
-              e => transform(innerEnts(e), x => x.getField("key"))))
-            .withColumn(s"__mvv$i", transform(ents,
-              e => transform(innerEnts(e), x => x.getField("value"))))
-          scanVals += s"__mp$i"; scanOuts += s"__mq$i"
-          scanVals += s"__mk$i"; scanOuts += s"__mok$i"
-          scanVals += s"__mvk$i"; scanOuts += s"__movk$i"
-          scanVals += s"__mvv$i"; scanOuts += s"__movv$i"
-          Some((i, true))
-        case mt: MapType if mapDecomposable(mt) =>
-          val ents = array_sort(map_entries(col(c)))
-          rExp = rExp
-            .withColumn(s"__mp$i", col(c).isNotNull)
-            .withColumn(s"__mk$i", transform(ents, e => e.getField("key")))
-            .withColumn(s"__mv$i", transform(ents, e => e.getField("value")))
-          scanVals += s"__mp$i"; scanOuts += s"__mq$i"
-          scanVals += s"__mk$i"; scanOuts += s"__mok$i"
-          scanVals += s"__mv$i"; scanOuts += s"__mov$i"
-          Some((i, false))
-        case _ =>
-          scanVals += c; scanOuts += outCols(i)
-          None
-      }
-    }
-    val sv = scanVals.result(); val so = scanOuts.result()
-    // post-decomposition the columns are presence booleans (lane-able),
-    // entry arrays (dictionary-encodable), and whatever non-map columns
-    // rode along — including structs, which keep their own route
-    val dts = sv.map(rExp.schema(_).dataType)
-    val scanned =
-      if (dts.exists(structDecomposable))
-        keylessStructAsof(lf, rExp, ts, sv, so, direction, inclusive)
-      else if (dts.forall(lanable))
-        keylessRangedAsof(lf, rExp, ts, sv, so, direction, inclusive)
-      else keylessDictAsof(lf, rExp, ts, sv, so, direction, inclusive)
-    val rebuilt = rebuilds.foldLeft(scanned) {
-      case (df, (i, false)) =>
-        df.withColumn(outCols(i), when(col(s"__mq$i"),
-          map_from_arrays(col(s"__mok$i"), col(s"__mov$i"))))
-      case (df, (i, true)) =>
-        // rebuild inner maps elementwise first (null key-array element =
-        // the carried row's inner map was NULL), then the outer map
-        df.withColumn(outCols(i), when(col(s"__mq$i"),
-          map_from_arrays(col(s"__mok$i"),
-            zip_with(col(s"__movk$i"), col(s"__movv$i"),
-              (ks, vs) => when(ks.isNotNull, map_from_arrays(ks, vs))))))
-    }
-    rebuilt.select((lf.columns.toSeq ++ outCols).map(col): _*)
-  }
-
-  /** The map-free image of a type: every map at ANY depth becomes a
-    * struct of parallel key/value arrays. Used by [[keylessDeepMapAsof]].
-    */
-  private def encMapFree(c: org.apache.spark.sql.Column,
-                         dt: DataType): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    dt match {
-      case MapType(k, v, _) =>
-        // entries sorted by ENCODED key: keys are unique and non-null, so
-        // the sort is total (encoding is injective) and equal maps get ONE
-        // canonical encoding — the property the dictionary route's
-        // group-by-value requires. The encoded key type (struct/array/
-        // atomic, map-free by construction) is orderable where a raw
-        // map-bearing key would not be.
-        val encEnts = transform(map_entries(c), e => struct(
-          encMapFree(e.getField("key"), k).as("k"),
-          encMapFree(e.getField("value"), v).as("v")))
-        val sorted = array_sort(encEnts, (a, b) =>
-          when(a.getField("k") < b.getField("k"), lit(-1))
-            .when(a.getField("k") > b.getField("k"), lit(1))
-            .otherwise(lit(0)))
-        // null map → null struct (struct() of null fields is NOT null)
-        when(c.isNotNull, struct(
-          transform(sorted, _.getField("k")).as("ks"),
-          transform(sorted, _.getField("v")).as("vs")))
-      case ArrayType(e, _) if containsMap(e) =>
-        transform(c, x => encMapFree(x, e))
-      case st: StructType if containsMap(st) =>
-        when(c.isNotNull, struct(st.fields.toSeq.map(f =>
-          encMapFree(c.getField(f.name), f.dataType).as(f.name)): _*))
-      case _ => c
-    }
-  }
-
-  /** Inverse of [[encMapFree]] — null-gated at every level, so null-ness
-    * at any nesting depth survives the round trip (null map ↔ null
-    * struct; empty map ↔ empty arrays, distinct from null).
-    */
-  private def decMapFree(c: org.apache.spark.sql.Column,
-                         dt: DataType): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    dt match {
-      case MapType(k, v, _) =>
-        when(c.isNotNull, map_from_arrays(
-          transform(c.getField("ks"), x => decMapFree(x, k)),
-          transform(c.getField("vs"), x => decMapFree(x, v))))
-      case ArrayType(e, _) if containsMap(e) =>
-        transform(c, x => decMapFree(x, e))
-      case st: StructType if containsMap(st) =>
-        when(c.isNotNull, struct(st.fields.toSeq.map(f =>
-          decMapFree(c.getField(f.name), f.dataType).as(f.name)): _*))
-      case _ => c
-    }
-  }
-
-  /** Keyless as-of for map-bearing value columns BEYOND the one-level
-    * entry-array route: maps nested three levels or deeper, and maps
-    * buried inside arrays or structs. Each such column transcodes
-    * recursively to its map-free canonical form ([[encMapFree]]), rides
-    * the parallel scan as an ordinary struct/dict column, and the
-    * carried value decodes back ([[decMapFree]]). Row-carry soundness is
-    * the struct route's argument verbatim — the encoded column is ONE
-    * column, so the carried encoding is always internally consistent.
-    * This closes the last serial corner: the AllTuples exec remains
-    * reachable only by direct plan construction.
-    */
-  private def keylessDeepMapAsof(lf: DataFrame, rf: DataFrame, ts: String,
-                                 valueCols: Seq[String], outCols: Seq[String],
-                                 direction: Int, inclusive: Boolean): DataFrame = {
-    import org.apache.spark.sql.functions._
-    locally {
-      val clash = (lf.columns ++ rf.columns).distinct
-        .filter(c => MapTempName.pattern.matcher(c).matches())
-      require(clash.isEmpty,
-        s"column name(s) ${clash.mkString(", ")} collide with the map " +
-          "as-of decomposition's reserved names; rename them before the join")
-    }
-    var rExp = rf
-    val scanVals = Seq.newBuilder[String]
-    val scanOuts = Seq.newBuilder[String]
-    val rebuilds: Seq[(Int, DataType)] = valueCols.zipWithIndex.flatMap { case (c, i) =>
-      val dt = rf.schema(c).dataType
-      if (containsMap(dt)) {
-        rExp = rExp.withColumn(s"__dm$i", encMapFree(col(c), dt))
-        scanVals += s"__dm$i"; scanOuts += s"__dmo$i"
-        Some((i, dt))
-      } else {
-        scanVals += c; scanOuts += outCols(i)
-        None
-      }
-    }
-    val sv = scanVals.result(); val so = scanOuts.result()
-    // at least one column was transcoded (this route is only entered for
-    // map-bearing frames), and its encoded type is a struct or array —
-    // never lane-able — so the dispatch is struct-decomposition when any
-    // column qualifies, dictionary otherwise
-    assert(rebuilds.nonEmpty, "keylessDeepMapAsof entered with no map column")
-    val dts = sv.map(rExp.schema(_).dataType)
-    val scanned =
-      if (dts.exists(structDecomposable))
-        keylessStructAsof(lf, rExp, ts, sv, so, direction, inclusive)
-      else keylessDictAsof(lf, rExp, ts, sv, so, direction, inclusive)
-    val rebuilt = rebuilds.foldLeft(scanned) { case (df, (i, dt)) =>
-      df.withColumn(outCols(i), decMapFree(col(s"__dmo$i"), dt))
-    }
-    rebuilt.select((lf.columns.toSeq ++ outCols).map(col): _*)
+    val rid = graft.series.Series.attachPosRanged(
+      rf, Seq(), Seq(col(ts)), out = "__rid")
+    val scanned = keylessRangedAsof(lf, rid.select(col(ts), col("__rid")),
+      ts, Seq("__rid"), Seq("__crid"), direction, inclusive)
+    val fetch = rid.select(col("__rid").as("__crid") +:
+      valueCols.zip(outCols).map { case (v, o) => col(v).as(o) }: _*)
+    scanned.join(fetch, Seq("__crid"), "left")
+      .select((lf.columns.toSeq ++ outCols).map(col): _*)
   }
 
   /** Parallel keyless as-of with the MERGE EXEC's row-carry contract: the

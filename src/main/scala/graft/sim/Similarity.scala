@@ -175,19 +175,62 @@ object Similarity {
   /** Product quantization codebooks: the vector splits into `m` equal
     * subspaces, each with its own `k`-centroid k-means codebook. Memory
     * per vector drops from dim·4 bytes to m codes (m bytes at k ≤ 256) —
-    * the standard ANN compression for billion-vector corpora. Training is
-    * m independent [[kmeansTrain]] runs (driver traffic = model size).
+    * the standard ANN compression for billion-vector corpora.
+    *
+    * All m trainings FUSE into one Lloyd loop: each iteration is ONE Spark
+    * job that assigns every subspace with the same [[nearestCid]] scoring
+    * the per-subspace trainer used and re-estimates every codebook from a
+    * single (subspace, centroid, dim) aggregation — m·k·dsub rows
+    * collected, so driver traffic stays model-sized. The unfused form paid
+    * m·(iters+1) separate jobs (init sort + assign/agg per subspace), all
+    * at task-launch floor on small inputs and m redundant corpus scans per
+    * iteration at scale.
     */
   def pqTrain(df: DataFrame, id: String, vec: String, dim: Int,
               m: Int, k: Int, iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    graft.sqlext.GraftFunctions.register(df.sparkSession)
     val dsub = dim / m
-    (0 until m).map { s =>
-      kmeansTrain(
-        df.select(col(id),
-          slice(col(vec).cast("array<double>"), s * dsub + 1, dsub).as("__sub")),
-        id, "__sub", k, iters)
+    val v = df.select(col(id).as("__kid"), col(vec).cast("array<double>").as("__v"))
+    // init = the k lowest-id vectors (as in kmeansTrain), sliced per
+    // subspace on the driver — one sorted scan for all m codebooks
+    val init = v.orderBy(col("__kid")).limit(k).collect()
+    var books: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
+      init.zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Double](1).slice(s * dsub, (s + 1) * dsub).toSeq)
+      }.toSeq
     }
+    for (_ <- 0 until iters) {
+      val withCodes = (0 until m).foldLeft(v) { (d, s) =>
+        d.withColumn(s"__c_$s",
+          nearestCid(slice(col("__v"), s * dsub + 1, dsub), books(s)))
+      }
+      // element __pos of the full vector belongs to subspace __pos/dsub at
+      // local dim __pos%dsub, under that subspace's assigned centroid
+      val exploded = withCodes.select(
+        array((0 until m).map(s => col(s"__c_$s")): _*).as("__cids"),
+        posexplode(col("__v")).as(Seq("__pos", "__x")))
+      val sub = (col("__pos") / dsub).cast("int")
+      val means = exploded
+        .groupBy(sub.as("__s"),
+          element_at(col("__cids"), sub + 1).as("__cid"),
+          (col("__pos") % dsub).as("__p"))
+        .agg(avg(col("__x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+      books = (0 until m).map { s =>
+        val byCid = means.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getInt(1))
+        books(s).map { case (cid, old) =>
+          byCid.get(cid) match {
+            case Some(rows) =>
+              (cid, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+            case None => (cid, old) // empty cluster keeps its centroid
+          }
+        }
+      }
+    }
+    books
   }
 
   /** Encode each vector as its per-subspace nearest-centroid codes and a

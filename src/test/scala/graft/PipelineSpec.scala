@@ -251,6 +251,28 @@ class PipelineSpec extends AnyFunSuite {
       "degenerate vectors must yield bucket 0 everywhere, like the HOF form")
   }
 
+  test("fused pqTrain matches the per-subspace kmeansTrain composition") {
+    // the one-job-per-iteration trainer must reproduce the codebooks the
+    // m-independent-runs form computed: same init (k lowest ids, sliced),
+    // same nearestCid assignment, same means. One input partition makes
+    // the avg aggregation order deterministic, so equality is exact.
+    val dim = 8; val m = 4; val k = 2; val iters = 3; val dsub = dim / m
+    val rows = (0L until 20L).map { i =>
+      (i, (0 until dim).map(d => (((i * 31 + d * 17) % 13) - 6).toFloat / 3f))
+    }
+    val df = rows.toDF("vec_id", "embedding").coalesce(1)
+    val composed = (0 until m).map { s =>
+      Similarity.kmeansTrain(
+        df.select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), s * dsub + 1, dsub)
+            .as("__sub")),
+        "vec_id", "__sub", k, iters)
+    }
+    val fused = Similarity.pqTrain(df, "vec_id", "embedding", dim, m, k, iters)
+    assert(fused == composed,
+      s"fused PQ training diverged from the per-subspace composition:\n$fused\nvs\n$composed")
+  }
+
   test("rhp planes stay uncorrelated past dim 1024 (no shifted-copy weights)") {
     val w0 = Similarity.rhpWeights(0, 1536)
     val w1 = Similarity.rhpWeights(1, 1536)
