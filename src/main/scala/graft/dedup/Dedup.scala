@@ -218,12 +218,23 @@ object Dedup {
     * ([[graft.streaming.Streams.dedupIngestBatch]]).
     */
   def bandedPairs(banded: DataFrame, id: String): DataFrame = {
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
-        col(s"a.band") === col(s"b.band") && col(s"a.bucket") === col(s"b.bucket") &&
-          col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
+    // ONE-SHUFFLE shape (r18; guide §2.4): group members per (band,
+    // bucket), emit ordered pairs INSIDE the aggregate via the lazy
+    // cs_pairs generator. The previous self-join on (band, bucket)
+    // shuffled the banded frame on BOTH join sides and re-computed the
+    // whole banding subtree per side (the two Scan+Generate legs in the
+    // committed r17 plans); this pays one Exchange and one banding pass.
+    // Pair semantics are IDENTICAL by construction — cs_pairs emits
+    // exactly the strict-< ordered pairs of distinct values sharing a
+    // group (see BucketPairs' scaladoc) — and the cross-band dedup stays
+    // in the same final distinct(). Skew behaves the same: a hot bucket
+    // lands on one task either way (hash join build vs collect_list),
+    // with O(members) state and lazily-streamed pair output here.
+    graft.sqlext.GraftFunctions.register(banded.sparkSession)
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col(id)).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(call_function("cs_pairs", col("__ids")))
       .distinct()
   }
 
@@ -365,9 +376,9 @@ object Dedup {
     * machinery behind [[simhashPairs]], reusable for perceptual image
     * hashes ([[graft.multimodal.Multimodal.imageHashes]]'s aHash/dHash)
     * or any other bit-sketch. The hash splits into `bands` contiguous
-    * bands; candidates share at least one full band (bucket self-join,
-    * Σ bucket² work, never all-pairs) and are verified with the true
-    * Hamming distance. By pigeonhole, a pair at distance ≤ bands−1 MUST
+    * bands; candidates share at least one full band (per-bucket pair
+    * emit, Σ bucket² work, never all-pairs) and are verified with the
+    * true Hamming distance. By pigeonhole, a pair at distance ≤ bands−1 MUST
     * agree on some band, so for maxDist < bands the result is EXACTLY
     * all pairs at hamming ≤ maxDist — completeness is structural, not
     * probabilistic. Output: (id1, id2, hamming), id1 < id2.
@@ -387,12 +398,20 @@ object Dedup {
         shiftright(col(hashCol), b * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
       .select(col(id), col("__h64"), col("pos").as("band"), col("col").as("bucket"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col(s"a.$id") < col(s"b.$id") &&
-          hamming64(col("a.__h64"), col("b.__h64")) <= maxDist)
-      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"),
-        hamming64(col("a.__h64"), col("b.__h64")).cast("long").as("hamming"))
+    // ONE-SHUFFLE shape (r18, the bandedPairs rewrite applied to the
+    // Hamming family): group members per (band, bucket), verify + emit
+    // ordered pairs inside the aggregate (cs_hamming_pairs computes the
+    // same bit_count(xor) ≤ maxDist predicate the join carried, so
+    // over-distance pairs never leave the bucket's task). The self-join
+    // it replaces shuffled (id, h64, band, bucket) on both sides and
+    // computed the banding posexplode twice. Cross-band dedup unchanged
+    // (hamming is a function of the pair, so distinct() dedups exactly
+    // the pairs the join's distinct did).
+    graft.sqlext.GraftFunctions.register(withHash.sparkSession)
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col(id), col("__h64"))).as("__members"))
+      .filter(size(col("__members")) > 1)
+      .select(call_function("cs_hamming_pairs", col("__members"), lit(maxDist)))
       .distinct()
   }
 

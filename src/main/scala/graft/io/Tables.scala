@@ -1761,9 +1761,11 @@ object Tables {
                              parts: Int,
                              mode: SaveMode = SaveMode.Overwrite): Unit = {
     // a single-partition frame targeting one file has nothing to cluster;
-    // a MULTI-partition frame targeting one file still must fold (compact)
+    // a MULTI-partition frame targeting one file still must fold (compact).
+    // toRdd, not .rdd — the partition-count probe must not build the row
+    // -deserialization plan (ADVICE r17)
     val clustered =
-      if (parts <= 1 && df.rdd.getNumPartitions <= 1) df
+      if (parts <= 1 && df.queryExecution.toRdd.getNumPartitions <= 1) df
       else df.repartitionByRange(math.max(1, parts), cols: _*)
     clustered.sortWithinPartitions(cols: _*)
       .write.mode(mode).parquet(path)
@@ -2186,49 +2188,49 @@ object Tables {
     // the extension below — under the writer lease nothing else can move
     // it (reclaimRetired above may have rewritten it, hence read AFTER)
     val mEntry = if (fs.exists(hp)) readManifest(fs, hp) else None
-    if (preFiles.nonEmpty) {
-      // manifest-derived tail in epoch-ns; None → fall back to the scan.
-      // An EMPTY manifest-tracked table has no tail — nothing to violate.
-      // (`preFiles.nonEmpty`, not dir existence: the stream bridge creates
-      // the dir with only its commit sidecar before the first batch.)
-      val manifestTail: Option[Option[Long]] =
-        mEntry.filter(_.ts == ts)
-          .filter(manifestConsistent(_, preFiles))
-          .flatMap { m =>
-            if (m.files.isEmpty) Some(None)
-            else if (m.files.forall(_.maxNs.isDefined))
-              Some(Some(m.files.flatMap(_.maxNs).max))
-            else None // stat-less entries: the tail is unknowable from metadata
-          }
-      manifestTail match {
-        case Some(tailNsOpt) =>
-          for (tailNs <- tailNsOpt) {
-            // incoming min on the SAME epoch-ns scale the manifest records
-            // (µs→ns is monotonic, so the comparison is equivalent to the
-            // raw-column one); null min (empty batch) cannot violate
-            val mnRow = normalizeNsTs(incoming.select(col(ts).as("ts")))
-              .agg(min(col("ts")).as("mn")).head()
-            val mnNs = if (mnRow.isNullAt(0)) None
-              else Some(mnRow.get(0).asInstanceOf[Number].longValue)
-            if (mnNs.exists(_ < tailNs))
+    // The METADATA tail check is DEFERRED past staging (r18, guide §2.4
+    // "remove jobs outright"): the staging footer pass below records each
+    // new file's exact min/max ts on the same epoch-ns scale the manifest
+    // uses, so the incoming min(ts) the check needs is free there — the
+    // separate per-append `agg(min)` Spark job this used to launch (one
+    // task-launch floor per micro-batch on every stream/maintenance
+    // append) is gone. Staging before checking mutates nothing: the tmp
+    // dir is a sibling the next op's entry sweeps, the marker has not
+    // been written, and the throw happens before any install step.
+    // Only the manifest-less fallback (needs the STORED max — not in the
+    // staged footers) still runs its pre-staging scan job.
+    val deferredTailNs: Option[Long] =
+      if (preFiles.isEmpty) None
+      else {
+        // manifest-derived tail in epoch-ns; None → fall back to the scan.
+        // An EMPTY manifest-tracked table has no tail — nothing to violate.
+        // (`preFiles.nonEmpty`, not dir existence: the stream bridge creates
+        // the dir with only its commit sidecar before the first batch.)
+        val manifestTail: Option[Option[Long]] =
+          mEntry.filter(_.ts == ts)
+            .filter(manifestConsistent(_, preFiles))
+            .flatMap { m =>
+              if (m.files.isEmpty) Some(None)
+              else if (m.files.forall(_.maxNs.isDefined))
+                Some(Some(m.files.flatMap(_.maxNs).max))
+              else None // stat-less entries: the tail is unknowable from metadata
+            }
+        manifestTail match {
+          case Some(tailNsOpt) => tailNsOpt
+          case None =>
+            // one row; null mn/mx (empty side) means no violation is possible
+            val viol = incoming.agg(min(col(ts)).as("mn"))
+              .crossJoin(snapshot(spark, path).agg(max(col(ts)).as("mx")))
+              .filter(col("mn") < col("mx"))
+              .head(1)
+            if (viol.nonEmpty)
               throw new IllegalStateException(
-                s"out-of-order append: incoming min($ts)=${mnNs.get}ns is below " +
-                  s"the stored series tail max($ts)=${tailNs}ns (manifest) — the " +
-                  "reference rejects appends below the loaded tail (imcs.c:4617-4740)")
-          }
-        case None =>
-          // one row; null mn/mx (empty side) means no violation is possible
-          val viol = incoming.agg(min(col(ts)).as("mn"))
-            .crossJoin(snapshot(spark, path).agg(max(col(ts)).as("mx")))
-            .filter(col("mn") < col("mx"))
-            .head(1)
-          if (viol.nonEmpty)
-            throw new IllegalStateException(
-              s"out-of-order append: incoming min($ts)=${viol.head.get(0)} is below " +
-                s"the stored series tail max($ts)=${viol.head.get(1)} — the reference " +
-                "rejects appends below the loaded tail (imcs.c:4617-4740)")
+                s"out-of-order append: incoming min($ts)=${viol.head.get(0)} is below " +
+                  s"the stored series tail max($ts)=${viol.head.get(1)} — the reference " +
+                  "rejects appends below the loaded tail (imcs.c:4617-4740)")
+            None
+        }
       }
-    }
     // STAGE-THEN-MOVE (r12 review): the batch clusters into a sibling
     // staging dir, the append marker names its files, the files move into
     // the live dir, the manifest extends, the marker clears. The marker
@@ -2241,8 +2243,11 @@ object Tables {
     // committer scratch out of the live directory.
     val tmp = batchTmpPath(path)
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    // toRdd, not .rdd: same pre-AQE partition count, without building the
+    // separate row-deserialization plan `.rdd` materializes per call
+    // (ADVICE r17 — the same probe-cost note as cpuSplit's)
     writeClustered(incoming, tmp.toString, Seq(col(ts)),
-      incoming.rdd.getNumPartitions)
+      incoming.queryExecution.toRdd.getNumPartitions)
     // ONE footer pass serves both needs: manifest stats AND the row-less
     // drop. An empty trigger batch stages a 0-row part file whose
     // stat-less manifest entry would permanently degrade the metadata
@@ -2258,6 +2263,31 @@ object Tables {
     val kept = scanned.filterNot(_._2.contains(0L))
     val staged = kept.map { case (e, _) => new Path(tmp, e.name) }
     val entries = kept.map(_._1)
+    // the deferred metadata tail check (see deferredTailNs above): the
+    // staged footers carry exact per-file min(ts) in epoch-ns — their min
+    // IS the incoming min the old pre-staging agg job computed (0-row
+    // files are already dropped; an empty batch cannot violate). A
+    // stat-less staged footer (read failure) falls back to the agg job —
+    // the always-correct shape, never a skipped check.
+    for (tailNs <- deferredTailNs) {
+      val mins = entries.flatMap(_.minNs)
+      val mnNs: Option[Long] =
+        if (entries.isEmpty) None
+        else if (mins.length == entries.length) Some(mins.min)
+        else {
+          val mnRow = normalizeNsTs(incoming.select(col(ts).as("ts")))
+            .agg(min(col("ts")).as("mn")).head()
+          if (mnRow.isNullAt(0)) None
+          else Some(mnRow.get(0).asInstanceOf[Number].longValue)
+        }
+      if (mnNs.exists(_ < tailNs)) {
+        fs.delete(tmp, true) // nothing installed yet — drop the staging
+        throw new IllegalStateException(
+          s"out-of-order append: incoming min($ts)=${mnNs.get}ns is below " +
+            s"the stored series tail max($ts)=${tailNs}ns (manifest) — the " +
+            "reference rejects appends below the loaded tail (imcs.c:4617-4740)")
+      }
+    }
     crashPoint("append:staged")
     // the collision refusal must run BEFORE the marker durably commits
     // the batch: after the marker, recovery rolls FORWARD keying on
@@ -2488,6 +2518,41 @@ object Tables {
         // snapshot — without this the view would lag the stream by one
         // batch forever (r13 review finding #1)
         invalidateRead(spark, path)
+        true
+      }
+    }
+  }
+
+  /** Advance a stream's commit log for a batch the CALLER knows is empty
+    * (r18; guide §2.4 "remove jobs outright"): exactly-once semantics with
+    * zero data to land need only the committed high-water mark — no
+    * pending record, no append marker, no staging write. The full
+    * [[appendStreamBatch]] on a `limit(0)` frame still pays a Spark write
+    * job (a staged 0-row part file the footer pass then drops), a
+    * same-content manifest rewrite and the marker dance — per batch, on
+    * the landing-dedup ALL-DROP steady state that is the whole protocol
+    * twice over (doc + bucket table). Crash matrix: a crash before the
+    * commit write leaves nothing (the replay re-enters and re-decides an
+    * identical empty batch); after it, the replay skips — the same two
+    * outcomes the heavyweight path has, minus the states that only exist
+    * because files were staged. Entry recovery still runs, so a PRIOR
+    * crashed batch is rolled back before this one commits past it.
+    */
+  def commitEmptyStreamBatch(spark: SparkSession, path: String,
+                             streamId: String, batchId: Long): Boolean = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLease(fs, hp, "appendStreamBatch") {
+      recoverMutations(spark, fs, path)
+      val rec = if (fs.exists(hp)) readStreamCommits(fs, hp)
+                else StreamCommits(Map.empty)
+      if (rec.committed.get(streamId).exists(_ >= batchId)) false
+      else {
+        if (!fs.exists(hp)) fs.mkdirs(hp) // the sidecar needs its dir
+        crashPoint("stream:pending")
+        writeStreamCommits(fs, hp,
+          StreamCommits(rec.committed + (streamId -> batchId), None))
+        crashPoint("stream:committed")
         true
       }
     }

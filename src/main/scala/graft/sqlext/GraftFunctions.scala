@@ -114,6 +114,12 @@ object GraftFunctions {
         s"cs_shingle_hashes(text, n) needs a literal int shingle length, got $other")
     },
       "cs_shingle_hashes(text, n) - distinct xxhash64 of every n-char shingle (one-pass codegen)"),
+    ("cs_pairs", (c: Seq[Expression]) => BucketPairs(c(0)),
+      "cs_pairs(ids) - all ordered pairs (id1 < id2) of distinct values in " +
+        "one LSH bucket's member array (lazy generator; see Dedup.bandedPairs)"),
+    ("cs_hamming_pairs", (c: Seq[Expression]) => HammingBucketPairs(c(0), c(1)),
+      "cs_hamming_pairs(members, maxDist) - ordered pairs of struct(id, h64) " +
+        "members within Hamming maxDist, verified inside the emit"),
     ("cs_quality_sig", (c: Seq[Expression]) => QualitySig(c(0)),
       "cs_quality_sig(text) - quality-signal counters " +
         "(n_chars, n_nonws, n_punct, n_upper, n_words, n_stop) in one pass"),

@@ -1213,10 +1213,17 @@ object Streams {
         }
       survivorsCached = Some(survivors)
       // doc table first, bucket table second (see crash-consistency
-      // note); distinct stream ids keep the two commit logs separate
-      graft.io.Tables.appendStreamBatch(
-        if (freshEmpty) survivors.limit(0) else survivors,
-        docPath, ts, streamKey + "#docs", batchId)
+      // note); distinct stream ids keep the two commit logs separate.
+      // An ALL-DROP batch (driver-known empty) advances the commit log
+      // WITHOUT the staging write: commitEmptyStreamBatch is the same
+      // exactly-once transition minus the 0-row Spark write job + marker
+      // + manifest rewrite the limit(0) append used to pay (r18).
+      if (freshEmpty)
+        graft.io.Tables.commitEmptyStreamBatch(spark, docPath,
+          streamKey + "#docs", batchId)
+      else
+        graft.io.Tables.appendStreamBatch(survivors, docPath, ts,
+          streamKey + "#docs", batchId)
       // bucket rows carry the doc's content FINGERPRINT so future
       // batches' exact-duplicate candidates drop at the probe with zero
       // doc-table I/O (the verified path's tier 1). New tables write it
@@ -1258,8 +1265,12 @@ object Streams {
           .distinct().collect().map(_.getLong(0)) // the Spark job runs OUTSIDE the lease
       graft.io.Tables.withWriterLease(fs, hp, "dedupIngestBuckets") {
         DedupBloom.update(spark, bucketPath, newBucketVals)
-        graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
-          streamKey + "#buckets", batchId)
+        if (freshEmpty)
+          graft.io.Tables.commitEmptyStreamBatch(spark, bucketPath,
+            streamKey + "#buckets", batchId)
+        else
+          graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
+            streamKey + "#buckets", batchId)
       }
       // per-file blooms for the batch's new file(s) — OUTSIDE the lease
       // (it only reads committed live files) and best-effort: a missing
@@ -1538,9 +1549,14 @@ object Streams {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         }
       caches += survivors
-      graft.io.Tables.appendStreamBatch(
-        if (freshEmpty) survivors.limit(0) else survivors,
-        docPath, ts, streamKey + "#docs", batchId)
+      // all-drop batch: advance the commit log without the staging write
+      // (commitEmptyStreamBatch — see the text twin's note)
+      if (freshEmpty)
+        graft.io.Tables.commitEmptyStreamBatch(spark, docPath,
+          streamKey + "#docs", batchId)
+      else
+        graft.io.Tables.appendStreamBatch(survivors, docPath, ts,
+          streamKey + "#docs", batchId)
       // bucket rows carry the VECTOR fingerprint (tier 1's probe-side
       // key) under the same creation-governed layout contract as the
       // text twin (shouldWriteFp): existing tables keep their layout,
@@ -1564,8 +1580,12 @@ object Streams {
           .distinct().collect().map(_.getLong(0))
       graft.io.Tables.withWriterLease(fs, hp, "dedupIngestBuckets") {
         DedupBloom.update(spark, bucketPath, newBucketVals)
-        graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
-          streamKey + "#buckets", batchId)
+        if (freshEmpty)
+          graft.io.Tables.commitEmptyStreamBatch(spark, bucketPath,
+            streamKey + "#buckets", batchId)
+        else
+          graft.io.Tables.appendStreamBatch(bucketRows, bucketPath, ts,
+            streamKey + "#buckets", batchId)
       }
       // per-file blooms for the batch's files, like the text twin
       scala.util.Try(FileBlooms.sync(spark, bucketPath)).failed.foreach(e =>
