@@ -63,8 +63,12 @@ object Prof {
           val times = Seq.fill(reps)(once())
           out += ((q, times.min, times.max - times.min))
           println(f"$q%-28s min ${times.min}%7.3f  spread ${times.max - times.min}%6.3f")
-        } catch { case e: Throwable =>
-          println(f"$q%-28s FAILED ${e.getMessage}")
+        } catch {
+          // NonFatal only (ADVICE r17): a fatal error (OOM) leaves the
+          // JVM degraded — continuing would silently skew every
+          // subsequent sweep timing; let it abort the sweep loudly
+          case scala.util.control.NonFatal(e) =>
+            println(f"$q%-28s FAILED ${e.getMessage}")
         }
       }
       println("== slowest 20 ==")
@@ -108,6 +112,7 @@ object Prof {
             stageMs(e.stageId) = (n + 1, ms + run, math.max(mx, run))
           }
       })
+    var lastDf: Option[org.apache.spark.sql.DataFrame] = None
     (1 to runs).foreach { i =>
       if (doJobs && i == runs) jobLog.synchronized { jobLog.clear(); taskMs = 0L; taskDeserMs = 0L; stageMs.clear() }
       val t0 = System.nanoTime()
@@ -116,7 +121,16 @@ object Prof {
       val t1 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val t2 = System.nanoTime()
+      lastDf = Some(df)
       println(f"run $i: total ${(t2 - t0) / 1e9}%.3f s  (plan ${(t1 - t0) / 1e9}%.3f, exec ${(t2 - t1) / 1e9}%.3f)")
+    }
+    // the POST-EXECUTION plan: AQE's final plan with WholeStageCodegen
+    // spans (`*(n)` markers) and AQEShuffleRead nodes — the formatted
+    // pre-execution explain above prints isFinalPlan=false without
+    // codegen annotation, so span claims need this view
+    if (doExplain) lastDf.foreach { df =>
+      println("== final adaptive plan (post-execution) ==")
+      println(df.queryExecution.executedPlan.toString)
     }
     if (doJobs) {
       // settle async listener events before reading the log (the bus is

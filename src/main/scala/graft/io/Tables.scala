@@ -2243,11 +2243,29 @@ object Tables {
     // committer scratch out of the live directory.
     val tmp = batchTmpPath(path)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    // toRdd, not .rdd: same pre-AQE partition count, without building the
-    // separate row-deserialization plan `.rdd` materializes per call
-    // (ADVICE r17 — the same probe-cost note as cpuSplit's)
+    // SIZE-DERIVED staging file count (r18, guide §6 "aim for output
+    // files in the 128 MB–1 GB range"): the old parts = input partition
+    // count wrote one file PER UPSTREAM PARTITION whatever its size — 8
+    // near-empty files per micro-batch at bench scale, and at 100 TB a
+    // batch arriving in 200k scan partitions would stage 200k files into
+    // the manifest per append. Derive parts from the optimizer's byte
+    // estimate instead (accurate for cached/file sources), CAPPED by the
+    // input partition count so an unknown/overblown estimate can never
+    // stage more files than the old behavior — and floor 1. A
+    // single-partition target also skips the range-sampling pass the
+    // per-batch repartitionByRange otherwise pays. toRdd, not .rdd: the
+    // partition probe must not build the row-deserialization plan
+    // (ADVICE r17 — the same probe-cost note as cpuSplit's).
+    val appendTargetBytes = sys.props.get("graft.append.file.bytes")
+      .flatMap(_.toLongOption).getOrElse(128L << 20)
+    val inputParts = incoming.queryExecution.toRdd.getNumPartitions
+    val estBytes = incoming.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sizeParts =
+      if (estBytes <= 0 || !estBytes.isValidLong) inputParts
+      else math.min(inputParts.toLong,
+        (estBytes.toLong + appendTargetBytes - 1) / appendTargetBytes).toInt
     writeClustered(incoming, tmp.toString, Seq(col(ts)),
-      incoming.queryExecution.toRdd.getNumPartitions)
+      math.max(1, sizeParts))
     // ONE footer pass serves both needs: manifest stats AND the row-less
     // drop. An empty trigger batch stages a 0-row part file whose
     // stat-less manifest entry would permanently degrade the metadata

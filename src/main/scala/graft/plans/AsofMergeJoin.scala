@@ -236,6 +236,14 @@ object AsofMerge {
     * +1 the earliest right ts >= left ts (TABLE_join's direction enum,
     * func.c:6494-6548). Carrying several columns costs one merge either
     * way — the window form would pay one `last()` per column.
+    *
+    * NOTE (map-bearing values): the row-id route those take
+    * ([[keylessRowIdAsof]]) is EAGER — attachPosRanged runs a small
+    * collect job at CALL time to build its partition-offset table, so
+    * constructing the frame (e.g. printing its plan) launches that job.
+    * Its tie semantics on DUPLICATE right ts values are a consistent but
+    * arbitrary row choice; see the route's scaladoc for the
+    * shuffle-reuse caveat (AsofMergeSpec pins the consistency contract).
     */
   def asofJoinDir(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
                   valueCols: Seq[String], outCols: Seq[String],
@@ -610,6 +618,17 @@ object AsofMerge {
     * a distinct + rank + two joins PER encoded lane, over values the size
     * of the maps — and planned O(depth) transcode expression trees. The
     * scan here shuffles (ts, int64) regardless of value width or depth.
+    *
+    * Caveats (ADVICE r17): attachPosRanged runs its offset-table collect
+    * job at CALL time, so this route is eager, not lazy. And the scan/
+    * fetch id consistency relies on shuffle-output REUSE of the numbered
+    * RDD — if it is recomputed (executor loss, shuffle GC), rows with
+    * DUPLICATE right ts can be renumbered differently between the two
+    * subtrees; the output remains a legal tie choice and internally
+    * consistent per evaluation (one fetched row — the fetch join is by
+    * the carried id), but WHICH tied row wins is not stable across
+    * recomputation. Declared queries group by ts, so ties never arise
+    * there; AsofMergeSpec pins the one-consistent-row contract.
     */
   private def keylessRowIdAsof(lf: DataFrame, rf: DataFrame, ts: String,
                                valueCols: Seq[String], outCols: Seq[String],

@@ -120,6 +120,9 @@ object GraftFunctions {
     ("cs_hamming_pairs", (c: Seq[Expression]) => HammingBucketPairs(c(0), c(1)),
       "cs_hamming_pairs(members, maxDist) - ordered pairs of struct(id, h64) " +
         "members within Hamming maxDist, verified inside the emit"),
+    ("cs_lang_sig", (c: Seq[Expression]) => LangSig(c(0)),
+      "cs_lang_sig(text) - per-language marker-word hit counts " +
+        "(hits_de, hits_en, hits_es, hits_fr) in one pass"),
     ("cs_quality_sig", (c: Seq[Expression]) => QualitySig(c(0)),
       "cs_quality_sig(text) - quality-signal counters " +
         "(n_chars, n_nonws, n_punct, n_upper, n_words, n_stop) in one pass"),

@@ -48,16 +48,32 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // NULL above the window cap (r18, ADVICE r17): a single >2^29-window
+  // pathological document must degrade — NULL shingles mean "no buckets,
+  // collides with nothing, survives" (the too-short-doc semantics) — not
+  // abort a whole corpus scan mid-flight as the old require did
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cs_shingle_hashes"
 
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      ShingleHashes.compute(input.asInstanceOf[UTF8String], n))
+  override def nullSafeEval(input: Any): Any = {
+    val a = ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+    if (a == null) null else new GenericArrayData(a)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.sqlext.ShingleHashes.compute($c, $n))")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("hashes")
+      s"""
+         |long[] $tmp = graft.sqlext.ShingleHashes.compute($c, $n);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -127,6 +143,7 @@ object ShingleHashes {
     if (ascii) {
       val windows = bytes - n + 1
       if (windows <= 0) return Array.emptyLongArray
+      if (windows >= (1 << 29)) return null // over-cap: NULL, not a crash
       val seen = new LongDistinct(windows)
       var p = 0
       while (p + n <= bytes) {
@@ -146,6 +163,7 @@ object ShingleHashes {
       starts(c) = bytes
       val windows = c - n + 1
       if (windows <= 0) return Array.emptyLongArray
+      if (windows >= (1 << 29)) return null // over-cap: NULL, not a crash
       val seen = new LongDistinct(windows)
       var w = 0
       while (w + n <= c) {

@@ -194,13 +194,20 @@ case class RepSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = RepSig.schema
 
+  // NULL above the token cap (r18, ADVICE r17): one >2^28-token document
+  // yields NULL counters instead of aborting the corpus scan
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cs_rep_sig"
 
   override def nullSafeEval(input: Any): Any =
     RepSig.compute(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.sqlext.RepSig.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.sqlext.RepSig.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): RepSig =
     copy(child = newChild)
@@ -244,8 +251,10 @@ object RepSig {
       } else p += 1
     }
     push(start, hi - start)
-    // per-token hashes once; exact-string multiset via open addressing
-    require(nTok < (1 << 28), s"cs_rep_sig: document too large ($nTok tokens)")
+    // per-token hashes once; exact-string multiset via open addressing.
+    // Over-cap documents (≥2^28 tokens ≈ ≥512 MB of text) return NULL
+    // counters rather than crash the scan (ADVICE r17)
+    if (nTok >= (1 << 28)) return null
     val th = new Array[Long](nTok)
     var t = 0
     while (t < nTok) {

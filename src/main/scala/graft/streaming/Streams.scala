@@ -573,26 +573,40 @@ object Streams {
     * keying grew with every fold/retention rewrite on a long-running
     * stream — a slow, unbounded driver leak).
     */
-  private val fpLayoutCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
+  private val fpLayoutCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Option[org.apache.spark.sql.types.StructType])]()
+
+  /** The bucket table's live-generation SCHEMA, memoized like the fp
+    * answer (one footer read per (table, head generation)). r18: this is
+    * also what lets the probe's pruned verify read pass an EXPLICIT
+    * schema — `spark.read.parquet(files)` without one runs a distributed
+    * schema-inference job (mergeSchemasInParallel), a whole Spark job per
+    * micro-batch on the steady-state fp-tier path that reads a handful of
+    * pruned files.
+    */
+  private def bucketHeadSchema(spark: SparkSession, bucketPath: String,
+                               liveHead: Option[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    liveHead.flatMap { n =>
+      Option(fpLayoutCache.get(bucketPath)).filter(_._1 == n).map(_._2)
+        .getOrElse {
+          val schema = scala.util.Try(spark.read.parquet(
+            new org.apache.hadoop.fs.Path(bucketPath, n).toString)
+            .schema).toOption
+          fpLayoutCache.put(bucketPath, (n, schema))
+          schema
+        }
+    }
 
   /** Does the bucket table's live generation carry the content-fingerprint
-    * column (the verified landing paths' tier-1 shortcut)? One footer
-    * schema read per (table, head generation), memoized per table path —
-    * shared by the text and embedding twins (both carry `fp`).
+    * column (the verified landing paths' tier-1 shortcut)? Derived from
+    * the memoized head schema — shared by the text and embedding twins
+    * (both carry `fp`).
     */
   private def bucketHeadHasFp(spark: SparkSession, bucketPath: String,
                               liveHead: Option[String]): Boolean =
-    liveHead.exists { n =>
-      Option(fpLayoutCache.get(bucketPath)).filter(_._1 == n).map(_._2)
-        .getOrElse {
-          val has = scala.util.Try(spark.read.parquet(
-            new org.apache.hadoop.fs.Path(bucketPath, n).toString)
-            .schema.fieldNames.contains("fp")).getOrElse(false)
-          fpLayoutCache.put(bucketPath, (n, has))
-          has
-        }
-    }
+    bucketHeadSchema(spark, bucketPath, liveHead)
+      .exists(_.fieldNames.contains("fp"))
 
   /** Whether a dedup ingest batch should WRITE the fp column: the
     * `graft.dedup.fp.enabled` prop governs only table CREATION — an
@@ -691,11 +705,22 @@ object Streams {
     lazy val stored0 = storedFull.select(cols.map(col): _*)
     def filePaths(ns: Seq[String]): Seq[String] =
       ns.map(n => new org.apache.hadoop.fs.Path(bucketPath, n).toString)
+    // the memoized head-file schema (r18): passing it explicitly to the
+    // file-list reads below removes the distributed schema-inference job
+    // `spark.read.parquet(files)` otherwise launches PER MICRO-BATCH on
+    // the pruned verify path (data files are immutable and the layout
+    // contract keeps one schema per generation, so the memo is exact)
+    val headSchema = bucketHeadSchema(spark, bucketPath,
+      liveNames.flatMap(_.headOption))
+    def readFiles(ps: Seq[String]): DataFrame = headSchema match {
+      case Some(s) => spark.read.schema(s).parquet(ps: _*)
+      case None => spark.read.parquet(ps: _*)
+    }
     // an empty result still needs the scan's schema — one live file's
     // footer supplies it without the full index
     def emptyStored: DataFrame = liveNames match {
       case Some(ns) if ns.nonEmpty =>
-        spark.read.parquet(filePaths(ns.take(1)): _*)
+        readFiles(filePaths(ns.take(1)))
           .select(cols.map(col): _*).limit(0)
       case _ => stored0.limit(0)
     }
@@ -744,9 +769,10 @@ object Streams {
       case (Some(pos), Some(live)) =>
         FileBlooms.pruneKnown(spark, bucketPath, pos, live) match {
           case Some(keep) if keep.isEmpty => emptyStored
-          // schema inferred from the kept files themselves (the table's
-          // own live files) — never the full-index storedFull
-          case Some(keep) => spark.read.parquet(keep: _*)
+          // schema from the memoized head footer (the table's own live
+          // generation) — never the full-index storedFull, and since r18
+          // never a per-batch inference job either
+          case Some(keep) => readFiles(keep)
             .select(cols.map(col): _*)
           case None => stored0
         }

@@ -114,10 +114,29 @@ object TextOps {
     "es" -> Seq("el", "la", "es", "los", "una"))
 
   def langId(df: DataFrame, text: String, out: String = "lang_pred"): DataFrame = {
-    // token-membership counting: ONE split pass + one small-set membership
-    // filter per language, instead of 2 regex scans per marker (20 markers
-    // = 40 full-text passes in the substring-count formulation). Same
-    // argmax; marker hits are whitespace-token equalities.
+    // ONE fused byte pass for all four languages' marker-hit counts
+    // (cs_lang_sig; r18 — replaces the split + 4 interpreted filter-HOF
+    // array passes of langIdComposed, the parked r17 residual). The
+    // argmax fold is unchanged; LangSigSpec pins frame equality with the
+    // composed form on adversarial unicode and the corpus slice.
+    graft.window.Moving.guardNames(df.columns.toSeq, Seq("__lsig"), "langId")
+    graft.sqlext.GraftFunctions.register(df.sparkSession)
+    val scored = df.withColumn("__lsig", call_function("cs_lang_sig", col(text)))
+    val langs = langMarkers.keys.toSeq.sorted
+    val best = langs.foldLeft((lit("und"), lit(0L))) { case ((bl, bs), lang) =>
+      val h = col("__lsig")(s"hits_$lang")
+      (when(h > bs, lit(lang)).otherwise(bl), when(h > bs, h).otherwise(bs))
+    }
+    scored.withColumn(out, best._1).drop("__lsig")
+  }
+
+  /** The pre-r18 composed langId — kept as the spec's pinned reference
+    * (LangSigSpec asserts frame equality with [[langId]], the same
+    * composed-vs-fused contract TextSignalsSpec holds for quality /
+    * repetition).
+    */
+  private[graft] def langIdComposed(df: DataFrame, text: String,
+                                    out: String = "lang_pred"): DataFrame = {
     graft.window.Moving.guardNames(df.columns.toSeq,
       "__ltoks" +: langMarkers.keys.toSeq.sorted.map(l => s"__hits_$l"), "langId")
     val withToks = df.withColumn("__ltoks", split(lower(trim(col(text))), "\\s+"))

@@ -282,6 +282,30 @@ class AsofMergeSpec extends AnyFunSuite {
     assert(rows(df) == rows(serialKeylessExec(l, r, "ts", "v")))
   }
 
+  test("row-id route: DUPLICATE right ts values carry ONE whole tied row (ADVICE r17)") {
+    // ties on the right ts are a legal arbitrary choice, but the carried
+    // columns must come from the SAME row — the row-id carry fetches by
+    // one id, so a (value, tag) mix across the tied rows would mean the
+    // scan and fetch subtrees disagreed on the numbering
+    val l = Seq(Tuple1(5L), Tuple1(7L)).toDF("ts")
+    val r = Seq(
+      (5L, Map("a" -> 1), "rowA"),
+      (5L, Map("b" -> 2), "rowB"), // duplicate ts — the tie under test
+      (6L, Map("c" -> 3), "rowC")).toDF("ts", "v", "tag")
+    val df = AsofMerge.asofJoinDir(l, r, Seq(), "ts",
+      Seq("v", "tag"), Seq("ov", "otag"))
+    assert(!df.queryExecution.executedPlan.toString.contains("AsofMergeJoin"),
+      "map values must take the row-id route")
+    val got = df.orderBy("ts").collect()
+    val m = got(0).getMap[String, Int](1)
+    val tag = got(0).getString(2)
+    assert((m == Map("a" -> 1) && tag == "rowA") ||
+      (m == Map("b" -> 2) && tag == "rowB"),
+      s"tie must carry ONE whole row, got ($m, $tag)")
+    assert(got(1).getMap[String, Int](1) == Map("c" -> 3) &&
+      got(1).getString(2) == "rowC")
+  }
+
   test("keyless MAP as-of decomposes to sorted entry arrays (no single-task merge)") {
     val l = Seq(Tuple1(3L), Tuple1(5L), Tuple1(7L), Tuple1(9L), Tuple1(11L)).toDF("ts")
     val r = Seq(

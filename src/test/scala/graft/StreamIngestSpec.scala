@@ -1519,6 +1519,66 @@ class StreamIngestSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("all-drop re-crawl batch: bounded job count, zero staging writes (r18)") {
+    // the landing-dedup steady state (a crawler revisiting its corpus)
+    // must stay a HANDFUL of jobs per batch: the probe's bucket-value
+    // collect, the labeled-candidate collect, and the fresh-empty check —
+    // with the two commit-log advances running as pure metadata
+    // (commitEmptyStreamBatch: no 0-row staging write job, no marker).
+    // r17 shipped ~6 jobs/batch on this path; this pins the r18 shape.
+    val docs = tmpDir("jcdoc") + "/docs.parquet"
+    val buckets = tmpDir("jcbkt") + "/buckets.parquet"
+    def text(i: Int): String = (0 until 12).map(w => s"j${w}c$i").mkString(" ")
+    def batch(shift: Long) =
+      (0 until 30).map(i => (i.toLong + shift, 100L + i + shift, text(i)))
+        .toDF("id", "ts", "text")
+    Streams.dedupIngestBatch(batch(0), docs, buckets, "ts", "ck-jc",
+      "id", "text", 5, 8, 2, 0L)
+    Tables.compactIncremental(spark, buckets, Seq("band", "bucket"), "ts")
+    // one unmeasured re-crawl (plan/codegen warmup is irrelevant to job
+    // COUNT, but the first re-crawl also seeds the fp layout cache)
+    Streams.dedupIngestBatch(batch(1000), docs, buckets, "ts", "ck-jc",
+      "id", "text", 5, 8, 2, 1L)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writeJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val site = Option(js.properties.getProperty("callSite.short"))
+          .getOrElse(js.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString("<-"))
+        sites.add(site)
+        if (site.contains("parquet") || site.contains("save")) {
+          writeJobs.incrementAndGet()
+        }
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Streams.dedupIngestBatch(batch(2000), docs, buckets, "ts", "ck-jc",
+        "id", "text", 5, 8, 2, 2L)
+      Thread.sleep(1000) // drain the async bus
+      // composition at r18: probe bucket-value collect (1), the labeled
+      // -candidate collect with its AQE stage/broadcast sub-jobs (~7),
+      // the fresh-empty check (1) — and NOTHING else. r18 removed the
+      // two 0-row staging writes (commitEmptyStreamBatch) and the
+      // per-batch parquet schema-inference job (memoized head schema);
+      // the bound tolerates ±1 of AQE stage-count variation
+      assert(jobs.get() <= 12,
+        s"all-drop batch grew past its r18 job budget, saw ${jobs.get()}:\n  " +
+          sites.toArray.mkString("\n  "))
+      assert(writeJobs.get() == 0,
+        s"all-drop batch must stage NO parquet write, saw ${writeJobs.get()}")
+      // and the commit log still advanced exactly-once (a replay skips)
+      Streams.dedupIngestBatch(batch(2000), docs, buckets, "ts", "ck-jc",
+        "id", "text", 5, 8, 2, 2L)
+      assert(Tables.snapshot(spark, docs).count() == 30,
+        "only batch 0's docs may be retained")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("streaming ingest retries through transient lease contention instead of dying") {
     // ADVICE r15 #3 / review r15: a maintenance op holding the writer
     // lease makes a micro-batch's append throw — the ingest loop must
