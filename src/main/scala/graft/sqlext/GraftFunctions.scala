@@ -123,6 +123,11 @@ object GraftFunctions {
     ("cs_lang_sig", (c: Seq[Expression]) => LangSig(c(0)),
       "cs_lang_sig(text) - per-language marker-word hit counts " +
         "(hits_de, hits_en, hits_es, hits_fr) in one pass"),
+    ("cs_bloom_agg", (c: Seq[Expression]) =>
+      CsBloomAgg(c(0), c(1), c(2)).toAggregateExpression(),
+      "cs_bloom_agg(x, n_items, fpp) - serialized bloom filter over the " +
+        "group's non-null bigint x; n_items sizes the filter (constant " +
+        "within a group), fpp is a double literal"),
     ("cs_quality_sig", (c: Seq[Expression]) => QualitySig(c(0)),
       "cs_quality_sig(text) - quality-signal counters " +
         "(n_chars, n_nonws, n_punct, n_upper, n_words, n_stop) in one pass"),

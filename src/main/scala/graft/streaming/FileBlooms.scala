@@ -130,6 +130,13 @@ private[graft] object FileBlooms {
   private val skipCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Test-only fault seam (the Tables.crashHook pattern): throws inside
+    * the batched build so FileBloomsBatchSpec can pin the per-file
+    * fallback deterministically — a real trigger (a file vanishing
+    * between the footer pass and the job) is a narrow race.
+    */
+  @volatile private[graft] var batchFailHook: Option[() => Unit] = None
+
   private def cacheGet(key: String): Option[BloomFilter] =
     cache.synchronized(Option(cache.get(key)).map(_._2))
 
@@ -177,11 +184,19 @@ private[graft] object FileBlooms {
     }
   }
 
-  private def write(fs: FileSystem, target: Path, bf: BloomFilter): Unit = {
+  private def write(fs: FileSystem, target: Path, bf: BloomFilter): Unit =
+    writeBytes(fs, target, graft.sqlext.CsBloomAgg.toBytes(bf))
+
+  /** The sidecar install dance over already-serialized filter bytes (the
+    * batched cs_bloom_agg build collects these directly): Magic + format
+    * header + the sketch's own writeTo body — byte-identical to
+    * serializing the filter here.
+    */
+  private def writeBytes(fs: FileSystem, target: Path, body: Array[Byte]): Unit = {
     val tmp = new Path(target.getParent,
       "." + target.getName + "." + java.util.UUID.randomUUID().toString + ".tmp")
     val out = new java.io.DataOutputStream(fs.create(tmp, true))
-    try { out.writeInt(Magic); out.writeInt(FormatV); bf.writeTo(out) }
+    try { out.writeInt(Magic); out.writeInt(FormatV); out.write(body) }
     finally out.close()
     if (fs.exists(target)) { scala.util.Try(fs.delete(tmp, false)); return }
     if (!fs.rename(tmp, target)) {
@@ -301,39 +316,109 @@ private[graft] object FileBlooms {
           conf, new Path(hp, n), valueCol)
       }.seq.toMap
     }
-    // bloom builds run CONCURRENTLY (each is one small single-file Spark
-    // job): the steady-state batch has one missing file, but a fold
-    // re-keys its whole output generation in one sync — serialized, that
-    // is files driver-sequential job launches; parallel, it is bounded by
-    // the scheduler like any multi-job workload
+    // the LEGACY per-file build (one schema-inference job + one aggregate
+    // job per file): kept as the fallback for files the batched path
+    // cannot prove safe (stat-less/column-less footers — the explicit
+    // LongType schema read below would silently null a missing column
+    // where this path fails loudly) and for a failed batch job (per-file
+    // fault isolation, review r15: one unreadable file must not abort the
+    // OTHER builds)
+    def buildOne(n: String): Unit =
+      scala.util.Try {
+        val fp = new Path(hp, n)
+        val df = spark.read.parquet(fp.toString).select(valueCol)
+        // size from the footer's row count (already read above) instead
+        // of a Spark count job — halves the build I/O
+        val rows = footerFor.get(n).flatMap(_._2).getOrElse(df.count())
+        if (predictedBloomBytes(rows) > cacheCapBytes) {
+          // memoize the skip (ADVICE r16): later syncs drop the file
+          // from `missing` without re-opening its footer or re-warning
+          skipCache.put(fs.makeQualified(fp).toString,
+            java.lang.Long.valueOf(predictedBloomBytes(rows)))
+          System.err.println(s"[fblooms] bloom skipped for $n: predicted " +
+            s"size exceeds the ${cacheCapBytes / 1024 / 1024} MB cache " +
+            "cap (file stays range-pruned only)")
+        } else {
+          val bf = df.stat.bloomFilter(valueCol, math.max(64L, rows), fpp)
+          write(fs, new Path(dir, n + ".bloom"), bf)
+        }
+      }.failed.foreach(e => System.err.println(
+        s"[fblooms] build skipped for $n: ${e.getMessage}"))
+    // BATCHED build (r18, guide §2.4): ONE grouped-aggregate job builds
+    // every missing bloom whose footer carries both the value-column
+    // stats and a row count (stats present ⇒ the column exists as INT64
+    // with values — the explicit-schema read cannot silently null it) —
+    // where the per-file form launched one inference + one aggregate job
+    // PER FILE, i.e. 2 jobs per steady-state batch and 2F driver-
+    // sequential launches when a fold re-keys an F-file generation.
+    // Sidecar bytes are identical (cs_bloom_agg's scaladoc; spec-pinned).
+    // Over-cap predictions skip BEFORE the job (same memo + warning as
+    // the legacy path); collect volume is bounded by grouping files so
+    // each job's Σ predicted bloom bytes stays within the cache cap.
     locally {
-      import scala.collection.parallel.CollectionConverters._
-      missing.par.foreach { n =>
-        // per-file fault isolation (review r15): one unreadable file —
-        // e.g. retired+reclaimed by a concurrent retention beat between
-        // the listing and this read — must not abort the OTHER builds;
-        // its own bloom just stays missing (file unpruned, next sync
-        // retries)
-        scala.util.Try {
-          val fp = new Path(hp, n)
-          val df = spark.read.parquet(fp.toString).select(valueCol)
-          // size from the footer's row count (already read above) instead
-          // of a Spark count job — halves the build I/O
-          val rows = footerFor.get(n).flatMap(_._2).getOrElse(df.count())
-          if (predictedBloomBytes(rows) > cacheCapBytes) {
-            // memoize the skip (ADVICE r16): later syncs drop the file
-            // from `missing` without re-opening its footer or re-warning
-            skipCache.put(fs.makeQualified(fp).toString,
-              java.lang.Long.valueOf(predictedBloomBytes(rows)))
-            System.err.println(s"[fblooms] bloom skipped for $n: predicted " +
-              s"size exceeds the ${cacheCapBytes / 1024 / 1024} MB cache " +
-              "cap (file stays range-pruned only)")
-          } else {
-            val bf = df.stat.bloomFilter(valueCol, math.max(64L, rows), fpp)
-            write(fs, new Path(dir, n + ".bloom"), bf)
+      val (statted, legacyOnly) = missing.partition(n =>
+        footerFor.get(n).exists(f => f._1.isDefined && f._2.isDefined))
+      val withRows = statted.map(n => n -> footerFor(n)._2.get)
+      val (overCap, buildable) =
+        withRows.partition { case (_, rows) => predictedBloomBytes(rows) > cacheCapBytes }
+      overCap.foreach { case (n, rows) =>
+        skipCache.put(fs.makeQualified(new Path(hp, n)).toString,
+          java.lang.Long.valueOf(predictedBloomBytes(rows)))
+        System.err.println(s"[fblooms] bloom skipped for $n: predicted " +
+          s"size exceeds the ${cacheCapBytes / 1024 / 1024} MB cache " +
+          "cap (file stays range-pruned only)")
+      }
+      // budget groups: Σ predicted bytes ≤ the cache cap per collect
+      val groups = buildable.foldLeft(List.empty[List[(String, Long)]] -> 0L) {
+        case ((acc, run), e @ (_, rows)) =>
+          val b = predictedBloomBytes(rows)
+          acc match {
+            case g :: rest if run + b <= cacheCapBytes => ((e :: g) :: rest, run + b)
+            case _ => (List(e) :: acc, b)
           }
-        }.failed.foreach(e => System.err.println(
-          s"[fblooms] build skipped for $n: ${e.getMessage}"))
+      }._1
+      groups.foreach { g =>
+        scala.util.Try {
+          batchFailHook.foreach(_())
+          import org.apache.spark.sql.functions._
+          graft.sqlext.GraftFunctions.register(spark)
+          val items = g.map { case (n, rows) => n -> math.max(64L, rows) }.toMap
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(valueCol,
+              org.apache.spark.sql.types.LongType, nullable = true)))
+          val got = spark.read.schema(schema)
+            .parquet(g.map { case (n, _) => new Path(hp, n).toString }: _*)
+            .select(substring_index(input_file_name(), "/", -1).as("__fb_name"),
+              col(valueCol))
+            .groupBy(col("__fb_name"))
+            .agg(call_function("cs_bloom_agg", col(valueCol),
+              element_at(typedLit(items), col("__fb_name")), lit(fpp))
+              .as("__fb_bloom"))
+            .collect()
+            .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+          g.foreach { case (n, rows) =>
+            got.get(n).filter(_ != null) match {
+              case Some(bytes) =>
+                writeBytes(fs, new Path(dir, n + ".bloom"), bytes)
+              case None =>
+                // zero-row file: no group emerges from the scan — its
+                // (empty) filter builds driver-side with the same sizing,
+                // byte-identical to the legacy empty build
+                write(fs, new Path(dir, n + ".bloom"),
+                  BloomFilter.create(math.max(64L, rows), fpp))
+            }
+          }
+        }.failed.foreach { e =>
+          System.err.println(s"[fblooms] batched build failed " +
+            s"(${e.getMessage}); falling back to per-file builds")
+          g.foreach { case (n, _) => buildOne(n) }
+        }
+      }
+      // stat-less/column-less footers: the legacy per-file path, in
+      // parallel as before
+      locally {
+        import scala.collection.parallel.CollectionConverters._
+        legacyOnly.par.foreach(buildOne)
       }
     }
     // range index rewrite: prior entries for still-live files carry over
