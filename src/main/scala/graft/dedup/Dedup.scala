@@ -482,6 +482,18 @@ object Dedup {
       posexplode(call_function("cs_rhp_sig", col("v"),
         lit(dim), lit(bits), lit(tables))))
       .select(col(id), col("pos").as("table"), col("col").as("bucket"))
+    // DELIBERATELY the self-join shape, NOT bandedPairs' one-shuffle pair
+    // emit (r18, measured): unlike minhash/simhash banding — where the
+    // banded subtree is expensive and computing it once paid for the
+    // grouping Exchange — the RHP subtree post-cs_rhp_sig-codegen is
+    // cheap, and the broadcast hash self-join plans with ZERO exchanges
+    // where the pair emit forces a full (table, bucket) shuffle +
+    // collect_list state. 13-rep A/B on q_cos_lsh: 0.60 s self-join vs
+    // 1.00 s pair emit (plans/r18/cos_lsh_pairemit_ab/). At a corpus too
+    // large to broadcast, AQE flips this join to sort-merge and the
+    // trade reverses — revisit with a size-adaptive shape if the batch
+    // candidate step ever outgrows the broadcast threshold (the landing
+    // protocol's batches are bounded well below it).
     val cand = banded.as("a").join(banded.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$id") < col(s"b.$id"))

@@ -80,6 +80,26 @@ class PairEmitSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected 2 Exchanges (group + distinct), got $exchanges:\n$plan")
   }
 
+  test("cosinePairsBucketed verified pairs are exact on a constructed-direction corpus") {
+    // semantics pin for the RHP-LSH candidate step (its SHAPE is
+    // deliberately the broadcast self-join, not the pair emit — the r18
+    // A/B measured the emit as a local loss there; Dedup.scala's note).
+    // 5 distinct DIRECTIONS (a spike at dim i%5 over a 0.1 floor): same
+    // direction → cos 1, different spikes → cos ≈ 0.24 — so at minCos
+    // 0.9 the exact answer is precisely the within-direction pairs, and
+    // banding recall is 1 by construction (identical signatures).
+    val df = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(j => if (j == i % 5) 1.0 else 0.1)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.cosinePairsBucketed(df, "vec_id", "embedding", 8, 0.9)
+    val got = out.select("id1", "id2").as[(Long, Long)].collect().toSet
+    val want = (for {
+      a <- 0L until 50L; b <- 0L until 50L
+      if a < b && a % 5 == b % 5
+    } yield (a, b)).toSet
+    assert(got == want, s"pair set moved: ${got.size} vs ${want.size}")
+  }
+
   test("hammingPairs64 equals the self-join form, boundary distances included") {
     def joinedHamming(withHash: DataFrame, bands: Int, maxDist: Int): DataFrame = {
       val bandBits = 64 / bands
