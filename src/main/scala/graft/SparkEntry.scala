@@ -961,10 +961,15 @@ object SparkEntry {
       // stage the NORMALIZED frame (int64-ns ts) rather than copying the
       // raw file: the stream source schema must match what Streams'
       // ns-denominated event-time math expects, independent of whether
-      // the source parquet stores ts as ns-int64 or µs-timestamp
+      // the source parquet stores ts as ns-int64 or µs-timestamp.
+      // ONLY the columns the tumbling aggregation reads are staged (r18,
+      // guide §2.3 project early): the agg is
+      // groupBy(event_type, window(ts)).agg(count, sum(value)) — staging
+      // the full event row wrote ~2× the bytes for identical output
+      val evS = ev.select(col("event_type"), col("ts"), col("value"))
       val srcDir = tmp.resolve("src")
-      ev.write.mode("overwrite").parquet(srcDir.toString)
-      val streaming = Streams.tumblingAgg(s, srcDir.toString, ev.schema)
+      evS.write.mode("overwrite").parquet(srcDir.toString)
+      val streaming = Streams.tumblingAgg(s, srcDir.toString, evS.schema)
       val sunk = Streams.runToParquet(streaming,
         tmp.resolve("out").toString, tmp.resolve("ckpt").toString)
       // bucket_start is the window start (µs timestamp, hour-aligned);
