@@ -127,8 +127,15 @@ object Prof {
     // the POST-EXECUTION plan: AQE's final plan with WholeStageCodegen
     // spans (`*(n)` markers) and AQEShuffleRead nodes — the formatted
     // pre-execution explain above prints isFinalPlan=false without
-    // codegen annotation, so span claims need this view
+    // codegen annotation, so span claims need this view. The noop write
+    // does NOT execute this df's own QueryExecution (DataFrameWriter
+    // wraps the logical plan in a fresh one — review r18), so drive the
+    // df's OWN executedPlan to completion here: toRdd + a foreach action
+    // materializes every AQE stage on this very AdaptiveSparkPlanExec,
+    // after which executedPlan prints isFinalPlan=true with codegen
+    // spans. Explain-mode only — never inside the timed reps.
     if (doExplain) lastDf.foreach { df =>
+      df.queryExecution.toRdd.foreachPartition(_ => ())
       println("== final adaptive plan (post-execution) ==")
       println(df.queryExecution.executedPlan.toString)
     }

@@ -1243,6 +1243,25 @@ object Tables {
   private def appendMarkerPath(path: String): Path = new Path(path + ".append.pending")
   private def batchTmpPath(path: String): Path = new Path(path + ".batch.tmp")
 
+  /** Staging file count for one append batch: ceil(estBytes /
+    * targetBytes), CAPPED by the input partition count (an unknown or
+    * overblown estimate can never stage more files than the pre-r18
+    * one-file-per-upstream-partition behavior) and floored at 1. ALL
+    * arithmetic stays in BigInt: the optimizer's unknown-stats sentinel
+    * is Long.MaxValue (spark.sql.defaultSizeInBytes — every RDD-backed /
+    * streaming micro-batch frame), which `isValidLong` does NOT reject,
+    * and the Long form of the ceiling add overflowed it NEGATIVE — a
+    * large unknown-stats batch then staged through ONE task instead of
+    * falling back to its input partitioning (review r18).
+    */
+  private[graft] def stagedPartCount(inputParts: Int, estBytes: BigInt,
+                                     targetBytes: Long): Int = {
+    if (estBytes <= 0) return math.max(1, inputParts)
+    val needed = (estBytes + (targetBytes - 1)) / targetBytes
+    if (!needed.isValidLong || needed >= inputParts) math.max(1, inputParts)
+    else math.max(1, needed.toInt)
+  }
+
   private def readAppendMarker(fs: FileSystem, path: String): Option[AppendMarker] = {
     val p = appendMarkerPath(path)
     if (!fs.exists(p)) None
@@ -2260,12 +2279,8 @@ object Tables {
       .flatMap(_.toLongOption).getOrElse(128L << 20)
     val inputParts = incoming.queryExecution.toRdd.getNumPartitions
     val estBytes = incoming.queryExecution.optimizedPlan.stats.sizeInBytes
-    val sizeParts =
-      if (estBytes <= 0 || !estBytes.isValidLong) inputParts
-      else math.min(inputParts.toLong,
-        (estBytes.toLong + appendTargetBytes - 1) / appendTargetBytes).toInt
     writeClustered(incoming, tmp.toString, Seq(col(ts)),
-      math.max(1, sizeParts))
+      stagedPartCount(inputParts, estBytes, appendTargetBytes))
     // ONE footer pass serves both needs: manifest stats AND the row-less
     // drop. An empty trigger batch stages a 0-row part file whose
     // stat-less manifest entry would permanently degrade the metadata
@@ -2562,6 +2577,13 @@ object Tables {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     withWriterLease(fs, hp, "appendStreamBatch") {
       recoverMutations(spark, fs, path)
+      // retired-generation reclamation must not STOP on the all-drop
+      // steady state (review r18): appendStreamBatch ran this per batch,
+      // and a stream that folds once then drops every subsequent batch
+      // would otherwise hold the retired files past the grace window
+      // until some other maintenance op happens by. Driver FS metadata
+      // only — the zero-jobs property of this path is unchanged.
+      if (fs.exists(hp)) reclaimRetired(fs, hp, retireGraceMs)
       val rec = if (fs.exists(hp)) readStreamCommits(fs, hp)
                 else StreamCommits(Map.empty)
       if (rec.committed.get(streamId).exists(_ >= batchId)) false

@@ -70,15 +70,25 @@ case class CsBloomAgg(
   override def createAggregationBuffer(): CsBloomAgg.Buf = new CsBloomAgg.Buf(null)
 
   override def update(buf: CsBloomAgg.Buf, input: InternalRow): CsBloomAgg.Buf = {
-    val n = nItems.eval(input)
-    if (n != null) {
-      // the filter exists once the group has ANY row — a group of only
-      // NULL values must still produce its empty filter, exactly like
-      // df.stat.bloomFilter over an all-null column
-      if (buf.bf == null)
+    // the filter exists once the group has ANY sized row — a group of
+    // only NULL values must still produce its empty filter, exactly like
+    // df.stat.bloomFilter over an all-null column
+    if (buf.bf == null) {
+      val n = nItems.eval(input)
+      if (n != null)
         buf.bf = BloomFilter.create(math.max(1L, n.asInstanceOf[Long]), fpp)
-      val v = value.eval(input)
-      if (v != null) buf.bf.putLong(v.asInstanceOf[Long])
+    }
+    val v = value.eval(input)
+    if (v != null) {
+      // a non-null value with no filter to put it in is a SIZING bug in
+      // the caller (n_items null on the group's first rows): dropping the
+      // value would manufacture a bloom FALSE NEGATIVE — the one failure
+      // mode a bloom must never have — so fail loudly instead (review r18)
+      if (buf.bf == null)
+        throw new IllegalStateException(
+          "cs_bloom_agg: non-null value with NULL n_items — the filter " +
+            "cannot be sized; fix the caller's n_items derivation")
+      buf.bf.putLong(v.asInstanceOf[Long])
     }
     buf
   }

@@ -323,6 +323,16 @@ private[graft] object FileBlooms {
     // where this path fails loudly) and for a failed batch job (per-file
     // fault isolation, review r15: one unreadable file must not abort the
     // OTHER builds)
+    // ONE definition of the over-cap refusal (memoized skip + warning,
+    // ADVICE r16) shared by the batched pre-filter and the per-file
+    // fallback — two copies could silently fork the cap policy
+    def skipOverCap(n: String, rows: Long): Unit = {
+      skipCache.put(fs.makeQualified(new Path(hp, n)).toString,
+        java.lang.Long.valueOf(predictedBloomBytes(rows)))
+      System.err.println(s"[fblooms] bloom skipped for $n: predicted " +
+        s"size exceeds the ${cacheCapBytes / 1024 / 1024} MB cache " +
+        "cap (file stays range-pruned only)")
+    }
     def buildOne(n: String): Unit =
       scala.util.Try {
         val fp = new Path(hp, n)
@@ -330,15 +340,8 @@ private[graft] object FileBlooms {
         // size from the footer's row count (already read above) instead
         // of a Spark count job — halves the build I/O
         val rows = footerFor.get(n).flatMap(_._2).getOrElse(df.count())
-        if (predictedBloomBytes(rows) > cacheCapBytes) {
-          // memoize the skip (ADVICE r16): later syncs drop the file
-          // from `missing` without re-opening its footer or re-warning
-          skipCache.put(fs.makeQualified(fp).toString,
-            java.lang.Long.valueOf(predictedBloomBytes(rows)))
-          System.err.println(s"[fblooms] bloom skipped for $n: predicted " +
-            s"size exceeds the ${cacheCapBytes / 1024 / 1024} MB cache " +
-            "cap (file stays range-pruned only)")
-        } else {
+        if (predictedBloomBytes(rows) > cacheCapBytes) skipOverCap(n, rows)
+        else {
           val bf = df.stat.bloomFilter(valueCol, math.max(64L, rows), fpp)
           write(fs, new Path(dir, n + ".bloom"), bf)
         }
@@ -361,13 +364,7 @@ private[graft] object FileBlooms {
       val withRows = statted.map(n => n -> footerFor(n)._2.get)
       val (overCap, buildable) =
         withRows.partition { case (_, rows) => predictedBloomBytes(rows) > cacheCapBytes }
-      overCap.foreach { case (n, rows) =>
-        skipCache.put(fs.makeQualified(new Path(hp, n)).toString,
-          java.lang.Long.valueOf(predictedBloomBytes(rows)))
-        System.err.println(s"[fblooms] bloom skipped for $n: predicted " +
-          s"size exceeds the ${cacheCapBytes / 1024 / 1024} MB cache " +
-          "cap (file stays range-pruned only)")
-      }
+      overCap.foreach { case (n, rows) => skipOverCap(n, rows) }
       // budget groups: Σ predicted bytes ≤ the cache cap per collect
       val groups = buildable.foldLeft(List.empty[List[(String, Long)]] -> 0L) {
         case ((acc, run), e @ (_, rows)) =>

@@ -133,4 +133,20 @@ class FileBloomsBatchSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(rows("a"), bos.toByteArray),
       "grouped aggregate bytes must equal the per-frame stat build")
   }
+
+  test("cs_bloom_agg fails loudly on a non-null value it cannot size (null n_items)") {
+    // silently dropping the value would manufacture a bloom FALSE
+    // NEGATIVE — the one failure mode a bloom must never have
+    graft.sqlext.GraftFunctions.register(spark)
+    val df = Seq[(String, java.lang.Long, java.lang.Long)](("a", 11L, null))
+      .toDF("g", "v", "n")
+    val e = intercept[Exception] {
+      df.groupBy("g")
+        .agg(call_function("cs_bloom_agg", col("v"), col("n"), lit(1e-5)))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("cannot be sized")), s"got: $e")
+  }
 }

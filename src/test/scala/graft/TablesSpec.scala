@@ -2082,4 +2082,47 @@ class TablesSpec extends AnyFunSuite {
     assert(Tables.metadataRowCount(spark, path).contains(2L))
     assert(Tables.manifest(spark, path).exists(_.files.forall(_.rows.isDefined)))
   }
+
+  test("stagedPartCount: the Long.MaxValue unknown-stats sentinel falls back to inputParts (r18)") {
+    val target = 128L << 20
+    // the optimizer's unknown-stats sentinel (spark.sql.defaultSizeInBytes
+    // = Long.MaxValue — every RDD-backed/streaming frame) must fall back
+    // to the input partitioning, NOT overflow the ceiling add to 1 file
+    assert(Tables.stagedPartCount(200, BigInt(Long.MaxValue), target) == 200)
+    assert(Tables.stagedPartCount(200, BigInt(Long.MaxValue) * 4, target) == 200)
+    // unknown/empty estimates: input partitioning
+    assert(Tables.stagedPartCount(8, BigInt(0), target) == 8)
+    assert(Tables.stagedPartCount(8, BigInt(-1), target) == 8)
+    // small batch: one file (and the range-sampling skip that buys)
+    assert(Tables.stagedPartCount(8, BigInt(1024), target) == 1)
+    // sized batch: ceil(bytes/target), capped by inputParts, floored at 1
+    assert(Tables.stagedPartCount(200, BigInt(target * 10 - 1), target) == 10)
+    assert(Tables.stagedPartCount(4, BigInt(target * 10), target) == 4)
+    assert(Tables.stagedPartCount(0, BigInt(1024), target) == 1)
+  }
+
+  test("commitEmptyStreamBatch reclaims expired retired files (all-drop steady state, r18)") {
+    val path = tmp("emptyreclaim")
+    Tables.load((0L until 500L).map(i => (i, i * 1.0)).toDF("ts", "v"),
+      path, Seq(), "ts")
+    Tables.append(Seq((900L, 1.0)).toDF("ts", "v"), path, "ts", lit(900L))
+    // retire the appended file under a LONG grace so it survives the
+    // delete itself, then advance the stream's commit log through empty
+    // batches with grace 0 — the steady state a re-crawling stream lives
+    // in; the retired file must not outlive the grace window just
+    // because every batch is empty
+    withGrace(600000L) {
+      Tables.deleteRange(spark, path, "ts", lit(900L), lit(900L))
+    }
+    def retiredCount: Int =
+      Tables.manifest(spark, path).map(_.retired.size).getOrElse(0)
+    assert(retiredCount == 1, "setup must leave one retired file")
+    withGrace(0L) {
+      assert(Tables.commitEmptyStreamBatch(spark, path, "s-er", 0L))
+      assert(retiredCount == 0,
+        "the empty-batch commit must run the per-batch reclamation beat")
+      // and the commit log still advanced exactly-once (replay skips)
+      assert(!Tables.commitEmptyStreamBatch(spark, path, "s-er", 0L))
+    }
+  }
 }
